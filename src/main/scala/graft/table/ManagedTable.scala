@@ -1,0 +1,195 @@
+package graft.table
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import scala.util.matching.Regex
+
+/**
+ * Minimal versioned table layer over plain parquet.
+ *
+ * The reference stores every sink as a Delta table and reads back the last
+ * commit's `operation/operationMetrics/readVersion/writeVersion/userMetadata`
+ * for observability (reference: core/utils/delta.py:134-168, used from
+ * write.py:303-317 etc.) and tags commits with user metadata
+ * (write.py:66-68). No Delta jar ships in this environment, so this class
+ * provides the same *capabilities* natively:
+ *
+ *   layout:  <root>/_graft_log/<%012d-version>.json   commit log (atomic rename)
+ *            <root>/data/<version>-<uuid>/            parquet snapshots/deltas
+ *
+ * A commit records the **list of data dirs composing the snapshot**, so
+ * `append` is O(new data) (adds one dir) and `replace` swaps the whole
+ * composition — readers of old versions are unaffected (MVCC-ish, like
+ * Delta's add/remove files, but at directory granularity). All IO goes
+ * through Hadoop `FileSystem`, so the same code runs on HDFS/S3A on a real
+ * cluster; `rename` gives atomic commit publication on HDFS (and is the
+ * standard best-effort on local FS).
+ *
+ * Scale note: merge writes (`replace`) rewrite the table. For a 100 TB
+ * table the caller should partition the table (`partitionBy`) on a stable
+ * key (date or key-hash prefix) and merge per-partition — mirroring the
+ * reference's `use_paritition_column_in_merge` file-skipping intent
+ * (write.py:190-213). The dir-composition log supports that shape: a
+ * partition-scoped replace commits prevDirs - touchedPartitionDirs + newDir.
+ */
+final class ManagedTable(spark: SparkSession, root: String) {
+  import ManagedTable._
+
+  private val rootPath = new Path(root)
+  private val logPath = new Path(rootPath, "_graft_log")
+  private def fs: FileSystem =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(logPath) && latestVersion.isDefined
+
+  def latestVersion: Option[Long] = {
+    if (!fs.exists(logPath)) return None
+    val vs = fs.listStatus(logPath).toSeq
+      .map(_.getPath.getName)
+      .collect { case CommitFile(v) => v.toLong }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def commitAt(version: Long): Commit = {
+    val p = new Path(logPath, f"$version%012d.json")
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    Commit.fromJson(new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  def lastCommit: Option[Commit] = latestVersion.map(commitAt)
+
+  def history: Seq[Commit] = {
+    if (!fs.exists(logPath)) return Nil
+    fs.listStatus(logPath).toSeq
+      .map(_.getPath.getName)
+      .collect { case CommitFile(v) => v.toLong }
+      .sorted.reverse
+      .map(commitAt)
+  }
+
+  /** Current snapshot as a DataFrame. Fails if the table does not exist. */
+  def read: DataFrame = {
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    val schema = StructType.fromDDL(c.schemaDdl)
+    if (c.dirs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(c.dirs: _*)
+  }
+
+  /** Read if present, else an empty frame with the given schema. */
+  def readOrEmpty(schema: StructType): DataFrame =
+    if (exists) read
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Create version 0 with an empty snapshot (create-table-if-not-exists
+    * pre-step analogue, reference: core/utils/delta.py:83-132). */
+  def createIfNotExists(schema: StructType): Unit = synchronized {
+    if (!exists)
+      writeCommit(Commit(0L, "CREATE TABLE", System.currentTimeMillis(), Nil,
+        Map.empty, None, schema.toDDL, -1L))
+  }
+
+  /**
+   * Write `df` as the next version.
+   * @param mode "replace" (snapshot becomes just the new dir) or
+   *             "append" (new dir added to the previous composition)
+   */
+  def write(
+      df: DataFrame,
+      operation: String,
+      mode: String,
+      userMetadata: Option[String] = None,
+      partitionBy: Seq[String] = Nil): Commit = synchronized {
+    val prev = lastCommit
+    val readVersion = prev.map(_.version).getOrElse(-1L)
+    val version = readVersion + 1L
+    val dataDir = new Path(new Path(rootPath, "data"),
+      f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dataDir)
+    // row count from parquet footers only (no data scan)
+    val numRows = spark.read.parquet(dataDir).count()
+    val dirs = mode match {
+      case "append"  => prev.map(_.dirs).getOrElse(Nil) :+ dataDir
+      case "replace" => Seq(dataDir)
+      case other     => throw new IllegalArgumentException(s"mode $other")
+    }
+    val commit = Commit(version, operation, System.currentTimeMillis(), dirs,
+      Map("numOutputRows" -> numRows.toString), userMetadata,
+      df.schema.toDDL, readVersion)
+    writeCommit(commit)
+    commit
+  }
+
+  private def writeCommit(c: Commit): Unit = {
+    fs.mkdirs(logPath)
+    val tmp = new Path(logPath, s".${c.version}-${UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(c.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val finalPath = new Path(logPath, f"${c.version}%012d.json")
+    if (!fs.rename(tmp, finalPath)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit detected for version ${c.version} of $root")
+    }
+  }
+}
+
+object ManagedTable {
+  private val CommitFile: Regex = """(\d{12})\.json""".r
+
+  /** One commit-log entry — the Delta-history-lite record the reference
+    * reads back after every write (delta.py:134-168). */
+  final case class Commit(
+      version: Long,
+      operation: String,
+      timestampMs: Long,
+      dirs: Seq[String],
+      operationMetrics: Map[String, String],
+      userMetadata: Option[String],
+      schemaDdl: String,
+      readVersion: Long) {
+
+    def toJson: String = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.createObjectNode()
+      node.put("version", version)
+      node.put("operation", operation)
+      node.put("timestampMs", timestampMs)
+      val arr = node.putArray("dirs"); dirs.foreach(arr.add)
+      val om = node.putObject("operationMetrics")
+      operationMetrics.foreach { case (k, v) => om.put(k, v) }
+      userMetadata.foreach(node.put("userMetadata", _))
+      node.put("schemaDdl", schemaDdl)
+      node.put("readVersion", readVersion)
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+    }
+  }
+
+  object Commit {
+    def fromJson(s: String): Commit = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = m.readTree(s)
+      import scala.jdk.CollectionConverters._
+      Commit(
+        version = n.get("version").asLong(),
+        operation = n.get("operation").asText(),
+        timestampMs = n.get("timestampMs").asLong(),
+        dirs = n.get("dirs").elements().asScala.map(_.asText()).toSeq,
+        operationMetrics = Option(n.get("operationMetrics")).map { o =>
+          o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        }.getOrElse(Map.empty),
+        userMetadata = Option(n.get("userMetadata")).map(_.asText()),
+        schemaDdl = n.get("schemaDdl").asText(),
+        readVersion = n.get("readVersion").asLong())
+    }
+  }
+
+  def apply(spark: SparkSession, root: String): ManagedTable =
+    new ManagedTable(spark, root)
+}

@@ -1,0 +1,96 @@
+package graft.write
+
+import graft.table.ManagedTable
+import graft.table.ManagedTable.Commit
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Table constraint failure (reference: core/exception/execution.py). */
+final class WriteTableConstraintError(msg: String) extends RuntimeException(msg)
+
+/**
+ * Binds the pure [[WritePatterns]] transforms to [[ManagedTable]]
+ * persistence — the equivalent of the reference's write functions
+ * executing Delta merges and then capturing commit stats
+ * (write.py:303-317, :531-544, :997-1010, delta.py:134-168).
+ *
+ * `persist_dataset` / `stage_results` follow the reference
+ * (write.py:81-86): DISK_ONLY persist around merges, `localCheckpoint`
+ * to truncate lineage for long foreachBatch chains.
+ */
+object Writers {
+
+  private def staged(df: DataFrame, opts: WriteOptions): DataFrame = {
+    val p = if (opts.persistDataset) df.persist(StorageLevel.DISK_ONLY) else df
+    if (opts.stageResults) p.localCheckpoint() else p
+  }
+
+  private def unstage(df: DataFrame, opts: WriteOptions): Unit =
+    if (opts.persistDataset) { df.unpersist(); () }
+
+  def append(spark: SparkSession, path: String, source: DataFrame,
+             opts: WriteOptions = WriteOptions(),
+             userMetadata: Option[String] = None,
+             partitionBy: Seq[String] = Nil): Commit = {
+    val df = WritePatterns.appendColumns(source, opts)
+    ManagedTable(spark, path).write(df, "APPEND", "append", userMetadata, partitionBy)
+  }
+
+  def overwrite(spark: SparkSession, path: String, source: DataFrame,
+                opts: WriteOptions = WriteOptions(),
+                userMetadata: Option[String] = None,
+                partitionBy: Seq[String] = Nil): Commit = {
+    val df = WritePatterns.appendColumns(source, opts)
+    ManagedTable(spark, path).write(df, "OVERWRITE", "replace", userMetadata, partitionBy)
+  }
+
+  def scd1(spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
+           opts: WriteOptions = WriteOptions(),
+           userMetadata: Option[String] = None,
+           partitionBy: Seq[String] = Nil): Commit = {
+    val table = ManagedTable(spark, path)
+    table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd1", keys, Nil, opts))
+    val s = staged(source, opts)
+    val result = WritePatterns.scd1(table.read, s, keys, opts)
+    val c = table.write(result, "MERGE(scd1)", "replace", userMetadata, partitionBy)
+    unstage(s, opts); c
+  }
+
+  def scd2(spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
+           opts: WriteOptions = WriteOptions(),
+           userMetadata: Option[String] = None,
+           partitionBy: Seq[String] = Nil): Commit = {
+    val table = ManagedTable(spark, path)
+    table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd2", keys, Nil, opts))
+    val s = staged(source, opts)
+    val result = WritePatterns.scd2(table.read, s, keys, opts)
+    val c = table.write(result, "MERGE(scd2)", "replace", userMetadata, partitionBy)
+    unstage(s, opts); c
+  }
+
+  def scd3(spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
+           columnAttributes: Seq[String],
+           opts: WriteOptions = WriteOptions(),
+           userMetadata: Option[String] = None,
+           partitionBy: Seq[String] = Nil): Commit = {
+    val table = ManagedTable(spark, path)
+    table.createIfNotExists(
+      WritePatterns.targetSchemaFor(source, "scd3", keys, columnAttributes, opts))
+    val s = staged(source, opts)
+    val result = WritePatterns.scd3(table.read, s, keys, columnAttributes, opts)
+    val c = table.write(result, "MERGE(scd3)", "replace", userMetadata, partitionBy)
+    unstage(s, opts); c
+  }
+
+  /** Pre-write FK-ish constraint (write.py:1165-1189): every (table,
+    * columns) dependency must cover all source rows. */
+  def tableConstraint(source: DataFrame, targetName: String,
+                      dependencies: Seq[(DataFrame, Seq[String])]): Unit =
+    dependencies.foreach { case (ref, columns) =>
+      val missing = WritePatterns.constraintViolations(source, ref, columns).count()
+      if (missing > 0)
+        throw new WriteTableConstraintError(
+          s"Source dataframe of target table $targetName has $missing rows " +
+            s"failing the table constraint on columns ${columns.mkString(",")}")
+    }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.llm.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "The cat sat on the mat."),
+    (2L, "The cat sat on the mat."),
+    (3L, "Der Hund und die Katze."),
+    (4L, "le chat et la souris"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exactDedup keeps min-id doc of each text group") {
+    val kept = TextOps.exactDedup(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("exactDedupStats counts duplicates") {
+    val stats = TextOps.exactDedupStats(docs)
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(stats(1L) === 2L)
+    assert(stats(3L) === 1L)
+  }
+
+  test("textQuality counts are exact") {
+    val r = TextOps.textQuality(docs).filter($"doc_id" === 1).collect()(0)
+    assert(r.getAs[Int]("n_chars") === 23)
+    assert(r.getAs[Int]("n_spaces") === 5)
+    assert(r.getAs[Int]("n_upper") === 1)
+    assert(r.getAs[Int]("n_sentence_punct") === 1)
+  }
+
+  test("tokenCount segmentations") {
+    val r = TextOps.tokenCount(docs).filter($"doc_id" === 1).collect()(0)
+    assert(r.getAs[Int]("n_ws_tokens") === 6)
+    assert(r.getAs[Int]("n_word_tokens") === 6)
+    assert(r.getAs[Int]("n_bpeish_tokens") === 7) // 6 words + '.'
+  }
+
+  test("langId picks the dominant stopword profile") {
+    val preds = TextOps.langId(docs)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(preds(1L) === "en")
+    assert(preds(3L) === "de")
+    assert(preds(4L) === "fr")
+  }
+
+  test("fingerprint is case/punctuation-insensitive on the token stream") {
+    val pair = Seq((1L, "Hello, World!"), (2L, "hello world")).toDF("doc_id", "text")
+    val fps = TextOps.fingerprint(pair).select("fingerprint").as[String].collect()
+    assert(fps(0) === fps(1))
+  }
+}
