@@ -342,6 +342,96 @@ object Queries {
        | CASE WHEN c_custkey > 1000 THEN '$T1' ELSE '$T0' END AS __metadata_valid_from_ts__
        |FROM f""".stripMargin
 
+  // ------------------------------------------------- task / CDC / stream
+
+  /** End-to-end declarative task: parquet→csv staging, csv input with a
+    * filter feature, SQL-text execution, append write, re-read
+    * (reference test_batch.py:43). */
+  def taskE2eCsvAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.config.Config._
+    import graft.task.SparkTask
+    val srcDir = tmp("task_csv")
+    pq(spark, dir, "region").select("r_regionkey", "r_name")
+      .write.option("header", "true").csv(srcDir)
+    val sink = tmp("task_csv_sink")
+    val t = TaskConf("e2e_csv",
+      inputs = Seq(InputConf("region_csv", srcDir, "csv",
+        features = InputFeatures(filterExpression = Some("r_regionkey < 4")))),
+      executionSql = Some("SELECT r_regionkey, r_name FROM region_csv"),
+      outputs = Seq(OutputConf("out", sink, writeType = "append",
+        options = Map("now" -> T0))))
+    SparkTask.run(spark, t)
+    ManagedTable(spark, sink).read
+      .select(col("r_regionkey"), col("r_name"),
+        col(Meta.ValidToTs).cast("string").as(Meta.ValidToTs))
+  }
+
+  val taskE2eCsvAppendSql: String =
+    s"""SELECT r_regionkey, r_name, '$T0' AS __metadata_valid_to_ts__
+       |FROM region WHERE r_regionkey < 4""".stripMargin
+
+  /** Attribute CDC across two incremental runs (test_batch.py:668): run 2
+    * sees the grown source but ingests only rows past the persisted
+    * watermark — final table has every key exactly once, stamped by the
+    * run that loaded it. */
+  def cdcTwoRuns(spark: SparkSession, dir: String): DataFrame = {
+    import graft.config.Config._
+    import graft.task.SparkTask
+    val srcDir = tmp("cdc_src")
+    val sink = tmp("cdc_sink")
+    val state = tmp("cdc_state")
+    val orders = pq(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    def conf(now: String) = TaskConf("cdc",
+      inputs = Seq(InputConf("orders_in", srcDir, "parquet",
+        features = InputFeatures(changeData = Some(ChangeData("o_orderkey", "integer"))))),
+      executionSql = Some("SELECT * FROM orders_in"),
+      outputs = Seq(OutputConf("out", sink, writeType = "append",
+        options = Map("now" -> now))),
+      stateLocation = Some(state))
+    orders.filter(col("o_orderkey") <= 1000).write.mode("overwrite").parquet(srcDir)
+    SparkTask.run(spark, conf(T0))
+    orders.write.mode("overwrite").parquet(srcDir) // new rows arrive
+    SparkTask.run(spark, conf(T1))
+    ManagedTable(spark, sink).read
+      .select(col("o_orderkey"), col("o_custkey"),
+        col(Meta.ValidToTs).cast("string").as(Meta.ValidToTs))
+  }
+
+  val cdcTwoRunsSql: String =
+    s"""SELECT o_orderkey, o_custkey,
+       | CASE WHEN o_orderkey <= 1000 THEN '$T0' ELSE '$T1' END AS __metadata_valid_to_ts__
+       |FROM orders""".stripMargin
+
+  /** Structured Streaming input with Trigger.AvailableNow, foreachBatch
+    * re-entering the batch append writer (test_stream.py:31) — result
+    * equals the batch equivalent. */
+  def streamAppend(spark: SparkSession, dir: String): DataFrame = {
+    import graft.config.Config._
+    import graft.task.SparkTask
+    val srcDir = tmp("stream_src")
+    val sink = tmp("stream_sink")
+    val state = tmp("stream_state")
+    pq(spark, dir, "nation").select("n_nationkey", "n_name")
+      .write.parquet(srcDir)
+    val t = TaskConf("stream",
+      inputs = Seq(InputConf("nation_in", srcDir, "parquet",
+        sourceExtractType = "stream",
+        schemaDdl = Some("n_nationkey INT, n_name STRING"))),
+      executionSql = Some("SELECT * FROM nation_in"),
+      outputs = Seq(OutputConf("out", sink, writeType = "append",
+        options = Map("now" -> T0))),
+      refreshPolicy = RefreshPolicy(refreshType = "stream"),
+      stateLocation = Some(state))
+    SparkTask.run(spark, t)
+    ManagedTable(spark, sink).read
+      .select(col("n_nationkey"), col("n_name"),
+        col(Meta.ValidToTs).cast("string").as(Meta.ValidToTs))
+  }
+
+  val streamAppendSql: String =
+    s"""SELECT n_nationkey, n_name, '$T0' AS __metadata_valid_to_ts__
+       |FROM nation""".stripMargin
+
   // ------------------------------------------------------- constraint
 
   /** Anti-join FK check (write.py:1165-1189): orders referencing customers

@@ -33,6 +33,10 @@ object SparkEntry {
     "scd2_two_loads" -> (Queries.scd2TwoLoads(_, _)),
     "scd3_shift" -> (Queries.scd3Shift(_, _)),
     "constraint_violations" -> (Queries.constraintViolations(_, _)),
+    // task model + features + CDC + streaming (SURVEY §2.3, §2.7, §2.8, §2.9)
+    "task_e2e_csv_append" -> (Queries.taskE2eCsvAppend(_, _)),
+    "cdc_two_runs" -> (Queries.cdcTwoRuns(_, _)),
+    "stream_append" -> (Queries.streamAppend(_, _)),
     // LLM-pipeline text operators
     "dedup_exact" -> ((s, d) => TextOps.exactDedupStats(Queries.pq(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Queries.pq(s, d, "documents"))),
@@ -54,6 +58,9 @@ object SparkEntry {
     "scd2_two_loads" -> Queries.scd2TwoLoadsSql,
     "scd3_shift" -> Queries.scd3ShiftSql,
     "constraint_violations" -> Queries.constraintViolationsSql,
+    "task_e2e_csv_append" -> Queries.taskE2eCsvAppendSql,
+    "cdc_two_runs" -> Queries.cdcTwoRunsSql,
+    "stream_append" -> Queries.streamAppendSql,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,

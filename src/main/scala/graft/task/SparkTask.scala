@@ -1,0 +1,204 @@
+package graft.task
+
+import graft.cdc.Cdc
+import graft.config.Config._
+import graft.features.Features
+import graft.secrets.{SecretBackend, Secrets}
+import graft.sources.SourceRead
+import graft.state.StateStore
+import graft.write.{WriteOptions, Writers}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import java.util.UUID
+
+/**
+ * The execution-function surface (reference: the user-supplied Python fn,
+ * core/execution/spark_task/execution_fn.py:8-196). Scala analogue: a class
+ * implementing [[Transform]], resolved by fully-qualified name via
+ * reflection (the "module" variant), or a SQL-text transform over the
+ * inputs registered as temp views (replacing the exec-string variant,
+ * which has no safe JVM analogue — SURVEY.md §2.6).
+ */
+trait Transform {
+  def apply(inputs: Map[String, DataFrame], args: Map[String, String]): Map[String, DataFrame]
+}
+
+/** Single-in single-out convenience. */
+trait SimpleTransform extends Transform {
+  def transform(input: DataFrame): DataFrame
+  override def apply(inputs: Map[String, DataFrame],
+                     args: Map[String, String]): Map[String, DataFrame] =
+    Map("default" -> transform(inputs.values.head))
+}
+
+final class TaskValidationError(msgs: Seq[String])
+  extends RuntimeException(msgs.mkString("; "))
+
+/** Per-run context (reference: SparkTaskExecutionContext,
+  * core/execution/spark_task/context.py): batch id + state store. */
+final case class TaskContext(
+    spark: SparkSession,
+    batchId: String,
+    state: Option[StateStore])
+
+/**
+ * The task lifecycle: build/validate → inputs (CDC pre-step → read →
+ * feature post-steps) → execution → outputs (write-pattern dispatch,
+ * batch or streaming foreachBatch) → persist CDC state + run stamps.
+ * Mirrors the reference's `SparkTask` (core/task/spark/task.py:268-658)
+ * and the Input/Executor/Output operators under
+ * core/execution/operator/spark_task/.
+ *
+ * Everything before the output write is lazy — one Catalyst plan from
+ * scan to sink, so filter/column pushdown crosses the whole task.
+ */
+object SparkTask {
+
+  /** Reflection resolution of the execution class (execution_fn.py:45-115
+    * analogue). The class needs a no-arg constructor. */
+  def resolveTransform(fqcn: String): Transform =
+    Class.forName(fqcn).getDeclaredConstructor().newInstance() match {
+      case t: Transform => t
+      case other => throw new IllegalArgumentException(
+        s"$fqcn is not a graft.task.Transform (got ${other.getClass})")
+    }
+
+  /** SQL-text execution: inputs become temp views named by input name. */
+  def sqlTransform(sql: String): Transform = new Transform {
+    def apply(inputs: Map[String, DataFrame],
+              args: Map[String, String]): Map[String, DataFrame] = {
+      val spark = inputs.values.head.sparkSession
+      inputs.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      Map("default" -> spark.sql(sql))
+    }
+  }
+
+  /** Read one input applying CDC pre-step + feature post-steps; returns the
+    * DataFrame and the CDC state to persist on success. */
+  def readInput(ctx: TaskContext, in: InputConf,
+                refresh: RefreshPolicy): (DataFrame, Option[Cdc.State]) = {
+    val raw = SourceRead.readBatch(ctx.spark, in)
+    val (cdcFilter, cdcState): (Option[String], Option[Cdc.State]) =
+      in.features.changeData match {
+        case Some(cd) if refresh.refreshType == "backfill" =>
+          val (s, e) = (refresh.startValue.orElse(cd.startValue),
+            refresh.endValue.orElse(cd.endValue))
+          require(s.nonEmpty && e.nonEmpty,
+            s"input ${in.name}: backfill requires start_value and end_value")
+          val r = Cdc.backfillBounds(cd.attribute, cd.valueType, s.get, e.get)
+          (r.filterExpr, r.newState)
+        case Some(cd) =>
+          val prev = ctx.state.map(Cdc.loadState(_, in.name)).getOrElse(Cdc.State.empty)
+          val r = Cdc.attributeBounds(raw, cd.attribute, cd.valueType, prev, cd.startValue)
+          (r.filterExpr, r.newState)
+        case None => (None, None)
+      }
+    (Features.applyAll(raw, in.features, cdcFilter), cdcState)
+  }
+
+  /** Dispatch one batch write by write_type (OutputOperator + write.py). */
+  def writeOutput(ctx: TaskContext, out: OutputConf, df: DataFrame): Unit = {
+    val opts = WriteOptions.fromMap(out.options)
+    val meta = Some(s"""{"batch_id":"${ctx.batchId}","output_name":"${out.name}","load_type":"${out.writeType}"}""")
+    out.writeType match {
+      case "append" => Writers.append(ctx.spark, out.path, df, opts, meta, out.partitionBy)
+      case "overwrite" => Writers.overwrite(ctx.spark, out.path, df, opts, meta, out.partitionBy)
+      case "scd1" => Writers.scd1(ctx.spark, out.path, df, out.keyAttributes, opts, meta, out.partitionBy)
+      case "scd2" => Writers.scd2(ctx.spark, out.path, df, out.keyAttributes, opts, meta, out.partitionBy)
+      case "scd3" => Writers.scd3(ctx.spark, out.path, df, out.keyAttributes,
+        out.columnAttributes, opts, meta, out.partitionBy)
+      case other => throw new IllegalArgumentException(s"write type $other")
+    }
+    ctx.state.foreach(_.set("sink", s"${out.name}_last_write",
+      s"""{"batch_id":"${ctx.batchId}","write_type":"${out.writeType}"}"""))
+  }
+
+  /** Streaming write: every micro-batch re-enters the batch writer —
+    * foreachBatch reuse exactly like the reference (output.py:200-224). */
+  def writeStreamOutput(ctx: TaskContext, out: OutputConf, df: DataFrame,
+                        stateLocation: String): Unit = {
+    val checkpoint = out.checkpointLocation
+      .getOrElse(s"$stateLocation/checkpoints/${out.name}")
+    var w = df.writeStream
+      .queryName(out.name)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeOutput(ctx, out, batch)
+      }
+    w = out.triggerMode match {
+      case Some("once") => w.trigger(Trigger.Once())
+      case None | Some("availableNow") => w.trigger(Trigger.AvailableNow())
+      case Some(p) if p.startsWith("processingTime=") =>
+        w.trigger(Trigger.ProcessingTime(p.stripPrefix("processingTime=")))
+      case Some(other) => throw new IllegalArgumentException(s"trigger $other")
+    }
+    w.start()
+  }
+
+  /**
+   * Run a task end-to-end. Returns the output DataFrame map produced by the
+   * execution (post-write reads come from the sink tables).
+   */
+  def run(spark: SparkSession, conf: TaskConf,
+          secrets: Option[SecretBackend] = None): Map[String, DataFrame] = {
+    val errs = validate(conf)
+    if (errs.nonEmpty) throw new TaskValidationError(errs)
+
+    // secrets formatted into every option string (task.py:302-314)
+    val resolved = secrets match {
+      case Some(b) => conf.copy(
+        inputs = conf.inputs.map(i => i.copy(
+          path = Secrets.format(i.path, b), options = Secrets.formatMap(i.options, b))),
+        outputs = conf.outputs.map(o => o.copy(
+          path = Secrets.format(o.path, b), options = Secrets.formatMap(o.options, b))))
+      case None => conf
+    }
+
+    val state = resolved.stateLocation.map(loc =>
+      new StateStore(spark.sparkContext.hadoopConfiguration, loc))
+    val ctx = TaskContext(spark, UUID.randomUUID().toString, state)
+
+    val isStream = resolved.refreshPolicy.refreshType == "stream"
+    val transform = (resolved.executionClass, resolved.executionSql) match {
+      case (Some(c), _) => resolveTransform(c)
+      case (_, Some(sql)) => sqlTransform(sql)
+      case _ => throw new IllegalStateException("unreachable: validated above")
+    }
+
+    if (isStream) {
+      val inputs = resolved.inputs.map(i => i.name -> SourceRead.readStream(spark, i)).toMap
+      val outputs = bindOutputs(transform(inputs, Map.empty), resolved.outputs)
+      val stateLoc = resolved.stateLocation.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_stream_state").toString)
+      outputs.foreach { case (out, df) => writeStreamOutput(ctx, out, df, stateLoc) }
+      // stream completion wait (task.py:547-556)
+      spark.streams.active.foreach(_.processAllAvailable())
+      spark.streams.active.foreach(_.stop())
+      outputs.map { case (out, df) => out.name -> df }.toMap
+    } else {
+      val reads = resolved.inputs.map(i => i.name -> readInput(ctx, i, resolved.refreshPolicy))
+      val inputs = reads.map { case (n, (df, _)) => n -> df }.toMap
+      val outputs = bindOutputs(transform(inputs, Map.empty), resolved.outputs)
+      outputs.foreach { case (out, df) => writeOutput(ctx, out, df) }
+      // persist CDC state only after all writes succeeded (task.py:519-544)
+      for {
+        st <- state
+        (name, (_, Some(cdcState))) <- reads
+      } Cdc.saveState(st, name, cdcState.copy(batchId = Some(ctx.batchId)))
+      state.foreach(_.set("state", "pipeline_batch_load_timestamp",
+        java.time.Instant.now().toString))
+      outputs.map { case (out, df) => out.name -> df }.toMap
+    }
+  }
+
+  /** Output-binding validation (execution.py:119-130): a single unnamed
+    * result binds to a single output; a map must cover every output name. */
+  private def bindOutputs(result: Map[String, DataFrame],
+                          outputs: Seq[OutputConf]): Seq[(OutputConf, DataFrame)] =
+    if (result.keySet == Set("default") && outputs.size == 1)
+      Seq(outputs.head -> result("default"))
+    else outputs.map { o =>
+      o -> result.getOrElse(o.name, throw new TaskValidationError(
+        Seq(s"execution produced ${result.keys.mkString(",")} but output ${o.name} expected")))
+    }
+}

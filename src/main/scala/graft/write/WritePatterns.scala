@@ -46,6 +46,38 @@ final case class WriteOptions(
   }
 }
 
+object WriteOptions {
+  private def csv(v: String): Seq[String] =
+    v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Build from a flat string map — the shape a task-config JSON carries
+    * (reference extra_options dict, core/schemas/sources.py:115-166).
+    * Map-valued options use `k1=v1,k2=v2`; generated cols `name:expr;...`. */
+  def fromMap(m: Map[String, String]): WriteOptions = {
+    def kvMap(v: String): Map[String, String] =
+      csv(v).map { p => val Array(k, vv) = p.split("=", 2); k -> vv }.toMap
+    WriteOptions(
+      dataAttributes = m.get("data_attributes").map(csv),
+      renameMetadataColumns = m.get("rename_metadata_columns").map(kvMap).getOrElse(Map.empty),
+      activeRecordValueMapping = m.get("active_record_value_mapping").map(kvMap).getOrElse(Map.empty),
+      generateRecordUpsertColumns = m.get("generate_record_upsert_columns").exists(_.toBoolean),
+      useKeyAttributesInMerge = m.get("use_key_attributes_in_merge").exists(_.toBoolean),
+      usePartitionColumnInMerge = m.get("use_partition_column_in_merge").map(csv).getOrElse(Nil),
+      deduplicateOnKeys = m.get("deduplicate_onkeys").exists(_.toBoolean),
+      generatedCols = m.get("generated_cols").map(_.split(";").toSeq.map { p =>
+        val Array(k, v) = p.split(":", 2); (k, v)
+      }).getOrElse(Nil),
+      excludeDataColumns = m.get("exclude_data_columns").map(csv).getOrElse(Nil),
+      historyTrackingCol = m.get("history_tracking_col"),
+      historyStartTrackingValue = m.get("history_start_tracking_value"),
+      historyStartTrackingValueType = m.get("history_start_tracking_value_type"),
+      fixDuplicatesByKey = m.get("fix_duplicates_by_key").exists(_.toBoolean),
+      persistDataset = m.get("persist_dataset").exists(_.toBoolean),
+      stageResults = m.get("stage_results").exists(_.toBoolean),
+      now = m.get("now"))
+  }
+}
+
 /**
  * The five write patterns as **pure DataFrame transforms** returning the
  * complete post-write table state. Persistence (versioned commit, stats,

@@ -1,0 +1,171 @@
+package graft
+
+import graft.config.Config
+import graft.config.Config._
+import graft.meta.Meta
+import graft.secrets.MapSecretBackend
+import graft.table.ManagedTable
+import graft.task.{SimpleTransform, SparkTask, TaskValidationError}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Identity transform resolvable by reflection (execution "module" mode). */
+class IdentityTransform extends SimpleTransform {
+  def transform(input: DataFrame): DataFrame = input
+}
+
+/** End-to-end task lifecycle (mirrors reference test_batch.py:43 csv→append,
+  * :668 CDC two runs, :337 secrets; config parse/validation task.py:211-266). */
+class TaskSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def data = Seq((1, "one", 10), (2, "two", 20), (3, "three", 30))
+    .toDF("id", "name", "offset")
+
+  test("task JSON parses into the full config model") {
+    val t = Config.parseTask(
+      """{"name":"t1",
+        | "inputs":[{"name":"in1","path":"/tmp/x.csv","source":"csv",
+        |   "features":{"filter_expression":"id > 1","drop_columns":"junk",
+        |     "change_data":{"attribute":"id","value_type":"integer"}},
+        |   "options":{"header":"false"}}],
+        | "execution_sql":"SELECT * FROM in1",
+        | "outputs":[{"name":"out1","path":"/tmp/t","write_type":"scd1",
+        |   "key_attributes":["id"],"options":{"now":"2026-01-01 00:00:00"}}],
+        | "refresh_policy":{"type":"incremental"},
+        | "state_location":"/tmp/state"}""".stripMargin)
+    assert(t.name === "t1")
+    assert(t.inputs.head.features.filterExpression === Some("id > 1"))
+    assert(t.inputs.head.features.changeData.get.attribute === "id")
+    assert(t.outputs.head.keyAttributes === Seq("id"))
+    assert(Config.validate(t) === Nil)
+  }
+
+  test("validation catches missing keys, bad write type, stream mismatch") {
+    val bad = TaskConf("t", inputs = Seq(
+      InputConf("in1", "/tmp/f", "csv", sourceExtractType = "stream")),
+      executionSql = Some("SELECT 1"),
+      outputs = Seq(
+        OutputConf("o1", "/tmp/t", writeType = "scd1"),
+        OutputConf("o2", "/tmp/t", writeType = "bogus")))
+    val errs = Config.validate(bad)
+    assert(errs.exists(_.contains("scd1 requires key_attributes")))
+    assert(errs.exists(_.contains("unknown write_type")))
+    assert(errs.exists(_.contains("requires refresh_policy.type=stream")))
+    assertThrows[TaskValidationError] { SparkTask.run(spark, bad) }
+  }
+
+  test("csv → filter feature → sql transform → append → re-read (test_batch.py:43)") {
+    val srcDir = tmpDir("task_csv_src")
+    data.write.option("header", "true").csv(srcDir)
+    val sink = tmpDir("task_csv_sink")
+    val t = TaskConf("e2e",
+      inputs = Seq(InputConf("in1", srcDir, "csv",
+        features = InputFeatures(filterExpression = Some("id > 1")))),
+      executionSql = Some("SELECT id, name, offset FROM in1"),
+      outputs = Seq(OutputConf("out1", sink, writeType = "append",
+        options = Map("now" -> "2026-01-01 00:00:00"))))
+    SparkTask.run(spark, t)
+    val back = ManagedTable(spark, sink).read
+    assert(back.count() === 2)
+    assert(back.select("id").as[Int].collect().toSet === Set(2, 3))
+    assert(back.columns.contains(Meta.ValidToTs))
+  }
+
+  test("reflection-resolved Transform class executes") {
+    val srcDir = tmpDir("task_refl_src")
+    data.write.parquet(srcDir)
+    val sink = tmpDir("task_refl_sink")
+    val t = TaskConf("refl",
+      inputs = Seq(InputConf("in1", srcDir, "parquet")),
+      executionClass = Some("graft.IdentityTransform"),
+      outputs = Seq(OutputConf("out1", sink, writeType = "overwrite")))
+    SparkTask.run(spark, t)
+    assert(ManagedTable(spark, sink).read.count() === 3)
+  }
+
+  test("secrets template {{scope/key}} resolves in paths and options (test_batch.py:337)") {
+    val srcDir = tmpDir("task_sec_src")
+    data.write.parquet(srcDir)
+    val sink = tmpDir("task_sec_sink")
+    val t = TaskConf("sec",
+      inputs = Seq(InputConf("in1", "{{paths/src}}", "parquet")),
+      executionSql = Some("SELECT * FROM in1"),
+      outputs = Seq(OutputConf("out1", sink, writeType = "append",
+        options = Map("now" -> "{{times/t0}}"))))
+    val backend = new MapSecretBackend(Map(
+      ("paths", "src") -> srcDir, ("times", "t0") -> "2026-01-01 00:00:00"))
+    SparkTask.run(spark, t, Some(backend))
+    val back = ManagedTable(spark, sink).read
+    assert(back.count() === 3)
+    assert(back.select(col(Meta.ValidToTs).cast("string")).distinct()
+      .as[String].head() === "2026-01-01 00:00:00")
+  }
+
+  test("scd1 through the task layer is an upsert") {
+    val srcDir = tmpDir("task_scd1_src")
+    val sink = tmpDir("task_scd1_sink")
+    data.write.mode("overwrite").parquet(srcDir)
+    def conf(now: String) = TaskConf("scd1t",
+      inputs = Seq(InputConf("in1", srcDir, "parquet")),
+      executionSql = Some("SELECT * FROM in1"),
+      outputs = Seq(OutputConf("out1", sink, writeType = "scd1",
+        keyAttributes = Seq("id"), options = Map("now" -> now))))
+    SparkTask.run(spark, conf("2026-01-01 00:00:00"))
+    Seq((2, "TWO", 21), (4, "four", 40)).toDF("id", "name", "offset")
+      .write.mode("overwrite").parquet(srcDir)
+    SparkTask.run(spark, conf("2026-02-01 00:00:00"))
+    val back = ManagedTable(spark, sink).read
+    assert(back.count() === 4)
+    assert(back.filter($"id" === 2).select("name").as[String].head() === "TWO")
+  }
+
+  test("CDC incremental: second run only ingests rows past the watermark (test_batch.py:668)") {
+    val srcDir = tmpDir("task_cdc_src")
+    val sink = tmpDir("task_cdc_sink")
+    val state = tmpDir("task_cdc_state")
+    def conf(now: String) = TaskConf("cdct",
+      inputs = Seq(InputConf("in1", srcDir, "parquet",
+        features = InputFeatures(changeData = Some(ChangeData("id", "integer"))))),
+      executionSql = Some("SELECT * FROM in1"),
+      outputs = Seq(OutputConf("out1", sink, writeType = "append",
+        options = Map("now" -> now))),
+      stateLocation = Some(state))
+
+    data.write.mode("overwrite").parquet(srcDir)
+    SparkTask.run(spark, conf("2026-01-01 00:00:00"))
+    assert(ManagedTable(spark, sink).read.count() === 3)
+
+    // new data arrives (ids 4,5) alongside the old rows
+    data.unionByName(Seq((4, "four", 40), (5, "five", 50)).toDF("id", "name", "offset"))
+      .write.mode("overwrite").parquet(srcDir)
+    SparkTask.run(spark, conf("2026-02-01 00:00:00"))
+    val back = ManagedTable(spark, sink).read
+    assert(back.count() === 5) // 3 + only the 2 new, not 3+5
+    assert(back.groupBy("id").count().filter($"count" > 1).count() === 0)
+
+    // third run, nothing new → no rows appended
+    SparkTask.run(spark, conf("2026-03-01 00:00:00"))
+    assert(ManagedTable(spark, sink).read.count() === 5)
+  }
+
+  test("streaming input: foreachBatch reuses the batch append writer (test_stream.py:31)") {
+    val srcDir = tmpDir("task_stream_src")
+    val sink = tmpDir("task_stream_sink")
+    val state = tmpDir("task_stream_state")
+    data.write.parquet(srcDir)
+    val t = TaskConf("streamt",
+      inputs = Seq(InputConf("in1", srcDir, "parquet",
+        sourceExtractType = "stream",
+        schemaDdl = Some("id INT, name STRING, offset INT"))),
+      executionSql = Some("SELECT * FROM in1"),
+      outputs = Seq(OutputConf("out1", sink, writeType = "append",
+        options = Map("now" -> "2026-01-01 00:00:00"))),
+      refreshPolicy = RefreshPolicy(refreshType = "stream"),
+      stateLocation = Some(state))
+    SparkTask.run(spark, t)
+    val back = ManagedTable(spark, sink).read
+    assert(back.count() === 3)
+    assert(back.columns.contains(Meta.ValidToTs))
+  }
+}
