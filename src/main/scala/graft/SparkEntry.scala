@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.TextOps
+import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -42,7 +42,31 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.textQuality(Queries.pq(s, d, "documents"))),
     "token_count" -> ((s, d) => TextOps.tokenCount(Queries.pq(s, d, "documents"))),
     "lang_id" -> ((s, d) => TextOps.langId(Queries.pq(s, d, "documents"))),
-    "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(Queries.pq(s, d, "documents"))))
+    "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(Queries.pq(s, d, "documents"))),
+    // near-dup + similarity + multimodal (MinHash-LSH / SimHash / ANN)
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.nearDupPairs(Queries.pq(s, d, "documents"), threshold = 0.8)),
+    "dedup_near_corpus" -> ((s, d) =>
+      Dedup.dedupNear(Queries.pq(s, d, "documents"), threshold = 0.8)
+        .select("doc_id", "lang", "source")),
+    "simhash_neardup" -> ((s, d) =>
+      Dedup.simhashPairs(Queries.pq(s, d, "documents"), maxDistance = 3)),
+    "knn_bruteforce" -> { (s, d) =>
+      val emb = Queries.pq(s, d, "embeddings")
+      import org.apache.spark.sql.functions.col
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 10)
+        .select("query_id", "rank", "neighbor_id")
+    },
+    "ann_topk" -> { (s, d) =>
+      val emb = Queries.pq(s, d, "embeddings")
+      import org.apache.spark.sql.functions.col
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), 10)
+        .select("query_id", "rank", "neighbor_id")
+    },
+    "multimodal_decode" -> ((s, _) =>
+      Multimodal.decodeAndFeaturize(Multimodal.syntheticMediaTable(s, 500))
+        .select("media_id", "meta.width", "meta.height",
+          "features.n_bytes", "features.checksum")))
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> Queries.q1Sql,
@@ -97,5 +121,43 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint,
         | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // dedup_minhash: Spark generates candidates with MinHash-LSH then
+    // verifies with EXACT jaccard, so the result equals the oracle's
+    // all-pairs answer (oracle may go quadratic; the engine must not).
+    "dedup_minhash" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                 for i in range(1, len(s)-1)]) AS sh
+        | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+        |       FROM documents)),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |  len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.8""".stripMargin,
+    "dedup_near_corpus" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                 for i in range(1, len(s)-1)]) AS sh
+        | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+        |       FROM documents)),
+        |losers AS (SELECT DISTINCT b.doc_id AS doc_id
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |       len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "knn_bruteforce" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |            c.vec_id ASC) AS rank
+        | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        | WHERE q.vec_id < 20)
+        |WHERE rank <= 10""".stripMargin)
+    // simhash_neardup / ann_topk / multimodal_decode intentionally have no
+    // oracle (seeded xxhash64 / LSH planes / synthetic payloads are not
+    // reproducible in DuckDB SQL) — driver records the rows-only check.
 }

@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths:
+ *  - [[bruteForceTopK]]: exact cosine top-k of a *small* query set against
+ *    the corpus — the query side is broadcast, so the corpus is scanned
+ *    once with no shuffle except the final per-query top-k. This is the
+ *    correctness baseline and the right tool when |queries| is small.
+ *  - [[annTopK]]: random-hyperplane LSH. Corpus vectors land in one
+ *    sign-bit bucket; queries probe their own bucket plus all buckets at
+ *    hamming distance 1 (multi-probe), so the join touches
+ *    (numPlanes+1)/2^numPlanes of the corpus per query instead of all of
+ *    it — the scale path for large query sets.
+ *
+ * All math is built-in expressions (`zip_with` dot products) — codegen'd,
+ * no UDFs, columnar-scan friendly.
+ */
+object Similarity {
+
+  /** Dot product of two numeric array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact top-k neighbors per query. `queries` must be small enough to
+   * broadcast (it is hinted); output: (query_id, rank, neighbor_id, cos).
+   * Self-matches (same id) are excluded.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Deterministic random hyperplanes (seeded) as literal arrays. */
+  private def planes(numPlanes: Int, dim: Int): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id of a vector under the hyperplane set. */
+  private def bucketExpr(vec: Column, ps: Seq[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vec, plane) > 0, lit(1 << i)).otherwise(0)
+    }.reduce(_.bitwiseOR(_))
+
+  /**
+   * Approximate top-k via LSH buckets + multi-probe: the query probes its
+   * own bucket plus every bucket within hamming distance `probeDistance`
+   * of it. Output shape matches [[bruteForceTopK]].
+   *
+   * Tuning: with `numPlanes=p` and `probeDistance=d` a query examines
+   * Σ_{i≤d} C(p,i) of the 2^p buckets. Hyperplane bits correlate with
+   * cosine, so recall beats the scanned fraction — but on *unclustered*
+   * (near-random) corpora the gap is modest; pick (p, d) for the
+   * recall/cost point the workload needs (SimilaritySpec measures one).
+   */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              numPlanes: Int = 6, probeDistance: Int = 1,
+              dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = planes(numPlanes, dim)
+    val masks = (0 until (1 << numPlanes))
+      .filter(m => Integer.bitCount(m) <= probeDistance)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("bucket", bucketExpr(col("cvec"), ps))
+    val probeBuckets = (b: Column) =>
+      array(masks.map(m => b.bitwiseXOR(lit(m))): _*)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("bucket",
+        explode(probeBuckets(bucketExpr(col("qvec"), ps))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.llm.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cosine top-k (exact) + LSH ANN recall on the driver embeddings table. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val queries: DataFrame = emb.filter($"vec_id" < 20)
+
+  test("cosine of a vector with itself is 1") {
+    val one = emb.limit(1)
+      .select(Similarity.cosine(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")))
+      .as[Double].head()
+    assert(math.abs(one - 1.0) < 1e-9)
+  }
+
+  test("bruteForceTopK: k rows per query, descending cos, no self-match") {
+    val k = 10
+    val out = Similarity.bruteForceTopK(emb, queries, k).cache()
+    val counts = out.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.toSet === Set(k.toLong))
+    assert(out.filter($"query_id" === $"neighbor_id").count() === 0)
+    val ordered = out.filter($"query_id" === 0).orderBy("rank")
+      .select("cos").as[Double].collect()
+    assert(ordered.toSeq === ordered.sorted.reverse.toSeq)
+  }
+
+  test("annTopK recall beats the scanned fraction (LSH bits carry signal)") {
+    // The driver embeddings are near-random (labels uncorrelated with
+    // cosine neighborhoods — checked empirically), the hardest case for
+    // LSH. Measured deterministic recalls on sf0.001, 20 queries:
+    //   p=6 d=1 scans 10.9% → recall 0.21;  p=8 d=3 scans 36% → 0.575.
+    val k = 10
+    val bf = Similarity.bruteForceTopK(emb, queries, k)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(emb, queries, k, numPlanes = 8, probeDistance = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ann).size.toDouble / bf.size
+    assert(recall >= 0.5, s"ANN recall $recall")
+    val scannedFraction = (0 to 3).map(i =>
+      (0 until 8).combinations(i).size).sum.toDouble / 256
+    assert(recall > scannedFraction, s"recall $recall vs scanned $scannedFraction")
+  }
+
+  test("annTopK candidate join is bucket-keyed, not a cross join") {
+    val ann = Similarity.annTopK(emb, queries, 10)
+    assert(ann.count() > 0)
+    val plan = ann.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), plan.take(400))
+  }
+}
