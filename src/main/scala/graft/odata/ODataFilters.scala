@@ -1,0 +1,67 @@
+package graft.odata
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import java.sql.{Date, Timestamp}
+import java.time.ZoneOffset
+import java.time.format.DateTimeFormatter
+
+/**
+ * Spark `Filter` → OData `$filter` translation
+ * (reference: ODataScan.scala:85-141, ODataHelper.scala:42-101).
+ *
+ * Pushable: =, <>, <, >, <=, >= and the string predicates, but only on
+ * String/Timestamp/Double/Integer/Long columns (ODataHelper.scala:109-117).
+ * Values render as OData literals: strings quoted, timestamps ISO-8601 Z
+ * (ODataHelper.scala:71-101). The reference renders `StringContains` as
+ * `endswith` (ODataScan.scala:134-135) — a bug we do NOT replicate;
+ * contains renders as `contains`.
+ */
+object ODataFilters {
+
+  final case class Pushed(expression: String, raw: Filter)
+
+  private val IsoTs = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+
+  def renderValue(value: Any): String = value match {
+    case s: String => s"'$s'"
+    case ts: Timestamp => ts.toInstant.atZone(ZoneOffset.UTC).format(IsoTs)
+    case d: Date => d.toString
+    case other => String.valueOf(other)
+  }
+
+  private def pushableType(dt: DataType): Boolean = dt match {
+    case StringType | TimestampType | DoubleType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Split filters into (pushed, postScan). Unknown shapes and non-pushable
+    * column types are returned to Spark for post-evaluation
+    * (ODataScan.scala:60-72). */
+  def split(filters: Array[Filter], schema: StructType): (Seq[Pushed], Seq[Filter]) = {
+    def colOk(attr: String): Boolean =
+      schema.fields.find(_.name == attr).exists(f => pushableType(f.dataType))
+    def render(attr: String, op: String, v: Any): String =
+      s"$attr $op ${renderValue(v)}"
+    val results = filters.map { f =>
+      val pushed: Option[String] = f match {
+        case EqualTo(a, v) if colOk(a) => Some(render(a, "eq", v))
+        case Not(EqualTo(a, v)) if colOk(a) => Some(render(a, "ne", v))
+        case LessThan(a, v) if colOk(a) => Some(render(a, "lt", v))
+        case GreaterThan(a, v) if colOk(a) => Some(render(a, "gt", v))
+        case LessThanOrEqual(a, v) if colOk(a) => Some(render(a, "le", v))
+        case GreaterThanOrEqual(a, v) if colOk(a) => Some(render(a, "ge", v))
+        case StringStartsWith(a, v) if colOk(a) => Some(s"startswith($a,${renderValue(v)})")
+        case StringEndsWith(a, v) if colOk(a) => Some(s"endswith($a,${renderValue(v)})")
+        case StringContains(a, v) if colOk(a) => Some(s"contains($a,${renderValue(v)})")
+        case _ => None
+      }
+      (f, pushed)
+    }
+    (results.collect { case (f, Some(e)) => Pushed(e, f) }.toSeq,
+      results.collect { case (f, None) => f }.toSeq)
+  }
+
+  def combine(pushed: Seq[Pushed]): Option[String] =
+    if (pushed.isEmpty) None else Some(pushed.map(_.expression).mkString(" and "))
+}
