@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the scale guarantees (pushdown, pruning,
+  * broadcast, no cartesian products) are structural properties of the
+  * optimized plan — check them, don't hope for them. */
+class PlanSpec extends SparkSpec {
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  /** Final physical plan with AQE unwrapped (requires executing first). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Collect file scans, recursing through AQE query-stage wrappers. */
+  private def fileScans(plan: SparkPlan): Seq[FileSourceScanExec] =
+    plan.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case q: QueryStageExec => fileScans(q.plan)
+    }.flatten
+
+  private def fileScans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    fileScans(finalPlan(df))
+
+  test("q1: filter pushes to the parquet scan and columns are pruned") {
+    val df = Queries.q1PricingSummary(spark, sf)
+    val scan = fileScans(df).head
+    assert(scan.dataFilters.nonEmpty, "no data filters reached the scan")
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols.subsetOf(Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate")),
+      s"scan reads more than needed: $readCols")
+    assert(!readCols.contains("l_comment"))
+  }
+
+  test("q5: dimension joins are broadcast, no cartesian product anywhere") {
+    val plan = finalPlan(Queries.q5RegionRevenue(spark, sf)).toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+    assert(!plan.toLowerCase.contains("cartesian"), "cartesian product in plan")
+  }
+
+  test("analytics queries stay inside WholeStageCodegen") {
+    // codegen'd operators render with the `*(stageId)` prefix
+    val plan = finalPlan(Queries.q1PricingSummary(spark, sf)).toString
+    assert(plan.contains("*("), plan.take(400))
+  }
+
+  test("constraint anti join broadcasts the small reference side") {
+    // build a variant guaranteed non-empty at sf0.001 (150 customers) so
+    // AQE doesn't legitimately collapse the plan to EmptyRelation
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val allowed = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_custkey") < 100)
+      .select(col("c_custkey").as("o_custkey"))
+    val df = graft.write.WritePatterns.constraintViolations(orders, allowed, Seq("o_custkey"))
+    val plan = finalPlan(df).toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(500))
+  }
+
+  test("managed-table scan prunes columns through the commit-log read path") {
+    val path = tmpDir("plan_mt")
+    import spark.implicits._
+    graft.write.Writers.append(spark, path,
+      Seq((1, "a", "junk")).toDF("id", "v", "extra"),
+      graft.write.WriteOptions(now = Some("2026-01-01 00:00:00")))
+    val df = graft.table.ManagedTable(spark, path).read.select("id")
+    val scan = fileScans(df).head
+    assert(scan.requiredSchema.fieldNames.toSeq === Seq("id"))
+  }
+
+  test("exact dedup is a single hash aggregate, not a window sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = finalPlan(graft.llm.TextOps.exactDedupStats(docs)).toString
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("Window"), "dedup should not need a window sort")
+  }
+}
