@@ -29,12 +29,15 @@ object Config {
       schemaDdl: Option[String] = None,
       schemaJsonFile: Option[String] = None)
 
-  /** CDC feature config (features.py ChangeFeature; §2.7). */
+  /** CDC feature config (features.py ChangeFeature; §2.7).
+    * `changeFeatureType`: "attribute" (range filter on a column) or
+    * "file_path_cdc_feed" (ingest only files modified since last run). */
   final case class ChangeData(
       attribute: String,
       valueType: String = "integer", // integer | date | timestamp
       startValue: Option[String] = None,
-      endValue: Option[String] = None)
+      endValue: Option[String] = None,
+      changeFeatureType: String = "attribute")
 
   final case class InputConf(
       name: String,
@@ -108,7 +111,8 @@ object Config {
       changeData = Option(n.get("change_data")).map { c =>
         ChangeData(c.get("attribute").asText(),
           optStr(c, "value_type").getOrElse("integer"),
-          optStr(c, "start_value"), optStr(c, "end_value"))
+          optStr(c, "start_value"), optStr(c, "end_value"),
+          optStr(c, "change_feature_type").getOrElse("attribute"))
       })
   }
 

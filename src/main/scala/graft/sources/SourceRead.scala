@@ -27,11 +27,19 @@ object SourceRead {
 
   def readBatch(spark: SparkSession, in: InputConf): DataFrame = in.source match {
     case "graft" => ManagedTable(spark, in.path).read
+    case "excel" => ExcelSource.read(spark, in.path, ExcelSource.Options(
+      sheet = in.options.get("sheet"),
+      header = in.options.get("header").forall(_.toBoolean),
+      cellRange = in.options.get("range")))
     case fmt =>
       val opts = if (fmt == "csv") CsvDefaults ++ in.options else in.options
       var r = spark.read.format(fmt).options(opts)
       in.schemaDdl.foreach(ddl => r = r.schema(StructType.fromDDL(ddl)))
-      if (in.sourceType == "table") r.table(in.path) else r.load(in.path)
+      // zip payloads are extracted to a temp dir before the format read
+      // (reference compression pre-step, file_source.py:145-172)
+      val path = if (in.sourceType == "file") FileOps.resolveCompression(in.path)
+                 else in.path
+      if (in.sourceType == "table") r.table(path) else r.load(path)
   }
 
   def readStream(spark: SparkSession, in: InputConf): DataFrame = {

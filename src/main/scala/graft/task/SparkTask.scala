@@ -77,6 +77,25 @@ object SparkTask {
     * DataFrame and the CDC state to persist on success. */
   def readInput(ctx: TaskContext, in: InputConf,
                 refresh: RefreshPolicy): (DataFrame, Option[Cdc.State]) = {
+    // file-path CDC replaces the read path with the modified-file list
+    // BEFORE the read (reference file_source.py:727-813, listing via the
+    // Hadoop FileSystem instead of a Sharepoint/SFTP client)
+    in.features.changeData.filter(_.changeFeatureType == "file_path_cdc_feed")
+      .foreach { _ =>
+        val prev = ctx.state.map(Cdc.loadState(_, in.name)).getOrElse(Cdc.State.empty)
+        val startMs = prev.nextValue.flatMap(_.value).map(_.toLong)
+          .getOrElse(graft.odata.ODataOffset.EarliestMs)
+        val endMs = System.currentTimeMillis()
+        val files = graft.sources.FileOps.modifiedFiles(
+          ctx.spark.sparkContext.hadoopConfiguration, in.path, startMs, endMs)
+        val df = files.map(f => SourceRead.readBatch(ctx.spark, in.copy(path = f)))
+          .reduce(_ unionByName _)
+        val state = Cdc.State(Some("file_modified"),
+          Some(Cdc.FeatureValue(Some(endMs.toString), "integer")),
+          Some(Cdc.FeatureValue(Some(startMs.toString), "integer")))
+        return (Features.applyAll(df, in.features, None), Some(state))
+      }
+
     val raw = SourceRead.readBatch(ctx.spark, in)
     val (cdcFilter, cdcState): (Option[String], Option[Cdc.State]) =
       in.features.changeData match {
