@@ -432,6 +432,33 @@ object Queries {
     s"""SELECT n_nationkey, n_name, '$T0' AS __metadata_valid_to_ts__
        |FROM nation""".stripMargin
 
+  /** Gap-based sessionization of the events table (batch form of the
+    * streaming stateful operator; 10-minute silence ends a session). */
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = pq(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select("user_id", "ts_us")
+    graft.streaming.StreamOps.sessionizeBatch(ev, "user_id", "ts_us",
+      gapMs = 600L * 1000 * 1000) // 10 min in micros
+      .select(col("user_id"), col("startMs").as("session_start_us"),
+        col("endMs").as("session_end_us"), col("nEvents").as("n_events"))
+  }
+
+  val sessionizeEventsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      |m AS (SELECT user_id, ts_us,
+      |  CASE WHEN lag(ts_us) OVER w IS NULL
+      |            OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS new_session
+      | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |s AS (SELECT user_id, ts_us,
+      |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    ROWS UNBOUNDED PRECEDING) AS session_id
+      | FROM m)
+      |SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+      | COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
   // ------------------------------------------------------- constraint
 
   /** Anti-join FK check (write.py:1165-1189): orders referencing customers

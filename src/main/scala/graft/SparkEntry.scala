@@ -37,6 +37,7 @@ object SparkEntry {
     "task_e2e_csv_append" -> (Queries.taskE2eCsvAppend(_, _)),
     "cdc_two_runs" -> (Queries.cdcTwoRuns(_, _)),
     "stream_append" -> (Queries.streamAppend(_, _)),
+    "sessionize" -> (Queries.sessionizeEvents(_, _)),
     // LLM-pipeline text operators
     "dedup_exact" -> ((s, d) => TextOps.exactDedupStats(Queries.pq(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Queries.pq(s, d, "documents"))),
@@ -85,6 +86,7 @@ object SparkEntry {
     "task_e2e_csv_append" -> Queries.taskE2eCsvAppendSql,
     "cdc_two_runs" -> Queries.cdcTwoRunsSql,
     "stream_append" -> Queries.streamAppendSql,
+    "sessionize" -> Queries.sessionizeEventsSql,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,

