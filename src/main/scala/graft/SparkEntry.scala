@@ -64,6 +64,17 @@ object SparkEntry {
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), 10)
         .select("query_id", "rank", "neighbor_id")
     },
+    // the synthetic embeddings carry no natural near-dups (max pairwise
+    // cos ≈ 0.51), so the scenario plants exact copies shifted by +10000:
+    // the LSH bucket join must find precisely those pairs.
+    "embedding_neardup" -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val emb = Queries.pq(s, d, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      Similarity.embeddingNearDups(emb.unionByName(planted), threshold = 0.99)
+        .select("id1", "id2")
+    },
     "multimodal_decode" -> ((s, _) =>
       Multimodal.decodeAndFeaturize(Multimodal.syntheticMediaTable(s, 500))
         .select("media_id", "meta.width", "meta.height",
@@ -158,7 +169,10 @@ object SparkEntry {
         |            c.vec_id ASC) AS rank
         | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         | WHERE q.vec_id < 20)
-        |WHERE rank <= 10""".stripMargin)
+        |WHERE rank <= 10""".stripMargin,
+    "embedding_neardup" ->
+      """SELECT vec_id AS id1, vec_id + 10000 AS id2
+        |FROM embeddings WHERE vec_id < 50""".stripMargin)
     // simhash_neardup / ann_topk / multimodal_decode intentionally have no
     // oracle (seeded xxhash64 / LSH planes / synthetic payloads are not
     // reproducible in DuckDB SQL) — driver records the rows-only check.

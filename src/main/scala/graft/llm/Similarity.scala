@@ -127,4 +127,34 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /**
+   * Embedding-cosine near-duplicate pairs: corpus self-join restricted to
+   * shared LSH buckets (probing the corpus side's exact bucket plus the
+   * query side's hamming-`probeDistance` neighborhood), then the exact
+   * cosine filter. No all-pairs comparison; candidate volume scales with
+   * bucket occupancy, not corpus². High thresholds (near-identical
+   * vectors) get near-perfect recall because near-identical vectors agree
+   * on almost every hyperplane sign.
+   */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        numPlanes: Int = 8, probeDistance: Int = 2,
+                        dim: Int = 64): DataFrame = {
+    val ps = planes(numPlanes, dim)
+    val masks = (0 until (1 << numPlanes))
+      .filter(m => Integer.bitCount(m) <= probeDistance)
+    val base = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket0", bucketExpr(col("v"), ps))
+      .localCheckpoint() // materialize buckets once for both join sides
+    val left = base.select(col(idCol).as("id1"), col("v").as("v1"),
+      explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val right = base.select(col(idCol).as("id2"), col("v").as("v2"),
+      col("bucket0").as("bucket"))
+    left.join(right, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
 }

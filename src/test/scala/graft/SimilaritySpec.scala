@@ -56,4 +56,25 @@ class SimilaritySpec extends SparkSpec {
     val plan = ann.queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("cartesian"), plan.take(400))
   }
+
+  test("embeddingNearDups finds planted near-identical vectors, no false positives") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // corpus + two planted near-duplicates of existing vectors
+    val base = emb.limit(100).collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dup1 = (9001L, base(3)._2.map(v => v * 1.0001f))
+    val dup2 = (9002L, base(7)._2.clone())
+    val rows = (base.toSeq :+ dup1 :+ dup2).map { case (id, v) => Row(id, v.toSeq) }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4).toJavaRDD(), schema)
+    val pairs = Similarity.embeddingNearDups(corpus, threshold = 0.999)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((3L, 9001L)), s"missed planted dup: $pairs")
+    assert(pairs.contains((7L, 9002L)), s"missed exact dup: $pairs")
+    // random 64-dim vectors never reach cos >= 0.999
+    assert(pairs.size === 2, s"false positives: $pairs")
+  }
 }
