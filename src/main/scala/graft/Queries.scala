@@ -130,6 +130,26 @@ object Queries {
       | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
       |WHERE rn <= 5""".stripMargin
 
+  /** ROLLUP aggregation (grouping-sets family — beyond the reference's
+    * own operator set, exposed through the engine's SQL surface). */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("total_price"), col("n_orders"))
+
+  val rollupRevenueSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+      | coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total_price,
+      | COUNT(*) AS n_orders
+      |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin
+
   // ------------------------------------------------ hashes & append
 
   /** The metadata-hash core exposed directly (write.py:103-134). */

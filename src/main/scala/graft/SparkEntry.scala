@@ -23,6 +23,7 @@ object SparkEntry {
     "q3_top_orders" -> (Queries.q3TopOrders(_, _)),
     "q5_region_revenue" -> (Queries.q5RegionRevenue(_, _)),
     "events_window" -> (Queries.eventsWindow(_, _)),
+    "rollup_revenue" -> (Queries.rollupRevenue(_, _)),
     // metadata-hash core + write patterns (SURVEY §1.4, §2.2)
     "key_data_hash" -> (Queries.keyDataHash(_, _)),
     "append_basic" -> (Queries.appendBasic(_, _)),
@@ -72,7 +73,11 @@ object SparkEntry {
       val emb = Queries.pq(s, d, "embeddings").select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") < 50)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
-      Similarity.embeddingNearDups(emb.unionByName(planted), threshold = 0.99)
+      // planted copies are exact (hamming 0 under any hyperplane set), so
+      // probeDistance=1 keeps guaranteed recall at a quarter of the
+      // candidate volume of the default 2
+      Similarity.embeddingNearDups(emb.unionByName(planted), threshold = 0.99,
+        probeDistance = 1)
         .select("id1", "id2")
     },
     "multimodal_decode" -> ((s, _) =>
@@ -85,6 +90,7 @@ object SparkEntry {
     "q3_top_orders" -> Queries.q3Sql,
     "q5_region_revenue" -> Queries.q5Sql,
     "events_window" -> Queries.eventsWindowSql,
+    "rollup_revenue" -> Queries.rollupRevenueSql,
     "key_data_hash" -> Queries.keyDataHashSql,
     "append_basic" -> Queries.appendBasicSql,
     "append_managed" -> Queries.appendManagedSql,

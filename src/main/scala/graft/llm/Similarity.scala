@@ -151,10 +151,11 @@ object Similarity {
       explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val right = base.select(col(idCol).as("id2"), col("v").as("v2"),
       col("bucket0").as("bucket"))
+    // no distinct needed: the right side carries exactly one bucket per
+    // id2, so a pair meets at most once across all of id1's probes
     left.join(right, Seq("bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
-      .distinct()
       .filter(col("cos") >= threshold)
   }
 }
