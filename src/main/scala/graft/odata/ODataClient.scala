@@ -24,7 +24,8 @@ final case class ODataOptions(
     rowsPerPage: Int = 1000,
     maxPagesPerBatch: Int = 4,
     incrementalField: String = "ModifiedOn",
-    connectTimeoutMs: Int = 100000) {
+    connectTimeoutMs: Int = 100000,
+    predicates: Option[String] = None) {
   require(instanceUrl.nonEmpty, "odata: instanceUrl required")
   require(entity.nonEmpty, "odata: entity required")
   require(rowsPerPage > 0, "odata: rowsPerPage must be positive")
@@ -47,7 +48,8 @@ object ODataOptions {
       accessToken = Option(options.get("accessToken")),
       rowsPerPage = Option(options.get("rowsPerPage")).map(_.toInt).getOrElse(1000),
       maxPagesPerBatch = Option(options.get("maxPagesPerBatch")).map(_.toInt).getOrElse(4),
-      incrementalField = Option(options.get("incrementalField")).getOrElse("ModifiedOn"))
+      incrementalField = Option(options.get("incrementalField")).getOrElse("ModifiedOn"),
+      predicates = Option(options.get("predicates")))
   }
 }
 

@@ -64,4 +64,44 @@ object ODataFilters {
 
   def combine(pushed: Seq[Pushed]): Option[String] =
     if (pushed.isEmpty) None else Some(pushed.map(_.expression).mkString(" and "))
+
+  /**
+   * User-supplied predicate strings (the `predicates` option, parsed with
+   * `CatalystSqlParser` — reference ODataTable.scala:151-216). Supported
+   * shapes: `=`, `<`, `>`, `<=`, `>=`, `!=`/`<>`; anything else throws,
+   * matching the reference's strictness.
+   */
+  def parsePredicate(expr: String): Pushed = {
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    import org.apache.spark.sql.catalyst.{expressions => cat}
+    def attrOf(e: cat.Expression): String = e.toString.replace("'", "")
+    def valOf(e: cat.Expression): Any = e.eval() match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => other
+    }
+    val parsed = try CatalystSqlParser.parseExpression(expr) catch {
+      case e: Throwable => throw new IllegalArgumentException(
+        s"predicate '$expr' failed to parse: ${e.getMessage}")
+    }
+    parsed match {
+      case cat.EqualTo(a, v) =>
+        Pushed(s"${attrOf(a)} eq ${renderValue(valOf(v))}", EqualTo(attrOf(a), valOf(v)))
+      case cat.LessThan(a, v) =>
+        Pushed(s"${attrOf(a)} lt ${renderValue(valOf(v))}", LessThan(attrOf(a), valOf(v)))
+      case cat.GreaterThan(a, v) =>
+        Pushed(s"${attrOf(a)} gt ${renderValue(valOf(v))}", GreaterThan(attrOf(a), valOf(v)))
+      case cat.LessThanOrEqual(a, v) =>
+        Pushed(s"${attrOf(a)} le ${renderValue(valOf(v))}", LessThanOrEqual(attrOf(a), valOf(v)))
+      case cat.GreaterThanOrEqual(a, v) =>
+        Pushed(s"${attrOf(a)} ge ${renderValue(valOf(v))}", GreaterThanOrEqual(attrOf(a), valOf(v)))
+      case cat.Not(cat.EqualTo(a, v)) =>
+        Pushed(s"${attrOf(a)} ne ${renderValue(valOf(v))}", Not(EqualTo(attrOf(a), valOf(v))))
+      case other => throw new IllegalArgumentException(
+        s"predicate '$expr' shape ${other.getClass.getSimpleName} not supported")
+    }
+  }
+
+  /** Parse a semicolon-separated predicates option. */
+  def parsePredicates(option: String): Seq[Pushed] =
+    option.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map(parsePredicate)
 }

@@ -25,13 +25,16 @@ class ODataScanBuilder(opts: ODataOptions, schema: StructType)
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit {
 
-  private var pushed: Seq[ODataFilters.Pushed] = Nil
+  // user predicate strings (`predicates` option) seed the pushed set
+  // (reference ODataTable.scala:151-216)
+  private var pushed: Seq[ODataFilters.Pushed] =
+    opts.predicates.map(ODataFilters.parsePredicates).getOrElse(Nil)
   private var prunedSchema: StructType = schema
   private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (p, rest) = ODataFilters.split(filters, schema)
-    pushed = p
+    pushed = pushed ++ p
     rest.toArray
   }
 

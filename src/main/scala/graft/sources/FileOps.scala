@@ -82,6 +82,37 @@ object FileOps {
   }
 
   /**
+   * Wildcard resolution over comma-separated paths (reference:
+   * file_source.py:87-121): each `/`-segment containing `*` or `?` is
+   * expanded via directory listing with glob matching; non-matching
+   * branches are silently dropped. Runs on the Hadoop FileSystem so the
+   * same globbing works on local/HDFS/S3A.
+   */
+  def wildcardResolution(conf: Configuration, pathSpec: String): Seq[String] = {
+    def matches(pattern: String, name: String): Boolean = {
+      val rx = ("\\Q" + pattern.replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "\\E").r
+      rx.pattern.matcher(name).matches()
+    }
+    pathSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { one =>
+      if (!one.contains("*") && !one.contains("?")) Seq(one)
+      else {
+        val segs = one.stripPrefix("/").split("/").toSeq
+        val roots: Seq[String] = if (one.startsWith("/")) Seq("") else Seq(".")
+        segs.foldLeft(roots) { (bases, seg) =>
+          if (!seg.contains("*") && !seg.contains("?")) bases.map(b => s"$b/$seg")
+          else bases.flatMap { b =>
+            val p = new Path(if (b.isEmpty) "/" else b)
+            val fs = p.getFileSystem(conf)
+            if (!fs.exists(p)) Nil
+            else fs.listStatus(p).toSeq.map(_.getPath.getName)
+              .filter(matches(seg, _)).map(n => s"$b/$n")
+          }
+        }
+      }
+    }
+  }
+
+  /**
    * Deferred post-task executor: operations registered during the run
    * execute only after the task succeeds (`Runtime.atexit` analogue;
    * keyed per-runtime-instance rather than per-thread — tasks own their
