@@ -452,6 +452,32 @@ object Queries {
     s"""SELECT n_nationkey, n_name, '$T0' AS __metadata_valid_to_ts__
        |FROM nation""".stripMargin
 
+  /** Partition-scoped replace: load all nations partitioned by region,
+    * then selectively overwrite ONLY region 2's partition — other
+    * partitions' files untouched (no full-table rewrite). */
+  def selectiveOverwriteManaged(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("selov")
+    val nation = pq(spark, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    Writers.append(spark, path, nation, WriteOptions(now = Some(T0)),
+      partitionBy = Seq("n_regionkey"))
+    val patch = nation.filter(col("n_regionkey") === 2)
+      .withColumn("n_name", concat(col("n_name"), lit("_PATCHED")))
+    Writers.selectiveOverwrite(spark, path, patch, Seq("n_regionkey"),
+      WriteOptions(now = Some(T1)))
+    ManagedTable(spark, path).read
+      .select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("int").as("n_regionkey"),
+        col(Meta.ValidToTs).cast("string").as(Meta.ValidToTs))
+  }
+
+  val selectiveOverwriteManagedSql: String =
+    s"""SELECT n_nationkey,
+       | CASE WHEN n_regionkey = 2 THEN n_name || '_PATCHED' ELSE n_name END AS n_name,
+       | CAST(n_regionkey AS INT) AS n_regionkey,
+       | CASE WHEN n_regionkey = 2 THEN '$T1' ELSE '$T0' END AS __metadata_valid_to_ts__
+       |FROM nation""".stripMargin
+
   /** Gap-based sessionization of the events table (batch form of the
     * streaming stateful operator; 10-minute silence ends a session). */
   def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {

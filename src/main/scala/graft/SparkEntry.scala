@@ -29,6 +29,7 @@ object SparkEntry {
     "append_basic" -> (Queries.appendBasic(_, _)),
     "append_managed" -> (Queries.appendManaged(_, _)),
     "overwrite_managed" -> (Queries.overwriteManaged(_, _)),
+    "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd2_initial" -> (Queries.scd2Initial(_, _)),
     "scd2_two_loads" -> (Queries.scd2TwoLoads(_, _)),
@@ -95,6 +96,7 @@ object SparkEntry {
     "append_basic" -> Queries.appendBasicSql,
     "append_managed" -> Queries.appendManagedSql,
     "overwrite_managed" -> Queries.overwriteManagedSql,
+    "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd2_initial" -> Queries.scd2InitialSql,
     "scd2_two_loads" -> Queries.scd2TwoLoadsSql,

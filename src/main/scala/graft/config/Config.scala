@@ -183,8 +183,11 @@ object Config {
         errs += s"input ${i.name}: stream extract requires refresh_policy.type=stream"
     }
     t.outputs.foreach { o =>
-      if (!Set("append", "overwrite", "scd1", "scd2", "scd3").contains(o.writeType))
+      if (!Set("append", "overwrite", "selective_overwrite",
+          "scd1", "scd2", "scd3").contains(o.writeType))
         errs += s"output ${o.name}: unknown write_type ${o.writeType}"
+      if (o.writeType == "selective_overwrite" && o.partitionBy.isEmpty)
+        errs += s"output ${o.name}: selective_overwrite requires partition_by"
       if (Set("scd1", "scd2", "scd3").contains(o.writeType) && o.keyAttributes.isEmpty)
         errs += s"output ${o.name}: ${o.writeType} requires key_attributes"
       if (o.writeType == "scd3" && o.columnAttributes.isEmpty)

@@ -71,13 +71,31 @@ final class ManagedTable(spark: SparkSession, root: String) {
       .map(commitAt)
   }
 
-  /** Current snapshot as a DataFrame. Fails if the table does not exist. */
+  /** Current snapshot as a DataFrame. Fails if the table does not exist.
+    *
+    * Commit dirs may be whole data dirs or partition subdirs (after a
+    * [[selectiveOverwrite]]); subdirs are read with `basePath` grouped by
+    * their data-dir root so partition columns survive. */
   def read: DataFrame = {
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
     val schema = StructType.fromDDL(c.schemaDdl)
-    if (c.dirs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(c.dirs: _*)
+    if (c.dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val dataRoot = new Path(rootPath, "data").toString
+      def rootOf(dir: String): String = {
+        val rel = dir.stripPrefix(dataRoot).stripPrefix("/")
+        s"$dataRoot/${rel.split("/").head}"
+      }
+      val (subdirs, whole) = c.dirs.partition(d => rootOf(d) != d)
+      val frames =
+        whole.map(d => spark.read.schema(schema).parquet(d)) ++
+          subdirs.groupBy(rootOf).map { case (base, ds) =>
+            spark.read.option("basePath", base).schema(schema).parquet(ds: _*)
+          }
+      frames.reduce(_ unionByName _)
+    }
   }
 
   /** Read if present, else an empty frame with the given schema. */
@@ -122,6 +140,80 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val commit = Commit(version, operation, System.currentTimeMillis(), dirs,
       Map("numOutputRows" -> numRows.toString), userMetadata,
       df.schema.toDDL, readVersion)
+    writeCommit(commit)
+    commit
+  }
+
+  /**
+   * Selective overwrite: replace ONLY the partitions present in `df`,
+   * leaving all other partitions' files untouched — the write pattern the
+   * reference declares but never implements (`selective_overwrite`,
+   * core/schemas/sources.py:85), realized here as partition-scoped
+   * replace over the dir-composition log. This is the scale-critical
+   * alternative to whole-table rewrite: cost is O(touched partitions).
+   *
+   * The table must be partitioned by `partitionBy`; previous commit dirs
+   * are decomposed into their partition subdirs (FS listing, metadata
+   * only), the replaced partitions' subdirs are dropped, and the new
+   * data dir's subdirs are added.
+   */
+  def selectiveOverwrite(df: DataFrame, partitionBy: Seq[String],
+                         userMetadata: Option[String] = None): Commit = synchronized {
+    require(partitionBy.nonEmpty, "selectiveOverwrite requires partition columns")
+    val prev = lastCommit
+    val readVersion = prev.map(_.version).getOrElse(-1L)
+    val version = readVersion + 1L
+    val dataDir = new Path(new Path(rootPath, "data"),
+      f"$version%012d-${UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(dataDir.toString)
+
+    // partition subdirs of the new data as relative paths like "p=1/q=a"
+    // (built from the trailing path segments — FS listings return
+    // scheme-qualified paths, so string-prefix stripping is unreliable)
+    def partitionSubdirs(base: Path): Seq[String] = {
+      def walk(p: Path, depth: Int): Seq[Path] =
+        if (depth == partitionBy.size) Seq(p)
+        else fs.listStatus(p).toSeq.filter(_.isDirectory)
+          .filter(!_.getPath.getName.startsWith("_"))
+          .flatMap(st => walk(st.getPath, depth + 1))
+      walk(base, 0).map { p =>
+        (0 until partitionBy.size).foldLeft((p, List.empty[String])) {
+          case ((cur, acc), _) => (cur.getParent, cur.getName :: acc)
+        }._2.mkString("/")
+      }
+    }
+    val replaced = partitionSubdirs(dataDir).toSet
+    val newDirs = replaced.toSeq.sorted.map(r => s"$dataDir/$r")
+
+    // previous composition, decomposed to partition granularity, minus
+    // the replaced partitions; dirs may be whole data dirs (decompose) or
+    // partition subdirs from an earlier selective overwrite (compare the
+    // relative partition path directly)
+    val dataRoot = new Path(rootPath, "data").toString
+    def rootOf(dir: String): String = {
+      val rel = dir.stripPrefix(dataRoot).stripPrefix("/")
+      s"$dataRoot/${rel.split("/").head}"
+    }
+    val kept = prev.map(_.dirs).getOrElse(Nil).flatMap { d =>
+      val base = rootOf(d)
+      if (base == d) {
+        val subs = partitionSubdirs(new Path(d))
+        if (subs.isEmpty)
+          throw new IllegalStateException(
+            s"selectiveOverwrite needs a table partitioned by ${partitionBy.mkString(",")}; " +
+              s"dir $d has no matching partition layout")
+        subs.filterNot(replaced.contains).map(r => s"$d/$r")
+      } else {
+        val rel = d.stripPrefix(base).stripPrefix("/")
+        if (replaced.contains(rel)) Nil else Seq(d)
+      }
+    }
+
+    val numRows = spark.read.parquet(dataDir.toString).count()
+    val commit = Commit(version, "SELECTIVE_OVERWRITE", System.currentTimeMillis(),
+      kept ++ newDirs, Map("numOutputRows" -> numRows.toString,
+        "replacedPartitions" -> replaced.size.toString),
+      userMetadata, df.schema.toDDL, readVersion)
     writeCommit(commit)
     commit
   }

@@ -122,6 +122,8 @@ object SparkTask {
     out.writeType match {
       case "append" => Writers.append(ctx.spark, out.path, df, opts, meta, out.partitionBy)
       case "overwrite" => Writers.overwrite(ctx.spark, out.path, df, opts, meta, out.partitionBy)
+      case "selective_overwrite" =>
+        Writers.selectiveOverwrite(ctx.spark, out.path, df, out.partitionBy, opts, meta)
       case "scd1" => Writers.scd1(ctx.spark, out.path, df, out.keyAttributes, opts, meta, out.partitionBy)
       case "scd2" => Writers.scd2(ctx.spark, out.path, df, out.keyAttributes, opts, meta, out.partitionBy)
       case "scd3" => Writers.scd3(ctx.spark, out.path, df, out.keyAttributes,

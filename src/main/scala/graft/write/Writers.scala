@@ -44,6 +44,18 @@ object Writers {
     ManagedTable(spark, path).write(df, "OVERWRITE", "replace", userMetadata, partitionBy)
   }
 
+  /** Partition-scoped replace — the `selective_overwrite` write type the
+    * reference declares but never implements (sources.py:85). Stamps the
+    * same append metadata columns, then replaces ONLY the partitions
+    * present in the batch (ManagedTable.selectiveOverwrite). */
+  def selectiveOverwrite(spark: SparkSession, path: String, source: DataFrame,
+                         partitionBy: Seq[String],
+                         opts: WriteOptions = WriteOptions(),
+                         userMetadata: Option[String] = None): Commit = {
+    val df = WritePatterns.appendColumns(source, opts)
+    ManagedTable(spark, path).selectiveOverwrite(df, partitionBy, userMetadata)
+  }
+
   def scd1(spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
            opts: WriteOptions = WriteOptions(),
            userMetadata: Option[String] = None,
