@@ -168,11 +168,63 @@ object Dedup {
       lit(0), (acc, v) => acc + v).cast("double") / size(sig1)
 
   /** Near-dup–deduplicated corpus: of every matched pair the larger id is
-    * dropped (min-id survivor, same rule as exact dedup). */
+    * dropped (min-id survivor, same rule as exact dedup). Pairwise — for
+    * chains a→b→c where (a,c) is not itself a pair, see
+    * [[connectedComponents]] + [[dedupNearTransitive]]. */
   def dedupNear(docs: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id", threshold: Double = 0.8): DataFrame = {
     val losers = nearDupPairs(docs, textCol, idCol, threshold)
       .select(col("id2").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Connected components over a pair list by iterative min-label
+   * propagation: each node repeatedly adopts the smallest label among
+   * itself and its neighbors until a fixpoint (checked with a cheap
+   * aggregate) or `maxIter`. Every iteration is one join + one
+   * aggregation — all shuffles on the id key; convergence takes
+   * O(log(longest chain)) iterations in practice because labels hop
+   * across already-collapsed neighbors. Returns (id, component) where
+   * component = min id of the group.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b2"),
+          col("b") === col("b2"))
+        .groupBy(col("a").as("id"))
+        .agg(min("component").as("nbr_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint() // bound lineage growth across iterations
+      val changed = updated.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup dedup with TRANSITIVE grouping: one survivor (min id) per
+    * connected component of the pair graph. */
+  def dedupNearTransitive(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          threshold: Double = 0.8): DataFrame = {
+    val comps = connectedComponents(
+      nearDupPairs(docs, textCol, idCol, threshold).select("id1", "id2"))
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 

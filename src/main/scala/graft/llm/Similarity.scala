@@ -33,6 +33,10 @@ object Similarity {
    * Cosine similarity as one tight per-row JVM loop. Deliberately a UDF:
    * the `aggregate(zip_with(...))` formulation evaluates interpreted with
    * per-element boxing — measured ~8× slower on 64-dim vectors at sf0.1.
+   * A fully codegen'd native Catalyst expression of the same computation
+   * exists as [[graft.expressions.CosineSimilarity]] (`graft_cosine` after
+   * `CosineSimilarity.register(spark)`), which additionally avoids the
+   * UDF's serialization boundary.
    */
   def cosine(a: Column, b: Column): Column = cosUdf(a, b)
 

@@ -93,4 +93,30 @@ class DedupSpec extends SparkSpec {
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found === truth)
   }
+
+  test("connectedComponents collapses chains transitively") {
+    import spark.implicits._
+    // chain 1-2-3, chain 10-11, singleton edge 20-21, long chain 30..34
+    val pairs = Seq((1L,2L),(2L,3L),(10L,11L),(20L,21L),
+      (30L,31L),(31L,32L),(32L,33L),(33L,34L)).toDF("id1","id2")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L)
+    assert(comps(10L) === 10L && comps(11L) === 10L)
+    assert(comps(34L) === 30L)
+  }
+
+  test("dedupNearTransitive keeps one survivor per component") {
+    // duplicate triplet a~b, b~c by construction: same text
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "completely different content with other words here now"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupNearTransitive(df, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
 }

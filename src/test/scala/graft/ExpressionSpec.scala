@@ -1,0 +1,53 @@
+package graft
+
+import graft.expressions.CosineSimilarity
+import org.apache.spark.sql.functions._
+
+/** Native codegen'd cosine expression — correctness vs the UDF path and
+  * a plan check that it stays inside WholeStageCodegen. */
+class ExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0)),
+    (2L, Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),
+    (3L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+    .toDF("id", "a", "b")
+
+  test("graft_cosine computes correct values (identity=1, orthogonal=0)") {
+    CosineSimilarity.register(spark)
+    val out = vecs.select($"id", expr("graft_cosine(a, b)").as("cos"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(math.abs(out(2L)) < 1e-12)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(out(3L) - expected) < 1e-12)
+  }
+
+  test("expression agrees with the UDF cosine on real embeddings") {
+    CosineSimilarity.register(spark)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val pairs = emb.toDF("id1", "v1").crossJoin(emb.toDF("id2", "v2"))
+      .filter($"id1" < $"id2").limit(200)
+    val both = pairs.select(
+      expr("graft_cosine(v1, v2)").as("native"),
+      graft.llm.Similarity.cosine($"v1", $"v2").as("viaUdf"))
+    val maxDiff = both.select(max(abs($"native" - $"viaUdf"))).as[Double].head()
+    assert(maxDiff < 1e-12, s"maxDiff $maxDiff")
+  }
+
+  test("expression runs inside WholeStageCodegen (no UDF boundary)") {
+    CosineSimilarity.register(spark)
+    // parquet-backed input so the projection can't be constant-folded to
+    // a LocalTableScan
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("cast(embedding as array<double>) as v")
+      .selectExpr("graft_cosine(v, v) as cos")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan) // codegen'd project span
+    assert(plan.contains("graft_cosine"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+  }
+}
