@@ -13,9 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q1 returns one row per (returnflag, linestatus) group — a sturdier
+    * smoke than q5, which collapses to a single row at tiny scale. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.q5RegionRevenue(spark, "/root/testdata/sf0.001")
+    Queries.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // analytics core (joins/aggs/windows/sort/limit — SURVEY §2.4)

@@ -45,8 +45,10 @@ object Features {
     * filters are AND-combined with the configured one (input.py:133-145). */
   def applyAll(df: DataFrame, f: InputFeatures,
                extraFilter: Option[String] = None): DataFrame = {
+    // parenthesized: an OR in the user filter must not escape the CDC
+    // range bound via AND/OR precedence
     val filterExpr = (f.filterExpression, extraFilter) match {
-      case (Some(a), Some(b)) => Some(s"$a AND $b")
+      case (Some(a), Some(b)) => Some(s"($a) AND ($b)")
       case (a, b) => a.orElse(b)
     }
     var out = df

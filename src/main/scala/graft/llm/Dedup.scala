@@ -183,12 +183,13 @@ object Dedup {
    * propagation: each node repeatedly adopts the smallest label among
    * itself and its neighbors until a fixpoint (checked with a cheap
    * aggregate) or `maxIter`. Every iteration is one join + one
-   * aggregation — all shuffles on the id key; convergence takes
-   * O(log(longest chain)) iterations in practice because labels hop
-   * across already-collapsed neighbors. Returns (id, component) where
-   * component = min id of the group.
+   * aggregation — all shuffles on the id key. Labels move one hop per
+   * iteration, so convergence takes O(graph diameter) iterations; near-dup
+   * components are short chains in practice. Throws if `maxIter` is hit
+   * before the fixpoint rather than returning silently-wrong groups.
+   * Returns (id, component) where component = min id of the group.
    */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint()
@@ -213,6 +214,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(graph diameter exceeds maxIter) — raise maxIter")
     labels
   }
 
@@ -267,7 +272,10 @@ object Dedup {
    */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", maxDistance: Int = 3): DataFrame = {
-    require(maxDistance < 16, "chunk banding supports maxDistance <= 15")
+    // 4 chunks guarantee (pigeonhole) a shared chunk only up to distance 3;
+    // beyond that the bucket join silently loses recall, so refuse
+    require(maxDistance <= 3,
+      "4-chunk banding guarantees full recall only for maxDistance <= 3")
     // same materialization-barrier rationale as nearDupPairs
     val sh = simhash(docs, textCol, idCol).localCheckpoint()
     val chunks = array((0 until 4).map { j =>

@@ -41,11 +41,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = cosUdf(a, b)
 
   private val cosUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < a.length) {
-      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    // null/ragged-safe: null in → null out; length mismatch → common prefix
+    if (a == null || b == null) null
+    else {
+      val n = math.min(a.length, b.length)
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      java.lang.Double.valueOf(d / math.sqrt(na * nb))
     }
-    d / math.sqrt(na * nb)
   }
 
   /**

@@ -24,7 +24,9 @@ object ODataFilters {
   private val IsoTs = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
 
   def renderValue(value: Any): String = value match {
-    case s: String => s"'$s'"
+    // OData escapes embedded quotes by doubling; without it a value like
+    // O'Brien produces a malformed (and injectable) $filter
+    case s: String => s"'${s.replace("'", "''")}'"
     case ts: Timestamp => ts.toInstant.atZone(ZoneOffset.UTC).format(IsoTs)
     case d: Date => d.toString
     case other => String.valueOf(other)

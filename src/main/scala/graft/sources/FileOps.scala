@@ -93,12 +93,19 @@ object FileOps {
       val rx = ("\\Q" + pattern.replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "\\E").r
       rx.pattern.matcher(name).matches()
     }
+    val SchemePrefix = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(/.*)?$".r
     pathSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { one =>
       if (!one.contains("*") && !one.contains("?")) Seq(one)
       else {
-        val segs = one.stripPrefix("/").split("/").toSeq
-        val roots: Seq[String] = if (one.startsWith("/")) Seq("") else Seq(".")
-        segs.foldLeft(roots) { (bases, seg) =>
+        // split off "scheme://authority" so s3a://bucket/... paths keep
+        // their root instead of being treated as relative segments
+        val (root, rest) = one match {
+          case SchemePrefix(auth, tail) => (auth, Option(tail).getOrElse(""))
+          case p if p.startsWith("/") => ("", p)
+          case p => (".", s"/$p")
+        }
+        val segs = rest.stripPrefix("/").split("/").toSeq.filter(_.nonEmpty)
+        segs.foldLeft(Seq(root)) { (bases, seg) =>
           if (!seg.contains("*") && !seg.contains("?")) bases.map(b => s"$b/$seg")
           else bases.flatMap { b =>
             val p = new Path(if (b.isEmpty) "/" else b)

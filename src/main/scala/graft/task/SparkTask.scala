@@ -135,9 +135,11 @@ object SparkTask {
   }
 
   /** Streaming write: every micro-batch re-enters the batch writer —
-    * foreachBatch reuse exactly like the reference (output.py:200-224). */
+    * foreachBatch reuse exactly like the reference (output.py:200-224).
+    * Returns the started query so the task waits on and stops only ITS
+    * OWN queries (not every active query of a shared session). */
   def writeStreamOutput(ctx: TaskContext, out: OutputConf, df: DataFrame,
-                        stateLocation: String): Unit = {
+                        stateLocation: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val checkpoint = out.checkpointLocation
       .getOrElse(s"$stateLocation/checkpoints/${out.name}")
     var w = df.writeStream
@@ -175,9 +177,13 @@ object SparkTask {
       case None => conf
     }
 
+    // isolated session per task run: temp views registered by sqlTransform
+    // (named after input names) must not collide across concurrent tasks
+    // sharing one SparkContext (PipelineRunner runs batches in parallel)
+    val session = spark.newSession()
     val state = resolved.stateLocation.map(loc =>
-      new StateStore(spark.sparkContext.hadoopConfiguration, loc))
-    val ctx = TaskContext(spark, UUID.randomUUID().toString, state)
+      new StateStore(session.sparkContext.hadoopConfiguration, loc))
+    val ctx = TaskContext(session, UUID.randomUUID().toString, state)
 
     val isStream = resolved.refreshPolicy.refreshType == "stream"
     val transform = (resolved.executionClass, resolved.executionSql) match {
@@ -187,14 +193,15 @@ object SparkTask {
     }
 
     if (isStream) {
-      val inputs = resolved.inputs.map(i => i.name -> SourceRead.readStream(spark, i)).toMap
+      val inputs = resolved.inputs.map(i => i.name -> SourceRead.readStream(session, i)).toMap
       val outputs = bindOutputs(transform(inputs, Map.empty), resolved.outputs)
       val stateLoc = resolved.stateLocation.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_stream_state").toString)
-      outputs.foreach { case (out, df) => writeStreamOutput(ctx, out, df, stateLoc) }
-      // stream completion wait (task.py:547-556)
-      spark.streams.active.foreach(_.processAllAvailable())
-      spark.streams.active.foreach(_.stop())
+      val queries = outputs.map { case (out, df) =>
+        writeStreamOutput(ctx, out, df, stateLoc) }
+      // stream completion wait (task.py:547-556) — ONLY this task's queries
+      queries.foreach(_.processAllAvailable())
+      queries.foreach(_.stop())
       outputs.map { case (out, df) => out.name -> df }.toMap
     } else {
       val reads = resolved.inputs.map(i => i.name -> readInput(ctx, i, resolved.refreshPolicy))

@@ -151,10 +151,10 @@ object WritePatterns {
         case (d, (c, e)) => d.withColumn(c, e)
       }, opts)
 
-    val insertCols = sourceColumns ++
+    val insertCols = (sourceColumns ++
       Seq(n.keyHash, n.dataHash, n.validToTs, n.validFromTs) ++
       (if (opts.generateRecordUpsertColumns) Seq(n.insertTs, n.updateTs) else Nil) ++
-      opts.generatedCols.map(_._1)
+      opts.generatedCols.map(_._1)).distinct
     val insertValues = insertCols.map(c => c -> src(c)).toMap
 
     val updateCols = dataAttrs ++ Seq(n.validToTs, n.dataHash) ++
@@ -175,8 +175,10 @@ object WritePatterns {
   /** SCD type-2 history (write.py:547-1010). Change detection is a left
     * join of the prepared source against the target's **active** rows; each
     * source row is flagged (write.py:812-838):
-    *   U  — data hash equal but excluded-columns hash changed (refresh the
-    *        excluded attrs by closing + reinserting),
+    *   U  — data hash equal but excluded-columns hash changed: the active
+    *        row is CLOSED and nothing is re-inserted (only UI/I rows are in
+    *        the insert set, write.py:962-969) — the key ends with no active
+    *        row; matches the reference exactly, quirky as it is,
     *   D  — exact duplicate of the active row (no-op),
     *   UI — data changed (close old row, insert new version),
     *   I  — brand-new key (insert only).
@@ -380,14 +382,16 @@ object WritePatterns {
   // ------------------------------------------------------------- schemas
 
   /** Target schema a write pattern produces for a given source — used to
-    * bootstrap empty targets (create-table pre-step analogue). */
+    * bootstrap empty targets (create-table pre-step analogue). Includes
+    * generated columns (type derived by applying their expressions), so
+    * the merge's target-schema projection doesn't silently drop them. */
   def targetSchemaFor(source: DataFrame, writeType: String, keys: Seq[String],
                       columnAttributes: Seq[String] = Nil,
                       opts: WriteOptions = WriteOptions()): StructType = {
     import org.apache.spark.sql.types._
     val n = opts.names
     val ts = TimestampType
-    val base = source.schema.fields.toSeq
+    val base = withGenerated(source, opts).schema.fields.toSeq
     val upsert = if (opts.generateRecordUpsertColumns)
       Seq(StructField(n.insertTs, ts), StructField(n.updateTs, ts)) else Nil
     val extra = writeType match {

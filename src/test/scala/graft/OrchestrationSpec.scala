@@ -120,4 +120,24 @@ class OrchestrationSpec extends SparkSpec {
       PipelineRunner.topoBatches(Seq(t1, t2))
     }
   }
+
+  test("concurrent tasks with same-named inputs don't collide (session isolation)") {
+    val srcA = tmpDir("iso_a"); val srcB = tmpDir("iso_b")
+    Seq(("A", 1)).toDF("tag", "n").write.parquet(srcA)
+    Seq(("B", 2)).toDF("tag", "n").write.parquet(srcB)
+    val sinkA = tmpDir("iso_sink_a"); val sinkB = tmpDir("iso_sink_b")
+    def mk(name: String, src: String, sink: String) = PipelineTask(name,
+      TaskConf(name,
+        inputs = Seq(InputConf("src", src, "parquet")), // SAME input name
+        executionSql = Some("SELECT tag, n FROM src"),
+        outputs = Seq(OutputConf("out", sink, writeType = "append",
+          options = Map("now" -> "2026-01-01 00:00:00")))))
+    // both tasks in one topo batch -> run concurrently on the shared context
+    val statuses = PipelineRunner.run(spark,
+      Seq(mk("ta", srcA, sinkA), mk("tb", srcB, sinkB)), parallelism = 2)
+    assert(statuses("ta") === Succeeded && statuses("tb") === Succeeded)
+    import spark.implicits._
+    assert(ManagedTable(spark, sinkA).read.select("tag").as[String].head() === "A")
+    assert(ManagedTable(spark, sinkB).read.select("tag").as[String].head() === "B")
+  }
 }

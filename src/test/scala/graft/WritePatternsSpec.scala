@@ -218,4 +218,49 @@ class WritePatternsSpec extends SparkSpec {
     assert(Set("kh", "dh", "vt", "vf").subsetOf(cols))
     assert(!cols.contains(Meta.KeyHash))
   }
+
+  // ---------------------------------------------- merge-condition extras
+
+  test("useKeyAttributesInMerge: null-safe <=> conjuncts still match null keys") {
+    val path = tmpDir("scd1_nullsafe")
+    val withNull = Seq((Some(1), "one", 10), (None, "nokey", 20))
+      .toDF("id", "name", "offset")
+    Writers.scd1(spark, path, withNull, Seq("id"),
+      T0.copy(useKeyAttributesInMerge = true))
+    // same load again: null-keyed row must MATCH (via <=>), not duplicate
+    Writers.scd1(spark, path, withNull, Seq("id"),
+      T1.copy(useKeyAttributesInMerge = true))
+    val t = ManagedTable(spark, path).read
+    assert(t.count() === 2)
+    assert(t.filter(col("id").isNull).count() === 1)
+  }
+
+  test("usePartitionColumnInMerge scopes updates to matching partition values") {
+    val path = tmpDir("scd1_partcond")
+    val load0p = load0.withColumn("region", expr("id % 2"))
+    Writers.scd1(spark, path, load0p, Seq("id"),
+      T0.copy(usePartitionColumnInMerge = Seq("region")))
+    // change id=2's offset, same region value -> plain update, count stable
+    val change = Seq((2, "two", 99)).toDF("id", "name", "offset")
+      .withColumn("region", expr("id % 2"))
+    Writers.scd1(spark, path, change, Seq("id"),
+      T1.copy(usePartitionColumnInMerge = Seq("region")))
+    val t = ManagedTable(spark, path).read
+    assert(t.count() === 6)
+    assert(t.filter(col("id") === 2).select("offset").collect()(0).getInt(0) === 99)
+  }
+
+  test("generated_cols survive the merge's target-schema projection") {
+    val path = tmpDir("scd1_gencol")
+    val opts = T0.copy(generatedCols = Seq(("name_upper", "upper(name)")))
+    Writers.scd1(spark, path, load0, Seq("id"), opts)
+    val t = ManagedTable(spark, path).read
+    assert(t.columns.contains("name_upper"))
+    assert(t.filter($"id" === 1).select("name_upper").as[String].head() === "ONE")
+    // second load keeps the column populated for updates and inserts
+    Writers.scd1(spark, path, load1, Seq("id"),
+      T1.copy(generatedCols = Seq(("name_upper", "upper(name)"))))
+    val t2 = ManagedTable(spark, path).read
+    assert(t2.filter($"id" === 7).select("name_upper").as[String].head() === "SEVEN")
+  }
 }
