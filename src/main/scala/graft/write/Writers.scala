@@ -84,12 +84,14 @@ object Writers {
            columnAttributes: Seq[String],
            opts: WriteOptions = WriteOptions(),
            userMetadata: Option[String] = None,
-           partitionBy: Seq[String] = Nil): Commit = {
+           partitionBy: Seq[String] = Nil,
+           changeTracking: Option[(String, Seq[String], String)] = None): Commit = {
     val table = ManagedTable(spark, path)
     table.createIfNotExists(
       WritePatterns.targetSchemaFor(source, "scd3", keys, columnAttributes, opts))
     val s = staged(source, opts)
-    val result = WritePatterns.scd3(table.read, s, keys, columnAttributes, opts)
+    val result = WritePatterns.scd3(table.read, s, keys, columnAttributes, opts,
+      changeTracking)
     val c = table.write(result, "MERGE(scd3)", "replace", userMetadata, partitionBy)
     unstage(s, opts); c
   }

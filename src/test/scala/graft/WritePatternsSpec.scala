@@ -263,4 +263,45 @@ class WritePatternsSpec extends SparkSpec {
     val t2 = ManagedTable(spark, path).read
     assert(t2.filter($"id" === 7).select("name_upper").as[String].head() === "SEVEN")
   }
+
+  test("scd2 fixDuplicatesByKey: multi-version batch chains history (write.py:868-960)") {
+    val path = tmpDir("scd2_fixdup")
+    // one batch carrying three versions of key 1 + a same-data duplicate
+    val batch = Seq(
+      (1, "v1", 10, "2026-01-01 00:00:00"),
+      (1, "v2", 11, "2026-01-02 00:00:00"),
+      (1, "v2", 11, "2026-01-03 00:00:00"), // consecutive same-data -> dropped
+      (1, "v3", 12, "2026-01-04 00:00:00"),
+      (2, "w1", 20, "2026-01-01 00:00:00"))
+      .toDF("id", "name", "offset", "ts")
+      .withColumn("change_ts", to_timestamp($"ts")).drop("ts")
+    val opts = T0.copy(historyTrackingCol = Some("change_ts"),
+      fixDuplicatesByKey = true)
+    Writers.scd2(spark, path, batch, Seq("id"), opts)
+    val t = ManagedTable(spark, path).read
+    // key 1: three distinct versions, chained; key 2: one active row
+    val k1 = t.filter($"id" === 1).orderBy(col(Meta.ValidFromTs))
+      .select($"name", col(Meta.ValidFromTs).cast("string"),
+        col(Meta.ValidToTs).cast("string"), col(Meta.Active))
+      .as[(String, String, String, String)].collect().toSeq
+    assert(k1.map(_._1) === Seq("v1", "v2", "v3"))
+    assert(k1(0)._3 === k1(1)._2) // v1.valid_to == v2.valid_from
+    assert(k1(1)._3 === k1(2)._2)
+    assert(k1.map(_._4) === Seq("N", "N", "Y"))
+    assert(k1(2)._3 === "9999-12-31 00:00:00")
+    assert(t.filter($"id" === 2 && col(Meta.Active) === "Y").count() === 1)
+  }
+
+  test("scd3 changeTracking column flags changed rows with the default value") {
+    val path = tmpDir("scd3_ct")
+    val src0 = load0.withColumn("chg", lit("none"))
+    Writers.scd3(spark, path, src0, Seq("id"), Seq("name"), T0)
+    val src1 = Seq((2, "TWO", 20, "none"), (3, "three", 30, "none"))
+      .toDF("id", "name", "offset", "chg")
+    Writers.scd3(spark, path, src1, Seq("id"), Seq("name"), T1,
+      changeTracking = Some(("chg", Seq("name"), "renamed")))
+    val t = ManagedTable(spark, path).read
+    assert(t.filter($"id" === 2).select("chg").as[String].head() === "renamed")
+    assert(t.filter($"id" === 3).select("chg").as[String].head() === "none")
+  }
 }
