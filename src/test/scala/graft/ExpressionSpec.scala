@@ -50,4 +50,17 @@ class ExpressionSpec extends SparkSpec {
     assert(plan.contains("graft_cosine"), plan)
     assert(!plan.toLowerCase.contains("scalaudf"), plan)
   }
+
+  test("GraftExtensions injects graft_cosine via SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    // the registration API is private[sql]; verify through the injected
+    // buffer (reflection) that the function identifier + builder landed
+    val field = ext.getClass.getDeclaredFields
+      .find(_.getName.contains("injectedFunctions")).get
+    field.setAccessible(true)
+    val injected = field.get(ext).asInstanceOf[scala.collection.mutable.Buffer[
+      (org.apache.spark.sql.catalyst.FunctionIdentifier, _, _)]]
+    assert(injected.exists(_._1.funcName == "graft_cosine"))
+  }
 }
