@@ -452,6 +452,37 @@ object Queries {
     s"""SELECT n_nationkey, n_name, '$T0' AS __metadata_valid_to_ts__
        |FROM nation""".stripMargin
 
+  /** Tumbling event-time windows over the events table (batch form of
+    * StreamOps.windowedCounts — identical grouping semantics). */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pq(spark, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("bucket_us", expr("ts_us - (ts_us % 60000000)")) // 1-min tumble
+      .groupBy("user_id", "bucket_us")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  val windowedCountsSql: String =
+    """SELECT user_id, epoch_us(ts) - (epoch_us(ts) % 60000000) AS bucket_us,
+      | COUNT(*) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Set operations through the SQL surface: customers with orders in
+    * 1995 but not 1996 (EXCEPT), via the task layer's SQL execution. */
+  def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    pq(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_custkey FROM orders_v WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders_v WHERE year(o_orderdate) = 1996""".stripMargin)
+  }
+
+  val setOpsCustomersSql: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin
+
   /** Partition-scoped replace: load all nations partitioned by region,
     * then selectively overwrite ONLY region 2's partition — other
     * partitions' files untouched (no full-table rewrite). */

@@ -26,6 +26,8 @@ object SparkEntry {
     "q5_region_revenue" -> (Queries.q5RegionRevenue(_, _)),
     "events_window" -> (Queries.eventsWindow(_, _)),
     "rollup_revenue" -> (Queries.rollupRevenue(_, _)),
+    "windowed_counts" -> (Queries.windowedCounts(_, _)),
+    "setops_customers" -> (Queries.setOpsCustomers(_, _)),
     // metadata-hash core + write patterns (SURVEY §1.4, §2.2)
     "key_data_hash" -> (Queries.keyDataHash(_, _)),
     "append_basic" -> (Queries.appendBasic(_, _)),
@@ -94,6 +96,8 @@ object SparkEntry {
     "q5_region_revenue" -> Queries.q5Sql,
     "events_window" -> Queries.eventsWindowSql,
     "rollup_revenue" -> Queries.rollupRevenueSql,
+    "windowed_counts" -> Queries.windowedCountsSql,
+    "setops_customers" -> Queries.setOpsCustomersSql,
     "key_data_hash" -> Queries.keyDataHashSql,
     "append_basic" -> Queries.appendBasicSql,
     "append_managed" -> Queries.appendManagedSql,
