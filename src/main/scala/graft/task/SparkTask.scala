@@ -193,7 +193,11 @@ object SparkTask {
     }
 
     if (isStream) {
-      val inputs = resolved.inputs.map(i => i.name -> SourceRead.readStream(session, i)).toMap
+      // feature post-steps (filter/schema-inference/drop/select) apply to
+      // streaming reads exactly like batch (input.py routes both through
+      // the same post_do_step_features); CDC is batch-only
+      val inputs = resolved.inputs.map(i => i.name ->
+        Features.applyAll(SourceRead.readStream(session, i), i.features)).toMap
       val outputs = bindOutputs(transform(inputs, Map.empty), resolved.outputs)
       val stateLoc = resolved.stateLocation.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_stream_state").toString)

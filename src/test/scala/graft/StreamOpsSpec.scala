@@ -110,4 +110,27 @@ class StreamOpsSpec extends SparkSpec {
       .select("name").as[String].head()
     assert(active2 === "TWO")
   }
+
+  test("streaming schema-inference feature parses JSON payloads through the task layer (test_stream.py:663)") {
+    val srcDir = tmpDir("sinfer_src")
+    val sink = tmpDir("sinfer_sink")
+    val state = tmpDir("sinfer_state")
+    Seq((1, """{"a": 5, "b": "hi"}"""), (2, """{"a": 7, "b": "yo"}"""))
+      .toDF("id", "payload").write.parquet(srcDir)
+    val t = TaskConf("sinfer",
+      inputs = Seq(InputConf("in1", srcDir, "parquet",
+        sourceExtractType = "stream",
+        schemaDdl = Some("id INT, payload STRING"),
+        features = InputFeatures(schemaInference = Some(SchemaInference(
+          "payload", "parsed", schemaDdl = Some("a INT, b STRING")))))),
+      executionSql = Some("SELECT id, parsed.a AS a, parsed.b AS b FROM in1"),
+      outputs = Seq(OutputConf("out", sink, writeType = "append",
+        options = Map("now" -> "2026-01-01 00:00:00"))),
+      refreshPolicy = RefreshPolicy(refreshType = "stream"),
+      stateLocation = Some(state))
+    SparkTask.run(spark, t)
+    val back = ManagedTable(spark, sink).read
+    assert(back.count() === 2)
+    assert(back.filter($"id" === 1).select("a", "b").as[(Int, String)].head() === ((5, "hi")))
+  }
 }
