@@ -13,7 +13,7 @@ import java.nio.file.{Files, Paths}
  */
 object Cli {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] =
     args.drop(1).sliding(2, 2).collect {
       case Array(k, v) => k.stripPrefix("--").stripPrefix("-") -> v
     }.toMap
@@ -60,9 +60,7 @@ object PipelineCli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println("usage: run|validate -p project.json [-n pipeline]"); sys.exit(2) }
     val verb = args(0)
-    val opts = args.drop(1).sliding(2, 2).collect {
-      case Array(k, v) => k.stripPrefix("--").stripPrefix("-") -> v
-    }.toMap
+    val opts = Cli.parseArgs(args)
     val projectFile = opts.getOrElse("p", { System.err.println("-p project.json required"); sys.exit(2); "" })
     val project = graft.contract.ProjectContract.parse(
       Files.readString(Paths.get(projectFile)))

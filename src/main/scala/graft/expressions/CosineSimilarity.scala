@@ -50,7 +50,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 object CosineSimilarity {
 
-  /** Tight loop over Catalyst ArrayData — no boxing, no copies. */
+  /** Tight loop over Catalyst ArrayData — no boxing, no copies.
+    * Null elements contribute 0 (skipped) — defined semantics instead of
+    * the undefined value `getDouble` returns on a null slot. */
   def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -58,9 +60,11 @@ object CosineSimilarity {
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getDouble(i)
-      val y = b.getDouble(i)
-      dot += x * y; na += x * x; nb += y * y
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = a.getDouble(i)
+        val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+      }
       i += 1
     }
     dot / math.sqrt(na * nb)

@@ -103,7 +103,18 @@ object ODataFilters {
     }
   }
 
-  /** Parse a semicolon-separated predicates option. */
-  def parsePredicates(option: String): Seq[Pushed] =
-    option.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map(parsePredicate)
+  /** Parse a semicolon-separated predicates option. The split is
+    * quote-aware so a literal like `Name = 'a;b'` stays one predicate. */
+  def parsePredicates(option: String): Seq[Pushed] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    option.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ';' if !inQuote => parts += cur.toString(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.toString()
+    parts.result().map(_.trim).filter(_.nonEmpty).map(parsePredicate)
+  }
 }

@@ -26,7 +26,7 @@ object KafkaOptions {
       groupIdPrefix: Option[String] = None,
       failOnDataLoss: Boolean = true)
 
-  /** Reader options for `spark.read/readStream.format("kafka")`. */
+  /** Reader options for `spark.readStream.format("kafka")`. */
   def readOptions(c: Conf): Map[String, String] =
     Map(
       "kafka.bootstrap.servers" -> c.bootstrapServers,
@@ -36,6 +36,17 @@ object KafkaOptions {
       c.endingOffsets.map("endingOffsets" -> _) ++
       c.maxOffsetsPerTrigger.map(v => "maxOffsetsPerTrigger" -> v.toString) ++
       securityOptions(c)
+
+  /** Reader options for batch `spark.read.format("kafka")`: Spark rejects
+    * startingOffsets=latest for batch queries, so the batch variant
+    * defaults to earliest..latest unless explicitly configured. */
+  def batchReadOptions(c: Conf): Map[String, String] = {
+    val starting = if (c.startingOffsets == "latest") "earliest" else c.startingOffsets
+    readOptions(c) +
+      ("startingOffsets" -> starting) +
+      ("endingOffsets" -> c.endingOffsets.getOrElse("latest")) -
+      "maxOffsetsPerTrigger" // streaming-only option
+  }
 
   /** Writer options for `df.write/writeStream.format("kafka")`
     * (kafka_source.py:249-290: topic option on the sink). */

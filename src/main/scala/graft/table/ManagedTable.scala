@@ -83,15 +83,11 @@ final class ManagedTable(spark: SparkSession, root: String) {
     if (c.dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
-      val dataRoot = new Path(rootPath, "data").toString
-      def rootOf(dir: String): String = {
-        val rel = dir.stripPrefix(dataRoot).stripPrefix("/")
-        s"$dataRoot/${rel.split("/").head}"
-      }
-      val (subdirs, whole) = c.dirs.partition(d => rootOf(d) != d)
+      val (subdirs, whole) = c.dirs.partition(d => ManagedTable.dataDirRoot(d) != d)
       val frames =
-        whole.map(d => spark.read.schema(schema).parquet(d)) ++
-          subdirs.groupBy(rootOf).map { case (base, ds) =>
+        // one multi-path relation for all whole dirs (not an N-deep union)
+        (if (whole.nonEmpty) Seq(spark.read.schema(schema).parquet(whole: _*)) else Nil) ++
+          subdirs.groupBy(ManagedTable.dataDirRoot).map { case (base, ds) =>
             spark.read.option("basePath", base).schema(schema).parquet(ds: _*)
           }
       frames.reduce(_ unionByName _)
@@ -183,28 +179,37 @@ final class ManagedTable(spark: SparkSession, root: String) {
       }
     }
     val replaced = partitionSubdirs(dataDir).toSet
+    // partition-layout sanity: every relative path must be col=value
+    // segments for exactly the declared partition columns, in order —
+    // otherwise the replace silently matches nothing and appends a second
+    // layout into the snapshot
+    def checkLayout(rel: String, origin: String): Unit = {
+      val segs = rel.split("/")
+      require(segs.length == partitionBy.length &&
+        segs.zip(partitionBy).forall { case (s, c) => s.startsWith(s"$c=") },
+        s"selectiveOverwrite(partitionBy=${partitionBy.mkString(",")}) does not " +
+          s"match the $origin partition layout '$rel'")
+    }
+    replaced.foreach(checkLayout(_, "incoming batch"))
     val newDirs = replaced.toSeq.sorted.map(r => s"$dataDir/$r")
 
     // previous composition, decomposed to partition granularity, minus
     // the replaced partitions; dirs may be whole data dirs (decompose) or
     // partition subdirs from an earlier selective overwrite (compare the
     // relative partition path directly)
-    val dataRoot = new Path(rootPath, "data").toString
-    def rootOf(dir: String): String = {
-      val rel = dir.stripPrefix(dataRoot).stripPrefix("/")
-      s"$dataRoot/${rel.split("/").head}"
-    }
     val kept = prev.map(_.dirs).getOrElse(Nil).flatMap { d =>
-      val base = rootOf(d)
+      val base = ManagedTable.dataDirRoot(d)
       if (base == d) {
         val subs = partitionSubdirs(new Path(d))
         if (subs.isEmpty)
           throw new IllegalStateException(
             s"selectiveOverwrite needs a table partitioned by ${partitionBy.mkString(",")}; " +
               s"dir $d has no matching partition layout")
+        subs.foreach(checkLayout(_, "existing table"))
         subs.filterNot(replaced.contains).map(r => s"$d/$r")
       } else {
         val rel = d.stripPrefix(base).stripPrefix("/")
+        checkLayout(rel, "existing table")
         if (replaced.contains(rel)) Nil else Seq(d)
       }
     }
@@ -234,6 +239,15 @@ final class ManagedTable(spark: SparkSession, root: String) {
 
 object ManagedTable {
   private val CommitFile: Regex = """(\d{12})\.json""".r
+
+  /** The data-dir root of a stored commit dir: the node whose parent is
+    * the table's `data` directory. Structural (path-segment) detection —
+    * robust to scheme-spelling differences between write and read. */
+  private[table] def dataDirRoot(dir: String): String = {
+    var p = new Path(dir)
+    while (p.getParent != null && p.getParent.getName != "data") p = p.getParent
+    p.toString
+  }
 
   /** One commit-log entry — the Delta-history-lite record the reference
     * reads back after every write (delta.py:134-168). */

@@ -201,8 +201,18 @@ object SparkTask {
       val outputs = bindOutputs(transform(inputs, Map.empty), resolved.outputs)
       val stateLoc = resolved.stateLocation.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_stream_state").toString)
-      val queries = outputs.map { case (out, df) =>
-        writeStreamOutput(ctx, out, df, stateLoc) }
+      val started = Seq.newBuilder[org.apache.spark.sql.streaming.StreamingQuery]
+      val queries =
+        try outputs.map { case (out, df) =>
+          val q = writeStreamOutput(ctx, out, df, stateLoc)
+          started += q
+          q
+        } catch {
+          case e: Throwable =>
+            // don't leak already-running queries when a later start fails
+            started.result().foreach(q => try q.stop() catch { case _: Throwable => })
+            throw e
+        }
       // stream completion wait (task.py:547-556) — ONLY this task's queries
       queries.foreach(_.processAllAvailable())
       queries.foreach(_.stop())

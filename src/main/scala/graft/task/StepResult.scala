@@ -62,14 +62,18 @@ object StepResult {
       case e: Throwable =>
         var severity: Option[Severity] = None
         var cause: Throwable = e
-        while (cause != null && severity.isEmpty) {
+        // identity-set guard: cause CYCLES (a→b→a via initCause) would
+        // otherwise spin this walk forever
+        val visited = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+        while (cause != null && severity.isEmpty && visited.add(cause)) {
           subscriptions.get(cause.getClass.getSimpleName).foreach { sev =>
             severity = Some(sev)
             events.foreach(_.push(Event(cause.getClass.getSimpleName,
               severity = "ERROR",
               payload = Map("step" -> step, "message" -> String.valueOf(cause.getMessage)))))
           }
-          cause = if (cause.getCause ne cause) cause.getCause else null
+          cause = cause.getCause
         }
         Result(step, "Failure", None, Some(e), severity, batchId, start,
           System.currentTimeMillis())

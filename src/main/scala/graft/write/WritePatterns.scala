@@ -384,14 +384,28 @@ object WritePatterns {
   /** Target schema a write pattern produces for a given source — used to
     * bootstrap empty targets (create-table pre-step analogue). Includes
     * generated columns (type derived by applying their expressions), so
-    * the merge's target-schema projection doesn't silently drop them. */
+    * the merge's target-schema projection doesn't silently drop them.
+    * Generated expressions may reference the metadata columns (the real
+    * write applies them after metaCols), so type derivation runs on a
+    * frame carrying typed-null metadata columns. */
   def targetSchemaFor(source: DataFrame, writeType: String, keys: Seq[String],
                       columnAttributes: Seq[String] = Nil,
                       opts: WriteOptions = WriteOptions()): StructType = {
     import org.apache.spark.sql.types._
     val n = opts.names
     val ts = TimestampType
-    val base = withGenerated(source, opts).schema.fields.toSeq
+    val base: Seq[StructField] =
+      if (opts.generatedCols.isEmpty) source.schema.fields.toSeq
+      else {
+        val withMetaNulls = Meta.All.foldLeft(source) { (d, c) =>
+          val t = if (c == Meta.KeyHash || c == Meta.DataHash ||
+            c == Meta.Active || c == Meta.ColumnKeyHash) "string" else "timestamp"
+          d.withColumn(n(c), lit(null).cast(t))
+        }
+        val genTypes = withGenerated(withMetaNulls, opts).schema
+        source.schema.fields.toSeq ++
+          opts.generatedCols.map(g => genTypes(g._1))
+      }
     val upsert = if (opts.generateRecordUpsertColumns)
       Seq(StructField(n.insertTs, ts), StructField(n.updateTs, ts)) else Nil
     val extra = writeType match {
