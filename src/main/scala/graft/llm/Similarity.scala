@@ -36,9 +36,18 @@ object Similarity {
    * A fully codegen'd native Catalyst expression of the same computation
    * exists as [[graft.expressions.CosineSimilarity]] (`graft_cosine` after
    * `CosineSimilarity.register(spark)`), which additionally avoids the
-   * UDF's serialization boundary.
+   * UDF's serialization boundary — the operators below use it via
+   * [[nativeCosine]]; this Column-only variant keeps the session-free API.
    */
   def cosine(a: Column, b: Column): Column = cosUdf(a, b)
+
+  /** Codegen'd cosine for the operator hot paths: registers the native
+    * expression on the frame's session and calls it by name. */
+  private def nativeCosine(session: org.apache.spark.sql.SparkSession,
+                           a: Column, b: Column): Column = {
+    graft.expressions.CosineSimilarity.register(session)
+    call_function("graft_cosine", a, b)
+  }
 
   private val cosUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
     // null/ragged-safe: null in → null out; length mismatch → common prefix
@@ -69,7 +78,7 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("cos", nativeCosine(corpus.sparkSession, col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -131,7 +140,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("cos", nativeCosine(corpus.sparkSession, col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -164,7 +173,8 @@ object Similarity {
     // id2, so a pair meets at most once across all of id1's probes
     left.join(right, Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .select(col("id1"), col("id2"),
+        nativeCosine(corpus.sparkSession, col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
