@@ -82,17 +82,35 @@ object Dedup {
                         numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
     val params = hashParams(numHashes)
     val f = udf { (text: String) =>
-      val sh = shingleArray(text, shingleN)
-      if (sh.isEmpty) Seq.empty[Long]
+      // shingle hashes without materializing shingle strings: hash each
+      // token once, then combine n consecutive token hashes polynomially
+      // (base B mod P) — same candidate-generation quality, no per-shingle
+      // string allocation
+      val toks = tokenize(text)
+      if (toks.length < shingleN) Seq.empty[Long]
       else {
-        val hs = sh.distinct.map(s => Math.floorMod(hash64(s), Prime))
+        val th = new Array[Long](toks.length)
+        var i = 0
+        while (i < toks.length) { th(i) = Math.floorMod(hash64(toks(i)), Prime); i += 1 }
+        val B = 1000003L
+        val seen = new java.util.HashSet[Long]()
+        val hs = new Array[Long](toks.length - shingleN + 1)
+        var n = 0
+        i = 0
+        while (i <= toks.length - shingleN) {
+          var h = 0L
+          var j = 0
+          while (j < shingleN) { h = Math.floorMod(h * B + th(i + j), Prime); j += 1 }
+          if (seen.add(h)) { hs(n) = h; n += 1 }
+          i += 1
+        }
         params.map { case (a, b) =>
           var m = Long.MaxValue
-          var i = 0
-          while (i < hs.length) {
-            val v = Math.floorMod(a * hs(i) + b, Prime)
+          var k = 0
+          while (k < n) {
+            val v = Math.floorMod(a * hs(k) + b, Prime)
             if (v < m) m = v
-            i += 1
+            k += 1
           }
           m
         }
