@@ -59,6 +59,35 @@ object Features {
     out
   }
 
+  /**
+   * Avro payload decoding without the spark-avro module (absent from this
+   * environment; avro-core ships with Spark itself): each binary payload
+   * is decoded against the writer schema with GenericDatumReader, emitted
+   * as Avro's canonical JSON encoding, and parsed into a typed struct by
+   * `from_json` — covering the `from_avro` half of the
+   * schema_inference_from_registry feature (input.py:227-286) offline.
+   *
+   * @param avroSchemaJson the Avro writer schema (registry-fetched in the
+   *                       reference; supplied literally here)
+   * @param sparkDdl       struct DDL for the decoded payload
+   */
+  def applyAvroDecode(df: DataFrame, sourceColumn: String, targetColumn: String,
+                      avroSchemaJson: String, sparkDdl: String): DataFrame = {
+    val toJson = udf { (payload: Array[Byte]) =>
+      if (payload == null) null
+      else {
+        val schema = new org.apache.avro.Schema.Parser().parse(avroSchemaJson)
+        val reader = new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord](schema)
+        val decoder = org.apache.avro.io.DecoderFactory.get()
+          .binaryDecoder(payload, null)
+        reader.read(null, decoder).toString // Avro's canonical JSON form
+      }
+    }
+    df.withColumn(targetColumn,
+      from_json(toJson(col(sourceColumn)), StructType.fromDDL(sparkDdl)))
+  }
+
   // ------------------------------------------ JSON-schema → StructType
 
   /** Recursive JSON-Schema → Spark schema converter

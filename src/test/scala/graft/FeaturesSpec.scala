@@ -56,4 +56,29 @@ class FeaturesSpec extends SparkSpec {
     assert(f("objs") === ArrayType(StructType(Seq(StructField("y", DoubleType)))))
     assert(schema("s").metadata.getString("comment") === "a string")
   }
+
+  test("avro payloads decode against the writer schema into typed structs") {
+    val avroSchema =
+      """{"type":"record","name":"Rec","fields":[
+        | {"name":"a","type":"int"},{"name":"b","type":"string"}]}""".stripMargin
+    // encode two records with avro-core (what a registry producer would do)
+    def encode(a: Int, b: String): Array[Byte] = {
+      val schema = new org.apache.avro.Schema.Parser().parse(avroSchema)
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("a", a); rec.put("b", b)
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema).write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+    val df = Seq((1L, encode(5, "hi")), (2L, encode(7, "yo")))
+      .toDF("id", "payload")
+    val out = Features.applyAvroDecode(df, "payload", "parsed",
+      avroSchema, "a INT, b STRING")
+    val rows = out.selectExpr("id", "parsed.a", "parsed.b")
+      .as[(Long, Int, String)].collect().toSet
+    assert(rows === Set((1L, 5, "hi"), (2L, 7, "yo")))
+  }
 }
