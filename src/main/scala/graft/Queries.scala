@@ -215,6 +215,78 @@ object Queries {
     s"""SELECT n_nationkey, n_name, n_regionkey, '$T1' AS __metadata_valid_to_ts__
        |FROM nation""".stripMargin
 
+  /** Time travel over the commit log ([[ManagedTable.readAt]]) — every
+    * version's dir composition stays readable after later appends and
+    * replaces (the Delta `versionAsOf` analogue). */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("time_travel")
+    val c = cust(spark, dir)
+    Writers.append(spark, path, c.filter(col("c_custkey") <= 500),
+      WriteOptions(now = Some(T0)))
+    Writers.append(spark, path,
+      c.filter(col("c_custkey") > 500 && col("c_custkey") <= 1000),
+      WriteOptions(now = Some(T1)))
+    Writers.overwrite(spark, path, c.filter(col("c_custkey") <= 100),
+      WriteOptions(now = Some(T1)))
+    val t = ManagedTable(spark, path)
+    (0L to 2L).map { v =>
+      t.readAt(v).select(lit(v).as("snapshot_version"),
+        col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }.reduce(_ unionByName _)
+  }
+
+  val timeTravelSql: String =
+    """SELECT CAST(0 AS BIGINT) AS snapshot_version, c_custkey, c_name, c_mktsegment
+      | FROM customer WHERE c_custkey <= 500
+      |UNION ALL
+      |SELECT 1, c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <= 1000
+      |UNION ALL
+      |SELECT 2, c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <= 100""".stripMargin
+
+  /** Change-data-feed CDC over CDF-enabled scd1 merges: two incremental
+    * runs with persisted state ([[Cdc.changeFeedBounds]], the reference's
+    * delta_cdc_feed, delta_source.py:198-250). The second run's feed covers
+    * [prev_next_value .. latest] — the reference's inclusive-start quirk
+    * re-reads the previous end version, so v1's inserts appear again
+    * alongside v2's update pre/post-images and inserts. */
+  def cdcChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.Cdc
+    import graft.state.StateStore
+    val path = tmp("cdf_tbl")
+    val store = new StateStore(spark.sparkContext.hadoopConfiguration, tmp("cdf_state"))
+    val cdf0 = WriteOptions(now = Some(T0), enableChangeDataFeed = true)
+    val cdf1 = WriteOptions(now = Some(T1), enableChangeDataFeed = true)
+
+    Writers.scd1(spark, path, load0(spark, dir), Seq("c_custkey"), cdf0)
+    val t = ManagedTable(spark, path)
+    val b1 = Cdc.changeFeedBounds(t, Cdc.loadState(store, "cdf_in"))
+    t.readChangeFeed(b1.startingVersion, Some(b1.endingVersion)).count() // consume run 1
+    Cdc.saveState(store, "cdf_in", b1.newState)
+
+    Writers.scd1(spark, path, load1(spark, dir, changeNames = false),
+      Seq("c_custkey"), cdf1)
+    val b2 = Cdc.changeFeedBounds(t, Cdc.loadState(store, "cdf_in"))
+    t.readChangeFeed(b2.startingVersion, Some(b2.endingVersion))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("_change_type"), col("_commit_version"))
+  }
+
+  val cdcChangeFeedSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment, 'insert' AS _change_type,
+      | CAST(1 AS BIGINT) AS _commit_version
+      | FROM customer WHERE c_custkey <= 1000
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_mktsegment, 'update_preimage', 2
+      | FROM customer WHERE c_custkey > 500 AND c_custkey <= 1000 AND c_custkey % 2 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_mktsegment || '_X', 'update_postimage', 2
+      | FROM customer WHERE c_custkey > 500 AND c_custkey <= 1000 AND c_custkey % 2 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name,
+      | CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment || '_X' ELSE c_mktsegment END,
+      | 'insert', 2
+      | FROM customer WHERE c_custkey > 1000""".stripMargin
+
   // ---------------------------------------------------- SCD scenarios
 
   /** customer with a 3-column projection used by all SCD scenarios:

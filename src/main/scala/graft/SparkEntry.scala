@@ -39,9 +39,11 @@ object SparkEntry {
     "scd2_two_loads" -> (Queries.scd2TwoLoads(_, _)),
     "scd3_shift" -> (Queries.scd3Shift(_, _)),
     "constraint_violations" -> (Queries.constraintViolations(_, _)),
+    "time_travel" -> (Queries.timeTravel(_, _)),
     // task model + features + CDC + streaming (SURVEY §2.3, §2.7, §2.8, §2.9)
     "task_e2e_csv_append" -> (Queries.taskE2eCsvAppend(_, _)),
     "cdc_two_runs" -> (Queries.cdcTwoRuns(_, _)),
+    "cdc_change_feed" -> (Queries.cdcChangeFeed(_, _)),
     "stream_append" -> (Queries.streamAppend(_, _)),
     "sessionize" -> (Queries.sessionizeEvents(_, _)),
     // LLM-pipeline text operators
@@ -108,8 +110,10 @@ object SparkEntry {
     "scd2_two_loads" -> Queries.scd2TwoLoadsSql,
     "scd3_shift" -> Queries.scd3ShiftSql,
     "constraint_violations" -> Queries.constraintViolationsSql,
+    "time_travel" -> Queries.timeTravelSql,
     "task_e2e_csv_append" -> Queries.taskE2eCsvAppendSql,
     "cdc_two_runs" -> Queries.cdcTwoRunsSql,
+    "cdc_change_feed" -> Queries.cdcChangeFeedSql,
     "stream_append" -> Queries.streamAppendSql,
     "sessionize" -> Queries.sessionizeEventsSql,
     "dedup_exact" ->

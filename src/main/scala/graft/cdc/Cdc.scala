@@ -134,6 +134,38 @@ object Cdc {
     }
   }
 
+  /** Change-feed CDC bounds over a [[graft.table.ManagedTable]] — the
+    * analogue of the reference's Delta change-data-feed CDC
+    * (delta_source.py:198-250): only available when the table was written
+    * with `enable_change_data_feed`; `startingVersion` is the previously
+    * persisted `next_value` (else the configured start, else the earliest
+    * version in the commit log) and `endingVersion` the latest version.
+    *
+    * Matches the reference's inclusive-start quirk: `next_value` persists
+    * the END version, and the next run's `startingVersion` is that same
+    * version (Delta's `startingVersion` is inclusive), so the last
+    * version's changes are re-read on the following run. Consumers that
+    * need exactly-once must dedupe on `_commit_version` — exactly as they
+    * must with the reference on Delta.
+    */
+  final case class ChangeFeedBounds(startingVersion: Long, endingVersion: Long,
+                                    newState: State)
+
+  def changeFeedBounds(
+      table: graft.table.ManagedTable,
+      previous: State,
+      configuredStart: Option[String] = None): ChangeFeedBounds = {
+    val latest = table.latestVersion.getOrElse(
+      throw new IllegalStateException("change-feed CDC over a non-existent table"))
+    val start = previous.nextValue.filterNot(_.isEmpty).map(_.value.get.toLong)
+      .orElse(configuredStart.map(_.toLong))
+      .getOrElse(0L)
+    ChangeFeedBounds(start, latest,
+      State(Some("readChangeFeed"),
+        Some(FeatureValue(Some(latest.toString), "integer")),
+        Some(FeatureValue(Some(start.toString), "integer")), "incremental"))
+  }
+
   /** Backfill: fixed configured range, both bounds required
     * (input.py:108-113, delta_source.py:334-343). */
   def backfillBounds(attribute: String, valueType: String,

@@ -71,19 +71,29 @@ final class ManagedTable(spark: SparkSession, root: String) {
       .map(commitAt)
   }
 
-  /** Current snapshot as a DataFrame. Fails if the table does not exist.
-    *
-    * Commit dirs may be whole data dirs or partition subdirs (after a
-    * [[selectiveOverwrite]]); subdirs are read with `basePath` grouped by
-    * their data-dir root so partition columns survive. */
+  /** Current snapshot as a DataFrame. Fails if the table does not exist. */
   def read: DataFrame = {
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
-    val schema = StructType.fromDDL(c.schemaDdl)
-    if (c.dirs.isEmpty)
+    readDirs(c.dirs, StructType.fromDDL(c.schemaDdl))
+  }
+
+  /** Snapshot as of a specific version (time travel over the commit log —
+    * old versions' dirs are never mutated, only de-referenced). */
+  def readAt(version: Long): DataFrame = {
+    val c = commitAt(version)
+    readDirs(c.dirs, StructType.fromDDL(c.schemaDdl))
+  }
+
+  /** Read a commit's dir composition. Dirs may be whole data dirs or
+    * partition subdirs (after a [[selectiveOverwrite]]); subdirs are read
+    * with `basePath` grouped by their data-dir root so partition columns
+    * survive. */
+  private def readDirs(dirs: Seq[String], schema: StructType): DataFrame =
+    if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
-      val (subdirs, whole) = c.dirs.partition(d => ManagedTable.dataDirRoot(d) != d)
+      val (subdirs, whole) = dirs.partition(d => ManagedTable.dataDirRoot(d) != d)
       val frames =
         // one multi-path relation for all whole dirs (not an N-deep union)
         (if (whole.nonEmpty) Seq(spark.read.schema(schema).parquet(whole: _*)) else Nil) ++
@@ -92,6 +102,76 @@ final class ManagedTable(spark: SparkSession, root: String) {
           }
       frames.reduce(_ unionByName _)
     }
+
+  /**
+   * Change data feed between versions — the native analogue of Delta's
+   * `readChangeFeed` / `startingVersion` / `endingVersion` read options the
+   * reference consumes for CDC (reference: core/sources/delta_source.py:
+   * 19-44, :198-250). Rows carry the data columns plus `_change_type`
+   * (insert / update_preimage / update_postimage / delete),
+   * `_commit_version` and `_commit_timestamp` — Delta CDF's column names.
+   *
+   * Per-version sourcing, cheapest first:
+   *  - a commit with a recorded change dir (merges under
+   *    `enable_change_data_feed`) reads it directly — O(changes);
+   *  - append / overwrite / selective-overwrite commits need **no stored
+   *    change data at all**: the commit log's dir diff vs the previous
+   *    version IS the change set (added dirs → inserts, dropped dirs →
+   *    deletes), so synthesis reads exactly the changed directories;
+   *  - a merge commit written without CDF enabled has no per-row change
+   *    record (its dir diff would claim the whole table rewritten), so —
+   *    like Delta — the read fails for that version.
+   */
+  def readChangeFeed(startingVersion: Long,
+                     endingVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val latest = latestVersion.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    val end = endingVersion.getOrElse(latest)
+    require(startingVersion >= 0 && end <= latest,
+      s"change feed range [$startingVersion,$end] outside [0,$latest]")
+
+    val perVersion = (startingVersion to end).map { v =>
+      val c = commitAt(v)
+      val schema = StructType.fromDDL(c.schemaDdl)
+      val stamp = (df: DataFrame) => df
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp",
+          to_timestamp(lit(new java.sql.Timestamp(c.timestampMs).toString)))
+      c.changeDir match {
+        case Some(dir) => Some(stamp(spark.read.parquet(dir)))
+        case None if c.operation.startsWith("MERGE") =>
+          throw new IllegalStateException(
+            s"version $v of $root is a merge committed without " +
+              "enable_change_data_feed — change data was not recorded")
+        case None =>
+          val prevDirs =
+            if (v == 0) Nil
+            else commitAt(v - 1).dirs
+          val added = c.dirs.diff(prevDirs)
+          val removed = prevDirs.diff(c.dirs)
+          val prevSchema =
+            if (v == 0) schema
+            else StructType.fromDDL(commitAt(v - 1).schemaDdl)
+          val parts =
+            (if (added.nonEmpty)
+              Seq(readDirs(added, schema).withColumn("_change_type", lit("insert")))
+            else Nil) ++
+            (if (removed.nonEmpty)
+              Seq(readDirs(removed, prevSchema).withColumn("_change_type", lit("delete")))
+            else Nil)
+          parts.reduceOption(_.unionByName(_, allowMissingColumns = true)).map(stamp)
+      }
+    }
+    perVersion.flatten
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        val c = commitAt(end)
+        val empty = StructType.fromDDL(c.schemaDdl)
+          .add("_change_type", "string")
+          .add("_commit_version", "long").add("_commit_timestamp", "timestamp")
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
+      }
   }
 
   /** Read if present, else an empty frame with the given schema. */
@@ -111,13 +191,19 @@ final class ManagedTable(spark: SparkSession, root: String) {
    * Write `df` as the next version.
    * @param mode "replace" (snapshot becomes just the new dir) or
    *             "append" (new dir added to the previous composition)
+   * @param changeData optional per-row change set for this commit
+   *                   (rows + `_change_type`), persisted under
+   *                   `_change_data/` and served by [[readChangeFeed]] —
+   *                   required for merges when CDF is on; appends and
+   *                   overwrites never need one (dir-diff synthesis)
    */
   def write(
       df: DataFrame,
       operation: String,
       mode: String,
       userMetadata: Option[String] = None,
-      partitionBy: Seq[String] = Nil): Commit = synchronized {
+      partitionBy: Seq[String] = Nil,
+      changeData: Option[DataFrame] = None): Commit = synchronized {
     val prev = lastCommit
     val readVersion = prev.map(_.version).getOrElse(-1L)
     val version = readVersion + 1L
@@ -128,6 +214,12 @@ final class ManagedTable(spark: SparkSession, root: String) {
       .parquet(dataDir)
     // row count from parquet footers only (no data scan)
     val numRows = spark.read.parquet(dataDir).count()
+    val changeDir = changeData.map { cd =>
+      val dir = new Path(new Path(rootPath, "_change_data"),
+        f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
+      cd.write.mode("overwrite").parquet(dir)
+      dir
+    }
     val dirs = mode match {
       case "append"  => prev.map(_.dirs).getOrElse(Nil) :+ dataDir
       case "replace" => Seq(dataDir)
@@ -135,7 +227,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
     }
     val commit = Commit(version, operation, System.currentTimeMillis(), dirs,
       Map("numOutputRows" -> numRows.toString), userMetadata,
-      df.schema.toDDL, readVersion)
+      df.schema.toDDL, readVersion, changeDir)
     writeCommit(commit)
     commit
   }
@@ -259,7 +351,8 @@ object ManagedTable {
       operationMetrics: Map[String, String],
       userMetadata: Option[String],
       schemaDdl: String,
-      readVersion: Long) {
+      readVersion: Long,
+      changeDir: Option[String] = None) {
 
     def toJson: String = {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -273,6 +366,7 @@ object ManagedTable {
       userMetadata.foreach(node.put("userMetadata", _))
       node.put("schemaDdl", schemaDdl)
       node.put("readVersion", readVersion)
+      changeDir.foreach(node.put("changeDir", _))
       m.writerWithDefaultPrettyPrinter().writeValueAsString(node)
     }
   }
@@ -292,7 +386,8 @@ object ManagedTable {
         }.getOrElse(Map.empty),
         userMetadata = Option(n.get("userMetadata")).map(_.asText()),
         schemaDdl = n.get("schemaDdl").asText(),
-        readVersion = n.get("readVersion").asLong())
+        readVersion = n.get("readVersion").asLong(),
+        changeDir = Option(n.get("changeDir")).map(_.asText()))
     }
   }
 

@@ -37,6 +37,14 @@ object MergeEmulator {
   private val TMark = "__graft_t_mark__"
   private val SMark = "__graft_s_mark__"
 
+  /** Internal change-tracking columns added by `merge(trackChanges=true)`:
+    * [[ChangeMark]] is `update_postimage` / `insert` / NULL (row untouched),
+    * [[PreMark]] holds the pre-update target row as a struct (NULL unless
+    * updated). [[graft.write.Writers]] turns them into the public
+    * change-data-feed rows; they never reach a stored snapshot. */
+  val ChangeMark = "__graft_change__"
+  val PreMark = "__graft_pre__"
+
   /**
    * Emulate `MERGE INTO target USING source ON condition ...`.
    *
@@ -46,6 +54,12 @@ object MergeEmulator {
    * @param insertValues WHEN NOT MATCHED INSERT values keyed by target
    *                     column name; target columns absent from the map
    *                     become NULL of the target type
+   * @param trackChanges when true, append [[ChangeMark]] (which change the
+   *                     merge made to this row, NULL if untouched) and
+   *                     [[PreMark]] (the pre-update target row as a struct)
+   *                     to the output — the raw material for a change data
+   *                     feed, computed inside the same single-join
+   *                     projection at zero extra shuffle cost
    * @return the complete post-merge table state with the target's schema
    */
   def merge(
@@ -53,7 +67,8 @@ object MergeEmulator {
       source: DataFrame,
       condition: Column,
       matched: Seq[MatchedUpdate],
-      insertValues: Map[String, Column]): DataFrame = {
+      insertValues: Map[String, Column],
+      trackChanges: Boolean = false): DataFrame = {
 
     val t = target.withColumn(TMark, lit(1)).alias("target")
     val s = source.withColumn(SMark, lit(1)).alias("source")
@@ -82,6 +97,21 @@ object MergeEmulator {
         .otherwise(keep)
         .as(f.name)
     }
-    joined.select(out.toIndexedSeq: _*)
+
+    if (!trackChanges) joined.select(out.toIndexedSeq: _*)
+    else {
+      // same branch priority as the value projection: a row is an update
+      // iff some WHEN MATCHED branch fired, an insert iff source-only
+      val anyMatched = matched
+        .map(m => m.condition.map(bothPresent && _).getOrElse(bothPresent))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val mark = when(anyMatched, lit("update_postimage"))
+        .when(insertOnly, lit("insert"))
+        .otherwise(lit(null).cast("string"))
+      val pre = when(anyMatched,
+        struct(target.schema.fields.map(f => col(s"target.${f.name}").as(f.name))
+          .toIndexedSeq: _*))
+      joined.select((out.toIndexedSeq :+ mark.as(ChangeMark) :+ pre.as(PreMark)): _*)
+    }
   }
 }

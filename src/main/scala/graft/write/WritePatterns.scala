@@ -32,6 +32,11 @@ final case class WriteOptions(
     fixDuplicatesByKey: Boolean = false,
     persistDataset: Boolean = false,
     stageResults: Boolean = false,
+    // change data feed: merges record per-row changes alongside the
+    // snapshot; appends/overwrites synthesize theirs from the commit
+    // log's dir diff (the `delta.enableChangeDataFeed` table property
+    // analogue, reference delta_source.py:198-250)
+    enableChangeDataFeed: Boolean = false,
     now: Option[String] = None) {
 
   def names: Names = Names(renameMetadataColumns)
@@ -74,6 +79,7 @@ object WriteOptions {
       fixDuplicatesByKey = m.get("fix_duplicates_by_key").exists(_.toBoolean),
       persistDataset = m.get("persist_dataset").exists(_.toBoolean),
       stageResults = m.get("stage_results").exists(_.toBoolean),
+      enableChangeDataFeed = m.get("enable_change_data_feed").exists(_.toBoolean),
       now = m.get("now"))
   }
 }
@@ -167,7 +173,7 @@ object WritePatterns {
 
     MergeEmulator.merge(target, prepped, cond,
       Seq(MatchedUpdate(Some(tgt(n.dataHash) =!= src(n.dataHash)), updateSet)),
-      insertValues)
+      insertValues, trackChanges = opts.enableChangeDataFeed)
   }
 
   // ----------------------------------------------------------------- scd2
@@ -295,7 +301,8 @@ object WritePatterns {
     val insertValues = insertCols.map(c => c -> src(c)).toMap
 
     MergeEmulator.merge(target, mergeSource, mergeCond,
-      Seq(MatchedUpdate(None, updateSet)), insertValues)
+      Seq(MatchedUpdate(None, updateSet)), insertValues,
+      trackChanges = opts.enableChangeDataFeed)
   }
 
   // ----------------------------------------------------------------- scd3
@@ -367,7 +374,7 @@ object WritePatterns {
           tgt(n.columnKeyHash) === src(n.columnKeyHash)), updateSet),
         MatchedUpdate(Some(tgt(n.columnKeyHash) =!= src(n.columnKeyHash)),
           updateChangeSet)),
-      insertValues)
+      insertValues, trackChanges = opts.enableChangeDataFeed)
   }
 
   // --------------------------------------------------------- constraint

@@ -20,6 +20,40 @@ final class WriteTableConstraintError(msg: String) extends RuntimeException(msg)
  */
 object Writers {
 
+  import MergeEmulator.{ChangeMark, PreMark}
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /**
+   * Commit a merge result, recording the change data feed when enabled
+   * (the `delta.enableChangeDataFeed` analogue; reference consumes it via
+   * delta_source.py:198-250). With CDF on, the merge output carries
+   * [[MergeEmulator.ChangeMark]]/[[MergeEmulator.PreMark]]; one DISK_ONLY
+   * persist materializes the full-outer join once and feeds BOTH the
+   * snapshot write and the change-set write — at 100 TB the join is the
+   * dominant cost and must never run twice.
+   */
+  private def commitMerge(table: ManagedTable, result: DataFrame, op: String,
+                          opts: WriteOptions, userMetadata: Option[String],
+                          partitionBy: Seq[String]): Commit =
+    if (!opts.enableChangeDataFeed)
+      table.write(result, op, "replace", userMetadata, partitionBy)
+    else {
+      val tracked = result.persist(StorageLevel.DISK_ONLY)
+      try {
+        val snapshot = tracked.drop(ChangeMark, PreMark)
+        // Delta CDF row shape: postimages + inserts keep the data columns,
+        // preimages expand the saved pre-update struct
+        val post = tracked.filter(col(ChangeMark).isNotNull)
+          .drop(PreMark)
+          .withColumnRenamed(ChangeMark, "_change_type")
+        val pre = tracked.filter(col(ChangeMark) === "update_postimage")
+          .select(col(s"$PreMark.*"))
+          .withColumn("_change_type", lit("update_preimage"))
+        table.write(snapshot, op, "replace", userMetadata, partitionBy,
+          changeData = Some(post.unionByName(pre)))
+      } finally { tracked.unpersist(); () }
+    }
+
   private def staged(df: DataFrame, opts: WriteOptions): DataFrame = {
     val p = if (opts.persistDataset) df.persist(StorageLevel.DISK_ONLY) else df
     if (opts.stageResults) p.localCheckpoint() else p
@@ -64,7 +98,7 @@ object Writers {
     table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd1", keys, Nil, opts))
     val s = staged(source, opts)
     val result = WritePatterns.scd1(table.read, s, keys, opts)
-    val c = table.write(result, "MERGE(scd1)", "replace", userMetadata, partitionBy)
+    val c = commitMerge(table, result, "MERGE(scd1)", opts, userMetadata, partitionBy)
     unstage(s, opts); c
   }
 
@@ -76,7 +110,7 @@ object Writers {
     table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd2", keys, Nil, opts))
     val s = staged(source, opts)
     val result = WritePatterns.scd2(table.read, s, keys, opts)
-    val c = table.write(result, "MERGE(scd2)", "replace", userMetadata, partitionBy)
+    val c = commitMerge(table, result, "MERGE(scd2)", opts, userMetadata, partitionBy)
     unstage(s, opts); c
   }
 
@@ -92,7 +126,7 @@ object Writers {
     val s = staged(source, opts)
     val result = WritePatterns.scd3(table.read, s, keys, columnAttributes, opts,
       changeTracking)
-    val c = table.write(result, "MERGE(scd3)", "replace", userMetadata, partitionBy)
+    val c = commitMerge(table, result, "MERGE(scd3)", opts, userMetadata, partitionBy)
     unstage(s, opts); c
   }
 

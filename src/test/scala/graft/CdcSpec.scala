@@ -45,6 +45,27 @@ class CdcSpec extends SparkSpec {
     assert(r.newState === None)
   }
 
+  test("change-feed bounds: first run from v0, later runs from persisted version") {
+    import graft.table.ManagedTable
+    val t = ManagedTable(spark, tmpDir("cdc_cdf"))
+    t.write(Seq(1).toDF("id"), "APPEND", "append")
+    t.write(Seq(2).toDF("id"), "APPEND", "append")
+
+    val first = Cdc.changeFeedBounds(t, Cdc.State.empty)
+    assert(first.startingVersion === 0L && first.endingVersion === 1L)
+    assert(first.newState.nextValue.get.value === Some("1"))
+    assert(first.newState.attribute === Some("readChangeFeed"))
+
+    // reference persists next_value = end; next run starts there (inclusive)
+    t.write(Seq(3).toDF("id"), "APPEND", "append")
+    val second = Cdc.changeFeedBounds(t, first.newState)
+    assert(second.startingVersion === 1L && second.endingVersion === 2L)
+
+    // configured start wins when no previous state
+    val cfg = Cdc.changeFeedBounds(t, Cdc.State.empty, configuredStart = Some("2"))
+    assert(cfg.startingVersion === 2L && cfg.endingVersion === 2L)
+  }
+
   test("timestamp values render quoted (state.py:64-74)") {
     val df = Seq("2026-01-01 00:00:00", "2026-03-01 10:30:00")
       .toDF("s").selectExpr("cast(s as timestamp) as v")

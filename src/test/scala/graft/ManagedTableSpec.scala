@@ -48,6 +48,50 @@ class ManagedTableSpec extends SparkSpec {
     val c = ManagedTable.Commit(3L, "MERGE(scd2)", 123L, Seq("/a", "/b"),
       Map("numOutputRows" -> "42"), Some("meta"), "`id` INT", 2L)
     assert(ManagedTable.Commit.fromJson(c.toJson) === c)
+    val withCd = c.copy(changeDir = Some("/a/_change_data/x"))
+    assert(ManagedTable.Commit.fromJson(withCd.toJson) === withCd)
+  }
+
+  test("readAt time-travels to any committed version") {
+    val path = tmpDir("mt_tt")
+    val t = ManagedTable(spark, path)
+    t.write(Seq((1, "a")).toDF("id", "v"), "APPEND", "append")
+    t.write(Seq((2, "b")).toDF("id", "v"), "APPEND", "append")
+    t.write(Seq((9, "z")).toDF("id", "v"), "OVERWRITE", "replace")
+    assert(t.readAt(0).as[(Int, String)].collect().toSeq === Seq((1, "a")))
+    assert(t.readAt(1).as[(Int, String)].collect().sorted === Seq((1, "a"), (2, "b")))
+    assert(t.readAt(2).as[(Int, String)].collect().toSeq === Seq((9, "z")))
+    assert(t.read.collect() === t.readAt(2).collect())
+  }
+
+  test("change feed synthesizes insert/delete from the commit-log dir diff") {
+    val path = tmpDir("mt_cdf_synth")
+    val t = ManagedTable(spark, path)
+    t.write(Seq((1, "a")).toDF("id", "v"), "APPEND", "append")
+    t.write(Seq((2, "b")).toDF("id", "v"), "APPEND", "append")
+    t.write(Seq((9, "z")).toDF("id", "v"), "OVERWRITE", "replace")
+
+    val feed = t.readChangeFeed(0)
+    val rows = feed.select("id", "v", "_change_type", "_commit_version")
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(rows === Set(
+      (1, "a", "insert", 0L),
+      (2, "b", "insert", 1L),
+      // overwrite: old dirs dropped -> deletes, new dir -> insert
+      (1, "a", "delete", 2L), (2, "b", "delete", 2L), (9, "z", "insert", 2L)))
+
+    // bounded range
+    val v1 = t.readChangeFeed(1, Some(1)).select("id", "_change_type")
+      .as[(Int, String)].collect().toSeq
+    assert(v1 === Seq((2, "insert")))
+  }
+
+  test("change feed range validation and non-existent table fail") {
+    val path = tmpDir("mt_cdf_bad")
+    val t = ManagedTable(spark, path)
+    intercept[IllegalStateException](t.readChangeFeed(0))
+    t.write(Seq(1).toDF("id"), "APPEND", "append")
+    intercept[IllegalArgumentException](t.readChangeFeed(0, Some(5)))
   }
 
   test("old versions remain readable after replace (MVCC-ish)") {

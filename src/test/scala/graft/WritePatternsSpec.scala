@@ -65,6 +65,40 @@ class WritePatternsSpec extends SparkSpec {
     assert(r7.getAs[java.sql.Timestamp](Meta.ValidFromTs).toString.startsWith("2026-02-01"))
   }
 
+  test("scd1 with enable_change_data_feed records merge change rows (delta_source.py:198-250)") {
+    val path = tmpDir("scd1_cdf")
+    val cdf0 = T0.copy(enableChangeDataFeed = true)
+    val cdf1 = T1.copy(enableChangeDataFeed = true)
+    Writers.scd1(spark, path, load0, Seq("id"), cdf0)
+    Writers.scd1(spark, path, load1, Seq("id"), cdf1)
+    val t = ManagedTable(spark, path)
+
+    // load1 vs load0: id=2 updated, id=7 inserted, id=3 matched-unchanged
+    val last = t.readChangeFeed(t.latestVersion.get)
+    val byType = last.groupBy("_change_type").count().as[(String, Long)]
+      .collect().toMap
+    assert(byType === Map("insert" -> 1L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L))
+    val post = last.filter($"_change_type" === "update_postimage").collect()(0)
+    assert(post.getAs[Int]("id") === 2 && post.getAs[Int]("offset") === 21)
+    val pre = last.filter($"_change_type" === "update_preimage").collect()(0)
+    assert(pre.getAs[Int]("id") === 2 && pre.getAs[Int]("offset") === 20)
+    assert(last.filter($"_change_type" === "insert").collect()(0).getAs[Int]("id") === 7)
+
+    // snapshot itself carries no tracking columns
+    assert(!t.read.columns.contains("_change_type"))
+  }
+
+  test("merge without change data feed cannot serve a change feed read") {
+    val path = tmpDir("scd1_nocdf")
+    Writers.scd1(spark, path, load0, Seq("id"), T0)
+    Writers.scd1(spark, path, load1, Seq("id"), T1)
+    val t = ManagedTable(spark, path)
+    val ex = intercept[IllegalStateException](
+      t.readChangeFeed(t.latestVersion.get).collect())
+    assert(ex.getMessage.contains("enable_change_data_feed"))
+  }
+
   test("scd1 is idempotent: double-apply leaves one row per key (test_batch.py:207)") {
     val path = tmpDir("scd1_idem")
     Writers.scd1(spark, path, load0, Seq("id"), T0)
