@@ -159,7 +159,7 @@ object Cdc {
       throw new IllegalStateException("change-feed CDC over a non-existent table"))
     val start = previous.nextValue.filterNot(_.isEmpty).map(_.value.get.toLong)
       .orElse(configuredStart.map(_.toLong))
-      .getOrElse(0L)
+      .getOrElse(table.earliestVersion.getOrElse(0L))
     ChangeFeedBounds(start, latest,
       State(Some("readChangeFeed"),
         Some(FeatureValue(Some(latest.toString), "integer")),

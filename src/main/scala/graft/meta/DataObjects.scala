@@ -2,7 +2,6 @@ package graft.meta
 
 import graft.table.ManagedTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,10 +15,10 @@ import org.apache.spark.sql.types._
  * features; without a Delta jar we enforce them at write time:
  *  - `generateExpr` columns are computed with `expr(...)` when absent;
  *  - `default` values fill NULLs;
- *  - identity columns are assigned `maxExisting + row_number` over the
- *    incoming batch. Numbering a batch is a global ordering by
- *    construction (same as any identity/sequence feature); batches are
- *    incremental so the sort is bounded by batch size, not table size.
+ *  - identity columns are assigned `maxExisting + i * step` with `i` the
+ *    row's global index from `zipWithIndex` — gap-free like a sequence,
+ *    but computed distributed (per-partition counts + offsets), never via
+ *    a single-partition window (see [[assignIdentity]]).
  */
 object DataObjects {
 
@@ -85,11 +84,28 @@ object DataObjects {
           Option(table.read.agg(max(col(c.name))).collect()(0).get(0))
             .map(_.asInstanceOf[Long]).getOrElse(c.identityStart - c.identityStep)
         else c.identityStart - c.identityStep
-      val w = Window.orderBy(monotonically_increasing_id())
-      df = df.withColumn(c.name,
-        lit(current) + row_number().over(w).cast("long") * c.identityStep)
+      df = assignIdentity(spark, df, c.name, current, c.identityStep)
     }
     df.select(t.columns.map(c => col(c.name)): _*)
+  }
+
+  /** Gap-free identity assignment that stays distributed. The old shape —
+    * `row_number() over (order by monotonically_increasing_id())` — is a
+    * no-partition window, which Spark executes by funnelling the whole
+    * batch through ONE task; at cluster scale that stalls every
+    * create-table-with-identity write. `zipWithIndex` gets the same
+    * gap-free global numbering from one extra lightweight job (per-
+    * partition counts) plus a per-partition offset add — no shuffle, no
+    * single-task stage. */
+  private[graft] def assignIdentity(spark: SparkSession, df: DataFrame,
+                                   name: String, current: Long,
+                                   step: Long): DataFrame = {
+    val base = if (df.columns.contains(name)) df.drop(name) else df
+    val schema = base.schema.add(StructField(name, LongType, nullable = false))
+    val rows = base.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (current + (i + 1L) * step))
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Register a view over managed tables: the referenced tables must be

@@ -45,12 +45,25 @@ final class ManagedTable(spark: SparkSession, root: String) {
 
   def exists: Boolean = fs.exists(logPath) && latestVersion.isDefined
 
-  def latestVersion: Option[Long] = {
-    if (!fs.exists(logPath)) return None
-    val vs = fs.listStatus(logPath).toSeq
+  /** One log listing (a single driver FS round-trip) serving every
+    * version-range question — never one RPC per commit. */
+  private def listVersions: Seq[Long] = {
+    if (!fs.exists(logPath)) return Nil
+    fs.listStatus(logPath).toSeq
       .map(_.getPath.getName)
       .collect { case CommitFile(v) => v.toLong }
+  }
+
+  def latestVersion: Option[Long] = {
+    val vs = listVersions
     if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Oldest version still present in the commit log (version 0 unless log
+    * cleanup is ever added). */
+  def earliestVersion: Option[Long] = {
+    val vs = listVersions
+    if (vs.isEmpty) None else Some(vs.min)
   }
 
   def commitAt(version: Long): Commit = {
@@ -60,16 +73,25 @@ final class ManagedTable(spark: SparkSession, root: String) {
     Commit.fromJson(new String(bytes, StandardCharsets.UTF_8))
   }
 
+  /** Read many commit-log entries with bounded-concurrency driver IO.
+    * Sequential per-commit opens are fine at 30 commits but not at 30k —
+    * on an object store that is 30k × round-trip latency. */
+  private def readCommits(versions: Seq[Long]): Seq[Commit] = {
+    if (versions.isEmpty) return Nil
+    if (versions.size == 1) return Seq(commitAt(versions.head))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, versions.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[Commit]] =
+        versions.map(v => () => commitAt(v))
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } finally { pool.shutdown(); () }
+  }
+
   def lastCommit: Option[Commit] = latestVersion.map(commitAt)
 
-  def history: Seq[Commit] = {
-    if (!fs.exists(logPath)) return Nil
-    fs.listStatus(logPath).toSeq
-      .map(_.getPath.getName)
-      .collect { case CommitFile(v) => v.toLong }
-      .sorted.reverse
-      .map(commitAt)
-  }
+  def history: Seq[Commit] = readCommits(listVersions.sorted.reverse)
 
   /** Current snapshot as a DataFrame. Fails if the table does not exist. */
   def read: DataFrame = {
@@ -81,6 +103,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
   /** Snapshot as of a specific version (time travel over the commit log —
     * old versions' dirs are never mutated, only de-referenced). */
   def readAt(version: Long): DataFrame = {
+    val latest = latestVersion.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    require(version >= 0 && version <= latest,
+      s"version $version of $root does not exist (latest version is $latest)")
     val c = commitAt(version)
     readDirs(c.dirs, StructType.fromDDL(c.schemaDdl))
   }
@@ -113,61 +139,131 @@ final class ManagedTable(spark: SparkSession, root: String) {
    *
    * Per-version sourcing, cheapest first:
    *  - a commit with a recorded change dir (merges under
-   *    `enable_change_data_feed`) reads it directly — O(changes);
+   *    `enable_change_data_feed`) reads stored change rows — the
+   *    `_change_type` / `_commit_version` / `_commit_timestamp` columns are
+   *    written INTO the change parquet at commit time, so the whole range
+   *    is served as ONE multi-path scan per distinct schema (Delta serves
+   *    CDF exactly this way), not a per-version union;
    *  - append / overwrite / selective-overwrite commits need **no stored
    *    change data at all**: the commit log's dir diff vs the previous
    *    version IS the change set (added dirs → inserts, dropped dirs →
-   *    deletes), so synthesis reads exactly the changed directories;
+   *    deletes). Synthesis is likewise batched: one scan over ALL added
+   *    dirs and one over ALL removed dirs (per schema), with the commit
+   *    version/timestamp recovered per row from the file's containing
+   *    commit dir — so a feed over thousands of append commits is still a
+   *    two-scan plan;
    *  - a merge commit written without CDF enabled has no per-row change
    *    record (its dir diff would claim the whole table rewritten), so —
    *    like Delta — the read fails for that version.
+   *
+   * Driver IO is one batched commit-log fetch for the range (each commit
+   * read exactly once, predecessor included for the first dir-diff).
+   * Note: change parquet written before the stored-stamp format (pre
+   * round 4) lacks the version/timestamp columns and would read them as
+   * NULL; rewrite such tables or serve them with the old per-version path.
    */
   def readChangeFeed(startingVersion: Long,
                      endingVersion: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, udf}
+    import scala.collection.mutable
     val latest = latestVersion.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
     val end = endingVersion.getOrElse(latest)
-    require(startingVersion >= 0 && end <= latest,
-      s"change feed range [$startingVersion,$end] outside [0,$latest]")
+    require(startingVersion >= 0 && startingVersion <= end && end <= latest,
+      s"change feed range [$startingVersion,$end] invalid for versions [0,$latest]")
 
-    val perVersion = (startingVersion to end).map { v =>
-      val c = commitAt(v)
-      val schema = StructType.fromDDL(c.schemaDdl)
-      val stamp = (df: DataFrame) => df
-        .withColumn("_commit_version", lit(v))
-        .withColumn("_commit_timestamp",
-          to_timestamp(lit(new java.sql.Timestamp(c.timestampMs).toString)))
+    val fetched = readCommits(math.max(0L, startingVersion - 1) to end)
+      .map(c => c.version -> c).toMap
+
+    // Batched read lists, grouped by schema DDL (one scan per group; in the
+    // common no-evolution case that is a single scan per change kind).
+    val changeDirs = mutable.LinkedHashMap.empty[String, mutable.Buffer[String]]
+    val addDirs = mutable.LinkedHashMap.empty[String, mutable.Buffer[String]]
+    val removeDirs = mutable.LinkedHashMap.empty[String, mutable.Buffer[String]]
+    // commit dir (path component, scheme-stripped) -> (version, timestamp)
+    val addStamps = mutable.Map.empty[String, (Long, java.sql.Timestamp)]
+    val removeStamps = mutable.Map.empty[String, (Long, java.sql.Timestamp)]
+    def pathKey(dir: String): String = new Path(dir).toUri.getPath
+
+    var prev: Option[Commit] =
+      if (startingVersion == 0) None else fetched.get(startingVersion - 1)
+    (startingVersion to end).foreach { v =>
+      val c = fetched(v)
       c.changeDir match {
-        case Some(dir) => Some(stamp(spark.read.parquet(dir)))
+        case Some(dir) =>
+          changeDirs.getOrElseUpdate(c.schemaDdl, mutable.Buffer.empty) += dir
         case None if c.operation.startsWith("MERGE") =>
           throw new IllegalStateException(
             s"version $v of $root is a merge committed without " +
               "enable_change_data_feed — change data was not recorded")
         case None =>
-          val prevDirs =
-            if (v == 0) Nil
-            else commitAt(v - 1).dirs
-          val added = c.dirs.diff(prevDirs)
-          val removed = prevDirs.diff(c.dirs)
-          val prevSchema =
-            if (v == 0) schema
-            else StructType.fromDDL(commitAt(v - 1).schemaDdl)
-          val parts =
-            (if (added.nonEmpty)
-              Seq(readDirs(added, schema).withColumn("_change_type", lit("insert")))
-            else Nil) ++
-            (if (removed.nonEmpty)
-              Seq(readDirs(removed, prevSchema).withColumn("_change_type", lit("delete")))
-            else Nil)
-          parts.reduceOption(_.unionByName(_, allowMissingColumns = true)).map(stamp)
+          val prevDirs = prev.map(_.dirs).getOrElse(Nil)
+          val ts = new java.sql.Timestamp(c.timestampMs)
+          c.dirs.diff(prevDirs).foreach { d =>
+            addDirs.getOrElseUpdate(c.schemaDdl, mutable.Buffer.empty) += d
+            addStamps(pathKey(d)) = (v, ts)
+          }
+          val prevDdl = prev.map(_.schemaDdl).getOrElse(c.schemaDdl)
+          prevDirs.diff(c.dirs).foreach { d =>
+            removeDirs.getOrElseUpdate(prevDdl, mutable.Buffer.empty) += d
+            removeStamps(pathKey(d)) = (v, ts)
+          }
       }
+      prev = Some(c)
     }
-    perVersion.flatten
+
+    // Stored change rows: schema is data columns + the three stamped
+    // meta columns, read as one multi-path relation per schema group.
+    val changeFrames = changeDirs.map { case (ddl, dirs) =>
+      val schema = StructType.fromDDL(ddl)
+        .add("_change_type", "string")
+        .add("_commit_version", "long")
+        .add("_commit_timestamp", "timestamp")
+      spark.read.schema(schema).parquet(dirs.toSeq: _*)
+    }.toSeq
+
+    // Dir-diff synthesis: the commit version of a synthesized row is a
+    // function of the file's containing commit dir — recovered by walking
+    // the file path upward against the (small, driver-built) dir map. A
+    // UDF keeps the lookup out of the plan (no thousand-entry map literal
+    // repeated per column) at the cost of codegen on these scans only.
+    def stamped(bySchema: mutable.LinkedHashMap[String, mutable.Buffer[String]],
+                stamps: mutable.Map[String, (Long, java.sql.Timestamp)],
+                changeType: String): Seq[DataFrame] = {
+      if (bySchema.isEmpty) return Nil
+      val lookup = stamps.toMap
+      val stampOf = udf { file: String =>
+        var p = new Path(file).getParent
+        var hit: (Long, java.sql.Timestamp) = null
+        while (p != null && hit == null) {
+          hit = lookup.getOrElse(p.toUri.getPath, null)
+          p = p.getParent
+        }
+        if (hit == null)
+          throw new IllegalStateException(s"change-feed file $file not in commit dir map")
+        hit
+      }
+      bySchema.map { case (ddl, dirs) =>
+        readDirs(dirs.toSeq, StructType.fromDDL(ddl))
+          .withColumn("_change_type", lit(changeType))
+          .withColumn("__graft_stamp__", stampOf(input_file_name()))
+          .withColumn("_commit_version", col("__graft_stamp__._1"))
+          .withColumn("_commit_timestamp", col("__graft_stamp__._2"))
+          .drop("__graft_stamp__")
+      }.toSeq
+    }
+
+    val frames = changeFrames ++
+      stamped(addDirs, addStamps, "insert") ++
+      stamped(removeDirs, removeStamps, "delete")
+    frames
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map { df =>
+        val meta = Seq("_change_type", "_commit_version", "_commit_timestamp")
+        df.select((df.columns.filterNot(meta.contains) ++ meta).map(col(_)).toIndexedSeq: _*)
+      }
       .getOrElse {
-        val c = commitAt(end)
-        val empty = StructType.fromDDL(c.schemaDdl)
+        val empty = StructType.fromDDL(fetched(end).schemaDdl)
           .add("_change_type", "string")
           .add("_commit_version", "long").add("_commit_timestamp", "timestamp")
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
@@ -193,9 +289,12 @@ final class ManagedTable(spark: SparkSession, root: String) {
    *             "append" (new dir added to the previous composition)
    * @param changeData optional per-row change set for this commit
    *                   (rows + `_change_type`), persisted under
-   *                   `_change_data/` and served by [[readChangeFeed]] —
-   *                   required for merges when CDF is on; appends and
-   *                   overwrites never need one (dir-diff synthesis)
+   *                   `_change_data/` with `_commit_version` /
+   *                   `_commit_timestamp` stamped into the parquet (so
+   *                   [[readChangeFeed]] can serve whole version ranges as
+   *                   one scan) — required for merges when CDF is on;
+   *                   appends and overwrites never need one (dir-diff
+   *                   synthesis)
    */
   def write(
       df: DataFrame,
@@ -204,20 +303,25 @@ final class ManagedTable(spark: SparkSession, root: String) {
       userMetadata: Option[String] = None,
       partitionBy: Seq[String] = Nil,
       changeData: Option[DataFrame] = None): Commit = synchronized {
+    import org.apache.spark.sql.functions.{count, lit}
     val prev = lastCommit
     val readVersion = prev.map(_.version).getOrElse(-1L)
     val version = readVersion + 1L
+    val tsMs = System.currentTimeMillis()
     val dataDir = new Path(new Path(rootPath, "data"),
       f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
-    val writer = df.write.mode("overwrite")
+    // row count observed on the write job itself — no second count job
+    val obs = org.apache.spark.sql.Observation(s"graft_write_$version-${UUID.randomUUID()}")
+    val writer = df.observe(obs, count(lit(1)).as("rows")).write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir)
-    // row count from parquet footers only (no data scan)
-    val numRows = spark.read.parquet(dataDir).count()
+    val numRows = obs.get("rows").asInstanceOf[Long]
     val changeDir = changeData.map { cd =>
       val dir = new Path(new Path(rootPath, "_change_data"),
         f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
-      cd.write.mode("overwrite").parquet(dir)
+      cd.withColumn("_commit_version", lit(version))
+        .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(tsMs)))
+        .write.mode("overwrite").parquet(dir)
       dir
     }
     val dirs = mode match {
@@ -225,7 +329,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       case "replace" => Seq(dataDir)
       case other     => throw new IllegalArgumentException(s"mode $other")
     }
-    val commit = Commit(version, operation, System.currentTimeMillis(), dirs,
+    val commit = Commit(version, operation, tsMs, dirs,
       Map("numOutputRows" -> numRows.toString), userMetadata,
       df.schema.toDDL, readVersion, changeDir)
     writeCommit(commit)
@@ -251,9 +355,13 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val prev = lastCommit
     val readVersion = prev.map(_.version).getOrElse(-1L)
     val version = readVersion + 1L
+    val tsMs = System.currentTimeMillis()
     val dataDir = new Path(new Path(rootPath, "data"),
       f"$version%012d-${UUID.randomUUID().toString.take(8)}")
-    df.write.mode("overwrite").partitionBy(partitionBy: _*).parquet(dataDir.toString)
+    val obs = org.apache.spark.sql.Observation(s"graft_sow_$version-${UUID.randomUUID()}")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").partitionBy(partitionBy: _*).parquet(dataDir.toString)
 
     // partition subdirs of the new data as relative paths like "p=1/q=a"
     // (built from the trailing path segments — FS listings return
@@ -306,8 +414,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       }
     }
 
-    val numRows = spark.read.parquet(dataDir.toString).count()
-    val commit = Commit(version, "SELECTIVE_OVERWRITE", System.currentTimeMillis(),
+    val numRows = obs.get("rows").asInstanceOf[Long]
+    val commit = Commit(version, "SELECTIVE_OVERWRITE", tsMs,
       kept ++ newDirs, Map("numOutputRows" -> numRows.toString,
         "replacedPartitions" -> replaced.size.toString),
       userMetadata, df.schema.toDDL, readVersion)
@@ -315,7 +423,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
     commit
   }
 
-  private def writeCommit(c: Commit): Unit = {
+  /** Test-visible so specs can fabricate large commit logs without paying
+    * a Spark write job per version. */
+  private[graft] def writeCommit(c: Commit): Unit = {
     fs.mkdirs(logPath)
     val tmp = new Path(logPath, s".${c.version}-${UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)

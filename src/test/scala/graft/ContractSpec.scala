@@ -102,6 +102,20 @@ class ContractSpec extends SparkSpec {
     assert(skMax === 120L)
   }
 
+  test("identity assignment is distributed: gap-free over many partitions, no " +
+       "single-partition window") {
+    val df = spark.range(0, 10000).toDF("id").repartition(13)
+    val out = DataObjects.assignIdentity(spark, df, "sk", current = 99L, step = 10L)
+    // no global window / single-partition exchange anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(400))
+    assert(!plan.contains("SinglePartition"), plan.take(400))
+    assert(out.rdd.getNumPartitions === 13)
+    // gap-free sequence continuing from current, stepping by step
+    val sks = out.select("sk").as[Long].collect().sorted
+    assert(sks.toSeq === (1L to 10000L).map(99L + _ * 10L))
+  }
+
   test("views resolve over registered managed tables") {
     val p = ProjectContract.parse(contractJson)
     val path = tmpDir("view_t")

@@ -92,6 +92,81 @@ class ManagedTableSpec extends SparkSpec {
     intercept[IllegalStateException](t.readChangeFeed(0))
     t.write(Seq(1).toDF("id"), "APPEND", "append")
     intercept[IllegalArgumentException](t.readChangeFeed(0, Some(5)))
+    // inverted range fails loudly instead of returning an empty feed
+    intercept[IllegalArgumentException](t.readChangeFeed(3, Some(1)))
+    // version probes outside the log fail descriptively
+    intercept[IllegalArgumentException](t.readAt(99L))
+    intercept[IllegalArgumentException](t.readAt(-1L))
+  }
+
+  /** Physical file scans of a feed, recursing through AQE wrappers. */
+  private def feedScans(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    df.collect()
+    scans(df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    })
+  }
+
+  test("change feed serves a 100-version merge range as ONE parquet scan") {
+    val path = tmpDir("mt_cdf_100v")
+    val t = ManagedTable(spark, path)
+    t.write(Seq((1, "a")).toDF("id", "v"), "APPEND", "append")
+    val cd = Seq((1, "a1", "update_postimage"), (1, "a", "update_preimage"))
+      .toDF("id", "v", "_change_type")
+    val c1 = t.write(Seq((1, "a1")).toDF("id", "v"), "MERGE(scd1)", "replace",
+      changeData = Some(cd))
+    // fabricate versions 2..100, each with its own copy of the change dir
+    // (plan shape is what's under test; one Spark write job per version
+    // would make this a minutes-long test for no extra signal)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    (2L to 100L).foreach { v =>
+      val src = new org.apache.hadoop.fs.Path(c1.changeDir.get)
+      val dst = new org.apache.hadoop.fs.Path(src.getParent, f"$v%012d-copy")
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+      t.writeCommit(c1.copy(version = v, readVersion = v - 1,
+        changeDir = Some(dst.toString)))
+    }
+    val feed = t.readChangeFeed(1, Some(100))
+    assert(feedScans(feed).size === 1,
+      "merge-change versions must be one multi-path scan, not a per-version union")
+    assert(feed.count() === 100L * 2)
+  }
+
+  test("change feed batches dir-diff synthesis into one scan per change side") {
+    val path = tmpDir("mt_cdf_diffbatch")
+    val t = ManagedTable(spark, path)
+    (0 until 6).foreach(i => t.write(Seq((i, s"v$i")).toDF("id", "v"), "APPEND", "append"))
+    val feed = t.readChangeFeed(0, Some(5))
+    assert(feedScans(feed).size === 1,
+      "six append versions must be one insert scan, stamped per commit dir")
+    val rows = feed.select("id", "_change_type", "_commit_version")
+      .as[(Int, String, Long)].collect().toSet
+    assert(rows === (0 until 6).map(i => (i, "insert", i.toLong)).toSet)
+
+    t.write(Seq((99, "z")).toDF("id", "v"), "OVERWRITE", "replace")
+    val full = t.readChangeFeed(0)
+    assert(feedScans(full).size === 2, "one scan for all inserts, one for all deletes")
+    val deletes = full.filter($"_change_type" === "delete")
+      .select("id", "_commit_version").as[(Int, Long)].collect().toSet
+    assert(deletes === (0 until 6).map(i => (i, 6L)).toSet)
+  }
+
+  test("history over 1k commits is a single listing + concurrent reads") {
+    val path = tmpDir("mt_hist1k")
+    val t = ManagedTable(spark, path)
+    val base = ManagedTable.Commit(0L, "APPEND", 1L, Nil, Map.empty, None, "`id` INT", -1L)
+    (0L until 1000L).foreach(v => t.writeCommit(base.copy(version = v, readVersion = v - 1)))
+    val h = t.history
+    assert(h.size === 1000 && h.head.version === 999L && h.last.version === 0L)
+    assert(t.earliestVersion === Some(0L) && t.latestVersion === Some(999L))
   }
 
   test("old versions remain readable after replace (MVCC-ish)") {
