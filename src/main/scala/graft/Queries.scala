@@ -625,4 +625,106 @@ object Queries {
     """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
       |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 750)
       |GROUP BY o_custkey""".stripMargin
+
+  // --------------------------------------------- similarity / multimodal
+
+  /**
+   * ANN top-k with two built-in hard checks (this is the oracle-checkable
+   * formulation of [[graft.llm.Similarity.annTopK]]):
+   *
+   *  1. **Planted ground truth**: the query set is 20 exact copies of
+   *     corpus vectors shifted to id+10000. A copy shares every hyperplane
+   *     sign with its original, so the LSH bucket join is *guaranteed* to
+   *     co-bucket them and exact cosine ranks the original first (the
+   *     corpus has no duplicate vectors; max natural pairwise cos ≈ 0.51).
+   *     The emitted rank-1 rows are therefore exactly
+   *     `(vec_id+10000, vec_id)` — a deterministic DuckDB oracle that a
+   *     bucketing, probing, or ranking bug breaks.
+   *  2. **Recall gate**: recall@10 of the same ANN run vs exact
+   *     [[graft.llm.Similarity.bruteForceTopK]] is computed eagerly and
+   *     the query THROWS below `recallFloor` — a silent quality regression
+   *     fails verification instead of shipping rows that merely exist.
+   *     Calibration (p=6 planes, probe distance 1 → 7/64 of buckets
+   *     scanned): measured recall@10 is 0.295 / 0.305 / 0.365 at
+   *     sf0.001/0.01/0.1 — the near-random synthetic corpus is the worst
+   *     case for hyperplane LSH. The floor 0.20 sits above the 0.10 that
+   *     the guaranteed planted top-1s contribute, so a probing or ranking
+   *     bug that halves real recall trips it.
+   */
+  def annTopKVerified(spark: SparkSession, dir: String,
+                      recallFloor: Double = 0.20): DataFrame = {
+    import graft.llm.Similarity
+    val emb = pq(spark, dir, "embeddings").select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(planted).localCheckpoint()
+    val queries = corpus.filter(col("vec_id") >= 10000)
+    val ann = Similarity.annTopK(corpus, queries, 10).localCheckpoint()
+    val bf = Similarity.bruteForceTopK(corpus, queries, 10)
+    val total = bf.count()
+    val hits = ann.select("query_id", "neighbor_id")
+      .intersect(bf.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / total
+    require(recall >= recallFloor,
+      f"ann_topk recall@10 $recall%.3f fell below the calibrated floor " +
+        f"$recallFloor%.2f — LSH bucketing/probing is broken")
+    ann.filter(col("rank") === 1).select("query_id", "neighbor_id")
+  }
+
+  val annTopKSql: String =
+    """SELECT vec_id + 10000 AS query_id, vec_id AS neighbor_id
+      |FROM embeddings WHERE vec_id < 20""".stripMargin
+
+  /** SimHash fingerprints use md5-derived token hashes precisely so this
+    * oracle exists: DuckDB recomputes every fingerprint from the text and
+    * brute-forces ALL pairs, so any silent recall loss in the chunk-bucket
+    * join (the failure mode a rows-only check cannot see) hash-mismatches. */
+  val simhashPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |         SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th, range(64) r(i)
+      |  GROUP BY doc_id, i),
+      |fp0 AS (
+      |  SELECT doc_id,
+      |         SUM(CASE WHEN s > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)::UBIGINT AS sh
+      |  FROM bits GROUP BY doc_id),
+      |fp AS (
+      |  SELECT d.doc_id, COALESCE(f.sh, 0::UBIGINT) AS sh
+      |  FROM documents d LEFT JOIN fp0 f USING (doc_id))
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |       bit_count(xor(a.sh, b.sh))::INT AS distance
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+
+  /** Multimodal decode with a REAL oracle: payloads are the UTF-8 bytes of
+    * `documents.text` (binary column, batched partition-local decode —
+    * the production plumbing), and the stub codec's outputs are pure byte
+    * functions DuckDB can recompute from the same text: width/height from
+    * the first two bytes, n_bytes, and an md5 checksum of the payload. */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Multimodal
+    val media = pq(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+    Multimodal.decodeAndFeaturize(media)
+      .select(col("media_id"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("features.decoded_ok").as("decoded_ok"),
+        col("features.n_bytes").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+  }
+
+  val multimodalDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      | (ord(substr(text, 1, 1)) * 16)::INT AS width,
+      | (ord(substr(text, 2, 1)) * 16)::INT AS height,
+      | true AS decoded_ok,
+      | strlen(text)::BIGINT AS n_bytes,
+      | md5(text) AS payload_md5
+      |FROM documents""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextOps}
+import graft.llm.{Dedup, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,12 +66,9 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 10)
         .select("query_id", "rank", "neighbor_id")
     },
-    "ann_topk" -> { (s, d) =>
-      val emb = Queries.pq(s, d, "embeddings")
-      import org.apache.spark.sql.functions.col
-      Similarity.annTopK(emb, emb.filter(col("vec_id") < 20), 10)
-        .select("query_id", "rank", "neighbor_id")
-    },
+    // planted-copy ground truth + in-query recall gate vs brute force —
+    // see Queries.annTopKVerified for why both checks are hard
+    "ann_topk" -> (Queries.annTopKVerified(_, _)),
     // the synthetic embeddings carry no natural near-dups (max pairwise
     // cos ≈ 0.51), so the scenario plants exact copies shifted by +10000:
     // the LSH bucket join must find precisely those pairs.
@@ -87,10 +84,7 @@ object SparkEntry {
         probeDistance = 1)
         .select("id1", "id2")
     },
-    "multimodal_decode" -> ((s, _) =>
-      Multimodal.decodeAndFeaturize(Multimodal.syntheticMediaTable(s, 500))
-        .select("media_id", "meta.width", "meta.height",
-          "features.n_bytes", "features.checksum")))
+    "multimodal_decode" -> (Queries.multimodalDecode(_, _)))
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> Queries.q1Sql,
@@ -190,8 +184,12 @@ object SparkEntry {
         |WHERE rank <= 10""".stripMargin,
     "embedding_neardup" ->
       """SELECT vec_id AS id1, vec_id + 10000 AS id2
-        |FROM embeddings WHERE vec_id < 50""".stripMargin)
-    // simhash_neardup / ann_topk / multimodal_decode intentionally have no
-    // oracle (seeded xxhash64 / LSH planes / synthetic payloads are not
-    // reproducible in DuckDB SQL) — driver records the rows-only check.
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    // all three formerly-rows-only queries now carry hard oracles:
+    // ann_topk via planted exact copies (provable top-1) + an in-query
+    // recall gate; simhash via full DuckDB recomputation (md5 token
+    // hashes) + all-pairs hamming; multimodal via byte-function payloads
+    "ann_topk" -> Queries.annTopKSql,
+    "simhash_neardup" -> Queries.simhashPairsSql,
+    "multimodal_decode" -> Queries.multimodalDecodeSql)
 }

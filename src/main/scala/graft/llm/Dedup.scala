@@ -147,6 +147,26 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Candidate pairs with the signature-estimate pre-filter applied:
+    * before candidates are rejoined with their (large) shingle arrays for
+    * exact verification, pairs whose [[estimatedJaccard]] falls below
+    * `threshold - margin` are dropped. The estimate from 64 slots has
+    * σ ≈ √(j(1−j)/64) ≈ 0.05 at j=0.8, so the default margin 0.2 (4σ)
+    * keeps a true j≥threshold pair with P ≈ 1−3e−5 — negligible next to
+    * the banding miss rate — while discarding the accidental bucket
+    * collisions that would otherwise drag full shingle arrays through the
+    * verification shuffle. At 100 TB that shuffle is the dominant cost of
+    * near-dup mining; the signatures are already materialized and 64
+    * longs wide, so the pre-filter is effectively free. */
+  def prefilteredCandidates(signatures: DataFrame, idCol: String = "doc_id",
+                            threshold: Double = 0.8, margin: Double = 0.2,
+                            bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    candidatePairs(signatures, idCol, bands, rowsPerBand)
+      .join(signatures.toDF("id1", "sig1"), "id1")
+      .join(signatures.toDF("id2", "sig2"), "id2")
+      .filter(estimatedJaccard(col("sig1"), col("sig2")) >= threshold - margin)
+      .select("id1", "id2")
+
   /**
    * Near-duplicate pairs with **exact** n-gram Jaccard ≥ `threshold`,
    * candidates generated by MinHash-LSH. With 64 hashes / 16 bands of 4,
@@ -166,7 +186,8 @@ object Dedup {
     // and its shuffle carries only ~|docs| rows after map-side combine.)
     val sigs = minhashSignatures(docs, textCol, idCol, numHashes, shingleN)
       .localCheckpoint()
-    val cands = candidatePairs(sigs, idCol, bands, rowsPerBand)
+    val cands = prefilteredCandidates(sigs, idCol, threshold, margin = 0.2,
+      bands = bands, rowsPerBand = rowsPerBand)
     val sh = docs.select(col(idCol),
       array_distinct(shingles(col(textCol), shingleN)).as("sh"))
     cands
@@ -253,18 +274,31 @@ object Dedup {
 
   // ------------------------------------------------------------ SimHash
 
+  /** Token hash for SimHash: first 8 bytes (big-endian) of md5. Chosen
+    * over FNV/xxhash deliberately: md5 exists in every engine (DuckDB,
+    * Trino, Postgres, Python), so fingerprints are recomputable outside
+    * Spark — which is what lets the driver's DuckDB oracle brute-force-
+    * verify [[simhashPairs]] end to end, and what a production pipeline
+    * needs when dedup state outlives the engine that wrote it. */
+  private def md5Hash64(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d).getLong
+  }
+
   /**
    * 64-bit SimHash over word tokens: bit i of the fingerprint is the
-   * sign of Σ_tokens (±1 depending on bit i of hash64(token)). Same
-   * single-pass per-row loop rationale as [[minhashSignatures]].
-   * Ties (sum == 0) → bit 0.
+   * sign of Σ_tokens (±1 depending on bit i of [[md5Hash64]](token)).
+   * Same single-pass per-row loop rationale as [[minhashSignatures]].
+   * Ties (sum == 0) → bit 0; docs with no tokens fingerprint to 0.
    */
   def simhash(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
     val f = udf { (text: String) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       val sums = new Array[Int](64)
       tokenize(text).foreach { t =>
-        val h = hash64(t)
+        val h = md5Hash64(md, t)
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1

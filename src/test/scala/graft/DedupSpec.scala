@@ -42,6 +42,24 @@ class DedupSpec extends SparkSpec {
     assert(est === 1.0)
   }
 
+  test("signature-estimate pre-filter drops low-jaccard bucket collisions, keeps " +
+       "near-threshold pairs") {
+    // hand-built signatures: docs 1/2 identical (est j = 1), docs 3/4 agree
+    // on exactly one full band of 4 slots (so raw banding pairs them) but
+    // nowhere else (est j = 4/64 ≈ 0.06 — an accidental collision)
+    val base = (0 until 64).map(_.toLong)
+    val sig3 = (0 until 64).map(i => if (i < 4) 1000L + i else 2000L + i)
+    val sig4 = (0 until 64).map(i => if (i < 4) 1000L + i else 3000L + i)
+    val sigs = Seq((1L, base), (2L, base), (3L, sig3), (4L, sig4))
+      .toDF("doc_id", "signature")
+    val raw = Dedup.candidatePairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw === Set((1L, 2L), (3L, 4L)))
+    val kept = Dedup.prefilteredCandidates(sigs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === Set((1L, 2L)), "the est-j≈0.06 collision must be dropped")
+  }
+
   test("LSH candidates achieve full recall of true near-dups (j>=0.8) on documents") {
     // ground truth by exact all-pairs jaccard (ok at test scale only)
     val sh = docs.select($"doc_id",
