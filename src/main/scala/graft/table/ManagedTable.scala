@@ -316,14 +316,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir)
     val numRows = obs.get("rows").asInstanceOf[Long]
-    val changeDir = changeData.map { cd =>
-      val dir = new Path(new Path(rootPath, "_change_data"),
-        f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
-      cd.withColumn("_commit_version", lit(version))
-        .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(tsMs)))
-        .write.mode("overwrite").parquet(dir)
-      dir
-    }
+    val changeDir = changeData.map(writeChangeData(version, tsMs, _))
     val dirs = mode match {
       case "append"  => prev.map(_.dirs).getOrElse(Nil) :+ dataDir
       case "replace" => Seq(dataDir)
@@ -334,6 +327,17 @@ final class ManagedTable(spark: SparkSession, root: String) {
       df.schema.toDDL, readVersion, changeDir)
     writeCommit(commit)
     commit
+  }
+
+  /** Stamp + persist a per-row change set for a commit (see [[write]]). */
+  private def writeChangeData(version: Long, tsMs: Long, cd: DataFrame): String = {
+    import org.apache.spark.sql.functions.lit
+    val dir = new Path(new Path(rootPath, "_change_data"),
+      f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
+    cd.withColumn("_commit_version", lit(version))
+      .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(tsMs)))
+      .write.mode("overwrite").parquet(dir)
+    dir
   }
 
   /**
@@ -348,9 +352,17 @@ final class ManagedTable(spark: SparkSession, root: String) {
    * are decomposed into their partition subdirs (FS listing, metadata
    * only), the replaced partitions' subdirs are dropped, and the new
    * data dir's subdirs are added.
+   *
+   * `operation`/`changeData` let partition-scoped MERGEs commit through
+   * the same dir composition (reference `use_paritition_column_in_merge`
+   * file-skipping intent, write.py:190-213, :729-766): the merge result
+   * carries exactly the touched partitions, so the commit is
+   * prevDirs − touched + new.
    */
   def selectiveOverwrite(df: DataFrame, partitionBy: Seq[String],
-                         userMetadata: Option[String] = None): Commit = synchronized {
+                         userMetadata: Option[String] = None,
+                         operation: String = "SELECTIVE_OVERWRITE",
+                         changeData: Option[DataFrame] = None): Commit = synchronized {
     require(partitionBy.nonEmpty, "selectiveOverwrite requires partition columns")
     val prev = lastCommit
     val readVersion = prev.map(_.version).getOrElse(-1L)
@@ -415,10 +427,11 @@ final class ManagedTable(spark: SparkSession, root: String) {
     }
 
     val numRows = obs.get("rows").asInstanceOf[Long]
-    val commit = Commit(version, "SELECTIVE_OVERWRITE", tsMs,
+    val changeDir = changeData.map(writeChangeData(version, tsMs, _))
+    val commit = Commit(version, operation, tsMs,
       kept ++ newDirs, Map("numOutputRows" -> numRows.toString,
         "replacedPartitions" -> replaced.size.toString),
-      userMetadata, df.schema.toDDL, readVersion)
+      userMetadata, df.schema.toDDL, readVersion, changeDir)
     writeCommit(commit)
     commit
   }
