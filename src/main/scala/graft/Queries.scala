@@ -345,6 +345,51 @@ object Queries {
        | CASE WHEN st = 'I' THEN '$T1' ELSE '$T0' END AS __metadata_valid_from_ts__
        |FROM final""".stripMargin
 
+  /** Partition-scoped scd1 (the reference's `use_paritition_column_in_merge`
+    * file-skipping intent, write.py:190-213, :472-486): the table is
+    * physically partitioned by the stable c_nationkey and the second load
+    * touches only nations 0-9, so the merge reads ONLY those partitions
+    * (literal partition predicate → static pruning) and the commit is
+    * prevDirs − touched + new via [[graft.table.ManagedTable.selectiveOverwrite]]
+    * — untouched nations' files survive byte-identical. The scale path for
+    * merging a daily batch into a 100 TB table. */
+  def scd1Partitioned(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("scd1p")
+    val part = Seq("c_nationkey")
+    def opts(t: String) =
+      WriteOptions(now = Some(t), usePartitionColumnInMerge = part)
+    def custN(f: Column) = pq(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_name", "c_mktsegment").filter(f)
+    val load1 = custN(col("c_custkey") > 500 && col("c_nationkey") < 10)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 2 === 0, concat(col("c_mktsegment"), lit("_X")))
+          .otherwise(col("c_mktsegment")))
+    Writers.scd1(spark, path, custN(col("c_custkey") <= 1000), Seq("c_custkey"),
+      opts(T0), partitionBy = part)
+    Writers.scd1(spark, path, load1, Seq("c_custkey"), opts(T1), partitionBy = part)
+    ManagedTable(spark, path).read.select(scdProjection(
+      "c_custkey", "c_nationkey", "c_name", "c_mktsegment", Meta.KeyHash,
+      Meta.DataHash, Meta.ValidToTs, Meta.ValidFromTs): _*)
+  }
+
+  val scd1PartitionedSql: String =
+    s"""WITH final AS (
+       | SELECT c_custkey, c_nationkey, c_name,
+       |  CASE WHEN c_custkey > 500 AND c_custkey % 2 = 0 AND c_nationkey < 10
+       |       THEN c_mktsegment || '_X' ELSE c_mktsegment END AS seg,
+       |  CASE WHEN c_custkey > 1000 THEN 'I'
+       |       WHEN c_custkey > 500 AND c_custkey % 2 = 0 AND c_nationkey < 10 THEN 'U'
+       |       ELSE 'K' END AS st
+       | FROM customer
+       | WHERE c_custkey <= 1000 OR c_nationkey < 10)
+       |SELECT c_custkey, c_nationkey, c_name, seg AS c_mktsegment,
+       | md5(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), ''))) AS __metadata_key_hash__,
+       | md5(concat_ws('|', coalesce(CAST(c_nationkey AS VARCHAR), ''),
+       |   coalesce(c_name, ''), coalesce(seg, ''))) AS __metadata_data_hash__,
+       | CASE WHEN st = 'K' THEN '$T0' ELSE '$T1' END AS __metadata_valid_to_ts__,
+       | CASE WHEN st = 'I' THEN '$T1' ELSE '$T0' END AS __metadata_valid_from_ts__
+       |FROM final""".stripMargin
+
   def scd2Initial(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("scd2i")
     Writers.scd2(spark, path, load0(spark, dir), Seq("c_custkey"),

@@ -35,6 +35,7 @@ object SparkEntry {
     "overwrite_managed" -> (Queries.overwriteManaged(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
+    "scd1_partitioned" -> (Queries.scd1Partitioned(_, _)),
     "scd2_initial" -> (Queries.scd2Initial(_, _)),
     "scd2_two_loads" -> (Queries.scd2TwoLoads(_, _)),
     "scd3_shift" -> (Queries.scd3Shift(_, _)),
@@ -100,6 +101,7 @@ object SparkEntry {
     "overwrite_managed" -> Queries.overwriteManagedSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
+    "scd1_partitioned" -> Queries.scd1PartitionedSql,
     "scd2_initial" -> Queries.scd2InitialSql,
     "scd2_two_loads" -> Queries.scd2TwoLoadsSql,
     "scd3_shift" -> Queries.scd3ShiftSql,

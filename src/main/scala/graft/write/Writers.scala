@@ -23,6 +23,37 @@ object Writers {
   import MergeEmulator.{ChangeMark, PreMark}
   import org.apache.spark.sql.functions.{col, lit}
 
+  /** Partition-scoped merge commits are active when the physical layout is
+    * partitioned and every partition column participates in the merge
+    * condition (`use_paritition_column_in_merge`, write.py:472-486) — only
+    * then does the merge result contain the COMPLETE contents of every
+    * touched partition, so the commit can be prevDirs − touched + new
+    * instead of a full-table rewrite (the reference's file-skipping
+    * intent, write.py:190-213). */
+  private def partitionScoped(opts: WriteOptions, partitionBy: Seq[String]): Boolean =
+    partitionBy.nonEmpty && partitionBy.forall(opts.usePartitionColumnInMerge.contains)
+
+  /** Restrict the merge target to the partitions present in the source
+    * batch. The distinct source partition tuples (one small job over the
+    * already-staged source — O(touched partitions) rows on the driver)
+    * become a literal predicate, so the target scan prunes untouched
+    * partitions at PLANNING time: a one-partition merge into a 100 TB
+    * table reads one partition, not 100 TB. */
+  private def scopedTarget(table: ManagedTable, source: DataFrame,
+                           partitionBy: Seq[String]): DataFrame = {
+    val full = table.read
+    val touched = source.select(partitionBy.map(col): _*).distinct().collect()
+    val pred = touched.toSeq
+      .map { r =>
+        partitionBy.zipWithIndex.map { case (c, i) =>
+          if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+        }.reduce(_ && _)
+      }
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+    full.filter(pred)
+  }
+
   /**
    * Commit a merge result, recording the change data feed when enabled
    * (the `delta.enableChangeDataFeed` analogue; reference consumes it via
@@ -31,12 +62,21 @@ object Writers {
    * persist materializes the full-outer join once and feeds BOTH the
    * snapshot write and the change-set write — at 100 TB the join is the
    * dominant cost and must never run twice.
+   *
+   * Partition-scoped merges (see [[partitionScoped]]) commit through
+   * [[ManagedTable.selectiveOverwrite]]: untouched partitions' files are
+   * carried into the new version by reference, byte-identical.
    */
   private def commitMerge(table: ManagedTable, result: DataFrame, op: String,
                           opts: WriteOptions, userMetadata: Option[String],
-                          partitionBy: Seq[String]): Commit =
+                          partitionBy: Seq[String]): Commit = {
+    def commit(snapshot: DataFrame, change: Option[DataFrame]): Commit =
+      if (partitionScoped(opts, partitionBy))
+        table.selectiveOverwrite(snapshot, partitionBy, userMetadata, op, change)
+      else
+        table.write(snapshot, op, "replace", userMetadata, partitionBy, change)
     if (!opts.enableChangeDataFeed)
-      table.write(result, op, "replace", userMetadata, partitionBy)
+      commit(result, None)
     else {
       val tracked = result.persist(StorageLevel.DISK_ONLY)
       try {
@@ -49,10 +89,17 @@ object Writers {
         val pre = tracked.filter(col(ChangeMark) === "update_postimage")
           .select(col(s"$PreMark.*"))
           .withColumn("_change_type", lit("update_preimage"))
-        table.write(snapshot, op, "replace", userMetadata, partitionBy,
-          changeData = Some(post.unionByName(pre)))
+        commit(snapshot, Some(post.unionByName(pre)))
       } finally { tracked.unpersist(); () }
     }
+  }
+
+  /** The target frame a merge reads: the full snapshot, or only the
+    * source's partitions when the merge is partition-scoped. */
+  private def mergeTarget(table: ManagedTable, source: DataFrame,
+                          opts: WriteOptions, partitionBy: Seq[String]): DataFrame =
+    if (partitionScoped(opts, partitionBy)) scopedTarget(table, source, partitionBy)
+    else table.read
 
   private def staged(df: DataFrame, opts: WriteOptions): DataFrame = {
     val p = if (opts.persistDataset) df.persist(StorageLevel.DISK_ONLY) else df
@@ -97,7 +144,7 @@ object Writers {
     val table = ManagedTable(spark, path)
     table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd1", keys, Nil, opts))
     val s = staged(source, opts)
-    val result = WritePatterns.scd1(table.read, s, keys, opts)
+    val result = WritePatterns.scd1(mergeTarget(table, s, opts, partitionBy), s, keys, opts)
     val c = commitMerge(table, result, "MERGE(scd1)", opts, userMetadata, partitionBy)
     unstage(s, opts); c
   }
@@ -109,7 +156,7 @@ object Writers {
     val table = ManagedTable(spark, path)
     table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd2", keys, Nil, opts))
     val s = staged(source, opts)
-    val result = WritePatterns.scd2(table.read, s, keys, opts)
+    val result = WritePatterns.scd2(mergeTarget(table, s, opts, partitionBy), s, keys, opts)
     val c = commitMerge(table, result, "MERGE(scd2)", opts, userMetadata, partitionBy)
     unstage(s, opts); c
   }
@@ -124,8 +171,8 @@ object Writers {
     table.createIfNotExists(
       WritePatterns.targetSchemaFor(source, "scd3", keys, columnAttributes, opts))
     val s = staged(source, opts)
-    val result = WritePatterns.scd3(table.read, s, keys, columnAttributes, opts,
-      changeTracking)
+    val result = WritePatterns.scd3(mergeTarget(table, s, opts, partitionBy), s, keys,
+      columnAttributes, opts, changeTracking)
     val c = commitMerge(table, result, "MERGE(scd3)", opts, userMetadata, partitionBy)
     unstage(s, opts); c
   }
