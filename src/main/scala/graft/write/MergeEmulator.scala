@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
  * "update-union-insert" formulation), and the output is written back
  * partition-atomically by [[graft.table.ManagedTable]].
  *
- * Semantics note: like Delta MERGE, one target row should match at most one
- * source row; callers enforce/dedupe (the reference exposes
- * `deduplicate_onkeys` for this, write.py:488-491) — with multiple matches
- * Delta raises; we document the duplicate-row outcome instead of scanning
- * for it (a count-based pre-check would double the job cost).
+ * Semantics note: like Delta MERGE, one target row may match at most one
+ * source row. Delta raises `DeltaUnsupportedOperationException` on multiple
+ * matches; we do the same by default (see `failOnMultipleMatches`) — the
+ * alternative, silently emitting one updated row PER matching source row,
+ * turns a caller bug into data corruption. The check is a row-count window
+ * over a per-target-row id computed inside the same plan (no second job);
+ * callers that pre-dedupe (the reference exposes `deduplicate_onkeys`,
+ * write.py:488-491) can opt out to skip the window shuffle.
  */
 object MergeEmulator {
 
@@ -36,6 +39,8 @@ object MergeEmulator {
 
   private val TMark = "__graft_t_mark__"
   private val SMark = "__graft_s_mark__"
+  private val TId = "__graft_t_id__"
+  private val SId = "__graft_s_id__"
 
   /** Internal change-tracking columns added by `merge(trackChanges=true)`:
     * [[ChangeMark]] is `update_postimage` / `insert` / NULL (row untouched),
@@ -60,6 +65,13 @@ object MergeEmulator {
    *                     to the output — the raw material for a change data
    *                     feed, computed inside the same single-join
    *                     projection at zero extra shuffle cost
+   * @param failOnMultipleMatches raise (inside the plan, like Delta's
+   *                     cardinality check) when one target row matches
+   *                     several source rows, instead of silently emitting
+   *                     one updated row per match. The check rides the
+   *                     merge output's first column, so it fires on any
+   *                     action that consumes the full merge result (every
+   *                     write path does); opt out to skip its window.
    * @return the complete post-merge table state with the target's schema
    */
   def merge(
@@ -68,10 +80,16 @@ object MergeEmulator {
       condition: Column,
       matched: Seq[MatchedUpdate],
       insertValues: Map[String, Column],
-      trackChanges: Boolean = false): DataFrame = {
+      trackChanges: Boolean = false,
+      failOnMultipleMatches: Boolean = true): DataFrame = {
 
-    val t = target.withColumn(TMark, lit(1)).alias("target")
-    val s = source.withColumn(SMark, lit(1)).alias("source")
+    val guard = failOnMultipleMatches
+    val t0 = target.withColumn(TMark, lit(1))
+    val t = (if (guard) t0.withColumn(TId, monotonically_increasing_id()) else t0)
+      .alias("target")
+    val s0 = source.withColumn(SMark, lit(1))
+    val s = (if (guard) s0.withColumn(SId, monotonically_increasing_id()) else s0)
+      .alias("source")
     val joined = t.join(s, condition, "full_outer")
 
     val tPresent = col(s"target.$TMark").isNotNull
@@ -79,7 +97,7 @@ object MergeEmulator {
     val bothPresent = tPresent && sPresent
     val insertOnly = !tPresent && sPresent
 
-    val out = target.schema.fields.map { f =>
+    val out0 = target.schema.fields.map { f =>
       val keep = col(s"target.${f.name}")
       val insertExpr =
         insertValues.getOrElse(f.name, lit(null)).cast(f.dataType)
@@ -96,6 +114,28 @@ object MergeEmulator {
         .get
         .otherwise(keep)
         .as(f.name)
+    }
+
+    // Cardinality guard: matched copies of one target row share the group
+    // ("t", target id); source-only rows are singletons ("s", source id) —
+    // keyed per-row so the insert side never collapses into one skewed
+    // window partition. >1 rows in a both-present group = multiple source
+    // matches → raise inside the plan (first output column carries the
+    // check so the write's full projection always evaluates it).
+    val out = if (!guard || out0.isEmpty) out0 else {
+      import org.apache.spark.sql.expressions.Window
+      val grp = when(tPresent, concat(lit("t"), col(s"target.$TId").cast("string")))
+        .otherwise(concat(lit("s"), col(s"source.$SId").cast("string")))
+      val matches = count(lit(1)).over(Window.partitionBy(grp))
+      val firstName = target.schema.fields.head.name
+      val checked = when(bothPresent && matches > 1,
+        raise_error(concat(
+          lit("MERGE cardinality violation: a target row matched "),
+          matches.cast("string"),
+          lit(" source rows; deduplicate the source (deduplicate_onkeys) " +
+            "or set allow_duplicate_matches")))
+      ).otherwise(out0.head).as(firstName)
+      checked +: out0.tail
     }
 
     if (!trackChanges) joined.select(out.toIndexedSeq: _*)

@@ -30,6 +30,10 @@ final case class WriteOptions(
     historyStartTrackingValue: Option[String] = None,
     historyStartTrackingValueType: Option[String] = None,
     fixDuplicatesByKey: Boolean = false,
+    // accept several source rows matching one target row (emitting one
+    // updated row per match) instead of raising like Delta MERGE does —
+    // for callers that pre-dedupe and want to skip the guard's window
+    allowDuplicateMatches: Boolean = false,
     persistDataset: Boolean = false,
     stageResults: Boolean = false,
     // change data feed: merges record per-row changes alongside the
@@ -77,6 +81,7 @@ object WriteOptions {
       historyStartTrackingValue = m.get("history_start_tracking_value"),
       historyStartTrackingValueType = m.get("history_start_tracking_value_type"),
       fixDuplicatesByKey = m.get("fix_duplicates_by_key").exists(_.toBoolean),
+      allowDuplicateMatches = m.get("allow_duplicate_matches").exists(_.toBoolean),
       persistDataset = m.get("persist_dataset").exists(_.toBoolean),
       stageResults = m.get("stage_results").exists(_.toBoolean),
       enableChangeDataFeed = m.get("enable_change_data_feed").exists(_.toBoolean),
@@ -173,7 +178,8 @@ object WritePatterns {
 
     MergeEmulator.merge(target, prepped, cond,
       Seq(MatchedUpdate(Some(tgt(n.dataHash) =!= src(n.dataHash)), updateSet)),
-      insertValues, trackChanges = opts.enableChangeDataFeed)
+      insertValues, trackChanges = opts.enableChangeDataFeed,
+      failOnMultipleMatches = !opts.allowDuplicateMatches)
   }
 
   // ----------------------------------------------------------------- scd2
@@ -302,7 +308,8 @@ object WritePatterns {
 
     MergeEmulator.merge(target, mergeSource, mergeCond,
       Seq(MatchedUpdate(None, updateSet)), insertValues,
-      trackChanges = opts.enableChangeDataFeed)
+      trackChanges = opts.enableChangeDataFeed,
+      failOnMultipleMatches = !opts.allowDuplicateMatches)
   }
 
   // ----------------------------------------------------------------- scd3
@@ -374,7 +381,8 @@ object WritePatterns {
           tgt(n.columnKeyHash) === src(n.columnKeyHash)), updateSet),
         MatchedUpdate(Some(tgt(n.columnKeyHash) =!= src(n.columnKeyHash)),
           updateChangeSet)),
-      insertValues, trackChanges = opts.enableChangeDataFeed)
+      insertValues, trackChanges = opts.enableChangeDataFeed,
+      failOnMultipleMatches = !opts.allowDuplicateMatches)
   }
 
   // --------------------------------------------------------- constraint

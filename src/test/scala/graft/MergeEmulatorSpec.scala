@@ -62,6 +62,42 @@ class MergeEmulatorSpec extends SparkSpec {
       target.schema.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
+  test("multiple source rows matching one target row raise like Delta MERGE") {
+    val source = Seq((2, "B1", 21), (2, "B2", 22)).toDF("id", "v", "x")
+    val out = MergeEmulator.merge(
+      target, source,
+      col("target.id") === col("source.id"),
+      Seq(MatchedUpdate(None, Map("v" -> col("source.v")))),
+      Map("id" -> col("source.id"), "v" -> col("source.v"), "x" -> col("source.x")))
+    val e = intercept[Exception](out.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("MERGE cardinality violation")))
+  }
+
+  test("duplicate matches pass with failOnMultipleMatches off (documented fan-out)") {
+    val source = Seq((2, "B1", 21), (2, "B2", 22)).toDF("id", "v", "x")
+    val out = MergeEmulator.merge(
+      target, source,
+      col("target.id") === col("source.id"),
+      Seq(MatchedUpdate(None, Map("v" -> col("source.v"), "x" -> col("source.x")))),
+      Map("id" -> col("source.id"), "v" -> col("source.v"), "x" -> col("source.x")),
+      failOnMultipleMatches = false)
+    assert(out.filter($"id" === 2).count() === 2)
+  }
+
+  test("guard ignores many inserts and many unmatched targets") {
+    // 100 source-only rows + 3 target-only rows: no both-present group,
+    // nothing raises, all rows come through
+    val source = (100 to 199).map(i => (i, s"v$i", i)).toDF("id", "v", "x")
+    val out = MergeEmulator.merge(
+      target, source,
+      col("target.id") === col("source.id"),
+      Seq(MatchedUpdate(None, Map("v" -> col("source.v")))),
+      Map("id" -> col("source.id"), "v" -> col("source.v"), "x" -> col("source.x")))
+    assert(out.count() === 103)
+  }
+
   test("output schema always equals target schema") {
     val source = Seq((2, "B", 200, "extra")).toDF("id", "v", "x", "junk")
     val out = MergeEmulator.merge(
