@@ -27,6 +27,17 @@ object Queries {
   def pq(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")
 
+  /** Planted-scenario guard: queries that plant copies of corpus vectors
+    * at `vec_id + offset` (and whose oracle SQL hard-codes that offset)
+    * are only sound while every natural id is below the offset. */
+  private[graft] def assertPlantedIdHeadroom(emb: DataFrame, offset: Long): Unit = {
+    val maxId = emb.agg(max(col("vec_id"))).head.getAs[Number](0).longValue
+    require(maxId < offset,
+      s"planted-id offset $offset collides with natural vec_id range " +
+        s"(max $maxId) — the planted oracle and recall gate would be wrong; " +
+        "raise the offset in BOTH the query and its oracle SQL")
+  }
+
   // --------------------------------------------------------- analytics
 
   /** TPC-H Q1-style pricing summary. Sums over decimal-cast values so the
@@ -700,6 +711,12 @@ object Queries {
                       recallFloor: Double = 0.20): DataFrame = {
     import graft.llm.Similarity
     val emb = pq(spark, dir, "embeddings").select("vec_id", "embedding")
+    // planted ids live at vec_id+10000 (fixed in the oracle SQL too); if
+    // the corpus ever grows past that, planted ids would silently collide
+    // with natural ids and both the oracle and the recall gate go wrong —
+    // fail loudly instead. (max() over one int column is served from
+    // parquet footer stats; not a full scan.)
+    assertPlantedIdHeadroom(emb, offset = 10000)
     val planted = emb.filter(col("vec_id") < 20)
       .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
     val corpus = emb.unionByName(planted).localCheckpoint()

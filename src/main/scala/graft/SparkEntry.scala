@@ -76,6 +76,7 @@ object SparkEntry {
     "embedding_neardup" -> { (s, d) =>
       import org.apache.spark.sql.functions.col
       val emb = Queries.pq(s, d, "embeddings").select("vec_id", "embedding")
+      Queries.assertPlantedIdHeadroom(emb, offset = 10000)
       val planted = emb.filter(col("vec_id") < 50)
         .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
       // planted copies are exact (hamming 0 under any hyperplane set), so

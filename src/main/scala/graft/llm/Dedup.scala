@@ -160,12 +160,17 @@ object Dedup {
     * longs wide, so the pre-filter is effectively free. */
   def prefilteredCandidates(signatures: DataFrame, idCol: String = "doc_id",
                             threshold: Double = 0.8, margin: Double = 0.2,
-                            bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+                            bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // select by name, not positional toDF — callers may pass extra columns
+    // or a different column order than (id, signature)
+    val sig1 = signatures.select(col(idCol).as("id1"), col("signature").as("sig1"))
+    val sig2 = signatures.select(col(idCol).as("id2"), col("signature").as("sig2"))
     candidatePairs(signatures, idCol, bands, rowsPerBand)
-      .join(signatures.toDF("id1", "sig1"), "id1")
-      .join(signatures.toDF("id2", "sig2"), "id2")
+      .join(sig1, "id1")
+      .join(sig2, "id2")
       .filter(estimatedJaccard(col("sig1"), col("sig2")) >= threshold - margin)
       .select("id1", "id2")
+  }
 
   /**
    * Near-duplicate pairs with **exact** n-gram Jaccard ≥ `threshold`,

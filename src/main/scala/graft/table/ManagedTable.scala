@@ -85,7 +85,12 @@ final class ManagedTable(spark: SparkSession, root: String) {
       import scala.jdk.CollectionConverters._
       val tasks: Seq[java.util.concurrent.Callable[Commit]] =
         versions.map(v => () => commitAt(v))
-      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      pool.invokeAll(tasks.asJava).asScala.map { f =>
+        // surface the underlying IO/parse exception, not Future.get's wrapper,
+        // so callers see the same exception type as the sequential path
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }.toSeq
     } finally { pool.shutdown(); () }
   }
 
@@ -158,9 +163,11 @@ final class ManagedTable(spark: SparkSession, root: String) {
    *
    * Driver IO is one batched commit-log fetch for the range (each commit
    * read exactly once, predecessor included for the first dir-diff).
-   * Note: change parquet written before the stored-stamp format (pre
-   * round 4) lacks the version/timestamp columns and would read them as
-   * NULL; rewrite such tables or serve them with the old per-version path.
+   * Commits record a `changeFormat` version for their stored change data;
+   * change parquet written before the stored-stamp format lacks the
+   * version/timestamp columns, and serving it through this path would
+   * return NULL stamps — such commits are refused with a loud error
+   * instead (rewrite the table, or replay the merge with CDF on).
    */
   def readChangeFeed(startingVersion: Long,
                      endingVersion: Option[Long] = None): DataFrame = {
@@ -191,6 +198,12 @@ final class ManagedTable(spark: SparkSession, root: String) {
       val c = fetched(v)
       c.changeDir match {
         case Some(dir) =>
+          if (c.changeFormat < STAMPED_CHANGE_FORMAT)
+            throw new IllegalStateException(
+              s"version $v of $root stores change data in pre-stamp format " +
+                s"${c.changeFormat} (no _commit_version/_commit_timestamp in the " +
+                "parquet); this reader requires format " +
+                s"$STAMPED_CHANGE_FORMAT — rewrite the table or replay the merge")
           changeDirs.getOrElseUpdate(c.schemaDdl, mutable.Buffer.empty) += dir
         case None if c.operation.startsWith("MERGE") =>
           throw new IllegalStateException(
@@ -324,7 +337,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
     }
     val commit = Commit(version, operation, tsMs, dirs,
       Map("numOutputRows" -> numRows.toString), userMetadata,
-      df.schema.toDDL, readVersion, changeDir)
+      df.schema.toDDL, readVersion, changeDir,
+      changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0)
     writeCommit(commit)
     commit
   }
@@ -431,7 +445,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val commit = Commit(version, operation, tsMs,
       kept ++ newDirs, Map("numOutputRows" -> numRows.toString,
         "replacedPartitions" -> replaced.size.toString),
-      userMetadata, df.schema.toDDL, readVersion, changeDir)
+      userMetadata, df.schema.toDDL, readVersion, changeDir,
+      changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0)
     writeCommit(commit)
     commit
   }
@@ -455,6 +470,12 @@ final class ManagedTable(spark: SparkSession, root: String) {
 object ManagedTable {
   private val CommitFile: Regex = """(\d{12})\.json""".r
 
+  /** Change-data format with `_commit_version`/`_commit_timestamp` stamped
+    * into the change parquet at commit time (readable as one multi-path
+    * scan per version range). Format 0 = legacy unstamped change data,
+    * which [[ManagedTable.readChangeFeed]] refuses to serve. */
+  val STAMPED_CHANGE_FORMAT: Int = 1
+
   /** The data-dir root of a stored commit dir: the node whose parent is
     * the table's `data` directory. Structural (path-segment) detection —
     * robust to scheme-spelling differences between write and read. */
@@ -475,7 +496,8 @@ object ManagedTable {
       userMetadata: Option[String],
       schemaDdl: String,
       readVersion: Long,
-      changeDir: Option[String] = None) {
+      changeDir: Option[String] = None,
+      changeFormat: Int = 0) {
 
     def toJson: String = {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -490,6 +512,7 @@ object ManagedTable {
       node.put("schemaDdl", schemaDdl)
       node.put("readVersion", readVersion)
       changeDir.foreach(node.put("changeDir", _))
+      if (changeDir.isDefined) node.put("changeFormat", changeFormat)
       m.writerWithDefaultPrettyPrinter().writeValueAsString(node)
     }
   }
@@ -510,7 +533,9 @@ object ManagedTable {
         userMetadata = Option(n.get("userMetadata")).map(_.asText()),
         schemaDdl = n.get("schemaDdl").asText(),
         readVersion = n.get("readVersion").asLong(),
-        changeDir = Option(n.get("changeDir")).map(_.asText()))
+        changeDir = Option(n.get("changeDir")).map(_.asText()),
+        // absent in logs written before format stamping → legacy format 0
+        changeFormat = Option(n.get("changeFormat")).map(_.asInt()).getOrElse(0))
     }
   }
 

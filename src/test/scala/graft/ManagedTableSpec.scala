@@ -86,6 +86,27 @@ class ManagedTableSpec extends SparkSpec {
     assert(v1 === Seq((2, "insert")))
   }
 
+  test("change feed refuses pre-stamp (legacy) change data loudly") {
+    val path = tmpDir("mt_cdf_legacy")
+    val t = ManagedTable(spark, path)
+    t.write(Seq((1, "a")).toDF("id", "v"), "APPEND", "append")
+    val cd = Seq((1, "a1", "update_postimage")).toDF("id", "v", "_change_type")
+    val c1 = t.write(Seq((1, "a1")).toDF("id", "v"), "MERGE(scd1)", "replace",
+      changeData = Some(cd))
+    assert(c1.changeFormat === ManagedTable.STAMPED_CHANGE_FORMAT)
+    // hand-write a legacy commit: same change dir, no changeFormat stamp —
+    // exactly what a pre-stamp engine version would have logged
+    t.writeCommit(c1.copy(version = 2L, readVersion = 1L, changeFormat = 0))
+    val e = intercept[IllegalStateException](t.readChangeFeed(2, Some(2)))
+    assert(e.getMessage.contains("pre-stamp format"))
+    // a json log entry with no changeFormat field at all parses as format 0
+    val parsed = ManagedTable.Commit.fromJson(
+      c1.toJson.replaceAll(""",\s*"changeFormat"\s*:\s*\d+""", ""))
+    assert(parsed.changeFormat === 0)
+    // stamped ranges still serve
+    assert(t.readChangeFeed(1, Some(1)).count() === 1)
+  }
+
   test("change feed range validation and non-existent table fail") {
     val path = tmpDir("mt_cdf_bad")
     val t = ManagedTable(spark, path)
@@ -157,6 +178,23 @@ class ManagedTableSpec extends SparkSpec {
     val deletes = full.filter($"_change_type" === "delete")
       .select("id", "_commit_version").as[(Int, Long)].collect().toSet
     assert(deletes === (0 until 6).map(i => (i, 6L)).toSet)
+  }
+
+  test("concurrent commit reads surface the underlying exception, unwrapped") {
+    val path = tmpDir("mt_unwrap")
+    val t = ManagedTable(spark, path)
+    val base = ManagedTable.Commit(0L, "APPEND", 1L, Nil, Map.empty, None, "`id` INT", -1L)
+    (0L until 4L).foreach(v => t.writeCommit(base.copy(version = v, readVersion = v - 1)))
+    // corrupt one commit file; history must throw the parse exception
+    // itself, not java.util.concurrent.ExecutionException wrapping it
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_log/000000000002.json")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write("not json".getBytes("UTF-8")) finally out.close()
+    val e = intercept[Throwable](t.history)
+    assert(!e.isInstanceOf[java.util.concurrent.ExecutionException])
+    assert(e.isInstanceOf[com.fasterxml.jackson.core.JacksonException])
   }
 
   test("history over 1k commits is a single listing + concurrent reads") {
