@@ -77,6 +77,32 @@ class PlanSpec extends SparkSpec {
     assert(scan.requiredSchema.fieldNames.toSeq === Seq("id"))
   }
 
+  test("identity assignment keeps the batch distributed (no single-partition stage)") {
+    // guards the zipWithIndex shape: the old row_number() over an empty
+    // partition spec funnelled the whole batch through ONE task
+    import spark.implicits._
+    val t = graft.meta.DataObjects.TableDef("t_idplan", Seq(
+      graft.meta.DataObjects.ColumnSchema("sk", "bigint", identity = true),
+      graft.meta.DataObjects.ColumnSchema("v", "string")))
+    val batch = spark.range(0, 10000, 1, numPartitions = 8)
+      .select(col("id").cast("string").as("v"))
+    val out = graft.meta.DataObjects.applyColumnSemantics(
+      spark, t, tmpDir("idplan"), batch)
+    assert(out.rdd.getNumPartitions === 8,
+      "identity assignment must preserve the input partitioning")
+    val plan = finalPlan(out)
+    assert(!plan.toString.contains("Window"),
+      "identity must not be a global window")
+    val singleParts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(singleParts.isEmpty, "single-partition exchange in identity plan")
+    // numbering is still gap-free and continues from identityStart
+    val sks = out.select("sk").as[Long].collect().sorted
+    assert(sks.toSeq === (1L to 10000L))
+  }
+
   test("exact dedup is a single hash aggregate, not a window sort") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = finalPlan(graft.llm.TextOps.exactDedupStats(docs)).toString
