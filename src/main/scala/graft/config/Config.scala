@@ -27,7 +27,14 @@ object Config {
       sourceColumn: String,
       targetColumn: String,
       schemaDdl: Option[String] = None,
-      schemaJsonFile: Option[String] = None)
+      schemaJsonFile: Option[String] = None,
+      // Confluent registry fetch (core/utils/spark.py:145-204):
+      // latest version of `registrySubject` from `registryAddress`,
+      // basic-auth'd with clientId/clientSecret
+      registryAddress: Option[String] = None,
+      registrySubject: Option[String] = None,
+      registryClientId: Option[String] = None,
+      registryClientSecret: Option[String] = None)
 
   /** CDC feature config (features.py ChangeFeature; §2.7).
     * `changeFeatureType`: "attribute" (range filter on a column) or
@@ -106,7 +113,11 @@ object Config {
       selectColumns = strSeq(n, "select_columns"),
       schemaInference = Option(n.get("schema_inference")).map { s =>
         SchemaInference(s.get("source_column").asText(), s.get("target_column").asText(),
-          optStr(s, "schema_ddl"), optStr(s, "schema_json_file"))
+          optStr(s, "schema_ddl"), optStr(s, "schema_json_file"),
+          registryAddress = optStr(s, "schema_registry_address"),
+          registrySubject = optStr(s, "schema_registry_subject"),
+          registryClientId = optStr(s, "client_id"),
+          registryClientSecret = optStr(s, "client_secret"))
       },
       changeData = Option(n.get("change_data")).map { c =>
         ChangeData(c.get("attribute").asText(),

@@ -28,14 +28,22 @@ object Features {
 
   /** `schema_inference_from_registry` (input.py:227-286): parse a JSON
     * string column into a typed struct with `from_json`, schema from a
-    * Spark DDL string or a JSON-schema document. */
+    * Spark DDL string, a JSON-schema document, or the latest version of a
+    * Confluent schema-registry subject (core/utils/spark.py:180-204 —
+    * registry-fetched JSON schema through the same JSON-schema→Spark
+    * conversion as the file path). */
   def applySchemaInference(df: DataFrame, si: SchemaInference): DataFrame = {
     val schema: StructType = (si.schemaDdl, si.schemaJsonFile) match {
       case (Some(ddl), _) => StructType.fromDDL(ddl)
       case (None, Some(file)) =>
         jsonSchemaToSpark(java.nio.file.Files.readString(java.nio.file.Paths.get(file)))
+      case (None, None) if si.registryAddress.isDefined && si.registrySubject.isDefined =>
+        val client = new graft.sources.SchemaRegistryClient(
+          si.registryAddress.get, si.registryClientId, si.registryClientSecret)
+        jsonSchemaToSpark(client.latestVersion(si.registrySubject.get).schemaStr)
       case _ => throw new IllegalArgumentException(
-        "schema_inference needs schema_ddl or schema_json_file")
+        "schema_inference needs schema_ddl, schema_json_file, or " +
+          "schema_registry_address + schema_registry_subject")
     }
     df.withColumn(si.targetColumn,
       from_json(col(si.sourceColumn).cast("string"), schema))

@@ -81,4 +81,99 @@ class FeaturesSpec extends SparkSpec {
       .as[(Long, Int, String)].collect().toSet
     assert(rows === Set((1L, 5, "hi"), (2L, 7, "yo")))
   }
+
+  // ------------------------------------------------- schema registry
+
+  /** Confluent-style stub: /subjects/{s}/versions/latest with basic auth
+    * (the wire call confluent_kafka makes for the reference's
+    * read_from_schema_registry, utils/spark.py:145-177). */
+  private def withRegistryStub(subjects: Map[String, (String, String)])
+                              (f: String => Unit): Unit = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        def send(code: Int, body: String): Unit = {
+          val b = body.getBytes("UTF-8")
+          ex.sendResponseHeaders(code, b.length)
+          ex.getResponseBody.write(b); ex.close()
+        }
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        val expected = "Basic " + java.util.Base64.getEncoder
+          .encodeToString("rk:rs".getBytes("UTF-8"))
+        if (!auth.contains(expected)) { send(401, """{"error_code":401}"""); return }
+        val Pat = "/subjects/([^/]+)/versions/latest".r
+        ex.getRequestURI.getPath match {
+          case Pat(subj) => subjects.get(subj) match {
+            case Some((tpe, schema)) =>
+              val m = new com.fasterxml.jackson.databind.ObjectMapper()
+              val node = m.createObjectNode()
+              node.put("subject", subj); node.put("id", 7); node.put("version", 3)
+              if (tpe != "AVRO") node.put("schemaType", tpe)
+              node.put("schema", schema)
+              send(200, m.writeValueAsString(node))
+            case None => send(404, """{"error_code":40401,"message":"not found"}""")
+          }
+          case _ => send(404, """{"error_code":404}""")
+        }
+      }
+    })
+    server.start()
+    try f(s"http://localhost:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("schema inference fetches a JSON schema from the registry stub") {
+    val jsonSchema =
+      """{"type":"object","properties":{"a":{"type":"integer"},"b":{"type":"string"}}}"""
+    withRegistryStub(Map("orders-value" -> ("JSON", jsonSchema))) { base =>
+      val df = Seq((1L, """{"a":5,"b":"hi"}""")).toDF("id", "payload")
+      val out = Features.applySchemaInference(df, SchemaInference(
+        "payload", "parsed",
+        registryAddress = Some(base), registrySubject = Some("orders-value"),
+        registryClientId = Some("rk"), registryClientSecret = Some("rs")))
+      assert(out.selectExpr("parsed.a", "parsed.b")
+        .as[(Int, String)].collect().toSeq === Seq((5, "hi")))
+    }
+  }
+
+  test("registry client surfaces auth failures and missing subjects") {
+    withRegistryStub(Map.empty) { base =>
+      val bad = new graft.sources.SchemaRegistryClient(base, Some("rk"), Some("wrong"))
+      val e1 = intercept[graft.sources.SchemaRegistryRequestException](
+        bad.latestVersion("s"))
+      assert(e1.getMessage.contains("401"))
+      val ok = new graft.sources.SchemaRegistryClient(base, Some("rk"), Some("rs"))
+      val e2 = intercept[graft.sources.SchemaRegistryRequestException](
+        ok.latestVersion("nope"))
+      assert(e2.getMessage.contains("404"))
+    }
+  }
+
+  test("registry-fetched avro writer schema drives the avro decode path") {
+    val avroSchema =
+      """{"type":"record","name":"Rec","fields":[
+        | {"name":"a","type":"int"},{"name":"b","type":"string"}]}""".stripMargin
+    def encode(a: Int, b: String): Array[Byte] = {
+      val schema = new org.apache.avro.Schema.Parser().parse(avroSchema)
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("a", a); rec.put("b", b)
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema).write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+    withRegistryStub(Map("recs-value" -> ("AVRO", avroSchema))) { base =>
+      val client = new graft.sources.SchemaRegistryClient(base, Some("rk"), Some("rs"))
+      val fetched = client.latestVersion("recs-value")
+      assert(fetched.schemaType === "AVRO" && fetched.version === 3)
+      val df = Seq((1L, encode(9, "reg"))).toDF("id", "payload")
+      val out = Features.applyAvroDecode(df, "payload", "parsed",
+        fetched.schemaStr, "a INT, b STRING")
+      assert(out.selectExpr("parsed.a", "parsed.b")
+        .as[(Int, String)].collect().toSeq === Seq((9, "reg")))
+    }
+  }
 }
