@@ -27,6 +27,7 @@ object SourceRead {
 
   def readBatch(spark: SparkSession, in: InputConf): DataFrame = in.source match {
     case "graft" => ManagedTable(spark, in.path).read
+    case "kafka" => KafkaSource.readBatch(spark, KafkaSource.confFrom(in))
     case "excel" => ExcelSource.read(spark, in.path, ExcelSource.Options(
       sheet = in.options.get("sheet"),
       header = in.options.get("header").forall(_.toBoolean),
@@ -43,6 +44,8 @@ object SourceRead {
   }
 
   def readStream(spark: SparkSession, in: InputConf): DataFrame = {
+    if (in.source == "kafka")
+      return KafkaSource.readStream(spark, KafkaSource.confFrom(in))
     val opts = if (in.source == "csv") CsvDefaults ++ in.options else in.options
     var r = spark.readStream.format(in.source).options(opts)
     in.schemaDdl.foreach(ddl => r = r.schema(StructType.fromDDL(ddl)))
