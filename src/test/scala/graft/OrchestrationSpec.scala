@@ -50,6 +50,46 @@ class OrchestrationSpec extends SparkSpec {
     m.stop()
   }
 
+  test("webhook notification consumer posts events to the hook URL") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    server.createContext("/hook", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        received.put(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        ex.sendResponseHeaders(200, -1); ex.close()
+      }
+    })
+    server.createContext("/broken", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        received.put("broken-hit")
+        ex.sendResponseHeaders(500, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://localhost:${server.getAddress.getPort}"
+      val m = EventManager.started()
+      // no static message -> the event itself is serialized
+      m.subscribe("task_done", graft.events.Webhook.notificationHandler(s"$base/hook"))
+      // static message consumers post it verbatim (event/__init__.py:128)
+      m.subscribe("task_done",
+        graft.events.Webhook.notificationHandler(s"$base/hook", Some("""{"text":"done"}""")))
+      // failing hooks are contained, like the reference's warning path
+      m.subscribe("task_done", graft.events.Webhook.notificationHandler(s"$base/broken"))
+      m.push(Event("task_done", severity = "INFO", payload = Map("rows" -> "42")))
+      val bodies = (1 to 3).map(_ => received.poll(5, TimeUnit.SECONDS)).toSet
+      assert(bodies.contains("""{"text":"done"}"""))
+      assert(bodies.contains("broken-hit"))
+      val dynamic = bodies.find(b => b != null && b.contains("task_done")).get
+      assert(dynamic.contains(""""rows":"42""""))
+      m.stop()
+      // direct post raises on non-2xx like raise_for_status
+      intercept[graft.events.WebhookRequestException](
+        graft.events.Webhook.post(s"$base/broken", "{}"))
+    } finally server.stop(0)
+  }
+
   // --------------------------------------------------------- listeners
 
   test("query-execution listener persists plan records to the state store") {
