@@ -80,6 +80,7 @@ object Config {
       inputs: Seq[InputConf],
       executionClass: Option[String] = None,   // graft.task.Transform impl FQCN
       executionSql: Option[String] = None,     // or a SQL-text transform
+      executionCode: Option[String] = None,    // or Scala source evaluating to a Transform
       outputs: Seq[OutputConf],
       refreshPolicy: RefreshPolicy = RefreshPolicy(),
       stateLocation: Option[String] = None,
@@ -146,6 +147,7 @@ object Config {
       },
       executionClass = optStr(n, "execution_class"),
       executionSql = optStr(n, "execution_sql"),
+      executionCode = optStr(n, "execution_code"),
       outputs = Option(n.get("outputs")).map(_.elements().asScala.toSeq).getOrElse(Nil).map { o =>
         OutputConf(
           name = o.get("name").asText(),
@@ -178,8 +180,8 @@ object Config {
     if (t.name.isEmpty) errs += "task name empty"
     if (t.inputs.isEmpty) errs += "task has no inputs"
     if (t.outputs.isEmpty) errs += "task has no outputs"
-    if (t.executionClass.isEmpty && t.executionSql.isEmpty)
-      errs += "task has neither execution_class nor execution_sql"
+    if (t.executionClass.isEmpty && t.executionSql.isEmpty && t.executionCode.isEmpty)
+      errs += "task has neither execution_class nor execution_sql nor execution_code"
     val dupIn = t.inputs.groupBy(_.name).collect { case (k, v) if v.size > 1 => k }
     if (dupIn.nonEmpty) errs += s"duplicate input names: ${dupIn.mkString(",")}"
     val dupOut = t.outputs.groupBy(_.name).collect { case (k, v) if v.size > 1 => k }

@@ -13,11 +13,12 @@ import java.util.UUID
 
 /**
  * The execution-function surface (reference: the user-supplied Python fn,
- * core/execution/spark_task/execution_fn.py:8-196). Scala analogue: a class
- * implementing [[Transform]], resolved by fully-qualified name via
- * reflection (the "module" variant), or a SQL-text transform over the
- * inputs registered as temp views (replacing the exec-string variant,
- * which has no safe JVM analogue — SURVEY.md §2.6).
+ * core/execution/spark_task/execution_fn.py:8-196). Scala analogues for
+ * all three resolution modes: a class implementing [[Transform]] resolved
+ * by fully-qualified name via reflection (the "module" variant), a
+ * SQL-text transform over the inputs registered as temp views, or Scala
+ * source text toolbox-compiled to a Transform (the "body"/"file"
+ * exec-string variant — [[SparkTask.scalaTransform]]).
  */
 trait Transform {
   def apply(inputs: Map[String, DataFrame], args: Map[String, String]): Map[String, DataFrame]
@@ -70,6 +71,33 @@ object SparkTask {
       val spark = inputs.values.head.sparkSession
       inputs.foreach { case (n, df) => df.createOrReplaceTempView(n) }
       Map("default" -> spark.sql(sql))
+    }
+  }
+
+  /** Exec-a-string execution: Scala source text compiled at task-build
+    * time into a [[Transform]] — the JVM analogue of the reference's
+    * function-body variant (`exec(func_body)` then resolve the callable,
+    * execution_fn.py:181-196; the "file" variant at :158-178 is the same
+    * text read from disk). Uses the Scala toolbox (scala-compiler ships
+    * with Spark), so errors surface at build time with the compiler's
+    * message, mirroring ExecutionFuncInitializeError. The compiled code
+    * runs with full driver privileges, exactly like the reference's exec
+    * — the config author is trusted. */
+  def scalaTransform(code: String): Transform = {
+    import scala.tools.reflect.ToolBox
+    val tb = scala.reflect.runtime.universe
+      .runtimeMirror(getClass.getClassLoader).mkToolBox()
+    val value =
+      try tb.eval(tb.parse(code))
+      catch {
+        case e: Throwable => throw new IllegalArgumentException(
+          s"execution_code failed to compile/evaluate: ${e.getMessage}", e)
+      }
+    value match {
+      case t: Transform => t
+      case other => throw new IllegalArgumentException(
+        "execution_code must evaluate to a graft.task.Transform " +
+          s"(got ${if (other == null) "null" else other.getClass.getName})")
     }
   }
 
@@ -186,9 +214,11 @@ object SparkTask {
     val ctx = TaskContext(session, UUID.randomUUID().toString, state)
 
     val isStream = resolved.refreshPolicy.refreshType == "stream"
-    val transform = (resolved.executionClass, resolved.executionSql) match {
-      case (Some(c), _) => resolveTransform(c)
-      case (_, Some(sql)) => sqlTransform(sql)
+    val transform = (resolved.executionClass, resolved.executionSql,
+        resolved.executionCode) match {
+      case (Some(c), _, _) => resolveTransform(c)
+      case (_, Some(sql), _) => sqlTransform(sql)
+      case (_, _, Some(code)) => scalaTransform(code)
       case _ => throw new IllegalStateException("unreachable: validated above")
     }
 

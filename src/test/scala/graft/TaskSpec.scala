@@ -84,6 +84,41 @@ class TaskSpec extends SparkSpec {
     assert(ManagedTable(spark, sink).read.count() === 3)
   }
 
+  test("exec-a-string: toolbox-compiled Scala source runs as the execution fn") {
+    val srcDir = tmpDir("task_code_src")
+    data.write.parquet(srcDir)
+    val sink = tmpDir("task_code_sink")
+    val t = TaskConf("code",
+      inputs = Seq(InputConf("in1", srcDir, "parquet")),
+      executionCode = Some(
+        """new graft.task.SimpleTransform {
+          |  def transform(input: org.apache.spark.sql.DataFrame) =
+          |    input.filter("offset >= 20").withColumn("doubled",
+          |      org.apache.spark.sql.functions.col("offset") * 2)
+          |}""".stripMargin),
+      outputs = Seq(OutputConf("out1", sink, writeType = "overwrite")))
+    SparkTask.run(spark, t)
+    val back = ManagedTable(spark, sink).read
+    assert(back.select("id", "doubled").as[(Int, Int)].collect().toSet ===
+      Set((2, 40), (3, 60)))
+  }
+
+  test("exec-a-string failures surface at build time with the compiler message") {
+    // syntax/type errors -> ExecutionFuncInitializeError analogue
+    val bad = intercept[IllegalArgumentException](
+      SparkTask.scalaTransform("this is not scala }{"))
+    assert(bad.getMessage.contains("execution_code failed"))
+    // valid scala that is not a Transform -> clear type error
+    val notT = intercept[IllegalArgumentException](
+      SparkTask.scalaTransform("42"))
+    assert(notT.getMessage.contains("must evaluate to a graft.task.Transform"))
+    // validation requires one of the three execution modes
+    val errs = Config.validate(TaskConf("x",
+      inputs = Seq(InputConf("i", "/tmp/p", "parquet")),
+      outputs = Seq(OutputConf("o", "/tmp/q"))))
+    assert(errs.exists(_.contains("execution_code")))
+  }
+
   test("secrets template {{scope/key}} resolves in paths and options (test_batch.py:337)") {
     val srcDir = tmpDir("task_sec_src")
     data.write.parquet(srcDir)
