@@ -67,4 +67,128 @@ object DeployDescriptor {
   /** All pipelines of a project → (pipelineName → job document). */
   def projectJobs(project: Project, cluster: ClusterSpec = ClusterSpec()): Map[String, String] =
     project.pipelines.map(p => p.name -> jobJson(project, p, cluster)).toMap
+
+  // ---------------------------------------------------- terraform stack
+
+  /** Terraform resource-id sanitizer (databricks.py
+    * `replace_special_symbols`). */
+  private def rid(s: String): String = s.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /**
+   * Full Terraform stack for a project in Terraform's JSON syntax
+   * (`.tf.json`) — the declarative equivalent of the reference's CDKTF
+   * stack (databricks.py:248-420 data objects, :502-645 job workflow):
+   * a `databricks_catalog` variable, one `databricks_schema` per schema,
+   * `databricks_table` resources for tables (identity columns mapped to
+   * `identity = "default"`, partition columns, MANAGED vs EXTERNAL on
+   * location) and views (`table_type = "VIEW"` + `view_definition`),
+   * `databricks_volume` resources, and one `databricks_job` per pipeline
+   * with a shared job cluster and the task depends_on graph. Tables and
+   * volumes depend on their schema resource, exactly like the reference's
+   * `depends_on=[schema]`.
+   */
+  def terraformJson(project: Project, cluster: ClusterSpec = ClusterSpec(),
+                    taskConfDir: String = "/Workspace/graft/tasks"): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+
+    // variable "databricks_catalog" (databricks.py:261-263)
+    root.putObject("variable").putObject("databricks_catalog")
+      .put("type", "string")
+    val catalogRef = "${var.databricks_catalog}"
+
+    val resource = root.putObject("resource")
+    val schemas = resource.putObject("databricks_schema")
+    val tables = resource.putObject("databricks_table")
+    val volumes = resource.putObject("databricks_volume")
+
+    project.schemas.foreach { s =>
+      val sid = rid(s.name)
+      val sn = schemas.putObject(sid)
+      sn.put("name", s.name)
+      sn.put("catalog_name", catalogRef)
+
+      s.tables.foreach { t =>
+        val tn = tables.putObject(rid(s"${s.name}_${t.name}"))
+        tn.put("name", t.name)
+        tn.put("schema_name", s.name)
+        tn.put("catalog_name", catalogRef)
+        tn.put("table_type", if (t.location.isEmpty) "MANAGED" else "EXTERNAL")
+        tn.put("data_source_format", "DELTA")
+        t.location.foreach(tn.put("storage_location", _))
+        t.comment.foreach(tn.put("comment", _))
+        if (t.partitionBy.nonEmpty) {
+          val p = tn.putArray("partitions"); t.partitionBy.foreach(p.add)
+        }
+        if (t.properties.nonEmpty) {
+          val p = tn.putObject("properties")
+          t.properties.foreach { case (k, v) => p.put(k, v) }
+        }
+        val cols = tn.putArray("column")
+        t.columns.foreach { c =>
+          val cn = cols.addObject()
+          cn.put("name", c.name)
+          cn.put("type", if (c.identity) "bigint" else c.dataType)
+          cn.put("nullable", c.nullable)
+          c.comment.foreach(cn.put("comment", _))
+          if (c.identity) cn.put("identity", "default")
+        }
+        tn.putArray("depends_on").add(s"databricks_schema.$sid")
+      }
+
+      s.views.foreach { v =>
+        val vn = tables.putObject(rid(s"${s.name}_${v.name}"))
+        vn.put("name", v.name)
+        vn.put("schema_name", s.name)
+        vn.put("catalog_name", catalogRef)
+        vn.put("table_type", "VIEW")
+        vn.put("view_definition", v.query)
+        vn.putArray("depends_on").add(s"databricks_schema.$sid")
+      }
+
+      s.volumes.foreach { v =>
+        val vn = volumes.putObject(rid(s"${s.name}_${v.name}"))
+        vn.put("name", v.name)
+        vn.put("schema_name", s.name)
+        vn.put("catalog_name", catalogRef)
+        vn.put("volume_type", if (v.location.isEmpty) "MANAGED" else "EXTERNAL")
+        if (v.location.nonEmpty) vn.put("storage_location", v.location)
+        vn.putArray("depends_on").add(s"databricks_schema.$sid")
+      }
+    }
+
+    // one databricks_job per pipeline (databricks.py:502-645)
+    if (project.pipelines.nonEmpty) {
+      val jobs = resource.putObject("databricks_job")
+      project.pipelines.foreach { p =>
+        val jn = jobs.putObject(rid(s"${project.name}_${p.name}"))
+        jn.put("name", s"${project.name}/${p.name}")
+        val jc = jn.putArray("job_cluster").addObject()
+        jc.put("job_cluster_key", "main")
+        val nc = jc.putObject("new_cluster")
+        nc.put("spark_version", cluster.sparkVersion)
+        nc.put("node_type_id", cluster.nodeTypeId)
+        nc.put("num_workers", cluster.numWorkers)
+        if (cluster.sparkConf.nonEmpty) {
+          val sc = nc.putObject("spark_conf")
+          cluster.sparkConf.foreach { case (k, v) => sc.put(k, v) }
+        }
+        val tasks = jn.putArray("task")
+        p.tasks.foreach { t =>
+          val tn = tasks.addObject()
+          tn.put("task_key", t.name)
+          tn.put("job_cluster_key", "main")
+          val jar = tn.putObject("spark_jar_task")
+          jar.put("main_class_name", "graft.Cli")
+          val params = jar.putArray("parameters")
+          Seq("run", "-t", s"$taskConfDir/${t.name}.json").foreach(params.add)
+          if (t.dependsOn.nonEmpty) {
+            val deps = tn.putArray("depends_on")
+            t.dependsOn.foreach(d => deps.addObject().put("task_key", d))
+          }
+        }
+      }
+    }
+    m.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
 }

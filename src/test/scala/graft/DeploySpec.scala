@@ -39,4 +39,55 @@ class DeploySpec extends org.scalatest.funsuite.AnyFunSuite {
     val jobs = DeployDescriptor.projectJobs(project)
     assert(jobs.keySet === Set("daily"))
   }
+
+  test("terraform stack renders catalog var, data objects, and the job graph") {
+    val full = ProjectContract.parse(
+      """{"name": "proj",
+        | "schemas": [{"name": "core", "tables": [
+        |   {"name": "dim", "comment": "dim table",
+        |    "columns": [{"name": "sk", "type": "bigint", "identity": true},
+        |                {"name": "d", "type": "date"}],
+        |    "partition_by": ["d"]},
+        |   {"name": "ext", "location": "s3://bucket/ext",
+        |    "columns": [{"name": "x", "type": "int"}]}],
+        |  "views": [{"name": "v1", "query": "SELECT sk FROM dim"}],
+        |  "volumes": [{"name": "raw", "location": "s3://bucket/raw"}]}],
+        | "pipelines": [{"name": "daily", "tasks": [
+        |   {"name": "extract",
+        |    "inputs": [{"name":"i","path":"/tmp/i","source":"parquet"}],
+        |    "execution_sql": "SELECT 1",
+        |    "outputs": [{"name":"o","path":"/tmp/o","write_type":"append"}]},
+        |   {"name": "load", "depends_on": ["extract"],
+        |    "inputs": [{"name":"i","path":"/tmp/o","source":"graft"}],
+        |    "execution_sql": "SELECT 1",
+        |    "outputs": [{"name":"o2","path":"/tmp/o2","write_type":"append"}]}]}]}"""
+        .stripMargin)
+    val n = new ObjectMapper().readTree(DeployDescriptor.terraformJson(full))
+
+    assert(n.get("variable").get("databricks_catalog").get("type").asText() === "string")
+    val res = n.get("resource")
+    assert(res.get("databricks_schema").get("core").get("name").asText() === "core")
+
+    val dim = res.get("databricks_table").get("core_dim")
+    assert(dim.get("catalog_name").asText() === "${var.databricks_catalog}")
+    assert(dim.get("table_type").asText() === "MANAGED")
+    assert(dim.get("partitions").get(0).asText() === "d")
+    assert(dim.get("depends_on").get(0).asText() === "databricks_schema.core")
+    // identity column maps to identity="default" like the reference
+    val sk = dim.get("column").get(0)
+    assert(sk.get("identity").asText() === "default" && sk.get("type").asText() === "bigint")
+
+    assert(res.get("databricks_table").get("core_ext").get("table_type").asText() === "EXTERNAL")
+    val view = res.get("databricks_table").get("core_v1")
+    assert(view.get("table_type").asText() === "VIEW")
+    assert(view.get("view_definition").asText() === "SELECT sk FROM dim")
+    assert(res.get("databricks_volume").get("core_raw").get("volume_type").asText() === "EXTERNAL")
+
+    val job = res.get("databricks_job").get("proj_daily")
+    assert(job.get("job_cluster").get(0).get("new_cluster").get("spark_version").asText().nonEmpty)
+    val tasks = job.get("task")
+    assert(tasks.size() === 2)
+    assert(tasks.get(0).get("job_cluster_key").asText() === "main")
+    assert(tasks.get(1).get("depends_on").get(0).get("task_key").asText() === "extract")
+  }
 }
