@@ -149,4 +149,73 @@ object RemoteFileOps {
       "recursiveFileLookup" -> "true")
     spark.read.options(defaults ++ options).csv(dir)
   }
+
+  /**
+   * Distributed fetch — the 100 TB shape of [[fetchFiles]]. The driver
+   * resolves the file list (metadata only); the DOWNLOADS run on
+   * executors, each partition opening its own connection via
+   * `clientFactory` (connections aren't serializable; factories are) and
+   * staging into `targetDir` through the Hadoop FileSystem — a shared FS
+   * (HDFS/S3A) on a real cluster, so the subsequent Spark read scans the
+   * staged dir from every executor. The reference's driver-side loop
+   * (file_source.py:145-172) serializes on one machine's NIC; ten
+   * thousand remote files at gigabyte scale need exactly this fan-out.
+   *
+   * Staged names flatten the remote path (`/` → `__`) so same-named
+   * files from different remote dirs cannot collide. Zip archives are
+   * decompressed executor-side; only entries matching `extension` are
+   * staged. Returns the staged dir.
+   */
+  def fetchFilesDistributed(spark: org.apache.spark.sql.SparkSession,
+                            clientFactory: () => RemoteFileClient,
+                            pathSpec: String, extension: String,
+                            targetDir: String,
+                            parallelism: Int = 16): String = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val driverClient = clientFactory()
+    val files =
+      try filesList(driverClient, wildcardResolution(driverClient, pathSpec))
+        .map(_.path)
+        .filter(p => p.endsWith(extension) || p.endsWith(".zip"))
+      finally driverClient.close()
+    if (files.isEmpty)
+      throw new FileOps.NoSourceData(
+        s"no '$extension' files matched $pathSpec on the remote")
+
+    val slices = math.max(1, math.min(parallelism, files.size))
+    val staged = spark.sparkContext.parallelize(files, slices)
+      .mapPartitions { paths =>
+        val client = clientFactory()
+        // fresh per-executor conf: driver conf isn't serializable here and
+        // defaults resolve the same shared FS from core-site on a cluster
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        try {
+          val target = new HPath(targetDir)
+          val fs: FileSystem = target.getFileSystem(conf)
+          fs.mkdirs(target)
+          paths.foreach { p =>
+            val flat = p.stripPrefix("/").replace("/", "__")
+            val local = Files.createTempDirectory("graft_dfetch").resolve(flat)
+            client.download(p, local)
+            if (p.endsWith(".zip")) {
+              val exDir = local.getParent.resolve(flat.stripSuffix(".zip"))
+              FileOps.unzip(local.toString, exDir.toString)
+                .filter(_.endsWith(extension)).foreach { e =>
+                  val name = s"${flat.stripSuffix(".zip")}__${Paths.get(e).getFileName}"
+                  fs.moveFromLocalFile(new HPath(e), new HPath(target, name))
+                  out += name
+                }
+            } else {
+              fs.moveFromLocalFile(new HPath(local.toString), new HPath(target, flat))
+              out += flat
+            }
+          }
+        } finally client.close()
+        out.iterator
+      }.collect()
+    require(staged.nonEmpty,
+      s"distributed fetch staged no '$extension' files from $pathSpec")
+    targetDir
+  }
 }

@@ -26,15 +26,21 @@ class RemoteFileSourcesSpec extends SparkSpec {
     val port: Int = server.getLocalPort
     @volatile private var running = true
 
+    // one thread per connection: executor-side distributed fetch opens
+    // several concurrent channels
     private val thread = new Thread(() => {
       while (running) {
         try {
           val sock = server.accept()
-          val din = new DataInputStream(sock.getInputStream)
-          val dout = new DataOutputStream(sock.getOutputStream)
-          try serveOne(din, dout)
-          catch { case _: Exception => () }
-          finally sock.close()
+          val t = new Thread(() => {
+            val din = new DataInputStream(sock.getInputStream)
+            val dout = new DataOutputStream(sock.getOutputStream)
+            try serveOne(din, dout)
+            catch { case _: Exception => () }
+            finally sock.close()
+          })
+          t.setDaemon(true)
+          t.start()
         } catch { case _: Exception => () }
       }
     })
@@ -237,6 +243,34 @@ class RemoteFileSourcesSpec extends SparkSpec {
         .option("recursiveFileLookup", "true").csv(dir)
       assert(df.collect().map(_.getString(0)).toSeq === Seq("9"))
     }
+  }
+
+  test("sftp: distributed fetch downloads on executors with per-partition connections") {
+    val root = Files.createTempDirectory("sftp_dist_root")
+    val server = new SftpStubServer(root)
+    try {
+      Files.createDirectories(root.resolve("in/a"))
+      Files.createDirectories(root.resolve("in/b"))
+      // same file name in two remote dirs — flattened names must not collide
+      Files.write(root.resolve("in/a/part.csv"), "id,v\n1,x\n".getBytes)
+      Files.write(root.resolve("in/b/part.csv"), "id,v\n2,y\n".getBytes)
+      (0 until 6).foreach(i =>
+        Files.write(root.resolve(s"in/f$i.csv"), s"id,v\n${10 + i},z$i\n".getBytes))
+      val target = tmpDir("dist_fetch_target")
+      // factory captures only the port — serializable into executor tasks
+      val port = server.port
+      val dir = RemoteFileOps.fetchFilesDistributed(spark,
+        () => new SftpClient(SftpChannel.tcp("localhost", port)),
+        "/in", ".csv", target, parallelism = 4)
+      val df = spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(dir)
+      import spark.implicits._
+      assert(df.as[(Int, String)].collect().toSet === Set(
+        (1, "x"), (2, "y")) ++ (0 until 6).map(i => (10 + i, s"z$i")))
+      // both same-named files survived under distinct flattened names
+      val names = new java.io.File(target).list().toSet
+      assert(names.contains("in__a__part.csv") && names.contains("in__b__part.csv"))
+    } finally server.close()
   }
 
   // ---------------------------------------------------------------------
