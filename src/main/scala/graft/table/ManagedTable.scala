@@ -106,12 +106,16 @@ final class ManagedTable(spark: SparkSession, root: String) {
   }
 
   /** Snapshot as of a specific version (time travel over the commit log —
-    * old versions' dirs are never mutated, only de-referenced). */
+    * old versions' dirs are never mutated, only de-referenced; [[vacuum]]
+    * prunes the oldest). */
   def readAt(version: Long): DataFrame = {
     val latest = latestVersion.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
-    require(version >= 0 && version <= latest,
-      s"version $version of $root does not exist (latest version is $latest)")
+    val earliest = earliestVersion.get
+    require(version >= earliest && version <= latest,
+      s"version $version of $root does not exist (retained versions are " +
+        s"[$earliest,$latest]" +
+        (if (earliest > 0) " — older versions were vacuumed)" else ")"))
     val c = commitAt(version)
     readDirs(c.dirs, StructType.fromDDL(c.schemaDdl))
   }
@@ -451,6 +455,44 @@ final class ManagedTable(spark: SparkSession, root: String) {
     commit
   }
 
+  /**
+   * Prune table history to the newest `keepLast` versions — the
+   * Delta-VACUUM analogue a copy-on-write table needs at scale: every
+   * replace/merge de-references its predecessor's dirs, and without
+   * retention a 100 TB table holds every version's bytes forever.
+   *
+   * Deletes (a) the pruned commit-log entries, (b) data-dir roots
+   * referenced ONLY by pruned commits — a root is retained whole if any
+   * kept commit references it or any partition subdir of it (selective
+   * overwrites keep untouched partitions by subdir reference, so
+   * retention is conservative at root granularity), and (c) pruned
+   * commits' change dirs. Time travel and change feeds older than the
+   * new [[earliestVersion]] fail loudly afterwards, as in Delta.
+   */
+  def vacuum(keepLast: Int): ManagedTable.VacuumStats = synchronized {
+    import ManagedTable.VacuumStats
+    require(keepLast >= 1, "vacuum must keep at least one version")
+    val versions = listVersions.sorted
+    if (versions.size <= keepLast) return VacuumStats(0, 0, 0)
+    val (drop, keep) = versions.splitAt(versions.size - keepLast)
+    val keepCommits = readCommits(keep)
+    val dropCommits = readCommits(drop)
+
+    val keptRoots = keepCommits.flatMap(_.dirs).map(ManagedTable.dataDirRoot).toSet
+    val keptChange = keepCommits.flatMap(_.changeDir).toSet
+    val deadRoots = dropCommits.flatMap(_.dirs).map(ManagedTable.dataDirRoot)
+      .toSet -- keptRoots
+    val deadChange = dropCommits.flatMap(_.changeDir).toSet -- keptChange
+
+    // delete the log entries FIRST: a crash mid-vacuum then leaves orphan
+    // data dirs (harmless; a later vacuum of any version sweeps nothing,
+    // but no retained commit ever points at deleted data), never a live
+    // commit referencing missing files
+    drop.foreach(v => fs.delete(new Path(logPath, f"$v%012d.json"), false))
+    (deadRoots ++ deadChange).foreach(d => fs.delete(new Path(d), true))
+    VacuumStats(drop.size, deadRoots.size, deadChange.size)
+  }
+
   /** Test-visible so specs can fabricate large commit logs without paying
     * a Spark write job per version. */
   private[graft] def writeCommit(c: Commit): Unit = {
@@ -469,6 +511,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
 
 object ManagedTable {
   private val CommitFile: Regex = """(\d{12})\.json""".r
+
+  final case class VacuumStats(prunedVersions: Int, deletedDataDirs: Int,
+                               deletedChangeDirs: Int)
 
   /** Change-data format with `_commit_version`/`_commit_timestamp` stamped
     * into the change parquet at commit time (readable as one multi-path

@@ -207,6 +207,44 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.earliestVersion === Some(0L) && t.latestVersion === Some(999L))
   }
 
+  test("vacuum prunes history, deletes only dead dirs, keeps selective-overwrite subdir refs") {
+    val path = tmpDir("mt_vacuum")
+    val t = ManagedTable(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    def dirExists(d: String) = fs.exists(new org.apache.hadoop.fs.Path(d))
+
+    // v0: partitioned base; v1: replace (de-references v0's dir);
+    // v2: selective overwrite (references SUBDIRS of v1's dir); v3: append
+    t.write(Seq((1, "a", "p1"), (2, "b", "p2")).toDF("id", "v", "p"),
+      "APPEND", "append", partitionBy = Seq("p"))
+    t.write(Seq((1, "a2", "p1"), (2, "b2", "p2")).toDF("id", "v", "p"),
+      "OVERWRITE", "replace", partitionBy = Seq("p"))
+    t.selectiveOverwrite(Seq((1, "a3", "p1")).toDF("id", "v", "p"), Seq("p"))
+    t.write(Seq((3, "c", "p3")).toDF("id", "v", "p"), "APPEND", "append",
+      partitionBy = Seq("p"))
+    val v0Dir = t.commitAt(0).dirs.head
+    val v1Dir = t.commitAt(1).dirs.head // whole dir, later referenced by subdir
+
+    val before = t.read.as[(Int, String, String)].collect().toSet
+    val stats = t.vacuum(keepLast = 2) // keep v2, v3
+    assert(stats.prunedVersions === 2)
+    assert(t.earliestVersion === Some(2L) && t.latestVersion === Some(3L))
+    // v0's dir is dead; v1's dir root survives because v2/v3 reference
+    // its untouched-partition SUBDIRS
+    assert(!dirExists(v0Dir))
+    assert(dirExists(v1Dir)) // v1's dirs.head is the whole data-dir root
+    // current + retained time travel read identically
+    assert(t.read.as[(Int, String, String)].collect().toSet === before)
+    assert(t.readAt(2).count() === 2)
+    // pruned versions fail loudly with the vacuum hint
+    val e = intercept[IllegalArgumentException](t.readAt(0))
+    assert(e.getMessage.contains("vacuumed"))
+    // idempotent when nothing to prune; keepLast >= 1 enforced
+    assert(t.vacuum(2) === ManagedTable.VacuumStats(0, 0, 0))
+    intercept[IllegalArgumentException](t.vacuum(0))
+  }
+
   test("old versions remain readable after replace (MVCC-ish)") {
     val path = tmpDir("mt_mvcc")
     val t = ManagedTable(spark, path)
