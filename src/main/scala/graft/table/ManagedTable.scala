@@ -102,7 +102,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
   def read: DataFrame = {
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
-    readDirs(c.dirs, StructType.fromDDL(c.schemaDdl))
+    readDirs(c.dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty)
   }
 
   /** Snapshot as of a specific version (time travel over the commit log —
@@ -117,24 +117,34 @@ final class ManagedTable(spark: SparkSession, root: String) {
         s"[$earliest,$latest]" +
         (if (earliest > 0) " — older versions were vacuumed)" else ")"))
     val c = commitAt(version)
-    readDirs(c.dirs, StructType.fromDDL(c.schemaDdl))
+    readDirs(c.dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty)
   }
 
   /** Read a commit's dir composition. Dirs may be whole data dirs or
     * partition subdirs (after a [[selectiveOverwrite]]); subdirs are read
     * with `basePath` grouped by their data-dir root so partition columns
-    * survive. */
-  private def readDirs(dirs: Seq[String], schema: StructType): DataFrame =
+    * survive. `partitioned` (recorded in the commit) forces whole dirs
+    * into one read-with-basePath PER dir: several partitioned roots in a
+    * single multi-path scan make Spark's partition discovery raise
+    * CONFLICTING_DIRECTORY_STRUCTURES (and a basePath can't span roots).
+    * Unpartitioned compositions keep the single multi-path scan. */
+  private def readDirs(dirs: Seq[String], schema: StructType,
+                       partitioned: Boolean = false): DataFrame =
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       val (subdirs, whole) = dirs.partition(d => ManagedTable.dataDirRoot(d) != d)
-      val frames =
-        // one multi-path relation for all whole dirs (not an N-deep union)
-        (if (whole.nonEmpty) Seq(spark.read.schema(schema).parquet(whole: _*)) else Nil) ++
-          subdirs.groupBy(ManagedTable.dataDirRoot).map { case (base, ds) =>
-            spark.read.option("basePath", base).schema(schema).parquet(ds: _*)
-          }
+      val wholeFrames =
+        if (whole.isEmpty) Nil
+        else if (partitioned && whole.size > 1)
+          whole.map(d => spark.read.option("basePath", d).schema(schema).parquet(d))
+        else
+          // one multi-path relation for all whole dirs (not an N-deep union)
+          Seq(spark.read.schema(schema).parquet(whole: _*))
+      val frames = wholeFrames ++
+        subdirs.groupBy(ManagedTable.dataDirRoot).map { case (base, ds) =>
+          spark.read.option("basePath", base).schema(schema).parquet(ds: _*)
+        }
       frames.reduce(_ unionByName _)
     }
 
@@ -244,6 +254,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
     // the file path upward against the (small, driver-built) dir map. A
     // UDF keeps the lookup out of the plan (no thousand-entry map literal
     // repeated per column) at the cost of codegen on these scans only.
+    // several whole partitioned roots can't share one multi-path scan
+    // (see readDirs) — partitioned-ness of any commit in range applies
+    val anyPartitioned = fetched.values.exists(_.partitionBy.nonEmpty)
+
     def stamped(bySchema: mutable.LinkedHashMap[String, mutable.Buffer[String]],
                 stamps: mutable.Map[String, (Long, java.sql.Timestamp)],
                 changeType: String): Seq[DataFrame] = {
@@ -261,7 +275,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         hit
       }
       bySchema.map { case (ddl, dirs) =>
-        readDirs(dirs.toSeq, StructType.fromDDL(ddl))
+        readDirs(dirs.toSeq, StructType.fromDDL(ddl), anyPartitioned)
           .withColumn("_change_type", lit(changeType))
           .withColumn("__graft_stamp__", stampOf(input_file_name()))
           .withColumn("_commit_version", col("__graft_stamp__._1"))
@@ -342,7 +356,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val commit = Commit(version, operation, tsMs, dirs,
       Map("numOutputRows" -> numRows.toString), userMetadata,
       df.schema.toDDL, readVersion, changeDir,
-      changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0)
+      changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
+      partitionBy = partitionBy)
     writeCommit(commit)
     commit
   }
@@ -393,21 +408,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         org.apache.spark.sql.functions.lit(1)).as("rows"))
       .write.mode("overwrite").partitionBy(partitionBy: _*).parquet(dataDir.toString)
 
-    // partition subdirs of the new data as relative paths like "p=1/q=a"
-    // (built from the trailing path segments — FS listings return
-    // scheme-qualified paths, so string-prefix stripping is unreliable)
-    def partitionSubdirs(base: Path): Seq[String] = {
-      def walk(p: Path, depth: Int): Seq[Path] =
-        if (depth == partitionBy.size) Seq(p)
-        else fs.listStatus(p).toSeq.filter(_.isDirectory)
-          .filter(!_.getPath.getName.startsWith("_"))
-          .flatMap(st => walk(st.getPath, depth + 1))
-      walk(base, 0).map { p =>
-        (0 until partitionBy.size).foldLeft((p, List.empty[String])) {
-          case ((cur, acc), _) => (cur.getParent, cur.getName :: acc)
-        }._2.mkString("/")
-      }
-    }
+    def partitionSubdirs(base: Path): Seq[String] =
+      partitionSubdirsOf(base, partitionBy.size)
     val replaced = partitionSubdirs(dataDir).toSet
     // partition-layout sanity: every relative path must be col=value
     // segments for exactly the declared partition columns, in order —
@@ -450,7 +452,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       kept ++ newDirs, Map("numOutputRows" -> numRows.toString,
         "replacedPartitions" -> replaced.size.toString),
       userMetadata, df.schema.toDDL, readVersion, changeDir,
-      changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0)
+      changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
+      partitionBy = partitionBy)
     writeCommit(commit)
     commit
   }
@@ -491,6 +494,68 @@ final class ManagedTable(spark: SparkSession, root: String) {
     drop.foreach(v => fs.delete(new Path(logPath, f"$v%012d.json"), false))
     (deadRoots ++ deadChange).foreach(d => fs.delete(new Path(d), true))
     VacuumStats(drop.size, deadRoots.size, deadChange.size)
+  }
+
+  /** Partition subdirs of a data dir as relative paths like "p=1/q=a"
+    * (built from the trailing path segments — FS listings return
+    * scheme-qualified paths, so string-prefix stripping is unreliable). */
+  private def partitionSubdirsOf(base: Path, nCols: Int): Seq[String] = {
+    def walk(p: Path, depth: Int): Seq[Path] =
+      if (depth == nCols) Seq(p)
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .filter(!_.getPath.getName.startsWith("_"))
+        .flatMap(st => walk(st.getPath, depth + 1))
+    walk(base, 0).map { p =>
+      (0 until nCols).foldLeft((p, List.empty[String])) {
+        case ((cur, acc), _) => (cur.getParent, cur.getName :: acc)
+      }._2.mkString("/")
+    }
+  }
+
+  /**
+   * Compact fragmented partitions — the OPTIMIZE analogue. Repeated
+   * appends/merges leave a partition's rows spread over many small files
+   * across many commit dirs; small files are the classic parquet-scan
+   * killer at scale (one task per file, footer overhead per file).
+   *
+   * Partition-scoped by construction: an FS-metadata pass counts data
+   * files per relative partition path across the whole current
+   * composition, partitions with at least `minFiles` files are read back
+   * (only those — O(fragmented partitions) IO, not a table rewrite),
+   * clustered one-file-per-partition via `repartition(partition cols)`,
+   * and committed through [[selectiveOverwrite]] so untouched partitions
+   * carry over by reference. Returns None when nothing is fragmented.
+   */
+  def compact(partitionBy: Seq[String], minFiles: Int = 2): Option[Commit] = {
+    require(partitionBy.nonEmpty, "compact requires partition columns")
+    require(minFiles >= 2, "compacting below 2 files per partition is a no-op")
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+
+    // (relative partition path) -> source subdir paths across the snapshot
+    val byPartition = c.dirs.flatMap { d =>
+      val base = ManagedTable.dataDirRoot(d)
+      if (base == d) partitionSubdirsOf(new Path(d), partitionBy.size)
+        .map(rel => rel -> s"$d/$rel")
+      else Seq(d.stripPrefix(base).stripPrefix("/") -> d)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+    def dataFileCount(dirs: Seq[String]): Int = dirs.map { d =>
+      fs.listStatus(new Path(d)).count(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+    }.sum
+
+    val fragmented = byPartition.filter { case (_, dirs) =>
+      dataFileCount(dirs) >= minFiles
+    }
+    if (fragmented.isEmpty) return None
+
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val frag = readDirs(fragmented.values.flatten.toSeq, schema)
+      .repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    Some(selectiveOverwrite(frag, partitionBy,
+      operation = s"OPTIMIZE(${fragmented.size} partitions)"))
   }
 
   /** Test-visible so specs can fabricate large commit logs without paying
@@ -542,7 +607,8 @@ object ManagedTable {
       schemaDdl: String,
       readVersion: Long,
       changeDir: Option[String] = None,
-      changeFormat: Int = 0) {
+      changeFormat: Int = 0,
+      partitionBy: Seq[String] = Nil) {
 
     def toJson: String = {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -558,6 +624,9 @@ object ManagedTable {
       node.put("readVersion", readVersion)
       changeDir.foreach(node.put("changeDir", _))
       if (changeDir.isDefined) node.put("changeFormat", changeFormat)
+      if (partitionBy.nonEmpty) {
+        val pb = node.putArray("partitionBy"); partitionBy.foreach(pb.add)
+      }
       m.writerWithDefaultPrettyPrinter().writeValueAsString(node)
     }
   }
@@ -580,7 +649,9 @@ object ManagedTable {
         readVersion = n.get("readVersion").asLong(),
         changeDir = Option(n.get("changeDir")).map(_.asText()),
         // absent in logs written before format stamping → legacy format 0
-        changeFormat = Option(n.get("changeFormat")).map(_.asInt()).getOrElse(0))
+        changeFormat = Option(n.get("changeFormat")).map(_.asInt()).getOrElse(0),
+        partitionBy = Option(n.get("partitionBy"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
     }
   }
 

@@ -245,6 +245,36 @@ class ManagedTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.vacuum(0))
   }
 
+  test("compact rewrites only fragmented partitions, one file each") {
+    val path = tmpDir("mt_compact")
+    val t = ManagedTable(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    // p1 fragments across three append commits; p2 stays single-file
+    t.write(Seq((1, "a", "p1"), (9, "z", "p2")).toDF("id", "v", "p"),
+      "APPEND", "append", partitionBy = Seq("p"))
+    t.write(Seq((2, "b", "p1")).toDF("id", "v", "p"), "APPEND", "append",
+      partitionBy = Seq("p"))
+    t.write(Seq((3, "c", "p1")).toDF("id", "v", "p"), "APPEND", "append",
+      partitionBy = Seq("p"))
+    val before = t.read.as[(Int, String, String)].collect().toSet
+    val p2Subdir = s"${t.commitAt(0).dirs.head}/p=p2"
+
+    val c = t.compact(Seq("p"), minFiles = 2).get
+    assert(c.operation.startsWith("OPTIMIZE"))
+    assert(t.read.as[(Int, String, String)].collect().toSet === before)
+    // untouched p2 carried over by reference to its ORIGINAL subdir
+    assert(c.dirs.contains(p2Subdir))
+    // compacted p1 is one file in one new subdir
+    val p1Dirs = c.dirs.filter(_.endsWith("p=p1"))
+    assert(p1Dirs.size === 1 && !p1Dirs.head.startsWith(t.commitAt(0).dirs.head))
+    val p1Files = fs.listStatus(new org.apache.hadoop.fs.Path(p1Dirs.head))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    assert(p1Files.length === 1)
+    // second compaction finds nothing fragmented
+    assert(t.compact(Seq("p"), minFiles = 2).isEmpty)
+  }
+
   test("old versions remain readable after replace (MVCC-ish)") {
     val path = tmpDir("mt_mvcc")
     val t = ManagedTable(spark, path)
