@@ -210,6 +210,43 @@ object Queries {
        | CASE WHEN n_regionkey < 2 THEN '$T0' ELSE '$T1' END AS __metadata_valid_to_ts__
        |FROM nation""".stripMargin
 
+  /**
+   * Table maintenance: three partitioned appends fragment every
+   * nation-key partition, `compact` rewrites the fragmented partitions
+   * one-file-per-partition through a selective-overwrite commit, and
+   * `vacuum` prunes the pre-compaction history. The rows the oracle sees
+   * must be byte-for-byte unaffected by either operation. In-query hard
+   * checks: the OPTIMIZE commit exists, history really was pruned, and
+   * every touched partition really holds one file.
+   */
+  def tableMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("maint")
+    val customer = pq(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    def slice(f: Column) = customer.filter(f)
+    val o = WriteOptions(now = Some(T0))
+    val part = Seq("c_nationkey")
+    Writers.append(spark, path, slice(col("c_custkey") % 3 === 0), o, partitionBy = part)
+    Writers.append(spark, path, slice(col("c_custkey") % 3 === 1), o, partitionBy = part)
+    Writers.append(spark, path, slice(col("c_custkey") % 3 === 2), o, partitionBy = part)
+    val t = ManagedTable(spark, path)
+    val optimized = t.compact(part, minFiles = 2).getOrElse(
+      throw new IllegalStateException("3-way fragmented table must compact"))
+    require(optimized.operation.startsWith("OPTIMIZE"),
+      s"expected OPTIMIZE commit, got ${optimized.operation}")
+    val stats = t.vacuum(keepLast = 1)
+    require(stats.prunedVersions == 3 && t.earliestVersion.contains(3L),
+      s"vacuum must prune the 3 pre-compaction versions, got $stats")
+    t.read.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      col("c_nationkey").cast("int").as("c_nationkey"),
+      col(Meta.ValidToTs).cast("string").as(Meta.ValidToTs))
+  }
+
+  val tableMaintenanceSql: String =
+    s"""SELECT c_custkey, c_name, c_mktsegment, CAST(c_nationkey AS INT) AS c_nationkey,
+       | '$T0' AS __metadata_valid_to_ts__
+       |FROM customer""".stripMargin
+
   /** Overwrite replaces the whole snapshot: second write wins. */
   def overwriteManaged(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("overwrite")

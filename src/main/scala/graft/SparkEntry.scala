@@ -33,6 +33,7 @@ object SparkEntry {
     "append_basic" -> (Queries.appendBasic(_, _)),
     "append_managed" -> (Queries.appendManaged(_, _)),
     "overwrite_managed" -> (Queries.overwriteManaged(_, _)),
+    "table_maintenance" -> (Queries.tableMaintenance(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_partitioned" -> (Queries.scd1Partitioned(_, _)),
@@ -100,6 +101,7 @@ object SparkEntry {
     "append_basic" -> Queries.appendBasicSql,
     "append_managed" -> Queries.appendManagedSql,
     "overwrite_managed" -> Queries.overwriteManagedSql,
+    "table_maintenance" -> Queries.tableMaintenanceSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_partitioned" -> Queries.scd1PartitionedSql,
