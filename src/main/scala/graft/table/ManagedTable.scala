@@ -348,18 +348,40 @@ final class ManagedTable(spark: SparkSession, root: String) {
       .parquet(dataDir)
     val numRows = obs.get("rows").asInstanceOf[Long]
     val changeDir = changeData.map(writeChangeData(version, tsMs, _))
-    val dirs = mode match {
-      case "append"  => prev.map(_.dirs).getOrElse(Nil) :+ dataDir
-      case "replace" => Seq(dataDir)
-      case other     => throw new IllegalArgumentException(s"mode $other")
+    def commitFor(base: Option[Commit]): Commit = {
+      val rv = base.map(_.version).getOrElse(-1L)
+      val dirs = mode match {
+        case "append"  => base.map(_.dirs).getOrElse(Nil) :+ dataDir
+        case "replace" => Seq(dataDir)
+        case other     => throw new IllegalArgumentException(s"mode $other")
+      }
+      Commit(rv + 1L, operation, tsMs, dirs,
+        Map("numOutputRows" -> numRows.toString), userMetadata,
+        df.schema.toDDL, rv, changeDir,
+        changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
+        partitionBy = partitionBy)
     }
-    val commit = Commit(version, operation, tsMs, dirs,
-      Map("numOutputRows" -> numRows.toString), userMetadata,
-      df.schema.toDDL, readVersion, changeDir,
-      changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
-      partitionBy = partitionBy)
-    writeCommit(commit)
-    commit
+    val first = commitFor(prev)
+    try { writeCommit(first); first }
+    catch {
+      case e: ConcurrentCommitException if mode == "append" =>
+        // optimistic retry, Delta-style: an APPEND is commutative with any
+        // concurrent commit — recompute the composition against the new
+        // latest and re-publish the already-written data dir (the dir
+        // name keeps the attempt's version stamp; only the log matters).
+        // Non-commutative modes (replace/merge) must surface the conflict.
+        var attempts = 0
+        var done: Commit = null
+        var lastErr: ConcurrentCommitException = e
+        while (done == null && attempts < 10) {
+          attempts += 1
+          val retry = commitFor(lastCommit)
+          try { writeCommit(retry); done = retry }
+          catch { case e2: ConcurrentCommitException => lastErr = e2 }
+        }
+        if (done == null) throw lastErr
+        done
+    }
   }
 
   /** Stamp + persist a per-row change set for a commit (see [[write]]). */
@@ -566,9 +588,12 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val out = fs.create(tmp, true)
     try out.write(c.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val finalPath = new Path(logPath, f"${c.version}%012d.json")
-    if (!fs.rename(tmp, finalPath)) {
+    // rename-if-absent is the atomic publication on HDFS; object stores /
+    // local FS may allow overwriting renames, so the existence probe
+    // narrows (not closes) the race there — same best-effort as before
+    if (fs.exists(finalPath) || !fs.rename(tmp, finalPath)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new ConcurrentCommitException(
         s"concurrent commit detected for version ${c.version} of $root")
     }
   }
@@ -576,6 +601,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
 
 object ManagedTable {
   private val CommitFile: Regex = """(\d{12})\.json""".r
+
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
 
   final case class VacuumStats(prunedVersions: Int, deletedDataDirs: Int,
                                deletedChangeDirs: Int)

@@ -180,6 +180,46 @@ class ManagedTableSpec extends SparkSpec {
     assert(deletes === (0 until 6).map(i => (i, 6L)).toSet)
   }
 
+  test("concurrent appends all land via optimistic retry; no lost updates") {
+    val path = tmpDir("mt_concurrent")
+    ManagedTable(spark, path).write(Seq((0, "base")).toDF("id", "v"), "APPEND", "append")
+    // separate instances: the per-instance lock does NOT serialize them,
+    // so version claims race and the rename guard + retry must resolve it
+    val n = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[Unit]] = (1 to n).map { i =>
+        () => {
+          ManagedTable(spark, path)
+            .write(Seq((i, s"w$i")).toDF("id", "v"), "APPEND", "append")
+          ()
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+    } finally pool.shutdown()
+    val t = ManagedTable(spark, path)
+    assert(t.latestVersion === Some(n.toLong)) // contiguous versions, none lost
+    assert(t.read.select("id").as[Int].collect().toSet === (0 to n).toSet)
+    assert(t.lastCommit.get.dirs.size === n + 1)
+  }
+
+  test("replace conflicts surface instead of retrying (non-commutative)") {
+    val path = tmpDir("mt_conflict")
+    val t = ManagedTable(spark, path)
+    t.write(Seq(1).toDF("id"), "APPEND", "append")
+    // occupy the version a stale writer will claim
+    val c1 = ManagedTable.Commit(1L, "APPEND", 2L, t.commitAt(0).dirs,
+      Map.empty, None, "`id` INT", 0L)
+    val stale = ManagedTable(spark, path) // reads latest=0 at write start
+    // force the race deterministically: pre-write v1 between stale's read
+    // and commit is impossible to time from outside, so write v1 first and
+    // call writeCommit directly with the colliding version
+    t.writeCommit(c1)
+    intercept[ManagedTable.ConcurrentCommitException](
+      stale.writeCommit(c1.copy(operation = "OVERWRITE")))
+  }
+
   test("concurrent commit reads surface the underlying exception, unwrapped") {
     val path = tmpDir("mt_unwrap")
     val t = ManagedTable(spark, path)
