@@ -247,6 +247,61 @@ object Queries {
        | '$T0' AS __metadata_valid_to_ts__
        |FROM customer""".stripMargin
 
+  /**
+   * Composed corpus-cleaning pipeline — the CCNet-ish chain every
+   * training-data run needs, as ONE lazy plan: quality gate (length) →
+   * language gate (n-gram lang-id = 'en') → exact dedup (min-id per
+   * text hash) → near-dup dedup (MinHash-LSH candidates, exact-Jaccard
+   * verify). Exercises that the individual operators (each with its own
+   * oracle) also compose correctly: the DuckDB oracle recomputes the
+   * whole chain including all-pairs Jaccard over the gated subset.
+   */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.{Dedup, TextOps}
+    val docs = pq(spark, dir, "documents")
+    // documents carries its own n_chars column — alias the computed one
+    val quality = TextOps.textQuality(docs)
+      .select(col("doc_id"), col("n_chars").as("q_n_chars"))
+    val lang = TextOps.langId(docs).select("doc_id", "predicted_lang")
+    val gated = docs
+      .join(quality, "doc_id").join(lang, "doc_id")
+      .filter(col("q_n_chars") >= 150 && col("predicted_lang") === "en")
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    val exact = TextOps.exactDedup(gated)
+    Dedup.dedupNear(exact, threshold = 0.8).select("doc_id", "lang", "source")
+  }
+
+  val corpusCleanSql: String =
+    """WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS tx FROM documents),
+      |s AS (SELECT doc_id,
+      | (length(tx) - length(replace(tx, ' the ', ''))) + (length(tx) - length(replace(tx, ' and ', ''))) + (length(tx) - length(replace(tx, ' a ', ''))) AS score_en,
+      | (length(tx) - length(replace(tx, ' der ', ''))) + (length(tx) - length(replace(tx, ' und ', ''))) + (length(tx) - length(replace(tx, ' die ', ''))) AS score_de,
+      | (length(tx) - length(replace(tx, ' le ', ''))) + (length(tx) - length(replace(tx, ' et ', ''))) + (length(tx) - length(replace(tx, ' la ', ''))) AS score_fr,
+      | (length(tx) - length(replace(tx, ' el ', ''))) + (length(tx) - length(replace(tx, ' y ', ''))) + (length(tx) - length(replace(tx, ' los ', ''))) AS score_es
+      | FROM t),
+      |lang AS (SELECT doc_id,
+      | CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+      |      WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+      |      WHEN score_fr >= score_es THEN 'fr'
+      |      ELSE 'es' END AS predicted_lang
+      | FROM s),
+      |gated AS (SELECT d.* FROM documents d
+      | JOIN lang l ON d.doc_id = l.doc_id
+      | WHERE length(d.text) >= 150 AND l.predicted_lang = 'en'),
+      |keepers AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+      |exact AS (SELECT g.* FROM gated g JOIN keepers k ON g.doc_id = k.doc_id),
+      |d AS (SELECT doc_id,
+      |  list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |                 for i in range(1, len(s)-1)]) AS sh
+      | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+      |       FROM exact)),
+      |losers AS (SELECT DISTINCT b.doc_id AS doc_id
+      | FROM d a JOIN d b ON a.doc_id < b.doc_id
+      | WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |       len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+      |SELECT doc_id, lang, source FROM exact
+      |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+
   /** Overwrite replaces the whole snapshot: second write wins. */
   def overwriteManaged(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("overwrite")

@@ -62,6 +62,8 @@ object SparkEntry {
         .select("doc_id", "lang", "source")),
     "simhash_neardup" -> ((s, d) =>
       Dedup.simhashPairs(Queries.pq(s, d, "documents"), maxDistance = 3)),
+    // composed cleaning chain: quality -> lang-id -> exact dedup -> near-dup
+    "corpus_clean" -> (Queries.corpusClean(_, _)),
     "knn_bruteforce" -> { (s, d) =>
       val emb = Queries.pq(s, d, "embeddings")
       import org.apache.spark.sql.functions.col
@@ -196,5 +198,6 @@ object SparkEntry {
     // hashes) + all-pairs hamming; multimodal via byte-function payloads
     "ann_topk" -> Queries.annTopKSql,
     "simhash_neardup" -> Queries.simhashPairsSql,
+    "corpus_clean" -> Queries.corpusCleanSql,
     "multimodal_decode" -> Queries.multimodalDecodeSql)
 }
