@@ -267,7 +267,10 @@ object Queries {
       .join(quality, "doc_id").join(lang, "doc_id")
       .filter(col("q_n_chars") >= 150 && col("predicted_lang") === "en")
       .select(docs.columns.map(col).toIndexedSeq: _*)
-    val exact = TextOps.exactDedup(gated)
+    // barrier: the near-dup stage consumes the cleaned frame from four
+    // subtrees (signatures, two shingle-join sides, the final anti-join);
+    // without it the 3-join gate + dedup recompute each time
+    val exact = TextOps.exactDedup(gated).localCheckpoint()
     Dedup.dedupNear(exact, threshold = 0.8).select("doc_id", "lang", "source")
   }
 
