@@ -246,7 +246,6 @@ object SftpProtocol {
     private val out = new DataOutputStream(buf)
     def u32(v: Int): Unit = out.writeInt(v)
     def u64(v: Long): Unit = out.writeLong(v)
-    def byte(v: Int): Unit = out.writeByte(v)
     def str(s: String): Unit = raw(s.getBytes(StandardCharsets.UTF_8))
     def raw(b: Array[Byte]): Unit = { out.writeInt(b.length); out.write(b) }
     def attrs(a: Attrs): Unit = {
