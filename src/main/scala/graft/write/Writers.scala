@@ -39,7 +39,7 @@ object Writers {
     * become a literal predicate, so the target scan prunes untouched
     * partitions at PLANNING time: a one-partition merge into a 100 TB
     * table reads one partition, not 100 TB. */
-  private def scopedTarget(table: ManagedTable, source: DataFrame,
+  private[graft] def scopedTarget(table: ManagedTable, source: DataFrame,
                            partitionBy: Seq[String]): DataFrame = {
     val full = table.read
     val touched = source.select(partitionBy.map(col): _*).distinct().collect()

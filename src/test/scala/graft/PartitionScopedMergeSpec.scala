@@ -67,6 +67,35 @@ class PartitionScopedMergeSpec extends SparkSpec {
     assert(now.filter($"id" === 3).select("vt").as[String].head() === T1)
   }
 
+  test("scoped merge target PRUNES untouched partitions at the scan, not post-filter") {
+    val path = tmpDir("psm_prune")
+    val t = ManagedTable(spark, path)
+    Writers.scd1(spark, path,
+      day("2026-01-01", 1 -> "a").unionByName(day("2026-01-02", 2 -> "b"))
+        .unionByName(day("2026-01-03", 3 -> "c")),
+      Seq("id"), scoped(T0), partitionBy = Seq("dt"))
+    val target = Writers.scopedTarget(t, day("2026-01-02", 2 -> "B2"), Seq("dt"))
+    target.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val plan = target.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = scans(plan).head
+    assert(scan.partitionFilters.nonEmpty,
+      "touched-partition predicate must reach the scan as a partition filter")
+    // planning-time pruning: only the touched partition's files are selected
+    assert(scan.relation.location.inputFiles.length === 3, "3 partitions on disk")
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected 1 selected partition, got ${scan.selectedPartitions.partitionCount}")
+    assert(target.select("id").as[Int].collect().toSeq === Seq(2))
+  }
+
   test("scoped scd1 result equals the unscoped full-rewrite result") {
     val ps = tmpDir("psm2s"); val pf = tmpDir("psm2f")
     val l0 = day("2026-01-01", 1 -> "a", 2 -> "b").unionByName(day("2026-01-02", 3 -> "c"))
