@@ -347,22 +347,32 @@ final class ManagedTable(spark: SparkSession, root: String) {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir)
     val numRows = obs.get("rows").asInstanceOf[Long]
-    val changeDir = changeData.map(writeChangeData(version, tsMs, _))
-    def commitFor(base: Option[Commit]): Commit = {
+    // The change parquet carries `_commit_version` stamped INTO its rows, so
+    // it must be written PER ATTEMPT with that attempt's version: a retry
+    // that re-published a pre-stamped dir under a new commit version would
+    // attribute the change rows to the conflicting writer's commit. A stale
+    // attempt's dir is deleted before the next one is stamped.
+    def attempt(base: Option[Commit]): Commit = {
       val rv = base.map(_.version).getOrElse(-1L)
       val dirs = mode match {
         case "append"  => base.map(_.dirs).getOrElse(Nil) :+ dataDir
         case "replace" => Seq(dataDir)
         case other     => throw new IllegalArgumentException(s"mode $other")
       }
-      Commit(rv + 1L, operation, tsMs, dirs,
+      val changeDir = changeData.map(writeChangeData(rv + 1L, tsMs, _))
+      val c = Commit(rv + 1L, operation, tsMs, dirs,
         Map("numOutputRows" -> numRows.toString), userMetadata,
         df.schema.toDDL, rv, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = partitionBy)
+      try writeCommit(c)
+      catch { case e: Throwable =>
+        changeDir.foreach(d => fs.delete(new Path(d), true))
+        throw e
+      }
+      c
     }
-    val first = commitFor(prev)
-    try { writeCommit(first); first }
+    try attempt(prev)
     catch {
       case e: ConcurrentCommitException if mode == "append" =>
         // optimistic retry, Delta-style: an APPEND is commutative with any
@@ -375,8 +385,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         var lastErr: ConcurrentCommitException = e
         while (done == null && attempts < 10) {
           attempts += 1
-          val retry = commitFor(lastCommit)
-          try { writeCommit(retry); done = retry }
+          try done = attempt(lastCommit)
           catch { case e2: ConcurrentCommitException => lastErr = e2 }
         }
         if (done == null) throw lastErr
@@ -588,10 +597,26 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val out = fs.create(tmp, true)
     try out.write(c.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val finalPath = new Path(logPath, f"${c.version}%012d.json")
-    // rename-if-absent is the atomic publication on HDFS; object stores /
-    // local FS may allow overwriting renames, so the existence probe
-    // narrows (not closes) the race there — same best-effort as before
-    if (fs.exists(finalPath) || !fs.rename(tmp, finalPath)) {
+    // Publication must be atomic-if-absent. HDFS rename already refuses an
+    // existing destination; POSIX rename OVERWRITES, so on a local FS two
+    // racing writers could both "succeed" and one commit would vanish —
+    // there, publish via hard link (link(2) fails with EEXIST atomically)
+    // and drop the tmp name. Elsewhere keep exists-probe + rename.
+    val scheme = Option(finalPath.toUri.getScheme)
+      .getOrElse(Option(fs.getUri.getScheme).getOrElse(""))
+    val published =
+      if (scheme == "" || scheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(finalPath.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          fs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(finalPath) && fs.rename(tmp, finalPath)
+    if (!published) {
       fs.delete(tmp, false)
       throw new ConcurrentCommitException(
         s"concurrent commit detected for version ${c.version} of $root")

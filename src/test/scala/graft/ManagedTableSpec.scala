@@ -204,6 +204,43 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.lastCommit.get.dirs.size === n + 1)
   }
 
+  test("append retry stamps change data with the final committed version") {
+    val path = tmpDir("mt_retry_stamp")
+    ManagedTable(spark, path).write(Seq((0, "base")).toDF("id", "v"), "APPEND", "append")
+    // racing appenders each carry change data; whichever retries must
+    // RE-stamp its change parquet under the version it finally lands on —
+    // a republished pre-stamped dir would attribute its rows to the
+    // conflicting writer's commit
+    val n = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.functions.lit
+      val tasks: Seq[java.util.concurrent.Callable[Unit]] = (1 to n).map { i =>
+        () => {
+          val df = Seq((i, s"w$i")).toDF("id", "v")
+          ManagedTable(spark, path).write(df, "APPEND", "append",
+            changeData = Some(df.withColumn("_change_type", lit("insert"))))
+          ()
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+    } finally pool.shutdown()
+    val t = ManagedTable(spark, path)
+    assert(t.latestVersion === Some(n.toLong))
+    (1L to n.toLong).foreach { v =>
+      val c = t.commitAt(v)
+      val stamps = spark.read.parquet(c.changeDir.get)
+        .select("_commit_version").distinct().as[Long].collect().toSeq
+      assert(stamps === Seq(v),
+        s"change parquet of version $v must carry that version, got $stamps")
+    }
+    // conflicted attempts' stale change dirs are deleted, not orphaned
+    val changeRoot = new org.apache.hadoop.fs.Path(path, "_change_data")
+    val fs = changeRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(changeRoot).length === n)
+  }
+
   test("replace conflicts surface instead of retrying (non-commutative)") {
     val path = tmpDir("mt_conflict")
     val t = ManagedTable(spark, path)
