@@ -26,10 +26,21 @@ import org.apache.spark.sql.functions._
  * source row. Delta raises `DeltaUnsupportedOperationException` on multiple
  * matches; we do the same by default (see `failOnMultipleMatches`) — the
  * alternative, silently emitting one updated row PER matching source row,
- * turns a caller bug into data corruption. The check is a row-count window
- * over a per-target-row id computed inside the same plan (no second job);
- * callers that pre-dedupe (the reference exposes `deduplicate_onkeys`,
- * write.py:488-491) can opt out to skip the window shuffle.
+ * turns a caller bug into data corruption.
+ *
+ * How the check works (all deterministic — no `monotonically_increasing_id`,
+ * whose values can shift when a stage is recomputed after executor loss):
+ * target rows are keyed by `xxhash64` of the full row; a pre-join window
+ * counts identical target rows per key (n_t), and a post-join window counts
+ * joined rows per key (n_t × matches-per-row). The joined count exceeding
+ * n_t proves some target row matched more than one source row — exact even
+ * under hash collisions, because a collision inflates both counts equally
+ * when every row matches at most once. The raise rides a FILTER over the
+ * merge output (not a data column), so no downstream projection can prune
+ * it away — any action on any subset of columns still runs the check.
+ * Cost: one extra target-side shuffle (the pre-join window) plus one window
+ * over the join output; callers that pre-dedupe (the reference exposes
+ * `deduplicate_onkeys`, write.py:488-491) can opt out of both.
  */
 object MergeEmulator {
 
@@ -39,8 +50,10 @@ object MergeEmulator {
 
   private val TMark = "__graft_t_mark__"
   private val SMark = "__graft_s_mark__"
-  private val TId = "__graft_t_id__"
-  private val SId = "__graft_s_id__"
+  private val THash = "__graft_t_hash__"
+  private val TCnt = "__graft_t_cnt__"
+  private val SHash = "__graft_s_hash__"
+  private val GuardCol = "__graft_guard__"
 
   /** Internal change-tracking columns added by `merge(trackChanges=true)`:
     * [[ChangeMark]] is `update_postimage` / `insert` / NULL (row untouched),
@@ -68,10 +81,11 @@ object MergeEmulator {
    * @param failOnMultipleMatches raise (inside the plan, like Delta's
    *                     cardinality check) when one target row matches
    *                     several source rows, instead of silently emitting
-   *                     one updated row per match. The check rides the
-   *                     merge output's first column, so it fires on any
-   *                     action that consumes the full merge result (every
-   *                     write path does); opt out to skip its window.
+   *                     one updated row per match. The check is a filter
+   *                     over the merge output, so it fires on ANY action
+   *                     over ANY subset of the output's columns; opt out
+   *                     to skip its two windows (one target-side shuffle,
+   *                     one over the join output).
    * @return the complete post-merge table state with the target's schema
    */
   def merge(
@@ -83,13 +97,20 @@ object MergeEmulator {
       trackChanges: Boolean = false,
       failOnMultipleMatches: Boolean = true): DataFrame = {
 
-    val guard = failOnMultipleMatches
+    import org.apache.spark.sql.expressions.Window
+    val guard = failOnMultipleMatches && target.schema.nonEmpty
     val t0 = target.withColumn(TMark, lit(1))
-    val t = (if (guard) t0.withColumn(TId, monotonically_increasing_id()) else t0)
-      .alias("target")
+    val t = (if (guard) {
+      // deterministic per-row-VALUE key + count of identical target rows
+      // sharing it (n_t); both recompute identically on stage retry
+      val h = t0.withColumn(THash,
+        xxhash64(target.columns.map(col).toIndexedSeq: _*))
+      h.withColumn(TCnt, count(lit(1)).over(Window.partitionBy(col(THash))))
+    } else t0).alias("target")
     val s0 = source.withColumn(SMark, lit(1))
-    val s = (if (guard) s0.withColumn(SId, monotonically_increasing_id()) else s0)
-      .alias("source")
+    val s = (if (guard)
+      s0.withColumn(SHash, xxhash64(source.columns.map(col).toIndexedSeq: _*))
+    else s0).alias("source")
     val joined = t.join(s, condition, "full_outer")
 
     val tPresent = col(s"target.$TMark").isNotNull
@@ -116,42 +137,47 @@ object MergeEmulator {
         .as(f.name)
     }
 
-    // Cardinality guard: matched copies of one target row share the group
-    // ("t", target id); source-only rows are singletons ("s", source id) —
-    // keyed per-row so the insert side never collapses into one skewed
-    // window partition. >1 rows in a both-present group = multiple source
-    // matches → raise inside the plan (first output column carries the
-    // check so the write's full projection always evaluates it).
-    val out = if (!guard || out0.isEmpty) out0 else {
-      import org.apache.spark.sql.expressions.Window
-      val grp = when(tPresent, concat(lit("t"), col(s"target.$TId").cast("string")))
-        .otherwise(concat(lit("s"), col(s"source.$SId").cast("string")))
-      val matches = count(lit(1)).over(Window.partitionBy(grp))
-      val firstName = target.schema.fields.head.name
-      val checked = when(bothPresent && matches > 1,
-        raise_error(concat(
-          lit("MERGE cardinality violation: a target row matched "),
-          matches.cast("string"),
-          lit(" source rows; deduplicate the source (deduplicate_onkeys) " +
-            "or set allow_duplicate_matches")))
-      ).otherwise(out0.head).as(firstName)
-      checked +: out0.tail
-    }
+    val base: Seq[Column] =
+      if (!trackChanges) out0.toIndexedSeq
+      else {
+        // same branch priority as the value projection: a row is an update
+        // iff some WHEN MATCHED branch fired, an insert iff source-only
+        val anyMatched = matched
+          .map(m => m.condition.map(bothPresent && _).getOrElse(bothPresent))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val mark = when(anyMatched, lit("update_postimage"))
+          .when(insertOnly, lit("insert"))
+          .otherwise(lit(null).cast("string"))
+        val pre = when(anyMatched,
+          struct(target.schema.fields.map(f => col(s"target.${f.name}").as(f.name))
+            .toIndexedSeq: _*))
+        out0.toIndexedSeq :+ mark.as(ChangeMark) :+ pre.as(PreMark)
+      }
 
-    if (!trackChanges) joined.select(out.toIndexedSeq: _*)
+    if (!guard) joined.select(base: _*)
     else {
-      // same branch priority as the value projection: a row is an update
-      // iff some WHEN MATCHED branch fired, an insert iff source-only
-      val anyMatched = matched
-        .map(m => m.condition.map(bothPresent && _).getOrElse(bothPresent))
-        .reduceOption(_ || _).getOrElse(lit(false))
-      val mark = when(anyMatched, lit("update_postimage"))
-        .when(insertOnly, lit("insert"))
-        .otherwise(lit(null).cast("string"))
-      val pre = when(anyMatched,
-        struct(target.schema.fields.map(f => col(s"target.${f.name}").as(f.name))
-          .toIndexedSeq: _*))
-      joined.select((out.toIndexedSeq :+ mark.as(ChangeMark) :+ pre.as(PreMark)): _*)
+      // Cardinality guard: all joined copies of one target-row VALUE share
+      // the group ("t", row hash); source-only rows group by their own row
+      // hash ("s", ...) and are never checked. The group's joined-row
+      // count exceeding the pre-join identical-target count (n_t) proves
+      // some target row matched >1 source rows. The raise lives in a
+      // FILTER, so no downstream column pruning can drop it.
+      val grp = when(tPresent, concat(lit("t"), col(s"target.$THash").cast("string")))
+        .otherwise(concat(lit("s"), col(s"source.$SHash").cast("string")))
+      val joinedCnt = count(lit(1)).over(Window.partitionBy(grp))
+      val violated = bothPresent && joinedCnt > col(s"target.$TCnt")
+      val guarded = when(violated,
+        raise_error(concat(
+          lit("MERGE cardinality violation: a target row matched multiple " +
+            "source rows ("),
+          joinedCnt.cast("string"), lit(" joined rows for "),
+          col(s"target.$TCnt").cast("string"),
+          lit(" target rows); deduplicate the source (deduplicate_onkeys) " +
+            "or set allow_duplicate_matches"))))
+        .otherwise(lit(true))
+      joined.select((base :+ guarded.as(GuardCol)): _*)
+        .where(col(GuardCol))
+        .drop(GuardCol)
     }
   }
 }

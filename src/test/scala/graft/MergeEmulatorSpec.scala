@@ -75,6 +75,36 @@ class MergeEmulatorSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("MERGE cardinality violation")))
   }
 
+  test("cardinality guard survives column pruning (fires on a subset select)") {
+    val source = Seq((2, "B1", 21), (2, "B2", 22)).toDF("id", "v", "x")
+    val out = MergeEmulator.merge(
+      target, source,
+      col("target.id") === col("source.id"),
+      Seq(MatchedUpdate(None, Map("v" -> col("source.v")))),
+      Map("id" -> col("source.id"), "v" -> col("source.v"), "x" -> col("source.x")))
+    // consumer prunes down to one column — the guard is a filter, not a
+    // rider on a data column, so it must still raise
+    val e = intercept[Exception](out.select("x").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("MERGE cardinality violation")))
+  }
+
+  test("identical duplicate target rows each matching once do not raise") {
+    // n_t = 2 identical target rows, one source match → 2 joined rows in
+    // the group, equal to n_t: legal (Delta: many targets may match one
+    // source), and both copies update
+    val dupTarget = Seq((2, "b", 20), (2, "b", 20), (3, "c", 30)).toDF("id", "v", "x")
+    val source = Seq((2, "B", 200)).toDF("id", "v", "x")
+    val out = MergeEmulator.merge(
+      dupTarget, source,
+      col("target.id") === col("source.id"),
+      Seq(MatchedUpdate(None, Map("v" -> col("source.v"), "x" -> col("source.x")))),
+      Map("id" -> col("source.id"), "v" -> col("source.v"), "x" -> col("source.x")))
+    val got = out.as[(Int, String, Int)].collect().toSeq.sorted
+    assert(got === Seq((2, "B", 200), (2, "B", 200), (3, "c", 30)))
+  }
+
   test("duplicate matches pass with failOnMultipleMatches off (documented fan-out)") {
     val source = Seq((2, "B1", 21), (2, "B2", 22)).toDF("id", "v", "x")
     val out = MergeEmulator.merge(
