@@ -22,9 +22,12 @@ object Webhook {
     .connectTimeout(Duration.ofMillis(30000)).build()
 
   /** POST a JSON body; throws on non-2xx like requests'
-    * `raise_for_status`. */
+    * `raise_for_status`. The per-request timeout covers a server that
+    * accepts the connection then stalls — otherwise a dead endpoint would
+    * hang the event handler (and the task behind it) forever. */
   def post(url: String, jsonBody: String): Int = {
     val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(30000))
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(jsonBody, StandardCharsets.UTF_8))
       .build()

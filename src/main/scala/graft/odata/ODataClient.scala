@@ -79,7 +79,10 @@ class ODataClient(opts: ODataOptions) extends Serializable {
       s"${URLEncoder.encode(k, StandardCharsets.UTF_8)}=${URLEncoder.encode(v, StandardCharsets.UTF_8)}"
     }.mkString("&")
     val url = s"${opts.instanceUrl}/$path" + (if (qs.nonEmpty) s"?$qs" else "")
-    val b = HttpRequest.newBuilder(URI.create(url)).GET()
+    // request timeout too: connectTimeout alone doesn't bound a server
+    // that accepts the connection and then stalls
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(opts.connectTimeoutMs)).GET()
     opts.accessToken.foreach(t => b.header("Authorization", s"Bearer $t"))
     val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)

@@ -108,6 +108,11 @@ object RemoteFileOps {
    * archives into it — and return the local dir for Spark to read.
    * The Spark read stays a normal distributed scan over the staged dir;
    * only the fetch is driver-side, as in the reference.
+   *
+   * Staged names flatten the full remote path (`/` → `__`), exactly as
+   * [[fetchFilesDistributed]] does: wildcards and recursive walks can
+   * surface same-named files from different remote dirs, and staging by
+   * basename would silently overwrite one with the other.
    */
   def fetchFiles(client: RemoteFileClient, pathSpec: String,
                  extension: String): String = {
@@ -117,16 +122,16 @@ object RemoteFileOps {
     Files.createDirectories(extracted)
     val staged = mutable.ArrayBuffer.empty[String]
     files.foreach { st =>
-      val name = st.path.split("/").last
-      if (name.endsWith(extension)) {
-        val local = extracted.resolve(name)
+      val flat = st.path.stripPrefix("/").replace("/", "__")
+      if (flat.endsWith(extension)) {
+        val local = extracted.resolve(flat)
         client.download(st.path, local)
         staged += local.toString
-      } else if (name.endsWith(".zip")) {
-        val zipLocal = target.resolve(name)
+      } else if (flat.endsWith(".zip")) {
+        val zipLocal = target.resolve(flat)
         client.download(st.path, zipLocal)
         staged ++= FileOps.unzip(zipLocal.toString,
-          extracted.resolve(name.stripSuffix(".zip")).toString)
+          extracted.resolve(flat.stripSuffix(".zip")).toString)
           .filter(_.endsWith(extension))
       }
     }

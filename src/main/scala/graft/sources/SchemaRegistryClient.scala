@@ -45,6 +45,9 @@ final class SchemaRegistryClient(
       java.net.URLEncoder.encode(subject, StandardCharsets.UTF_8) +
       "/versions/latest"
     val b = HttpRequest.newBuilder(URI.create(url))
+      // request timeout too: connectTimeout alone doesn't bound a server
+      // that accepts the connection and then stalls
+      .timeout(Duration.ofMillis(connectTimeoutMs))
       .header("Accept", "application/vnd.schemaregistry.v1+json").GET()
     for (k <- registryKey; p <- registryPass)
       b.header("Authorization", "Basic " + Base64.getEncoder

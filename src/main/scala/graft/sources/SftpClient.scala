@@ -71,10 +71,28 @@ final class SftpClient(channel: SftpChannel) extends RemoteFileClient {
     tpe match {
       case FXP_ATTRS =>
         val a = r.attrs()
-        RemoteStat(path, isFile = (a.permissions & S_IFDIR) == 0,
+        // a server may omit ATTR_PERMISSIONS entirely; the defaulted 0
+        // would classify a directory as a file (and a walk would then try
+        // to download it) — probe with OPENDIR instead of trusting it
+        val isFile =
+          if (a.hasPermissions) (a.permissions & S_IFDIR) == 0
+          else !isDirByProbe(path)
+        RemoteStat(path, isFile = isFile,
           sizeBytes = a.size, modifiedMs = a.mtimeSec * 1000L)
       case FXP_STATUS => throw statusError("stat", path, r)
       case other => throw new SFTPRequestException(s"stat $path: unexpected packet $other")
+    }
+  }
+
+  /** Directory probe for servers whose STAT replies carry no permissions:
+    * OPENDIR succeeds only on directories. */
+  private def isDirByProbe(path: String): Boolean = {
+    val (tpe, r) = request(FXP_OPENDIR) { b => b.str(path) }
+    tpe match {
+      case FXP_HANDLE => closeHandle(r.strBytes()); true
+      case FXP_STATUS => false
+      case other =>
+        throw new SFTPRequestException(s"opendir probe $path: unexpected packet $other")
     }
   }
 
@@ -238,7 +256,11 @@ object SftpProtocol {
     case other => s"STATUS_$other"
   }
 
-  final case class Attrs(size: Long, permissions: Int, mtimeSec: Long)
+  /** `hasPermissions` records whether ATTR_PERMISSIONS was on the wire —
+    * the flag set is per-server, and a defaulted permissions=0 would look
+    * like a regular file (see [[SftpClient.stat]]'s OPENDIR fallback). */
+  final case class Attrs(size: Long, permissions: Int, mtimeSec: Long,
+                         hasPermissions: Boolean = true)
 
   /** Binary payload builder (network byte order, SSH string framing). */
   final class Payload {
@@ -249,8 +271,9 @@ object SftpProtocol {
     def str(s: String): Unit = raw(s.getBytes(StandardCharsets.UTF_8))
     def raw(b: Array[Byte]): Unit = { out.writeInt(b.length); out.write(b) }
     def attrs(a: Attrs): Unit = {
-      u32(ATTR_SIZE | ATTR_PERMISSIONS | ATTR_ACMODTIME)
-      u64(a.size); u32(a.permissions)
+      u32(ATTR_SIZE | (if (a.hasPermissions) ATTR_PERMISSIONS else 0) | ATTR_ACMODTIME)
+      u64(a.size)
+      if (a.hasPermissions) u32(a.permissions)
       u32(a.mtimeSec.toInt); u32(a.mtimeSec.toInt) // atime, mtime
     }
     def bytes: Array[Byte] = { out.flush(); buf.toByteArray }
@@ -276,9 +299,10 @@ object SftpProtocol {
       val flags = u32()
       val size = if ((flags & ATTR_SIZE) != 0) u64() else 0L
       if ((flags & 0x00000002) != 0) { u32(); u32() } // uid/gid (not in v3 servers' habit but spec'd)
-      val perms = if ((flags & ATTR_PERMISSIONS) != 0) u32() else 0
+      val hasPerms = (flags & ATTR_PERMISSIONS) != 0
+      val perms = if (hasPerms) u32() else 0
       val mtime = if ((flags & ATTR_ACMODTIME) != 0) { u32(); u32().toLong & 0xffffffffL } else 0L
-      Attrs(size, perms, mtime)
+      Attrs(size, perms, mtime, hasPerms)
     }
   }
 }

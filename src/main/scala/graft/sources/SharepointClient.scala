@@ -47,6 +47,9 @@ final class SharepointClient private[sources] (
 
   private def get(url: String): HttpResponse[Array[Byte]] = {
     val req = HttpRequest.newBuilder(URI.create(url))
+      // request timeout too: connectTimeout alone doesn't bound a server
+      // that accepts the connection and then stalls
+      .timeout(Duration.ofMillis(connectTimeoutMs))
       .header("Authorization", s"Bearer ${bearer()}").GET().build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
     if (resp.statusCode() / 100 != 2)
@@ -128,6 +131,7 @@ object SharepointClient {
           }.mkString("&")
         val req = HttpRequest.newBuilder(
             URI.create(s"$authorityBase/$tenantId/oauth2/v2.0/token"))
+          .timeout(Duration.ofMillis(100000))
           .header("Content-Type", "application/x-www-form-urlencoded")
           .POST(HttpRequest.BodyPublishers.ofString(form)).build()
         val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
@@ -150,6 +154,7 @@ object SharepointClient {
       if (sitePath.isEmpty || sitePath == "/") uri.getHost
       else s"${uri.getHost}:$sitePath"
     val req = HttpRequest.newBuilder(URI.create(s"$graphBase/v1.0/sites/$siteAddr"))
+      .timeout(Duration.ofMillis(100000))
       .header("Authorization", s"Bearer ${acquire()}").GET().build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() / 100 != 2)

@@ -66,8 +66,10 @@ class KafkaRuntimeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val df = Seq(("a", "1"), ("b", "2")).toDF("key", "value")
     KafkaSource.writeBatch(df, KafkaOptions.Conf("stub:9092", "t_out",
       saslMechanism = Some("PLAIN")))
-    val recs = FakeKafkaBroker.records("t_out").sortBy(_.offset)
-    assert(recs.map(r => (str(r.key), str(r.value))) === Seq(("a", "1"), ("b", "2")))
+    // rows land from concurrent write tasks, so broker order is a race —
+    // compare the record SET, not offset order
+    val recs = FakeKafkaBroker.records("t_out")
+    assert(recs.map(r => (str(r.key), str(r.value))).toSet === Set(("a", "1"), ("b", "2")))
     assert(FakeKafkaBroker.lastWriteOptions("kafka.sasl.mechanism") === "PLAIN")
     // value-less frames are rejected before reaching the connector
     intercept[IllegalArgumentException](

@@ -20,7 +20,11 @@ class RemoteFileSourcesSpec extends SparkSpec {
   // a local directory. Exercises the client's actual packet encoding.
   // ---------------------------------------------------------------------
 
-  private final class SftpStubServer(rootDir: JPath) extends AutoCloseable {
+  /** `omitPermissions` mimics servers whose STAT/READDIR attrs carry no
+    * ATTR_PERMISSIONS flag — the client must then probe with OPENDIR
+    * instead of misreading a defaulted 0 as "regular file". */
+  private final class SftpStubServer(rootDir: JPath,
+                                     omitPermissions: Boolean = false) extends AutoCloseable {
     import SftpProtocol._
     private val server = new ServerSocket(0)
     val port: Int = server.getLocalPort
@@ -66,8 +70,11 @@ class RemoteFileSourcesSpec extends SparkSpec {
       }
       def attrsOf(p: JPath): Attrs = Attrs(
         size = if (Files.isRegularFile(p)) Files.size(p) else 0L,
-        permissions = if (Files.isDirectory(p)) S_IFDIR | 0x1ed else 0x1a4,
-        mtimeSec = Files.getLastModifiedTime(p).toMillis / 1000L)
+        permissions =
+          if (omitPermissions) 0
+          else if (Files.isDirectory(p)) S_IFDIR | 0x1ed else 0x1a4,
+        mtimeSec = Files.getLastModifiedTime(p).toMillis / 1000L,
+        hasPermissions = !omitPermissions)
 
       while (true) {
         val len = din.readInt()
@@ -212,6 +219,24 @@ class RemoteFileSourcesSpec extends SparkSpec {
     }
   }
 
+  test("sftp: stat classifies dirs via OPENDIR probe when server omits permissions") {
+    val root = Files.createTempDirectory("sftp_noperm_root")
+    val server = new SftpStubServer(root, omitPermissions = true)
+    try {
+      seedTree(root)
+      val client = new SftpClient(SftpChannel.tcp("localhost", server.port))
+      try {
+        assert(!client.stat("/inbox/2026").isFile,
+          "dir must not be misclassified as a file when permissions are absent")
+        assert(client.stat("/inbox/a.csv").isFile)
+        // walk must recurse into the dir, not try to download it
+        val all = RemoteFileOps.filesList(client, Seq("/inbox")).map(_.path)
+        assert(all.toSet === Set("/inbox/a.csv", "/inbox/b.csv",
+          "/inbox/skip.txt", "/inbox/2026/c.csv"))
+      } finally client.close()
+    } finally server.close()
+  }
+
   test("sftp: delete removes the remote file") {
     withSftp { (client, root) =>
       seedTree(root)
@@ -228,6 +253,19 @@ class RemoteFileSourcesSpec extends SparkSpec {
       import spark.implicits._
       assert(df.as[(Int, String)].collect().toSet ===
         Set((1, "x"), (2, "y"), (3, "z")))
+    }
+  }
+
+  test("sftp: driver-side fetch keeps same-named files from different dirs") {
+    withSftp { (client, root) =>
+      Files.createDirectories(root.resolve("in/a"))
+      Files.createDirectories(root.resolve("in/b"))
+      Files.write(root.resolve("in/a/part.csv"), "id,v\n1,x\n".getBytes)
+      Files.write(root.resolve("in/b/part.csv"), "id,v\n2,y\n".getBytes)
+      val df = RemoteFileOps.readCsv(spark, client, "/in")
+      import spark.implicits._
+      // basename staging would have silently dropped one of the two
+      assert(df.as[(Int, String)].collect().toSet === Set((1, "x"), (2, "y")))
     }
   }
 

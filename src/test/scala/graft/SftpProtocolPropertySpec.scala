@@ -60,10 +60,11 @@ class SftpProtocolPropertySpec extends AnyFunSuite {
   test("attrs round-trip preserves size/permissions/mtime") {
     val attrsGen = for {
       size <- Gen.chooseNum(0L, Long.MaxValue)
+      hasPerms <- Gen.oneOf(true, false)
       perms <- Gen.chooseNum(0, 0xffff)
       // v3 mtime is uint32 seconds on the wire
       mtime <- Gen.chooseNum(0L, 0xffffffffL)
-    } yield Attrs(size, perms, mtime)
+    } yield Attrs(size, if (hasPerms) perms else 0, mtime, hasPerms)
     check(Prop.forAll(attrsGen) { a =>
       val p = new Payload
       p.attrs(a)
