@@ -305,6 +305,51 @@ object Queries {
       |SELECT doc_id, lang, source FROM exact
       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
 
+  /**
+   * Dir-level data skipping ([[ManagedTable.readWhere]]): three appends
+   * with disjoint order-date ranges, then a point-in-range read that must
+   * plan a scan over ONLY the one matching dir — asserted in-query against
+   * the physical plan (the scale behavior under test: a needle query over
+   * an append-heavy table opens O(matching dirs) files, driven entirely by
+   * commit-log min/max stats, the Delta data-skipping analogue). The
+   * returned rows are independently recomputable by the oracle from the
+   * raw orders table.
+   */
+  def dataSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("skip")
+    val orders = pq(spark, dir, "orders")
+    val t = ManagedTable(spark, path)
+    // orders' parquet timestamp has no zone → Spark reads TIMESTAMP_NTZ;
+    // the literal must be NTZ-typed too (LocalDateTime) for both the
+    // filter semantics and the skipping stats to line up
+    def ts(s: String) = lit(java.time.LocalDateTime.parse(s))
+    t.write(orders.filter(col("o_orderdate") < ts("1994-01-01T00:00:00")),
+      "APPEND", "append")
+    t.write(orders.filter(col("o_orderdate") >= ts("1994-01-01T00:00:00") &&
+      col("o_orderdate") < ts("1996-01-01T00:00:00")), "APPEND", "append")
+    t.write(orders.filter(col("o_orderdate") >= ts("1996-01-01T00:00:00")),
+      "APPEND", "append")
+    val q = t.readWhere(col("o_orderdate") >= ts("1996-06-01T00:00:00"))
+    // hard gate: min/max stats must prune the two pre-1996 dirs before the
+    // scan is planned (plan inspection only — no extra job)
+    val scannedDirs = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.size
+    }.sum
+    require(scannedDirs == 1,
+      s"data skipping must leave exactly 1 of 3 dirs in the scan, got $scannedDirs")
+    q.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+  }
+
+  val dataSkippingSql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** Overwrite replaces the whole snapshot: second write wins. */
   def overwriteManaged(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("overwrite")

@@ -34,6 +34,7 @@ object SparkEntry {
     "append_managed" -> (Queries.appendManaged(_, _)),
     "overwrite_managed" -> (Queries.overwriteManaged(_, _)),
     "table_maintenance" -> (Queries.tableMaintenance(_, _)),
+    "data_skipping" -> (Queries.dataSkipping(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_partitioned" -> (Queries.scd1Partitioned(_, _)),
@@ -104,6 +105,7 @@ object SparkEntry {
     "append_managed" -> Queries.appendManagedSql,
     "overwrite_managed" -> Queries.overwriteManagedSql,
     "table_maintenance" -> Queries.tableMaintenanceSql,
+    "data_skipping" -> Queries.dataSkippingSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_partitioned" -> Queries.scd1PartitionedSql,

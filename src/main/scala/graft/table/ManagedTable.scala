@@ -301,6 +301,33 @@ final class ManagedTable(spark: SparkSession, root: String) {
       }
   }
 
+  /**
+   * Read the current snapshot restricted by `predicate`, skipping every
+   * data dir whose recorded min/max stats prove it cannot contain a
+   * matching row (see [[DataSkipping]]) — dir-level file skipping from
+   * commit-log metadata alone, before any scan is planned. The predicate
+   * is re-applied on the surviving dirs, so results are identical to
+   * `read.filter(predicate)`; only the scanned file set shrinks.
+   */
+  def readWhere(predicate: org.apache.spark.sql.Column): DataFrame = {
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    val schema = StructType.fromDDL(c.schemaDdl)
+    // recover the Catalyst expression through public API only: a Filter
+    // over an empty frame carries `predicate` as its (unanalyzed) condition
+    val predExpr = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(predicate).queryExecution.logical
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    val kept = c.dirs.filter { d =>
+      (for (stats <- c.dirStats.get(d); e <- predExpr)
+        yield DataSkipping.mayMatch(stats, schema, e)).getOrElse(true)
+    }
+    readDirs(kept, schema, c.partitionBy.nonEmpty).filter(predicate)
+  }
+
   /** Read if present, else an empty frame with the given schema. */
   def readOrEmpty(schema: StructType): DataFrame =
     if (exists) read
@@ -341,12 +368,16 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val tsMs = System.currentTimeMillis()
     val dataDir = new Path(new Path(rootPath, "data"),
       f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
-    // row count observed on the write job itself — no second count job
+    // row count + per-column min/max observed on the write job itself —
+    // no second pass; the stats feed [[readWhere]]'s dir-level skipping
     val obs = org.apache.spark.sql.Observation(s"graft_write_$version-${UUID.randomUUID()}")
-    val writer = df.observe(obs, count(lit(1)).as("rows")).write.mode("overwrite")
+    val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(df.schema)
+    val writer = df.observe(obs, aggs.head, aggs.tail: _*).write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir)
-    val numRows = obs.get("rows").asInstanceOf[Long]
+    val observed = obs.get
+    val numRows = observed("rows").asInstanceOf[Long]
+    val dataDirStats = DataSkipping.statsOf(df.schema, observed)
     // The change parquet carries `_commit_version` stamped INTO its rows, so
     // it must be written PER ATTEMPT with that attempt's version: a retry
     // that re-published a pre-stamped dir under a new commit version would
@@ -359,12 +390,17 @@ final class ManagedTable(spark: SparkSession, root: String) {
         case "replace" => Seq(dataDir)
         case other     => throw new IllegalArgumentException(s"mode $other")
       }
+      val dirStats = mode match {
+        case "append" => base.map(_.dirStats).getOrElse(Map.empty) +
+          (dataDir -> dataDirStats)
+        case _ => Map(dataDir -> dataDirStats)
+      }
       val changeDir = changeData.map(writeChangeData(rv + 1L, tsMs, _))
       val c = Commit(rv + 1L, operation, tsMs, dirs,
         Map("numOutputRows" -> numRows.toString), userMetadata,
         df.schema.toDDL, rv, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
-        partitionBy = partitionBy)
+        partitionBy = partitionBy, dirStats = dirStats)
       try writeCommit(c)
       catch { case e: Throwable =>
         changeDir.foreach(d => fs.delete(new Path(d), true))
@@ -435,8 +471,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val dataDir = new Path(new Path(rootPath, "data"),
       f"$version%012d-${UUID.randomUUID().toString.take(8)}")
     val obs = org.apache.spark.sql.Observation(s"graft_sow_$version-${UUID.randomUUID()}")
-    df.observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("rows"))
+    val aggs = org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows") +:
+      DataSkipping.statAggs(df.schema)
+    df.observe(obs, aggs.head, aggs.tail: _*)
       .write.mode("overwrite").partitionBy(partitionBy: _*).parquet(dataDir.toString)
 
     def partitionSubdirs(base: Path): Seq[String] =
@@ -459,8 +497,11 @@ final class ManagedTable(spark: SparkSession, root: String) {
     // previous composition, decomposed to partition granularity, minus
     // the replaced partitions; dirs may be whole data dirs (decompose) or
     // partition subdirs from an earlier selective overwrite (compare the
-    // relative partition path directly)
-    val kept = prev.map(_.dirs).getOrElse(Nil).flatMap { d =>
+    // relative partition path directly). Kept dirs inherit their origin
+    // dir's skipping stats — a whole root's interval is a superset of any
+    // of its partition subdirs', so inheritance stays conservative.
+    val prevStats = prev.map(_.dirStats).getOrElse(Map.empty)
+    val keptPairs = prev.map(_.dirs).getOrElse(Nil).flatMap { d =>
       val base = ManagedTable.dataDirRoot(d)
       if (base == d) {
         val subs = partitionSubdirs(new Path(d))
@@ -469,22 +510,29 @@ final class ManagedTable(spark: SparkSession, root: String) {
             s"selectiveOverwrite needs a table partitioned by ${partitionBy.mkString(",")}; " +
               s"dir $d has no matching partition layout")
         subs.foreach(checkLayout(_, "existing table"))
-        subs.filterNot(replaced.contains).map(r => s"$d/$r")
+        subs.filterNot(replaced.contains).map(r => s"$d/$r" -> prevStats.get(d))
       } else {
         val rel = d.stripPrefix(base).stripPrefix("/")
         checkLayout(rel, "existing table")
-        if (replaced.contains(rel)) Nil else Seq(d)
+        if (replaced.contains(rel)) Nil else Seq(d -> prevStats.get(d))
       }
     }
+    val kept = keptPairs.map(_._1)
 
-    val numRows = obs.get("rows").asInstanceOf[Long]
+    val observed = obs.get
+    val numRows = observed("rows").asInstanceOf[Long]
+    // every new subdir carries the incoming batch's whole-frame stats —
+    // again a conservative superset of the subdir's true interval
+    val newStats = DataSkipping.statsOf(df.schema, observed)
+    val dirStats = keptPairs.collect { case (d, Some(s)) => d -> s }.toMap ++
+      newDirs.map(_ -> newStats)
     val changeDir = changeData.map(writeChangeData(version, tsMs, _))
     val commit = Commit(version, operation, tsMs,
       kept ++ newDirs, Map("numOutputRows" -> numRows.toString,
         "replacedPartitions" -> replaced.size.toString),
       userMetadata, df.schema.toDDL, readVersion, changeDir,
       changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
-      partitionBy = partitionBy)
+      partitionBy = partitionBy, dirStats = dirStats)
     writeCommit(commit)
     commit
   }
@@ -661,7 +709,8 @@ object ManagedTable {
       readVersion: Long,
       changeDir: Option[String] = None,
       changeFormat: Int = 0,
-      partitionBy: Seq[String] = Nil) {
+      partitionBy: Seq[String] = Nil,
+      dirStats: Map[String, Map[String, DataSkipping.ColMinMax]] = Map.empty) {
 
     def toJson: String = {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -679,6 +728,17 @@ object ManagedTable {
       if (changeDir.isDefined) node.put("changeFormat", changeFormat)
       if (partitionBy.nonEmpty) {
         val pb = node.putArray("partitionBy"); partitionBy.foreach(pb.add)
+      }
+      if (dirStats.nonEmpty) {
+        val ds = node.putObject("dirStats")
+        dirStats.foreach { case (dir, cols) =>
+          val dn = ds.putObject(dir)
+          cols.foreach { case (cName, mm) =>
+            val cn = dn.putObject(cName)
+            mm.min.foreach(cn.put("min", _))
+            mm.max.foreach(cn.put("max", _))
+          }
+        }
       }
       m.writerWithDefaultPrettyPrinter().writeValueAsString(node)
     }
@@ -704,7 +764,16 @@ object ManagedTable {
         // absent in logs written before format stamping → legacy format 0
         changeFormat = Option(n.get("changeFormat")).map(_.asInt()).getOrElse(0),
         partitionBy = Option(n.get("partitionBy"))
-          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+        dirStats = Option(n.get("dirStats")).map { ds =>
+          ds.properties().asScala.map { e =>
+            e.getKey -> e.getValue.properties().asScala.map { ce =>
+              ce.getKey -> DataSkipping.ColMinMax(
+                Option(ce.getValue.get("min")).map(_.asText()),
+                Option(ce.getValue.get("max")).map(_.asText()))
+            }.toMap
+          }.toMap
+        }.getOrElse(Map.empty))
     }
   }
 

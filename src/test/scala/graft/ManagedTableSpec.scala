@@ -180,6 +180,76 @@ class ManagedTableSpec extends SparkSpec {
     assert(deletes === (0 until 6).map(i => (i, 6L)).toSet)
   }
 
+  test("readWhere prunes dirs by min/max stats and matches read.filter") {
+    val path = tmpDir("mt_skip")
+    val t = ManagedTable(spark, path)
+    // three appends with disjoint id ranges and distinct categories
+    t.write((0 until 10).map(i => (i, s"cat_a", s"2026-01-0${i % 9 + 1}"))
+      .toDF("id", "cat", "d"), "APPEND", "append")
+    t.write((10 until 20).map(i => (i, s"cat_b", "2026-02-01"))
+      .toDF("id", "cat", "d"), "APPEND", "append")
+    t.write((20 until 30).map(i => (i, s"cat_c", "2026-03-01"))
+      .toDF("id", "cat", "d"), "APPEND", "append")
+
+    def rootPathCount(df: org.apache.spark.sql.DataFrame): Int =
+      feedScans(df).map(_.relation.location.rootPaths.size).sum
+
+    // numeric equality: only the middle dir's [10,19] interval matches
+    val q = t.readWhere($"id" === 15)
+    assert(q.select("id", "cat").as[(Int, String)].collect().toSeq ===
+      Seq((15, "cat_b")))
+    assert(rootPathCount(q) === 1, "two of three dirs must be skipped")
+    // unpruned baseline scans all three
+    assert(rootPathCount(t.read.filter($"id" === 15)) === 3)
+
+    // string + range + boolean connectives
+    assert(rootPathCount(t.readWhere($"cat" === "cat_c")) === 1)
+    assert(rootPathCount(t.readWhere($"id" >= 12 && $"id" < 22)) === 2)
+    assert(rootPathCount(t.readWhere($"id" < 5 || $"cat" === "cat_b")) === 2)
+    assert(t.readWhere($"id" >= 12 && $"id" < 22).count() === 10)
+    // no dir can match → empty frame, zero scans
+    assert(t.readWhere($"id" === 999).count() === 0)
+    // unsupported shapes fall back to scanning everything, results intact
+    assert(t.readWhere(
+      org.apache.spark.sql.functions.length($"cat") === 5).count() === 30)
+  }
+
+  test("readWhere skips all-NULL dirs and keeps stat-less commits readable") {
+    val path = tmpDir("mt_skip_null")
+    val t = ManagedTable(spark, path)
+    t.write(Seq((1, Some("x"))).toDF("id", "v"), "APPEND", "append")
+    t.write(Seq((2, None: Option[String])).toDF("id", "v"), "APPEND", "append")
+    def rootPathCount(df: org.apache.spark.sql.DataFrame): Int =
+      feedScans(df).map(_.relation.location.rootPaths.size).sum
+    // the all-NULL dir can never satisfy v = 'x'
+    val q = t.readWhere($"v" === "x")
+    assert(q.select("id").as[Int].collect().toSeq === Seq(1))
+    assert(rootPathCount(q) === 1)
+    // a legacy commit without dirStats (hand-written log entry) keeps
+    // working: absent stats → never prune
+    val c = t.lastCommit.get
+    t.writeCommit(c.copy(version = c.version + 1, dirStats = Map.empty))
+    assert(ManagedTable(spark, path).readWhere($"v" === "x").count() === 1)
+  }
+
+  test("selective overwrite propagates stats; readWhere stays correct after") {
+    val path = tmpDir("mt_skip_sow")
+    val t = ManagedTable(spark, path)
+    t.write((0 until 10).map(i => (i % 2, i)).toDF("p", "x"),
+      "APPEND", "append", partitionBy = Seq("p"))
+    import spark.implicits._
+    t.selectiveOverwrite(Seq((0, 100), (0, 101)).toDF("p", "x"), Seq("p"))
+    val all = t.readWhere($"x" >= 0)
+    // p=1 rows untouched, p=0 replaced by the two new rows
+    assert(all.count() === 7)
+    assert(t.readWhere($"x" >= 100).select("x").as[Int].collect().toSet ===
+      Set(100, 101))
+    // kept partition subdirs inherited the original whole-dir stats:
+    // every surviving dir entry for this 2-version table carries stats
+    val c = t.lastCommit.get
+    assert(c.dirs.forall(c.dirStats.contains))
+  }
+
   test("concurrent appends all land via optimistic retry; no lost updates") {
     val path = tmpDir("mt_concurrent")
     ManagedTable(spark, path).write(Seq((0, "base")).toDF("id", "v"), "APPEND", "append")
