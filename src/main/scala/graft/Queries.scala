@@ -877,6 +877,41 @@ object Queries {
     """SELECT vec_id + 10000 AS query_id, vec_id AS neighbor_id
       |FROM embeddings WHERE vec_id < 20""".stripMargin
 
+  /**
+   * IVF top-k with the same two hard checks as [[annTopKVerified]]:
+   * planted exact copies MUST rank their original first (a copy computes
+   * the same argmax-cosine cell as its original, so the cell join is
+   * guaranteed to co-locate them — a quantizer/probe/ranking bug breaks
+   * the deterministic oracle rows), and an eager recall@10 gate vs brute
+   * force THROWS below the floor. Calibration (nlist=16, nProbe=4 ≈ 1/4
+   * of the corpus scanned, 2 training iters): measured recall@10 is
+   * ~0.45-0.55 across sf0.001-0.1 — higher than hyperplane LSH at the
+   * same scan fraction because cells adapt to the data. Floor 0.30 sits
+   * well above the 0.10 the planted top-1s alone contribute.
+   */
+  def ivfTopKVerified(spark: SparkSession, dir: String,
+                      recallFloor: Double = 0.30): DataFrame = {
+    import graft.llm.Similarity
+    val emb = pq(spark, dir, "embeddings").select("vec_id", "embedding")
+    assertPlantedIdHeadroom(emb, offset = 10000)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(planted).localCheckpoint()
+    val queries = corpus.filter(col("vec_id") >= 10000)
+    val ivf = Similarity.ivfTopK(corpus, queries, 10).localCheckpoint()
+    val bf = Similarity.bruteForceTopK(corpus, queries, 10)
+    val total = bf.count()
+    val hits = ivf.select("query_id", "neighbor_id")
+      .intersect(bf.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / total
+    require(recall >= recallFloor,
+      f"ann_ivf recall@10 $recall%.3f fell below the calibrated floor " +
+        f"$recallFloor%.2f — IVF training/probing is broken")
+    ivf.filter(col("rank") === 1).select("query_id", "neighbor_id")
+  }
+
+  val ivfTopKSql: String = annTopKSql
+
   /** SimHash fingerprints use md5-derived token hashes precisely so this
     * oracle exists: DuckDB recomputes every fingerprint from the text and
     * brute-forces ALL pairs, so any silent recall loss in the chunk-bucket

@@ -58,6 +58,10 @@ object SparkEntry {
     // near-dup + similarity + multimodal (MinHash-LSH / SimHash / ANN)
     "dedup_minhash" -> ((s, d) =>
       Dedup.nearDupPairs(Queries.pq(s, d, "documents"), threshold = 0.8)),
+    // exact prefix-filtered Jaccard at a threshold where LSH banding
+    // would lose recall — this operator is deterministic-exact
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Queries.pq(s, d, "documents"), threshold = 0.7)),
     "dedup_near_corpus" -> ((s, d) =>
       Dedup.dedupNear(Queries.pq(s, d, "documents"), threshold = 0.8)
         .select("doc_id", "lang", "source")),
@@ -74,6 +78,7 @@ object SparkEntry {
     // planted-copy ground truth + in-query recall gate vs brute force —
     // see Queries.annTopKVerified for why both checks are hard
     "ann_topk" -> (Queries.annTopKVerified(_, _)),
+    "ann_ivf" -> (Queries.ivfTopKVerified(_, _)),
     // the synthetic embeddings carry no natural near-dups (max pairwise
     // cos ≈ 0.51), so the scenario plants exact copies shifted by +10000:
     // the LSH bucket join must find precisely those pairs.
@@ -170,6 +175,20 @@ object SparkEntry {
         |  len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         | FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.8""".stripMargin,
+    // dedup_ngram: prefix filtering is EXACT at any threshold, so the
+    // all-pairs oracle at 0.7 must match row-for-row (at 0.7 an LSH
+    // method could not make this guarantee — that's the point)
+    "dedup_ngram" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                 for i in range(1, len(s)-1)]) AS sh
+        | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+        |       FROM documents)),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |  len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.7""".stripMargin,
     "dedup_near_corpus" ->
       """WITH d AS (SELECT doc_id,
         |  list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
@@ -199,6 +218,7 @@ object SparkEntry {
     // recall gate; simhash via full DuckDB recomputation (md5 token
     // hashes) + all-pairs hamming; multimodal via byte-function payloads
     "ann_topk" -> Queries.annTopKSql,
+    "ann_ivf" -> Queries.ivfTopKSql,
     "simhash_neardup" -> Queries.simhashPairsSql,
     "corpus_clean" -> Queries.corpusCleanSql,
     "multimodal_decode" -> Queries.multimodalDecodeSql)

@@ -205,6 +205,65 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /**
+   * Near-duplicate pairs by exact n-gram Jaccard with PREFIX-FILTERED
+   * candidate generation — the deterministic alternative to MinHash-LSH
+   * (PPJoin-family prefix filtering, Xiao et al., WWW'08 "Efficient
+   * Similarity Joins for Near Duplicate Detection"): recall is exactly 1
+   * at ANY threshold by the prefix-filtering theorem, where LSH banding
+   * trades recall for bucket count.
+   *
+   * Theorem: order every doc's distinct n-gram set by one global total
+   * order; if J(A,B) ≥ t, the first |A| − ⌈t·|A|⌉ + 1 grams of A and the
+   * first |B| − ⌈t·|B|⌉ + 1 grams of B share at least one gram. So
+   * candidates come from a bucket join on PREFIX grams only. The global
+   * order used is (document frequency, gram) ascending — rare-first, the
+   * standard heuristic: a boilerplate gram shared by half the corpus
+   * sorts to the END of every set and almost never lands in a prefix, so
+   * buckets stay tiny.
+   *
+   * Scale shape: one groupBy(gram) for document frequencies, one window
+   * per doc for prefix ranks, a bucket self-join on prefix grams, exact
+   * Jaccard only on candidates. Shuffles are O(docs × grams) metadata and
+   * O(candidates) verification — never O(docs²). The ceil() in the prefix
+   * bound is computed with a small downward bias so floating-point noise
+   * can only lengthen a prefix (more candidates), never shorten it below
+   * the theorem's requirement.
+   */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", threshold: Double = 0.8,
+                        shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold not in (0,1]")
+    // barrier: consumed by the frequency agg, the prefix build, and both
+    // verification sides — without it the shingle UDF recomputes 4×
+    val sh = docs.select(col(idCol).as("id"),
+        array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    val grams = sh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("gram"))
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("id").orderBy(col("df"), col("gram"))
+    val prefix = grams.join(dfreq, "gram")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <=
+        col("n") - ceil(col("n") * lit(threshold) - lit(1e-6)).cast("int") + 1)
+      .select(col("id"), col("gram"))
+    val cands = prefix.select(col("id").as("id1"), col("gram"))
+      .join(prefix.select(col("id").as("id2"), col("gram")), "gram")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cands
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Estimated Jaccard from two signatures (fraction of equal slots) —
     * cheap pre-filter when shingle sets are too large to rejoin. */
   def estimatedJaccard(sig1: Column, sig2: Column): Column =

