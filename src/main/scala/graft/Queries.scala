@@ -720,6 +720,61 @@ object Queries {
     s"""SELECT n_nationkey, n_name, '$T0' AS __metadata_valid_to_ts__
        |FROM nation""".stripMargin
 
+  /**
+   * Watermarked stream-stream interval join
+   * ([[graft.streaming.StreamOps.intervalJoin]]): orders and their
+   * lineitems shipped within 90 days, both sides read as FILE STREAMS and
+   * joined with event-time bounds (the state-evictable shape), drained
+   * with AvailableNow into parquet, then aggregated per order. An inner
+   * interval join emits matches eagerly, so with finite input the result
+   * equals the batch join — which is exactly what the DuckDB oracle
+   * recomputes. Keys are restricted to o_orderkey % 100 = 0 to keep the
+   * one-shot join state proportional to a 1% key slice at any SF.
+   */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val out = tmp("ssjoin_out")
+    // file streams source DIRECTORIES: stage the 1% key slice of each
+    // table (watermarks demand TIMESTAMP, not NTZ; session tz is UTC so
+    // the cast preserves the wall-clock value both engines compare)
+    val oDir = tmp("ssjoin_orders")
+    val lDir = tmp("ssjoin_items")
+    pq(spark, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("okey"),
+        col("o_orderdate").cast("timestamp").as("order_ts"))
+      .write.parquet(oDir)
+    pq(spark, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey").as("okey"),
+        col("l_shipdate").cast("timestamp").as("ship_ts"))
+      .write.parquet(lDir)
+    val orders = spark.readStream
+      .schema("okey BIGINT, order_ts TIMESTAMP").parquet(oDir)
+    val items = spark.readStream
+      .schema("okey BIGINT, ship_ts TIMESTAMP").parquet(lDir)
+    val joined = StreamOps.intervalJoin(orders, items, "okey",
+      "order_ts", "ship_ts", watermark = "1 day", within = "90 days")
+    val q = joined.writeStream.format("parquet")
+      .outputMode("append").option("path", out)
+      .option("checkpointLocation", tmp("ssjoin_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.read.parquet(out)
+      .groupBy("okey")
+      .agg(count(lit(1)).as("n_items"),
+        min(col("ship_ts")).cast("string").as("first_ship"),
+        max(col("ship_ts")).cast("string").as("last_ship"))
+  }
+
+  val streamJoinSql: String =
+    """SELECT o_orderkey AS okey, count(*) AS n_items,
+      | CAST(min(l_shipdate) AS VARCHAR) AS first_ship,
+      | CAST(max(l_shipdate) AS VARCHAR) AS last_ship
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+      |WHERE o_orderkey % 100 = 0
+      |GROUP BY o_orderkey""".stripMargin
+
   /** Tumbling event-time windows over the events table (batch form of
     * StreamOps.windowedCounts — identical grouping semantics). */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame = {

@@ -48,6 +48,7 @@ object SparkEntry {
     "cdc_two_runs" -> (Queries.cdcTwoRuns(_, _)),
     "cdc_change_feed" -> (Queries.cdcChangeFeed(_, _)),
     "stream_append" -> (Queries.streamAppend(_, _)),
+    "stream_join" -> (Queries.streamJoin(_, _)),
     "sessionize" -> (Queries.sessionizeEvents(_, _)),
     // LLM-pipeline text operators
     "dedup_exact" -> ((s, d) => TextOps.exactDedupStats(Queries.pq(s, d, "documents"))),
@@ -123,6 +124,7 @@ object SparkEntry {
     "cdc_two_runs" -> Queries.cdcTwoRunsSql,
     "cdc_change_feed" -> Queries.cdcChangeFeedSql,
     "stream_append" -> Queries.streamAppendSql,
+    "stream_join" -> Queries.streamJoinSql,
     "sessionize" -> Queries.sessionizeEventsSql,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

@@ -77,6 +77,49 @@ object StreamOps {
       }
   }
 
+  /**
+   * Watermarked stream-stream INNER join (the enrichment shape: e.g.
+   * impressions joined with their clicks): equality on `keyCol` plus a
+   * bounded event-time range — the right event must fall in
+   * `[left time, left time + within]`. The time bound is what lets Spark
+   * compute a state-eviction frontier from the two watermarks; without
+   * it, both sides' state would grow forever. Output carries the left
+   * columns plus the right side's non-key columns (right's prefixed with
+   * nothing — names must not collide apart from the key).
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTimeCol: String, rightTimeCol: String,
+                   watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTimeCol, watermark).alias("l")
+    val r = right.withWatermark(rightTimeCol, watermark).alias("r")
+    val joined = l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTimeCol") >= col(s"l.$leftTimeCol") &&
+        col(s"r.$rightTimeCol") <=
+          col(s"l.$leftTimeCol") + expr(s"interval $within"))
+    val rightCols = right.columns.filterNot(_ == keyCol)
+      .map(c => col(s"r.$c").as(c))
+    joined.select(left.columns.map(c => col(s"l.$c").as(c)).toIndexedSeq ++
+      rightCols: _*)
+  }
+
+  /**
+   * Streaming deduplication bounded by the watermark: duplicates of a key
+   * arriving within the watermark horizon are dropped, and per-key state
+   * is evicted once the watermark passes — so state is O(keys per
+   * horizon), not O(all keys ever seen) (`dropDuplicates` without the
+   * watermark variant keeps state forever). The batch equivalent is a
+   * plain `dropDuplicates(keys)` when each key's duplicates share the
+   * horizon.
+   */
+  def dedupWithinWatermark(stream: DataFrame, timeCol: String,
+                           watermark: String,
+                           keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "dedupWithinWatermark needs at least one key")
+    stream.withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
+
   /** Batch (non-streaming) sessionization with identical semantics —
     * lag() over an event-time window; used as the oracle for the
     * streaming path and as the backfill implementation. */

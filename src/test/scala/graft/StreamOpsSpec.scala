@@ -76,6 +76,63 @@ class StreamOpsSpec extends SparkSpec {
       ("k2", 100L, 100L, 1)))
   }
 
+  test("stream-stream interval join matches the batch join (availableNow)") {
+    val impDir = tmpDir("ssj_imp")
+    val clkDir = tmpDir("ssj_clk")
+    // clicks at +10s and +50s are inside the 1-minute bound; +120s is not
+    Seq(("ad1", "2026-01-01 00:00:00"), ("ad2", "2026-01-01 00:01:00"))
+      .toDF("ad_id", "s").select($"ad_id", $"s".cast("timestamp").as("imp_ts"))
+      .write.parquet(impDir)
+    Seq(("ad1", "2026-01-01 00:00:10"), ("ad2", "2026-01-01 00:01:50"),
+        ("ad1", "2026-01-01 00:02:00"))
+      .toDF("ad_id", "s").select($"ad_id", $"s".cast("timestamp").as("click_ts"))
+      .write.parquet(clkDir)
+    val imp = spark.readStream.schema("ad_id STRING, imp_ts TIMESTAMP").parquet(impDir)
+    val clk = spark.readStream.schema("ad_id STRING, click_ts TIMESTAMP").parquet(clkDir)
+    val joined = StreamOps.intervalJoin(imp, clk, "ad_id",
+      "imp_ts", "click_ts", watermark = "10 seconds", within = "1 minute")
+    val out = tmpDir("ssj_out")
+    val q = joined.writeStream.format("parquet")
+      .outputMode("append").option("path", out)
+      .option("checkpointLocation", tmpDir("ssj_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out)
+      .select($"ad_id", $"click_ts".cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("ad1", "2026-01-01 00:00:10"),
+      ("ad2", "2026-01-01 00:01:50")),
+      "only clicks within [imp_ts, imp_ts + 1 minute] join")
+    // batch equivalent returns the same rows
+    val batch = spark.read.parquet(impDir).alias("l")
+      .join(spark.read.parquet(clkDir).alias("r"),
+        $"l.ad_id" === $"r.ad_id" && $"r.click_ts" >= $"l.imp_ts" &&
+          $"r.click_ts" <= $"l.imp_ts" + expr("interval 1 minute"))
+      .select($"l.ad_id", $"r.click_ts".cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(got === batch)
+  }
+
+  test("dedupWithinWatermark drops horizon-local duplicates with bounded state") {
+    val srcDir = tmpDir("ddw_src")
+    Seq(("e1", "2026-01-01 00:00:00"), ("e1", "2026-01-01 00:00:05"),
+        ("e2", "2026-01-01 00:00:10"), ("e1", "2026-01-01 00:00:07"))
+      .toDF("event_id", "s").select($"event_id", $"s".cast("timestamp").as("ts"))
+      .write.parquet(srcDir)
+    val stream = spark.readStream.schema("event_id STRING, ts TIMESTAMP").parquet(srcDir)
+    val dedup = StreamOps.dedupWithinWatermark(stream, "ts",
+      watermark = "30 seconds", keyCols = Seq("event_id"))
+    val out = tmpDir("ddw_out")
+    val q = dedup.writeStream.format("parquet")
+      .outputMode("append").option("path", out)
+      .option("checkpointLocation", tmpDir("ddw_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out).select("event_id")
+      .as[String].collect().sorted
+    assert(got === Seq("e1", "e2"), "duplicates within the horizon collapse")
+  }
+
   test("streaming scd2 through foreachBatch keeps SCD invariants (test_stream.py scd scenarios)") {
     val srcDir = tmpDir("sscd_src")
     val sink = tmpDir("sscd_sink")
