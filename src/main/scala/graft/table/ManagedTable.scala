@@ -145,7 +145,12 @@ final class ManagedTable(spark: SparkSession, root: String) {
         subdirs.groupBy(ManagedTable.dataDirRoot).map { case (base, ds) =>
           spark.read.option("basePath", base).schema(schema).parquet(ds: _*)
         }
+      // restrict to the commit's schema: partition discovery may append
+      // dir-derived columns the schema doesn't declare (e.g. the synthetic
+      // [[clusterBy]] bucket column) — they are storage layout, not data
       frames.reduce(_ unionByName _)
+        .select(schema.fieldNames.map(n =>
+          org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*)
     }
 
   /**
@@ -353,6 +358,14 @@ final class ManagedTable(spark: SparkSession, root: String) {
    *                   one scan) — required for merges when CDF is on;
    *                   appends and overwrites never need one (dir-diff
    *                   synthesis)
+   * @param mergeSchema Delta's mergeSchema analogue for appends: when
+   *                   true, new columns widen the table schema (old dirs
+   *                   read NULL for them) and columns absent from this
+   *                   batch stay (this dir reads NULL for them). When
+   *                   false (default), an append whose schema does not
+   *                   match the table's fails loudly — committing the
+   *                   batch schema as-is would silently drop the columns
+   *                   the batch lacks from every subsequent read.
    */
   def write(
       df: DataFrame,
@@ -360,9 +373,39 @@ final class ManagedTable(spark: SparkSession, root: String) {
       mode: String,
       userMetadata: Option[String] = None,
       partitionBy: Seq[String] = Nil,
-      changeData: Option[DataFrame] = None): Commit = synchronized {
+      changeData: Option[DataFrame] = None,
+      mergeSchema: Boolean = false): Commit = synchronized {
     import org.apache.spark.sql.functions.{count, lit}
     val prev = lastCommit
+    val tableSchema: StructType = prev match {
+      case Some(p) if mode == "append" && p.dirs.nonEmpty =>
+        val old = StructType.fromDDL(p.schemaDdl)
+        if (old.toDDL == df.schema.toDDL) df.schema
+        else if (!mergeSchema)
+          throw new IllegalArgumentException(
+            s"append schema ${df.schema.toDDL} does not match table schema " +
+              s"${old.toDDL} for $root; pass mergeSchema = true to evolve")
+        else {
+          old.fields.foreach { f =>
+            df.schema.fields.find(_.name == f.name).foreach { g =>
+              if (g.dataType != f.dataType)
+                throw new IllegalArgumentException(
+                  s"column ${f.name} cannot change type " +
+                    s"${f.dataType.simpleString} -> ${g.dataType.simpleString} " +
+                    s"on append to $root (type changes need a replace)")
+            }
+          }
+          // nullability widens where NULLs become observable: new columns
+          // are NULL for old dirs; old columns the batch lacks are NULL
+          // for this dir
+          StructType(
+            old.fields.map(f => f.copy(nullable =
+              f.nullable || !df.schema.fieldNames.contains(f.name))) ++
+              df.schema.fields.filterNot(g => old.fieldNames.contains(g.name))
+                .map(_.copy(nullable = true)))
+        }
+      case _ => df.schema
+    }
     val readVersion = prev.map(_.version).getOrElse(-1L)
     val version = readVersion + 1L
     val tsMs = System.currentTimeMillis()
@@ -398,7 +441,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       val changeDir = changeData.map(writeChangeData(rv + 1L, tsMs, _))
       val c = Commit(rv + 1L, operation, tsMs, dirs,
         Map("numOutputRows" -> numRows.toString), userMetadata,
-        df.schema.toDDL, rv, changeDir,
+        tableSchema.toDDL, rv, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = partitionBy, dirStats = dirStats)
       try writeCommit(c)
@@ -637,6 +680,74 @@ final class ManagedTable(spark: SparkSession, root: String) {
       operation = s"OPTIMIZE(${fragmented.size} partitions)"))
   }
 
+  /**
+   * Range-cluster the table on a numeric column — the OPTIMIZE ZORDER
+   * analogue for the 1-D case, and the operation that makes
+   * [[readWhere]]'s data skipping SELECTIVE: bucket boundaries come from
+   * an approximate-quantile sample (one column-pruned pass, no global
+   * sort), every row maps to its range bucket map-side, the rewrite
+   * lands one directory per bucket, and the commit records each bucket's
+   * own min/max stats. After clustering, a point/range query on the
+   * cluster column scans ≈ 1/buckets of the table straight from
+   * commit-log metadata.
+   *
+   * A copy-on-write full rewrite, like Delta's OPTIMIZE ZORDER — run it
+   * at the cadence the read/write mix justifies. Currently for
+   * unpartitioned tables (a partitioned table already prunes on its
+   * partition column; clustering within partitions is a composition of
+   * this with [[selectiveOverwrite]]).
+   */
+  def clusterBy(column: String, buckets: Int): Commit = {
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    require(buckets >= 2, "clusterBy needs at least 2 buckets")
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    require(c.partitionBy.isEmpty,
+      "clusterBy supports unpartitioned tables; partitioned tables already " +
+        "prune on their partition columns")
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val field = schema.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no column $column in $root"))
+    require(field.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"clusterBy needs a numeric column, $column is ${field.dataType.simpleString}")
+
+    val df = read
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = df.stat.approxQuantile(column, probs, 0.001).distinct
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(column) >= lit(b), 1).otherwise(0)
+    }
+    val clustered = df.withColumn(CLUSTER_COL, bucket)
+
+    // per-bucket stats in one aggregate pass (the write-job Observation is
+    // global-only); rendered exactly like the write path's stats
+    val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(schema)
+    val perBucket: Map[Int, (Long, Map[String, DataSkipping.ColMinMax])] =
+      clustered.groupBy(col(CLUSTER_COL)).agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val vals = r.getValuesMap[Any](r.schema.fieldNames)
+          r.getInt(r.fieldIndex(CLUSTER_COL)) ->
+            (r.getLong(r.fieldIndex("rows")), DataSkipping.statsOf(schema, vals))
+        }.toMap
+
+    val version = c.version + 1L
+    val tsMs = System.currentTimeMillis()
+    val dataDir = new Path(new Path(rootPath, "data"),
+      f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
+    clustered.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(dataDir)
+
+    val dirs = perBucket.keys.toSeq.sorted.map(b => s"$dataDir/$CLUSTER_COL=$b")
+    val dirStats = perBucket.map { case (b, (_, stats)) =>
+      s"$dataDir/$CLUSTER_COL=$b" -> stats
+    }
+    val commit = Commit(version, s"CLUSTER BY ($column)", tsMs, dirs,
+      Map("numOutputRows" -> perBucket.values.map(_._1).sum.toString,
+        "buckets" -> perBucket.size.toString),
+      None, c.schemaDdl, c.version, dirStats = dirStats)
+    writeCommit(commit)
+    commit
+  }
+
   /** Test-visible so specs can fabricate large commit logs without paying
     * a Spark write job per version. */
   private[graft] def writeCommit(c: Commit): Unit = {
@@ -680,6 +791,10 @@ object ManagedTable {
 
   final case class VacuumStats(prunedVersions: Int, deletedDataDirs: Int,
                                deletedChangeDirs: Int)
+
+  /** Synthetic partition column holding [[ManagedTable.clusterBy]] range
+    * buckets — storage layout only, never surfaced to readers. */
+  val CLUSTER_COL: String = "__graft_cluster__"
 
   /** Change-data format with `_commit_version`/`_commit_timestamp` stamped
     * into the change parquet at commit time (readable as one multi-path

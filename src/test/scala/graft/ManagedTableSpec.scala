@@ -250,6 +250,64 @@ class ManagedTableSpec extends SparkSpec {
     assert(c.dirs.forall(c.dirStats.contains))
   }
 
+  test("append schema evolution: mergeSchema widens, mismatch without it throws") {
+    val path = tmpDir("mt_evolve")
+    val t = ManagedTable(spark, path)
+    t.write(Seq((1, "a")).toDF("id", "v"), "APPEND", "append")
+    // mismatched append without the flag must fail loudly — committing the
+    // batch schema as-is would drop 'v' from every subsequent read
+    intercept[IllegalArgumentException](
+      t.write(Seq((2, "b", 9)).toDF("id", "v", "extra"), "APPEND", "append"))
+    // with mergeSchema the table widens; old rows read NULL for the new col
+    t.write(Seq((2, "b", 9)).toDF("id", "v", "extra"), "APPEND", "append",
+      mergeSchema = true)
+    val got = t.read.select("id", "v", "extra")
+      .as[(Int, String, Option[Int])].collect().toSet
+    assert(got === Set((1, "a", None), (2, "b", Some(9))))
+    // a later batch missing an old column reads NULL for it
+    t.write(Seq((3, 7)).toDF("id", "extra"), "APPEND", "append",
+      mergeSchema = true)
+    val v3 = t.read.filter($"id" === 3)
+      .select("v", "extra").as[(Option[String], Option[Int])].head()
+    assert(v3 === ((None, Some(7))))
+    // type changes are refused even with the flag
+    intercept[IllegalArgumentException](
+      t.write(Seq(("x", "y")).toDF("id", "v"), "APPEND", "append",
+        mergeSchema = true))
+    // skipping stays conservative across evolution: the new column's
+    // stats exist only for dirs that carried it
+    assert(t.readWhere($"extra" === 9).select("id").as[Int].collect().toSeq === Seq(2))
+  }
+
+  test("clusterBy makes readWhere selective on the cluster column") {
+    val path = tmpDir("mt_cluster")
+    val t = ManagedTable(spark, path)
+    // one shuffled append: ids interleave, so pre-cluster min/max of the
+    // single dir spans everything and skipping can't prune
+    val rows = scala.util.Random.shuffle((0 until 1000).toList)
+      .map(i => (i, s"v$i"))
+    t.write(rows.toDF("id", "v"), "APPEND", "append")
+    def rootPathCount(df: org.apache.spark.sql.DataFrame): Int =
+      feedScans(df).map(_.relation.location.rootPaths.size).sum
+    assert(rootPathCount(t.readWhere($"id" === 57)) === 1) // 1 dir total
+
+    val c = t.clusterBy("id", buckets = 4)
+    assert(c.operation === "CLUSTER BY (id)")
+    assert(c.dirs.size === 4)
+    // content identical, synthetic bucket column never surfaces
+    assert(t.read.columns.toSeq === Seq("id", "v"))
+    assert(t.read.count() === 1000)
+    assert(t.read.select("id").as[Int].collect().toSet === (0 until 1000).toSet)
+    // a point query now scans one bucket of four
+    val q = t.readWhere($"id" === 57)
+    assert(q.select("v").as[String].collect().toSeq === Seq("v57"))
+    assert(rootPathCount(q) === 1)
+    // a half-range scans about half the buckets
+    assert(rootPathCount(t.readWhere($"id" < 490)) <= 3)
+    // time travel to the pre-cluster version still works
+    assert(t.readAt(c.version - 1).count() === 1000)
+  }
+
   test("concurrent appends all land via optimistic retry; no lost updates") {
     val path = tmpDir("mt_concurrent")
     ManagedTable(spark, path).write(Seq((0, "base")).toDF("id", "v"), "APPEND", "append")
