@@ -56,6 +56,8 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextOps.tokenCount(Queries.pq(s, d, "documents"))),
     "lang_id" -> ((s, d) => TextOps.langId(Queries.pq(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(Queries.pq(s, d, "documents"))),
+    "repetition_signals" -> ((s, d) =>
+      TextOps.repetitionSignals(Queries.pq(s, d, "documents"))),
     // near-dup + similarity + multimodal (MinHash-LSH / SimHash / ANN)
     "dedup_minhash" -> ((s, d) =>
       Dedup.nearDupPairs(Queries.pq(s, d, "documents"), threshold = 0.8)),
@@ -163,6 +165,14 @@ object SparkEntry {
         | md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint,
         | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
         |FROM documents""".stripMargin,
+    "repetition_signals" ->
+      """SELECT doc_id,
+        | len(str_split(text, chr(10))) AS n_lines,
+        | len(list_distinct(str_split(text, chr(10)))) AS n_distinct_lines,
+        | GREATEST(len(s) - 1, 0) AS n_word_2grams,
+        | len(list_distinct([s[i] || ' ' || s[i+1] for i in range(1, len(s))])) AS n_distinct_2grams
+        |FROM (SELECT doc_id, text,
+        |      regexp_extract_all(lower(text), '[a-z0-9]+') AS s FROM documents)""".stripMargin,
     // dedup_minhash: Spark generates candidates with MinHash-LSH then
     // verifies with EXACT jaccard, so the result equals the oracle's
     // all-pairs answer (oracle may go quadratic; the engine must not).

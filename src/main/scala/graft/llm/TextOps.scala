@@ -88,6 +88,26 @@ object TextOps {
         .otherwise(lit("es")).as("predicted_lang"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 use duplicate
+    * line / n-gram fractions as quality gates for web text): counts of
+    * total vs distinct lines and word bigrams per document. Emitted as
+    * exact integer COUNTS — the caller derives fractions — so the values
+    * hash identically across engines. Line counts use built-in split;
+    * bigrams reuse the [[Dedup.shingles]] tight-loop UDF (the HOF
+    * formulation is interpreted per element — see Dedup's scaladoc). */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val toks = regexp_extract_all(lower(t), lit("[a-z0-9]+"), lit(0))
+    docs.select(
+      col(idCol),
+      size(lines).as("n_lines"),
+      size(array_distinct(lines)).as("n_distinct_lines"),
+      greatest(size(toks) - 1, lit(0)).as("n_word_2grams"),
+      size(array_distinct(Dedup.shingles(t, 2))).as("n_distinct_2grams"))
+  }
+
   /** Rolling-hash document fingerprint (Rabin-Karp-style over the word
     * sequence, mod 2^61-1) — a cheap order-sensitive signature, exactly
     * reproducible in SQL via the same fold. */

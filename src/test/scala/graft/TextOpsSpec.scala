@@ -48,6 +48,20 @@ class TextOpsSpec extends SparkSpec {
     assert(preds(4L) === "fr")
   }
 
+  test("repetitionSignals counts duplicate lines and bigrams exactly") {
+    val d = Seq(
+      (1L, "a b c\na b c\nx y"),   // dup line; bigrams: ab,bc,ca,ab,bc,cx,xy
+      (2L, "one"),                  // no bigrams
+      (3L, "")).toDF("doc_id", "text")
+    // per doc: (n_lines, n_distinct_lines, n_word_2grams, n_distinct_2grams)
+    val m = TextOps.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(m(1L) === ((3, 2, 7, 5)))
+    assert(m(2L) === ((1, 1, 0, 0)))
+    assert(m(3L) === ((1, 1, 0, 0)))
+  }
+
   test("fingerprint is case/punctuation-insensitive on the token stream") {
     val pair = Seq((1L, "Hello, World!"), (2L, "hello world")).toDF("doc_id", "text")
     val fps = TextOps.fingerprint(pair).select("fingerprint").as[String].collect()
