@@ -717,10 +717,73 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(column) >= lit(b), 1).otherwise(0)
     }
-    val clustered = df.withColumn(CLUSTER_COL, bucket)
+    writeClustered(c, df, bucket, s"CLUSTER BY ($column)")
+  }
 
-    // per-bucket stats in one aggregate pass (the write-job Observation is
-    // global-only); rendered exactly like the write path's stats
+  /**
+   * Z-ORDER the table on several numeric columns: each column's value
+   * maps to a quantile rank (`zLevels` levels, boundaries from one
+   * sampled pass per column), the ranks' bits interleave into a Z-value
+   * (Morton code — the standard multi-dimensional clustering key, what
+   * Delta's OPTIMIZE ZORDER computes), and the Z-range splits into
+   * `buckets` directories with per-bucket stats. Because every column
+   * contributes interleaved bits, a point/range predicate on ANY of the
+   * columns fixes that column's bit positions and prunes to roughly
+   * buckets^(1/dims) of the table — the multi-column generalization of
+   * [[clusterBy]]. Same copy-on-write cost model.
+   */
+  def clusterByZ(columns: Seq[String], buckets: Int = 16,
+                 zLevels: Int = 16): Commit = {
+    import org.apache.spark.sql.functions.{col, lit, shiftleft, shiftright, when}
+    require(columns.size >= 2, "clusterByZ needs >= 2 columns (use clusterBy for 1)")
+    require(zLevels >= 2 && (zLevels & (zLevels - 1)) == 0,
+      s"zLevels must be a power of two, got $zLevels")
+    require(buckets >= 2, "clusterByZ needs at least 2 buckets")
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    require(c.partitionBy.isEmpty, "clusterByZ supports unpartitioned tables")
+    val schema = StructType.fromDDL(c.schemaDdl)
+    columns.foreach { n =>
+      val f = schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in $root"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"clusterByZ needs numeric columns, $n is ${f.dataType.simpleString}")
+    }
+    val df = read
+    val bits = Integer.numberOfTrailingZeros(zLevels)
+    val probs = (1 until zLevels).map(_.toDouble / zLevels).toArray
+    // per-column quantile rank in [0, zLevels)
+    val ranks = columns.map { n =>
+      val bounds = df.stat.approxQuantile(n, probs, 0.001).distinct
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(n) >= lit(b), 1).otherwise(0)
+      }
+    }
+    // Morton interleave: bit k of rank_i lands at position k*dims + i
+    val dims = columns.size
+    val z = (0 until bits).foldLeft(lit(0)) { (acc, k) =>
+      ranks.zipWithIndex.foldLeft(acc) { case (a, (r, i)) =>
+        a + shiftleft(shiftright(r, k).bitwiseAND(lit(1)), k * dims + i)
+      }
+    }
+    // ranks are quantile-based → z is near-uniform → equal-width split
+    val zSpace = math.pow(zLevels, dims)
+    val bucket = org.apache.spark.sql.functions.least(
+      org.apache.spark.sql.functions.floor(z * buckets / zSpace).cast("int"),
+      lit(buckets - 1))
+    writeClustered(c, df, bucket,
+      s"ZORDER BY (${columns.mkString(", ")})")
+  }
+
+  /** Shared clustered-rewrite commit path: per-bucket stats in one
+    * aggregate pass (the write-job Observation is global-only), one
+    * directory per bucket, stats rendered exactly like the write path's. */
+  private def writeClustered(c: Commit, df: DataFrame,
+                             bucket: org.apache.spark.sql.Column,
+                             operation: String): Commit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val clustered = df.withColumn(CLUSTER_COL, bucket)
     val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(schema)
     val perBucket: Map[Int, (Long, Map[String, DataSkipping.ColMinMax])] =
       clustered.groupBy(col(CLUSTER_COL)).agg(aggs.head, aggs.tail: _*)
@@ -740,7 +803,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val dirStats = perBucket.map { case (b, (_, stats)) =>
       s"$dataDir/$CLUSTER_COL=$b" -> stats
     }
-    val commit = Commit(version, s"CLUSTER BY ($column)", tsMs, dirs,
+    val commit = Commit(version, operation, tsMs, dirs,
       Map("numOutputRows" -> perBucket.values.map(_._1).sum.toString,
         "buckets" -> perBucket.size.toString),
       None, c.schemaDdl, c.version, dirStats = dirStats)

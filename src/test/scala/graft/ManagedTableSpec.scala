@@ -308,6 +308,36 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.readAt(c.version - 1).count() === 1000)
   }
 
+  test("clusterByZ prunes point queries on every clustered column") {
+    val path = tmpDir("mt_zorder")
+    val t = ManagedTable(spark, path)
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 2000).map(i => (rnd.nextInt(1000), rnd.nextInt(1000), i))
+    t.write(rows.toDF("x", "y", "id"), "APPEND", "append")
+    val c = t.clusterByZ(Seq("x", "y"), buckets = 16)
+    assert(c.operation === "ZORDER BY (x, y)")
+    assert(c.dirs.size >= 8, s"z-buckets collapsed to ${c.dirs.size}")
+    assert(t.read.count() === 2000)
+    assert(t.read.columns.toSeq === Seq("x", "y", "id"))
+    def rootPathCount(df: org.apache.spark.sql.DataFrame): Int =
+      feedScans(df).map(_.relation.location.rootPaths.size).sum
+    val total = c.dirs.size
+    val xv = rows(7)._1
+    val yv = rows(11)._2
+    // interleaved bits: a point on EITHER column fixes half the bucket
+    // bits → roughly sqrt selectivity on both axes
+    val xScan = rootPathCount(t.readWhere($"x" === xv))
+    val yScan = rootPathCount(t.readWhere($"y" === yv))
+    assert(xScan <= total / 2, s"x point query scanned $xScan of $total")
+    assert(yScan <= total / 2, s"y point query scanned $yScan of $total")
+    // conjunction prunes at least as hard as either axis
+    val bothScan = rootPathCount(t.readWhere($"x" === xv && $"y" === yv))
+    assert(bothScan <= math.min(xScan, yScan))
+    // results stay exact
+    assert(t.readWhere($"x" === xv).count() ===
+      rows.count(_._1 == xv))
+  }
+
   test("concurrent appends all land via optimistic retry; no lost updates") {
     val path = tmpDir("mt_concurrent")
     ManagedTable(spark, path).write(Seq((0, "base")).toDF("id", "v"), "APPEND", "append")
