@@ -120,6 +120,49 @@ final class ManagedTable(spark: SparkSession, root: String) {
     readDirs(c.dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty)
   }
 
+  /** Latest retained version whose commit time is at or before `tsMs` —
+    * Delta's `timestampAsOf` resolution. One batched commit-log fetch
+    * (bounded-concurrency driver IO, same as [[history]]). */
+  def versionAsOf(tsMs: Long): Long = {
+    val vs = listVersions.sorted
+    require(vs.nonEmpty, s"managed table $root does not exist")
+    val at = readCommits(vs).filter(_.timestampMs <= tsMs)
+    require(at.nonEmpty,
+      s"no retained version of $root exists at or before timestamp $tsMs " +
+        s"(earliest commit is at ${readCommits(Seq(vs.head)).head.timestampMs})")
+    at.map(_.version).max
+  }
+
+  /** Snapshot as of a wall-clock time (`timestampAsOf` time travel). */
+  def readAsOf(tsMs: Long): DataFrame = readAt(versionAsOf(tsMs))
+
+  /**
+   * RESTORE the table to an earlier version — a NEW commit whose dir
+   * composition (and schema, stats, partitioning) is the target
+   * version's. Metadata-only: no data moves, the restored dirs are
+   * re-referenced, and the rolled-back versions stay in history (and
+   * remain vacuum-able) — exactly Delta's RESTORE semantics. Fails if
+   * the target version was already vacuumed away.
+   */
+  def restore(version: Long): Commit = synchronized {
+    val cur = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    require(version != cur.version, s"table $root is already at version $version")
+    val earliest = earliestVersion.get
+    require(version >= earliest,
+      s"cannot restore $root to version $version — vacuumed " +
+        s"(earliest retained is $earliest)")
+    val target = commitAt(version)
+    val commit = Commit(cur.version + 1L, s"RESTORE(version=$version)",
+      System.currentTimeMillis(), target.dirs,
+      Map("restoredVersion" -> version.toString,
+        "numRestoredDirs" -> target.dirs.size.toString),
+      None, target.schemaDdl, cur.version, partitionBy = target.partitionBy,
+      dirStats = target.dirStats)
+    writeCommit(commit)
+    commit
+  }
+
   /** Read a commit's dir composition. Dirs may be whole data dirs or
     * partition subdirs (after a [[selectiveOverwrite]]); subdirs are read
     * with `basePath` grouped by their data-dir root so partition columns
@@ -648,7 +691,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
    * and committed through [[selectiveOverwrite]] so untouched partitions
    * carry over by reference. Returns None when nothing is fragmented.
    */
-  def compact(partitionBy: Seq[String], minFiles: Int = 2): Option[Commit] = {
+  def compact(partitionBy: Seq[String], minFiles: Int = 2,
+              sortWithin: Seq[String] = Nil): Option[Commit] = {
     require(partitionBy.nonEmpty, "compact requires partition columns")
     require(minFiles >= 2, "compacting below 2 files per partition is a no-op")
     val c = lastCommit.getOrElse(
@@ -674,8 +718,15 @@ final class ManagedTable(spark: SparkSession, root: String) {
     if (fragmented.isEmpty) return None
 
     val schema = StructType.fromDDL(c.schemaDdl)
-    val frag = readDirs(fragmented.values.flatten.toSeq, schema)
+    val frag0 = readDirs(fragmented.values.flatten.toSeq, schema)
       .repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    // optional intra-file clustering: sorted rows give parquet tight
+    // per-row-group min/max on the sort columns, so pushed filters skip
+    // row groups INSIDE the compacted files (complements dir-level
+    // skipping at zero extra shuffle — sort is partition-local)
+    val frag = if (sortWithin.isEmpty) frag0
+      else frag0.sortWithinPartitions(
+        sortWithin.map(org.apache.spark.sql.functions.col): _*)
     Some(selectiveOverwrite(frag, partitionBy,
       operation = s"OPTIMIZE(${fragmented.size} partitions)"))
   }

@@ -250,6 +250,58 @@ class ManagedTableSpec extends SparkSpec {
     assert(c.dirs.forall(c.dirStats.contains))
   }
 
+  test("compact with sortWithin writes rows sorted inside each partition file") {
+    val path = tmpDir("mt_compact_sort")
+    val t = ManagedTable(spark, path)
+    val rnd = new scala.util.Random(5)
+    (0 until 3).foreach { _ =>
+      t.write((0 until 100).map(_ => (rnd.nextInt(2), rnd.nextInt(10000)))
+        .toDF("p", "x"), "APPEND", "append", partitionBy = Seq("p"))
+    }
+    val c = t.compact(Seq("p"), minFiles = 2, sortWithin = Seq("x"))
+    assert(c.isDefined)
+    assert(t.read.count() === 300)
+    // rows inside each compacted file are ascending in x (row-group stats
+    // are only selective when the file is sorted)
+    import org.apache.spark.sql.functions.input_file_name
+    val perFile = t.read.select(input_file_name().as("f"), $"x")
+      .collect().groupBy(_.getString(0))
+      .map { case (_, rs) => rs.map(_.getInt(1)).toSeq }
+    perFile.foreach(xs => assert(xs === xs.sorted, "file not sorted on x"))
+  }
+
+  test("restore re-points the snapshot; timestampAsOf resolves versions") {
+    val path = tmpDir("mt_restore")
+    val t = ManagedTable(spark, path)
+    t.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), "APPEND", "append")
+    val ts0 = t.lastCommit.get.timestampMs
+    t.write(Seq((9, "z")).toDF("id", "v"), "OVERWRITE", "replace")
+
+    val r = t.restore(0)
+    assert(r.version === 2L && r.operation === "RESTORE(version=0)")
+    assert(t.read.as[(Int, String)].collect().toSet === Set((1, "a"), (2, "b")))
+    // rolled-back version stays in history and readable
+    assert(t.readAt(1).as[(Int, String)].collect().toSeq === Seq((9, "z")))
+    // restored dirs survive a vacuum that prunes the overwrite version
+    t.vacuum(keepLast = 1)
+    assert(t.read.count() === 2)
+    intercept[IllegalArgumentException](t.restore(0)) // vacuumed away
+
+    // timestampAsOf: at ts0 the table was version 0
+    val t2path = tmpDir("mt_asof")
+    val t2 = ManagedTable(spark, t2path)
+    t2.write(Seq(1).toDF("id"), "APPEND", "append")
+    val c0 = t2.lastCommit.get
+    // fabricate a later commit with a strictly later timestamp
+    t2.writeCommit(c0.copy(version = 1L, readVersion = 0L,
+      timestampMs = c0.timestampMs + 10000))
+    assert(t2.versionAsOf(c0.timestampMs) === 0L)
+    assert(t2.versionAsOf(c0.timestampMs + 10000) === 1L)
+    assert(t2.readAsOf(c0.timestampMs).count() === 1)
+    intercept[IllegalArgumentException](t2.versionAsOf(c0.timestampMs - 1))
+    assert(ts0 > 0)
+  }
+
   test("append schema evolution: mergeSchema widens, mismatch without it throws") {
     val path = tmpDir("mt_evolve")
     val t = ManagedTable(spark, path)
