@@ -350,6 +350,58 @@ object Queries {
       |WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
       |GROUP BY o_orderpriority""".stripMargin
 
+  /**
+   * Z-order clustering under the correctness gate: customers land in a
+   * managed table, get Z-clustered on (c_custkey, c_nationkey), and a
+   * range query on EACH clustered column must (a) prune the scan below
+   * the full bucket count — asserted in-query against the physical plan —
+   * and (b) return rows DuckDB recomputes from the raw table.
+   */
+  def zorderSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("zorder")
+    val t = ManagedTable(spark, path)
+    t.write(pq(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_mktsegment"), "APPEND", "append")
+    val c = t.clusterByZ(Seq("c_custkey", "c_nationkey"), buckets = 16)
+    def scanned(df: DataFrame): Int = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.size
+    }.sum
+    val byKey = t.readWhere(col("c_custkey") <= 100)
+    val byNation = t.readWhere(col("c_nationkey") === 3)
+    require(scanned(byKey) < c.dirs.size && scanned(byNation) < c.dirs.size,
+      s"z-order must prune both axes: key=${scanned(byKey)} " +
+        s"nation=${scanned(byNation)} of ${c.dirs.size}")
+    byKey.select(col("c_custkey"), col("c_nationkey").cast("int").as("c_nationkey"),
+      col("c_mktsegment"))
+  }
+
+  val zorderSkippingSql: String =
+    """SELECT c_custkey, CAST(c_nationkey AS INT) AS c_nationkey, c_mktsegment
+      |FROM customer WHERE c_custkey <= 100""".stripMargin
+
+  /**
+   * RESTORE under the correctness gate: append nation, overwrite with a
+   * single row, restore version 0 — the final read must be the original
+   * append (metadata-only re-reference), which the oracle recomputes
+   * from the raw table.
+   */
+  def restoreSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("restore")
+    val t = ManagedTable(spark, path)
+    t.write(pq(spark, dir, "nation").select("n_nationkey", "n_name"),
+      "APPEND", "append")
+    t.write(pq(spark, dir, "nation").select("n_nationkey", "n_name").limit(1),
+      "OVERWRITE", "replace")
+    val r = t.restore(0)
+    require(r.operation == "RESTORE(version=0)" && t.latestVersion.contains(2L),
+      s"unexpected restore commit $r")
+    t.read
+  }
+
+  val restoreSnapshotSql: String =
+    "SELECT n_nationkey, n_name FROM nation"
+
   /** Overwrite replaces the whole snapshot: second write wins. */
   def overwriteManaged(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("overwrite")

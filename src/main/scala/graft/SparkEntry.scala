@@ -35,6 +35,8 @@ object SparkEntry {
     "overwrite_managed" -> (Queries.overwriteManaged(_, _)),
     "table_maintenance" -> (Queries.tableMaintenance(_, _)),
     "data_skipping" -> (Queries.dataSkipping(_, _)),
+    "zorder_skipping" -> (Queries.zorderSkipping(_, _)),
+    "restore_snapshot" -> (Queries.restoreSnapshot(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_partitioned" -> (Queries.scd1Partitioned(_, _)),
@@ -114,6 +116,8 @@ object SparkEntry {
     "overwrite_managed" -> Queries.overwriteManagedSql,
     "table_maintenance" -> Queries.tableMaintenanceSql,
     "data_skipping" -> Queries.dataSkippingSql,
+    "zorder_skipping" -> Queries.zorderSkippingSql,
+    "restore_snapshot" -> Queries.restoreSnapshotSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_partitioned" -> Queries.scd1PartitionedSql,
