@@ -402,6 +402,38 @@ object Queries {
   val restoreSnapshotSql: String =
     "SELECT n_nationkey, n_name FROM nation"
 
+  /**
+   * Dir-scoped row-level DML under the correctness gate: three
+   * key-ranged appends, a DELETE and an UPDATE whose predicates touch
+   * only the middle range — the in-query gate asserts exactly one dir
+   * was rewritten each time (data skipping localized the DML) — then the
+   * final state, which the oracle recomputes from the raw table with
+   * WHERE/CASE.
+   */
+  def dmlDeleteUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("dml")
+    val t = ManagedTable(spark, path)
+    val nation = pq(spark, dir, "nation").select("n_nationkey", "n_name")
+    t.write(nation.filter(col("n_nationkey") < 8), "APPEND", "append")
+    t.write(nation.filter(col("n_nationkey") >= 8 && col("n_nationkey") < 16),
+      "APPEND", "append")
+    t.write(nation.filter(col("n_nationkey") >= 16), "APPEND", "append")
+    val d = t.delete(col("n_nationkey") === 10)
+    require(d.operationMetrics("numRewrittenDirs") == "1",
+      s"DELETE must rewrite exactly the middle dir, got ${d.operationMetrics}")
+    val u = t.update(Map("n_name" -> upper(col("n_name"))),
+      col("n_nationkey") >= 8 && col("n_nationkey") < 16)
+    require(u.operationMetrics("numRewrittenDirs") == "1",
+      s"UPDATE must rewrite exactly the middle dir, got ${u.operationMetrics}")
+    t.read
+  }
+
+  val dmlDeleteUpdateSql: String =
+    """SELECT n_nationkey,
+      | CASE WHEN n_nationkey >= 8 AND n_nationkey < 16
+      |      THEN upper(n_name) ELSE n_name END AS n_name
+      |FROM nation WHERE n_nationkey <> 10""".stripMargin
+
   /** Overwrite replaces the whole snapshot: second write wins. */
   def overwriteManaged(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("overwrite")

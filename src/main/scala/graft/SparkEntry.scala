@@ -37,6 +37,7 @@ object SparkEntry {
     "data_skipping" -> (Queries.dataSkipping(_, _)),
     "zorder_skipping" -> (Queries.zorderSkipping(_, _)),
     "restore_snapshot" -> (Queries.restoreSnapshot(_, _)),
+    "dml_delete_update" -> (Queries.dmlDeleteUpdate(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_partitioned" -> (Queries.scd1Partitioned(_, _)),
@@ -118,6 +119,7 @@ object SparkEntry {
     "data_skipping" -> Queries.dataSkippingSql,
     "zorder_skipping" -> Queries.zorderSkippingSql,
     "restore_snapshot" -> Queries.restoreSnapshotSql,
+    "dml_delete_update" -> Queries.dmlDeleteUpdateSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_partitioned" -> Queries.scd1PartitionedSql,

@@ -376,6 +376,121 @@ final class ManagedTable(spark: SparkSession, root: String) {
     readDirs(kept, schema, c.partitionBy.nonEmpty).filter(predicate)
   }
 
+  /**
+   * Row-level DELETE — the Delta `DELETE FROM ... WHERE` analogue, made
+   * dir-scoped by data skipping: only dirs whose min/max stats say they
+   * MAY contain matching rows are rewritten (their surviving rows land in
+   * one new dir); every other dir carries over by reference, untouched on
+   * disk. Cost is O(affected dirs), not a table rewrite — on an
+   * append-heavy or clustered 100 TB table a selective delete touches a
+   * handful of dirs. Returns the new commit; `numDeletedRows` /
+   * `numRewrittenDirs` land in operationMetrics.
+   */
+  def delete(predicate: org.apache.spark.sql.Column): Commit =
+    rewriteMatching(predicate, "DELETE") { (df, pred) =>
+      // SQL DELETE semantics: only rows where the predicate is TRUE go;
+      // NULL-predicate rows stay (a bare !pred would drop them too)
+      df.filter(!org.apache.spark.sql.functions.coalesce(
+        pred, org.apache.spark.sql.functions.lit(false)))
+    }
+
+  /**
+   * Row-level UPDATE — `UPDATE ... SET col = expr WHERE pred`, with the
+   * same dir-scoped rewrite as [[delete]]: non-matching dirs are never
+   * read or written. `set` values may reference the row's columns.
+   */
+  def update(set: Map[String, org.apache.spark.sql.Column],
+             predicate: org.apache.spark.sql.Column): Commit = {
+    import org.apache.spark.sql.functions.{col, when}
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    val schema = StructType.fromDDL(c.schemaDdl)
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"UPDATE sets unknown column $k"))
+    rewriteMatching(predicate, "UPDATE") { (df, pred) =>
+      df.select(schema.fields.map { f =>
+        set.get(f.name) match {
+          case Some(v) => when(pred, v.cast(f.dataType))
+            .otherwise(col(s"`${f.name}`")).as(f.name)
+          case None => col(s"`${f.name}`")
+        }
+      }.toIndexedSeq: _*)
+    }
+  }
+
+  /** Shared dir-scoped rewrite for row-level DML: stats-prune to the
+    * affected dirs, apply `transform` (which sees the evaluable predicate
+    * column), write the result as one new dir with fresh skipping stats,
+    * commit untouched dirs by reference. Change feeds see the rewrite as
+    * dir-diff (affected dirs' rows deleted, surviving rows inserted) —
+    * coarser than Delta's minimal CDF but consistent with this table's
+    * overwrite semantics. */
+  private def rewriteMatching(predicate: org.apache.spark.sql.Column,
+                              operation: String)(
+      transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Commit =
+    synchronized {
+      import org.apache.spark.sql.functions.{count, lit, when => whenF}
+      val c = lastCommit.getOrElse(
+        throw new IllegalStateException(s"managed table $root does not exist"))
+      val schema = StructType.fromDDL(c.schemaDdl)
+      val predExpr = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(predicate).queryExecution.logical
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+      val (affected, untouched) = c.dirs.partition { d =>
+        (for (stats <- c.dirStats.get(d); e <- predExpr)
+          yield DataSkipping.mayMatch(stats, schema, e)).getOrElse(true)
+      }
+      val version = c.version + 1L
+      val tsMs = System.currentTimeMillis()
+
+      if (affected.isEmpty) {
+        val commit = Commit(version, operation, tsMs, c.dirs,
+          Map("numAffectedRows" -> "0", "numRewrittenDirs" -> "0"),
+          None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
+          dirStats = c.dirStats)
+        writeCommit(commit)
+        return commit
+      }
+
+      val src = readDirs(affected, schema, c.partitionBy.nonEmpty)
+      // affected-row count observed above the transform, output rows +
+      // skipping stats below it — one write job, no extra passes
+      val obsIn = org.apache.spark.sql.Observation(
+        s"graft_dml_in_$version-${UUID.randomUUID()}")
+      val obsOut = org.apache.spark.sql.Observation(
+        s"graft_dml_out_$version-${UUID.randomUUID()}")
+      val withIn = src.observe(obsIn,
+        count(lit(1)).as("scanned"),
+        count(whenF(predicate, 1)).as("matched"))
+      val result = transform(withIn, predicate)
+      val outAggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(schema)
+      val dataDir = new Path(new Path(rootPath, "data"),
+        f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
+      val writer = result.observe(obsOut, outAggs.head, outAggs.tail: _*)
+        .write.mode("overwrite")
+      (if (c.partitionBy.nonEmpty) writer.partitionBy(c.partitionBy: _*)
+       else writer).parquet(dataDir)
+
+      val outObserved = obsOut.get
+      val outRows = outObserved("rows").asInstanceOf[Long]
+      val matched = obsIn.get("matched").asInstanceOf[Long]
+      val untouchedStats = c.dirStats.view.filterKeys(untouched.contains).toMap
+      val dirs = if (outRows == 0) untouched else untouched :+ dataDir
+      val dirStats =
+        if (outRows == 0) untouchedStats
+        else untouchedStats + (dataDir -> DataSkipping.statsOf(schema, outObserved))
+      val commit = Commit(version, operation, tsMs, dirs,
+        Map("numAffectedRows" -> matched.toString,
+          "numRewrittenDirs" -> affected.size.toString),
+        None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
+        dirStats = dirStats)
+      writeCommit(commit)
+      commit
+    }
+
   /** Read if present, else an empty frame with the given schema. */
   def readOrEmpty(schema: StructType): DataFrame =
     if (exists) read

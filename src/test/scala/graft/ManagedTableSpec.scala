@@ -270,6 +270,44 @@ class ManagedTableSpec extends SparkSpec {
     perFile.foreach(xs => assert(xs === xs.sorted, "file not sorted on x"))
   }
 
+  test("delete/update rewrite only stat-affected dirs, others survive byte-identical") {
+    val path = tmpDir("mt_dml")
+    val t = ManagedTable(spark, path)
+    t.write((0 until 10).map(i => (i, s"v$i")).toDF("id", "v"), "APPEND", "append")
+    t.write((10 until 20).map(i => (i, s"v$i")).toDF("id", "v"), "APPEND", "append")
+    t.write((20 until 30).map(i => (i, s"v$i")).toDF("id", "v"), "APPEND", "append")
+    val before = t.lastCommit.get
+
+    val d = t.delete($"id" >= 10 && $"id" < 13)
+    assert(d.operationMetrics("numAffectedRows") === "3")
+    assert(d.operationMetrics("numRewrittenDirs") === "1")
+    // the two unaffected dirs carry over by reference — same dir strings
+    assert(d.dirs.toSet.intersect(before.dirs.toSet).size === 2)
+    assert(t.read.count() === 27)
+    assert(t.read.filter($"id" === 11).count() === 0)
+
+    val u = t.update(Map("v" -> org.apache.spark.sql.functions.concat(
+      $"v", org.apache.spark.sql.functions.lit("!"))), $"id" >= 25)
+    assert(u.operationMetrics("numAffectedRows") === "5")
+    assert(u.operationMetrics("numRewrittenDirs") === "1")
+    val got = t.read.filter($"id" >= 24).select("id", "v")
+      .as[(Int, String)].collect().toMap
+    assert(got(24) === "v24" && got(25) === "v25!" && got(29) === "v29!")
+    assert(t.read.count() === 27)
+
+    // no-match DML commits a metadata-only version, nothing rewritten
+    val n = t.delete($"id" === 9999)
+    assert(n.operationMetrics("numRewrittenDirs") === "0")
+    assert(n.dirs === u.dirs)
+
+    // NULL-predicate rows are kept by DELETE (SQL semantics)
+    val p2 = tmpDir("mt_dml_null")
+    val t2 = ManagedTable(spark, p2)
+    t2.write(Seq((Some(1), "a"), (None, "b")).toDF("id", "v"), "APPEND", "append")
+    t2.delete($"id" > 0)
+    assert(t2.read.select("v").as[String].collect().toSeq === Seq("b"))
+  }
+
   test("restore re-points the snapshot; timestampAsOf resolves versions") {
     val path = tmpDir("mt_restore")
     val t = ManagedTable(spark, path)
