@@ -386,13 +386,19 @@ final class ManagedTable(spark: SparkSession, root: String) {
    * handful of dirs. Returns the new commit; `numDeletedRows` /
    * `numRewrittenDirs` land in operationMetrics.
    */
-  def delete(predicate: org.apache.spark.sql.Column): Commit =
-    rewriteMatching(predicate, "DELETE") { (df, pred) =>
+  def delete(predicate: org.apache.spark.sql.Column,
+             captureChangeData: Boolean = false): Commit = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    rewriteMatching(predicate, "DELETE",
+      changeRows = if (!captureChangeData) None else Some { (df, pred) =>
+        df.filter(coalesce(pred, lit(false)))
+          .withColumn("_change_type", lit("delete"))
+      }) { (df, pred) =>
       // SQL DELETE semantics: only rows where the predicate is TRUE go;
       // NULL-predicate rows stay (a bare !pred would drop them too)
-      df.filter(!org.apache.spark.sql.functions.coalesce(
-        pred, org.apache.spark.sql.functions.lit(false)))
+      df.filter(!coalesce(pred, lit(false)))
     }
+  }
 
   /**
    * Row-level UPDATE — `UPDATE ... SET col = expr WHERE pred`, with the
@@ -400,14 +406,15 @@ final class ManagedTable(spark: SparkSession, root: String) {
    * read or written. `set` values may reference the row's columns.
    */
   def update(set: Map[String, org.apache.spark.sql.Column],
-             predicate: org.apache.spark.sql.Column): Commit = {
-    import org.apache.spark.sql.functions.{col, when}
+             predicate: org.apache.spark.sql.Column,
+             captureChangeData: Boolean = false): Commit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
     val schema = StructType.fromDDL(c.schemaDdl)
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"UPDATE sets unknown column $k"))
-    rewriteMatching(predicate, "UPDATE") { (df, pred) =>
+    def applySet(df: DataFrame, pred: org.apache.spark.sql.Column): DataFrame =
       df.select(schema.fields.map { f =>
         set.get(f.name) match {
           case Some(v) => when(pred, v.cast(f.dataType))
@@ -415,7 +422,13 @@ final class ManagedTable(spark: SparkSession, root: String) {
           case None => col(s"`${f.name}`")
         }
       }.toIndexedSeq: _*)
-    }
+    rewriteMatching(predicate, "UPDATE",
+      changeRows = if (!captureChangeData) None else Some { (df, pred) =>
+        val matched = df.filter(coalesce(pred, lit(false)))
+        matched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applySet(matched, lit(true))
+            .withColumn("_change_type", lit("update_postimage")))
+      })(applySet)
   }
 
   /** Shared dir-scoped rewrite for row-level DML: stats-prune to the
@@ -426,7 +439,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
     * coarser than Delta's minimal CDF but consistent with this table's
     * overwrite semantics. */
   private def rewriteMatching(predicate: org.apache.spark.sql.Column,
-                              operation: String)(
+                              operation: String,
+                              changeRows: Option[(DataFrame, org.apache.spark.sql.Column) => DataFrame] = None)(
       transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Commit =
     synchronized {
       import org.apache.spark.sql.functions.{count, lit, when => whenF}
@@ -477,6 +491,15 @@ final class ManagedTable(spark: SparkSession, root: String) {
       val outObserved = obsOut.get
       val outRows = outObserved("rows").asInstanceOf[Long]
       val matched = obsIn.get("matched").asInstanceOf[Long]
+      // optional minimal CDF: exactly the touched rows (delete /
+      // update pre+post images), stamped + stored so readChangeFeed
+      // serves this version from the change parquet instead of the
+      // coarse dir-diff (which would claim every affected dir's row
+      // rewritten). One extra job over the affected dirs — opt-in.
+      val changeDir = changeRows.map { build =>
+        writeChangeData(version, tsMs,
+          build(readDirs(affected, schema, c.partitionBy.nonEmpty), predicate))
+      }
       val untouchedStats = c.dirStats.view.filterKeys(untouched.contains).toMap
       val dirs = if (outRows == 0) untouched else untouched :+ dataDir
       val dirStats =
@@ -485,8 +508,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
       val commit = Commit(version, operation, tsMs, dirs,
         Map("numAffectedRows" -> matched.toString,
           "numRewrittenDirs" -> affected.size.toString),
-        None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
-        dirStats = dirStats)
+        None, c.schemaDdl, c.version, changeDir,
+        changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
+        partitionBy = c.partitionBy, dirStats = dirStats)
       writeCommit(commit)
       commit
     }

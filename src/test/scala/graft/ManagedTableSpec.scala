@@ -308,6 +308,31 @@ class ManagedTableSpec extends SparkSpec {
     assert(t2.read.select("v").as[String].collect().toSeq === Seq("b"))
   }
 
+  test("DML with captureChangeData serves a minimal change feed") {
+    val path = tmpDir("mt_dml_cdf")
+    val t = ManagedTable(spark, path)
+    t.write((0 until 10).map(i => (i, s"v$i")).toDF("id", "v"), "APPEND", "append")
+    val d = t.delete($"id" === 3, captureChangeData = true)
+    val u = t.update(Map("v" -> org.apache.spark.sql.functions.lit("X")),
+      $"id" === 7, captureChangeData = true)
+    val feed = t.readChangeFeed(d.version, Some(u.version))
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Int, String, String, Long)].collect().toSet
+    // minimal: ONLY the touched rows, not the rewritten dirs' contents
+    assert(feed === Set(
+      (3, "v3", "delete", d.version),
+      (7, "v7", "update_preimage", u.version),
+      (7, "X", "update_postimage", u.version)))
+    // without capture, the same DML surfaces as the coarse dir-diff
+    val t2 = ManagedTable(spark, tmpDir("mt_dml_nocdf"))
+    t2.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), "APPEND", "append")
+    val d2 = t2.delete($"id" === 1)
+    val coarse = t2.readChangeFeed(d2.version)
+      .select("_change_type").as[String].collect().toSeq.sorted
+    assert(coarse === Seq("delete", "delete", "insert"),
+      "dir-diff: both old rows deleted, surviving row re-inserted")
+  }
+
   test("restore re-points the snapshot; timestampAsOf resolves versions") {
     val path = tmpDir("mt_restore")
     val t = ManagedTable(spark, path)
