@@ -38,6 +38,10 @@ object SparkEntry {
     "zorder_skipping" -> (Queries.zorderSkipping(_, _)),
     "restore_snapshot" -> (Queries.restoreSnapshot(_, _)),
     "dml_delete_update" -> (Queries.dmlDeleteUpdate(_, _)),
+    // skew-safe two-stage distinct count (operators/SkewOps.scala):
+    // exact because salting partitions the value space
+    "skew_distinct" -> ((s, d) => graft.operators.SkewOps.saltedDistinctCount(
+      Queries.pq(s, d, "orders"), Seq("o_orderpriority"), "o_custkey")),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_partitioned" -> (Queries.scd1Partitioned(_, _)),
@@ -120,6 +124,9 @@ object SparkEntry {
     "zorder_skipping" -> Queries.zorderSkippingSql,
     "restore_snapshot" -> Queries.restoreSnapshotSql,
     "dml_delete_update" -> Queries.dmlDeleteUpdateSql,
+    "skew_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_partitioned" -> Queries.scd1PartitionedSql,
