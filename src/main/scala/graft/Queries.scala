@@ -1103,4 +1103,141 @@ object Queries {
       | strlen(text)::BIGINT AS n_bytes,
       | md5(text) AS payload_md5
       |FROM documents""".stripMargin
+
+  // --------------------------------------- time-series joins & sketches
+
+  private val HourUs = 3600000000L
+
+  /** Last-touch attribution via as-of join: for every purchase event, the
+    * same user's most recent `view` event at-or-before the purchase and
+    * within one hour (NULL when the user didn't view recently). One
+    * union+window pass — no join node, no pair explosion on hot users. */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = pq(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        expr("ts div 1000").as("vts_us"))
+    AsOfJoin.join(purchases, views, "ts_us", "vts_us", Seq("user_id"),
+      direction = "backward", tolerance = Some(HourUs),
+      rightTieBreak = Some("view_id"))
+      .select("event_id", "user_id", "ts_us", "view_id", "vts_us")
+  }
+
+  /** DuckDB recomputes the as-of match the quadratic way: inequality
+    * left-join then keep rank 1 under the SAME tie policy the operator
+    * guarantees (latest time, then greatest view_id). */
+  val asofAttributionSql: String =
+    s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+       |           FROM events WHERE event_type = 'purchase'),
+       |     v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vts_us
+       |           FROM events WHERE event_type = 'view'),
+       |     j AS (SELECT p.event_id, p.user_id, p.ts_us, v.view_id, v.vts_us,
+       |             row_number() OVER (PARTITION BY p.event_id
+       |               ORDER BY v.vts_us DESC, v.view_id DESC) AS rn
+       |           FROM p LEFT JOIN v
+       |             ON v.user_id = p.user_id
+       |            AND v.vts_us <= p.ts_us
+       |            AND v.vts_us >= p.ts_us - $HourUs)
+       |SELECT event_id, user_id, ts_us, view_id, vts_us FROM j WHERE rn = 1""".stripMargin
+
+  /** Bucketed range join: how many events did the user generate in the
+    * hour strictly before each purchase? Each purchase defines the
+    * half-open interval [ts-1h, ts); the bucketed equi-join meets every
+    * qualifying (event, purchase) pair in exactly one (user, hour-bucket)
+    * — never a nested-loop or unbounded-range sort-merge. */
+  def rangeJoinActivity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RangeJoin
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = pq(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    val intervals = purchases
+      .select(col("event_id"), col("user_id"),
+        (col("ts_us") - HourUs).as("w_start"), col("ts_us").as("w_end"))
+    val points = ev.select(col("user_id"), expr("ts div 1000").as("p_ts"))
+    val counts = RangeJoin.pointInInterval(points, "p_ts",
+        intervals, "w_start", "w_end", bucketWidth = HourUs, keys = Seq("user_id"))
+      .groupBy("event_id").agg(count(lit(1)).as("n_before"))
+    purchases.select("event_id", "user_id")
+      .join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"))
+  }
+
+  val rangeJoinActivitySql: String =
+    s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+       |           FROM events WHERE event_type = 'purchase'),
+       |     e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events)
+       |SELECT p.event_id, p.user_id, COUNT(e.ts_us) AS n_before
+       |FROM p LEFT JOIN e
+       |  ON e.user_id = p.user_id
+       | AND e.ts_us >= p.ts_us - $HourUs
+       | AND e.ts_us < p.ts_us
+       |GROUP BY 1, 2""".stripMargin
+
+  /** HLL distinct customers per order priority, with the estimates GATED
+    * in-query: both the direct sketch estimate and the estimate from
+    * merging finer-grained (priority, status) sketches must land within
+    * 5% of exact (lgK=12 ≈ 1.6% RSE, so the gate has 3σ headroom) or the
+    * query throws. The deterministic EXACT counts are what's emitted and
+    * hash-compared, so a broken sketch cannot pass silently. */
+  def sketchDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val orders = pq(spark, dir, "orders")
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val direct = Sketches.approxDistinct(orders, Seq("o_orderpriority"),
+      "o_custkey", outCol = "est_direct")
+    val merged = Sketches.hllMergeEstimate(
+      Sketches.hllSketch(orders, Seq("o_orderpriority", "o_orderstatus"), "o_custkey"),
+      Seq("o_orderpriority"), outCol = "est_merged")
+    val checked = exact.join(direct, Seq("o_orderpriority"))
+      .join(merged, Seq("o_orderpriority"))
+      .collect()
+    checked.foreach { r =>
+      val exactN = r.getAs[Long]("n_exact").toDouble
+      Seq("est_direct", "est_merged").foreach { c =>
+        val est = r.getAs[Long](c).toDouble
+        require(math.abs(est - exactN) / exactN <= 0.05,
+          f"$c for ${r.getAs[String]("o_orderpriority")} off by " +
+            f"${math.abs(est - exactN) / exactN}%.3f (>5%%) — HLL sketch/merge broken")
+      }
+    }
+    exact
+  }
+
+  val sketchDistinctSql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Bloom-pruned fact join: revenue of lineitems belonging to URGENT
+    * orders. The Bloom filter drops non-matching lineitems BEFORE the
+    * join shuffle; the join itself removes the filter's false positives,
+    * so the aggregate is exact and the oracle is a plain SQL join. */
+  def bloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val li = pq(spark, dir, "lineitem")
+    val urgent = pq(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    Sketches.bloomPrunedJoin(li, urgent, "l_orderkey", "o_orderkey",
+        expectedItems = 100000)
+      .groupBy("l_returnflag")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("string").as("urgent_rev"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val bloomPruneJoinSql: String =
+    """SELECT l_returnflag,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS urgent_rev,
+      | COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1""".stripMargin
 }

@@ -42,6 +42,11 @@ object SparkEntry {
     // exact because salting partitions the value space
     "skew_distinct" -> ((s, d) => graft.operators.SkewOps.saltedDistinctCount(
       Queries.pq(s, d, "orders"), Seq("o_orderpriority"), "o_custkey")),
+    // time-series joins + sketch summaries (operators/{AsOfJoin,RangeJoin,Sketches})
+    "asof_join" -> (Queries.asofAttribution(_, _)),
+    "range_join" -> (Queries.rangeJoinActivity(_, _)),
+    "sketch_distinct" -> (Queries.sketchDistinct(_, _)),
+    "bloom_prune_join" -> (Queries.bloomPruneJoin(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_partitioned" -> (Queries.scd1Partitioned(_, _)),
@@ -127,6 +132,10 @@ object SparkEntry {
     "skew_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "asof_join" -> Queries.asofAttributionSql,
+    "range_join" -> Queries.rangeJoinActivitySql,
+    "sketch_distinct" -> Queries.sketchDistinctSql,
+    "bloom_prune_join" -> Queries.bloomPruneJoinSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_partitioned" -> Queries.scd1PartitionedSql,

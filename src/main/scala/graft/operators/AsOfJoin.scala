@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Point-in-time ("as-of") join: for every left row, attach the single
+ * right row with the same `by` keys whose time is the closest at-or-before
+ * (`backward`) or at-or-after (`forward`) the left row's time, optionally
+ * within `tolerance` time units. Semantics follow pandas `merge_asof`
+ * (left-outer: every left row survives; an out-of-tolerance or absent
+ * match yields NULL right columns).
+ *
+ * Spark has no native as-of join, and expressing it as an inequality join
+ * plus `row_number` forces either a broadcast-nested-loop or a sort-merge
+ * join whose matching right set per left row is unbounded — at 100 TB a
+ * hot key (one user with millions of events) turns that into a pair
+ * explosion. This operator instead UNIONS the two sides and takes a
+ * running `last(right_payload, ignoreNulls)` over one window, so the cost
+ * is a single hash partition on `by` plus one sort of |L|+|R| rows per
+ * key — no join node, no candidate pairs, linear in input after the sort.
+ *
+ * Determinism: when several right rows share the matching timestamp, the
+ * one with the greatest `rightTieBreak` value wins (both directions), so
+ * results are stable across retries and engines — required for the
+ * hash-compared oracle, and the same policy a DuckDB
+ * `row_number() ... ORDER BY t DESC, tie DESC` oracle can express.
+ *
+ * Time columns must be numeric (the engine-wide convention is epoch
+ * microseconds, see Queries `ts_us`); they are cast to long so tolerance
+ * arithmetic is exact.
+ */
+object AsOfJoin {
+
+  private val T = "__graft_asof_t__"
+  private val Side = "__graft_asof_side__"
+  private val Tb = "__graft_asof_tb__"
+  private val Lp = "__graft_asof_lp__"
+  private val Rp = "__graft_asof_rp__"
+  private val M = "__graft_asof_m__"
+
+  /**
+   * @param leftTime      numeric time column on `left`
+   * @param rightTime     numeric time column on `right` (kept in the output,
+   *                      NULL when unmatched)
+   * @param by            equality keys present on both sides
+   * @param direction     "backward" (right.t <= left.t, default) or
+   *                      "forward" (right.t >= left.t)
+   * @param tolerance     max |left.t - right.t| for a match to count
+   * @param rightTieBreak column on `right` breaking equal-time ties
+   *                      (greatest value wins); omit only when (by, time)
+   *                      is unique on the right side
+   */
+  def join(left: DataFrame, right: DataFrame,
+           leftTime: String, rightTime: String,
+           by: Seq[String],
+           direction: String = "backward",
+           tolerance: Option[Long] = None,
+           rightTieBreak: Option[String] = None): DataFrame = {
+    require(by.nonEmpty, "as-of join needs at least one `by` key")
+    require(Seq("backward", "forward").contains(direction),
+      s"direction must be backward|forward, got $direction")
+    val leftPayload = left.columns.toSeq.filterNot(by.contains)
+    val rightPayload = right.columns.toSeq.filterNot(by.contains)
+    val overlap = leftPayload.intersect(rightPayload)
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint across sides, both have: ${overlap.mkString(", ")}")
+    require(leftPayload.contains(leftTime), s"$leftTime not a left column")
+    require(rightPayload.contains(rightTime), s"$rightTime not a right column")
+
+    def q(c: String): Column = col(s"`$c`")
+    val byCols = by.map(q)
+
+    // Right rows carry __side=0 so they sort BEFORE left rows at the same
+    // timestamp — that makes the match inclusive (right.t == left.t wins).
+    val l2 = left.select(
+      byCols ++ Seq(
+        q(leftTime).cast("long").as(T), lit(1).as(Side), lit(0L).as(Tb),
+        struct(leftPayload.map(q): _*).as(Lp)): _*)
+    val r2 = right.select(
+      byCols ++ Seq(
+        q(rightTime).cast("long").as(T), lit(0).as(Side),
+        rightTieBreak.map(q(_).cast("long")).getOrElse(lit(0L)).as(Tb),
+        struct(rightPayload.map(q): _*).as(Rp)): _*)
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+
+    // backward: scan times ascending; the running last right payload at a
+    // left row is the latest right row with t <= left.t. forward: scan
+    // descending; the running last right payload is the EARLIEST right
+    // row with t >= left.t. Tie-break ascending in both cases, so among
+    // equal timestamps the greatest tie-break value is seen last and wins.
+    val ordering: Seq[Column] =
+      if (direction == "backward") Seq(col(T).asc, col(Side).asc, col(Tb).asc)
+      else Seq(col(T).desc, col(Side).asc, col(Tb).asc)
+    val w = Window.partitionBy(byCols: _*).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedRaw = last(col(Rp), ignoreNulls = true).over(w)
+
+    val withMatch = u.withColumn(M, matchedRaw).filter(col(Side) === 1)
+    val matchedT = col(M).getField(rightTime).cast("long")
+    val withinTol: Column = tolerance match {
+      case None => lit(true)
+      case Some(tol) =>
+        if (direction == "backward") col(T) - matchedT <= tol
+        else matchedT - col(T) <= tol
+    }
+    val gated = withMatch.withColumn(M,
+      when(col(M).isNotNull && withinTol, col(M)))
+
+    gated.select(
+      byCols ++
+        leftPayload.map(c => col(Lp).getField(c).as(c)) ++
+        rightPayload.map(c => col(M).getField(c).as(c)): _*)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left: DataFrame = Seq(
+    (1L, "a", 100L), (2L, "a", 205L), (3L, "a", 300L),
+    (4L, "b", 50L), (5L, "b", 500L),
+    (6L, "c", 10L) // key with no right rows at all
+  ).toDF("l_id", "k", "lt")
+
+  private def right: DataFrame = Seq(
+    (10L, "a", 100L), (11L, "a", 200L), (12L, "a", 200L), (13L, "a", 290L),
+    (20L, "b", 400L)
+  ).toDF("r_id", "k", "rt")
+
+  /** Quadratic reference implementation: inequality join + rank-1 under
+    * the operator's documented tie policy. */
+  private def naive(l: DataFrame, r: DataFrame, direction: String,
+                    tolerance: Option[Long]): DataFrame = {
+    val cond0 =
+      if (direction == "backward") col("rt") <= col("lt") else col("rt") >= col("lt")
+    val cond = tolerance.fold(cond0)(t => cond0 && abs(col("lt") - col("rt")) <= t)
+    val w = Window.partitionBy("l_id").orderBy(
+      (if (direction == "backward") col("rt").desc else col("rt").asc),
+      col("r_id").desc)
+    l.join(r.withColumnRenamed("k", "rk"),
+        col("k") === col("rk") && cond, "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("k", "l_id", "lt", "r_id", "rt")
+  }
+
+  test("backward as-of matches the quadratic reference (incl. unmatched keys)") {
+    val got = AsOfJoin.join(left, right, "lt", "rt", Seq("k"),
+      rightTieBreak = Some("r_id"))
+    assertSameRows(got, naive(left, right, "backward", None))
+    // spot semantics: inclusive at equal ts; equal-ts tie -> max r_id
+    val m = got.collect().map(r => r.getAs[Long]("l_id") ->
+      Option(r.getAs[java.lang.Long]("r_id")).map(_.toLong)).toMap
+    assert(m(1L) === Some(10L)) // rt == lt inclusive
+    assert(m(2L) === Some(12L)) // tie at rt=200 -> greatest r_id
+    assert(m(4L) === None)      // nothing at-or-before 50
+    assert(m(6L) === None)      // key absent on right
+  }
+
+  test("forward as-of matches the quadratic reference") {
+    val got = AsOfJoin.join(left, right, "lt", "rt", Seq("k"),
+      direction = "forward", rightTieBreak = Some("r_id"))
+    assertSameRows(got, naive(left, right, "forward", None))
+    val m = got.collect().map(r => r.getAs[Long]("l_id") ->
+      Option(r.getAs[java.lang.Long]("r_id")).map(_.toLong)).toMap
+    assert(m(4L) === Some(20L)) // earliest rt >= 50
+    assert(m(5L) === None)      // nothing at-or-after 500
+  }
+
+  test("tolerance nulls out stale matches but keeps the left row") {
+    val got = AsOfJoin.join(left, right, "lt", "rt", Seq("k"),
+      tolerance = Some(20L), rightTieBreak = Some("r_id"))
+    assertSameRows(got, naive(left, right, "backward", Some(20L)))
+    assert(got.count() === left.count()) // left-outer: every left row survives
+    val m = got.collect().map(r => r.getAs[Long]("l_id") ->
+      Option(r.getAs[java.lang.Long]("r_id")).map(_.toLong)).toMap
+    assert(m(2L) === Some(12L)) // 205-200=5 within tolerance
+    assert(m(3L) === Some(13L)) // 300-290=10 within
+    assert(m(5L) === None)      // 500-400=100 beyond
+  }
+
+  test("plan contains no join node — single shuffle union+window shape") {
+    val got = AsOfJoin.join(left, right, "lt", "rt", Seq("k"),
+      rightTieBreak = Some("r_id"))
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"expected no join in:\n$plan")
+    val physical = got.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(physical).size
+    assert(exchanges === 1, s"expected exactly one shuffle in:\n$physical")
+  }
+
+  test("matches the reference result on real data (purchases vs views, sf0.001)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("l_id"), col("user_id").as("k"),
+        expr("ts div 1000").as("lt"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("r_id"), col("user_id").as("k"),
+        expr("ts div 1000").as("rt"))
+    val got = AsOfJoin.join(p, v, "lt", "rt", Seq("k"),
+      tolerance = Some(3600000000L), rightTieBreak = Some("r_id"))
+    assertSameRows(got, naive(p, v, "backward", Some(3600000000L)))
+  }
+}
