@@ -1240,4 +1240,77 @@ object Queries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1""".stripMargin
+
+  // ------------------------------------- deterministic sampling & packing
+  //
+  // Membership comes from an md5-prefix compare both engines can
+  // recompute bit-for-bit, so these are HARD oracles: a biased or
+  // unstable sampler hash-mismatches immediately. Thresholds below are
+  // f"${(rate * 2^32).toLong}%08x" (0.25 -> 40000000, 0.2 -> 33333333).
+
+  /** Reproducible 25% corpus sample keyed on doc identity (salt 'eval'). */
+  def hashSampleDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.hashSample(pq(spark, dir, "documents"), Seq("doc_id"),
+      rate = 0.25, salt = "eval")
+      .select("doc_id", "source")
+  }
+
+  val hashSampleDocsSql: String =
+    """SELECT doc_id, source FROM documents
+      |WHERE substr(md5(concat_ws('|', 'eval', CAST(doc_id AS VARCHAR))), 1, 8)
+      |      < '40000000'""".stripMargin
+
+  /** Content-keyed train/test split: a doc's split never changes across
+    * reruns or appends. */
+  def hashSplitDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.hashSplit(pq(spark, dir, "documents"), Seq("doc_id"),
+      testFraction = 0.2)
+      .select("doc_id", "lang", "split")
+  }
+
+  val hashSplitDocsSql: String =
+    """SELECT doc_id, lang,
+      | CASE WHEN substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR))), 1, 8)
+      |           < '33333333'
+      |      THEN 'test' ELSE 'train' END AS split
+      |FROM documents""".stripMargin
+
+  /** At most 15 documents per source, selected by hash order (unbiased
+    * within the group, deterministic across engines). */
+  def capPerSource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.capPerGroup(pq(spark, dir, "documents"), Seq("source"),
+      cap = 15, keys = Seq("doc_id"))
+      .select("doc_id", "source")
+  }
+
+  val capPerSourceSql: String =
+    """WITH r AS (
+      | SELECT doc_id, source,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR))), 1, 8),
+      |             doc_id) AS rn
+      | FROM documents)
+      |SELECT doc_id, source FROM r WHERE rn <= 15""".stripMargin
+
+  /** Fixed-boundary sequence packing: per-language 2000-char training
+    * shards; a document's bin is where its exclusive prefix sum starts. */
+  def packDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Packing
+    Packing.packSequences(pq(spark, dir, "documents"), Seq("lang"),
+      Seq("doc_id"), "n_chars", budget = 2000L)
+      .select("doc_id", "lang", "offset", "bin")
+  }
+
+  val packDocsSql: String =
+    """WITH p AS (
+      | SELECT doc_id, lang,
+      |  COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+      | FROM documents)
+      |SELECT doc_id, lang, "offset",
+      | CAST(FLOOR("offset" / 2000.0) AS BIGINT) AS bin
+      |FROM p""".stripMargin
 }

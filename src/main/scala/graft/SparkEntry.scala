@@ -47,6 +47,11 @@ object SparkEntry {
     "range_join" -> (Queries.rangeJoinActivity(_, _)),
     "sketch_distinct" -> (Queries.sketchDistinct(_, _)),
     "bloom_prune_join" -> (Queries.bloomPruneJoin(_, _)),
+    // deterministic sampling + packing (operators/Sampling, llm/Packing)
+    "hash_sample" -> (Queries.hashSampleDocs(_, _)),
+    "hash_split" -> (Queries.hashSplitDocs(_, _)),
+    "cap_per_group" -> (Queries.capPerSource(_, _)),
+    "pack_sequences" -> (Queries.packDocs(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_partitioned" -> (Queries.scd1Partitioned(_, _)),
@@ -136,6 +141,10 @@ object SparkEntry {
     "range_join" -> Queries.rangeJoinActivitySql,
     "sketch_distinct" -> Queries.sketchDistinctSql,
     "bloom_prune_join" -> Queries.bloomPruneJoinSql,
+    "hash_sample" -> Queries.hashSampleDocsSql,
+    "hash_split" -> Queries.hashSplitDocsSql,
+    "cap_per_group" -> Queries.capPerSourceSql,
+    "pack_sequences" -> Queries.packDocsSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_partitioned" -> Queries.scd1PartitionedSql,

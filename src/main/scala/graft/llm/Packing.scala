@@ -1,0 +1,43 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence packing: assign documents to fixed-budget training shards
+ * ("pack ~N tokens per context window / output file").
+ *
+ * Policy is FIXED-BOUNDARY packing: documents are laid on a line in a
+ * deterministic order and a document belongs to the bin where its first
+ * token falls (`floor(exclusive_prefix_sum / budget)`). A document may
+ * straddle a boundary — the consumer that concatenates bins back-to-back
+ * sees the identical token stream either way, and unlike best-fit/greedy
+ * bin packing this is (a) a pure window expression any engine can
+ * recompute, and (b) embarrassingly parallel: one shuffle on `groupCols`,
+ * one running sum — no sequential packer on the driver.
+ *
+ * Bins are per group (e.g. per language), sized within ~1 document of
+ * `budget`, and stable under append-only growth when `orderCols` is an
+ * append-monotonic key.
+ */
+object Packing {
+
+  /** Adds `bin` (0-based long per group) and `offset` (the document's
+    * exclusive running-size start within its group). */
+  def packSequences(df: DataFrame, groupCols: Seq[String],
+                    orderCols: Seq[String], sizeCol: String,
+                    budget: Long,
+                    binCol: String = "bin", offsetCol: String = "offset"): DataFrame = {
+    require(groupCols.nonEmpty && orderCols.nonEmpty, "packSequences needs group and order columns")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(groupCols.map(c => col(s"`$c`")): _*)
+      .orderBy(orderCols.map(c => col(s"`$c`")): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix: Column = coalesce(sum(col(s"`$sizeCol`").cast("long")).over(w), lit(0L))
+    // prefix is a non-negative long well under 2^53, so the double
+    // division in floor() is exact for the bin index.
+    df.withColumn(offsetCol, prefix)
+      .withColumn(binCol, floor(col(offsetCol) / lit(budget.toDouble)).cast("long"))
+  }
+}

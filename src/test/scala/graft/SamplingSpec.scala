@@ -1,0 +1,85 @@
+package graft
+
+import graft.llm.Packing
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("hashSample is deterministic, partitioning-independent, and ~rate sized") {
+    val a = Sampling.hashSample(docs, Seq("doc_id"), 0.3).select("doc_id")
+    val b = Sampling.hashSample(docs.repartition(13), Seq("doc_id"), 0.3)
+      .select("doc_id")
+    assertSameRows(a, b)
+    val n = a.count().toDouble
+    val total = docs.count().toDouble
+    // 2^32-uniform hash: binomial stdev at n=500, p=0.3 is ~10 rows
+    assert(math.abs(n / total - 0.3) < 0.1, s"sample fraction ${n / total}")
+    // a sampled id is ALWAYS sampled at any higher rate (nested samples)
+    val wider = Sampling.hashSample(docs, Seq("doc_id"), 0.6).select("doc_id")
+    assert(a.exceptAll(wider).count() === 0)
+  }
+
+  test("different salts draw independent samples; same salt is stable") {
+    val s1 = Sampling.hashSample(docs, Seq("doc_id"), 0.5, salt = "a").select("doc_id")
+    val s2 = Sampling.hashSample(docs, Seq("doc_id"), 0.5, salt = "b").select("doc_id")
+    assertSameRows(s1,
+      Sampling.hashSample(docs, Seq("doc_id"), 0.5, salt = "a").select("doc_id"))
+    val overlap = s1.intersect(s2).count().toDouble
+    // independent 50% draws overlap on ~25% of the corpus, not ~50%
+    assert(overlap / docs.count() < 0.4, s"salted samples too correlated: $overlap")
+  }
+
+  test("hashSplit partitions every row exactly once and is append-stable") {
+    val split = Sampling.hashSplit(docs, Seq("doc_id"), 0.2)
+    assert(split.count() === docs.count())
+    val frac = split.filter(col("split") === "test").count().toDouble / docs.count()
+    assert(math.abs(frac - 0.2) < 0.1, s"test fraction $frac")
+    // append-stability: splitting HALF the corpus assigns the same labels
+    val half = Sampling.hashSplit(docs.filter(col("doc_id") % 2 === 0),
+      Seq("doc_id"), 0.2)
+    assertSameRows(half,
+      split.filter(col("doc_id") % 2 === 0))
+  }
+
+  test("capPerGroup enforces the cap, keeps small groups whole, is deterministic") {
+    val capped = Sampling.capPerGroup(docs, Seq("source"), cap = 15,
+      keys = Seq("doc_id"))
+    val sizes = capped.groupBy("source").count().collect()
+    assert(sizes.forall(_.getLong(1) <= 15))
+    val orig = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { r =>
+      val want = math.min(orig(r.getString(0)), 15L)
+      assert(r.getLong(1) === want, s"${r.getString(0)}")
+    }
+    assertSameRows(capped.select("doc_id"),
+      Sampling.capPerGroup(docs.repartition(7), Seq("source"), 15,
+        Seq("doc_id")).select("doc_id"))
+  }
+
+  test("packSequences: bins fill to budget, offsets are exclusive prefix sums") {
+    val df = Seq(
+      ("en", 1L, 500L), ("en", 2L, 900L), ("en", 3L, 700L), ("en", 4L, 100L),
+      ("de", 10L, 2500L), ("de", 11L, 10L)
+    ).toDF("lang", "doc_id", "n")
+    val got = Packing.packSequences(df, Seq("lang"), Seq("doc_id"), "n", 2000L)
+      .select("lang", "doc_id", "offset", "bin")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("en", 1L, 0L, 0L), ("en", 2L, 500L, 0L),   // bin 0 holds 500+900
+      ("en", 3L, 1400L, 0L),                       // starts inside bin 0, straddles
+      ("en", 4L, 2100L, 1L),                       // next bin
+      ("de", 10L, 0L, 0L), ("de", 11L, 2500L, 1L)  // oversize doc pushes successor
+    ))
+    // bins are contiguous 0..max per group
+    val bins = Packing.packSequences(docs, Seq("lang"), Seq("doc_id"), "n_chars", 2000L)
+    val perLang = bins.groupBy("lang").agg(
+      max(col("bin")).as("mx"), countDistinct(col("bin")).as("nd")).collect()
+    perLang.foreach(r => assert(r.getLong(1) === r.getLong(2) - 1,
+      s"${r.getString(0)}: bins not contiguous"))
+  }
+}
