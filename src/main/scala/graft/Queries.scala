@@ -1241,6 +1241,42 @@ object Queries {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1""".stripMargin
 
+  /** Co-located bucketed join: both sides persisted `bucketBy(8, key)`,
+    * then joined WITHOUT a shuffle — the plan is asserted co-located
+    * in-query (a mismatched layout would silently reintroduce the
+    * full-fact exchange at 100 TB, so it throws here instead). The
+    * aggregate's oracle is a plain SQL join. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bucketed
+    val base = tmp("bktq")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_li")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_ord")
+    Bucketed.writeBucketed(pq(spark, dir, "lineitem"), "graft_bkt_li",
+      "l_orderkey", 8, s"$base/li")
+    Bucketed.writeBucketed(pq(spark, dir, "orders"), "graft_bkt_ord",
+      "o_orderkey", 8, s"$base/ord")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = Bucketed.coLocatedJoin(spark, "graft_bkt_li", "graft_bkt_ord",
+        "l_orderkey", "o_orderkey")
+      require(Bucketed.isCoLocated(j),
+        "bucketed layouts did not co-locate — the join would shuffle at scale")
+      j.groupBy("o_orderpriority")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("string").as("rev"),
+          count(lit(1)).as("n_items"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS rev,
+      | COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------- deterministic sampling & packing
   //
   // Membership comes from an md5-prefix compare both engines can

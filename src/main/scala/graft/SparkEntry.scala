@@ -47,6 +47,7 @@ object SparkEntry {
     "range_join" -> (Queries.rangeJoinActivity(_, _)),
     "sketch_distinct" -> (Queries.sketchDistinct(_, _)),
     "bloom_prune_join" -> (Queries.bloomPruneJoin(_, _)),
+    "bucketed_join" -> (Queries.bucketedJoin(_, _)),
     // deterministic sampling + packing (operators/Sampling, llm/Packing)
     "hash_sample" -> (Queries.hashSampleDocs(_, _)),
     "hash_split" -> (Queries.hashSplitDocs(_, _)),
@@ -141,6 +142,7 @@ object SparkEntry {
     "range_join" -> Queries.rangeJoinActivitySql,
     "sketch_distinct" -> Queries.sketchDistinctSql,
     "bloom_prune_join" -> Queries.bloomPruneJoinSql,
+    "bucketed_join" -> Queries.bucketedJoinSql,
     "hash_sample" -> Queries.hashSampleDocsSql,
     "hash_split" -> Queries.hashSplitDocsSql,
     "cap_per_group" -> Queries.capPerSourceSql,
