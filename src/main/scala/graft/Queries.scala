@@ -1340,6 +1340,38 @@ object Queries {
       .select("doc_id", "lang", "offset", "bin")
   }
 
+  /** Eval-contamination sweep composed from the split + shingle ops:
+    * which test docs share ≥3 word trigrams with which train docs? The
+    * split is content-keyed (hashSplit) so DuckDB reproduces the exact
+    * membership, then recomputes every shingle intersection all-pairs. */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Dedup
+    import graft.operators.Sampling
+    val split = Sampling.hashSplit(pq(spark, dir, "documents"),
+      Seq("doc_id"), testFraction = 0.2)
+    Dedup.contaminationPairs(
+      train = split.filter(col("split") === "train"),
+      test = split.filter(col("split") === "test"),
+      minShared = 3)
+  }
+
+  val contaminationCheckSql: String =
+    """WITH s AS (SELECT doc_id,
+      |  CASE WHEN substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR))), 1, 8)
+      |            < '33333333'
+      |       THEN 'test' ELSE 'train' END AS split, text
+      | FROM documents),
+      |d AS (SELECT doc_id, split,
+      |  list_distinct([g[i] || ' ' || g[i+1] || ' ' || g[i+2]
+      |                 for i in range(1, len(g)-1)]) AS sh
+      | FROM (SELECT doc_id, split,
+      |        regexp_extract_all(lower(text), '[a-z0-9]+') AS g FROM s)),
+      |pairs AS (SELECT t.doc_id AS test_id, r.doc_id AS train_id,
+      |  len(list_intersect(t.sh, r.sh)) AS n_shared
+      | FROM d t JOIN d r ON t.split = 'test' AND r.split = 'train')
+      |SELECT test_id, train_id, CAST(n_shared AS BIGINT) AS n_shared
+      |FROM pairs WHERE n_shared >= 3""".stripMargin
+
   val packDocsSql: String =
     """WITH p AS (
       | SELECT doc_id, lang,

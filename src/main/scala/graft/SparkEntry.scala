@@ -53,6 +53,7 @@ object SparkEntry {
     "hash_split" -> (Queries.hashSplitDocs(_, _)),
     "cap_per_group" -> (Queries.capPerSource(_, _)),
     "pack_sequences" -> (Queries.packDocs(_, _)),
+    "contamination_check" -> (Queries.contaminationCheck(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_partitioned" -> (Queries.scd1Partitioned(_, _)),
@@ -147,6 +148,7 @@ object SparkEntry {
     "hash_split" -> Queries.hashSplitDocsSql,
     "cap_per_group" -> Queries.capPerSourceSql,
     "pack_sequences" -> Queries.packDocsSql,
+    "contamination_check" -> Queries.contaminationCheckSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_partitioned" -> Queries.scd1PartitionedSql,

@@ -264,6 +264,39 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /**
+   * Train/eval contamination detection: every (test doc, train doc) pair
+   * sharing at least `minShared` distinct word `shingleN`-grams — the
+   * standard "did an eval answer leak into the training corpus?" sweep.
+   *
+   * Scale shape: both sides explode to DISTINCT shingles and meet in one
+   * equi-join on the shingle string, then one count per surviving pair —
+   * O(shared-shingle occurrences) through the shuffle, never test×train
+   * all-pairs. Ubiquitous phrases are the skew risk AND a precision
+   * risk: `maxTrainDocFreq` drops shingles appearing in more than that
+   * many train docs (computed with one extra aggregation) so boilerplate
+   * can't flood the join or manufacture fake contamination.
+   */
+  def contaminationPairs(train: DataFrame, test: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         shingleN: Int = 3, minShared: Int = 3,
+                         maxTrainDocFreq: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def side(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+          explode(array_distinct(shingles(col(textCol), shingleN))).as("gram"))
+    val tr0 = side(train, "train_id")
+    val tr = maxTrainDocFreq.fold(tr0) { cap =>
+      val common = tr0.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("gram")
+      tr0.join(common, Seq("gram"), "left_anti")
+    }
+    side(test, "test_id").join(tr, "gram")
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Estimated Jaccard from two signatures (fraction of equal slots) —
     * cheap pre-filter when shingle sets are too large to rejoin. */
   def estimatedJaccard(sig1: Column, sig2: Column): Column =

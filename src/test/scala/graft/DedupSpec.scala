@@ -169,4 +169,40 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(1L, 4L))
   }
+
+  test("contaminationPairs finds cross-split shingle overlap, counts distinct grams") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "nothing in common with anything else at all")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "the quick brown fox jumps somewhere new today"),   // shares 3 trigrams w/ 1
+      (11L, "quick brown fox quick brown fox quick brown fox"), // repeats count ONCE
+      (12L, "totally disjoint text body here")).toDF("doc_id", "text")
+    val got = Dedup.contaminationPairs(train, test, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 10 vs 1: "the quick brown","quick brown fox","brown fox jumps" = 3
+    // doc 11 vs 1: distinct grams of 11 are {quick brown fox, brown fox quick,
+    //              fox quick brown}; only the first is in doc 1 -> 1, not 3
+    assert(got === Set((10L, 1L, 3L), (11L, 1L, 1L)))
+    // minShared gate
+    val gated = Dedup.contaminationPairs(train, test, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gated === Set((10L, 1L, 3L)))
+  }
+
+  test("contaminationPairs maxTrainDocFreq drops boilerplate grams") {
+    import spark.implicits._
+    val boiler = "this document is confidential and proprietary"
+    val train = (1L to 5L).map(i => (i, s"$boiler unique tail number $i"))
+      .toDF("doc_id", "text")
+    val test = Seq((10L, s"$boiler something else entirely")).toDF("doc_id", "text")
+    // without the cap the boilerplate matches every train doc...
+    val noisy = Dedup.contaminationPairs(train, test, minShared = 1)
+    assert(noisy.count() === 5)
+    // ...with it, grams present in >2 train docs are ignored
+    val filtered = Dedup.contaminationPairs(train, test, minShared = 1,
+      maxTrainDocFreq = Some(2))
+    assert(filtered.count() === 0)
+  }
 }
