@@ -1340,6 +1340,53 @@ object Queries {
       .select("doc_id", "lang", "offset", "bin")
   }
 
+  /** Point-in-time dimension lookup against the SCD2 customer history:
+    * every customer probed at two instants — between the loads (sees
+    * version 1) and after load 2 (sees version 2 where the key changed).
+    * Keys born in load 2 probed before their first version keep NULLs:
+    * the lookup can never leak a future attribute into a past fact. */
+  def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val path = tmp("tmprl")
+    Writers.scd2(spark, path, load0(spark, dir), Seq("c_custkey"),
+      WriteOptions(now = Some(T0)))
+    Writers.scd2(spark, path, load1(spark, dir, changeNames = false),
+      Seq("c_custkey"), WriteOptions(now = Some(T1)))
+    val dim = ManagedTable(spark, path).read
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col(Meta.ValidFromTs).as("valid_from"), col(Meta.ValidToTs).as("valid_to"))
+    val probes = cust(spark, dir).select(col("c_custkey"))
+      .withColumn("probe", explode(array(
+        lit("2026-01-15 00:00:00"), lit("2026-02-15 00:00:00"))))
+      .withColumn("probe_ts", to_timestamp(col("probe")))
+    AsOfJoin.temporalLookup(probes, dim, "probe_ts", "valid_from", "valid_to",
+        by = Seq("c_custkey"))
+      .select(col("c_custkey"), col("probe"), col("c_mktsegment"))
+  }
+
+  val temporalJoinSql: String =
+    s"""WITH rows_out AS (
+       | SELECT c_custkey, c_mktsegment AS seg, '$T0' AS valid_from,
+       |  CASE WHEN c_custkey > 500 AND c_custkey % 2 = 0
+       |       THEN '$T1' ELSE '$HighTs' END AS valid_to
+       | FROM customer WHERE c_custkey <= 1000
+       | UNION ALL
+       | SELECT c_custkey, c_mktsegment || '_X' AS seg, '$T1', '$HighTs'
+       | FROM customer
+       | WHERE c_custkey > 500 AND c_custkey <= 1000 AND c_custkey % 2 = 0
+       | UNION ALL
+       | SELECT c_custkey,
+       |  CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment || '_X'
+       |       ELSE c_mktsegment END AS seg, '$T1', '$HighTs'
+       | FROM customer WHERE c_custkey > 1000),
+       |probes AS (
+       | SELECT c_custkey, probe FROM customer
+       | CROSS JOIN (VALUES ('2026-01-15 00:00:00'), ('2026-02-15 00:00:00')) t(probe))
+       |SELECT p.c_custkey, p.probe, r.seg AS c_mktsegment
+       |FROM probes p LEFT JOIN rows_out r
+       |  ON r.c_custkey = p.c_custkey
+       | AND r.valid_from <= p.probe AND p.probe < r.valid_to""".stripMargin
+
   /** Eval-contamination sweep composed from the split + shingle ops:
     * which test docs share ≥3 word trigrams with which train docs? The
     * split is content-keyed (hashSplit) so DuckDB reproduces the exact

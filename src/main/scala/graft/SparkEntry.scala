@@ -44,6 +44,7 @@ object SparkEntry {
       Queries.pq(s, d, "orders"), Seq("o_orderpriority"), "o_custkey")),
     // time-series joins + sketch summaries (operators/{AsOfJoin,RangeJoin,Sketches})
     "asof_join" -> (Queries.asofAttribution(_, _)),
+    "temporal_join" -> (Queries.temporalJoin(_, _)),
     "range_join" -> (Queries.rangeJoinActivity(_, _)),
     "sketch_distinct" -> (Queries.sketchDistinct(_, _)),
     "bloom_prune_join" -> (Queries.bloomPruneJoin(_, _)),
@@ -140,6 +141,7 @@ object SparkEntry {
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "asof_join" -> Queries.asofAttributionSql,
+    "temporal_join" -> Queries.temporalJoinSql,
     "range_join" -> Queries.rangeJoinActivitySql,
     "sketch_distinct" -> Queries.sketchDistinctSql,
     "bloom_prune_join" -> Queries.bloomPruneJoinSql,

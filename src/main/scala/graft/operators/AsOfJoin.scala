@@ -113,4 +113,37 @@ object AsOfJoin {
         leftPayload.map(c => col(Lp).getField(c).as(c)) ++
         rightPayload.map(c => col(M).getField(c).as(c)): _*)
   }
+
+  /**
+   * Point-in-time dimension lookup against versioned (SCD2-style)
+   * records: for each fact row, the dimension version whose
+   * `[validFrom, validTo)` interval contains the fact's time — the
+   * "feature-store correct" join that never leaks a future attribute
+   * into a historical fact.
+   *
+   * Versions per key are non-overlapping, so this is exactly a backward
+   * as-of on `validFrom` plus an "is the match still open at fact time"
+   * check — one shuffle, no interval explosion (validity intervals are
+   * typically years long, which would defeat [[RangeJoin]]'s bucketing).
+   * A fact before its key's first version (or with no version at all)
+   * keeps NULL dimension columns.
+   *
+   * Time columns may be timestamps (compared at epoch-second resolution
+   * via long cast) or numerics.
+   */
+  def temporalLookup(facts: DataFrame, dim: DataFrame,
+                     factTime: String, validFrom: String, validTo: String,
+                     by: Seq[String]): DataFrame = {
+    val out = join(facts, dim, factTime, validFrom, by, direction = "backward")
+    // evaluate the validity check ONCE before any dim column is nulled —
+    // folding the raw predicate would re-resolve validTo against already
+    // rewritten columns.
+    val v = "__graft_temporal_valid__"
+    val dimCols = dim.columns.toSeq.filterNot(by.contains)
+    dimCols.foldLeft(
+      out.withColumn(v,
+        col(s"`$validTo`").cast("long") > col(s"`$factTime`").cast("long"))) {
+      (df, c) => df.withColumn(c, when(col(v), col(s"`$c`")))
+    }.drop(v)
+  }
 }

@@ -81,6 +81,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(exchanges === 1, s"expected exactly one shuffle in:\n$physical")
   }
 
+  test("temporalLookup returns the version valid AT the fact time, never a future one") {
+    // key "a": v1 [100, 200), v2 [200, inf); key "b": first version at 300
+    val dim = Seq(
+      ("a", "v1", 100L, 200L), ("a", "v2", 200L, Long.MaxValue),
+      ("b", "v1", 300L, Long.MaxValue)
+    ).toDF("k", "ver", "valid_from", "valid_to")
+    val facts = Seq(
+      (1L, "a", 150L),  // inside v1
+      (2L, "a", 200L),  // boundary: v1 closed, v2 open -> v2
+      (3L, "a", 99L),   // before first version -> NULL
+      (4L, "b", 250L),  // key exists but not yet -> NULL
+      (5L, "c", 500L)   // key never exists -> NULL
+    ).toDF("f_id", "k", "ft")
+    val got = AsOfJoin.temporalLookup(facts, dim, "ft", "valid_from", "valid_to",
+      by = Seq("k"))
+    val m = got.collect().map(r => r.getAs[Long]("f_id") ->
+      Option(r.getAs[String]("ver"))).toMap
+    assert(m === Map(1L -> Some("v1"), 2L -> Some("v2"),
+      3L -> None, 4L -> None, 5L -> None))
+    assert(got.count() === facts.count())
+  }
+
   test("matches the reference result on real data (purchases vs views, sf0.001)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sf/events.parquet")
