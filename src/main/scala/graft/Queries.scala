@@ -1313,6 +1313,38 @@ object Queries {
       |      THEN 'test' ELSE 'train' END AS split
       |FROM documents""".stripMargin
 
+  /** Quality-weighted sampling: longer documents kept with higher
+    * probability (rate = n_chars/600, clamped) — the upsample-the-good-
+    * stuff move, still fully deterministic and engine-recomputable. */
+  def weightedSampleDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = pq(spark, dir, "documents")
+    Sampling.hashSampleWeighted(docs, Seq("doc_id"),
+        col("n_chars").cast("double") / lit(600.0), salt = "w")
+      .select("doc_id", "n_chars")
+  }
+
+  val weightedSampleDocsSql: String =
+    """SELECT doc_id, n_chars FROM documents
+      |WHERE CAST(('0x' || substr(md5(concat_ws('|', 'w', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+      |      < LEAST(GREATEST(n_chars / 600.0, 0), 1) * 4294967296.0""".stripMargin
+
+  /** Stratified sampling with per-language rates (deterministic
+    * sampleBy): rebalance a multilingual corpus without a shuffle. */
+  def stratifiedSampleDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.hashSampleBy(pq(spark, dir, "documents"), "lang",
+        Map("en" -> 0.5, "zh" -> 1.0, "de" -> 0.25),
+        keys = Seq("doc_id"), defaultRate = 0.1, salt = "strat")
+      .select("doc_id", "lang")
+  }
+
+  val stratifiedSampleDocsSql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST(('0x' || substr(md5(concat_ws('|', 'strat', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+      |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0
+      |                  WHEN 'de' THEN 0.25 ELSE 0.1 END * 4294967296.0""".stripMargin
+
   /** At most 15 documents per source, selected by hash order (unbiased
     * within the group, deterministic across engines). */
   def capPerSource(spark: SparkSession, dir: String): DataFrame = {

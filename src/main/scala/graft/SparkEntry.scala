@@ -51,6 +51,8 @@ object SparkEntry {
     "bucketed_join" -> (Queries.bucketedJoin(_, _)),
     // deterministic sampling + packing (operators/Sampling, llm/Packing)
     "hash_sample" -> (Queries.hashSampleDocs(_, _)),
+    "weighted_sample" -> (Queries.weightedSampleDocs(_, _)),
+    "stratified_sample" -> (Queries.stratifiedSampleDocs(_, _)),
     "hash_split" -> (Queries.hashSplitDocs(_, _)),
     "cap_per_group" -> (Queries.capPerSource(_, _)),
     "pack_sequences" -> (Queries.packDocs(_, _)),
@@ -147,6 +149,8 @@ object SparkEntry {
     "bloom_prune_join" -> Queries.bloomPruneJoinSql,
     "bucketed_join" -> Queries.bucketedJoinSql,
     "hash_sample" -> Queries.hashSampleDocsSql,
+    "weighted_sample" -> Queries.weightedSampleDocsSql,
+    "stratified_sample" -> Queries.stratifiedSampleDocsSql,
     "hash_split" -> Queries.hashSplitDocsSql,
     "cap_per_group" -> Queries.capPerSourceSql,
     "pack_sequences" -> Queries.packDocsSql,

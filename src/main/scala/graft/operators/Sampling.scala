@@ -53,6 +53,34 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** Key hash as an unsigned 32-bit long (for per-row numeric
+    * thresholds; the fixed-rate operators compare hex strings instead,
+    * which is equivalent and cheaper). */
+  private def keyLong(keys: Seq[String], salt: String): Column =
+    conv(keyHex(keys, salt), 16, 10).cast("long")
+
+  /** Weighted Bernoulli sampling: keep each row with probability
+    * `rateCol` (clamped to [0,1]), decided by its own key hash — e.g.
+    * upsample high-quality documents by passing a quality score. Same
+    * determinism guarantees as [[hashSample]]; still shuffle-free. */
+  def hashSampleWeighted(df: DataFrame, keys: Seq[String], rateCol: Column,
+                         salt: String = ""): DataFrame = {
+    require(keys.nonEmpty, "hashSampleWeighted needs key columns")
+    val rate = least(greatest(rateCol.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(keyLong(keys, salt).cast("double") < rate * lit(4294967296.0))
+  }
+
+  /** Per-stratum rates (`sampleBy`, made deterministic): strata found in
+    * `rates` sample at their rate, everything else at `defaultRate`. */
+  def hashSampleBy(df: DataFrame, strataCol: String, rates: Map[String, Double],
+                   keys: Seq[String], defaultRate: Double = 0.0,
+                   salt: String = ""): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (stratum, r)) =>
+      when(col(s"`$strataCol`") === stratum, lit(r)).otherwise(acc)
+    }
+    hashSampleWeighted(df, keys, rate, salt)
+  }
+
   /** Keep at most `cap` rows per group — the "N documents per domain"
     * operator. Selection order is the key hash (an unbiased per-group
     * sample, not "first N by insertion"), tie-broken by the key columns

@@ -61,6 +61,37 @@ class SamplingSpec extends SparkSpec {
         Seq("doc_id")).select("doc_id"))
   }
 
+  test("hashSampleWeighted: rate 0 keeps nothing, rate 1 keeps all, monotone in weight") {
+    assert(Sampling.hashSampleWeighted(docs, Seq("doc_id"), lit(0.0)).count() === 0)
+    assert(Sampling.hashSampleWeighted(docs, Seq("doc_id"), lit(1.0)).count()
+      === docs.count())
+    // out-of-range weights clamp instead of misbehaving
+    assert(Sampling.hashSampleWeighted(docs, Seq("doc_id"), lit(7.5)).count()
+      === docs.count())
+    // a row kept at weight w is kept at any w' >= w (same hash, higher bar)
+    val lo = Sampling.hashSampleWeighted(docs, Seq("doc_id"), lit(0.3)).select("doc_id")
+    val hi = Sampling.hashSampleWeighted(docs, Seq("doc_id"), lit(0.7)).select("doc_id")
+    assert(lo.exceptAll(hi).count() === 0)
+    // constant weight r matches hashSample(r) exactly (same decision rule)
+    assertSameRows(lo,
+      Sampling.hashSample(docs, Seq("doc_id"), 0.3).select("doc_id"))
+  }
+
+  test("hashSampleBy applies per-stratum rates; unlisted strata use the default") {
+    val got = Sampling.hashSampleBy(docs, "lang",
+      Map("zh" -> 1.0, "en" -> 0.0), keys = Seq("doc_id"), defaultRate = 0.5)
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("zh") === totals("zh"))      // rate 1.0: everything
+    assert(!byLang.contains("en"))             // rate 0.0: nothing
+    val others = totals.keySet -- Set("zh", "en")
+    val kept = others.toSeq.map(l => byLang.getOrElse(l, 0L)).sum.toDouble
+    val base = others.toSeq.map(totals).sum.toDouble
+    assert(math.abs(kept / base - 0.5) < 0.15, s"default-rate fraction ${kept / base}")
+  }
+
   test("packSequences: bins fill to budget, offsets are exclusive prefix sums") {
     val df = Seq(
       ("en", 1L, 500L), ("en", 2L, 900L), ("en", 3L, 700L), ("en", 4L, 100L),
