@@ -1372,6 +1372,43 @@ object Queries {
       .select("doc_id", "lang", "offset", "bin")
   }
 
+  /** PII redaction with a hard oracle: the synthetic corpus carries no
+    * natural PII, so the scenario PLANTS a deterministic email, phone,
+    * and IP derived from doc_id (both engines construct the identical
+    * string), then both redact with the same RE2-safe patterns and hash
+    * the result — a divergent regex semantics or a missed occurrence
+    * mismatches immediately. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextOps
+    val planted = pq(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" reach user"), col("doc_id"), lit("@mail.example.com"),
+        lit(" or 555-867-5309 from 10.1.2."), col("doc_id") % 250).as("text"))
+    TextOps.redact(planted)
+      .select(col("doc_id"), md5(col("text")).as("clean_md5"),
+        (length(col("text")) - length(regexp_replace(col("text"), "<EMAIL>|<PHONE>|<IP>", "")))
+          .as("redacted_chars"))
+  }
+
+  val piiRedactSql: String =
+    """WITH planted AS (
+      | SELECT doc_id,
+      |  text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+      |       || ' or 555-867-5309 from 10.1.2.' || CAST(doc_id % 250 AS VARCHAR) AS text
+      | FROM documents),
+      |clean AS (
+      | SELECT doc_id,
+      |  regexp_replace(
+      |   regexp_replace(
+      |    regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+      |   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text
+      | FROM planted)
+      |SELECT doc_id, md5(text) AS clean_md5,
+      | CAST(length(text) - length(regexp_replace(text, '<EMAIL>|<PHONE>|<IP>', '', 'g')) AS INT)
+      |  AS redacted_chars
+      |FROM clean""".stripMargin
+
   /** Point-in-time dimension lookup against the SCD2 customer history:
     * every customer probed at two instants — between the loads (sees
     * version 1) and after load 2 (sees version 2 where the key changed).

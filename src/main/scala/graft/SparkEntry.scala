@@ -57,6 +57,7 @@ object SparkEntry {
     "cap_per_group" -> (Queries.capPerSource(_, _)),
     "pack_sequences" -> (Queries.packDocs(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
+    "pii_redact" -> (Queries.piiRedact(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_partitioned" -> (Queries.scd1Partitioned(_, _)),
@@ -155,6 +156,7 @@ object SparkEntry {
     "cap_per_group" -> Queries.capPerSourceSql,
     "pack_sequences" -> Queries.packDocsSql,
     "contamination_check" -> Queries.contaminationCheckSql,
+    "pii_redact" -> Queries.piiRedactSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_partitioned" -> Queries.scd1PartitionedSql,

@@ -120,4 +120,26 @@ object TextOps {
       md5(concat_ws(" ", tokens)).as("fingerprint"),
       size(tokens).as("n_tokens"))
   }
+
+  /** PII patterns kept deliberately RE2-safe (character classes, bounded
+    * quantifiers, non-capturing groups — no lookaround, no backrefs) so
+    * the identical regex runs on Spark (java.util.regex) and any
+    * RE2-based engine, and the redaction is cross-engine reproducible. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b" -> "<PHONE>",
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>")
+
+  /** Redact every occurrence of each pattern with its token, in order.
+    * Pure codegen'd `regexp_replace` chain — narrow, no UDF. Order
+    * matters when patterns overlap (emails first, so an address is one
+    * `<EMAIL>` rather than a word plus an `<IP>`-like tail). */
+  def redact(docs: DataFrame, textCol: String = "text",
+             patterns: Seq[(String, String)] = PiiPatterns,
+             outCol: String = "text"): DataFrame = {
+    val cleaned = patterns.foldLeft(col(textCol)) {
+      case (c, (pattern, token)) => regexp_replace(c, pattern, token)
+    }
+    docs.withColumn(outCol, cleaned)
+  }
 }

@@ -4,6 +4,25 @@ import graft.llm.TextOps
 import org.apache.spark.sql.functions._
 
 class TextOpsSpec extends SparkSpec {
+
+  test("redact replaces every PII occurrence and leaves clean text alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "mail a@b.org and c.d+x@e-f.co twice, call 555-123-4567, from 10.0.0.1"),
+      (2L, "no pii here at all"),
+      (3L, "almost: 1234-123-4567 is not a phone, 1.2.3 not an ip")
+    ).toDF("doc_id", "text")
+    val got = TextOps.redact(df).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "mail <EMAIL> and <EMAIL> twice, call <PHONE>, from <IP>")
+    assert(got(2L) === "no pii here at all")
+    assert(got(3L) === "almost: 1234-123-4567 is not a phone, 1.2.3 not an ip")
+    // custom patterns + order
+    val custom = TextOps.redact(df, patterns = Seq("[0-9]+" -> "#"))
+    assert(custom.filter(col("doc_id") === 1L).head.getAs[String]("text")
+      === "mail a@b.org and c.d+x@e-f.co twice, call #-#-#, from #.#.#.#")
+  }
   import spark.implicits._
 
   private def docs = Seq(
