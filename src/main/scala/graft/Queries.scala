@@ -1372,6 +1372,33 @@ object Queries {
       .select("doc_id", "lang", "offset", "bin")
   }
 
+  /** Incremental (daily-ingest) near-dup: the 10% "new batch" checked
+    * against the 90% standing corpus — corpus×corpus pairs never form.
+    * DuckDB recomputes exact Jaccard over every cross-side pair; LSH
+    * recall on this corpus is total (asserted in DedupSpec), so a
+    * recall loss in the band join hash-mismatches. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Dedup
+    val docs = pq(spark, dir, "documents")
+    Dedup.incrementalNearDupPairs(
+      newDocs = docs.filter(col("doc_id") % 10 === 0),
+      corpus = docs.filter(col("doc_id") % 10 =!= 0),
+      threshold = 0.8)
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  list_distinct([g[i] || ' ' || g[i+1] || ' ' || g[i+2]
+      |                 for i in range(1, len(g)-1)]) AS sh
+      | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS g
+      |       FROM documents)),
+      |p AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+      |  len(list_intersect(n.sh, o.sh))::DOUBLE /
+      |  len(list_distinct(list_concat(n.sh, o.sh))) AS jaccard
+      | FROM d n JOIN d o ON n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+      | WHERE len(n.sh) > 0 AND len(o.sh) > 0)
+      |SELECT new_id, old_id, jaccard FROM p WHERE jaccard >= 0.8""".stripMargin
+
   /** PII redaction with a hard oracle: the synthetic corpus carries no
     * natural PII, so the scenario PLANTS a deterministic email, phone,
     * and IP derived from doc_id (both engines construct the identical

@@ -265,6 +265,49 @@ object Dedup {
   }
 
   /**
+   * Incremental near-dup detection: pairs between a NEW batch and an
+   * existing corpus only — the daily-ingest shape. Re-running
+   * [[nearDupPairs]] over corpus+batch would re-pair the corpus with
+   * itself (quadratic-in-history candidate work that was already done);
+   * here corpus×corpus bucket collisions never form, because the band
+   * join is new-side × corpus-side by construction. Candidates still get
+   * the signature-estimate pre-filter and exact shingle verification,
+   * with the same tuning knobs as the batch operator. At 100 TB the
+   * corpus side's signatures/bands are computed once and persisted — the
+   * daily cost is O(batch) signature work plus the bucket join.
+   */
+  def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
+                              textCol: String = "text", idCol: String = "doc_id",
+                              threshold: Double = 0.8,
+                              numHashes: Int = 64, shingleN: Int = 3,
+                              bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, textCol, idCol, numHashes, shingleN)
+      .localCheckpoint()
+    val oldSigs = minhashSignatures(corpus, textCol, idCol, numHashes, shingleN)
+      .localCheckpoint()
+    val cands = lshBands(newSigs, idCol, bands, rowsPerBand)
+      .toDF("new_id", "band", "bh")
+      .join(lshBands(oldSigs, idCol, bands, rowsPerBand).toDF("old_id", "band", "bh"),
+        Seq("band", "bh"))
+      .select("new_id", "old_id").distinct()
+      .join(newSigs.select(col(idCol).as("new_id"), col("signature").as("sig1")), "new_id")
+      .join(oldSigs.select(col(idCol).as("old_id"), col("signature").as("sig2")), "old_id")
+      .filter(estimatedJaccard(col("sig1"), col("sig2")) >= threshold - 0.2)
+      .select("new_id", "old_id")
+    def sh(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+        array_distinct(shingles(col(textCol), shingleN)).as(s"sh_$out"))
+    cands
+      .join(sh(newDocs, "new_id"), "new_id")
+      .join(sh(corpus, "old_id"), "old_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_new_id"), col("sh_old_id"))).cast("double") /
+          size(array_union(col("sh_new_id"), col("sh_old_id"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+  }
+
+  /**
    * Train/eval contamination detection: every (test doc, train doc) pair
    * sharing at least `minShared` distinct word `shingleN`-grams — the
    * standard "did an eval answer leak into the training corpus?" sweep.

@@ -170,6 +170,27 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L))
   }
 
+  test("incrementalNearDupPairs equals the cross-side slice of the batch result") {
+    import org.apache.spark.sql.functions.col
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = Dedup.incrementalNearDupPairs(newDocs, corpus, threshold = 0.8)
+    // batch all-pairs, restricted to pairs crossing the split (either order)
+    val batch = Dedup.nearDupPairs(docs, threshold = 0.8)
+    val cross = batch
+      .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
+      .select(
+        org.apache.spark.sql.functions.when(col("id1") % 10 === 0, col("id1"))
+          .otherwise(col("id2")).as("new_id"),
+        org.apache.spark.sql.functions.when(col("id1") % 10 === 0, col("id2"))
+          .otherwise(col("id1")).as("old_id"),
+        col("jaccard"))
+    assertSameRows(inc, cross)
+    // and it NEVER emits a corpus-internal or batch-internal pair
+    assert(inc.filter(col("new_id") % 10 =!= 0 || col("old_id") % 10 === 0)
+      .count() === 0)
+  }
+
   test("contaminationPairs finds cross-split shingle overlap, counts distinct grams") {
     import spark.implicits._
     val train = Seq(
