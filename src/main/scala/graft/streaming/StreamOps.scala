@@ -120,6 +120,31 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
 
+  /**
+   * Streaming point-in-time enrichment: each micro-batch of facts is
+   * resolved against the SCD2 dimension version valid AT the fact's own
+   * event time (via [[graft.operators.AsOfJoin.temporalLookup]]), then
+   * handed to `sink`. `dim` is re-evaluated per batch, so a dimension
+   * updated mid-stream applies from the next batch — while HISTORICAL
+   * facts still resolve to historical versions: replaying yesterday's
+   * events against today's dimension yields yesterday's attributes.
+   * (A plain stream-static join would stamp every fact with the CURRENT
+   * version — the feature-leakage bug this operator exists to prevent.)
+   *
+   * Per batch this costs the as-of's one shuffle over |batch|+|dim
+   * versions in the touched keys|; state lives in the streaming engine's
+   * checkpoint only (the lookup itself is stateless).
+   */
+  def enrichPointInTime(facts: DataFrame, dim: () => DataFrame,
+                        factTime: String, validFrom: String, validTo: String,
+                        by: Seq[String])
+                       (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    facts.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.operators.AsOfJoin.temporalLookup(
+        batch, dim(), factTime, validFrom, validTo, by), id)
+    }
+  }
+
   /** Batch (non-streaming) sessionization with identical semantics —
     * lag() over an event-time window; used as the oracle for the
     * streaming path and as the backfill implementation. */

@@ -76,6 +76,31 @@ class StreamOpsSpec extends SparkSpec {
       ("k2", 100L, 100L, 1)))
   }
 
+  test("enrichPointInTime resolves historical facts to historical dim versions") {
+    val srcDir = tmpDir("pit_src")
+    // facts at t=150 (inside v1) and t=250 (inside v2) for key "a"
+    Seq((1L, "a", 150L), (2L, "a", 250L), (3L, "zzz", 250L))
+      .toDF("f_id", "k", "ft").write.parquet(srcDir)
+    val dim = Seq(
+      ("a", "v1", 100L, 200L), ("a", "v2", 200L, Long.MaxValue)
+    ).toDF("k", "ver", "valid_from", "valid_to")
+    val facts = spark.readStream
+      .schema("f_id BIGINT, k STRING, ft BIGINT").parquet(srcDir)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[String])]
+    val q = StreamOps.enrichPointInTime(facts, () => dim,
+        "ft", "valid_from", "valid_to", by = Seq("k")) { (batch, _) =>
+      results.synchronized {
+        results ++= batch.collect().map(r =>
+          r.getAs[Long]("f_id") -> Option(r.getAs[String]("ver")))
+      }
+    }.option("checkpointLocation", tmpDir("pit_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val m = results.toMap
+    assert(m === Map(1L -> Some("v1"), 2L -> Some("v2"), 3L -> None),
+      s"got $m — a stream-static join would have stamped f_id=1 with v2")
+  }
+
   test("stream-stream interval join matches the batch join (availableNow)") {
     val impDir = tmpDir("ssj_imp")
     val clkDir = tmpDir("ssj_clk")
