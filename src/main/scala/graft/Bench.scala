@@ -48,7 +48,11 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
+    // dev knob: SPARK_GRAFT_ONLY=q1,q2 times a subset in isolation
+    // (the driver never sets it, so recorded rounds always run everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val pass1 = ordered.map { case (name, fn) => timeOnce(fn, name) }
     val pass2 = ordered.map { case (name, fn) => timeOnce(fn, name) }
     val results = ordered.zip(pass1.zip(pass2)).map {

@@ -823,14 +823,17 @@ object Queries {
     // the cast preserves the wall-clock value both engines compare)
     val oDir = tmp("ssjoin_orders")
     val lDir = tmp("ssjoin_items")
+    // coalesce the staged slices: the 1% filter leaves ~1-2k rows, and 32
+    // shuffle-partition files would cost a listing + task per tiny file in
+    // every micro-batch — pure harness overhead, not operator work
     pq(spark, dir, "orders").filter(col("o_orderkey") % 100 === 0)
       .select(col("o_orderkey").as("okey"),
         col("o_orderdate").cast("timestamp").as("order_ts"))
-      .write.parquet(oDir)
+      .coalesce(2).write.parquet(oDir)
     pq(spark, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
       .select(col("l_orderkey").as("okey"),
         col("l_shipdate").cast("timestamp").as("ship_ts"))
-      .write.parquet(lDir)
+      .coalesce(2).write.parquet(lDir)
     val orders = spark.readStream
       .schema("okey BIGINT, order_ts TIMESTAMP").parquet(oDir)
     val items = spark.readStream

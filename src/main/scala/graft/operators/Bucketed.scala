@@ -26,7 +26,13 @@ object Bucketed {
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
                     nBuckets: Int, path: String): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    df.write.mode(SaveMode.Overwrite)
+    // repartition on the bucket key first: bucketBy splits EVERY write
+    // task's rows across all its buckets, so an unpartitioned write emits
+    // up to tasks × nBuckets files (a small-file explosion at scale).
+    // repartition uses the same Murmur3 hash as the bucket spec, so each
+    // task then holds exactly one bucket -> nBuckets files total.
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(s"`$bucketCol`"))
+      .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .option("path", path)
       .bucketBy(nBuckets, bucketCol)
