@@ -742,6 +742,36 @@ object Queries {
     s"""SELECT r_regionkey, r_name, '$T0' AS __metadata_valid_to_ts__
        |FROM region WHERE r_regionkey < 4""".stripMargin
 
+  /** JSON source end-to-end under the oracle gate (the path was
+    * previously sbt-only): stage a documents slice as JSON lines, read it
+    * back through the task layer's json input with a filter feature and a
+    * SQL transform, and return the aggregate. Round-tripping through JSON
+    * is identity on the data, so the oracle is the same aggregate off the
+    * parquet view. */
+  def jsonSourceAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.config.Config._
+    import graft.task.SparkTask
+    val srcDir = tmp("json_src")
+    pq(spark, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+      .coalesce(2).write.json(srcDir)
+    val sink = tmp("json_sink")
+    val t = TaskConf("json_agg",
+      inputs = Seq(InputConf("docs_json", srcDir, "json",
+        features = InputFeatures(filterExpression = Some("n_chars >= 100")))),
+      executionSql = Some(
+        """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+          |FROM docs_json GROUP BY lang, source""".stripMargin),
+      outputs = Seq(OutputConf("out", sink, writeType = "append",
+        options = Map("now" -> T0))))
+    SparkTask.run(spark, t)
+    ManagedTable(spark, sink).read
+      .select("lang", "source", "n_docs", "sum_chars")
+  }
+
+  val jsonSourceAggSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+      |FROM documents WHERE n_chars >= 100 GROUP BY lang, source""".stripMargin
+
   /** Attribute CDC across two incremental runs (test_batch.py:668): run 2
     * sees the grown source but ingests only rows past the persisted
     * watermark — final table has every key exactly once, stamped by the

@@ -69,6 +69,7 @@ object SparkEntry {
     "time_travel" -> (Queries.timeTravel(_, _)),
     // task model + features + CDC + streaming (SURVEY §2.3, §2.7, §2.8, §2.9)
     "task_e2e_csv_append" -> (Queries.taskE2eCsvAppend(_, _)),
+    "json_source_agg" -> (Queries.jsonSourceAgg(_, _)),
     "cdc_two_runs" -> (Queries.cdcTwoRuns(_, _)),
     "cdc_change_feed" -> (Queries.cdcChangeFeed(_, _)),
     "stream_append" -> (Queries.streamAppend(_, _)),
@@ -168,6 +169,7 @@ object SparkEntry {
     "constraint_violations" -> Queries.constraintViolationsSql,
     "time_travel" -> Queries.timeTravelSql,
     "task_e2e_csv_append" -> Queries.taskE2eCsvAppendSql,
+    "json_source_agg" -> Queries.jsonSourceAggSql,
     "cdc_two_runs" -> Queries.cdcTwoRunsSql,
     "cdc_change_feed" -> Queries.cdcChangeFeedSql,
     "stream_append" -> Queries.streamAppendSql,
