@@ -1405,6 +1405,27 @@ object Queries {
       .select("doc_id", "lang", "offset", "bin")
   }
 
+  /** Overlapping token-window chunking (40-token windows, 10-token
+    * overlap): both engines recompute every chunk string token-for-token
+    * from the same whitespace split and integer boundary arithmetic. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextOps
+    TextOps.chunk(pq(spark, dir, "documents"), chunkTokens = 40, overlap = 10)
+  }
+
+  val chunkDocsSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |           FROM documents WHERE length(trim(text)) > 0),
+      |k AS (SELECT doc_id, toks,
+      |       GREATEST(0, CAST(ceil((len(toks) - 40) / 30.0) AS INT)) AS last_k FROM t),
+      |c AS (SELECT doc_id, toks, UNNEST(range(0, last_k + 1)) AS chunk_id FROM k)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      | array_to_string(list_slice(toks, chunk_id * 30 + 1, chunk_id * 30 + 40), ' ')
+      |  AS chunk_text,
+      | CAST(len(list_slice(toks, chunk_id * 30 + 1, chunk_id * 30 + 40)) AS INT)
+      |  AS n_chunk_tokens
+      |FROM c""".stripMargin
+
   /** Incremental (daily-ingest) near-dup: the 10% "new batch" checked
     * against the 90% standing corpus — corpus×corpus pairs never form.
     * DuckDB recomputes exact Jaccard over every cross-side pair; LSH

@@ -58,6 +58,7 @@ object SparkEntry {
     "pack_sequences" -> (Queries.packDocs(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
     "pii_redact" -> (Queries.piiRedact(_, _)),
+    "chunk_documents" -> (Queries.chunkDocs(_, _)),
     "dedup_incremental" -> (Queries.dedupIncremental(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
@@ -159,6 +160,7 @@ object SparkEntry {
     "pack_sequences" -> Queries.packDocsSql,
     "contamination_check" -> Queries.contaminationCheckSql,
     "pii_redact" -> Queries.piiRedactSql,
+    "chunk_documents" -> Queries.chunkDocsSql,
     "dedup_incremental" -> Queries.dedupIncrementalSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,

@@ -121,6 +121,43 @@ object TextOps {
       size(tokens).as("n_tokens"))
   }
 
+  /**
+   * Split documents into overlapping token-window chunks — the context
+   * preparation step for training and retrieval pipelines. Chunk `k`
+   * spans whitespace tokens `[k·stride, k·stride + chunkTokens)` with
+   * `stride = chunkTokens - overlap`; the last chunk is the one whose
+   * window reaches the end (shorter is fine), so every token appears in
+   * at least one chunk and consecutive chunks share exactly `overlap`
+   * tokens.
+   *
+   * Pure built-in expressions (split → sequence → explode → slice):
+   * narrow, shuffle-free, and exactly recomputable in SQL — the chunk
+   * boundary arithmetic is integer-only, so engines agree token for
+   * token. Empty/whitespace-only docs produce no chunks.
+   */
+  def chunk(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id",
+            chunkTokens: Int = 256, overlap: Int = 32): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    // ceil((n - chunkTokens) / stride) in pure int arithmetic, floored at 0
+    val lastK = greatest(lit(0),
+      floor((n - chunkTokens + stride - 1).cast("double") / stride).cast("int"))
+    docs
+      .withColumn("__toks__", toks)
+      .filter(length(trim(col(textCol))) > 0)
+      .withColumn("chunk_id", explode(sequence(lit(0), lastK)))
+      .withColumn("__ck__",
+        slice(col("__toks__"), col("chunk_id") * stride + 1, lit(chunkTokens)))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", col("__ck__")).as("chunk_text"),
+        size(col("__ck__")).as("n_chunk_tokens"))
+  }
+
   /** PII patterns kept deliberately RE2-safe (character classes, bounded
     * quantifiers, non-capturing groups — no lookaround, no backrefs) so
     * the identical regex runs on Spark (java.util.regex) and any

@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 
 class TextOpsSpec extends SparkSpec {
 
+  test("chunk covers every token once per window with exact overlap") {
+    import spark.implicits._
+    val words = (1 to 25).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words), (2L, "a b c"), (3L, "   ")).toDF("doc_id", "text")
+    val got = TextOps.chunk(df, chunkTokens = 10, overlap = 3)
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: 25 tokens, stride 7 -> chunks at 0,7,14 + final window catching 25
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq === Seq(0, 1, 2, 3))
+    assert(d1(0)._3.startsWith("w1 ") && d1(0)._4 === 10)
+    assert(d1(1)._3.startsWith("w8 "))               // overlap of 3: w8,w9,w10 shared
+    assert(d1(3)._3.endsWith(" w25") && d1(3)._4 === 4) // last, short
+    // consecutive chunks share exactly `overlap` tokens
+    val t0 = d1(0)._3.split(" ").toSet; val t1 = d1(1)._3.split(" ").toSet
+    assert(t0.intersect(t1).size === 3)
+    // short doc: single chunk, whole doc; blank doc: no chunks
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0, "a b c", 3)))
+    assert(!got.exists(_._1 == 3L))
+    // every token of doc 1 appears in some chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered === (1 to 25).map(i => s"w$i").toSet)
+  }
+
   test("redact replaces every PII occurrence and leaves clean text alone") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
