@@ -109,4 +109,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"))
     assert(!plan.contains("Window"), "dedup should not need a window sort")
   }
+
+  test("hash sampling, splitting, redaction, and chunking are narrow (zero exchanges)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(
+      "hashSample" -> graft.operators.Sampling.hashSample(docs, Seq("doc_id"), 0.3),
+      "hashSplit" -> graft.operators.Sampling.hashSplit(docs, Seq("doc_id"), 0.2),
+      "redact" -> graft.llm.TextOps.redact(docs),
+      "chunk" -> graft.llm.TextOps.chunk(docs, chunkTokens = 40, overlap = 10)
+    ).foreach { case (name, df) =>
+      val plan = finalPlan(df).toString
+      assert(!plan.contains("Exchange"), s"$name shuffled:\n$plan")
+    }
+  }
+
+  test("packSequences and capPerGroup shuffle exactly once, on the group key") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(
+      "packSequences" -> graft.llm.Packing.packSequences(
+        docs, Seq("lang"), Seq("doc_id"), "n_chars", 2000L),
+      "capPerGroup" -> graft.operators.Sampling.capPerGroup(
+        docs, Seq("source"), 15, Seq("doc_id"))
+    ).foreach { case (name, df) =>
+      val plan = finalPlan(df).toString
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(n === 1, s"$name: expected one shuffle, got $n:\n$plan")
+    }
+  }
+
+  test("contamination join is an equi-join on the gram — no nested loop, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val split = graft.operators.Sampling.hashSplit(docs, Seq("doc_id"), 0.2)
+    val pairs = graft.llm.Dedup.contaminationPairs(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "test"), minShared = 1)
+    val plan = finalPlan(pairs).toString
+    assert(!plan.contains("NestedLoop"), s"nested loop in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
 }
