@@ -161,6 +161,26 @@ object Queries {
       | COUNT(*) AS n_orders
       |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin
 
+  /** CUBE over (returnflag, linestatus): all four grouping combinations
+    * in one pass (rollup's sibling; completes the grouping-sets surface). */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("string").as("base_price"),
+        count(lit(1)).as("n_items"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("base_price"), col("n_items"))
+
+  val cubeRevenueSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      | coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS base_price,
+      | COUNT(*) AS n_items
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
   // ------------------------------------------------ hashes & append
 
   /** The metadata-hash core exposed directly (write.py:103-134). */

@@ -26,6 +26,7 @@ object SparkEntry {
     "q5_region_revenue" -> (Queries.q5RegionRevenue(_, _)),
     "events_window" -> (Queries.eventsWindow(_, _)),
     "rollup_revenue" -> (Queries.rollupRevenue(_, _)),
+    "cube_revenue" -> (Queries.cubeRevenue(_, _)),
     "windowed_counts" -> (Queries.windowedCounts(_, _)),
     "setops_customers" -> (Queries.setOpsCustomers(_, _)),
     // metadata-hash core + write patterns (SURVEY §1.4, §2.2)
@@ -132,6 +133,7 @@ object SparkEntry {
     "q5_region_revenue" -> Queries.q5Sql,
     "events_window" -> Queries.eventsWindowSql,
     "rollup_revenue" -> Queries.rollupRevenueSql,
+    "cube_revenue" -> Queries.cubeRevenueSql,
     "windowed_counts" -> Queries.windowedCountsSql,
     "setops_customers" -> Queries.setOpsCustomersSql,
     "key_data_hash" -> Queries.keyDataHashSql,
