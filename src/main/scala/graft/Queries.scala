@@ -181,6 +181,51 @@ object Queries {
       | COUNT(*) AS n_items
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
+  /** Pivot order status into columns (explicit value list, so the plan
+    * needs no distinct-values pre-pass — the 100 TB form of pivot). */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .select(col("o_orderpriority"),
+        col("F").cast("string").as("f_total"),
+        col("O").cast("string").as("o_total"),
+        col("P").cast("string").as("p_total"))
+
+  val pivotStatusSql: String =
+    """SELECT o_orderpriority,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS VARCHAR) AS f_total,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS VARCHAR) AS o_total,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS VARCHAR) AS p_total
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Unpivot (melt) three lineitem measures into (measure, value) rows —
+    * a streaming-friendly Expand, one pass, no join or union of scans. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").as("quantity"),
+        col("l_extendedprice").cast("decimal(18,2)").as("extendedprice"),
+        col("l_tax").cast("decimal(18,2)").as("tax"))
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("quantity"), col("extendedprice"), col("tax")),
+        variableColumnName = "measure", valueColumnName = "value")
+      .groupBy("measure")
+      .agg(sum(col("value")).cast("string").as("total"),
+        count(lit(1)).as("n"))
+
+  val unpivotMeasuresSql: String =
+    """WITH m AS (
+      | SELECT 'quantity' AS measure, CAST(l_quantity AS DECIMAL(18,2)) AS value FROM lineitem
+      | UNION ALL
+      | SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+      | UNION ALL
+      | SELECT 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+      |SELECT measure, CAST(SUM(value) AS VARCHAR) AS total, COUNT(*) AS n
+      |FROM m GROUP BY 1""".stripMargin
+
   // ------------------------------------------------ hashes & append
 
   /** The metadata-hash core exposed directly (write.py:103-134). */

@@ -27,6 +27,8 @@ object SparkEntry {
     "events_window" -> (Queries.eventsWindow(_, _)),
     "rollup_revenue" -> (Queries.rollupRevenue(_, _)),
     "cube_revenue" -> (Queries.cubeRevenue(_, _)),
+    "pivot_status" -> (Queries.pivotStatus(_, _)),
+    "unpivot_measures" -> (Queries.unpivotMeasures(_, _)),
     "windowed_counts" -> (Queries.windowedCounts(_, _)),
     "setops_customers" -> (Queries.setOpsCustomers(_, _)),
     // metadata-hash core + write patterns (SURVEY §1.4, §2.2)
@@ -134,6 +136,8 @@ object SparkEntry {
     "events_window" -> Queries.eventsWindowSql,
     "rollup_revenue" -> Queries.rollupRevenueSql,
     "cube_revenue" -> Queries.cubeRevenueSql,
+    "pivot_status" -> Queries.pivotStatusSql,
+    "unpivot_measures" -> Queries.unpivotMeasuresSql,
     "windowed_counts" -> Queries.windowedCountsSql,
     "setops_customers" -> Queries.setOpsCustomersSql,
     "key_data_hash" -> Queries.keyDataHashSql,
