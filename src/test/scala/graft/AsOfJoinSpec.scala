@@ -103,6 +103,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.count() === facts.count())
   }
 
+  test("property: union-window result equals the quadratic reference on tie-heavy data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny time/key domains force equal-timestamp ties and empty keys
+    val rowGen = Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 12L))
+    val gen = for {
+      ls <- Gen.listOfN(12, rowGen)
+      rs <- Gen.listOfN(12, rowGen)
+      dir <- Gen.oneOf("backward", "forward")
+      tol <- Gen.option(Gen.choose(0L, 5L))
+    } yield (ls, rs, dir, tol)
+    val prop = Prop.forAll(gen) { case (ls, rs, dir, tol) =>
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("l_id", "k", "lt")
+      val r = rs.zipWithIndex.map { case ((k, t), i) => (100L + i, k, t) }
+        .toDF("r_id", "k", "rt")
+      val got = AsOfJoin.join(l, r, "lt", "rt", Seq("k"),
+        direction = dir, tolerance = tol, rightTieBreak = Some("r_id"))
+      val want = naive(l, r, dir, tol)
+      def canon(df: DataFrame): Seq[String] =
+        df.select(df.columns.sorted.map(col).toIndexedSeq: _*).collect().toSeq
+          .map(_.toSeq.map(v => if (v == null) "" else v.toString).mkString("|"))
+          .sorted
+      canon(got) == canon(want)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"as-of mismatch vs reference: ${res.status}")
+  }
+
   test("matches the reference result on real data (purchases vs views, sf0.001)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sf/events.parquet")
