@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
 
 /**
  * Point-in-time ("as-of") join: for every left row, attach the single
@@ -27,11 +28,26 @@ import org.apache.spark.sql.functions._
  * hash-compared oracle, and the same policy a DuckDB
  * `row_number() ... ORDER BY t DESC, tie DESC` oracle can express.
  *
- * Time columns must be numeric (the engine-wide convention is epoch
- * microseconds, see Queries `ts_us`); they are cast to long so tolerance
- * arithmetic is exact.
+ * Time columns may be numeric (the engine-wide convention is epoch
+ * microseconds, see Queries `ts_us`) or TimestampType/TimestampNTZType —
+ * timestamps are compared at MICROSECOND resolution via `unix_micros`,
+ * never truncated to seconds, so `tolerance` is in microseconds for
+ * timestamp inputs and in the column's own units for numeric inputs.
+ *
+ * Rows whose time column is NULL are ignored on BOTH sides (dropped from
+ * the output for left rows, never matchable for right rows) — the same
+ * stance pandas `merge_asof` takes on NaT keys; a NULL time has no
+ * position on the time axis, and letting it sort first would silently
+ * hand its payload to unmatched left rows.
  */
 object AsOfJoin {
+
+  /** Exact integer time for ordering/tolerance arithmetic: epoch
+    * microseconds for timestamps, plain long cast for numerics. */
+  private def asTicks(c: Column, dt: DataType): Column = dt match {
+    case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case _ => c.cast("long")
+  }
 
   private val T = "__graft_asof_t__"
   private val Side = "__graft_asof_side__"
@@ -72,15 +88,21 @@ object AsOfJoin {
     def q(c: String): Column = col(s"`$c`")
     val byCols = by.map(q)
 
+    val leftTimeDt = left.schema(leftTime).dataType
+    val rightTimeDt = right.schema(rightTime).dataType
+
     // Right rows carry __side=0 so they sort BEFORE left rows at the same
     // timestamp — that makes the match inclusive (right.t == left.t wins).
-    val l2 = left.select(
+    // NULL-time rows are dropped up front on both sides: a NULL T would
+    // sort first and its payload would become the running last() for
+    // genuinely unmatched left rows.
+    val l2 = left.filter(q(leftTime).isNotNull).select(
       byCols ++ Seq(
-        q(leftTime).cast("long").as(T), lit(1).as(Side), lit(0L).as(Tb),
+        asTicks(q(leftTime), leftTimeDt).as(T), lit(1).as(Side), lit(0L).as(Tb),
         struct(leftPayload.map(q): _*).as(Lp)): _*)
-    val r2 = right.select(
+    val r2 = right.filter(q(rightTime).isNotNull).select(
       byCols ++ Seq(
-        q(rightTime).cast("long").as(T), lit(0).as(Side),
+        asTicks(q(rightTime), rightTimeDt).as(T), lit(0).as(Side),
         rightTieBreak.map(q(_).cast("long")).getOrElse(lit(0L)).as(Tb),
         struct(rightPayload.map(q): _*).as(Rp)): _*)
     val u = l2.unionByName(r2, allowMissingColumns = true)
@@ -98,7 +120,7 @@ object AsOfJoin {
     val matchedRaw = last(col(Rp), ignoreNulls = true).over(w)
 
     val withMatch = u.withColumn(M, matchedRaw).filter(col(Side) === 1)
-    val matchedT = col(M).getField(rightTime).cast("long")
+    val matchedT = asTicks(col(M).getField(rightTime), rightTimeDt)
     val withinTol: Column = tolerance match {
       case None => lit(true)
       case Some(tol) =>
@@ -128,8 +150,8 @@ object AsOfJoin {
    * A fact before its key's first version (or with no version at all)
    * keeps NULL dimension columns.
    *
-   * Time columns may be timestamps (compared at epoch-second resolution
-   * via long cast) or numerics.
+   * Time columns may be timestamps (compared at MICROSECOND resolution
+   * via `unix_micros`) or numerics.
    */
   def temporalLookup(facts: DataFrame, dim: DataFrame,
                      factTime: String, validFrom: String, validTo: String,
@@ -140,9 +162,12 @@ object AsOfJoin {
     // rewritten columns.
     val v = "__graft_temporal_valid__"
     val dimCols = dim.columns.toSeq.filterNot(by.contains)
+    val validToDt = dim.schema(validTo).dataType
+    val factTimeDt = facts.schema(factTime).dataType
     dimCols.foldLeft(
       out.withColumn(v,
-        col(s"`$validTo`").cast("long") > col(s"`$factTime`").cast("long"))) {
+        asTicks(col(s"`$validTo`"), validToDt) >
+          asTicks(col(s"`$factTime`"), factTimeDt))) {
       (df, c) => df.withColumn(c, when(col(v), col(s"`$c`")))
     }.drop(v)
   }

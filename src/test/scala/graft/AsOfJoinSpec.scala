@@ -103,6 +103,72 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.count() === facts.count())
   }
 
+  test("timestamp columns resolve at microsecond resolution, not seconds") {
+    // fact at 12:00:00.400 vs versions starting 12:00:00.000 / 12:00:00.700:
+    // second-resolution truncation would tie all three at 12:00:00 and hand
+    // the fact the FUTURE .700 version; micros must pick the .000 one.
+    val dim = Seq(
+      ("a", "v0", "2024-01-01 12:00:00.000", "2024-01-01 12:00:00.700"),
+      ("a", "v1", "2024-01-01 12:00:00.700", "2100-01-01 00:00:00.000")
+    ).toDF("k", "ver", "vf", "vt")
+      .select(col("k"), col("ver"),
+        col("vf").cast("timestamp").as("valid_from"),
+        col("vt").cast("timestamp").as("valid_to"))
+    val facts = Seq(
+      (1L, "a", "2024-01-01 12:00:00.400"),  // inside v0 only at sub-second res
+      (2L, "a", "2024-01-01 12:00:00.700"),  // boundary -> v1
+      (3L, "a", "2024-01-01 11:59:59.900")   // before v0 -> NULL
+    ).toDF("f_id", "k", "ft0")
+      .select(col("f_id"), col("k"), col("ft0").cast("timestamp").as("ft"))
+    val got = AsOfJoin.temporalLookup(facts, dim, "ft", "valid_from", "valid_to",
+      by = Seq("k"))
+    val m = got.collect().map(r => r.getAs[Long]("f_id") ->
+      Option(r.getAs[String]("ver"))).toMap
+    assert(m === Map(1L -> Some("v0"), 2L -> Some("v1"), 3L -> None))
+  }
+
+  test("timestamp as-of join honors sub-second ordering and micros tolerance") {
+    val l = Seq((1L, "a", "2024-01-01 00:00:01.500")).toDF("l_id", "k", "lt0")
+      .select(col("l_id"), col("k"), col("lt0").cast("timestamp").as("lt"))
+    val r = Seq(
+      (10L, "a", "2024-01-01 00:00:01.400"),
+      (11L, "a", "2024-01-01 00:00:01.600")
+    ).toDF("r_id", "k", "rt0")
+      .select(col("r_id"), col("k"), col("rt0").cast("timestamp").as("rt"))
+    val back = AsOfJoin.join(l, r, "lt", "rt", Seq("k"),
+      rightTieBreak = Some("r_id")).collect().head
+    assert(back.getAs[Long]("r_id") === 10L) // .400 is at-or-before, .600 is not
+    // tolerance is epoch-micros for timestamp inputs: 50 ms < the 100 ms gap
+    val tight = AsOfJoin.join(l, r, "lt", "rt", Seq("k"),
+      tolerance = Some(50000L), rightTieBreak = Some("r_id")).collect().head
+    assert(tight.getAs[Any]("r_id") === null)
+    val loose = AsOfJoin.join(l, r, "lt", "rt", Seq("k"),
+      tolerance = Some(150000L), rightTieBreak = Some("r_id")).collect().head
+    assert(loose.getAs[Long]("r_id") === 10L)
+  }
+
+  test("NULL time rows are ignored on both sides") {
+    val l = Seq(
+      (1L, "a", Some(100L)),
+      (2L, "a", None) // NULL left time -> dropped, pandas NaT stance
+    ).toDF("l_id", "k", "lt")
+    val r = Seq(
+      (10L, "a", Some(50L)),
+      (11L, "a", None) // NULL right time -> never matchable
+    ).toDF("r_id", "k", "rt")
+    val got = AsOfJoin.join(l, r, "lt", "rt", Seq("k"),
+      rightTieBreak = Some("r_id"))
+    val rows = got.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("l_id") === 1L)
+    assert(rows.head.getAs[Long]("r_id") === 10L)
+    // forward mode: the NULL-time right row must not become the running last
+    val fwd = AsOfJoin.join(l, r, "lt", "rt", Seq("k"),
+      direction = "forward", rightTieBreak = Some("r_id")).collect()
+    assert(fwd.length === 1)
+    assert(fwd.head.getAs[Any]("r_id") === null) // nothing at-or-after 100
+  }
+
   test("property: union-window result equals the quadratic reference on tie-heavy data") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // tiny time/key domains force equal-timestamp ties and empty keys
