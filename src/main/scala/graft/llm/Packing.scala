@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /**
  * Sequence packing: assign documents to fixed-budget training shards
@@ -23,16 +24,36 @@ import org.apache.spark.sql.functions._
  */
 object Packing {
 
+  private def orderable(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType | BinaryType => true
+    case _ => false
+  }
+
   /** Adds `bin` (0-based long per group) and `offset` (the document's
-    * exclusive running-size start within its group). */
+    * exclusive running-size start within its group).
+    *
+    * Determinism: the running sum is only well-defined under a TOTAL
+    * per-group order, so the window ordering is `orderCols` extended by
+    * `sizeCol` and every remaining orderable (atomic-typed) column as
+    * tie-breaks. Rows identical across ALL those columns are mutually
+    * interchangeable (same size, same everything), so their relative
+    * order cannot change any offset — the output is deterministic even
+    * when `orderCols` alone has ties. */
   def packSequences(df: DataFrame, groupCols: Seq[String],
                     orderCols: Seq[String], sizeCol: String,
                     budget: Long,
                     binCol: String = "bin", offsetCol: String = "offset"): DataFrame = {
     require(groupCols.nonEmpty && orderCols.nonEmpty, "packSequences needs group and order columns")
     require(budget > 0, s"budget must be positive, got $budget")
+    val explicit = (groupCols ++ orderCols).toSet
+    val tieBreaks = (Seq(sizeCol).filterNot(explicit.contains) ++
+      df.schema.fields
+        .filter(f => !explicit.contains(f.name) && f.name != sizeCol &&
+          orderable(f.dataType))
+        .map(_.name).sorted)
     val w = Window.partitionBy(groupCols.map(c => col(s"`$c`")): _*)
-      .orderBy(orderCols.map(c => col(s"`$c`")): _*)
+      .orderBy((orderCols ++ tieBreaks).map(c => col(s"`$c`")): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix: Column = coalesce(sum(col(s"`$sizeCol`").cast("long")).over(w), lit(0L))
     // prefix is a non-negative long well under 2^53, so the double

@@ -159,11 +159,13 @@ object TextOps {
   }
 
   /** PII patterns kept deliberately RE2-safe (character classes, bounded
-    * quantifiers, non-capturing groups — no lookaround, no backrefs) so
-    * the identical regex runs on Spark (java.util.regex) and any
-    * RE2-based engine, and the redaction is cross-engine reproducible. */
+    * quantifiers, non-capturing groups, inline `(?i)` — no lookaround, no
+    * backrefs) so the identical regex runs on Spark (java.util.regex) and
+    * any RE2-based engine, and the redaction is cross-engine reproducible.
+    * The email pattern is case-insensitive: `John.Doe@Example.COM` is PII
+    * exactly as much as its lowercase form. */
   val PiiPatterns: Seq[(String, String)] = Seq(
-    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+    "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
     "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b" -> "<PHONE>",
     "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>")
 

@@ -1,6 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /**
  * Co-located joins via bucketed tables: persist both sides of a
@@ -54,7 +57,20 @@ object Bucketed {
   /** True when the join plan contains no shuffle — the co-location
     * actually engaged. Useful as a guard in pipelines that RELY on the
     * bucketed layout (a silently mismatched bucket count would still
-    * return correct rows, just with the 100 TB exchange back). */
-  def isCoLocated(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+    * return correct rows, just with the 100 TB exchange back).
+    *
+    * Traverses the physical plan for [[ShuffleExchangeLike]] nodes
+    * (unwrapping AQE's [[AdaptiveSparkPlanExec]]) rather than string-
+    * matching the plan text, which could miss a post-AQE re-plan or
+    * false-trip on an incidental "Exchange" in a column name. */
+  def isCoLocated(df: DataFrame): Boolean = {
+    def hasShuffle(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+      case _: ShuffleExchangeLike => true
+      case other =>
+        other.children.exists(hasShuffle) ||
+          other.subqueries.exists(hasShuffle)
+    }
+    !hasShuffle(df.queryExecution.executedPlan)
+  }
 }

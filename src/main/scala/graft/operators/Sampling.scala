@@ -29,17 +29,26 @@ object Sampling {
     substring(md5(concat_ws("|",
       (lit(salt) +: keys.map(c => col(s"`$c`").cast("string"))): _*)), 1, 8)
 
+  /** One decision rule everywhere: keep iff keyLong < floor(rate·2^32).
+    * `rate >= 1.0` keeps EVERY row (floor = 2^32 exceeds any 32-bit hash)
+    * — callers with a fixed rate special-case it because an 8-hex-char
+    * threshold cannot express 2^32. The floor makes the fixed-rate hex
+    * compare and the weighted numeric compare select IDENTICAL rows for
+    * the same effective rate. */
   private def thresholdHex(rate: Double): String = {
-    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    f"${math.min((rate * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+    require(rate >= 0.0 && rate < 1.0, s"hex threshold needs rate in [0,1), got $rate")
+    f"${(rate * 4294967296.0).toLong}%08x"
   }
 
   /** Keep ~`rate` of rows, chosen by key hash. Same (keys, salt) always
-    * selects the same rows; change `salt` to draw an independent sample. */
+    * selects the same rows; change `salt` to draw an independent sample.
+    * `rate = 1.0` keeps all rows. */
   def hashSample(df: DataFrame, keys: Seq[String], rate: Double,
                  salt: String = ""): DataFrame = {
     require(keys.nonEmpty, "hashSample needs key columns")
-    df.filter(keyHex(keys, salt) < lit(thresholdHex(rate)))
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    if (rate >= 1.0) df
+    else df.filter(keyHex(keys, salt) < lit(thresholdHex(rate)))
   }
 
   /** Label every row `test` (~`testFraction`) or `train` by key hash.
@@ -48,7 +57,10 @@ object Sampling {
   def hashSplit(df: DataFrame, keys: Seq[String], testFraction: Double,
                 salt: String = "", outCol: String = "split"): DataFrame = {
     require(keys.nonEmpty, "hashSplit needs key columns")
-    df.withColumn(outCol,
+    require(testFraction >= 0.0 && testFraction <= 1.0,
+      s"testFraction must be in [0,1], got $testFraction")
+    if (testFraction >= 1.0) df.withColumn(outCol, lit("test"))
+    else df.withColumn(outCol,
       when(keyHex(keys, salt) < lit(thresholdHex(testFraction)), lit("test"))
         .otherwise(lit("train")))
   }
@@ -62,12 +74,15 @@ object Sampling {
   /** Weighted Bernoulli sampling: keep each row with probability
     * `rateCol` (clamped to [0,1]), decided by its own key hash — e.g.
     * upsample high-quality documents by passing a quality score. Same
-    * determinism guarantees as [[hashSample]]; still shuffle-free. */
+    * determinism guarantees as [[hashSample]]; still shuffle-free.
+    * Uses the floor(rate·2^32) rule, so a constant weight `r` selects
+    * EXACTLY the rows `hashSample(r)` selects (rate 1.0 keeps all). */
   def hashSampleWeighted(df: DataFrame, keys: Seq[String], rateCol: Column,
                          salt: String = ""): DataFrame = {
     require(keys.nonEmpty, "hashSampleWeighted needs key columns")
     val rate = least(greatest(rateCol.cast("double"), lit(0.0)), lit(1.0))
-    df.filter(keyLong(keys, salt).cast("double") < rate * lit(4294967296.0))
+    df.filter(keyLong(keys, salt).cast("double") <
+      floor(rate * lit(4294967296.0)))
   }
 
   /** Per-stratum rates (`sampleBy`, made deterministic): strata found in
@@ -86,17 +101,39 @@ object Sampling {
     * sample, not "first N by insertion"), tie-broken by the key columns
     * themselves so the result is total-ordered and deterministic.
     *
-    * One shuffle on `groupCols`; a pathologically hot group sorts in a
-    * single task — pre-thin such groups with [[hashSample]] at
-    * rate ≈ k·cap/|group| first if that matters. */
+    * One shuffle on `groupCols`. A pathologically hot group (one domain
+    * with 100M rows) would sort in a single task, so the operator guards
+    * itself: a lightweight map-combinable sizing aggregate finds the
+    * largest group, and when it exceeds `cap × hotGroupFactor` the plan
+    * becomes an EXACT two-stage top-k — per-(group, hash-prefix-bucket)
+    * top-`cap` first (256-way fan-out, bounded partitions), then the
+    * global per-group top-`cap` over ≤ 256·cap survivors. Every global
+    * top-`cap` row ranks ≤ `cap` inside its own bucket, so the two-stage
+    * result is IDENTICAL to the single-window result — this is a plan
+    * change, never a sample. Normal-sized groups keep the original
+    * single-window plan. `hotGroupFactor = 0` disables the guard (and
+    * the sizing job), restoring a fully lazy operator. */
   def capPerGroup(df: DataFrame, groupCols: Seq[String], cap: Int,
-                  keys: Seq[String], salt: String = ""): DataFrame = {
+                  keys: Seq[String], salt: String = "",
+                  hotGroupFactor: Int = 64): DataFrame = {
     require(groupCols.nonEmpty && keys.nonEmpty, "capPerGroup needs group and key columns")
     require(cap > 0, s"cap must be positive, got $cap")
     val rn = "__graft_rn__"
+    val gcols = groupCols.map(c => col(s"`$c`"))
     val order = keyHex(keys, salt) +: keys.map(c => col(s"`$c`"))
-    val w = Window.partitionBy(groupCols.map(c => col(s"`$c`")): _*)
-      .orderBy(order: _*)
-    df.withColumn(rn, row_number().over(w)).filter(col(rn) <= cap).drop(rn)
+    val hot = hotGroupFactor > 0 && {
+      val r = df.groupBy(gcols: _*).agg(count(lit(1)).as("__graft_n__"))
+        .agg(max(col("__graft_n__"))).head()
+      !r.isNullAt(0) && r.getLong(0) > cap.toLong * hotGroupFactor
+    }
+    val base =
+      if (!hot) df
+      else {
+        val bucket = substring(keyHex(keys, salt), 1, 2) // 256-way
+        val w1 = Window.partitionBy(gcols :+ bucket: _*).orderBy(order: _*)
+        df.withColumn(rn, row_number().over(w1)).filter(col(rn) <= cap).drop(rn)
+      }
+    val w = Window.partitionBy(gcols: _*).orderBy(order: _*)
+    base.withColumn(rn, row_number().over(w)).filter(col(rn) <= cap).drop(rn)
   }
 }

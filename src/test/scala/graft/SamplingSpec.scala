@@ -77,6 +77,19 @@ class SamplingSpec extends SparkSpec {
       Sampling.hashSample(docs, Seq("doc_id"), 0.3).select("doc_id"))
   }
 
+  test("rate 1.0 keeps every row under BOTH decision rules (boundary parity)") {
+    // hashSample(1.0) used to drop rows hashing exactly to ffffffff while
+    // the weighted rule kept them — both must keep all now.
+    assert(Sampling.hashSample(docs, Seq("doc_id"), 1.0).count() === docs.count())
+    assert(Sampling.hashSplit(docs, Seq("doc_id"), 1.0)
+      .filter(col("split") === "test").count() === docs.count())
+    // fractional rate: floor rule means the two operators agree row-for-row
+    val r = 1.0 / 3.0 // rate*2^32 is fractional — the old off-by-one zone
+    assertSameRows(
+      Sampling.hashSample(docs, Seq("doc_id"), r).select("doc_id"),
+      Sampling.hashSampleWeighted(docs, Seq("doc_id"), lit(r)).select("doc_id"))
+  }
+
   test("hashSampleBy applies per-stratum rates; unlisted strata use the default") {
     val got = Sampling.hashSampleBy(docs, "lang",
       Map("zh" -> 1.0, "en" -> 0.0), keys = Seq("doc_id"), defaultRate = 0.5)
@@ -90,6 +103,32 @@ class SamplingSpec extends SparkSpec {
     val kept = others.toSeq.map(l => byLang.getOrElse(l, 0L)).sum.toDouble
     val base = others.toSeq.map(totals).sum.toDouble
     assert(math.abs(kept / base - 0.5) < 0.15, s"default-rate fraction ${kept / base}")
+  }
+
+  test("capPerGroup hot-group guard: two-stage plan, identical selection") {
+    // one pathological group (3000 rows) next to a normal one; factor 10
+    // at cap 20 arms the guard for it (3000 > 200)
+    val hotData = (0 until 3000).map(i => ("hot", i.toLong)) ++
+      (0 until 50).map(i => ("cold", 10000L + i))
+    val df = hotData.toDF("g", "id")
+    val guarded = Sampling.capPerGroup(df, Seq("g"), cap = 20,
+      keys = Seq("id"), hotGroupFactor = 10)
+    val unguarded = Sampling.capPerGroup(df, Seq("g"), cap = 20,
+      keys = Seq("id"), hotGroupFactor = 0)
+    // the guard is a plan change, never a sample: selections are identical
+    assertSameRows(guarded.select("g", "id"), unguarded.select("g", "id"))
+    assert(guarded.filter(col("g") === "hot").count() === 20)
+    assert(guarded.filter(col("g") === "cold").count() === 20)
+    // guarded plan pre-thins in a second window; normal-sized data keeps
+    // the single-window plan
+    def windows(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.size
+    assert(windows(guarded) === 2, "hot path must two-stage")
+    val normal = Sampling.capPerGroup(docs, Seq("source"), cap = 15,
+      keys = Seq("doc_id"), hotGroupFactor = 64)
+    assert(windows(normal) === 1, "normal groups must keep the original plan")
   }
 
   test("packSequences: bins fill to budget, offsets are exclusive prefix sums") {
@@ -112,5 +151,24 @@ class SamplingSpec extends SparkSpec {
       max(col("bin")).as("mx"), countDistinct(col("bin")).as("nd")).collect()
     perLang.foreach(r => assert(r.getLong(1) === r.getLong(2) - 1,
       s"${r.getString(0)}: bins not contiguous"))
+  }
+
+  test("packSequences is deterministic when the order key has ties") {
+    // every row shares order key 1 — the running sum is only defined
+    // because remaining columns (id, n) act as tie-breaks
+    val rows = Seq(
+      ("g", 1L, 101L, 700L), ("g", 1L, 102L, 300L), ("g", 1L, 103L, 900L),
+      ("g", 1L, 104L, 50L), ("g", 1L, 105L, 1200L), ("g", 1L, 106L, 400L))
+    val df = rows.toDF("lang", "ok", "id", "n")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.packSequences(d, Seq("lang"), Seq("ok"), "n", 1000L)
+        .select("id", "offset", "bin")
+        .as[(Long, Long, Long)].collect()
+        .map { case (i, o, b) => i -> (o, b) }.toMap
+    val a = run(df)
+    val b = run(df.repartition(7))
+    val c = run(rows.reverse.toDF("lang", "ok", "id", "n").repartition(3))
+    assert(a === b, "offsets changed under repartition")
+    assert(a === c, "offsets changed under input reordering")
   }
 }

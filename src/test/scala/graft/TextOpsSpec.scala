@@ -46,6 +46,18 @@ class TextOpsSpec extends SparkSpec {
     assert(custom.filter(col("doc_id") === 1L).head.getAs[String]("text")
       === "mail a@b.org and c.d+x@e-f.co twice, call #-#-#, from #.#.#.#")
   }
+
+  test("redact is case-insensitive on emails: mixed case is still PII") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact John.Doe@Example.COM please"),
+      (2L, "ALLCAPS@HOST.ORG and MiXeD.cAsE+tag@Sub.Domain.Net")
+    ).toDF("doc_id", "text")
+    val got = TextOps.redact(df).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "contact <EMAIL> please")
+    assert(got(2L) === "<EMAIL> and <EMAIL>")
+  }
   import spark.implicits._
 
   private def docs = Seq(
