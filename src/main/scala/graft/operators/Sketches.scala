@@ -67,6 +67,14 @@ object Sketches {
    *
    * The fact side keeps its name-spaced columns; dim columns come along
    * as in a plain `join(dim, fact(k) === dim(k), joinType)`.
+   *
+   * The probe is Spark's own codegen'd `BloomFilterMightContain` (via
+   * `graft_might_contain`) over `xxhash64` of the key — no per-row Scala
+   * UDF boundary on the fact side. Both sides type-normalize the key
+   * (integrals widen to long) before hashing, so an `int` dim key prunes
+   * a `bigint` fact key correctly; the serialized filter rides the plan
+   * as a binary literal, the same shape the optimizer's own runtime
+   * row-level filtering produces.
    */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
@@ -74,18 +82,23 @@ object Sketches {
                       joinType: String = "inner"): DataFrame = {
     require(Seq("inner", "left_semi", "leftsemi").contains(joinType),
       s"bloom pruning the fact side is only sound for inner/semi joins, got $joinType")
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightMatch: Column = fact.schema(factKey).dataType match {
+    val (buildKey, probeKey): (Column, Column) = fact.schema(factKey).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        val f = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-        f(col(s"`$factKey`").cast("long"))
+        (col(s"`$dimKey`").cast("long"), col(s"`$factKey`").cast("long"))
       case StringType =>
-        val f = udf((k: String) => k != null && bc.value.mightContainString(k))
-        f(col(s"`$factKey`"))
+        (col(s"`$dimKey`").cast("string"), col(s"`$factKey`"))
       case dt => throw new IllegalArgumentException(
         s"bloomPrunedJoin supports integral/string keys, got $dt for $factKey")
     }
+    // distributed build over the hashes the probe will use (putLong of
+    // xxhash64 — the contract BloomFilterMightContain's eval expects)
+    val bf = dim.select(xxhash64(buildKey).as("__graft_bloom_h__"))
+      .stat.bloomFilter("__graft_bloom_h__", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    graft.expressions.MightContain.register(fact.sparkSession)
+    val mightMatch: Column = call_function(graft.expressions.MightContain.Name,
+      lit(bos.toByteArray), xxhash64(probeKey))
     val pruned = fact.filter(mightMatch).alias("__fact")
     val d = dim.alias("__dim")
     pruned.join(d, col(s"__fact.`$factKey`") === col(s"__dim.`$dimKey`"), joinType)

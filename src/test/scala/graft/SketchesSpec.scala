@@ -64,24 +64,34 @@ class SketchesSpec extends SparkSpec {
     assertSameRows(got, want)
   }
 
-  test("the bloom prune actually drops fact rows before the join") {
+  test("the bloom prune drops fact rows before the join, through codegen — no UDF") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey")
-    val bf = urgent.stat.bloomFilter("o_orderkey", 10000, 0.03)
-    val mightContain = udf { (k: Long) => bf.mightContainLong(k) }
-    val pruned = li.filter(mightContain(col("l_orderkey"))).count()
+    // build exactly as the operator does (xxhash64 over the widened key)
+    // and probe through the registered native expression
+    graft.expressions.MightContain.register(spark)
+    val bf = urgent.select(xxhash64(col("o_orderkey").cast("long")).as("h"))
+      .stat.bloomFilter("h", 10000, 0.03)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val pruned = li.filter(call_function(graft.expressions.MightContain.Name,
+      lit(bos.toByteArray), xxhash64(col("l_orderkey").cast("long")))).count()
     val total = li.count()
     // ~1/5 of orders are urgent; with 3% fpp the prune must cut well below half
     assert(pruned < total / 2, s"prune kept $pruned of $total — filter inert")
-    // and the filter sits UNDER the join in the plan (prune before shuffle)
+    // the probe sits UNDER the join in the plan (prune before shuffle)...
     val got = Sketches.bloomPrunedJoin(li, urgent, "l_orderkey", "o_orderkey",
       expectedItems = 10000)
     val plan = got.queryExecution.optimizedPlan.toString
-    val filterIdx = plan.indexOf("UDF")
+    val filterIdx = plan.indexOf("might_contain")
     val joinIdx = plan.indexOf("Join")
-    assert(filterIdx > joinIdx && joinIdx >= 0,
-      s"expected the UDF filter below the join node in:\n$plan")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"expected the might_contain filter below the join node in:\n$plan")
+    // ...and the fact-side probe is the native expression, not a ScalaUDF
+    assert(!plan.contains("UDF"), s"interpreted UDF boundary back in:\n$plan")
+    assert(!got.queryExecution.executedPlan.toString.contains("ScalaUDF"),
+      "physical plan fell out of codegen into a ScalaUDF probe")
   }
 
   test("string keys are supported; unsupported key types fail loudly") {
@@ -93,5 +103,15 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sketches.bloomPrunedJoin(bad, dim, "d", "k", expectedItems = 10)
     }
+  }
+
+  test("mixed integral widths prune without false negatives (int dim vs long fact)") {
+    val dimInt = Seq(1, 2).toDF("k") // IntegerType
+    val factLong = Seq((1L, "x"), (3L, "y"), (2L, "z")).toDF("k2", "v") // LongType
+    // both sides widen to long before hashing — a width mismatch would
+    // hash differently and silently drop TRUE matches
+    val got = Sketches.bloomPrunedJoin(factLong, dimInt, "k2", "k",
+      expectedItems = 10)
+    assert(got.select("k2").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 }
