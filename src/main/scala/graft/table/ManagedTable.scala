@@ -190,8 +190,12 @@ final class ManagedTable(spark: SparkSession, root: String) {
         }
       // restrict to the commit's schema: partition discovery may append
       // dir-derived columns the schema doesn't declare (e.g. the synthetic
-      // [[clusterBy]] bucket column) — they are storage layout, not data
-      frames.reduce(_ unionByName _)
+      // [[clusterBy]] bucket column) — they are storage layout, not data.
+      // allowMissingColumns: a composition may MIX layouts (carried
+      // cluster-bucket subdirs + a file-scoped merge's plain dir), so a
+      // layout column present in one frame and absent in another must not
+      // fail the union — it is dropped by the select either way
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
         .select(schema.fieldNames.map(n =>
           org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*)
     }
@@ -514,6 +518,85 @@ final class ManagedTable(spark: SparkSession, root: String) {
       writeCommit(commit)
       commit
     }
+
+  /** Stats-based dir split for merge file-skipping: dirs that MAY
+    * contain a row matching `predicate` vs dirs that provably cannot —
+    * the same conservative [[DataSkipping]] walk [[readWhere]] and the
+    * DML rewrites use, metadata-only. Dirs without stats (or predicates
+    * the walker can't interpret) land on the "may match" side. */
+  private[graft] def splitDirsMayMatch(
+      predicate: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val predExpr = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(predicate).queryExecution.logical
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    c.dirs.partition { d =>
+      (for (stats <- c.dirStats.get(d); e <- predExpr)
+        yield DataSkipping.mayMatch(stats, schema, e)).getOrElse(true)
+    }
+  }
+
+  /** Read a subset of the CURRENT snapshot's dirs (same read mechanics
+    * as [[read]]; `dirs` must come from the latest commit). */
+  private[graft] def readDirsSubset(dirs: Seq[String]): DataFrame = {
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    readDirs(dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty)
+  }
+
+  /**
+   * Commit `df` as one new data dir PLUS `carried` dirs of the previous
+   * version by reference — the file-scoped merge commit: prevDirs −
+   * rewritten + new, the Delta move of rewriting only files that contain
+   * matched keys. Carried dirs keep their bytes and their skipping stats
+   * untouched; like replace/merge commits, a concurrent-commit conflict
+   * surfaces instead of retrying (the composition is not commutative).
+   */
+  private[graft] def writeCarried(df: DataFrame, carried: Seq[String],
+      operation: String, userMetadata: Option[String] = None,
+      changeData: Option[DataFrame] = None,
+      extraMetrics: Map[String, String] = Map.empty): Commit = synchronized {
+    import org.apache.spark.sql.functions.{count, lit}
+    val prev = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    val stale = carried.filterNot(prev.dirs.contains)
+    require(stale.isEmpty,
+      s"carried dirs are not part of the current version of $root: ${stale.mkString(", ")}")
+    val version = prev.version + 1L
+    val tsMs = System.currentTimeMillis()
+    val dataDir = new Path(new Path(rootPath, "data"),
+      f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_fsm_$version-${UUID.randomUUID()}")
+    val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(df.schema)
+    val writer = df.observe(obs, aggs.head, aggs.tail: _*).write.mode("overwrite")
+    (if (prev.partitionBy.nonEmpty) writer.partitionBy(prev.partitionBy: _*)
+     else writer).parquet(dataDir)
+    val observed = obs.get
+    val numRows = observed("rows").asInstanceOf[Long]
+    val carriedStats = prev.dirStats.view.filterKeys(carried.contains).toMap
+    val dirs = if (numRows == 0) carried else carried :+ dataDir
+    val dirStats =
+      if (numRows == 0) carriedStats
+      else carriedStats + (dataDir -> DataSkipping.statsOf(df.schema, observed))
+    val changeDir = changeData.map(writeChangeData(version, tsMs, _))
+    val commit = Commit(version, operation, tsMs, dirs,
+      Map("numOutputRows" -> numRows.toString) ++ extraMetrics,
+      userMetadata, df.schema.toDDL, prev.version, changeDir,
+      changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
+      partitionBy = prev.partitionBy, dirStats = dirStats)
+    try writeCommit(commit)
+    catch { case e: Throwable =>
+      changeDir.foreach(d => fs.delete(new Path(d), true))
+      throw e
+    }
+    commit
+  }
 
   /** Read if present, else an empty frame with the given schema. */
   def readOrEmpty(schema: StructType): DataFrame =

@@ -21,7 +21,20 @@ final class WriteTableConstraintError(msg: String) extends RuntimeException(msg)
 object Writers {
 
   import MergeEmulator.{ChangeMark, PreMark}
-  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+
+  /** How a merge's target read and commit are scoped. */
+  private sealed trait MergeScope
+  /** Read the whole table, commit a full replace. */
+  private case object FullScope extends MergeScope
+  /** Partition-scoped (`use_paritition_column_in_merge`): read + replace
+    * only the source's partitions via [[ManagedTable.selectiveOverwrite]]. */
+  private case object PartScope extends MergeScope
+  /** File-scoped: read only `rewritten` dirs (those whose min/max key
+    * stats MAY contain a source key), commit `carried` dirs by reference. */
+  private final case class FileScope(rewritten: Seq[String],
+                                     carried: Seq[String]) extends MergeScope
 
   /** Partition-scoped merge commits are active when the physical layout is
     * partitioned and every partition column participates in the merge
@@ -54,6 +67,96 @@ object Writers {
     full.filter(pred)
   }
 
+  /** Small batches prune per-dir EXACTLY via an IN-list of their keys. */
+  private val FileScopeInListCap = 1000
+
+  /** Large numeric batches prune via this many equi-depth key intervals. */
+  private val FileScopeIntervals = 32
+
+  /**
+   * Conservative key predicate of the source batch, fed ONLY to
+   * [[ManagedTable.splitDirsMayMatch]]'s stats walk (never executed as a
+   * row filter). Shapes, cheapest sufficient first:
+   *
+   *  - single key, ≤ [[FileScopeInListCap]] distinct values: `k IN
+   *    (...)` — exact per-dir decisions;
+   *  - single NUMERIC key, larger batches: an OR of up to
+   *    [[FileScopeIntervals]] equi-depth intervals, each tightened to
+   *    its bucket's ACTUAL min/max. A plain `[min,max]` would be
+   *    defeated by the most common incremental shape — low-range
+   *    updates plus new monotonically-increasing ids — where one batch
+   *    spans the entire table; per-bucket tightening leaves at most one
+   *    gap-straddling interval;
+   *  - otherwise: per-key `[min,max]` conjunction.
+   *
+   * Driver data is O(intervals + keys) regardless of batch size. None
+   * (→ full-table merge) when the batch is empty or a key carries NULLs
+   * (a NULL key's null-safe match can't be range-bounded).
+   */
+  private[graft] def sourceKeyRange(source: DataFrame, keys: Seq[String]): Option[Column] = {
+    val aggs = keys.zipWithIndex.flatMap { case (k, i) =>
+      Seq(min(col(s"`$k`")).as(s"mn$i"), max(col(s"`$k`")).as(s"mx$i"),
+        count(when(col(s"`$k`").isNull, 1)).as(s"nl$i"))
+    }
+    val r = source.agg(aggs.head, aggs.tail: _*).head()
+    val unusable = keys.indices.exists { i =>
+      r.getAs[Long](s"nl$i") > 0 || r.isNullAt(r.fieldIndex(s"mn$i"))
+    }
+    if (unusable) return None
+    def minMaxOf(i: Int): Column = {
+      val k = keys(i)
+      col(s"`$k`") >= lit(r.get(r.fieldIndex(s"mn$i"))) &&
+        col(s"`$k`") <= lit(r.get(r.fieldIndex(s"mx$i")))
+    }
+    if (keys.size != 1) return Some(keys.indices.map(minMaxOf).reduce(_ && _))
+    val k = keys.head
+    val distinctKeys = source.select(col(s"`$k`")).distinct()
+      .limit(FileScopeInListCap + 1).collect()
+    if (distinctKeys.length <= FileScopeInListCap)
+      Some(col(s"`$k`").isin(distinctKeys.toSeq.map(_.get(0)): _*))
+    else if (source.schema(k).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+      val probs = (1 until FileScopeIntervals)
+        .map(_.toDouble / FileScopeIntervals).toArray
+      val splits = source.stat.approxQuantile(k, probs, 0.001).distinct.sorted
+      val bucket = splits.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(s"`$k`") >= lit(b), 1).otherwise(0)
+      }
+      val mm = source.groupBy(bucket.as("__graft_kb__"))
+        .agg(min(col(s"`$k`")).as("mn"), max(col(s"`$k`")).as("mx")).collect()
+      Some(mm.toSeq
+        .map(b => col(s"`$k`") >= lit(b.get(1)) && col(s"`$k`") <= lit(b.get(2)))
+        .reduce(_ || _))
+    } else Some(minMaxOf(0))
+  }
+
+  /**
+   * Resolve how this merge is scoped. Partition scoping (explicitly
+   * requested, exact) wins; otherwise, when the table's snapshot is
+   * composed of several dirs (appends, [[ManagedTable.clusterBy]]
+   * buckets, earlier file-scoped merges), the stored per-dir min/max
+   * stats on the RAW merge keys split the dirs into "may contain a
+   * source key" vs "provably cannot" — the merge then reads only the
+   * former and commits the latter by reference. Matching is on the key
+   * hash, but key-hash equality implies raw-key equality, so a dir
+   * whose raw-key interval misses every source key can hold no matched
+   * row; the split is conservative (stat-less dirs rewrite).
+   */
+  private def resolveScope(table: ManagedTable, source: DataFrame,
+                           keys: Seq[String], opts: WriteOptions,
+                           partitionBy: Seq[String]): MergeScope =
+    if (partitionScoped(opts, partitionBy)) PartScope
+    else {
+      val multiDir = table.lastCommit.exists(_.dirs.size > 1)
+      if (!multiDir) FullScope // 1 dir: file scope degenerates to replace
+      else sourceKeyRange(source, keys) match {
+        case Some(pred) =>
+          val (rewritten, carried) = table.splitDirsMayMatch(pred)
+          if (carried.isEmpty) FullScope else FileScope(rewritten, carried)
+        case None => FullScope
+      }
+    }
+
   /**
    * Commit a merge result, recording the change data feed when enabled
    * (the `delta.enableChangeDataFeed` analogue; reference consumes it via
@@ -63,18 +166,25 @@ object Writers {
    * snapshot write and the change-set write — at 100 TB the join is the
    * dominant cost and must never run twice.
    *
-   * Partition-scoped merges (see [[partitionScoped]]) commit through
-   * [[ManagedTable.selectiveOverwrite]]: untouched partitions' files are
+   * Partition-scoped merges commit through
+   * [[ManagedTable.selectiveOverwrite]] and file-scoped merges through
+   * [[ManagedTable.writeCarried]]: either way untouched files are
    * carried into the new version by reference, byte-identical.
    */
   private def commitMerge(table: ManagedTable, result: DataFrame, op: String,
                           opts: WriteOptions, userMetadata: Option[String],
-                          partitionBy: Seq[String]): Commit = {
+                          partitionBy: Seq[String], scope: MergeScope): Commit = {
     def commit(snapshot: DataFrame, change: Option[DataFrame]): Commit =
-      if (partitionScoped(opts, partitionBy))
-        table.selectiveOverwrite(snapshot, partitionBy, userMetadata, op, change)
-      else
-        table.write(snapshot, op, "replace", userMetadata, partitionBy, change)
+      scope match {
+        case PartScope =>
+          table.selectiveOverwrite(snapshot, partitionBy, userMetadata, op, change)
+        case FileScope(rewritten, carried) =>
+          table.writeCarried(snapshot, carried, op, userMetadata, change,
+            Map("numRewrittenDirs" -> rewritten.size.toString,
+              "numCarriedDirs" -> carried.size.toString))
+        case FullScope =>
+          table.write(snapshot, op, "replace", userMetadata, partitionBy, change)
+      }
     if (!opts.enableChangeDataFeed)
       commit(result, None)
     else {
@@ -94,12 +204,15 @@ object Writers {
     }
   }
 
-  /** The target frame a merge reads: the full snapshot, or only the
-    * source's partitions when the merge is partition-scoped. */
+  /** The target frame a merge reads under `scope`: the full snapshot,
+    * only the source's partitions, or only the may-match dirs. */
   private def mergeTarget(table: ManagedTable, source: DataFrame,
-                          opts: WriteOptions, partitionBy: Seq[String]): DataFrame =
-    if (partitionScoped(opts, partitionBy)) scopedTarget(table, source, partitionBy)
-    else table.read
+                          partitionBy: Seq[String], scope: MergeScope): DataFrame =
+    scope match {
+      case PartScope => scopedTarget(table, source, partitionBy)
+      case FileScope(rewritten, _) => table.readDirsSubset(rewritten)
+      case FullScope => table.read
+    }
 
   private def staged(df: DataFrame, opts: WriteOptions): DataFrame = {
     val p = if (opts.persistDataset) df.persist(StorageLevel.DISK_ONLY) else df
@@ -144,8 +257,9 @@ object Writers {
     val table = ManagedTable(spark, path)
     table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd1", keys, Nil, opts))
     val s = staged(source, opts)
-    val result = WritePatterns.scd1(mergeTarget(table, s, opts, partitionBy), s, keys, opts)
-    val c = commitMerge(table, result, "MERGE(scd1)", opts, userMetadata, partitionBy)
+    val scope = resolveScope(table, s, keys, opts, partitionBy)
+    val result = WritePatterns.scd1(mergeTarget(table, s, partitionBy, scope), s, keys, opts)
+    val c = commitMerge(table, result, "MERGE(scd1)", opts, userMetadata, partitionBy, scope)
     unstage(s, opts); c
   }
 
@@ -156,8 +270,9 @@ object Writers {
     val table = ManagedTable(spark, path)
     table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd2", keys, Nil, opts))
     val s = staged(source, opts)
-    val result = WritePatterns.scd2(mergeTarget(table, s, opts, partitionBy), s, keys, opts)
-    val c = commitMerge(table, result, "MERGE(scd2)", opts, userMetadata, partitionBy)
+    val scope = resolveScope(table, s, keys, opts, partitionBy)
+    val result = WritePatterns.scd2(mergeTarget(table, s, partitionBy, scope), s, keys, opts)
+    val c = commitMerge(table, result, "MERGE(scd2)", opts, userMetadata, partitionBy, scope)
     unstage(s, opts); c
   }
 
@@ -171,9 +286,10 @@ object Writers {
     table.createIfNotExists(
       WritePatterns.targetSchemaFor(source, "scd3", keys, columnAttributes, opts))
     val s = staged(source, opts)
-    val result = WritePatterns.scd3(mergeTarget(table, s, opts, partitionBy), s, keys,
+    val scope = resolveScope(table, s, keys, opts, partitionBy)
+    val result = WritePatterns.scd3(mergeTarget(table, s, partitionBy, scope), s, keys,
       columnAttributes, opts, changeTracking)
-    val c = commitMerge(table, result, "MERGE(scd3)", opts, userMetadata, partitionBy)
+    val c = commitMerge(table, result, "MERGE(scd3)", opts, userMetadata, partitionBy, scope)
     unstage(s, opts); c
   }
 

@@ -1,0 +1,149 @@
+package graft
+
+import graft.table.ManagedTable
+import graft.write.{WriteOptions, Writers}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** File-scoped merge commits on UNPARTITIONED tables: when the snapshot
+  * is composed of several dirs (clusterBy buckets, appends, earlier
+  * file-scoped merges), a merge reads and rewrites ONLY the dirs whose
+  * per-dir min/max key stats may contain a source key; every other dir
+  * is carried into the new version by reference, byte-identical — the
+  * Delta "rewrite only files containing matched keys" move, closing the
+  * round-6 scale gap where any unpartitioned merge was a full-table
+  * rewrite. */
+class FileScopedMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T0 = "2026-01-05 00:00:00"
+  private val T1 = "2026-01-06 00:00:00"
+
+  private def opts(t: String) = WriteOptions(now = Some(t))
+
+  private def rows(ids: Range, v: String): DataFrame =
+    ids.map(i => (i, v + i)).toDF("id", "v")
+
+  /** (name, length, modificationTime) of every data file under `dir`. */
+  private def fileStamps(dir: String): Set[(String, Long, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSet[org.apache.hadoop.fs.FileStatus]
+      .filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+  }
+
+  /** A clustered 4-dir table over ids 0..399 (bucket ranges ~[0,100),
+    * [100,200), ...) — the layout whose per-dir stats make key-range
+    * file skipping effective. */
+  private def clusteredTable(path: String): ManagedTable = {
+    Writers.scd1(spark, path, rows(0 until 400, "a"), Seq("id"), opts(T0))
+    val t = ManagedTable(spark, path)
+    t.clusterBy("id", 4)
+    assert(t.lastCommit.get.dirs.size === 4)
+    t
+  }
+
+  test("scd1 touching one bucket's key range carries the other dirs byte-identical") {
+    val path = tmpDir("fsm1")
+    val t = clusteredTable(path)
+    val before = t.lastCommit.get.dirs.map(d => d -> fileStamps(d)).toMap
+
+    // update ids 10..19, insert 420..424 — ranges [10,19] and [420,424]
+    Writers.scd1(spark, path,
+      rows(10 until 20, "B").unionByName(rows(420 until 425, "n")),
+      Seq("id"), opts(T1))
+
+    val c = t.lastCommit.get
+    assert(c.operation === "MERGE(scd1)")
+    assert(c.operationMetrics("numCarriedDirs").toInt >= 2,
+      s"expected untouched buckets carried, metrics: ${c.operationMetrics}")
+    val carried = before.keys.filter(c.dirs.contains)
+    assert(carried.nonEmpty)
+    carried.foreach(d => assert(fileStamps(d) === before(d), s"dir $d rewritten"))
+
+    val now = t.read
+    assert(now.count() === 405)
+    assert(now.filter($"id" === 15).select("v").as[String].head() === "B15")
+    assert(now.filter($"id" === 200).select("v").as[String].head() === "a200")
+    assert(now.filter($"id" === 422).select("v").as[String].head() === "n422")
+    // untouched rows keep their T0 stamp; touched rows carry T1
+    val vt = col(graft.meta.Meta.ValidToTs).cast("string")
+    assert(now.filter($"id" === 200).select(vt).as[String].head() === T0)
+    assert(now.filter($"id" === 15).select(vt).as[String].head() === T1)
+  }
+
+  test("file-scoped result equals the full-rewrite result row for row") {
+    val pScoped = tmpDir("fsm2s"); val pFull = tmpDir("fsm2f")
+    val l1 = rows(50 until 60, "B").unionByName(rows(500 until 505, "n"))
+    clusteredTable(pScoped)
+    Writers.scd1(spark, pScoped, l1, Seq("id"), opts(T1))
+    // full: same loads, single-dir layout → replace path
+    Writers.scd1(spark, pFull, rows(0 until 400, "a"), Seq("id"), opts(T0))
+    Writers.scd1(spark, pFull, l1, Seq("id"), opts(T1))
+    assertSameRows(
+      ManagedTable(spark, pScoped).read.select($"id", $"v"),
+      ManagedTable(spark, pFull).read.select($"id", $"v"))
+  }
+
+  test("insert-only batch outside every dir's range carries ALL dirs") {
+    val path = tmpDir("fsm3")
+    val t = clusteredTable(path)
+    val dirsBefore = t.lastCommit.get.dirs
+    Writers.scd1(spark, path, rows(1000 until 1010, "n"), Seq("id"), opts(T1))
+    val c = t.lastCommit.get
+    assert(c.operationMetrics("numRewrittenDirs") === "0")
+    dirsBefore.foreach(d => assert(c.dirs.contains(d)))
+    assert(t.read.count() === 410)
+  }
+
+  test("NULL merge keys in the batch fall back to a full-table merge") {
+    val path = tmpDir("fsm4")
+    val t = clusteredTable(path)
+    val batch = Seq((Some(10), "B10"), (None: Option[Int], "x"))
+      .toDF("id", "v")
+    Writers.scd1(spark, path, batch, Seq("id"), opts(T1))
+    val c = t.lastCommit.get
+    assert(!c.operationMetrics.contains("numCarriedDirs"),
+      s"null-key batch must not file-scope: ${c.operationMetrics}")
+    assert(c.dirs.size === 1) // full replace
+  }
+
+  test("scd2 file-scoped merge keeps history and untouched dirs intact") {
+    val path = tmpDir("fsm5")
+    Writers.scd2(spark, path, rows(0 until 400, "a"), Seq("id"), opts(T0))
+    val t = ManagedTable(spark, path)
+    t.clusterBy("id", 4)
+    val before = t.lastCommit.get.dirs.map(d => d -> fileStamps(d)).toMap
+
+    Writers.scd2(spark, path, rows(10 until 20, "CHANGED"), Seq("id"), opts(T1))
+    val c = t.lastCommit.get
+    assert(c.operationMetrics("numCarriedDirs").toInt >= 2)
+    before.keys.filter(c.dirs.contains)
+      .foreach(d => assert(fileStamps(d) === before(d)))
+    val hist = t.read.filter($"id" === 15)
+      .select($"v", col(graft.meta.Meta.Active)).as[(String, String)]
+      .collect().toSet
+    assert(hist === Set("a15" -> "N", "CHANGED15" -> "Y"))
+    assert(t.read.filter($"id" === 200).count() === 1)
+  }
+
+  test("file-scoped merge records a change data feed of exactly the changed rows") {
+    val path = tmpDir("fsm6")
+    def o(t: String) = opts(t).copy(enableChangeDataFeed = true)
+    Writers.scd1(spark, path, rows(0 until 400, "a"), Seq("id"), o(T0))
+    val t = ManagedTable(spark, path)
+    t.clusterBy("id", 4)
+    Writers.scd1(spark, path,
+      rows(10 until 12, "B").unionByName(rows(900 until 901, "n")),
+      Seq("id"), o(T1))
+    val v = t.latestVersion.get
+    val feed = t.readChangeFeed(v, Some(v))
+      .select($"id", $"_change_type").as[(Int, String)].collect().toSet
+    assert(feed === Set(
+      10 -> "update_preimage", 10 -> "update_postimage",
+      11 -> "update_preimage", 11 -> "update_postimage",
+      900 -> "insert"))
+  }
+}
