@@ -36,7 +36,8 @@ object Bench {
     } catch { case _: Throwable => }
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                 name: String): (Double, Boolean) = {
+                 name: String): (Double, Boolean, Double) = {
+      Staging.reset()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -45,7 +46,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok, Staging.elapsedSec)
     }
 
     // dev knob: SPARK_GRAFT_ONLY=q1,q2 times a subset in isolation
@@ -56,19 +57,25 @@ object Bench {
     val pass1 = ordered.map { case (name, fn) => timeOnce(fn, name) }
     val pass2 = ordered.map { case (name, fn) => timeOnce(fn, name) }
     val results = ordered.zip(pass1.zip(pass2)).map {
-      case ((name, _), ((s1, ok1), (s2, ok2))) =>
-        val good = Seq(s1 -> ok1, s2 -> ok2).collect { case (s, true) => s }
-        val sec = if (good.nonEmpty) good.min else math.min(s1, s2)
-        (name, sec, ok1 || ok2, s1, s2)
+      case ((name, _), ((s1, ok1, g1), (s2, ok2, g2))) =>
+        val good = Seq((s1, ok1, g1), (s2, ok2, g2))
+          .collect { case (s, true, g) => (s, g) }
+        // report the min run's timing AND that same run's staging share,
+        // so sec − staging_sec is the operator cost of one coherent run
+        val (sec, staging) =
+          if (good.nonEmpty) good.minBy(_._1)
+          else if (s1 <= s2) (s1, g1) else (s2, g2)
+        (name, sec, ok1 || ok2, s1, s2, staging)
     }
     val qs = results
-      .map { case (k, sec, ok, s1, s2) =>
-        s""""$k":{"sec":$sec,"ok":$ok,"runs":[$s1,$s2]}"""
+      .map { case (k, sec, ok, s1, s2, staging) =>
+        s""""$k":{"sec":$sec,"ok":$ok,"staging_sec":$staging,"runs":[$s1,$s2]}"""
       }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _, _) => v }.sum
+    val totalStaging = results.collect { case (_, _, true, _, _, g) => g }.sum
     val nOk = results.count(_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_ok":$nOk,"n_fail":${results.size - nOk},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$totalStaging,"queries":$qs,"n_ok":$nOk,"n_fail":${results.size - nOk},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
