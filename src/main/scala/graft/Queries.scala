@@ -620,8 +620,11 @@ object Queries {
 
   def scd1Upsert(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("scd1")
-    Writers.scd1(spark, path, load0(spark, dir), Seq("c_custkey"),
-      WriteOptions(now = Some(T0)))
+    // initial load is fixture staging; the measured operator is the merge
+    Staging.timed {
+      Writers.scd1(spark, path, load0(spark, dir), Seq("c_custkey"),
+        WriteOptions(now = Some(T0)))
+    }
     Writers.scd1(spark, path, load1(spark, dir, changeNames = false), Seq("c_custkey"),
       WriteOptions(now = Some(T1)))
     ManagedTable(spark, path).read.select(scdProjection(
@@ -664,8 +667,10 @@ object Queries {
       .withColumn("c_mktsegment",
         when(col("c_custkey") % 2 === 0, concat(col("c_mktsegment"), lit("_X")))
           .otherwise(col("c_mktsegment")))
-    Writers.scd1(spark, path, custN(col("c_custkey") <= 1000), Seq("c_custkey"),
-      opts(T0), partitionBy = part)
+    Staging.timed {
+      Writers.scd1(spark, path, custN(col("c_custkey") <= 1000), Seq("c_custkey"),
+        opts(T0), partitionBy = part)
+    }
     Writers.scd1(spark, path, load1, Seq("c_custkey"), opts(T1), partitionBy = part)
     ManagedTable(spark, path).read.select(scdProjection(
       "c_custkey", "c_nationkey", "c_name", "c_mktsegment", Meta.KeyHash,
@@ -690,6 +695,44 @@ object Queries {
        | CASE WHEN st = 'I' THEN '$T1' ELSE '$T0' END AS __metadata_valid_from_ts__
        |FROM final""".stripMargin
 
+  /** File-scoped scd1 on an UNPARTITIONED table (round-6 top ask #2):
+    * the table is range-clustered into 4 dirs with per-dir key stats
+    * ([[graft.table.ManagedTable.clusterBy]]), and the second load is the
+    * common bimodal incremental shape — low-range updates plus brand-new
+    * high keys. The merge reads only the dirs whose stats may contain a
+    * source key and commits the others by reference, byte-identical
+    * (proven in FileScopedMergeSpec); this query gates the RESULT of
+    * that path against the oracle. */
+  def scd1FileScoped(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("scd1fs")
+    val c = cust(spark, dir)
+    val t = ManagedTable(spark, path)
+    Staging.timed {
+      Writers.scd1(spark, path, c, Seq("c_custkey"), WriteOptions(now = Some(T0)))
+      t.clusterBy("c_custkey", 4)
+    }
+    val updates = c.filter(col("c_custkey") <= 150)
+      .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_X")))
+    val inserts = c.filter(col("c_custkey") <= 50)
+      .select((col("c_custkey") + 1000000).as("c_custkey"),
+        concat(col("c_name"), lit("_new")).as("c_name"), col("c_mktsegment"))
+    Writers.scd1(spark, path, updates.unionByName(inserts), Seq("c_custkey"),
+      WriteOptions(now = Some(T1)))
+    t.read.select(scdProjection(
+      "c_custkey", "c_name", "c_mktsegment", Meta.ValidToTs, Meta.ValidFromTs): _*)
+  }
+
+  val scd1FileScopedSql: String =
+    s"""SELECT c_custkey, c_name,
+       | CASE WHEN c_custkey <= 150 THEN c_mktsegment || '_X'
+       |      ELSE c_mktsegment END AS c_mktsegment,
+       | CASE WHEN c_custkey <= 150 THEN '$T1' ELSE '$T0' END AS __metadata_valid_to_ts__,
+       | '$T0' AS __metadata_valid_from_ts__
+       |FROM customer
+       |UNION ALL
+       |SELECT c_custkey + 1000000, c_name || '_new', c_mktsegment, '$T1', '$T1'
+       |FROM customer WHERE c_custkey <= 50""".stripMargin
+
   def scd2Initial(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("scd2i")
     Writers.scd2(spark, path, load0(spark, dir), Seq("c_custkey"),
@@ -710,8 +753,10 @@ object Queries {
 
   def scd2TwoLoads(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("scd2")
-    Writers.scd2(spark, path, load0(spark, dir), Seq("c_custkey"),
-      WriteOptions(now = Some(T0)))
+    Staging.timed {
+      Writers.scd2(spark, path, load0(spark, dir), Seq("c_custkey"),
+        WriteOptions(now = Some(T0)))
+    }
     Writers.scd2(spark, path, load1(spark, dir, changeNames = false), Seq("c_custkey"),
       WriteOptions(now = Some(T1)))
     ManagedTable(spark, path).read.select(scdProjection(
@@ -749,8 +794,10 @@ object Queries {
 
   def scd3Shift(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("scd3")
-    Writers.scd3(spark, path, load0(spark, dir), Seq("c_custkey"), Seq("c_mktsegment"),
-      WriteOptions(now = Some(T0)))
+    Staging.timed {
+      Writers.scd3(spark, path, load0(spark, dir), Seq("c_custkey"), Seq("c_mktsegment"),
+        WriteOptions(now = Some(T0)))
+    }
     Writers.scd3(spark, path, load1(spark, dir, changeNames = true), Seq("c_custkey"),
       Seq("c_mktsegment"), WriteOptions(now = Some(T1)))
     ManagedTable(spark, path).read.select(scdProjection(
@@ -834,7 +881,8 @@ object Queries {
   }
 
   val jsonSourceAggSql: String =
-    """SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents WHERE n_chars >= 100 GROUP BY lang, source""".stripMargin
 
   /** Attribute CDC across two incremental runs (test_batch.py:668): run 2
@@ -921,14 +969,16 @@ object Queries {
     // coalesce the staged slices: the 1% filter leaves ~1-2k rows, and 32
     // shuffle-partition files would cost a listing + task per tiny file in
     // every micro-batch — pure harness overhead, not operator work
-    pq(spark, dir, "orders").filter(col("o_orderkey") % 100 === 0)
-      .select(col("o_orderkey").as("okey"),
-        col("o_orderdate").cast("timestamp").as("order_ts"))
-      .coalesce(2).write.parquet(oDir)
-    pq(spark, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
-      .select(col("l_orderkey").as("okey"),
-        col("l_shipdate").cast("timestamp").as("ship_ts"))
-      .coalesce(2).write.parquet(lDir)
+    Staging.timed {
+      pq(spark, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("okey"),
+          col("o_orderdate").cast("timestamp").as("order_ts"))
+        .coalesce(2).write.parquet(oDir)
+      pq(spark, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey").as("okey"),
+          col("l_shipdate").cast("timestamp").as("ship_ts"))
+        .coalesce(2).write.parquet(lDir)
+    }
     val orders = spark.readStream
       .schema("okey BIGINT, order_ts TIMESTAMP").parquet(oDir)
     val items = spark.readStream
@@ -1347,12 +1397,16 @@ object Queries {
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Bucketed
     val base = tmp("bktq")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_li")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_ord")
-    Bucketed.writeBucketed(pq(spark, dir, "lineitem"), "graft_bkt_li",
-      "l_orderkey", 8, s"$base/li")
-    Bucketed.writeBucketed(pq(spark, dir, "orders"), "graft_bkt_ord",
-      "o_orderkey", 8, s"$base/ord")
+    // staging: the one-time bucketed layout cost, not the join being
+    // measured — Bench reports it separately as staging_sec
+    Staging.timed {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_li")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_ord")
+      Bucketed.writeBucketed(pq(spark, dir, "lineitem"), "graft_bkt_li",
+        "l_orderkey", 8, s"$base/li")
+      Bucketed.writeBucketed(pq(spark, dir, "orders"), "graft_bkt_ord",
+        "o_orderkey", 8, s"$base/ord")
+    }
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -1425,7 +1479,7 @@ object Queries {
   val weightedSampleDocsSql: String =
     """SELECT doc_id, n_chars FROM documents
       |WHERE CAST(('0x' || substr(md5(concat_ws('|', 'w', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
-      |      < LEAST(GREATEST(n_chars / 600.0, 0), 1) * 4294967296.0""".stripMargin
+      |      < FLOOR(LEAST(GREATEST(n_chars / 600.0, 0), 1) * 4294967296.0)""".stripMargin
 
   /** Stratified sampling with per-language rates (deterministic
     * sampleBy): rebalance a multilingual corpus without a shuffle. */
@@ -1440,8 +1494,8 @@ object Queries {
   val stratifiedSampleDocsSql: String =
     """SELECT doc_id, lang FROM documents
       |WHERE CAST(('0x' || substr(md5(concat_ws('|', 'strat', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
-      |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0
-      |                  WHEN 'de' THEN 0.25 ELSE 0.1 END * 4294967296.0""".stripMargin
+      |      < FLOOR(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0
+      |                  WHEN 'de' THEN 0.25 ELSE 0.1 END * 4294967296.0)""".stripMargin
 
   /** At most 15 documents per source, selected by hash order (unbiased
     * within the group, deterministic across engines). */
@@ -1526,9 +1580,11 @@ object Queries {
     * mismatches immediately. */
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
     import graft.llm.TextOps
+    // mixed-case email: the redaction must be case-insensitive (a capital
+    // letter is not an anonymity shield), so the plant exercises that.
     val planted = pq(spark, dir, "documents").select(col("doc_id"),
       concat(col("text"),
-        lit(" reach user"), col("doc_id"), lit("@mail.example.com"),
+        lit(" reach User"), col("doc_id"), lit("@Mail.Example.COM"),
         lit(" or 555-867-5309 from 10.1.2."), col("doc_id") % 250).as("text"))
     TextOps.redact(planted)
       .select(col("doc_id"), md5(col("text")).as("clean_md5"),
@@ -1539,14 +1595,14 @@ object Queries {
   val piiRedactSql: String =
     """WITH planted AS (
       | SELECT doc_id,
-      |  text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+      |  text || ' reach User' || CAST(doc_id AS VARCHAR) || '@Mail.Example.COM'
       |       || ' or 555-867-5309 from 10.1.2.' || CAST(doc_id % 250 AS VARCHAR) AS text
       | FROM documents),
       |clean AS (
       | SELECT doc_id,
       |  regexp_replace(
       |   regexp_replace(
-      |    regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    regexp_replace(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
       |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
       |   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text
       | FROM planted)
@@ -1637,8 +1693,8 @@ object Queries {
   val packDocsSql: String =
     """WITH p AS (
       | SELECT doc_id, lang,
-      |  COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+      |  CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
       | FROM documents)
       |SELECT doc_id, lang, "offset",
       | CAST(FLOOR("offset" / 2000.0) AS BIGINT) AS bin
