@@ -17,11 +17,19 @@ import graft.contract.ProjectContract.{Pipeline, Project}
  */
 object DeployDescriptor {
 
+  /** Job-cluster shape — the reference's `SparkPipelineCluster`
+    * (core/schemas/deploy.py:34-70): auto-scaling bounds, photon runtime
+    * selection, and custom tags, with the same defaults. */
   final case class ClusterSpec(
       sparkVersion: String = "15.4.x-scala2.13",
       nodeTypeId: String = "i3.xlarge",
       numWorkers: Int = 2,
-      sparkConf: Map[String, String] = Map.empty)
+      sparkConf: Map[String, String] = Map.empty,
+      autoScale: Boolean = true,
+      minWorkers: Int = 1,
+      maxWorkers: Int = 3,
+      photon: Boolean = false,
+      tags: Map[String, String] = Map.empty)
 
   private def esc(s: String): String =
     s.flatMap {
@@ -157,7 +165,11 @@ object DeployDescriptor {
       }
     }
 
-    // one databricks_job per pipeline (databricks.py:502-645)
+    // one databricks_job per pipeline (databricks.py:502-645): shared
+    // auto-scaling job cluster with runtime selection and tags, tasks
+    // with retries + the depends_on graph, the pipeline's schedule
+    // (JobSchedule: quartz cron + timezone + pause status), and a
+    // TerraformOutput exposing each job's id (databricks.py:638-643)
     if (project.pipelines.nonEmpty) {
       val jobs = resource.putObject("databricks_job")
       project.pipelines.foreach { p =>
@@ -168,7 +180,16 @@ object DeployDescriptor {
         val nc = jc.putObject("new_cluster")
         nc.put("spark_version", cluster.sparkVersion)
         nc.put("node_type_id", cluster.nodeTypeId)
-        nc.put("num_workers", cluster.numWorkers)
+        if (cluster.autoScale) {
+          val as = nc.putObject("autoscale")
+          as.put("min_workers", cluster.minWorkers)
+          as.put("max_workers", cluster.maxWorkers)
+        } else nc.put("num_workers", cluster.numWorkers)
+        nc.put("runtime_engine", if (cluster.photon) "PHOTON" else "STANDARD")
+        if (cluster.tags.nonEmpty) {
+          val ct = nc.putObject("custom_tags")
+          cluster.tags.foreach { case (k, v) => ct.put(k, v) }
+        }
         if (cluster.sparkConf.nonEmpty) {
           val sc = nc.putObject("spark_conf")
           cluster.sparkConf.foreach { case (k, v) => sc.put(k, v) }
@@ -178,6 +199,7 @@ object DeployDescriptor {
           val tn = tasks.addObject()
           tn.put("task_key", t.name)
           tn.put("job_cluster_key", "main")
+          tn.put("max_retries", 3) // reference JobTask default, databricks.py:592
           val jar = tn.putObject("spark_jar_task")
           jar.put("main_class_name", "graft.Cli")
           val params = jar.putArray("parameters")
@@ -187,6 +209,20 @@ object DeployDescriptor {
             t.dependsOn.foreach(d => deps.addObject().put("task_key", d))
           }
         }
+        val sch = jn.putObject("schedule")
+        sch.put("quartz_cron_expression", p.schedule.cronExpression)
+        sch.put("timezone_id", p.schedule.timezoneId)
+        sch.put("pause_status", p.schedule.status)
+        if (p.tags.nonEmpty) {
+          val tg = jn.putObject("tags")
+          p.tags.foreach { case (k, v) => tg.put(k, v) }
+        }
+      }
+      val outputs = root.putObject("output")
+      project.pipelines.foreach { p =>
+        val id = rid(s"${project.name}_${p.name}")
+        outputs.putObject(s"${id}_job_id")
+          .put("value", s"$${databricks_job.$id.id}")
       }
     }
     m.writerWithDefaultPrettyPrinter().writeValueAsString(root)

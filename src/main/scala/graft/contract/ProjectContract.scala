@@ -19,12 +19,24 @@ import org.apache.spark.sql.types.DataType
  * config/objects.py:59-1435) and its validation passes
  * (framework/validation/pipeline.py:106-153 DAG checks,
  * framework/validation/data_objects.py:32-233 schema/column checks).
- * Packaging/Terraform deploy is intentionally out of scope — the
- * runnable surface here is local execution via [[PipelineRunner]].
+ * The runnable surface here is local execution via [[PipelineRunner]];
+ * [[DeployDescriptor]] renders the same contract as Databricks job JSON
+ * and a full Terraform `.tf.json` stack (applying it is the IaC tool's
+ * job, not this library's).
  */
 object ProjectContract {
 
-  final case class Pipeline(name: String, tasks: Seq[PipelineTask])
+  /** Pipeline schedule — the reference's `PipelineRefreshPolicy`
+    * (core/schemas/deploy.py:19-31) with the same defaults: daily at
+    * midnight, UTC, unpaused. */
+  final case class Schedule(
+      cronExpression: String = "0 0 0 * * ?",
+      timezoneId: String = "UTC",
+      status: String = "UNPAUSED")
+
+  final case class Pipeline(name: String, tasks: Seq[PipelineTask],
+                            schedule: Schedule = Schedule(),
+                            tags: Map[String, String] = Map.empty)
 
   final case class Project(
       name: String,
@@ -83,7 +95,18 @@ object ProjectContract {
               name = t.get("name").asText(),
               conf = Config.parseTask(t.toString),
               dependsOn = arr(t, "depends_on").map(_.asText()))
-          })
+          },
+          schedule = Option(p.get("refresh_policy")).filterNot(_.isNull)
+            .map { rp =>
+              val d = Schedule()
+              Schedule(
+                cronExpression = optStr(rp, "cron_expression").getOrElse(d.cronExpression),
+                timezoneId = optStr(rp, "timezone_id").getOrElse(d.timezoneId),
+                status = optStr(rp, "status").getOrElse(d.status))
+            }.getOrElse(Schedule()),
+          tags = Option(p.get("tags")).filterNot(_.isNull).map(tn =>
+            tn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty))
       })
   }
 

@@ -89,5 +89,51 @@ class DeploySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(tasks.size() === 2)
     assert(tasks.get(0).get("job_cluster_key").asText() === "main")
     assert(tasks.get(1).get("depends_on").get(0).get("task_key").asText() === "extract")
+    // reference semantics: retries, default schedule, autoscaled cluster,
+    // job-id output (databricks.py:519-643)
+    assert(tasks.get(0).get("max_retries").asInt() === 3)
+    assert(job.get("schedule").get("quartz_cron_expression").asText() === "0 0 0 * * ?")
+    assert(job.get("schedule").get("pause_status").asText() === "UNPAUSED")
+    val nc = job.get("job_cluster").get(0).get("new_cluster")
+    assert(nc.get("autoscale").get("max_workers").asInt() === 3)
+    assert(nc.get("runtime_engine").asText() === "STANDARD")
+    assert(n.get("output").get("proj_daily_job_id").get("value").asText()
+      === "${databricks_job.proj_daily.id}")
+  }
+
+  test("terraform stack matches the checked-in golden file byte for byte") {
+    val full = ProjectContract.parse(
+      """{"name": "proj",
+        | "schemas": [{"name": "core", "tables": [
+        |   {"name": "dim", "comment": "dim table",
+        |    "columns": [{"name": "sk", "type": "bigint", "identity": true},
+        |                {"name": "d", "type": "date"}],
+        |    "partition_by": ["d"]},
+        |   {"name": "ext", "location": "s3://bucket/ext",
+        |    "columns": [{"name": "x", "type": "int"}]}],
+        |  "views": [{"name": "v1", "query": "SELECT sk FROM dim"}],
+        |  "volumes": [{"name": "raw", "location": "s3://bucket/raw"}]}],
+        | "pipelines": [{"name": "daily",
+        |  "refresh_policy": {"cron_expression": "0 30 6 * * ?", "timezone_id": "Europe/Berlin"},
+        |  "tags": {"team": "data-eng"},
+        |  "tasks": [
+        |   {"name": "extract",
+        |    "inputs": [{"name":"i","path":"/tmp/i","source":"parquet"}],
+        |    "execution_sql": "SELECT 1",
+        |    "outputs": [{"name":"o","path":"/tmp/o","write_type":"append"}]},
+        |   {"name": "load", "depends_on": ["extract"],
+        |    "inputs": [{"name":"i","path":"/tmp/o","source":"graft"}],
+        |    "execution_sql": "SELECT 1",
+        |    "outputs": [{"name":"o2","path":"/tmp/o2","write_type":"append"}]}]}]}"""
+        .stripMargin)
+    val got = DeployDescriptor.terraformJson(full,
+      DeployDescriptor.ClusterSpec(
+        sparkConf = Map("spark.sql.shuffle.partitions" -> "auto"),
+        photon = true, tags = Map("cost-center" -> "42")))
+    val want = new String(
+      getClass.getResourceAsStream("/golden/proj_daily.tf.json").readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(got === want,
+      "rendered .tf.json diverged from src/test/resources/golden/proj_daily.tf.json")
   }
 }
