@@ -1572,6 +1572,59 @@ object Queries {
       | WHERE len(n.sh) > 0 AND len(o.sh) > 0)
       |SELECT new_id, old_id, jaccard FROM p WHERE jaccard >= 0.8""".stripMargin
 
+  /** Decontamination as an ACTION (not just the report): the train split
+    * minus every doc sharing >= 3 shingles with any test doc — what a
+    * pipeline actually ships to training. Same bucketed shape as the
+    * contamination sweep plus one anti-join. */
+  def decontaminateTrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Dedup
+    import graft.operators.Sampling
+    val split = Sampling.hashSplit(pq(spark, dir, "documents"),
+      Seq("doc_id"), testFraction = 0.2)
+    Dedup.decontaminate(
+      train = split.filter(col("split") === "train").drop("split"),
+      test = split.filter(col("split") === "test").drop("split"),
+      minShared = 3)
+      .select("doc_id", "lang")
+  }
+
+  val decontaminateTrainSql: String =
+    """WITH s AS (SELECT doc_id, lang,
+      |  CASE WHEN substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR))), 1, 8)
+      |            < '33333333'
+      |       THEN 'test' ELSE 'train' END AS split, text
+      | FROM documents),
+      |d AS (SELECT doc_id, split,
+      |  list_distinct([g[i] || ' ' || g[i+1] || ' ' || g[i+2]
+      |                 for i in range(1, len(g)-1)]) AS sh
+      | FROM (SELECT doc_id, split,
+      |        regexp_extract_all(lower(text), '[a-z0-9]+') AS g FROM s)),
+      |bad AS (SELECT DISTINCT r.doc_id
+      | FROM d t JOIN d r ON t.split = 'test' AND r.split = 'train'
+      | WHERE len(list_intersect(t.sh, r.sh)) >= 3)
+      |SELECT doc_id, lang FROM s
+      |WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
+  /** Token-budget quota per language (capTokensPerGroup): admit docs in
+    * key-hash order while the tokens admitted before each doc stay under
+    * the budget — the training-mixture "at most N chars of each lang"
+    * operator, deterministic and engine-recomputable. */
+  def capTokensPerLang(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.capTokensPerGroup(pq(spark, dir, "documents"), Seq("lang"),
+      sizeCol = "n_chars", budget = 20000L, keys = Seq("doc_id"))
+      .select("doc_id", "lang", "n_chars")
+  }
+
+  val capTokensPerLangSql: String =
+    """WITH c AS (SELECT doc_id, lang, n_chars,
+      |  COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+      |    ORDER BY substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR))), 1, 8),
+      |             doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      | FROM documents)
+      |SELECT doc_id, lang, n_chars FROM c WHERE cum < 20000""".stripMargin
+
   /** PII redaction with a hard oracle: the synthetic corpus carries no
     * natural PII, so the scenario PLANTS a deterministic email, phone,
     * and IP derived from doc_id (both engines construct the identical

@@ -60,6 +60,8 @@ object SparkEntry {
     "cap_per_group" -> (Queries.capPerSource(_, _)),
     "pack_sequences" -> (Queries.packDocs(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
+    "decontaminate_train" -> (Queries.decontaminateTrain(_, _)),
+    "cap_tokens_per_group" -> (Queries.capTokensPerLang(_, _)),
     "pii_redact" -> (Queries.piiRedact(_, _)),
     "chunk_documents" -> (Queries.chunkDocs(_, _)),
     "dedup_incremental" -> (Queries.dedupIncremental(_, _)),
@@ -166,6 +168,8 @@ object SparkEntry {
     "cap_per_group" -> Queries.capPerSourceSql,
     "pack_sequences" -> Queries.packDocsSql,
     "contamination_check" -> Queries.contaminationCheckSql,
+    "decontaminate_train" -> Queries.decontaminateTrainSql,
+    "cap_tokens_per_group" -> Queries.capTokensPerLangSql,
     "pii_redact" -> Queries.piiRedactSql,
     "chunk_documents" -> Queries.chunkDocsSql,
     "dedup_incremental" -> Queries.dedupIncrementalSql,

@@ -340,6 +340,25 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /**
+   * Decontaminate a training corpus against an eval set: drop every
+   * train doc sharing at least `minShared` distinct shingles with ANY
+   * test doc — the action step on top of [[contaminationPairs]]'s
+   * report. One distinct over the offending train ids plus one
+   * left-anti join; the train side passes through exactly once, so the
+   * cost profile is the sweep's (shingle equi-join, never test×train
+   * all-pairs) plus an anti-join keyed on the id.
+   */
+  def decontaminate(train: DataFrame, test: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    shingleN: Int = 3, minShared: Int = 3,
+                    maxTrainDocFreq: Option[Int] = None): DataFrame = {
+    val bad = contaminationPairs(train, test, textCol, idCol, shingleN,
+      minShared, maxTrainDocFreq)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Estimated Jaccard from two signatures (fraction of equal slots) —
     * cheap pre-filter when shingle sets are too large to rejoin. */
   def estimatedJaccard(sig1: Column, sig2: Column): Column =

@@ -136,4 +136,32 @@ object Sampling {
     val w = Window.partitionBy(gcols: _*).orderBy(order: _*)
     base.withColumn(rn, row_number().over(w)).filter(col(rn) <= cap).drop(rn)
   }
+
+  /** Cap each group at a TOKEN budget instead of a row count — the
+    * training-mixture quota operator ("at most N tokens of each
+    * language/domain per epoch"). Rows are admitted in key-hash order
+    * (unbiased, deterministic, append-stable like every operator here)
+    * while the tokens admitted BEFORE the row stay under `budget` — the
+    * same exclusive-prefix boundary policy as
+    * [[graft.llm.Packing.packSequences]]: the straddling row is
+    * admitted (total ≤ budget + one document), and a group's first row
+    * always survives, so a quota can never silently starve a group out
+    * of the mixture. One shuffle on `groupCols`, same cost shape as
+    * [[capPerGroup]]. */
+  def capTokensPerGroup(df: DataFrame, groupCols: Seq[String],
+                        sizeCol: String, budget: Long,
+                        keys: Seq[String], salt: String = ""): DataFrame = {
+    require(groupCols.nonEmpty && keys.nonEmpty,
+      "capTokensPerGroup needs group and key columns")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val cum = "__graft_cum__"
+    val order = keyHex(keys, salt) +: keys.map(c => col(s"`$c`"))
+    val w = Window.partitionBy(groupCols.map(c => col(s"`$c`")): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(cum,
+        coalesce(sum(col(s"`$sizeCol`").cast("long")).over(w), lit(0L)))
+      .filter(col(cum) < budget)
+      .drop(cum)
+  }
 }

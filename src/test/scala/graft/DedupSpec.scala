@@ -212,6 +212,22 @@ class DedupSpec extends SparkSpec {
     assert(gated === Set((10L, 1L, 3L)))
   }
 
+  test("decontaminate drops exactly the contaminated train docs") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // leaks into test 10
+      (2L, "nothing in common with anything else at all"),
+      (3L, "perfectly clean training material stays put")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "the quick brown fox jumps somewhere new today")).toDF("doc_id", "text")
+    val clean = Dedup.decontaminate(train, test, minShared = 3)
+    assert(clean.select("doc_id").as[Long].collect().toSet === Set(2L, 3L))
+    // minShared above the overlap keeps everything (report-only threshold)
+    assert(Dedup.decontaminate(train, test, minShared = 4).count() === 3)
+    // columns pass through untouched (it's the train frame, filtered)
+    assert(clean.columns.toSeq === train.columns.toSeq)
+  }
+
   test("contaminationPairs maxTrainDocFreq drops boilerplate grams") {
     import spark.implicits._
     val boiler = "this document is confidential and proprietary"

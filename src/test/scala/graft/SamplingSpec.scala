@@ -131,6 +131,31 @@ class SamplingSpec extends SparkSpec {
     assert(windows(normal) === 1, "normal groups must keep the original plan")
   }
 
+  test("capTokensPerGroup admits by budget in hash order; first row always survives") {
+    val got = Sampling.capTokensPerGroup(docs, Seq("lang"), "n_chars",
+      budget = 20000L, keys = Seq("doc_id"))
+    // admitted prefix (everything before the last-admitted doc) is under
+    // budget in every group, and nothing admissible was left out: the
+    // kept set is exactly a prefix of the hash-ordered group
+    val perLang = got.groupBy("lang")
+      .agg(sum(col("n_chars")).as("tot"), max(col("n_chars")).as("mx"))
+      .collect()
+    perLang.foreach { r =>
+      assert(r.getLong(1) - r.getLong(2) < 20000L,
+        s"${r.getString(0)}: admitted-before-straddler must be under budget")
+    }
+    // deterministic + partitioning-independent
+    assertSameRows(got.select("doc_id"),
+      Sampling.capTokensPerGroup(docs.repartition(11), Seq("lang"), "n_chars",
+        20000L, Seq("doc_id")).select("doc_id"))
+    // an oversize doc still survives as its group's first row (exclusive
+    // prefix 0 < budget): a quota can never empty a group
+    val over = Seq(("g", 1L, 999999L)).toDF("lang", "doc_id", "n_chars")
+    val kept = Sampling.capTokensPerGroup(over, Seq("lang"), "n_chars",
+      budget = 100L, keys = Seq("doc_id"))
+    assert(kept.count() === 1, "group's first row must survive an oversize doc")
+  }
+
   test("packSequences: bins fill to budget, offsets are exclusive prefix sums") {
     val df = Seq(
       ("en", 1L, 500L), ("en", 2L, 900L), ("en", 3L, 700L), ("en", 4L, 100L),
