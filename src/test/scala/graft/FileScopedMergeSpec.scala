@@ -129,6 +129,73 @@ class FileScopedMergeSpec extends SparkSpec {
     assert(t.read.filter($"id" === 200).count() === 1)
   }
 
+  test("the scoped target SCANS only may-match dirs (plan proof, not just file stamps)") {
+    val path = tmpDir("fsm_scan")
+    val t = clusteredTable(path)
+    val batch = rows(10 until 20, "B")
+    val pred = Writers.sourceKeyRange(batch.toDF, Seq("id")).getOrElse(
+      fail("expected a key predicate for a small non-null batch"))
+    val (affected, carried) = t.splitDirsMayMatch(pred)
+    assert(affected.nonEmpty && carried.nonEmpty)
+    val target = t.readDirsSubset(affected)
+    // every file the scan can possibly read lives under an affected dir —
+    // carried dirs are not post-filtered away, they are never in the plan
+    val files = target.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSeq
+    }.flatten
+    assert(files.nonEmpty)
+    def under(f: String, dirs: Seq[String]) =
+      dirs.exists(d => f.startsWith(d) || new Path(f).toUri.getPath
+        .startsWith(new Path(d).toUri.getPath))
+    files.foreach(f => assert(under(f, affected), s"scan reads carried file $f"))
+  }
+
+  test("property: file-scoped scd1 equals full-rewrite scd1 on random batches") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      nBase <- Gen.choose(50, 150)
+      upd <- Gen.someOf(0 until 150)
+      ins <- Gen.someOf(1000 until 1030)
+    } yield (nBase, upd.toList, ins.toList)
+    var n = 0
+    val prop = Prop.forAll(gen) { case (nBase, upd0, ins) =>
+      val upd = upd0.filter(_ < nBase)
+      val batch = upd.map(i => (i, "B" + i)) ++ ins.map(i => (i, "n" + i))
+      batch.isEmpty || {
+        n += 1
+        val ps = tmpDir(s"fsmp_s$n"); val pf = tmpDir(s"fsmp_f$n")
+        val base = rows(0 until nBase, "a")
+        val bdf = batch.toDF("id", "v")
+        Writers.scd1(spark, ps, base, Seq("id"), opts(T0))
+        ManagedTable(spark, ps).clusterBy("id", 3)
+        Writers.scd1(spark, ps, bdf, Seq("id"), opts(T1))
+        Writers.scd1(spark, pf, base, Seq("id"), opts(T0))
+        Writers.scd1(spark, pf, bdf, Seq("id"), opts(T1))
+        def state(p: String): Set[(Int, String)] =
+          ManagedTable(spark, p).read.select("id", "v").collect()
+            .map(r => (r.getInt(0), r.getString(1))).toSet
+        state(ps) == state(pf)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, s"file-scoped merge diverged from full rewrite: ${res.status}")
+  }
+
+  test("vacuum after a file-scoped merge keeps carried dirs readable") {
+    val path = tmpDir("fsm_vac")
+    val t = clusteredTable(path)
+    Writers.scd1(spark, path, rows(10 until 20, "B"), Seq("id"), opts(T1))
+    val before = t.read.select($"id", $"v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    t.vacuum(1) // latest version references old commits' dirs by carry
+    val after = t.read.select($"id", $"v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(after === before)
+    assert(t.read.count() === 400)
+  }
+
   test("file-scoped merge records a change data feed of exactly the changed rows") {
     val path = tmpDir("fsm6")
     def o(t: String) = opts(t).copy(enableChangeDataFeed = true)
