@@ -231,9 +231,25 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               nlist: Int = 16, nProbe: Int = 4,
-              trainIters: Int = 2): DataFrame = {
+              trainIters: Int = 2): DataFrame =
+    ivfTopKWith(trainCentroids(corpus, nlist, trainIters, idCol, vecCol),
+      corpus, queries, k, idCol, vecCol, nProbe)
+
+  /**
+   * IVF top-k against a PRE-TRAINED quantizer — the amortized-cost entry
+   * point: train once per corpus generation ([[trainCentroids]] is
+   * deterministic, so the centroid array is persistable and
+   * re-derivable), then serve every query batch without re-running
+   * Lloyd rounds. At 100 TB the training passes dominate a single query
+   * batch's cost; a daily pipeline should hold centroids fixed between
+   * re-clusters exactly like any vector-index build.
+   */
+  def ivfTopKWith(cents: Array[Array[Double]],
+                  corpus: DataFrame, queries: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = trainCentroids(corpus, nlist, trainIters, idCol, vecCol)
+    require(cents.nonEmpty, "ivfTopKWith needs a non-empty centroid set")
     val c = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cvec"))
       .withColumn("cell", nearestCellUdf(cents)(col("cvec")))

@@ -85,6 +85,13 @@ class SimilaritySpec extends SparkSpec {
     assert(c1.length === 8 && c1.forall(_.nonEmpty))
   }
 
+  test("ivfTopKWith on persisted centroids equals the train-inline path") {
+    val cents = Similarity.trainCentroids(emb, nlist = 16, iters = 2)
+    val reused = Similarity.ivfTopKWith(cents, emb, queries, 10, nProbe = 4)
+    val inline = Similarity.ivfTopK(emb, queries, 10, nlist = 16, nProbe = 4)
+    assertSameRows(reused, inline)
+  }
+
   test("annTopK candidate join is bucket-keyed, not a cross join") {
     val ann = Similarity.annTopK(emb, queries, 10)
     assert(ann.count() > 0)
