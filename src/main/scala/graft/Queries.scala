@@ -1389,6 +1389,32 @@ object Queries {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1""".stripMargin
 
+  /** Deterministic salted join under the oracle gate: the fact side gets
+    * content-hash salts, the dim side replicates map-side per salt, the
+    * join key becomes (key, salt) — row-for-row equal to the unsalted
+    * join (which is exactly what the DuckDB oracle computes), with the
+    * hot key's shuffle partitions shrunk by the salt factor. */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SkewOps
+    val li = pq(spark, dir, "lineitem").select(col("l_orderkey").as("okey"),
+      col("l_extendedprice"), col("l_discount"))
+    val ord = pq(spark, dir, "orders").select(col("o_orderkey").as("okey"),
+      col("o_orderpriority"))
+    SkewOps.saltedJoin(li, ord, Seq("okey"), saltFactor = 8)
+      .groupBy("o_orderpriority")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("string").as("rev"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val saltedJoinAggSql: String =
+    """SELECT o_orderpriority,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS rev,
+      | COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   /** Co-located bucketed join: both sides persisted `bucketBy(8, key)`,
     * then joined WITHOUT a shuffle — the plan is asserted co-located
     * in-query (a mismatched layout would silently reintroduce the

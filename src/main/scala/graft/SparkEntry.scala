@@ -45,6 +45,7 @@ object SparkEntry {
     // exact because salting partitions the value space
     "skew_distinct" -> ((s, d) => graft.operators.SkewOps.saltedDistinctCount(
       Queries.pq(s, d, "orders"), Seq("o_orderpriority"), "o_custkey")),
+    "salted_join" -> (Queries.saltedJoinAgg(_, _)),
     // time-series joins + sketch summaries (operators/{AsOfJoin,RangeJoin,Sketches})
     "asof_join" -> (Queries.asofAttribution(_, _)),
     "temporal_join" -> (Queries.temporalJoin(_, _)),
@@ -155,6 +156,7 @@ object SparkEntry {
     "skew_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "salted_join" -> Queries.saltedJoinAggSql,
     "asof_join" -> Queries.asofAttributionSql,
     "temporal_join" -> Queries.temporalJoinSql,
     "range_join" -> Queries.rangeJoinActivitySql,
