@@ -954,6 +954,44 @@ final class ManagedTable(spark: SparkSession, root: String) {
   }
 
   /**
+   * Merge small data dirs of an UNPARTITIONED snapshot into one —
+   * the compaction a merge-heavy table needs: every file-scoped merge
+   * adds one (often small) dir, and a snapshot of hundreds of tiny dirs
+   * pays listing + footer + task overhead per dir on every scan. Dirs
+   * whose total data bytes are under `maxDirBytes` (FS metadata only)
+   * are read back and rewritten as ONE dir; every larger dir is carried
+   * by reference, byte-identical, keeping its (tighter) skipping stats
+   * — so compaction cost is O(small dirs), never a table rewrite, and
+   * clustering of the big dirs survives. Returns None when fewer than
+   * two dirs qualify. Re-clustering (`clusterBy`) remains the heavier
+   * periodic operation that also re-tightens stats.
+   */
+  def compactDirs(maxDirBytes: Long = 64L << 20): Option[Commit] = synchronized {
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    require(c.partitionBy.isEmpty,
+      "compactDirs supports unpartitioned tables; partitioned tables use compact()")
+    def bytes(d: String): Long = {
+      val it = fs.listFiles(new Path(d), true)
+      var n = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")) n += st.getLen
+      }
+      n
+    }
+    val (small, big) = c.dirs.partition(d => bytes(d) < maxDirBytes)
+    if (small.size < 2) return None
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val merged = readDirs(small, schema, partitioned = false)
+    Some(writeCarried(merged, big,
+      s"COMPACT(${small.size} dirs)",
+      extraMetrics = Map("numCompactedDirs" -> small.size.toString,
+        "numCarriedDirs" -> big.size.toString)))
+  }
+
+  /**
    * Range-cluster the table on a numeric column — the OPTIMIZE ZORDER
    * analogue for the 1-D case, and the operation that makes
    * [[readWhere]]'s data skipping SELECTIVE: bucket boundaries come from

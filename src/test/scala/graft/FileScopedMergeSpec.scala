@@ -196,6 +196,39 @@ class FileScopedMergeSpec extends SparkSpec {
     assert(t.read.count() === 400)
   }
 
+  test("compactDirs folds small merge dirs together, carries big dirs byte-identical") {
+    val path = tmpDir("fsm_compact")
+    val t = clusteredTable(path)
+    // three insert-only file-scoped merges (keys outside every bucket's
+    // range) each add one tiny 2-row dir next to the ~100-row buckets
+    Writers.scd1(spark, path, rows(1000 until 1002, "n"), Seq("id"), opts(T1))
+    Writers.scd1(spark, path, rows(2000 until 2002, "n"), Seq("id"), opts(T1))
+    Writers.scd1(spark, path, rows(3000 until 3002, "n"), Seq("id"), opts(T1))
+    val preDirs = t.lastCommit.get.dirs
+    assert(preDirs.size === 7, s"4 buckets + 3 insert dirs, got $preDirs")
+    val before = t.read.select($"id", $"v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    // threshold below every bucket's size folds only the tiny dirs
+    val bucketBytes = preDirs.filter(_.contains("__graft_cluster__"))
+      .map(d => fileStamps(d).toSeq.map(_._2).sum)
+    val smallCut = bucketBytes.min // below every bucket's size
+    val stamps = preDirs.filter(_.contains("__graft_cluster__"))
+      .map(d => d -> fileStamps(d)).toMap
+    val commit = t.compactDirs(maxDirBytes = smallCut).getOrElse(
+      fail("expected small dirs to qualify for compaction"))
+    assert(commit.operationMetrics("numCompactedDirs").toInt >= 3)
+    stamps.foreach { case (d, s) =>
+      assert(commit.dirs.contains(d), s"bucket $d should be carried")
+      assert(fileStamps(d) === s, s"bucket $d rewritten")
+    }
+    assert(commit.dirs.size < preDirs.size)
+    val after = t.read.select($"id", $"v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(after === before)
+    // nothing left to fold → None
+    assert(t.compactDirs(maxDirBytes = smallCut).isEmpty)
+  }
+
   test("file-scoped merge records a change data feed of exactly the changed rows") {
     val path = tmpDir("fsm6")
     def o(t: String) = opts(t).copy(enableChangeDataFeed = true)
