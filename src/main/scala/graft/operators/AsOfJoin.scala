@@ -103,7 +103,10 @@ object AsOfJoin {
     val r2 = right.filter(q(rightTime).isNotNull).select(
       byCols ++ Seq(
         asTicks(q(rightTime), rightTimeDt).as(T), lit(0).as(Side),
-        rightTieBreak.map(q(_).cast("long")).getOrElse(lit(0L)).as(Tb),
+        // asTicks, not cast("long"): a timestamp tie-break must rank at
+        // micros, not collapse to seconds
+        rightTieBreak.map(c => asTicks(q(c), right.schema(c).dataType))
+          .getOrElse(lit(0L)).as(Tb),
         struct(rightPayload.map(q): _*).as(Rp)): _*)
     val u = l2.unionByName(r2, allowMissingColumns = true)
 

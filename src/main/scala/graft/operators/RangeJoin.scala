@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
 
 /**
  * Bucketed range (interval) join: inner-join point rows to the interval
@@ -19,13 +20,25 @@ import org.apache.spark.sql.functions._
  * shuffle; pick `bucketWidth` near the typical interval span so that
  * factor stays ~2.
  *
- * Values must be numeric (engine convention: epoch microseconds). Bucket
- * ids use exact floor division (long arithmetic via pmod), so negative
- * values bucket correctly too.
+ * Values may be numeric (engine convention: epoch microseconds) or
+ * TimestampType/TimestampNTZType — timestamps bucket at MICROSECOND
+ * resolution via `unix_micros` (so `bucketWidth` is in micros for
+ * them), never truncated to seconds: a second-truncated bucket id can
+ * MISS a true (point, interval) pair outright near bucket edges, and
+ * the residual filter cannot resurrect a pair that never met in a
+ * bucket. Bucket ids use exact floor division (long arithmetic via
+ * pmod), so negative values bucket correctly too.
  */
 object RangeJoin {
 
   private val B = "__graft_bucket__"
+
+  /** Exact integer position for bucketing: epoch micros for timestamps,
+    * plain long cast for numerics. */
+  private def ticks(c: Column, dt: DataType): Column = dt match {
+    case TimestampType | TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case _ => c.cast("long")
+  }
 
   private def floorDiv(c: Column, w: Long): Column = {
     // (c - pmod(c, w)) is an exact multiple of w with |value| <= |c|;
@@ -35,10 +48,11 @@ object RangeJoin {
   }
 
   /**
-   * @param points      side with one numeric `pointCol`
-   * @param intervals   side with numeric `[startCol, endCol)`; empty or
-   *                    inverted intervals match nothing
-   * @param bucketWidth bucket size in the value's units (> 0)
+   * @param points      side with one numeric/timestamp `pointCol`
+   * @param intervals   side with numeric/timestamp `[startCol, endCol)`;
+   *                    empty or inverted intervals match nothing
+   * @param bucketWidth bucket size in the value's units — micros for
+   *                    timestamp columns (> 0)
    * @param keys        equality keys present on both sides
    */
   def pointInInterval(points: DataFrame, pointCol: String,
@@ -50,15 +64,18 @@ object RangeJoin {
       .intersect(intervals.columns.toSeq.filterNot(keys.contains))
     require(overlap.isEmpty,
       s"non-key columns must be disjoint across sides, both have: ${overlap.mkString(", ")}")
+    val pointT = ticks(q(pointCol), points.schema(pointCol).dataType)
+    val startT = ticks(q(startCol), intervals.schema(startCol).dataType)
+    val endT = ticks(q(endCol), intervals.schema(endCol).dataType)
 
-    val p = points.withColumn(B, floorDiv(q(pointCol), bucketWidth))
+    val p = points.withColumn(B, floorDiv(pointT, bucketWidth))
     // end is exclusive, so the last overlapped bucket is the one holding
     // end - 1; sequence() is inclusive on both ends.
     val iv = intervals
-      .filter(q(startCol) < q(endCol))
+      .filter(startT < endT)
       .withColumn(B, explode(sequence(
-        floorDiv(q(startCol), bucketWidth),
-        floorDiv(q(endCol).cast("long") - 1, bucketWidth))))
+        floorDiv(startT, bucketWidth),
+        floorDiv(endT - 1, bucketWidth))))
     p.join(iv, keys :+ B)
       .filter(q(pointCol) >= q(startCol) && q(pointCol) < q(endCol))
       .drop(B)

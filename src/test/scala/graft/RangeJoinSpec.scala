@@ -33,6 +33,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.count() === got.select("p_id", "iv_id").distinct().count())
   }
 
+  test("timestamp columns bucket at microsecond resolution near bucket edges") {
+    // a pair that overlaps in micros but whose second-truncated bucket
+    // ids would never meet: point at 00:00:00.900 in [00:00:00.800,
+    // 00:00:01.100) with 1-second buckets. Seconds truncation puts the
+    // interval's last bucket at floor((1.1s->1s us... truncated)) and
+    // can drop the match entirely; micros must find it.
+    val p = Seq((1L, "2024-01-01 00:00:00.900")).toDF("p_id", "p0")
+      .select(col("p_id"), col("p0").cast("timestamp").as("p"))
+    val iv = Seq((100L, "2024-01-01 00:00:00.800", "2024-01-01 00:00:01.100"))
+      .toDF("iv_id", "s0", "e0")
+      .select(col("iv_id"), col("s0").cast("timestamp").as("s"),
+        col("e0").cast("timestamp").as("e"))
+    val got = RangeJoin.pointInInterval(p, "p", iv, "s", "e",
+      bucketWidth = 1000000L) // 1 s in micros
+    assert(got.select("p_id", "iv_id").as[(Long, Long)].collect().toSeq
+      === Seq((1L, 100L)))
+    // boundary semantics survive the conversion: end is exclusive
+    val atEnd = Seq((2L, "2024-01-01 00:00:01.100")).toDF("p_id", "p0")
+      .select(col("p_id"), col("p0").cast("timestamp").as("p"))
+    assert(RangeJoin.pointInInterval(atEnd, "p", iv, "s", "e", 1000000L)
+      .count() === 0)
+  }
+
   test("property: bucketed result equals the naive inequality join (incl. negatives)") {
     val genVals = for {
       pts <- Gen.listOfN(30, Gen.choose(-50L, 50L))
