@@ -123,13 +123,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("packSequences and capPerGroup shuffle exactly once, on the group key") {
+  test("packSequences, capPerGroup, and capTokensPerGroup shuffle exactly once, on the group key") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     Seq(
       "packSequences" -> graft.llm.Packing.packSequences(
         docs, Seq("lang"), Seq("doc_id"), "n_chars", 2000L),
       "capPerGroup" -> graft.operators.Sampling.capPerGroup(
-        docs, Seq("source"), 15, Seq("doc_id"))
+        docs, Seq("source"), 15, Seq("doc_id")),
+      "capTokensPerGroup" -> graft.operators.Sampling.capTokensPerGroup(
+        docs, Seq("lang"), "n_chars", 20000L, Seq("doc_id"))
     ).foreach { case (name, df) =>
       val plan = finalPlan(df).toString
       val n = "Exchange hashpartitioning".r.findAllIn(plan).size
@@ -146,5 +148,14 @@ class PlanSpec extends SparkSpec {
     val plan = finalPlan(pairs).toString
     assert(!plan.contains("NestedLoop"), s"nested loop in:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the decontamination ACTION keeps the same shape: gram equi-join,
+    // then an anti-join on the id — still no all-pairs anywhere
+    val clean = graft.llm.Dedup.decontaminate(
+      split.filter(col("split") === "train").drop("split"),
+      split.filter(col("split") === "test").drop("split"), minShared = 3)
+    val cplan = finalPlan(clean).toString
+    assert(!cplan.contains("NestedLoop") && !cplan.contains("CartesianProduct"),
+      s"non-equi join in decontaminate:\n$cplan")
+    assert(cplan.contains("LeftAnti"), s"expected an anti-join in:\n$cplan")
   }
 }
