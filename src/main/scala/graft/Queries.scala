@@ -19,6 +19,7 @@ import java.nio.file.Files
 object Queries {
   val T0 = "2026-01-01 00:00:00"
   val T1 = "2026-02-01 00:00:00"
+  val T2 = "2026-03-01 00:00:00"
   val HighTs = "9999-12-31 00:00:00"
 
   private def tmp(prefix: String): String =
@@ -732,6 +733,86 @@ object Queries {
        |UNION ALL
        |SELECT c_custkey + 1000000, c_name || '_new', c_mktsegment, '$T1', '$T1'
        |FROM customer WHERE c_custkey <= 50""".stripMargin
+
+  /** Continuous-maintenance lifecycle on an unpartitioned merge table:
+    * init → range-cluster → file-scoped update merge → two insert-only
+    * merges (each adds a tiny dir) → compactDirs folds the small dirs →
+    * a final file-scoped merge over the now MIXED composition (carried
+    * cluster subdirs + the compacted dir). The query REQUIRES the scale
+    * paths to engage (carried-dir metrics + a real compaction), so a
+    * silent fallback to full rewrites fails the run rather than
+    * producing the right rows the wrong way; DuckDB recomputes the end
+    * state from the base table alone. */
+  def mergeMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("mmaint")
+    val c = cust(spark, dir)
+    val t = ManagedTable(spark, path)
+    Staging.timed {
+      Writers.scd1(spark, path, c, Seq("c_custkey"), WriteOptions(now = Some(T0)))
+      t.clusterBy("c_custkey", 4)
+    }
+    def newKeys(offset: Int, seg: Column) = c.filter(col("c_custkey") <= 30)
+      .select((col("c_custkey") + offset).as("c_custkey"), col("c_name"),
+        seg.as("c_mktsegment"))
+    // merge 1: low-range updates — must rewrite ONLY the matching buckets
+    Writers.scd1(spark, path,
+      c.filter(col("c_custkey") <= 100)
+        .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_A"))),
+      Seq("c_custkey"), WriteOptions(now = Some(T1)))
+    require(t.lastCommit.get.operationMetrics.get("numCarriedDirs").exists(_.toInt >= 2),
+      s"merge 1 did not file-scope: ${t.lastCommit.get.operationMetrics}")
+    // merges 2+3: insert-only batches outside every range → tiny dirs
+    Writers.scd1(spark, path, newKeys(2000000, col("c_mktsegment")),
+      Seq("c_custkey"), WriteOptions(now = Some(T1)))
+    Writers.scd1(spark, path, newKeys(3000000, col("c_mktsegment")),
+      Seq("c_custkey"), WriteOptions(now = Some(T1)))
+    // fold the tiny dirs; threshold = smallest cluster bucket's bytes so
+    // the (bucket-sized) composition survives while insert dirs fold
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def dirBytes(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fsys = p.getFileSystem(hconf)
+      val it = fsys.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")) n += st.getLen
+      }
+      n
+    }
+    val cut = t.lastCommit.get.dirs
+      .filter(_.contains(ManagedTable.CLUSTER_COL)).map(dirBytes).min
+    require(t.compactDirs(maxDirBytes = cut).isDefined,
+      "compaction found nothing to fold — lifecycle not exercised")
+    // merge 4 over the mixed composition: a middle range + the inserted
+    // 2M keys (bimodal), still file-scoped
+    Writers.scd1(spark, path,
+      c.filter(col("c_custkey") > 700 && col("c_custkey") <= 800)
+        .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_B")))
+        .unionByName(newKeys(2000000, concat(col("c_mktsegment"), lit("_C")))),
+      Seq("c_custkey"), WriteOptions(now = Some(T2)))
+    require(t.lastCommit.get.operationMetrics.get("numCarriedDirs").exists(_.toInt >= 1),
+      s"merge 4 did not file-scope: ${t.lastCommit.get.operationMetrics}")
+    t.read.select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      col(Meta.ValidToTs).cast("string").as(Meta.ValidToTs))
+  }
+
+  val mergeMaintenanceSql: String =
+    s"""SELECT c_custkey, c_name,
+       | CASE WHEN c_custkey <= 100 THEN c_mktsegment || '_A'
+       |      WHEN c_custkey > 700 AND c_custkey <= 800 THEN c_mktsegment || '_B'
+       |      ELSE c_mktsegment END AS c_mktsegment,
+       | CASE WHEN c_custkey <= 100 THEN '$T1'
+       |      WHEN c_custkey > 700 AND c_custkey <= 800 THEN '$T2'
+       |      ELSE '$T0' END AS __metadata_valid_to_ts__
+       |FROM customer
+       |UNION ALL
+       |SELECT c_custkey + 2000000, c_name, c_mktsegment || '_C', '$T2'
+       |FROM customer WHERE c_custkey <= 30
+       |UNION ALL
+       |SELECT c_custkey + 3000000, c_name, c_mktsegment, '$T1'
+       |FROM customer WHERE c_custkey <= 30""".stripMargin
 
   def scd2Initial(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("scd2i")
