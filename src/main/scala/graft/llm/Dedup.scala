@@ -77,11 +77,11 @@ object Dedup {
    * still — higher-order functions evaluate interpreted per element).
    * Docs with no shingles keep an empty signature.
    */
-  def minhashSignatures(docs: DataFrame, textCol: String = "text",
-                        idCol: String = "doc_id",
-                        numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
+  /** The one-loop signature kernel shared by [[minhashSignatures]] and
+    * [[buildNearDupIndex]]. */
+  private def signatureUdf(numHashes: Int, shingleN: Int) = {
     val params = hashParams(numHashes)
-    val f = udf { (text: String) =>
+    udf { (text: String) =>
       // shingle hashes without materializing shingle strings: hash each
       // token once, then combine n consecutive token hashes polynomially
       // (base B mod P) — same candidate-generation quality, no per-shingle
@@ -116,8 +116,30 @@ object Dedup {
         }
       }
     }
-    docs.select(col(idCol), f(col(textCol)).as("signature"))
   }
+
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        numHashes: Int = 64, shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      signatureUdf(numHashes, shingleN)(col(textCol)).as("signature"))
+
+  /**
+   * One-pass, PERSISTABLE corpus index for incremental near-dup runs:
+   * `(idCol, signature, sh)` — the minhash signature for LSH banding and
+   * the distinct shingle set for exact verification, computed in ONE
+   * projection over the corpus (no join, one IO pass). Write it as
+   * parquet once per corpus generation; the daily run reads it via
+   * [[incrementalNearDupPairsWith]] instead of re-shingling the whole
+   * history — that is what makes the daily cost O(batch) in practice,
+   * not just in principle.
+   */
+  def buildNearDupIndex(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        numHashes: Int = 64, shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      signatureUdf(numHashes, shingleN)(col(textCol)).as("signature"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
 
   /** Band keys for LSH: one row per (doc, band) with a hash of the
     * band's signature slice — the bucket-join key. */
@@ -280,26 +302,38 @@ object Dedup {
                               textCol: String = "text", idCol: String = "doc_id",
                               threshold: Double = 0.8,
                               numHashes: Int = 64, shingleN: Int = 3,
-                              bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val newSigs = minhashSignatures(newDocs, textCol, idCol, numHashes, shingleN)
+                              bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    incrementalNearDupPairsWith(newDocs,
+      buildNearDupIndex(corpus, textCol, idCol, numHashes, shingleN)
+        .localCheckpoint(),
+      textCol, idCol, threshold, numHashes, shingleN, bands, rowsPerBand)
+
+  /**
+   * Incremental near-dup against a PRE-BUILT corpus index
+   * ([[buildNearDupIndex]], typically persisted as parquet) — the
+   * amortized entry point: the corpus is never re-read, re-tokenized,
+   * or re-signed; the daily run pays signature work for the batch plus
+   * the new×corpus band join only.
+   */
+  def incrementalNearDupPairsWith(newDocs: DataFrame, corpusIndex: DataFrame,
+                                  textCol: String = "text", idCol: String = "doc_id",
+                                  threshold: Double = 0.8,
+                                  numHashes: Int = 64, shingleN: Int = 3,
+                                  bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val newIdx = buildNearDupIndex(newDocs, textCol, idCol, numHashes, shingleN)
       .localCheckpoint()
-    val oldSigs = minhashSignatures(corpus, textCol, idCol, numHashes, shingleN)
-      .localCheckpoint()
-    val cands = lshBands(newSigs, idCol, bands, rowsPerBand)
+    val cands = lshBands(newIdx, idCol, bands, rowsPerBand)
       .toDF("new_id", "band", "bh")
-      .join(lshBands(oldSigs, idCol, bands, rowsPerBand).toDF("old_id", "band", "bh"),
+      .join(lshBands(corpusIndex, idCol, bands, rowsPerBand)
+          .toDF("old_id", "band", "bh"),
         Seq("band", "bh"))
       .select("new_id", "old_id").distinct()
-      .join(newSigs.select(col(idCol).as("new_id"), col("signature").as("sig1")), "new_id")
-      .join(oldSigs.select(col(idCol).as("old_id"), col("signature").as("sig2")), "old_id")
+      .join(newIdx.select(col(idCol).as("new_id"),
+        col("signature").as("sig1"), col("sh").as("sh_new_id")), "new_id")
+      .join(corpusIndex.select(col(idCol).as("old_id"),
+        col("signature").as("sig2"), col("sh").as("sh_old_id")), "old_id")
       .filter(estimatedJaccard(col("sig1"), col("sig2")) >= threshold - 0.2)
-      .select("new_id", "old_id")
-    def sh(df: DataFrame, out: String): DataFrame =
-      df.select(col(idCol).as(out),
-        array_distinct(shingles(col(textCol), shingleN)).as(s"sh_$out"))
     cands
-      .join(sh(newDocs, "new_id"), "new_id")
-      .join(sh(corpus, "old_id"), "old_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_new_id"), col("sh_old_id"))).cast("double") /
           size(array_union(col("sh_new_id"), col("sh_old_id"))))

@@ -191,6 +191,20 @@ class DedupSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("incremental dedup against a parquet-persisted index equals the inline run") {
+    import org.apache.spark.sql.functions.col
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    // persist the corpus index once, read it back — the daily-run shape
+    val idxPath = tmpDir("neardup_idx")
+    Dedup.buildNearDupIndex(corpus).write.mode("overwrite").parquet(idxPath)
+    val fromDisk = spark.read.parquet(idxPath)
+    val viaIndex = Dedup.incrementalNearDupPairsWith(newDocs, fromDisk,
+      threshold = 0.8)
+    val inline = Dedup.incrementalNearDupPairs(newDocs, corpus, threshold = 0.8)
+    assertSameRows(viaIndex, inline)
+  }
+
   test("contaminationPairs finds cross-split shingle overlap, counts distinct grams") {
     import spark.implicits._
     val train = Seq(
