@@ -1032,6 +1032,33 @@ final class ManagedTable(spark: SparkSession, root: String) {
   }
 
   /**
+   * Range-cluster the table on ANY orderable column — the string-key
+   * sibling of [[clusterBy]] (merge keys are very often uuids/natural
+   * strings, and [[clusterBy]]'s quantile expression is numeric-only).
+   * The rewrite is `repartitionByRange(buckets, col)` — Spark's sampled
+   * range partitioner, the same machinery a global sort uses — with the
+   * resulting partition id as the bucket. The frame is localCheckpointed
+   * so the stats pass and the write pass see the IDENTICAL assignment
+   * (range boundaries come from sampling; two executions could differ).
+   * Per-bucket min/max stats then make merges on the cluster column
+   * file-scoped, exactly as with the numeric path.
+   */
+  def clusterByRange(column: String, buckets: Int): Commit = {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    require(buckets >= 2, "clusterByRange needs at least 2 buckets")
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    require(c.partitionBy.isEmpty, "clusterByRange supports unpartitioned tables")
+    val schema = StructType.fromDDL(c.schemaDdl)
+    require(schema.fields.exists(_.name == column), s"no column $column in $root")
+    val clustered = read
+      .repartitionByRange(buckets, col(s"`$column`"))
+      .withColumn(CLUSTER_COL, spark_partition_id())
+      .localCheckpoint()
+    writeClusteredFrame(c, clustered, s"CLUSTER RANGE ($column)")
+  }
+
+  /**
    * Z-ORDER the table on several numeric columns: each column's value
    * maps to a quantile rank (`zLevels` levels, boundaries from one
    * sampled pass per column), the ranks' bits interleave into a Z-value
@@ -1091,10 +1118,16 @@ final class ManagedTable(spark: SparkSession, root: String) {
     * directory per bucket, stats rendered exactly like the write path's. */
   private def writeClustered(c: Commit, df: DataFrame,
                              bucket: org.apache.spark.sql.Column,
-                             operation: String): Commit = {
+                             operation: String): Commit =
+    writeClusteredFrame(c, df.withColumn(CLUSTER_COL, bucket), operation)
+
+  /** `clustered` must already carry [[CLUSTER_COL]]; its assignment must
+    * be stable across the stats pass and the write pass (an expression
+    * over the row, or a materialized frame). */
+  private def writeClusteredFrame(c: Commit, clustered: DataFrame,
+                                  operation: String): Commit = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val schema = StructType.fromDDL(c.schemaDdl)
-    val clustered = df.withColumn(CLUSTER_COL, bucket)
     val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(schema)
     val perBucket: Map[Int, (Long, Map[String, DataSkipping.ColMinMax])] =
       clustered.groupBy(col(CLUSTER_COL)).agg(aggs.head, aggs.tail: _*)

@@ -196,6 +196,35 @@ class FileScopedMergeSpec extends SparkSpec {
     assert(t.read.count() === 400)
   }
 
+  test("clusterByRange gives STRING-keyed tables the file-scoped merge path") {
+    val path = tmpDir("fsm_str")
+    // uuid-ish string keys: the common real-world merge key shape that
+    // the numeric clusterBy can't lay out
+    val base = (0 until 400).map(i => (f"key-$i%04d", "a" + i)).toDF("id", "v")
+    Writers.scd1(spark, path, base, Seq("id"), opts(T0))
+    val t = ManagedTable(spark, path)
+    t.clusterByRange("id", 4)
+    val c0 = t.lastCommit.get
+    assert(c0.dirs.size === 4)
+    val before = c0.dirs.map(d => d -> fileStamps(d)).toMap
+
+    // touch a narrow key range + brand-new keys sorting past every range
+    val batch = (10 until 20).map(i => (f"key-$i%04d", "B" + i))
+      .++((0 until 5).map(i => (s"zzz-new-$i", "n" + i))).toDF("id", "v")
+    Writers.scd1(spark, path, batch, Seq("id"), opts(T1))
+    val c1 = t.lastCommit.get
+    assert(c1.operationMetrics("numCarriedDirs").toInt >= 2,
+      s"string-keyed merge did not file-scope: ${c1.operationMetrics}")
+    before.keys.filter(c1.dirs.contains)
+      .foreach(d => assert(fileStamps(d) === before(d), s"dir $d rewritten"))
+
+    val now = t.read
+    assert(now.count() === 405)
+    assert(now.filter($"id" === "key-0015").select("v").as[String].head() === "B15")
+    assert(now.filter($"id" === "key-0200").select("v").as[String].head() === "a200")
+    assert(now.filter($"id" === "zzz-new-3").select("v").as[String].head() === "n3")
+  }
+
   test("compactDirs folds small merge dirs together, carries big dirs byte-identical") {
     val path = tmpDir("fsm_compact")
     val t = clusteredTable(path)
