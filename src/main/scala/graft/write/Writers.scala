@@ -70,8 +70,107 @@ object Writers {
   /** Small batches prune per-dir EXACTLY via an IN-list of their keys. */
   private val FileScopeInListCap = 1000
 
-  /** Large numeric batches prune via this many equi-depth key intervals. */
+  /** Fallback only: batches against >[[DirProbeCap]]-dir tables prune
+    * via this many range-partitioned key intervals. */
   private val FileScopeIntervals = 32
+
+  /** Max dirs the exact per-dir probe handles in one aggregate pass
+    * (the probe builds one conjunction per dir into the agg). */
+  private val DirProbeCap = 512
+
+  private sealed trait ProbeResult
+  /** NULL merge keys: range logic unsound → full-table merge. */
+  private case object ProbeNulls extends ProbeResult
+  /** Too many dirs for one agg: use the predicate/interval fallback. */
+  private case object ProbeTooMany extends ProbeResult
+  private final case class ProbeSplit(affected: Seq[String],
+                                      carried: Seq[String]) extends ProbeResult
+
+  /** The batch-side column and a stat-string parser, in the same domain
+    * [[graft.table.DataSkipping]] renders that type's stats in. None =
+    * uninterpretable type (callers treat the dir as affected). */
+  private def statDomain(dt: org.apache.spark.sql.types.DataType,
+                         c: Column): Option[(Column, String => Option[Column])] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => Some((c, s => scala.util.Try(lit(s).cast(dt)).toOption))
+      case StringType => Some((c, s => Some(lit(s))))
+      case DateType => Some((c, s =>
+        scala.util.Try(lit(java.time.LocalDate.parse(s).toString).cast(DateType)).toOption))
+      case TimestampType => Some((
+        org.apache.spark.sql.functions.unix_micros(c),
+        s => scala.util.Try(lit(s.toLong)).toOption))
+      case _ => None
+    }
+  }
+
+  /**
+   * EXACT per-dir affected/carried split: one aggregate pass over the
+   * batch evaluates, for every dir, "does any batch key fall inside this
+   * dir's per-key [min,max] box?" — no IN-list cap, no interval
+   * coarseness, any stats-eligible key type. This is what kills the
+   * bimodal-batch false positive: an interval union must span the gap
+   * between the update range and the new-id range, but the per-dir box
+   * test never conflates them. NULL counts ride the same pass. Dirs
+   * whose stats are absent/uninterpretable count as affected; dirs
+   * all-NULL for a key can never match a (non-null-keyed) batch and are
+   * carried.
+   */
+  private def probeAffectedDirs(table: ManagedTable, source: DataFrame,
+                                keys: Seq[String]): ProbeResult = {
+    import graft.table.DataSkipping.ColMinMax
+    import org.apache.spark.sql.types.StructType
+    val c = table.lastCommit.getOrElse(return ProbeTooMany)
+    if (c.dirs.size > DirProbeCap) return ProbeTooMany
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val domains = keys.map { k =>
+      k -> source.schema.fields.find(_.name == k)
+        .flatMap(f => statDomain(f.dataType, col(s"`$k`")))
+    }.toMap
+    // driver-side triage: per dir either a batch-side predicate to
+    // probe, or an immediate affected/carried verdict
+    val AlwaysAffected = Left(true); val NeverMatch = Left(false)
+    val triaged: Seq[(String, Either[Boolean, Column])] = c.dirs.map { d =>
+      d -> (c.dirStats.get(d) match {
+        case None => AlwaysAffected
+        case Some(st) =>
+          val perKey: Seq[Either[Boolean, Column]] = keys.map { k =>
+            (st.get(k), domains(k)) match {
+              case (Some(ColMinMax(None, None)), _) => NeverMatch
+              case (Some(ColMinMax(Some(mn), Some(mx))), Some((nk, parse))) =>
+                (parse(mn), parse(mx)) match {
+                  case (Some(lo), Some(hi)) => Right(nk >= lo && nk <= hi)
+                  case _ => AlwaysAffected
+                }
+              case _ => AlwaysAffected
+            }
+          }
+          if (perKey.contains(NeverMatch)) NeverMatch
+          else if (perKey.forall(_.isRight))
+            Right(perKey.collect { case Right(p) => p }.reduce(_ && _))
+          else AlwaysAffected
+      })
+    }
+    val probes = triaged.collect { case (d, Right(p)) => d -> p }
+    val nullAggs = keys.zipWithIndex.map { case (k, i) =>
+      count(when(col(s"`$k`").isNull, 1)).as(s"__nl$i")
+    }
+    val probeAggs = probes.zipWithIndex.map { case ((_, p), i) =>
+      max(when(p, 1).otherwise(0)).as(s"__d$i")
+    }
+    val aggs = nullAggs ++ probeAggs
+    val row = source.agg(aggs.head, aggs.tail: _*).head()
+    if (keys.indices.exists(i => row.getAs[Long](s"__nl$i") > 0)) return ProbeNulls
+    val hit = probes.zipWithIndex.collect {
+      case ((d, _), i) if !row.isNullAt(row.fieldIndex(s"__d$i")) &&
+        row.getAs[Int](s"__d$i") == 1 => d
+    }.toSet
+    val (affected, carried) = triaged.partition {
+      case (_, Left(a)) => a
+      case (d, Right(_)) => hit.contains(d)
+    }
+    ProbeSplit(affected.map(_._1), carried.map(_._1))
+  }
 
   /**
    * Conservative key predicate of the source batch, fed ONLY to
@@ -80,13 +179,15 @@ object Writers {
    *
    *  - single key, ≤ [[FileScopeInListCap]] distinct values: `k IN
    *    (...)` — exact per-dir decisions;
-   *  - single NUMERIC key, larger batches: an OR of up to
-   *    [[FileScopeIntervals]] equi-depth intervals, each tightened to
-   *    its bucket's ACTUAL min/max. A plain `[min,max]` would be
-   *    defeated by the most common incremental shape — low-range
-   *    updates plus new monotonically-increasing ids — where one batch
-   *    spans the entire table; per-bucket tightening leaves at most one
-   *    gap-straddling interval;
+   *  - single orderable key, larger batches: an OR of up to
+   *    [[FileScopeIntervals]] intervals from range-partitioning the
+   *    batch keys (`repartitionByRange` — works for strings/uuids, not
+   *    just numerics) and taking each partition's ACTUAL min/max. The
+   *    interval union covers every batch key whatever boundaries the
+   *    range sampler picks, so pruning stays conservative; a plain
+   *    `[min,max]` would be defeated by the most common incremental
+   *    shape — low-range updates plus new monotonically-increasing ids
+   *    — where one batch spans the entire table;
    *  - otherwise: per-key `[min,max]` conjunction.
    *
    * Driver data is O(intervals + keys) regardless of batch size. None
@@ -94,6 +195,7 @@ object Writers {
    * (a NULL key's null-safe match can't be range-bounded).
    */
   private[graft] def sourceKeyRange(source: DataFrame, keys: Seq[String]): Option[Column] = {
+    import org.apache.spark.sql.functions.spark_partition_id
     val aggs = keys.zipWithIndex.flatMap { case (k, i) =>
       Seq(min(col(s"`$k`")).as(s"mn$i"), max(col(s"`$k`")).as(s"mx$i"),
         count(when(col(s"`$k`").isNull, 1)).as(s"nl$i"))
@@ -114,33 +216,38 @@ object Writers {
       .limit(FileScopeInListCap + 1).collect()
     if (distinctKeys.length <= FileScopeInListCap)
       Some(col(s"`$k`").isin(distinctKeys.toSeq.map(_.get(0)): _*))
-    else if (source.schema(k).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType]) {
-      val probs = (1 until FileScopeIntervals)
-        .map(_.toDouble / FileScopeIntervals).toArray
-      val splits = source.stat.approxQuantile(k, probs, 0.001).distinct.sorted
-      val bucket = splits.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col(s"`$k`") >= lit(b), 1).otherwise(0)
+    else
+      try {
+        val mm = source.select(col(s"`$k`").as("__graft_k__"))
+          .repartitionByRange(FileScopeIntervals, col("__graft_k__"))
+          .groupBy(spark_partition_id().as("__graft_p__"))
+          .agg(min(col("__graft_k__")).as("mn"), max(col("__graft_k__")).as("mx"))
+          .collect()
+        if (mm.isEmpty) Some(minMaxOf(0))
+        else Some(mm.toSeq
+          .map(b => col(s"`$k`") >= lit(b.get(1)) && col(s"`$k`") <= lit(b.get(2)))
+          .reduce(_ || _))
+      } catch {
+        // exotic non-range-partitionable key type: one interval is still
+        // a valid (if coarse) conservative predicate
+        case _: org.apache.spark.sql.AnalysisException => Some(minMaxOf(0))
       }
-      val mm = source.groupBy(bucket.as("__graft_kb__"))
-        .agg(min(col(s"`$k`")).as("mn"), max(col(s"`$k`")).as("mx")).collect()
-      Some(mm.toSeq
-        .map(b => col(s"`$k`") >= lit(b.get(1)) && col(s"`$k`") <= lit(b.get(2)))
-        .reduce(_ || _))
-    } else Some(minMaxOf(0))
   }
 
   /**
    * Resolve how this merge is scoped. Partition scoping (explicitly
    * requested, exact) wins; otherwise, when the table's snapshot is
-   * composed of several dirs (appends, [[ManagedTable.clusterBy]]
-   * buckets, earlier file-scoped merges), the stored per-dir min/max
-   * stats on the RAW merge keys split the dirs into "may contain a
-   * source key" vs "provably cannot" — the merge then reads only the
-   * former and commits the latter by reference. Matching is on the key
-   * hash, but key-hash equality implies raw-key equality, so a dir
-   * whose raw-key interval misses every source key can hold no matched
-   * row; the split is conservative (stat-less dirs rewrite).
+   * composed of several dirs (appends, [[ManagedTable.clusterBy]] /
+   * [[ManagedTable.clusterByRange]] buckets, earlier file-scoped
+   * merges), the stored per-dir min/max stats on the RAW merge keys
+   * split the dirs into "may contain a source key" vs "provably cannot"
+   * — the merge then reads only the former and commits the latter by
+   * reference. The split comes from [[probeAffectedDirs]] (exact, one
+   * batch pass) for ≤ [[DirProbeCap]]-dir tables, else from the
+   * [[sourceKeyRange]] predicate walk. Matching is on the key hash, but
+   * key-hash equality implies raw-key equality, so a dir whose raw-key
+   * box misses every source key can hold no matched row; both paths are
+   * conservative (stat-less dirs rewrite).
    */
   private def resolveScope(table: ManagedTable, source: DataFrame,
                            keys: Seq[String], opts: WriteOptions,
@@ -149,11 +256,17 @@ object Writers {
     else {
       val multiDir = table.lastCommit.exists(_.dirs.size > 1)
       if (!multiDir) FullScope // 1 dir: file scope degenerates to replace
-      else sourceKeyRange(source, keys) match {
-        case Some(pred) =>
-          val (rewritten, carried) = table.splitDirsMayMatch(pred)
-          if (carried.isEmpty) FullScope else FileScope(rewritten, carried)
-        case None => FullScope
+      else probeAffectedDirs(table, source, keys) match {
+        case ProbeNulls => FullScope
+        case ProbeSplit(_, carried) if carried.isEmpty => FullScope
+        case ProbeSplit(rewritten, carried) => FileScope(rewritten, carried)
+        case ProbeTooMany =>
+          sourceKeyRange(source, keys) match {
+            case Some(pred) =>
+              val (rewritten, carried) = table.splitDirsMayMatch(pred)
+              if (carried.isEmpty) FullScope else FileScope(rewritten, carried)
+            case None => FullScope
+          }
       }
     }
 

@@ -98,6 +98,40 @@ class FileScopedMergeSpec extends SparkSpec {
     assert(t.read.count() === 410)
   }
 
+  test("large bimodal batches prune exactly via the per-dir stats probe") {
+    // >1000 distinct keys (past any IN-list shortcut) in the canonical
+    // bimodal shape (low updates + new high ids) — interval unions would
+    // span the gap and cover every bucket; the per-dir box probe cannot
+    // conflate the two modes
+    val path = tmpDir("fsm_big")
+    val t = clusteredTable(path)
+    val batch = rows(0 until 10, "B").unionByName(rows(5000 until 6200, "n"))
+    Writers.scd1(spark, path, batch, Seq("id"), opts(T1))
+    val c = t.lastCommit.get
+    assert(c.operationMetrics("numCarriedDirs").toInt >= 2,
+      s"interval path did not prune: ${c.operationMetrics}")
+    assert(t.read.count() === 1600)
+    assert(t.read.filter($"id" === 5).select("v").as[String].head() === "B5")
+    assert(t.read.filter($"id" === 300).select("v").as[String].head() === "a300")
+  }
+
+  test("large STRING-keyed batches prune via the per-dir stats probe too") {
+    val path = tmpDir("fsm_bigstr")
+    val base = (0 until 400).map(i => (f"key-$i%04d", "a" + i)).toDF("id", "v")
+    Writers.scd1(spark, path, base, Seq("id"), opts(T0))
+    val t = ManagedTable(spark, path)
+    t.clusterByRange("id", 4)
+    val batch = ((10 until 20).map(i => (f"key-$i%04d", "B" + i)) ++
+      (0 until 1200).map(i => (f"zzz-$i%05d", "n" + i))).toDF("id", "v")
+    Writers.scd1(spark, path, batch, Seq("id"), opts(T1))
+    val c = t.lastCommit.get
+    assert(c.operationMetrics("numCarriedDirs").toInt >= 2,
+      s"string interval path did not prune: ${c.operationMetrics}")
+    assert(t.read.count() === 1600)
+    assert(t.read.filter($"id" === "key-0015").select("v").as[String].head() === "B15")
+    assert(t.read.filter($"id" === "key-0300").select("v").as[String].head() === "a300")
+  }
+
   test("NULL merge keys in the batch fall back to a full-table merge") {
     val path = tmpDir("fsm4")
     val t = clusteredTable(path)
