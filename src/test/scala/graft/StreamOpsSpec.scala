@@ -193,6 +193,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(active2 === "TWO")
   }
 
+  test("streaming scd1 micro-batches file-scope against a clustered standing table") {
+    import graft.write.{WriteOptions, Writers}
+    val srcDir = tmpDir("sfsm_src")
+    val sink = tmpDir("sfsm_sink")
+    val state = tmpDir("sfsm_state")
+    // standing corpus: batch-loaded, range-clustered — the shape a
+    // continuously-ingesting 100 TB table should be kept in
+    Writers.scd1(spark, sink,
+      (0 until 400).map(i => (i, "a" + i)).toDF("id", "name"),
+      Seq("id"), WriteOptions(now = Some("2026-01-01 00:00:00")))
+    ManagedTable(spark, sink).clusterBy("id", 4)
+    // a narrow-key micro-batch arrives via the STREAM task path
+    Seq((10, "B10"), (11, "B11")).toDF("id", "name").write.parquet(srcDir)
+    val t = TaskConf("sfsm",
+      inputs = Seq(InputConf("in1", srcDir, "parquet",
+        sourceExtractType = "stream", schemaDdl = Some("id INT, name STRING"))),
+      executionSql = Some("SELECT * FROM in1"),
+      outputs = Seq(OutputConf("out", sink, writeType = "scd1",
+        keyAttributes = Seq("id"),
+        options = Map("now" -> "2026-02-01 00:00:00"))),
+      refreshPolicy = RefreshPolicy(refreshType = "stream"),
+      stateLocation = Some(state))
+    SparkTask.run(spark, t)
+    val c = ManagedTable(spark, sink).lastCommit.get
+    assert(c.operation === "MERGE(scd1)")
+    assert(c.operationMetrics("numCarriedDirs").toInt >= 2,
+      s"streaming merge did not file-scope: ${c.operationMetrics}")
+    val now = ManagedTable(spark, sink).read
+    assert(now.count() === 400)
+    assert(now.filter($"id" === 10).select("name").as[String].head() === "B10")
+    assert(now.filter($"id" === 200).select("name").as[String].head() === "a200")
+  }
+
   test("streaming schema-inference feature parses JSON payloads through the task layer (test_stream.py:663)") {
     val srcDir = tmpDir("sinfer_src")
     val sink = tmpDir("sinfer_sink")
