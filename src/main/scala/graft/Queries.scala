@@ -1679,6 +1679,40 @@ object Queries {
       | WHERE len(n.sh) > 0 AND len(o.sh) > 0)
       |SELECT new_id, old_id, jaccard FROM p WHERE jaccard >= 0.8""".stripMargin
 
+  /** The daily-ingest dedup ACTION under the oracle gate: the new batch
+    * (doc_id % 10 == 0) minus near-dups of the standing corpus (checked
+    * through its persisted index) minus batch-internal near-dups —
+    * exactly the rows safe to append. The oracle recomputes both checks
+    * with exact Jaccard. */
+  def dedupBatchAction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Dedup
+    val docs = pq(spark, dir, "documents")
+    val idx = Dedup.buildNearDupIndex(docs.filter(col("doc_id") % 10 =!= 0))
+    Dedup.dedupNewBatch(docs.filter(col("doc_id") % 10 === 0), idx,
+      threshold = 0.8)
+      .select("doc_id", "lang")
+  }
+
+  val dedupBatchActionSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  list_distinct([g[i] || ' ' || g[i+1] || ' ' || g[i+2]
+      |                 for i in range(1, len(g)-1)]) AS sh
+      | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS g
+      |       FROM documents)),
+      |n AS (SELECT * FROM d WHERE doc_id % 10 = 0 AND len(sh) > 0),
+      |o AS (SELECT * FROM d WHERE doc_id % 10 <> 0 AND len(sh) > 0),
+      |xdup AS (SELECT DISTINCT n.doc_id FROM n JOIN o
+      | ON len(list_intersect(n.sh, o.sh))::DOUBLE /
+      |    len(list_distinct(list_concat(n.sh, o.sh))) >= 0.8),
+      |idup AS (SELECT DISTINCT b.doc_id FROM n a JOIN n b
+      | ON a.doc_id < b.doc_id
+      | AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+      |     len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+      |SELECT doc_id, lang FROM documents
+      |WHERE doc_id % 10 = 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM xdup)
+      |  AND doc_id NOT IN (SELECT doc_id FROM idup)""".stripMargin
+
   /** Decontamination as an ACTION (not just the report): the train split
     * minus every doc sharing >= 3 shingles with any test doc — what a
     * pipeline actually ships to training. Same bucketed shape as the

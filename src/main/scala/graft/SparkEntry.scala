@@ -66,6 +66,7 @@ object SparkEntry {
     "pii_redact" -> (Queries.piiRedact(_, _)),
     "chunk_documents" -> (Queries.chunkDocs(_, _)),
     "dedup_incremental" -> (Queries.dedupIncremental(_, _)),
+    "dedup_batch_action" -> (Queries.dedupBatchAction(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_partitioned" -> (Queries.scd1Partitioned(_, _)),
@@ -176,6 +177,7 @@ object SparkEntry {
     "pii_redact" -> Queries.piiRedactSql,
     "chunk_documents" -> Queries.chunkDocsSql,
     "dedup_incremental" -> Queries.dedupIncrementalSql,
+    "dedup_batch_action" -> Queries.dedupBatchActionSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_file_scoped" -> Queries.scd1FileScopedSql,

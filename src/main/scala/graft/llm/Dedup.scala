@@ -375,6 +375,29 @@ object Dedup {
   }
 
   /**
+   * The daily-ingest dedup ACTION: new docs that survive near-dup
+   * checks BOTH against the standing corpus (via its persisted
+   * [[buildNearDupIndex]]) and within the batch itself (min-id
+   * survivor, the [[dedupNear]] rule) — i.e. exactly what is safe to
+   * append. Cost is the incremental band join (new×corpus only) plus
+   * the batch-internal LSH pass over the (small) batch; the corpus is
+   * never rescanned.
+   */
+  def dedupNewBatch(newDocs: DataFrame, corpusIndex: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    threshold: Double = 0.8,
+                    numHashes: Int = 64, shingleN: Int = 3,
+                    bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val vsCorpus = incrementalNearDupPairsWith(newDocs, corpusIndex,
+      textCol, idCol, threshold, numHashes, shingleN, bands, rowsPerBand)
+      .select(col("new_id").as(idCol))
+    val internal = nearDupPairs(newDocs, textCol, idCol, threshold,
+      numHashes, shingleN, bands, rowsPerBand)
+      .select(col("id2").as(idCol))
+    newDocs.join(vsCorpus.unionByName(internal).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /**
    * Decontaminate a training corpus against an eval set: drop every
    * train doc sharing at least `minShared` distinct shingles with ANY
    * test doc — the action step on top of [[contaminationPairs]]'s

@@ -205,6 +205,26 @@ class DedupSpec extends SparkSpec {
     assertSameRows(viaIndex, inline)
   }
 
+  test("dedupNewBatch removes corpus near-dups AND batch-internal near-dups") {
+    import org.apache.spark.sql.functions.col
+    val newDocs = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val idx = Dedup.buildNearDupIndex(corpus).localCheckpoint()
+    val kept = Dedup.dedupNewBatch(newDocs, idx, threshold = 0.8)
+    // composition law: kept = newDocs − cross-dups − internal losers
+    val cross = Dedup.incrementalNearDupPairsWith(newDocs, idx, threshold = 0.8)
+      .select(col("new_id").as("doc_id"))
+    val internal = Dedup.nearDupPairs(newDocs, threshold = 0.8)
+      .select(col("id2").as("doc_id"))
+    val want = newDocs.join(cross.unionByName(internal).distinct(),
+      Seq("doc_id"), "left_anti")
+    assertSameRows(kept.select("doc_id"), want.select("doc_id"))
+    // kept batch has no remaining near-dup against corpus or itself
+    assert(Dedup.incrementalNearDupPairsWith(kept, idx, threshold = 0.8)
+      .count() === 0)
+    assert(Dedup.nearDupPairs(kept, threshold = 0.8).count() === 0)
+  }
+
   test("contaminationPairs finds cross-split shingle overlap, counts distinct grams") {
     import spark.implicits._
     val train = Seq(
