@@ -93,7 +93,13 @@ object Writers {
                          c: Column): Option[(Column, String => Option[Column])] = {
     import org.apache.spark.sql.types._
     dt match {
-      case _: NumericType => Some((c, s => scala.util.Try(lit(s).cast(dt)).toOption))
+      case _: NumericType => Some((c, s => scala.util.Try {
+        // validate DRIVER-side: an unparseable stat (NaN/Infinity/exotic)
+        // must become "dir affected", never a runtime-null comparison
+        // that would silently read as "dir carried"
+        BigDecimal(s.trim)
+        lit(s).cast(dt)
+      }.toOption))
       case StringType => Some((c, s => Some(lit(s))))
       case DateType => Some((c, s =>
         scala.util.Try(lit(java.time.LocalDate.parse(s).toString).cast(DateType)).toOption))
