@@ -556,14 +556,30 @@ final class ManagedTable(spark: SparkSession, root: String) {
    * matched keys. Carried dirs keep their bytes and their skipping stats
    * untouched; like replace/merge commits, a concurrent-commit conflict
    * surfaces instead of retrying (the composition is not commutative).
+   *
+   * `expectedPrevVersion` is the version the merge RESOLVED its scope
+   * against: if the table has advanced since (e.g. a concurrent append
+   * landed between the scope split and this commit), committing
+   * carried-from-the-old-version dirs would silently DROP the
+   * concurrent commit's data from the snapshot — so the write refuses
+   * with [[ManagedTable.ConcurrentCommitException]] instead, exactly
+   * like Delta's conflict detection. The commit then publishes
+   * `expectedPrevVersion + 1`, so a racer landing inside the remaining
+   * window loses the atomic rename/link and surfaces the same way.
    */
   private[graft] def writeCarried(df: DataFrame, carried: Seq[String],
       operation: String, userMetadata: Option[String] = None,
       changeData: Option[DataFrame] = None,
-      extraMetrics: Map[String, String] = Map.empty): Commit = synchronized {
+      extraMetrics: Map[String, String] = Map.empty,
+      expectedPrevVersion: Option[Long] = None): Commit = synchronized {
     import org.apache.spark.sql.functions.{count, lit}
     val prev = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
+    expectedPrevVersion.filter(_ != prev.version).foreach { v =>
+      throw new ConcurrentCommitException(
+        s"table $root advanced from version $v to ${prev.version} while a " +
+          "scoped merge was computing — its carried-dir composition is stale")
+    }
     val stale = carried.filterNot(prev.dirs.contains)
     require(stale.isEmpty,
       s"carried dirs are not part of the current version of $root: ${stale.mkString(", ")}")

@@ -292,15 +292,20 @@ object Writers {
    */
   private def commitMerge(table: ManagedTable, result: DataFrame, op: String,
                           opts: WriteOptions, userMetadata: Option[String],
-                          partitionBy: Seq[String], scope: MergeScope): Commit = {
+                          partitionBy: Seq[String], scope: MergeScope,
+                          readVersion: Option[Long]): Commit = {
     def commit(snapshot: DataFrame, change: Option[DataFrame]): Commit =
       scope match {
         case PartScope =>
           table.selectiveOverwrite(snapshot, partitionBy, userMetadata, op, change)
         case FileScope(rewritten, carried) =>
+          // refuse to publish a stale composition: a concurrent commit
+          // between scope resolution and here would otherwise have its
+          // dirs silently dropped from the snapshot
           table.writeCarried(snapshot, carried, op, userMetadata, change,
             Map("numRewrittenDirs" -> rewritten.size.toString,
-              "numCarriedDirs" -> carried.size.toString))
+              "numCarriedDirs" -> carried.size.toString),
+            expectedPrevVersion = readVersion)
         case FullScope =>
           table.write(snapshot, op, "replace", userMetadata, partitionBy, change)
       }
@@ -376,9 +381,10 @@ object Writers {
     val table = ManagedTable(spark, path)
     table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd1", keys, Nil, opts))
     val s = staged(source, opts)
+    val readVersion = table.lastCommit.map(_.version)
     val scope = resolveScope(table, s, keys, opts, partitionBy)
     val result = WritePatterns.scd1(mergeTarget(table, s, partitionBy, scope), s, keys, opts)
-    val c = commitMerge(table, result, "MERGE(scd1)", opts, userMetadata, partitionBy, scope)
+    val c = commitMerge(table, result, "MERGE(scd1)", opts, userMetadata, partitionBy, scope, readVersion)
     unstage(s, opts); c
   }
 
@@ -389,9 +395,10 @@ object Writers {
     val table = ManagedTable(spark, path)
     table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd2", keys, Nil, opts))
     val s = staged(source, opts)
+    val readVersion = table.lastCommit.map(_.version)
     val scope = resolveScope(table, s, keys, opts, partitionBy)
     val result = WritePatterns.scd2(mergeTarget(table, s, partitionBy, scope), s, keys, opts)
-    val c = commitMerge(table, result, "MERGE(scd2)", opts, userMetadata, partitionBy, scope)
+    val c = commitMerge(table, result, "MERGE(scd2)", opts, userMetadata, partitionBy, scope, readVersion)
     unstage(s, opts); c
   }
 
@@ -405,10 +412,11 @@ object Writers {
     table.createIfNotExists(
       WritePatterns.targetSchemaFor(source, "scd3", keys, columnAttributes, opts))
     val s = staged(source, opts)
+    val readVersion = table.lastCommit.map(_.version)
     val scope = resolveScope(table, s, keys, opts, partitionBy)
     val result = WritePatterns.scd3(mergeTarget(table, s, partitionBy, scope), s, keys,
       columnAttributes, opts, changeTracking)
-    val c = commitMerge(table, result, "MERGE(scd3)", opts, userMetadata, partitionBy, scope)
+    val c = commitMerge(table, result, "MERGE(scd3)", opts, userMetadata, partitionBy, scope, readVersion)
     unstage(s, opts); c
   }
 

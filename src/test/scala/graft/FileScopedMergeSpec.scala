@@ -217,6 +217,26 @@ class FileScopedMergeSpec extends SparkSpec {
     assert(res.passed, s"file-scoped merge diverged from full rewrite: ${res.status}")
   }
 
+  test("a concurrent commit between scope resolution and publish surfaces, never drops data") {
+    val path = tmpDir("fsm_conflict")
+    val t = clusteredTable(path)
+    val cur = t.lastCommit.get
+    val resolvedAt = cur.version
+    val carried = cur.dirs.tail // any stale composition
+    // a concurrent commit lands AFTER the merge resolved its scope
+    // (metadata-only bump via the test-visible commit writer)...
+    t.writeCommit(cur.copy(version = cur.version + 1, operation = "APPEND"))
+    // ...so publishing the stale carried-dir composition must refuse:
+    // silently committing would drop the concurrent commit's dirs
+    intercept[ManagedTable.ConcurrentCommitException] {
+      t.writeCarried(rows(0 until 5, "y"), carried, "MERGE(scd1)",
+        expectedPrevVersion = Some(resolvedAt))
+    }
+    // the concurrent commit's snapshot is intact and still latest-minus-none
+    assert(t.latestVersion.get === resolvedAt + 1)
+    assert(t.read.count() === 400)
+  }
+
   test("vacuum after a file-scoped merge keeps carried dirs readable") {
     val path = tmpDir("fsm_vac")
     val t = clusteredTable(path)
