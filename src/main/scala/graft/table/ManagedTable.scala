@@ -655,9 +655,20 @@ final class ManagedTable(spark: SparkSession, root: String) {
       userMetadata: Option[String] = None,
       partitionBy: Seq[String] = Nil,
       changeData: Option[DataFrame] = None,
-      mergeSchema: Boolean = false): Commit = synchronized {
+      mergeSchema: Boolean = false,
+      expectedPrevVersion: Option[Long] = None): Commit = synchronized {
     import org.apache.spark.sql.functions.{count, lit}
     val prev = lastCommit
+    // merge callers pass the version their result was COMPUTED against:
+    // replacing over a different head would silently erase the
+    // intervening commit's data (appends never pass it — they are
+    // commutative and retry instead)
+    expectedPrevVersion.filter(v => prev.map(_.version).getOrElse(-1L) != v)
+      .foreach { v =>
+        throw new ConcurrentCommitException(
+          s"table $root advanced from version $v to " +
+            s"${prev.map(_.version).getOrElse(-1L)} while a merge was computing")
+      }
     val tableSchema: StructType = prev match {
       case Some(p) if mode == "append" && p.dirs.nonEmpty =>
         val old = StructType.fromDDL(p.schemaDdl)
@@ -786,9 +797,18 @@ final class ManagedTable(spark: SparkSession, root: String) {
   def selectiveOverwrite(df: DataFrame, partitionBy: Seq[String],
                          userMetadata: Option[String] = None,
                          operation: String = "SELECTIVE_OVERWRITE",
-                         changeData: Option[DataFrame] = None): Commit = synchronized {
+                         changeData: Option[DataFrame] = None,
+                         expectedPrevVersion: Option[Long] = None): Commit = synchronized {
     require(partitionBy.nonEmpty, "selectiveOverwrite requires partition columns")
     val prev = lastCommit
+    // see write(): a partition-scoped merge result computed against an
+    // older head must not replace a partition a concurrent commit wrote
+    expectedPrevVersion.filter(v => prev.map(_.version).getOrElse(-1L) != v)
+      .foreach { v =>
+        throw new ConcurrentCommitException(
+          s"table $root advanced from version $v to " +
+            s"${prev.map(_.version).getOrElse(-1L)} while a merge was computing")
+      }
     val readVersion = prev.map(_.version).getOrElse(-1L)
     val version = readVersion + 1L
     val tsMs = System.currentTimeMillis()
@@ -1004,7 +1024,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
     Some(writeCarried(merged, big,
       s"COMPACT(${small.size} dirs)",
       extraMetrics = Map("numCompactedDirs" -> small.size.toString,
-        "numCarriedDirs" -> big.size.toString)))
+        "numCarriedDirs" -> big.size.toString),
+      // cross-process racer between the dir listing and the publish
+      // must surface, not have its commit's dirs silently dropped
+      expectedPrevVersion = Some(c.version)))
   }
 
   /**

@@ -294,20 +294,22 @@ object Writers {
                           opts: WriteOptions, userMetadata: Option[String],
                           partitionBy: Seq[String], scope: MergeScope,
                           readVersion: Option[Long]): Commit = {
+    // every scope refuses to publish a result computed against a stale
+    // head: a concurrent commit between scope/target resolution and here
+    // would otherwise have its data silently dropped from the snapshot
     def commit(snapshot: DataFrame, change: Option[DataFrame]): Commit =
       scope match {
         case PartScope =>
-          table.selectiveOverwrite(snapshot, partitionBy, userMetadata, op, change)
+          table.selectiveOverwrite(snapshot, partitionBy, userMetadata, op,
+            change, expectedPrevVersion = readVersion)
         case FileScope(rewritten, carried) =>
-          // refuse to publish a stale composition: a concurrent commit
-          // between scope resolution and here would otherwise have its
-          // dirs silently dropped from the snapshot
           table.writeCarried(snapshot, carried, op, userMetadata, change,
             Map("numRewrittenDirs" -> rewritten.size.toString,
               "numCarriedDirs" -> carried.size.toString),
             expectedPrevVersion = readVersion)
         case FullScope =>
-          table.write(snapshot, op, "replace", userMetadata, partitionBy, change)
+          table.write(snapshot, op, "replace", userMetadata, partitionBy,
+            change, expectedPrevVersion = readVersion)
       }
     if (!opts.enableChangeDataFeed)
       commit(result, None)
