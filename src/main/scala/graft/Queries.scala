@@ -734,6 +734,41 @@ object Queries {
        |SELECT c_custkey + 1000000, c_name || '_new', c_mktsegment, '$T1', '$T1'
        |FROM customer WHERE c_custkey <= 50""".stripMargin
 
+  /** File-scoped scd1 keyed on a STRING column over a clusterByRange
+    * layout — the uuid/natural-key shape (the numeric clusterBy cannot
+    * lay these tables out). Self-checking like merge_maintenance: the
+    * merge must carry untouched dirs or the query fails. */
+  def scd1StringScoped(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("scd1ss")
+    val c = cust(spark, dir).select("c_name", "c_custkey", "c_mktsegment")
+    val t = ManagedTable(spark, path)
+    Staging.timed {
+      Writers.scd1(spark, path, c, Seq("c_name"), WriteOptions(now = Some(T0)))
+      t.clusterByRange("c_name", 4)
+    }
+    val updates = c.filter(col("c_custkey") <= 100)
+      .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_S")))
+    val inserts = c.filter(col("c_custkey") <= 30)
+      .select(concat(col("c_name"), lit("_new")).as("c_name"),
+        (col("c_custkey") + 4000000).as("c_custkey"), col("c_mktsegment"))
+    Writers.scd1(spark, path, updates.unionByName(inserts), Seq("c_name"),
+      WriteOptions(now = Some(T1)))
+    require(t.lastCommit.get.operationMetrics.get("numCarriedDirs").exists(_.toInt >= 1),
+      s"string-keyed merge did not file-scope: ${t.lastCommit.get.operationMetrics}")
+    t.read.select(col("c_name"), col("c_custkey"), col("c_mktsegment"),
+      col(Meta.ValidToTs).cast("string").as(Meta.ValidToTs))
+  }
+
+  val scd1StringScopedSql: String =
+    s"""SELECT c_name, c_custkey,
+       | CASE WHEN c_custkey <= 100 THEN c_mktsegment || '_S'
+       |      ELSE c_mktsegment END AS c_mktsegment,
+       | CASE WHEN c_custkey <= 100 THEN '$T1' ELSE '$T0' END AS __metadata_valid_to_ts__
+       |FROM customer
+       |UNION ALL
+       |SELECT c_name || '_new', c_custkey + 4000000, c_mktsegment, '$T1'
+       |FROM customer WHERE c_custkey <= 30""".stripMargin
+
   /** Continuous-maintenance lifecycle on an unpartitioned merge table:
     * init → range-cluster → file-scoped update merge → two insert-only
     * merges (each adds a tiny dir) → compactDirs folds the small dirs →

@@ -72,6 +72,7 @@ object SparkEntry {
     "scd1_partitioned" -> (Queries.scd1Partitioned(_, _)),
     "scd1_file_scoped" -> (Queries.scd1FileScoped(_, _)),
     "merge_maintenance" -> (Queries.mergeMaintenance(_, _)),
+    "scd1_string_scoped" -> (Queries.scd1StringScoped(_, _)),
     "scd2_initial" -> (Queries.scd2Initial(_, _)),
     "scd2_two_loads" -> (Queries.scd2TwoLoads(_, _)),
     "scd3_shift" -> (Queries.scd3Shift(_, _)),
@@ -182,6 +183,7 @@ object SparkEntry {
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_file_scoped" -> Queries.scd1FileScopedSql,
     "merge_maintenance" -> Queries.mergeMaintenanceSql,
+    "scd1_string_scoped" -> Queries.scd1StringScopedSql,
     "scd1_partitioned" -> Queries.scd1PartitionedSql,
     "scd2_initial" -> Queries.scd2InitialSql,
     "scd2_two_loads" -> Queries.scd2TwoLoadsSql,
