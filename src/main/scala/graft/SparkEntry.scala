@@ -104,6 +104,11 @@ object SparkEntry {
     "dedup_near_corpus" -> ((s, d) =>
       Dedup.dedupNear(Queries.pq(s, d, "documents"), threshold = 0.8)
         .select("doc_id", "lang", "source")),
+    // transitive components, best-quality survivor (n_chars as quality)
+    "dedup_near_best" -> ((s, d) =>
+      Dedup.dedupNearBest(Queries.pq(s, d, "documents"), "n_chars",
+          threshold = 0.8)
+        .select("doc_id", "lang")),
     "simhash_neardup" -> ((s, d) =>
       Dedup.simhashPairs(Queries.pq(s, d, "documents"), maxDistance = 3)),
     // composed cleaning chain: quality -> lang-id -> exact dedup -> near-dup
@@ -282,6 +287,31 @@ object SparkEntry {
         |       len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "dedup_near_best" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |  list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                 for i in range(1, len(s)-1)]) AS sh
+        | FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+        |       FROM documents)),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        | FROM d a JOIN d b ON a.doc_id < b.doc_id
+        | WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |       len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p
+        |      UNION SELECT id2, id1 FROM p),
+        |reach(s, t) AS (SELECT a, b FROM e
+        | UNION SELECT r.s, e.b FROM reach r JOIN e ON r.t = e.a),
+        |root AS (SELECT s AS doc_id,
+        |  LEAST(s, MIN(t)) AS comp FROM reach GROUP BY s)
+        |SELECT doc_id, lang FROM (
+        | SELECT dd.doc_id, dd.lang,
+        |  ROW_NUMBER() OVER (PARTITION BY r.comp
+        |   ORDER BY dd.n_chars DESC, dd.doc_id ASC) AS rn
+        | FROM documents dd JOIN root r ON dd.doc_id = r.doc_id)
+        |WHERE rn = 1
+        |UNION ALL
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM root)""".stripMargin,
     "knn_bruteforce" ->
       """SELECT query_id, rank, neighbor_id FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

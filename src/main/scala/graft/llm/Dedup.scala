@@ -488,6 +488,33 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Transitive near-dup dedup keeping the BEST doc of every component
+   * (greatest `priorityCol`, ties to the smallest id) instead of the
+   * arbitrary min-id survivor — the curation rule real pipelines want:
+   * of N near-identical crawls, keep the longest/cleanest one. Same
+   * cost shape as [[dedupNearTransitive]] (bucketed pair generation +
+   * min-label components) plus one window over the docs that belong to
+   * any component; singleton docs pass through untouched.
+   */
+  def dedupNearBest(docs: DataFrame, priorityCol: String,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = connectedComponents(
+      nearDupPairs(docs, textCol, idCol, threshold).select("id1", "id2"))
+    val member = docs.join(comps.withColumnRenamed("id", idCol), Seq(idCol))
+    val w = Window.partitionBy("component")
+      .orderBy(col(s"`$priorityCol`").desc, col(s"`$idCol`").asc)
+    val survivors = member
+      .withColumn("__graft_rn__", row_number().over(w))
+      .filter(col("__graft_rn__") === 1)
+      .select(col(s"`$idCol`"))
+    val singletons = docs.join(comps.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+    docs.join(survivors, Seq(idCol), "left_semi").unionByName(singletons)
+  }
+
   // ------------------------------------------------------------ SimHash
 
   /** Token hash for SimHash: first 8 bytes (big-endian) of md5. Chosen

@@ -170,6 +170,24 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(1L, 4L))
   }
 
+  test("dedupNearBest keeps the highest-priority doc per component, singletons untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 10),
+      (2L, "the quick brown fox jumps over the lazy dog", 50), // best of the cluster
+      (3L, "the quick brown fox jumps over the lazy dog", 50), // tie -> smaller id (2) wins
+      (4L, "completely different content with other words here", 7)
+    ).toDF("doc_id", "text", "q")
+    val kept = Dedup.dedupNearBest(df, "q")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))
+    // min-id rule (dedupNearTransitive) would have kept 1 — the priority
+    // rule must actually change the survivor
+    val minId = Dedup.dedupNearTransitive(df)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId === Set(1L, 4L))
+  }
+
   test("incrementalNearDupPairs equals the cross-side slice of the batch result") {
     import org.apache.spark.sql.functions.col
     val newDocs = docs.filter(col("doc_id") % 10 === 0)
