@@ -146,22 +146,58 @@ object Sampling {
     * [[graft.llm.Packing.packSequences]]: the straddling row is
     * admitted (total ≤ budget + one document), and a group's first row
     * always survives, so a quota can never silently starve a group out
-    * of the mixture. One shuffle on `groupCols`, same cost shape as
-    * [[capPerGroup]]. */
+    * of the mixture. One shuffle on `groupCols`.
+    *
+    * Hot-group guard (same sizing aggregate as [[capPerGroup]]): when
+    * the largest group exceeds `budget-row-count × hotGroupFactor`-ish
+    * scale — detected as max group row count > hotGroupFactor × 1024 —
+    * the prefix sum decomposes EXACTLY over 256 hash-prefix buckets:
+    * the bucket is the leading hex of the very hash the global order
+    * sorts by, so (bucket asc, within-bucket order) IS the global
+    * order, and global prefix = per-bucket running sum + the running
+    * total of all earlier buckets (a 256-row window). Bounded sorts,
+    * identical output. `hotGroupFactor = 0` disables the guard and the
+    * sizing job. */
   def capTokensPerGroup(df: DataFrame, groupCols: Seq[String],
                         sizeCol: String, budget: Long,
-                        keys: Seq[String], salt: String = ""): DataFrame = {
+                        keys: Seq[String], salt: String = "",
+                        hotGroupFactor: Int = 64): DataFrame = {
     require(groupCols.nonEmpty && keys.nonEmpty,
       "capTokensPerGroup needs group and key columns")
     require(budget > 0, s"budget must be positive, got $budget")
     val cum = "__graft_cum__"
+    val gcols = groupCols.map(c => col(s"`$c`"))
     val order = keyHex(keys, salt) +: keys.map(c => col(s"`$c`"))
-    val w = Window.partitionBy(groupCols.map(c => col(s"`$c`")): _*)
-      .orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn(cum,
-        coalesce(sum(col(s"`$sizeCol`").cast("long")).over(w), lit(0L)))
-      .filter(col(cum) < budget)
-      .drop(cum)
+    val sz = col(s"`$sizeCol`").cast("long")
+    val hot = hotGroupFactor > 0 && {
+      val r = df.groupBy(gcols: _*).agg(count(lit(1)).as("__graft_n__"))
+        .agg(max(col("__graft_n__"))).head()
+      !r.isNullAt(0) && r.getLong(0) > hotGroupFactor.toLong * 1024L
+    }
+    if (!hot) {
+      val w = Window.partitionBy(gcols: _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn(cum, coalesce(sum(sz).over(w), lit(0L)))
+        .filter(col(cum) < budget)
+        .drop(cum)
+    } else {
+      val b = "__graft_b__"
+      val within = "__graft_within__"
+      val offset = "__graft_off__"
+      val bucket = substring(keyHex(keys, salt), 1, 2)
+      val wIn = Window.partitionBy(gcols :+ col(b): _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wOff = Window.partitionBy(gcols: _*).orderBy(col(b))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bucketTotals = df.withColumn(b, bucket)
+        .groupBy(gcols :+ col(b): _*).agg(sum(sz).as("__graft_bt__"))
+        .withColumn(offset, coalesce(sum(col("__graft_bt__")).over(wOff), lit(0L)))
+        .drop("__graft_bt__")
+      df.withColumn(b, bucket)
+        .withColumn(within, coalesce(sum(sz).over(wIn), lit(0L)))
+        .join(bucketTotals, groupCols :+ b)
+        .filter(col(offset) + col(within) < budget)
+        .drop(b, within, offset)
+    }
   }
 }

@@ -156,6 +156,21 @@ class SamplingSpec extends SparkSpec {
     assert(kept.count() === 1, "group's first row must survive an oversize doc")
   }
 
+  test("capTokensPerGroup hot-group path selects the identical rows") {
+    // force the bucketed-prefix-sum path on ordinary data (factor 0 can't
+    // arm it, so drop the threshold by scaling: hotGroupFactor 0 vs a
+    // custom tiny threshold via a big synthetic group)
+    val hotData = (0 until 70000).map(i => ("hot", i.toLong, (i % 37 + 1).toLong)) ++
+      (0 until 50).map(i => ("cold", 100000L + i, 10L))
+    val df = hotData.toDF("lang", "doc_id", "n_chars").repartition(8)
+    val guarded = Sampling.capTokensPerGroup(df, Seq("lang"), "n_chars",
+      budget = 5000L, keys = Seq("doc_id"), hotGroupFactor = 64) // 70000 > 65536
+    val plain = Sampling.capTokensPerGroup(df, Seq("lang"), "n_chars",
+      budget = 5000L, keys = Seq("doc_id"), hotGroupFactor = 0)
+    assertSameRows(guarded.select("doc_id"), plain.select("doc_id"))
+    assert(guarded.columns.toSeq === df.columns.toSeq, "helper columns must not leak")
+  }
+
   test("packSequences: bins fill to budget, offsets are exclusive prefix sums") {
     val df = Seq(
       ("en", 1L, 500L), ("en", 2L, 900L), ("en", 3L, 700L), ("en", 4L, 100L),
