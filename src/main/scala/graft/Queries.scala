@@ -1325,11 +1325,17 @@ object Queries {
   /** SimHash fingerprints use md5-derived token hashes precisely so this
     * oracle exists: DuckDB recomputes every fingerprint from the text and
     * brute-forces ALL pairs, so any silent recall loss in the chunk-bucket
-    * join (the failure mode a rows-only check cannot see) hash-mismatches. */
+    * join (the failure mode a rows-only check cannot see) hash-mismatches.
+    * Mirrors the planted zero-token docs and pairs only token-ful docs
+    * (the fp CTE inner-joins fp0), matching simhashPairs' empty-doc guard. */
   val simhashPairsSql: String =
-    """WITH toks AS (
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT CAST(-1 AS BIGINT), ''
+      |  UNION ALL SELECT CAST(-2 AS BIGINT), '?!.,'),
+      |toks AS (
       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-      |  FROM documents),
+      |  FROM docs),
       |th AS (
       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
       |bits AS (
@@ -1342,8 +1348,8 @@ object Queries {
       |         SUM(CASE WHEN s > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)::UBIGINT AS sh
       |  FROM bits GROUP BY doc_id),
       |fp AS (
-      |  SELECT d.doc_id, COALESCE(f.sh, 0::UBIGINT) AS sh
-      |  FROM documents d LEFT JOIN fp0 f USING (doc_id))
+      |  SELECT d.doc_id, f.sh
+      |  FROM docs d JOIN fp0 f USING (doc_id))
       |SELECT a.doc_id AS id1, b.doc_id AS id2,
       |       bit_count(xor(a.sh, b.sh))::INT AS distance
       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -1387,8 +1393,13 @@ object Queries {
     import graft.operators.AsOfJoin
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = pq(spark, dir, "events")
+    // one planted NULL-time purchase: gates the left-join stance (NULL
+    // left times survive unmatched, AsOfJoin scaladoc) through the oracle
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .unionByName(spark.range(1).select(
+        lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit(null).cast("long").as("ts_us")))
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
         expr("ts div 1000").as("vts_us"))
@@ -1403,7 +1414,9 @@ object Queries {
     * guarantees (latest time, then greatest view_id). */
   val asofAttributionSql: String =
     s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
-       |           FROM events WHERE event_type = 'purchase'),
+       |           FROM events WHERE event_type = 'purchase'
+       |           UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       |                            CAST(NULL AS BIGINT)),
        |     v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vts_us
        |           FROM events WHERE event_type = 'view'),
        |     j AS (SELECT p.event_id, p.user_id, p.ts_us, v.view_id, v.vts_us,

@@ -109,8 +109,17 @@ object SparkEntry {
       Dedup.dedupNearBest(Queries.pq(s, d, "documents"), "n_chars",
           threshold = 0.8)
         .select("doc_id", "lang")),
-    "simhash_neardup" -> ((s, d) =>
-      Dedup.simhashPairs(Queries.pq(s, d, "documents"), maxDistance = 3)),
+    // two planted zero-token docs gate the empty-doc guard: token-less
+    // docs all fingerprint to 0 and must be excluded from pairing (k of
+    // them would otherwise make k²/2 distance-0 pairs), so no output row
+    // may carry a negative id — the oracle pairs only token-ful docs too
+    "simhash_neardup" -> { (s, d) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val docs = Queries.pq(s, d, "documents").select("doc_id", "text")
+      val planted = s.range(1).select(lit(-1L).as("doc_id"), lit("").as("text"))
+        .unionByName(s.range(1).select(lit(-2L).as("doc_id"), lit("?!.,").as("text")))
+      Dedup.simhashPairs(docs.unionByName(planted), maxDistance = 3)
+    },
     // composed cleaning chain: quality -> lang-id -> exact dedup -> near-dup
     "corpus_clean" -> (Queries.corpusClean(_, _)),
     "knn_bruteforce" -> { (s, d) =>

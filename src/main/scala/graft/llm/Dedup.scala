@@ -571,8 +571,15 @@ object Dedup {
     // beyond that the bucket join silently loses recall, so refuse
     require(maxDistance <= 3,
       "4-chunk banding guarantees full recall only for maxDistance <= 3")
+    // Zero-token docs all fingerprint to 0 (see simhash), so they would
+    // share ALL four chunk buckets with each other — k token-less docs
+    // make k²/2 candidate pairs in one bucket. Drop them before chunk
+    // explosion (a doc has ≥1 token iff its text has an alphanumeric
+    // char), mirroring lshBands' size(signature) > 0 filter; identical-
+    // content clusters belong to exact dedup, as candidatePairs advises.
+    val tokenful = docs.filter(col(textCol).rlike("[a-zA-Z0-9]"))
     // same materialization-barrier rationale as nearDupPairs
-    val sh = simhash(docs, textCol, idCol).localCheckpoint()
+    val sh = simhash(tokenful, textCol, idCol).localCheckpoint()
     val chunks = array((0 until 4).map { j =>
       struct(lit(j).as("chunk"),
         shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("ck"))

@@ -36,10 +36,14 @@ object Packing {
     * Determinism: the running sum is only well-defined under a TOTAL
     * per-group order, so the window ordering is `orderCols` extended by
     * `sizeCol` and every remaining orderable (atomic-typed) column as
-    * tie-breaks. Rows identical across ALL those columns are mutually
-    * interchangeable (same size, same everything), so their relative
-    * order cannot change any offset — the output is deterministic even
-    * when `orderCols` alone has ties. */
+    * tie-breaks. Rows identical across ALL those columns share a size,
+    * so every OFFSET and the multiset of (bin, offset) slots is
+    * deterministic even when `orderCols` alone has ties — but which of
+    * two such rows lands in which slot is only pinned down to the
+    * orderable columns: rows that differ solely in NON-orderable columns
+    * (arrays/maps/structs, which Spark cannot sort by) may swap slots
+    * across runs. Callers needing full row-level determinism should put
+    * a unique id in `orderCols`. */
   def packSequences(df: DataFrame, groupCols: Seq[String],
                     orderCols: Seq[String], sizeCol: String,
                     budget: Long,

@@ -34,11 +34,14 @@ import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
  * never truncated to seconds, so `tolerance` is in microseconds for
  * timestamp inputs and in the column's own units for numeric inputs.
  *
- * Rows whose time column is NULL are ignored on BOTH sides (dropped from
- * the output for left rows, never matchable for right rows) — the same
- * stance pandas `merge_asof` takes on NaT keys; a NULL time has no
- * position on the time axis, and letting it sort first would silently
- * hand its payload to unmatched left rows.
+ * NULL times: a left row with a NULL time SURVIVES with NULL right
+ * columns — the classic left-join stance, and what an inequality
+ * left-join oracle produces (a NULL comparison never matches). A right
+ * row with a NULL time is never matchable (dropped before the union); a
+ * NULL time has no position on the time axis, and letting it sort first
+ * would silently hand its payload to genuinely unmatched left rows.
+ * (pandas `merge_asof` instead raises on NaT keys — callers wanting that
+ * contract should assert non-null times before joining.)
  */
 object AsOfJoin {
 
@@ -93,10 +96,12 @@ object AsOfJoin {
 
     // Right rows carry __side=0 so they sort BEFORE left rows at the same
     // timestamp — that makes the match inclusive (right.t == left.t wins).
-    // NULL-time rows are dropped up front on both sides: a NULL T would
-    // sort first and its payload would become the running last() for
-    // genuinely unmatched left rows.
-    val l2 = left.filter(q(leftTime).isNotNull).select(
+    // NULL-time RIGHT rows are dropped up front: a NULL T sorting first
+    // would hand its payload to genuinely unmatched left rows. NULL-time
+    // LEFT rows stay: nulls-first ordering (both directions) puts them
+    // before every right row, so their running last() is NULL and they
+    // surface unmatched — the left-join stance.
+    val l2 = left.select(
       byCols ++ Seq(
         asTicks(q(leftTime), leftTimeDt).as(T), lit(1).as(Side), lit(0L).as(Tb),
         struct(leftPayload.map(q): _*).as(Lp)): _*)
@@ -115,9 +120,11 @@ object AsOfJoin {
     // descending; the running last right payload is the EARLIEST right
     // row with t >= left.t. Tie-break ascending in both cases, so among
     // equal timestamps the greatest tie-break value is seen last and wins.
+    // nulls FIRST in both directions (desc would default to nulls last),
+    // so NULL-time left rows precede every right row and stay unmatched.
     val ordering: Seq[Column] =
-      if (direction == "backward") Seq(col(T).asc, col(Side).asc, col(Tb).asc)
-      else Seq(col(T).desc, col(Side).asc, col(Tb).asc)
+      if (direction == "backward") Seq(col(T).asc_nulls_first, col(Side).asc, col(Tb).asc)
+      else Seq(col(T).desc_nulls_first, col(Side).asc, col(Tb).asc)
     val w = Window.partitionBy(byCols: _*).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedRaw = last(col(Rp), ignoreNulls = true).over(w)

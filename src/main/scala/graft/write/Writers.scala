@@ -22,7 +22,7 @@ object Writers {
 
   import MergeEmulator.{ChangeMark, PreMark}
   import org.apache.spark.sql.Column
-  import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+  import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, when}
 
   /** How a merge's target read and commit are scoped. */
   private sealed trait MergeScope
@@ -51,19 +51,46 @@ object Writers {
     * already-staged source — O(touched partitions) rows on the driver)
     * become a literal predicate, so the target scan prunes untouched
     * partitions at PLANNING time: a one-partition merge into a 100 TB
-    * table reads one partition, not 100 TB. */
+    * table reads one partition, not 100 TB.
+    *
+    * The tuple list is CAPPED at [[FileScopeInListCap]]: a backfill
+    * touching 10⁴–10⁵ partitions would otherwise collect that many rows
+    * and hand Catalyst a pathological OR tree. Past the cap the predicate
+    * falls back to per-column [min,max] ranges (one aggregate, O(columns)
+    * driver data) — conservative: extra partitions read pass through the
+    * merge unmatched and are replaced with identical content by
+    * [[ManagedTable.selectiveOverwrite]], which keys the replacement off
+    * the partitions PRESENT in the result, so correctness never depends
+    * on the predicate being tight. */
   private[graft] def scopedTarget(table: ManagedTable, source: DataFrame,
                            partitionBy: Seq[String]): DataFrame = {
     val full = table.read
-    val touched = source.select(partitionBy.map(col): _*).distinct().collect()
-    val pred = touched.toSeq
-      .map { r =>
+    val touched = source.select(partitionBy.map(col): _*).distinct()
+      .limit(FileScopeInListCap + 1).collect()
+    val pred =
+      if (touched.length > FileScopeInListCap) {
+        val aggs = partitionBy.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(col(s"`$c`")).as(s"mn$i"), max(col(s"`$c`")).as(s"mx$i"),
+            count(when(col(s"`$c`").isNull, 1)).as(s"nl$i"))
+        }
+        val r = source.agg(aggs.head, aggs.tail: _*).head()
         partitionBy.zipWithIndex.map { case (c, i) =>
-          if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+          val hasNull = r.getAs[Long](s"nl$i") > 0
+          if (r.isNullAt(r.fieldIndex(s"mn$i"))) col(c).isNull // all-NULL col
+          else {
+            val range = col(c) >= lit(r.get(r.fieldIndex(s"mn$i"))) &&
+              col(c) <= lit(r.get(r.fieldIndex(s"mx$i")))
+            if (hasNull) col(c).isNull || range else range
+          }
         }.reduce(_ && _)
-      }
-      .reduceOption(_ || _)
-      .getOrElse(lit(false))
+      } else touched.toSeq
+        .map { r =>
+          partitionBy.zipWithIndex.map { case (c, i) =>
+            if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+          }.reduce(_ && _)
+        }
+        .reduceOption(_ || _)
+        .getOrElse(lit(false))
     full.filter(pred)
   }
 
@@ -129,9 +156,18 @@ object Writers {
     val c = table.lastCommit.getOrElse(return ProbeTooMany)
     if (c.dirs.size > DirProbeCap) return ProbeTooMany
     val schema = StructType.fromDDL(c.schemaDdl)
+    // the probe domain is the TABLE column's type — that is what
+    // DataSkipping rendered the stat strings from, so stat values always
+    // round-trip through it, where the SOURCE type might not hold them
+    // (int batch keys probing a long-keyed table would cast the stats to
+    // runtime NULL → a may-match dir wrongly carried → stale rows). The
+    // batch column is cast INTO that domain: widening is lossless, and a
+    // narrowing overflow can only make extra dirs look affected, never
+    // hide a true match (cast is the identity on every value that could
+    // equal a table key).
     val domains = keys.map { k =>
-      k -> source.schema.fields.find(_.name == k)
-        .flatMap(f => statDomain(f.dataType, col(s"`$k`")))
+      k -> schema.fields.find(_.name == k)
+        .flatMap(f => statDomain(f.dataType, col(s"`$k`").cast(f.dataType)))
     }.toMap
     // driver-side triage: per dir either a batch-side predicate to
     // probe, or an immediate affected/carried verdict
@@ -161,8 +197,12 @@ object Writers {
     val nullAggs = keys.zipWithIndex.map { case (k, i) =>
       count(when(col(s"`$k`").isNull, 1)).as(s"__nl$i")
     }
+    // unknown → affected, mirroring DataSkipping.mayMatch: a probe can
+    // still go NULL at runtime (decimal overflow on the batch-side cast),
+    // and when(NULL, 1).otherwise(0) would read as "carried" — exactly
+    // the false carry this probe exists to prevent
     val probeAggs = probes.zipWithIndex.map { case ((_, p), i) =>
-      max(when(p, 1).otherwise(0)).as(s"__d$i")
+      max(when(coalesce(p, lit(true)), 1).otherwise(0)).as(s"__d$i")
     }
     val aggs = nullAggs ++ probeAggs
     val row = source.agg(aggs.head, aggs.tail: _*).head()
@@ -345,6 +385,27 @@ object Writers {
     if (opts.stageResults) p.localCheckpoint() else p
   }
 
+  /** Stage a merge source, adding a materialization barrier whenever a
+    * file-scope probe will engage: [[resolveScope]] aggregates the source
+    * EAGERLY and the merge then re-evaluates the same plan — on a
+    * nondeterministic source (sample, rand, shuffling limit) the merge
+    * could see keys the probe never saw, making the carried-dir set
+    * unsound in a way the expectedPrevVersion gate cannot catch. When the
+    * caller already configured a barrier (persist / localCheckpoint via
+    * the reference's persist_dataset / stage_results knobs) it is reused;
+    * otherwise the batch — small relative to the table by assumption of
+    * merging at all — is localCheckpoint'ed before any probe reads it. */
+  private def stagedForMerge(table: ManagedTable, source: DataFrame,
+                             opts: WriteOptions,
+                             partitionBy: Seq[String]): DataFrame = {
+    val s = staged(source, opts)
+    val probeEngages = !partitionScoped(opts, partitionBy) &&
+      table.lastCommit.exists(_.dirs.size > 1)
+    if (probeEngages && !opts.stageResults && !opts.persistDataset)
+      s.localCheckpoint()
+    else s
+  }
+
   private def unstage(df: DataFrame, opts: WriteOptions): Unit =
     if (opts.persistDataset) { df.unpersist(); () }
 
@@ -382,7 +443,7 @@ object Writers {
            partitionBy: Seq[String] = Nil): Commit = {
     val table = ManagedTable(spark, path)
     table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd1", keys, Nil, opts))
-    val s = staged(source, opts)
+    val s = stagedForMerge(table, source, opts, partitionBy)
     val readVersion = table.lastCommit.map(_.version)
     val scope = resolveScope(table, s, keys, opts, partitionBy)
     val result = WritePatterns.scd1(mergeTarget(table, s, partitionBy, scope), s, keys, opts)
@@ -396,7 +457,7 @@ object Writers {
            partitionBy: Seq[String] = Nil): Commit = {
     val table = ManagedTable(spark, path)
     table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd2", keys, Nil, opts))
-    val s = staged(source, opts)
+    val s = stagedForMerge(table, source, opts, partitionBy)
     val readVersion = table.lastCommit.map(_.version)
     val scope = resolveScope(table, s, keys, opts, partitionBy)
     val result = WritePatterns.scd2(mergeTarget(table, s, partitionBy, scope), s, keys, opts)
@@ -413,7 +474,7 @@ object Writers {
     val table = ManagedTable(spark, path)
     table.createIfNotExists(
       WritePatterns.targetSchemaFor(source, "scd3", keys, columnAttributes, opts))
-    val s = staged(source, opts)
+    val s = stagedForMerge(table, source, opts, partitionBy)
     val readVersion = table.lastCommit.map(_.version)
     val scope = resolveScope(table, s, keys, opts, partitionBy)
     val result = WritePatterns.scd3(mergeTarget(table, s, partitionBy, scope), s, keys,

@@ -147,10 +147,10 @@ class AsOfJoinSpec extends SparkSpec {
     assert(loose.getAs[Long]("r_id") === 10L)
   }
 
-  test("NULL time rows are ignored on both sides") {
+  test("NULL-time left rows survive unmatched; NULL-time right rows never match") {
     val l = Seq(
       (1L, "a", Some(100L)),
-      (2L, "a", None) // NULL left time -> dropped, pandas NaT stance
+      (2L, "a", None) // NULL left time -> kept with NULL right payload
     ).toDF("l_id", "k", "lt")
     val r = Seq(
       (10L, "a", Some(50L)),
@@ -158,15 +158,19 @@ class AsOfJoinSpec extends SparkSpec {
     ).toDF("r_id", "k", "rt")
     val got = AsOfJoin.join(l, r, "lt", "rt", Seq("k"),
       rightTieBreak = Some("r_id"))
-    val rows = got.collect()
-    assert(rows.length === 1)
-    assert(rows.head.getAs[Long]("l_id") === 1L)
-    assert(rows.head.getAs[Long]("r_id") === 10L)
-    // forward mode: the NULL-time right row must not become the running last
+    val m = got.collect().map(row => row.getAs[Long]("l_id") ->
+      Option(row.getAs[java.lang.Long]("r_id")).map(_.toLong)).toMap
+    assert(m === Map(1L -> Some(10L), 2L -> None),
+      "every left row survives; NULL left time and NULL right time both unmatched")
+    // forward mode orders T descending — nulls must still sort FIRST so
+    // neither the NULL-time right row nor any real right row is handed
+    // to the NULL-time left row
     val fwd = AsOfJoin.join(l, r, "lt", "rt", Seq("k"),
-      direction = "forward", rightTieBreak = Some("r_id")).collect()
-    assert(fwd.length === 1)
-    assert(fwd.head.getAs[Any]("r_id") === null) // nothing at-or-after 100
+      direction = "forward", rightTieBreak = Some("r_id"))
+    val fm = fwd.collect().map(row => row.getAs[Long]("l_id") ->
+      Option(row.getAs[java.lang.Long]("r_id")).map(_.toLong)).toMap
+    assert(fm === Map(1L -> None, 2L -> None),
+      "nothing at-or-after 100, and the NULL-time left row stays unmatched")
   }
 
   test("property: union-window result equals the quadratic reference on tie-heavy data") {

@@ -144,6 +144,24 @@ class DedupSpec extends SparkSpec {
     assert(found === truth)
   }
 
+  test("simhashPairs: zero-token docs never pair (no k²/2 blow-up, no false dups)") {
+    // 1000 token-less docs (empty / whitespace / punctuation) all
+    // fingerprint to 0 — without the pre-band filter they'd share all
+    // four chunk buckets and emit ~500k distance-0 "pairs"
+    val empty = spark.range(1000).select($"id".as("doc_id"),
+      element_at(array(lit(""), lit("   "), lit("?!.,;")),
+        ($"id" % 3 + 1).cast("int")).as("text"))
+    val real = Seq(
+      (2001L, "the quick brown fox jumps over the lazy dog"),
+      (2002L, "the quick brown fox jumps over the lazy dog"),
+      (2003L, "totally unrelated content about spark partitions")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(empty.unionByName(real), maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((2001L, 2002L)),
+      "only the genuine near-dup pair; token-less docs are excluded from banding")
+  }
+
   test("connectedComponents collapses chains transitively") {
     import spark.implicits._
     // chain 1-2-3, chain 10-11, singleton edge 20-21, long chain 30..34

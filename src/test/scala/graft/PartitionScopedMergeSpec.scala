@@ -144,6 +144,32 @@ class PartitionScopedMergeSpec extends SparkSpec {
     assert(feed === Set(3 -> "update_preimage", 3 -> "update_postimage", 4 -> "insert"))
   }
 
+  test("scopedTarget caps the literal predicate on wide backfills (range fallback)") {
+    val path = tmpDir("psm_cap")
+    val t = ManagedTable(spark, path)
+    // table: 3 partitions — one inside the backfill's dt range, two outside
+    val table = day("m0500", 1 -> "in").unionByName(day("a0000", 2 -> "below"))
+      .unionByName(day("z9999", 3 -> "above"))
+    Writers.scd1(spark, path, table, Seq("id"), scoped(T0), partitionBy = Seq("dt"))
+    // backfill source touching 1500 distinct partitions (> FileScopeInListCap):
+    // a literal OR would put 1500 conjunctions in the plan
+    val wide = spark.range(1500).select(($"id" + 10).cast("int").as("id"),
+      format_string("m%04d", $"id").as("dt"), lit("w").as("v"))
+    val target = Writers.scopedTarget(t, wide, Seq("dt"))
+    // bounded predicate: the filter tree must hold O(columns) literals
+    // (per-column min/max ranges), never one equality per touched tuple
+    val nLiterals = target.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+        }.size
+    }.sum
+    assert(nLiterals <= 8, s"expected a range-fallback predicate, got $nLiterals literals")
+    // conservative and still pruning: the in-range partition is read,
+    // the out-of-range ones are not
+    assert(target.select("dt").as[String].collect().toSeq === Seq("m0500"))
+  }
+
   test("merge without partitionBy (or with uncovered partition columns) still full-rewrites") {
     val path = tmpDir("psm5")
     val t = ManagedTable(spark, path)
