@@ -554,64 +554,112 @@ final class ManagedTable(spark: SparkSession, root: String) {
    * version by reference — the file-scoped merge commit: prevDirs −
    * rewritten + new, the Delta move of rewriting only files that contain
    * matched keys. Carried dirs keep their bytes and their skipping stats
-   * untouched; like replace/merge commits, a concurrent-commit conflict
-   * surfaces instead of retrying (the composition is not commutative).
+   * untouched.
    *
    * `expectedPrevVersion` is the version the merge RESOLVED its scope
    * against: if the table has advanced since (e.g. a concurrent append
    * landed between the scope split and this commit), committing
    * carried-from-the-old-version dirs would silently DROP the
-   * concurrent commit's data from the snapshot — so the write refuses
-   * with [[ManagedTable.ConcurrentCommitException]] instead, exactly
-   * like Delta's conflict detection. The commit then publishes
-   * `expectedPrevVersion + 1`, so a racer landing inside the remaining
-   * window loses the atomic rename/link and surfaces the same way.
+   * concurrent commit's data from the snapshot. What happens then is the
+   * caller's choice, Delta-conflict-resolution style:
+   *
+   *  - `rebase` provided: the callback receives the NEW head commit and
+   *    answers "against this head, which dirs does my (unchanged) result
+   *    carry?" — `Some(newCarried)` recomposes `headDirs − rewritten +
+   *    new` and publishes against the new head WITHOUT recomputing the
+   *    merge join (the data dir is written exactly once and reused
+   *    across publication retries); `None` means the conflicting commit
+   *    overlaps the result (it touched a rewritten dir, or added rows
+   *    the merge should have seen), so the conflict surfaces for the
+   *    caller to re-merge.
+   *  - no `rebase`: refuse with [[ManagedTable.ConcurrentCommitException]],
+   *    exactly like Delta's conflict detection — a commit landing in the
+   *    resolution window must never be silently dropped.
+   *
+   * Publication retries are bounded; the commit publishes
+   * `head.version + 1`, so a racer landing inside the remaining window
+   * loses the atomic rename/link and goes through the same resolution.
    */
   private[graft] def writeCarried(df: DataFrame, carried: Seq[String],
       operation: String, userMetadata: Option[String] = None,
       changeData: Option[DataFrame] = None,
       extraMetrics: Map[String, String] = Map.empty,
-      expectedPrevVersion: Option[Long] = None): Commit = synchronized {
+      expectedPrevVersion: Option[Long] = None,
+      rebase: Option[Commit => Option[Seq[String]]] = None): Commit = synchronized {
     import org.apache.spark.sql.functions.{count, lit}
-    val prev = lastCommit.getOrElse(
+    val entry = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
-    expectedPrevVersion.filter(_ != prev.version).foreach { v =>
-      throw new ConcurrentCommitException(
-        s"table $root advanced from version $v to ${prev.version} while a " +
-          "scoped merge was computing — its carried-dir composition is stale")
+    def conflict(v: Long): ConcurrentCommitException =
+      new ConcurrentCommitException(
+        s"table $root advanced from version $v to ${lastCommit.map(_.version).getOrElse(-1L)} " +
+          "while a scoped merge was computing — its carried-dir composition is stale")
+    // entry-time staleness: resolve BEFORE paying the data write
+    val (base0, carried0) = expectedPrevVersion.filter(_ != entry.version) match {
+      case Some(v) =>
+        rebase.flatMap(_(entry)) match {
+          case Some(c2) => (entry, c2)
+          case None => throw conflict(v)
+        }
+      case None => (entry, carried)
     }
-    val stale = carried.filterNot(prev.dirs.contains)
+    val stale = carried0.filterNot(base0.dirs.contains)
     require(stale.isEmpty,
       s"carried dirs are not part of the current version of $root: ${stale.mkString(", ")}")
-    val version = prev.version + 1L
     val tsMs = System.currentTimeMillis()
+    // the data dir is written ONCE — publication retries rebase the
+    // carried composition around it, never re-run the merge plan
     val dataDir = new Path(new Path(rootPath, "data"),
-      f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
+      f"${base0.version + 1L}%012d-${UUID.randomUUID().toString.take(8)}").toString
     val obs = org.apache.spark.sql.Observation(
-      s"graft_fsm_$version-${UUID.randomUUID()}")
+      s"graft_fsm_${base0.version + 1L}-${UUID.randomUUID()}")
     val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(df.schema)
     val writer = df.observe(obs, aggs.head, aggs.tail: _*).write.mode("overwrite")
-    (if (prev.partitionBy.nonEmpty) writer.partitionBy(prev.partitionBy: _*)
+    (if (base0.partitionBy.nonEmpty) writer.partitionBy(base0.partitionBy: _*)
      else writer).parquet(dataDir)
     val observed = obs.get
     val numRows = observed("rows").asInstanceOf[Long]
-    val carriedStats = prev.dirStats.view.filterKeys(carried.contains).toMap
-    val dirs = if (numRows == 0) carried else carried :+ dataDir
-    val dirStats =
-      if (numRows == 0) carriedStats
-      else carriedStats + (dataDir -> DataSkipping.statsOf(df.schema, observed))
-    val changeDir = changeData.map(writeChangeData(version, tsMs, _))
-    val commit = Commit(version, operation, tsMs, dirs,
-      Map("numOutputRows" -> numRows.toString) ++ extraMetrics,
-      userMetadata, df.schema.toDDL, prev.version, changeDir,
-      changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
-      partitionBy = prev.partitionBy, dirStats = dirStats)
-    try writeCommit(commit)
-    catch { case e: Throwable =>
-      changeDir.foreach(d => fs.delete(new Path(d), true))
-      throw e
+    val dataStats = DataSkipping.statsOf(df.schema, observed)
+
+    var base = base0
+    var carry = carried0
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val version = base.version + 1L
+      val carriedStats = base.dirStats.view.filterKeys(carry.contains).toMap
+      val dirs = if (numRows == 0) carry else carry :+ dataDir
+      val dirStats =
+        if (numRows == 0) carriedStats else carriedStats + (dataDir -> dataStats)
+      // rebase can change the carried count — keep the caller's metric honest
+      val metrics = Map("numOutputRows" -> numRows.toString) ++ extraMetrics ++
+        (if (extraMetrics.contains("numCarriedDirs"))
+           Map("numCarriedDirs" -> carry.size.toString) else Map.empty) ++
+        (if (attempts > 1) Map("numCommitRetries" -> (attempts - 1).toString)
+         else Map.empty)
+      // the change parquet carries `_commit_version` stamped into its rows —
+      // written per attempt with that attempt's version (see write())
+      val changeDir = changeData.map(writeChangeData(version, tsMs, _))
+      val commit = Commit(version, operation, tsMs, dirs, metrics,
+        userMetadata, df.schema.toDDL, base.version, changeDir,
+        changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
+        partitionBy = base.partitionBy, dirStats = dirStats)
+      try { writeCommit(commit); return commit }
+      catch {
+        case e: ConcurrentCommitException =>
+          changeDir.foreach(d => fs.delete(new Path(d), true))
+          if (attempts >= 10) throw e
+          val head = lastCommit.getOrElse(throw e)
+          rebase.flatMap(_(head)) match {
+            case Some(c2) if c2.forall(head.dirs.contains) =>
+              base = head; carry = c2
+            case _ => throw e
+          }
+        case e: Throwable =>
+          changeDir.foreach(d => fs.delete(new Path(d), true))
+          throw e
+      }
     }
-    commit
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read if present, else an empty frame with the given schema. */
@@ -1025,9 +1073,16 @@ final class ManagedTable(spark: SparkSession, root: String) {
       s"COMPACT(${small.size} dirs)",
       extraMetrics = Map("numCompactedDirs" -> small.size.toString,
         "numCarriedDirs" -> big.size.toString),
-      // cross-process racer between the dir listing and the publish
-      // must surface, not have its commit's dirs silently dropped
-      expectedPrevVersion = Some(c.version)))
+      expectedPrevVersion = Some(c.version),
+      // a compaction is commutative with any racer that PRESERVES the
+      // folded dirs (appends, merges/compactions of other dirs): carry
+      // everything in the new head except what this compaction folded.
+      // A racer that rewrote/removed a folded dir made the compacted
+      // bytes stale — give up and surface (maintenance just re-runs).
+      rebase = Some(head =>
+        if (head.schemaDdl == c.schemaDdl && head.partitionBy == c.partitionBy &&
+            small.forall(head.dirs.contains)) Some(head.dirs.diff(small))
+        else None)))
   }
 
   /**

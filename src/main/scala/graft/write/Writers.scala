@@ -149,11 +149,10 @@ object Writers {
    * all-NULL for a key can never match a (non-null-keyed) batch and are
    * carried.
    */
-  private def probeAffectedDirs(table: ManagedTable, source: DataFrame,
+  private def probeAffectedDirs(c: Commit, source: DataFrame,
                                 keys: Seq[String]): ProbeResult = {
     import graft.table.DataSkipping.ColMinMax
     import org.apache.spark.sql.types.StructType
-    val c = table.lastCommit.getOrElse(return ProbeTooMany)
     if (c.dirs.size > DirProbeCap) return ProbeTooMany
     val schema = StructType.fromDDL(c.schemaDdl)
     // the probe domain is the TABLE column's type — that is what
@@ -295,25 +294,27 @@ object Writers {
    * box misses every source key can hold no matched row; both paths are
    * conservative (stat-less dirs rewrite).
    */
-  private def resolveScope(table: ManagedTable, source: DataFrame,
+  private def resolveScope(table: ManagedTable, readCommit: Option[Commit],
+                           source: DataFrame,
                            keys: Seq[String], opts: WriteOptions,
                            partitionBy: Seq[String]): MergeScope =
     if (partitionScoped(opts, partitionBy)) PartScope
-    else {
-      val multiDir = table.lastCommit.exists(_.dirs.size > 1)
-      if (!multiDir) FullScope // 1 dir: file scope degenerates to replace
-      else probeAffectedDirs(table, source, keys) match {
-        case ProbeNulls => FullScope
-        case ProbeSplit(_, carried) if carried.isEmpty => FullScope
-        case ProbeSplit(rewritten, carried) => FileScope(rewritten, carried)
-        case ProbeTooMany =>
-          sourceKeyRange(source, keys) match {
-            case Some(pred) =>
-              val (rewritten, carried) = table.splitDirsMayMatch(pred)
-              if (carried.isEmpty) FullScope else FileScope(rewritten, carried)
-            case None => FullScope
-          }
-      }
+    else readCommit match {
+      // 1 dir: file scope degenerates to replace
+      case Some(c) if c.dirs.size > 1 =>
+        probeAffectedDirs(c, source, keys) match {
+          case ProbeNulls => FullScope
+          case ProbeSplit(_, carried) if carried.isEmpty => FullScope
+          case ProbeSplit(rewritten, carried) => FileScope(rewritten, carried)
+          case ProbeTooMany =>
+            sourceKeyRange(source, keys) match {
+              case Some(pred) =>
+                val (rewritten, carried) = table.splitDirsMayMatch(pred)
+                if (carried.isEmpty) FullScope else FileScope(rewritten, carried)
+              case None => FullScope
+            }
+        }
+      case _ => FullScope
     }
 
   /**
@@ -333,10 +334,13 @@ object Writers {
   private def commitMerge(table: ManagedTable, result: DataFrame, op: String,
                           opts: WriteOptions, userMetadata: Option[String],
                           partitionBy: Seq[String], scope: MergeScope,
-                          readVersion: Option[Long]): Commit = {
+                          readVersion: Option[Long],
+                          rebase: Option[Commit => Option[Seq[String]]] = None): Commit = {
     // every scope refuses to publish a result computed against a stale
     // head: a concurrent commit between scope/target resolution and here
-    // would otherwise have its data silently dropped from the snapshot
+    // would otherwise have its data silently dropped from the snapshot.
+    // File-scoped commits additionally try the `rebase` resolution first
+    // (recompose carried dirs against the new head, keep the result).
     def commit(snapshot: DataFrame, change: Option[DataFrame]): Commit =
       scope match {
         case PartScope =>
@@ -346,7 +350,8 @@ object Writers {
           table.writeCarried(snapshot, carried, op, userMetadata, change,
             Map("numRewrittenDirs" -> rewritten.size.toString,
               "numCarriedDirs" -> carried.size.toString),
-            expectedPrevVersion = readVersion)
+            expectedPrevVersion = readVersion,
+            rebase = rebase)
         case FullScope =>
           table.write(snapshot, op, "replace", userMetadata, partitionBy,
             change, expectedPrevVersion = readVersion)
@@ -385,25 +390,78 @@ object Writers {
     if (opts.stageResults) p.localCheckpoint() else p
   }
 
-  /** Stage a merge source, adding a materialization barrier whenever a
-    * file-scope probe will engage: [[resolveScope]] aggregates the source
-    * EAGERLY and the merge then re-evaluates the same plan — on a
-    * nondeterministic source (sample, rand, shuffling limit) the merge
-    * could see keys the probe never saw, making the carried-dir set
-    * unsound in a way the expectedPrevVersion gate cannot catch. When the
-    * caller already configured a barrier (persist / localCheckpoint via
-    * the reference's persist_dataset / stage_results knobs) it is reused;
-    * otherwise the batch — small relative to the table by assumption of
-    * merging at all — is localCheckpoint'ed before any probe reads it. */
-  private def stagedForMerge(table: ManagedTable, source: DataFrame,
-                             opts: WriteOptions,
-                             partitionBy: Seq[String]): DataFrame = {
-    val s = staged(source, opts)
-    val probeEngages = !partitionScoped(opts, partitionBy) &&
-      table.lastCommit.exists(_.dirs.size > 1)
-    if (probeEngages && !opts.stageResults && !opts.persistDataset)
-      s.localCheckpoint()
-    else s
+  /** Bound on end-to-end merge attempts when every cheaper conflict
+    * resolution (carried-dir rebase inside [[ManagedTable.writeCarried]])
+    * declines and the merge must re-resolve scope and recompute. */
+  private val MaxMergeAttempts = 5
+
+  /**
+   * Shared scd1/2/3 driver: stage the source, resolve the merge scope,
+   * compute the pattern, commit — and resolve commit conflicts the way
+   * Delta does, so continuous ingest and table maintenance can overlap:
+   *
+   *  1. FILE-SCOPED commits first try a REBASE (no join recompute): on
+   *     conflict, re-probe the (checkpointed) source against the new
+   *     head's dir stats; if the affected-dir set is UNCHANGED — the
+   *     racer was an append of non-matching keys, or a compaction /
+   *     merge of carried dirs — the already-computed result is still
+   *     exactly right, and only the carried composition is recomposed
+   *     to `headDirs − rewritten`. Schema or partition-layout drift
+   *     disqualifies the rebase (the result was computed and written in
+   *     the old layout).
+   *  2. Otherwise (overlapping racer, partition/full scope) the merge
+   *     RE-RESOLVES scope against the new head and recomputes — bounded
+   *     by [[MaxMergeAttempts]], then the conflict surfaces.
+   *
+   * The source is localCheckpoint'ed before any file-scope probe reads
+   * it (unless the caller's persist/stage knobs already froze it): the
+   * probe and the merge must see the SAME key set even for a
+   * nondeterministic source plan, and the rebase re-probe relies on the
+   * source being immutable across attempts.
+   */
+  private def runMerge(spark: SparkSession, path: String, source: DataFrame,
+                       keys: Seq[String], opts: WriteOptions,
+                       userMetadata: Option[String], partitionBy: Seq[String],
+                       op: String,
+                       targetSchema: org.apache.spark.sql.types.StructType,
+                       pattern: (DataFrame, DataFrame) => DataFrame): Commit = {
+    val table = ManagedTable(spark, path)
+    table.createIfNotExists(targetSchema)
+    var s = staged(source, opts)
+    var barriered = opts.stageResults || opts.persistDataset
+    var attempt = 0
+    var lastErr: ManagedTable.ConcurrentCommitException = null
+    try {
+      while (attempt < MaxMergeAttempts) {
+        attempt += 1
+        val readCommit = table.lastCommit
+        val probeEngages = !partitionScoped(opts, partitionBy) &&
+          readCommit.exists(_.dirs.size > 1)
+        if (probeEngages && !barriered) { s = s.localCheckpoint(); barriered = true }
+        val scope = resolveScope(table, readCommit, s, keys, opts, partitionBy)
+        val result = pattern(mergeTarget(table, s, partitionBy, scope), s)
+        val rebase: Option[Commit => Option[Seq[String]]] = scope match {
+          case FileScope(rewritten, _) =>
+            val read = readCommit.get // FileScope implies a commit exists
+            Some(head =>
+              if (head.schemaDdl != read.schemaDdl ||
+                  head.partitionBy != read.partitionBy) None
+              else probeAffectedDirs(head, s, keys) match {
+                case ProbeSplit(affected, carried)
+                  if affected.toSet == rewritten.toSet => Some(carried)
+                case _ => None
+              })
+          case _ => None
+        }
+        try {
+          return commitMerge(table, result, op, opts, userMetadata, partitionBy,
+            scope, readCommit.map(_.version), rebase)
+        } catch {
+          case e: ManagedTable.ConcurrentCommitException => lastErr = e
+        }
+      }
+      throw lastErr
+    } finally unstage(s, opts)
   }
 
   private def unstage(df: DataFrame, opts: WriteOptions): Unit =
@@ -440,48 +498,30 @@ object Writers {
   def scd1(spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
            opts: WriteOptions = WriteOptions(),
            userMetadata: Option[String] = None,
-           partitionBy: Seq[String] = Nil): Commit = {
-    val table = ManagedTable(spark, path)
-    table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd1", keys, Nil, opts))
-    val s = stagedForMerge(table, source, opts, partitionBy)
-    val readVersion = table.lastCommit.map(_.version)
-    val scope = resolveScope(table, s, keys, opts, partitionBy)
-    val result = WritePatterns.scd1(mergeTarget(table, s, partitionBy, scope), s, keys, opts)
-    val c = commitMerge(table, result, "MERGE(scd1)", opts, userMetadata, partitionBy, scope, readVersion)
-    unstage(s, opts); c
-  }
+           partitionBy: Seq[String] = Nil): Commit =
+    runMerge(spark, path, source, keys, opts, userMetadata, partitionBy,
+      "MERGE(scd1)", WritePatterns.targetSchemaFor(source, "scd1", keys, Nil, opts),
+      (target, s) => WritePatterns.scd1(target, s, keys, opts))
 
   def scd2(spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
            opts: WriteOptions = WriteOptions(),
            userMetadata: Option[String] = None,
-           partitionBy: Seq[String] = Nil): Commit = {
-    val table = ManagedTable(spark, path)
-    table.createIfNotExists(WritePatterns.targetSchemaFor(source, "scd2", keys, Nil, opts))
-    val s = stagedForMerge(table, source, opts, partitionBy)
-    val readVersion = table.lastCommit.map(_.version)
-    val scope = resolveScope(table, s, keys, opts, partitionBy)
-    val result = WritePatterns.scd2(mergeTarget(table, s, partitionBy, scope), s, keys, opts)
-    val c = commitMerge(table, result, "MERGE(scd2)", opts, userMetadata, partitionBy, scope, readVersion)
-    unstage(s, opts); c
-  }
+           partitionBy: Seq[String] = Nil): Commit =
+    runMerge(spark, path, source, keys, opts, userMetadata, partitionBy,
+      "MERGE(scd2)", WritePatterns.targetSchemaFor(source, "scd2", keys, Nil, opts),
+      (target, s) => WritePatterns.scd2(target, s, keys, opts))
 
   def scd3(spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
            columnAttributes: Seq[String],
            opts: WriteOptions = WriteOptions(),
            userMetadata: Option[String] = None,
            partitionBy: Seq[String] = Nil,
-           changeTracking: Option[(String, Seq[String], String)] = None): Commit = {
-    val table = ManagedTable(spark, path)
-    table.createIfNotExists(
-      WritePatterns.targetSchemaFor(source, "scd3", keys, columnAttributes, opts))
-    val s = stagedForMerge(table, source, opts, partitionBy)
-    val readVersion = table.lastCommit.map(_.version)
-    val scope = resolveScope(table, s, keys, opts, partitionBy)
-    val result = WritePatterns.scd3(mergeTarget(table, s, partitionBy, scope), s, keys,
-      columnAttributes, opts, changeTracking)
-    val c = commitMerge(table, result, "MERGE(scd3)", opts, userMetadata, partitionBy, scope, readVersion)
-    unstage(s, opts); c
-  }
+           changeTracking: Option[(String, Seq[String], String)] = None): Commit =
+    runMerge(spark, path, source, keys, opts, userMetadata, partitionBy,
+      "MERGE(scd3)",
+      WritePatterns.targetSchemaFor(source, "scd3", keys, columnAttributes, opts),
+      (target, s) => WritePatterns.scd3(target, s, keys, columnAttributes, opts,
+        changeTracking))
 
   /** Pre-write FK-ish constraint (write.py:1165-1189): every (table,
     * columns) dependency must cover all source rows. */
