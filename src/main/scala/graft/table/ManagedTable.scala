@@ -96,6 +96,14 @@ final class ManagedTable(spark: SparkSession, root: String) {
 
   def lastCommit: Option[Commit] = latestVersion.map(commitAt)
 
+  /** Highest sink-transaction version applied for `appId` (Delta
+    * `txnVersion(appId)` analogue) — the exactly-once replay guard for
+    * foreachBatch sinks: a micro-batch whose epoch is <= this value has
+    * already been committed here and must be skipped on redelivery.
+    * O(1): the txn map rides the latest commit. */
+  def lastTxnVersion(appId: String): Option[Long] =
+    lastCommit.flatMap(_.txn.get(appId))
+
   def history: Seq[Commit] = readCommits(listVersions.sorted.reverse)
 
   /** Current snapshot as a DataFrame. Fails if the table does not exist. */
@@ -158,7 +166,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       Map("restoredVersion" -> version.toString,
         "numRestoredDirs" -> target.dirs.size.toString),
       None, target.schemaDdl, cur.version, partitionBy = target.partitionBy,
-      dirStats = target.dirStats)
+      dirStats = target.dirStats, txn = cur.txn)
     writeCommit(commit)
     commit
   }
@@ -468,7 +476,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         val commit = Commit(version, operation, tsMs, c.dirs,
           Map("numAffectedRows" -> "0", "numRewrittenDirs" -> "0"),
           None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
-          dirStats = c.dirStats)
+          dirStats = c.dirStats, txn = c.txn)
         writeCommit(commit)
         return commit
       }
@@ -514,7 +522,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
           "numRewrittenDirs" -> affected.size.toString),
         None, c.schemaDdl, c.version, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
-        partitionBy = c.partitionBy, dirStats = dirStats)
+        partitionBy = c.partitionBy, dirStats = dirStats, txn = c.txn)
       writeCommit(commit)
       commit
     }
@@ -585,7 +593,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       changeData: Option[DataFrame] = None,
       extraMetrics: Map[String, String] = Map.empty,
       expectedPrevVersion: Option[Long] = None,
-      rebase: Option[Commit => Option[Seq[String]]] = None): Commit = synchronized {
+      rebase: Option[Commit => Option[Seq[String]]] = None,
+      txnUpdate: Option[(String, Long)] = None): Commit = synchronized {
     import org.apache.spark.sql.functions.{count, lit}
     val entry = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
@@ -642,7 +651,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       val commit = Commit(version, operation, tsMs, dirs, metrics,
         userMetadata, df.schema.toDDL, base.version, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
-        partitionBy = base.partitionBy, dirStats = dirStats)
+        partitionBy = base.partitionBy, dirStats = dirStats,
+        txn = base.txn ++ txnUpdate.toMap)
       try { writeCommit(commit); return commit }
       catch {
         case e: ConcurrentCommitException =>
@@ -704,7 +714,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       partitionBy: Seq[String] = Nil,
       changeData: Option[DataFrame] = None,
       mergeSchema: Boolean = false,
-      expectedPrevVersion: Option[Long] = None): Commit = synchronized {
+      expectedPrevVersion: Option[Long] = None,
+      txnUpdate: Option[(String, Long)] = None): Commit = synchronized {
     import org.apache.spark.sql.functions.{count, lit}
     val prev = lastCommit
     // merge callers pass the version their result was COMPUTED against:
@@ -783,7 +794,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         Map("numOutputRows" -> numRows.toString), userMetadata,
         tableSchema.toDDL, rv, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
-        partitionBy = partitionBy, dirStats = dirStats)
+        partitionBy = partitionBy, dirStats = dirStats,
+        txn = base.map(_.txn).getOrElse(Map.empty) ++ txnUpdate.toMap)
       try writeCommit(c)
       catch { case e: Throwable =>
         changeDir.foreach(d => fs.delete(new Path(d), true))
@@ -846,7 +858,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
                          userMetadata: Option[String] = None,
                          operation: String = "SELECTIVE_OVERWRITE",
                          changeData: Option[DataFrame] = None,
-                         expectedPrevVersion: Option[Long] = None): Commit = synchronized {
+                         expectedPrevVersion: Option[Long] = None,
+                         txnUpdate: Option[(String, Long)] = None): Commit = synchronized {
     require(partitionBy.nonEmpty, "selectiveOverwrite requires partition columns")
     val prev = lastCommit
     // see write(): a partition-scoped merge result computed against an
@@ -924,7 +937,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         "replacedPartitions" -> replaced.size.toString),
       userMetadata, df.schema.toDDL, readVersion, changeDir,
       changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
-      partitionBy = partitionBy, dirStats = dirStats)
+      partitionBy = partitionBy, dirStats = dirStats,
+      txn = prev.map(_.txn).getOrElse(Map.empty) ++ txnUpdate.toMap)
     writeCommit(commit)
     commit
   }
@@ -1244,7 +1258,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val commit = Commit(version, operation, tsMs, dirs,
       Map("numOutputRows" -> perBucket.values.map(_._1).sum.toString,
         "buckets" -> perBucket.size.toString),
-      None, c.schemaDdl, c.version, dirStats = dirStats)
+      None, c.schemaDdl, c.version, dirStats = dirStats, txn = c.txn)
     writeCommit(commit)
     commit
   }
@@ -1326,7 +1340,12 @@ object ManagedTable {
       changeDir: Option[String] = None,
       changeFormat: Int = 0,
       partitionBy: Seq[String] = Nil,
-      dirStats: Map[String, Map[String, DataSkipping.ColMinMax]] = Map.empty) {
+      dirStats: Map[String, Map[String, DataSkipping.ColMinMax]] = Map.empty,
+      // streaming-sink transaction high-waters (Delta SetTransaction
+      // analogue): appId -> last applied epoch/version. CARRIED FORWARD
+      // by every commit path so a crash-replayed micro-batch can be
+      // recognized and skipped no matter what committed in between.
+      txn: Map[String, Long] = Map.empty) {
 
     def toJson: String = {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1344,6 +1363,10 @@ object ManagedTable {
       if (changeDir.isDefined) node.put("changeFormat", changeFormat)
       if (partitionBy.nonEmpty) {
         val pb = node.putArray("partitionBy"); partitionBy.foreach(pb.add)
+      }
+      if (txn.nonEmpty) {
+        val tn = node.putObject("txn")
+        txn.foreach { case (k, v) => tn.put(k, v) }
       }
       if (dirStats.nonEmpty) {
         val ds = node.putObject("dirStats")
@@ -1381,6 +1404,9 @@ object ManagedTable {
         changeFormat = Option(n.get("changeFormat")).map(_.asInt()).getOrElse(0),
         partitionBy = Option(n.get("partitionBy"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+        txn = Option(n.get("txn")).map { t =>
+          t.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+        }.getOrElse(Map.empty),
         dirStats = Option(n.get("dirStats")).map { ds =>
           ds.properties().asScala.map { e =>
             e.getKey -> e.getValue.properties().asScala.map { ce =>

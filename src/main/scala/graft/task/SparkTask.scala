@@ -143,19 +143,38 @@ object SparkTask {
     (Features.applyAll(raw, in.features, cdcFilter), cdcState)
   }
 
-  /** Dispatch one batch write by write_type (OutputOperator + write.py). */
-  def writeOutput(ctx: TaskContext, out: OutputConf, df: DataFrame): Unit = {
+  /** Dispatch one batch write by write_type (OutputOperator + write.py).
+    *
+    * `txn` makes the write EXACTLY-ONCE under foreachBatch redelivery,
+    * Delta `txnAppId`/`txnVersion` style: Structured Streaming re-runs a
+    * micro-batch after a crash between sink commit and checkpoint
+    * advance, and a bare re-run would double-append. With `txn =
+    * (appId, epochId)`, the epoch high-water rides the sink's commit
+    * ATOMICALLY (same log record as the data), so a replayed epoch is
+    * recognized (`lastTxnVersion`) and skipped — idempotent merges
+    * included, saving their join re-run. */
+  def writeOutput(ctx: TaskContext, out: OutputConf, df: DataFrame,
+                  txn: Option[(String, Long)] = None): Unit = {
     val opts = WriteOptions.fromMap(out.options)
+    val replayed = txn.exists { case (appId, epoch) =>
+      graft.table.ManagedTable(ctx.spark, out.path)
+        .lastTxnVersion(appId).exists(_ >= epoch)
+    }
+    if (replayed) {
+      ctx.state.foreach(_.set("sink", s"${out.name}_last_write",
+        s"""{"batch_id":"${ctx.batchId}","write_type":"${out.writeType}","skipped_replay_epoch":${txn.get._2}}"""))
+      return
+    }
     val meta = Some(s"""{"batch_id":"${ctx.batchId}","output_name":"${out.name}","load_type":"${out.writeType}"}""")
     out.writeType match {
-      case "append" => Writers.append(ctx.spark, out.path, df, opts, meta, out.partitionBy)
-      case "overwrite" => Writers.overwrite(ctx.spark, out.path, df, opts, meta, out.partitionBy)
+      case "append" => Writers.append(ctx.spark, out.path, df, opts, meta, out.partitionBy, txn)
+      case "overwrite" => Writers.overwrite(ctx.spark, out.path, df, opts, meta, out.partitionBy, txn)
       case "selective_overwrite" =>
-        Writers.selectiveOverwrite(ctx.spark, out.path, df, out.partitionBy, opts, meta)
-      case "scd1" => Writers.scd1(ctx.spark, out.path, df, out.keyAttributes, opts, meta, out.partitionBy)
-      case "scd2" => Writers.scd2(ctx.spark, out.path, df, out.keyAttributes, opts, meta, out.partitionBy)
+        Writers.selectiveOverwrite(ctx.spark, out.path, df, out.partitionBy, opts, meta, txn)
+      case "scd1" => Writers.scd1(ctx.spark, out.path, df, out.keyAttributes, opts, meta, out.partitionBy, txn)
+      case "scd2" => Writers.scd2(ctx.spark, out.path, df, out.keyAttributes, opts, meta, out.partitionBy, txn)
       case "scd3" => Writers.scd3(ctx.spark, out.path, df, out.keyAttributes,
-        out.columnAttributes, opts, meta, out.partitionBy)
+        out.columnAttributes, opts, meta, out.partitionBy, txn = txn)
       case other => throw new IllegalArgumentException(s"write type $other")
     }
     ctx.state.foreach(_.set("sink", s"${out.name}_last_write",
@@ -165,7 +184,13 @@ object SparkTask {
   /** Streaming write: every micro-batch re-enters the batch writer —
     * foreachBatch reuse exactly like the reference (output.py:200-224).
     * Returns the started query so the task waits on and stops only ITS
-    * OWN queries (not every active query of a shared session). */
+    * OWN queries (not every active query of a shared session).
+    *
+    * The txn app id is the CHECKPOINT location: it names the offset/epoch
+    * sequence the epoch ids come from, survives restarts of the same
+    * query, and rolls over naturally when a user points the query at a
+    * fresh checkpoint (epochs restart at 0 there, and so must the
+    * high-water). */
   def writeStreamOutput(ctx: TaskContext, out: OutputConf, df: DataFrame,
                         stateLocation: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val checkpoint = out.checkpointLocation
@@ -173,8 +198,8 @@ object SparkTask {
     var w = df.writeStream
       .queryName(out.name)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeOutput(ctx, out, batch)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        writeOutput(ctx, out, batch, txn = Some((s"graft-stream:$checkpoint", epochId)))
       }
     w = out.triggerMode match {
       case Some("once") => w.trigger(Trigger.Once())

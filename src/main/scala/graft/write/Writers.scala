@@ -335,7 +335,8 @@ object Writers {
                           opts: WriteOptions, userMetadata: Option[String],
                           partitionBy: Seq[String], scope: MergeScope,
                           readVersion: Option[Long],
-                          rebase: Option[Commit => Option[Seq[String]]] = None): Commit = {
+                          rebase: Option[Commit => Option[Seq[String]]] = None,
+                          txn: Option[(String, Long)] = None): Commit = {
     // every scope refuses to publish a result computed against a stale
     // head: a concurrent commit between scope/target resolution and here
     // would otherwise have its data silently dropped from the snapshot.
@@ -345,16 +346,16 @@ object Writers {
       scope match {
         case PartScope =>
           table.selectiveOverwrite(snapshot, partitionBy, userMetadata, op,
-            change, expectedPrevVersion = readVersion)
+            change, expectedPrevVersion = readVersion, txnUpdate = txn)
         case FileScope(rewritten, carried) =>
           table.writeCarried(snapshot, carried, op, userMetadata, change,
             Map("numRewrittenDirs" -> rewritten.size.toString,
               "numCarriedDirs" -> carried.size.toString),
             expectedPrevVersion = readVersion,
-            rebase = rebase)
+            rebase = rebase, txnUpdate = txn)
         case FullScope =>
           table.write(snapshot, op, "replace", userMetadata, partitionBy,
-            change, expectedPrevVersion = readVersion)
+            change, expectedPrevVersion = readVersion, txnUpdate = txn)
       }
     if (!opts.enableChangeDataFeed)
       commit(result, None)
@@ -424,7 +425,8 @@ object Writers {
                        userMetadata: Option[String], partitionBy: Seq[String],
                        op: String,
                        targetSchema: org.apache.spark.sql.types.StructType,
-                       pattern: (DataFrame, DataFrame) => DataFrame): Commit = {
+                       pattern: (DataFrame, DataFrame) => DataFrame,
+                       txn: Option[(String, Long)] = None): Commit = {
     val table = ManagedTable(spark, path)
     table.createIfNotExists(targetSchema)
     var s = staged(source, opts)
@@ -455,7 +457,7 @@ object Writers {
         }
         try {
           return commitMerge(table, result, op, opts, userMetadata, partitionBy,
-            scope, readCommit.map(_.version), rebase)
+            scope, readCommit.map(_.version), rebase, txn)
         } catch {
           case e: ManagedTable.ConcurrentCommitException => lastErr = e
         }
@@ -470,17 +472,21 @@ object Writers {
   def append(spark: SparkSession, path: String, source: DataFrame,
              opts: WriteOptions = WriteOptions(),
              userMetadata: Option[String] = None,
-             partitionBy: Seq[String] = Nil): Commit = {
+             partitionBy: Seq[String] = Nil,
+             txn: Option[(String, Long)] = None): Commit = {
     val df = WritePatterns.appendColumns(source, opts)
-    ManagedTable(spark, path).write(df, "APPEND", "append", userMetadata, partitionBy)
+    ManagedTable(spark, path).write(df, "APPEND", "append", userMetadata, partitionBy,
+      txnUpdate = txn)
   }
 
   def overwrite(spark: SparkSession, path: String, source: DataFrame,
                 opts: WriteOptions = WriteOptions(),
                 userMetadata: Option[String] = None,
-                partitionBy: Seq[String] = Nil): Commit = {
+                partitionBy: Seq[String] = Nil,
+                txn: Option[(String, Long)] = None): Commit = {
     val df = WritePatterns.appendColumns(source, opts)
-    ManagedTable(spark, path).write(df, "OVERWRITE", "replace", userMetadata, partitionBy)
+    ManagedTable(spark, path).write(df, "OVERWRITE", "replace", userMetadata, partitionBy,
+      txnUpdate = txn)
   }
 
   /** Partition-scoped replace — the `selective_overwrite` write type the
@@ -490,38 +496,43 @@ object Writers {
   def selectiveOverwrite(spark: SparkSession, path: String, source: DataFrame,
                          partitionBy: Seq[String],
                          opts: WriteOptions = WriteOptions(),
-                         userMetadata: Option[String] = None): Commit = {
+                         userMetadata: Option[String] = None,
+                         txn: Option[(String, Long)] = None): Commit = {
     val df = WritePatterns.appendColumns(source, opts)
-    ManagedTable(spark, path).selectiveOverwrite(df, partitionBy, userMetadata)
+    ManagedTable(spark, path).selectiveOverwrite(df, partitionBy, userMetadata,
+      txnUpdate = txn)
   }
 
   def scd1(spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
            opts: WriteOptions = WriteOptions(),
            userMetadata: Option[String] = None,
-           partitionBy: Seq[String] = Nil): Commit =
+           partitionBy: Seq[String] = Nil,
+           txn: Option[(String, Long)] = None): Commit =
     runMerge(spark, path, source, keys, opts, userMetadata, partitionBy,
       "MERGE(scd1)", WritePatterns.targetSchemaFor(source, "scd1", keys, Nil, opts),
-      (target, s) => WritePatterns.scd1(target, s, keys, opts))
+      (target, s) => WritePatterns.scd1(target, s, keys, opts), txn)
 
   def scd2(spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
            opts: WriteOptions = WriteOptions(),
            userMetadata: Option[String] = None,
-           partitionBy: Seq[String] = Nil): Commit =
+           partitionBy: Seq[String] = Nil,
+           txn: Option[(String, Long)] = None): Commit =
     runMerge(spark, path, source, keys, opts, userMetadata, partitionBy,
       "MERGE(scd2)", WritePatterns.targetSchemaFor(source, "scd2", keys, Nil, opts),
-      (target, s) => WritePatterns.scd2(target, s, keys, opts))
+      (target, s) => WritePatterns.scd2(target, s, keys, opts), txn)
 
   def scd3(spark: SparkSession, path: String, source: DataFrame, keys: Seq[String],
            columnAttributes: Seq[String],
            opts: WriteOptions = WriteOptions(),
            userMetadata: Option[String] = None,
            partitionBy: Seq[String] = Nil,
-           changeTracking: Option[(String, Seq[String], String)] = None): Commit =
+           changeTracking: Option[(String, Seq[String], String)] = None,
+           txn: Option[(String, Long)] = None): Commit =
     runMerge(spark, path, source, keys, opts, userMetadata, partitionBy,
       "MERGE(scd3)",
       WritePatterns.targetSchemaFor(source, "scd3", keys, columnAttributes, opts),
       (target, s) => WritePatterns.scd3(target, s, keys, columnAttributes, opts,
-        changeTracking))
+        changeTracking), txn)
 
   /** Pre-write FK-ish constraint (write.py:1165-1189): every (table,
     * columns) dependency must cover all source rows. */

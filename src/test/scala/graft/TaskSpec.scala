@@ -203,4 +203,48 @@ class TaskSpec extends SparkSpec {
     assert(back.count() === 3)
     assert(back.columns.contains(Meta.ValidToTs))
   }
+
+  test("crash-replayed micro-batch is skipped: foreachBatch append is exactly-once") {
+    val srcDir = tmpDir("task_eo_src")
+    val sink = tmpDir("task_eo_sink")
+    val state = tmpDir("task_eo_state")
+    data.write.parquet(srcDir)
+    val t = TaskConf("streamt",
+      inputs = Seq(InputConf("in1", srcDir, "parquet",
+        sourceExtractType = "stream",
+        schemaDdl = Some("id INT, name STRING, offset INT"))),
+      executionSql = Some("SELECT * FROM in1"),
+      outputs = Seq(OutputConf("out1", sink, writeType = "append",
+        options = Map("now" -> "2026-01-01 00:00:00"))),
+      refreshPolicy = RefreshPolicy(refreshType = "stream"),
+      stateLocation = Some(state))
+    SparkTask.run(spark, t)
+    assert(ManagedTable(spark, sink).read.count() === 3)
+    // the epoch high-water rode the sink commit atomically
+    val checkpoint = s"$state/checkpoints/out1"
+    val appId = s"graft-stream:$checkpoint"
+    assert(ManagedTable(spark, sink).lastTxnVersion(appId) === Some(0L))
+
+    // crash between sink commit and checkpoint advance: the engine wrote
+    // the sink but lost the checkpoint's commit marker — on restart,
+    // Structured Streaming redelivers batch 0 with the SAME epoch id
+    val commits = new java.io.File(s"$checkpoint/commits")
+    val markers = commits.listFiles()
+    assert(markers.exists(!_.getName.startsWith(".")),
+      "expected a committed batch marker to remove")
+    // remove crc shadows too: a stale .crc makes the local FS refuse the
+    // re-written marker, which Spark misreads as a concurrent writer
+    markers.foreach(f => assert(f.delete()))
+    SparkTask.run(spark, t)
+    assert(ManagedTable(spark, sink).read.count() === 3,
+      "the replayed epoch must be skipped, not double-appended")
+    assert(ManagedTable(spark, sink).read.select("id").as[Int].collect().sorted
+      === Array(1, 2, 3))
+
+    // fresh data makes a NEW epoch: the high-water must not block it
+    Seq((4, "four", 40)).toDF("id", "name", "offset").write.mode("append").parquet(srcDir)
+    SparkTask.run(spark, t)
+    assert(ManagedTable(spark, sink).read.count() === 4)
+    assert(ManagedTable(spark, sink).lastTxnVersion(appId) === Some(1L))
+  }
 }
