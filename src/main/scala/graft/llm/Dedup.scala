@@ -434,17 +434,89 @@ object Dedup {
   }
 
   /**
-   * Connected components over a pair list by iterative min-label
-   * propagation: each node repeatedly adopts the smallest label among
-   * itself and its neighbors until a fixpoint (checked with a cheap
-   * aggregate) or `maxIter`. Every iteration is one join + one
-   * aggregation — all shuffles on the id key. Labels move one hop per
-   * iteration, so convergence takes O(graph diameter) iterations; near-dup
-   * components are short chains in practice. Throws if `maxIter` is hit
-   * before the fixpoint rather than returning silently-wrong groups.
+   * Connected components over a pair list by ALTERNATING STAR
+   * CONTRACTION (large-star / small-star, Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SoCC'14): each round first
+   * hangs every node's larger neighbors off its neighborhood minimum
+   * (large-star), then folds the remaining small edges onto that
+   * minimum (small-star). Components contract geometrically, so the
+   * fixpoint — a star with the component's MIN id at the hub — arrives
+   * in O(log n) rounds where one-hop min-label propagation needs
+   * O(diameter): a pathological 10⁵-node chain component (crawl
+   * mirrors, paraphrase chains) finishes in ~17 rounds instead of 10⁵.
+   * Every round is two join+agg pairs shuffling on the node id; the
+   * fixpoint check is a DETERMINISTIC set compare (count + anti-join),
+   * never a hash heuristic. Throws if `maxIter` is hit rather than
+   * returning silently-wrong groups.
    * Returns (id, component) where component = min id of the group.
    */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] exposing the round count (test observable
+    * for the O(log n) bound). */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    val nodes = pairs.select(col("id1").as("id"))
+      .union(pairs.select(col("id2").as("id"))).distinct()
+    // parent-pointer orientation: (u, v) with v < u, no self loops
+    var edges = pairs.select(
+        greatest(col("id1"), col("id2")).as("u"),
+        least(col("id1"), col("id2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // bound lineage growth across rounds
+    var iter = 0
+    var converged = edges.isEmpty
+    while (iter < maxIter && !converged) {
+      // large-star: over BOTH directions, attach each strictly-larger
+      // neighbor v of u to m(u) = min(N(u) ∪ {u})
+      val both = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = both.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = both.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: fold every smaller neighbor (and u itself) onto
+      // m(u) = min(N_small(u) ∪ {u}); input is (u > v)-oriented, so
+      // N_small(u) is exactly u's out-neighbors and m(u) = min(v)
+      val minsS = large.groupBy("u").agg(min("v").as("m"))
+      val joined = large.join(minsS, "u")
+      val next = joined.select(col("v").as("u"), col("m").as("v"))
+        .union(joined.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // deterministic fixpoint: same size and no edge outside the old set
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter")
+    // at the fixpoint every edge is (node → component min); roots and
+    // isolated nodes label themselves
+    val comp = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("component")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+    (comp, iter)
+  }
+
+  /**
+   * One-hop min-label propagation components — the O(diameter) baseline
+   * [[connectedComponents]] replaced. Kept as the independent reference
+   * implementation the equivalence property test checks star contraction
+   * against (two algorithms agreeing is a far stronger oracle than one
+   * algorithm agreeing with itself).
+   */
+  private[graft] def minLabelComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint()
@@ -471,7 +543,7 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter iterations " +
+        s"minLabelComponents did not converge in $maxIter iterations " +
           "(graph diameter exceeds maxIter) — raise maxIter")
     labels
   }

@@ -174,6 +174,38 @@ class DedupSpec extends SparkSpec {
     assert(comps(34L) === 30L)
   }
 
+  test("star contraction finishes a 1000-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // the worst case for one-hop propagation: diameter 999 (min-label
+    // needs ~1000 one-hop iterations and throws at its default cap)
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (comp, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    assert(rounds <= 20, s"expected O(log n) rounds for a chain, took $rounds")
+    val labels = comp.as[(Long, Long)].collect()
+    assert(labels.length === 1000)
+    assert(labels.forall(_._2 === 0L), "every chain node labels to the min id")
+    intercept[IllegalStateException] {
+      Dedup.minLabelComponents(chain) // diameter >> maxIter: must refuse
+    }
+  }
+
+  test("property: star contraction equals min-label propagation on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    val prop = Prop.forAll(edgeGen) { es =>
+      val pairs = es.toDF("id1", "id2")
+      val star = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      val prop1 = Dedup.minLabelComponents(pairs, maxIter = 64)
+        .as[(Long, Long)].collect().toMap
+      star == prop1
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dedupNearTransitive keeps one survivor per component") {
     // duplicate triplet a~b, b~c by construction: same text
     import spark.implicits._
