@@ -75,7 +75,65 @@ object Bench {
     val total = results.collect { case (_, v, true, _, _, _) => v }.sum
     val totalStaging = results.collect { case (_, _, true, _, _, g) => g }.sum
     val nOk = results.count(_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$totalStaging,"queries":$qs,"n_ok":$nOk,"n_fail":${results.size - nOk},"sf":"$sfDir"}""")
+
+    // ---- scale probe: the 5 most expensive queries re-run at a SECOND
+    // scale factor, so super-linear operator cost shows up as a slope
+    // across scales instead of hiding inside a single-sf number. For each
+    // query the staging-free cost is normalized by sf on both sides;
+    // `sec_per_sf_ratio` ≈ 1 (or below: fixed overhead dominates the
+    // smaller scale) means linear scaling, while a ratio approaching the
+    // sf ratio itself means the operator is super-linear in input size.
+    // Probes prefer the largest sf ABOVE the main run (sf1 when the
+    // harness grows one), else the largest below (one decade down today).
+    def sfOf(p: String): Option[Double] = {
+      val n = new java.io.File(p).getName
+      if (n.startsWith("sf")) scala.util.Try(n.drop(2).toDouble).toOption else None
+    }
+    val probeDir: Option[String] = sys.env.get("SPARK_GRAFT_PROBE_DIR").orElse {
+      for {
+        mainSf <- sfOf(sfDir)
+        sibs = Option(new java.io.File(sfDir).getParentFile)
+          .flatMap(p => Option(p.listFiles())).getOrElse(Array.empty).toSeq
+          .filter(_.isDirectory)
+          .flatMap(f => sfOf(f.getPath).map(f.getPath -> _))
+        pick <- sibs.filter(_._2 > mainSf).sortBy(_._2).lastOption
+          .orElse(sibs.filter(_._2 < mainSf).sortBy(_._2).lastOption)
+      } yield pick._1
+    }
+    val probeJson = probeDir.filter(_ != sfDir) match {
+      case Some(pd) =>
+        val sfMain = sfOf(sfDir).getOrElse(1.0)
+        val sfProbe = sfOf(pd).getOrElse(1.0)
+        val top = results.filter(_._3).sortBy(-_._2).take(5)
+        val probed = top.map { case (name, secMain, _, _, _, stagingMain) =>
+          Staging.reset()
+          val t0 = System.nanoTime()
+          val okP =
+            try { SparkEntry.queries(name)(spark, pd).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] scale probe $name failed: ${e.getMessage}")
+              false
+            }
+          val secProbe = (System.nanoTime() - t0) / 1e9
+          val stagingProbe = Staging.elapsedSec
+          val netMain = math.max(secMain - stagingMain, 1e-3)
+          val netProbe = math.max(secProbe - stagingProbe, 1e-3)
+          // direction-independent: normalized cost at the LARGER scale
+          // over the smaller — ≈1 or below is linear-or-better, a value
+          // approaching sf_ratio is super-linear, whichever side probed
+          val ((netLo, sfLo), (netHi, sfHi)) =
+            if (sfMain <= sfProbe) ((netMain, sfMain), (netProbe, sfProbe))
+            else ((netProbe, sfProbe), (netMain, sfMain))
+          val ratio = (netHi / sfHi) / (netLo / sfLo)
+          s""""$name":{"sec_main":$secMain,"sec_probe":$secProbe,""" +
+            s""""net_main":$netMain,"net_probe":$netProbe,""" +
+            s""""sec_per_sf_ratio":$ratio,"ok":$okP}"""
+        }
+        s""","scale_probe":{"probe_sf":"$pd","sf_ratio":${math.max(sfMain, sfProbe) / math.min(sfMain, sfProbe)},""" +
+          s""""queries":${probed.mkString("{", ",", "}")}}"""
+      case None => ""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$totalStaging,"queries":$qs,"n_ok":$nOk,"n_fail":${results.size - nOk},"sf":"$sfDir"$probeJson}""")
     spark.stop()
   }
 }

@@ -165,6 +165,38 @@ object DeployDescriptor {
       }
     }
 
+    // databricks_grants: one resource per securable that declares grants
+    // (Unity Catalog model — grants on schemas/tables/views/volumes are
+    // data-object privileges; job access lives in databricks_permissions
+    // below). The ${...id} references give Terraform the dependency edge.
+    val grantSecurables: Seq[(String, String, String, Seq[graft.meta.DataObjects.Grant])] =
+      project.schemas.flatMap { s =>
+        val sid = rid(s.name)
+        Seq(("schema", sid, s"$${databricks_schema.$sid.id}", s.grants)) ++
+          (s.tables.map(t => ("table", rid(s"${s.name}_${t.name}"), t.grants)) ++
+            s.views.map(v => ("table", rid(s"${s.name}_${v.name}"), v.grants)))
+            .map { case (kind, id, gs) =>
+              (kind, id, s"$${databricks_table.$id.id}", gs) } ++
+          s.volumes.map { v =>
+            val vid = rid(s"${s.name}_${v.name}")
+            ("volume", vid, s"$${databricks_volume.$vid.id}", v.grants)
+          }
+      }.filter(_._4.nonEmpty)
+    if (grantSecurables.nonEmpty) {
+      val gr = resource.putObject("databricks_grants")
+      grantSecurables.foreach { case (kind, id, ref, gs) =>
+        val gn = gr.putObject(id)
+        gn.put(kind, ref)
+        val arr = gn.putArray("grant")
+        gs.foreach { g =>
+          val one = arr.addObject()
+          one.put("principal", g.principal)
+          val pv = one.putArray("privileges")
+          g.privileges.foreach(pv.add)
+        }
+      }
+    }
+
     // one databricks_job per pipeline (databricks.py:502-645): shared
     // auto-scaling job cluster with runtime selection and tags, tasks
     // with retries + the depends_on graph, the pipeline's schedule
@@ -216,6 +248,26 @@ object DeployDescriptor {
         if (p.tags.nonEmpty) {
           val tg = jn.putObject("tags")
           p.tags.foreach { case (k, v) => tg.put(k, v) }
+        }
+      }
+      // databricks_permissions per pipeline job: one access_control
+      // entry per (principal, level). Principals containing '@' render
+      // as user_name, others as group_name — the two shapes a contract
+      // can express without a workspace lookup.
+      val withPerms = project.pipelines.filter(_.permissions.nonEmpty)
+      if (withPerms.nonEmpty) {
+        val perms = resource.putObject("databricks_permissions")
+        withPerms.foreach { p =>
+          val id = rid(s"${project.name}_${p.name}")
+          val pn = perms.putObject(s"${id}_job")
+          pn.put("job_id", s"$${databricks_job.$id.id}")
+          val acl = pn.putArray("access_control")
+          p.permissions.foreach { perm =>
+            val one = acl.addObject()
+            if (perm.principal.contains("@")) one.put("user_name", perm.principal)
+            else one.put("group_name", perm.principal)
+            one.put("permission_level", perm.level)
+          }
         }
       }
       val outputs = root.putObject("output")

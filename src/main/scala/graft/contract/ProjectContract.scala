@@ -34,9 +34,15 @@ object ProjectContract {
       timezoneId: String = "UTC",
       status: String = "UNPAUSED")
 
+  /** Workspace-object access entry for a pipeline's job — the
+    * `databricks_permissions` access-control shape (one level per
+    * principal), as opposed to data-object [[DataObjects.Grant]]s. */
+  final case class Permission(principal: String, level: String)
+
   final case class Pipeline(name: String, tasks: Seq[PipelineTask],
                             schedule: Schedule = Schedule(),
-                            tags: Map[String, String] = Map.empty)
+                            tags: Map[String, String] = Map.empty,
+                            permissions: Seq[Permission] = Nil)
 
   final case class Project(
       name: String,
@@ -52,6 +58,11 @@ object ProjectContract {
 
   private def arr(n: JsonNode, f: String): Seq[JsonNode] =
     Option(n.get(f)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+
+  private def grants(n: JsonNode): Seq[Grant] =
+    arr(n, "grants").map(g => Grant(
+      principal = g.get("principal").asText(),
+      privileges = arr(g, "privileges").map(_.asText())))
 
   def parse(json: String): Project = {
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
@@ -80,12 +91,16 @@ object ProjectContract {
                 p.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
                 .getOrElse(Map.empty),
               comment = optStr(t, "comment"),
-              location = optStr(t, "location"))
+              location = optStr(t, "location"),
+              grants = grants(t))
           },
           views = arr(s, "views").map(v =>
-            ViewDef(v.get("name").asText(), v.get("query").asText())),
+            ViewDef(v.get("name").asText(), v.get("query").asText(),
+              grants = grants(v))),
           volumes = arr(s, "volumes").map(v =>
-            VolumeDef(v.get("name").asText(), v.get("location").asText())))
+            VolumeDef(v.get("name").asText(), v.get("location").asText(),
+              grants = grants(v))),
+          grants = grants(s))
       },
       pipelines = arr(n, "pipelines").map { p =>
         Pipeline(
@@ -106,7 +121,10 @@ object ProjectContract {
             }.getOrElse(Schedule()),
           tags = Option(p.get("tags")).filterNot(_.isNull).map(tn =>
             tn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
-            .getOrElse(Map.empty))
+            .getOrElse(Map.empty),
+          permissions = arr(p, "permissions").map(pn => Permission(
+            principal = pn.get("principal").asText(),
+            level = pn.get("level").asText())))
       })
   }
 
@@ -143,6 +161,16 @@ object ProjectContract {
         if (t.columns.count(_.identity) > 1)
           errs += s"table ${s.name}.${t.name}: multiple identity columns"
       }
+      val allGrants =
+        s.grants.map(s"schema ${s.name}" -> _) ++
+          s.tables.flatMap(t => t.grants.map(s"table ${s.name}.${t.name}" -> _)) ++
+          s.views.flatMap(v => v.grants.map(s"view ${s.name}.${v.name}" -> _)) ++
+          s.volumes.flatMap(v => v.grants.map(s"volume ${s.name}.${v.name}" -> _))
+      allGrants.foreach { case (where, g) =>
+        if (g.principal.isEmpty) errs += s"$where: grant with empty principal"
+        if (g.privileges.isEmpty)
+          errs += s"$where: grant for '${g.principal}' has no privileges"
+      }
     }
 
     val dupPipelines = p.pipelines.groupBy(_.name).collect { case (k, v) if v.size > 1 => k }
@@ -158,6 +186,14 @@ object ProjectContract {
       }
       pl.tasks.foreach { t =>
         Config.validate(t.conf).foreach(e => errs += s"pipeline ${pl.name}/${t.name}: $e")
+      }
+      val jobLevels = Set("CAN_VIEW", "CAN_MANAGE_RUN", "CAN_MANAGE", "IS_OWNER")
+      pl.permissions.foreach { perm =>
+        if (perm.principal.isEmpty)
+          errs += s"pipeline ${pl.name}: permission with empty principal"
+        if (!jobLevels.contains(perm.level))
+          errs += s"pipeline ${pl.name}: unknown permission level '${perm.level}' " +
+            s"(expected one of ${jobLevels.toSeq.sorted.mkString(", ")})"
       }
     }
     errs.result()

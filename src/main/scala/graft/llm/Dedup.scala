@@ -474,11 +474,12 @@ object Dedup {
       val both = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = both.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // no distinct here: small-star's min-agg tolerates duplicate
+      // edges, and `next` dedups — saves one shuffle per round
       val large = both.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star: fold every smaller neighbor (and u itself) onto
       // m(u) = min(N_small(u) ∪ {u}); input is (u > v)-oriented, so
       // N_small(u) is exactly u's out-neighbors and m(u) = min(v)

@@ -33,21 +33,30 @@ object DataObjects {
       generateExpr: Option[String] = None,
       default: Option[String] = None)
 
+  /** Unity-Catalog-style grant on a securable: a principal (user email,
+    * group name, or service principal) and its privileges (SELECT,
+    * MODIFY, READ_VOLUME, ALL_PRIVILEGES, ...). */
+  final case class Grant(principal: String, privileges: Seq[String])
+
   final case class TableDef(
       name: String,
       columns: Seq[ColumnSchema],
       partitionBy: Seq[String] = Nil,
       properties: Map[String, String] = Map.empty,
       comment: Option[String] = None,
-      location: Option[String] = None)
+      location: Option[String] = None,
+      grants: Seq[Grant] = Nil)
 
-  final case class ViewDef(name: String, query: String)
-  final case class VolumeDef(name: String, location: String)
+  final case class ViewDef(name: String, query: String,
+                           grants: Seq[Grant] = Nil)
+  final case class VolumeDef(name: String, location: String,
+                             grants: Seq[Grant] = Nil)
   final case class SchemaDef(
       name: String,
       tables: Seq[TableDef] = Nil,
       views: Seq[ViewDef] = Nil,
-      volumes: Seq[VolumeDef] = Nil)
+      volumes: Seq[VolumeDef] = Nil,
+      grants: Seq[Grant] = Nil)
 
   /** StructType with comment metadata; identity columns are forced to
     * LongType like the reference (delta.py:27-30). */

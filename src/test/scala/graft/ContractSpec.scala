@@ -71,6 +71,27 @@ class ContractSpec extends SparkSpec {
     assert(viewErrs.exists(_.contains("view s.v")))
   }
 
+  test("validation catches empty grant principals/privileges and unknown permission levels") {
+    val bad = ProjectContract.parse(
+      """{"name": "p",
+        | "schemas": [{"name": "s",
+        |  "grants": [{"principal": "", "privileges": ["USE_SCHEMA"]}],
+        |  "tables": [{"name": "t",
+        |   "grants": [{"principal": "analysts", "privileges": []}],
+        |   "columns": [{"name": "a", "type": "int"}]}]}],
+        | "pipelines": [{"name": "pl",
+        |  "permissions": [{"principal": "g", "level": "CAN_FLY"}],
+        |  "tasks": [
+        |   {"name": "x",
+        |    "inputs": [{"name":"i","path":"/tmp/i","source":"parquet"}],
+        |    "execution_sql": "SELECT 1",
+        |    "outputs": [{"name":"o","path":"/tmp/o","write_type":"append"}]}]}]}""".stripMargin)
+    val errs = ProjectContract.validate(bad)
+    assert(errs.exists(_.contains("grant with empty principal")))
+    assert(errs.exists(_.contains("has no privileges")))
+    assert(errs.exists(_.contains("unknown permission level 'CAN_FLY'")))
+  }
+
   test("structType maps identity to long and carries comment/default metadata") {
     val p = ProjectContract.parse(contractJson)
     val st = DataObjects.structType(p.schemas.head.tables.head)

@@ -43,16 +43,25 @@ class DeploySpec extends org.scalatest.funsuite.AnyFunSuite {
   test("terraform stack renders catalog var, data objects, and the job graph") {
     val full = ProjectContract.parse(
       """{"name": "proj",
-        | "schemas": [{"name": "core", "tables": [
+        | "schemas": [{"name": "core",
+        |  "grants": [{"principal": "data-eng", "privileges": ["USE_SCHEMA"]}],
+        |  "tables": [
         |   {"name": "dim", "comment": "dim table",
+        |    "grants": [{"principal": "analysts", "privileges": ["SELECT"]},
+        |               {"principal": "etl@corp.example.com", "privileges": ["SELECT", "MODIFY"]}],
         |    "columns": [{"name": "sk", "type": "bigint", "identity": true},
         |                {"name": "d", "type": "date"}],
         |    "partition_by": ["d"]},
         |   {"name": "ext", "location": "s3://bucket/ext",
         |    "columns": [{"name": "x", "type": "int"}]}],
-        |  "views": [{"name": "v1", "query": "SELECT sk FROM dim"}],
-        |  "volumes": [{"name": "raw", "location": "s3://bucket/raw"}]}],
-        | "pipelines": [{"name": "daily", "tasks": [
+        |  "views": [{"name": "v1", "query": "SELECT sk FROM dim",
+        |    "grants": [{"principal": "analysts", "privileges": ["SELECT"]}]}],
+        |  "volumes": [{"name": "raw", "location": "s3://bucket/raw",
+        |    "grants": [{"principal": "ingest", "privileges": ["READ_VOLUME", "WRITE_VOLUME"]}]}]}],
+        | "pipelines": [{"name": "daily",
+        |  "permissions": [{"principal": "data-eng", "level": "CAN_MANAGE"},
+        |                  {"principal": "oncall@corp.example.com", "level": "CAN_MANAGE_RUN"}],
+        |  "tasks": [
         |   {"name": "extract",
         |    "inputs": [{"name":"i","path":"/tmp/i","source":"parquet"}],
         |    "execution_sql": "SELECT 1",
@@ -99,23 +108,49 @@ class DeploySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(nc.get("runtime_engine").asText() === "STANDARD")
     assert(n.get("output").get("proj_daily_job_id").get("value").asText()
       === "${databricks_job.proj_daily.id}")
+
+    // grants render one databricks_grants resource per securable,
+    // referencing the securable's resource id (the dependency edge)
+    val grants = res.get("databricks_grants")
+    assert(grants.get("core").get("schema").asText() === "${databricks_schema.core.id}")
+    assert(grants.get("core").get("grant").get(0).get("principal").asText() === "data-eng")
+    val dimG = grants.get("core_dim")
+    assert(dimG.get("table").asText() === "${databricks_table.core_dim.id}")
+    assert(dimG.get("grant").get(1).get("privileges").get(1).asText() === "MODIFY")
+    assert(grants.get("core_v1").get("table").asText() === "${databricks_table.core_v1.id}")
+    assert(grants.get("core_raw").get("volume").asText() === "${databricks_volume.core_raw.id}")
+    assert(grants.get("core_ext") === null, "grant-less securables emit no resource")
+
+    // job permissions: user vs group principal shapes
+    val perm = res.get("databricks_permissions").get("proj_daily_job")
+    assert(perm.get("job_id").asText() === "${databricks_job.proj_daily.id}")
+    val acl = perm.get("access_control")
+    assert(acl.get(0).get("group_name").asText() === "data-eng")
+    assert(acl.get(0).get("permission_level").asText() === "CAN_MANAGE")
+    assert(acl.get(1).get("user_name").asText() === "oncall@corp.example.com")
   }
 
   test("terraform stack matches the checked-in golden file byte for byte") {
     val full = ProjectContract.parse(
       """{"name": "proj",
-        | "schemas": [{"name": "core", "tables": [
+        | "schemas": [{"name": "core",
+        |  "grants": [{"principal": "data-eng", "privileges": ["USE_SCHEMA"]}],
+        |  "tables": [
         |   {"name": "dim", "comment": "dim table",
+        |    "grants": [{"principal": "analysts", "privileges": ["SELECT"]}],
         |    "columns": [{"name": "sk", "type": "bigint", "identity": true},
         |                {"name": "d", "type": "date"}],
         |    "partition_by": ["d"]},
         |   {"name": "ext", "location": "s3://bucket/ext",
         |    "columns": [{"name": "x", "type": "int"}]}],
         |  "views": [{"name": "v1", "query": "SELECT sk FROM dim"}],
-        |  "volumes": [{"name": "raw", "location": "s3://bucket/raw"}]}],
+        |  "volumes": [{"name": "raw", "location": "s3://bucket/raw",
+        |    "grants": [{"principal": "ingest", "privileges": ["READ_VOLUME"]}]}]}],
         | "pipelines": [{"name": "daily",
         |  "refresh_policy": {"cron_expression": "0 30 6 * * ?", "timezone_id": "Europe/Berlin"},
         |  "tags": {"team": "data-eng"},
+        |  "permissions": [{"principal": "data-eng", "level": "CAN_MANAGE"},
+        |                  {"principal": "oncall@corp.example.com", "level": "CAN_MANAGE_RUN"}],
         |  "tasks": [
         |   {"name": "extract",
         |    "inputs": [{"name":"i","path":"/tmp/i","source":"parquet"}],

@@ -250,6 +250,36 @@ class FileScopedMergeSpec extends SparkSpec {
     assert(t.read.count() === 400)
   }
 
+  test("vacuum never breaks a reader holding a RETAINED snapshot; pruned versions fail loudly") {
+    val path = tmpDir("fsm_vac_reader")
+    val t = clusteredTable(path)              // version V: 4 bucket dirs
+    Writers.scd1(spark, path, rows(10 until 20, "B"), Seq("id"), opts(T1)) // V+1 carries 3
+    Writers.scd1(spark, path, rows(110 until 120, "C"), Seq("id"), opts(T1)) // V+2
+    val headV = t.latestVersion.get
+    // two pinned readers: one on the head, one on a RETAINED older
+    // version — both plans resolved (dir lists captured) BEFORE vacuum
+    val pinnedHead = t.read
+    val pinnedOld = t.readAt(headV - 1)
+    val headBefore = pinnedHead.select($"id", $"v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    val oldBefore = pinnedOld.select($"id", $"v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+
+    val stats = t.vacuum(2) // keep headV and headV-1, prune everything older
+    assert(stats.prunedVersions > 0)
+
+    // retained-version readers re-collect IDENTICAL rows: every dir any
+    // retained version references (including dirs CARRIED from pruned
+    // commits) must survive the sweep
+    assert(pinnedHead.select($"id", $"v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet === headBefore)
+    assert(pinnedOld.select($"id", $"v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet === oldBefore)
+
+    // a PRUNED version is gone loudly — never served silently wrong
+    intercept[Exception] { t.readAt(headV - 2).collect() }
+  }
+
   test("clusterByRange gives STRING-keyed tables the file-scoped merge path") {
     val path = tmpDir("fsm_str")
     // uuid-ish string keys: the common real-world merge key shape that
