@@ -533,9 +533,15 @@ final class ManagedTable(spark: SparkSession, root: String) {
     * DML rewrites use, metadata-only. Dirs without stats (or predicates
     * the walker can't interpret) land on the "may match" side. */
   private[graft] def splitDirsMayMatch(
+      predicate: org.apache.spark.sql.Column): (Seq[String], Seq[String]) =
+    splitDirsMayMatch(lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist")),
+      predicate)
+
+  /** [[splitDirsMayMatch]] against an explicit commit — the rebase path
+    * walks the NEW head's composition, not whatever is latest. */
+  private[graft] def splitDirsMayMatch(c: Commit,
       predicate: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
-    val c = lastCommit.getOrElse(
-      throw new IllegalStateException(s"managed table $root does not exist"))
     val schema = StructType.fromDDL(c.schemaDdl)
     val predExpr = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -451,6 +451,17 @@ object Writers {
               else probeAffectedDirs(head, s, keys) match {
                 case ProbeSplit(affected, carried)
                   if affected.toSet == rewritten.toSet => Some(carried)
+                case ProbeTooMany =>
+                  // >DirProbeCap-dir tables — the ones whose re-merges
+                  // are most expensive — rebase through the same
+                  // conservative stats walk their scope resolution used,
+                  // evaluated against the NEW head's composition
+                  sourceKeyRange(s, keys) match {
+                    case Some(pred) =>
+                      val (affected, carried) = table.splitDirsMayMatch(head, pred)
+                      if (affected.toSet == rewritten.toSet) Some(carried) else None
+                    case None => None
+                  }
                 case _ => None
               })
           case _ => None

@@ -239,6 +239,46 @@ class ConcurrentMergeSpec extends SparkSpec {
     assert(now.filter($"id" >= 10000).count() === 5, "every append survived")
   }
 
+  test("rebase works past the exact-probe cap: >512-dir tables use the stats walk") {
+    val path = tmpDir("cms_toomany")
+    val t = clusteredTable(path)
+    val real = t.lastCommit.get
+    // the append frame is built BEFORE fabrication: the fabricated fake
+    // dirs are metadata-only (provably non-matching, so no path ever
+    // reads them) and a table read would trip on them
+    val frame = appendFrame(t, 5000, "x")
+    // fabricate a head with 510 extra far-away dirs: 514 total exceeds
+    // DirProbeCap, forcing scope resolution AND the rebase re-probe
+    // through the conservative sourceKeyRange/splitDirsMayMatch path
+    import graft.table.DataSkipping.ColMinMax
+    val fakes = (0 until 510).map(i => s"$path/data/fake-$i")
+    val fakeStats = fakes.map(d => d -> Map(
+      "id" -> ColMinMax(Some("100000"), Some("100000")))).toMap
+    t.writeCommit(real.copy(version = real.version + 1, operation = "APPEND",
+      dirs = real.dirs ++ fakes, dirStats = real.dirStats ++ fakeStats))
+    val base = t.lastCommit.get
+    MergeGate.arm()
+    try {
+      val src = rows(10 until 20, "B").withColumn("v", gateUdf($"v"))
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val th = new Thread(() =>
+        try { Writers.scd1(spark, path, src, Seq("id"), opts(T1)); () }
+        catch { case e: Throwable => err.set(e) })
+      th.start()
+      MergeGate.awaitReached()
+      ManagedTable(spark, path).write(frame, "APPEND", "append")
+      MergeGate.release()
+      th.join(120000)
+      assert(err.get() === null, s"merge surfaced: ${err.get()}")
+      val c = t.lastCommit.get
+      assert(c.operation === "MERGE(scd1)")
+      assert(c.operationMetrics("numRewrittenDirs") === "1")
+      // 3 real buckets + 510 fakes + the racer's append dir all carried
+      assert(c.operationMetrics("numCarriedDirs") === "514")
+      assert(fakes.forall(c.dirs.contains), "fabricated dirs carried by reference")
+    } finally MergeGate.disarm()
+  }
+
   test("compactDirs rebase composition carries a racer's append (writeCarried-level)") {
     val path = tmpDir("cms_compact")
     val t = clusteredTable(path)
