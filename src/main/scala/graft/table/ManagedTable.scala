@@ -66,25 +66,28 @@ final class ManagedTable(spark: SparkSession, root: String) {
     if (vs.isEmpty) None else Some(vs.min)
   }
 
-  def commitAt(version: Long): Commit = {
+  /** One raw log entry: the parsed commit (for delta entries `dirs` /
+    * `dirStats` hold only the ADDED dirs/stats) plus the delta link. */
+  private def readEntry(version: Long): (Commit, Option[ManagedTable.DeltaPart]) = {
     val p = new Path(logPath, f"$version%012d.json")
     val in = fs.open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-    Commit.fromJson(new String(bytes, StandardCharsets.UTF_8))
+    ManagedTable.parseLogEntry(new String(bytes, StandardCharsets.UTF_8))
   }
 
-  /** Read many commit-log entries with bounded-concurrency driver IO.
+  /** Read many raw log entries with bounded-concurrency driver IO.
     * Sequential per-commit opens are fine at 30 commits but not at 30k —
     * on an object store that is 30k × round-trip latency. */
-  private def readCommits(versions: Seq[Long]): Seq[Commit] = {
+  private def readEntries(
+      versions: Seq[Long]): Seq[(Commit, Option[ManagedTable.DeltaPart])] = {
     if (versions.isEmpty) return Nil
-    if (versions.size == 1) return Seq(commitAt(versions.head))
+    if (versions.size == 1) return Seq(readEntry(versions.head))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(16, versions.size))
     try {
       import scala.jdk.CollectionConverters._
-      val tasks: Seq[java.util.concurrent.Callable[Commit]] =
-        versions.map(v => () => commitAt(v))
+      val tasks: Seq[java.util.concurrent.Callable[(Commit, Option[ManagedTable.DeltaPart])]] =
+        versions.map(v => () => readEntry(v))
       pool.invokeAll(tasks.asJava).asScala.map { f =>
         // surface the underlying IO/parse exception, not Future.get's wrapper,
         // so callers see the same exception type as the sequential path
@@ -92,6 +95,50 @@ final class ManagedTable(spark: SparkSession, root: String) {
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       }.toSeq
     } finally { pool.shutdown(); () }
+  }
+
+  /** Resolve log entries to full snapshot commits. Delta entries chain to
+    * their parent via `baseVersion`; chains are bounded by the forced full
+    * snapshot every [[ManagedTable.LogSnapshotInterval]] versions, and any
+    * base outside the requested set is fetched in a follow-up batch, so a
+    * full-history resolve stays one listing + one bounded-concurrency read
+    * round. */
+  private def resolveAll(versions: Seq[Long]): Map[Long, Commit] = {
+    if (versions.isEmpty) return Map.empty
+    val raw = scala.collection.mutable.Map[Long, (Commit, Option[ManagedTable.DeltaPart])]()
+    var frontier = versions.distinct
+    while (frontier.nonEmpty) {
+      val entries = readEntries(frontier)
+      raw ++= frontier.zip(entries)
+      frontier = entries.flatMap(_._2).map(_.baseVersion).distinct
+        .filterNot(raw.contains)
+    }
+    val memo = scala.collection.mutable.Map[Long, Commit]()
+    def resolve(v: Long): Commit = memo.get(v) match {
+      case Some(c) => c
+      case None =>
+        val r = raw(v) match {
+          case (c, None) => c
+          case (e, Some(d)) =>
+            require(d.baseVersion < v,
+              s"corrupt commit log for $root: version $v chains to ${d.baseVersion}")
+            val p = resolve(d.baseVersion)
+            val removed = d.removeDirs.toSet
+            e.copy(dirs = p.dirs.filterNot(removed) ++ e.dirs,
+              dirStats = (p.dirStats -- d.removeDirs) ++ e.dirStats)
+        }
+        memo(v) = r
+        r
+    }
+    versions.distinct.map(v => v -> resolve(v)).toMap
+  }
+
+  def commitAt(version: Long): Commit = resolveAll(Seq(version))(version)
+
+  /** Read many commits (resolved snapshots) — see [[resolveAll]]. */
+  private def readCommits(versions: Seq[Long]): Seq[Commit] = {
+    val m = resolveAll(versions)
+    versions.map(m)
   }
 
   def lastCommit: Option[Commit] = latestVersion.map(commitAt)
@@ -167,7 +214,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         "numRestoredDirs" -> target.dirs.size.toString),
       None, target.schemaDdl, cur.version, partitionBy = target.partitionBy,
       dirStats = target.dirStats, txn = cur.txn)
-    writeCommit(commit)
+    writeCommit(commit, Some(cur))
     commit
   }
 
@@ -477,7 +524,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
           Map("numAffectedRows" -> "0", "numRewrittenDirs" -> "0"),
           None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
           dirStats = c.dirStats, txn = c.txn)
-        writeCommit(commit)
+        writeCommit(commit, Some(c))
         return commit
       }
 
@@ -523,7 +570,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         None, c.schemaDdl, c.version, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = c.partitionBy, dirStats = dirStats, txn = c.txn)
-      writeCommit(commit)
+      writeCommit(commit, Some(c))
       commit
     }
 
@@ -659,7 +706,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = base.partitionBy, dirStats = dirStats,
         txn = base.txn ++ txnUpdate.toMap)
-      try { writeCommit(commit); return commit }
+      try { writeCommit(commit, Some(base)); return commit }
       catch {
         case e: ConcurrentCommitException =>
           changeDir.foreach(d => fs.delete(new Path(d), true))
@@ -802,7 +849,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = partitionBy, dirStats = dirStats,
         txn = base.map(_.txn).getOrElse(Map.empty) ++ txnUpdate.toMap)
-      try writeCommit(c)
+      try writeCommit(c, base)
       catch { case e: Throwable =>
         changeDir.foreach(d => fs.delete(new Path(d), true))
         throw e
@@ -945,7 +992,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
       partitionBy = partitionBy, dirStats = dirStats,
       txn = prev.map(_.txn).getOrElse(Map.empty) ++ txnUpdate.toMap)
-    writeCommit(commit)
+    writeCommit(commit, prev)
     commit
   }
 
@@ -968,7 +1015,22 @@ final class ManagedTable(spark: SparkSession, root: String) {
     require(keepLast >= 1, "vacuum must keep at least one version")
     val versions = listVersions.sorted
     if (versions.size <= keepLast) return VacuumStats(0, 0, 0)
-    val (drop, keep) = versions.splitAt(versions.size - keepLast)
+    val (_, keep0) = versions.splitAt(versions.size - keepLast)
+    // delta-encoded entries chain to earlier versions; the earliest kept
+    // commit's whole chain must survive or retained versions become
+    // unresolvable. Walk it to its full-snapshot base and keep from there
+    // (≤ LogSnapshotInterval−1 extra versions, conservative like Delta's
+    // checkpoint retention).
+    var chainBase = keep0.head
+    var link = readEntry(chainBase)._2
+    while (link.isDefined) {
+      require(link.get.baseVersion < chainBase,
+        s"corrupt commit log for $root: version $chainBase chains to ${link.get.baseVersion}")
+      chainBase = link.get.baseVersion
+      link = readEntry(chainBase)._2
+    }
+    val (drop, keep) = versions.partition(_ < chainBase)
+    if (drop.isEmpty) return VacuumStats(0, 0, 0)
     val keepCommits = readCommits(keep)
     val dropCommits = readCommits(drop)
 
@@ -1265,17 +1327,35 @@ final class ManagedTable(spark: SparkSession, root: String) {
       Map("numOutputRows" -> perBucket.values.map(_._1).sum.toString,
         "buckets" -> perBucket.size.toString),
       None, c.schemaDdl, c.version, dirStats = dirStats, txn = c.txn)
-    writeCommit(commit)
+    writeCommit(commit, Some(c))
     commit
   }
 
   /** Test-visible so specs can fabricate large commit logs without paying
-    * a Spark write job per version. */
-  private[graft] def writeCommit(c: Commit): Unit = {
+    * a Spark write job per version.
+    *
+    * Steady-state commits are DELTA-ENCODED against their parent (added /
+    * removed dirs + added stats, Delta-log style) with a full snapshot
+    * forced every [[ManagedTable.LogSnapshotInterval]] versions — so a
+    * continuous-ingest commit costs O(changed dirs) log bytes, not
+    * O(table dirs), and chain resolution stays bounded. `parent` (when it
+    * is version−1, as every commit path's composition base is) avoids
+    * re-reading the log to diff; encoding falls back to a full snapshot
+    * whenever the delta would not reconstruct the commit byte-exactly or
+    * would not be smaller. */
+  private[graft] def writeCommit(c: Commit, parent: Option[Commit] = None): Unit = {
+    val json: String =
+      if (c.version % ManagedTable.LogSnapshotInterval == 0L) c.toJson
+      else {
+        val p = parent.filter(_.version == c.version - 1L).orElse(
+          try Some(commitAt(c.version - 1L))
+          catch { case scala.util.control.NonFatal(_) => None })
+        p.flatMap(ManagedTable.deltaJson(_, c)).getOrElse(c.toJson)
+      }
     fs.mkdirs(logPath)
     val tmp = new Path(logPath, s".${c.version}-${UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(c.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
     val finalPath = new Path(logPath, f"${c.version}%012d.json")
     // Publication must be atomic-if-absent. HDFS rename already refuses an
     // existing destination; POSIX rename OVERWRITES, so on a local FS two
@@ -1353,13 +1433,16 @@ object ManagedTable {
       // recognized and skipped no matter what committed in between.
       txn: Map[String, Long] = Map.empty) {
 
-    def toJson: String = {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    /** Common log-entry node: `dirsKey`/`statsKey` name the composition
+      * fields ("dirs"/"dirStats" for full snapshots, "addDirs"/
+      * "addDirStats" for delta entries). */
+    private[table] def jsonNode(m: com.fasterxml.jackson.databind.ObjectMapper,
+        dirsKey: String, statsKey: String): com.fasterxml.jackson.databind.node.ObjectNode = {
       val node = m.createObjectNode()
       node.put("version", version)
       node.put("operation", operation)
       node.put("timestampMs", timestampMs)
-      val arr = node.putArray("dirs"); dirs.foreach(arr.add)
+      val arr = node.putArray(dirsKey); dirs.foreach(arr.add)
       val om = node.putObject("operationMetrics")
       operationMetrics.foreach { case (k, v) => om.put(k, v) }
       userMetadata.foreach(node.put("userMetadata", _))
@@ -1375,7 +1458,7 @@ object ManagedTable {
         txn.foreach { case (k, v) => tn.put(k, v) }
       }
       if (dirStats.nonEmpty) {
-        val ds = node.putObject("dirStats")
+        val ds = node.putObject(statsKey)
         dirStats.foreach { case (dir, cols) =>
           val dn = ds.putObject(dir)
           cols.foreach { case (cName, mm) =>
@@ -1385,20 +1468,25 @@ object ManagedTable {
           }
         }
       }
-      m.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+      node
+    }
+
+    def toJson: String = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.writerWithDefaultPrettyPrinter().writeValueAsString(
+        jsonNode(m, "dirs", "dirStats"))
     }
   }
 
   object Commit {
-    def fromJson(s: String): Commit = {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      val n = m.readTree(s)
+    private[table] def fromNode(n: com.fasterxml.jackson.databind.JsonNode,
+        dirsKey: String, statsKey: String): Commit = {
       import scala.jdk.CollectionConverters._
       Commit(
         version = n.get("version").asLong(),
         operation = n.get("operation").asText(),
         timestampMs = n.get("timestampMs").asLong(),
-        dirs = n.get("dirs").elements().asScala.map(_.asText()).toSeq,
+        dirs = n.get(dirsKey).elements().asScala.map(_.asText()).toSeq,
         operationMetrics = Option(n.get("operationMetrics")).map { o =>
           o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
         }.getOrElse(Map.empty),
@@ -1413,7 +1501,7 @@ object ManagedTable {
         txn = Option(n.get("txn")).map { t =>
           t.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
         }.getOrElse(Map.empty),
-        dirStats = Option(n.get("dirStats")).map { ds =>
+        dirStats = Option(n.get(statsKey)).map { ds =>
           ds.properties().asScala.map { e =>
             e.getKey -> e.getValue.properties().asScala.map { ce =>
               ce.getKey -> DataSkipping.ColMinMax(
@@ -1423,6 +1511,62 @@ object ManagedTable {
           }.toMap
         }.getOrElse(Map.empty))
     }
+
+    /** Parse a FULL-snapshot entry (delta entries are internal to the log;
+      * resolve them through [[ManagedTable.commitAt]]). */
+    def fromJson(s: String): Commit = {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      require(n.has("dirs"),
+        "delta-encoded log entry — resolve via ManagedTable.commitAt, not Commit.fromJson")
+      fromNode(n, "dirs", "dirStats")
+    }
+  }
+
+  /** Delta link of a log entry: the parent version its composition diffs
+    * against and the parent dirs it drops (added dirs/stats ride the
+    * entry's own `addDirs`/`addDirStats`). */
+  private[graft] final case class DeltaPart(baseVersion: Long, removeDirs: Seq[String])
+
+  /** Full snapshot forced every this-many versions; delta chains between
+    * snapshots are at most this long. */
+  val LogSnapshotInterval: Int = 10
+
+  /** Parse one raw log entry: full → (commit, None); delta → (commit
+    * holding ONLY the added dirs/stats, Some(link)). */
+  private[graft] def parseLogEntry(s: String): (Commit, Option[DeltaPart]) = {
+    import scala.jdk.CollectionConverters._
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    if (n.has("dirs")) (Commit.fromNode(n, "dirs", "dirStats"), None)
+    else (Commit.fromNode(n, "addDirs", "addDirStats"),
+      Some(DeltaPart(n.get("baseVersion").asLong(),
+        Option(n.get("removeDirs"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))))
+  }
+
+  /** Delta-encode `c` against its parent snapshot, or None when the delta
+    * would not reconstruct `c` byte-exactly (carried-dir order changed,
+    * stats dropped without their dir, duplicate dirs) or would not be
+    * smaller than the full snapshot (e.g. a replace). */
+  private[graft] def deltaJson(parent: Commit, c: Commit): Option[String] = {
+    if (parent.version != c.version - 1L) return None
+    val parentSet = parent.dirs.toSet
+    val cSet = c.dirs.toSet
+    val removed = parent.dirs.filterNot(cSet)
+    val added = c.dirs.filterNot(parentSet)
+    if (added.size + removed.size >= c.dirs.size) return None
+    val removedSet = removed.toSet
+    if (parent.dirs.filterNot(removedSet) ++ added != c.dirs) return None
+    val carriedStats = parent.dirStats -- removed
+    val addStats = c.dirStats.filter { case (d, s) => !carriedStats.get(d).contains(s) }
+    if (carriedStats ++ addStats != c.dirStats) return None
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = c.copy(dirs = added, dirStats = addStats)
+      .jsonNode(m, "addDirs", "addDirStats")
+    node.put("baseVersion", parent.version)
+    if (removed.nonEmpty) {
+      val rm = node.putArray("removeDirs"); removed.foreach(rm.add)
+    }
+    Some(m.writerWithDefaultPrettyPrinter().writeValueAsString(node))
   }
 
   def apply(spark: SparkSession, root: String): ManagedTable =

@@ -1,0 +1,146 @@
+package graft
+
+import graft.table.{DataSkipping, ManagedTable}
+import org.apache.hadoop.fs.Path
+
+/** Delta-encoded commit log: steady-state entries record add/remove dirs
+  * against their parent with a full snapshot every
+  * [[ManagedTable.LogSnapshotInterval]] versions (Delta-log style), so a
+  * continuous-ingest commit costs O(changed dirs) log bytes on a
+  * 100k-dir table, not O(all dirs) — while every resolved read stays
+  * byte-exact vs the composition the writer built. */
+class DeltaLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rawEntry(path: String, v: Long): String = {
+    val p = new Path(path, f"_graft_log/$v%012d.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  test("appends delta-encode between forced snapshots; reads stay exact") {
+    val path = tmpDir("dl_appends")
+    val t = ManagedTable(spark, path)
+    (0 until 25).foreach(i => t.write(Seq((i, s"v$i")).toDF("id", "v"), "APPEND", "append"))
+    // shape: v0/v10/v20 are full snapshots, the rest are deltas
+    (0L until 25L).foreach { v =>
+      val full = rawEntry(path, v).contains("\"dirs\"")
+      assert(full === (v % ManagedTable.LogSnapshotInterval == 0),
+        s"version $v encoding: expected full=${v % 10 == 0}")
+    }
+    // a delta append entry records ONE added dir, no removals
+    val d = rawEntry(path, 13L)
+    assert(d.contains("\"addDirs\"") && !d.contains("\"removeDirs\""))
+    assert(ManagedTable.parseLogEntry(d)._1.dirs.size === 1)
+    // resolution: every version's composition is exactly v+1 dirs
+    (0L until 25L).foreach(v => assert(t.commitAt(v).dirs.size === v + 1))
+    assert(t.read.count() === 25)
+    assert(t.readAt(7).count() === 8)
+    val h = t.history
+    assert(h.size === 25 && h.head.dirs.size === 25)
+    // stats survive resolution for every dir (skipping stays armed)
+    assert(t.lastCommit.get.dirStats.size === 25)
+  }
+
+  test("a delta entry is O(changed dirs) bytes while the table is O(n) dirs") {
+    val path = tmpDir("dl_size")
+    val t = ManagedTable(spark, path)
+    (0 until 15).foreach(i => t.write(Seq((i, "x" * 40)).toDF("id", "v"), "APPEND", "append"))
+    val snapshot = rawEntry(path, 10L).length
+    val delta = rawEntry(path, 14L).length
+    assert(delta * 3 < snapshot,
+      s"delta entry ($delta B) should be far smaller than the snapshot ($snapshot B)")
+  }
+
+  test("replace falls back to a full snapshot (delta would not be smaller)") {
+    val path = tmpDir("dl_replace")
+    val t = ManagedTable(spark, path)
+    (0 until 3).foreach(i => t.write(Seq(i).toDF("id"), "APPEND", "append"))
+    t.write(Seq(99).toDF("id"), "OVERWRITE", "replace")
+    assert(rawEntry(path, 3L).contains("\"dirs\""))
+    assert(t.read.as[Int].collect().toSeq === Seq(99))
+  }
+
+  test("merge commits delta-encode: carried dirs ride by reference") {
+    val path = tmpDir("dl_merge")
+    import graft.write.{WriteOptions, Writers}
+    Writers.scd1(spark, path, (0 until 400).map(i => (i, s"a$i")).toDF("id", "v"),
+      Seq("id"), WriteOptions(now = Some("2026-01-05 00:00:00")))
+    val t = ManagedTable(spark, path)
+    t.clusterBy("id", 4)
+    val before = t.lastCommit.get
+    // file-scoped merge path: rewrite one bucket dir, carry three
+    Writers.scd1(spark, path, Seq((1, "A")).toDF("id", "v"), Seq("id"),
+      WriteOptions(now = Some("2026-01-06 00:00:00")))
+    val c = t.lastCommit.get
+    assert(c.operation === "MERGE(scd1)")
+    val raw = ManagedTable.parseLogEntry(rawEntry(path, c.version))
+    assert(raw._2.isDefined, "merge entry should be delta-encoded")
+    assert(raw._2.get.removeDirs.size === 1)
+    assert(raw._1.dirs.size === 1, "one added (rewritten) dir")
+    assert(c.dirs.size === 4)
+    assert(before.dirs.count(c.dirs.contains) === 3)
+    assert(t.read.filter($"id" === 1 && $"v" === "A").count() === 1)
+  }
+
+  test("deltaJson declines order changes, stat drops, and non-child versions") {
+    val base = ManagedTable.Commit(4L, "APPEND", 1L, Seq("/a", "/b", "/c"),
+      Map.empty, None, "`id` INT", 3L,
+      dirStats = Map("/a" -> Map("id" -> DataSkipping.ColMinMax(Some("1"), Some("2")))))
+    val child = base.copy(version = 5L, readVersion = 4L, dirs = Seq("/a", "/b", "/c", "/d"))
+    assert(ManagedTable.deltaJson(base, child).isDefined)
+    // version gap
+    assert(ManagedTable.deltaJson(base, child.copy(version = 6L)).isEmpty)
+    // carried dirs reordered — reconstruction would not be byte-exact
+    assert(ManagedTable.deltaJson(base,
+      child.copy(dirs = Seq("/b", "/a", "/c", "/d"))).isEmpty)
+    // stats dropped without their dir — reconstruction would resurrect them
+    assert(ManagedTable.deltaJson(base,
+      child.copy(dirStats = Map.empty)).isEmpty)
+    // round-trip: parse + compose equals the child
+    val json = ManagedTable.deltaJson(base, child).get
+    val (add, Some(link)) = ManagedTable.parseLogEntry(json): @unchecked
+    assert(link.baseVersion === 4L && link.removeDirs.isEmpty)
+    assert(base.dirs.filterNot(link.removeDirs.toSet) ++ add.dirs === child.dirs)
+  }
+
+  test("vacuum keeps the earliest retained commit's delta chain resolvable") {
+    val path = tmpDir("dl_vacuum")
+    val t = ManagedTable(spark, path)
+    (0 until 17).foreach(i => t.write(Seq(i).toDF("id"), "APPEND", "append"))
+    // keepLast=3 would keep {14,15,16}, but 14's chain base is snapshot 10:
+    // retention extends down to it so resolution never breaks
+    val stats = t.vacuum(keepLast = 3)
+    assert(t.earliestVersion === Some(10L))
+    assert(stats.prunedVersions === 10)
+    assert(t.readAt(10).count() === 11)
+    assert(t.readAt(14).count() === 15)
+    assert(t.read.count() === 17)
+    intercept[IllegalArgumentException](t.readAt(9))
+    // a second vacuum from a full-snapshot floor still works
+    (0 until 5).foreach(i => t.write(Seq(100 + i).toDF("id"), "APPEND", "append"))
+    t.vacuum(keepLast = 2)
+    assert(t.earliestVersion === Some(20L))
+    assert(t.read.count() === 22)
+  }
+
+  test("vacuum at a full-snapshot boundary prunes exactly keepLast") {
+    val path = tmpDir("dl_vac_exact")
+    val t = ManagedTable(spark, path)
+    (0 until 13).foreach(i => t.write(Seq(i).toDF("id"), "APPEND", "append"))
+    // keepLast=3 keeps {10,11,12}; 10 is a snapshot — no extension needed
+    t.vacuum(keepLast = 3)
+    assert(t.earliestVersion === Some(10L))
+  }
+
+  test("restore across delta entries re-references the target composition") {
+    val path = tmpDir("dl_restore")
+    val t = ManagedTable(spark, path)
+    (0 until 6).foreach(i => t.write(Seq(i).toDF("id"), "APPEND", "append"))
+    t.restore(2L)
+    assert(t.read.as[Int].collect().sorted.toSeq === Seq(0, 1, 2))
+    assert(t.commitAt(6L).dirs === t.commitAt(2L).dirs)
+  }
+}
