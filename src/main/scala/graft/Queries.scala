@@ -649,6 +649,49 @@ object Queries {
        | CASE WHEN st = 'I' THEN '$T1' ELSE '$T0' END AS __metadata_valid_from_ts__
        |FROM final""".stripMargin
 
+  /** Merge schema evolution (Delta autoMerge analogue): the second load
+    * brings a brand-new `c_flag` column under `mergeSchema = true`, so the
+    * table widens — untouched rows read NULL, every matched key updates
+    * (the data hash now spans the new column), inserts carry it. Scale
+    * shape: the widened commit only REWRITES what the merge scope touches;
+    * old dirs are served under the union read schema (parquet missing
+    * columns → NULL), never rewritten for the evolution itself. */
+  def scd1Evolve(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("scd1e")
+    Staging.timed {
+      Writers.scd1(spark, path, load0(spark, dir), Seq("c_custkey"),
+        WriteOptions(now = Some(T0)))
+    }
+    val evolved = load1(spark, dir, changeNames = false)
+      .withColumn("c_flag", concat(lit("F"), (col("c_custkey") % 5).cast("string")))
+    Writers.scd1(spark, path, evolved, Seq("c_custkey"),
+      WriteOptions(now = Some(T1), mergeSchema = true))
+    ManagedTable(spark, path).read.select(scdProjection(
+      "c_custkey", "c_name", "c_mktsegment", "c_flag", Meta.KeyHash,
+      Meta.DataHash, Meta.ValidToTs, Meta.ValidFromTs): _*)
+  }
+
+  val scd1EvolveSql: String =
+    s"""WITH final AS (
+       | SELECT c_custkey, c_name,
+       |  CASE WHEN c_custkey > 500 AND c_custkey % 2 = 0
+       |       THEN c_mktsegment || '_X' ELSE c_mktsegment END AS seg,
+       |  CASE WHEN c_custkey > 500 THEN 'F' || CAST(c_custkey % 5 AS VARCHAR)
+       |       ELSE NULL END AS flag,
+       |  CASE WHEN c_custkey > 1000 THEN 'I'
+       |       WHEN c_custkey > 500 THEN 'U'
+       |       ELSE 'K' END AS st
+       | FROM customer)
+       |SELECT c_custkey, c_name, seg AS c_mktsegment, flag AS c_flag,
+       | md5(concat_ws('|', coalesce(CAST(c_custkey AS VARCHAR), ''))) AS __metadata_key_hash__,
+       | CASE WHEN st = 'K'
+       |      THEN md5(concat_ws('|', coalesce(c_name, ''), coalesce(seg, '')))
+       |      ELSE md5(concat_ws('|', coalesce(c_name, ''), coalesce(seg, ''), coalesce(flag, ''))) END
+       |   AS __metadata_data_hash__,
+       | CASE WHEN st = 'K' THEN '$T0' ELSE '$T1' END AS __metadata_valid_to_ts__,
+       | CASE WHEN st = 'I' THEN '$T1' ELSE '$T0' END AS __metadata_valid_from_ts__
+       |FROM final""".stripMargin
+
   /** Partition-scoped scd1 (the reference's `use_paritition_column_in_merge`
     * file-skipping intent, write.py:190-213, :472-486): the table is
     * physically partitioned by the stable c_nationkey and the second load

@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_batch_action" -> (Queries.dedupBatchAction(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
+    "scd1_evolve" -> (Queries.scd1Evolve(_, _)),
     "scd1_partitioned" -> (Queries.scd1Partitioned(_, _)),
     "scd1_file_scoped" -> (Queries.scd1FileScoped(_, _)),
     "merge_maintenance" -> (Queries.mergeMaintenance(_, _)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "dedup_batch_action" -> Queries.dedupBatchActionSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
+    "scd1_evolve" -> Queries.scd1EvolveSql,
     "scd1_file_scoped" -> Queries.scd1FileScopedSql,
     "merge_maintenance" -> Queries.mergeMaintenanceSql,
     "scd1_string_scoped" -> Queries.scd1StringScopedSql,

@@ -36,6 +36,12 @@ final case class WriteOptions(
     allowDuplicateMatches: Boolean = false,
     persistDataset: Boolean = false,
     stageResults: Boolean = false,
+    // Delta autoMerge analogue for merges: NEW source columns widen the
+    // target schema (old rows/dirs read NULL for them). Off by default —
+    // then a merge whose source brings unknown columns fails loudly
+    // instead of silently dropping them from the target-schema projection
+    // (while their values still poison the stored data hash).
+    mergeSchema: Boolean = false,
     // change data feed: merges record per-row changes alongside the
     // snapshot; appends/overwrites synthesize theirs from the commit
     // log's dir diff (the `delta.enableChangeDataFeed` table property

@@ -441,7 +441,8 @@ object Writers {
           readCommit.exists(_.dirs.size > 1)
         if (probeEngages && !barriered) { s = s.localCheckpoint(); barriered = true }
         val scope = resolveScope(table, readCommit, s, keys, opts, partitionBy)
-        val result = pattern(mergeTarget(table, s, partitionBy, scope), s)
+        val result = pattern(
+          evolveTarget(mergeTarget(table, s, partitionBy, scope), s, opts), s)
         val rebase: Option[Commit => Option[Seq[String]]] = scope match {
           case FileScope(rewritten, _) =>
             val read = readCommit.get // FileScope implies a commit exists
@@ -479,6 +480,29 @@ object Writers {
 
   private def unstage(df: DataFrame, opts: WriteOptions): Unit =
     if (opts.persistDataset) { df.unpersist(); () }
+
+  /** Schema evolution for merges (Delta `autoMerge` analogue): source
+    * columns absent from the target widen it with typed NULLs, so the
+    * merge output carries the union schema — matched rows take the new
+    * values, untouched rows (and carried/old data dirs, which parquet
+    * serves as NULL under the widened read schema) read NULL. Without
+    * `mergeSchema` a new source column fails loudly: the merge's
+    * target-schema projection would silently drop it while its value
+    * still enters the stored data hash, leaving every matched key
+    * perpetually "changed". */
+  private def evolveTarget(target: DataFrame, source: DataFrame,
+                           opts: WriteOptions): DataFrame = {
+    val newFields = source.schema.fields.filterNot(f =>
+      target.columns.exists(_.equalsIgnoreCase(f.name)))
+    if (newFields.isEmpty) target
+    else if (!opts.mergeSchema)
+      throw new IllegalArgumentException(
+        s"merge source brings columns not in the target schema: " +
+          s"${newFields.map(_.name).mkString(", ")}; pass mergeSchema = true " +
+          "to evolve the table (new columns read NULL for existing rows)")
+    else newFields.foldLeft(target)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
 
   def append(spark: SparkSession, path: String, source: DataFrame,
              opts: WriteOptions = WriteOptions(),
