@@ -1076,6 +1076,48 @@ object Queries {
        | CASE WHEN o_orderkey <= 1000 THEN '$T0' ELSE '$T1' END AS __metadata_valid_to_ts__
        |FROM orders""".stripMargin
 
+  /** Managed-table STREAMING SOURCE (`format("graft-table")`,
+    * [[graft.streaming.TableStreamSource]] — the Delta streaming-source
+    * analogue): bronze is a managed table fed by appends; the stream
+    * backfills the initial snapshot, then tails ONLY the dirs the later
+    * append committed (version offsets, O(new data) per trigger), each
+    * micro-batch merged into silver through the exactly-once txn guard.
+    * The medallion bronze→silver chain at its smallest. */
+  def streamTableSource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val bronze = tmp("tstream_bronze")
+    val silver = tmp("tstream_silver")
+    val ckpt = tmp("tstream_ck")
+    val c = pq(spark, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    Staging.timed {
+      ManagedTable(spark, bronze)
+        .write(c.filter(col("c_custkey") <= 700), "APPEND", "replace")
+    }
+    def drain(): Unit = {
+      val q = graft.streaming.StreamOps.streamTable(spark, bronze)
+        .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+          Writers.scd1(spark, silver, b, Seq("c_custkey"),
+            WriteOptions(now = Some(T0)), txn = Some((s"graft-stream:$ckpt", id)))
+          ()
+        }.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    drain() // snapshot backfill
+    ManagedTable(spark, bronze)
+      .write(c.filter(col("c_custkey") > 700), "APPEND", "append")
+    drain() // tail: exactly the appended dirs
+    ManagedTable(spark, silver).read.select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      col(Meta.ValidToTs).cast("string").as(Meta.ValidToTs))
+  }
+
+  val streamTableSourceSql: String =
+    s"""SELECT c_custkey, c_name, c_mktsegment,
+       | '$T0' AS __metadata_valid_to_ts__
+       |FROM customer""".stripMargin
+
   /** Structured Streaming input with Trigger.AvailableNow, foreachBatch
     * re-entering the batch append writer (test_stream.py:31) — result
     * equals the batch equivalent. */

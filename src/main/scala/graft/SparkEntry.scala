@@ -85,6 +85,7 @@ object SparkEntry {
     "cdc_two_runs" -> (Queries.cdcTwoRuns(_, _)),
     "cdc_change_feed" -> (Queries.cdcChangeFeed(_, _)),
     "stream_append" -> (Queries.streamAppend(_, _)),
+    "stream_table_source" -> (Queries.streamTableSource(_, _)),
     "stream_join" -> (Queries.streamJoin(_, _)),
     "sessionize" -> (Queries.sessionizeEvents(_, _)),
     // LLM-pipeline text operators
@@ -211,6 +212,7 @@ object SparkEntry {
     "cdc_two_runs" -> Queries.cdcTwoRunsSql,
     "cdc_change_feed" -> Queries.cdcChangeFeedSql,
     "stream_append" -> Queries.streamAppendSql,
+    "stream_table_source" -> Queries.streamTableSourceSql,
     "stream_join" -> Queries.streamJoinSql,
     "sessionize" -> Queries.sessionizeEventsSql,
     "dedup_exact" ->

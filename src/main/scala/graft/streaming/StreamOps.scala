@@ -18,6 +18,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object StreamOps {
 
+  /** Stream FROM a managed table (Delta streaming-source analogue; see
+    * [[TableStreamSource]]): default = initial-snapshot backfill + append
+    * tail; `startingVersion` tails only; `skipChangeCommits` skips
+    * rewrite commits instead of failing; `maxVersionsPerTrigger` bounds
+    * admission. The medallion chain: bronze `Writers.append` →
+    * `streamTable(bronze)` → transform → foreachBatch merge into silver. */
+  def streamTable(spark: SparkSession, path: String,
+                  startingVersion: Option[Long] = None,
+                  skipChangeCommits: Boolean = false,
+                  maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+    var r = spark.readStream.format("graft-table").option("path", path)
+    startingVersion.foreach(v => r = r.option("startingVersion", v.toString))
+    if (skipChangeCommits) r = r.option("skipChangeCommits", "true")
+    maxVersionsPerTrigger.foreach(k => r = r.option("maxVersionsPerTrigger", k.toString))
+    r.load()
+  }
+
   /** Tumbling (or sliding) event-time count/aggregate per key with a
     * watermark bounding state. `slide = None` → tumbling. */
   def windowedCounts(events: DataFrame, timeCol: String, keyCol: String,

@@ -1,0 +1,179 @@
+package graft.streaming
+
+import graft.table.ManagedTable
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Stream FROM a managed table — the Delta streaming-source analogue
+ * (reference tables are Delta and feed downstream streams the same way;
+ * reference: core/sources/delta_source.py:19-44). Registered as
+ * `format("graft-table")`:
+ *
+ * {{{
+ *   spark.readStream.format("graft-table").option("path", root).load()
+ * }}}
+ *
+ * Offsets are TABLE VERSIONS (one `LongOffset` = highest version
+ * consumed), so the checkpoint state is one number and restart recovery
+ * is exact. Batch composition:
+ *
+ *  - default: the stream's FIRST batch is the full snapshot at the
+ *    version current when the stream starts (the Delta initial-snapshot
+ *    backfill), then each later version contributes exactly the data
+ *    dirs its commit ADDED — an O(new data) tail read, never a rescan;
+ *  - `startingVersion=N`: no snapshot backfill, tail from version N's
+ *    own added dirs on;
+ *  - non-append commits (merge/overwrite/DML/restore/optimize) fail the
+ *    stream loudly, exactly like Delta, unless `skipChangeCommits=true`
+ *    skips them (their rewrites carry dirs forward, so appended-dir
+ *    diffing would misattribute rewritten history as new rows);
+ *  - `maxVersionsPerTrigger=K` rate-limits admission (Delta's
+ *    maxFilesPerTrigger intent) so a stream bootstrapping against a long
+ *    backlog advances in bounded micro-batches.
+ *
+ * 100 TB shape: a batch reads ONLY the dirs added in its version range
+ * under the stream's fixed start schema (later schema evolutions project
+ * onto it, missing columns NULL); the driver does one log listing + one
+ * bounded-concurrency commit-range resolve per trigger.
+ */
+final class TableStreamSource(
+    sqlContext: SQLContext,
+    path: String,
+    options: Map[String, String]) extends Source {
+
+  private val spark = sqlContext.sparkSession
+  private val table = ManagedTable(spark, path)
+
+  private def opt(key: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  private val startingVersion: Option[Long] = opt("startingVersion").map(_.toLong)
+  private val skipChangeCommits: Boolean =
+    opt("skipChangeCommits").exists(_.toBoolean)
+  private val maxVersionsPerTrigger: Option[Long] =
+    opt("maxVersionsPerTrigger").map(_.toLong)
+
+  private val startCommit = table.lastCommit.getOrElse(
+    throw new IllegalStateException(
+      s"managed table $path does not exist — streams need a created table"))
+
+  /** Highest version considered already consumed before the first batch.
+    * Default mode sets it one BELOW the start version so the initial
+    * snapshot backfill is always offered, even on an idle table. */
+  private val floor: Long =
+    startingVersion.map(_ - 1L).getOrElse(startCommit.version - 1L)
+
+  override val schema: StructType = StructType.fromDDL(startCommit.schemaDdl)
+
+  /** Highest version OFFERED so far (admission bookkeeping; re-synced
+    * from the checkpoint via the first getBatch after restart). */
+  @volatile private var offered: Long = floor
+
+  override def getOffset: Option[V1Offset] = {
+    val latest = table.latestVersion.getOrElse(return None)
+    if (latest <= offered) return if (offered > floor) Some(LongOffset(offered)) else None
+    val end = maxVersionsPerTrigger
+      .map(k => math.min(latest, offered + math.max(1L, k))).getOrElse(latest)
+    offered = end
+    Some(LongOffset(end))
+  }
+
+  private def versionOf(o: V1Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endV = versionOf(end)
+    if (endV > offered) offered = endV // restart: re-sync admission floor
+    val partitioned = startCommit.partitionBy.nonEmpty
+
+    val dirs: Seq[String] = start match {
+      case None if startingVersion.isEmpty =>
+        // fresh default-mode stream: the initial backfill IS the full
+        // composition at the end offset (commits between stream start and
+        // first trigger are covered by the snapshot itself)
+        table.commitAt(endV).dirs
+      case _ =>
+        val startV = start.map(versionOf).getOrElse(startingVersion.get - 1L)
+        tailDirs(startV, endV)
+    }
+
+    val batch =
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else table.readDirsAs(dirs.distinct, schema, partitioned)
+    org.apache.spark.sql.graft.StreamingFrame.mark(batch)
+  }
+
+  /** Added dirs of versions (startV, endV]: each APPEND contributes its
+    * dir-diff vs the parent; version 0 contributes its whole composition.
+    * One batched commit-range resolve (parent included as diff base). */
+  private def tailDirs(startV: Long, endV: Long): Seq[String] = {
+    if (startV >= endV) return Nil
+    val from = math.max(0L, startV)
+    val byVersion = table.commitsBetween(from, endV).map(c => c.version -> c).toMap
+    (startV + 1L to endV).flatMap { v =>
+      byVersion.get(v) match {
+        case None =>
+          throw new IllegalStateException(
+            s"version $v of $path was vacuumed past the stream checkpoint — " +
+              "the tail cannot be reconstructed; restart the stream fresh")
+        case Some(c) =>
+          val op = c.operation.toUpperCase
+          val isAppend = op.startsWith("APPEND") || op.startsWith("CREATE TABLE")
+          if (isAppend) {
+            if (v == 0L) c.dirs
+            else byVersion.get(v - 1L).map(p => c.dirs.filterNot(p.dirs.toSet))
+              .getOrElse(throw new IllegalStateException(
+                s"cannot diff version $v of $path — parent commit vacuumed; " +
+                  "restart the stream fresh"))
+          } else if (skipChangeCommits) Nil
+          else throw new IllegalStateException(
+            s"stream over $path hit a data-changing commit at version $v " +
+              s"(${c.operation}); streaming sources serve appends only — " +
+              "set skipChangeCommits=true to skip rewrites, or restart " +
+              "from the current snapshot")
+      }
+    }
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"TableStreamSource[$path]"
+}
+
+/** `format("graft-table")` registration (META-INF services). */
+final class TableStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-table"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-table stream requires .option(\"path\", <table root>)"))
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = pathOf(parameters)
+    val c = ManagedTable(sqlContext.sparkSession, path).lastCommit.getOrElse(
+      throw new IllegalStateException(
+        s"managed table $path does not exist — streams need a created table"))
+    (s"graft-table[$path]", schema.getOrElse(StructType.fromDDL(c.schemaDdl)))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new TableStreamSource(sqlContext, pathOf(parameters), parameters)
+}

@@ -610,6 +610,19 @@ final class ManagedTable(spark: SparkSession, root: String) {
     readDirs(dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty)
   }
 
+  /** Retained commits with `fromV <= version <= toV`, ascending — one log
+    * listing + one batched resolve (streaming tails read version ranges
+    * this way, never one RPC per commit). */
+  def commitsBetween(fromV: Long, toV: Long): Seq[Commit] =
+    readCommits(listVersions.filter(v => v >= fromV && v <= toV).sorted)
+
+  /** Read stored dirs under an EXPLICIT schema — the streaming-tail read:
+    * a stream's schema is fixed at start, so dirs committed after a
+    * schema evolution are projected onto it (missing columns → NULL). */
+  private[graft] def readDirsAs(dirs: Seq[String], schema: StructType,
+                                partitioned: Boolean): DataFrame =
+    readDirs(dirs, schema, partitioned)
+
   /**
    * Commit `df` as one new data dir PLUS `carried` dirs of the previous
    * version by reference — the file-scoped merge commit: prevDirs −

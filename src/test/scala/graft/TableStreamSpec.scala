@@ -1,0 +1,124 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.table.ManagedTable
+import graft.write.{WriteOptions, Writers}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+/** Streaming FROM a managed table (`format("graft-table")`, the Delta
+  * streaming-source analogue): initial-snapshot backfill + O(new data)
+  * append tail, exactly-once across restarts via version offsets,
+  * loud failure on rewrite commits unless skipChangeCommits. */
+class TableStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def append(path: String, ids: Range, v: String): Unit =
+    ManagedTable(spark, path)
+      .write(ids.map(i => (i, s"$v$i")).toDF("id", "v"), "APPEND", "append")
+
+  private def seed(path: String, ids: Range, v: String): Unit =
+    ManagedTable(spark, path)
+      .write(ids.map(i => (i, s"$v$i")).toDF("id", "v"), "APPEND",
+        if (ManagedTable(spark, path).exists) "append" else "replace")
+
+  private def runOnce(path: String, ckpt: String, sink: String,
+                      startingVersion: Option[Long] = None,
+                      skipChangeCommits: Boolean = false,
+                      maxVersionsPerTrigger: Option[Long] = None): Unit = {
+    val q = StreamOps.streamTable(spark, path, startingVersion,
+        skipChangeCommits, maxVersionsPerTrigger)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    ()
+  }
+
+  private def sinkIds(sink: String): Seq[Int] =
+    spark.read.parquet(sink).select($"id").as[Int].collect().sorted.toSeq
+
+  test("initial snapshot backfill, then O(new data) tail across restarts") {
+    val path = tmpDir("ts_tail"); val ckpt = tmpDir("ts_tail_ck")
+    val sink = tmpDir("ts_tail_sink")
+    seed(path, 0 until 10, "a")
+    append(path, 10 until 20, "b")
+    runOnce(path, ckpt, sink)
+    assert(sinkIds(sink) === (0 until 20))
+    // two more appends land; a restarted stream serves ONLY them
+    append(path, 20 until 25, "c")
+    append(path, 25 until 30, "d")
+    runOnce(path, ckpt, sink)
+    assert(sinkIds(sink) === (0 until 30), "tail appended exactly the new rows")
+    // idle restart: nothing new, nothing duplicated
+    runOnce(path, ckpt, sink)
+    assert(sinkIds(sink) === (0 until 30))
+  }
+
+  test("startingVersion tails without the snapshot backfill") {
+    val path = tmpDir("ts_sv"); val ckpt = tmpDir("ts_sv_ck")
+    val sink = tmpDir("ts_sv_sink")
+    seed(path, 0 until 10, "a")     // version 0
+    append(path, 10 until 20, "b")  // version 1
+    append(path, 20 until 30, "c")  // version 2
+    runOnce(path, ckpt, sink, startingVersion = Some(2L))
+    assert(sinkIds(sink) === (20 until 30), "only version 2's appended rows")
+  }
+
+  test("a rewrite commit fails the stream loudly; skipChangeCommits skips it") {
+    val path = tmpDir("ts_chg"); val sink = tmpDir("ts_chg_sink")
+    seed(path, 0 until 10, "a")
+    val ckpt1 = tmpDir("ts_chg_ck1")
+    runOnce(path, ckpt1, sink) // consume the snapshot
+    ManagedTable(spark, path).write(
+      (0 until 10).map(i => (i, s"z$i")).toDF("id", "v"), "OVERWRITE", "replace")
+    append(path, 10 until 15, "b")
+    val e = intercept[StreamingQueryException] { runOnce(path, ckpt1, sink) }
+    assert(e.getCause.getMessage.contains("skipChangeCommits"),
+      s"unexpected failure: ${e.getCause}")
+    // same tail with skipChangeCommits: rewrite skipped, append served
+    val ckpt2 = tmpDir("ts_chg_ck2"); val sink2 = tmpDir("ts_chg_sink2")
+    runOnce(path, ckpt2, sink2) // snapshot (post-replace state)
+    append(path, 15 until 18, "c")
+    ManagedTable(spark, path).write(
+      (0 until 5).map(i => (i, s"y$i")).toDF("id", "v"), "OVERWRITE", "replace")
+    append(path, 18 until 21, "d")
+    runOnce(path, ckpt2, sink2, skipChangeCommits = true)
+    assert(sinkIds(sink2) === ((0 until 15) ++ (15 until 21)),
+      "appends around the skipped rewrite are all served once")
+  }
+
+  test("maxVersionsPerTrigger bounds admission but completes the backlog") {
+    val path = tmpDir("ts_adm"); val ckpt = tmpDir("ts_adm_ck")
+    val sink = tmpDir("ts_adm_sink")
+    seed(path, 0 until 5, "a")
+    (1 until 6).foreach(i => append(path, i * 5 until (i + 1) * 5, "b"))
+    // 6 versions; admission 2/trigger → AvailableNow drains in ≥3 batches
+    val q = StreamOps.streamTable(spark, path, maxVersionsPerTrigger = Some(2L))
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(sinkIds(sink) === (0 until 30))
+  }
+
+  test("stream joins back to dimensions: medallion bronze→silver via foreachBatch") {
+    val bronze = tmpDir("ts_med_b"); val silver = tmpDir("ts_med_s")
+    val ckpt = tmpDir("ts_med_ck")
+    seed(bronze, 0 until 10, "a")
+    val q = StreamOps.streamTable(spark, bronze)
+      .withColumn("flag", col("id") % 2 === 0)
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Writers.scd1(spark, silver, batch, Seq("id"),
+          WriteOptions(now = Some("2026-01-05 00:00:00")),
+          txn = Some((s"graft-stream:$ckpt", id)))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val s = ManagedTable(spark, silver).read
+    assert(s.count() === 10)
+    assert(s.filter($"flag" === true).count() === 5)
+  }
+}
