@@ -96,6 +96,8 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(Queries.pq(s, d, "documents"))),
     "repetition_signals" -> ((s, d) =>
       TextOps.repetitionSignals(Queries.pq(s, d, "documents"))),
+    "quality_gopher" -> ((s, d) => TextOps.gopherQuality(Queries.pq(s, d, "documents"))),
+    "c4_line_filter" -> ((s, d) => TextOps.c4LineFilter(Queries.pq(s, d, "documents"))),
     // near-dup + similarity + multimodal (MinHash-LSH / SimHash / ANN)
     "dedup_minhash" -> ((s, d) =>
       Dedup.nearDupPairs(Queries.pq(s, d, "documents"), threshold = 0.8)),
@@ -252,6 +254,57 @@ object SparkEntry {
         | md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fingerprint,
         | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
         |FROM documents""".stripMargin,
+    "quality_gopher" ->
+      """WITH s AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws,
+        |  list_transform(str_split(text, chr(10)), x -> trim(x)) AS lines,
+        |  ' ' || lower(text) || ' ' AS padded,
+        |  (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+        |  len(regexp_extract_all(text, '#')) AS n_hash
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(ws) AS n_words,
+        |  list_sum(list_transform(ws, w -> length(w))) AS n_word_chars,
+        |  len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha_words,
+        |  n_hash + n_ell AS n_symbols,
+        |  len(lines) AS n_lines,
+        |  len(list_filter(lines, x -> regexp_matches(x, '^[-*]'))) AS n_bullet_lines,
+        |  len(list_filter(lines, x -> regexp_matches(x, '\.\.\.$'))) AS n_ellipsis_lines,
+        |  (CASE WHEN contains(padded, ' the ') THEN 1 ELSE 0 END) +
+        |  (CASE WHEN contains(padded, ' be ') THEN 1 ELSE 0 END) +
+        |  (CASE WHEN contains(padded, ' to ') THEN 1 ELSE 0 END) +
+        |  (CASE WHEN contains(padded, ' of ') THEN 1 ELSE 0 END) +
+        |  (CASE WHEN contains(padded, ' and ') THEN 1 ELSE 0 END) +
+        |  (CASE WHEN contains(padded, ' that ') THEN 1 ELSE 0 END) +
+        |  (CASE WHEN contains(padded, ' have ') THEN 1 ELSE 0 END) +
+        |  (CASE WHEN contains(padded, ' with ') THEN 1 ELSE 0 END) AS n_stopwords
+        | FROM s)
+        |SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_symbols,
+        | n_lines, n_bullet_lines, n_ellipsis_lines, n_stopwords,
+        | CASE WHEN n_words BETWEEN 50 AND 100000
+        |      AND n_word_chars BETWEEN n_words * 3 AND n_words * 10
+        |      AND n_symbols * 10 < n_words
+        |      AND n_bullet_lines * 10 < n_lines * 9
+        |      AND n_ellipsis_lines * 10 < n_lines * 3
+        |      AND n_alpha_words * 10 > n_words * 8
+        |      AND n_stopwords >= 2 THEN 1 ELSE 0 END AS passes_gopher
+        |FROM c""".stripMargin,
+    "c4_line_filter" ->
+      """WITH k AS (SELECT doc_id, text,
+        |  list_filter(list_transform(str_split(text, chr(10)), x -> trim(x)),
+        |    x -> regexp_matches(x, '[.!?"]$')
+        |         AND len(regexp_split_to_array(x, '\s+')) >= 5
+        |         AND NOT contains(lower(x), 'javascript')) AS kept,
+        |  len(str_split(text, chr(10))) AS n_lines
+        | FROM documents)
+        |SELECT doc_id,
+        | array_to_string(kept, chr(10)) AS clean_text,
+        | n_lines,
+        | len(kept) AS n_lines_kept,
+        | CASE WHEN len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) >= 3
+        |      AND NOT contains(lower(text), 'lorem ipsum')
+        |      AND NOT contains(text, '{') THEN 1 ELSE 0 END AS keep_doc
+        |FROM k""".stripMargin,
     "repetition_signals" ->
       """SELECT doc_id,
         | len(str_split(text, chr(10))) AS n_lines,

@@ -108,6 +108,86 @@ object TextOps {
       size(array_distinct(Dedup.shingles(t, 2))).as("n_distinct_2grams"))
   }
 
+  /** Gopher quality gate (Rae et al. 2021, "Scaling Language Models",
+    * §A1.1 — the published web-text filter rules): per-document signals
+    * as EXACT INTEGER counts plus the composite verdict, with every
+    * ratio rule rewritten as integer arithmetic (`10·symbols < words`
+    * instead of `symbols/words < 0.1`) so the result hashes identically
+    * in any engine — no float thresholds anywhere. Rules covered: word
+    * count in [50, 100k]; mean word length in [3, 10]; hash/ellipsis
+    * symbol ratio < 0.1; bullet-started lines < 90%; ellipsis-ended
+    * lines < 30%; words with an alphabetic char > 80%; at least two
+    * distinct common stop words present. Pure built-in expressions —
+    * narrow, shuffle-free, codegen'd; at 100 TB this is one scan. */
+  def gopherQuality(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val ws = split(trim(t), "\\s+")
+    val nWords = size(ws)
+    val wordChars = aggregate(ws, lit(0), (acc, w) => acc + length(w))
+    val nAlphaWords = size(filter(ws, w => w.rlike("[a-zA-Z]")))
+    val nHash = size(regexp_extract_all(t, lit("#"), lit(0)))
+    // "..." occurrences via replace-shrink; the count is (removed chars)/3,
+    // exact because every removed char belongs to one occurrence
+    val nEllipsis =
+      ((length(t) - length(call_function("replace", t, lit("..."), lit("")))) / 3)
+        .cast("int")
+    val lines = transform(split(t, "\n"), l => trim(l))
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l => l.rlike("^[-*]")))
+    val nEllLines = size(filter(lines, l => l.rlike("\\.\\.\\.$")))
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val nStops = Seq(" the ", " be ", " to ", " of ", " and ", " that ",
+        " have ", " with ")
+      .map(s => when(padded.contains(s), 1).otherwise(0))
+      .reduce(_ + _)
+    val nSymbols = nHash + nEllipsis
+    docs.select(
+      col(idCol),
+      nWords.as("n_words"),
+      wordChars.as("n_word_chars"),
+      nAlphaWords.as("n_alpha_words"),
+      nSymbols.as("n_symbols"),
+      nLines.as("n_lines"),
+      nBullet.as("n_bullet_lines"),
+      nEllLines.as("n_ellipsis_lines"),
+      nStops.as("n_stopwords"),
+      (nWords >= 50 && nWords <= 100000 &&
+        wordChars >= nWords * 3 && wordChars <= nWords * 10 &&
+        nSymbols * 10 < nWords &&
+        nBullet * 10 < nLines * 9 &&
+        nEllLines * 10 < nLines * 3 &&
+        nAlphaWords * 10 > nWords * 8 &&
+        nStops >= 2).cast("int").as("passes_gopher"))
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2020, §2.2 — the published
+    * heuristics): keep lines that end in terminal punctuation, have at
+    * least five words, and don't mention javascript; then keep the
+    * document iff the cleaned text still has >= 3 sentence marks and the
+    * raw text has no "lorem ipsum" and no curly brace. Line filtering is
+    * a higher-order `filter` over the split array — one scan, no
+    * explode/regroup shuffle — and the verdict is integer-exact. */
+  def c4LineFilter(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val lines = transform(split(t, "\n"), l => trim(l))
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(l, "\\s+")) >= 5 &&
+        !lower(l).contains("javascript"))
+    val cleanText = array_join(kept, "\n")
+    val nSentences = size(regexp_extract_all(cleanText, lit("[.!?]"), lit(0)))
+    docs.select(
+      col(idCol),
+      cleanText.as("clean_text"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_lines_kept"),
+      (nSentences >= 3 &&
+        !lower(t).contains("lorem ipsum") &&
+        !t.contains("{")).cast("int").as("keep_doc"))
+  }
+
   /** Rolling-hash document fingerprint (Rabin-Karp-style over the word
     * sequence, mod 2^61-1) — a cheap order-sensitive signature, exactly
     * reproducible in SQL via the same fold. */

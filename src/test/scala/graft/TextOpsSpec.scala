@@ -121,4 +121,43 @@ class TextOpsSpec extends SparkSpec {
     val fps = TextOps.fingerprint(pair).select("fingerprint").as[String].collect()
     assert(fps(0) === fps(1))
   }
+
+  test("gopherQuality: the published rules gate on exact integer arithmetic") {
+    val good = (("the quick brown fox jumps over the lazy dog and then " * 6) +
+      "we have that to be of note with care.").trim
+    val tooShort = "the and of one two."                         // < 50 words
+    val symbols = good + " " + ("#tag " * 30)                    // symbol ratio >= 0.1
+    val bullets = (0 until 20).map(i => s"- item $i").mkString("\n") // 100% bullets
+    val noStops = ("lorem ipsum dolor sit amet consectetur " * 10).trim
+    val d = Seq((1L, good), (2L, tooShort), (3L, symbols), (4L, bullets),
+      (5L, noStops)).toDF("doc_id", "text")
+    val m = TextOps.gopherQuality(d).select("doc_id", "passes_gopher")
+      .as[(Long, Int)].collect().toMap
+    assert(m(1L) === 1, "well-formed prose passes")
+    assert(m(2L) === 0, "under the word-count floor")
+    assert(m(3L) === 0, "symbol ratio over 10%")
+    assert(m(4L) === 0, "all-bullet document")
+    assert(m(5L) === 0, "no common stop words")
+  }
+
+  test("c4LineFilter keeps punctuated >=5-word lines and gates the document") {
+    val text = Seq(
+      "This is a proper sentence with enough words.",   // kept
+      "Short line.",                                    // < 5 words
+      "This line has no terminal punctuation at all",   // no [.!?"]
+      "Enable javascript to view this fancy page now.", // javascript
+      "Another good sentence follows right here today!",
+      "And a third full sentence closes the document?").mkString("\n")
+    val d = Seq((1L, text), (2L, "Tiny doc. With two lines.")).toDF("doc_id", "text")
+    val rows = TextOps.c4LineFilter(d)
+      .select("doc_id", "clean_text", "n_lines", "n_lines_kept", "keep_doc")
+      .as[(Long, String, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    val (_, clean, nLines, nKept, keep) = rows(1L)
+    assert(nLines === 6 && nKept === 3 && keep === 1)
+    assert(clean.linesIterator.size === 3)
+    assert(!clean.contains("javascript") && !clean.contains("Short line"))
+    // doc 2: its one line survives (5 words, punctuated) but the document
+    // fails the >=3-sentences gate
+    assert(rows(2L)._4 === 1 && rows(2L)._5 === 0)
+  }
 }
