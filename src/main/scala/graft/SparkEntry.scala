@@ -98,6 +98,7 @@ object SparkEntry {
       TextOps.repetitionSignals(Queries.pq(s, d, "documents"))),
     "quality_gopher" -> ((s, d) => TextOps.gopherQuality(Queries.pq(s, d, "documents"))),
     "c4_line_filter" -> ((s, d) => TextOps.c4LineFilter(Queries.pq(s, d, "documents"))),
+    "dedup_paragraphs" -> ((s, d) => TextOps.dedupParagraphs(Queries.pq(s, d, "documents"))),
     // near-dup + similarity + multimodal (MinHash-LSH / SimHash / ANN)
     "dedup_minhash" -> ((s, d) =>
       Dedup.nearDupPairs(Queries.pq(s, d, "documents"), threshold = 0.8)),
@@ -305,6 +306,20 @@ object SparkEntry {
         |      AND NOT contains(lower(text), 'lorem ipsum')
         |      AND NOT contains(text, '{') THEN 1 ELSE 0 END AS keep_doc
         |FROM k""".stripMargin,
+    "dedup_paragraphs" ->
+      """WITH p AS (SELECT doc_id,
+        |  unnest(str_split(text, chr(10))) AS para,
+        |  unnest(range(len(str_split(text, chr(10))))) AS para_idx
+        | FROM documents),
+        |k AS (SELECT doc_id, para_idx, para,
+        |  (trim(para) = '' OR row_number() OVER (
+        |     PARTITION BY md5(trim(para)) ORDER BY doc_id, para_idx) = 1) AS keep
+        | FROM p)
+        |SELECT doc_id,
+        | coalesce(array_to_string(list(para ORDER BY para_idx) FILTER (WHERE keep), chr(10)), '') AS clean_text,
+        | CAST(count(*) AS BIGINT) AS n_paras,
+        | CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_paras_kept
+        |FROM k GROUP BY doc_id""".stripMargin,
     "repetition_signals" ->
       """SELECT doc_id,
         | len(str_split(text, chr(10))) AS n_lines,

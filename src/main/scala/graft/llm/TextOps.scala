@@ -108,6 +108,39 @@ object TextOps {
       size(array_distinct(Dedup.shingles(t, 2))).as("n_distinct_2grams"))
   }
 
+  /** Duplicated-passage removal at paragraph granularity — the corpus
+    * cleanup C4 does for repeated spans and Dolma does per paragraph:
+    * across the WHOLE corpus only the first occurrence of each paragraph
+    * survives (first = smallest `(doc_id, paragraph index)`, a total
+    * order, so the result is deterministic), and every document is
+    * reconstructed without its duplicated paragraphs. Whitespace-only
+    * paragraphs are layout, not content — they never compete and are
+    * always kept.
+    *
+    * Scale shape: paragraphs shuffle ONCE on their content hash for the
+    * global first-occurrence window, then regroup per document — the
+    * standard distributed passage-dedup plan; no all-pairs comparison
+    * anywhere, state per hash is one row counter. */
+  def dedupParagraphs(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = docs.select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "para_idx", "para")
+    val w = Window.partitionBy(md5(trim(col("para"))))
+      .orderBy(col(idCol), col("para_idx"))
+    val flagged = p.withColumn("keep",
+      trim(col("para")) === "" || row_number().over(w) === 1)
+    flagged.groupBy(col(idCol)).agg(
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("para_idx"), col("para"))))),
+          s => s.getField("para")),
+        "\n").as("clean_text"),
+      count(lit(1)).as("n_paras"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_paras_kept"))
+  }
+
   /** Gopher quality gate (Rae et al. 2021, "Scaling Language Models",
     * §A1.1 — the published web-text filter rules): per-document signals
     * as EXACT INTEGER counts plus the composite verdict, with every

@@ -122,6 +122,25 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) === fps(1))
   }
 
+  test("dedupParagraphs: global first occurrence survives, docs reconstruct in order") {
+    val d = Seq(
+      (1L, "alpha beta\nshared boilerplate\ngamma"),
+      (2L, "shared boilerplate\ndelta\n\nepsilon"),
+      (3L, "shared boilerplate\nshared boilerplate\nzeta")).toDF("doc_id", "text")
+    val m = TextOps.dedupParagraphs(d)
+      .select("doc_id", "clean_text", "n_paras", "n_paras_kept")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1 owns the first occurrence; later copies vanish
+    assert(m(1L)._2 === "alpha beta\nshared boilerplate\ngamma")
+    assert(m(1L)._3 === 3 && m(1L)._4 === 3)
+    // doc 2 loses the duplicate but keeps its layout empty line
+    assert(m(2L)._2 === "delta\n\nepsilon")
+    assert(m(2L)._3 === 4 && m(2L)._4 === 3)
+    // doc 3 loses BOTH copies
+    assert(m(3L)._2 === "zeta")
+    assert(m(3L)._4 === 1)
+  }
+
   test("gopherQuality: the published rules gate on exact integer arithmetic") {
     val good = (("the quick brown fox jumps over the lazy dog and then " * 6) +
       "we have that to be of note with care.").trim
