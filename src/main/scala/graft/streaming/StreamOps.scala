@@ -27,11 +27,13 @@ object StreamOps {
   def streamTable(spark: SparkSession, path: String,
                   startingVersion: Option[Long] = None,
                   skipChangeCommits: Boolean = false,
-                  maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+                  maxVersionsPerTrigger: Option[Long] = None,
+                  readChangeFeed: Boolean = false): DataFrame = {
     var r = spark.readStream.format("graft-table").option("path", path)
     startingVersion.foreach(v => r = r.option("startingVersion", v.toString))
     if (skipChangeCommits) r = r.option("skipChangeCommits", "true")
     maxVersionsPerTrigger.foreach(k => r = r.option("maxVersionsPerTrigger", k.toString))
+    if (readChangeFeed) r = r.option("readChangeFeed", "true")
     r.load()
   }
 

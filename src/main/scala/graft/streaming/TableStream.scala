@@ -57,17 +57,33 @@ final class TableStreamSource(
   private val maxVersionsPerTrigger: Option[Long] =
     opt("maxVersionsPerTrigger").map(_.toLong)
 
+  /** `readChangeFeed=true` streams the CHANGE FEED instead of appended
+    * rows (Delta CDF streaming): each version in a batch contributes its
+    * per-row changes — stored change parquet for merges, dir-diff
+    * synthesis for appends/overwrites — stamped with `_change_type` /
+    * `_commit_version` / `_commit_timestamp`. No snapshot backfill:
+    * default tails changes AFTER the stream-start version,
+    * `startingVersion=N` serves changes from version N on. */
+  private val cdf: Boolean = opt("readChangeFeed").exists(_.toBoolean)
+
   private val startCommit = table.lastCommit.getOrElse(
     throw new IllegalStateException(
       s"managed table $path does not exist — streams need a created table"))
 
   /** Highest version considered already consumed before the first batch.
-    * Default mode sets it one BELOW the start version so the initial
-    * snapshot backfill is always offered, even on an idle table. */
-  private val floor: Long =
-    startingVersion.map(_ - 1L).getOrElse(startCommit.version - 1L)
+    * Default (snapshot) mode sets it one BELOW the start version so the
+    * initial backfill is always offered, even on an idle table; CDF mode
+    * tails from the stream-start version. */
+  private val floor: Long = startingVersion.map(_ - 1L).getOrElse(
+    if (cdf) startCommit.version else startCommit.version - 1L)
 
-  override val schema: StructType = StructType.fromDDL(startCommit.schemaDdl)
+  override val schema: StructType = {
+    val base = StructType.fromDDL(startCommit.schemaDdl)
+    if (!cdf) base
+    else base.add("_change_type", "string")
+      .add("_commit_version", "long")
+      .add("_commit_timestamp", "timestamp")
+  }
 
   /** Highest version OFFERED so far (admission bookkeeping; re-synced
     * from the checkpoint via the first getBatch after restart). */
@@ -75,11 +91,17 @@ final class TableStreamSource(
 
   override def getOffset: Option[V1Offset] = {
     val latest = table.latestVersion.getOrElse(return None)
-    if (latest <= offered) return if (offered > floor) Some(LongOffset(offered)) else None
-    val end = maxVersionsPerTrigger
-      .map(k => math.min(latest, offered + math.max(1L, k))).getOrElse(latest)
-    offered = end
-    Some(LongOffset(end))
+    if (latest > offered) {
+      val end = maxVersionsPerTrigger
+        .map(k => math.min(latest, offered + math.max(1L, k))).getOrElse(latest)
+      offered = end
+    }
+    // CDF mode pins its position even when idle: a fresh stream with no
+    // new commits still logs `floor` as batch 0, so a restart tails from
+    // the FIRST start, not from wherever the table is by then (Delta's
+    // source does the same). Snapshot mode always has the backfill to
+    // offer, so `offered > floor` holds whenever the table exists.
+    if (offered > floor || cdf) Some(LongOffset(math.max(offered, floor))) else None
   }
 
   private def versionOf(o: V1Offset): Long = o match {
@@ -91,6 +113,18 @@ final class TableStreamSource(
     val endV = versionOf(end)
     if (endV > offered) offered = endV // restart: re-sync admission floor
     val partitioned = startCommit.partitionBy.nonEmpty
+
+    if (cdf) {
+      val startV = start.map(versionOf).getOrElse(floor)
+      val batch =
+        if (startV >= endV)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else table.readChangeFeed(startV + 1L, Some(endV))
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
+      return org.apache.spark.sql.graft.StreamingFrame.mark(batch)
+    }
 
     val dirs: Seq[String] = start match {
       case None if startingVersion.isEmpty =>
@@ -166,7 +200,16 @@ final class TableStreamProvider extends StreamSourceProvider with DataSourceRegi
     val c = ManagedTable(sqlContext.sparkSession, path).lastCommit.getOrElse(
       throw new IllegalStateException(
         s"managed table $path does not exist — streams need a created table"))
-    (s"graft-table[$path]", schema.getOrElse(StructType.fromDDL(c.schemaDdl)))
+    val cdf = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v.toBoolean
+    }.getOrElse(false)
+    val base = StructType.fromDDL(c.schemaDdl)
+    val inferred =
+      if (!cdf) base
+      else base.add("_change_type", "string")
+        .add("_commit_version", "long")
+        .add("_commit_timestamp", "timestamp")
+    (s"graft-table[$path]", schema.getOrElse(inferred))
   }
 
   override def createSource(

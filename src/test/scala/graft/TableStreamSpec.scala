@@ -102,6 +102,48 @@ class TableStreamSpec extends SparkSpec {
     assert(sinkIds(sink) === (0 until 30))
   }
 
+  test("readChangeFeed streams per-row changes: merge pre/postimages + append inserts") {
+    val path = tmpDir("ts_cdf"); val ckpt = tmpDir("ts_cdf_ck")
+    val sink = tmpDir("ts_cdf_sink")
+    val opts = WriteOptions(now = Some("2026-01-05 00:00:00"),
+      enableChangeDataFeed = true)
+    Writers.scd1(spark, path,
+      (0 until 10).map(i => (i, s"a$i")).toDF("id", "v"), Seq("id"), opts)
+    val seedV = ManagedTable(spark, path).latestVersion.get
+    def drain(): Unit = {
+      val q = StreamOps.streamTable(spark, path, readChangeFeed = true)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    // first drain pins the position as an EMPTY batch 0 (so a restart
+    // tails from the first start, not from wherever the table is by then)
+    drain()
+    assert(spark.read.parquet(sink).count() === 0,
+      "no change rows before any new commit")
+    // one CDF merge (update id=1, insert id=100), one insert-only merge
+    Writers.scd1(spark, path,
+      Seq((1, "A1"), (100, "n100")).toDF("id", "v"), Seq("id"),
+      opts.copy(now = Some("2026-01-06 00:00:00")))
+    Writers.scd1(spark, path,
+      (200 until 203).map(i => (i, s"z$i")).toDF("id", "v"), Seq("id"),
+      opts.copy(now = Some("2026-01-07 00:00:00")))
+    drain()
+    val changes = spark.read.parquet(sink)
+    val byType = changes.groupBy($"_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType.getOrElse("update_preimage", 0L) === 1)
+    assert(byType.getOrElse("update_postimage", 0L) === 1)
+    assert(byType.getOrElse("insert", 0L) === 4, s"got $byType") // 1 + 3
+    assert(changes.filter($"_commit_version" <= seedV).count() === 0,
+      "nothing before the stream start leaks in")
+    // idle redrain: no duplicates
+    drain()
+    assert(spark.read.parquet(sink).count() === changes.count())
+  }
+
   test("stream joins back to dimensions: medallion bronze→silver via foreachBatch") {
     val bronze = tmpDir("ts_med_b"); val silver = tmpDir("ts_med_s")
     val ckpt = tmpDir("ts_med_ck")
