@@ -182,14 +182,77 @@ final class TableStreamSource(
   override def toString: String = s"TableStreamSource[$path]"
 }
 
+/**
+ * Managed-table streaming SINK — `writeStream.format("graft-table")`,
+ * the Delta-sink analogue. Each micro-batch re-enters the batch writers
+ * (append by default; `writeType=scd1|scd2` with `keys=a,b` merges), and
+ * every commit carries `(appId, batchId)` in the table's txn map — the
+ * same exactly-once guard the foreachBatch path uses — so a micro-batch
+ * redelivered after a crash between sink commit and checkpoint advance
+ * is recognized via `lastTxnVersion` and skipped, never double-written.
+ * appId is keyed by the query's checkpoint location (the name of the
+ * epoch sequence; a fresh checkpoint = a fresh sequence).
+ */
+final class TableStreamSink(
+    sqlContext: SQLContext,
+    path: String,
+    options: Map[String, String]) extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val spark = sqlContext.sparkSession
+  private def opt(key: String): Option[String] =
+    options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  private val writeType = opt("writeType").getOrElse("append")
+  private val keys: Seq[String] =
+    opt("keys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  private val appId = "graft-table-sink:" +
+    opt("checkpointLocation").getOrElse(path)
+  private val writeOpts = graft.write.WriteOptions(
+    now = opt("now"), enableChangeDataFeed =
+      opt("enableChangeDataFeed").exists(_.toBoolean))
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val table = ManagedTable(spark, path)
+    if (table.exists && table.lastTxnVersion(appId).exists(batchId <= _)) return
+    val batch = org.apache.spark.sql.graft.StreamingFrame.unmark(data)
+    val txn = Some((appId, batchId))
+    writeType match {
+      case "append" => graft.write.Writers.append(spark, path, batch, writeOpts, txn = txn)
+      case "scd1" =>
+        require(keys.nonEmpty, "writeType=scd1 requires .option(\"keys\", ...)")
+        graft.write.Writers.scd1(spark, path, batch, keys, writeOpts, txn = txn)
+      case "scd2" =>
+        require(keys.nonEmpty, "writeType=scd2 requires .option(\"keys\", ...)")
+        graft.write.Writers.scd2(spark, path, batch, keys, writeOpts, txn = txn)
+      case other => throw new IllegalArgumentException(
+        s"graft-table sink writeType $other (append, scd1, scd2)")
+    }
+    ()
+  }
+
+  override def toString: String = s"TableStreamSink[$path,$writeType]"
+}
+
 /** `format("graft-table")` registration (META-INF services). */
-final class TableStreamProvider extends StreamSourceProvider with DataSourceRegister {
+final class TableStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
       .getOrElse(throw new IllegalArgumentException(
         "graft-table stream requires .option(\"path\", <table root>)"))
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-table sink: use the table's own clustering/partitioning, not partitionBy")
+    new TableStreamSink(sqlContext, pathOf(parameters), parameters)
+  }
 
   override def sourceSchema(
       sqlContext: SQLContext,

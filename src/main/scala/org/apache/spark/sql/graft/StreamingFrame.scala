@@ -19,4 +19,13 @@ object StreamingFrame {
     cdf.sparkSession.internalCreateDataFrame(
       cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
   }
+
+  /** The inverse, for v1 `Sink.addBatch`: the incoming micro-batch frame
+    * is streaming-planned and refuses batch writes — re-wrap its physical
+    * plan as a plain batch frame (what Delta's sink does). */
+  def unmark(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
+  }
 }

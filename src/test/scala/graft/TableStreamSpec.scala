@@ -144,6 +144,61 @@ class TableStreamSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() === changes.count())
   }
 
+  test("graft-table SINK: writeStream lands in a managed table exactly once") {
+    val bronze = tmpDir("tsk_b"); val silver = tmpDir("tsk_s")
+    val ckpt = tmpDir("tsk_ck")
+    seed(bronze, 0 until 10, "a")
+    def drain(): Unit = {
+      val q = StreamOps.streamTable(spark, bronze)
+        .writeStream.format("graft-table")
+        .option("path", silver)
+        .option("now", "2026-01-05 00:00:00")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    drain()
+    val t = ManagedTable(spark, silver)
+    assert(t.read.count() === 10)
+    append(bronze, 10 until 15, "b")
+    drain()
+    assert(t.read.count() === 15)
+    // crash redelivery: replaying an already-committed batch id is a no-op
+    val sink = new graft.streaming.TableStreamSink(spark.sqlContext, silver,
+      Map("checkpointLocation" -> ckpt, "now" -> "2026-01-05 00:00:00"))
+    val lastBatch = t.lastTxnVersion("graft-table-sink:" + ckpt).get
+    sink.addBatch(lastBatch,
+      org.apache.spark.sql.graft.StreamingFrame.mark(
+        (99 until 102).map(i => (i, s"x$i")).toDF("id", "v")))
+    assert(t.read.count() === 15, "replayed batch id was skipped")
+  }
+
+  test("graft-table SINK in scd1 mode merges each micro-batch on its keys") {
+    val bronze = tmpDir("tsk1_b"); val silver = tmpDir("tsk1_s")
+    val ckpt = tmpDir("tsk1_ck")
+    seed(bronze, 0 until 5, "a")
+    def drain(): Unit = {
+      val q = StreamOps.streamTable(spark, bronze)
+        .writeStream.format("graft-table")
+        .option("path", silver)
+        .option("writeType", "scd1").option("keys", "id")
+        .option("now", "2026-01-05 00:00:00")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    drain()
+    // an upstream append with a CHANGED value for id=2 merges, not appends
+    append(bronze, 2 until 3, "UPD")
+    drain()
+    val rows = ManagedTable(spark, silver).read
+      .select($"id", $"v").as[(Int, String)].collect().toMap
+    assert(rows.size === 5)
+    assert(rows(2) === "UPD2")
+  }
+
   test("stream joins back to dimensions: medallion bronze→silver via foreachBatch") {
     val bronze = tmpDir("ts_med_b"); val silver = tmpDir("ts_med_s")
     val ckpt = tmpDir("ts_med_ck")
