@@ -1118,6 +1118,46 @@ object Queries {
        | '$T0' AS __metadata_valid_to_ts__
        |FROM customer""".stripMargin
 
+  /** Managed-table STREAMING SINK (`writeStream.format("graft-table")`,
+    * [[graft.streaming.TableStreamSink]]): the same bronze→silver chain
+    * as [[streamTableSource]] but committed through the sink in scd1
+    * mode — each micro-batch merges on its keys with the (appId,
+    * batchId) exactly-once txn stamp, no foreachBatch lambda anywhere. */
+  def streamTableSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val bronze = tmp("tsink_bronze")
+    val silver = tmp("tsink_silver")
+    val ckpt = tmp("tsink_ck")
+    val c = pq(spark, dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    Staging.timed {
+      ManagedTable(spark, bronze)
+        .write(c.filter(col("c_custkey") <= 700), "APPEND", "replace")
+    }
+    def drain(): Unit = {
+      val q = graft.streaming.StreamOps.streamTable(spark, bronze)
+        .writeStream.format("graft-table")
+        .option("path", silver)
+        .option("writeType", "scd1").option("keys", "c_custkey")
+        .option("now", T0)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    drain() // snapshot backfill merged as batch 0
+    ManagedTable(spark, bronze)
+      .write(c.filter(col("c_custkey") > 700), "APPEND", "append")
+    drain() // tail batch merged on keys
+    ManagedTable(spark, silver).read.select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"),
+      col(Meta.ValidToTs).cast("string").as(Meta.ValidToTs))
+  }
+
+  val streamTableSinkSql: String =
+    s"""SELECT c_custkey, c_name, c_mktsegment,
+       | '$T0' AS __metadata_valid_to_ts__
+       |FROM customer""".stripMargin
+
   /** Structured Streaming input with Trigger.AvailableNow, foreachBatch
     * re-entering the batch append writer (test_stream.py:31) — result
     * equals the batch equivalent. */

@@ -86,6 +86,7 @@ object SparkEntry {
     "cdc_change_feed" -> (Queries.cdcChangeFeed(_, _)),
     "stream_append" -> (Queries.streamAppend(_, _)),
     "stream_table_source" -> (Queries.streamTableSource(_, _)),
+    "stream_table_sink" -> (Queries.streamTableSink(_, _)),
     "stream_join" -> (Queries.streamJoin(_, _)),
     "sessionize" -> (Queries.sessionizeEvents(_, _)),
     // LLM-pipeline text operators
@@ -216,6 +217,7 @@ object SparkEntry {
     "cdc_change_feed" -> Queries.cdcChangeFeedSql,
     "stream_append" -> Queries.streamAppendSql,
     "stream_table_source" -> Queries.streamTableSourceSql,
+    "stream_table_sink" -> Queries.streamTableSinkSql,
     "stream_join" -> Queries.streamJoinSql,
     "sessionize" -> Queries.sessionizeEventsSql,
     "dedup_exact" ->
