@@ -106,16 +106,25 @@ object Bench {
         val sfProbe = sfOf(pd).getOrElse(1.0)
         val top = results.filter(_._3).sortBy(-_._2).take(5)
         val probed = top.map { case (name, secMain, _, _, _, stagingMain) =>
-          Staging.reset()
-          val t0 = System.nanoTime()
-          val okP =
-            try { SparkEntry.queries(name)(spark, pd).count(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] scale probe $name failed: ${e.getMessage}")
-              false
-            }
-          val secProbe = (System.nanoTime() - t0) / 1e9
-          val stagingProbe = Staging.elapsedSec
+          // best-of-2 like the main passes: secMain is a warm min, and a
+          // single cold probe run would fold JIT/warm-up into the slope
+          def onceP(): (Double, Boolean, Double) = {
+            Staging.reset()
+            val t0 = System.nanoTime()
+            val ok =
+              try { SparkEntry.queries(name)(spark, pd).count(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] scale probe $name failed: ${e.getMessage}")
+                false
+              }
+            ((System.nanoTime() - t0) / 1e9, ok, Staging.elapsedSec)
+          }
+          val (p1, p2) = (onceP(), onceP())
+          val okP = p1._2 || p2._2
+          val good = Seq(p1, p2).collect { case (s, true, g) => (s, g) }
+          val (secProbe, stagingProbe) =
+            if (good.nonEmpty) good.minBy(_._1)
+            else if (p1._1 <= p2._1) (p1._1, p1._3) else (p2._1, p2._3)
           val netMain = math.max(secMain - stagingMain, 1e-3)
           val netProbe = math.max(secProbe - stagingProbe, 1e-3)
           // direction-independent: normalized cost at the LARGER scale
