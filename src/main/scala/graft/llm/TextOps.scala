@@ -117,19 +117,25 @@ object TextOps {
     * paragraphs are layout, not content — they never compete and are
     * always kept.
     *
-    * Scale shape: paragraphs shuffle ONCE on their content hash for the
-    * global first-occurrence window, then regroup per document — the
-    * standard distributed passage-dedup plan; no all-pairs comparison
-    * anywhere, state per hash is one row counter. */
+    * Scale shape: the global first occurrence is `min(doc_id, idx)` PER
+    * CONTENT HASH via groupBy-agg (map-side partial aggregation collapses
+    * a boilerplate paragraph duplicated a billion times into one row per
+    * mapper — a row_number window would ship every copy to one reducer
+    * with no combine and no AQE skew handling), then an equi-join back on
+    * the hash (AQE splits any residual skewed partition) and one
+    * per-document regroup — no all-pairs comparison anywhere. */
   def dedupParagraphs(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val p = docs.select(col(idCol), posexplode(split(col(textCol), "\n")))
       .toDF(idCol, "para_idx", "para")
-    val w = Window.partitionBy(md5(trim(col("para"))))
-      .orderBy(col(idCol), col("para_idx"))
-    val flagged = p.withColumn("keep",
-      trim(col("para")) === "" || row_number().over(w) === 1)
+      .withColumn("__h", md5(trim(col("para"))))
+    val firsts = p.filter(trim(col("para")) =!= "")
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("para_idx"))).as("__first"))
+    val flagged = p.join(firsts, Seq("__h"), "left")
+      .withColumn("keep",
+        trim(col("para")) === "" ||
+          struct(col(idCol), col("para_idx")) === col("__first"))
     flagged.groupBy(col(idCol)).agg(
       array_join(
         transform(
