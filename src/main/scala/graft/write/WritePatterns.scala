@@ -42,6 +42,16 @@ final case class WriteOptions(
     // instead of silently dropping them from the target-schema projection
     // (while their values still poison the stored data hash).
     mergeSchema: Boolean = false,
+    // auto-compaction (Delta's autoCompact intent): after a merge commit
+    // leaves an UNPARTITIONED snapshot with at least this many dirs, fold
+    // its small dirs (< autoCompactMaxDirBytes) via compactDirs — so
+    // merge-heavy streaming tables self-maintain instead of accreting one
+    // tiny dir per micro-batch until scans pay per-dir overhead. The
+    // compaction is a separate best-effort commit AFTER the merge (the
+    // merge's own result is never blocked on it); conflicts just skip it
+    // (the next merge retries).
+    autoCompactMinDirs: Option[Int] = None,
+    autoCompactMaxDirBytes: Long = 64L << 20,
     // change data feed: merges record per-row changes alongside the
     // snapshot; appends/overwrites synthesize theirs from the commit
     // log's dir diff (the `delta.enableChangeDataFeed` table property

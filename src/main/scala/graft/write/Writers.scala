@@ -468,8 +468,10 @@ object Writers {
           case _ => None
         }
         try {
-          return commitMerge(table, result, op, opts, userMetadata, partitionBy,
-            scope, readCommit.map(_.version), rebase, txn)
+          val committed = commitMerge(table, result, op, opts, userMetadata,
+            partitionBy, scope, readCommit.map(_.version), rebase, txn)
+          autoCompact(table, committed, opts)
+          return committed
         } catch {
           case e: ManagedTable.ConcurrentCommitException => lastErr = e
         }
@@ -480,6 +482,20 @@ object Writers {
 
   private def unstage(df: DataFrame, opts: WriteOptions): Unit =
     if (opts.persistDataset) { df.unpersist(); () }
+
+  /** Best-effort post-merge auto-compaction (see
+    * `WriteOptions.autoCompactMinDirs`): folds small dirs when the
+    * snapshot crosses the dir-count threshold. Never fails the merge —
+    * a concurrent commit landing mid-compaction (compactDirs declines
+    * its rebase when a folded dir was rewritten) just skips this round;
+    * the next merge crosses the threshold again and retries. */
+  private def autoCompact(table: ManagedTable, committed: Commit,
+                          opts: WriteOptions): Unit =
+    opts.autoCompactMinDirs.foreach { minDirs =>
+      if (committed.partitionBy.isEmpty && committed.dirs.size >= minDirs)
+        try { table.compactDirs(opts.autoCompactMaxDirBytes); () }
+        catch { case _: ManagedTable.ConcurrentCommitException => () }
+    }
 
   /** Schema evolution for merges (Delta `autoMerge` analogue): source
     * columns absent from the target widen it with typed NULLs, so the

@@ -68,6 +68,31 @@ class MergeEvolveSpec extends SparkSpec {
     assert(now.filter($"score".isNull).count() === 390)
   }
 
+  test("autoCompact folds small merge dirs once the snapshot crosses the threshold") {
+    val path = tmpDir("mev_ac")
+    val opts = WriteOptions(now = Some(T0), autoCompactMinDirs = Some(4))
+    Writers.scd1(spark, path,
+      (0 until 400).map(i => (i, s"a$i")).toDF("id", "v"), Seq("id"), opts)
+    val t = ManagedTable(spark, path)
+    t.clusterBy("id", 3)
+    // each INSERT merge adds one small dir (no bucket rewritten);
+    // crossing 4 dirs triggers compaction
+    (1 to 3).foreach { k =>
+      Writers.scd1(spark, path,
+        Seq((1000 + k, s"B$k")).toDF("id", "v"), Seq("id"),
+        opts.copy(now = Some(T1)))
+    }
+    val ops = t.history.map(_.operation)
+    assert(ops.exists(_.startsWith("COMPACT")),
+      s"auto-compaction never ran: $ops")
+    assert(t.lastCommit.get.dirs.size <= 4,
+      s"small merge dirs not folded: ${t.lastCommit.get.dirs.size}")
+    // data intact after folding
+    assert(t.read.count() === 403)
+    (1 to 3).foreach(k =>
+      assert(t.read.filter($"id" === 1000 + k && $"v" === s"B$k").count() === 1))
+  }
+
   test("scd2 evolves: closed history keeps NULL, new active rows carry values") {
     val path = tmpDir("mev_scd2")
     Writers.scd2(spark, path,
