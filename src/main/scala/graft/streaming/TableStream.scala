@@ -208,8 +208,12 @@ final class TableStreamSink(
   private val appId = "graft-table-sink:" +
     opt("checkpointLocation").getOrElse(path)
   private val writeOpts = graft.write.WriteOptions(
-    now = opt("now"), enableChangeDataFeed =
-      opt("enableChangeDataFeed").exists(_.toBoolean))
+    now = opt("now"),
+    enableChangeDataFeed = opt("enableChangeDataFeed").exists(_.toBoolean),
+    // merge-mode sinks accrete one small dir per micro-batch; the
+    // auto-compaction threshold keeps them self-maintaining
+    autoCompactMinDirs = opt("autoCompactMinDirs").map(_.toInt),
+    mergeSchema = opt("mergeSchema").exists(_.toBoolean))
 
   override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
     val table = ManagedTable(spark, path)

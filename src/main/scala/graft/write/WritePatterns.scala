@@ -101,6 +101,10 @@ object WriteOptions {
       persistDataset = m.get("persist_dataset").exists(_.toBoolean),
       stageResults = m.get("stage_results").exists(_.toBoolean),
       enableChangeDataFeed = m.get("enable_change_data_feed").exists(_.toBoolean),
+      mergeSchema = m.get("merge_schema").exists(_.toBoolean),
+      autoCompactMinDirs = m.get("auto_compact_min_dirs").map(_.toInt),
+      autoCompactMaxDirBytes = m.get("auto_compact_max_dir_bytes")
+        .map(_.toLong).getOrElse(64L << 20),
       now = m.get("now"))
   }
 }
