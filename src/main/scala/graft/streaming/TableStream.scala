@@ -196,13 +196,22 @@ final class TableStreamSource(
 final class TableStreamSink(
     sqlContext: SQLContext,
     path: String,
-    options: Map[String, String]) extends org.apache.spark.sql.execution.streaming.Sink {
+    options: Map[String, String],
+    outputMode: org.apache.spark.sql.streaming.OutputMode =
+      org.apache.spark.sql.streaming.OutputMode.Append()) extends org.apache.spark.sql.execution.streaming.Sink {
 
   private val spark = sqlContext.sparkSession
   private def opt(key: String): Option[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
 
-  private val writeType = opt("writeType").getOrElse("append")
+  // Complete mode re-emits the WHOLE aggregation result each trigger —
+  // appending it would duplicate every group, so the default there is a
+  // per-batch overwrite; Update mode's changed-rows-only batches need a
+  // keyed merge, so writeType=scd1 + keys must be explicit
+  private val writeType = opt("writeType").getOrElse {
+    if (outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()) "overwrite"
+    else "append"
+  }
   private val keys: Seq[String] =
     opt("keys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
   private val appId = "graft-table-sink:" +
@@ -222,6 +231,7 @@ final class TableStreamSink(
     val txn = Some((appId, batchId))
     writeType match {
       case "append" => graft.write.Writers.append(spark, path, batch, writeOpts, txn = txn)
+      case "overwrite" => graft.write.Writers.overwrite(spark, path, batch, writeOpts, txn = txn)
       case "scd1" =>
         require(keys.nonEmpty, "writeType=scd1 requires .option(\"keys\", ...)")
         graft.write.Writers.scd1(spark, path, batch, keys, writeOpts, txn = txn)
@@ -229,7 +239,7 @@ final class TableStreamSink(
         require(keys.nonEmpty, "writeType=scd2 requires .option(\"keys\", ...)")
         graft.write.Writers.scd2(spark, path, batch, keys, writeOpts, txn = txn)
       case other => throw new IllegalArgumentException(
-        s"graft-table sink writeType $other (append, scd1, scd2)")
+        s"graft-table sink writeType $other (append, overwrite, scd1, scd2)")
     }
     ()
   }
@@ -255,7 +265,7 @@ final class TableStreamProvider extends StreamSourceProvider
       org.apache.spark.sql.execution.streaming.Sink = {
     require(partitionColumns.isEmpty,
       "graft-table sink: use the table's own clustering/partitioning, not partitionBy")
-    new TableStreamSink(sqlContext, pathOf(parameters), parameters)
+    new TableStreamSink(sqlContext, pathOf(parameters), parameters, outputMode)
   }
 
   override def sourceSchema(

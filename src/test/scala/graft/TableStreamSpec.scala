@@ -199,6 +199,33 @@ class TableStreamSpec extends SparkSpec {
     assert(rows(2) === "UPD2")
   }
 
+  test("graft-table SINK in Complete mode overwrites the aggregate each trigger") {
+    val bronze = tmpDir("tsc_b"); val silver = tmpDir("tsc_s")
+    val ckpt = tmpDir("tsc_ck")
+    seed(bronze, 0 until 10, "a")
+    def drain(): Unit = {
+      val q = StreamOps.streamTable(spark, bronze)
+        .groupBy(($"id" % 2 === 0).as("even")).count()
+        .writeStream.format("graft-table")
+        .outputMode("complete")
+        .option("path", silver)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    drain()
+    val counts0 = ManagedTable(spark, silver).read
+      .select($"even", $"count").as[(Boolean, Long)].collect().toMap
+    assert(counts0 === Map(true -> 5L, false -> 5L))
+    append(bronze, 10 until 13, "b")
+    drain()
+    // complete mode REPLACED the table: still two rows, updated counts
+    val counts1 = ManagedTable(spark, silver).read
+      .select($"even", $"count").as[(Boolean, Long)].collect().toMap
+    assert(counts1 === Map(true -> 7L, false -> 6L))
+  }
+
   test("stream joins back to dimensions: medallion bronze→silver via foreachBatch") {
     val bronze = tmpDir("ts_med_b"); val silver = tmpDir("ts_med_s")
     val ckpt = tmpDir("ts_med_ck")
