@@ -267,7 +267,7 @@ object SparkEntry {
         | FROM documents),
         |c AS (SELECT doc_id,
         |  len(ws) AS n_words,
-        |  list_sum(list_transform(ws, w -> length(w))) AS n_word_chars,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS n_word_chars,
         |  len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha_words,
         |  n_hash + n_ell AS n_symbols,
         |  len(lines) AS n_lines,

@@ -21,19 +21,25 @@ object StreamOps {
   /** Stream FROM a managed table (Delta streaming-source analogue; see
     * [[TableStreamSource]]): default = initial-snapshot backfill + append
     * tail; `startingVersion` tails only; `skipChangeCommits` skips
-    * rewrite commits instead of failing; `maxVersionsPerTrigger` bounds
-    * admission. The medallion chain: bronze `Writers.append` →
+    * rewrite commits instead of failing; `maxVersionsPerTrigger` /
+    * `maxBytesPerTrigger` bound tail admission by versions / added
+    * bytes; `maxDirsPerTrigger` bounds the initial-snapshot backfill.
+    * The medallion chain: bronze `Writers.append` →
     * `streamTable(bronze)` → transform → foreachBatch merge into silver. */
   def streamTable(spark: SparkSession, path: String,
                   startingVersion: Option[Long] = None,
                   skipChangeCommits: Boolean = false,
                   maxVersionsPerTrigger: Option[Long] = None,
-                  readChangeFeed: Boolean = false): DataFrame = {
+                  readChangeFeed: Boolean = false,
+                  maxDirsPerTrigger: Option[Int] = None,
+                  maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     var r = spark.readStream.format("graft-table").option("path", path)
     startingVersion.foreach(v => r = r.option("startingVersion", v.toString))
     if (skipChangeCommits) r = r.option("skipChangeCommits", "true")
     maxVersionsPerTrigger.foreach(k => r = r.option("maxVersionsPerTrigger", k.toString))
     if (readChangeFeed) r = r.option("readChangeFeed", "true")
+    maxDirsPerTrigger.foreach(k => r = r.option("maxDirsPerTrigger", k.toString))
+    maxBytesPerTrigger.foreach(b => r = r.option("maxBytesPerTrigger", b.toString))
     r.load()
   }
 

@@ -1,11 +1,54 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
 import graft.table.ManagedTable
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
+
+/** Offset of a [[TableStreamSource]]. `version` is the highest table
+  * version consumed; `dirIdx >= 0` marks a position INSIDE the
+  * initial-snapshot backfill (the first `dirIdx` snapshot dirs are
+  * served), `dirIdx = -1` means the backfill is complete and offsets
+  * advance by whole versions. Round-8 checkpoints logged bare
+  * `LongOffset` numbers — those parse as `(version, -1)`. */
+private[streaming] final case class TableOffset(version: Long, dirIdx: Long)
+    extends V1Offset {
+  override val json: String =
+    if (dirIdx < 0) s"""{"version":$version}"""
+    else s"""{"version":$version,"dirIdx":$dirIdx}"""
+}
+
+private[streaming] object TableOffset {
+  def parse(o: V1Offset): TableOffset = o match {
+    case t: TableOffset => t
+    case other => parseJson(other.json)
+  }
+
+  def parseJson(s: String): TableOffset = {
+    val t = s.trim
+    if (t.startsWith("{")) {
+      val n = new ObjectMapper().readTree(t)
+      TableOffset(n.get("version").asLong(),
+        Option(n.get("dirIdx")).map(_.asLong()).getOrElse(-1L))
+    } else TableOffset(t.toLong, -1L)
+  }
+
+  /** Total order: backfill positions of a version precede that version's
+    * completion marker (−1), which precedes every later version. */
+  def cmp(a: TableOffset, b: TableOffset): Int = {
+    def rank(i: Long): Long = if (i < 0) Long.MaxValue else i
+    if (a.version != b.version) java.lang.Long.compare(a.version, b.version)
+    else java.lang.Long.compare(rank(a.dirIdx), rank(b.dirIdx))
+  }
+}
 
 /**
  * Stream FROM a managed table — the Delta streaming-source analogue
@@ -17,36 +60,55 @@ import org.apache.spark.sql.types.StructType
  *   spark.readStream.format("graft-table").option("path", root).load()
  * }}}
  *
- * Offsets are TABLE VERSIONS (one `LongOffset` = highest version
- * consumed), so the checkpoint state is one number and restart recovery
- * is exact. Batch composition:
+ * Offsets are [[TableOffset]]s — `(version, dirIdx)` — so both the tail
+ * AND the initial backfill advance in bounded, exactly-restartable
+ * steps. Batch composition:
  *
- *  - default: the stream's FIRST batch is the full snapshot at the
- *    version current when the stream starts (the Delta initial-snapshot
- *    backfill), then each later version contributes exactly the data
- *    dirs its commit ADDED — an O(new data) tail read, never a rescan;
+ *  - default: the stream first serves the snapshot at the version
+ *    current when the stream starts (the Delta initial-snapshot
+ *    backfill), `maxDirsPerTrigger` dirs per micro-batch (default 1000,
+ *    the Delta maxFilesPerTrigger posture — a 100 TB table must never
+ *    land in trigger 1 whole); then each later version contributes
+ *    exactly the data dirs its commit ADDED — an O(new data) tail read,
+ *    never a rescan;
  *  - `startingVersion=N`: no snapshot backfill, tail from version N's
  *    own added dirs on;
  *  - non-append commits (merge/overwrite/DML/restore/optimize) fail the
  *    stream loudly, exactly like Delta, unless `skipChangeCommits=true`
  *    skips them (their rewrites carry dirs forward, so appended-dir
  *    diffing would misattribute rewritten history as new rows);
- *  - `maxVersionsPerTrigger=K` rate-limits admission (Delta's
- *    maxFilesPerTrigger intent) so a stream bootstrapping against a long
- *    backlog advances in bounded micro-batches.
+ *  - `maxVersionsPerTrigger=K` bounds tail admission by version count,
+ *    `maxBytesPerTrigger=B` by ADDED BYTES (FS metadata, cached — dirs
+ *    are immutable) — a single fat backfill-style commit of thousands
+ *    of dirs no longer lands in one trigger. Both bounds hold across
+ *    restarts: the last offered position is persisted in the source's
+ *    checkpoint metadata dir, so a restart against a long backlog
+ *    resumes bounded admission instead of offering the whole backlog
+ *    as one batch.
  *
- * 100 TB shape: a batch reads ONLY the dirs added in its version range
- * under the stream's fixed start schema (later schema evolutions project
- * onto it, missing columns NULL); the driver does one log listing + one
- * bounded-concurrency commit-range resolve per trigger.
+ * The stream's start version and schema are PINNED in the source
+ * metadata path at first start and reloaded on restart, so a checkpoint
+ * lineage always reads under the schema it started with; if the table's
+ * schema changed since, the restart fails loudly (start a fresh
+ * checkpoint to adopt the new schema) — Delta's posture. Mid-run
+ * evolutions don't disturb a running stream: batches project added dirs
+ * onto the pinned schema (missing columns NULL).
+ *
+ * 100 TB shape: a batch reads ONLY its dir slice under the pinned
+ * schema; the driver does one log listing + one bounded-concurrency
+ * commit-range resolve per trigger, plus cached FS metadata for byte
+ * admission.
  */
 final class TableStreamSource(
     sqlContext: SQLContext,
     path: String,
+    metadataPath: String,
     options: Map[String, String]) extends Source {
 
   private val spark = sqlContext.sparkSession
   private val table = ManagedTable(spark, path)
+  private val hadoopConf = spark.sessionState.newHadoopConf()
+  private val mapper = new ObjectMapper()
 
   private def opt(key: String): Option[String] =
     options.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
@@ -56,6 +118,10 @@ final class TableStreamSource(
     opt("skipChangeCommits").exists(_.toBoolean)
   private val maxVersionsPerTrigger: Option[Long] =
     opt("maxVersionsPerTrigger").map(_.toLong)
+  private val maxDirsPerTrigger: Int =
+    opt("maxDirsPerTrigger").map(_.toInt).getOrElse(1000)
+  private val maxBytesPerTrigger: Option[Long] =
+    opt("maxBytesPerTrigger").map(_.toLong)
 
   /** `readChangeFeed=true` streams the CHANGE FEED instead of appended
     * rows (Delta CDF streaming): each version in a batch contributes its
@@ -66,76 +132,238 @@ final class TableStreamSource(
     * `startingVersion=N` serves changes from version N on. */
   private val cdf: Boolean = opt("readChangeFeed").exists(_.toBoolean)
 
-  private val startCommit = table.lastCommit.getOrElse(
+  // ---------------------------------------------------------------- files
+  private val metaFile = new Path(metadataPath, "graft-source-metadata")
+  private val posFile = new Path(metadataPath, "graft-source-position")
+
+  private def readSmallFile(p: Path): Option[String] = {
+    val mfs = p.getFileSystem(hadoopConf)
+    if (!mfs.exists(p)) None
+    else {
+      val in = mfs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  private def writeSmallFile(p: Path, content: String): Unit = {
+    val mfs = p.getFileSystem(hadoopConf)
+    mfs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, "." + p.getName + ".tmp")
+    val out = mfs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (mfs.exists(p)) mfs.delete(p, false)
+    if (!mfs.rename(tmp, p))
+      throw new java.io.IOException(s"cannot publish stream metadata $p")
+  }
+
+  /** True once the engine has logged any offset for this checkpoint —
+    * distinguishes a restart from a first start when our sidecar files
+    * are absent (legacy round-8 checkpoints wrote none). */
+  private def offsetsLogged: Boolean = try {
+    val off = new Path(new Path(metadataPath).getParent.getParent, "offsets")
+    val mfs = off.getFileSystem(hadoopConf)
+    mfs.exists(off) && mfs.listStatus(off).nonEmpty
+  } catch { case NonFatal(_) => false }
+
+  // ------------------------------------------------- pinned start metadata
+  private val currentHead = table.lastCommit.getOrElse(
     throw new IllegalStateException(
       s"managed table $path does not exist — streams need a created table"))
 
-  /** Highest version considered already consumed before the first batch.
-    * Default (snapshot) mode sets it one BELOW the start version so the
-    * initial backfill is always offered, even on an idle table; CDF mode
-    * tails from the stream-start version. */
-  private val floor: Long = startingVersion.map(_ - 1L).getOrElse(
-    if (cdf) startCommit.version else startCommit.version - 1L)
+  private val (startVersion: Long, startSchemaDdl: String, metaExisted: Boolean) =
+    readSmallFile(metaFile) match {
+      case Some(s) =>
+        val n = mapper.readTree(s)
+        (n.get("startVersion").asLong(), n.get("schemaDdl").asText(), true)
+      case None =>
+        val node = mapper.createObjectNode()
+        node.put("startVersion", currentHead.version)
+        node.put("schemaDdl", currentHead.schemaDdl)
+        writeSmallFile(metaFile, node.toString)
+        (currentHead.version, currentHead.schemaDdl, false)
+    }
+
+  if (metaExisted && currentHead.schemaDdl != startSchemaDdl)
+    throw new IllegalStateException(
+      s"schema of $path changed since this stream's checkpoint was started " +
+        s"(pinned at version $startVersion); a checkpoint lineage reads under " +
+        "one schema — restart with a fresh checkpoint to adopt the new schema")
+
+  private val partitioned = currentHead.partitionBy.nonEmpty
 
   override val schema: StructType = {
-    val base = StructType.fromDDL(startCommit.schemaDdl)
+    val base = StructType.fromDDL(startSchemaDdl)
     if (!cdf) base
     else base.add("_change_type", "string")
       .add("_commit_version", "long")
       .add("_commit_timestamp", "timestamp")
   }
 
-  /** Highest version OFFERED so far (admission bookkeeping; re-synced
-    * from the checkpoint via the first getBatch after restart). */
-  @volatile private var offered: Long = floor
+  /** The backfill composition, in the commit log's (immutable) dir
+    * order — index-based chunk boundaries are deterministic across
+    * restarts. Resolved lazily: tail-only streams never touch it. */
+  private lazy val snapshotDirs: Seq[String] =
+    try table.commitAt(startVersion).dirs
+    catch {
+      case NonFatal(e) => throw new IllegalStateException(
+        s"version $startVersion of $path (this stream's backfill snapshot) " +
+          "is no longer resolvable — vacuumed past the stream checkpoint; " +
+          "restart the stream fresh", e)
+    }
+
+  /** Dir sizes for byte-bounded admission. Dirs are immutable once
+    * committed (copy-on-write), so a one-time FS listing per dir is
+    * exact forever. */
+  private val dirBytesCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def dirBytes(d: String): Long = dirBytesCache.getOrElseUpdate(d, {
+    val p = new Path(d)
+    val mfs = p.getFileSystem(hadoopConf)
+    var n = 0L
+    if (mfs.exists(p)) {
+      val it = mfs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")) n += st.getLen
+      }
+    }
+    n
+  })
+
+  // ------------------------------------------------------ admission state
+  /** Highest position OFFERED so far. Restored from the persisted
+    * position sidecar so admission bounds survive restarts (a restart
+    * against a 10k-version backlog must not offer it as one batch). */
+  @volatile private var offered: TableOffset = readSmallFile(posFile) match {
+    case Some(s) => TableOffset.parseJson(s)
+    case None if metaExisted && offsetsLogged =>
+      // a round-9 checkpoint always persists its position BEFORE the
+      // engine logs the offset; a missing sidecar here means the
+      // checkpoint dir lost files — resuming from a guess would re-serve
+      // or skip data, so refuse loudly instead
+      throw new IllegalStateException(
+        s"stream position sidecar $posFile is missing for an existing " +
+          "checkpoint — the checkpoint directory is damaged; restart the " +
+          "stream with a fresh checkpoint")
+    case None if offsetsLogged =>
+      // legacy (round-8) checkpoint: no sidecars were ever written; keep
+      // the old floor semantics (tail from the current head — the engine
+      // replays any uncommitted batch from its own offset log)
+      TableOffset(startingVersion.map(_ - 1L).getOrElse(
+        if (cdf) currentHead.version else currentHead.version - 1L), -1L)
+    case None =>
+      startingVersion match {
+        case Some(sv) => TableOffset(sv - 1L, -1L)
+        case None if cdf => TableOffset(startVersion, -1L)
+        case None => TableOffset(startVersion, 0L) // backfill pending
+      }
+  }
+
+  @volatile private var persistedJson: Option[String] = None
 
   override def getOffset: Option[V1Offset] = {
-    val latest = table.latestVersion.getOrElse(return None)
-    if (latest > offered) {
-      val end = maxVersionsPerTrigger
-        .map(k => math.min(latest, offered + math.max(1L, k))).getOrElse(latest)
-      offered = end
+    offered = advance(offered)
+    // persist-then-log ordering: the engine writes its offset log only
+    // after getOffset returns, so the sidecar is never behind the log
+    if (!persistedJson.contains(offered.json)) {
+      writeSmallFile(posFile, offered.json)
+      persistedJson = Some(offered.json)
     }
-    // CDF mode pins its position even when idle: a fresh stream with no
-    // new commits still logs `floor` as batch 0, so a restart tails from
-    // the FIRST start, not from wherever the table is by then (Delta's
-    // source does the same). Snapshot mode always has the backfill to
-    // offer, so `offered > floor` holds whenever the table exists.
-    if (offered > floor || cdf) Some(LongOffset(math.max(offered, floor))) else None
+    Some(offered)
   }
 
-  private def versionOf(o: V1Offset): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.trim.toLong
+  private def advance(cur: TableOffset): TableOffset = {
+    if (cur.dirIdx >= 0) {
+      // mid-backfill over the pinned snapshot
+      val n = snapshotDirs.length
+      val i = cur.dirIdx.toInt
+      if (i >= n) TableOffset(cur.version, -1L)
+      else {
+        val next = admitBackfill(i, n)
+        if (next >= n) TableOffset(cur.version, -1L)
+        else TableOffset(cur.version, next.toLong)
+      }
+    } else {
+      val latest = table.latestVersion.getOrElse(cur.version)
+      if (latest <= cur.version) cur
+      else {
+        val capV = maxVersionsPerTrigger
+          .map(k => math.min(latest, cur.version + math.max(1L, k)))
+          .getOrElse(latest)
+        val end = if (cdf) capV else admitVersionsByBytes(cur.version, capV)
+        TableOffset(end, -1L)
+      }
+    }
   }
+
+  /** Next backfill boundary: at least one dir, at most `maxDirsPerTrigger`,
+    * stopping early when the next dir would blow `maxBytesPerTrigger`. */
+  private def admitBackfill(from: Int, n: Int): Int = {
+    var i = from
+    var bytes = 0L
+    var count = 0
+    while (i < n && count < maxDirsPerTrigger &&
+        (count == 0 ||
+          maxBytesPerTrigger.forall(bytes + dirBytes(snapshotDirs(i)) <= _))) {
+      bytes += dirBytes(snapshotDirs(i)); i += 1; count += 1
+    }
+    i
+  }
+
+  /** Largest tail end ≤ `capV` whose versions' ADDED bytes fit the byte
+    * budget (always ≥ one version). Unresolvable history stops bounding
+    * and lets [[getBatch]] surface its precise error. */
+  private def admitVersionsByBytes(fromV: Long, capV: Long): Long =
+    maxBytesPerTrigger match {
+      case None => capV
+      case Some(budget) =>
+        val byVersion =
+          try table.commitsBetween(math.max(0L, fromV), capV)
+            .map(c => c.version -> c).toMap
+          catch { case NonFatal(_) => return capV }
+        var v = fromV
+        var bytes = 0L
+        var done = false
+        while (!done && v < capV) {
+          val next = v + 1L
+          val added: Seq[String] = byVersion.get(next) match {
+            case Some(c) if next == 0L => c.dirs
+            case Some(c) => byVersion.get(v)
+              .map(p => c.dirs.filterNot(p.dirs.toSet)).getOrElse(c.dirs)
+            case None => Nil
+          }
+          val vb = added.iterator.map(dirBytes).sum
+          if (v > fromV && bytes + vb > budget) done = true
+          else { bytes += vb; v = next }
+        }
+        v
+    }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val endV = versionOf(end)
-    if (endV > offered) offered = endV // restart: re-sync admission floor
-    val partitioned = startCommit.partitionBy.nonEmpty
+    val endO = TableOffset.parse(end)
+    if (TableOffset.cmp(endO, offered) > 0) offered = endO // legacy resync
 
     if (cdf) {
-      val startV = start.map(versionOf).getOrElse(floor)
+      val startV = start.map(TableOffset.parse(_).version).getOrElse(
+        startingVersion.map(_ - 1L).getOrElse(startVersion))
       val batch =
-        if (startV >= endV)
+        if (startV >= endO.version)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else table.readChangeFeed(startV + 1L, Some(endV))
+        else table.readChangeFeed(startV + 1L, Some(endO.version))
           .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
             .toIndexedSeq: _*)
       return org.apache.spark.sql.graft.StreamingFrame.mark(batch)
     }
 
-    val dirs: Seq[String] = start match {
-      case None if startingVersion.isEmpty =>
-        // fresh default-mode stream: the initial backfill IS the full
-        // composition at the end offset (commits between stream start and
-        // first trigger are covered by the snapshot itself)
-        table.commitAt(endV).dirs
-      case _ =>
-        val startV = start.map(versionOf).getOrElse(startingVersion.get - 1L)
-        tailDirs(startV, endV)
-    }
+    val startO = start.map(TableOffset.parse).getOrElse(
+      startingVersion match {
+        case Some(sv) => TableOffset(sv - 1L, -1L)
+        case None => TableOffset(startVersion, 0L)
+      })
+    val dirs = dirsBetween(startO, endO)
 
     val batch =
       if (dirs.isEmpty)
@@ -143,6 +371,26 @@ final class TableStreamSource(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else table.readDirsAs(dirs.distinct, schema, partitioned)
     org.apache.spark.sql.graft.StreamingFrame.mark(batch)
+  }
+
+  /** Dirs of the half-open offset range (s, e]: the snapshot slice for
+    * the backfill portion plus the per-version added-dir tail. */
+  private def dirsBetween(s: TableOffset, e: TableOffset): Seq[String] = {
+    if (e.version < s.version)
+      // only reachable replaying a legacy (round-8) batch 0 whose
+      // snapshot version predates this upgrade's metadata pin: serve the
+      // old-style full snapshot at the logged end version
+      return table.commitAt(e.version).dirs
+    val backfill =
+      if (s.dirIdx >= 0) {
+        val endIdx =
+          if (e.version == s.version && e.dirIdx >= 0) e.dirIdx.toInt
+          else snapshotDirs.length
+        snapshotDirs.slice(s.dirIdx.toInt, endIdx)
+      } else Nil
+    val tail =
+      if (e.version > s.version) tailDirs(s.version, e.version) else Nil
+    backfill ++ tail
   }
 
   /** Added dirs of versions (startV, endV]: each APPEND contributes its
@@ -206,10 +454,17 @@ final class TableStreamSink(
 
   // Complete mode re-emits the WHOLE aggregation result each trigger —
   // appending it would duplicate every group, so the default there is a
-  // per-batch overwrite; Update mode's changed-rows-only batches need a
-  // keyed merge, so writeType=scd1 + keys must be explicit
+  // per-batch overwrite. Update mode's batches carry only CHANGED rows;
+  // defaulting to append would silently duplicate every updated key, so
+  // the keyed merge must be explicit (Delta rejects this the same way).
   private val writeType = opt("writeType").getOrElse {
     if (outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()) "overwrite"
+    else if (outputMode == org.apache.spark.sql.streaming.OutputMode.Update())
+      throw new IllegalArgumentException(
+        "graft-table sink in Update output mode needs an explicit " +
+          "writeType — Update batches carry only changed rows, so " +
+          "appending duplicates keys; use .option(\"writeType\", \"scd1\") " +
+          "with .option(\"keys\", ...)")
     else "append"
   }
   private val keys: Seq[String] =
@@ -295,5 +550,5 @@ final class TableStreamProvider extends StreamSourceProvider
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new TableStreamSource(sqlContext, pathOf(parameters), parameters)
+    new TableStreamSource(sqlContext, pathOf(parameters), metadataPath, parameters)
 }

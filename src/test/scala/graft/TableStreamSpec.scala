@@ -25,9 +25,13 @@ class TableStreamSpec extends SparkSpec {
   private def runOnce(path: String, ckpt: String, sink: String,
                       startingVersion: Option[Long] = None,
                       skipChangeCommits: Boolean = false,
-                      maxVersionsPerTrigger: Option[Long] = None): Unit = {
+                      maxVersionsPerTrigger: Option[Long] = None,
+                      maxDirsPerTrigger: Option[Int] = None,
+                      maxBytesPerTrigger: Option[Long] = None): Unit = {
     val q = StreamOps.streamTable(spark, path, startingVersion,
-        skipChangeCommits, maxVersionsPerTrigger)
+        skipChangeCommits, maxVersionsPerTrigger,
+        maxDirsPerTrigger = maxDirsPerTrigger,
+        maxBytesPerTrigger = maxBytesPerTrigger)
       .writeStream.format("parquet")
       .option("path", sink).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
@@ -224,6 +228,128 @@ class TableStreamSpec extends SparkSpec {
     val counts1 = ManagedTable(spark, silver).read
       .select($"even", $"count").as[(Boolean, Long)].collect().toMap
     assert(counts1 === Map(true -> 7L, false -> 6L))
+  }
+
+  test("initial snapshot backfill is served in bounded dir chunks, restartable mid-backfill") {
+    val path = tmpDir("ts_bf"); val ckpt = tmpDir("ts_bf_ck")
+    val sink = tmpDir("ts_bf_sink")
+    // six appends → the snapshot composition has six dirs of five rows
+    seed(path, 0 until 5, "a")
+    (1 until 6).foreach(i => append(path, i * 5 until (i + 1) * 5, "b"))
+    // each start() runs ONE micro-batch (v1 source under AvailableNow),
+    // so every runOnce IS a restart: the backfill must advance by ≤2
+    // dirs per batch and recover its exact position from the checkpoint
+    val counts = (1 to 4).map { _ =>
+      runOnce(path, ckpt, sink, maxDirsPerTrigger = Some(2))
+      spark.read.parquet(sink).count()
+    }
+    assert(counts === Seq(10L, 20L, 30L, 30L),
+      "⌈6/2⌉ = 3 bounded chunks, then idle — no loss, no duplicates")
+    assert(sinkIds(sink) === (0 until 30))
+    // a post-backfill append is served as the usual O(new data) tail
+    append(path, 30 until 35, "c")
+    runOnce(path, ckpt, sink, maxDirsPerTrigger = Some(2))
+    assert(sinkIds(sink) === (0 until 35))
+  }
+
+  test("maxBytesPerTrigger bounds how many tail versions batch together") {
+    val path = tmpDir("ts_byt"); val ckpt = tmpDir("ts_byt_ck")
+    val sink = tmpDir("ts_byt_sink")
+    seed(path, 0 until 5, "a")
+    runOnce(path, ckpt, sink) // consume the snapshot
+    // three tail versions of ~equal size; a 1-byte budget still admits
+    // at least one version per trigger — so exactly one each
+    (1 to 3).foreach(i => append(path, i * 100 until i * 100 + 5, "b"))
+    val counts = (1 to 3).map { _ =>
+      runOnce(path, ckpt, sink, maxBytesPerTrigger = Some(1L))
+      spark.read.parquet(sink).count()
+    }
+    assert(counts === Seq(10L, 15L, 20L),
+      "one version per byte-bounded trigger")
+    // a generous budget batches the remaining backlog in one trigger
+    (4 to 6).foreach(i => append(path, i * 100 until i * 100 + 5, "b"))
+    runOnce(path, ckpt, sink, maxBytesPerTrigger = Some(1L << 30))
+    assert(spark.read.parquet(sink).count() === 35)
+  }
+
+  test("restart resumes bounded admission from the checkpoint, not the table head") {
+    val path = tmpDir("ts_clamp"); val ckpt = tmpDir("ts_clamp_ck")
+    val sink = tmpDir("ts_clamp_sink")
+    seed(path, 0 until 5, "a")
+    runOnce(path, ckpt, sink) // checkpoint now at the snapshot version
+    // a 5-version backlog lands while the stream is down
+    (1 to 5).foreach(i => append(path, i * 10 until i * 10 + 5, "b"))
+    // K=1 must hold ACROSS the restart: the first batch after restart
+    // serves exactly one version, not the whole backlog
+    runOnce(path, ckpt, sink, maxVersionsPerTrigger = Some(1L))
+    assert(spark.read.parquet(sink).count() === 10,
+      "first post-restart trigger admitted one version only")
+    (1 to 4).foreach(_ => runOnce(path, ckpt, sink, maxVersionsPerTrigger = Some(1L)))
+    assert(spark.read.parquet(sink).count() === 30, "backlog drained one version at a time")
+  }
+
+  test("graft-table SINK in Update mode without writeType fails loudly") {
+    val bronze = tmpDir("tsu_b"); val silver = tmpDir("tsu_s")
+    val ckpt = tmpDir("tsu_ck")
+    seed(bronze, 0 until 10, "a")
+    val e = intercept[Exception] {
+      val q = StreamOps.streamTable(spark, bronze)
+        .groupBy(($"id" % 2 === 0).as("even")).count()
+        .writeStream.format("graft-table")
+        .outputMode("update")
+        .option("path", silver)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("writeType"), s"unexpected failure: $e")
+  }
+
+  test("a schema change since stream start fails the restart loudly") {
+    val path = tmpDir("ts_sch"); val ckpt = tmpDir("ts_sch_ck")
+    val sink = tmpDir("ts_sch_sink")
+    seed(path, 0 until 5, "a")
+    runOnce(path, ckpt, sink)
+    // widen the table's schema while the stream is down
+    ManagedTable(spark, path).write(
+      (5 until 8).map(i => (i, s"b$i", i * 2)).toDF("id", "v", "extra"),
+      "OVERWRITE", "replace")
+    val e = intercept[StreamingQueryException] { runOnce(path, ckpt, sink) }
+    assert(e.getCause.getMessage.contains("fresh checkpoint"),
+      s"unexpected failure: ${e.getCause}")
+  }
+
+  test("vacuum past the stream checkpoint surfaces the precise error, never wrong rows") {
+    val path = tmpDir("ts_vac"); val ckpt = tmpDir("ts_vac_ck")
+    val sink = tmpDir("ts_vac_sink")
+    seed(path, 0 until 5, "a")
+    runOnce(path, ckpt, sink) // checkpoint at version 0
+    // 12 more versions (a forced full log snapshot lands inside), then a
+    // vacuum that keeps only the head's chain — the checkpointed tail is gone
+    (1 to 12).foreach(i => append(path, i * 10 until i * 10 + 2, "b"))
+    ManagedTable(spark, path).vacuum(keepLast = 1)
+    val e = intercept[StreamingQueryException] { runOnce(path, ckpt, sink) }
+    assert(e.getCause.getMessage.contains("vacuumed past the stream checkpoint"),
+      s"unexpected failure: ${e.getCause}")
+  }
+
+  test("a pre-round-9 checkpoint without sidecar files keeps its tail semantics") {
+    val path = tmpDir("ts_leg"); val ckpt = tmpDir("ts_leg_ck")
+    val sink = tmpDir("ts_leg_sink")
+    seed(path, 0 until 10, "a")
+    runOnce(path, ckpt, sink)
+    assert(sinkIds(sink) === (0 until 10))
+    // simulate a legacy checkpoint: the engine's offset log survives but
+    // the round-9 sidecars never existed
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+    val srcMeta = new org.apache.hadoop.fs.Path(ckpt, "sources/0")
+    fs.delete(new org.apache.hadoop.fs.Path(srcMeta, "graft-source-metadata"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(srcMeta, "graft-source-position"), false)
+    append(path, 10 until 15, "b")
+    runOnce(path, ckpt, sink)
+    assert(sinkIds(sink) === (0 until 15),
+      "legacy restart tails the new rows once — no re-served backfill")
   }
 
   test("stream joins back to dimensions: medallion bronze→silver via foreachBatch") {

@@ -41,6 +41,15 @@ for name, sql in sorted(oracle.items()):
         rel = con.execute(f"SELECT * FROM read_parquet({files!r})")
         spark_cols = [c[0] for c in rel.description]
         spark_rows = rel.fetchall()
+        # The driver's checker formats int128 differently from plain ints, so
+        # any HUGEINT oracle column (bare SUM(), list_sum, ...) hash-diverges
+        # even when values match. Fail loudly here so the trap dies locally.
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [(c, t) for c, t, *_ in desc if "HUGEINT" in str(t).upper()]
+        if bad:
+            raise ValueError(
+                f"oracle emits unstable-format column(s) {bad}; "
+                "wrap in CAST(... AS BIGINT)")
         orel = con.execute(sql)
         o_cols = [c[0] for c in orel.description]
         o_rows = orel.fetchall()
