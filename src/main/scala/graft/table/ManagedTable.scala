@@ -660,8 +660,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
       extraMetrics: Map[String, String] = Map.empty,
       expectedPrevVersion: Option[Long] = None,
       rebase: Option[Commit => Option[Seq[String]]] = None,
-      txnUpdate: Option[(String, Long)] = None): Commit = synchronized {
-    import org.apache.spark.sql.functions.{count, lit}
+      txnUpdate: Option[(String, Long)] = None,
+      groupedLayout: Boolean = false): Commit = synchronized {
+    import org.apache.spark.sql.functions.{col, count, lit}
     val entry = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
     def conflict(v: Long): ConcurrentCommitException =
@@ -685,15 +686,43 @@ final class ManagedTable(spark: SparkSession, root: String) {
     // carried composition around it, never re-run the merge plan
     val dataDir = new Path(new Path(rootPath, "data"),
       f"${base0.version + 1L}%012d-${UUID.randomUUID().toString.take(8)}").toString
-    val obs = org.apache.spark.sql.Observation(
-      s"graft_fsm_${base0.version + 1L}-${UUID.randomUUID()}")
-    val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(df.schema)
-    val writer = df.observe(obs, aggs.head, aggs.tail: _*).write.mode("overwrite")
-    (if (base0.partitionBy.nonEmpty) writer.partitionBy(base0.partitionBy: _*)
-     else writer).parquet(dataDir)
-    val observed = obs.get
-    val numRows = observed("rows").asInstanceOf[Long]
-    val dataStats = DataSkipping.statsOf(df.schema, observed)
+    // `groupedLayout`: `df` carries [[CLUSTER_COL]] (a STABLE per-row
+    // group assignment — e.g. a literal per union branch) and lands one
+    // subdir PER GROUP, each with its own skipping stats — so a fold of
+    // range-adjacent small dirs keeps per-range stat tightness instead
+    // of one wide-range dir. Same machinery as [[writeClusteredFrame]],
+    // composed with carried dirs + conflict resolution.
+    val dataSchema =
+      if (groupedLayout) StructType(df.schema.filterNot(_.name == CLUSTER_COL))
+      else df.schema
+    val (numRows: Long, newDirs: Seq[String],
+         newDirStats: Map[String, Map[String, DataSkipping.ColMinMax]]) =
+      if (groupedLayout) {
+        require(base0.partitionBy.isEmpty,
+          "groupedLayout composes with unpartitioned tables only")
+        val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(dataSchema)
+        val perGroup: Map[Int, (Long, Map[String, DataSkipping.ColMinMax])] =
+          df.groupBy(col(CLUSTER_COL)).agg(aggs.head, aggs.tail: _*)
+            .collect().map { r =>
+              val vals = r.getValuesMap[Any](r.schema.fieldNames)
+              r.getInt(r.fieldIndex(CLUSTER_COL)) ->
+                (r.getLong(r.fieldIndex("rows")), DataSkipping.statsOf(dataSchema, vals))
+            }.toMap
+        df.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(dataDir)
+        val ds = perGroup.keys.toSeq.sorted.map(g => s"$dataDir/$CLUSTER_COL=$g")
+        (perGroup.values.map(_._1).sum, ds,
+          perGroup.map { case (g, (_, st)) => s"$dataDir/$CLUSTER_COL=$g" -> st })
+      } else {
+        val obs = org.apache.spark.sql.Observation(
+          s"graft_fsm_${base0.version + 1L}-${UUID.randomUUID()}")
+        val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(df.schema)
+        val writer = df.observe(obs, aggs.head, aggs.tail: _*).write.mode("overwrite")
+        (if (base0.partitionBy.nonEmpty) writer.partitionBy(base0.partitionBy: _*)
+         else writer).parquet(dataDir)
+        val observed = obs.get
+        val rows = observed("rows").asInstanceOf[Long]
+        (rows, Seq(dataDir), Map(dataDir -> DataSkipping.statsOf(df.schema, observed)))
+      }
 
     var base = base0
     var carry = carried0
@@ -702,9 +731,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
       attempts += 1
       val version = base.version + 1L
       val carriedStats = base.dirStats.view.filterKeys(carry.contains).toMap
-      val dirs = if (numRows == 0) carry else carry :+ dataDir
+      val dirs = if (numRows == 0) carry else carry ++ newDirs
       val dirStats =
-        if (numRows == 0) carriedStats else carriedStats + (dataDir -> dataStats)
+        if (numRows == 0) carriedStats else carriedStats ++ newDirStats
       // rebase can change the carried count — keep the caller's metric honest
       val metrics = Map("numOutputRows" -> numRows.toString) ++ extraMetrics ++
         (if (extraMetrics.contains("numCarriedDirs"))
@@ -715,7 +744,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       // written per attempt with that attempt's version (see write())
       val changeDir = changeData.map(writeChangeData(version, tsMs, _))
       val commit = Commit(version, operation, tsMs, dirs, metrics,
-        userMetadata, df.schema.toDDL, base.version, changeDir,
+        userMetadata, dataSchema.toDDL, base.version, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = base.partitionBy, dirStats = dirStats,
         txn = base.txn ++ txnUpdate.toMap)
@@ -1138,12 +1167,23 @@ final class ManagedTable(spark: SparkSession, root: String) {
    * adds one (often small) dir, and a snapshot of hundreds of tiny dirs
    * pays listing + footer + task overhead per dir on every scan. Dirs
    * whose total data bytes are under `maxDirBytes` (FS metadata only)
-   * are read back and rewritten as ONE dir; every larger dir is carried
+   * are read back and rewritten folded; every larger dir is carried
    * by reference, byte-identical, keeping its (tighter) skipping stats
    * — so compaction cost is O(small dirs), never a table rewrite, and
    * clustering of the big dirs survives. Returns None when fewer than
    * two dirs qualify. Re-clustering (`clusterBy`) remains the heavier
    * periodic operation that also re-tightens stats.
+   *
+   * The fold is RANGE-AWARE: small dirs are ordered by their min stat on
+   * the most range-disjoint column (recovered from the per-dir stats
+   * already in the commit — on a clustered merge-heavy table that is the
+   * cluster/merge-key column, including for plain merge-result dirs that
+   * carry no bucket path) and packed into byte-bounded groups, one
+   * output dir per group with its own stats. Repeated auto-compactions
+   * therefore keep per-dir min/max TIGHT and file-scope probes
+   * selective, instead of gradually folding the whole key space into
+   * one wide-range dir; groups close at `maxDirBytes`, so folded dirs
+   * are themselves carried (not re-folded) by the next compaction.
    */
   def compactDirs(maxDirBytes: Long = 64L << 20): Option[Commit] = synchronized {
     val c = lastCommit.getOrElse(
@@ -1160,13 +1200,21 @@ final class ManagedTable(spark: SparkSession, root: String) {
       }
       n
     }
-    val (small, big) = c.dirs.partition(d => bytes(d) < maxDirBytes)
+    val sizes = c.dirs.map(d => d -> bytes(d)).toMap
+    val (small, big) = c.dirs.partition(d => sizes(d) < maxDirBytes)
     if (small.size < 2) return None
     val schema = StructType.fromDDL(c.schemaDdl)
-    val merged = readDirs(small, schema, partitioned = false)
+    val groups = compactionGroups(c, small, maxDirBytes, sizes)
+    val merged =
+      if (groups.size <= 1) readDirs(small, schema, partitioned = false)
+      else groups.zipWithIndex.map { case (ds, g) =>
+        readDirs(ds, schema, partitioned = false)
+          .withColumn(CLUSTER_COL, org.apache.spark.sql.functions.lit(g))
+      }.reduce(_.unionByName(_))
     Some(writeCarried(merged, big,
       s"COMPACT(${small.size} dirs)",
       extraMetrics = Map("numCompactedDirs" -> small.size.toString,
+        "numCompactionGroups" -> groups.size.toString,
         "numCarriedDirs" -> big.size.toString),
       expectedPrevVersion = Some(c.version),
       // a compaction is commutative with any racer that PRESERVES the
@@ -1177,7 +1225,74 @@ final class ManagedTable(spark: SparkSession, root: String) {
       rebase = Some(head =>
         if (head.schemaDdl == c.schemaDdl && head.partitionBy == c.partitionBy &&
             small.forall(head.dirs.contains)) Some(head.dirs.diff(small))
-        else None)))
+        else None),
+      groupedLayout = groups.size > 1))
+  }
+
+  /** Fold plan for [[compactDirs]]: order the small dirs by min stat on
+    * the column whose per-dir ranges are most DISJOINT (min-sorted
+    * adjacent pairs that don't overlap — this recovers the cluster /
+    * merge-key column from commit stats alone, no recorded cluster spec
+    * needed), then pack adjacent dirs greedily, closing a group once it
+    * reaches `maxDirBytes`. With no usable stats (or no disjointness at
+    * all) the order is the commit's and only the byte bound applies —
+    * never worse than the previous fold-everything-into-one behavior. */
+  private def compactionGroups(c: Commit, small: Seq[String],
+                               maxDirBytes: Long,
+                               sizes: Map[String, Long]): Seq[Seq[String]] = {
+    val schema = StructType.fromDDL(c.schemaDdl)
+    type Key = Either[BigDecimal, String]
+    def key(f: org.apache.spark.sql.types.StructField, v: String): Option[Key] =
+      f.dataType match {
+        // timestamps are stored as unix_micros strings → numeric; ISO
+        // dates, strings and booleans order lexically as rendered
+        case _: org.apache.spark.sql.types.NumericType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          try Some(Left(BigDecimal(v))) catch { case _: NumberFormatException => None }
+        case _ => Some(Right(v))
+      }
+    def lt(a: Key, b: Key): Boolean = (a, b) match {
+      case (Left(x), Left(y)) => x < y
+      case (Right(x), Right(y)) => x < y
+      case _ => false
+    }
+    // candidate order columns: full min/max stats on every small dir
+    val candidates = schema.fields.toSeq
+      .filter(f => DataSkipping.eligible(f.dataType))
+      .flatMap { f =>
+        val ranges = small.flatMap { d =>
+          for {
+            cm <- c.dirStats.get(d).flatMap(_.get(f.name))
+            mn <- cm.min.flatMap(key(f, _))
+            mx <- cm.max.flatMap(key(f, _))
+          } yield d -> (mn, mx)
+        }.toMap
+        if (ranges.size == small.size) Some(ranges) else None
+      }
+    def sortedBy(r: Map[String, (Key, Key)]): Seq[String] =
+      small.sortWith((a, b) => lt(r(a)._1, r(b)._1))
+    def disjointScore(r: Map[String, (Key, Key)]): Int =
+      sortedBy(r).sliding(2).count {
+        case Seq(a, b) => lt(r(a)._2, r(b)._1)
+        case _ => false
+      }
+    val ordered = candidates.map(r => r -> disjointScore(r))
+      .filter(_._2 > 0)
+      .sortBy(-_._2).headOption
+      .map { case (r, _) => sortedBy(r) }
+      .getOrElse(small)
+    val groups = Seq.newBuilder[Seq[String]]
+    var cur = Vector.empty[String]
+    var curBytes = 0L
+    ordered.foreach { d =>
+      cur :+= d; curBytes += sizes(d)
+      if (curBytes >= maxDirBytes) {
+        groups += cur; cur = Vector.empty; curBytes = 0L
+      }
+    }
+    if (cur.nonEmpty) groups += cur
+    groups.result()
   }
 
   /**

@@ -345,6 +345,54 @@ class FileScopedMergeSpec extends SparkSpec {
     assert(t.compactDirs(maxDirBytes = smallCut).isEmpty)
   }
 
+  test("compaction folds per key range so later merges stay file-scoped and narrow") {
+    val path = tmpDir("fsm_rangefold")
+    val t = clusteredTable(path)
+    // five insert-only merges at widely-separated ranges: each adds one
+    // plain small dir (no bucket path) with a NARROW id range — the
+    // merge-heavy steady state whose fold used to widen into one dir
+    // spanning the whole inserted key space
+    val offsets = Seq(1000, 2000, 3000, 4000, 5000)
+    offsets.foreach(o =>
+      Writers.scd1(spark, path, rows(o until o + 20, "n"), Seq("id"), opts(T1)))
+    val preDirs = t.lastCommit.get.dirs
+    assert(preDirs.size === 9, s"4 buckets + 5 insert dirs, got $preDirs")
+    def dirBytes(d: String): Long = fileStamps(d).toSeq.map(_._2).sum
+    val bucketDirs = preDirs.filter(_.contains("__graft_cluster__"))
+    val cut = bucketDirs.map(dirBytes).min
+    val stamps = bucketDirs.map(d => d -> fileStamps(d)).toMap
+
+    val commit = t.compactDirs(maxDirBytes = cut).getOrElse(
+      fail("expected the five insert dirs to qualify for compaction"))
+    assert(commit.operationMetrics("numCompactedDirs").toInt === 5)
+    // the five dirs' total exceeds the byte bound → several folded dirs,
+    // each covering an ADJACENT id range, not one monolithic dir
+    assert(commit.operationMetrics("numCompactionGroups").toInt >= 2,
+      s"range packing should emit multiple bounded dirs: ${commit.operationMetrics}")
+    stamps.foreach { case (d, s) =>
+      assert(commit.dirs.contains(d), s"bucket $d should be carried")
+      assert(fileStamps(d) === s, s"bucket $d rewritten")
+    }
+    assert(t.read.count() === 500)
+
+    // the selectivity proof: an update touching ONLY the 3000-range must
+    // rewrite exactly the one folded dir whose range contains it and
+    // carry every other dir — before range-aware folding, the single
+    // wide compacted dir [1000, 5019] was rewritten by ANY insert-range
+    // update
+    val mixedDirs = t.lastCommit.get.dirs
+    Writers.scd1(spark, path, rows(3000 until 3020, "U"), Seq("id"), opts(T1))
+    val c2 = t.lastCommit.get
+    assert(c2.operationMetrics("numRewrittenDirs").toInt === 1,
+      s"expected one narrow folded dir rewritten: ${c2.operationMetrics}")
+    assert(c2.operationMetrics("numCarriedDirs").toInt === mixedDirs.size - 1)
+    val now = t.read
+    assert(now.count() === 500)
+    assert(now.filter($"id" === 3010).select("v").as[String].head() === "U3010")
+    assert(now.filter($"id" === 2010).select("v").as[String].head() === "n2010")
+    assert(now.filter($"id" === 50).select("v").as[String].head() === "a50")
+  }
+
   test("file-scoped merge records a change data feed of exactly the changed rows") {
     val path = tmpDir("fsm6")
     def o(t: String) = opts(t).copy(enableChangeDataFeed = true)
