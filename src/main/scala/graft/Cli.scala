@@ -37,6 +37,7 @@ object Cli {
           .appName(conf.name)
           .config("spark.sql.shuffle.partitions",
             sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .config("spark.sql.extensions", "graft.GraftExtensions")
           .config(conf.sparkConf)
           .getOrCreate()
         try {
@@ -77,6 +78,7 @@ object PipelineCli {
           .appName(s"${project.name}/$pipeline")
           .config("spark.sql.shuffle.partitions",
             sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .config("spark.sql.extensions", "graft.GraftExtensions")
           .getOrCreate()
         try {
           val statuses = graft.contract.ProjectContract.runPipeline(spark, project, pipeline)

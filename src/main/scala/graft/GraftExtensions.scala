@@ -1,9 +1,12 @@
 package graft
 
 import graft.expressions.{CosineSimilarity, MightContain}
-import org.apache.spark.sql.SparkSessionExtensions
+import graft.llm.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StringType
 
 /**
  * Session-extensions entry point: enable with
@@ -11,11 +14,28 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expre
  * `.withExtensions` on the builder) to get the engine's native functions
  * in every session without imperative registration.
  *
- * Currently injects `graft_cosine` ([[CosineSimilarity]]) and
- * `graft_might_contain` ([[MightContain]]); future custom
- * expressions/rules/strategies register here.
+ * Injects the scalar expressions `graft_cosine` ([[CosineSimilarity]])
+ * and `graft_might_contain` ([[MightContain]]), plus the operator library
+ * as TABLE-VALUED functions, so a pure-SQL task (the reference's
+ * "everything is SQL text" posture, `core/schemas/features.py:24-26`,
+ * executed here by `SparkTask.sqlTransform`) can invoke the curation
+ * operators without touching the Scala API:
+ *
+ * {{{
+ *   SELECT * FROM graft_gopher_quality('documents')
+ *   SELECT * FROM graft_chunk('documents', 256, 32)
+ *   SELECT * FROM graft_neardup_pairs('documents', 0.8)
+ * }}}
+ *
+ * The first argument is always a table/view name resolved against the
+ * active session's catalog; the TVF splices the operator's logical plan
+ * into the query, so Catalyst sees ONE plan — pushdown, pruning and AQE
+ * work exactly as they do for the DataFrame API (a TVF is not a black
+ * box, it's the same plan the Scala call would build).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
@@ -32,5 +52,89 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"${MightContain.Name}(bloom, value) takes two arguments")
         BloomFilterMightContain(children.head, children(1))
       }))
+    tableFunctions.foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
   }
+}
+
+object GraftExtensions {
+
+  private def strArg(e: Expression, what: String): String = {
+    require(e.foldable && e.dataType == StringType,
+      s"$what must be a string literal, got ${e.sql}")
+    val v = e.eval()
+    require(v != null, s"$what must not be NULL")
+    v.toString
+  }
+
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be an integer literal, got ${e.sql}")
+    e.eval() match {
+      case i: Int   => i
+      case l: Long  => l.toInt
+      case s: Short => s.toInt
+      case b: Byte  => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
+
+  private def dblArg(e: Expression, what: String): Double = {
+    require(e.foldable, s"$what must be a numeric literal, got ${e.sql}")
+    e.eval() match {
+      case d: Double => d
+      case f: Float  => f.toDouble
+      case i: Int    => i.toDouble
+      case l: Long   => l.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $other")
+    }
+  }
+
+  private def table(e: Expression): DataFrame =
+    SparkSession.active.table(strArg(e, "table"))
+
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  /** One-table-argument TVF: `name('table')` → the operator's plan. */
+  private def tvf(name: String)(f: DataFrame => DataFrame): (String, Seq[Expression] => LogicalPlan) =
+    name -> { args =>
+      require(args.size == 1, s"$name(table) takes exactly one table-name argument")
+      plan(f(table(args.head)))
+    }
+
+  /** The operator library exposed to SQL. Table-name first, scalar
+    * options after; every entry splices the SAME plan the Scala API
+    * builds (no extra materialization, no UDF wrapper). */
+  val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    tvf("graft_text_quality")(TextOps.textQuality(_)),
+    tvf("graft_token_count")(TextOps.tokenCount(_)),
+    tvf("graft_lang_id")(TextOps.langId(_)),
+    tvf("graft_fingerprint")(TextOps.fingerprint(_)),
+    tvf("graft_repetition_signals")(TextOps.repetitionSignals(_)),
+    tvf("graft_gopher_quality")(TextOps.gopherQuality(_)),
+    tvf("graft_gopher_repetition")(TextOps.gopherRepetition(_)),
+    tvf("graft_c4_line_filter")(TextOps.c4LineFilter(_)),
+    tvf("graft_dedup_paragraphs")(TextOps.dedupParagraphs(_)),
+    tvf("graft_exact_dedup")(TextOps.exactDedup(_)),
+    tvf("graft_redact")(TextOps.redact(_)),
+    "graft_chunk" -> { args =>
+      require(args.size == 1 || args.size == 3,
+        "graft_chunk(table[, chunk_tokens, overlap]) takes 1 or 3 arguments")
+      val df = table(args.head)
+      if (args.size == 1) plan(TextOps.chunk(df))
+      else plan(TextOps.chunk(df,
+        chunkTokens = intArg(args(1), "chunk_tokens"),
+        overlap = intArg(args(2), "overlap")))
+    },
+    "graft_neardup_pairs" -> { args =>
+      require(args.size == 2,
+        "graft_neardup_pairs(table, threshold) takes two arguments")
+      plan(Dedup.nearDupPairs(table(args.head), threshold = dblArg(args(1), "threshold")))
+    })
 }

@@ -93,11 +93,24 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => TextOps.exactDedupStats(Queries.pq(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextOps.textQuality(Queries.pq(s, d, "documents"))),
     "token_count" -> ((s, d) => TextOps.tokenCount(Queries.pq(s, d, "documents"))),
+    // SQL surface: the same operators invoked as TVFs from pure SQL text
+    // (SparkSessionExtensions-injected — the spliced plan is identical to
+    // the Scala call's, so the oracle answers must be identical too)
+    "sql_tvf_token_count" -> ((s, d) => {
+      Queries.pq(s, d, "documents").createOrReplaceTempView("documents")
+      s.sql("SELECT * FROM graft_token_count('documents')")
+    }),
+    "sql_tvf_chunk" -> ((s, d) => {
+      Queries.pq(s, d, "documents").createOrReplaceTempView("documents")
+      s.sql("SELECT * FROM graft_chunk('documents', 40, 10)")
+    }),
     "lang_id" -> ((s, d) => TextOps.langId(Queries.pq(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(Queries.pq(s, d, "documents"))),
     "repetition_signals" -> ((s, d) =>
       TextOps.repetitionSignals(Queries.pq(s, d, "documents"))),
     "quality_gopher" -> ((s, d) => TextOps.gopherQuality(Queries.pq(s, d, "documents"))),
+    "gopher_repetition" -> ((s, d) =>
+      TextOps.gopherRepetition(Queries.pq(s, d, "documents"))),
     "c4_line_filter" -> ((s, d) => TextOps.c4LineFilter(Queries.pq(s, d, "documents"))),
     "dedup_paragraphs" -> ((s, d) => TextOps.dedupParagraphs(Queries.pq(s, d, "documents"))),
     // near-dup + similarity + multimodal (MinHash-LSH / SimHash / ANN)
@@ -238,6 +251,16 @@ object SparkEntry {
         | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_tokens,
         | len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpeish_tokens
         |FROM documents""".stripMargin,
+    // TVF-routed twins: same answers as the API-routed queries, reached
+    // through the SQL surface — a TVF regression shows up as a missing
+    // or divergent result here, not just an sbt failure
+    "sql_tvf_token_count" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_word_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_bpeish_tokens
+        |FROM documents""".stripMargin,
+    "sql_tvf_chunk" -> Queries.chunkDocsSql,
     "lang_id" ->
       """WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS tx FROM documents),
         |s AS (SELECT doc_id,
@@ -292,6 +315,97 @@ object SparkEntry {
         |      AND n_alpha_words * 10 > n_words * 8
         |      AND n_stopwords >= 2 THEN 1 ELSE 0 END AS passes_gopher
         |FROM c""".stripMargin,
+    // gopher_repetition: the same item/count pipeline as the Spark-side
+    // per-doc kernel, expressed relationally (unnest -> two group-bys).
+    // Every aggregate is CAST AS BIGINT (DuckDB sum() is HUGEINT).
+    "gopher_repetition" ->
+      """WITH base AS (
+        | SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS s
+        | FROM documents),
+        |items AS (
+        |  SELECT doc_id, 'L' AS kind, 1 AS n,
+        |   unnest(list_filter(list_transform(str_split(text, chr(10)), x -> trim(x)), x -> x <> '')) AS item FROM base
+        |  UNION ALL SELECT doc_id, 'P', 1,
+        |   unnest(list_filter(list_transform(str_split(text, chr(10) || chr(10)), x -> trim(x)), x -> x <> '')) FROM base
+        |  UNION ALL SELECT doc_id, 'g1', 1, unnest(s) FROM base
+        |  UNION ALL SELECT doc_id, 'g2', 2, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) FROM base
+        |  UNION ALL SELECT doc_id, 'g3', 3, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] for i in range(1, len(s) - 1)]) FROM base
+        |  UNION ALL SELECT doc_id, 'g4', 4, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] for i in range(1, len(s) - 2)]) FROM base
+        |  UNION ALL SELECT doc_id, 'g5', 5, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4] for i in range(1, len(s) - 3)]) FROM base
+        |  UNION ALL SELECT doc_id, 'g6', 6, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4] || ' ' || s[i+5] for i in range(1, len(s) - 4)]) FROM base
+        |  UNION ALL SELECT doc_id, 'g7', 7, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4] || ' ' || s[i+5] || ' ' || s[i+6] for i in range(1, len(s) - 5)]) FROM base
+        |  UNION ALL SELECT doc_id, 'g8', 8, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4] || ' ' || s[i+5] || ' ' || s[i+6] || ' ' || s[i+7] for i in range(1, len(s) - 6)]) FROM base
+        |  UNION ALL SELECT doc_id, 'g9', 9, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4] || ' ' || s[i+5] || ' ' || s[i+6] || ' ' || s[i+7] || ' ' || s[i+8] for i in range(1, len(s) - 7)]) FROM base
+        |  UNION ALL SELECT doc_id, 'g10', 10, unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4] || ' ' || s[i+5] || ' ' || s[i+6] || ' ' || s[i+7] || ' ' || s[i+8] || ' ' || s[i+9] for i in range(1, len(s) - 8)]) FROM base),
+        |counted AS (
+        | SELECT doc_id, kind, item, count(*) AS cnt, length(item) - (n - 1) AS chars
+        | FROM items GROUP BY doc_id, kind, item, n),
+        |perkind AS (
+        | SELECT doc_id, kind,
+        |  CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST(sum(cnt) - count(*) AS BIGINT) AS dups,
+        |  CAST(sum(cnt * chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN (cnt - 1) * chars ELSE 0 END) AS BIGINT) AS dup_chars,
+        |  CAST(max({'c': cnt, 'm': cnt * chars}).m AS BIGINT) AS top_mass
+        | FROM counted GROUP BY doc_id, kind),
+        |piv AS (
+        | SELECT b.doc_id,
+        |  coalesce(max(CASE WHEN kind = 'g1' THEN total END), 0) AS n_words,
+        |  coalesce(max(CASE WHEN kind = 'g1' THEN total_chars END), 0) AS n_word_chars,
+        |  coalesce(max(CASE WHEN kind = 'L' THEN total END), 0) AS n_lines,
+        |  coalesce(max(CASE WHEN kind = 'L' THEN dups END), 0) AS n_dup_lines,
+        |  coalesce(max(CASE WHEN kind = 'L' THEN total_chars END), 0) AS n_line_chars,
+        |  coalesce(max(CASE WHEN kind = 'L' THEN dup_chars END), 0) AS n_dup_line_chars,
+        |  coalesce(max(CASE WHEN kind = 'P' THEN total END), 0) AS n_paras,
+        |  coalesce(max(CASE WHEN kind = 'P' THEN dups END), 0) AS n_dup_paras,
+        |  coalesce(max(CASE WHEN kind = 'P' THEN total_chars END), 0) AS n_para_chars,
+        |  coalesce(max(CASE WHEN kind = 'P' THEN dup_chars END), 0) AS n_dup_para_chars,
+        |  coalesce(max(CASE WHEN kind = 'g2' THEN top_mass END), 0) AS top_2gram_chars,
+        |  coalesce(max(CASE WHEN kind = 'g3' THEN top_mass END), 0) AS top_3gram_chars,
+        |  coalesce(max(CASE WHEN kind = 'g4' THEN top_mass END), 0) AS top_4gram_chars,
+        |  coalesce(max(CASE WHEN kind = 'g5' THEN dup_chars END), 0) AS dup_5gram_chars,
+        |  coalesce(max(CASE WHEN kind = 'g6' THEN dup_chars END), 0) AS dup_6gram_chars,
+        |  coalesce(max(CASE WHEN kind = 'g7' THEN dup_chars END), 0) AS dup_7gram_chars,
+        |  coalesce(max(CASE WHEN kind = 'g8' THEN dup_chars END), 0) AS dup_8gram_chars,
+        |  coalesce(max(CASE WHEN kind = 'g9' THEN dup_chars END), 0) AS dup_9gram_chars,
+        |  coalesce(max(CASE WHEN kind = 'g10' THEN dup_chars END), 0) AS dup_10gram_chars
+        | FROM base b LEFT JOIN perkind p USING (doc_id) GROUP BY b.doc_id)
+        |SELECT doc_id,
+        | CAST(n_words AS BIGINT) AS n_words,
+        | CAST(n_word_chars AS BIGINT) AS n_word_chars,
+        | CAST(n_lines AS BIGINT) AS n_lines,
+        | CAST(n_dup_lines AS BIGINT) AS n_dup_lines,
+        | CAST(n_line_chars AS BIGINT) AS n_line_chars,
+        | CAST(n_dup_line_chars AS BIGINT) AS n_dup_line_chars,
+        | CAST(n_paras AS BIGINT) AS n_paras,
+        | CAST(n_dup_paras AS BIGINT) AS n_dup_paras,
+        | CAST(n_para_chars AS BIGINT) AS n_para_chars,
+        | CAST(n_dup_para_chars AS BIGINT) AS n_dup_para_chars,
+        | CAST(top_2gram_chars AS BIGINT) AS top_2gram_chars,
+        | CAST(top_3gram_chars AS BIGINT) AS top_3gram_chars,
+        | CAST(top_4gram_chars AS BIGINT) AS top_4gram_chars,
+        | CAST(dup_5gram_chars AS BIGINT) AS dup_5gram_chars,
+        | CAST(dup_6gram_chars AS BIGINT) AS dup_6gram_chars,
+        | CAST(dup_7gram_chars AS BIGINT) AS dup_7gram_chars,
+        | CAST(dup_8gram_chars AS BIGINT) AS dup_8gram_chars,
+        | CAST(dup_9gram_chars AS BIGINT) AS dup_9gram_chars,
+        | CAST(dup_10gram_chars AS BIGINT) AS dup_10gram_chars,
+        | CASE WHEN n_words > 0
+        |      AND n_dup_lines * 10 <= n_lines * 3
+        |      AND n_dup_paras * 10 <= n_paras * 3
+        |      AND n_dup_line_chars * 5 <= n_line_chars
+        |      AND n_dup_para_chars * 5 <= n_para_chars
+        |      AND top_2gram_chars * 5 <= n_word_chars
+        |      AND top_3gram_chars * 50 <= n_word_chars * 9
+        |      AND top_4gram_chars * 25 <= n_word_chars * 4
+        |      AND dup_5gram_chars * 20 <= n_word_chars * 3
+        |      AND dup_6gram_chars * 50 <= n_word_chars * 7
+        |      AND dup_7gram_chars * 100 <= n_word_chars * 13
+        |      AND dup_8gram_chars * 25 <= n_word_chars * 3
+        |      AND dup_9gram_chars * 100 <= n_word_chars * 11
+        |      AND dup_10gram_chars * 10 <= n_word_chars
+        |      THEN 1 ELSE 0 END AS passes_repetition
+        |FROM piv""".stripMargin,
     "c4_line_filter" ->
       """WITH k AS (SELECT doc_id, text,
         |  list_filter(list_transform(str_split(text, chr(10)), x -> trim(x)),

@@ -32,7 +32,7 @@ object Dedup {
     h
   }
 
-  private def tokenize(text: String): Array[String] =
+  private[llm] def tokenize(text: String): Array[String] =
     if (text == null) Array.empty
     else TokenRe.findAllIn(text.toLowerCase).toArray
 

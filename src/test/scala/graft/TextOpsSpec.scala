@@ -58,6 +58,56 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) === "contact <EMAIL> please")
     assert(got(2L) === "<EMAIL> and <EMAIL>")
   }
+  test("gopherRepetition counts duplicate lines/paragraphs and n-gram masses exactly") {
+    import spark.implicits._
+    val df = Seq(
+      // 3× repeated line + 1 unique; one paragraph
+      (1L, "hello world\nhello world\nhello world\nunique line here"),
+      // long clean doc: 60 distinct words, nothing repeats
+      (2L, (1 to 60).map(i => s"w$i").mkString(" ")),
+      // a 5-gram repeated back-to-back, then distinct filler
+      (3L, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon end"),
+      // repeated paragraph (blank lines separate paragraphs)
+      (4L, "para one text\n\npara one text\n\nother para"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextOps.gopherRepetition(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val d1 = got(1L)
+    assert(d1.getAs[Long]("n_lines") === 4L)
+    assert(d1.getAs[Long]("n_dup_lines") === 2L)
+    assert(d1.getAs[Long]("n_line_chars") === 49L)     // 3*11 + 16
+    assert(d1.getAs[Long]("n_dup_line_chars") === 22L) // 2 extra copies * 11
+    assert(d1.getAs[Long]("n_paras") === 1L)
+    assert(d1.getAs[Long]("n_words") === 9L)
+    assert(d1.getAs[Long]("top_2gram_chars") === 30L)  // "hello world" x3 * 10 chars
+    assert(d1.getAs[Int]("passes_repetition") === 0)   // dup-line fraction 2/4 > 0.3
+
+    val d2 = got(2L)
+    assert(d2.getAs[Long]("n_words") === 60L)
+    assert(d2.getAs[Long]("n_dup_lines") === 0L)
+    assert(d2.getAs[Long]("dup_5gram_chars") === 0L)
+    assert(d2.getAs[Int]("passes_repetition") === 1)
+
+    val d3 = got(3L)
+    // "alpha beta gamma delta epsilon" repeats at positions 0 and 5:
+    // one extra occurrence * 26 token chars
+    assert(d3.getAs[Long]("dup_5gram_chars") === 26L)
+    assert(d3.getAs[Int]("passes_repetition") === 0)
+
+    val d4 = got(4L)
+    assert(d4.getAs[Long]("n_paras") === 3L)
+    assert(d4.getAs[Long]("n_dup_paras") === 1L)
+    assert(d4.getAs[Long]("n_para_chars") === 36L)     // 2*13 + 10
+    assert(d4.getAs[Long]("n_dup_para_chars") === 13L)
+    assert(d4.getAs[Long]("n_lines") === 3L)           // blank lines don't compete
+    assert(d4.getAs[Int]("passes_repetition") === 0)   // dup-para fraction 1/3 > 0.3
+
+    val d5 = got(5L)
+    assert(d5.getAs[Long]("n_words") === 0L)
+    assert(d5.getAs[Int]("passes_repetition") === 0)   // empty docs never pass
+  }
+
   import spark.implicits._
 
   private def docs = Seq(
