@@ -136,5 +136,37 @@ object GraftExtensions {
       require(args.size == 2,
         "graft_neardup_pairs(table, threshold) takes two arguments")
       plan(Dedup.nearDupPairs(table(args.head), threshold = dblArg(args(1), "threshold")))
+    },
+    // content-keyed sampling: keys are a comma-separated column list so
+    // the TVF stays positional ('a,b' == Seq("a","b"))
+    "graft_hash_sample" -> { args =>
+      require(args.size == 3 || args.size == 4,
+        "graft_hash_sample(table, keys_csv, rate[, salt]) takes 3 or 4 arguments")
+      val salt = if (args.size == 4) strArg(args(3), "salt") else ""
+      plan(graft.operators.Sampling.hashSample(
+        table(args.head),
+        keys = strArg(args(1), "keys_csv").split(",").map(_.trim).toSeq,
+        rate = dblArg(args(2), "rate"), salt = salt))
+    },
+    "graft_hash_split" -> { args =>
+      require(args.size == 3,
+        "graft_hash_split(table, keys_csv, test_fraction) takes three arguments")
+      plan(graft.operators.Sampling.hashSplit(
+        table(args.head),
+        keys = strArg(args(1), "keys_csv").split(",").map(_.trim).toSeq,
+        testFraction = dblArg(args(2), "test_fraction")))
+    },
+    // hotGroupFactor = 0: TVF resolution happens at ANALYSIS time, and the
+    // hot-group guard's sizing aggregate is an eager job — the SQL surface
+    // must stay lazy, so the guard is off here (the Scala API keeps it)
+    "graft_cap_per_group" -> { args =>
+      require(args.size == 4,
+        "graft_cap_per_group(table, group_csv, cap, keys_csv) takes four arguments")
+      plan(graft.operators.Sampling.capPerGroup(
+        table(args.head),
+        groupCols = strArg(args(1), "group_csv").split(",").map(_.trim).toSeq,
+        cap = intArg(args(2), "cap"),
+        keys = strArg(args(3), "keys_csv").split(",").map(_.trim).toSeq,
+        hotGroupFactor = 0))
     })
 }

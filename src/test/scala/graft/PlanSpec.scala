@@ -116,7 +116,10 @@ class PlanSpec extends SparkSpec {
       "hashSample" -> graft.operators.Sampling.hashSample(docs, Seq("doc_id"), 0.3),
       "hashSplit" -> graft.operators.Sampling.hashSplit(docs, Seq("doc_id"), 0.2),
       "redact" -> graft.llm.TextOps.redact(docs),
-      "chunk" -> graft.llm.TextOps.chunk(docs, chunkTokens = 40, overlap = 10)
+      "chunk" -> graft.llm.TextOps.chunk(docs, chunkTokens = 40, overlap = 10),
+      // both gopher gates are per-document: one scan, nothing to shuffle
+      "gopherQuality" -> graft.llm.TextOps.gopherQuality(docs),
+      "gopherRepetition" -> graft.llm.TextOps.gopherRepetition(docs)
     ).foreach { case (name, df) =>
       val plan = finalPlan(df).toString
       assert(!plan.contains("Exchange"), s"$name shuffled:\n$plan")

@@ -44,6 +44,37 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(n === api)
   }
 
+  test("graft_hash_sample / graft_hash_split from SQL match the Scala sampling rule") {
+    docsView()
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_hash_sample('documents', 'doc_id', 0.25)"),
+      graft.operators.Sampling.hashSample(spark.table("documents"), Seq("doc_id"), 0.25))
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_hash_split('documents', 'doc_id', 0.2)"),
+      graft.operators.Sampling.hashSplit(spark.table("documents"), Seq("doc_id"), 0.2))
+  }
+
+  test("graft_cap_per_group TVF caps rows per group, lazily (no analysis-time job)") {
+    docsView()
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_cap_per_group('documents', 'lang', 5, 'doc_id')"),
+      graft.operators.Sampling.capPerGroup(spark.table("documents"),
+        groupCols = Seq("lang"), cap = 5, keys = Seq("doc_id"), hotGroupFactor = 0))
+  }
+
+  test("SQL-text task transforms can call the operator library") {
+    // the reference's "everything is SQL text" execution type
+    // (core/schemas/features.py:24-26) — a pure-SQL task step reaches the
+    // curation operators through the TVF surface, no Scala in the task
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.task.SparkTask.sqlTransform(
+      "SELECT doc_id, n_word_tokens FROM graft_token_count('docs') WHERE n_word_tokens >= 50")
+      .apply(Map("docs" -> docs), Map.empty)("default")
+    val api = TextOps.tokenCount(docs)
+      .filter("n_word_tokens >= 50").select("doc_id", "n_word_tokens")
+    assertSameRows(out, api)
+  }
+
   test("TVF misuse fails loudly: wrong arity and non-string table arg") {
     docsView()
     val e1 = intercept[Exception](

@@ -108,6 +108,62 @@ class TextOpsSpec extends SparkSpec {
     assert(d5.getAs[Int]("passes_repetition") === 0)   // empty docs never pass
   }
 
+  test("gopherRepetition agrees with an independent quadratic reference on random text") {
+    import spark.implicits._
+    // independent reimplementation: quadratic count-by-scan, no hash maps,
+    // so a kernel bug and a reference bug can't coincide
+    def trimSp(s: String) = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    def stats(items: Seq[String]): (Long, Long, Long, Long) = {
+      val d = items.distinct
+      val dupChars = d.map { x =>
+        val c = items.count(_ == x)
+        if (c > 1) (c - 1).toLong * x.length else 0L
+      }.sum
+      (items.size.toLong, (items.size - d.size).toLong,
+        items.map(_.length.toLong).sum, dupChars)
+    }
+    def ref(text: String): Seq[Long] = {
+      val lines = text.split("\n").toSeq.map(trimSp).filter(_.nonEmpty)
+      val paras = text.split("\n\n").toSeq.map(trimSp).filter(_.nonEmpty)
+      val (nl, dl, cl, dcl) = stats(lines)
+      val (np, dp, cp, dcp) = stats(paras)
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      def gramsOf(n: Int) = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      def topMass(n: Int): Long = {
+        val gs = gramsOf(n)
+        val masses = gs.distinct.map { g =>
+          val c = gs.count(_ == g)
+          (c, c.toLong * (g.length - (n - 1)))
+        }
+        if (masses.isEmpty) 0L else masses.max._2
+      }
+      def dupMass(n: Int): Long = {
+        val gs = gramsOf(n)
+        gs.distinct.map { g =>
+          val c = gs.count(_ == g)
+          if (c > 1) (c - 1).toLong * (g.length - (n - 1)) else 0L
+        }.sum
+      }
+      val wc = toks.map(_.length.toLong).sum
+      Seq(toks.size.toLong, wc, nl, dl, cl, dcl, np, dp, cp, dcp,
+        topMass(2), topMass(3), topMass(4),
+        dupMass(5), dupMass(6), dupMass(7), dupMass(8), dupMass(9), dupMass(10))
+    }
+    // fixed-seed random docs over a collision-prone alphabet (few distinct
+    // tokens => real duplicates; spaces/newlines/punct exercise trimming)
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab c\nd.# "
+    val texts = (0 until 40).map { i =>
+      (i.toLong, (0 until rnd.nextInt(200)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val got = TextOps.gopherRepetition(texts.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq.drop(1).dropRight(1).map(_.asInstanceOf[Long]))
+      .toMap
+    texts.foreach { case (id, text) =>
+      assert(got(id) === ref(text), s"doc $id mismatch, text=${text.replace("\n", "\\n")}")
+    }
+  }
+
   import spark.implicits._
 
   private def docs = Seq(
