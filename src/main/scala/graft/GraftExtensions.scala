@@ -83,6 +83,18 @@ object GraftExtensions {
     }
   }
 
+  private def longArg(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be an integer literal, got ${e.sql}")
+    e.eval() match {
+      case i: Int   => i.toLong
+      case l: Long  => l
+      case s: Short => s.toLong
+      case b: Byte  => b.toLong
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
+
   private def dblArg(e: Expression, what: String): Double = {
     require(e.foldable, s"$what must be a numeric literal, got ${e.sql}")
     e.eval() match {
@@ -168,5 +180,26 @@ object GraftExtensions {
         cap = intArg(args(2), "cap"),
         keys = strArg(args(3), "keys_csv").split(",").map(_.trim).toSeq,
         hotGroupFactor = 0))
+    },
+    // two-table time-series joins — both sides are table/view names
+    "graft_asof_join" -> { args =>
+      require(args.size == 5,
+        "graft_asof_join(left, right, left_time, right_time, by_csv) takes five arguments")
+      plan(graft.operators.AsOfJoin.join(
+        table(args(0)), table(args(1)),
+        leftTime = strArg(args(2), "left_time"),
+        rightTime = strArg(args(3), "right_time"),
+        by = strArg(args(4), "by_csv").split(",").map(_.trim).toSeq))
+    },
+    "graft_range_join" -> { args =>
+      require(args.size == 6 || args.size == 7,
+        "graft_range_join(points, point_col, intervals, start_col, end_col, " +
+          "bucket_width[, keys_csv]) takes 6 or 7 arguments")
+      val keys = if (args.size == 7)
+        strArg(args(6), "keys_csv").split(",").map(_.trim).toSeq else Nil
+      plan(graft.operators.RangeJoin.pointInInterval(
+        table(args(0)), strArg(args(1), "point_col"),
+        table(args(2)), strArg(args(3), "start_col"), strArg(args(4), "end_col"),
+        bucketWidth = longArg(args(5), "bucket_width"), keys = keys))
     })
 }

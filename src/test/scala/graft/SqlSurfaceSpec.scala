@@ -75,6 +75,28 @@ class SqlSurfaceSpec extends SparkSpec {
     assertSameRows(out, api)
   }
 
+  test("two-table TVFs: as-of and range joins resolve both sides by name") {
+    import spark.implicits._
+    Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"), (3L, 5L, "d"))
+      .toDF("k", "lt", "lv").createOrReplaceTempView("asof_left")
+    Seq((1L, 8L, 1.0), (1L, 19L, 2.0), (2L, 99L, 3.0))
+      .toDF("k", "rt", "rv").createOrReplaceTempView("asof_right")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_asof_join('asof_left', 'asof_right', 'lt', 'rt', 'k')"),
+      graft.operators.AsOfJoin.join(
+        spark.table("asof_left"), spark.table("asof_right"), "lt", "rt", Seq("k")))
+
+    Seq((1L, 12L), (1L, 30L), (2L, 7L)).toDF("k", "pt")
+      .createOrReplaceTempView("rj_points")
+    Seq((1L, 10L, 15L, "w1"), (2L, 0L, 100L, "w2")).toDF("k", "s", "e", "w")
+      .createOrReplaceTempView("rj_intervals")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_range_join('rj_points', 'pt', 'rj_intervals', 's', 'e', 10, 'k')"),
+      graft.operators.RangeJoin.pointInInterval(
+        spark.table("rj_points"), "pt", spark.table("rj_intervals"), "s", "e",
+        bucketWidth = 10L, keys = Seq("k")))
+  }
+
   test("TVF misuse fails loudly: wrong arity and non-string table arg") {
     docsView()
     val e1 = intercept[Exception](
