@@ -149,6 +149,18 @@ object GraftExtensions {
         "graft_neardup_pairs(table, threshold) takes two arguments")
       plan(Dedup.nearDupPairs(table(args.head), threshold = dblArg(args(1), "threshold")))
     },
+    // NOTE: unlike every other TVF this one runs distributed jobs at
+    // RESOLUTION time — k-means quantizer training is an index build
+    // (exactly like ann_ivf's), and SQL has no place to thread a
+    // pre-trained centroid array through. The serve-side plan that the
+    // TVF splices is still lazy.
+    "graft_semantic_dedup" -> { args =>
+      require(args.size == 2 || args.size == 3,
+        "graft_semantic_dedup(table, threshold[, nlist]) takes 2 or 3 arguments")
+      val nlist = if (args.size == 3) intArg(args(2), "nlist") else 16
+      plan(graft.llm.Similarity.semanticDedup(
+        table(args.head), threshold = dblArg(args(1), "threshold"), nlist = nlist))
+    },
     // content-keyed sampling: keys are a comma-separated column list so
     // the TVF stays positional ('a,b' == Seq("a","b"))
     "graft_hash_sample" -> { args =>

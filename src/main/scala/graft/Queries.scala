@@ -1447,6 +1447,54 @@ object Queries {
 
   val ivfTopKSql: String = annTopKSql
 
+  /**
+   * Semantic dedup ([[graft.llm.Similarity.semanticDedup]]) in its
+   * oracle-checkable formulation: 20 exact copies of corpus vectors are
+   * planted at id+10000 and the corpus is deduped at threshold 0.9 — far
+   * above the corpus's max natural pairwise cosine (≈0.51, see
+   * [[annTopKVerified]]), so the duplicate groups are EXACTLY the 20
+   * planted (original, copy) pairs. An exact copy always shares its
+   * original's argmax cell, so the within-cell pair join finds every
+   * group with probability 1; the keep-the-outlier survivor rule ties on
+   * identical vectors (equal centroid cosine) and falls back to smallest
+   * id — the originals. Expected output is therefore deterministic
+   * (every natural vector survives; originals 0..19 carry group_size 2,
+   * everything else 1), and any recall loss in the cell join, wrong
+   * survivor pick, or spurious merge hash-mismatches the DuckDB oracle.
+   * In-query gates additionally THROW on a wrong group count or a
+   * surviving copy, so the bench run (which skips the oracle compare)
+   * hard-fails too rather than timing wrong rows.
+   */
+  def semanticDedupVerified(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity
+    val emb = pq(spark, dir, "embeddings").select("vec_id", "embedding")
+    assertPlantedIdHeadroom(emb, offset = 10000)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(planted).localCheckpoint()
+    // same amortizable index-build accounting as ann_ivf: the quantizer
+    // is trained once per corpus generation (semanticDedupWith)
+    val cents = Staging.timed {
+      Similarity.trainCentroids(corpus, nlist = 16, iters = 2)
+    }
+    val out = Similarity.semanticDedupWith(cents, corpus, threshold = 0.9)
+      .localCheckpoint()
+    val nGroups = out.filter(col("group_size") === 2).count()
+    require(nGroups == 20,
+      s"semantic_dedup expected exactly the 20 planted duplicate groups, " +
+        s"got $nGroups — cell co-location or the pair join lost recall")
+    val copies = out.filter(col("vec_id") >= 10000).count()
+    require(copies == 0,
+      s"semantic_dedup: $copies planted copies survived — the exact-copy " +
+        "tie must keep the smaller id (the original)")
+    out
+  }
+
+  val semanticDedupSql: String =
+    """SELECT vec_id,
+      | CAST(CASE WHEN vec_id < 20 THEN 2 ELSE 1 END AS BIGINT) AS group_size
+      |FROM embeddings""".stripMargin
+
   /** SimHash fingerprints use md5-derived token hashes precisely so this
     * oracle exists: DuckDB recomputes every fingerprint from the text and
     * brute-forces ALL pairs, so any silent recall loss in the chunk-bucket

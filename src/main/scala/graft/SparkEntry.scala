@@ -151,6 +151,7 @@ object SparkEntry {
     // see Queries.annTopKVerified for why both checks are hard
     "ann_topk" -> (Queries.annTopKVerified(_, _)),
     "ann_ivf" -> (Queries.ivfTopKVerified(_, _)),
+    "semantic_dedup" -> (Queries.semanticDedupVerified(_, _)),
     // the synthetic embeddings carry no natural near-dups (max pairwise
     // cos ≈ 0.51), so the scenario plants exact copies shifted by +10000:
     // the LSH bucket join must find precisely those pairs.
@@ -527,6 +528,7 @@ object SparkEntry {
     // hashes) + all-pairs hamming; multimodal via byte-function payloads
     "ann_topk" -> Queries.annTopKSql,
     "ann_ivf" -> Queries.ivfTopKSql,
+    "semantic_dedup" -> Queries.semanticDedupSql,
     "simhash_neardup" -> Queries.simhashPairsSql,
     "corpus_clean" -> Queries.corpusCleanSql,
     "multimodal_decode" -> Queries.multimodalDecodeSql)

@@ -266,6 +266,92 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Argmax cell id AND the cosine to that winning centroid in one pass
+    * over the vector — [[nearestCellUdf]] already computes both, this
+    * variant just keeps the cosine instead of dropping it. */
+  private def cellAndCosUdf(cents: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+    var best = 0; var bestCos = Double.MinValue
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      var d = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
+      while (i < ct.length && i < v.length) {
+        d += v(i) * ct(i); nv += v(i) * v(i); nc += ct(i) * ct(i); i += 1
+      }
+      val cos = if (nv == 0 || nc == 0) -2.0 else d / math.sqrt(nv * nc)
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    (best, bestCos)
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): k-means-cluster the embedding space with the
+   * [[trainCentroids]] coarse quantizer, compare pairs only WITHIN a
+   * cluster cell, connect the `cosine >= threshold` pairs into duplicate
+   * groups, and keep ONE survivor per group — the member with the LOWEST
+   * cosine to its cell centroid (the paper's keep-the-outlier rule, §2:
+   * low-similarity-to-centroid examples preserve diversity), ties broken
+   * by smallest id. Output: one row per surviving vector,
+   * (idCol, group_size) with group_size = 1 for vectors in no duplicate
+   * pair.
+   *
+   * 100 TB shape: candidate volume is Σ_cell |cell|² — bounded by the
+   * quantizer's balance, never corpus² (pick nlist ≈ N/targetCellSize);
+   * the within-cell self-join is a plain equi-join on `cell`, so AQE
+   * skew-split handles hot cells; grouping is the O(log n)
+   * star-contraction CC ([[graft.llm.Dedup.connectedComponents]]); cell
+   * assignment is computed once and reused by both join sides and the
+   * survivor pick (localCheckpoint). An exact copy always lands in its
+   * original's cell (identical vector ⇒ identical argmax), so exact
+   * duplicates are found with probability 1 — the property the planted
+   * oracle checks.
+   */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    nlist: Int = 16, trainIters: Int = 2): DataFrame =
+    semanticDedupWith(trainCentroids(corpus, nlist, trainIters, idCol, vecCol),
+      corpus, threshold, idCol, vecCol)
+
+  /** [[semanticDedup]] against a PRE-TRAINED quantizer — like
+    * [[ivfTopKWith]], the amortized entry point: train once per corpus
+    * generation, dedup every batch against the same fixed cells. */
+  def semanticDedupWith(cents: Array[Array[Double]],
+                        corpus: DataFrame, threshold: Double,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cents.nonEmpty, "semanticDedupWith needs a non-empty centroid set")
+    require(threshold > 0 && threshold <= 1,
+      s"cosine threshold must be in (0, 1], got $threshold")
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cc", cellAndCosUdf(cents)(col("v")))
+      .select(col("id"), col("v"),
+        col("cc._1").as("cell"), col("cc._2").as("cent_cos"))
+      .localCheckpoint()
+    val pairs = assigned.select(col("id").as("id1"), col("v").as("v1"), col("cell"))
+      .join(assigned.select(col("id").as("id2"), col("v").as("v2"), col("cell")),
+        Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .filter(nativeCosine(corpus.sparkSession, col("v1"), col("v2")) >= threshold)
+      .select("id1", "id2")
+    val comps = graft.llm.Dedup.connectedComponents(pairs) // (id, component)
+    val sized = comps.groupBy("component").agg(count(lit(1)).as("group_size"))
+    val w = Window.partitionBy("component")
+      .orderBy(col("cent_cos").asc, col("id").asc)
+    val survivors = comps.join(assigned.select("id", "cent_cos"), "id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(sized, "component")
+      .select(col("id").as(idCol), col("group_size"))
+    val singletons = assigned.select(col("id"))
+      .join(comps.select("id"), Seq("id"), "left_anti")
+      .select(col("id").as(idCol), lit(1L).as("group_size"))
+    survivors.unionByName(singletons)
+  }
+
   /**
    * Embedding-cosine near-duplicate pairs: corpus self-join restricted to
    * shared LSH buckets (probing the corpus side's exact bucket plus the

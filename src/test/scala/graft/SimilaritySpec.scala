@@ -119,4 +119,61 @@ class SimilaritySpec extends SparkSpec {
     // random 64-dim vectors never reach cos >= 0.999
     assert(pairs.size === 2, s"false positives: $pairs")
   }
+
+  // ------------------------------------------------ semantic dedup
+
+  private def vecsDf(rows: (Long, Array[Double])*): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, v) => Row(id, v.toSeq) }, 2).toJavaRDD(), schema)
+  }
+
+  test("semanticDedup: keep-the-outlier survivor, transitive groups, tie on min id") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val corpus = vecsDf(
+      // cell 0 chain: cos(a,b)≈0.993, cos(b,c)≈0.993, cos(a,c)≈0.972 —
+      // one transitive group of 3; c is farthest from the centroid
+      1L -> Array(1.0, 0.0),   // cent_cos 1.0
+      2L -> Array(1.0, 0.12),  // cent_cos ≈0.993
+      3L -> Array(1.0, 0.24),  // cent_cos ≈0.972 → survivor
+      // cell 1: identical pair ties on cent_cos → min id survives
+      10L -> Array(0.0, 1.0),
+      11L -> Array(0.0, 1.0),
+      // cell 1 singleton (negative cosine to both centroids)
+      12L -> Array(-1.0, -0.5))
+    val out = Similarity.semanticDedupWith(cents, corpus, threshold = 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((3L, 3L), (10L, 2L), (12L, 1L)),
+      s"unexpected survivors: $out")
+  }
+
+  test("semanticDedup compares only WITHIN a cell (SemDeDup scoping)") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // cos(d,e) ≈ 0.9993 ≥ threshold, but d lands in cell 0 and e in
+    // cell 1 — SemDeDup never compares across cells, so both survive
+    val corpus = vecsDf(
+      4L -> Array(0.72, 0.694),
+      5L -> Array(0.694, 0.72))
+    val out = Similarity.semanticDedupWith(cents, corpus, threshold = 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((4L, 1L), (5L, 1L)), s"cross-cell merge: $out")
+  }
+
+  test("semanticDedup end-to-end with trained quantizer: planted copies lose, originals keep") {
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.filter($"vec_id" < 5)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(planted)
+    val natural = base.count()
+    val out = Similarity.semanticDedup(corpus, threshold = 0.9, nlist = 8)
+      .cache()
+    assert(out.count() === natural, "every natural vector must survive")
+    assert(out.filter($"vec_id" >= 10000).count() === 0, "a copy survived")
+    assert(out.filter($"group_size" === 2).count() === 5)
+    assert(out.filter($"group_size" === 1).count() === natural - 5)
+  }
 }

@@ -97,6 +97,15 @@ class SqlSurfaceSpec extends SparkSpec {
         bucketWidth = 10L, keys = Seq("k")))
   }
 
+  test("graft_semantic_dedup TVF trains at resolution, serves the same rows as the API") {
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").createOrReplaceTempView("emb")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_semantic_dedup('emb', 0.9, 8)"),
+      graft.llm.Similarity.semanticDedup(spark.table("emb"),
+        threshold = 0.9, nlist = 8))
+  }
+
   test("TVF misuse fails loudly: wrong arity and non-string table arg") {
     docsView()
     val e1 = intercept[Exception](
