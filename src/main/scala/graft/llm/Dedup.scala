@@ -466,8 +466,26 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint() // bound lineage growth across rounds
+    // fast path: if no node appears in two edges (distinct edge endpoints
+    // == 2·|edges|) every component IS a single edge — the common shape at
+    // high similarity thresholds (isolated dup pairs) — and the
+    // (u>v)-oriented edge set already labels each pair with its min id.
+    // Skips the contraction rounds (~4 shuffles each). Endpoints are
+    // counted over the SELF-LOOP-FILTERED edge set: self-loop-only nodes
+    // sit outside the edges and take the isolated-node label below.
+    val nEdges = edges.count()
+    val nEndpoints = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct().count()
+    if (nEdges > 0 && nEndpoints == 2 * nEdges) {
+      val lab = edges.select(col("u").as("id"), col("v").as("component"))
+        .union(edges.select(col("v").as("id"), col("v").as("component")))
+      val comp = nodes.join(lab, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+      return (comp, 0)
+    }
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = nEdges == 0
     while (iter < maxIter && !converged) {
       // large-star: over BOTH directions, attach each strictly-larger
       // neighbor v of u to m(u) = min(N(u) ∪ {u})

@@ -189,6 +189,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("disjoint pair graphs take the 0-round fast path with min-id labels") {
+    import spark.implicits._
+    // no shared nodes → every component is one edge; duplicate/reversed
+    // pair rows and self-loops must not defeat the endpoint-count check,
+    // and the self-loop-only node 5 must still label itself
+    val pairs = Seq((2L, 1L), (1L, 2L), (10L, 11L), (10L, 11L), (20L, 21L),
+      (5L, 5L)).toDF("id1", "id2")
+    val (comp, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    assert(rounds === 0, s"expected the disjoint fast path, took $rounds rounds")
+    val labels = comp.as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 5L -> 5L))
+    // a shared endpoint compensated by a self-loop node must NOT take the
+    // fast path (node 3 would get two labels): [(3,1),(3,2),(4,4)] has
+    // 4 distinct node ids but only 3 distinct edge endpoints
+    val (comp3, _) = Dedup.connectedComponentsWithRounds(
+      Seq((3L, 1L), (3L, 2L), (4L, 4L)).toDF("id1", "id2"))
+    assert(comp3.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+    // one shared node breaks disjointness → general path, same labels
+    val (comp2, rounds2) = Dedup.connectedComponentsWithRounds(
+      pairs.union(Seq((21L, 22L)).toDF("id1", "id2")))
+    assert(rounds2 > 0)
+    assert(comp2.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("property: star contraction equals min-label propagation on random graphs") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
