@@ -28,6 +28,24 @@ object Queries {
   def pq(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")
 
+  /** Exact epoch-microsecond view of the events `ts` column, robust to
+    * the physical type the generator happened to emit: INT64 raw nanos
+    * (surfaced as LongType under `spark.sql.legacy.parquet.nanosAsLong`)
+    * or TIMESTAMP/TIMESTAMP_NTZ (micros). Integer arithmetic only — a
+    * double division would lose precision past 2^53. The harness pins
+    * `spark.sql.session.timeZone=UTC`, so the NTZ wall time IS the UTC
+    * instant, matching DuckDB's `epoch_us(ts)` on the oracle side. */
+  private[graft] def eventMicros(ev: DataFrame, c: String = "ts"): Column =
+    ev.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$c div 1000")
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        expr(s"unix_micros(cast($c as timestamp))")
+      case other =>
+        throw new IllegalStateException(
+          s"events.$c has unsupported type $other; expected raw-nanos long or timestamp")
+    }
+
   /** Planted-scenario guard: queries that plant copies of corpus vectors
     * at `vec_id + offset` (and whose oracle SQL hard-codes that offset)
     * are only sound while every natural id is below the offset. */
@@ -118,16 +136,15 @@ object Queries {
       |GROUP BY n_name""".stripMargin
 
   /** Window functions over the event stream table: first 5 events per user
-    * with lag(), deterministic tiebreak on event_id. The events parquet
-    * carries TIMESTAMP(NANOS) which Spark's vectorized reader rejects;
-    * `nanosAsLong` reads it as raw nanos and integer `div 1000` derives
-    * exact micros (a double division would lose precision past 2^53). */
+    * with lag(), deterministic tiebreak on event_id. `eventMicros` derives
+    * exact epoch micros whatever physical timestamp encoding the events
+    * parquet carries (raw-nanos INT64 or TIMESTAMP_NTZ micros). */
   def eventsWindow(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-    pq(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = pq(spark, dir, "events")
+    ev.withColumn("ts_us", eventMicros(ev))
       .withColumn("rn", row_number().over(w))
       .withColumn("prev_event_id", lag("event_id", 1).over(w))
       .filter(col("rn") <= 5)
@@ -1252,8 +1269,8 @@ object Queries {
     * StreamOps.windowedCounts — identical grouping semantics). */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    pq(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = pq(spark, dir, "events")
+    ev.withColumn("ts_us", eventMicros(ev))
       .withColumn("bucket_us", expr("ts_us - (ts_us % 60000000)")) // 1-min tumble
       .groupBy("user_id", "bucket_us")
       .agg(count(lit(1)).as("n_events"))
@@ -1309,8 +1326,8 @@ object Queries {
     * streaming stateful operator; 10-minute silence ends a session). */
   def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = pq(spark, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val raw = pq(spark, dir, "events")
+    val ev = raw.withColumn("ts_us", eventMicros(raw))
       .select("user_id", "ts_us")
     graft.streaming.StreamOps.sessionizeBatch(ev, "user_id", "ts_us",
       gapMs = 600L * 1000 * 1000) // 10 min in micros
@@ -1569,13 +1586,13 @@ object Queries {
     // one planted NULL-time purchase: gates the left-join stance (NULL
     // left times survive unmatched, AsOfJoin scaladoc) through the oracle
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), eventMicros(ev).as("ts_us"))
       .unionByName(spark.range(1).select(
         lit(-1L).as("event_id"), lit(-1L).as("user_id"),
         lit(null).cast("long").as("ts_us")))
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
-        expr("ts div 1000").as("vts_us"))
+        eventMicros(ev).as("vts_us"))
     AsOfJoin.join(purchases, views, "ts_us", "vts_us", Seq("user_id"),
       direction = "backward", tolerance = Some(HourUs),
       rightTieBreak = Some("view_id"))
@@ -1611,11 +1628,11 @@ object Queries {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = pq(spark, dir, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), eventMicros(ev).as("ts_us"))
     val intervals = purchases
       .select(col("event_id"), col("user_id"),
         (col("ts_us") - HourUs).as("w_start"), col("ts_us").as("w_end"))
-    val points = ev.select(col("user_id"), expr("ts div 1000").as("p_ts"))
+    val points = ev.select(col("user_id"), eventMicros(ev).as("p_ts"))
     val counts = RangeJoin.pointInInterval(points, "p_ts",
         intervals, "w_start", "w_end", bucketWidth = HourUs, keys = Seq("user_id"))
       .groupBy("event_id").agg(count(lit(1)).as("n_before"))

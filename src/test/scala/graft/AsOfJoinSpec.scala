@@ -206,10 +206,10 @@ class AsOfJoinSpec extends SparkSpec {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("l_id"), col("user_id").as("k"),
-        expr("ts div 1000").as("lt"))
+        graft.Queries.eventMicros(ev).as("lt"))
     val v = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("r_id"), col("user_id").as("k"),
-        expr("ts div 1000").as("rt"))
+        graft.Queries.eventMicros(ev).as("rt"))
     val got = AsOfJoin.join(p, v, "lt", "rt", Seq("k"),
       tolerance = Some(3600000000L), rightTieBreak = Some("r_id"))
     assertSameRows(got, naive(p, v, "backward", Some(3600000000L)))

@@ -213,7 +213,7 @@ class DedupSpec extends SparkSpec {
       pairs.union(Seq((21L, 22L)).toDF("id1", "id2")))
     assert(rounds2 > 0)
     assert(comp2.as[(Long, Long)].collect().toMap ===
-      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+      Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 10L -> 10L, 11L -> 10L,
         20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 

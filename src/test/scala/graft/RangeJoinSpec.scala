@@ -80,10 +80,11 @@ class RangeJoinSpec extends SparkSpec {
   test("with equality keys the plan is a pure equi-join — no nested loop, no range condition in the join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sf/events.parquet")
-    val p = ev.select(col("user_id"), expr("ts div 1000").as("p"))
+    val p = ev.select(col("user_id"), graft.Queries.eventMicros(ev).as("p"))
     val iv = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("iv_id"), col("user_id"),
-        (expr("ts div 1000") - 3600000000L).as("s"), expr("ts div 1000").as("e"))
+        (graft.Queries.eventMicros(ev) - 3600000000L).as("s"),
+        graft.Queries.eventMicros(ev).as("e"))
     val got = RangeJoin.pointInInterval(p, "p", iv, "s", "e",
       bucketWidth = 3600000000L, keys = Seq("user_id"))
     val physical = got.queryExecution.executedPlan.toString
