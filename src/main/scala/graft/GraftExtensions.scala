@@ -135,6 +135,40 @@ object GraftExtensions {
     tvf("graft_dedup_paragraphs")(TextOps.dedupParagraphs(_)),
     tvf("graft_exact_dedup")(TextOps.exactDedup(_)),
     tvf("graft_redact")(TextOps.redact(_)),
+    tvf("graft_normalize_text")(TextOps.normalizeText(_)),
+    "graft_rare_tokens" -> { args =>
+      require(args.size == 1 || args.size == 2,
+        "graft_rare_tokens(table[, min_freq]) takes 1 or 2 arguments")
+      val df = table(args.head)
+      if (args.size == 1) plan(TextOps.rareTokenScore(df))
+      else plan(TextOps.rareTokenScore(df, minFreq = longArg(args(1), "min_freq")))
+    },
+    "graft_tfidf_keywords" -> { args =>
+      require(args.size == 1 || args.size == 2,
+        "graft_tfidf_keywords(table[, k]) takes 1 or 2 arguments")
+      val df = table(args.head)
+      if (args.size == 1) plan(TextOps.tfidfKeywords(df))
+      else plan(TextOps.tfidfKeywords(df, k = intArg(args(1), "k")))
+    },
+    // weights are 'stratum:weight' pairs, comma-separated — positional
+    // SQL has no map literal that resolves at TVF-analysis time.
+    // hotGroupFactor = 0 for the same reason as graft_cap_per_group:
+    // analysis must stay lazy.
+    "graft_mixture_sample" -> { args =>
+      require(args.size == 5,
+        "graft_mixture_sample(table, strata_col, weights_csv, total, keys_csv) takes five arguments")
+      val weights = strArg(args(2), "weights_csv").split(",").map { kv =>
+        val Array(s, w) = kv.trim.split(":")
+        s -> w.toDouble
+      }.toMap
+      plan(graft.operators.Sampling.mixtureSample(
+        table(args.head),
+        strataCol = strArg(args(1), "strata_col"),
+        weights = weights,
+        total = longArg(args(3), "total"),
+        keys = strArg(args(4), "keys_csv").split(",").map(_.trim).toSeq,
+        hotGroupFactor = 0))
+    },
     "graft_chunk" -> { args =>
       require(args.size == 1 || args.size == 3,
         "graft_chunk(table[, chunk_tokens, overlap]) takes 1 or 3 arguments")

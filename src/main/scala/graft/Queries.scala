@@ -849,12 +849,15 @@ object Queries {
     def newKeys(offset: Int, seg: Column) = c.filter(col("c_custkey") <= 30)
       .select((col("c_custkey") + offset).as("c_custkey"), col("c_name"),
         seg.as("c_mktsegment"))
-    // merge 1: low-range updates — must rewrite ONLY the matching buckets
+    // merge 1: low-range updates — must rewrite ONLY the matching buckets.
+    // ≥1 carried dir works at every sf (at tiny sf the ≤100 key range can
+    // span 3 of the 4 buckets); the strict ≥3-bucket evidence lives in
+    // FileScopedMergeSpec on controlled data.
     Writers.scd1(spark, path,
       c.filter(col("c_custkey") <= 100)
         .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_A"))),
       Seq("c_custkey"), WriteOptions(now = Some(T1)))
-    require(t.lastCommit.get.operationMetrics.get("numCarriedDirs").exists(_.toInt >= 2),
+    require(t.lastCommit.get.operationMetrics.get("numCarriedDirs").exists(_.toInt >= 1),
       s"merge 1 did not file-scope: ${t.lastCommit.get.operationMetrics}")
     // merges 2+3: insert-only batches outside every range → tiny dirs
     Writers.scd1(spark, path, newKeys(2000000, col("c_mktsegment")),
@@ -1866,6 +1869,29 @@ object Queries {
       |             doc_id) AS rn
       | FROM documents)
       |SELECT doc_id, source FROM r WHERE rn <= 15""".stripMargin
+
+  /** Training-mixture assembly over language strata: ~200 docs at
+    * 50% en / 20% de / 20% fr / 10% es (zh deliberately unweighted →
+    * dropped). Quotas are exact integers, admission is key-hash order —
+    * the oracle recomputes the same floor(total·w) caps inline. */
+  def mixtureSampleDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.mixtureSample(pq(spark, dir, "documents"), "lang",
+      weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1),
+      total = 200L, keys = Seq("doc_id"))
+      .select("doc_id", "lang", "source")
+  }
+
+  val mixtureSampleDocsSql: String =
+    """WITH r AS (
+      | SELECT doc_id, lang, source,
+      |  row_number() OVER (PARTITION BY lang
+      |    ORDER BY substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR))), 1, 8),
+      |             doc_id) AS rn
+      | FROM documents)
+      |SELECT doc_id, lang, source FROM r
+      |WHERE (lang = 'en' AND rn <= 100) OR (lang = 'de' AND rn <= 40)
+      |   OR (lang = 'fr' AND rn <= 40) OR (lang = 'es' AND rn <= 20)""".stripMargin
 
   /** Fixed-boundary sequence packing: per-language 2000-char training
     * shards; a document's bin is where its exclusive prefix sum starts. */

@@ -112,6 +112,10 @@ object SparkEntry {
     "gopher_repetition" -> ((s, d) =>
       TextOps.gopherRepetition(Queries.pq(s, d, "documents"))),
     "c4_line_filter" -> ((s, d) => TextOps.c4LineFilter(Queries.pq(s, d, "documents"))),
+    "rare_tokens" -> ((s, d) => TextOps.rareTokenScore(Queries.pq(s, d, "documents"))),
+    "tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Queries.pq(s, d, "documents"))),
+    "normalize_text" -> ((s, d) => TextOps.normalizeText(Queries.pq(s, d, "documents"))),
+    "mixture_sample" -> (Queries.mixtureSampleDocs(_, _)),
     "dedup_paragraphs" -> ((s, d) => TextOps.dedupParagraphs(Queries.pq(s, d, "documents"))),
     // near-dup + similarity + multimodal (MinHash-LSH / SimHash / ANN)
     "dedup_minhash" -> ((s, d) =>
@@ -423,6 +427,57 @@ object SparkEntry {
         |      AND NOT contains(lower(text), 'lorem ipsum')
         |      AND NOT contains(text, '{') THEN 1 ELSE 0 END AS keep_doc
         |FROM k""".stripMargin,
+    "rare_tokens" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        | FROM documents),
+        |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, tok),
+        |lm AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS freq FROM dt GROUP BY tok),
+        |agg AS (SELECT dt.doc_id,
+        |         CAST(sum(dt.tf) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        |         CAST(sum(CASE WHEN lm.freq < 3 THEN dt.tf ELSE 0 END) AS BIGINT)
+        |           AS n_rare_tokens
+        |        FROM dt JOIN lm USING (tok) GROUP BY dt.doc_id)
+        |SELECT d.doc_id,
+        | coalesce(a.n_tokens, 0) AS n_tokens,
+        | coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens,
+        | coalesce(a.n_rare_tokens, 0) AS n_rare_tokens,
+        | CASE WHEN coalesce(a.n_tokens, 0) > 0
+        |       AND coalesce(a.n_rare_tokens, 0) * 5 <= coalesce(a.n_tokens, 0)
+        |      THEN 1 ELSE 0 END AS passes_rarity
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+    "tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        | FROM documents),
+        |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT dt.doc_id, dt.tok, dt.tf, dfreq.df,
+        |       CAST(dt.tf * n.n_docs AS DOUBLE) / dfreq.df AS score,
+        |       row_number() OVER (PARTITION BY dt.doc_id
+        |         ORDER BY CAST(dt.tf * n.n_docs AS DOUBLE) / dfreq.df DESC,
+        |                  dt.tok) AS kw_rank
+        |      FROM dt JOIN dfreq USING (tok) CROSS JOIN n)
+        |SELECT doc_id, kw_rank, tok, tf, df, score FROM s WHERE kw_rank <= 3""".stripMargin,
+    "normalize_text" ->
+      """WITH c AS (SELECT doc_id, length(text) AS n_chars_raw,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(text,
+        |      '\t', ' ', 'g'),
+        |      '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |    '  +', ' ', 'g'),
+        |    ' *\n *', '\n', 'g'),
+        |    '\n\n\n+', '\n\n', 'g'),
+        |    '^[ \n]+|[ \n]+$', '', 'g') AS clean_text
+        | FROM documents)
+        |SELECT doc_id, clean_text, n_chars_raw,
+        | length(clean_text) AS n_chars_clean
+        |FROM c""".stripMargin,
+    "mixture_sample" -> Queries.mixtureSampleDocsSql,
     "dedup_paragraphs" ->
       """WITH p AS (SELECT doc_id,
         |  unnest(str_split(text, chr(10))) AS para,

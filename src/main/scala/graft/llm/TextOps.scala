@@ -487,4 +487,116 @@ object TextOps {
     }
     docs.withColumn(outCol, cleaned)
   }
+
+  /** Per-(doc, token) term frequencies — the shared kernel under
+    * [[rareTokenScore]] and [[tfidfKeywords]]. The explode is immediately
+    * re-aggregated on (doc, token), so the shuffled volume is the
+    * DISTINCT-token surface (with map-side combine), not the raw token
+    * stream — the standard wordcount shape, linear at any corpus size.
+    * Token convention matches [[tokenCount]]'s `n_word_tokens`. */
+  private def docTermFreq(docs: DataFrame, textCol: String,
+                          idCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+          .as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus-LM token rarity — the language-model quality signal of
+    * CCNet (Wenzek et al. 2020) recast exact: instead of a KenLM
+    * perplexity (whose `log` makes the score depend on each engine's
+    * libm rounding), score each document by the exact integer count of
+    * its token occurrences that are RARE under the corpus's own unigram
+    * model (`corpus frequency < minFreq`). High rare fraction ≈ the
+    * high-perplexity tail CCNet buckets away; the verdict is the pure
+    * integer rule `n_rare_tokens · 5 ≤ n_tokens` (rare mass ≤ 20%) on
+    * non-empty docs. Token-less documents survive with zero counts and
+    * a failing verdict (nothing to attest quality).
+    *
+    * Scale shape: one wordcount aggregate ([[docTermFreq]]), a
+    * frequency roll-up on `tok`, an equi-join back on `tok` (AQE
+    * broadcast when the vocabulary is small), and a final doc-keyed
+    * aggregate — every shuffle is on a naturally high-cardinality key. */
+  def rareTokenScore(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", minFreq: Long = 3): DataFrame = {
+    require(minFreq > 0, s"minFreq must be positive, got $minFreq")
+    val dt = docTermFreq(docs, textCol, idCol)
+    val lm = dt.groupBy("tok").agg(sum("tf").as("freq"))
+    val perDoc = dt.join(lm, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(when(col("freq") < minFreq, col("tf")).otherwise(0L))
+          .as("n_rare_tokens"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
+        coalesce(col("n_rare_tokens"), lit(0L)).as("n_rare_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) > 0 &&
+          coalesce(col("n_rare_tokens"), lit(0L)) * 5 <=
+            coalesce(col("n_tokens"), lit(0L)))
+          .cast("int").as("passes_rarity"))
+  }
+
+  /** Top-`k` characteristic keywords per document by tf·idf, with the
+    * idf kept LINEAR (`n_docs / df`) instead of logarithmic: per-doc
+    * ranking is order-equivalent for any monotone idf, and the linear
+    * form is one exact integer product and one IEEE division — bit
+    * identical in every engine, where `ln` is not. Ranking order is
+    * (score desc, token asc); `tok` is unique per doc, so the order is
+    * total and the row_number deterministic.
+    *
+    * Scale shape: wordcount aggregate, `df` roll-up on `tok`, equi-join
+    * back, then a per-doc window — partitioned on the doc id, millions
+    * of small partitions, never a global sort. The 1-row corpus size
+    * joins in via broadcast. */
+  def tfidfKeywords(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val dt = docTermFreq(docs, textCol, idCol)
+    val df_ = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // 1-row × n cross join: a broadcast of a single scalar row, not a
+    // pair explosion — the only way to thread a lazy corpus count in
+    val scored = dt.join(df_, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= k)
+      .select(col(idCol), col("kw_rank"), col("tok"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  /** Whitespace/control normalization — the unexciting first pass of
+    * every web-text pipeline, kept strictly cross-engine: every rule is
+    * a global `regexp_replace` over RE2-safe character classes (no
+    * lookaround, no `\s` whose meaning varies by engine), applied in a
+    * fixed order: (1) tabs become spaces (dropping them would glue
+    * words); (2) drop the remaining ASCII control chars except `\n`
+    * (incl. `\r`, DEL); (3) collapse space runs; (4) trim spaces around
+    * newlines; (5) collapse 3+ newlines to a paragraph break; (6) trim
+    * outer whitespace. Narrow, shuffle-free, codegen'd. */
+  def normalizeText(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val steps: Seq[(String, String)] = Seq(
+      "\\t" -> " ",
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F]" -> "",
+      "  +" -> " ",
+      " *\\n *" -> "\n",
+      "\\n\\n\\n+" -> "\n\n",
+      "^[ \\n]+|[ \\n]+$" -> "")
+    val cleanText = steps.foldLeft(col(textCol)) {
+      case (c, (pattern, repl)) => regexp_replace(c, pattern, repl)
+    }
+    docs.select(col(idCol),
+      length(col(textCol)).as("n_chars_raw"),
+      cleanText.as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")))
+      .select(col(idCol), col("clean_text"), col("n_chars_raw"),
+        col("n_chars_clean"))
+  }
 }

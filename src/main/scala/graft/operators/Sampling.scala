@@ -200,4 +200,58 @@ object Sampling {
         .drop(b, within, offset)
     }
   }
+
+  /** Deterministic training-mixture assembly: draw a corpus of ~`total`
+    * rows honoring per-stratum `weights` ("50% en, 20% de, …") — the
+    * domain/language re-weighting step every pretraining pipeline runs
+    * between curation and packing. Each stratum's quota is the exact
+    * integer `floor(total · weight)`; rows are admitted per stratum in
+    * key-hash order (unbiased within the stratum, append-stable), and a
+    * stratum smaller than its quota contributes everything it has —
+    * quotas are caps, not promises. Strata absent from `weights` are
+    * dropped (weight 0).
+    *
+    * Same plan family as [[capPerGroup]] with a per-group cap: one
+    * shuffle on the stratum column, and the identical 256-hash-bucket
+    * two-stage top-k guard for hot strata (a mixture stratum is USUALLY
+    * hot — "half the corpus is English" — so the guard matters more
+    * here than anywhere; stage-1 caps each (stratum, bucket) at the
+    * stratum's own quota, which keeps the stage-2 sort ≤ 256·quota rows
+    * and provably identical output). `hotGroupFactor = 0` disables the
+    * guard and its sizing job. */
+  def mixtureSample(df: DataFrame, strataCol: String,
+                    weights: Map[String, Double], total: Long,
+                    keys: Seq[String], salt: String = "",
+                    hotGroupFactor: Int = 64): DataFrame = {
+    require(keys.nonEmpty, "mixtureSample needs key columns")
+    require(total > 0, s"total must be positive, got $total")
+    require(weights.nonEmpty, "mixtureSample needs at least one stratum weight")
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"weights must be in [0,1], got $weights")
+    val caps: Map[String, Long] =
+      weights.map { case (s, w) => s -> (total * w).toLong }
+    val capExpr = caps.foldLeft(lit(0L)) { case (acc, (stratum, c)) =>
+      when(col(s"`$strataCol`") === stratum, lit(c)).otherwise(acc)
+    }
+    val rn = "__graft_rn__"
+    val g = col(s"`$strataCol`")
+    val order = keyHex(keys, salt) +: keys.map(c => col(s"`$c`"))
+    val maxCap = caps.values.max
+    val hot = hotGroupFactor > 0 && {
+      val r = df.groupBy(g).agg(count(lit(1)).as("__graft_n__"))
+        .agg(max(col("__graft_n__"))).head()
+      !r.isNullAt(0) && r.getLong(0) > maxCap * hotGroupFactor
+    }
+    val base =
+      if (!hot) df
+      else {
+        val bucket = substring(keyHex(keys, salt), 1, 2) // 256-way
+        val w1 = Window.partitionBy(g, bucket).orderBy(order: _*)
+        df.withColumn(rn, row_number().over(w1))
+          .filter(col(rn) <= capExpr).drop(rn)
+      }
+    val w = Window.partitionBy(g).orderBy(order: _*)
+    base.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= capExpr).drop(rn)
+  }
 }

@@ -211,4 +211,29 @@ class SamplingSpec extends SparkSpec {
     assert(a === b, "offsets changed under repartition")
     assert(a === c, "offsets changed under input reordering")
   }
+
+  test("mixtureSample: exact quotas, short strata give what they have, unweighted drop") {
+    val rows = (1 to 60).map(i => (i.toLong, "en")) ++
+      (61 to 90).map(i => (i.toLong, "de")) ++
+      (91 to 93).map(i => (i.toLong, "fr")) ++
+      (94 to 100).map(i => (i.toLong, "zh"))
+    val df = rows.toDF("id", "lang")
+    val got = Sampling.mixtureSample(df, "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), total = 40, keys = Seq("id"))
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("en" -> 20L, "de" -> 10L, "fr" -> 3L)) // fr short of 10
+    // quota admission is the capPerGroup rule: per-stratum hash-order prefix
+    val capped = Sampling.capPerGroup(df.filter(col("lang") === "en"),
+      Seq("lang"), cap = 20, keys = Seq("id"))
+    assertSameRows(got.filter(col("lang") === "en"), capped)
+    // hot-guard is a plan change, never a sample (en: 60 > 20·2)
+    val guarded = Sampling.mixtureSample(df, "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), total = 40, keys = Seq("id"),
+      hotGroupFactor = 2)
+    assertSameRows(got, guarded)
+    // determinism: same inputs, same draw, any partitioning
+    assertSameRows(got, Sampling.mixtureSample(df.repartition(7), "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), total = 40, keys = Seq("id")))
+  }
 }

@@ -106,6 +106,25 @@ class SqlSurfaceSpec extends SparkSpec {
         threshold = 0.9, nlist = 8))
   }
 
+  test("corpus-stat TVFs (rare tokens, tf-idf, normalize, mixture) match the API") {
+    docsView()
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_rare_tokens('documents', 5)"),
+      TextOps.rareTokenScore(spark.table("documents"), minFreq = 5))
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_tfidf_keywords('documents', 2)"),
+      TextOps.tfidfKeywords(spark.table("documents"), k = 2))
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_normalize_text('documents')"),
+      TextOps.normalizeText(spark.table("documents")))
+    assertSameRows(
+      spark.sql(
+        "SELECT * FROM graft_mixture_sample('documents', 'lang', 'en:0.5,de:0.5', 20, 'doc_id')"),
+      graft.operators.Sampling.mixtureSample(spark.table("documents"), "lang",
+        Map("en" -> 0.5, "de" -> 0.5), total = 20, keys = Seq("doc_id"),
+        hotGroupFactor = 0))
+  }
+
   test("TVF misuse fails loudly: wrong arity and non-string table arg") {
     docsView()
     val e1 = intercept[Exception](

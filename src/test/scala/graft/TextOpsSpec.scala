@@ -285,4 +285,48 @@ class TextOpsSpec extends SparkSpec {
     // fails the >=3-sentences gate
     assert(rows(2L)._4 === 1 && rows(2L)._5 === 0)
   }
+
+  test("rareTokenScore counts rare-token mass against the corpus's own LM") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a a b"), // corpus: a=9, b=1 → b rare at minFreq=2
+      (2L, "a a a a"),
+      (3L, "")).toDF("doc_id", "text")
+    val m = TextOps.rareTokenScore(d, minFreq = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(m(1L) === ((6L, 2L, 1L, 1)))  // 1 rare occurrence; 5·1 ≤ 6 passes
+    assert(m(2L) === ((4L, 1L, 0L, 1)))
+    assert(m(3L) === ((0L, 0L, 0L, 0)))  // token-less docs survive, fail the gate
+  }
+
+  test("tfidfKeywords ranks by exact linear tf-idf with token tiebreak") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x x y z"),
+      (2L, "y z"),
+      (3L, "z")).toDF("doc_id", "text")
+    // df: x=1 y=2 z=3, n=3 → d1 scores: x=6.0, y=1.5, z=1.0
+    val got = TextOps.tfidfKeywords(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(5)))
+      .toMap
+    assert(got((1L, 1)) === (("x", 6.0)))
+    assert(got((1L, 2)) === (("y", 1.5)))
+    assert(got((2L, 1)) === (("y", 1.5)))
+    assert(got((2L, 2)) === (("z", 1.0)))
+    assert(got((3L, 1)) === (("z", 1.0)))
+    assert(got.size === 5)
+  }
+
+  test("normalizeText: tabs→spaces, controls dropped, runs collapsed, edges trimmed") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "  Hello\tworld! \n \n\n\n  line\r two  "),
+      (2L, "clean")).toDF("doc_id", "text")
+    val m = TextOps.normalizeText(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(m(1L)._1 === "Hello world!\n\nline two")
+    assert(m(1L)._2 === 34 && m(1L)._3 === 22)
+    assert(m(2L) === (("clean", 5, 5)))
+  }
 }
