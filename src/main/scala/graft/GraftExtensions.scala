@@ -150,6 +150,23 @@ object GraftExtensions {
       if (args.size == 1) plan(TextOps.tfidfKeywords(df))
       else plan(TextOps.tfidfKeywords(df, k = intArg(args(1), "k")))
     },
+    // two-table form: the LM side is a persisted (tok, freq) table
+    "graft_rare_tokens_against" -> { args =>
+      require(args.size == 2 || args.size == 3,
+        "graft_rare_tokens_against(batch, lm_table[, min_freq]) takes 2 or 3 arguments")
+      val mf = if (args.size == 3) longArg(args(2), "min_freq") else 3L
+      plan(TextOps.rareTokenScoreWith(table(args.head), table(args(1)),
+        minFreq = mf))
+    },
+    "graft_corpus_profile" -> { args =>
+      require(args.size == 1 || args.size == 3,
+        "graft_corpus_profile(table[, group_col, size_col]) takes 1 or 3 arguments")
+      val df = table(args.head)
+      if (args.size == 1) plan(TextOps.corpusProfile(df))
+      else plan(TextOps.corpusProfile(df,
+        groupCol = strArg(args(1), "group_col"),
+        sizeCol = strArg(args(2), "size_col")))
+    },
     // weights are 'stratum:weight' pairs, comma-separated — positional
     // SQL has no map literal that resolves at TVF-analysis time.
     // hotGroupFactor = 0 for the same reason as graft_cap_per_group:

@@ -2,6 +2,7 @@ package graft
 
 import graft.llm.{Dedup, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -113,6 +114,16 @@ object SparkEntry {
       TextOps.gopherRepetition(Queries.pq(s, d, "documents"))),
     "c4_line_filter" -> ((s, d) => TextOps.c4LineFilter(Queries.pq(s, d, "documents"))),
     "rare_tokens" -> ((s, d) => TextOps.rareTokenScore(Queries.pq(s, d, "documents"))),
+    // daily-ingest path: the standing 90% corpus trains the LM, the 10%
+    // batch is scored against it — unseen tokens are maximally rare
+    "rare_tokens_incremental" -> ((s, d) => {
+      val docs = Queries.pq(s, d, "documents")
+      TextOps.rareTokenScoreWith(
+        docs.filter(col("doc_id") % 10 === 0),
+        TextOps.unigramModel(docs.filter(col("doc_id") % 10 =!= 0)))
+    }),
+    "corpus_profile" -> ((s, d) =>
+      TextOps.corpusProfile(Queries.pq(s, d, "documents"))),
     "tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Queries.pq(s, d, "documents"))),
     "normalize_text" -> ((s, d) => TextOps.normalizeText(Queries.pq(s, d, "documents"))),
     "mixture_sample" -> (Queries.mixtureSampleDocs(_, _)),
@@ -448,6 +459,43 @@ object SparkEntry {
         |       AND coalesce(a.n_rare_tokens, 0) * 5 <= coalesce(a.n_tokens, 0)
         |      THEN 1 ELSE 0 END AS passes_rarity
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+    "rare_tokens_incremental" ->
+      """WITH tokc AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        | FROM documents),
+        |dtb AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |        FROM tokc WHERE doc_id % 10 = 0 GROUP BY doc_id, tok),
+        |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+        |       FROM tokc WHERE doc_id % 10 <> 0 GROUP BY tok),
+        |agg AS (SELECT dtb.doc_id,
+        |         CAST(sum(dtb.tf) AS BIGINT) AS n_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        |         CAST(sum(CASE WHEN coalesce(lm.freq, 0) < 3
+        |                       THEN dtb.tf ELSE 0 END) AS BIGINT) AS n_rare_tokens
+        |        FROM dtb LEFT JOIN lm USING (tok) GROUP BY dtb.doc_id)
+        |SELECT d.doc_id,
+        | coalesce(a.n_tokens, 0) AS n_tokens,
+        | coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens,
+        | coalesce(a.n_rare_tokens, 0) AS n_rare_tokens,
+        | CASE WHEN coalesce(a.n_tokens, 0) > 0
+        |       AND coalesce(a.n_rare_tokens, 0) * 5 <= coalesce(a.n_tokens, 0)
+        |      THEN 1 ELSE 0 END AS passes_rarity
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+    "corpus_profile" ->
+      """WITH stats AS (SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        | FROM documents GROUP BY lang),
+        |r AS (SELECT lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn
+        | FROM documents)
+        |SELECT s.lang, s.n_docs, s.total_chars, s.min_chars, s.max_chars,
+        | m.n_chars AS median_chars
+        |FROM stats s
+        |JOIN r m ON m.lang = s.lang AND m.rn = (s.n_docs + 1) // 2""".stripMargin,
     "tfidf_keywords" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

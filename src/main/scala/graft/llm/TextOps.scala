@@ -518,17 +518,37 @@ object TextOps {
     * broadcast when the vocabulary is small), and a final doc-keyed
     * aggregate — every shuffle is on a naturally high-cardinality key. */
   def rareTokenScore(docs: DataFrame, textCol: String = "text",
-                     idCol: String = "doc_id", minFreq: Long = 3): DataFrame = {
+                     idCol: String = "doc_id", minFreq: Long = 3): DataFrame =
+    rareTokenScoreWith(docs, unigramModel(docs, textCol, idCol),
+      textCol, idCol, minFreq)
+
+  /** The corpus unigram LM behind [[rareTokenScore]]: `(tok, freq)`
+    * occurrence counts. Persist it (parquet) and feed
+    * [[rareTokenScoreWith]] to score DAILY batches at O(batch) cost —
+    * the same persisted-index pattern as the incremental near-dup
+    * family ([[Dedup.incrementalNearDupPairsWith]]). */
+  def unigramModel(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    docTermFreq(docs, textCol, idCol)
+      .groupBy("tok").agg(sum("tf").as("freq"))
+
+  /** [[rareTokenScore]] against a STANDING model: batch tokens the LM
+    * has never seen have corpus frequency 0 — maximally rare, exactly
+    * the out-of-distribution signal an ingest gate wants. Only the
+    * batch is tokenized; the model side is a plain `(tok, freq)` table
+    * (broadcast when small). */
+  def rareTokenScoreWith(batch: DataFrame, lm: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         minFreq: Long = 3): DataFrame = {
     require(minFreq > 0, s"minFreq must be positive, got $minFreq")
-    val dt = docTermFreq(docs, textCol, idCol)
-    val lm = dt.groupBy("tok").agg(sum("tf").as("freq"))
-    val perDoc = dt.join(lm, Seq("tok"))
+    val dt = docTermFreq(batch, textCol, idCol)
+    val perDoc = dt.join(lm, Seq("tok"), "left")
       .groupBy(col(idCol))
       .agg(sum("tf").as("n_tokens"),
         count(lit(1)).as("n_distinct_tokens"),
-        sum(when(col("freq") < minFreq, col("tf")).otherwise(0L))
-          .as("n_rare_tokens"))
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+        sum(when(coalesce(col("freq"), lit(0L)) < minFreq, col("tf"))
+          .otherwise(0L)).as("n_rare_tokens"))
+    batch.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
@@ -537,6 +557,32 @@ object TextOps {
           coalesce(col("n_rare_tokens"), lit(0L)) * 5 <=
             coalesce(col("n_tokens"), lit(0L)))
           .cast("int").as("passes_rarity"))
+  }
+
+  /** Per-group corpus profile with an EXACT lower median — `avg`/
+    * `percentile_approx` summaries are engine-specific, but "the value
+    * at rank ⌊(n+1)/2⌋ under a total order" is the same integer in any
+    * engine. One aggregate plus one per-group window (the sort is the
+    * price of exactness; at extreme group sizes swap in a two-stage
+    * rank selection the same way capPerGroup's guard does). Ties in
+    * `sizeCol` break by id, so the rank is total and deterministic. */
+  def corpusProfile(docs: DataFrame, groupCol: String = "lang",
+                    sizeCol: String = "n_chars",
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = col(s"`$groupCol`")
+    val sz = col(s"`$sizeCol`").cast("long")
+    val stats = docs.groupBy(g).agg(
+      count(lit(1)).as("n_docs"),
+      sum(sz).as("total_chars"),
+      min(sz).as("min_chars"),
+      max(sz).as("max_chars"))
+    val w = Window.partitionBy(g).orderBy(sz, col(s"`$idCol`"))
+    val med = docs.withColumn("__rn__", row_number().over(w))
+      .join(stats.select(g, col("n_docs")), Seq(groupCol))
+      .filter(col("__rn__") === expr("(n_docs + 1) div 2"))
+      .select(g, sz.as("median_chars"))
+    stats.join(med, Seq(groupCol))
   }
 
   /** Top-`k` characteristic keywords per document by tf·idf, with the

@@ -123,6 +123,16 @@ class SqlSurfaceSpec extends SparkSpec {
       graft.operators.Sampling.mixtureSample(spark.table("documents"), "lang",
         Map("en" -> 0.5, "de" -> 0.5), total = 20, keys = Seq("doc_id"),
         hotGroupFactor = 0))
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_corpus_profile('documents')"),
+      TextOps.corpusProfile(spark.table("documents")))
+    // two-table LM scoring: persisted-model view + batch view
+    TextOps.unigramModel(spark.table("documents"))
+      .createOrReplaceTempView("lm")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_rare_tokens_against('documents', 'lm', 2)"),
+      TextOps.rareTokenScoreWith(spark.table("documents"),
+        spark.table("lm"), minFreq = 2))
   }
 
   test("TVF misuse fails loudly: wrong arity and non-string table arg") {

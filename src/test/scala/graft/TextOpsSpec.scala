@@ -300,6 +300,34 @@ class TextOpsSpec extends SparkSpec {
     assert(m(3L) === ((0L, 0L, 0L, 0)))  // token-less docs survive, fail the gate
   }
 
+  test("rareTokenScoreWith: unseen tokens are maximally rare; matches inline on self-LM") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a a a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a z z z z z")).toDF("doc_id", "text")
+    // LM: a=4, b=3 — z unseen (freq 0 < 2). batch: 6 tokens, 5 rare → fails 5·5 ≤ 6
+    val lm = TextOps.unigramModel(corpus)
+    val r = TextOps.rareTokenScoreWith(batch, lm, minFreq = 2).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)) === ((6L, 2L, 5L, 0)))
+    // the one-shot op IS the incremental op against its own model
+    assertSameRows(
+      TextOps.rareTokenScore(corpus, minFreq = 2),
+      TextOps.rareTokenScoreWith(corpus, lm, minFreq = 2))
+  }
+
+  test("corpusProfile: exact lower median with deterministic tie rank") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "g1", 10L), (2L, "g1", 30L), (3L, "g1", 20L), (4L, "g1", 40L),
+      (5L, "g2", 7L)).toDF("doc_id", "lang", "n_chars")
+    val m = TextOps.corpusProfile(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // g1: n=4 → rank (4+1) div 2 = 2 → sorted sizes 10,20,30,40 → median 20
+    assert(m("g1") === ((4L, 100L, 10L, 40L, 20L)))
+    assert(m("g2") === ((1L, 7L, 7L, 7L, 7L)))
+  }
+
   test("tfidfKeywords ranks by exact linear tf-idf with token tiebreak") {
     import spark.implicits._
     val d = Seq(
