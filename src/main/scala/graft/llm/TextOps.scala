@@ -562,13 +562,16 @@ object TextOps {
   /** Per-group corpus profile with an EXACT lower median — `avg`/
     * `percentile_approx` summaries are engine-specific, but "the value
     * at rank ⌊(n+1)/2⌋ under a total order" is the same integer in any
-    * engine. One aggregate plus one per-group window (the sort is the
-    * price of exactness; at extreme group sizes swap in a two-stage
-    * rank selection the same way capPerGroup's guard does). Ties in
-    * `sizeCol` break by id, so the rank is total and deterministic. */
+    * engine. The rank selection is HISTOGRAM-decomposed: aggregate to
+    * per-(group, size) counts first, then walk the cumulative count to
+    * the target rank. The window therefore sorts DISTINCT sizes per
+    * group (bounded by the value domain — doc lengths, not doc counts),
+    * never the rows themselves: a 10-billion-doc language with 1M
+    * distinct lengths windows 1M rows, not 10B. Duplicate sizes
+    * collapse, so no id tiebreak is needed — the rank-R value is the
+    * same under any tie order. */
   def corpusProfile(docs: DataFrame, groupCol: String = "lang",
-                    sizeCol: String = "n_chars",
-                    idCol: String = "doc_id"): DataFrame = {
+                    sizeCol: String = "n_chars"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = col(s"`$groupCol`")
     val sz = col(s"`$sizeCol`").cast("long")
@@ -577,11 +580,15 @@ object TextOps {
       sum(sz).as("total_chars"),
       min(sz).as("min_chars"),
       max(sz).as("max_chars"))
-    val w = Window.partitionBy(g).orderBy(sz, col(s"`$idCol`"))
-    val med = docs.withColumn("__rn__", row_number().over(w))
+    val hist = docs.groupBy(g, sz.as("__sz__"))
+      .agg(count(lit(1)).as("__cnt__"))
+    val w = Window.partitionBy(g).orderBy(col("__sz__"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = hist.withColumn("__cum__", sum(col("__cnt__")).over(w))
       .join(stats.select(g, col("n_docs")), Seq(groupCol))
-      .filter(col("__rn__") === expr("(n_docs + 1) div 2"))
-      .select(g, sz.as("median_chars"))
+      .filter(col("__cum__") >= expr("(n_docs + 1) div 2") &&
+        col("__cum__") - col("__cnt__") < expr("(n_docs + 1) div 2"))
+      .select(g, col("__sz__").as("median_chars"))
     stats.join(med, Seq(groupCol))
   }
 

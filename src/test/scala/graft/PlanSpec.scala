@@ -161,4 +161,25 @@ class PlanSpec extends SparkSpec {
       s"non-equi join in decontaminate:\n$cplan")
     assert(cplan.contains("LeftAnti"), s"expected an anti-join in:\n$cplan")
   }
+
+  test("corpus-stat ops: wordcount-shaped joins, broadcast scalar, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // rare tokens: every join is keyed (tok / doc_id) — no pair explosion
+    val rare = finalPlan(graft.llm.TextOps.rareTokenScore(docs)).toString
+    assert(!rare.contains("CartesianProduct"), s"cartesian in rareTokenScore:\n$rare")
+    assert(!rare.contains("NestedLoop"), s"nested loop in rareTokenScore:\n$rare")
+    // tf-idf: the ONLY non-equi join is the 1-row corpus-count broadcast
+    val tf = finalPlan(graft.llm.TextOps.tfidfKeywords(docs)).toString
+    assert(!tf.contains("CartesianProduct"), s"cartesian in tfidfKeywords:\n$tf")
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(tf).size
+    assert(nested <= 1, s"more than the scalar broadcast in tfidfKeywords:\n$tf")
+    // normalization is narrow; profile and mixture shuffle on their group key
+    val norm = finalPlan(graft.llm.TextOps.normalizeText(docs)).toString
+    assert(!norm.contains("Exchange"), s"normalizeText shuffled:\n$norm")
+    val mix = finalPlan(graft.operators.Sampling.mixtureSample(docs, "lang",
+      Map("en" -> 0.5, "de" -> 0.5), total = 20, keys = Seq("doc_id"),
+      hotGroupFactor = 0)).toString
+    val n = "Exchange hashpartitioning".r.findAllIn(mix).size
+    assert(n === 1, s"mixtureSample: expected one shuffle, got $n:\n$mix")
+  }
 }
