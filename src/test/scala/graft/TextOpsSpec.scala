@@ -346,6 +346,55 @@ class TextOpsSpec extends SparkSpec {
     assert(got.size === 5)
   }
 
+  test("property: rareTokenScore equals a naive per-doc recompute on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee", "f0")
+    val docGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val corpusGen = Gen.listOfN(8, docGen)
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextOps.rareTokenScore(df, minFreq = 2).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+      val freq = corpus.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      corpus.zipWithIndex.forall { case (ws, i) =>
+        val nTok = ws.size.toLong
+        val nDis = ws.distinct.size.toLong
+        val nRare = ws.count(w => freq(w) < 2).toLong
+        val passes = if (nTok > 0 && nRare * 5 <= nTok) 1 else 0
+        got(i.toLong) == ((nTok, nDis, nRare, passes))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, s"rareTokenScore mismatch vs naive: ${res.status}")
+  }
+
+  test("property: corpusProfile median equals the naive sorted lower median") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val rowGen = for {
+      g <- Gen.oneOf("g1", "g2", "g3")
+      sz <- Gen.chooseNum(0L, 9L) // narrow domain → plenty of duplicate sizes
+    } yield (g, sz)
+    val prop = Prop.forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, sz), i) => (i.toLong, g, sz) }
+        .toDF("doc_id", "lang", "n_chars")
+      val got = TextOps.corpusProfile(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(5))).toMap
+      rows.groupBy(_._1).forall { case (g, rs) =>
+        val sizes = rs.map(_._2).sorted
+        val median = sizes(((sizes.size + 1) / 2) - 1)
+        got(g) == ((rs.size.toLong, median))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, s"corpusProfile mismatch vs naive: ${res.status}")
+  }
+
   test("normalizeText: tabs→spaces, controls dropped, runs collapsed, edges trimmed") {
     import spark.implicits._
     val d = Seq(
