@@ -1178,6 +1178,81 @@ object Queries {
        | '$T0' AS __metadata_valid_to_ts__
        |FROM customer""".stripMargin
 
+  /** Streaming corpus CURATION end to end: documents stream out of a
+    * managed table (two commits → snapshot backfill + a tail batch) and
+    * each micro-batch runs the curation chain — whitespace/control
+    * normalization, a token floor, and the corpus-LM rarity gate
+    * against a FROZEN unigram model (the stream-static pattern; the
+    * per-batch aggregates run inside foreachBatch) — with survivors
+    * appended under the (appId, epoch) exactly-once txn stamp. Batch
+    * boundaries cannot change the answer: every gate is per-document
+    * and the LM is frozen, so the streamed result equals the batch
+    * recompute the oracle runs over the whole corpus. */
+  def streamCurate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextOps
+    import org.apache.spark.sql.streaming.Trigger
+    val bronze = tmp("curate_bronze")
+    val silver = tmp("curate_silver")
+    val ckpt = tmp("curate_ck")
+    val appId = "stream_curate"
+    val docs = pq(spark, dir, "documents")
+    val lm = Staging.timed {
+      ManagedTable(spark, bronze)
+        .write(docs.filter(col("doc_id") % 2 === 0), "APPEND", "replace")
+      ManagedTable(spark, bronze)
+        .write(docs.filter(col("doc_id") % 2 =!= 0), "APPEND", "append")
+      // the standing model: built once, frozen for every micro-batch
+      TextOps.unigramModel(docs).localCheckpoint()
+    }
+    val q = graft.streaming.StreamOps.streamTable(spark, bronze)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val replayed = ManagedTable(spark, silver)
+          .lastTxnVersion(appId).exists(_ >= epoch)
+        if (!replayed) {
+          val keep = TextOps.normalizeText(batch)
+            .join(TextOps.rareTokenScoreWith(batch, lm), "doc_id")
+            .filter(col("passes_rarity") === 1 && col("n_tokens") >= 5)
+            .select("doc_id", "clean_text", "n_tokens", "n_rare_tokens")
+          graft.write.Writers.append(spark, silver, keep,
+            txn = Some((appId, epoch)))
+          ()
+        }
+      }
+      .start()
+    q.awaitTermination(120000)
+    ManagedTable(spark, silver).read
+      .select("doc_id", "clean_text", "n_tokens", "n_rare_tokens")
+  }
+
+  val streamCurateSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM documents),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |lm AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS freq FROM dt GROUP BY tok),
+      |agg AS (SELECT dt.doc_id,
+      |         CAST(sum(dt.tf) AS BIGINT) AS n_tokens,
+      |         CAST(sum(CASE WHEN lm.freq < 3 THEN dt.tf ELSE 0 END) AS BIGINT)
+      |           AS n_rare_tokens
+      |        FROM dt JOIN lm USING (tok) GROUP BY dt.doc_id),
+      |norm AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(text,
+      |      '\t', ' ', 'g'),
+      |      '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+      |    '  +', ' ', 'g'),
+      |    ' *\n *', '\n', 'g'),
+      |    '\n\n\n+', '\n\n', 'g'),
+      |    '^[ \n]+|[ \n]+$', '', 'g') AS clean_text
+      | FROM documents)
+      |SELECT a.doc_id, n.clean_text, a.n_tokens, a.n_rare_tokens
+      |FROM agg a JOIN norm n ON a.doc_id = n.doc_id
+      |WHERE a.n_tokens >= 5 AND a.n_rare_tokens * 5 <= a.n_tokens""".stripMargin
+
   /** Structured Streaming input with Trigger.AvailableNow, foreachBatch
     * re-entering the batch append writer (test_stream.py:31) — result
     * equals the batch equivalent. */

@@ -88,6 +88,7 @@ object SparkEntry {
     "stream_append" -> (Queries.streamAppend(_, _)),
     "stream_table_source" -> (Queries.streamTableSource(_, _)),
     "stream_table_sink" -> (Queries.streamTableSink(_, _)),
+    "stream_curate" -> (Queries.streamCurate(_, _)),
     "stream_join" -> (Queries.streamJoin(_, _)),
     "sessionize" -> (Queries.sessionizeEvents(_, _)),
     // LLM-pipeline text operators
@@ -247,6 +248,7 @@ object SparkEntry {
     "stream_append" -> Queries.streamAppendSql,
     "stream_table_source" -> Queries.streamTableSourceSql,
     "stream_table_sink" -> Queries.streamTableSinkSql,
+    "stream_curate" -> Queries.streamCurateSql,
     "stream_join" -> Queries.streamJoinSql,
     "sessionize" -> Queries.sessionizeEventsSql,
     "dedup_exact" ->
