@@ -1977,6 +1977,31 @@ object Queries {
       .select("doc_id", "lang", "offset", "bin")
   }
 
+  /** Shard materialization on top of [[packDocs]]'s layout: every
+    * (lang, bin) becomes one concatenated training shard. The oracle
+    * rebuilds each shard string with `string_agg(... ORDER BY offset,
+    * text)` — byte-identical or the hash fails. */
+  def exportShardsDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Packing
+    val packed = Packing.packSequences(pq(spark, dir, "documents"),
+      Seq("lang"), Seq("doc_id"), "n_chars", budget = 2000L)
+    Packing.exportShards(packed, Seq("lang"))
+      .select("lang", "bin", "n_docs", "n_chars_total", "shard_text")
+  }
+
+  val exportShardsDocsSql: String =
+    """WITH p AS (
+      | SELECT doc_id, lang, text,
+      |  CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+      | FROM documents)
+      |SELECT lang, CAST(FLOOR("offset" / 2000.0) AS BIGINT) AS bin,
+      | CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
+      | string_agg(text, '<|eos|>' ORDER BY "offset", text) AS shard_text
+      |FROM p
+      |GROUP BY lang, CAST(FLOOR("offset" / 2000.0) AS BIGINT)""".stripMargin
+
   /** Overlapping token-window chunking (40-token windows, 10-token
     * overlap): both engines recompute every chunk string token-for-token
     * from the same whitespace split and integer boundary arithmetic. */

@@ -61,6 +61,7 @@ object SparkEntry {
     "hash_split" -> (Queries.hashSplitDocs(_, _)),
     "cap_per_group" -> (Queries.capPerSource(_, _)),
     "pack_sequences" -> (Queries.packDocs(_, _)),
+    "export_shards" -> (Queries.exportShardsDocs(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
     "decontaminate_train" -> (Queries.decontaminateTrain(_, _)),
     "cap_tokens_per_group" -> (Queries.capTokensPerLang(_, _)),
@@ -222,6 +223,7 @@ object SparkEntry {
     "hash_split" -> Queries.hashSplitDocsSql,
     "cap_per_group" -> Queries.capPerSourceSql,
     "pack_sequences" -> Queries.packDocsSql,
+    "export_shards" -> Queries.exportShardsDocsSql,
     "contamination_check" -> Queries.contaminationCheckSql,
     "decontaminate_train" -> Queries.decontaminateTrainSql,
     "cap_tokens_per_group" -> Queries.capTokensPerLangSql,

@@ -65,4 +65,30 @@ object Packing {
     df.withColumn(offsetCol, prefix)
       .withColumn(binCol, floor(col(offsetCol) / lit(budget.toDouble)).cast("long"))
   }
+
+  /** Materialize packed bins as TRAINING SHARDS: one row per
+    * (group, bin) with the member documents concatenated in pack order
+    * around `sep` — the terminal "write the pretraining files" step.
+    * In-shard order is pinned by (offset, text): offsets strictly
+    * increase for positive sizes, and zero-size rows (which share an
+    * offset) fall back to the text itself, so the shard string is
+    * deterministic in any engine. One shuffle on (group, bin), and the
+    * aggregate state per key is bounded by the pack budget plus
+    * separators — safe at any corpus size because [[packSequences]]
+    * already capped what lands in a bin. */
+  def exportShards(packed: DataFrame, groupCols: Seq[String],
+                   textCol: String = "text", sep: String = "<|eos|>",
+                   binCol: String = "bin",
+                   offsetCol: String = "offset"): DataFrame = {
+    val gcols = (groupCols :+ binCol).map(c => col(s"`$c`"))
+    packed.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(s"`$textCol`")).cast("long")).as("n_chars_total"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col(s"`$offsetCol`").as("o"), col(s"`$textCol`").as("t")))),
+            x => x.getField("t")),
+          sep).as("shard_text"))
+  }
 }

@@ -212,6 +212,23 @@ class SamplingSpec extends SparkSpec {
     assert(a === c, "offsets changed under input reordering")
   }
 
+  test("exportShards concatenates bin members in offset order; zero-size ties break on text") {
+    import graft.llm.Packing
+    // doc_id order sizes 5,5,0,0,5 under budget 8 → offsets 0,5,10,10,10
+    // → bins 0,0,1,1,1; the three offset-10 docs order by text
+    // ("ccccc" < "x" < "y")
+    val df = Seq(
+      ("g", 1L, "aaaaa", 5L), ("g", 2L, "bbbbb", 5L),
+      ("g", 3L, "x", 0L), ("g", 4L, "y", 0L),
+      ("g", 5L, "ccccc", 5L)).toDF("lang", "doc_id", "text", "n")
+    val packed = Packing.packSequences(df, Seq("lang"), Seq("doc_id"), "n", 8L)
+    val got = Packing.exportShards(packed, Seq("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(("g", 0L)) === ((2L, 10L, "aaaaa<|eos|>bbbbb")))
+    assert(got(("g", 1L)) === ((3L, 7L, "ccccc<|eos|>x<|eos|>y")))
+  }
+
   test("mixtureSample: exact quotas, short strata give what they have, unweighted drop") {
     val rows = (1 to 60).map(i => (i.toLong, "en")) ++
       (61 to 90).map(i => (i.toLong, "de")) ++
