@@ -158,6 +158,18 @@ object GraftExtensions {
       plan(TextOps.rareTokenScoreWith(table(args.head), table(args(1)),
         minFreq = mf))
     },
+    "graft_export_shards" -> { args =>
+      require(args.size == 5,
+        "graft_export_shards(table, group_csv, order_csv, size_col, budget) takes five arguments")
+      val groups = strArg(args(1), "group_csv").split(",").map(_.trim).toSeq
+      val packed = graft.llm.Packing.packSequences(
+        table(args.head),
+        groupCols = groups,
+        orderCols = strArg(args(2), "order_csv").split(",").map(_.trim).toSeq,
+        sizeCol = strArg(args(3), "size_col"),
+        budget = longArg(args(4), "budget"))
+      plan(graft.llm.Packing.exportShards(packed, groups))
+    },
     "graft_corpus_profile" -> { args =>
       require(args.size == 1 || args.size == 3,
         "graft_corpus_profile(table[, group_col, size_col]) takes 1 or 3 arguments")

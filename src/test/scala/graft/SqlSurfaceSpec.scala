@@ -133,6 +133,12 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_rare_tokens_against('documents', 'lm', 2)"),
       TextOps.rareTokenScoreWith(spark.table("documents"),
         spark.table("lm"), minFreq = 2))
+    assertSameRows(
+      spark.sql(
+        "SELECT * FROM graft_export_shards('documents', 'lang', 'doc_id', 'n_chars', 2000)"),
+      graft.llm.Packing.exportShards(
+        graft.llm.Packing.packSequences(spark.table("documents"),
+          Seq("lang"), Seq("doc_id"), "n_chars", 2000L), Seq("lang")))
   }
 
   test("TVF misuse fails loudly: wrong arity and non-string table arg") {
