@@ -516,7 +516,12 @@ object TextOps {
     * Scale shape: one wordcount aggregate ([[docTermFreq]]), a
     * frequency roll-up on `tok`, an equi-join back on `tok` (AQE
     * broadcast when the vocabulary is small), and a final doc-keyed
-    * aggregate — every shuffle is on a naturally high-cardinality key. */
+    * aggregate — every shuffle is on a naturally high-cardinality key.
+    * The term-freq subtree feeds BOTH the per-doc side and the model
+    * roll-up, so the one-shot form tokenizes the corpus twice; at
+    * 100 TB prefer the production split — persist [[unigramModel]]
+    * once, then [[rareTokenScoreWith]] per batch — which tokenizes
+    * each document exactly once per scoring run. */
   def rareTokenScore(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id", minFreq: Long = 3): DataFrame =
     rareTokenScoreWith(docs, unigramModel(docs, textCol, idCol),
@@ -603,7 +608,10 @@ object TextOps {
     * Scale shape: wordcount aggregate, `df` roll-up on `tok`, equi-join
     * back, then a per-doc window — partitioned on the doc id, millions
     * of small partitions, never a global sort. The 1-row corpus size
-    * joins in via broadcast. */
+    * joins in via broadcast. Like [[rareTokenScore]], the term-freq
+    * subtree is read twice (per-doc side + df roll-up) — persist
+    * `docTermFreq`'s output (or cache the input scan) when running
+    * repeatedly over a frozen corpus. */
   def tfidfKeywords(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", k: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
