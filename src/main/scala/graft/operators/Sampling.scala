@@ -228,8 +228,11 @@ object Sampling {
     require(weights.nonEmpty, "mixtureSample needs at least one stratum weight")
     require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
       s"weights must be in [0,1], got $weights")
+    // floor with an epsilon: the closest double to "0.3" is slightly
+    // below it, so bare (1000 * 0.3).toLong would shave the quota to
+    // 299 — representation noise must never cost a row
     val caps: Map[String, Long] =
-      weights.map { case (s, w) => s -> (total * w).toLong }
+      weights.map { case (s, w) => s -> math.floor(total * w + 1e-6).toLong }
     val capExpr = caps.foldLeft(lit(0L)) { case (acc, (stratum, c)) =>
       when(col(s"`$strataCol`") === stratum, lit(c)).otherwise(acc)
     }

@@ -252,5 +252,10 @@ class SamplingSpec extends SparkSpec {
     // determinism: same inputs, same draw, any partitioning
     assertSameRows(got, Sampling.mixtureSample(df.repartition(7), "lang",
       Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), total = 40, keys = Seq("id")))
+    // representation noise must not shave quotas: 100 · 0.29 is
+    // 28.999999999999996 in doubles, but the en quota must be exactly 29
+    val eps = Sampling.mixtureSample(df, "lang", Map("en" -> 0.29),
+      total = 100, keys = Seq("id"))
+    assert(eps.count() === 29)
   }
 }
