@@ -158,6 +158,13 @@ object GraftExtensions {
       plan(TextOps.rareTokenScoreWith(table(args.head), table(args(1)),
         minFreq = mf))
     },
+    "graft_column_profile" -> { args =>
+      require(args.size == 2,
+        "graft_column_profile(table, cols_csv) takes two arguments")
+      plan(graft.operators.Profiling.profileColumns(
+        table(args.head),
+        strArg(args(1), "cols_csv").split(",").map(_.trim).toSeq))
+    },
     "graft_export_shards" -> { args =>
       require(args.size == 5,
         "graft_export_shards(table, group_csv, order_csv, size_col, budget) takes five arguments")

@@ -126,6 +126,10 @@ object SparkEntry {
     }),
     "corpus_profile" -> ((s, d) =>
       TextOps.corpusProfile(Queries.pq(s, d, "documents"))),
+    "column_profile" -> ((s, d) =>
+      graft.operators.Profiling.profileColumns(
+        Queries.pq(s, d, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
     "tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Queries.pq(s, d, "documents"))),
     "normalize_text" -> ((s, d) => TextOps.normalizeText(Queries.pq(s, d, "documents"))),
     "mixture_sample" -> (Queries.mixtureSampleDocs(_, _)),
@@ -486,6 +490,28 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END AS passes_rarity
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
         |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+    "column_profile" ->
+      """SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        | CAST(min(doc_id) AS VARCHAR) AS min_value,
+        | CAST(max(doc_id) AS VARCHAR) AS max_value
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(lang) AS BIGINT),
+        | CAST(count(DISTINCT lang) AS BIGINT),
+        | CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT),
+        | CAST(count(DISTINCT source) AS BIGINT),
+        | CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
+        | CAST(count(DISTINCT n_chars) AS BIGINT),
+        | CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents""".stripMargin,
     "corpus_profile" ->
       """WITH stats AS (SELECT lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,
