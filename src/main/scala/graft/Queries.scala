@@ -1321,11 +1321,19 @@ object Queries {
       .schema("okey BIGINT, ship_ts TIMESTAMP").parquet(lDir)
     val joined = StreamOps.intervalJoin(orders, items, "okey",
       "order_ts", "ship_ts", watermark = "1 day", within = "90 days")
-    val q = joined.writeStream.format("parquet")
-      .outputMode("append").option("path", out)
-      .option("checkpointLocation", tmp("ssjoin_ckpt"))
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    // a stream-stream join commits FOUR state stores per shuffle
+    // partition per micro-batch; on this 1% key slice 32 partitions are
+    // pure store overhead, so the lifecycle runs at 8 (values identical
+    // under any partitioning; a full-corpus stream would keep 32+)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream.format("parquet")
+        .outputMode("append").option("path", out)
+        .option("checkpointLocation", tmp("ssjoin_ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.read.parquet(out)
       .groupBy("okey")
       .agg(count(lit(1)).as("n_items"),
