@@ -372,6 +372,32 @@ class TextOpsSpec extends SparkSpec {
     assert(res.passed, s"rareTokenScore mismatch vs naive: ${res.status}")
   }
 
+  test("property: tfidfKeywords top-k equals a naive ranking on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee")
+    val docGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word))
+    val prop = Prop.forAll(Gen.listOfN(6, docGen)) { corpus =>
+      val df = corpus.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextOps.tfidfKeywords(df, k = 2).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+      val n = corpus.size.toLong
+      val dfreq = corpus.map(_.distinct).flatten.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      corpus.zipWithIndex.forall { case (ws, i) =>
+        val ranked = ws.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+          .map { case (t, tf) => (t, (tf * n).toDouble / dfreq(t)) }
+          .sortBy { case (t, s) => (-s, t) }
+          .take(2).map(_._1)
+        ranked.zipWithIndex.forall { case (t, r) => got((i.toLong, r + 1)) == t }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, s"tfidfKeywords mismatch vs naive: ${res.status}")
+  }
+
   test("property: corpusProfile median equals the naive sorted lower median") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
