@@ -104,6 +104,43 @@ object Queries {
       | WHERE o_orderdate < TIMESTAMP '1998-01-01'
       | GROUP BY o_orderkey ORDER BY rev DESC, o_orderkey LIMIT 10)""".stripMargin
 
+  /** TPC-H Q10 shape (returned-item reporting): customers ranked by
+    * revenue lost to returns in a date window — two fact joins keyed on
+    * custkey/orderkey, the nation dim broadcast, decimal-exact revenue,
+    * deterministic (revenue desc, custkey) top-20. */
+  def q10ReturnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = pq(spark, dir, "customer")
+    val o = pq(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    val li = pq(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val n = pq(spark, dir, "nation")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev"))
+      .orderBy(col("rev").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("rev").cast("string").as("revenue"))
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name, CAST(rev AS VARCHAR) AS revenue FROM (
+      | SELECT c_custkey, c_name, n_name,
+      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+      | FROM customer
+      | JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |   AND o_orderdate < TIMESTAMP '1997-01-01'
+      |   AND l_returnflag = 'R'
+      | GROUP BY c_custkey, c_name, n_name
+      | ORDER BY rev DESC, c_custkey LIMIT 20)""".stripMargin
+
   /** Multi-join revenue per nation with explicitly broadcast dimension
     * tables (region/nation/supplier stay tiny at every scale factor; the
     * only shuffles left are the two fact-table joins + final agg). */

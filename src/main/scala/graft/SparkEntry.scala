@@ -24,6 +24,7 @@ object SparkEntry {
     // analytics core (joins/aggs/windows/sort/limit — SURVEY §2.4)
     "q1_pricing_summary" -> (Queries.q1PricingSummary(_, _)),
     "q3_top_orders" -> (Queries.q3TopOrders(_, _)),
+    "q10_returned_customers" -> (Queries.q10ReturnedCustomers(_, _)),
     "q5_region_revenue" -> (Queries.q5RegionRevenue(_, _)),
     "events_window" -> (Queries.eventsWindow(_, _)),
     "rollup_revenue" -> (Queries.rollupRevenue(_, _)),
@@ -194,6 +195,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> Queries.q1Sql,
     "q3_top_orders" -> Queries.q3Sql,
+    "q10_returned_customers" -> Queries.q10Sql,
     "q5_region_revenue" -> Queries.q5Sql,
     "events_window" -> Queries.eventsWindowSql,
     "rollup_revenue" -> Queries.rollupRevenueSql,
