@@ -194,8 +194,14 @@ object GraftExtensions {
       require(args.size == 5,
         "graft_mixture_sample(table, strata_col, weights_csv, total, keys_csv) takes five arguments")
       val weights = strArg(args(2), "weights_csv").split(",").map { kv =>
-        val Array(s, w) = kv.trim.split(":")
-        s -> w.toDouble
+        val parts = kv.trim.split(":")
+        require(parts.length == 2,
+          s"weights_csv entries must be 'stratum:weight' pairs, got '${kv.trim}'")
+        val w = try parts(1).toDouble catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"weights_csv weight must be numeric, got '${parts(1)}' in '${kv.trim}'")
+        }
+        parts(0) -> w
       }.toMap
       plan(graft.operators.Sampling.mixtureSample(
         table(args.head),

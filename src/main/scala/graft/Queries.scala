@@ -25,6 +25,15 @@ object Queries {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(s"graft_$prefix").toString + "/t"
 
+  /** `awaitTermination(timeout)` returns false on timeout — a silent
+    * partial read if ignored (the caller would query a sink the stream
+    * is still appending to). Every streaming scenario drains through
+    * this guard so a hung stream fails loudly instead. */
+  private def drainOrFail(q: org.apache.spark.sql.streaming.StreamingQuery,
+                          what: String, timeoutMs: Long = 120000): Unit =
+    require(q.awaitTermination(timeoutMs),
+      s"$what did not drain within ${timeoutMs / 1000}s")
+
   def pq(spark: SparkSession, dir: String, t: String): DataFrame =
     spark.read.parquet(s"$dir/$t.parquet")
 
@@ -1158,8 +1167,7 @@ object Queries {
           ()
         }.option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
-      ()
+      drainOrFail(q, "stream_table_source")
     }
     drain() // snapshot backfill
     ManagedTable(spark, bronze)
@@ -1198,8 +1206,7 @@ object Queries {
         .option("now", T0)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
-      ()
+      drainOrFail(q, "stream_table_sink")
     }
     drain() // snapshot backfill merged as batch 0
     ManagedTable(spark, bronze)
@@ -1259,7 +1266,7 @@ object Queries {
         }
       }
       .start()
-    q.awaitTermination(120000)
+    drainOrFail(q, "stream_curate")
     ManagedTable(spark, silver).read
       .select("doc_id", "clean_text", "n_tokens", "n_rare_tokens")
   }
@@ -1369,7 +1376,7 @@ object Queries {
         .outputMode("append").option("path", out)
         .option("checkpointLocation", tmp("ssjoin_ckpt"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      drainOrFail(q, "stream_join")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.read.parquet(out)
       .groupBy("okey")

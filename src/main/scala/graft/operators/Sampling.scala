@@ -219,6 +219,20 @@ object Sampling {
     * stratum's own quota, which keeps the stage-2 sort ≤ 256·quota rows
     * and provably identical output). `hotGroupFactor = 0` disables the
     * guard and its sizing job. */
+  /** Exact per-stratum quotas `floor(total · weight)`, computed in
+    * BigDecimal from the weight's decimal literal. The closest double
+    * to "0.3" is slightly below it, so bare `(1000 * 0.3).toLong`
+    * would shave the quota to 299 — and an absolute epsilon does not
+    * survive large totals either (ulp(3e11) ≈ 6e-5 swallows 1e-6), so
+    * the true product is rounded down exactly. Representation noise
+    * must never cost a row at any corpus size. */
+  private[graft] def mixtureQuotas(total: Long,
+                                   weights: Map[String, Double]): Map[String, Long] =
+    weights.map { case (s, w) =>
+      s -> (BigDecimal(total) * BigDecimal(w))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    }
+
   def mixtureSample(df: DataFrame, strataCol: String,
                     weights: Map[String, Double], total: Long,
                     keys: Seq[String], salt: String = "",
@@ -228,11 +242,7 @@ object Sampling {
     require(weights.nonEmpty, "mixtureSample needs at least one stratum weight")
     require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
       s"weights must be in [0,1], got $weights")
-    // floor with an epsilon: the closest double to "0.3" is slightly
-    // below it, so bare (1000 * 0.3).toLong would shave the quota to
-    // 299 — representation noise must never cost a row
-    val caps: Map[String, Long] =
-      weights.map { case (s, w) => s -> math.floor(total * w + 1e-6).toLong }
+    val caps: Map[String, Long] = mixtureQuotas(total, weights)
     val capExpr = caps.foldLeft(lit(0L)) { case (acc, (stratum, c)) =>
       when(col(s"`$strataCol`") === stratum, lit(c)).otherwise(acc)
     }

@@ -258,4 +258,19 @@ class SamplingSpec extends SparkSpec {
       total = 100, keys = Seq("id"))
     assert(eps.count() === 29)
   }
+
+  test("mixtureQuotas: exact at any total (ulp-scale absolute epsilons fail)") {
+    // 3e11 · 0.1: double arithmetic gives 30000000000.000004 or
+    // ...999.999996 depending on rounding; the exact quota is 3e10.
+    // ulp(3e11) ≈ 6e-5, so the old absolute 1e-6 epsilon could not
+    // rescue a shaved product at this scale — BigDecimal must.
+    assert(Sampling.mixtureQuotas(300000000000L, Map("en" -> 0.1))("en")
+      === 30000000000L)
+    assert(Sampling.mixtureQuotas(300000000000L, Map("en" -> 0.29))("en")
+      === 87000000000L)
+    // fractional quotas still floor, never round up
+    assert(Sampling.mixtureQuotas(7, Map("en" -> 0.5))("en") === 3L)
+    assert(Sampling.mixtureQuotas(1000000000001L, Map("en" -> 0.3))("en")
+      === 300000000000L)
+  }
 }

@@ -149,5 +149,15 @@ class SqlSurfaceSpec extends SparkSpec {
     val e2 = intercept[Exception](
       spark.sql("SELECT * FROM graft_token_count(42)").collect())
     assert(e2.getMessage.contains("string literal"), e2.getMessage)
+    // malformed weights_csv entries get descriptive errors, not MatchError
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_mixture_sample('documents', 'lang', 'en=0.5', 20, 'doc_id')").collect())
+    assert(e3.getMessage.contains("stratum:weight"), e3.getMessage)
+    val e4 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_mixture_sample('documents', 'lang', 'en:0.5:x', 20, 'doc_id')").collect())
+    assert(e4.getMessage.contains("stratum:weight"), e4.getMessage)
+    val e5 = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_mixture_sample('documents', 'lang', 'en:half', 20, 'doc_id')").collect())
+    assert(e5.getMessage.contains("numeric"), e5.getMessage)
   }
 }
