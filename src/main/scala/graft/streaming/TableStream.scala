@@ -205,32 +205,28 @@ final class TableStreamSource(
     * order — index-based chunk boundaries are deterministic across
     * restarts. Resolved lazily: tail-only streams never touch it. */
   private lazy val snapshotDirs: Seq[String] =
-    try table.commitAt(startVersion).dirs
-    catch {
+    try {
+      val c = table.commitAt(startVersion)
+      seedDirBytes(c)
+      c.dirs
+    } catch {
       case NonFatal(e) => throw new IllegalStateException(
         s"version $startVersion of $path (this stream's backfill snapshot) " +
           "is no longer resolvable — vacuumed past the stream checkpoint; " +
           "restart the stream fresh", e)
     }
 
-  /** Dir sizes for byte-bounded admission. Dirs are immutable once
-    * committed (copy-on-write), so a one-time FS listing per dir is
-    * exact forever. */
+  /** Dir sizes for byte-bounded admission, served from the commit log's
+    * write-time `dirBytes` record (seeded whenever a commit is resolved
+    * for admission) — a 100k-dir backfill costs zero driver-side FS
+    * walks. Only dirs from legacy pre-bytes commits fall back to a
+    * one-time listing (dirs are immutable, so the size is exact
+    * forever either way). */
   private val dirBytesCache = scala.collection.concurrent.TrieMap.empty[String, Long]
-  private def dirBytes(d: String): Long = dirBytesCache.getOrElseUpdate(d, {
-    val p = new Path(d)
-    val mfs = p.getFileSystem(hadoopConf)
-    var n = 0L
-    if (mfs.exists(p)) {
-      val it = mfs.listFiles(p, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (!st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith(".")) n += st.getLen
-      }
-    }
-    n
-  })
+  private def seedDirBytes(c: ManagedTable.Commit): Unit =
+    c.dirBytes.foreach { case (d, n) => dirBytesCache.putIfAbsent(d, n); () }
+  private def dirBytes(d: String): Long =
+    dirBytesCache.getOrElseUpdate(d, table.measureDirBytes(d))
 
   // ------------------------------------------------------ admission state
   /** Highest position OFFERED so far. Restored from the persisted
@@ -320,9 +316,11 @@ final class TableStreamSource(
       case None => capV
       case Some(budget) =>
         val byVersion =
-          try table.commitsBetween(math.max(0L, fromV), capV)
-            .map(c => c.version -> c).toMap
-          catch { case NonFatal(_) => return capV }
+          try {
+            val cs = table.commitsBetween(math.max(0L, fromV), capV)
+            cs.foreach(seedDirBytes)
+            cs.map(c => c.version -> c).toMap
+          } catch { case NonFatal(_) => return capV }
         var v = fromV
         var bytes = 0L
         var done = false

@@ -125,7 +125,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
             val p = resolve(d.baseVersion)
             val removed = d.removeDirs.toSet
             e.copy(dirs = p.dirs.filterNot(removed) ++ e.dirs,
-              dirStats = (p.dirStats -- d.removeDirs) ++ e.dirStats)
+              dirStats = (p.dirStats -- d.removeDirs) ++ e.dirStats,
+              dirBytes = (p.dirBytes -- d.removeDirs) ++ e.dirBytes)
         }
         memo(v) = r
         r
@@ -1190,17 +1191,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
       throw new IllegalStateException(s"managed table $root does not exist"))
     require(c.partitionBy.isEmpty,
       "compactDirs supports unpartitioned tables; partitioned tables use compact()")
-    def bytes(d: String): Long = {
-      val it = fs.listFiles(new Path(d), true)
-      var n = 0L
-      while (it.hasNext) {
-        val st = it.next()
-        if (!st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith(".")) n += st.getLen
-      }
-      n
-    }
-    val sizes = c.dirs.map(d => d -> bytes(d)).toMap
+    // dir sizes come from the commit log (recorded at write time);
+    // only dirs from legacy pre-bytes commits pay an FS listing
+    val sizes = c.dirs.map(d =>
+      d -> c.dirBytes.getOrElse(d, measureDirBytes(d))).toMap
     val (small, big) = c.dirs.partition(d => sizes(d) < maxDirBytes)
     if (small.size < 2) return None
     val schema = StructType.fromDDL(c.schemaDdl)
@@ -1471,15 +1465,45 @@ final class ManagedTable(spark: SparkSession, root: String) {
     * re-reading the log to diff; encoding falls back to a full snapshot
     * whenever the delta would not reconstruct the commit byte-exactly or
     * would not be smaller. */
-  private[graft] def writeCommit(c: Commit, parent: Option[Commit] = None): Unit = {
+  /** Payload bytes of one immutable data dir, by recursive listing —
+    * the write-time measurement behind `Commit.dirBytes`, and the
+    * read-side fallback for dirs committed before bytes were recorded.
+    * Read-side calls (`counted`) tick the process-wide counter, making
+    * "served from the log, zero FS walks" assertable across the
+    * internal instances a stream opens; the one-time measurement of a
+    * just-written dir inside [[writeCommit]] does not count. */
+  private[graft] def measureDirBytes(d: String, counted: Boolean = true): Long = {
+    if (counted) ManagedTable.sizeListings.incrementAndGet()
+    val p = new Path(d)
+    var n = 0L
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")) n += st.getLen
+      }
+    }
+    n
+  }
+
+  private[graft] def writeCommit(c0: Commit, parent: Option[Commit] = None): Unit = {
+    // Record every dir's byte size in the entry. Carried dirs inherit
+    // the parent's recorded size (dirs are immutable); only dirs new to
+    // this commit — just written, FS metadata hot — are measured. A
+    // parent from a legacy log has no sizes, so its carried dirs are
+    // measured once here and recorded forever after.
+    val p: Option[Commit] =
+      if (c0.version == 0L) None
+      else parent.filter(_.version == c0.version - 1L).orElse(
+        try Some(commitAt(c0.version - 1L))
+        catch { case scala.util.control.NonFatal(_) => None })
+    val known = p.map(_.dirBytes).getOrElse(Map.empty) ++ c0.dirBytes
+    val c = c0.copy(dirBytes =
+      c0.dirs.map(d => d -> known.getOrElse(d, measureDirBytes(d, counted = false))).toMap)
     val json: String =
       if (c.version % ManagedTable.LogSnapshotInterval == 0L) c.toJson
-      else {
-        val p = parent.filter(_.version == c.version - 1L).orElse(
-          try Some(commitAt(c.version - 1L))
-          catch { case scala.util.control.NonFatal(_) => None })
-        p.flatMap(ManagedTable.deltaJson(_, c)).getOrElse(c.toJson)
-      }
+      else p.flatMap(ManagedTable.deltaJson(_, c)).getOrElse(c.toJson)
     fs.mkdirs(logPath)
     val tmp = new Path(logPath, s".${c.version}-${UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
@@ -1514,6 +1538,12 @@ final class ManagedTable(spark: SparkSession, root: String) {
 
 object ManagedTable {
   private val CommitFile: Regex = """(\d{12})\.json""".r
+
+  /** Count of read-side dir-size FS walks — the legacy fallback when a
+    * commit predates `Commit.dirBytes`. On a new-format table every
+    * read path (stream admission, compaction sizing) must leave this
+    * untouched: sizes come from the log. */
+  private[graft] val sizeListings = new java.util.concurrent.atomic.AtomicLong(0L)
 
   final class ConcurrentCommitException(msg: String)
     extends IllegalStateException(msg)
@@ -1555,17 +1585,27 @@ object ManagedTable {
       changeFormat: Int = 0,
       partitionBy: Seq[String] = Nil,
       dirStats: Map[String, Map[String, DataSkipping.ColMinMax]] = Map.empty,
+      // per-dir payload byte sizes, recorded once at commit time (dirs
+      // are immutable copy-on-write, so the size is exact forever).
+      // Consumers that size work by bytes — TableStream's byte-bounded
+      // admission, compactDirs' fold planning — read this instead of
+      // walking the filesystem: at 100k dirs the difference is one log
+      // read vs 100k driver-side FS metadata calls. Absent for dirs of
+      // legacy (pre-round-10) commits → consumers fall back to listing.
+      dirBytes: Map[String, Long] = Map.empty,
       // streaming-sink transaction high-waters (Delta SetTransaction
       // analogue): appId -> last applied epoch/version. CARRIED FORWARD
       // by every commit path so a crash-replayed micro-batch can be
       // recognized and skipped no matter what committed in between.
       txn: Map[String, Long] = Map.empty) {
 
-    /** Common log-entry node: `dirsKey`/`statsKey` name the composition
-      * fields ("dirs"/"dirStats" for full snapshots, "addDirs"/
-      * "addDirStats" for delta entries). */
+    /** Common log-entry node: `dirsKey`/`statsKey`/`bytesKey` name the
+      * composition fields ("dirs"/"dirStats"/"dirBytes" for full
+      * snapshots, "addDirs"/"addDirStats"/"addDirBytes" for delta
+      * entries). */
     private[table] def jsonNode(m: com.fasterxml.jackson.databind.ObjectMapper,
-        dirsKey: String, statsKey: String): com.fasterxml.jackson.databind.node.ObjectNode = {
+        dirsKey: String, statsKey: String,
+        bytesKey: String): com.fasterxml.jackson.databind.node.ObjectNode = {
       val node = m.createObjectNode()
       node.put("version", version)
       node.put("operation", operation)
@@ -1596,19 +1636,23 @@ object ManagedTable {
           }
         }
       }
+      if (dirBytes.nonEmpty) {
+        val db = node.putObject(bytesKey)
+        dirBytes.foreach { case (dir, n) => db.put(dir, n) }
+      }
       node
     }
 
     def toJson: String = {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       m.writerWithDefaultPrettyPrinter().writeValueAsString(
-        jsonNode(m, "dirs", "dirStats"))
+        jsonNode(m, "dirs", "dirStats", "dirBytes"))
     }
   }
 
   object Commit {
     private[table] def fromNode(n: com.fasterxml.jackson.databind.JsonNode,
-        dirsKey: String, statsKey: String): Commit = {
+        dirsKey: String, statsKey: String, bytesKey: String): Commit = {
       import scala.jdk.CollectionConverters._
       Commit(
         version = n.get("version").asLong(),
@@ -1637,6 +1681,10 @@ object ManagedTable {
                 Option(ce.getValue.get("max")).map(_.asText()))
             }.toMap
           }.toMap
+        }.getOrElse(Map.empty),
+        // absent in logs written before byte recording → legacy, empty
+        dirBytes = Option(n.get(bytesKey)).map { db =>
+          db.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
         }.getOrElse(Map.empty))
     }
 
@@ -1646,7 +1694,7 @@ object ManagedTable {
       val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
       require(n.has("dirs"),
         "delta-encoded log entry — resolve via ManagedTable.commitAt, not Commit.fromJson")
-      fromNode(n, "dirs", "dirStats")
+      fromNode(n, "dirs", "dirStats", "dirBytes")
     }
   }
 
@@ -1664,8 +1712,8 @@ object ManagedTable {
   private[graft] def parseLogEntry(s: String): (Commit, Option[DeltaPart]) = {
     import scala.jdk.CollectionConverters._
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
-    if (n.has("dirs")) (Commit.fromNode(n, "dirs", "dirStats"), None)
-    else (Commit.fromNode(n, "addDirs", "addDirStats"),
+    if (n.has("dirs")) (Commit.fromNode(n, "dirs", "dirStats", "dirBytes"), None)
+    else (Commit.fromNode(n, "addDirs", "addDirStats", "addDirBytes"),
       Some(DeltaPart(n.get("baseVersion").asLong(),
         Option(n.get("removeDirs"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))))
@@ -1687,9 +1735,12 @@ object ManagedTable {
     val carriedStats = parent.dirStats -- removed
     val addStats = c.dirStats.filter { case (d, s) => !carriedStats.get(d).contains(s) }
     if (carriedStats ++ addStats != c.dirStats) return None
+    val carriedBytes = parent.dirBytes -- removed
+    val addBytes = c.dirBytes.filter { case (d, b) => !carriedBytes.get(d).contains(b) }
+    if (carriedBytes ++ addBytes != c.dirBytes) return None
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = c.copy(dirs = added, dirStats = addStats)
-      .jsonNode(m, "addDirs", "addDirStats")
+    val node = c.copy(dirs = added, dirStats = addStats, dirBytes = addBytes)
+      .jsonNode(m, "addDirs", "addDirStats", "addDirBytes")
     node.put("baseVersion", parent.version)
     if (removed.nonEmpty) {
       val rm = node.putArray("removeDirs"); removed.foreach(rm.add)

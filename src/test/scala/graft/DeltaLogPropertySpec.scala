@@ -76,7 +76,10 @@ class DeltaLogPropertySpec extends SparkSpec {
           Map("numOutputRows" -> v.toString), None, "`id` INT", v - 1L,
           dirStats = stats, txn = Map("app" -> v.toLong))
         t.writeCommit(c)
-        c
+        // writeCommit records per-dir byte sizes; these fabricated dirs
+        // don't exist on disk, so every recorded size is 0 — the
+        // round-trip target is the commit AS ENRICHED by the writer
+        c.copy(dirBytes = dirs.map(_ -> 0L).toMap)
       }
       // every version resolves to exactly what the writer handed in
       val exact = commits.forall { c =>

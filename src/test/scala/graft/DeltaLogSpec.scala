@@ -85,6 +85,51 @@ class DeltaLogSpec extends SparkSpec {
     assert(t.read.filter($"id" === 1 && $"v" === "A").count() === 1)
   }
 
+  test("dirBytes recorded at commit time: exact, delta-encoded, legacy-upgradeable") {
+    val path = tmpDir("dl_bytes")
+    val t = ManagedTable(spark, path)
+    (0 until 12).foreach(i => t.write(Seq((i, s"v$i")).toDF("id", "v"), "APPEND", "append"))
+    def fsBytes(d: String): Long = {
+      val p = new Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (!st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")) n += st.getLen
+      }
+      n
+    }
+    // every dir of the head has its exact payload size in the log
+    val head = t.lastCommit.get
+    assert(head.dirBytes.keySet === head.dirs.toSet)
+    head.dirs.foreach(d => assert(head.dirBytes(d) === fsBytes(d), s"size of $d"))
+    // a delta entry carries bytes only for its ADDED dir
+    val raw = rawEntry(path, 11L)
+    assert(raw.contains("\"addDirBytes\"") && !raw.contains("\"dirBytes\""))
+    assert(ManagedTable.parseLogEntry(raw)._1.dirBytes.size === 1)
+    // legacy logs (no byte fields) resolve with empty dirBytes…
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    (0L until 12L).foreach { v =>
+      val n = m.readTree(rawEntry(path, v))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      n.remove("dirBytes"); n.remove("addDirBytes")
+      val p = new Path(path, f"_graft_log/$v%012d.json")
+      val out = fs.create(p, true)
+      try out.write(m.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+        .getBytes("UTF-8")) finally out.close()
+    }
+    assert(t.lastCommit.get.dirBytes.isEmpty, "legacy log → no recorded sizes")
+    // …and the next commit records the full map again: carried legacy
+    // dirs are measured once at write time, then served from the log
+    t.write(Seq((99, "z")).toDF("id", "v"), "APPEND", "append")
+    val upgraded = t.lastCommit.get
+    assert(upgraded.dirBytes.keySet === upgraded.dirs.toSet)
+    upgraded.dirs.foreach(d => assert(upgraded.dirBytes(d) === fsBytes(d)))
+  }
+
   test("deltaJson declines order changes, stat drops, and non-child versions") {
     val base = ManagedTable.Commit(4L, "APPEND", 1L, Seq("/a", "/b", "/c"),
       Map.empty, None, "`id` INT", 3L,
@@ -99,6 +144,11 @@ class DeltaLogSpec extends SparkSpec {
     // stats dropped without their dir — reconstruction would resurrect them
     assert(ManagedTable.deltaJson(base,
       child.copy(dirStats = Map.empty)).isEmpty)
+    // same rule for recorded byte sizes
+    val sized = base.copy(dirBytes = Map("/a" -> 10L))
+    assert(ManagedTable.deltaJson(sized,
+      child.copy(dirBytes = Map("/a" -> 10L, "/d" -> 4L))).isDefined)
+    assert(ManagedTable.deltaJson(sized, child.copy(dirBytes = Map.empty)).isEmpty)
     // round-trip: parse + compose equals the child
     val json = ManagedTable.deltaJson(base, child).get
     val (add, Some(link)) = ManagedTable.parseLogEntry(json): @unchecked

@@ -330,8 +330,13 @@ class FileScopedMergeSpec extends SparkSpec {
     val smallCut = bucketBytes.min // below every bucket's size
     val stamps = preDirs.filter(_.contains("__graft_cluster__"))
       .map(d => d -> fileStamps(d)).toMap
+    // fold planning sizes dirs from the commit log's recorded bytes —
+    // a new-format table pays zero FS size walks for it
+    val walksBefore = ManagedTable.sizeListings.get()
     val commit = t.compactDirs(maxDirBytes = smallCut).getOrElse(
       fail("expected small dirs to qualify for compaction"))
+    assert(ManagedTable.sizeListings.get() === walksBefore,
+      "compaction sizing must come from Commit.dirBytes, not FS listings")
     assert(commit.operationMetrics("numCompactedDirs").toInt >= 3)
     stamps.foreach { case (d, s) =>
       assert(commit.dirs.contains(d), s"bucket $d should be carried")

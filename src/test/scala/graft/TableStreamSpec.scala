@@ -272,6 +272,54 @@ class TableStreamSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() === 35)
   }
 
+  test("byte-bounded admission is served from the commit log: zero FS size walks") {
+    val path = tmpDir("ts_logbytes"); val ckpt = tmpDir("ts_logbytes_ck")
+    val sink = tmpDir("ts_logbytes_sink")
+    seed(path, 0 until 10, "a")
+    (1 to 3).foreach(i => append(path, i * 10 until i * 10 + 5, "b"))
+    val before = ManagedTable.sizeListings.get()
+    // dir- AND byte-bounded backfill, then byte-bounded tail admission:
+    // every size the admission logic needs comes from Commit.dirBytes
+    (1 to 6).foreach(_ => runOnce(path, ckpt, sink,
+      maxDirsPerTrigger = Some(2), maxBytesPerTrigger = Some(1L)))
+    assert(sinkIds(sink) ===
+      ((0 until 10) ++ (10 until 15) ++ (20 until 25) ++ (30 until 35)).sorted)
+    // post-backfill appends exercise the byte-bounded TAIL admission too
+    (4 to 5).foreach(i => append(path, i * 10 until i * 10 + 5, "c"))
+    (1 to 3).foreach(_ => runOnce(path, ckpt, sink, maxBytesPerTrigger = Some(1L)))
+    assert(sinkIds(sink) ===
+      ((0 until 10) ++ (1 to 5).flatMap(i => i * 10 until i * 10 + 5)).sorted)
+    assert(ManagedTable.sizeListings.get() === before,
+      "new-format table: admission must not walk the filesystem for sizes")
+  }
+
+  test("legacy commits without dirBytes fall back to a one-time FS listing") {
+    val path = tmpDir("ts_legbytes"); val ckpt = tmpDir("ts_legbytes_ck")
+    val sink = tmpDir("ts_legbytes_sink")
+    seed(path, 0 until 10, "a")
+    append(path, 10 until 15, "b")
+    // strip the byte fields to emulate a pre-round-10 log
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val logDir = new org.apache.hadoop.fs.Path(path, "_graft_log")
+    fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json")).foreach { st =>
+      val in = fs.open(st.getPath)
+      val n = try m.readTree(in).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        finally in.close()
+      n.remove("dirBytes"); n.remove("addDirBytes")
+      val out = fs.create(st.getPath, true)
+      try out.write(m.writerWithDefaultPrettyPrinter().writeValueAsString(n)
+        .getBytes("UTF-8")) finally out.close()
+    }
+    val before = ManagedTable.sizeListings.get()
+    (1 to 3).foreach(_ => runOnce(path, ckpt, sink,
+      maxDirsPerTrigger = Some(1), maxBytesPerTrigger = Some(1L)))
+    assert(sinkIds(sink) === (0 until 15))
+    assert(ManagedTable.sizeListings.get() > before,
+      "legacy log: sizes must come from the (counted) FS fallback")
+  }
+
   test("restart resumes bounded admission from the checkpoint, not the table head") {
     val path = tmpDir("ts_clamp"); val ckpt = tmpDir("ts_clamp_ck")
     val sink = tmpDir("ts_clamp_sink")
