@@ -158,6 +158,12 @@ object GraftExtensions {
       plan(TextOps.rareTokenScoreWith(table(args.head), table(args(1)),
         minFreq = mf))
     },
+    "graft_tfidf_keywords_against" -> { args =>
+      require(args.size == 2 || args.size == 3,
+        "graft_tfidf_keywords_against(batch, df_table[, k]) takes 2 or 3 arguments")
+      val k = if (args.size == 3) intArg(args(2), "k") else 3
+      plan(TextOps.tfidfKeywordsWith(table(args.head), table(args(1)), k = k))
+    },
     "graft_column_profile" -> { args =>
       require(args.size == 2,
         "graft_column_profile(table, cols_csv) takes two arguments")
@@ -226,16 +232,32 @@ object GraftExtensions {
       plan(Dedup.nearDupPairs(table(args.head), threshold = dblArg(args(1), "threshold")))
     },
     // NOTE: unlike every other TVF this one runs distributed jobs at
-    // RESOLUTION time — k-means quantizer training is an index build
-    // (exactly like ann_ivf's), and SQL has no place to thread a
+    // RESOLUTION time — k-means quantizer training (plus the corpus
+    // count that auto-sizes it when nlist is omitted) is an index
+    // build (exactly like ann_ivf's), and SQL has no place to thread a
     // pre-trained centroid array through. The serve-side plan that the
     // TVF splices is still lazy.
     "graft_semantic_dedup" -> { args =>
       require(args.size == 2 || args.size == 3,
         "graft_semantic_dedup(table, threshold[, nlist]) takes 2 or 3 arguments")
-      val nlist = if (args.size == 3) intArg(args(2), "nlist") else 16
+      val nlist = if (args.size == 3) intArg(args(2), "nlist") else 0
       plan(graft.llm.Similarity.semanticDedup(
         table(args.head), threshold = dblArg(args(1), "threshold"), nlist = nlist))
+    },
+    // two-epoch form: trains on the CORPUS side at resolution (same
+    // index-build caveat as graft_semantic_dedup), then splices the
+    // lazy batch-vs-index plan
+    "graft_semantic_dedup_batch" -> { args =>
+      require(args.size == 3 || args.size == 4,
+        "graft_semantic_dedup_batch(batch, corpus, threshold[, nlist]) takes 3 or 4 arguments")
+      val corpus = table(args(1))
+      val nlist = if (args.size == 4) intArg(args(3), "nlist")
+        else graft.llm.Similarity.autoNlist(corpus.count(), 1024)
+      val cents = graft.llm.Similarity.trainCentroids(corpus, nlist)
+      plan(graft.llm.Similarity.semanticDedupBatch(
+        cents, table(args.head),
+        graft.llm.Similarity.buildSemanticIndex(cents, corpus),
+        threshold = dblArg(args(2), "threshold")))
     },
     // content-keyed sampling: keys are a comma-separated column list so
     // the TVF stays positional ('a,b' == Seq("a","b"))

@@ -91,4 +91,67 @@ object Packing {
             x => x.getField("t")),
           sep).as("shard_text"))
   }
+
+  /** Materialize [[exportShards]] as ACTUAL FILES under `dir` — the
+    * step a pretraining data-loader consumes: one UTF-8 text file per
+    * (group, bin), deterministically named
+    * `shard-<urlenc(group…)>-<bin>.txt` (URL-encoding keeps arbitrary
+    * group values filesystem-safe and injective; the returned manifest
+    * is the authoritative file ↔ (group, bin) map). Returns the
+    * manifest — the [[exportShards]] columns plus `shard_file` and
+    * `shard_bytes` — materialized eagerly, so when this method returns
+    * every file is on disk.
+    *
+    * Scale shape: the write IS the shard aggregation's output pass —
+    * each executor writes its own shards straight to the shared
+    * FileSystem (fresh per-executor Hadoop conf, same convention as
+    * [[graft.sources.RemoteFileClient.fetchFilesDistributed]]); no
+    * driver collection, no repartition beyond exportShards' one
+    * (group, bin) shuffle, and per-file bytes are bounded by the pack
+    * budget. Deterministic names + byte-identical content make task
+    * retries idempotent (publish is write-tmp-then-rename, last
+    * writer wins with identical bytes). */
+  def writeShards(packed: DataFrame, dir: String, groupCols: Seq[String],
+                  textCol: String = "text", sep: String = "<|eos|>",
+                  binCol: String = "bin",
+                  offsetCol: String = "offset"): DataFrame = {
+    import org.apache.spark.sql.Row
+    val shards = exportShards(packed, groupCols, textCol, sep, binCol, offsetCol)
+    val gIdx = groupCols.map(shards.schema.fieldIndex)
+    val binIdx = shards.schema.fieldIndex(binCol)
+    val textIdx = shards.schema.fieldIndex("shard_text")
+    val outSchema = shards.schema
+      .add("shard_file", StringType).add("shard_bytes", LongType)
+    val manifest = shards.mapPartitions { rows =>
+      // fresh per-executor conf: resolves the same shared FS from
+      // core-site on a cluster (see fetchFilesDistributed)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val target = new org.apache.hadoop.fs.Path(dir)
+      val fs = target.getFileSystem(conf)
+      // a shard dir is consumed by plain data loaders — no Hadoop-local
+      // .crc sidecar litter (no-op on filesystems with internal checksums)
+      fs.setWriteChecksum(false)
+      fs.mkdirs(target)
+      rows.map { r =>
+        val enc = gIdx.map(i =>
+          java.net.URLEncoder.encode(String.valueOf(r.get(i)), "UTF-8"))
+        val name = (("shard" +: enc) :+ String.valueOf(r.get(binIdx)))
+          .mkString("-") + ".txt"
+        val bytes = r.getString(textIdx)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val tmp = new org.apache.hadoop.fs.Path(target,
+          s".$name.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+        val os = fs.create(tmp, true)
+        try os.write(bytes) finally os.close()
+        val fin = new org.apache.hadoop.fs.Path(target, name)
+        fs.delete(fin, false)
+        if (!fs.rename(tmp, fin))
+          throw new java.io.IOException(s"could not publish shard $fin")
+        Row.fromSeq(r.toSeq :+ name :+ bytes.length.toLong)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    // eager: a lazy manifest would defer (or repeat) the side-effecting
+    // write with every downstream action
+    manifest.localCheckpoint()
+  }
 }

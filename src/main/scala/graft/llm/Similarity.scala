@@ -298,8 +298,13 @@ object Similarity {
    * pair.
    *
    * 100 TB shape: candidate volume is Σ_cell |cell|² — bounded by the
-   * quantizer's balance, never corpus² (pick nlist ≈ N/targetCellSize);
-   * the within-cell self-join is a plain equi-join on `cell`, so AQE
+   * quantizer's balance, never corpus². With `nlist = 0` (the default)
+   * the quantizer is SIZED FROM THE CORPUS: one count() and
+   * [[autoNlist]] pick `max(16, ⌈N/targetCellSize⌉)` cells, so the
+   * mean cell stays at `targetCellSize` no matter how the corpus
+   * grows, instead of depending on the caller knowing to scale a
+   * hand-picked nlist; the within-cell self-join is a plain equi-join
+   * on `cell`, so AQE
    * skew-split handles hot cells; grouping is the O(log n)
    * star-contraction CC ([[graft.llm.Dedup.connectedComponents]]); cell
    * assignment is computed once and reused by both join sides and the
@@ -310,9 +315,31 @@ object Similarity {
    */
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    nlist: Int = 16, trainIters: Int = 2): DataFrame =
-    semanticDedupWith(trainCentroids(corpus, nlist, trainIters, idCol, vecCol),
+                    nlist: Int = 0, trainIters: Int = 2,
+                    targetCellSize: Long = 1024): DataFrame = {
+    val nl =
+      if (nlist > 0) nlist
+      else autoNlist(corpus.count(), targetCellSize)
+    semanticDedupWith(trainCentroids(corpus, nl, trainIters, idCol, vecCol),
       corpus, threshold, idCol, vecCol)
+  }
+
+  /** Quantizer sizing for [[semanticDedup]]'s auto mode (`nlist = 0`):
+    * `max(16, ⌈n / targetCellSize⌉)`, capped at 2^16 cells. The cap is
+    * the flat quantizer's honest limit — centroids are collected to and
+    * broadcast from the driver (nlist × dim doubles; 2^16 × 1k dims ≈
+    * 0.5 GB is the ceiling of reasonable), so beyond ~2^16 ×
+    * targetCellSize vectors the MEAN cell grows past target and
+    * Σ|cell|² with it: at that scale pass `nlist` explicitly and
+    * train a sampled / hierarchical quantizer instead. Keeping the
+    * formula a visible function makes the bound testable without
+    * training anything. */
+  private[graft] def autoNlist(n: Long, targetCellSize: Long,
+                               maxNlist: Int = 1 << 16): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be positive, got $targetCellSize")
+    val want = (n + targetCellSize - 1) / targetCellSize
+    math.min(maxNlist.toLong, math.max(16L, want)).toInt
+  }
 
   /** [[semanticDedup]] against a PRE-TRAINED quantizer — like
     * [[ivfTopKWith]], the amortized entry point: train once per corpus
@@ -350,6 +377,69 @@ object Similarity {
       .join(comps.select("id"), Seq("id"), "left_anti")
       .select(col("id").as(idCol), lit(1L).as("group_size"))
     survivors.unionByName(singletons)
+  }
+
+  /**
+   * The persistable standing index for INCREMENTAL semantic dedup: the
+   * (surviving) corpus with each vector's quantizer cell and centroid
+   * cosine attached — `(idCol, vecCol, cell, cent_cos)`. Build it once
+   * per corpus generation (same amortization contract as
+   * [[Dedup.buildNearDupIndex]]: persist as parquet next to the
+   * centroid array), then score every daily batch with
+   * [[semanticDedupBatch]] at O(batch) cost — the corpus is never
+   * re-assigned or re-scanned beyond the cell-keyed join.
+   */
+  def buildSemanticIndex(cents: Array[Array[Double]], corpus: DataFrame,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(cents.nonEmpty, "buildSemanticIndex needs a non-empty centroid set")
+    corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .withColumn("__cc__", cellAndCosUdf(cents)(col(vecCol)))
+      .select(col(idCol), col(vecCol),
+        col("__cc__._1").as("cell"), col("__cc__._2").as("cent_cos"))
+  }
+
+  /**
+   * Incremental (two-epoch) semantic dedup — the daily-ingest action
+   * mirroring [[Dedup.dedupNewBatch]]: from a NEW batch of vectors,
+   * keep exactly what is safe to append to a standing corpus. A batch
+   * vector is dropped when it has a `cosine >= threshold` match in its
+   * cell against the corpus index (the corpus member always wins —
+   * epochs are ordered); the remainder is deduped WITHIN the batch by
+   * the full [[semanticDedupWith]] rule (keep-the-outlier survivor,
+   * min-id tie). Output matches [[semanticDedup]]: one row per
+   * surviving batch vector, `(idCol, group_size)` over the
+   * within-batch groups.
+   *
+   * Cost per day is O(batch): the batch is cell-assigned (twice — once
+   * for the corpus probe, once inside the batch-internal pass; both
+   * are narrow single-pass UDF projections), the corpus side
+   * contributes only the cell-keyed equi-join against its PRE-BUILT
+   * index, and no corpus×corpus candidate ever forms — re-running the
+   * batch operator over corpus+batch would redo quadratic-in-history
+   * work, exactly the trap [[Dedup.incrementalNearDupPairs]] documents.
+   * An exact copy of a corpus vector lands in its original's cell with
+   * probability 1 (identical argmax), so cross-epoch exact duplicates
+   * are always caught — the property the planted oracle checks.
+   */
+  def semanticDedupBatch(cents: Array[Array[Double]], batch: DataFrame,
+                         corpusIndex: DataFrame, threshold: Double,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(cents.nonEmpty, "semanticDedupBatch needs a non-empty centroid set")
+    require(threshold > 0 && threshold <= 1,
+      s"cosine threshold must be in (0, 1], got $threshold")
+    val b = batch
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", nearestCellUdf(cents)(col("v")))
+    val dupOfCorpus = b
+      .join(corpusIndex.select(col(vecCol).cast("array<double>").as("cv"),
+        col("cell")), Seq("cell"))
+      .filter(nativeCosine(batch.sparkSession, col("v"), col("cv")) >= threshold)
+      .select(col("id").as(idCol)).distinct()
+    val kept = batch.join(dupOfCorpus, Seq(idCol), "left_anti")
+    semanticDedupWith(cents, kept, threshold, idCol, vecCol)
   }
 
   /**

@@ -609,19 +609,48 @@ object TextOps {
     * back, then a per-doc window — partitioned on the doc id, millions
     * of small partitions, never a global sort. The 1-row corpus size
     * joins in via broadcast. Like [[rareTokenScore]], the term-freq
-    * subtree is read twice (per-doc side + df roll-up) — persist
-    * `docTermFreq`'s output (or cache the input scan) when running
-    * repeatedly over a frozen corpus. */
+    * subtree is read twice (per-doc side + df roll-up) — at 100 TB
+    * prefer the production split: persist [[docFreqModel]] once per
+    * frozen corpus, then [[tfidfKeywordsWith]] per scoring run, which
+    * tokenizes each document exactly once. */
   def tfidfKeywords(docs: DataFrame, textCol: String = "text",
-                    idCol: String = "doc_id", k: Int = 3): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    import org.apache.spark.sql.expressions.Window
-    val dt = docTermFreq(docs, textCol, idCol)
-    val df_ = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+                    idCol: String = "doc_id", k: Int = 3): DataFrame =
+    tfidfKeywordsWith(docs, docFreqModel(docs, textCol, idCol),
+      textCol, idCol, k)
+
+  /** The standing document-frequency model behind [[tfidfKeywords]]:
+    * `(tok, df, n_docs)`, with the corpus size stamped on every row so
+    * a persisted model is self-contained. Persist it (parquet) once per
+    * frozen corpus and feed [[tfidfKeywordsWith]] — then each scoring
+    * run tokenizes only the batch, where the one-shot form reads the
+    * corpus term-freq subtree twice (documented there). Same
+    * persisted-index pattern as [[unigramModel]]. */
+  def docFreqModel(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // 1-row × n cross join: a broadcast of a single scalar row, not a
     // pair explosion — the only way to thread a lazy corpus count in
-    val scored = dt.join(df_, Seq("tok"))
+    docTermFreq(docs, textCol, idCol)
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+  }
+
+  /** [[tfidfKeywords]] against a STANDING model: only the batch is
+    * tokenized; the model side is a plain `(tok, df, n_docs)` table
+    * (broadcast when small). Batch tokens the model has never seen get
+    * `df = 1` — as distinctive as a token can be under a model that
+    * cannot distinguish them from a true singleton. Scoring a corpus
+    * against its own model is bit-identical to the one-shot form
+    * (every token matches, so the OOV rule never fires). */
+  def tfidfKeywordsWith(batch: DataFrame, dfModel: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val dt = docTermFreq(batch, textCol, idCol)
+    val n = dfModel.agg(max(col("n_docs")).as("n_docs"))
+    val scored = dt.join(dfModel.select(col("tok"), col("df")), Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(1L)))
       .crossJoin(broadcast(n))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
     val w = Window.partitionBy(col(idCol))

@@ -229,6 +229,39 @@ class SamplingSpec extends SparkSpec {
     assert(got(("g", 1L)) === ((3L, 7L, "ccccc<|eos|>x<|eos|>y")))
   }
 
+  test("writeShards: one file per (group, bin), byte-identical, idempotent, safe names") {
+    import graft.llm.Packing
+    // 'g/1' exercises name sanitization (URL-encoded: 'g%2F1'); '\n'
+    // in a text exercises binary-faithful write (no line semantics)
+    val df = Seq(
+      ("g/1", 1L, "aaa\nbb", 9L), ("g/1", 2L, "ccccc", 5L),
+      ("h", 3L, "dddd", 4L)).toDF("lang", "doc_id", "text", "n")
+    val packed = Packing.packSequences(df, Seq("lang"), Seq("doc_id"), "n", 8L)
+    val dir = tmpDir("shardw")
+    val manifest = Packing.writeShards(packed, dir, Seq("lang"))
+    val rows = manifest.collect().map(r =>
+      r.getAs[String]("shard_file") ->
+        ((r.getAs[String]("shard_text"), r.getAs[Long]("shard_bytes")))).toMap
+    assert(rows.keySet === Set("shard-g%2F1-0.txt", "shard-g%2F1-1.txt",
+      "shard-h-0.txt"))
+    def fileBytes(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, name))
+    rows.foreach { case (name, (text, nBytes)) =>
+      val onDisk = fileBytes(name)
+      assert(onDisk.toSeq === text.getBytes("UTF-8").toSeq,
+        s"$name not byte-identical to its shard_text")
+      assert(onDisk.length.toLong === nBytes)
+    }
+    // no stray files (tmp publications cleaned up)
+    val listed = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(listed === rows.keySet, s"unexpected files: $listed")
+    // deterministic rerun: same names, same bytes
+    Packing.writeShards(packed, dir, Seq("lang")).collect()
+    rows.foreach { case (name, (text, _)) =>
+      assert(fileBytes(name).toSeq === text.getBytes("UTF-8").toSeq)
+    }
+  }
+
   test("mixtureSample: exact quotas, short strata give what they have, unweighted drop") {
     val rows = (1 to 60).map(i => (i.toLong, "en")) ++
       (61 to 90).map(i => (i.toLong, "de")) ++

@@ -176,4 +176,54 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter($"group_size" === 2).count() === 5)
     assert(out.filter($"group_size" === 1).count() === natural - 5)
   }
+
+  test("semanticDedupBatch: corpus member wins cross-epoch, outlier rule within batch") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val corpus = vecsDf(
+      1L -> Array(1.0, 0.0),
+      2L -> Array(0.0, 1.0))
+    val index = Similarity.buildSemanticIndex(cents, corpus)
+    val batch = vecsDf(
+      // exact copy of corpus vector 1 → dropped (corpus wins)
+      20L -> Array(1.0, 0.0),
+      // near-dup of corpus vector 2 (cos ≈ 0.993) → dropped
+      21L -> Array(0.12, 1.0),
+      // within-batch pair in cell 0, no corpus match (cos to corpus
+      // v1 ≈ 0.81 < 0.99): outlier (farther from centroid) survives
+      30L -> Array(1.0, 0.7),
+      31L -> Array(1.0, 0.82),
+      // genuinely new singleton
+      40L -> Array(-1.0, -0.5))
+    val out = Similarity.semanticDedupBatch(cents, batch, index, threshold = 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((31L, 2L), (40L, 1L)), s"unexpected batch survivors: $out")
+  }
+
+  test("autoNlist keeps the mean cell at targetCellSize as the corpus grows") {
+    // floor: tiny corpora still train a 16-cell quantizer
+    assert(Similarity.autoNlist(100, 1024) === 16)
+    assert(Similarity.autoNlist(16 * 1024, 1024) === 16)
+    // scaling region: nlist tracks ⌈n / target⌉, so a 10× corpus gets
+    // 10× the cells and the MEAN cell size stays put — the Σ|cell|²
+    // bound no longer depends on the caller re-sizing by hand
+    assert(Similarity.autoNlist(100 * 1024, 1024) === 100)
+    assert(Similarity.autoNlist(1000 * 1024, 1024) === 1000)
+    assert(Similarity.autoNlist(100 * 1024 + 1, 1024) === 101, "ceil, not floor")
+    // honest cap of the flat (driver-collected) quantizer
+    assert(Similarity.autoNlist(1L << 40, 1024) === (1 << 16))
+  }
+
+  test("semanticDedup auto-sizes its quantizer when nlist is omitted") {
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.filter($"vec_id" < 5)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(planted)
+    // auto path (nlist = 0): counts the corpus, sizes the quantizer,
+    // and still finds exactly the planted duplicate groups
+    val out = Similarity.semanticDedup(corpus, threshold = 0.9,
+      targetCellSize = 8).cache()
+    assert(out.count() === base.count())
+    assert(out.filter($"vec_id" >= 10000).count() === 0)
+    assert(out.filter($"group_size" === 2).count() === 5)
+  }
 }

@@ -106,6 +106,20 @@ class SqlSurfaceSpec extends SparkSpec {
         threshold = 0.9, nlist = 8))
   }
 
+  test("graft_semantic_dedup_batch TVF matches the two-epoch API") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("corpus_e")
+    emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("batch_e")
+    val cents = graft.llm.Similarity.trainCentroids(spark.table("corpus_e"), 8)
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_semantic_dedup_batch('batch_e', 'corpus_e', 0.9, 8)"),
+      graft.llm.Similarity.semanticDedupBatch(cents, spark.table("batch_e"),
+        graft.llm.Similarity.buildSemanticIndex(cents, spark.table("corpus_e")),
+        threshold = 0.9))
+  }
+
   test("corpus-stat TVFs (rare tokens, tf-idf, normalize, mixture) match the API") {
     docsView()
     assertSameRows(
@@ -133,6 +147,12 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_rare_tokens_against('documents', 'lm', 2)"),
       TextOps.rareTokenScoreWith(spark.table("documents"),
         spark.table("lm"), minFreq = 2))
+    TextOps.docFreqModel(spark.table("documents"))
+      .createOrReplaceTempView("dfm")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_tfidf_keywords_against('documents', 'dfm', 2)"),
+      TextOps.tfidfKeywordsWith(spark.table("documents"),
+        spark.table("dfm"), k = 2))
     assertSameRows(
       spark.sql(
         "SELECT * FROM graft_export_shards('documents', 'lang', 'doc_id', 'n_chars', 2000)"),

@@ -398,6 +398,45 @@ class TextOpsSpec extends SparkSpec {
     assert(res.passed, s"tfidfKeywords mismatch vs naive: ${res.status}")
   }
 
+  test("property: tfidfKeywordsWith against the corpus's own model ≡ one-shot") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "dd", "ee")
+    val docGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word))
+    val prop = Prop.forAll(Gen.listOfN(6, docGen)) { corpus =>
+      val df = corpus.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val oneShot = TextOps.tfidfKeywords(df, k = 2).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      val split = TextOps.tfidfKeywordsWith(df, TextOps.docFreqModel(df), k = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      oneShot == split
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, s"split form diverged from one-shot: ${res.status}")
+  }
+
+  test("tfidfKeywordsWith: standing model scores a batch; OOV tokens get df=1") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x x y z"),
+      (2L, "y z"),
+      (3L, "z")).toDF("doc_id", "text")
+    val model = TextOps.docFreqModel(corpus) // df: x=1 y=2 z=3, n_docs=3
+    val batch = Seq((10L, "y qq z")).toDF("doc_id", "text")
+    val got = TextOps.tfidfKeywordsWith(batch, model, k = 3).collect()
+      .map(r => r.getInt(1) -> ((r.getString(2), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // qq is OOV → df=1 → score 1*3/1 = 3.0, ranked above y (1.5) and z (1.0)
+    assert(got(1) === (("qq", 1L, 3.0)))
+    assert(got(2) === (("y", 2L, 1.5)))
+    assert(got(3) === (("z", 3L, 1.0)))
+  }
+
   test("property: corpusProfile median equals the naive sorted lower median") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
