@@ -14,11 +14,25 @@ class ProfilingSpec extends SparkSpec {
       (4L, Some("a"), 30)).toDF("id", "tag", "n")
     val got = Profiling.profileColumns(df, Seq("id", "tag", "n")).collect()
       .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5),
+          Option(r.get(6)).map(_.asInstanceOf[Double]))))
       .toMap
-    assert(got("id") === ((4L, 4L, 4L, "1", "4")))
-    assert(got("tag") === ((4L, 3L, 2L, "a", "b"))) // null excluded everywhere
-    assert(got("n") === ((4L, 4L, 3L, "10", "30")))
+    // lower median: id rank ⌊(4+1)/2⌋ = 2 → 2.0; n sorted 10,10,20,30
+    // → rank 2 → 10.0; tag is non-numeric → null median
+    assert(got("id") === ((4L, 4L, 4L, "1", "4", Some(2.0))))
+    assert(got("tag") === ((4L, 3L, 2L, "a", "b", None))) // null excluded everywhere
+    assert(got("n") === ((4L, 4L, 3L, "10", "30", Some(10.0))))
+  }
+
+  test("profileColumns: exact median ignores nulls and collapses duplicates") {
+    import spark.implicits._
+    val df = Seq[(Long, Option[Int])](
+      (1L, Some(5)), (2L, None), (3L, Some(5)), (4L, Some(9)),
+      (5L, Some(1)), (6L, None)).toDF("id", "x")
+    val got = Profiling.profileColumns(df, Seq("x")).collect().head
+    // non-null values sorted: 1,5,5,9 → rank ⌊(4+1)/2⌋ = 2 → 5.0
+    assert(got.getAs[Long]("n_nonnull") === 4L)
+    assert(got.getAs[Double]("median_value") === 5.0)
   }
 
   test("profileColumns: approx mode keeps the shape, single scan, no distinct expand") {
@@ -28,9 +42,14 @@ class ProfilingSpec extends SparkSpec {
     val rows = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     // HLL at this cardinality is exact-ish; shape and order must hold
     assert(approx.columns.toSeq === Seq("column_name", "n_rows", "n_nonnull",
-      "n_distinct", "min_value", "max_value"))
+      "n_distinct", "min_value", "max_value", "median_value"))
     assert(rows("tag") === 7L)
     assert(math.abs(rows("id") - 500L) <= 25L) // default rsd ≈ 5%
+    // the sketched median rides the same single aggregate
+    val meds = approx.collect()
+      .map(r => r.getString(0) -> Option(r.get(6))).toMap
+    assert(meds("tag") === None)
+    assert(math.abs(meds("id").get.asInstanceOf[Double] - 250.0) <= 10.0)
     // exact mode plans a multi-distinct Expand; approx must not
     val exactPlan = Profiling.profileColumns(df, Seq("id", "tag"))
       .queryExecution.executedPlan.toString
