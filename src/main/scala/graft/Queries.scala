@@ -150,6 +150,42 @@ object Queries {
       | GROUP BY c_custkey, c_name, n_name
       | ORDER BY rev DESC, c_custkey LIMIT 20)""".stripMargin
 
+  /** TPC-H Q16 shape (parts/supplier relationship): how many DISTINCT
+    * suppliers ship each surviving (brand, type, size) part class,
+    * excluding suppliers matching a complaint-ish predicate — the one
+    * classic shape combining a distinct-agg OVER A JOIN with an
+    * ANTI-join in a single plan (the synthetic schema has no partsupp,
+    * so lineitem's (l_partkey, l_suppkey) pairs are the bridge).
+    * Scale: the part filters (two inequalities + an IN list) push to
+    * the parquet scan; the excluded-supplier list is a subquery result
+    * of dim-table size, so its anti-join broadcasts; count(DISTINCT)
+    * plans as Spark's two-phase expand/partial-distinct aggregate —
+    * shuffle keyed on the (brand, type, size, suppkey) expansion,
+    * never a per-group set materialization. */
+  def q16PartsSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 5, 9, 14, 19, 23, 36, 45)
+    val p = pq(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "MEDIUM" &&
+        col("p_size").isin(sizes: _*))
+    val excluded = pq(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    pq(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      | CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+      | AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+
   /** Multi-join revenue per nation with explicitly broadcast dimension
     * tables (region/nation/supplier stay tiny at every scale factor; the
     * only shuffles left are the two fact-table joins + final agg). */
@@ -1642,6 +1678,59 @@ object Queries {
       | CAST(CASE WHEN vec_id < 20 THEN 2 ELSE 1 END AS BIGINT) AS group_size
       |FROM embeddings""".stripMargin
 
+  /**
+   * Incremental (two-epoch) semantic dedup
+   * ([[graft.llm.Similarity.semanticDedupBatch]]) in its
+   * oracle-checkable formulation. Epoch 1 (the standing corpus) is the
+   * even-id half of the embeddings table, indexed once with
+   * [[graft.llm.Similarity.buildSemanticIndex]]; epoch 2 (the daily
+   * batch) is the odd-id half plus two planted families: exact copies
+   * of ten CORPUS vectors at id+20000 (cross-epoch dups — must be
+   * dropped, the corpus member wins) and exact copies of five BATCH
+   * vectors at id+30000 (within-batch dups — the min-id original
+   * survives with group_size 2). Threshold 0.9 sits far above the
+   * corpus's max natural pairwise cosine (≈0.51, see
+   * [[annTopKVerified]]), so those families are EXACTLY the duplicate
+   * structure and the surviving set is deterministic: every odd-id
+   * natural, group_size 2 below id 10, else 1. In-query gates throw on
+   * a surviving planted id so the bench run hard-fails rather than
+   * timing wrong rows.
+   */
+  def semanticDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity
+    val emb = pq(spark, dir, "embeddings").select("vec_id", "embedding")
+    assertPlantedIdHeadroom(emb, offset = 20000)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val naturals = emb.filter(col("vec_id") % 2 === 1)
+    val crossEpoch = corpus.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 20000).as("vec_id"), col("embedding"))
+    val inBatch = naturals.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 30000).as("vec_id"), col("embedding"))
+    val batch = naturals.unionByName(crossEpoch).unionByName(inBatch)
+      .localCheckpoint()
+    // index build: train + assign once per corpus generation, amortized
+    // across every daily batch — only the batch-side work is per-day
+    val (cents, index) = Staging.timed {
+      val c = Similarity.trainCentroids(corpus, nlist = 16, iters = 2)
+      (c, Similarity.buildSemanticIndex(c, corpus).localCheckpoint())
+    }
+    val out = Similarity.semanticDedupBatch(cents, batch, index, threshold = 0.9)
+      .localCheckpoint()
+    require(out.filter(col("vec_id") >= 20000).count() == 0,
+      "semantic_dedup_incremental: a planted copy survived — cross-epoch " +
+        "cell co-location or the within-batch survivor rule is broken")
+    val paired = out.filter(col("group_size") === 2).count()
+    require(paired == 5,
+      s"semantic_dedup_incremental expected the 5 within-batch duplicate " +
+        s"groups, got $paired")
+    out
+  }
+
+  val semanticDedupIncrementalSql: String =
+    """SELECT vec_id,
+      | CAST(CASE WHEN vec_id < 10 THEN 2 ELSE 1 END AS BIGINT) AS group_size
+      |FROM embeddings WHERE vec_id % 2 = 1""".stripMargin
+
   /** SimHash fingerprints use md5-derived token hashes precisely so this
     * oracle exists: DuckDB recomputes every fingerprint from the text and
     * brute-forces ALL pairs, so any silent recall loss in the chunk-bucket
@@ -2053,6 +2142,54 @@ object Queries {
       | string_agg(text, '<|eos|>' ORDER BY "offset", text) AS shard_text
       |FROM p
       |GROUP BY lang, CAST(FLOOR("offset" / 2000.0) AS BIGINT)""".stripMargin
+
+  /** Shard FILE materialization ([[graft.llm.Packing.writeShards]]):
+    * the same (lang, bin) shards as [[exportShardsDocs]], but written
+    * to disk one file per shard and returned as the manifest. The
+    * in-query gate reads every produced file back DISTRIBUTED
+    * (binaryFile source, joined to the manifest on the deterministic
+    * name) and requires md5(file bytes) == md5(UTF-8(shard_text)) —
+    * so a missing, truncated, or wrongly-named file hard-fails here,
+    * while the DuckDB oracle independently recomputes names and byte
+    * counts from the raw documents. */
+  def exportShardFiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Packing
+    val packed = Packing.packSequences(pq(spark, dir, "documents"),
+      Seq("lang"), Seq("doc_id"), "n_chars", budget = 2000L)
+    val outDir = tmp("shard_files")
+    val manifest = Packing.writeShards(packed, outDir, Seq("lang"))
+    val files = spark.read.format("binaryFile").load(s"$outDir/shard-*.txt")
+      .select(element_at(split(col("path"), "/"), -1).as("shard_file"),
+        col("content"))
+    val joined = manifest.join(files, Seq("shard_file")).localCheckpoint()
+    val n = manifest.count()
+    require(joined.count() == n,
+      "export_shard_files: manifest and on-disk shard files diverge")
+    val bad = joined
+      .filter(md5(col("content")) =!= md5(encode(col("shard_text"), "UTF-8")))
+      .count()
+    require(bad == 0,
+      s"export_shard_files: $bad shard files are not byte-identical to " +
+        "their shard_text")
+    manifest.select(col("lang"), col("bin"), col("n_docs"),
+      col("shard_file"), col("shard_bytes"))
+  }
+
+  val exportShardFilesSql: String =
+    """WITH p AS (
+      | SELECT doc_id, lang, text,
+      |  CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+      | FROM documents),
+      |s AS (
+      | SELECT lang, CAST(FLOOR("offset" / 2000.0) AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  string_agg(text, '<|eos|>' ORDER BY "offset", text) AS shard_text
+      | FROM p GROUP BY 1, 2)
+      |SELECT lang, bin, n_docs,
+      | 'shard-' || lang || '-' || CAST(bin AS VARCHAR) || '.txt' AS shard_file,
+      | CAST(strlen(shard_text) AS BIGINT) AS shard_bytes
+      |FROM s""".stripMargin
 
   /** Overlapping token-window chunking (40-token windows, 10-token
     * overlap): both engines recompute every chunk string token-for-token

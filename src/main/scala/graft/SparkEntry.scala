@@ -25,6 +25,7 @@ object SparkEntry {
     "q1_pricing_summary" -> (Queries.q1PricingSummary(_, _)),
     "q3_top_orders" -> (Queries.q3TopOrders(_, _)),
     "q10_returned_customers" -> (Queries.q10ReturnedCustomers(_, _)),
+    "q16_parts_supplier" -> (Queries.q16PartsSupplier(_, _)),
     "q5_region_revenue" -> (Queries.q5RegionRevenue(_, _)),
     "events_window" -> (Queries.eventsWindow(_, _)),
     "rollup_revenue" -> (Queries.rollupRevenue(_, _)),
@@ -63,6 +64,7 @@ object SparkEntry {
     "cap_per_group" -> (Queries.capPerSource(_, _)),
     "pack_sequences" -> (Queries.packDocs(_, _)),
     "export_shards" -> (Queries.exportShardsDocs(_, _)),
+    "export_shard_files" -> (Queries.exportShardFiles(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
     "decontaminate_train" -> (Queries.decontaminateTrain(_, _)),
     "cap_tokens_per_group" -> (Queries.capTokensPerLang(_, _)),
@@ -174,6 +176,7 @@ object SparkEntry {
     "ann_topk" -> (Queries.annTopKVerified(_, _)),
     "ann_ivf" -> (Queries.ivfTopKVerified(_, _)),
     "semantic_dedup" -> (Queries.semanticDedupVerified(_, _)),
+    "semantic_dedup_incremental" -> (Queries.semanticDedupIncremental(_, _)),
     // the synthetic embeddings carry no natural near-dups (max pairwise
     // cos ≈ 0.51), so the scenario plants exact copies shifted by +10000:
     // the LSH bucket join must find precisely those pairs.
@@ -196,6 +199,7 @@ object SparkEntry {
     "q1_pricing_summary" -> Queries.q1Sql,
     "q3_top_orders" -> Queries.q3Sql,
     "q10_returned_customers" -> Queries.q10Sql,
+    "q16_parts_supplier" -> Queries.q16Sql,
     "q5_region_revenue" -> Queries.q5Sql,
     "events_window" -> Queries.eventsWindowSql,
     "rollup_revenue" -> Queries.rollupRevenueSql,
@@ -230,6 +234,7 @@ object SparkEntry {
     "cap_per_group" -> Queries.capPerSourceSql,
     "pack_sequences" -> Queries.packDocsSql,
     "export_shards" -> Queries.exportShardsDocsSql,
+    "export_shard_files" -> Queries.exportShardFilesSql,
     "contamination_check" -> Queries.contaminationCheckSql,
     "decontaminate_train" -> Queries.decontaminateTrainSql,
     "cap_tokens_per_group" -> Queries.capTokensPerLangSql,
@@ -493,27 +498,43 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
         |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
     "column_profile" ->
-      """SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
-        | CAST(count(doc_id) AS BIGINT) AS n_nonnull,
-        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
-        | CAST(min(doc_id) AS VARCHAR) AS min_value,
-        | CAST(max(doc_id) AS VARCHAR) AS max_value
-        |FROM documents
-        |UNION ALL
-        |SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(lang) AS BIGINT),
-        | CAST(count(DISTINCT lang) AS BIGINT),
-        | CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
-        |FROM documents
-        |UNION ALL
-        |SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT),
-        | CAST(count(DISTINCT source) AS BIGINT),
-        | CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
-        |FROM documents
-        |UNION ALL
-        |SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
-        | CAST(count(DISTINCT n_chars) AS BIGINT),
-        | CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
-        |FROM documents""".stripMargin,
+      """WITH med AS (
+        | SELECT c AS column_name, CAST(v AS DOUBLE) AS median_value FROM (
+        |  SELECT 'doc_id' AS c, doc_id AS v,
+        |   row_number() OVER (ORDER BY doc_id) AS rn,
+        |   count(*) OVER () AS nn
+        |  FROM documents WHERE doc_id IS NOT NULL) WHERE rn = (nn + 1) // 2
+        | UNION ALL
+        | SELECT c, CAST(v AS DOUBLE) FROM (
+        |  SELECT 'n_chars' AS c, n_chars AS v,
+        |   row_number() OVER (ORDER BY n_chars) AS rn,
+        |   count(*) OVER () AS nn
+        |  FROM documents WHERE n_chars IS NOT NULL) WHERE rn = (nn + 1) // 2),
+        |base AS (
+        | SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |  CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |  CAST(max(doc_id) AS VARCHAR) AS max_value
+        | FROM documents
+        | UNION ALL
+        | SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(lang) AS BIGINT),
+        |  CAST(count(DISTINCT lang) AS BIGINT),
+        |  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        | FROM documents
+        | UNION ALL
+        | SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT),
+        |  CAST(count(DISTINCT source) AS BIGINT),
+        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        | FROM documents
+        | UNION ALL
+        | SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
+        |  CAST(count(DISTINCT n_chars) AS BIGINT),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        | FROM documents)
+        |SELECT base.column_name, n_rows, n_nonnull, n_distinct, min_value,
+        | max_value, med.median_value
+        |FROM base LEFT JOIN med ON base.column_name = med.column_name""".stripMargin,
     "corpus_profile" ->
       """WITH stats AS (SELECT lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -664,6 +685,7 @@ object SparkEntry {
     "ann_topk" -> Queries.annTopKSql,
     "ann_ivf" -> Queries.ivfTopKSql,
     "semantic_dedup" -> Queries.semanticDedupSql,
+    "semantic_dedup_incremental" -> Queries.semanticDedupIncrementalSql,
     "simhash_neardup" -> Queries.simhashPairsSql,
     "corpus_clean" -> Queries.corpusCleanSql,
     "multimodal_decode" -> Queries.multimodalDecodeSql)

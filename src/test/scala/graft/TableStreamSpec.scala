@@ -320,6 +320,47 @@ class TableStreamSpec extends SparkSpec {
       "legacy log: sizes must come from the (counted) FS fallback")
   }
 
+  test("1200-dir backfill: bounded triggers, restart recovery, log-served sizes") {
+    val path = tmpDir("ts_bigbf"); val ckpt = tmpDir("ts_bigbf_ck")
+    val sink = tmpDir("ts_bigbf_sink")
+    seed(path, 0 until 5, "a") // v0: one dir, 5 rows — the clone template
+    val t = ManagedTable(spark, path)
+    val c0 = t.lastCommit.get
+    // fabricate a 1200-dir composition cheaply: clone the template dir's
+    // files at the FS level and commit the clones through the REAL
+    // writeCommit (which records each dir's bytes) — the admission path
+    // under test sees exactly what a 1200-append table would give it
+    val srcPath = new java.io.File(
+      new org.apache.hadoop.fs.Path(c0.dirs.head).toUri.getPath)
+    val dataRoot = srcPath.getParentFile
+    val clones = (0 until 1200).map { i =>
+      val d = new java.io.File(dataRoot, f"clone-$i%04d")
+      assert(d.mkdirs(), s"could not create $d")
+      srcPath.listFiles().foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(d, f.getName).toPath)
+      }
+      d.getAbsolutePath
+    }
+    t.writeCommit(ManagedTable.Commit(1L, "APPEND",
+      System.currentTimeMillis(), clones, Map.empty, None,
+      c0.schemaDdl, 0L), Some(c0))
+    // 1200 dirs / 400 per trigger → exactly 3 bounded chunks; every
+    // runOnce is a RESTART recovering its position from the checkpoint,
+    // and the byte budget keeps the byte-admission logic engaged —
+    // served from the commit log, zero FS size walks at 1200-dir scale
+    val before = ManagedTable.sizeListings.get()
+    val counts = (1 to 4).map { _ =>
+      runOnce(path, ckpt, sink, maxDirsPerTrigger = Some(400),
+        maxBytesPerTrigger = Some(1L << 40))
+      spark.read.parquet(sink).count()
+    }
+    assert(counts === Seq(2000L, 4000L, 6000L, 6000L),
+      "⌈1200/400⌉ = 3 bounded chunks, then idle — no loss, no duplicates")
+    assert(ManagedTable.sizeListings.get() === before,
+      "1200-dir admission must be served from Commit.dirBytes")
+  }
+
   test("restart resumes bounded admission from the checkpoint, not the table head") {
     val path = tmpDir("ts_clamp"); val ckpt = tmpDir("ts_clamp_ck")
     val sink = tmpDir("ts_clamp_sink")
