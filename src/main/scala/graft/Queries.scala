@@ -186,6 +186,90 @@ object Queries {
       | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       |GROUP BY p_brand, p_type, p_size""".stripMargin
 
+  /** TPC-H Q4 shape (order priority checking): orders in a quarter that
+    * had at least one slow lineitem, counted by priority. The synthetic
+    * lineitem carries no commit/receipt dates, so "slow" is re-derived
+    * as `l_shipdate > o_orderdate + 60 days` — preserving Q4's defining
+    * plan shape: a LEFT SEMI join whose condition mixes an equi key
+    * (orderkey) with a correlated non-equi date comparison. Scale: the
+    * order-date window prunes the orders scan; the semi join shuffles
+    * both sides on orderkey once and keeps at most one match per order
+    * (no fact-side row explosion), then the tiny 5-group aggregate. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = pq(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01") &&
+        col("o_orderdate") < lit("1996-10-01"))
+    val li = pq(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    * orders, the suppliers whose lineitem was late while EVERY other
+    * supplier on the same order shipped on time — the classic
+    * semi-join + anti-join pair against the same fact table in one
+    * plan. "Late" is `l_shipdate > o_orderdate + 60 days` (no
+    * commit/receipt dates in the synthetic schema). Scale: the late
+    * set l1 is built once with a single orderkey-keyed join and reused
+    * by both the multi-supplier semi join and the no-other-late anti
+    * join (same shuffle key, so the exchange is reused); supplier and
+    * nation dims broadcast; deterministic (numwait desc, s_name)
+    * top-25. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = pq(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = pq(spark, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    // one late-lineitem row per (order, supplier): keeps counts engine-neutral
+    val late = li.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val all = li.select("l_orderkey", "l_suppkey").distinct()
+    val l2 = all.withColumnRenamed("l_suppkey", "other_suppkey")
+    val l3 = late.select(col("l_orderkey").as("lo_orderkey"),
+      col("l_suppkey").as("late_suppkey"))
+    val waiting = late
+      .join(l2, late("l_orderkey") === l2("l_orderkey") &&
+        col("other_suppkey") =!= late("l_suppkey"), "left_semi")
+      .join(l3, late("l_orderkey") === l3("lo_orderkey") &&
+        col("late_suppkey") =!= late("l_suppkey"), "left_anti")
+    val s = pq(spark, dir, "supplier")
+    waiting.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(25)
+  }
+
+  val q21Sql: String =
+    """WITH late AS (
+      | SELECT DISTINCT l_orderkey, l_suppkey
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | WHERE o_orderstatus = 'F'
+      |   AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
+
   /** Multi-join revenue per nation with explicitly broadcast dimension
     * tables (region/nation/supplier stay tiny at every scale factor; the
     * only shuffles left are the two fact-table joins + final agg). */
@@ -2108,6 +2192,36 @@ object Queries {
       |SELECT doc_id, lang, source FROM r
       |WHERE (lang = 'en' AND rn <= 100) OR (lang = 'de' AND rn <= 40)
       |   OR (lang = 'fr' AND rn <= 40) OR (lang = 'es' AND rn <= 20)""".stripMargin
+
+  /** Deterministic training order ([[graft.operators.Sampling.trainingOrder]]):
+    * every document gets a hash shard and an in-shard position; (pos,
+    * shard) lexicographic order is the reproducible global curriculum.
+    * The oracle re-derives shard and position from md5 alone — the
+    * hex-prefix→int step is spelled as strpos arithmetic because DuckDB
+    * has no conv(); identical values or the hash check fails. */
+  def trainingOrderDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.trainingOrder(pq(spark, dir, "documents"), Seq("doc_id"),
+      numShards = 8, salt = "epoch1")
+      .select("doc_id", "lang", "shard", "pos")
+  }
+
+  val trainingOrderDocsSql: String = {
+    // hex char c (1-indexed position i of h) -> value * 16^(4-i)
+    def nib(i: Int, mult: Int) =
+      s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $mult"
+    s"""WITH d AS (
+       | SELECT doc_id, lang,
+       |  md5(concat_ws('|', 'epoch1', CAST(doc_id AS VARCHAR))) AS h
+       | FROM documents),
+       |s AS (
+       | SELECT doc_id, lang, h,
+       |  CAST((${nib(1, 4096)} + ${nib(2, 256)} + ${nib(3, 16)} + ${nib(4, 1)}) % 8 AS INTEGER) AS shard
+       | FROM d)
+       |SELECT doc_id, lang, shard,
+       | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM s""".stripMargin
+  }
 
   /** Fixed-boundary sequence packing: per-language 2000-char training
     * shards; a document's bin is where its exclusive prefix sum starts. */

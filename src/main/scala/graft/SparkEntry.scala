@@ -26,6 +26,8 @@ object SparkEntry {
     "q3_top_orders" -> (Queries.q3TopOrders(_, _)),
     "q10_returned_customers" -> (Queries.q10ReturnedCustomers(_, _)),
     "q16_parts_supplier" -> (Queries.q16PartsSupplier(_, _)),
+    "q4_order_priority" -> (Queries.q4OrderPriority(_, _)),
+    "q21_waiting_suppliers" -> (Queries.q21WaitingSuppliers(_, _)),
     "q5_region_revenue" -> (Queries.q5RegionRevenue(_, _)),
     "events_window" -> (Queries.eventsWindow(_, _)),
     "rollup_revenue" -> (Queries.rollupRevenue(_, _)),
@@ -136,6 +138,7 @@ object SparkEntry {
     "tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Queries.pq(s, d, "documents"))),
     "normalize_text" -> ((s, d) => TextOps.normalizeText(Queries.pq(s, d, "documents"))),
     "mixture_sample" -> (Queries.mixtureSampleDocs(_, _)),
+    "training_order" -> (Queries.trainingOrderDocs(_, _)),
     "dedup_paragraphs" -> ((s, d) => TextOps.dedupParagraphs(Queries.pq(s, d, "documents"))),
     // near-dup + similarity + multimodal (MinHash-LSH / SimHash / ANN)
     "dedup_minhash" -> ((s, d) =>
@@ -200,6 +203,8 @@ object SparkEntry {
     "q3_top_orders" -> Queries.q3Sql,
     "q10_returned_customers" -> Queries.q10Sql,
     "q16_parts_supplier" -> Queries.q16Sql,
+    "q4_order_priority" -> Queries.q4Sql,
+    "q21_waiting_suppliers" -> Queries.q21Sql,
     "q5_region_revenue" -> Queries.q5Sql,
     "events_window" -> Queries.eventsWindowSql,
     "rollup_revenue" -> Queries.rollupRevenueSql,
@@ -579,6 +584,7 @@ object SparkEntry {
         | length(clean_text) AS n_chars_clean
         |FROM c""".stripMargin,
     "mixture_sample" -> Queries.mixtureSampleDocsSql,
+    "training_order" -> Queries.trainingOrderDocsSql,
     "dedup_paragraphs" ->
       """WITH p AS (SELECT doc_id,
         |  unnest(str_split(text, chr(10))) AS para,
