@@ -267,4 +267,40 @@ object Sampling {
     base.withColumn(rn, row_number().over(w))
       .filter(col(rn) <= capExpr).drop(rn)
   }
+
+  /** Deterministic training order: assign every row a hash shard and a
+    * position within it, so `(pos, shard)` lexicographic order IS the
+    * training curriculum — a round-robin interleave across hash shards,
+    * i.e. a reproducible global shuffle that any engine recomputes
+    * bit-identically from (keys, salt) alone.
+    *
+    * Scale: a true global shuffle (ORDER BY hash) is a full range sort
+    * and at read time a single consumer sequence; sharding instead
+    * shuffles once on the 16-bit hash prefix and sorts each shard
+    * independently — shard sizes are ~N/numShards by hash uniformity,
+    * so per-shard state is bounded, and training jobs stream shards in
+    * parallel exactly like webdataset/Megatron shard loaders. The
+    * interleave keeps the curriculum well-mixed: consecutive positions
+    * of one shard are hash-distant documents.
+    *
+    * `numShards` must be in [1, 65536] (shards come from the first 4
+    * hex chars of the row hash); powers of two divide 65536 evenly and
+    * give exactly balanced shard probabilities. */
+  def trainingOrder(df: DataFrame, keys: Seq[String], numShards: Int,
+                    salt: String = "", shardCol: String = "shard",
+                    posCol: String = "pos"): DataFrame = {
+    require(keys.nonEmpty, "trainingOrder needs key columns")
+    require(numShards >= 1 && numShards <= 65536,
+      s"numShards must be in [1, 65536], got $numShards")
+    val h = md5(concat_ws("|",
+      (lit(salt) +: keys.map(c => col(s"`$c`").cast("string"))): _*))
+    val hc = "__graft_h__"
+    val w = Window.partitionBy(col(s"`$shardCol`"))
+      .orderBy(col(hc) +: keys.map(c => col(s"`$c`")): _*)
+    df.withColumn(hc, h)
+      .withColumn(shardCol,
+        (conv(substring(col(hc), 1, 4), 16, 10).cast("int") % numShards))
+      .withColumn(posCol, row_number().over(w))
+      .drop(hc)
+  }
 }

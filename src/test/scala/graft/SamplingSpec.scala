@@ -306,4 +306,32 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.mixtureQuotas(1000000000001L, Map("en" -> 0.3))("en")
       === 300000000000L)
   }
+
+  test("trainingOrder: total order, balanced shards, partitioning-independent") {
+    val got = Sampling.trainingOrder(docs, Seq("doc_id"), numShards = 8,
+      salt = "epoch1")
+    // every row exactly once, every (shard, pos) unique and dense from 1
+    assert(got.count() === docs.count())
+    import org.apache.spark.sql.functions.{countDistinct, max => smax}
+    val perShard = got.groupBy("shard")
+      .agg(count(lit(1)).as("n"), countDistinct(col("pos")).as("np"),
+        smax(col("pos")).as("mp"))
+      .collect()
+    assert(perShard.length === 8)
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("np") === r.getAs[Long]("n"), s"pos not unique: $r")
+      assert(r.getAs[Int]("mp").toLong === r.getAs[Long]("n"), s"pos not dense: $r")
+    }
+    // hash balance: no shard more than 3x the mean at 500 docs
+    val ns = perShard.map(_.getAs[Long]("n"))
+    assert(ns.max < ns.sum / 8 * 3, s"shards unbalanced: ${ns.mkString(",")}")
+    // deterministic under repartitioning
+    assertSameRows(got,
+      Sampling.trainingOrder(docs.repartition(13), Seq("doc_id"), 8, "epoch1"))
+    // a different salt is a different epoch order: some doc moves shard
+    val ep2 = Sampling.trainingOrder(docs, Seq("doc_id"), 8, "epoch2")
+    val moved = got.select("doc_id", "shard")
+      .except(ep2.select("doc_id", "shard")).count()
+    assert(moved > 0, "epoch salt did not reshuffle any document")
+  }
 }
