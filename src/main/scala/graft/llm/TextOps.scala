@@ -614,9 +614,15 @@ object TextOps {
     * frozen corpus, then [[tfidfKeywordsWith]] per scoring run, which
     * tokenizes each document exactly once. */
   def tfidfKeywords(docs: DataFrame, textCol: String = "text",
-                    idCol: String = "doc_id", k: Int = 3): DataFrame =
-    tfidfKeywordsWith(docs, docFreqModel(docs, textCol, idCol),
-      textCol, idCol, k)
+                    idCol: String = "doc_id", k: Int = 3): DataFrame = {
+    // Thread the corpus size from a plain row count of the input — NOT
+    // through docFreqModel's stamped n_docs column, which would force a
+    // second wordcount aggregate (and a second 1-row broadcast) just to
+    // re-derive a scalar the docs scan gives for free.
+    val dt = docTermFreq(docs, textCol, idCol)
+    rankTfidf(dt, dt.groupBy("tok").agg(count(lit(1)).as("df")),
+      docs.agg(count(lit(1)).as("n_docs")), idCol, k)
+  }
 
   /** The standing document-frequency model behind [[tfidfKeywords]]:
     * `(tok, df, n_docs)`, with the corpus size stamped on every row so
@@ -644,14 +650,24 @@ object TextOps {
     * (every token matches, so the OOV rule never fires). */
   def tfidfKeywordsWith(batch: DataFrame, dfModel: DataFrame,
                         textCol: String = "text", idCol: String = "doc_id",
-                        k: Int = 3): DataFrame = {
+                        k: Int = 3): DataFrame =
+    rankTfidf(docTermFreq(batch, textCol, idCol),
+      dfModel.select(col("tok"), col("df")),
+      dfModel.agg(max(col("n_docs")).as("n_docs")), idCol, k)
+
+  /** Shared ranking tail of [[tfidfKeywords]]/[[tfidfKeywordsWith]]:
+    * join per-doc term freqs to the `(tok, df)` side (left + OOV
+    * `df = 1`, a no-op when the model covers the batch), broadcast the
+    * 1-row `n_docs` scalar, score, and take the per-doc top-k window.
+    * Exactly ONE non-equi join — the scalar broadcast — in either
+    * calling form; PlanSpec pins that. */
+  private def rankTfidf(dt: DataFrame, dfSide: DataFrame, nDocs: DataFrame,
+                        idCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
-    val dt = docTermFreq(batch, textCol, idCol)
-    val n = dfModel.agg(max(col("n_docs")).as("n_docs"))
-    val scored = dt.join(dfModel.select(col("tok"), col("df")), Seq("tok"), "left")
+    val scored = dt.join(dfSide, Seq("tok"), "left")
       .withColumn("df", coalesce(col("df"), lit(1L)))
-      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(nDocs))
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("tok").asc)
