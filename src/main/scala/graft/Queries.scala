@@ -1417,6 +1417,83 @@ object Queries {
       |FROM agg a JOIN norm n ON a.doc_id = n.doc_id
       |WHERE a.n_tokens >= 5 AND a.n_rare_tokens * 5 <= a.n_tokens""".stripMargin
 
+  /** STREAMING exact dedup: documents arrive in two micro-batches (even
+    * ids, then odd ids) and each batch keeps only content never seen
+    * before — batch-locally the min-id row per text hash, then an
+    * anti-join against the silver table's standing hashes, appended
+    * exactly-once. The survivor rule is fully deterministic:
+    * (arrival batch, doc_id) per hash — no reliance on which rows a
+    * stateful operator happens to see first inside a batch. At 100 TB
+    * the silver side of the anti-join prunes to the single hash column
+    * through the managed-table read path (a standing hash INDEX in
+    * table form); the per-batch cost is the batch's hash pass plus one
+    * hash-keyed anti-join, never a corpus rescan. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.expressions.Window
+    val bronze = tmp("sdedup_bronze")
+    val silver = tmp("sdedup_silver")
+    val ckpt = tmp("sdedup_ck")
+    val appId = "stream_dedup"
+    val docs = pq(spark, dir, "documents")
+    Staging.timed {
+      ManagedTable(spark, bronze)
+        .write(docs.filter(col("doc_id") % 2 === 0), "APPEND", "replace")
+    }
+    def drain(): Unit = {
+      val q = graft.streaming.StreamOps.streamTable(spark, bronze)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          val t = ManagedTable(spark, silver)
+          val replayed = t.lastTxnVersion(appId).exists(_ >= epoch)
+          if (!replayed) {
+            val hashed = batch.withColumn("h", md5(col("text").cast("binary")))
+            val w = Window.partitionBy("h").orderBy("doc_id")
+            val local = hashed.withColumn("__rn__", row_number().over(w))
+              .filter(col("__rn__") === 1).drop("__rn__")
+            val fresh =
+              if (!t.exists) local
+              else local.join(t.read.select(col("h")), Seq("h"), "left_anti")
+            graft.write.Writers.append(spark, silver,
+              fresh.select("doc_id", "lang", "n_chars", "h"),
+              txn = Some((appId, epoch)))
+            ()
+          }
+        }
+        .start()
+      drainOrFail(q, "stream_dedup")
+    }
+    drain() // even ids: batch 0
+    // the corpus has no exact dups at small SFs, so the second batch
+    // plants cross-batch copies (every 50th doc's text under a new id)
+    // — the gate is vacuous unless the anti-join provably drops them
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId < 1000000L,
+      "planted-id offset 1000000 collides with natural doc_id range — " +
+        "raise it in BOTH the query and its oracle SQL")
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    ManagedTable(spark, bronze)
+      .write(docs.filter(col("doc_id") % 2 =!= 0).unionByName(planted),
+        "APPEND", "append")
+    drain() // odd ids + planted copies: deduped against batch 0's survivors
+    ManagedTable(spark, silver).read.select("doc_id", "lang", "n_chars")
+  }
+
+  val streamDedupSql: String =
+    """WITH corpus AS (
+      | SELECT doc_id, lang, n_chars, text, doc_id % 2 AS batch FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000, lang, n_chars, text, 1 AS batch
+      | FROM documents WHERE doc_id % 50 = 0),
+      |r AS (SELECT doc_id, lang, n_chars,
+      |  row_number() OVER (PARTITION BY md5(text)
+      |                     ORDER BY batch, doc_id) AS rn
+      | FROM corpus)
+      |SELECT doc_id, lang, n_chars FROM r WHERE rn = 1""".stripMargin
+
   /** Structured Streaming input with Trigger.AvailableNow, foreachBatch
     * re-entering the batch append writer (test_stream.py:31) — result
     * equals the batch equivalent. */
@@ -2419,6 +2496,44 @@ object Queries {
       | WHERE len(list_intersect(t.sh, r.sh)) >= 3)
       |SELECT doc_id, lang FROM s
       |WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
+  /** Incremental decontamination ([[graft.llm.Dedup.decontaminateWith]]):
+    * the eval set's shingle index is built ONCE, persisted as parquet,
+    * and a "daily" train batch (every third train doc) is checked
+    * against the reloaded index — only the batch is shingled at scoring
+    * time. The oracle recomputes the same verdicts from scratch; the
+    * persisted index must therefore be lossless. */
+  def decontaminateIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Dedup
+    import graft.operators.Sampling
+    val split = Sampling.hashSplit(pq(spark, dir, "documents"),
+      Seq("doc_id"), testFraction = 0.2)
+    val idxPath = tmp("benchidx")
+    Dedup.benchmarkIndex(split.filter(col("split") === "test").drop("split"))
+      .write.mode("overwrite").parquet(idxPath)
+    val batch = split.filter(col("split") === "train" && col("doc_id") % 3 === 0)
+      .drop("split")
+    Dedup.decontaminateWith(batch, spark.read.parquet(idxPath), minShared = 3)
+      .select("doc_id", "lang")
+  }
+
+  val decontaminateIncrementalSql: String =
+    """WITH s AS (SELECT doc_id, lang,
+      |  CASE WHEN substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR))), 1, 8)
+      |            < '33333333'
+      |       THEN 'test' ELSE 'train' END AS split, text
+      | FROM documents),
+      |d AS (SELECT doc_id, split,
+      |  list_distinct([g[i] || ' ' || g[i+1] || ' ' || g[i+2]
+      |                 for i in range(1, len(g)-1)]) AS sh
+      | FROM (SELECT doc_id, split,
+      |        regexp_extract_all(lower(text), '[a-z0-9]+') AS g FROM s)),
+      |bad AS (SELECT DISTINCT r.doc_id
+      | FROM d t JOIN d r ON t.split = 'test' AND r.split = 'train'
+      | WHERE r.doc_id % 3 = 0 AND len(list_intersect(t.sh, r.sh)) >= 3)
+      |SELECT doc_id, lang FROM s
+      |WHERE split = 'train' AND doc_id % 3 = 0
+      |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
 
   /** Token-budget quota per language (capTokensPerGroup): admit docs in
     * key-hash order while the tokens admitted before each doc stay under

@@ -69,6 +69,7 @@ object SparkEntry {
     "export_shard_files" -> (Queries.exportShardFiles(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
     "decontaminate_train" -> (Queries.decontaminateTrain(_, _)),
+    "decontaminate_incremental" -> (Queries.decontaminateIncremental(_, _)),
     "cap_tokens_per_group" -> (Queries.capTokensPerLang(_, _)),
     "pii_redact" -> (Queries.piiRedact(_, _)),
     "chunk_documents" -> (Queries.chunkDocs(_, _)),
@@ -95,6 +96,7 @@ object SparkEntry {
     "stream_table_source" -> (Queries.streamTableSource(_, _)),
     "stream_table_sink" -> (Queries.streamTableSink(_, _)),
     "stream_curate" -> (Queries.streamCurate(_, _)),
+    "stream_dedup" -> (Queries.streamDedup(_, _)),
     "stream_join" -> (Queries.streamJoin(_, _)),
     "sessionize" -> (Queries.sessionizeEvents(_, _)),
     // LLM-pipeline text operators
@@ -242,6 +244,7 @@ object SparkEntry {
     "export_shard_files" -> Queries.exportShardFilesSql,
     "contamination_check" -> Queries.contaminationCheckSql,
     "decontaminate_train" -> Queries.decontaminateTrainSql,
+    "decontaminate_incremental" -> Queries.decontaminateIncrementalSql,
     "cap_tokens_per_group" -> Queries.capTokensPerLangSql,
     "pii_redact" -> Queries.piiRedactSql,
     "chunk_documents" -> Queries.chunkDocsSql,
@@ -267,6 +270,7 @@ object SparkEntry {
     "stream_table_source" -> Queries.streamTableSourceSql,
     "stream_table_sink" -> Queries.streamTableSinkSql,
     "stream_curate" -> Queries.streamCurateSql,
+    "stream_dedup" -> Queries.streamDedupSql,
     "stream_join" -> Queries.streamJoinSql,
     "sessionize" -> Queries.sessionizeEventsSql,
     "dedup_exact" ->

@@ -398,6 +398,61 @@ object Dedup {
   }
 
   /**
+   * Standing eval-set shingle index for INCREMENTAL decontamination:
+   * one `(gram, test_id)` row per distinct word `shingleN`-gram per
+   * eval doc. Persist it once per benchmark release; every daily train
+   * batch then checks against the index without re-shingling the eval
+   * set — the same persisted-index pattern as [[buildNearDupIndex]] /
+   * `unigramModel`. Eval suites are tiny next to a training corpus, so
+   * the persisted index is usually broadcast by AQE at join time.
+   */
+  def benchmarkIndex(test: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id", shingleN: Int = 3): DataFrame =
+    test.select(col(idCol).as("test_id"),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("gram"))
+
+  /**
+   * [[contaminationPairs]] against a STANDING [[benchmarkIndex]]: only
+   * the batch is shingled; cost is O(batch shingles + shared-gram
+   * occurrences) per day, never a re-sweep of the eval set. Boilerplate
+   * control moves from the one-shot form's per-corpus `maxTrainDocFreq`
+   * to an optional `commonGrams` blocklist (one `gram` column) computed
+   * ONCE from the standing corpus — a per-batch doc-freq cap would make
+   * a gram's fate depend on which day it arrived.
+   */
+  def contaminationPairsWith(batch: DataFrame, benchIndex: DataFrame,
+                             textCol: String = "text", idCol: String = "doc_id",
+                             shingleN: Int = 3, minShared: Int = 3,
+                             commonGrams: Option[DataFrame] = None): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val b0 = batch.select(col(idCol).as("train_id"),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("gram"))
+    val b = commonGrams.fold(b0)(cg =>
+      b0.join(cg.select("gram"), Seq("gram"), "left_anti"))
+    b.join(benchIndex.select("test_id", "gram"), "gram")
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
+   * The incremental decontamination ACTION: batch docs safe to append
+   * given the standing [[benchmarkIndex]] — one anti-join over the ids
+   * [[contaminationPairsWith]] flags. With the full train corpus as the
+   * batch and no gram blocklist this selects exactly what the one-shot
+   * [[decontaminate]] keeps (DedupSpec pins the equivalence).
+   */
+  def decontaminateWith(batch: DataFrame, benchIndex: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        shingleN: Int = 3, minShared: Int = 3,
+                        commonGrams: Option[DataFrame] = None): DataFrame = {
+    val bad = contaminationPairsWith(batch, benchIndex, textCol, idCol,
+      shingleN, minShared, commonGrams)
+      .select(col("train_id").as(idCol)).distinct()
+    batch.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Decontaminate a training corpus against an eval set: drop every
    * train doc sharing at least `minShared` distinct shingles with ANY
    * test doc — the action step on top of [[contaminationPairs]]'s

@@ -372,4 +372,39 @@ class DedupSpec extends SparkSpec {
       maxTrainDocFreq = Some(2))
     assert(filtered.count() === 0)
   }
+
+  test("decontaminateWith against a persisted benchmark index equals one-shot") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_benchidx").toString + "/idx"
+    Dedup.benchmarkIndex(test).write.parquet(idxPath)
+    val idx = spark.read.parquet(idxPath)
+    // full train corpus as the batch: incremental == one-shot
+    assertSameRows(
+      Dedup.decontaminateWith(train, idx).select("doc_id"),
+      Dedup.decontaminate(train, test).select("doc_id"))
+    // a daily slice: flagged iff flagged in the full run
+    val batch = train.filter(col("doc_id") % 3 === 0)
+    assertSameRows(
+      Dedup.decontaminateWith(batch, idx).select("doc_id"),
+      Dedup.decontaminate(train, test).select("doc_id")
+        .filter(col("doc_id") % 3 === 0))
+  }
+
+  test("contaminationPairsWith commonGrams blocklist ignores boilerplate") {
+    import spark.implicits._
+    val boiler = "this document is confidential and proprietary"
+    val batch = (1L to 5L).map(i => (i, s"$boiler unique tail number $i"))
+      .toDF("doc_id", "text")
+    val test = Seq((10L, s"$boiler something else entirely")).toDF("doc_id", "text")
+    val idx = Dedup.benchmarkIndex(test)
+    assert(Dedup.contaminationPairsWith(batch, idx, minShared = 1).count() === 5)
+    // blocklist = the boilerplate's own shingles, as a standing table
+    val cg = Dedup.benchmarkIndex(
+      Seq((0L, boiler)).toDF("doc_id", "text")).select("gram")
+    assert(Dedup.contaminationPairsWith(batch, idx, minShared = 1,
+      commonGrams = Some(cg)).count() === 0)
+  }
 }
