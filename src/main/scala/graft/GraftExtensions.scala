@@ -259,6 +259,30 @@ object GraftExtensions {
         graft.llm.Similarity.buildSemanticIndex(cents, corpus),
         threshold = dblArg(args(2), "threshold")))
     },
+    "graft_training_order" -> { args =>
+      require(args.size == 3 || args.size == 4,
+        "graft_training_order(table, keys_csv, num_shards[, salt]) takes 3 or 4 arguments")
+      val salt = if (args.size == 4) strArg(args(3), "salt") else ""
+      plan(graft.operators.Sampling.trainingOrder(
+        table(args.head),
+        keys = strArg(args(1), "keys_csv").split(",").map(_.trim).toSeq,
+        numShards = intArg(args(2), "num_shards"), salt = salt))
+    },
+    // two-table forms over a persisted benchmark shingle index
+    "graft_contamination_against" -> { args =>
+      require(args.size == 2 || args.size == 3,
+        "graft_contamination_against(batch, bench_index[, min_shared]) takes 2 or 3 arguments")
+      val ms = if (args.size == 3) intArg(args(2), "min_shared") else 3
+      plan(Dedup.contaminationPairsWith(table(args.head), table(args(1)),
+        minShared = ms))
+    },
+    "graft_decontaminate_against" -> { args =>
+      require(args.size == 2 || args.size == 3,
+        "graft_decontaminate_against(batch, bench_index[, min_shared]) takes 2 or 3 arguments")
+      val ms = if (args.size == 3) intArg(args(2), "min_shared") else 3
+      plan(Dedup.decontaminateWith(table(args.head), table(args(1)),
+        minShared = ms))
+    },
     // content-keyed sampling: keys are a comma-separated column list so
     // the TVF stays positional ('a,b' == Seq("a","b"))
     "graft_hash_sample" -> { args =>

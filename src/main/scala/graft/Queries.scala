@@ -325,6 +325,76 @@ object Queries {
       | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
       |WHERE rn <= 5""".stripMargin
 
+  /** Window FRAME surface beyond lag/row_number: a value-based RANGE
+    * frame (5-minute rolling sum per user — frame membership is decided
+    * by the timestamp VALUE, so ties contribute identically in any
+    * engine and any row order), ntile quartiles, percent_rank, and an
+    * explicit unbounded ROWS frame for last_value. Sums run over
+    * decimal-cast values: a double sum's result depends on reduction
+    * order, a decimal sum's does not. All orderings carry the event_id
+    * tiebreak so every window is a total order. */
+  def eventsFrames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev0 = pq(spark, dir, "events")
+    val ev = ev0.withColumn("ts_us", eventMicros(ev0))
+      .withColumn("dv", col("value").cast("decimal(18,6)"))
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-300000000L, 0L) // 5 minutes in micros, inclusive
+    val byRow = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val full = byRow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev.select(col("user_id"), col("event_id"), col("ts_us"),
+        sum(col("dv")).over(byTime).cast("string").as("rolling_5m"),
+        ntile(4).over(byRow).as("quartile"),
+        percent_rank().over(byRow).cast("decimal(9,6)").cast("string").as("pct_rank"),
+        last(col("event_id")).over(full).as("last_event_id"))
+      .filter(col("user_id") % 7 === 0)
+  }
+
+  val eventsFramesSql: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |   RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS VARCHAR) AS rolling_5m,
+      | CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+      | CAST(CAST(PERCENT_RANK() OVER w AS DECIMAL(9,6)) AS VARCHAR) AS pct_rank,
+      | LAST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event_id
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |QUALIFY user_id % 7 = 0""".stripMargin
+
+  /** Explicit GROUPING SETS with grouping_id disambiguation — the
+    * general grouping-sets form (rollup/cube are its two shorthands;
+    * this exercises an arbitrary set list plus the grouping() marker
+    * that tells a real NULL group from a super-aggregate row). */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("total_price"),
+        count(lit(1)).as("n_orders"),
+        grouping(col("o_orderpriority")).as("g_priority"),
+        grouping(col("o_orderstatus")).as("g_status"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("g_priority").cast("int").as("g_priority"),
+        col("g_status").cast("int").as("g_status"),
+        col("total_price"), col("n_orders"))
+
+  val groupingSetsRevenueSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+      | coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+      | CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      | CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total_price,
+      | COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())""".stripMargin
+
   /** ROLLUP aggregation (grouping-sets family — beyond the reference's
     * own operator set, exposed through the engine's SQL surface). */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame =

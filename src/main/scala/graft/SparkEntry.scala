@@ -30,6 +30,8 @@ object SparkEntry {
     "q21_waiting_suppliers" -> (Queries.q21WaitingSuppliers(_, _)),
     "q5_region_revenue" -> (Queries.q5RegionRevenue(_, _)),
     "events_window" -> (Queries.eventsWindow(_, _)),
+    "events_frames" -> (Queries.eventsFrames(_, _)),
+    "grouping_sets" -> (Queries.groupingSetsRevenue(_, _)),
     "rollup_revenue" -> (Queries.rollupRevenue(_, _)),
     "cube_revenue" -> (Queries.cubeRevenue(_, _)),
     "pivot_status" -> (Queries.pivotStatus(_, _)),
@@ -209,6 +211,8 @@ object SparkEntry {
     "q21_waiting_suppliers" -> Queries.q21Sql,
     "q5_region_revenue" -> Queries.q5Sql,
     "events_window" -> Queries.eventsWindowSql,
+    "events_frames" -> Queries.eventsFramesSql,
+    "grouping_sets" -> Queries.groupingSetsRevenueSql,
     "rollup_revenue" -> Queries.rollupRevenueSql,
     "cube_revenue" -> Queries.cubeRevenueSql,
     "pivot_status" -> Queries.pivotStatusSql,

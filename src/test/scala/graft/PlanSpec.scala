@@ -47,6 +47,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("cartesian"), "cartesian product in plan")
   }
 
+  test("q4: the EXISTS is a semi join — one row per order, no fact explosion") {
+    val plan = finalPlan(Queries.q4OrderPriority(spark, sf)).toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"), "cartesian product in plan")
+    // the order-date window must prune the orders scan
+    val scans = fileScans(Queries.q4OrderPriority(spark, sf))
+    val orderScan = scans.find(_.requiredSchema.fieldNames.contains("o_orderdate"))
+    assert(orderScan.exists(_.dataFilters.nonEmpty),
+      "order-date window did not reach the orders scan")
+  }
+
+  test("q21: semi and anti joins on the late set, supplier broadcast, no cartesian") {
+    val plan = finalPlan(Queries.q21WaitingSuppliers(spark, sf)).toString
+    assert(plan.contains("LeftSemi"), s"expected the multi-supplier semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected the no-other-late anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "supplier dim should broadcast")
+    assert(!plan.toLowerCase.contains("cartesian"), "cartesian product in plan")
+  }
+
   test("analytics queries stay inside WholeStageCodegen") {
     // codegen'd operators render with the `*(stageId)` prefix
     val plan = finalPlan(Queries.q1PricingSummary(spark, sf)).toString

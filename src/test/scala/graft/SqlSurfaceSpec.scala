@@ -161,6 +161,27 @@ class SqlSurfaceSpec extends SparkSpec {
           Seq("lang"), Seq("doc_id"), "n_chars", 2000L), Seq("lang")))
   }
 
+  test("training-order and decontamination TVFs match the API") {
+    docsView()
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_training_order('documents', 'doc_id', 8, 'ep1')"),
+      graft.operators.Sampling.trainingOrder(spark.table("documents"),
+        Seq("doc_id"), numShards = 8, salt = "ep1"))
+    // two-table forms over a standing benchmark index view
+    val docs = spark.table("documents")
+    graft.llm.Dedup.benchmarkIndex(docs.filter("doc_id % 5 = 0"))
+      .createOrReplaceTempView("benchidx")
+    docs.filter("doc_id % 5 <> 0").createOrReplaceTempView("trainbatch")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_contamination_against('trainbatch', 'benchidx', 2)"),
+      graft.llm.Dedup.contaminationPairsWith(spark.table("trainbatch"),
+        spark.table("benchidx"), minShared = 2))
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_decontaminate_against('trainbatch', 'benchidx', 2)"),
+      graft.llm.Dedup.decontaminateWith(spark.table("trainbatch"),
+        spark.table("benchidx"), minShared = 2))
+  }
+
   test("TVF misuse fails loudly: wrong arity and non-string table arg") {
     docsView()
     val e1 = intercept[Exception](
