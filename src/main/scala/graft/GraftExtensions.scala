@@ -259,6 +259,14 @@ object GraftExtensions {
         graft.llm.Similarity.buildSemanticIndex(cents, corpus),
         threshold = dblArg(args(2), "threshold")))
     },
+    // the merges side is a persisted (rank, a, b) table; like
+    // graft_semantic_dedup_batch the (bounded) model collects at
+    // resolution time — SQL has no place to thread a rank map through
+    "graft_bpe_encode" -> { args =>
+      require(args.size == 2,
+        "graft_bpe_encode(batch, merges_table) takes two arguments")
+      plan(graft.llm.Bpe.encodeWith(table(args.head), table(args(1))))
+    },
     "graft_training_order" -> { args =>
       require(args.size == 3 || args.size == 4,
         "graft_training_order(table, keys_csv, num_shards[, salt]) takes 3 or 4 arguments")

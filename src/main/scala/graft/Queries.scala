@@ -2567,6 +2567,22 @@ object Queries {
       |SELECT doc_id, lang FROM s
       |WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
 
+  /** Trainable BPE tokenizer ([[graft.llm.Bpe]]): learn 24 merges from
+    * the corpus's word-frequency table (one text scan + 24 pair
+    * aggregations), then encode every document under the learned ranks
+    * (broadcast merges, per-partition word memo, zero shuffles).
+    * Rank-greedy merging is a data-dependent fixpoint with no DuckDB
+    * expression, so this is a rows-only driver check; exactness is
+    * pinned by BpeSpec against an independent reference implementation
+    * (training argmax parity, encode parity, concatenation identity). */
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Bpe
+    val docs = pq(spark, dir, "documents")
+    val merges = Staging.timed { Bpe.learn(docs, numMerges = 24) }
+    Bpe.encode(docs, merges)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+  }
+
   /** Incremental decontamination ([[graft.llm.Dedup.decontaminateWith]]):
     * the eval set's shingle index is built ONCE, persisted as parquet,
     * and a "daily" train batch (every third train doc) is checked

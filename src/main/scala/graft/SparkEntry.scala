@@ -72,6 +72,9 @@ object SparkEntry {
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
     "decontaminate_train" -> (Queries.decontaminateTrain(_, _)),
     "decontaminate_incremental" -> (Queries.decontaminateIncremental(_, _)),
+    // rows-only: rank-greedy BPE has no DuckDB-expressible oracle (see
+    // Bpe.scala scaladoc); exactness is BpeSpec's reference-parity pins
+    "bpe_token_count" -> (Queries.bpeTokenCount(_, _)),
     "cap_tokens_per_group" -> (Queries.capTokensPerLang(_, _)),
     "pii_redact" -> (Queries.piiRedact(_, _)),
     "chunk_documents" -> (Queries.chunkDocs(_, _)),

@@ -182,6 +182,18 @@ class SqlSurfaceSpec extends SparkSpec {
         spark.table("benchidx"), minShared = 2))
   }
 
+  test("graft_bpe_encode TVF encodes against a persisted merges view") {
+    docsView()
+    val docs = spark.table("documents").limit(30)
+    docs.createOrReplaceTempView("bpedocs")
+    val merges = graft.llm.Bpe.learn(docs, numMerges = 6)
+    graft.llm.Bpe.mergesTable(spark, merges).createOrReplaceTempView("bpemerges")
+    assertSameRows(
+      spark.sql("SELECT doc_id, n_words, n_bpe_tokens FROM graft_bpe_encode('bpedocs', 'bpemerges')"),
+      graft.llm.Bpe.encode(docs, merges)
+        .select("doc_id", "n_words", "n_bpe_tokens"))
+  }
+
   test("TVF misuse fails loudly: wrong arity and non-string table arg") {
     docsView()
     val e1 = intercept[Exception](
