@@ -267,6 +267,15 @@ object GraftExtensions {
         "graft_bpe_encode(batch, merges_table) takes two arguments")
       plan(graft.llm.Bpe.encodeWith(table(args.head), table(args(1))))
     },
+    "graft_heavy_hitters" -> { args =>
+      require(args.size == 5,
+        "graft_heavy_hitters(table, keys_csv, item_col, capacity, k) takes five arguments")
+      plan(graft.operators.Sketches.heavyHitters(
+        table(args.head),
+        keys = strArg(args(1), "keys_csv").split(",").map(_.trim).toSeq,
+        itemCol = strArg(args(2), "item_col"),
+        capacity = intArg(args(3), "capacity"), k = intArg(args(4), "k")))
+    },
     "graft_training_order" -> { args =>
       require(args.size == 3 || args.size == 4,
         "graft_training_order(table, keys_csv, num_shards[, salt]) takes 3 or 4 arguments")

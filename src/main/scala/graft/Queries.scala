@@ -270,6 +270,112 @@ object Queries {
       |                    AND l3.l_suppkey <> l1.l_suppkey)
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    * lineitems under 40% of their part's average quantity, for one
+    * brand slice. The defining shape is the correlated scalar
+    * subquery `avg(l_quantity) per part`, planned Spark-first as a
+    * pre-aggregation joined back to the fact — the per-part avg table
+    * is dim-sized, so the join broadcasts; the fact scan reads only
+    * the filtered brand's partkeys. Decimal-exact: the 0.4·avg
+    * threshold compares decimal to decimal. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = pq(spark, dir, "lineitem")
+    val p = pq(spark, dir, "part").filter(col("p_brand") === "Brand#23")
+      .select("p_partkey")
+    val partAvg = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("pa_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(18,4)")) / count(lit(1)))
+        .cast("decimal(18,8)").as("avg_qty"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(partAvg), col("l_partkey") === col("pa_partkey"))
+      .filter(col("l_quantity").cast("decimal(18,8)") <
+        col("avg_qty") * lit(BigDecimal("0.4")))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("string").as("avg_yearly_base"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17Sql: String =
+    """WITH pa AS (
+      | SELECT l_partkey AS pa_partkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,8)) AS avg_qty
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | WHERE p_brand = 'Brand#23' GROUP BY l_partkey)
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS avg_yearly_base,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+      |JOIN pa ON l_partkey = pa_partkey
+      |WHERE CAST(l_quantity AS DECIMAL(18,8)) < avg_qty * 0.4""".stripMargin
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total
+    * quantity exceeds a threshold, joined back to customers — the
+    * aggregate-then-semi-join pattern (the HAVING subquery becomes a
+    * pre-agg reused as the join's filter side; one shuffle on
+    * orderkey serves both the agg and the join). Deterministic
+    * (o_totalprice desc, o_orderkey) top-20. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = pq(spark, dir, "lineitem")
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+      .filter(col("total_qty") > lit(BigDecimal("120")))
+    val o = pq(spark, dir, "orders")
+    val c = pq(spark, dir, "customer")
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string").as("total_price"),
+        col("total_qty").cast("string").as("total_qty"))
+  }
+
+  val q18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_price,
+      | CAST(total_qty AS VARCHAR) AS total_qty
+      |FROM (SELECT l_orderkey,
+      |        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 120) b
+      |JOIN orders ON o_orderkey = b.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 shape (global sales opportunity): above-average-balance
+    * customers who never ordered — a scalar aggregate broadcast into a
+    * filter plus a LEFT ANTI join against the orders fact, grouped by
+    * a derived country-ish code. The scalar avg is one 1-row
+    * broadcast; the anti join shuffles on custkey only. The anti side
+    * is the RECENT orders slice (synthetic order dates cover every
+    * customer eventually, so the unwindowed form is empty — "no order
+    * since 1998" keeps Q22's no-recent-activity reading and a
+    * non-vacuous result). */
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
+    val c = pq(spark, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,4)")) / count(lit(1)))
+        .cast("decimal(18,6)").as("avg_bal"))
+    val o = pq(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01")).select("o_custkey")
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal").cast("decimal(18,6)") > col("avg_bal"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 7).as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("string").as("totacctbal"))
+  }
+
+  val q22Sql: String =
+    """SELECT c_nationkey % 7 AS cntrycode, COUNT(*) AS numcust,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS totacctbal
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(18,6)) >
+      |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) / COUNT(*) AS DECIMAL(18,6))
+      |   FROM customer WHERE c_acctbal > 0)
+      | AND c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                       WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+      |GROUP BY c_nationkey % 7""".stripMargin
+
   /** Multi-join revenue per nation with explicitly broadcast dimension
     * tables (region/nation/supplier stay tiny at every scale factor; the
     * only shuffles left are the two fact-table joins + final agg). */
@@ -2137,6 +2243,27 @@ object Queries {
   val sketchDistinctSql: String =
     """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
       |FROM orders GROUP BY 1""".stripMargin
+
+  /** SpaceSaving heavy hitters ([[graft.operators.Sketches.heavyHitters]]):
+    * top-3 sources per language. The source domain (20 values) sits far
+    * under the summary capacity, so no eviction ever fires, floors stay
+    * 0, and the summary is EXACT and partitioning-independent — which
+    * is what makes it oracle-checkable; the approximate regime's
+    * bounds are property-tested in SketchesSpec. */
+  def heavyHittersDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    Sketches.heavyHitters(pq(spark, dir, "documents"), Seq("lang"),
+      "source", capacity = 64, k = 3)
+  }
+
+  val heavyHittersDocsSql: String =
+    """WITH c AS (SELECT lang, source, COUNT(*) AS n
+      |           FROM documents GROUP BY lang, source),
+      |r AS (SELECT lang, source AS item, n AS est_count,
+      |       CAST(0 AS BIGINT) AS max_err,
+      |       row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rn
+      |      FROM c)
+      |SELECT lang, item, est_count, max_err FROM r WHERE rn <= 3""".stripMargin
 
   /** Bloom-pruned fact join: revenue of lineitems belonging to URGENT
     * orders. The Bloom filter drops non-matching lineitems BEFORE the

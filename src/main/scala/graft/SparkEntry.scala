@@ -27,7 +27,10 @@ object SparkEntry {
     "q10_returned_customers" -> (Queries.q10ReturnedCustomers(_, _)),
     "q16_parts_supplier" -> (Queries.q16PartsSupplier(_, _)),
     "q4_order_priority" -> (Queries.q4OrderPriority(_, _)),
+    "q17_small_quantity" -> (Queries.q17SmallQuantity(_, _)),
+    "q18_large_orders" -> (Queries.q18LargeOrders(_, _)),
     "q21_waiting_suppliers" -> (Queries.q21WaitingSuppliers(_, _)),
+    "q22_global_sales" -> (Queries.q22GlobalSales(_, _)),
     "q5_region_revenue" -> (Queries.q5RegionRevenue(_, _)),
     "events_window" -> (Queries.eventsWindow(_, _)),
     "events_frames" -> (Queries.eventsFrames(_, _)),
@@ -58,6 +61,7 @@ object SparkEntry {
     "temporal_join" -> (Queries.temporalJoin(_, _)),
     "range_join" -> (Queries.rangeJoinActivity(_, _)),
     "sketch_distinct" -> (Queries.sketchDistinct(_, _)),
+    "heavy_hitters" -> (Queries.heavyHittersDocs(_, _)),
     "bloom_prune_join" -> (Queries.bloomPruneJoin(_, _)),
     "bucketed_join" -> (Queries.bucketedJoin(_, _)),
     // deterministic sampling + packing (operators/Sampling, llm/Packing)
@@ -211,7 +215,10 @@ object SparkEntry {
     "q10_returned_customers" -> Queries.q10Sql,
     "q16_parts_supplier" -> Queries.q16Sql,
     "q4_order_priority" -> Queries.q4Sql,
+    "q17_small_quantity" -> Queries.q17Sql,
+    "q18_large_orders" -> Queries.q18Sql,
     "q21_waiting_suppliers" -> Queries.q21Sql,
+    "q22_global_sales" -> Queries.q22Sql,
     "q5_region_revenue" -> Queries.q5Sql,
     "events_window" -> Queries.eventsWindowSql,
     "events_frames" -> Queries.eventsFramesSql,
@@ -239,6 +246,7 @@ object SparkEntry {
     "temporal_join" -> Queries.temporalJoinSql,
     "range_join" -> Queries.rangeJoinActivitySql,
     "sketch_distinct" -> Queries.sketchDistinctSql,
+    "heavy_hitters" -> Queries.heavyHittersDocsSql,
     "bloom_prune_join" -> Queries.bloomPruneJoinSql,
     "bucketed_join" -> Queries.bucketedJoinSql,
     "hash_sample" -> Queries.hashSampleDocsSql,

@@ -103,4 +103,111 @@ object Sketches {
     val d = dim.alias("__dim")
     pruned.join(d, col(s"__fact.`$factKey`") === col(s"__dim.`$dimKey`"), joinType)
   }
+
+  // ------------------------- frequent items --------------------------
+
+  /** One tracked item: estimated count and its overestimation bound —
+    * the TRUE count lies in [est_count - max_err, est_count]. */
+  final case class HeavyHit(item: String, est_count: Long, max_err: Long)
+
+  final case class SSCell(cnt: Long, err: Long)
+
+  /** Summary state: tracked items plus `floor` — an upper bound on the
+    * count any UNTRACKED item could have accumulated here (the largest
+    * count ever evicted/dropped). floor = 0 ⇒ the summary is exact. */
+  final case class SSBuf(floor: Long, items: Map[String, SSCell])
+
+  /**
+   * Mergeable SpaceSaving frequent-items summary (Metwally 2005; merge
+   * rule per Agarwal 2012, "Mergeability of summaries"). Tracks at most
+   * `capacity` items with the invariant `true ≤ est ≤ true + max_err`:
+   *
+   *  - insert when full evicts the min-count item (ties break on item
+   *    ascending, so eviction is deterministic) and the newcomer
+   *    inherits its count as both count and error — the classic rule;
+   *  - merge sums per-item counts across summaries, charging an absent
+   *    side's `floor` to both count and error (an item missing from a
+   *    summary had at most `floor` occurrences there), then truncates
+   *    back to `capacity` keeping the largest, folding the biggest
+   *    dropped count into the merged floor.
+   *
+   * Every item with true frequency > 2·(floor bound) ≈ n/capacity is
+   * guaranteed tracked. With `capacity ≥` the group's distinct count no
+   * eviction ever happens, floors stay 0, and the summary is EXACT and
+   * partitioning-independent — the regime the driver oracle pins; the
+   * approximate regime's guarantees are property-tested in SketchesSpec.
+   *
+   * Why this shape at 100 TB: an exact top-k over a high-cardinality
+   * column is a full (item → count) shuffle; this summary is a bounded
+   * map per PARTITION, combined map-side exactly like a sum, with
+   * per-group state capped at `capacity` entries however many distinct
+   * items flow through.
+   */
+  final class SpaceSaving(capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, SSBuf, Seq[HeavyHit]] {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+    def zero: SSBuf = SSBuf(0L, Map.empty)
+
+    private def evictMin(items: Map[String, SSCell]): (String, SSCell) =
+      items.minBy { case (item, c) => (c.cnt, item) }
+
+    def reduce(b: SSBuf, item: String): SSBuf = {
+      val key = if (item == null) "" else item
+      b.items.get(key) match {
+        case Some(c) =>
+          b.copy(items = b.items.updated(key, c.copy(cnt = c.cnt + 1)))
+        case None if b.items.size < capacity =>
+          b.copy(items = b.items.updated(key, SSCell(1L, 0L)))
+        case None =>
+          val (mItem, mCell) = evictMin(b.items)
+          SSBuf(math.max(b.floor, mCell.cnt),
+            (b.items - mItem).updated(key, SSCell(mCell.cnt + 1, mCell.cnt)))
+      }
+    }
+
+    def merge(x: SSBuf, y: SSBuf): SSBuf = {
+      if (x.items.isEmpty && x.floor == 0) return y
+      if (y.items.isEmpty && y.floor == 0) return x
+      val union = (x.items.keySet ++ y.items.keySet).toSeq
+      val summed = union.map { item =>
+        val a = x.items.getOrElse(item, SSCell(x.floor, x.floor))
+        val b = y.items.getOrElse(item, SSCell(y.floor, y.floor))
+        item -> SSCell(a.cnt + b.cnt, a.err + b.err)
+      }
+      val floor0 = x.floor + y.floor
+      if (summed.size <= capacity) SSBuf(floor0, summed.toMap)
+      else {
+        val (keep, drop) = summed
+          .sortBy { case (item, c) => (-c.cnt, item) }.splitAt(capacity)
+        SSBuf(math.max(floor0, drop.map(_._2.cnt).max), keep.toMap)
+      }
+    }
+
+    def finish(b: SSBuf): Seq[HeavyHit] =
+      b.items.toSeq.sortBy { case (item, c) => (-c.cnt, item) }
+        .map { case (item, c) => HeavyHit(item, c.cnt, c.err) }
+
+    def bufferEncoder: org.apache.spark.sql.Encoder[SSBuf] =
+      org.apache.spark.sql.Encoders.product[SSBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[HeavyHit]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Per-group top-`k` frequent items via [[SpaceSaving]]: one
+    * aggregation (map-side combinable, ≤ `capacity` entries of state
+    * per group anywhere in the plan), then an explode of the ≤
+    * `capacity`-element summary down to `k` rows per group. */
+  def heavyHitters(df: DataFrame, keys: Seq[String], itemCol: String,
+                   capacity: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= capacity, s"need 1 <= k <= capacity, got k=$k")
+    val agg = udaf(new SpaceSaving(capacity))
+    df.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(agg(col(s"`$itemCol`").cast("string")).as("__hh__"))
+      .select((keys.map(c => col(s"`$c`")) :+
+        posexplode(slice(col("__hh__"), lit(1), lit(k)))): _*)
+      .drop("pos")
+      .select((keys.map(c => col(s"`$c`")) :+ col("col.item") :+
+        col("col.est_count") :+ col("col.max_err")): _*)
+  }
 }

@@ -114,4 +114,45 @@ class SketchesSpec extends SparkSpec {
       expectedItems = 10)
     assert(got.select("k2").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
+
+  test("heavyHitters exact regime: equals groupBy counts, zero error, any partitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Sketches.heavyHitters(docs, Seq("lang"), "source",
+      capacity = 64, k = 3)
+    assert(got.filter(col("max_err") =!= 0).count() === 0,
+      "no eviction can happen below capacity — errors must be 0")
+    val oracle = docs.groupBy("lang", "source").count()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("count").desc, col("source"))))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("source").as("item"),
+        col("count").as("est_count"), lit(0L).as("max_err"))
+    assertSameRows(got, oracle)
+    assertSameRows(got, Sketches.heavyHitters(docs.repartition(13),
+      Seq("lang"), "source", capacity = 64, k = 3))
+  }
+
+  test("heavyHitters approximate regime: overestimates within bound, heavy items present") {
+    import spark.implicits._
+    // zipf-ish stream: item i appears ~ 2000/i times, 100 distinct items,
+    // summary capacity only 20 — evictions guaranteed
+    val rows = (1 to 100).flatMap(i => Seq.fill(2000 / i)(s"item_$i"))
+    val n = rows.size.toLong
+    val df = rows.toDF("item").repartition(7)
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val hits = Sketches.heavyHitters(df.withColumn("g", lit(1)), Seq("g"),
+      "item", capacity = 20, k = 20).collect()
+    hits.foreach { r =>
+      val (item, est, err) = (r.getAs[String]("item"),
+        r.getAs[Long]("est_count"), r.getAs[Long]("max_err"))
+      val t = truth(item)
+      assert(est >= t, s"$item underestimated: est $est < true $t")
+      assert(est - err <= t, s"$item bound broken: est $est - err $err > true $t")
+    }
+    // anything with true count > 2n/capacity must be tracked
+    val tracked = hits.map(_.getAs[String]("item")).toSet
+    truth.filter(_._2 > 2 * n / 20).keys.foreach(item =>
+      assert(tracked.contains(item), s"heavy item $item lost"))
+  }
 }

@@ -194,6 +194,14 @@ class SqlSurfaceSpec extends SparkSpec {
         .select("doc_id", "n_words", "n_bpe_tokens"))
   }
 
+  test("graft_heavy_hitters TVF matches the API") {
+    docsView()
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_heavy_hitters('documents', 'lang', 'source', 64, 3)"),
+      graft.operators.Sketches.heavyHitters(spark.table("documents"),
+        Seq("lang"), "source", capacity = 64, k = 3))
+  }
+
   test("TVF misuse fails loudly: wrong arity and non-string table arg") {
     docsView()
     val e1 = intercept[Exception](
