@@ -501,6 +501,43 @@ object Queries {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())""".stripMargin
 
+  /** Ordered funnel over the event stream: users who did
+    * view → click → purchase in strict timestamp order, counted per
+    * stage. Each stage is a user-keyed aggregate joined to the
+    * previous stage's first-completion time — every join and groupBy
+    * keys on user_id, so one hash partitioning serves the whole chain
+    * (no broadcast needed: stages shrink monotonically but start
+    * user-cardinality-sized). Strict `>` plus min() at every stage
+    * makes the stage times unique per user and the counts exact. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev0 = pq(spark, dir, "events")
+    val ev = ev0.withColumn("ts_us", eventMicros(ev0))
+      .select("user_id", "event_type", "ts_us")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t3"))
+    s1.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_clicked")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_purchased")))
+  }
+
+  val funnelStepsSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_viewed,
+      |       (SELECT COUNT(*) FROM s2) AS n_clicked,
+      |       (SELECT COUNT(*) FROM s3) AS n_purchased""".stripMargin
+
   /** ROLLUP aggregation (grouping-sets family — beyond the reference's
     * own operator set, exposed through the engine's SQL surface). */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
@@ -2506,6 +2543,39 @@ object Queries {
       .select("doc_id", "lang", "offset", "bin")
   }
 
+  /** Incremental packing ([[graft.llm.Packing.packSequencesFrom]]): the
+    * even docs pack as epoch 1, their per-group totals persist to
+    * parquet, and the odd docs pack as epoch 2 starting from the
+    * RELOADED totals — equal, by construction, to one-shot packing
+    * with epochs concatenated, which is exactly what the oracle
+    * recomputes with an (epoch, doc_id) window order. */
+  def packIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Packing
+    val docs = pq(spark, dir, "documents")
+    val e1 = docs.filter(col("doc_id") % 2 === 0)
+    val e2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val statePath = tmp("packstate")
+    Packing.packTotals(e1, Seq("lang"), "n_chars")
+      .write.mode("overwrite").parquet(statePath)
+    val p1 = Packing.packSequences(e1, Seq("lang"), Seq("doc_id"),
+      "n_chars", budget = 2000L)
+    val p2 = Packing.packSequencesFrom(e2, spark.read.parquet(statePath),
+      Seq("lang"), Seq("doc_id"), "n_chars", budget = 2000L)
+    p1.select("doc_id", "lang", "offset", "bin")
+      .unionByName(p2.select("doc_id", "lang", "offset", "bin"))
+  }
+
+  val packIncrementalSql: String =
+    """WITH p AS (
+      | SELECT doc_id, lang,
+      |  CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang
+      |    ORDER BY doc_id % 2, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+      | FROM documents)
+      |SELECT doc_id, lang, "offset",
+      | CAST(FLOOR("offset" / 2000.0) AS BIGINT) AS bin
+      |FROM p""".stripMargin
+
   /** Shard materialization on top of [[packDocs]]'s layout: every
     * (lang, bin) becomes one concatenated training shard. The oracle
     * rebuilds each shard string with `string_agg(... ORDER BY offset,
@@ -2542,8 +2612,11 @@ object Queries {
     * counts from the raw documents. */
   def exportShardFiles(spark: SparkSession, dir: String): DataFrame = {
     import graft.llm.Packing
+    // 20k-char shards: the file count is corpus_chars / budget, and a
+    // budget sized like a real training shard keeps the write from
+    // degenerating into thousands of tiny files at larger SFs
     val packed = Packing.packSequences(pq(spark, dir, "documents"),
-      Seq("lang"), Seq("doc_id"), "n_chars", budget = 2000L)
+      Seq("lang"), Seq("doc_id"), "n_chars", budget = 20000L)
     val outDir = tmp("shard_files")
     val manifest = Packing.writeShards(packed, outDir, Seq("lang"))
     val files = spark.read.format("binaryFile").load(s"$outDir/shard-*.txt")
@@ -2570,7 +2643,7 @@ object Queries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
       | FROM documents),
       |s AS (
-      | SELECT lang, CAST(FLOOR("offset" / 2000.0) AS BIGINT) AS bin,
+      | SELECT lang, CAST(FLOOR("offset" / 20000.0) AS BIGINT) AS bin,
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  string_agg(text, '<|eos|>' ORDER BY "offset", text) AS shard_text
       | FROM p GROUP BY 1, 2)

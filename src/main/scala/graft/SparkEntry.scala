@@ -34,6 +34,7 @@ object SparkEntry {
     "q5_region_revenue" -> (Queries.q5RegionRevenue(_, _)),
     "events_window" -> (Queries.eventsWindow(_, _)),
     "events_frames" -> (Queries.eventsFrames(_, _)),
+    "funnel_steps" -> (Queries.funnelSteps(_, _)),
     "grouping_sets" -> (Queries.groupingSetsRevenue(_, _)),
     "rollup_revenue" -> (Queries.rollupRevenue(_, _)),
     "cube_revenue" -> (Queries.cubeRevenue(_, _)),
@@ -71,6 +72,7 @@ object SparkEntry {
     "hash_split" -> (Queries.hashSplitDocs(_, _)),
     "cap_per_group" -> (Queries.capPerSource(_, _)),
     "pack_sequences" -> (Queries.packDocs(_, _)),
+    "pack_incremental" -> (Queries.packIncremental(_, _)),
     "export_shards" -> (Queries.exportShardsDocs(_, _)),
     "export_shard_files" -> (Queries.exportShardFiles(_, _)),
     "contamination_check" -> (Queries.contaminationCheck(_, _)),
@@ -222,6 +224,7 @@ object SparkEntry {
     "q5_region_revenue" -> Queries.q5Sql,
     "events_window" -> Queries.eventsWindowSql,
     "events_frames" -> Queries.eventsFramesSql,
+    "funnel_steps" -> Queries.funnelStepsSql,
     "grouping_sets" -> Queries.groupingSetsRevenueSql,
     "rollup_revenue" -> Queries.rollupRevenueSql,
     "cube_revenue" -> Queries.cubeRevenueSql,
@@ -255,6 +258,7 @@ object SparkEntry {
     "hash_split" -> Queries.hashSplitDocsSql,
     "cap_per_group" -> Queries.capPerSourceSql,
     "pack_sequences" -> Queries.packDocsSql,
+    "pack_incremental" -> Queries.packIncrementalSql,
     "export_shards" -> Queries.exportShardsDocsSql,
     "export_shard_files" -> Queries.exportShardFilesSql,
     "contamination_check" -> Queries.contaminationCheckSql,

@@ -66,6 +66,40 @@ object Packing {
       .withColumn(binCol, floor(col(offsetCol) / lit(budget.toDouble)).cast("long"))
   }
 
+  /** The standing pack state behind [[packSequencesFrom]]: per-group
+    * packed size so far, `(groupCols…, packed_total)`. Persist after
+    * each epoch; it is all the next epoch needs — group-count-sized,
+    * not corpus-sized. */
+  def packTotals(df: DataFrame, groupCols: Seq[String],
+                 sizeCol: String, totalCol: String = "packed_total"): DataFrame =
+    df.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(sum(col(s"`$sizeCol`").cast("long")).as(totalCol))
+
+  /** INCREMENTAL [[packSequences]]: pack a new batch onto the end of a
+    * standing corpus given only its persisted [[packTotals]] — each
+    * group's line continues from `packed_total`, so day N's cost is
+    * O(batch) and the result equals re-packing the full corpus with
+    * epochs concatenated in order (SamplingSpec pins the equivalence;
+    * groups unseen in the state start at offset 0). The totals side is
+    * group-count-sized, so its join broadcasts. */
+  def packSequencesFrom(batch: DataFrame, baseTotals: DataFrame,
+                        groupCols: Seq[String], orderCols: Seq[String],
+                        sizeCol: String, budget: Long,
+                        binCol: String = "bin", offsetCol: String = "offset",
+                        totalCol: String = "packed_total"): DataFrame = {
+    val local = packSequences(batch, groupCols, orderCols, sizeCol, budget,
+      binCol, offsetCol)
+    local
+      .join(broadcast(baseTotals.select(
+        (groupCols.map(c => col(s"`$c`")) :+ col(s"`$totalCol`")): _*)),
+        groupCols, "left")
+      .withColumn(offsetCol,
+        col(s"`$offsetCol`") + coalesce(col(s"`$totalCol`"), lit(0L)))
+      .withColumn(binCol,
+        floor(col(s"`$offsetCol`") / lit(budget.toDouble)).cast("long"))
+      .drop(totalCol)
+  }
+
   /** Materialize packed bins as TRAINING SHARDS: one row per
     * (group, bin) with the member documents concatenated in pack order
     * around `sep` — the terminal "write the pretraining files" step.

@@ -307,6 +307,31 @@ class SamplingSpec extends SparkSpec {
       === 300000000000L)
   }
 
+  test("packSequencesFrom continues each group's line from the persisted totals") {
+    val e1 = docs.filter(col("doc_id") % 2 === 0)
+    val e2 = docs.filter(col("doc_id") % 2 =!= 0)
+    // one-shot over the concatenated epochs: epoch marker leads the order
+    val oneShot = Packing.packSequences(
+      docs.withColumn("ep", col("doc_id") % 2),
+      Seq("lang"), Seq("ep", "doc_id"), "n_chars", budget = 500L)
+      .select("doc_id", "offset", "bin")
+    val incr = Packing.packSequences(e1, Seq("lang"), Seq("doc_id"),
+        "n_chars", budget = 500L)
+      .select("doc_id", "offset", "bin")
+      .unionByName(Packing.packSequencesFrom(e2,
+        Packing.packTotals(e1, Seq("lang"), "n_chars"),
+        Seq("lang"), Seq("doc_id"), "n_chars", budget = 500L)
+        .select("doc_id", "offset", "bin"))
+    assertSameRows(incr, oneShot)
+    // a group with no standing state starts at offset zero
+    val fresh = Packing.packSequencesFrom(e2,
+      Packing.packTotals(e1.filter(col("lang") =!= "en"), Seq("lang"), "n_chars"),
+      Seq("lang"), Seq("doc_id"), "n_chars", budget = 500L)
+    val en0 = fresh.filter(col("lang") === "en").agg(min(col("offset"))).head
+    assert(!en0.isNullAt(0) && en0.getLong(0) === 0L,
+      "stateless group must restart at offset 0")
+  }
+
   test("trainingOrder: total order, balanced shards, partitioning-independent") {
     val got = Sampling.trainingOrder(docs, Seq("doc_id"), numShards = 8,
       salt = "epoch1")
