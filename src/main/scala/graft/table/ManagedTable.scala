@@ -1607,6 +1607,7 @@ object ManagedTable {
         dirsKey: String, statsKey: String,
         bytesKey: String): com.fasterxml.jackson.databind.node.ObjectNode = {
       val node = m.createObjectNode()
+      node.put("minReaderVersion", ManagedTable.ProtocolVersion)
       node.put("version", version)
       node.put("operation", operation)
       node.put("timestampMs", timestampMs)
@@ -1707,11 +1708,25 @@ object ManagedTable {
     * snapshots are at most this long. */
   val LogSnapshotInterval: Int = 10
 
+  /** Log protocol this build reads and writes. Every entry stamps it as
+    * `minReaderVersion`; a future format that old readers would
+    * misinterpret bumps the stamp, and THIS reader then refuses loudly
+    * instead of returning silently wrong table state (Delta's
+    * reader-version contract). Entries without the stamp predate it and
+    * read as protocol 1. */
+  val ProtocolVersion: Int = 1
+
   /** Parse one raw log entry: full → (commit, None); delta → (commit
     * holding ONLY the added dirs/stats, Some(link)). */
   private[graft] def parseLogEntry(s: String): (Commit, Option[DeltaPart]) = {
     import scala.jdk.CollectionConverters._
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    val needs = Option(n.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
+    if (needs > ProtocolVersion)
+      throw new IllegalStateException(
+        s"commit log entry requires reader protocol $needs but this build " +
+          s"supports $ProtocolVersion — upgrade before reading this table " +
+          "(refusing rather than misreading a newer log format)")
     if (n.has("dirs")) (Commit.fromNode(n, "dirs", "dirStats", "dirBytes"), None)
     else (Commit.fromNode(n, "addDirs", "addDirStats", "addDirBytes"),
       Some(DeltaPart(n.get("baseVersion").asLong(),

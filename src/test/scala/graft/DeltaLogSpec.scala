@@ -185,6 +185,26 @@ class DeltaLogSpec extends SparkSpec {
     assert(t.earliestVersion === Some(10L))
   }
 
+  test("reader refuses a future-protocol entry instead of misreading it") {
+    val path = tmpDir("dl_protocol")
+    val t = ManagedTable(spark, path)
+    t.write(Seq((1, "a")).toDF("id", "v"), "APPEND", "append")
+    // every written entry stamps the current protocol
+    assert(rawEntry(path, 0L).contains(
+      s""""minReaderVersion" : ${ManagedTable.ProtocolVersion}"""))
+    // an unstamped (legacy) entry reads as protocol 1
+    val legacy = rawEntry(path, 0L)
+      .replaceFirst(""""minReaderVersion" : \d+,\s*""", "")
+    assert(!legacy.contains("minReaderVersion"))
+    assert(ManagedTable.parseLogEntry(legacy)._1.dirs.nonEmpty)
+    // a future protocol fails loudly with an upgrade message
+    val future = rawEntry(path, 0L).replaceFirst(
+      """"minReaderVersion" : \d+""", "\"minReaderVersion\" : 99")
+    val e = intercept[IllegalStateException](ManagedTable.parseLogEntry(future))
+    assert(e.getMessage.contains("reader protocol 99"), e.getMessage)
+    assert(e.getMessage.contains("upgrade"), e.getMessage)
+  }
+
   test("restore across delta entries re-references the target composition") {
     val path = tmpDir("dl_restore")
     val t = ManagedTable(spark, path)
