@@ -2005,6 +2005,52 @@ object Queries {
   val ivfTopKSql: String = annTopKSql
 
   /**
+   * Product-quantization top-k ([[graft.llm.Similarity.pqTopK]]) with
+   * the family's two hard checks: planted exact copies must rank their
+   * original first (the exact re-rank of the ADC candidate set makes
+   * cos = 1 win whenever the original survives the ADC cut — rerank=64
+   * over this corpus keeps that deterministic, and the in-query require
+   * fails loudly if compression ever drops one), and recall@10 vs brute
+   * force gates at 0.45 (measured ≥ 0.5 at sf0.001–0.1 with m=8,
+   * ksub=16, rerank=64 — the ADC scan reads ~8 small codes per vector
+   * instead of 64 floats, the compression PQ exists for). Codebook
+   * training + corpus encoding are the amortizable index build
+   * (pqTopKWith serves from persisted codes), reported as staging.
+   */
+  def pqTopKVerified(spark: SparkSession, dir: String,
+                     recallFloor: Double = 0.45): DataFrame = {
+    import graft.llm.Similarity
+    val emb = pq(spark, dir, "embeddings").select("vec_id", "embedding")
+    assertPlantedIdHeadroom(emb, offset = 10000)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(planted).localCheckpoint()
+    val queries = corpus.filter(col("vec_id") >= 10000)
+    val (books, codes) = Staging.timed {
+      val b = Similarity.pqTrain(corpus, m = 8, ksub = 16)
+      (b, Similarity.pqEncode(corpus, b).localCheckpoint())
+    }
+    val got = Similarity.pqTopKWith(books, codes, corpus, queries, 10)
+      .localCheckpoint()
+    val top1 = got.filter(col("rank") === 1)
+    val misses = top1.filter(col("neighbor_id") =!= col("query_id") - 10000).count()
+    require(misses == 0,
+      s"ann_pq: $misses planted copies did not rank their original first — " +
+        "ADC candidates or the exact re-rank lost an identical vector")
+    val bf = Similarity.bruteForceTopK(corpus, queries, 10)
+    val total = bf.count()
+    val hits = got.select("query_id", "neighbor_id")
+      .intersect(bf.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / total
+    require(recall >= recallFloor,
+      f"ann_pq recall@10 $recall%.3f fell below the calibrated floor " +
+        f"$recallFloor%.2f — PQ codebooks/ADC scoring are broken")
+    top1.select("query_id", "neighbor_id")
+  }
+
+  val pqTopKSql: String = annTopKSql
+
+  /**
    * Semantic dedup ([[graft.llm.Similarity.semanticDedup]]) in its
    * oracle-checkable formulation: 20 exact copies of corpus vectors are
    * planted at id+10000 and the corpus is deduped at threshold 0.9 — far

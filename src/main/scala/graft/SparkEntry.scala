@@ -191,6 +191,7 @@ object SparkEntry {
     // see Queries.annTopKVerified for why both checks are hard
     "ann_topk" -> (Queries.annTopKVerified(_, _)),
     "ann_ivf" -> (Queries.ivfTopKVerified(_, _)),
+    "ann_pq" -> (Queries.pqTopKVerified(_, _)),
     "semantic_dedup" -> (Queries.semanticDedupVerified(_, _)),
     "semantic_dedup_incremental" -> (Queries.semanticDedupIncremental(_, _)),
     // the synthetic embeddings carry no natural near-dups (max pairwise
@@ -713,6 +714,7 @@ object SparkEntry {
     // hashes) + all-pairs hamming; multimodal via byte-function payloads
     "ann_topk" -> Queries.annTopKSql,
     "ann_ivf" -> Queries.ivfTopKSql,
+    "ann_pq" -> Queries.pqTopKSql,
     "semantic_dedup" -> Queries.semanticDedupSql,
     "semantic_dedup_incremental" -> Queries.semanticDedupIncrementalSql,
     "simhash_neardup" -> Queries.simhashPairsSql,

@@ -473,4 +473,179 @@ object Similarity {
         nativeCosine(corpus.sparkSession, col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  // --------------------- product quantization (PQ) ---------------------
+
+  /** Nearest sub-centroid by squared L2 (PQ's assignment metric — the
+    * codebook minimizes reconstruction error, which is what makes the
+    * ADC dot-product approximation unbiased), ties on the lower code. */
+  private def nearestSubCode(books: Array[Array[Array[Double]]], m: Int,
+                             sub: Array[Double]): Int = {
+    val book = books(m)
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < book.length) {
+      var d = 0.0
+      var i = 0
+      while (i < sub.length) {
+        val t = sub(i) - book(j)(i); d += t * t; i += 1
+      }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /**
+   * Train PQ codebooks: the vector dimension splits into `m` equal
+   * subspaces, each with its own `ksub`-centroid codebook (Jégou 2011,
+   * "Product quantization for nearest neighbor search"). Deterministic
+   * like [[trainCentroids]]: init from the `ksub` smallest-id
+   * sub-slices, refine with Lloyd rounds where each round is ONE
+   * distributed pass per the whole vector (all `m` subspaces assign and
+   * re-average in the same job via posexplode arithmetic); only
+   * m × ksub × subdim aggregates ever reach the driver.
+   */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 2,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1, "pqTrain needs m >= 1 and ksub >= 1")
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")).localCheckpoint()
+    val dim = base.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible into $m subspaces")
+    val subdim = dim / m
+    val seed = base.orderBy(col("id")).limit(ksub)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(seed.nonEmpty, "empty corpus: cannot train PQ codebooks")
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(mi =>
+      seed.map(v => v.slice(mi * subdim, (mi + 1) * subdim)))
+    (0 until iters).foreach { _ =>
+      val bc = base.sparkSession.sparkContext.broadcast(books)
+      val codesOf = udf((v: Seq[Double]) => {
+        val arr = v.toArray
+        (0 until bc.value.length).map(mi =>
+          nearestSubCode(bc.value, mi,
+            arr.slice(mi * subdim, (mi + 1) * subdim)))
+      })
+      val means = base
+        .withColumn("codes", codesOf(col("v")))
+        .select(posexplode(col("v")).as(Seq("pos", "x")), col("codes"))
+        .withColumn("m", expr(s"pos div $subdim").cast("int"))
+        .withColumn("j", element_at(col("codes"), (col("m") + 1).cast("int")))
+        .groupBy(col("m"), col("j"), (col("pos") % subdim).as("i"))
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      books = next
+    }
+    books
+  }
+
+  /** Encode every vector to its `m` sub-codes — the compressed corpus
+    * representation (`m` small ints ≈ m bytes per vector at ksub ≤ 256,
+    * vs 4·dim bytes raw). Persist next to the codebooks; the raw
+    * vectors are only ever touched again for exact re-ranking. */
+  def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val subdim = books(0)(0).length
+    val bc = corpus.sparkSession.sparkContext.broadcast(books)
+    val codesOf = udf((v: Seq[Double]) => {
+      val arr = v.toArray
+      (0 until bc.value.length).map(mi =>
+        nearestSubCode(bc.value, mi, arr.slice(mi * subdim, (mi + 1) * subdim)))
+    })
+    corpus.select(col(idCol), codesOf(col(vecCol).cast("array<double>"))
+      .as("pq_codes"))
+  }
+
+  /**
+   * PQ top-k with asymmetric-distance scoring and exact re-ranking:
+   * each query precomputes its m × ksub lookup table ONCE, every corpus
+   * CODE row is then scored with m table adds (the ADC scan — the point
+   * of PQ is that this pass reads the ~m-byte codes, not the 4·dim-byte
+   * vectors), the top `rerank` ADC candidates per query re-rank by
+   * exact cosine against the raw vectors (an id-keyed join touching
+   * only rerank × queries rows), and the final (query_id, rank,
+   * neighbor_id, cos) matches [[bruteForceTopK]]'s shape. The LUT
+   * kernel is a mapPartitions for the same measured reason as the
+   * multimodal codec: per-(partition, query) table reuse is the whole
+   * algorithm, and no expression form amortizes it.
+   *
+   * Everything is deterministic: codebooks train seed-free, ADC ties
+   * break on neighbor id, re-rank ties likewise.
+   */
+  def pqTopKWith(books: Array[Array[Array[Double]]], codes: DataFrame,
+                 corpus: DataFrame, queries: DataFrame, k: Int,
+                 rerank: Int = 64, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
+    val spark = corpus.sparkSession
+    val subdim = books(0)(0).length
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val qRows = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    import spark.implicits._
+    val scored = codes
+      .select(col(idCol).cast("long").as("neighbor_id"), col("pq_codes"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val books = bcBooks.value
+        val m = books.length
+        // one LUT per query per partition: lut(q)(mi)(j) = dot(q_mi, book_mi_j)
+        val luts = bcQ.value.map { case (qid, qv) =>
+          (qid, Array.tabulate(m)(mi => books(mi).map { c =>
+            var s = 0.0
+            var i = 0
+            while (i < c.length) { s += c(i) * qv(mi * subdim + i); i += 1 }
+            s
+          }))
+        }
+        it.flatMap { case (nid, cs) =>
+          luts.iterator.map { case (qid, lut) =>
+            var s = 0.0
+            var mi = 0
+            while (mi < m) { s += lut(mi)(cs(mi)); mi += 1 }
+            (qid, nid, s)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "approx_dot")
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("approx_dot").desc, col("neighbor_id").asc)
+    val cands = scored
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rerank)
+      .select("query_id", "neighbor_id")
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cvec"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val wE = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.join(c, "neighbor_id").join(broadcast(q), "query_id")
+      .withColumn("cos", nativeCosine(spark, col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(wE))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** One-shot [[pqTopKWith]]: train + encode + search. At scale, train
+    * and encode once per corpus generation and persist both. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, rerank: Int = 64,
+             trainIters: Int = 2, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val books = pqTrain(corpus, m, ksub, trainIters, idCol, vecCol)
+    pqTopKWith(books, pqEncode(corpus, books, idCol, vecCol),
+      corpus, queries, k, rerank, idCol, vecCol)
+  }
 }

@@ -226,4 +226,46 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter($"vec_id" >= 10000).count() === 0)
     assert(out.filter($"group_size" === 2).count() === 5)
   }
+
+  test("pqTopK: shape, determinism, and planted copies find their originals") {
+    val planted = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val corpus = emb.select("vec_id", "embedding")
+      .unionByName(planted).localCheckpoint()
+    val qs = corpus.filter($"vec_id" >= 10000)
+    val got = Similarity.pqTopK(corpus, qs, k = 5).cache()
+    // shape: 5 ranks per query, cos descending, no self-matches
+    assert(got.count() === 50)
+    assert(got.filter($"query_id" === $"neighbor_id").count() === 0)
+    // a planted exact copy must surface its original at rank 1 (the ADC
+    // candidates re-rank by exact cosine, and cos(copy, original) = 1)
+    val top1 = got.filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").collect()
+    top1.foreach(r => assert(r.getLong(1) === r.getLong(0) - 10000,
+      s"planted query ${r.getLong(0)} ranked ${r.getLong(1)} first"))
+    // deterministic under repartitioning (codebooks are seed-free)
+    val again = Similarity.pqTopK(corpus.repartition(9), qs, k = 5)
+    assertSameRows(got.select("query_id", "rank", "neighbor_id"),
+      again.select("query_id", "rank", "neighbor_id"))
+  }
+
+  test("pqTopKWith on persisted codes equals the one-shot path; recall beats floor") {
+    val corpus = emb.localCheckpoint()
+    val qs = emb.filter($"vec_id" < 20)
+    val books = Similarity.pqTrain(corpus, m = 8, ksub = 16)
+    val codesPath = java.nio.file.Files
+      .createTempDirectory("graft_pq").toString + "/codes"
+    Similarity.pqEncode(corpus, books).write.parquet(codesPath)
+    val viaDisk = Similarity.pqTopKWith(books,
+      spark.read.parquet(codesPath), corpus, qs, k = 10)
+    assertSameRows(viaDisk.select("query_id", "rank", "neighbor_id"),
+      Similarity.pqTopK(corpus, qs, k = 10)
+        .select("query_id", "rank", "neighbor_id"))
+    // exact re-rank of 64 ADC candidates: recall@10 well above random
+    val bf = Similarity.bruteForceTopK(corpus, qs, 10)
+    val hits = viaDisk.select("query_id", "neighbor_id")
+      .intersect(bf.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / bf.count()
+    assert(recall >= 0.5, f"PQ recall@10 $recall%.3f below 0.5")
+  }
 }
