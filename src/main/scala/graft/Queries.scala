@@ -501,6 +501,26 @@ object Queries {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())""".stripMargin
 
+  /** Semi-structured extraction: pull a typed field out of the events
+    * table's JSON `props` column with a path expression and aggregate
+    * on it — `get_json_object` is codegen'd, stays inside the scan's
+    * projection, and needs no schema declaration (the schema-on-read
+    * path for property bags; `from_json` is the schema-full sibling).
+    * Decimal-cast sum keeps the aggregate engine-exact. */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("string").as("sum_value"))
+
+  val eventsJsonSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Ordered funnel over the event stream: users who did
     * view → click → purchase in strict timestamp order, counted per
     * stage. Each stage is a user-keyed aggregate joined to the

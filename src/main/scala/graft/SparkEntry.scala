@@ -35,6 +35,7 @@ object SparkEntry {
     "events_window" -> (Queries.eventsWindow(_, _)),
     "events_frames" -> (Queries.eventsFrames(_, _)),
     "funnel_steps" -> (Queries.funnelSteps(_, _)),
+    "events_json" -> (Queries.eventsJson(_, _)),
     "grouping_sets" -> (Queries.groupingSetsRevenue(_, _)),
     "rollup_revenue" -> (Queries.rollupRevenue(_, _)),
     "cube_revenue" -> (Queries.cubeRevenue(_, _)),
@@ -226,6 +227,7 @@ object SparkEntry {
     "events_window" -> Queries.eventsWindowSql,
     "events_frames" -> Queries.eventsFramesSql,
     "funnel_steps" -> Queries.funnelStepsSql,
+    "events_json" -> Queries.eventsJsonSql,
     "grouping_sets" -> Queries.groupingSetsRevenueSql,
     "rollup_revenue" -> Queries.rollupRevenueSql,
     "cube_revenue" -> Queries.cubeRevenueSql,

@@ -66,6 +66,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("cartesian"), "cartesian product in plan")
   }
 
+  test("q17/q22: correlated scalars broadcast; q18 agg-then-join; no cartesian") {
+    val p17 = finalPlan(Queries.q17SmallQuantity(spark, sf)).toString
+    assert(p17.contains("BroadcastHashJoin"),
+      s"q17 per-part average should broadcast:\n$p17")
+    assert(!p17.toLowerCase.contains("cartesian"))
+    val p18 = finalPlan(Queries.q18LargeOrders(spark, sf)).toString
+    assert(p18.contains("HashAggregate"), "q18 needs the HAVING pre-agg")
+    assert(!p18.toLowerCase.contains("cartesian"))
+    val p22 = finalPlan(Queries.q22GlobalSales(spark, sf)).toString
+    assert(p22.contains("LeftAnti"), s"q22 needs the no-recent-orders anti join:\n$p22")
+    // the scalar avg is the ONLY nested-loop broadcast (1-row build side)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p22).size <= 1, p22)
+  }
+
   test("analytics queries stay inside WholeStageCodegen") {
     // codegen'd operators render with the `*(stageId)` prefix
     val plan = finalPlan(Queries.q1PricingSummary(spark, sf)).toString
