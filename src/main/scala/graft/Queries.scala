@@ -2071,6 +2071,48 @@ object Queries {
   val pqTopKSql: String = annTopKSql
 
   /**
+   * IVF-PQ ([[graft.llm.Similarity.ivfPqTopKWith]]) — prune + compress
+   * + re-rank, the production index layout. Same two hard checks as the
+   * rest of the family: a planted copy's FIRST probe is its original's
+   * cell, so pruning never loses the exact match before the ADC cut,
+   * and the in-query require catches a cut loss loudly; recall@10 vs
+   * brute force gates at 0.30 (nProbe 4 of nlist 16 ≈ a quarter of the
+   * corpus ADC-scanned, then exact re-rank of 64 — measured ≈ 0.4+
+   * across SFs). Index build (centroids + codebooks + coded corpus) is
+   * the amortizable staging cost, persisted at scale.
+   */
+  def ivfPqTopKVerified(spark: SparkSession, dir: String,
+                        recallFloor: Double = 0.30): DataFrame = {
+    import graft.llm.Similarity
+    val emb = pq(spark, dir, "embeddings").select("vec_id", "embedding")
+    assertPlantedIdHeadroom(emb, offset = 10000)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(planted).localCheckpoint()
+    val queries = corpus.filter(col("vec_id") >= 10000)
+    val (cents, books, codes) = Staging.timed {
+      val (c, b, cd) = Similarity.ivfPqIndex(corpus, nlist = 16, m = 8, ksub = 16)
+      (c, b, cd.localCheckpoint())
+    }
+    val got = Similarity.ivfPqTopKWith(cents, books, codes, corpus, queries,
+      k = 10, nProbe = 4).localCheckpoint()
+    val top1 = got.filter(col("rank") === 1)
+    val misses = top1.filter(col("neighbor_id") =!= col("query_id") - 10000).count()
+    require(misses == 0,
+      s"ann_ivfpq: $misses planted copies did not rank their original first")
+    val bf = Similarity.bruteForceTopK(corpus, queries, 10)
+    val hits = got.select("query_id", "neighbor_id")
+      .intersect(bf.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / bf.count()
+    require(recall >= recallFloor,
+      f"ann_ivfpq recall@10 $recall%.3f fell below the calibrated floor " +
+        f"$recallFloor%.2f — IVF pruning or ADC scoring is broken")
+    top1.select("query_id", "neighbor_id")
+  }
+
+  val ivfPqTopKSql: String = annTopKSql
+
+  /**
    * Semantic dedup ([[graft.llm.Similarity.semanticDedup]]) in its
    * oracle-checkable formulation: 20 exact copies of corpus vectors are
    * planted at id+10000 and the corpus is deduped at threshold 0.9 — far

@@ -193,6 +193,7 @@ object SparkEntry {
     "ann_topk" -> (Queries.annTopKVerified(_, _)),
     "ann_ivf" -> (Queries.ivfTopKVerified(_, _)),
     "ann_pq" -> (Queries.pqTopKVerified(_, _)),
+    "ann_ivfpq" -> (Queries.ivfPqTopKVerified(_, _)),
     "semantic_dedup" -> (Queries.semanticDedupVerified(_, _)),
     "semantic_dedup_incremental" -> (Queries.semanticDedupIncremental(_, _)),
     // the synthetic embeddings carry no natural near-dups (max pairwise
@@ -717,6 +718,7 @@ object SparkEntry {
     "ann_topk" -> Queries.annTopKSql,
     "ann_ivf" -> Queries.ivfTopKSql,
     "ann_pq" -> Queries.pqTopKSql,
+    "ann_ivfpq" -> Queries.ivfPqTopKSql,
     "semantic_dedup" -> Queries.semanticDedupSql,
     "semantic_dedup_incremental" -> Queries.semanticDedupIncrementalSql,
     "simhash_neardup" -> Queries.simhashPairsSql,

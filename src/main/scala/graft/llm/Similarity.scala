@@ -584,19 +584,34 @@ object Similarity {
                  corpus: DataFrame, queries: DataFrame, k: Int,
                  rerank: Int = 64, idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
-    val spark = corpus.sparkSession
+    val scored = adcScore(books,
+      codes.select(col(idCol).cast("long").as("neighbor_id"),
+        col("pq_codes"), lit(0).as("cell")),
+      queries, queryCells = None, idCol, vecCol)
+    rerankExact(scored, corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /** The ADC kernel: score each (probe-eligible query, code row) pair
+    * with m lookup-table adds. `queryCells = Some(map)` restricts a
+    * query to codes whose `cell` it probes (the IVF-PQ path); None
+    * scores every pair (plain PQ). mapPartitions: per-(partition,
+    * query) LUT reuse is the algorithm — no expression form amortizes
+    * the table build. */
+  private def adcScore(books: Array[Array[Array[Double]]], codesWithCell: DataFrame,
+                       queries: DataFrame, queryCells: Option[Map[Long, Set[Int]]],
+                       idCol: String, vecCol: String): DataFrame = {
+    val spark = queries.sparkSession
     val subdim = books(0)(0).length
     val bcBooks = spark.sparkContext.broadcast(books)
     val qRows = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<double>").as("qvec")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val bcQ = spark.sparkContext.broadcast(qRows)
+    val bcCells = spark.sparkContext.broadcast(queryCells)
     import spark.implicits._
-    val scored = codes
-      .select(col(idCol).cast("long").as("neighbor_id"), col("pq_codes"))
-      .as[(Long, Seq[Int])]
+    codesWithCell
+      .select(col("neighbor_id"), col("pq_codes"), col("cell"))
+      .as[(Long, Seq[Int], Int)]
       .mapPartitions { it =>
         val books = bcBooks.value
         val m = books.length
@@ -609,15 +624,30 @@ object Similarity {
             s
           }))
         }
-        it.flatMap { case (nid, cs) =>
-          luts.iterator.map { case (qid, lut) =>
-            var s = 0.0
-            var mi = 0
-            while (mi < m) { s += lut(mi)(cs(mi)); mi += 1 }
-            (qid, nid, s)
-          }
+        val cellsOf = bcCells.value
+        it.flatMap { case (nid, cs, cell) =>
+          luts.iterator
+            .filter { case (qid, _) =>
+              cellsOf.forall(_.get(qid).exists(_.contains(cell))) }
+            .map { case (qid, lut) =>
+              var s = 0.0
+              var mi = 0
+              while (mi < m) { s += lut(mi)(cs(mi)); mi += 1 }
+              (qid, nid, s)
+            }
         }
       }.toDF("query_id", "neighbor_id", "approx_dot")
+  }
+
+  /** Shared tail of the PQ family: keep each query's top `rerank` ADC
+    * candidates, re-rank them by exact cosine against the raw vectors
+    * (an id-keyed join touching rerank × queries rows), emit top-k. */
+  private def rerankExact(scored: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, k: Int, rerank: Int,
+                          idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
+    val spark = corpus.sparkSession
     val wA = Window.partitionBy("query_id")
       .orderBy(col("approx_dot").desc, col("neighbor_id").asc)
     val cands = scored
@@ -647,5 +677,61 @@ object Similarity {
     val books = pqTrain(corpus, m, ksub, trainIters, idCol, vecCol)
     pqTopKWith(books, pqEncode(corpus, books, idCol, vecCol),
       corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /**
+   * IVF-PQ — the production vector-index architecture (FAISS's
+   * default): the IVF coarse quantizer PRUNES (each query's ADC scan
+   * touches only its `nProbe` cells' codes, ≈ nProbe/nlist of the
+   * corpus), PQ COMPRESSES (the scan reads m-byte codes), and the top
+   * `rerank` survivors re-rank by exact cosine. The index is
+   * (centroids, codebooks, codes-with-cell) — all three persist once
+   * per corpus generation; [[ivfPqIndex]] builds them together so the
+   * corpus is scanned once for both assignments.
+   *
+   * A query identical to a corpus vector probes that vector's own cell
+   * first (same argmax), so exact matches always enter the candidate
+   * set — recall of planted duplicates degrades only through the ADC
+   * cut, exactly as in [[pqTopKWith]].
+   */
+  def ivfPqIndex(corpus: DataFrame, nlist: Int, m: Int, ksub: Int,
+                 trainIters: Int = 2, idCol: String = "vec_id",
+                 vecCol: String = "embedding")
+      : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
+    val cents = trainCentroids(corpus, nlist, trainIters, idCol, vecCol)
+    val books = pqTrain(corpus, m, ksub, trainIters, idCol, vecCol)
+    val codes = pqEncode(corpus, books, idCol, vecCol)
+      .join(corpus.select(col(idCol),
+        nearestCellUdf(cents)(col(vecCol).cast("array<double>")).as("cell")),
+        idCol)
+    (cents, books, codes)
+  }
+
+  /** Serve from a persisted IVF-PQ index: each query ADC-scores ONLY
+    * the codes in its `nProbe` probed cells (enforced inside the
+    * kernel, before any ranking), then the exact re-rank. Output
+    * matches [[bruteForceTopK]]. Driver state: the probe map is
+    * queries × nProbe ints — query batches are small by the same
+    * contract as the rest of the family. */
+  def ivfPqTopKWith(cents: Array[Array[Double]],
+                    books: Array[Array[Array[Double]]], codes: DataFrame,
+                    corpus: DataFrame, queries: DataFrame, k: Int,
+                    nProbe: Int = 4, rerank: Int = 64,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val probeMap: Map[Long, Set[Int]] = queries
+      .select(col(idCol).cast("long"),
+        probeCellsUdf(cents, nProbe)(col(vecCol).cast("array<double>")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    // prune the scan itself to the union of probed cells — with cells
+    // persisted as a partition/cluster key this is partition pruning
+    val union = probeMap.values.flatten.toSet.toSeq
+    val probed = codes
+      .filter(col("cell").isin(union: _*))
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col("pq_codes"), col("cell").cast("int").as("cell"))
+    val scored = adcScore(books, probed, queries, Some(probeMap), idCol, vecCol)
+    rerankExact(scored, corpus, queries, k, rerank, idCol, vecCol)
   }
 }

@@ -268,4 +268,35 @@ class SimilaritySpec extends SparkSpec {
     val recall = hits.toDouble / bf.count()
     assert(recall >= 0.5, f"PQ recall@10 $recall%.3f below 0.5")
   }
+
+  test("ivfPqTopKWith: probe-all equals plain PQ; pruning keeps recall; copies found") {
+    val planted = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val corpus = emb.select("vec_id", "embedding")
+      .unionByName(planted).localCheckpoint()
+    val qs = corpus.filter($"vec_id" >= 10000)
+    val (cents, books, codes0) = Similarity.ivfPqIndex(corpus,
+      nlist = 8, m = 8, ksub = 16)
+    val codes = codes0.localCheckpoint()
+    // probing EVERY cell must reduce exactly to the unpruned PQ search
+    val all = Similarity.ivfPqTopKWith(cents, books, codes, corpus, qs,
+      k = 5, nProbe = 8)
+    val pq = Similarity.pqTopKWith(books, codes.drop("cell"), corpus, qs, k = 5)
+    assertSameRows(all.select("query_id", "rank", "neighbor_id"),
+      pq.select("query_id", "rank", "neighbor_id"))
+    // pruned probing: planted copies still surface their original at 1
+    // (a copy's first probe IS its original's cell)
+    val pruned = Similarity.ivfPqTopKWith(cents, books, codes, corpus, qs,
+      k = 5, nProbe = 2).cache()
+    pruned.filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").collect()
+      .foreach(r => assert(r.getLong(1) === r.getLong(0) - 10000,
+        s"planted query ${r.getLong(0)} ranked ${r.getLong(1)} first"))
+    // recall vs brute force stays useful at a quarter of the scan
+    val bf = Similarity.bruteForceTopK(corpus, qs, 5)
+    val hits = pruned.select("query_id", "neighbor_id")
+      .intersect(bf.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / bf.count()
+    assert(recall >= 0.25, f"IVF-PQ recall@5 $recall%.3f below 0.25")
+  }
 }
