@@ -267,6 +267,7 @@ object GraftExtensions {
         "graft_bpe_encode(batch, merges_table) takes two arguments")
       plan(graft.llm.Bpe.encodeWith(table(args.head), table(args(1))))
     },
+    tvf("graft_dataset_card")(graft.llm.TextOps.datasetCard(_)),
     "graft_heavy_hitters" -> { args =>
       require(args.size == 5,
         "graft_heavy_hitters(table, keys_csv, item_col, capacity, k) takes five arguments")

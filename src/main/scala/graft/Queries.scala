@@ -2389,6 +2389,37 @@ object Queries {
     """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Dataset card ([[graft.llm.TextOps.datasetCard]]): the long-form
+    * (metric, scope, value) release datasheet — totals, exact-dup
+    * count, source count, per-language breakdown with integer
+    * basis-point shares. The oracle recomputes every row from the raw
+    * table. */
+  def datasetCardDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextOps
+    TextOps.datasetCard(pq(spark, dir, "documents"))
+  }
+
+  val datasetCardDocsSql: String =
+    """WITH g AS (
+      | SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_words,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      | FROM documents),
+      |d AS (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_exact_dups
+      |      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY md5(text))),
+      |l AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang)
+      |SELECT 'n_docs' AS metric, 'corpus' AS scope, CAST(n_docs AS VARCHAR) AS value FROM g
+      |UNION ALL SELECT 'n_chars', 'corpus', CAST(n_chars AS VARCHAR) FROM g
+      |UNION ALL SELECT 'n_words', 'corpus', CAST(n_words AS VARCHAR) FROM g
+      |UNION ALL SELECT 'n_sources', 'corpus', CAST(n_sources AS VARCHAR) FROM g
+      |UNION ALL SELECT 'n_exact_dups', 'corpus', CAST(n_exact_dups AS VARCHAR) FROM d
+      |UNION ALL SELECT 'lang_docs', lang, CAST(docs AS VARCHAR) FROM l
+      |UNION ALL SELECT 'lang_chars', lang, CAST(chars AS VARCHAR) FROM l
+      |UNION ALL SELECT 'lang_share_bp', lang,
+      |  CAST(docs * 10000 // (SELECT n_docs FROM g) AS VARCHAR) FROM l""".stripMargin
+
   /** SpaceSaving heavy hitters ([[graft.operators.Sketches.heavyHitters]]):
     * top-3 sources per language. The source domain (20 values) sits far
     * under the summary capacity, so no eviction ever fires, floors stay

@@ -64,6 +64,7 @@ object SparkEntry {
     "range_join" -> (Queries.rangeJoinActivity(_, _)),
     "sketch_distinct" -> (Queries.sketchDistinct(_, _)),
     "heavy_hitters" -> (Queries.heavyHittersDocs(_, _)),
+    "dataset_card" -> (Queries.datasetCardDocs(_, _)),
     "bloom_prune_join" -> (Queries.bloomPruneJoin(_, _)),
     "bucketed_join" -> (Queries.bucketedJoin(_, _)),
     // deterministic sampling + packing (operators/Sampling, llm/Packing)
@@ -254,6 +255,7 @@ object SparkEntry {
     "range_join" -> Queries.rangeJoinActivitySql,
     "sketch_distinct" -> Queries.sketchDistinctSql,
     "heavy_hitters" -> Queries.heavyHittersDocsSql,
+    "dataset_card" -> Queries.datasetCardDocsSql,
     "bloom_prune_join" -> Queries.bloomPruneJoinSql,
     "bucketed_join" -> Queries.bucketedJoinSql,
     "hash_sample" -> Queries.hashSampleDocsSql,

@@ -597,6 +597,48 @@ object TextOps {
     stats.join(med, Seq(groupCol))
   }
 
+  /** Dataset card (Gebru 2021, "Datasheets for datasets" — the release
+    * artifact every corpus ships with), as a long-form (metric, scope,
+    * value) table so new metrics never change the schema. Global rows:
+    * doc/char/word totals, exact-duplicate docs, distinct sources;
+    * per-language rows: docs, chars, share of corpus. Cost: ONE scan
+    * aggregate for the global row, one text-hash aggregate for the dup
+    * count, one groupBy for languages — every branch is map-side
+    * combinable; values render as strings (counts exactly, shares as a
+    * fixed-scale decimal) so the card is engine-comparable. */
+  def datasetCard(docs: DataFrame, textCol: String = "text",
+                  langCol: String = "lang", sourceCol: String = "source",
+                  sizeCol: String = "n_chars"): DataFrame = {
+    val sz = col(s"`$sizeCol`").cast("long")
+    val words = size(regexp_extract_all(lower(col(s"`$textCol`")),
+      lit("[a-z0-9]+"), lit(0))).cast("long")
+    val globals = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(sz).as("n_chars"),
+      sum(words).as("n_words"),
+      countDistinct(col(s"`$sourceCol`")).as("n_sources"))
+    val dups = docs.groupBy(md5(col(s"`$textCol`").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_exact_dups"))
+    val g = globals.crossJoin(broadcast(dups))
+    val globalRows = Seq("n_docs", "n_chars", "n_words", "n_sources",
+      "n_exact_dups").map(mName =>
+      g.select(lit(mName).as("metric"), lit("corpus").as("scope"),
+        col(mName).cast("string").as("value")))
+    val perLang = docs.groupBy(col(s"`$langCol`").as("scope"))
+      .agg(count(lit(1)).as("docs"), sum(sz).as("chars"))
+      .crossJoin(broadcast(globals.select(col("n_docs"))))
+    val langRows = Seq(
+      perLang.select(lit("lang_docs").as("metric"), col("scope"),
+        col("docs").cast("string").as("value")),
+      perLang.select(lit("lang_chars").as("metric"), col("scope"),
+        col("chars").cast("string").as("value")),
+      perLang.select(lit("lang_share_bp").as("metric"), col("scope"),
+        // integer basis points: exact in any engine, no float division
+        expr("docs * 10000 div n_docs").cast("string").as("value")))
+    (globalRows ++ langRows).reduce(_ unionByName _)
+  }
+
   /** Top-`k` characteristic keywords per document by tf·idf, with the
     * idf kept LINEAR (`n_docs / df`) instead of logarithmic: per-doc
     * ranking is order-equivalent for any monotone idf, and the linear

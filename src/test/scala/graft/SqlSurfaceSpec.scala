@@ -194,6 +194,13 @@ class SqlSurfaceSpec extends SparkSpec {
         .select("doc_id", "n_words", "n_bpe_tokens"))
   }
 
+  test("graft_dataset_card TVF matches the API") {
+    docsView()
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_dataset_card('documents')"),
+      graft.llm.TextOps.datasetCard(spark.table("documents")))
+  }
+
   test("graft_heavy_hitters TVF matches the API") {
     docsView()
     assertSameRows(
