@@ -407,6 +407,496 @@ object Queries {
       | AND r_name = 'ASIA'
       |GROUP BY n_name""".stripMargin
 
+  // ---- TPC-H completion batch: the 12 remaining query shapes (Q2, Q6,
+  // Q7, Q8, Q9, Q11, Q12, Q13, Q14, Q15, Q19, Q20), adapted to the
+  // synthetic schema (no partsupp / shipmode / commitdate — each
+  // adaptation preserves the query's DEFINING plan shape and says how).
+
+  /** TPC-H Q2 shape (minimum-cost supplier): for each part in a
+    * size/type slice, the European supplier(s) achieving the minimum
+    * supply cost. No partsupp table, so supply cost is re-derived as
+    * `min(l_extendedprice)` per (part, supplier) — keeping Q2's
+    * defining shape: a correlated MIN subquery planned as a per-part
+    * pre-aggregation joined back on (partkey, cost) equality. Scale:
+    * the part slice and the region-filtered supplier dim both
+    * broadcast; the only shuffle is the (part, supplier) aggregate of
+    * the fact; cost is decimal so the equality join-back is exact.
+    * Deterministic (acctbal desc, name, partkey) top-100. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val p = pq(spark, dir, "part")
+      .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
+      .select("p_partkey", "p_name")
+    val n = pq(spark, dir, "nation")
+    val r = pq(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val eu = pq(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val cost = pq(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("supply_cost"))
+    val minCost = cost.groupBy(col("p_partkey").as("mc_partkey"))
+      .agg(min(col("supply_cost")).as("min_cost"))
+    cost.join(broadcast(minCost), col("p_partkey") === col("mc_partkey") &&
+        col("supply_cost") === col("min_cost"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+      .limit(100)
+      .select(col("s_acctbal").cast("decimal(18,2)").cast("string").as("s_acctbal"),
+        col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
+        col("supply_cost").cast("string").as("supply_cost"))
+  }
+
+  val q2Sql: String =
+    """WITH cost AS (
+      | SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+      |  MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+      | FROM lineitem
+      | JOIN part ON l_partkey = p_partkey
+      |  AND p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      | GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name)
+      |SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS s_acctbal,
+      | s_name, n_name, p_partkey, p_name,
+      | CAST(supply_cost AS VARCHAR) AS supply_cost
+      |FROM cost c
+      |WHERE supply_cost = (SELECT MIN(supply_cost) FROM cost m
+      |                     WHERE m.p_partkey = c.p_partkey)
+      |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q6 (forecasting revenue change): the pure scan-side query —
+    * one fact table, three pushable range predicates, one decimal sum.
+    * Its whole point is pushdown: the year window, the discount band
+    * and the quantity cap all reach the parquet scan as PushedFilters,
+    * and only 3 columns are read. No joins, no wide shuffle — the agg
+    * is a 1-row partial-combine. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    pq(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(18,4)")).cast("string").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6Sql: String =
+    """SELECT
+      | CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS VARCHAR) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q7 shape (volume shipping between two nations): revenue
+    * flowing supplier-nation → customer-nation for an ordered pair of
+    * nations, by ship year. Two fact joins (lineitem⋈orders⋈customer)
+    * carry the plan; supplier and both nation role-dims broadcast; the
+    * nation-pair disjunction prunes BEFORE the fact join (the supplier
+    * side collapses to the two nations' suppliers at scan time). */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2")
+    val n1 = pq(spark, dir, "nation")
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = pq(spark, dir, "nation")
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val s = pq(spark, dir, "supplier")
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val li = pq(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+    val o = pq(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = pq(spark, dir, "customer")
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .select("c_custkey", "cust_nation")
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("string").as("revenue"))
+  }
+
+  val q7Sql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      | CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+      |  AND sn.n_name <> cn.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): of the ASIA-customer
+    * STANDARD-part volume per order year, the fraction supplied by one
+    * nation. The share is emitted integer-exact as parts-per-million:
+    * both decimal sums are exact, scaled to BIGINT cents
+    * (`×100` of a scale-4 decimal keeps 2 exact fractional digits —
+    * enough for a ppm ratio), then `num·10⁶ div den` truncates
+    * identically in both engines. Exact while num·10⁶ stays under
+    * 2⁶³ (num < ~9·10¹⁰ revenue-cents — beyond sf100 for a one-type
+    * year slice; past that, swap the two BIGINTs for DECIMAL(38,0)).
+    * Plan: part/supplier/nation/region dims broadcast; the two fact
+    * joins shuffle once each; the yearly agg is tiny. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = pq(spark, dir, "part").filter(col("p_type") === "STANDARD")
+      .select("p_partkey")
+    val n = pq(spark, dir, "nation")
+    val r = pq(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val c = pq(spark, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val sn = pq(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val s = pq(spark, dir, "supplier")
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val o = pq(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+    val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    pq(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", vol)
+          .otherwise(lit(BigDecimal("0.0000")))).as("num"),
+        sum(vol).as("den"))
+      .select(col("o_year"),
+        expr("CAST(num * 100 AS BIGINT) * 1000000 div CAST(den * 100 AS BIGINT)")
+          .as("mkt_share_ppm"),
+        col("num").cast("string").as("nation_volume"),
+        col("den").cast("string").as("total_volume"))
+  }
+
+  val q8Sql: String =
+    """WITH v AS (
+      | SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+      |  SUM(CASE WHEN sn.n_name = 'NATION_5'
+      |       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |       ELSE CAST(0 AS DECIMAL(18,4)) END) AS num,
+      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS den
+      | FROM lineitem
+      | JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation sn ON s_nationkey = sn.n_nationkey
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation cn ON c_nationkey = cn.n_nationkey
+      | JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |   AND o_orderdate < TIMESTAMP '1998-01-01'
+      | GROUP BY 1)
+      |SELECT o_year,
+      | CAST(num * 100 AS BIGINT) * 1000000 // CAST(den * 100 AS BIGINT) AS mkt_share_ppm,
+      | CAST(num AS VARCHAR) AS nation_volume,
+      | CAST(den AS VARCHAR) AS total_volume
+      |FROM v""".stripMargin
+
+  /** TPC-H Q9 shape (product-type profit): profit by supplier nation
+    * and order year over a part-name slice. No partsupp supply cost, so
+    * cost is re-derived as `0.1 · p_retailprice · l_quantity` — a
+    * deterministic per-row expression keeping Q9's shape: a 5-table
+    * join where three dims broadcast and profit is a decimal-cast
+    * arithmetic over fact+dim columns. The LIKE filter prunes the part
+    * dim before it broadcasts. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = pq(spark, dir, "part").filter(col("p_name").like("%red%"))
+      .select("p_partkey", "p_retailprice")
+    val n = pq(spark, dir, "nation")
+    val s = pq(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val o = pq(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+    val amount = (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity") * lit(0.1))
+      .cast("decimal(18,4)")
+    pq(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("string").as("sum_profit"))
+  }
+
+  val q9Sql: String =
+    """SELECT n_name AS nation,
+      | CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |               - p_retailprice * l_quantity * 0.1 AS DECIMAL(18,4)))
+      |      AS VARCHAR) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q11 shape (important stock identification): per-part value
+    * shipped by one nation's suppliers, kept when above a fraction of
+    * that nation's total — the group-agg + global-scalar-threshold
+    * shape (the HAVING subquery becomes a 1-row broadcast crossJoin).
+    * No partsupp, so value is `sum(l_extendedprice · l_quantity)` over
+    * the nation's lineitems. Decimal end-to-end: the 0.001 threshold
+    * multiply stays decimal, so the comparison is exact. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val n = pq(spark, dir, "nation").filter(col("n_name") === "NATION_3")
+    val s = pq(spark, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val vals = pq(spark, dir, "lineitem")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum((col("l_extendedprice") * col("l_quantity"))
+        .cast("decimal(18,2)")).as("value"))
+    val threshold = vals
+      .agg((sum(col("value")) * lit(BigDecimal("0.001"))).as("cut"))
+    vals.crossJoin(broadcast(threshold))
+      .filter(col("value") > col("cut"))
+      .select(col("partkey"), col("value").cast("string").as("value"))
+  }
+
+  val q11Sql: String =
+    """WITH v AS (
+      | SELECT l_partkey AS partkey,
+      |  SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS value
+      | FROM lineitem
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      | GROUP BY 1)
+      |SELECT partkey, CAST(value AS VARCHAR) AS value
+      |FROM v
+      |WHERE value > (SELECT SUM(value) * 0.001 FROM v)""".stripMargin
+
+  /** TPC-H Q12 shape (shipping modes / order priority): late lineitems
+    * (no commit/receipt dates — "late" is `shipdate > orderdate+90d`)
+    * bucketed by line status, counting urgent vs non-urgent order
+    * priorities. One fact-fact equi join on orderkey with the non-equi
+    * lateness predicate evaluated post-join; integer counts — exact by
+    * construction. */
+  def q12PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val o = pq(spark, dir, "orders").select("o_orderkey", "o_orderdate",
+      "o_orderpriority")
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    pq(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linestatus", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join with a predicate INSIDE the join condition (the defining
+    * trap — filtering orders in a WHERE would drop order-less
+    * customers), then a two-level aggregate: orders per customer,
+    * customers per order-count. `count(o_orderkey)` skips the
+    * outer-join nulls in both engines, so zero-order customers land in
+    * the c_count=0 bucket. Both aggs shuffle on small keys. */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = pq(spark, dir, "customer").select("c_custkey")
+    val o = pq(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_orderkey", "o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q14 (promotion effect): the fraction of one ship-month's
+    * revenue from PROMO parts, emitted integer-exact as
+    * parts-per-million (same BIGINT-cents `div` construction as
+    * [[q8MarketShare]], same documented overflow bound). The month
+    * window pushes to the fact scan; the part dim broadcasts. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = pq(spark, dir, "part").select("p_partkey", "p_type")
+    val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    pq(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-03-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(BigDecimal("0.0000")))).as("num"),
+        sum(vol).as("den"))
+      .select(
+        expr("CAST(num * 100 AS BIGINT) * 1000000 div CAST(den * 100 AS BIGINT)")
+          .as("promo_ppm"),
+        col("num").cast("string").as("promo_revenue"),
+        col("den").cast("string").as("total_revenue"))
+  }
+
+  val q14Sql: String =
+    """WITH v AS (
+      | SELECT
+      |  SUM(CASE WHEN p_type = 'PROMO'
+      |       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |       ELSE CAST(0 AS DECIMAL(18,4)) END) AS num,
+      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS den
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      |   AND l_shipdate < TIMESTAMP '1997-04-01')
+      |SELECT
+      | CAST(num * 100 AS BIGINT) * 1000000 // CAST(den * 100 AS BIGINT) AS promo_ppm,
+      | CAST(num AS VARCHAR) AS promo_revenue,
+      | CAST(den AS VARCHAR) AS total_revenue
+      |FROM v""".stripMargin
+
+  /** TPC-H Q15 (top supplier): suppliers whose quarterly revenue equals
+    * the maximum — the view + scalar-max + equality-join-back shape.
+    * The per-supplier revenue agg is computed ONCE and reused by both
+    * the 1-row max and the final filter (same plan subtree); revenue is
+    * decimal so the max-equality is exact, and ties (all maxima) are
+    * returned exactly as the spec demands. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = pq(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-10-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    val s = pq(spark, dir, "supplier")
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("string").as("total_rev"))
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      | SELECT l_suppkey,
+      |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '1996-10-01'
+      |   AND l_shipdate < TIMESTAMP '1997-01-01'
+      | GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS VARCHAR) AS total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin
+
+  /** TPC-H Q19 (discounted revenue, disjunctive predicates): revenue
+    * matched by an OR of three (brand, size-range, quantity-range)
+    * conjuncts — the classic test that a DISJUNCTION still prunes: the
+    * common `p_partkey` equi key keeps the join hash-based (never a
+    * cartesian), the part-side disjuncts (`brand ∈ …, size ≤ 15`)
+    * reach the part scan, and the per-branch quantity bands evaluate
+    * post-join inside codegen. */
+  def q19DiscountRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = pq(spark, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val li = pq(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val branch1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("string").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q20 shape (suppliers with excess stock): suppliers who
+    * shipped more than a threshold quantity of some name-slice part in
+    * a year — the nested-IN shape planned as agg → semi-join chain: the
+    * (part, supplier) quantity agg is the inner subquery, and the
+    * supplier table is LEFT SEMI joined against its qualifying rows.
+    * No partsupp availqty, so "excess" is `sum(l_quantity) > 60` over
+    * the year's shipments. The part slice broadcasts into the agg; the
+    * semi join broadcasts the (tiny) qualifying-supplier set. */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val p = pq(spark, dir, "part").filter(col("p_name").like("blue%"))
+      .select("p_partkey")
+    val qualifying = pq(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      .filter(col("qty") > lit(BigDecimal("60")))
+      .select("l_suppkey")
+    pq(spark, dir, "supplier")
+      .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select("s_suppkey", "s_name")
+  }
+
+  val q20Sql: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      | SELECT l_suppkey
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | WHERE p_name LIKE 'blue%'
+      |   AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |   AND l_shipdate < TIMESTAMP '1997-01-01'
+      | GROUP BY l_partkey, l_suppkey
+      | HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 60)""".stripMargin
+
   /** Window functions over the event stream table: first 5 events per user
     * with lag(), deterministic tiebreak on event_id. `eventMicros` derives
     * exact epoch micros whatever physical timestamp encoding the events

@@ -32,6 +32,18 @@ object SparkEntry {
     "q21_waiting_suppliers" -> (Queries.q21WaitingSuppliers(_, _)),
     "q22_global_sales" -> (Queries.q22GlobalSales(_, _)),
     "q5_region_revenue" -> (Queries.q5RegionRevenue(_, _)),
+    "q2_min_cost_supplier" -> (Queries.q2MinCostSupplier(_, _)),
+    "q6_forecast_revenue" -> (Queries.q6ForecastRevenue(_, _)),
+    "q7_volume_shipping" -> (Queries.q7VolumeShipping(_, _)),
+    "q8_market_share" -> (Queries.q8MarketShare(_, _)),
+    "q9_product_profit" -> (Queries.q9ProductProfit(_, _)),
+    "q11_important_stock" -> (Queries.q11ImportantStock(_, _)),
+    "q12_priority_shipping" -> (Queries.q12PriorityShipping(_, _)),
+    "q13_customer_distribution" -> (Queries.q13CustomerDistribution(_, _)),
+    "q14_promo_revenue" -> (Queries.q14PromoRevenue(_, _)),
+    "q15_top_supplier" -> (Queries.q15TopSupplier(_, _)),
+    "q19_discount_revenue" -> (Queries.q19DiscountRevenue(_, _)),
+    "q20_excess_suppliers" -> (Queries.q20ExcessSuppliers(_, _)),
     "events_window" -> (Queries.eventsWindow(_, _)),
     "events_frames" -> (Queries.eventsFrames(_, _)),
     "funnel_steps" -> (Queries.funnelSteps(_, _)),
@@ -226,6 +238,18 @@ object SparkEntry {
     "q21_waiting_suppliers" -> Queries.q21Sql,
     "q22_global_sales" -> Queries.q22Sql,
     "q5_region_revenue" -> Queries.q5Sql,
+    "q2_min_cost_supplier" -> Queries.q2Sql,
+    "q6_forecast_revenue" -> Queries.q6Sql,
+    "q7_volume_shipping" -> Queries.q7Sql,
+    "q8_market_share" -> Queries.q8Sql,
+    "q9_product_profit" -> Queries.q9Sql,
+    "q11_important_stock" -> Queries.q11Sql,
+    "q12_priority_shipping" -> Queries.q12Sql,
+    "q13_customer_distribution" -> Queries.q13Sql,
+    "q14_promo_revenue" -> Queries.q14Sql,
+    "q15_top_supplier" -> Queries.q15Sql,
+    "q19_discount_revenue" -> Queries.q19Sql,
+    "q20_excess_suppliers" -> Queries.q20Sql,
     "events_window" -> Queries.eventsWindowSql,
     "events_frames" -> Queries.eventsFramesSql,
     "funnel_steps" -> Queries.funnelStepsSql,

@@ -80,6 +80,64 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p22).size <= 1, p22)
   }
 
+  test("q6: all three predicates and the 3-column projection reach the scan") {
+    val scan = fileScans(Queries.q6ForecastRevenue(spark, sf)).head
+    assert(scan.dataFilters.size >= 3,
+      s"expected shipdate/discount/quantity at the scan, got ${scan.dataFilters}")
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols.subsetOf(Set("l_shipdate", "l_discount", "l_quantity",
+      "l_extendedprice")), s"scan reads more than needed: $readCols")
+  }
+
+  test("q19: the disjunction stays a hash join on partkey — never a cartesian") {
+    val plan = finalPlan(Queries.q19DiscountRevenue(spark, sf)).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the part side must broadcast-hash-join on the common equi key:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "OR-predicate must not degrade the join to a nested loop")
+  }
+
+  test("q13: the priority predicate stays inside the LEFT OUTER join condition") {
+    val plan = finalPlan(Queries.q13CustomerDistribution(spark, sf)).toString
+    assert(plan.contains("LeftOuter"), s"expected a left outer join:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"))
+    // conservation: the outer join must not lose a single customer —
+    // every customer lands in exactly one c_count bucket
+    val total = Queries.q13CustomerDistribution(spark, sf)
+      .agg(sum(col("custdist"))).head.getLong(0)
+    val customers = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(total === customers,
+      s"outer join lost customers: $total buckets-total vs $customers")
+  }
+
+  test("q2/q15: min-cost and max-revenue join-backs broadcast; no cartesian (beyond 1-row scalars)") {
+    val p2 = finalPlan(Queries.q2MinCostSupplier(spark, sf)).toString
+    assert(p2.contains("BroadcastHashJoin"),
+      s"q2's per-part min should broadcast into the join-back:\n$p2")
+    assert(!p2.toLowerCase.contains("cartesian"))
+    val p15 = finalPlan(Queries.q15TopSupplier(spark, sf)).toString
+    // the scalar max is the ONLY nested-loop broadcast (1-row build side)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p15).size <= 1, p15)
+    assert(!p15.toLowerCase.contains("cartesian"))
+  }
+
+  test("q7/q8/q9: dims broadcast ahead of the fact joins; no cartesian") {
+    // pre-AQE physical plan: at sf0.001 the q7 nation-pair slice is
+    // legitimately empty and AQE collapses the whole tree to
+    // EmptyRelation — the join strategy is still the structural
+    // property under test, and it lives in the static plan
+    for ((name, df) <- Seq(
+        "q7" -> Queries.q7VolumeShipping(spark, sf),
+        "q8" -> Queries.q8MarketShare(spark, sf),
+        "q9" -> Queries.q9ProductProfit(spark, sf))) {
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name dims should broadcast:\n${plan.take(500)}")
+      assert(!plan.toLowerCase.contains("cartesian"), s"$name has a cartesian")
+    }
+  }
+
   test("analytics queries stay inside WholeStageCodegen") {
     // codegen'd operators render with the `*(stageId)` prefix
     val plan = finalPlan(Queries.q1PricingSummary(spark, sf)).toString
