@@ -217,6 +217,15 @@ object GraftExtensions {
         keys = strArg(args(4), "keys_csv").split(",").map(_.trim).toSeq,
         hotGroupFactor = 0))
     },
+    "graft_temperature_quotas" -> { args =>
+      require(args.size == 3 || args.size == 4,
+        "graft_temperature_quotas(table, strata_col, total[, alpha]) takes 3 or 4 arguments")
+      plan(graft.operators.Sampling.temperatureQuotas(
+        table(args.head),
+        strataCol = strArg(args(1), "strata_col"),
+        total = longArg(args(2), "total"),
+        alpha = if (args.size == 4) dblArg(args(3), "alpha") else 0.5))
+    },
     "graft_chunk" -> { args =>
       require(args.size == 1 || args.size == 3,
         "graft_chunk(table[, chunk_tokens, overlap]) takes 1 or 3 arguments")
@@ -230,6 +239,13 @@ object GraftExtensions {
       require(args.size == 2,
         "graft_neardup_pairs(table, threshold) takes two arguments")
       plan(Dedup.nearDupPairs(table(args.head), threshold = dblArg(args(1), "threshold")))
+    },
+    "graft_duplicated_spans" -> { args =>
+      require(args.size == 3,
+        "graft_duplicated_spans(table, k, min_span_tokens) takes three arguments")
+      plan(Dedup.duplicatedSpans(table(args.head),
+        k = intArg(args(1), "k"),
+        minSpanTokens = intArg(args(2), "min_span_tokens")))
     },
     // NOTE: unlike every other TVF this one runs distributed jobs at
     // RESOLUTION time — k-means quantizer training (plus the corpus

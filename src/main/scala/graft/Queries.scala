@@ -3133,6 +3133,58 @@ object Queries {
       |WHERE (lang = 'en' AND rn <= 100) OR (lang = 'de' AND rn <= 40)
       |   OR (lang = 'fr' AND rn <= 40) OR (lang = 'es' AND rn <= 20)""".stripMargin
 
+  /** Temperature-scaled mixture quotas
+    * ([[graft.operators.Sampling.temperatureQuotas]], α = 0.5): the
+    * n^α domain-reweighting rule as an exact integer quota table —
+    * sqrt is IEEE-correctly-rounded in both engines, the rest is
+    * BIGINT arithmetic, so the oracle reproduces every quota
+    * bit-exactly. */
+  def temperatureQuotasDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.temperatureQuotas(pq(spark, dir, "documents"), "lang",
+      total = 500L)
+  }
+
+  val temperatureQuotasDocsSql: String =
+    """WITH c AS (SELECT lang AS stratum, COUNT(*) AS n FROM documents GROUP BY 1),
+      |m AS (SELECT MAX(n) AS n_max FROM c),
+      |w AS (SELECT stratum, n,
+      |  CAST(FLOOR(1000000 * SQRT(CAST(n AS DOUBLE) / n_max)) AS BIGINT)
+      |   AS scaled_weight
+      | FROM c, m),
+      |s AS (SELECT CAST(SUM(scaled_weight) AS BIGINT) AS sw_sum FROM w)
+      |SELECT stratum, n, scaled_weight,
+      | CAST(500 * scaled_weight // sw_sum AS BIGINT) AS quota
+      |FROM w, s""".stripMargin
+
+  /** The composed draw ([[graft.operators.Sampling.temperatureMixtureSample]]):
+    * temperature quotas feeding the deterministic key-hash admission —
+    * the oracle recomputes quota derivation AND admission from scratch,
+    * so both halves of the composition are under the gate at once. */
+  def temperatureMixtureDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.temperatureMixtureSample(pq(spark, dir, "documents"), "lang",
+      total = 500L, keys = Seq("doc_id"))
+      .select("doc_id", "lang", "source")
+  }
+
+  val temperatureMixtureDocsSql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+      |m AS (SELECT MAX(n) AS n_max FROM c),
+      |w AS (SELECT lang,
+      |  CAST(FLOOR(1000000 * SQRT(CAST(n AS DOUBLE) / n_max)) AS BIGINT) AS sw
+      | FROM c, m),
+      |s AS (SELECT CAST(SUM(sw) AS BIGINT) AS sw_sum FROM w),
+      |q AS (SELECT lang, CAST(500 * sw // sw_sum AS BIGINT) AS quota FROM w, s),
+      |r AS (
+      | SELECT doc_id, lang, source,
+      |  row_number() OVER (PARTITION BY lang
+      |    ORDER BY substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR))), 1, 8),
+      |             doc_id) AS rn
+      | FROM documents)
+      |SELECT doc_id, lang, source FROM r JOIN q USING (lang)
+      |WHERE rn <= quota""".stripMargin
+
   /** Deterministic training order ([[graft.operators.Sampling.trainingOrder]]):
     * every document gets a hash shard and an in-shard position; (pos,
     * shard) lexicographic order is the reproducible global curriculum.
@@ -3362,6 +3414,40 @@ object Queries {
       |WHERE doc_id % 10 = 0
       |  AND doc_id NOT IN (SELECT doc_id FROM xdup)
       |  AND doc_id NOT IN (SELECT doc_id FROM idup)""".stripMargin
+
+  /** Exact duplicated-span detection ([[graft.llm.Dedup.duplicatedSpans]],
+    * the Lee et al. 2021 exact-substring dedup shape): every doc pair
+    * sharing a run of ≥ 12 consecutive tokens, with the longest shared
+    * run and the count of maximal runs. Exact both sides — the oracle
+    * recomputes grams, diagonals and islands from scratch, so a
+    * single off-by-one in run merging hash-mismatches. */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.duplicatedSpans(pq(spark, dir, "documents"),
+      k = 8, minSpanTokens = 12)
+
+  val dedupSpansSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      | FROM documents),
+      |g AS (
+      | SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS gram
+      | FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM toks)),
+      |m AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+      |        a.pos - b.pos AS diag
+      | FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |runs AS (
+      | SELECT doc_a, doc_b, diag, pos_a,
+      |  pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+      |                             ORDER BY pos_a) AS grp
+      | FROM m),
+      |spans AS (
+      | SELECT doc_a, doc_b, CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+      | FROM runs GROUP BY doc_a, doc_b, diag, grp
+      | HAVING COUNT(*) + 7 >= 12)
+      |SELECT doc_a, doc_b, MAX(span_tokens) AS max_span_tokens,
+      | COUNT(*) AS n_spans
+      |FROM spans GROUP BY doc_a, doc_b""".stripMargin
 
   /** Decontamination as an ACTION (not just the report): the train split
     * minus every doc sharing >= 3 shingles with any test doc — what a

@@ -100,6 +100,7 @@ object SparkEntry {
     "chunk_documents" -> (Queries.chunkDocs(_, _)),
     "dedup_incremental" -> (Queries.dedupIncremental(_, _)),
     "dedup_batch_action" -> (Queries.dedupBatchAction(_, _)),
+    "dedup_spans" -> (Queries.dedupSpans(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_evolve" -> (Queries.scd1Evolve(_, _)),
@@ -165,6 +166,8 @@ object SparkEntry {
     "tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Queries.pq(s, d, "documents"))),
     "normalize_text" -> ((s, d) => TextOps.normalizeText(Queries.pq(s, d, "documents"))),
     "mixture_sample" -> (Queries.mixtureSampleDocs(_, _)),
+    "temperature_quotas" -> (Queries.temperatureQuotasDocs(_, _)),
+    "temperature_mixture" -> (Queries.temperatureMixtureDocs(_, _)),
     "training_order" -> (Queries.trainingOrderDocs(_, _)),
     "dedup_paragraphs" -> ((s, d) => TextOps.dedupParagraphs(Queries.pq(s, d, "documents"))),
     // near-dup + similarity + multimodal (MinHash-LSH / SimHash / ANN)
@@ -299,6 +302,7 @@ object SparkEntry {
     "chunk_documents" -> Queries.chunkDocsSql,
     "dedup_incremental" -> Queries.dedupIncrementalSql,
     "dedup_batch_action" -> Queries.dedupBatchActionSql,
+    "dedup_spans" -> Queries.dedupSpansSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_evolve" -> Queries.scd1EvolveSql,
@@ -637,6 +641,8 @@ object SparkEntry {
         | length(clean_text) AS n_chars_clean
         |FROM c""".stripMargin,
     "mixture_sample" -> Queries.mixtureSampleDocsSql,
+    "temperature_quotas" -> Queries.temperatureQuotasDocsSql,
+    "temperature_mixture" -> Queries.temperatureMixtureDocsSql,
     "training_order" -> Queries.trainingOrderDocsSql,
     "dedup_paragraphs" ->
       """WITH p AS (SELECT doc_id,

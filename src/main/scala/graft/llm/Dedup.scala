@@ -740,4 +740,82 @@ object Dedup {
       .distinct()
       .filter(col("distance") <= maxDistance)
   }
+
+  /** Positioned k-gram rows for [[duplicatedSpans]]: (1-based start
+    * position, space-joined k tokens). Same tight-UDF rationale as
+    * [[shingles]] — one JVM call per row, partition-parallel,
+    * shuffle-free; the declarative `transform(sequence(...))` form runs
+    * interpreted per element and was measured ~50× slower. */
+  private def posGramUdf(k: Int) = udf { (t: String) =>
+    val toks = tokenize(t)
+    if (toks.length < k) Seq.empty[(Int, String)]
+    else (1 to toks.length - k + 1)
+      .map(i => (i, toks.slice(i - 1, i + k - 1).mkString(" ")))
+  }
+
+  /**
+   * Corpus-wide EXACT duplicated-span detection — the exact-substring
+   * dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+   * Language Models Better", arXiv:2107.06499, which finds ≥50-token
+   * runs with a suffix array) re-expressed Spark-first: for every
+   * unordered doc pair sharing a run of ≥ `minSpanTokens` consecutive
+   * tokens, the length of the longest shared run and the count of
+   * maximal shared runs.
+   *
+   * How: positioned token k-grams equi-join on the gram STRING (a
+   * content bucket — candidates only ever meet inside a shared gram,
+   * never all-pairs, and no hashing means no false candidates); matches
+   * between a pair lie on diagonals `pos_a − pos_b`, and consecutive
+   * matches on one diagonal merge into maximal runs with one
+   * islands window (`pos_a − row_number`). A true shared run of L
+   * tokens yields exactly L−k+1 consecutive gram matches, so
+   * `span = matches + k − 1` is exact — recall 1 and precision 1 at
+   * any threshold ≥ k, by construction.
+   *
+   * Scale: the join is keyed on the gram, so cost is Σ df(gram)² over
+   * matched grams — near-linear for k ≥ 8 where real-text grams are
+   * almost unique. The one honest knob is `maxGramDocFreq`: drop grams
+   * occurring in more than that many docs BEFORE the join (boilerplate
+   * headers, license blocks). The recall caveat is precise: a span is
+   * missed only if EVERY k-gram inside it exceeds the cap; any one
+   * sub-cap anchor gram re-seeds its diagonal, and the island then
+   * under-reports length rather than losing the pair. The islands
+   * window partitions by (pair, diagonal) — granular, skew-free. */
+  def duplicatedSpans(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", k: Int = 8,
+                      minSpanTokens: Int = 12,
+                      maxGramDocFreq: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k-gram width must be >= 2, got $k")
+    require(minSpanTokens >= k,
+      s"minSpanTokens ($minSpanTokens) below k ($k) is unsatisfiable: " +
+        "a single matched gram already spans k tokens")
+    val g0 = docs
+      .select(col(idCol), explode(posGramUdf(k)(col(textCol))).as("pg"))
+      .select(col(idCol), col("pg._1").as("pos"), col("pg._2").as("gram"))
+    val g = maxGramDocFreq match {
+      case None => g0
+      case Some(cap) =>
+        require(cap >= 2, s"maxGramDocFreq must be >= 2, got $cap")
+        val hot = g0.groupBy("gram")
+          .agg(countDistinct(col(idCol)).as("df"))
+          .filter(col("df") > cap).select("gram")
+        g0.join(hot, Seq("gram"), "left_anti")
+    }
+    val a = g.select(col(idCol).as("doc_a"), col("pos").as("pos_a"), col("gram"))
+    val b = g.select(col(idCol).as("doc_b"), col("pos").as("pos_b"), col("gram"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    a.join(b, "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"),
+        (col("pos_a") - col("pos_b")).as("diag"))
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(count(lit(1)).as("matches"))
+      .withColumn("span_tokens", col("matches") + lit(k - 1))
+      .filter(col("span_tokens") >= minSpanTokens)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("span_tokens")).as("max_span_tokens"),
+        count(lit(1)).as("n_spans"))
+  }
 }

@@ -237,12 +237,30 @@ object Sampling {
                     weights: Map[String, Double], total: Long,
                     keys: Seq[String], salt: String = "",
                     hotGroupFactor: Int = 64): DataFrame = {
-    require(keys.nonEmpty, "mixtureSample needs key columns")
     require(total > 0, s"total must be positive, got $total")
     require(weights.nonEmpty, "mixtureSample needs at least one stratum weight")
     require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
       s"weights must be in [0,1], got $weights")
-    val caps: Map[String, Long] = mixtureQuotas(total, weights)
+    mixtureSampleQuotas(df, strataCol, mixtureQuotas(total, weights),
+      keys, salt, hotGroupFactor)
+  }
+
+  /** [[mixtureSample]] with the per-stratum row quotas given DIRECTLY
+    * (the admission machinery without the weight→quota derivation) —
+    * the entry point for quota sources computed elsewhere, e.g.
+    * [[temperatureQuotas]]. Same guarantees: key-hash-ordered
+    * deterministic admission per stratum, quotas are caps not
+    * promises, strata absent from the map are dropped, and the
+    * 256-bucket two-stage guard bounds the sort for hot strata. */
+  def mixtureSampleQuotas(df: DataFrame, strataCol: String,
+                          quotas: Map[String, Long],
+                          keys: Seq[String], salt: String = "",
+                          hotGroupFactor: Int = 64): DataFrame = {
+    require(keys.nonEmpty, "mixtureSample needs key columns")
+    require(quotas.nonEmpty, "mixtureSample needs at least one stratum quota")
+    require(quotas.values.forall(_ >= 0L),
+      s"quotas must be non-negative, got $quotas")
+    val caps: Map[String, Long] = quotas
     val capExpr = caps.foldLeft(lit(0L)) { case (acc, (stratum, c)) =>
       when(col(s"`$strataCol`") === stratum, lit(c)).otherwise(acc)
     }
@@ -302,5 +320,64 @@ object Sampling {
         (conv(substring(col(hc), 1, 4), 16, 10).cast("int") % numShards))
       .withColumn(posCol, row_number().over(w))
       .drop(hc)
+  }
+
+  /** Temperature-scaled mixture quotas — the domain-reweighting rule of
+    * multilingual/multi-domain pretraining (w_i ∝ n_i^α, α<1 upsamples
+    * the tail; e.g. Conneau & Lample 2019 §3.1, Raffel 2020 §3.4.3):
+    * per-stratum target row counts for a mixture of `total` rows, from
+    * the corpus's OWN stratum counts.
+    *
+    * Engine-neutral by integer construction: the scaled weight is
+    * `floor(10⁶ · (n_i/n_max)^α)` — for the default α = 0.5 the power
+    * is `sqrt`, which IEEE-754 requires correctly rounded, so both
+    * engines floor the SAME double (a floor tie needs 10⁶·√ratio
+    * integral, which happens only at exactly-representable rational
+    * squares where sqrt is exact anyway); the quota is then
+    * `total·sw_i div Σsw` in pure BIGINT arithmetic. Normalizing by
+    * n_max keeps sw ≤ 10⁶, so `total·sw` fits 2⁶³ for any total up to
+    * ~9·10¹², and every stratum with n ≥ 10⁻¹²·n_max keeps a nonzero
+    * weight. For α ≠ 0.5 the `pow` is NOT guaranteed bit-identical
+    * across engines (libm vs JVM) — fine for production use, but pin
+    * cross-engine oracles to α = 0.5.
+    *
+    * Scale: one count aggregate over one scan; the stratum table is
+    * tiny by definition (strata are languages/domains), so the n_max
+    * and Σsw scalars broadcast. Compose with [[mixtureSampleQuotas]]
+    * via [[temperatureMixtureSample]]. Σ quotas ≤ total (floor), and
+    * quotas are caps: a stratum smaller than its quota contributes
+    * everything it has. */
+  def temperatureQuotas(df: DataFrame, strataCol: String, total: Long,
+                        alpha: Double = 0.5): DataFrame = {
+    require(total > 0, s"total must be positive, got $total")
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(s"`$strataCol`").as("stratum"))
+      .agg(count(lit(1)).as("n"))
+    val nMax = counts.agg(max(col("n")).as("n_max"))
+    val ratio = col("n").cast("double") / col("n_max").cast("double")
+    val scaled = if (alpha == 0.5) sqrt(ratio) else pow(ratio, alpha)
+    val w = counts.crossJoin(broadcast(nMax))
+      .withColumn("scaled_weight",
+        floor(lit(1000000L) * scaled).cast("long"))
+    val swSum = w.agg(sum(col("scaled_weight")).as("sw_sum"))
+    w.crossJoin(broadcast(swSum))
+      .select(col("stratum"), col("n"), col("scaled_weight"),
+        expr(s"$total * scaled_weight div sw_sum").as("quota"))
+  }
+
+  /** [[temperatureQuotas]] fed straight into [[mixtureSampleQuotas]]:
+    * draw a ~`total`-row mixture whose stratum proportions follow
+    * n^α. The quota table is strata-sized (languages/domains), so the
+    * one driver materialization is bounded by construction — the same
+    * justification as mixtureSample's own hot-stratum probe. */
+  def temperatureMixtureSample(df: DataFrame, strataCol: String,
+                               total: Long, keys: Seq[String],
+                               alpha: Double = 0.5, salt: String = "",
+                               hotGroupFactor: Int = 64): DataFrame = {
+    val quotas = temperatureQuotas(df, strataCol, total, alpha)
+      .select("stratum", "quota").collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    mixtureSampleQuotas(df, strataCol, quotas, keys, salt, hotGroupFactor)
   }
 }

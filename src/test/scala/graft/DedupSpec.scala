@@ -407,4 +407,53 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.contaminationPairsWith(batch, idx, minShared = 1,
       commonGrams = Some(cg)).count() === 0)
   }
+
+  test("duplicatedSpans: planted run is measured exactly, sub-threshold runs drop") {
+    import spark.implicits._
+    val run15 = (1 to 15).map(i => s"shared$i").mkString(" ")
+    val run9 = (1 to 9).map(i => s"partial$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $run15 gamma delta"),
+      (2L, s"unrelated prefix words here $run15 and a different tail"),
+      (3L, s"$run9 completely different remainder text body"),
+      (4L, s"another opening $run9 closing words"),
+      (5L, "no overlap with anything else at all right here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(docs, k = 4, minSpanTokens = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        x.getLong(2), x.getLong(3)))
+    // only the 15-token run passes minSpan=10; the 9-token run is below
+    assert(r.toSeq === Seq((1L, 2L, 15L, 1L)),
+      s"expected exactly the planted 15-token span, got ${r.toSeq}")
+  }
+
+  test("duplicatedSpans: periodic text reports the true longest run, once per diagonal") {
+    import spark.implicits._
+    // "x x x x x x" vs "x x x x x x x x": every alignment matches, but the
+    // longest shared run is min(6,8)=6 tokens — the max over diagonals
+    val docs = Seq(
+      (1L, Seq.fill(6)("x").mkString(" ")),
+      (2L, Seq.fill(8)("x").mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.duplicatedSpans(docs, k = 3, minSpanTokens = 3).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(2) === 6L,
+      s"longest shared run must be 6 tokens, got ${r.head.getLong(2)}")
+  }
+
+  test("duplicatedSpans maxGramDocFreq drops boilerplate; a rare anchor re-seeds") {
+    import spark.implicits._
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ") // 12-token boilerplate
+    val docs = (1L to 6L).map(i => (i, s"$boiler unique tail $i here")).toDF("doc_id", "text")
+      .union(Seq((100L, s"prefix alpha $boiler rare anchor words trailing extra"),
+        (101L, s"other beginning $boiler rare anchor words trailing extra")).toDF("doc_id", "text"))
+    // uncapped: all 8 docs pair on the boilerplate run
+    val full = Dedup.duplicatedSpans(docs, k = 4, minSpanTokens = 8)
+    assert(full.count() === 8L * 7 / 2)
+    // capped at 6: pure-boilerplate grams (df=8) drop, but the 100/101
+    // pair still surfaces through its rare "rare anchor words" extension
+    val capped = Dedup.duplicatedSpans(docs, k = 4, minSpanTokens = 8,
+      maxGramDocFreq = Some(6)).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 101L)),
+      s"expected only the anchored pair, got ${capped.mkString(",")}")
+  }
 }

@@ -359,4 +359,44 @@ class SamplingSpec extends SparkSpec {
       .except(ep2.select("doc_id", "shard")).count()
     assert(moved > 0, "epoch salt did not reshuffle any document")
   }
+
+  test("temperatureQuotas: α=0.5 flattens toward the tail, quotas sum ≤ total") {
+    import spark.implicits._
+    // 1600 : 400 : 100 — raw proportions 16:4:1, sqrt proportions 4:2:1
+    val df = (1 to 1600).map(i => (i, "en")) ++
+      (1 to 400).map(i => (i + 10000, "de")) ++
+      (1 to 100).map(i => (i + 20000, "fr"))
+    val q = Sampling.temperatureQuotas(df.toDF("doc_id", "lang"), "lang",
+      total = 700L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // exact: sw = floor(1e6·sqrt(n/1600)) → en 1e6, de 5e5, fr 25e4;
+    // quotas = 700·sw div 175e4 → 400 / 200 / 100
+    assert(q("en") === ((1600L, 1000000L, 400L)), q.toString)
+    assert(q("de") === ((400L, 500000L, 200L)), q.toString)
+    assert(q("fr") === ((100L, 250000L, 100L)), q.toString)
+    // fr's RAW share of 700 would be 33; temperature lifted it to 100
+    assert(q.values.map(_._3).sum <= 700L)
+  }
+
+  test("temperatureMixtureSample draws exactly the quota per stratum, key-stable") {
+    import spark.implicits._
+    val df = ((1 to 1600).map(i => (i, "en")) ++
+      (1 to 400).map(i => (i + 10000, "de")) ++
+      (1 to 100).map(i => (i + 20000, "fr"))).toDF("doc_id", "lang")
+    val got = Sampling.temperatureMixtureSample(df, "lang", total = 700L,
+      keys = Seq("doc_id"))
+    val per = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fr's quota (100) equals its size — a quota is a cap, fully drawn here
+    assert(per === Map("en" -> 400L, "de" -> 200L, "fr" -> 100L), per.toString)
+    // admission is a pure function of the key: repartitioning changes nothing
+    assertSameRows(got,
+      Sampling.temperatureMixtureSample(df.repartition(17), "lang",
+        total = 700L, keys = Seq("doc_id")))
+    // and equals the two-step composition through mixtureSampleQuotas
+    assertSameRows(got,
+      Sampling.mixtureSampleQuotas(df, "lang",
+        Map("en" -> 400L, "de" -> 200L, "fr" -> 100L), Seq("doc_id")))
+  }
 }

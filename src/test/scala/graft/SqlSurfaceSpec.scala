@@ -44,6 +44,14 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(n === api)
   }
 
+  test("graft_duplicated_spans TVF matches the Scala API row for row") {
+    docsView()
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_duplicated_spans('documents', 8, 12)"),
+      graft.llm.Dedup.duplicatedSpans(spark.table("documents"),
+        k = 8, minSpanTokens = 12))
+  }
+
   test("graft_hash_sample / graft_hash_split from SQL match the Scala sampling rule") {
     docsView()
     assertSameRows(
