@@ -3157,6 +3157,62 @@ object Queries {
       | CAST(500 * scaled_weight // sw_sum AS BIGINT) AS quota
       |FROM w, s""".stripMargin
 
+  /** Mergeable GK quantile summaries
+    * ([[graft.operators.Sketches.approxQuantiles]]) under the oracle
+    * gate: the sketch content is partitioning-dependent (like any GK
+    * pipeline), so the DETERMINISTIC output is the exact rank-selected
+    * quantile (histogram decomposition, same shape as corpus_profile's
+    * median) — and the in-query require proves the sketch estimate
+    * lands within eps·n ranks of it. A sketch drifting out of its
+    * guarantee fails the query, an exact-selection bug fails the
+    * hash compare. */
+  def quantileSketchDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.expressions.Window
+    val probs = Seq(0.25, 0.5, 0.75, 0.9)
+    val eps = 0.05
+    val docs = pq(spark, dir, "documents")
+      .select(col("n_chars").cast("double").as("v"))
+    // exact rank selection over the value histogram (distinct sizes,
+    // never rows — the corpusProfile argument)
+    val hist = docs.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val n = hist.agg(sum(col("c")).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val exact = cum.crossJoin(broadcast(n))
+      .select(col("*"), explode(array(probs.map(lit): _*)).as("prob"))
+      .filter(col("cum") >= ceil(col("prob") * col("n")) &&
+        col("cum") - col("c") < ceil(col("prob") * col("n")))
+      .select(col("prob"), col("v").as("value"))
+    // the gate: every sketch estimate within eps·n ranks of exact
+    val total = docs.count()
+    val hs = hist.collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    val est = Sketches.approxQuantiles(
+      docs.withColumn("g", lit("all")), Seq("g"), "v", probs, eps)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    for (p <- probs) {
+      val r = math.max(1L, math.ceil(p * total).toLong)
+      val lo = hs.filter(_._1 < est(p)).map(_._2).sum + 1
+      val hi = hs.filter(_._1 <= est(p)).map(_._2).sum
+      val e = if (r < lo) lo - r else if (r > hi) r - hi else 0L
+      require(e <= (eps * total).toLong,
+        s"quantile_sketch: GK estimate for p=$p off by $e ranks " +
+          s"(> ${(eps * total).toLong}) — the eps·n guarantee is broken")
+    }
+    exact
+  }
+
+  val quantileSketchDocsSql: String =
+    """WITH h AS (SELECT CAST(n_chars AS DOUBLE) AS v, COUNT(*) AS c
+      |           FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+      |cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+      |p AS (SELECT CAST(UNNEST([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS prob)
+      |SELECT prob, v AS value
+      |FROM p, t, cum
+      |WHERE cum >= CEIL(prob * n) AND cum - c < CEIL(prob * n)""".stripMargin
+
   /** The composed draw ([[graft.operators.Sampling.temperatureMixtureSample]]):
     * temperature quotas feeding the deterministic key-hash admission —
     * the oracle recomputes quota derivation AND admission from scratch,

@@ -167,6 +167,7 @@ object SparkEntry {
     "normalize_text" -> ((s, d) => TextOps.normalizeText(Queries.pq(s, d, "documents"))),
     "mixture_sample" -> (Queries.mixtureSampleDocs(_, _)),
     "temperature_quotas" -> (Queries.temperatureQuotasDocs(_, _)),
+    "quantile_sketch" -> (Queries.quantileSketchDocs(_, _)),
     "temperature_mixture" -> (Queries.temperatureMixtureDocs(_, _)),
     "training_order" -> (Queries.trainingOrderDocs(_, _)),
     "dedup_paragraphs" -> ((s, d) => TextOps.dedupParagraphs(Queries.pq(s, d, "documents"))),
@@ -642,6 +643,7 @@ object SparkEntry {
         |FROM c""".stripMargin,
     "mixture_sample" -> Queries.mixtureSampleDocsSql,
     "temperature_quotas" -> Queries.temperatureQuotasDocsSql,
+    "quantile_sketch" -> Queries.quantileSketchDocsSql,
     "temperature_mixture" -> Queries.temperatureMixtureDocsSql,
     "training_order" -> Queries.trainingOrderDocsSql,
     "dedup_paragraphs" ->

@@ -194,6 +194,199 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  // ------------------------------------------------------- GK quantiles
+
+  /** One GK summary tuple: `v` with rank uncertainty `[rmin, rmin+delta]`
+    * where rmin is the running sum of `g`. */
+  final case class GKTuple(v: Double, g: Long, delta: Long)
+
+  /** Aggregation state: compressed sorted tuples + an unsorted insert
+    * buffer (amortizes the per-item sorted insert). */
+  final case class GKBuf(n: Long, tuples: Seq[GKTuple], pending: Seq[Double])
+
+  /** Finished summary: total count + tuples, as one struct so per-group
+    * summaries are storable rows (mirror of the HLL sketch contract). */
+  final case class GKSummary(n: Long, tuples: Seq[GKTuple])
+
+  /**
+   * Mergeable Greenwald–Khanna quantile summary (Greenwald & Khanna
+   * 2001; merge-without-compress rule after Agarwal 2012's mergeable-
+   * summaries analysis): answers ANY rank query within `eps · n` using
+   * `O((1/eps)·log(eps·n))` state per partition, built in one pass.
+   *
+   *  - `reduce` buffers values and flushes batches into the sorted
+   *    tuple list with the classic insert (delta = successor's
+   *    g + delta − 1) + compress (merge adjacent tuples while
+   *    g_i + g_{i+1} + delta_{i+1} ≤ threshold);
+   *  - the compress threshold uses `eps/2`, NOT eps: `merge`
+   *    concatenates tuple lists by value WITHOUT recompressing, so a
+   *    tuple's rank uncertainty after an s-way merge is its own delta
+   *    plus the other summaries' local uncertainties — bounded by
+   *    Σ 2·(eps/2)·n_i = eps·n. The half-eps headroom is what makes
+   *    one merge level safe; state after merging s partition summaries
+   *    is the sum of their sizes (s ≤ shuffle partitions — document,
+   *    don't iterate merges in a deep tree without recompressing).
+   *
+   * Determinism caveat, stated honestly: the summary CONTENT depends on
+   * partitioning/merge order (like any GK pipeline, including Spark's
+   * own approxQuantile); the `eps·n` rank GUARANTEE does not. Gate
+   * cross-engine comparisons on the guarantee, not on summary bytes —
+   * [[approxQuantiles]] callers who need engine-exact output should
+   * verify against exact rank selection (see the quantile_sketch
+   * oracle query, which does exactly that).
+   */
+  final class GKQuantile(eps: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[Double, GKBuf, GKSummary] {
+    require(eps > 0.0 && eps < 0.5, s"eps must be in (0, 0.5), got $eps")
+    private val epsHalf = eps / 2
+    private val flushSize = math.max(8, (1.0 / eps).toInt)
+
+    def zero: GKBuf = GKBuf(0L, Vector.empty, Vector.empty)
+
+    private def threshold(n: Long): Long = (2 * epsHalf * n).toLong
+
+    /** Insert a sorted batch into sorted tuples, then compress. */
+    private[operators] def flush(b: GKBuf): GKBuf = {
+      if (b.pending.isEmpty) return b
+      val th = threshold(b.n)
+      var ts = b.tuples.toVector
+      for (v <- b.pending.sorted) {
+        val i = ts.indexWhere(_.v >= v)
+        ts =
+          if (i < 0) ts :+ GKTuple(v, 1L, 0L) // new max
+          else if (i == 0) GKTuple(v, 1L, 0L) +: ts // new min
+          else {
+            val s = ts(i)
+            val delta = math.max(0L, math.min(s.g + s.delta - 1, th - 1))
+            (ts.take(i) :+ GKTuple(v, 1L, delta)) ++ ts.drop(i)
+          }
+      }
+      // compress right-to-left; never merge into position 0's successor
+      // from the left end (min/max tuples stay exact)
+      var out = Vector.empty[GKTuple]
+      var acc = ts.last
+      var i = ts.length - 2
+      while (i >= 1) {
+        val t = ts(i)
+        if (t.g + acc.g + acc.delta <= th) acc = acc.copy(g = acc.g + t.g)
+        else { out = acc +: out; acc = t }
+        i -= 1
+      }
+      out = acc +: out
+      if (ts.length >= 2) out = ts.head +: out
+      GKBuf(b.n, out, Vector.empty)
+    }
+
+    def reduce(b: GKBuf, v: Double): GKBuf = {
+      val nb = b.copy(n = b.n + 1, pending = b.pending :+ v)
+      if (nb.pending.size >= flushSize) flush(nb) else nb
+    }
+
+    def merge(x: GKBuf, y: GKBuf): GKBuf = {
+      val a = flush(x); val b = flush(y)
+      if (a.n == 0) return b
+      if (b.n == 0) return a
+      // merge-sort by value; g/delta carry over unchanged (see scaladoc)
+      val merged = (a.tuples ++ b.tuples).sortBy(_.v)
+      GKBuf(a.n + b.n, merged.toVector, Vector.empty)
+    }
+
+    def finish(b: GKBuf): GKSummary = {
+      val f = flush(b)
+      GKSummary(f.n, f.tuples)
+    }
+
+    def bufferEncoder: org.apache.spark.sql.Encoder[GKBuf] =
+      org.apache.spark.sql.Encoders.product[GKBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[GKSummary] =
+      org.apache.spark.sql.Encoders.product[GKSummary]
+  }
+
+  /** Rank-query a finished summary: the value whose rank interval
+    * `[rmin, rmin+delta]` is nearest the target rank `ceil(p·n)`
+    * (distance 0 when the interval covers it — guaranteed within
+    * `eps·n` by the summary invariant). */
+  private[operators] def gkQuery(tuples: Seq[GKTuple], n: Long, p: Double): Double = {
+    require(tuples.nonEmpty, "empty quantile summary")
+    val r = math.max(1L, math.ceil(p * n).toLong)
+    var rmin = 0L
+    var best = tuples.head.v
+    var bestDist = Long.MaxValue
+    for (t <- tuples) {
+      rmin += t.g
+      val rmax = rmin + t.delta
+      val dist = if (r < rmin) rmin - r else if (r > rmax) r - rmax else 0L
+      if (dist < bestDist) { bestDist = dist; best = t.v }
+    }
+    best
+  }
+
+  val QuantileCol = "gk_summary"
+
+  /** Per-group mergeable GK summaries of `valueCol` — the quantile
+    * analogue of [[hllSketch]]: persist per-shard summaries once,
+    * answer corpus-wide quantiles later by merging WITHOUT rescanning
+    * (one map-side-combinable aggregation; per-group state is the
+    * summary, never the data). */
+  def quantileSketch(df: DataFrame, keys: Seq[String], valueCol: String,
+                     eps: Double = 0.01): DataFrame = {
+    require(keys.nonEmpty, "quantileSketch needs group keys")
+    val agg = udaf(new GKQuantile(eps))
+    df.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(agg(col(s"`$valueCol`").cast("double")).as(QuantileCol))
+  }
+
+  /** Merge persisted per-shard summaries up to a coarser grain and
+    * answer `probs` — the quantile analogue of [[hllMergeEstimate]].
+    * The second-level merge re-uses the same concatenation rule via a
+    * small JVM fold (summaries are rows, bounded state). */
+  def quantileMergeEstimate(sketches: DataFrame, keys: Seq[String],
+                            probs: Seq[Double], eps: Double = 0.01): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val agg = udaf(new GKMerge)
+    val est = udf { (n: Long, ts: Seq[org.apache.spark.sql.Row], p: Double) =>
+      gkQuery(ts.map(r => GKTuple(r.getDouble(0), r.getLong(1), r.getLong(2))), n, p)
+    }
+    val probCol = explode(array(probs.map(lit): _*)).as("prob")
+    // udaf() flattens the case-class input into (n, tuples) parameters
+    sketches
+      .groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(agg(col(s"$QuantileCol.n"), col(s"$QuantileCol.tuples"))
+        .as(QuantileCol))
+      .select((keys.map(c => col(s"`$c`")) :+ col(QuantileCol) :+ probCol): _*)
+      .select((keys.map(c => col(s"`$c`")) :+ col("prob") :+
+        est(col(s"$QuantileCol.n"), col(s"$QuantileCol.tuples"),
+          col("prob")).as("value")): _*)
+  }
+
+  /** Second-level aggregator: concatenation-merge of finished
+    * summaries (same no-recompress rule as [[GKQuantile.merge]]). */
+  final class GKMerge
+      extends org.apache.spark.sql.expressions.Aggregator[GKSummary, GKSummary, GKSummary] {
+    def zero: GKSummary = GKSummary(0L, Vector.empty)
+    def reduce(b: GKSummary, s: GKSummary): GKSummary = merge(b, s)
+    def merge(x: GKSummary, y: GKSummary): GKSummary = {
+      if (x.n == 0) y
+      else if (y.n == 0) x
+      else GKSummary(x.n + y.n, (x.tuples ++ y.tuples).sortBy(_.v).toVector)
+    }
+    def finish(b: GKSummary): GKSummary = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[GKSummary] =
+      org.apache.spark.sql.Encoders.product[GKSummary]
+    def outputEncoder: org.apache.spark.sql.Encoder[GKSummary] =
+      org.apache.spark.sql.Encoders.product[GKSummary]
+  }
+
+  /** One-shot per-group approximate quantiles: build + query in one
+    * aggregation pass. Every estimate is within `eps·n` ranks of
+    * exact, at `O((1/eps)·log(eps·n))` state per (group, partition) —
+    * vs an exact quantile's full per-group sort. */
+  def approxQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+                      probs: Seq[Double], eps: Double = 0.01): DataFrame =
+    quantileMergeEstimate(quantileSketch(df, keys, valueCol, eps),
+      keys, probs, eps)
+
   /** Per-group top-`k` frequent items via [[SpaceSaving]]: one
     * aggregation (map-side combinable, ≤ `capacity` entries of state
     * per group anywhere in the plan), then an explode of the ≤

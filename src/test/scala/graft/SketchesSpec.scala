@@ -155,4 +155,65 @@ class SketchesSpec extends SparkSpec {
     truth.filter(_._2 > 2 * n / 20).keys.foreach(item =>
       assert(tracked.contains(item), s"heavy item $item lost"))
   }
+
+  /** Exact rank error of estimate `v` for target rank ceil(p·n) over
+    * sorted data: distance from the target to v's true rank interval
+    * [count(< v) + 1, count(≤ v)]. */
+  private def rankErr(sorted: Array[Double], v: Double, p: Double): Long = {
+    val n = sorted.length
+    val r = math.max(1L, math.ceil(p * n).toLong)
+    val lo = sorted.count(_ < v) + 1L
+    val hi = sorted.count(_ <= v).toLong
+    if (r < lo) lo - r else if (r > hi) r - hi else 0L
+  }
+
+  test("GK quantiles: every estimate within eps·n ranks, any partitioning") {
+    val rnd = new scala.util.Random(42)
+    // heavy duplicates + a skewed tail — the adversarial shapes for GK
+    val data = Array.fill(20000)(rnd.nextInt(500).toDouble) ++
+      Array.fill(2000)(7.0) ++ Array.fill(500)(math.abs(rnd.nextGaussian()) * 1e6)
+    val eps = 0.01
+    val probs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val sorted = data.sorted
+    for (parts <- Seq(1, 7, 32)) {
+      val df = data.toSeq.toDF("v").withColumn("g", lit("all")).repartition(parts)
+      val est = Sketches.approxQuantiles(df, Seq("g"), "v", probs, eps)
+        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+      for (p <- probs) {
+        val e = rankErr(sorted, est(p), p)
+        assert(e <= (eps * data.length).toLong,
+          s"parts=$parts p=$p: rank error $e > ${eps * data.length}")
+      }
+    }
+  }
+
+  test("GK summaries persist per shard and merge to the corpus grain, staying in bound") {
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill(12000)(rnd.nextDouble() * 1000)
+    val eps = 0.02
+    // per-shard summaries (as if persisted daily), then merged corpus-wide
+    val df = data.toSeq.toDF("v")
+      .withColumn("shard", (col("v") * 7919).cast("long") % 5)
+      .withColumn("g", lit("all"))
+    val perShard = Sketches.quantileSketch(df, Seq("g", "shard"), "v", eps)
+    assert(perShard.count() === 5)
+    val merged = Sketches.quantileMergeEstimate(
+      perShard.drop("shard"), Seq("g"), Seq(0.1, 0.5, 0.9), eps)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val sorted = data.sorted
+    for ((p, v) <- merged)
+      assert(rankErr(sorted, v, p) <= (eps * data.length).toLong,
+        s"merged p=$p err ${rankErr(sorted, v, p)}")
+  }
+
+  test("GK exact regime: eps small enough for the data size gives exact quantiles") {
+    val data = (1 to 100).map(_.toDouble)
+    val df = data.toDF("v").withColumn("g", lit("all")).repartition(3)
+    // threshold(2·(eps/2)·n) = floor(0.001·100) = 0 → nothing ever
+    // compresses and every delta is 0: the summary IS the sorted data
+    val est = Sketches.approxQuantiles(df, Seq("g"), "v",
+      Seq(0.25, 0.5, 0.75, 1.0), eps = 0.001)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(est === Map(0.25 -> 25.0, 0.5 -> 50.0, 0.75 -> 75.0, 1.0 -> 100.0))
+  }
 }
