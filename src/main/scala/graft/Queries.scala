@@ -3505,6 +3505,50 @@ object Queries {
       | COUNT(*) AS n_spans
       |FROM spans GROUP BY doc_a, doc_b""".stripMargin
 
+  /** The span-removal ACTION ([[graft.llm.Dedup.removeDuplicatedSpans]]):
+    * first occurrence (smallest doc id) keeps each duplicated ≥12-token
+    * run, every later doc has it cut; output is the full corpus as
+    * normalized token streams. The oracle recomputes cut intervals AND
+    * the token-level rebuild — an off-by-one at either span edge
+    * changes the rebuilt text and hash-mismatches. */
+  def dedupSpansAction(spark: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.removeDuplicatedSpans(pq(spark, dir, "documents"),
+      k = 8, minSpanTokens = 12)
+
+  val dedupSpansActionSql: String =
+    """WITH toks AS (
+      | SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      | FROM documents),
+      |g AS (
+      | SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS gram
+      | FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM toks)),
+      |m AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+      |        a.pos - b.pos AS diag
+      | FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |runs AS (
+      | SELECT doc_a, doc_b, diag, pos_a,
+      |  pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+      |                             ORDER BY pos_a) AS grp
+      | FROM m),
+      |cuts AS (
+      | SELECT doc_b AS doc_id, MIN(pos_a) - diag AS lo,
+      |        MIN(pos_a) - diag + COUNT(*) + 7 - 1 AS hi
+      | FROM runs GROUP BY doc_a, doc_b, diag, grp
+      | HAVING COUNT(*) + 7 >= 12),
+      |tk AS (
+      | SELECT doc_id, pos, t[pos] AS tok
+      | FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM toks)),
+      |kept AS (
+      | SELECT k.doc_id, k.pos, k.tok FROM tk k
+      | WHERE NOT EXISTS (SELECT 1 FROM cuts c
+      |                   WHERE c.doc_id = k.doc_id
+      |                     AND k.pos BETWEEN c.lo AND c.hi))
+      |SELECT d.doc_id,
+      | coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
+      |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+      |GROUP BY d.doc_id""".stripMargin
+
   /** Decontamination as an ACTION (not just the report): the train split
     * minus every doc sharing >= 3 shingles with any test doc — what a
     * pipeline actually ships to training. Same bucketed shape as the

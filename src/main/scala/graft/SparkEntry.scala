@@ -101,6 +101,7 @@ object SparkEntry {
     "dedup_incremental" -> (Queries.dedupIncremental(_, _)),
     "dedup_batch_action" -> (Queries.dedupBatchAction(_, _)),
     "dedup_spans" -> (Queries.dedupSpans(_, _)),
+    "dedup_spans_action" -> (Queries.dedupSpansAction(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_evolve" -> (Queries.scd1Evolve(_, _)),
@@ -304,6 +305,7 @@ object SparkEntry {
     "dedup_incremental" -> Queries.dedupIncrementalSql,
     "dedup_batch_action" -> Queries.dedupBatchActionSql,
     "dedup_spans" -> Queries.dedupSpansSql,
+    "dedup_spans_action" -> Queries.dedupSpansActionSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_evolve" -> Queries.scd1EvolveSql,

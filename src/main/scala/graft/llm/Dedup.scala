@@ -784,7 +784,21 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", k: Int = 8,
                       minSpanTokens: Int = 12,
-                      maxGramDocFreq: Option[Int] = None): DataFrame = {
+                      maxGramDocFreq: Option[Int] = None): DataFrame =
+    sharedSpans(docs, textCol, idCol, k, minSpanTokens, maxGramDocFreq)
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("span_tokens")).as("max_span_tokens"),
+        count(lit(1)).as("n_spans"))
+
+  /** The maximal shared runs themselves, one row per island:
+    * `(doc_a, doc_b, start_a, start_b, span_tokens)` with 1-based
+    * token start positions on both sides — the building block
+    * [[duplicatedSpans]] aggregates and [[removeDuplicatedSpans]]
+    * cuts. Mechanics and scale notes in [[duplicatedSpans]]. */
+  def sharedSpans(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id", k: Int = 8,
+                  minSpanTokens: Int = 12,
+                  maxGramDocFreq: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k-gram width must be >= 2, got $k")
     require(minSpanTokens >= k,
@@ -811,11 +825,56 @@ object Dedup {
         (col("pos_a") - col("pos_b")).as("diag"))
       .withColumn("grp", col("pos_a") - row_number().over(w))
       .groupBy("doc_a", "doc_b", "diag", "grp")
-      .agg(count(lit(1)).as("matches"))
+      .agg(count(lit(1)).as("matches"), min(col("pos_a")).as("start_a"))
       .withColumn("span_tokens", col("matches") + lit(k - 1))
       .filter(col("span_tokens") >= minSpanTokens)
-      .groupBy("doc_a", "doc_b")
-      .agg(max(col("span_tokens")).as("max_span_tokens"),
-        count(lit(1)).as("n_spans"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"),
+        (col("start_a") - col("diag")).as("start_b"), col("span_tokens"))
+  }
+
+  /** Tokens with 1-based positions (same tight-UDF rationale as
+    * [[posGramUdf]]). */
+  private def posTokUdf = udf { (t: String) =>
+    tokenize(t).toSeq.zipWithIndex.map { case (tok, i) => (i + 1, tok) }
+  }
+
+  /**
+   * The REMOVAL action of Lee et al. 2021's exact-substring dedup:
+   * keep the FIRST occurrence (the smallest id, per `doc_a < doc_b`)
+   * of every duplicated span and cut it from every later doc. Output
+   * is one row per input doc with the cleaned text as a NORMALIZED
+   * token stream (lowercase alnum tokens, single-space joined —
+   * pipelines running token-level dedup operate on exactly this
+   * stream; byte-faithful reconstruction is out of scope and
+   * documented so). A doc whose every token is cut comes back as ''
+   * — downstream length gates drop it.
+   *
+   * Plan: [[sharedSpans]] intervals on the b side → one range-predicate
+   * LEFT ANTI join against the positioned tokens (equi on doc id, so
+   * it stays a hash join; intervals per doc are few) → one
+   * sort-rebuild aggregate. Overlapping cut intervals need no
+   * pre-merge — the anti join handles overlap naturally.
+   */
+  def removeDuplicatedSpans(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id", k: Int = 8,
+                            minSpanTokens: Int = 12,
+                            maxGramDocFreq: Option[Int] = None): DataFrame = {
+    val cuts = sharedSpans(docs, textCol, idCol, k, minSpanTokens, maxGramDocFreq)
+      .select(col("doc_b").as("cut_id"), col("start_b").as("lo"),
+        (col("start_b") + col("span_tokens") - 1).as("hi"))
+    val toks = docs
+      .select(col(idCol), explode(posTokUdf(col(textCol))).as("pt"))
+      .select(col(idCol), col("pt._1").as("pos"), col("pt._2").as("tok"))
+    val kept = toks.join(cuts,
+      toks(idCol) === cuts("cut_id") &&
+        col("pos") >= col("lo") && col("pos") <= col("hi"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok"))).as("__cleaned__"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("__cleaned__"), lit("")).as(textCol))
   }
 }

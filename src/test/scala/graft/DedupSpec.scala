@@ -440,6 +440,32 @@ class DedupSpec extends SparkSpec {
       s"longest shared run must be 6 tokens, got ${r.head.getLong(2)}")
   }
 
+  test("removeDuplicatedSpans: first occurrence kept, later cut at exact edges") {
+    import spark.implicits._
+    val run = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $run gamma delta"),
+      (2L, s"prefix words $run suffix tail"),
+      (3L, "untouched text with nothing shared at all here")).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedSpans(docs, k = 4, minSpanTokens = 10)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    // doc 1 is the first occurrence: normalized but uncut
+    assert(r(1L) === s"alpha beta $run gamma delta")
+    // doc 2 loses exactly the 12 shared tokens, neighbors survive
+    assert(r(2L) === "prefix words suffix tail", r(2L))
+    assert(r(3L) === "untouched text with nothing shared at all here")
+  }
+
+  test("removeDuplicatedSpans: a doc that is all duplicate comes back empty") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, s"intro $run outro"), (2L, run)).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedSpans(docs, k = 4, minSpanTokens = 10)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) === s"intro $run outro")
+    assert(r(2L) === "", s"fully-duplicated doc must be emptied, got '${r(2L)}'")
+  }
+
   test("duplicatedSpans maxGramDocFreq drops boilerplate; a rare anchor re-seeds") {
     import spark.implicits._
     val boiler = (1 to 12).map(i => s"b$i").mkString(" ") // 12-token boilerplate

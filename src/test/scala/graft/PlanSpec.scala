@@ -138,6 +138,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup spans: gram join and cut anti-join stay equi/hash — no nested loop") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for ((name, df) <- Seq(
+        "duplicatedSpans" -> graft.llm.Dedup.duplicatedSpans(docs, k = 8, minSpanTokens = 12),
+        "removeDuplicatedSpans" -> graft.llm.Dedup.removeDuplicatedSpans(docs, k = 8, minSpanTokens = 12))) {
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.toLowerCase.contains("cartesian") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degraded to a non-equi join:\n${plan.take(600)}")
+    }
+  }
+
+  test("temperature quotas: scalars broadcast, corpus scanned once, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.Sampling.temperatureQuotas(docs, "lang", total = 100L)
+    val plan = finalPlan(df)
+    // nested-loop joins are only the 1-row scalar broadcasts (n_max,
+    // sw_sum) — the strata-sized subtree appears twice in the TREE (once
+    // under the sw_sum build side), which is a third BNL *node*, but the
+    // underlying count shuffle is exchange-reused, so the 100 TB scan
+    // runs once — pinned below, which is the property that matters
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan.toString).size <= 3,
+      plan.toString.take(600))
+    assert(!plan.toString.toLowerCase.contains("cartesianproduct"))
+    assert(fileScans(plan).size === 1,
+      s"corpus must be scanned exactly once, got ${fileScans(plan).size} scans")
+  }
+
   test("analytics queries stay inside WholeStageCodegen") {
     // codegen'd operators render with the `*(stageId)` prefix
     val plan = finalPlan(Queries.q1PricingSummary(spark, sf)).toString
