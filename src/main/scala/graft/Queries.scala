@@ -1494,6 +1494,55 @@ object Queries {
       | 'insert', 2
       | FROM customer WHERE c_custkey > 1000""".stripMargin
 
+  /** Incrementally-maintained materialized aggregate
+    * ([[graft.table.IncrementalAggView]]): init from a snapshot, then
+    * three refreshes fold an append (dir-diff feed), a DELETE without
+    * change capture (coarse rewrite feed), and an UPDATE with capture
+    * (minimal pre/post feed) — the three CDF granularities additivity
+    * must absorb. In-query gate: the folded state equals a full
+    * recompute of the final table, both directions of exceptAll; the
+    * oracle independently re-derives the surviving rows and the exact
+    * decimal sums from `orders`. */
+  def incrementalView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.{IncrementalAggView, ManagedTable}
+    val path = tmp("iview_src")
+    val st = tmp("iview_state")
+    val o = pq(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = ManagedTable(spark, path)
+    t.write(o.filter(col("o_orderkey") % 3 === 0), "APPEND", "append")
+    val view = new IncrementalAggView(spark, path, st,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    view.initialize()
+    t.write(o.filter(col("o_orderkey") % 3 === 1), "APPEND", "append")
+    view.refresh()
+    t.delete(col("o_orderkey") % 5 === 0)
+    view.refresh()
+    t.update(Map("o_totalprice" -> (col("o_totalprice") * 2)),
+      col("o_orderkey") % 7 === 0, captureChangeData = true)
+    view.refresh()
+    val got = view.read.select("o_orderstatus", "cnt", "sum_o_totalprice")
+    val want = t.read.groupBy("o_orderstatus")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_o_totalprice"))
+    require(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "incremental_view drifted from the full recompute")
+    got.select(col("o_orderstatus"), col("cnt"),
+      col("sum_o_totalprice").cast("string").as("sum_totalprice"))
+  }
+
+  val incrementalViewSql: String =
+    """WITH rows AS (
+      | SELECT o_orderstatus,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS v
+      | FROM orders
+      | WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0)
+      |SELECT o_orderstatus, COUNT(*) AS cnt,
+      | CAST(SUM(CAST(v AS DECIMAL(28,6))) AS VARCHAR) AS sum_totalprice
+      |FROM rows GROUP BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------- SCD scenarios
 
   /** customer with a 3-column projection used by all SCD scenarios:

@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_batch_action" -> (Queries.dedupBatchAction(_, _)),
     "dedup_spans" -> (Queries.dedupSpans(_, _)),
     "dedup_spans_action" -> (Queries.dedupSpansAction(_, _)),
+    "incremental_view" -> (Queries.incrementalView(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_evolve" -> (Queries.scd1Evolve(_, _)),
@@ -306,6 +307,7 @@ object SparkEntry {
     "dedup_batch_action" -> Queries.dedupBatchActionSql,
     "dedup_spans" -> Queries.dedupSpansSql,
     "dedup_spans_action" -> Queries.dedupSpansActionSql,
+    "incremental_view" -> Queries.incrementalViewSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_evolve" -> Queries.scd1EvolveSql,

@@ -1,0 +1,105 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incrementally-maintained materialized aggregate over a [[ManagedTable]]'s
+ * change feed — the "materialized view refresh" a 100 TB fact table needs:
+ * recomputing `GROUP BY` aggregates over the whole fact on every load is an
+ * O(table) scan per refresh; this view reads ONLY the change feed of the
+ * unprocessed version range and folds it into the stored aggregate state.
+ *
+ * Supported aggregates are the ADDITIVE ones whose delta form is exact —
+ * `count(*)` and `sum(col)` (avg is derivable as sum/cnt by the reader) —
+ * signed by change type: insert / update_postimage add, delete /
+ * update_preimage subtract. Additivity is what makes the view correct
+ * under ANY change-feed granularity: a dir-rewrite commit that reports
+ * "all old dir rows deleted + surviving rows inserted" (this table's DML
+ * without `captureChangeData`, coarser than Delta's minimal CDF) nets out
+ * to exactly the same delta as a minimal per-row feed.
+ *
+ * Sums are carried as `DECIMAL(28,6)` — exact integer arithmetic in
+ * 10⁻⁶ units, so subtraction round-trips to zero exactly (a double
+ * accumulator would drift: (a + b) − b ≠ a in floats, and a view that is
+ * refreshed thousands of times compounds it).
+ *
+ * State lives in its own ManagedTable (time travel, history and
+ * concurrency checks for free); the last folded source version rides on
+ * each state commit's `userMetadata`, so refresh is idempotent and
+ * restart-safe: a re-run reads the watermark from the state's own commit
+ * log and processes `(watermark, latest]` or nothing. Refresh cost is
+ * O(changes in range) + O(state rows) for the state rewrite — state is
+ * group-cardinality-sized, orders of magnitude below the fact; if a
+ * view's group count ever rivals the fact, swap the overwrite for the
+ * file-scoped scd1 merge + zero-row delete (same delta math).
+ */
+final class IncrementalAggView(spark: SparkSession, sourcePath: String,
+                               statePath: String, groupCols: Seq[String],
+                               sumCols: Seq[String]) {
+  require(groupCols.nonEmpty, "IncrementalAggView needs group columns")
+
+  private val Dec = "decimal(28,6)"
+  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
+  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
+
+  private def source = ManagedTable(spark, sourcePath)
+  private def state = ManagedTable(spark, statePath)
+
+  private def grouped(df: DataFrame, sign: org.apache.spark.sql.Column) =
+    df.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(sum(sign).as("cnt"),
+        sumCols.map(c =>
+          sum(sign * col(s"`$c`").cast(Dec)).cast(Dec).as(s"sum_$c")): _*)
+
+  /** The last source version folded into the state (from the state
+    * table's own commit metadata). */
+  def sourceVersion: Long = {
+    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
+      s"view state $statePath does not exist — call initialize() first"))
+    c.userMetadata match {
+      case Some(MetaRe(v)) => v.toLong
+      case other => throw new IllegalStateException(
+        s"state commit carries no sourceVersion watermark: $other")
+    }
+  }
+
+  /** Build the state from the source's CURRENT snapshot (one full
+    * scan — the only O(table) step in the view's lifetime). */
+  def initialize(): Long = {
+    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    state.write(grouped(source.read, lit(1L)), "VIEW_INIT", "replace", meta(v))
+    v
+  }
+
+  /** Fold the unprocessed change-feed range into the state. No-op (and
+    * no new commit) when already current. Returns the new watermark. */
+  def refresh(): Long = {
+    val last = sourceVersion
+    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    require(latest >= last,
+      s"source went backwards: watermark $last, latest $latest — was the " +
+        "source table recreated? Re-initialize the view.")
+    if (latest == last) return last
+    val cdf = source.readChangeFeed(last + 1, Some(latest))
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val delta = grouped(cdf, sign)
+    val cur = state.read.select(
+      (groupCols.map(c => col(s"`$c`")) ++
+        (col("cnt") +: sumCols.map(c => col(s"`sum_$c`")))): _*)
+    val merged = cur.unionByName(delta)
+      .groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sumCols.map(c => sum(col(s"`sum_$c`")).cast(Dec).as(s"sum_$c")): _*)
+      .filter(col("cnt") > 0)
+    state.write(merged, "VIEW_REFRESH", "replace", meta(latest),
+      expectedPrevVersion = state.latestVersion)
+    latest
+  }
+
+  /** The maintained aggregate. */
+  def read: DataFrame = state.read
+}

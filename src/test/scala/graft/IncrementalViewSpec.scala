@@ -1,0 +1,82 @@
+package graft
+
+import graft.table.{IncrementalAggView, ManagedTable}
+import org.apache.spark.sql.functions._
+
+/** IncrementalAggView: materialized aggregates folded from the change
+  * feed must equal a full recompute after every kind of source commit —
+  * append (dir-diff CDF), delete without capture (coarse dir-rewrite
+  * CDF), update with capture (minimal pre/post CDF). */
+class IncrementalViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fullRecompute(t: ManagedTable) =
+    t.read.groupBy("g")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)").as("sum_v"))
+
+  private def mkView(src: String, st: String) =
+    new IncrementalAggView(spark, src, st, Seq("g"), Seq("v"))
+
+  private def assertCurrent(view: IncrementalAggView, t: ManagedTable): Unit = {
+    val got = view.read.select("g", "cnt", "sum_v")
+    val want = fullRecompute(t)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      s"view drifted:\ngot ${got.collect().mkString(",")}\nwant ${want.collect().mkString(",")}")
+  }
+
+  test("append, coarse delete, captured update all fold to the exact aggregate") {
+    val src = tmpDir("iv_src"); val st = tmpDir("iv_st")
+    val t = ManagedTable(spark, src)
+    t.write((1 to 40).map(i => (i.toLong, s"g${i % 4}", i * 1.5)).toDF("id", "g", "v"),
+      "APPEND", "append")
+    val view = mkView(src, st)
+    view.initialize()
+    assertCurrent(view, t)
+
+    t.write((41 to 60).map(i => (i.toLong, s"g${i % 4}", i * 1.5)).toDF("id", "g", "v"),
+      "APPEND", "append")
+    view.refresh()
+    assertCurrent(view, t)
+
+    // delete WITHOUT captureChangeData: the feed reports the rewritten
+    // dir as delete-all + insert-survivors — additivity must net it out
+    t.delete(col("id") % 5 === 0)
+    view.refresh()
+    assertCurrent(view, t)
+
+    t.update(Map("v" -> (col("v") * 2)), col("id") % 7 === 0,
+      captureChangeData = true)
+    view.refresh()
+    assertCurrent(view, t)
+  }
+
+  test("refresh is idempotent and restart-safe via the commit watermark") {
+    val src = tmpDir("iv_src2"); val st = tmpDir("iv_st2")
+    val t = ManagedTable(spark, src)
+    t.write(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "g", "v"),
+      "APPEND", "append")
+    val view = mkView(src, st)
+    view.initialize()
+    val stateV = ManagedTable(spark, st).latestVersion
+    // current → no-op, no new state commit
+    assert(view.refresh() === view.sourceVersion)
+    assert(ManagedTable(spark, st).latestVersion === stateV)
+    t.write(Seq((3L, "a", 3.0)).toDF("id", "g", "v"), "APPEND", "append")
+    // a FRESH view object on the same paths resumes from the watermark
+    mkView(src, st).refresh()
+    assertCurrent(mkView(src, st), t)
+  }
+
+  test("a group whose count reaches zero leaves the state") {
+    val src = tmpDir("iv_src3"); val st = tmpDir("iv_st3")
+    val t = ManagedTable(spark, src)
+    t.write(Seq((1L, "keep", 1.0), (2L, "gone", 2.0)).toDF("id", "g", "v"),
+      "APPEND", "append")
+    val view = mkView(src, st)
+    view.initialize()
+    t.delete(col("g") === "gone")
+    view.refresh()
+    assert(view.read.select("g").as[String].collect().toSeq === Seq("keep"))
+  }
+}
