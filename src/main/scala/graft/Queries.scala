@@ -1494,6 +1494,42 @@ object Queries {
       | 'insert', 2
       | FROM customer WHERE c_custkey > 1000""".stripMargin
 
+  /** Zero-copy CLONE ([[graft.table.ManagedTable.cloneTo]]): shallow
+    * clone of a customer slice, then divergence on both sides, then the
+    * CLONE is overwritten and vacuumed — which must not touch the
+    * source's dirs (vacuum's own-root guard; in-query require). Output
+    * is both sides' per-segment counts; the oracle re-derives them from
+    * the slices alone. */
+  def tableClone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    val srcPath = tmp("clone_src")
+    val dstPath = tmp("clone_dst")
+    val c = pq(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val t = ManagedTable(spark, srcPath)
+    t.write(c.filter(col("c_custkey") <= 300), "APPEND", "append")
+    t.cloneTo(dstPath)
+    val clone = ManagedTable(spark, dstPath)
+    // diverge: source grows, clone is replaced with a narrower slice
+    t.write(c.filter(col("c_custkey") > 300 && col("c_custkey") <= 600),
+      "APPEND", "append")
+    clone.write(c.filter(col("c_custkey") <= 100), "OVERWRITE", "replace")
+    clone.vacuum(keepLast = 1) // drops the clone's v0 — source dirs are in it
+    require(t.read.count() == c.filter(col("c_custkey") <= 600).count(),
+      "clone vacuum deleted source data — own-root guard broken")
+    t.read.groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .withColumn("side", lit("source"))
+      .unionByName(clone.read.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n")).withColumn("side", lit("clone")))
+      .select("side", "c_mktsegment", "n")
+  }
+
+  val tableCloneSql: String =
+    """SELECT 'source' AS side, c_mktsegment, COUNT(*) AS n
+      |FROM customer WHERE c_custkey <= 600 GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'clone', c_mktsegment, COUNT(*)
+      |FROM customer WHERE c_custkey <= 100 GROUP BY c_mktsegment""".stripMargin
+
   /** Incrementally-maintained materialized aggregate
     * ([[graft.table.IncrementalAggView]]): init from a snapshot, then
     * three refreshes fold an append (dir-diff feed), a DELETE without

@@ -103,6 +103,7 @@ object SparkEntry {
     "dedup_spans" -> (Queries.dedupSpans(_, _)),
     "dedup_spans_action" -> (Queries.dedupSpansAction(_, _)),
     "incremental_view" -> (Queries.incrementalView(_, _)),
+    "table_clone" -> (Queries.tableClone(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_evolve" -> (Queries.scd1Evolve(_, _)),
@@ -308,6 +309,7 @@ object SparkEntry {
     "dedup_spans" -> Queries.dedupSpansSql,
     "dedup_spans_action" -> Queries.dedupSpansActionSql,
     "incremental_view" -> Queries.incrementalViewSql,
+    "table_clone" -> Queries.tableCloneSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_evolve" -> Queries.scd1EvolveSql,

@@ -219,6 +219,78 @@ final class ManagedTable(spark: SparkSession, root: String) {
     commit
   }
 
+  /**
+   * CLONE — Delta's `CREATE TABLE ... CLONE` analogue, optionally as of
+   * an older version.
+   *
+   * SHALLOW (default): the target's v0 commit references this table's
+   * data dirs BY PATH — zero bytes copied, constant time at any table
+   * size. Skipping stats and recorded dir byte sizes carry over (keyed
+   * by the same paths), so predicate pruning and byte-sized planning
+   * work on the clone immediately. Clone and source then diverge freely:
+   * dirs are immutable copy-on-write, so neither side's commits ever
+   * rewrite shared files, and the clone's own [[vacuum]] never deletes
+   * foreign roots (own-root guard above). The one lifecycle caveat is
+   * Delta's own: VACUUM on the SOURCE can delete dirs a shallow clone
+   * still references — deep-clone (or drop the clone) before vacuuming a
+   * source out from under it.
+   *
+   * DEEP: every referenced dir is copied under the target's own data
+   * area (one Spark job, one task per dir — driver does no byte work),
+   * stats/bytes re-keyed to the copies; the clone is then fully
+   * self-contained. O(data) by nature.
+   */
+  def cloneTo(targetRoot: String, deep: Boolean = false,
+              asOfVersion: Option[Long] = None): Commit = {
+    val v = asOfVersion.getOrElse(latestVersion.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist")))
+    val earliest = earliestVersion.get
+    require(v >= earliest,
+      s"cannot clone $root as of version $v — vacuumed (earliest is $earliest)")
+    val src = commitAt(v)
+    val target = new ManagedTable(spark, targetRoot)
+    require(!target.exists, s"clone target $targetRoot already exists")
+    val (dirs, stats, bytes) =
+      if (!deep) (src.dirs, src.dirStats, src.dirBytes)
+      else {
+        // preserve each dir's path below the source's data/ node so
+        // partition-subdir references stay structurally identical
+        def relUnderData(dir: String): String = {
+          var p = new Path(dir); var segs = List.empty[String]
+          while (p.getParent != null && p.getParent.getName != "data") {
+            segs = p.getName :: segs; p = p.getParent
+          }
+          (p.getName :: segs).mkString("/") // root segment, then subpath
+        }
+        val targetData = new Path(new Path(targetRoot), "data")
+        val pairs = src.dirs.map { d =>
+          d -> new Path(targetData, relUnderData(d)).toString
+        }
+        val n = math.max(1, math.min(pairs.size, 64))
+        spark.sparkContext.parallelize(pairs, n).foreach { case (from, to) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val fp = new Path(from); val tp = new Path(to)
+          val sfs = fp.getFileSystem(conf); val tfs = tp.getFileSystem(conf)
+          if (!org.apache.hadoop.fs.FileUtil.copy(sfs, fp, tfs, tp, false, conf))
+            throw new java.io.IOException(s"deep clone failed copying $from -> $to")
+        }
+        val remap = pairs.toMap
+        (src.dirs.map(remap),
+          src.dirStats.map { case (d, s) => remap.getOrElse(d, d) -> s },
+          src.dirBytes.map { case (d, b) => remap.getOrElse(d, d) -> b })
+      }
+    val commit = Commit(0L,
+      s"CLONE(source=$root, version=$v, ${if (deep) "deep" else "shallow"})",
+      System.currentTimeMillis(), dirs,
+      Map("sourceVersion" -> v.toString,
+        "numClonedDirs" -> dirs.size.toString,
+        "cloneMode" -> (if (deep) "deep" else "shallow")),
+      None, src.schemaDdl, -1L, partitionBy = src.partitionBy,
+      dirStats = stats, dirBytes = bytes)
+    target.writeCommit(commit)
+    commit
+  }
+
   /** Read a commit's dir composition. Dirs may be whole data dirs or
     * partition subdirs (after a [[selectiveOverwrite]]); subdirs are read
     * with `basePath` grouped by their data-dir root so partition columns
@@ -1079,9 +1151,18 @@ final class ManagedTable(spark: SparkSession, root: String) {
 
     val keptRoots = keepCommits.flatMap(_.dirs).map(ManagedTable.dataDirRoot).toSet
     val keptChange = keepCommits.flatMap(_.changeDir).toSet
-    val deadRoots = dropCommits.flatMap(_.dirs).map(ManagedTable.dataDirRoot)
-      .toSet -- keptRoots
-    val deadChange = dropCommits.flatMap(_.changeDir).toSet -- keptChange
+    // Delta's rule: vacuum only ever deletes files under ITS OWN table
+    // root. A shallow clone's early commits reference the SOURCE table's
+    // dirs by path — deleting those would destroy the source's data from
+    // the clone's vacuum. Foreign roots are simply dropped from the
+    // delete set (the source's own vacuum governs their lifetime).
+    val ownRoot = rootPath.toUri.getPath.stripSuffix("/") + "/"
+    def underOwnRoot(d: String): Boolean =
+      new Path(d).toUri.getPath.startsWith(ownRoot)
+    val deadRoots = (dropCommits.flatMap(_.dirs).map(ManagedTable.dataDirRoot)
+      .toSet -- keptRoots).filter(underOwnRoot)
+    val deadChange = (dropCommits.flatMap(_.changeDir).toSet -- keptChange)
+      .filter(underOwnRoot)
 
     // delete the log entries FIRST: a crash mid-vacuum then leaves orphan
     // data dirs (harmless; a later vacuum of any version sweeps nothing,
