@@ -247,6 +247,30 @@ object GraftExtensions {
         k = intArg(args(1), "k"),
         minSpanTokens = intArg(args(2), "min_span_tokens")))
     },
+    "graft_remove_duplicated_spans" -> { args =>
+      require(args.size == 3,
+        "graft_remove_duplicated_spans(table, k, min_span_tokens) takes three arguments")
+      plan(Dedup.removeDuplicatedSpans(table(args.head),
+        k = intArg(args(1), "k"),
+        minSpanTokens = intArg(args(2), "min_span_tokens")))
+    },
+    "graft_approx_quantiles" -> { args =>
+      require(args.size == 4,
+        "graft_approx_quantiles(table, value_col, probs_csv, eps) takes four arguments")
+      val probs = strArg(args(2), "probs_csv").split(",").map { p =>
+        try p.trim.toDouble catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"probs_csv entries must be numeric, got '${p.trim}'")
+        }
+      }.toSeq
+      // one synthetic group: SQL callers quantile the whole table; the
+      // grouped form stays a Scala-API concern
+      val df = table(args.head)
+        .withColumn("__graft_g__", org.apache.spark.sql.functions.lit("all"))
+      plan(graft.operators.Sketches.approxQuantiles(df, Seq("__graft_g__"),
+        strArg(args(1), "value_col"), probs, dblArg(args(3), "eps"))
+        .drop("__graft_g__"))
+    },
     // NOTE: unlike every other TVF this one runs distributed jobs at
     // RESOLUTION time — k-means quantizer training (plus the corpus
     // count that auto-sizes it when nlist is omitted) is an index

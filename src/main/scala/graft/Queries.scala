@@ -1494,6 +1494,39 @@ object Queries {
       | 'insert', 2
       | FROM customer WHERE c_custkey > 1000""".stripMargin
 
+  /** Append-time type widening ([[graft.table.ManagedTable.write]] with
+    * mergeSchema): an int/float table joined by a long/double batch
+    * adopts the wider types — old parquet files keep their physical
+    * int32/float encoding and are read under the widened schema with no
+    * rewrite. The oracle reproduces the narrow batch's float32 rounding
+    * with an explicit REAL→DOUBLE round-trip, so the float-precision
+    * values must agree bit-for-bit across engines. */
+  def typeWidening(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    val path = tmp("widen_tbl")
+    val c = pq(spark, dir, "customer").select("c_custkey", "c_acctbal")
+    val t = ManagedTable(spark, path)
+    t.write(c.filter(col("c_custkey") <= 500)
+      .select(col("c_custkey").cast("int").as("c_custkey"),
+        col("c_acctbal").cast("float").as("c_acctbal")), "APPEND", "append")
+    t.write(c.filter(col("c_custkey") > 500 && col("c_custkey") <= 1000)
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_acctbal").cast("double").as("c_acctbal")), "APPEND", "append",
+      mergeSchema = true)
+    require(t.read.schema("c_custkey").dataType ==
+      org.apache.spark.sql.types.LongType &&
+      t.read.schema("c_acctbal").dataType ==
+        org.apache.spark.sql.types.DoubleType,
+      s"type widening did not adopt the wider types: ${t.read.schema.toDDL}")
+    t.read
+  }
+
+  val typeWideningSql: String =
+    """SELECT c_custkey,
+      | CASE WHEN c_custkey <= 500 THEN CAST(CAST(c_acctbal AS REAL) AS DOUBLE)
+      |      ELSE c_acctbal END AS c_acctbal
+      |FROM customer WHERE c_custkey <= 1000""".stripMargin
+
   /** Zero-copy CLONE ([[graft.table.ManagedTable.cloneTo]]): shallow
     * clone of a customer slice, then divergence on both sides, then the
     * CLONE is overwritten and vacuumed — which must not touch the

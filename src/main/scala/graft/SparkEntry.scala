@@ -104,6 +104,7 @@ object SparkEntry {
     "dedup_spans_action" -> (Queries.dedupSpansAction(_, _)),
     "incremental_view" -> (Queries.incrementalView(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
+    "type_widening" -> (Queries.typeWidening(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_evolve" -> (Queries.scd1Evolve(_, _)),
@@ -310,6 +311,7 @@ object SparkEntry {
     "dedup_spans_action" -> Queries.dedupSpansActionSql,
     "incremental_view" -> Queries.incrementalViewSql,
     "table_clone" -> Queries.tableCloneSql,
+    "type_widening" -> Queries.typeWideningSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_evolve" -> Queries.scd1EvolveSql,

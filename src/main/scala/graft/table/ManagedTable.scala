@@ -2,7 +2,7 @@ package graft.table
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 import java.nio.charset.StandardCharsets
 import java.util.UUID
 import scala.util.matching.Regex
@@ -905,21 +905,35 @@ final class ManagedTable(spark: SparkSession, root: String) {
             s"append schema ${df.schema.toDDL} does not match table schema " +
               s"${old.toDDL} for $root; pass mergeSchema = true to evolve")
         else {
-          old.fields.foreach { f =>
-            df.schema.fields.find(_.name == f.name).foreach { g =>
-              if (g.dataType != f.dataType)
-                throw new IllegalArgumentException(
-                  s"column ${f.name} cannot change type " +
-                    s"${f.dataType.simpleString} -> ${g.dataType.simpleString} " +
-                    s"on append to $root (type changes need a replace)")
-            }
-          }
-          // nullability widens where NULLs become observable: new columns
+          // nullability widens where NULLs become observable (new columns
           // are NULL for old dirs; old columns the batch lacks are NULL
-          // for this dir
+          // for this dir), and types may move UP a LOSSLESS widening
+          // chain (Delta's type-widening feature): byte<short<int<long,
+          // float→double, byte/short/int→double, decimal precision/scale
+          // growth. Spark 4's parquet reader serves the old physical
+          // type under the widened schema directly (int32 under
+          // LongType/DoubleType, float under Double, decimal re-scale),
+          // and skipping stats compare as BigDecimal strings — so
+          // neither read nor prune needs a rewrite. Lossy or unrelated
+          // changes (long→int, string→int, long→double) still refuse.
           StructType(
-            old.fields.map(f => f.copy(nullable =
-              f.nullable || !df.schema.fieldNames.contains(f.name))) ++
+            old.fields.map { f =>
+              df.schema.fields.find(_.name == f.name) match {
+                case None => f.copy(nullable = true)
+                case Some(g) if g.dataType == f.dataType =>
+                  f.copy(nullable = f.nullable || g.nullable)
+                case Some(g) =>
+                  ManagedTable.widerOf(f.dataType, g.dataType) match {
+                    case Some(w) =>
+                      f.copy(dataType = w, nullable = f.nullable || g.nullable)
+                    case None => throw new IllegalArgumentException(
+                      s"column ${f.name} cannot change type " +
+                        s"${f.dataType.simpleString} -> ${g.dataType.simpleString} " +
+                        s"on append to $root — not a lossless widening " +
+                        "(those need a replace)")
+                  }
+              }
+            } ++
               df.schema.fields.filterNot(g => old.fieldNames.contains(g.name))
                 .map(_.copy(nullable = true)))
         }
@@ -1628,6 +1642,29 @@ object ManagedTable {
 
   final class ConcurrentCommitException(msg: String)
     extends IllegalStateException(msg)
+
+  /** The wider of two types when one LOSSLESSLY widens to the other
+    * (order-independent); None for lossy or unrelated pairs. The chains:
+    * integral byte<short<int<long; float→double; byte/short/int→double
+    * (exact in a 53-bit mantissa — long→double is NOT, and refused);
+    * decimal growth that loses neither scale nor integer digits. */
+  private[table] def widerOf(a: DataType, b: DataType): Option[DataType] = {
+    val intRank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    def pair(x: DataType, y: DataType): Option[DataType] = (x, y) match {
+      case _ if x == y => Some(x)
+      case _ if intRank.contains(x) && intRank.contains(y) =>
+        Some(if (intRank(x) >= intRank(y)) x else y)
+      case (FloatType, DoubleType) => Some(DoubleType)
+      case (i, DoubleType) if intRank.get(i).exists(_ <= 3) => Some(DoubleType)
+      case (d1: DecimalType, d2: DecimalType)
+          if d2.scale >= d1.scale &&
+            d2.precision - d2.scale >= d1.precision - d1.scale =>
+        Some(d2)
+      case _ => None
+    }
+    pair(a, b).orElse(pair(b, a))
+  }
 
   final case class VacuumStats(prunedVersions: Int, deletedDataDirs: Int,
                                deletedChangeDirs: Int)

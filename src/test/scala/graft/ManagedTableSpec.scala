@@ -385,13 +385,61 @@ class ManagedTableSpec extends SparkSpec {
     val v3 = t.read.filter($"id" === 3)
       .select("v", "extra").as[(Option[String], Option[Int])].head()
     assert(v3 === ((None, Some(7))))
-    // type changes are refused even with the flag
+    // NON-widening type changes are refused even with the flag
     intercept[IllegalArgumentException](
       t.write(Seq(("x", "y")).toDF("id", "v"), "APPEND", "append",
         mergeSchema = true))
     // skipping stays conservative across evolution: the new column's
     // stats exist only for dirs that carried it
     assert(t.readWhere($"extra" === 9).select("id").as[Int].collect().toSeq === Seq(2))
+  }
+
+  test("append type widening: lossless chains widen under mergeSchema, lossy refuse") {
+    val path = tmpDir("mt_widen")
+    val t = ManagedTable(spark, path)
+    t.write(Seq((1, 1.5f)).toDF("id", "x"), "APPEND", "append")
+    // int id joined by a long batch; float x joined by a double batch —
+    // the table adopts the wider types, OLD parquet files (int32/float
+    // physical) read under them directly, no rewrite
+    t.write(Seq((2147483648L, 2.5)).toDF("id", "x"), "APPEND", "append",
+      mergeSchema = true)
+    val sch = t.read.schema
+    assert(sch("id").dataType === org.apache.spark.sql.types.LongType)
+    assert(sch("x").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(t.read.as[(Long, Double)].collect().toSet ===
+      Set((1L, 1.5), (2147483648L, 2.5)))
+    // a NARROW batch appends into the widened table unchanged (its
+    // int32 files serve under the long schema)
+    t.write(Seq((3, 3.5)).toDF("id", "x"), "APPEND", "append",
+      mergeSchema = true)
+    assert(t.read.count() === 3)
+    assert(t.read.schema("id").dataType === org.apache.spark.sql.types.LongType)
+    // skipping still prunes across mixed physical types (BigDecimal
+    // string compare is width-blind)
+    assert(t.readWhere($"id" >= 2147483648L).count() === 1)
+    // lossy changes refuse: long→double loses precision past 2^53
+    intercept[IllegalArgumentException](
+      t.write(Seq((4.5, 1.0)).toDF("id", "x"), "APPEND", "append",
+        mergeSchema = true))
+  }
+
+  test("append decimal widening grows precision and scale, never shrinks") {
+    val path = tmpDir("mt_widen_dec")
+    val t = ManagedTable(spark, path)
+    t.write(Seq(BigDecimal("1.25")).toDF("d")
+      .select($"d".cast("decimal(10,2)").as("d")), "APPEND", "append")
+    t.write(Seq(BigDecimal("123456789.1234")).toDF("d")
+      .select($"d".cast("decimal(20,4)").as("d")), "APPEND", "append",
+      mergeSchema = true)
+    assert(t.read.schema("d").dataType ===
+      org.apache.spark.sql.types.DecimalType(20, 4))
+    assert(t.read.select($"d".cast("string")).as[String].collect().toSet ===
+      Set("1.2500", "123456789.1234"))
+    // shrinking integer digits is lossy → refused
+    intercept[IllegalArgumentException](
+      t.write(Seq(BigDecimal("1")).toDF("d")
+        .select($"d".cast("decimal(10,9)").as("d")), "APPEND", "append",
+        mergeSchema = true))
   }
 
   test("clusterBy makes readWhere selective on the cluster column") {

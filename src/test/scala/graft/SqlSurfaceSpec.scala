@@ -52,6 +52,34 @@ class SqlSurfaceSpec extends SparkSpec {
         k = 8, minSpanTokens = 12))
   }
 
+  test("graft_remove_duplicated_spans TVF matches the Scala API row for row") {
+    docsView()
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_remove_duplicated_spans('documents', 8, 12)"),
+      graft.llm.Dedup.removeDuplicatedSpans(spark.table("documents"),
+        k = 8, minSpanTokens = 12))
+  }
+
+  test("graft_approx_quantiles TVF estimates land within eps·n ranks") {
+    docsView()
+    // sketch CONTENT is partitioning-dependent, so the SQL/Scala twin is
+    // the GUARANTEE, not row equality: every estimate within eps·n
+    val n = spark.table("documents").count()
+    val sizes = spark.table("documents")
+      .select(org.apache.spark.sql.functions.col("n_chars").cast("double"))
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble).collect().sorted
+    val est = spark.sql(
+      "SELECT * FROM graft_approx_quantiles('documents', 'n_chars', '0.25,0.5,0.75', 0.05)")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for ((p, v) <- est) {
+      val r = math.max(1L, math.ceil(p * n).toLong)
+      val lo = sizes.count(_ < v) + 1L
+      val hi = sizes.count(_ <= v).toLong
+      val err = if (r < lo) lo - r else if (r > hi) r - hi else 0L
+      assert(err <= (0.05 * n).toLong, s"p=$p err $err")
+    }
+  }
+
   test("graft_hash_sample / graft_hash_split from SQL match the Scala sampling rule") {
     docsView()
     assertSameRows(
