@@ -443,13 +443,21 @@ object Queries {
       .agg(min(col("supply_cost")).as("min_cost"))
     cost.join(broadcast(minCost), col("p_partkey") === col("mc_partkey") &&
         col("supply_cost") === col("min_cost"))
-      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+      // order on the DECIMAL rendering of acctbal, exactly what the
+      // oracle's inner ORDER BY sees — sorting the raw double here
+      // could order sub-cent differences the 2-dp oracle ties
+      .orderBy(col("s_acctbal").cast("decimal(18,2)").desc,
+        col("s_name"), col("p_partkey"))
       .limit(100)
       .select(col("s_acctbal").cast("decimal(18,2)").cast("string").as("s_acctbal"),
         col("s_name"), col("n_name"), col("p_partkey"), col("p_name"),
         col("supply_cost").cast("string").as("supply_cost"))
   }
 
+  // NOTE the ORDER BY lives in the INNER query, on the DECIMAL — naming
+  // the outer VARCHAR alias would sort lexicographically in DuckDB
+  // ('999.50' > '1000.25') and pick a different top-100 than Spark's
+  // numeric sort. Same convention as q3/q10.
   val q2Sql: String =
     """WITH cost AS (
       | SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
@@ -460,14 +468,17 @@ object Queries {
       | JOIN supplier ON l_suppkey = s_suppkey
       | JOIN nation ON s_nationkey = n_nationkey
       | JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
-      | GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name)
-      |SELECT CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS s_acctbal,
-      | s_name, n_name, p_partkey, p_name,
-      | CAST(supply_cost AS VARCHAR) AS supply_cost
-      |FROM cost c
-      |WHERE supply_cost = (SELECT MIN(supply_cost) FROM cost m
-      |                     WHERE m.p_partkey = c.p_partkey)
-      |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin
+      | GROUP BY p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name),
+      |best AS (
+      | SELECT CAST(s_acctbal AS DECIMAL(18,2)) AS bal, s_name, n_name,
+      |        p_partkey, p_name, supply_cost
+      | FROM cost c
+      | WHERE supply_cost = (SELECT MIN(supply_cost) FROM cost m
+      |                      WHERE m.p_partkey = c.p_partkey)
+      | ORDER BY bal DESC, s_name, p_partkey LIMIT 100)
+      |SELECT CAST(bal AS VARCHAR) AS s_acctbal, s_name, n_name,
+      | p_partkey, p_name, CAST(supply_cost AS VARCHAR) AS supply_cost
+      |FROM best""".stripMargin
 
   /** TPC-H Q6 (forecasting revenue change): the pure scan-side query —
     * one fact table, three pushable range predicates, one decimal sum.
@@ -549,10 +560,12 @@ object Queries {
   /** TPC-H Q8 shape (national market share): of the ASIA-customer
     * STANDARD-part volume per order year, the fraction supplied by one
     * nation. The share is emitted integer-exact as parts-per-million:
-    * both decimal sums are exact, scaled to BIGINT cents
-    * (`×100` of a scale-4 decimal keeps 2 exact fractional digits —
-    * enough for a ppm ratio), then `num·10⁶ div den` truncates
-    * identically in both engines. Exact while num·10⁶ stays under
+    * both decimal sums are exact, FLOORED to BIGINT cents — the floor
+    * matters: a bare decimal→BIGINT cast truncates in Spark but
+    * ROUNDS in DuckDB (`.89` cents would differ by one); floor of a
+    * decimal is the same integral decimal in both engines and its
+    * cast is unambiguous — then `num·10⁶ div den` truncates
+    * identically in both. Exact while num·10⁶ stays under
     * 2⁶³ (num < ~9·10¹⁰ revenue-cents — beyond sf100 for a one-type
     * year slice; past that, swap the two BIGINTs for DECIMAL(38,0)).
     * Plan: part/supplier/nation/region dims broadcast; the two fact
@@ -587,7 +600,7 @@ object Queries {
           .otherwise(lit(BigDecimal("0.0000")))).as("num"),
         sum(vol).as("den"))
       .select(col("o_year"),
-        expr("CAST(num * 100 AS BIGINT) * 1000000 div CAST(den * 100 AS BIGINT)")
+        expr("CAST(FLOOR(num * 100) AS BIGINT) * 1000000 div CAST(FLOOR(den * 100) AS BIGINT)")
           .as("mkt_share_ppm"),
         col("num").cast("string").as("nation_volume"),
         col("den").cast("string").as("total_volume"))
@@ -612,7 +625,7 @@ object Queries {
       |   AND o_orderdate < TIMESTAMP '1998-01-01'
       | GROUP BY 1)
       |SELECT o_year,
-      | CAST(num * 100 AS BIGINT) * 1000000 // CAST(den * 100 AS BIGINT) AS mkt_share_ppm,
+      | CAST(FLOOR(num * 100) AS BIGINT) * 1000000 // CAST(FLOOR(den * 100) AS BIGINT) AS mkt_share_ppm,
       | CAST(num AS VARCHAR) AS nation_volume,
       | CAST(den AS VARCHAR) AS total_volume
       |FROM v""".stripMargin
@@ -768,7 +781,7 @@ object Queries {
           .otherwise(lit(BigDecimal("0.0000")))).as("num"),
         sum(vol).as("den"))
       .select(
-        expr("CAST(num * 100 AS BIGINT) * 1000000 div CAST(den * 100 AS BIGINT)")
+        expr("CAST(FLOOR(num * 100) AS BIGINT) * 1000000 div CAST(FLOOR(den * 100) AS BIGINT)")
           .as("promo_ppm"),
         col("num").cast("string").as("promo_revenue"),
         col("den").cast("string").as("total_revenue"))
@@ -785,7 +798,7 @@ object Queries {
       | WHERE l_shipdate >= TIMESTAMP '1997-03-01'
       |   AND l_shipdate < TIMESTAMP '1997-04-01')
       |SELECT
-      | CAST(num * 100 AS BIGINT) * 1000000 // CAST(den * 100 AS BIGINT) AS promo_ppm,
+      | CAST(FLOOR(num * 100) AS BIGINT) * 1000000 // CAST(FLOOR(den * 100) AS BIGINT) AS promo_ppm,
       | CAST(num AS VARCHAR) AS promo_revenue,
       | CAST(den AS VARCHAR) AS total_revenue
       |FROM v""".stripMargin

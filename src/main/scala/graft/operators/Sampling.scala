@@ -260,14 +260,13 @@ object Sampling {
     require(quotas.nonEmpty, "mixtureSample needs at least one stratum quota")
     require(quotas.values.forall(_ >= 0L),
       s"quotas must be non-negative, got $quotas")
-    val caps: Map[String, Long] = quotas
-    val capExpr = caps.foldLeft(lit(0L)) { case (acc, (stratum, c)) =>
+    val capExpr = quotas.foldLeft(lit(0L)) { case (acc, (stratum, c)) =>
       when(col(s"`$strataCol`") === stratum, lit(c)).otherwise(acc)
     }
     val rn = "__graft_rn__"
     val g = col(s"`$strataCol`")
     val order = keyHex(keys, salt) +: keys.map(c => col(s"`$c`"))
-    val maxCap = caps.values.max
+    val maxCap = quotas.values.max
     val hot = hotGroupFactor > 0 && {
       val r = df.groupBy(g).agg(count(lit(1)).as("__graft_n__"))
         .agg(max(col("__graft_n__"))).head()
@@ -375,8 +374,12 @@ object Sampling {
                                total: Long, keys: Seq[String],
                                alpha: Double = 0.5, salt: String = "",
                                hotGroupFactor: Int = 64): DataFrame = {
+    // a NULL stratum gets no quota (the admission predicate `col ===
+    // stratum` never matches NULL anyway) — dropped here instead of
+    // NPE-ing the driver-side fold
     val quotas = temperatureQuotas(df, strataCol, total, alpha)
       .select("stratum", "quota").collect()
+      .filterNot(_.isNullAt(0))
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
     mixtureSampleQuotas(df, strataCol, quotas, keys, salt, hotGroupFactor)
   }

@@ -341,7 +341,7 @@ object Sketches {
     * The second-level merge re-uses the same concatenation rule via a
     * small JVM fold (summaries are rows, bounded state). */
   def quantileMergeEstimate(sketches: DataFrame, keys: Seq[String],
-                            probs: Seq[Double], eps: Double = 0.01): DataFrame = {
+                            probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
       s"probs must be in (0, 1], got $probs")
     val agg = udaf(new GKMerge)
@@ -385,7 +385,7 @@ object Sketches {
   def approxQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
                       probs: Seq[Double], eps: Double = 0.01): DataFrame =
     quantileMergeEstimate(quantileSketch(df, keys, valueCol, eps),
-      keys, probs, eps)
+      keys, probs)
 
   /** Per-group top-`k` frequent items via [[SpaceSaving]]: one
     * aggregation (map-side combinable, ≤ `capacity` entries of state

@@ -242,8 +242,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
    */
   def cloneTo(targetRoot: String, deep: Boolean = false,
               asOfVersion: Option[Long] = None): Commit = {
-    val v = asOfVersion.getOrElse(latestVersion.getOrElse(
-      throw new IllegalStateException(s"managed table $root does not exist")))
+    val latest = latestVersion.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    val v = asOfVersion.getOrElse(latest)
     val earliest = earliestVersion.get
     require(v >= earliest,
       s"cannot clone $root as of version $v — vacuumed (earliest is $earliest)")
@@ -267,8 +268,21 @@ final class ManagedTable(spark: SparkSession, root: String) {
           d -> new Path(targetData, relUnderData(d)).toString
         }
         val n = math.max(1, math.min(pairs.size, 64))
+        // ship the session's Hadoop settings (credentials, endpoints,
+        // defaultFS) to the copy tasks — a bare executor-side
+        // Configuration would resolve an unauthenticated/wrong FS on
+        // object stores. Configuration itself isn't serializable, so
+        // broadcast its entries and rebuild per task.
+        val confEntries = {
+          val it = spark.sparkContext.hadoopConfiguration.iterator()
+          val b = Seq.newBuilder[(String, String)]
+          while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+          b.result()
+        }
+        val confBc = spark.sparkContext.broadcast(confEntries)
         spark.sparkContext.parallelize(pairs, n).foreach { case (from, to) =>
           val conf = new org.apache.hadoop.conf.Configuration()
+          confBc.value.foreach { case (k, value) => conf.set(k, value) }
           val fp = new Path(from); val tp = new Path(to)
           val sfs = fp.getFileSystem(conf); val tfs = tp.getFileSystem(conf)
           if (!org.apache.hadoop.fs.FileUtil.copy(sfs, fp, tfs, tp, false, conf))
