@@ -2462,6 +2462,106 @@ object Queries {
       | COUNT(*) AS n_events
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** STREAMING windowed quantiles
+    * ([[graft.streaming.StreamOps.windowedQuantiles]]): daily GK
+    * summaries of event values per type, aggregated under a watermark
+    * with the summary as the state-store buffer. Stream estimates are
+    * gated DISTRIBUTED against the batch histogram (every estimate
+    * within eps·n ranks of its window's exact, one agg + one `head`),
+    * and the deterministic OUTPUT is the exact rank-selected quantile
+    * per comfortably-closed window — windows at least a full day
+    * older than the last event, so the oracle never has to re-derive
+    * Spark's exact watermark-emission boundary. */
+  def streamQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val probs = Seq(0.25, 0.5, 0.9)
+    val eps = 0.05
+    val dayUs = 86400000000L
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev0 = pq(spark, dir, "events")
+    val ev = ev0.withColumn("ts_us", eventMicros(ev0))
+      .select(col("event_type"), col("ts_us"), col("value"))
+    val src = tmp("squant_src")
+    ev.select(col("event_type"), timestamp_micros(col("ts_us")).as("ts"),
+      col("value")).write.parquet(src)
+    val out = tmp("squant_out")
+    val stream = spark.readStream
+      .schema("event_type STRING, ts TIMESTAMP, value DOUBLE").parquet(src)
+    val q = StreamOps.windowedQuantiles(stream, "ts", "event_type", "value",
+      "24 hours", "10 seconds", probs, eps)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out)
+      .option("checkpointLocation", tmp("squant_ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    drainOrFail(q, "stream_quantiles")
+
+    val maxUs = ev.agg(max(col("ts_us"))).head.getLong(0)
+    // "comfortably closed": a full hour older than the last event —
+    // strictly inside anything append mode could have withheld
+    def closed(bucket: Column) =
+      bucket + lit(2 * dayUs) <= lit(maxUs) - lit(10000000L)
+    val est = spark.read.parquet(out)
+      .withColumn("bucket_us", unix_micros(col("window_start")))
+      .filter(closed(col("bucket_us")))
+      .select("bucket_us", "event_type", "prob", "value")
+    val hist = ev
+      .withColumn("bucket_us", col("ts_us") - col("ts_us") % dayUs)
+      .filter(closed(col("bucket_us")))
+      .groupBy("bucket_us", "event_type", "value")
+      .agg(count(lit(1)).as("c"))
+    // distributed gate: every emitted estimate within eps·n of exact
+    val gate = est.join(hist.withColumnRenamed("value", "v"),
+        Seq("bucket_us", "event_type"))
+      .groupBy("bucket_us", "event_type", "prob", "value")
+      .agg(sum(when(col("v") < col("value"), col("c")).otherwise(0L)).as("below"),
+        sum(when(col("v") <= col("value"), col("c")).otherwise(0L)).as("atOrBelow"),
+        sum(col("c")).as("n"))
+      .withColumn("target", ceil(col("prob") * col("n")).cast("long"))
+      .withColumn("err", greatest(
+        col("below") + 1 - col("target"), col("target") - col("atOrBelow"), lit(0L)))
+      .agg(max(col("err") - floor(lit(eps) * col("n")).cast("long")).as("worst"),
+        count(lit(1)).as("n_est"))
+      .head()
+    require(gate.getLong(1) == probs.size.toLong *
+        hist.select("bucket_us", "event_type").distinct().count(),
+      "stream_quantiles: the stream withheld a comfortably-closed window")
+    require(gate.getLong(0) <= 0L,
+      s"stream_quantiles: a GK estimate broke the eps·n guarantee by ${gate.getLong(0)}")
+    // deterministic output: exact rank-selected quantiles per group
+    val n = hist.groupBy("bucket_us", "event_type").agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy("bucket_us", "event_type").orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("c")).over(w))
+      .join(n, Seq("bucket_us", "event_type"))
+      .select(col("bucket_us"), col("event_type"), col("cum"), col("c"),
+        col("n"), col("value"),
+        explode(array(probs.map(lit): _*)).as("prob"))
+      .filter(col("cum") >= ceil(col("prob") * col("n")) &&
+        col("cum") - col("c") < ceil(col("prob") * col("n")))
+      .select(col("bucket_us"), col("event_type"), col("prob"), col("value"))
+  }
+
+  val streamQuantilesSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, value FROM events),
+      |mx AS (SELECT MAX(ts_us) AS max_us FROM e),
+      |w AS (SELECT event_type, ts_us - ts_us % 86400000000 AS bucket_us, value
+      |      FROM e),
+      |closed AS (SELECT w.* FROM w, mx
+      |           WHERE bucket_us + 2 * 86400000000 <= max_us - 10000000),
+      |h AS (SELECT bucket_us, event_type, value AS v, COUNT(*) AS c
+      |      FROM closed GROUP BY 1, 2, 3),
+      |n AS (SELECT bucket_us, event_type, CAST(SUM(c) AS BIGINT) AS n
+      |      FROM h GROUP BY 1, 2),
+      |cum AS (SELECT bucket_us, event_type, v, c,
+      |         SUM(c) OVER (PARTITION BY bucket_us, event_type ORDER BY v) AS cum
+      |        FROM h),
+      |p AS (SELECT CAST(UNNEST([0.25, 0.5, 0.9]) AS DOUBLE) AS prob)
+      |SELECT c.bucket_us, c.event_type, p.prob, c.v AS value
+      |FROM cum c JOIN n USING (bucket_us, event_type), p
+      |WHERE c.cum >= CEIL(p.prob * n.n) AND c.cum - c.c < CEIL(p.prob * n.n)""".stripMargin
+
   /** Set operations through the SQL surface: customers with orders in
     * 1995 but not 1996 (EXCEPT), via the task layer's SQL execution. */
   def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {

@@ -172,6 +172,7 @@ object SparkEntry {
     "mixture_sample" -> (Queries.mixtureSampleDocs(_, _)),
     "temperature_quotas" -> (Queries.temperatureQuotasDocs(_, _)),
     "quantile_sketch" -> (Queries.quantileSketchDocs(_, _)),
+    "stream_quantiles" -> (Queries.streamQuantiles(_, _)),
     "temperature_mixture" -> (Queries.temperatureMixtureDocs(_, _)),
     "training_order" -> (Queries.trainingOrderDocs(_, _)),
     "dedup_paragraphs" -> ((s, d) => TextOps.dedupParagraphs(Queries.pq(s, d, "documents"))),
@@ -652,6 +653,7 @@ object SparkEntry {
     "mixture_sample" -> Queries.mixtureSampleDocsSql,
     "temperature_quotas" -> Queries.temperatureQuotasDocsSql,
     "quantile_sketch" -> Queries.quantileSketchDocsSql,
+    "stream_quantiles" -> Queries.streamQuantilesSql,
     "temperature_mixture" -> Queries.temperatureMixtureDocsSql,
     "training_order" -> Queries.trainingOrderDocsSql,
     "dedup_paragraphs" ->

@@ -345,9 +345,7 @@ object Sketches {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
       s"probs must be in (0, 1], got $probs")
     val agg = udaf(new GKMerge)
-    val est = udf { (n: Long, ts: Seq[org.apache.spark.sql.Row], p: Double) =>
-      gkQuery(ts.map(r => GKTuple(r.getDouble(0), r.getLong(1), r.getLong(2))), n, p)
-    }
+    val est = estimateUdf
     val probCol = explode(array(probs.map(lit): _*)).as("prob")
     // udaf() flattens the case-class input into (n, tuples) parameters
     sketches
@@ -359,6 +357,14 @@ object Sketches {
         est(col(s"$QuantileCol.n"), col(s"$QuantileCol.tuples"),
           col("prob")).as("value")): _*)
   }
+
+  /** Rank-query a summary struct column: (n, tuples, prob) → value.
+    * Shared by [[quantileMergeEstimate]] and the streaming
+    * windowed-quantile operator. */
+  private[graft] def estimateUdf =
+    udf { (n: Long, ts: Seq[org.apache.spark.sql.Row], p: Double) =>
+      gkQuery(ts.map(r => GKTuple(r.getDouble(0), r.getLong(1), r.getLong(2))), n, p)
+    }
 
   /** Second-level aggregator: concatenation-merge of finished
     * summaries (same no-recompress rule as [[GKQuantile.merge]]). */

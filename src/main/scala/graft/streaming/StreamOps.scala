@@ -60,6 +60,38 @@ object StreamOps {
         col("window.end").as("window_end"), col(keyCol), col("n_events"))
   }
 
+  /** Tumbling event-time QUANTILES per key — streaming percentile
+    * monitoring (latency/size/score distributions per window) without
+    * sorting anything: the mergeable GK summary
+    * ([[graft.operators.Sketches.GKQuantile]]) is the aggregation
+    * buffer, so state per (window, key) is the
+    * `O((1/eps)·log(eps·n))`-tuple summary, map-side combinable,
+    * merged by the state store exactly like a sum; the watermark
+    * bounds how many windows stay live. Every emitted estimate is
+    * within `eps·n` ranks of that window's exact quantile (the
+    * guarantee is partitioning- and micro-batch-boundary-independent,
+    * pinned in StreamOpsSpec against a batch recompute). */
+  def windowedQuantiles(events: DataFrame, timeCol: String, keyCol: String,
+                        valueCol: String, windowDuration: String,
+                        watermark: String, probs: Seq[Double],
+                        eps: Double = 0.01): DataFrame = {
+    import graft.operators.Sketches
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val agg = udaf(new Sketches.GKQuantile(eps))
+    events
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowDuration).as("window"), col(keyCol))
+      .agg(agg(col(s"`$valueCol`").cast("double")).as("gk"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol),
+        col("gk"), explode(array(probs.map(lit): _*)).as("prob"))
+      .select(col("window_start"), col("window_end"), col(keyCol), col("prob"),
+        Sketches.estimateUdf(col("gk.n"), col("gk.tuples"), col("prob"))
+          .as("value"),
+        col("gk.n").as("n_values"))
+  }
+
   final case class SessionEvent(key: String, tsMs: Long)
   final case class SessionState(startMs: Long, lastMs: Long, n: Int)
   final case class SessionOut(key: String, startMs: Long, endMs: Long, nEvents: Int)

@@ -48,6 +48,57 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch.count() === 3)
   }
 
+  test("windowed quantiles: stream estimates stay within eps·n of the batch exact") {
+    val srcDir = tmpDir("qstream_src")
+    val rnd = new scala.util.Random(11)
+    // two 1-minute windows × two keys, duplicates + a spike value
+    val rows = (0 until 4000).map { i =>
+      val key = if (i % 3 == 0) "a" else "b"
+      val minute = i % 2
+      val v = if (i % 7 == 0) 5.0 else rnd.nextDouble() * 100
+      (key, f"2026-01-01 00:0$minute:${i % 60}%02d", v)
+    }
+    rows.toDF("k", "ts_s", "v")
+      .select($"k", to_timestamp($"ts_s", "yyyy-MM-dd HH:mm:ss").as("ts"), $"v")
+      .write.parquet(srcDir)
+    val stream = spark.readStream
+      .schema("k STRING, ts TIMESTAMP, v DOUBLE").parquet(srcDir)
+    val eps = 0.02
+    val probs = Seq(0.1, 0.5, 0.9)
+    val agg = StreamOps.windowedQuantiles(stream, "ts", "k", "v",
+      "1 minute", "10 seconds", probs, eps)
+    val out = tmpDir("qstream_out")
+    val q = agg.writeStream.format("parquet").outputMode("append")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("qstream_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not drain")
+    val got = spark.read.parquet(out)
+      .select($"window_start".cast("string"), $"k", $"prob", $"value", $"n_values")
+      .collect()
+    assert(got.nonEmpty, "no closed windows emitted")
+    for (r <- got) {
+      val ws = r.getString(0); val k = r.getString(1)
+      val p = r.getDouble(2); val v = r.getDouble(3); val n = r.getLong(4)
+      val winVals = rows.collect { case (kk, t, vv)
+        if kk == k && sameWindow(t, ws) => vv }.sorted
+      assert(winVals.length.toLong === n, s"n mismatch for ($ws,$k)")
+      val target = math.max(1L, math.ceil(p * n).toLong)
+      val lo = winVals.count(_ < v) + 1L
+      val hi = winVals.count(_ <= v).toLong
+      val err = if (target < lo) lo - target
+        else if (target > hi) target - hi else 0L
+      assert(err <= (eps * n).toLong,
+        s"($ws,$k,p=$p): rank error $err > ${(eps * n).toLong}")
+    }
+  }
+
+  /** ts "2026-01-01 00:0M:SS" falls in the 1-minute window starting at
+    * `windowStart` ("2026-01-01 00:0M:00")? */
+  private def sameWindow(ts: String, windowStart: String): Boolean =
+    ts.substring(0, 16) == windowStart.substring(0, 16)
+
   test("sessionize (streaming state) matches the batch oracle") {
     implicit val s = spark
     val input = MemoryStream[SessionEvent](spark)
