@@ -1507,6 +1507,61 @@ object Queries {
       | 'insert', 2
       | FROM customer WHERE c_custkey > 1000""".stripMargin
 
+  /** Deequ-style expectations suite
+    * ([[graft.operators.Expectations.check]]): six rule kinds over
+    * orders evaluated in ONE aggregate over one scan; the oracle
+    * recomputes every violation count with explicit SQL, so the null
+    * semantics (NULLs belong to not_null, never to range/regex/set
+    * rules; a NULL CHECK predicate is a violation) are pinned
+    * cross-engine. */
+  def expectationsCheck(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations._
+    graft.operators.Expectations.check(pq(spark, dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      InRange("o_totalprice", 0.0, 400000.0),
+      MatchesRegex("o_orderpriority", "^[1-5]-"),
+      OneOf("o_orderstatus", Seq("O", "F")),
+      Satisfies("o_orderdate >= TIMESTAMP '1995-01-01'", "orderdate_floor")))
+  }
+
+  val expectationsCheckSql: String =
+    """WITH v AS (
+      | SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+      |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      | FROM orders
+      | UNION ALL
+      | SELECT 'unique', 'o_orderkey',
+      |  CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+      |       - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      | FROM orders
+      | UNION ALL
+      | SELECT 'in_range', 'o_totalprice',
+      |  CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+      |                 AND (o_totalprice < 0 OR o_totalprice > 400000)
+      |            THEN 1 ELSE 0 END) AS BIGINT)
+      | FROM orders
+      | UNION ALL
+      | SELECT 'matches_regex', 'o_orderpriority',
+      |  CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+      |                 AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+      |            THEN 1 ELSE 0 END) AS BIGINT)
+      | FROM orders
+      | UNION ALL
+      | SELECT 'one_of', 'o_orderstatus',
+      |  CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+      |                 AND o_orderstatus NOT IN ('O', 'F')
+      |            THEN 1 ELSE 0 END) AS BIGINT)
+      | FROM orders
+      | UNION ALL
+      | SELECT 'satisfies', 'orderdate_floor',
+      |  CAST(SUM(CASE WHEN COALESCE(o_orderdate >= TIMESTAMP '1995-01-01', FALSE)
+      |            THEN 0 ELSE 1 END) AS BIGINT)
+      | FROM orders)
+      |SELECT rule, "column", n_violations,
+      | CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS passed
+      |FROM v""".stripMargin
+
   /** Append-time type widening ([[graft.table.ManagedTable.write]] with
     * mergeSchema): an int/float table joined by a long/double batch
     * adopts the wider types — old parquet files keep their physical

@@ -105,6 +105,7 @@ object SparkEntry {
     "incremental_view" -> (Queries.incrementalView(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
     "type_widening" -> (Queries.typeWidening(_, _)),
+    "expectations_check" -> (Queries.expectationsCheck(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
     "scd1_upsert" -> (Queries.scd1Upsert(_, _)),
     "scd1_evolve" -> (Queries.scd1Evolve(_, _)),
@@ -313,6 +314,7 @@ object SparkEntry {
     "incremental_view" -> Queries.incrementalViewSql,
     "table_clone" -> Queries.tableCloneSql,
     "type_widening" -> Queries.typeWideningSql,
+    "expectations_check" -> Queries.expectationsCheckSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,
     "scd1_upsert" -> Queries.scd1UpsertSql,
     "scd1_evolve" -> Queries.scd1EvolveSql,

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Declarative data-quality expectations (the Deequ/"expectations suite"
+ * layer a pipeline runs on every load, generalizing the reference's
+ * single `table_constraint` write pattern): a rule set is evaluated in
+ * ONE aggregate over ONE scan — every rule is a parallel aggregate
+ * expression (violation counting is `sum(when(...))`; uniqueness is
+ * `count(*) − count(DISTINCT keys)`, planned through Spark's EXPAND
+ * like any multi-distinct), and the wide 1-row result is stacked to a
+ * long `(rule, column, n_violations, passed)` verdict table driver-free.
+ * Adding rules never adds scans.
+ *
+ * Null semantics, stated once: `NotNull` counts NULLs; every OTHER rule
+ * counts only non-null violators — a NULL is not "out of range", it is
+ * missing, and conflating the two double-counts the same defect. Rows
+ * failing several rules count once per rule (the verdicts are
+ * per-rule, not per-row).
+ *
+ * `check` returns the verdict table; `require` on `passed` is the
+ * caller's choice — gating vs monitoring are the same computation.
+ */
+object Expectations {
+
+  sealed trait Rule {
+    def ruleName: String
+    def columnLabel: String
+    /** Aggregate expression counting this rule's violations. */
+    private[operators] def violations: org.apache.spark.sql.Column
+  }
+
+  /** NULLs in `col`. */
+  final case class NotNull(col: String) extends Rule {
+    val ruleName = "not_null"
+    val columnLabel: String = col
+    private[operators] def violations =
+      sum(when(org.apache.spark.sql.functions.col(s"`$col`").isNull, 1L)
+        .otherwise(0L))
+  }
+
+  /** Duplicate `keys` tuples: `count(*) − count(DISTINCT keys)` — rows
+    * with a NULL key component are excluded from the distinct count by
+    * SQL semantics, so they are counted via the non-null total to keep
+    * `0 ≤ violations` exact. */
+  final case class Unique(keys: Seq[String]) extends Rule {
+    require(keys.nonEmpty, "Unique needs key columns")
+    val ruleName = "unique"
+    val columnLabel: String = keys.mkString(",")
+    private def nonNull = keys.map(k =>
+      org.apache.spark.sql.functions.col(s"`$k`").isNotNull).reduce(_ && _)
+    private[operators] def violations =
+      sum(when(nonNull, 1L).otherwise(0L)) -
+        countDistinct(keys.head, keys.tail: _*)
+  }
+
+  /** Non-null values outside `[lo, hi]` (inclusive). */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Rule {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val ruleName = "in_range"
+    val columnLabel: String = col
+    private[operators] def violations = {
+      val c = org.apache.spark.sql.functions.col(s"`$col`")
+      sum(when(c.isNotNull && (c < lo || c > hi), 1L).otherwise(0L))
+    }
+  }
+
+  /** Non-null values not matching `regex` (RE2-safe subset recommended). */
+  final case class MatchesRegex(col: String, regex: String) extends Rule {
+    val ruleName = "matches_regex"
+    val columnLabel: String = col
+    private[operators] def violations = {
+      val c = org.apache.spark.sql.functions.col(s"`$col`")
+      sum(when(c.isNotNull && !c.rlike(regex), 1L).otherwise(0L))
+    }
+  }
+
+  /** Non-null values outside the allowed set. */
+  final case class OneOf(col: String, allowed: Seq[String]) extends Rule {
+    require(allowed.nonEmpty, "OneOf needs at least one allowed value")
+    val ruleName = "one_of"
+    val columnLabel: String = col
+    private[operators] def violations = {
+      val c = org.apache.spark.sql.functions.col(s"`$col`").cast("string")
+      sum(when(c.isNotNull && !c.isin(allowed: _*), 1L).otherwise(0L))
+    }
+  }
+
+  /** Rows failing an arbitrary boolean SQL predicate (the escape hatch —
+    * `sql` must be TRUE for conforming rows; NULL predicate = violation,
+    * matching SQL CHECK-constraint semantics where only TRUE passes). */
+  final case class Satisfies(sql: String, label: String) extends Rule {
+    val ruleName = "satisfies"
+    val columnLabel: String = label
+    private[operators] def violations =
+      sum(when(coalesce(expr(sql), lit(false)), 0L).otherwise(1L))
+  }
+
+  /** Evaluate all rules in one scan: `(rule, column, n_violations,
+    * passed)`, one row per rule, rule order preserved. */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Expectations.check needs at least one rule")
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      coalesce(r.violations, lit(0L)).as(s"__r$i")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex.map { case (r, i) =>
+      val rn = r.ruleName.replace("'", "''")
+      val cl = r.columnLabel.replace("'", "''")
+      s"'$rn', '$cl', `__r$i`"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${rules.size}, $stackArgs) AS (rule, column, n_violations)")
+      .withColumn("passed", (col("n_violations") === 0L).cast("int"))
+  }
+}
