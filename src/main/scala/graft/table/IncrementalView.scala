@@ -73,17 +73,11 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
     v
   }
 
-  /** Fold the unprocessed change-feed range into the state. No-op (and
-    * no new commit) when already current. Returns the new watermark. */
-  def refresh(): Long = {
-    val last = sourceVersion
-    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
-      s"source table $sourcePath does not exist"))
-    require(latest >= last,
-      s"source went backwards: watermark $last, latest $latest — was the " +
-        "source table recreated? Re-initialize the view.")
-    if (latest == last) return last
-    val cdf = source.readChangeFeed(last + 1, Some(latest))
+  /** Fold a change-feed slice into the state and advance the watermark
+    * to `newWatermark` — the shared delta algebra behind [[refresh]]
+    * (batch range) and [[refreshStream]] (micro-batch). */
+  private def foldDelta(cdf: DataFrame, newWatermark: Long,
+                        txn: Option[(String, Long)] = None): Unit = {
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val delta = grouped(cdf, sign)
@@ -95,9 +89,56 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
       .agg(sum(col("cnt")).as("cnt"),
         sumCols.map(c => sum(col(s"`sum_$c`")).cast(Dec).as(s"sum_$c")): _*)
       .filter(col("cnt") > 0)
-    state.write(merged, "VIEW_REFRESH", "replace", meta(latest),
-      expectedPrevVersion = state.latestVersion)
+    state.write(merged, "VIEW_REFRESH", "replace", meta(newWatermark),
+      expectedPrevVersion = state.latestVersion, txnUpdate = txn)
+  }
+
+  /** Fold the unprocessed change-feed range into the state. No-op (and
+    * no new commit) when already current. Returns the new watermark. */
+  def refresh(): Long = {
+    val last = sourceVersion
+    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    require(latest >= last,
+      s"source went backwards: watermark $last, latest $latest — was the " +
+        "source table recreated? Re-initialize the view.")
+    if (latest == last) return last
+    foldDelta(source.readChangeFeed(last + 1, Some(latest)), latest)
     latest
+  }
+
+  /** STREAMING maintenance: the source's CDF stream
+    * (`format("graft-table")`, `readChangeFeed=true`) folds into the
+    * state per micro-batch with the SAME delta algebra as [[refresh]].
+    * Exactly-once: the state commit carries the (checkpoint, epoch)
+    * transaction high-water, so a crash-replayed micro-batch is
+    * recognized and skipped; each fold also advances the
+    * `sourceVersion` watermark to the batch's max `_commit_version`,
+    * so batch [[refresh]] and a RE-CREATED stream (fresh checkpoint,
+    * which starts from the recorded watermark) interleave without
+    * double-applying. Caller drains/stops the returned query. */
+  def refreshStream(checkpoint: String,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = s"graft-view:$checkpoint"
+    val start = sourceVersion + 1
+    val stream = graft.streaming.StreamOps.streamTable(spark, sourcePath,
+      startingVersion = Some(start), readChangeFeed = true)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!state.lastTxnVersion(appId).exists(_ >= epochId)) {
+          // the CDF rows carry their commit version — the max in this
+          // batch IS the watermark after folding it
+          val maxV = batch.agg(max(col("_commit_version"))).head()
+          if (!maxV.isNullAt(0))
+            foldDelta(batch, maxV.getLong(0), Some((appId, epochId)))
+        }
+        ()
+      }
+      .trigger(trigger)
+      .start()
   }
 
   /** The maintained aggregate. */

@@ -68,6 +68,36 @@ class IncrementalViewSpec extends SparkSpec {
     assertCurrent(mkView(src, st), t)
   }
 
+  test("streaming maintenance folds CDF micro-batches; batch refresh interleaves safely") {
+    val src = tmpDir("iv_src4"); val st = tmpDir("iv_st4")
+    val ck = tmpDir("iv_ck4")
+    val t = ManagedTable(spark, src)
+    t.write((1 to 30).map(i => (i.toLong, s"g${i % 3}", i * 0.5)).toDF("id", "g", "v"),
+      "APPEND", "append")
+    val view = mkView(src, st)
+    view.initialize()
+    // two more source commits, drained by the CDF stream
+    t.write((31 to 45).map(i => (i.toLong, s"g${i % 3}", i * 0.5)).toDF("id", "g", "v"),
+      "APPEND", "append")
+    t.delete(col("id") % 4 === 0)
+    val q = view.refreshStream(ck)
+    assert(q.awaitTermination(120000), "view stream did not drain")
+    assertCurrent(view, t)
+    assert(view.sourceVersion === t.latestVersion.get,
+      "stream fold must advance the watermark to the folded commit")
+    // a BATCH refresh after more source commits continues from there
+    t.write(Seq((100L, "g0", 9.0)).toDF("id", "g", "v"), "APPEND", "append")
+    view.refresh()
+    assertCurrent(view, t)
+    // re-running the drained stream replays nothing (txn guard + empty feed)
+    val before = ManagedTable(spark, st).latestVersion
+    val q2 = view.refreshStream(tmpDir("iv_ck4b"))
+    assert(q2.awaitTermination(120000))
+    assertCurrent(view, t)
+    assert(ManagedTable(spark, st).latestVersion === before,
+      "an up-to-date stream pass must not commit")
+  }
+
   test("a group whose count reaches zero leaves the state") {
     val src = tmpDir("iv_src3"); val st = tmpDir("iv_st3")
     val t = ManagedTable(spark, src)
