@@ -80,6 +80,27 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("graft_expectations TVF parses the rule DSL and matches the Scala API") {
+    docsView()
+    import graft.operators.Expectations
+    assertSameRows(
+      spark.sql("""SELECT * FROM graft_expectations('documents',
+        | 'not_null:text; unique:doc_id; range:n_chars:0:100000;
+        |  regex:lang:^[a-z][a-z]$; one_of:lang:en|de|fr|es|zh;
+        |  check:has_chars:n_chars >= 0')""".stripMargin),
+      Expectations.check(spark.table("documents"), Seq(
+        Expectations.NotNull("text"),
+        Expectations.Unique(Seq("doc_id")),
+        Expectations.InRange("n_chars", 0, 100000),
+        Expectations.MatchesRegex("lang", "^[a-z][a-z]$"),
+        Expectations.OneOf("lang", Seq("en", "de", "fr", "es", "zh")),
+        Expectations.Satisfies("n_chars >= 0", "has_chars"))))
+    // malformed rules fail loudly at analysis
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_expectations('documents', 'range:n_chars:x:y')"))
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
   test("graft_hash_sample / graft_hash_split from SQL match the Scala sampling rule") {
     docsView()
     assertSameRows(
