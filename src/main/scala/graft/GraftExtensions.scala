@@ -220,7 +220,9 @@ object GraftExtensions {
     // rule DSL: ';'-separated entries — not_null:col | unique:a,b |
     // range:col:lo:hi | regex:col:pattern | one_of:col:v1|v2 |
     // check:label:<sql predicate>. Colons inside the regex/predicate
-    // survive (split is bounded per rule kind).
+    // survive (split is bounded per rule kind); a literal ';' inside a
+    // regex or predicate cannot (it IS the rule separator) — such
+    // rules need the Scala API.
     "graft_expectations" -> { args =>
       require(args.size == 2,
         "graft_expectations(table, rules_dsl) takes two arguments")

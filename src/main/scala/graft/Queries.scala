@@ -2553,8 +2553,8 @@ object Queries {
     drainOrFail(q, "stream_quantiles")
 
     val maxUs = ev.agg(max(col("ts_us"))).head.getLong(0)
-    // "comfortably closed": a full hour older than the last event —
-    // strictly inside anything append mode could have withheld
+    // "comfortably closed": a full DAY older than (last event − the 10s
+    // watermark) — strictly inside anything append mode could withhold
     def closed(bucket: Column) =
       bucket + lit(2 * dayUs) <= lit(maxUs) - lit(10000000L)
     val est = spark.read.parquet(out)
@@ -2582,8 +2582,9 @@ object Queries {
     require(gate.getLong(1) == probs.size.toLong *
         hist.select("bucket_us", "event_type").distinct().count(),
       "stream_quantiles: the stream withheld a comfortably-closed window")
-    require(gate.getLong(0) <= 0L,
-      s"stream_quantiles: a GK estimate broke the eps·n guarantee by ${gate.getLong(0)}")
+    // max over zero estimates is NULL — nothing closed, nothing to gate
+    require(gate.isNullAt(0) || gate.getLong(0) <= 0L,
+      s"stream_quantiles: a GK estimate broke the eps·n guarantee by ${gate.get(0)}")
     // deterministic output: exact rank-selected quantiles per group
     val n = hist.groupBy("bucket_us", "event_type").agg(sum(col("c")).as("n"))
     val w = Window.partitionBy("bucket_us", "event_type").orderBy(col("value"))

@@ -53,7 +53,10 @@ object Expectations {
       org.apache.spark.sql.functions.col(s"`$k`").isNotNull).reduce(_ && _)
     private[operators] def violations =
       sum(when(nonNull, 1L).otherwise(0L)) -
-        countDistinct(keys.head, keys.tail: _*)
+        // backtick-quoted like the null filter — a raw name here would
+        // parse dots as struct access and count a DIFFERENT column
+        countDistinct(org.apache.spark.sql.functions.col(s"`${keys.head}`"),
+          keys.tail.map(k => org.apache.spark.sql.functions.col(s"`$k`")): _*)
   }
 
   /** Non-null values outside `[lo, hi]` (inclusive). */
@@ -77,7 +80,10 @@ object Expectations {
     }
   }
 
-  /** Non-null values outside the allowed set. */
+  /** Non-null values outside the allowed set. Comparison is on the
+    * column's STRING rendering (`cast("string")`) — for a numeric
+    * column list the rendered forms ("5.0", not "5"), or use
+    * [[InRange]]/[[Satisfies]] for numeric membership. */
   final case class OneOf(col: String, allowed: Seq[String]) extends Rule {
     require(allowed.nonEmpty, "OneOf needs at least one allowed value")
     val ruleName = "one_of"

@@ -218,14 +218,14 @@ object Sketches {
    *    tuple list with the classic insert (delta = successor's
    *    g + delta − 1) + compress (merge adjacent tuples while
    *    g_i + g_{i+1} + delta_{i+1} ≤ threshold);
-   *  - the compress threshold uses `eps/2`, NOT eps: `merge`
-   *    concatenates tuple lists by value WITHOUT recompressing, so a
-   *    tuple's rank uncertainty after an s-way merge is its own delta
-   *    plus the other summaries' local uncertainties — bounded by
-   *    Σ 2·(eps/2)·n_i = eps·n. The half-eps headroom is what makes
-   *    one merge level safe; state after merging s partition summaries
-   *    is the sum of their sizes (s ≤ shuffle partitions — document,
-   *    don't iterate merges in a deep tree without recompressing).
+   *  - `merge` is DELTA-ABSORBING (see its doc): each side widens by
+   *    the other's max local uncertainty, making the concatenation a
+   *    valid summary that is then RECOMPRESSED — uncertainty
+   *    telescopes to the leaf sum ≤ Σ 2·(eps/2)·n_i = eps·n at ANY
+   *    merge depth, and state stays O((1/eps)·log(eps·n)) even when a
+   *    streaming state store merges partials every micro-batch. The
+   *    eps/2 build threshold is the headroom that keeps the total
+   *    inside eps.
    *
    * Determinism caveat, stated honestly: the summary CONTENT depends on
    * partitioning/merge order (like any GK pipeline, including Spark's
@@ -245,6 +245,22 @@ object Sketches {
 
     private def threshold(n: Long): Long = (2 * epsHalf * n).toLong
 
+    /** Threshold-compress a sorted tuple list right-to-left; positions
+      * 0 and last never merge away (min/max stay present). */
+    private def compress(ts: Vector[GKTuple], th: Long): Vector[GKTuple] = {
+      if (ts.length <= 2) return ts
+      var out = Vector.empty[GKTuple]
+      var acc = ts.last
+      var i = ts.length - 2
+      while (i >= 1) {
+        val t = ts(i)
+        if (t.g + acc.g + acc.delta <= th) acc = acc.copy(g = acc.g + t.g)
+        else { out = acc +: out; acc = t }
+        i -= 1
+      }
+      ts.head +: acc +: out
+    }
+
     /** Insert a sorted batch into sorted tuples, then compress. */
     private[operators] def flush(b: GKBuf): GKBuf = {
       if (b.pending.isEmpty) return b
@@ -261,20 +277,7 @@ object Sketches {
             (ts.take(i) :+ GKTuple(v, 1L, delta)) ++ ts.drop(i)
           }
       }
-      // compress right-to-left; never merge into position 0's successor
-      // from the left end (min/max tuples stay exact)
-      var out = Vector.empty[GKTuple]
-      var acc = ts.last
-      var i = ts.length - 2
-      while (i >= 1) {
-        val t = ts(i)
-        if (t.g + acc.g + acc.delta <= th) acc = acc.copy(g = acc.g + t.g)
-        else { out = acc +: out; acc = t }
-        i -= 1
-      }
-      out = acc +: out
-      if (ts.length >= 2) out = ts.head +: out
-      GKBuf(b.n, out, Vector.empty)
+      GKBuf(b.n, compress(ts, th), Vector.empty)
     }
 
     def reduce(b: GKBuf, v: Double): GKBuf = {
@@ -282,13 +285,29 @@ object Sketches {
       if (nb.pending.size >= flushSize) flush(nb) else nb
     }
 
+    /** Delta-absorbing merge (the Greenwald–Khanna merge rule): each
+      * side's tuples widen by the OTHER side's maximum local
+      * uncertainty max(g+delta)−1 — after which the concatenated list
+      * is a VALID GK summary of the union (every tuple's interval
+      * covers its true rank), so recompressing it with the union's
+      * threshold is safe. Total uncertainty telescopes to the sum over
+      * LEAF summaries, ≤ Σ 2·(eps/2)·n_i = eps·n, independent of merge
+      * order or DEPTH — this is what keeps streaming state bounded
+      * when the state store merges a new partial into the buffer every
+      * micro-batch (without the recompress, state grew linearly in
+      * batch count). The −1 keeps the exact regime exact: merging two
+      * uncompressed summaries (all g=1, delta=0) absorbs zero. */
     def merge(x: GKBuf, y: GKBuf): GKBuf = {
       val a = flush(x); val b = flush(y)
       if (a.n == 0) return b
       if (b.n == 0) return a
-      // merge-sort by value; g/delta carry over unchanged (see scaladoc)
-      val merged = (a.tuples ++ b.tuples).sortBy(_.v)
-      GKBuf(a.n + b.n, merged.toVector, Vector.empty)
+      val slackA = math.max(0L, a.tuples.map(t => t.g + t.delta).max - 1)
+      val slackB = math.max(0L, b.tuples.map(t => t.g + t.delta).max - 1)
+      val merged = (a.tuples.map(t => t.copy(delta = t.delta + slackB)) ++
+        b.tuples.map(t => t.copy(delta = t.delta + slackA)))
+        .sortBy(_.v).toVector
+      val n = a.n + b.n
+      GKBuf(n, compress(merged, threshold(n)), Vector.empty)
     }
 
     def finish(b: GKBuf): GKSummary = {
@@ -306,7 +325,7 @@ object Sketches {
     * `[rmin, rmin+delta]` is nearest the target rank `ceil(p·n)`
     * (distance 0 when the interval covers it — guaranteed within
     * `eps·n` by the summary invariant). */
-  private[operators] def gkQuery(tuples: Seq[GKTuple], n: Long, p: Double): Double = {
+  private[graft] def gkQuery(tuples: Seq[GKTuple], n: Long, p: Double): Double = {
     require(tuples.nonEmpty, "empty quantile summary")
     val r = math.max(1L, math.ceil(p * n).toLong)
     var rmin = 0L
@@ -367,7 +386,11 @@ object Sketches {
     }
 
   /** Second-level aggregator: concatenation-merge of finished
-    * summaries (same no-recompress rule as [[GKQuantile.merge]]). */
+    * summaries. Deliberately NOT recompressed — it has no eps to
+    * compress against, and its use is rolling up a BOUNDED set of
+    * persisted shard summaries (state = their total size, which is the
+    * exact information they carry); the rank guarantee is the leaf
+    * sum, same argument as [[GKQuantile.merge]]. */
   final class GKMerge
       extends org.apache.spark.sql.expressions.Aggregator[GKSummary, GKSummary, GKSummary] {
     def zero: GKSummary = GKSummary(0L, Vector.empty)

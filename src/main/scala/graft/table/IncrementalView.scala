@@ -113,10 +113,11 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
     * Exactly-once: the state commit carries the (checkpoint, epoch)
     * transaction high-water, so a crash-replayed micro-batch is
     * recognized and skipped; each fold also advances the
-    * `sourceVersion` watermark to the batch's max `_commit_version`,
-    * so batch [[refresh]] and a RE-CREATED stream (fresh checkpoint,
-    * which starts from the recorded watermark) interleave without
-    * double-applying. Caller drains/stops the returned query. */
+    * `sourceVersion` watermark to the batch's max `_commit_version`
+    * and drops batch rows at or below it — so batch [[refresh]] calls
+    * interleave safely with BOTH a resumed checkpoint (whose replayed
+    * WAL offsets overlap the refreshed range) and a re-created one.
+    * Caller drains/stops the returned query. */
   def refreshStream(checkpoint: String,
                     trigger: org.apache.spark.sql.streaming.Trigger =
                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -129,11 +130,17 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!state.lastTxnVersion(appId).exists(_ >= epochId)) {
-          // the CDF rows carry their commit version — the max in this
-          // batch IS the watermark after folding it
-          val maxV = batch.agg(max(col("_commit_version"))).head()
+          // drop rows at or below the watermark: on a RESUMED checkpoint
+          // after an interleaved batch refresh(), the source replays
+          // from its own WAL offset — commits the batch refresh already
+          // folded would otherwise double-apply. localCheckpoint so the
+          // slice is read once (max + fold are two actions).
+          val last = sourceVersion
+          val fresh = batch.filter(col("_commit_version") > last)
+            .localCheckpoint()
+          val maxV = fresh.agg(max(col("_commit_version"))).head()
           if (!maxV.isNullAt(0))
-            foldDelta(batch, maxV.getLong(0), Some((appId, epochId)))
+            foldDelta(fresh, maxV.getLong(0), Some((appId, epochId)))
         }
         ()
       }

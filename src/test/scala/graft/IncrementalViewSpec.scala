@@ -98,6 +98,32 @@ class IncrementalViewSpec extends SparkSpec {
       "an up-to-date stream pass must not commit")
   }
 
+  test("a RESUMED checkpoint after an interleaved batch refresh never double-applies") {
+    val src = tmpDir("iv_src5"); val st = tmpDir("iv_st5")
+    val ck = tmpDir("iv_ck5")
+    val t = ManagedTable(spark, src)
+    t.write((1 to 10).map(i => (i.toLong, "g", 1.0)).toDF("id", "g", "v"),
+      "APPEND", "append")
+    val view = mkView(src, st)
+    view.initialize()
+    t.write((11 to 20).map(i => (i.toLong, "g", 1.0)).toDF("id", "g", "v"),
+      "APPEND", "append")
+    val q1 = view.refreshStream(ck)
+    assert(q1.awaitTermination(120000))
+    assertCurrent(view, t)
+    // batch refresh folds the NEXT commit while the checkpoint is idle
+    t.write((21 to 25).map(i => (i.toLong, "g", 1.0)).toDF("id", "g", "v"),
+      "APPEND", "append")
+    view.refresh()
+    assertCurrent(view, t)
+    // resume the SAME checkpoint: its WAL replays offsets overlapping the
+    // refreshed range — the watermark filter must drop them
+    t.write(Seq((26L, "g", 1.0)).toDF("id", "g", "v"), "APPEND", "append")
+    val q2 = view.refreshStream(ck)
+    assert(q2.awaitTermination(120000))
+    assertCurrent(view, t) // 26 rows total, nothing counted twice
+  }
+
   test("a group whose count reaches zero leaves the state") {
     val src = tmpDir("iv_src3"); val st = tmpDir("iv_st3")
     val t = ManagedTable(spark, src)

@@ -207,6 +207,35 @@ class SketchesSpec extends SparkSpec {
         s"merged p=$p err ${rankErr(sorted, v, p)}")
   }
 
+  test("GK deep-merge: 200 sequential micro-batch merges keep eps·n AND bounded state") {
+    val rnd = new scala.util.Random(3)
+    val eps = 0.02
+    val agg = new Sketches.GKQuantile(eps)
+    // simulate a streaming state store: one standing buffer absorbing a
+    // fresh partial per "micro-batch", 200 batches of 100 values
+    var state = agg.zero
+    val all = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 0 until 200) {
+      var part = agg.zero
+      for (_ <- 0 until 100) {
+        val v = if (rnd.nextInt(5) == 0) 42.0 else rnd.nextDouble() * 1000
+        part = agg.reduce(part, v); all += v
+      }
+      state = agg.merge(state, part)
+    }
+    val s = agg.finish(state)
+    assert(s.n === all.size.toLong)
+    // state stayed sketch-sized, not linear in batch count (200 batches
+    // × ~25 tuples each would be ~5000 without the recompress)
+    assert(s.tuples.size < 600,
+      s"state grew to ${s.tuples.size} tuples — recompression not working")
+    val sorted = all.toArray.sorted
+    for (p <- Seq(0.05, 0.25, 0.5, 0.75, 0.95)) {
+      val e = rankErr(sorted, Sketches.gkQuery(s.tuples, s.n, p), p)
+      assert(e <= (eps * s.n).toLong, s"p=$p err $e after deep merge")
+    }
+  }
+
   test("GK exact regime: eps small enough for the data size gives exact quantiles") {
     val data = (1 to 100).map(_.toDouble)
     val df = data.toDF("v").withColumn("g", lit("all")).repartition(3)
