@@ -3433,7 +3433,8 @@ object Queries {
   }
 
   val temperatureQuotasDocsSql: String =
-    """WITH c AS (SELECT lang AS stratum, COUNT(*) AS n FROM documents GROUP BY 1),
+    """WITH c AS (SELECT lang AS stratum, COUNT(*) AS n FROM documents
+      |           WHERE lang IS NOT NULL GROUP BY 1),
       |m AS (SELECT MAX(n) AS n_max FROM c),
       |w AS (SELECT stratum, n,
       |  CAST(FLOOR(1000000 * SQRT(CAST(n AS DOUBLE) / n_max)) AS BIGINT)
@@ -3512,7 +3513,8 @@ object Queries {
   }
 
   val temperatureMixtureDocsSql: String =
-    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents
+      |           WHERE lang IS NOT NULL GROUP BY 1),
       |m AS (SELECT MAX(n) AS n_max FROM c),
       |w AS (SELECT lang,
       |  CAST(FLOOR(1000000 * SQRT(CAST(n AS DOUBLE) / n_max)) AS BIGINT) AS sw
@@ -3554,7 +3556,7 @@ object Queries {
        |  CAST((${nib(1, 4096)} + ${nib(2, 256)} + ${nib(3, 16)} + ${nib(4, 1)}) % 8 AS INTEGER) AS shard
        | FROM d)
        |SELECT doc_id, lang, shard,
-       | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+       | CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
        |FROM s""".stripMargin
   }
 

@@ -156,21 +156,25 @@ object Bpe {
     val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.map { case (p, r) => p -> r }.toMap
     val bc = spark.sparkContext.broadcast(ranks)
-    val enc = udf(new (String => Seq[String]) with Serializable {
+    // one kernel returns (tokens, word count) together — tokenization
+    // is the dominant per-row cost, and a separate regexp_extract_all
+    // column for n_words would re-run it over every byte of text
+    val enc = udf(new (String => (Seq[String], Int)) with Serializable {
       @transient private lazy val memo =
         new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
-      def apply(text: String): Seq[String] = {
-        if (text == null) return Seq.empty
+      def apply(text: String): (Seq[String], Int) = {
+        if (text == null) return (Seq.empty, 0)
+        val words = Dedup.tokenize(text)
         val out = Seq.newBuilder[String]
-        Dedup.tokenize(text).foreach { w =>
+        words.foreach { w =>
           out ++= memo.computeIfAbsent(w, encodeWord(_, bc.value))
         }
-        out.result()
+        (out.result(), words.length)
       }
     })
-    docs.select(col(idCol), enc(col(textCol)).as("bpe_tokens"),
-        size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
-          .as("n_words"))
+    docs.select(col(idCol), enc(col(textCol)).as("__enc__"))
+      .select(col(idCol), col("__enc__._1").as("bpe_tokens"),
+        col("__enc__._2").as("n_words"))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
   }
 

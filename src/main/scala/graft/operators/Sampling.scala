@@ -351,7 +351,12 @@ object Sampling {
     require(total > 0, s"total must be positive, got $total")
     require(alpha > 0.0 && alpha <= 1.0,
       s"alpha must be in (0, 1], got $alpha")
-    val counts = df.groupBy(col(s"`$strataCol`").as("stratum"))
+    // a NULL stratum can never be admitted (the admission predicate
+    // `col === stratum` never matches NULL), so it must not enter the
+    // weight math either — counted in, it would inflate Σsw (and
+    // possibly n_max) and silently dilute every REAL stratum's quota
+    val counts = df.filter(col(s"`$strataCol`").isNotNull)
+      .groupBy(col(s"`$strataCol`").as("stratum"))
       .agg(count(lit(1)).as("n"))
     val nMax = counts.agg(max(col("n")).as("n_max"))
     val ratio = col("n").cast("double") / col("n_max").cast("double")
@@ -374,12 +379,8 @@ object Sampling {
                                total: Long, keys: Seq[String],
                                alpha: Double = 0.5, salt: String = "",
                                hotGroupFactor: Int = 64): DataFrame = {
-    // a NULL stratum gets no quota (the admission predicate `col ===
-    // stratum` never matches NULL anyway) — dropped here instead of
-    // NPE-ing the driver-side fold
     val quotas = temperatureQuotas(df, strataCol, total, alpha)
       .select("stratum", "quota").collect()
-      .filterNot(_.isNullAt(0))
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
     mixtureSampleQuotas(df, strataCol, quotas, keys, salt, hotGroupFactor)
   }

@@ -351,7 +351,11 @@ object Sketches {
                      eps: Double = 0.01): DataFrame = {
     require(keys.nonEmpty, "quantileSketch needs group keys")
     val agg = udaf(new GKQuantile(eps))
-    df.groupBy(keys.map(c => col(s"`$c`")): _*)
+    // NULL values are ignored, like every SQL aggregate — the udaf's
+    // primitive Double input would otherwise crash on the first NULL.
+    // A group that is ALL NULL disappears (it has no rank domain).
+    df.filter(col(s"`$valueCol`").isNotNull)
+      .groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(agg(col(s"`$valueCol`").cast("double")).as(QuantileCol))
   }
 
@@ -424,7 +428,10 @@ object Sketches {
                    capacity: Int, k: Int): DataFrame = {
     require(k >= 1 && k <= capacity, s"need 1 <= k <= capacity, got k=$k")
     val agg = udaf(new SpaceSaving(capacity))
-    df.groupBy(keys.map(c => col(s"`$c`")): _*)
+    // NULL items are ignored (SQL-aggregate semantics) — mapping them
+    // to a sentinel would conflate NULL with a real category ("")
+    df.filter(col(s"`$itemCol`").isNotNull)
+      .groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(agg(col(s"`$itemCol`").cast("string")).as("__hh__"))
       .select((keys.map(c => col(s"`$c`")) :+
         posexplode(slice(col("__hh__"), lit(1), lit(k)))): _*)

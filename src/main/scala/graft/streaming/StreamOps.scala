@@ -80,6 +80,9 @@ object StreamOps {
       s"probs must be in (0, 1], got $probs")
     val agg = udaf(new Sketches.GKQuantile(eps))
     events
+      // NULL values are ignored (SQL-aggregate semantics; the udaf's
+      // primitive Double input would crash on one)
+      .filter(col(s"`$valueCol`").isNotNull)
       .withWatermark(timeCol, watermark)
       .groupBy(window(col(timeCol), windowDuration).as("window"), col(keyCol))
       .agg(agg(col(s"`$valueCol`").cast("double")).as("gk"))

@@ -129,7 +129,21 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!state.lastTxnVersion(appId).exists(_ >= epochId)) {
+        if (state.lastTxnVersion(appId).exists(_ >= epochId)) {
+          // A genuinely replayed epoch re-delivers only commits the
+          // watermark already covers. If this "replayed" epoch holds
+          // NEWER commits, the checkpoint was DELETED and its path
+          // reused: the fresh query restarted epochs at 0, this guard
+          // would silently drop unseen data, and the advancing offsets
+          // would lose it forever — refuse instead.
+          val last = sourceVersion
+          if (!batch.filter(col("_commit_version") > last).isEmpty)
+            throw new IllegalStateException(
+              s"view stream checkpoint '$checkpoint' was re-created: " +
+                s"epoch $epochId is at or below the recorded high-water " +
+                "but carries commits beyond the watermark. Use a FRESH " +
+                "checkpoint path (epoch high-waters are keyed by path).")
+        } else {
           // drop rows at or below the watermark: on a RESUMED checkpoint
           // after an interleaved batch refresh(), the source replays
           // from its own WAL offset — commits the batch refresh already
