@@ -96,7 +96,10 @@ object Expectations {
 
   /** Rows failing an arbitrary boolean SQL predicate (the escape hatch —
     * `sql` must be TRUE for conforming rows; NULL predicate = violation,
-    * matching SQL CHECK-constraint semantics where only TRUE passes). */
+    * matching WHERE/filter semantics where only TRUE passes. This is
+    * deliberately STRICTER than a SQL CHECK constraint, which lets
+    * UNKNOWN through — a quality gate that waves NULLs past its own
+    * predicate would hide exactly the rows it exists to catch). */
   final case class Satisfies(sql: String, label: String) extends Rule {
     val ruleName = "satisfies"
     val columnLabel: String = label

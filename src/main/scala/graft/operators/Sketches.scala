@@ -204,9 +204,48 @@ object Sketches {
     * buffer (amortizes the per-item sorted insert). */
   final case class GKBuf(n: Long, tuples: Seq[GKTuple], pending: Seq[Double])
 
-  /** Finished summary: total count + tuples, as one struct so per-group
-    * summaries are storable rows (mirror of the HLL sketch contract). */
-  final case class GKSummary(n: Long, tuples: Seq[GKTuple])
+  /** Finished summary: total count + tuples + the eps it was built
+    * with, as one struct so per-group summaries are storable rows
+    * (mirror of the HLL sketch contract). Carrying eps is what lets a
+    * SECOND-LEVEL rollup ([[GKMerge]]) recompress: without it the
+    * rollup has no threshold and can only concatenate, building an
+    * O(shards · 1/eps)-tuple buffer over 100 k shard summaries. */
+  final case class GKSummary(n: Long, tuples: Seq[GKTuple], eps: Double)
+
+  /** Threshold-compress a sorted tuple list right-to-left; positions
+    * 0 and last never merge away (min/max stay present). */
+  private[operators] def gkCompress(ts: Vector[GKTuple], th: Long): Vector[GKTuple] = {
+    if (ts.length <= 2) return ts
+    var out = Vector.empty[GKTuple]
+    var acc = ts.last
+    var i = ts.length - 2
+    while (i >= 1) {
+      val t = ts(i)
+      if (t.g + acc.g + acc.delta <= th) acc = acc.copy(g = acc.g + t.g)
+      else { out = acc +: out; acc = t }
+      i -= 1
+    }
+    ts.head +: acc +: out
+  }
+
+  /** The delta-absorbing Greenwald–Khanna merge rule (shared by
+    * [[GKQuantile.merge]] and [[GKMerge]]): each side's tuples widen by
+    * the OTHER side's maximum local uncertainty max(g+delta)−1, after
+    * which the sorted concatenation is a VALID summary of the union
+    * (every tuple's interval covers its true rank) and recompressing it
+    * with the union's threshold is safe — total uncertainty telescopes
+    * to the sum over LEAF summaries regardless of merge order or depth.
+    * The −1 keeps the exact regime exact: merging two uncompressed
+    * summaries (all g=1, delta=0) absorbs zero. */
+  private[operators] def gkAbsorbMerge(a: Seq[GKTuple], b: Seq[GKTuple],
+                                       th: Long): Vector[GKTuple] = {
+    val slackA = math.max(0L, a.iterator.map(t => t.g + t.delta).max - 1)
+    val slackB = math.max(0L, b.iterator.map(t => t.g + t.delta).max - 1)
+    val merged = (a.map(t => t.copy(delta = t.delta + slackB)) ++
+      b.map(t => t.copy(delta = t.delta + slackA)))
+      .sortBy(_.v).toVector
+    gkCompress(merged, th)
+  }
 
   /**
    * Mergeable Greenwald–Khanna quantile summary (Greenwald & Khanna
@@ -245,39 +284,36 @@ object Sketches {
 
     private def threshold(n: Long): Long = (2 * epsHalf * n).toLong
 
-    /** Threshold-compress a sorted tuple list right-to-left; positions
-      * 0 and last never merge away (min/max stay present). */
-    private def compress(ts: Vector[GKTuple], th: Long): Vector[GKTuple] = {
-      if (ts.length <= 2) return ts
-      var out = Vector.empty[GKTuple]
-      var acc = ts.last
-      var i = ts.length - 2
-      while (i >= 1) {
-        val t = ts(i)
-        if (t.g + acc.g + acc.delta <= th) acc = acc.copy(g = acc.g + t.g)
-        else { out = acc +: out; acc = t }
-        i -= 1
-      }
-      ts.head +: acc +: out
-    }
+    private def compress(ts: Vector[GKTuple], th: Long): Vector[GKTuple] =
+      gkCompress(ts, th)
 
-    /** Insert a sorted batch into sorted tuples, then compress. */
+    /** Insert a sorted batch into sorted tuples with ONE two-pointer
+      * merge pass (both sides sorted — per-element indexWhere/rebuild
+      * was O(flushSize × tuples) with a full Vector copy per value on
+      * the per-row hot path), then compress. Each pending value takes
+      * its delta from its successor among the PRE-FLUSH tuples, which
+      * is its immediate successor in the merged list too (earlier
+      * pending values are ≤ it and land before it): the standard GK
+      * insert. The extremes stay exact (delta 0) — a value at i == 0
+      * is preceded only by exactly-counted pending inserts, and one at
+      * i == len is ≥ every summarized element (the max tuple survives
+      * compression), so its rank is known precisely. */
     private[operators] def flush(b: GKBuf): GKBuf = {
       if (b.pending.isEmpty) return b
       val th = threshold(b.n)
-      var ts = b.tuples.toVector
+      val ts = b.tuples.toVector
+      val out = Vector.newBuilder[GKTuple]
+      var i = 0
       for (v <- b.pending.sorted) {
-        val i = ts.indexWhere(_.v >= v)
-        ts =
-          if (i < 0) ts :+ GKTuple(v, 1L, 0L) // new max
-          else if (i == 0) GKTuple(v, 1L, 0L) +: ts // new min
-          else {
-            val s = ts(i)
-            val delta = math.max(0L, math.min(s.g + s.delta - 1, th - 1))
-            (ts.take(i) :+ GKTuple(v, 1L, delta)) ++ ts.drop(i)
-          }
+        while (i < ts.length && ts(i).v < v) { out += ts(i); i += 1 }
+        if (i == ts.length || i == 0) out += GKTuple(v, 1L, 0L)
+        else {
+          val s = ts(i)
+          out += GKTuple(v, 1L, math.max(0L, math.min(s.g + s.delta - 1, th - 1)))
+        }
       }
-      GKBuf(b.n, compress(ts, th), Vector.empty)
+      while (i < ts.length) { out += ts(i); i += 1 }
+      GKBuf(b.n, compress(out.result(), th), Vector.empty)
     }
 
     def reduce(b: GKBuf, v: Double): GKBuf = {
@@ -285,34 +321,23 @@ object Sketches {
       if (nb.pending.size >= flushSize) flush(nb) else nb
     }
 
-    /** Delta-absorbing merge (the Greenwald–Khanna merge rule): each
-      * side's tuples widen by the OTHER side's maximum local
-      * uncertainty max(g+delta)−1 — after which the concatenated list
-      * is a VALID GK summary of the union (every tuple's interval
-      * covers its true rank), so recompressing it with the union's
-      * threshold is safe. Total uncertainty telescopes to the sum over
-      * LEAF summaries, ≤ Σ 2·(eps/2)·n_i = eps·n, independent of merge
-      * order or DEPTH — this is what keeps streaming state bounded
-      * when the state store merges a new partial into the buffer every
+    /** Delta-absorbing merge ([[gkAbsorbMerge]]): total uncertainty
+      * telescopes to the leaf sum ≤ Σ 2·(eps/2)·n_i = eps·n at any
+      * merge depth — this is what keeps streaming state bounded when
+      * the state store merges a new partial into the buffer every
       * micro-batch (without the recompress, state grew linearly in
-      * batch count). The −1 keeps the exact regime exact: merging two
-      * uncompressed summaries (all g=1, delta=0) absorbs zero. */
+      * batch count). */
     def merge(x: GKBuf, y: GKBuf): GKBuf = {
       val a = flush(x); val b = flush(y)
       if (a.n == 0) return b
       if (b.n == 0) return a
-      val slackA = math.max(0L, a.tuples.map(t => t.g + t.delta).max - 1)
-      val slackB = math.max(0L, b.tuples.map(t => t.g + t.delta).max - 1)
-      val merged = (a.tuples.map(t => t.copy(delta = t.delta + slackB)) ++
-        b.tuples.map(t => t.copy(delta = t.delta + slackA)))
-        .sortBy(_.v).toVector
       val n = a.n + b.n
-      GKBuf(n, compress(merged, threshold(n)), Vector.empty)
+      GKBuf(n, gkAbsorbMerge(a.tuples, b.tuples, threshold(n)), Vector.empty)
     }
 
     def finish(b: GKBuf): GKSummary = {
       val f = flush(b)
-      GKSummary(f.n, f.tuples)
+      GKSummary(f.n, f.tuples, eps)
     }
 
     def bufferEncoder: org.apache.spark.sql.Encoder[GKBuf] =
@@ -370,11 +395,11 @@ object Sketches {
     val agg = udaf(new GKMerge)
     val est = estimateUdf
     val probCol = explode(array(probs.map(lit): _*)).as("prob")
-    // udaf() flattens the case-class input into (n, tuples) parameters
+    // udaf() flattens the case-class input into (n, tuples, eps) parameters
     sketches
       .groupBy(keys.map(c => col(s"`$c`")): _*)
-      .agg(agg(col(s"$QuantileCol.n"), col(s"$QuantileCol.tuples"))
-        .as(QuantileCol))
+      .agg(agg(col(s"$QuantileCol.n"), col(s"$QuantileCol.tuples"),
+        col(s"$QuantileCol.eps")).as(QuantileCol))
       .select((keys.map(c => col(s"`$c`")) :+ col(QuantileCol) :+ probCol): _*)
       .select((keys.map(c => col(s"`$c`")) :+ col("prob") :+
         est(col(s"$QuantileCol.n"), col(s"$QuantileCol.tuples"),
@@ -389,20 +414,32 @@ object Sketches {
       gkQuery(ts.map(r => GKTuple(r.getDouble(0), r.getLong(1), r.getLong(2))), n, p)
     }
 
-  /** Second-level aggregator: concatenation-merge of finished
-    * summaries. Deliberately NOT recompressed — it has no eps to
-    * compress against, and its use is rolling up a BOUNDED set of
-    * persisted shard summaries (state = their total size, which is the
-    * exact information they carry); the rank guarantee is the leaf
-    * sum, same argument as [[GKQuantile.merge]]. */
+  /** Second-level aggregator: delta-absorbing merge of FINISHED
+    * summaries, recompressed against the threshold the summaries'
+    * own eps implies (`eps·n`, the same formula [[GKQuantile]] builds
+    * with) — so rolling 100 k per-shard summaries to a global grain
+    * keeps the buffer at the single-summary O((1/eps)·log(eps·n))
+    * bound instead of O(shards · 1/eps) concatenated tuples. Merging
+    * summaries of different eps is legal; the result carries (and the
+    * guarantee degrades to) the max. The rank guarantee is the leaf
+    * sum, same telescoping argument as [[GKQuantile.merge]]. A summary
+    * with eps ≤ 0 (unknown provenance) disables recompression for the
+    * whole rollup — concatenation stays valid, just unbounded. */
   final class GKMerge
       extends org.apache.spark.sql.expressions.Aggregator[GKSummary, GKSummary, GKSummary] {
-    def zero: GKSummary = GKSummary(0L, Vector.empty)
+    def zero: GKSummary = GKSummary(0L, Vector.empty, 0.0)
     def reduce(b: GKSummary, s: GKSummary): GKSummary = merge(b, s)
     def merge(x: GKSummary, y: GKSummary): GKSummary = {
       if (x.n == 0) y
       else if (y.n == 0) x
-      else GKSummary(x.n + y.n, (x.tuples ++ y.tuples).sortBy(_.v).toVector)
+      else {
+        val n = x.n + y.n
+        val eps = if (x.eps <= 0 || y.eps <= 0) 0.0 else math.max(x.eps, y.eps)
+        val ts =
+          if (eps > 0) gkAbsorbMerge(x.tuples, y.tuples, (eps * n).toLong)
+          else (x.tuples ++ y.tuples).sortBy(_.v).toVector
+        GKSummary(n, ts, eps)
+      }
     }
     def finish(b: GKSummary): GKSummary = b
     def bufferEncoder: org.apache.spark.sql.Encoder[GKSummary] =

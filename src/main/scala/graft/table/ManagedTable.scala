@@ -1184,9 +1184,18 @@ final class ManagedTable(spark: SparkSession, root: String) {
     // dirs by path — deleting those would destroy the source's data from
     // the clone's vacuum. Foreign roots are simply dropped from the
     // delete set (the source's own vacuum governs their lifetime).
-    val ownRoot = rootPath.toUri.getPath.stripSuffix("/") + "/"
-    def underOwnRoot(d: String): Boolean =
-      new Path(d).toUri.getPath.startsWith(ownRoot)
+    // compare FULLY-QUALIFIED URIs (scheme + authority + path), not bare
+    // paths: a mirrored layout on another filesystem (s3://staging/wh/t
+    // cloned from s3://prod/wh/t) shares the path string, and a bare-path
+    // match would treat the foreign root as our own — at best a Wrong-FS
+    // crash on delete, at worst deleting the source's dirs
+    val ownRoot = fs.makeQualified(rootPath).toUri.toString
+      .stripSuffix("/") + "/"
+    def underOwnRoot(d: String): Boolean = {
+      val p = new Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toUri.toString.startsWith(ownRoot)
+    }
     val deadRoots = (dropCommits.flatMap(_.dirs).map(ManagedTable.dataDirRoot)
       .toSet -- keptRoots).filter(underOwnRoot)
     val deadChange = (dropCommits.flatMap(_.changeDir).toSet -- keptChange)

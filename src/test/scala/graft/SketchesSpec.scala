@@ -236,6 +236,39 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("GK rollup: 1000 shard summaries recompress to the single-summary bound") {
+    val rnd = new scala.util.Random(11)
+    val eps = 0.02
+    val agg = new Sketches.GKQuantile(eps)
+    val merger = new Sketches.GKMerge
+    val all = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var rollup = merger.zero
+    var shardTuples = 0L
+    for (_ <- 0 until 1000) {
+      var buf = agg.zero
+      for (_ <- 0 until 30) {
+        val v = rnd.nextDouble() * 1e4
+        buf = agg.reduce(buf, v); all += v
+      }
+      val s = agg.finish(buf)
+      shardTuples += s.tuples.size
+      rollup = merger.reduce(rollup, s)
+    }
+    val s = merger.finish(rollup)
+    assert(s.n === all.size.toLong && s.eps === eps)
+    // pre-eps GKMerge concatenated: the buffer would be every shard's
+    // tuples (30k here — tiny shards never self-compress). Recompression
+    // holds it at the single-summary O((1/eps)·log(eps·n)) bound.
+    assert(shardTuples === 30000L)
+    assert(s.tuples.size <= 800,
+      s"rollup buffer grew to ${s.tuples.size} tuples — recompression not working")
+    val sorted = all.toArray.sorted
+    for (p <- Seq(0.05, 0.25, 0.5, 0.75, 0.95)) {
+      val e = rankErr(sorted, Sketches.gkQuery(s.tuples, s.n, p), p)
+      assert(e <= (eps * s.n).toLong, s"p=$p err $e after 1000-shard rollup")
+    }
+  }
+
   test("GK exact regime: eps small enough for the data size gives exact quantiles") {
     val data = (1 to 100).map(_.toDouble)
     val df = data.toDF("v").withColumn("g", lit("all")).repartition(3)
