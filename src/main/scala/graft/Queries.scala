@@ -3872,15 +3872,29 @@ object Queries {
       |WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
 
   /** Trainable BPE tokenizer ([[graft.llm.Bpe]]): learn 24 merges from
-    * the corpus's word-frequency table (one text scan + 24 pair
-    * aggregations), then encode every document under the learned ranks
-    * (broadcast merges, per-partition word memo, zero shuffles).
-    * Rank-greedy merging is a data-dependent fixpoint with no DuckDB
-    * expression, so this is a rows-only driver check; exactness is
-    * pinned by BpeSpec against an independent reference implementation
-    * (training argmax parity, encode parity, concatenation identity). */
+    * the corpus's word-frequency table (one corpus scan; training runs
+    * in-JVM on the collected Zipf-bounded word table), then encode
+    * every document under the learned ranks (broadcast merges,
+    * per-partition word memo, zero shuffles). Rank-greedy merging is a
+    * data-dependent fixpoint with no DuckDB expression, so this is a
+    * rows-only driver check — but NOT gate-free: the in-query
+    * [[graft.llm.Bpe.requireEncodes]] encodes planted texts with
+    * analytically-derived token sequences through the distributed
+    * encode path and throws on any divergence (rank precedence,
+    * non-overlapping remerge, fixpoint termination all pinned).
+    * Exactness of TRAINING is pinned by BpeSpec against an independent
+    * reference implementation, 512-merge run included. */
   def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
     import graft.llm.Bpe
+    // gate merges: (a,a)=0, (aa,aa)=1, (b,c)=2, (a,b)=3 — "aaaaaaaaa"
+    // must collapse via two rank tiers, and "abcabc" must pick rank-2
+    // (b,c) over the textually-earlier rank-3 (a,b)
+    Bpe.requireEncodes(spark,
+      Seq(("a", "a"), ("aa", "aa"), ("b", "c"), ("a", "b")),
+      Seq(
+        "aaaaaaaaa" -> Seq("aaaa", "aaaa", "a"),
+        "abcabc abc ab" -> Seq("a", "bc", "a", "bc", "a", "bc", "ab"),
+        "xyz" -> Seq("x", "y", "z")))
     val docs = pq(spark, dir, "documents")
     val merges = Staging.timed { Bpe.learn(docs, numMerges = 24) }
     Bpe.encode(docs, merges)

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
  *
  *   - TRAINING runs on the word-frequency table, not the corpus: one
  *     `explode words → groupBy word` aggregation reduces any corpus to
- *     its distinct-word surface (the classical BPE trick), and each
- *     merge round is then a single adjacent-pair aggregation over that
- *     table plus a narrow per-row merge application. The corpus text
- *     is scanned exactly once, regardless of the number of merges.
+ *     its distinct-word surface (the classical BPE trick), which is
+ *     collected under a documented cap and trained in-JVM with
+ *     incremental pair maintenance — ONE Spark job total for any merge
+ *     count, with a distributed per-merge-aggregation fallback above
+ *     the cap. The corpus text is scanned exactly once either way.
  *   - ENCODING is embarrassingly parallel: the learned merge ranks
  *     broadcast to every task (bounded by `numMerges`, like IVF
  *     centroids), each partition memoizes word → tokens (Zipf makes
@@ -88,23 +89,137 @@ object Bpe {
   /**
    * Learn `numMerges` BPE merges from the corpus. Returns the merges
    * in rank order. Ties in pair frequency break on (a, b) ascending so
-   * training is bit-deterministic on any partitioning.
+   * training is bit-deterministic on any partitioning (the word surface
+   * is ASCII `[a-z0-9]+`, where JVM String order and Spark's UTF-8
+   * binary order agree).
    *
-   * Scale: each round aggregates adjacent pairs over the WORD table
-   * (distinct words × avg symbols — Zipf-bounded, orders of magnitude
-   * below the corpus) and collects exactly ONE row (the argmax). The
-   * evolving symbol table is localCheckpointed every round, so lineage
-   * stays flat across dozens of merges. For a 100 TB corpus, train on
-   * a `Sampling.hashSample` of documents — tokenizer training is
-   * estimation, and a content-keyed sample keeps it reproducible.
+   * Scale: ONE Spark job total, independent of the merge count. The
+   * corpus reduces to its distinct-word surface (the classical BPE
+   * trick — Zipf-bounded, orders of magnitude below the corpus; for a
+   * 100 TB corpus train on a `Sampling.hashSample`, which bounds it
+   * further and stays reproducible), that word-frequency table is
+   * collected, and all merges train in-JVM with INCREMENTAL pair
+   * maintenance ([[learnLocal]]): merging (a, b) re-counts only the
+   * words that contain it, so a production 32 k-vocab run is
+   * O(Σ affected-word lengths), not 32 k sequential driver-paced Spark
+   * jobs over the word table (the round-10 scale ceiling this replaces).
+   *
+   * `maxLocalWords` is the honest knob: a distinct-word surface larger
+   * than the cap (2 M words ≈ a few hundred MB of driver state — far
+   * past any Zipf-plausible natural-language corpus, sampled or not)
+   * falls back to [[learnDistributed]]'s one-aggregation-per-merge
+   * loop, which never materializes the surface on the driver.
    */
-  def learn(docs: DataFrame, numMerges: Int,
-            textCol: String = "text"): Seq[(String, String)] = {
+  def learn(docs: DataFrame, numMerges: Int, textCol: String = "text",
+            maxLocalWords: Int = 2000000): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    val spark = docs.sparkSession
-    import spark.implicits._
+    val wf = wordFreq(docs, textCol)
+    val head = wf.limit(maxLocalWords + 1).collect()
+    if (head.length <= maxLocalWords)
+      learnLocal(head.map(r =>
+        (r.getAs[String]("word"), r.getAs[Long]("cnt"))), numMerges)
+    else learnDistributed(wf, numMerges)
+  }
+
+  /**
+   * The in-JVM incremental trainer over the collected word-frequency
+   * table — the standard fast-BPE structure (Sennrich 2016's released
+   * trainer works the same way): pair → count, pair → containing
+   * words, and a lazy-deletion priority queue over (count, a, b). Each
+   * round pops the current argmax (stale heap entries are skipped —
+   * an entry is live iff its count equals the pair's current count),
+   * then re-counts ONLY the words containing the merged pair: a word's
+   * old adjacent-pair contributions are subtracted in full, the merge
+   * applies, the new contributions add back — whole-word recount
+   * sidesteps every local-delta off-by-one, and parity with both the
+   * per-round distributed aggregation and the naive occurrence-level
+   * reference is pinned in BpeSpec (512-merge run included).
+   */
+  private[graft] def learnLocal(words: Array[(String, Long)],
+                                numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] = words.map(_._1.map(_.toString).toArray)
+    val cnts: Array[Long] = words.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(11, words.length),
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1) // count desc
+          if (c != 0) c
+          else {
+            val a = x._2.compareTo(y._2) // then (a, b) asc
+            if (a != 0) a else x._3.compareTo(y._3)
+          }
+        }
+      })
+    def bump(p: (String, String), by: Long): Unit = {
+      val n = pairCount.getOrElse(p, 0L) + by
+      if (n <= 0L) { pairCount.remove(p); () }
+      else { pairCount(p) = n; heap.add((n, p._1, p._2)); () }
+    }
+    def addWord(wi: Int): Unit = {
+      val w = syms(wi)
+      var i = 0
+      while (i + 1 < w.length) {
+        val p = (w(i), w(i + 1))
+        bump(p, cnts(wi))
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        i += 1
+      }
+    }
+    // subtract a word's contributions; its pairWords entries go stale
+    // instead of being removed (cheap), and are containment-checked on use
+    def dropWord(wi: Int): Unit = {
+      val w = syms(wi)
+      var i = 0
+      while (i + 1 < w.length) { bump((w(i), w(i + 1)), -cnts(wi)); i += 1 }
+    }
+    syms.indices.foreach(addWord)
+    val merges = Seq.newBuilder[(String, String)]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      var best: (String, String) = null
+      while (best == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (pairCount.getOrElse((e._2, e._3), 0L) == e._1) best = (e._2, e._3)
+      }
+      if (best == null) done = true
+      else {
+        merges += best
+        for (wi <- pairWords.remove(best).getOrElse(mutable.HashSet.empty[Int])) {
+          val w = syms(wi)
+          var has = false
+          var i = 0
+          while (!has && i + 1 < w.length) {
+            has = w(i) == best._1 && w(i + 1) == best._2
+            i += 1
+          }
+          if (has) {
+            dropWord(wi)
+            syms(wi) = applyMerge(w, best._1, best._2)
+            addWord(wi)
+          }
+        }
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Fallback trainer for a word surface past the driver cap: one
+    * adjacent-pair aggregation over the distributed word table plus a
+    * 1-row argmax collect PER MERGE (the evolving symbol table
+    * localCheckpoints each round to keep lineage flat). Correct at any
+    * scale but driver-paced — suitable for modest merge counts only,
+    * which is why [[learn]] prefers the in-JVM path whenever the
+    * Zipf-bounded surface fits. */
+  private[graft] def learnDistributed(wordFreq: DataFrame,
+                                      numMerges: Int): Seq[(String, String)] = {
     val toChars = udf((w: String) => w.map(_.toString))
-    var wf = wordFreq(docs, textCol)
+    var wf = wordFreq
       .select(toChars(col("word")).as("syms"), col("cnt"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
@@ -186,5 +301,25 @@ object Bpe {
     val merges = mergesDf.orderBy("rank").collect()
       .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
     encode(docs, merges, textCol, idCol)
+  }
+
+  /** Driver-run encoder gate (the pattern ann_topk used to graduate
+    * from rows-only): encode planted texts whose token sequences are
+    * ANALYTICALLY derivable under known merges through the real
+    * distributed [[encode]] path, and `require` exact equality — a
+    * broken rank map or merge kernel then fails the driver's query
+    * run, not just the sbt suite. BpeSpec proves the gate trips on a
+    * deliberately corrupted rank order. */
+  def requireEncodes(spark: SparkSession, merges: Seq[(String, String)],
+                     plants: Seq[(String, Seq[String])]): Unit = {
+    import spark.implicits._
+    val docs = plants.zipWithIndex
+      .map { case ((t, _), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = encode(docs, merges).select("doc_id", "bpe_tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    plants.zipWithIndex.foreach { case ((t, want), i) =>
+      require(got(i.toLong) == want,
+        s"bpe encode gate: '$t' encoded to ${got(i.toLong)}, expected $want")
+    }
   }
 }

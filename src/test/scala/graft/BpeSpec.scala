@@ -120,6 +120,50 @@ class BpeSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(bad === 0, "a merge increased some document's token count")
   }
 
+  test("512-merge training matches the reference — production merge counts stay exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(80)
+      .select("text").cache()
+    val corpus = docs.collect().map(_.getString(0)).toSeq
+    val got = Bpe.learn(docs, numMerges = 512)
+    val want = refLearn(corpus, 512)
+    assert(got.length === want.length)
+    assert(got === want, "in-JVM incremental trainer diverged from the reference at depth")
+  }
+
+  test("the local and distributed trainers agree (maxLocalWords=0 forces the fallback)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(40)
+      .select("text").cache()
+    assert(Bpe.learn(docs, 8) === Bpe.learn(docs, 8, maxLocalWords = 0))
+  }
+
+  test("training runs O(1) Spark jobs regardless of merge count") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(80)
+      .select("text").localCheckpoint() // stage the input outside the window
+    val sc = spark.sparkContext
+    sc.setJobGroup("bpe-jobcount", "bpe 512-merge training")
+    try Bpe.learn(docs, numMerges = 512)
+    finally sc.clearJobGroup()
+    val jobs = sc.statusTracker.getJobIdsForGroup("bpe-jobcount").length
+    // one wordFreq scan+collect (limit may split into a couple of jobs) —
+    // NOT one aggregation per merge (512 merges ran here)
+    assert(jobs >= 1 && jobs <= 4,
+      s"training ran $jobs Spark jobs for 512 merges — driver-paced loop is back")
+  }
+
+  test("requireEncodes passes on correct ranks and trips on corrupted rank order") {
+    val merges = Seq(("a", "a"), ("aa", "aa"), ("b", "c"), ("a", "b"))
+    val plants = Seq(
+      "aaaaaaaaa" -> Seq("aaaa", "aaaa", "a"),
+      "abcabc abc ab" -> Seq("a", "bc", "a", "bc", "a", "bc", "ab"))
+    Bpe.requireEncodes(spark, merges, plants) // must not throw
+    // corrupt: reverse the rank order — (a,b) now outranks (b,c), so
+    // "abcabc" encodes to ab c ab c instead of a bc a bc
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.requireEncodes(spark, merges.reverse, plants)
+    }
+    assert(ex.getMessage.contains("bpe encode gate"))
+  }
+
   test("encodeWith a persisted merges table equals the in-memory run") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(30)
     val merges = Bpe.learn(docs, numMerges = 8)
