@@ -3838,6 +3838,96 @@ object Queries {
       |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
       |GROUP BY d.doc_id""".stripMargin
 
+  /** INCREMENTAL span dedup ([[graft.llm.Dedup.removeDuplicatedSpansAgainst]]):
+    * the corpus (doc_id % 10 ≠ 0) builds its positioned-gram index ONCE,
+    * persisted as parquet and reloaded; a "daily" batch (doc_id % 10 = 0)
+    * is PLANTED with cross-epoch copies — each batch doc appends the
+    * first 20 tokens of corpus doc (doc_id + 1) — and only the batch is
+    * gram-exploded at scoring time. Every planted ≥12-token run must be
+    * cut from the batch side; the oracle reconstructs the identical
+    * plant and recomputes grams, diagonals, islands and the token-level
+    * rebuild from scratch, so an off-by-one at either span edge
+    * hash-mismatches. In-query gate: the plants actually shrank. */
+  def dedupSpansIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Dedup
+    val docs = pq(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val plant = corpus.select((col("doc_id") - 1).as("doc_id"),
+      array_join(slice(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0)), 1, 20), " ").as("__plant__"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .join(plant, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", col("text"), coalesce(col("__plant__"), lit("")))
+          .as("text"))
+    val idxPath = tmp("spanidx")
+    Staging.timed {
+      Dedup.spanGramIndex(corpus).write.mode("overwrite").parquet(idxPath)
+    }
+    val cleaned = Dedup.removeDuplicatedSpansAgainst(
+      batch, spark.read.parquet(idxPath), k = 8, minSpanTokens = 12)
+      .localCheckpoint() // read once: the gate below is a second action
+    val planted = batch.select(col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as("n_in"))
+    val shrunk = cleaned
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("n_out"))
+      .join(planted, "doc_id")
+      .filter(col("n_out") <= col("n_in") - 12).count()
+    require(shrunk >= 25,
+      s"dedup_spans_incremental: only $shrunk batch docs lost a planted " +
+        "span — cross-epoch detection is not firing")
+    cleaned
+  }
+
+  val dedupSpansIncrementalSql: String =
+    """WITH corpus AS (
+      | SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+      |plant AS (
+      | SELECT doc_id - 1 AS doc_id,
+      |  array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[1:20], ' ') AS p
+      | FROM corpus),
+      |batch AS (
+      | SELECT d.doc_id, concat_ws(' ', d.text, COALESCE(p.p, '')) AS text
+      | FROM documents d LEFT JOIN plant p USING (doc_id)
+      | WHERE d.doc_id % 10 = 0),
+      |ctoks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |          FROM corpus),
+      |btoks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |          FROM batch),
+      |cg AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS gram
+      | FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM ctoks)),
+      |bg AS (SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS gram
+      | FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS pos FROM btoks)),
+      |m AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+      |        a.pos - b.pos AS diag
+      | FROM cg a JOIN bg b ON a.gram = b.gram),
+      |runs AS (
+      | SELECT doc_a, doc_b, diag, pos_a,
+      |  pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+      |                             ORDER BY pos_a) AS grp
+      | FROM m),
+      |cuts AS (
+      | SELECT doc_b AS doc_id, MIN(pos_a) - diag AS lo,
+      |        MIN(pos_a) - diag + COUNT(*) + 7 - 1 AS hi
+      | FROM runs GROUP BY doc_a, doc_b, diag, grp
+      | HAVING COUNT(*) + 7 >= 12),
+      |tk AS (
+      | SELECT doc_id, pos, t[pos] AS tok
+      | FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS pos FROM btoks)),
+      |kept AS (
+      | SELECT k.doc_id, k.pos, k.tok FROM tk k
+      | WHERE NOT EXISTS (SELECT 1 FROM cuts c
+      |                   WHERE c.doc_id = k.doc_id
+      |                     AND k.pos BETWEEN c.lo AND c.hi))
+      |SELECT b.doc_id,
+      | coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
+      |FROM batch b LEFT JOIN kept k ON b.doc_id = k.doc_id
+      |GROUP BY b.doc_id""".stripMargin
+
   /** Decontamination as an ACTION (not just the report): the train split
     * minus every doc sharing >= 3 shingles with any test doc — what a
     * pipeline actually ships to training. Same bucketed shape as the

@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_batch_action" -> (Queries.dedupBatchAction(_, _)),
     "dedup_spans" -> (Queries.dedupSpans(_, _)),
     "dedup_spans_action" -> (Queries.dedupSpansAction(_, _)),
+    "dedup_spans_incremental" -> (Queries.dedupSpansIncremental(_, _)),
     "incremental_view" -> (Queries.incrementalView(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
     "type_widening" -> (Queries.typeWidening(_, _)),
@@ -311,6 +312,7 @@ object SparkEntry {
     "dedup_batch_action" -> Queries.dedupBatchActionSql,
     "dedup_spans" -> Queries.dedupSpansSql,
     "dedup_spans_action" -> Queries.dedupSpansActionSql,
+    "dedup_spans_incremental" -> Queries.dedupSpansIncrementalSql,
     "incremental_view" -> Queries.incrementalViewSql,
     "table_clone" -> Queries.tableCloneSql,
     "type_widening" -> Queries.typeWideningSql,

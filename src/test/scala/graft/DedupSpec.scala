@@ -466,6 +466,51 @@ class DedupSpec extends SparkSpec {
     assert(r(2L) === "", s"fully-duplicated doc must be emptied, got '${r(2L)}'")
   }
 
+  test("incremental span dedup: batch cuts vs a persisted index; corpus untouched") {
+    import spark.implicits._
+    val run = (1 to 14).map(i => s"shared$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"corpus opening $run corpus closing words"),
+      (2L, "a corpus doc with nothing in common here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, s"batch prefix $run batch suffix"),
+      (101L, "an unrelated batch document body")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_spanidx").toString + "/idx"
+    Dedup.spanGramIndex(corpus, k = 4).write.parquet(path)
+    val idx = spark.read.parquet(path)
+    val spans = Dedup.sharedSpansAgainst(batch, idx, k = 4, minSpanTokens = 10)
+      .collect()
+    // exactly the planted cross-epoch run, corpus side as doc_a
+    assert(spans.map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq ===
+      Seq((1L, 100L, 14L)))
+    val cleaned = Dedup.removeDuplicatedSpansAgainst(batch, idx,
+      k = 4, minSpanTokens = 10)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(cleaned(100L) === "batch prefix batch suffix", cleaned(100L))
+    assert(cleaned(101L) === "an unrelated batch document body")
+    // output is batch-only: the corpus is never rewritten
+    assert(cleaned.keySet === Set(100L, 101L))
+  }
+
+  test("incremental span dedup equals the batch slice of the full operator") {
+    // when corpus ids < batch ids and the batch has no internal spans,
+    // the full operator's batch rows ARE the incremental result
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(60)
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val full = Dedup.removeDuplicatedSpans(corpus.unionByName(batch),
+      k = 8, minSpanTokens = 12)
+      .filter(col("doc_id") >= 1000000)
+    val inc = Dedup.removeDuplicatedSpansAgainst(batch,
+      Dedup.spanGramIndex(corpus), k = 8, minSpanTokens = 12)
+    val batchInternal = Dedup.duplicatedSpans(batch, k = 8, minSpanTokens = 12)
+    assume(batchInternal.isEmpty, "fixture grew batch-internal spans")
+    assertSameRows(full, inc)
+  }
+
   test("duplicatedSpans maxGramDocFreq drops boilerplate; a rare anchor re-seeds") {
     import spark.implicits._
     val boiler = (1 to 12).map(i => s"b$i").mkString(" ") // 12-token boilerplate
