@@ -1680,6 +1680,73 @@ object Queries {
       | CAST(SUM(CAST(v AS DECIMAL(28,6))) AS VARCHAR) AS sum_totalprice
       |FROM rows GROUP BY o_orderstatus""".stripMargin
 
+  /** Min/max incremental view ([[graft.table.IncrementalAggView]] with
+    * `minMaxCols`): min/max are NOT delta-maintainable under deletes —
+    * removing the max says nothing about the runner-up — so the view
+    * recomputes ONLY the groups present in each change-feed slice and
+    * carries untouched groups over unread. The scenario drives exactly
+    * that: a delete of every row above a price threshold (coarse
+    * rewrite feed) must LOWER maxes through refresh (in-query gate
+    * requires it), then a captured update halving some prices lowers
+    * mins; the folded state must equal a full recompute (both
+    * exceptAll directions, in-query) and the oracle re-derives the
+    * final aggregates from `orders` alone. */
+  def incrementalViewMinMax(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.{IncrementalAggView, ManagedTable}
+    val path = tmp("ivmm_src")
+    val st = tmp("ivmm_state")
+    val o = pq(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = ManagedTable(spark, path)
+    t.write(o.filter(col("o_orderkey") % 3 === 0), "APPEND", "append")
+    val view = new IncrementalAggView(spark, path, st,
+      Seq("o_orderstatus"), Seq("o_totalprice"),
+      minMaxCols = Seq("o_totalprice"))
+    view.initialize()
+    t.write(o.filter(col("o_orderkey") % 3 === 1), "APPEND", "append")
+    view.refresh()
+    val before = view.read
+      .select(col("o_orderstatus"), col("max_o_totalprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    t.delete(col("o_totalprice") > 300000.0)
+    view.refresh()
+    val after = view.read
+      .select(col("o_orderstatus"), col("max_o_totalprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    require(after.exists { case (g, m) => m < before(g) },
+      "incremental_view_minmax: the delete lowered no group max — the " +
+        "touched-group recompute is not being exercised")
+    t.update(Map("o_totalprice" -> (col("o_totalprice") * 0.5)),
+      col("o_orderkey") % 7 === 0, captureChangeData = true)
+    view.refresh()
+    val got = view.read.select("o_orderstatus", "cnt", "sum_o_totalprice",
+      "min_o_totalprice", "max_o_totalprice")
+    val want = t.read.groupBy("o_orderstatus")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_o_totalprice"),
+        min(col("o_totalprice")).as("min_o_totalprice"),
+        max(col("o_totalprice")).as("max_o_totalprice"))
+    require(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "incremental_view_minmax drifted from the full recompute")
+    got.select(col("o_orderstatus"), col("cnt"),
+      col("sum_o_totalprice").cast("string").as("sum_totalprice"),
+      col("min_o_totalprice").as("min_totalprice"),
+      col("max_o_totalprice").as("max_totalprice"))
+  }
+
+  val incrementalViewMinMaxSql: String =
+    """WITH rows AS (
+      | SELECT o_orderstatus,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 0.5
+      |       ELSE o_totalprice END AS v
+      | FROM orders
+      | WHERE o_orderkey % 3 IN (0, 1) AND NOT (o_totalprice > 300000))
+      |SELECT o_orderstatus, COUNT(*) AS cnt,
+      | CAST(SUM(CAST(v AS DECIMAL(28,6))) AS VARCHAR) AS sum_totalprice,
+      | MIN(v) AS min_totalprice, MAX(v) AS max_totalprice
+      |FROM rows GROUP BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------- SCD scenarios
 
   /** customer with a 3-column projection used by all SCD scenarios:

@@ -104,6 +104,7 @@ object SparkEntry {
     "dedup_spans_action" -> (Queries.dedupSpansAction(_, _)),
     "dedup_spans_incremental" -> (Queries.dedupSpansIncremental(_, _)),
     "incremental_view" -> (Queries.incrementalView(_, _)),
+    "incremental_view_minmax" -> (Queries.incrementalViewMinMax(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
     "type_widening" -> (Queries.typeWidening(_, _)),
     "expectations_check" -> (Queries.expectationsCheck(_, _)),
@@ -314,6 +315,7 @@ object SparkEntry {
     "dedup_spans_action" -> Queries.dedupSpansActionSql,
     "dedup_spans_incremental" -> Queries.dedupSpansIncrementalSql,
     "incremental_view" -> Queries.incrementalViewSql,
+    "incremental_view_minmax" -> Queries.incrementalViewMinMaxSql,
     "table_clone" -> Queries.tableCloneSql,
     "type_widening" -> Queries.typeWideningSql,
     "expectations_check" -> Queries.expectationsCheckSql,

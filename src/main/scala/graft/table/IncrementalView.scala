@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -10,19 +10,36 @@ import org.apache.spark.sql.functions._
  * O(table) scan per refresh; this view reads ONLY the change feed of the
  * unprocessed version range and folds it into the stored aggregate state.
  *
- * Supported aggregates are the ADDITIVE ones whose delta form is exact —
- * `count(*)` and `sum(col)` (avg is derivable as sum/cnt by the reader) —
- * signed by change type: insert / update_postimage add, delete /
- * update_preimage subtract. Additivity is what makes the view correct
- * under ANY change-feed granularity: a dir-rewrite commit that reports
- * "all old dir rows deleted + surviving rows inserted" (this table's DML
- * without `captureChangeData`, coarser than Delta's minimal CDF) nets out
- * to exactly the same delta as a minimal per-row feed.
+ * ADDITIVE aggregates — `count(*)` and `sum(col)` (avg is derivable as
+ * sum/cnt by the reader) — maintain by exact delta, signed by change
+ * type: insert / update_postimage add, delete / update_preimage
+ * subtract. Additivity is what makes the view correct under ANY
+ * change-feed granularity: a dir-rewrite commit that reports "all old
+ * dir rows deleted + surviving rows inserted" (this table's DML without
+ * `captureChangeData`, coarser than Delta's minimal CDF) nets out to
+ * exactly the same delta as a minimal per-row feed.
+ *
+ * `minMaxCols` adds MIN/MAX, which are NOT delta-maintainable under
+ * deletes (removing the current max says nothing about the runner-up).
+ * They maintain by TOUCHED-GROUP recompute instead: each refresh
+ * recomputes min/max for exactly the groups present in the change-feed
+ * slice, reading those groups back from the fact — via
+ * [[ManagedTable.readWhere]] dir-stat skipping when the (single) group
+ * key's touched set fits an IN-list, else a semi-join — and merges them
+ * with untouched state rows, whose min/max carry over unread. Cost is
+ * O(changed groups' rows), not O(table); a change feed is COMPLETE by
+ * construction, so any later change to a group re-touches it — which is
+ * also why recomputing against the CURRENT snapshot is sound mid-stream:
+ * a group whose future commits differ from the watermark snapshot will
+ * be touched again by exactly those commits (min/max may transiently
+ * lead the additive columns while a backlog drains; they converge at the
+ * head, and batch [[refresh]] always runs at the head).
  *
  * Sums are carried as `DECIMAL(28,6)` — exact integer arithmetic in
  * 10⁻⁶ units, so subtraction round-trips to zero exactly (a double
  * accumulator would drift: (a + b) − b ≠ a in floats, and a view that is
- * refreshed thousands of times compounds it).
+ * refreshed thousands of times compounds it). Min/max keep the source
+ * column's own type (they are order statistics, not accumulations).
  *
  * State lives in its own ManagedTable (time travel, history and
  * concurrency checks for free); the last folded source version rides on
@@ -36,21 +53,35 @@ import org.apache.spark.sql.functions._
  */
 final class IncrementalAggView(spark: SparkSession, sourcePath: String,
                                statePath: String, groupCols: Seq[String],
-                               sumCols: Seq[String]) {
+                               sumCols: Seq[String],
+                               minMaxCols: Seq[String] = Nil) {
   require(groupCols.nonEmpty, "IncrementalAggView needs group columns")
 
   private val Dec = "decimal(28,6)"
+  /** IN-list cap for the touched-group readWhere path: past this the
+    * predicate stops paying (and the driver collect stops being free) —
+    * the semi-join path takes over. */
+  private val MaxInList = 1000
   private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
   private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
 
   private def source = ManagedTable(spark, sourcePath)
   private def state = ManagedTable(spark, statePath)
 
-  private def grouped(df: DataFrame, sign: org.apache.spark.sql.Column) =
-    df.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+  private def gCols = groupCols.map(c => col(s"`$c`"))
+  private def mmNames =
+    minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+
+  private def grouped(df: DataFrame, sign: Column,
+                      extra: Seq[Column] = Nil) =
+    df.groupBy(gCols: _*)
       .agg(sum(sign).as("cnt"),
-        sumCols.map(c =>
-          sum(sign * col(s"`$c`").cast(Dec)).cast(Dec).as(s"sum_$c")): _*)
+        (sumCols.map(c =>
+          sum(sign * col(s"`$c`").cast(Dec)).cast(Dec).as(s"sum_$c")) ++
+          extra): _*)
+
+  private def mmAggs: Seq[Column] = minMaxCols.flatMap(c => Seq(
+    min(col(s"`$c`")).as(s"min_$c"), max(col(s"`$c`")).as(s"max_$c")))
 
   /** The last source version folded into the state (from the state
     * table's own commit metadata). */
@@ -69,8 +100,37 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
   def initialize(): Long = {
     val v = source.latestVersion.getOrElse(throw new IllegalStateException(
       s"source table $sourcePath does not exist"))
-    state.write(grouped(source.read, lit(1L)), "VIEW_INIT", "replace", meta(v))
+    state.write(grouped(source.read, lit(1L), mmAggs), "VIEW_INIT",
+      "replace", meta(v))
     v
+  }
+
+  /** The fact restricted to the touched groups: an IN-list predicate
+    * through [[ManagedTable.readWhere]]'s dir-stat skipping when the
+    * single group key's touched set is small (the common case — a daily
+    * load touches few groups of a well-clustered fact), else a
+    * group-keyed LEFT SEMI join (broadcastable: touched is
+    * group-cardinality-bounded). */
+  private def touchedFact(touched: DataFrame): DataFrame = {
+    if (groupCols.size == 1) {
+      val g = groupCols.head
+      val vals = touched.limit(MaxInList + 1).collect().map(_.get(0))
+      if (vals.length <= MaxInList) {
+        val nonNull = vals.filter(_ != null)
+        val base: Column =
+          if (nonNull.isEmpty) lit(false)
+          else col(s"`$g`").isin(nonNull.toIndexedSeq: _*)
+        val pred =
+          if (vals.contains(null)) base || col(s"`$g`").isNull else base
+        return source.readWhere(pred)
+      }
+    }
+    // null-safe semi join: NULL is a legal group key, and a plain
+    // name-based equi join would silently drop its fact rows
+    val t = touched.select(groupCols.map(c => col(s"`$c`").as(s"__t_$c")): _*)
+    val cond = groupCols.map(c => col(s"`$c`") <=> col(s"`__t_$c`"))
+      .reduce(_ && _)
+    source.read.join(t, cond, "left_semi")
   }
 
   /** Fold a change-feed slice into the state and advance the watermark
@@ -81,14 +141,53 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val delta = grouped(cdf, sign)
-    val cur = state.read.select(
-      (groupCols.map(c => col(s"`$c`")) ++
-        (col("cnt") +: sumCols.map(c => col(s"`sum_$c`")))): _*)
-    val merged = cur.unionByName(delta)
-      .groupBy(groupCols.map(c => col(s"`$c`")): _*)
-      .agg(sum(col("cnt")).as("cnt"),
-        sumCols.map(c => sum(col(s"`sum_$c`")).cast(Dec).as(s"sum_$c")): _*)
-      .filter(col("cnt") > 0)
+    val merged =
+      if (minMaxCols.isEmpty) {
+        val cur = state.read.select(
+          (gCols ++ (col("cnt") +: sumCols.map(c => col(s"`sum_$c`")))): _*)
+        cur.unionByName(delta)
+          .groupBy(gCols: _*)
+          .agg(sum(col("cnt")).as("cnt"),
+            sumCols.map(c => sum(col(s"`sum_$c`")).cast(Dec).as(s"sum_$c")): _*)
+          .filter(col("cnt") > 0)
+      } else {
+        // NULL group keys are legal groups, so the merge avoids equi
+        // joins (NULL never equals NULL there) and instead tags four
+        // row streams and folds them in ONE null-safe groupBy:
+        //   cur   — the stored state (additive + old min/max),
+        //   delta — the signed change-feed aggregate,
+        //   rec   — min/max recomputed over touched groups' fact rows,
+        //   touch — membership markers for the touched-group set.
+        // Additive columns sum over cur+delta; min/max take rec's value
+        // when the group was touched, else carry cur's — conditional
+        // aggregates over the source tag, one shuffle total.
+        val touched = cdf.select(gCols: _*).distinct().localCheckpoint()
+        val rec = touchedFact(touched).groupBy(gCols: _*)
+          .agg(mmAggs.head, mmAggs.tail: _*)
+        val cur = state.read.select((gCols ++ (col("cnt") +:
+          sumCols.map(c => col(s"`sum_$c`"))) ++
+          mmNames.map(c => col(s"`$c`"))): _*)
+          .withColumn("__src__", lit("cur"))
+        val tagged = cur
+          .unionByName(delta.withColumn("__src__", lit("delta")),
+            allowMissingColumns = true)
+          .unionByName(rec.withColumn("__src__", lit("rec")),
+            allowMissingColumns = true)
+          .unionByName(touched.withColumn("__src__", lit("touch")),
+            allowMissingColumns = true)
+        val additive = col("__src__").isin("cur", "delta")
+        val isTouched = max(when(col("__src__") === "touch", 1).otherwise(0)) === 1
+        def pick(c: String, agg: Column => Column) =
+          when(isTouched, agg(when(col("__src__") === "rec", col(s"`$c`"))))
+            .otherwise(agg(when(col("__src__") === "cur", col(s"`$c`")))).as(c)
+        tagged.groupBy(gCols: _*)
+          .agg(sum(when(additive, col("cnt"))).as("cnt"),
+            (sumCols.map(c => sum(when(additive, col(s"`sum_$c`")))
+              .cast(Dec).as(s"sum_$c")) ++
+              minMaxCols.flatMap(c => Seq(
+                pick(s"min_$c", min), pick(s"max_$c", max)))): _*)
+          .filter(col("cnt") > 0)
+      }
     state.write(merged, "VIEW_REFRESH", "replace", meta(newWatermark),
       expectedPrevVersion = state.latestVersion, txnUpdate = txn)
   }

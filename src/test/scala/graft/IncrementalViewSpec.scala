@@ -51,6 +51,68 @@ class IncrementalViewSpec extends SparkSpec {
     assertCurrent(view, t)
   }
 
+  test("min/max maintain through deletes via touched-group recompute") {
+    val src = tmpDir("iv_mm_src"); val st = tmpDir("iv_mm_st")
+    val t = ManagedTable(spark, src)
+    t.write((1 to 40).map(i => (i.toLong, s"g${i % 4}", i * 1.5)).toDF("id", "g", "v"),
+      "APPEND", "append")
+    val view = new IncrementalAggView(spark, src, st, Seq("g"), Seq("v"),
+      minMaxCols = Seq("v"))
+    view.initialize()
+    def assertMm(): Unit = {
+      val got = view.read.select("g", "cnt", "sum_v", "min_v", "max_v")
+      val want = t.read.groupBy("g")
+        .agg(sum(lit(1L)).as("cnt"),
+          sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)").as("sum_v"),
+          min("v").as("min_v"), max("v").as("max_v"))
+      assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+        s"min/max view drifted:\ngot ${got.collect().sortBy(_.getString(0)).mkString(",")}" +
+          s"\nwant ${want.collect().sortBy(_.getString(0)).mkString(",")}")
+    }
+    assertMm()
+    // deleting the top rows MUST lower maxes — the not-delta-maintainable
+    // case: the runner-up is only discoverable by reading the group back
+    val before = view.read.select("g", "max_v").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    t.delete(col("v") > 30.0)
+    view.refresh()
+    assertMm()
+    val after = view.read.select("g", "max_v").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after.forall { case (g, m) => m < before(g) },
+      s"every group's max should have dropped: $before -> $after")
+    // captured update halving some values must lower mins too
+    t.update(Map("v" -> (col("v") * 0.5)), col("id") % 3 === 0,
+      captureChangeData = true)
+    view.refresh()
+    assertMm()
+    // append touching ONE group leaves other groups' min/max carried over
+    t.write(Seq((100L, "g0", 1000.0)).toDF("id", "g", "v"), "APPEND", "append")
+    view.refresh()
+    assertMm()
+  }
+
+  test("min/max: a semi-join fallback (composite keys) and NULL group keys stay exact") {
+    val src = tmpDir("iv_mm2_src"); val st = tmpDir("iv_mm2_st")
+    val t = ManagedTable(spark, src)
+    val rows = Seq((1L, "a", "x", 5.0), (2L, "a", "y", 9.0), (3L, null, "x", 2.0),
+      (4L, "b", "x", 7.0), (5L, null, "x", 11.0))
+    t.write(rows.toDF("id", "g1", "g2", "v"), "APPEND", "append")
+    // two group columns -> touchedFact takes the semi-join path
+    val view = new IncrementalAggView(spark, src, st, Seq("g1", "g2"),
+      Nil, minMaxCols = Seq("v"))
+    view.initialize()
+    t.delete(col("v") > 8.0) // drops (a,y,9) and (null,x,11)
+    view.refresh()
+    val got = view.read.select("g1", "g2", "cnt", "min_v", "max_v")
+    val want = t.read.groupBy("g1", "g2")
+      .agg(sum(lit(1L)).as("cnt"), min("v").as("min_v"), max("v").as("max_v"))
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      s"got ${got.collect().mkString(",")} want ${want.collect().mkString(",")}")
+    // the NULL group survived with its max recomputed down to 2.0
+    assert(view.read.filter(col("g1").isNull).select("max_v").head().getDouble(0) === 2.0)
+  }
+
   test("refresh is idempotent and restart-safe via the commit watermark") {
     val src = tmpDir("iv_src2"); val st = tmpDir("iv_st2")
     val t = ManagedTable(spark, src)
