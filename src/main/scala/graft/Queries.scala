@@ -2957,6 +2957,66 @@ object Queries {
   val ivfPqTopKSql: String = annTopKSql
 
   /**
+   * IVF-PQ as a PERSISTED, INCREMENTALLY-REFRESHED index
+   * ([[graft.llm.Similarity.ivfPqAppend]]): epoch 1 trains the index
+   * over the natural corpus and persists all three artifacts
+   * (centroids table, codebooks table, codes parquet); epoch 2's
+   * planted copies are append-encoded against the RELOADED epoch-1
+   * codebooks — no re-train, no corpus re-encode — and searched over
+   * the combined codes. A copy of an indexed vector gets its
+   * original's cell and codes exactly, so every planted query must
+   * still rank its original first (in-query require), recall@10 vs
+   * brute force keeps the ivf-pq floor, and the reconstruction-error
+   * drift signal of the new batch must match the build corpus's
+   * (identical distribution — copies OF it). Oracle: exact top-1.
+   */
+  def ivfPqIncrementalVerified(spark: SparkSession, dir: String,
+                               recallFloor: Double = 0.30): DataFrame = {
+    import graft.llm.Similarity
+    val emb = pq(spark, dir, "embeddings").select("vec_id", "embedding")
+    assertPlantedIdHeadroom(emb, offset = 10000)
+    val idxDir = tmp("ivfpq_idx")
+    // epoch 1: train + persist (once per corpus generation — staging)
+    val buildErr = Staging.timed {
+      val (c, b, cd) = Similarity.ivfPqIndex(emb, nlist = 16, m = 8, ksub = 16)
+      Similarity.centroidsTable(spark, c).write.parquet(s"$idxDir/centroids")
+      Similarity.pqBooksTable(spark, b).write.parquet(s"$idxDir/books")
+      cd.write.parquet(s"$idxDir/codes")
+      Similarity.pqReconstructionError(b, emb)
+    }
+    // epoch 2: planted copies append-encode against the RELOADED index
+    val batch = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val cents = Similarity.centroidsFrom(spark.read.parquet(s"$idxDir/centroids"))
+    val books = Similarity.pqBooksFrom(spark.read.parquet(s"$idxDir/books"))
+    val batchErr = Similarity.pqReconstructionError(books, batch)
+    require(batchErr <= buildErr * 1.5 + 1e-9,
+      f"ann_ivfpq_incremental: batch reconstruction error $batchErr%.4f vs " +
+        f"build $buildErr%.4f — copies of the build corpus cannot drift; " +
+        "the persisted codebooks round-tripped wrong")
+    val codes = spark.read.parquet(s"$idxDir/codes")
+      .unionByName(Similarity.ivfPqAppend(cents, books, batch))
+    val corpus = emb.unionByName(batch)
+    val got = Similarity.ivfPqTopKWith(cents, books, codes, corpus, batch,
+      k = 10, nProbe = 4).localCheckpoint()
+    val top1 = got.filter(col("rank") === 1)
+    val misses = top1.filter(col("neighbor_id") =!= col("query_id") - 10000).count()
+    require(misses == 0,
+      s"ann_ivfpq_incremental: $misses planted copies did not rank their " +
+        "original first — append-encoding diverged from the index build")
+    val bf = Similarity.bruteForceTopK(corpus, batch, 10)
+    val hits = got.select("query_id", "neighbor_id")
+      .intersect(bf.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / bf.count()
+    require(recall >= recallFloor,
+      f"ann_ivfpq_incremental recall@10 $recall%.3f below $recallFloor%.2f")
+    top1.select("query_id", "neighbor_id")
+  }
+
+  val ivfPqIncrementalSql: String = annTopKSql
+
+  /**
    * Semantic dedup ([[graft.llm.Similarity.semanticDedup]]) in its
    * oracle-checkable formulation: 20 exact copies of corpus vectors are
    * planted at id+10000 and the corpus is deduped at threshold 0.9 — far

@@ -219,6 +219,7 @@ object SparkEntry {
     "ann_ivf" -> (Queries.ivfTopKVerified(_, _)),
     "ann_pq" -> (Queries.pqTopKVerified(_, _)),
     "ann_ivfpq" -> (Queries.ivfPqTopKVerified(_, _)),
+    "ann_ivfpq_incremental" -> (Queries.ivfPqIncrementalVerified(_, _)),
     "semantic_dedup" -> (Queries.semanticDedupVerified(_, _)),
     "semantic_dedup_incremental" -> (Queries.semanticDedupIncremental(_, _)),
     // the synthetic embeddings carry no natural near-dups (max pairwise
@@ -769,6 +770,7 @@ object SparkEntry {
     "ann_ivf" -> Queries.ivfTopKSql,
     "ann_pq" -> Queries.pqTopKSql,
     "ann_ivfpq" -> Queries.ivfPqTopKSql,
+    "ann_ivfpq_incremental" -> Queries.ivfPqIncrementalSql,
     "semantic_dedup" -> Queries.semanticDedupSql,
     "semantic_dedup_incremental" -> Queries.semanticDedupIncrementalSql,
     "simhash_neardup" -> Queries.simhashPairsSql,

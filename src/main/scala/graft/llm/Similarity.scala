@@ -707,6 +707,90 @@ object Similarity {
     (cents, books, codes)
   }
 
+  // -------------------- index persistence & refresh --------------------
+
+  /** The coarse quantizer as a persistable table `(cell, centroid)` —
+    * write next to the codes parquet; [[centroidsFrom]] reloads. */
+  def centroidsTable(spark: org.apache.spark.sql.SparkSession,
+                     cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
+  /** Reload a persisted [[centroidsTable]] (cell-ordered; the array
+    * index IS the cell id, so ordering is load-bearing). */
+  def centroidsFrom(df: DataFrame): Array[Array[Double]] =
+    df.orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** PQ codebooks as a persistable table `(m, code, center)`. */
+  def pqBooksTable(spark: org.apache.spark.sql.SparkSession,
+                   books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      (book, mi) <- books.zipWithIndex
+      (c, j) <- book.zipWithIndex
+    } yield (mi, j, c.toSeq)).toSeq.toDF("m", "code", "center")
+  }
+
+  /** Reload a persisted [[pqBooksTable]] (m/code-ordered). */
+  def pqBooksFrom(df: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = df.orderBy("m", "code").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2)).toArray
+  }
+
+  /**
+   * INCREMENTAL index refresh — the standing-quantizer pattern of
+   * [[semanticDedupBatch]] applied to the IVF-PQ index: a new epoch's
+   * vectors are encoded against the EXISTING codebooks and assigned to
+   * the EXISTING cells, producing codes rows in [[ivfPqIndex]]'s exact
+   * shape to APPEND to the persisted codes table — O(batch) per epoch,
+   * no corpus re-encode, no re-train. An exact copy of an indexed
+   * vector gets its original's cell and codes (identical argmins), so
+   * cross-epoch duplicates stay discoverable at full fidelity.
+   *
+   * Re-training is a POLICY, not a side effect: codebooks quantize
+   * well until the data distribution drifts, so compare
+   * [[pqReconstructionError]] on the new batch against the build-time
+   * error and rebuild the index (then re-encode everything, once) when
+   * it degrades past tolerance — exactly FAISS's add-vs-train split.
+   */
+  def ivfPqAppend(cents: Array[Array[Double]],
+                  books: Array[Array[Array[Double]]], batch: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    pqEncode(batch, books, idCol, vecCol)
+      .join(batch.select(col(idCol),
+        nearestCellUdf(cents)(col(vecCol).cast("array<double>")).as("cell")),
+        idCol)
+
+  /** Mean squared L2 reconstruction error of `vecs` under the
+    * codebooks — the drift signal behind [[ivfPqAppend]]'s re-train
+    * policy. One distributed pass; a single scalar reaches the driver. */
+  def pqReconstructionError(books: Array[Array[Array[Double]]],
+                            vecs: DataFrame,
+                            vecCol: String = "embedding"): Double = {
+    val subdim = books(0)(0).length
+    val bc = vecs.sparkSession.sparkContext.broadcast(books)
+    val errOf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      var e = 0.0
+      var mi = 0
+      while (mi < bc.value.length) {
+        val sub = arr.slice(mi * subdim, (mi + 1) * subdim)
+        val c = bc.value(mi)(nearestSubCode(bc.value, mi, sub))
+        var i = 0
+        while (i < sub.length) { val t = sub(i) - c(i); e += t * t; i += 1 }
+        mi += 1
+      }
+      e
+    }
+    vecs.select(avg(errOf(col(vecCol).cast("array<double>"))).as("mse"))
+      .head().getDouble(0)
+  }
+
   /** Serve from a persisted IVF-PQ index: each query ADC-scores ONLY
     * the codes in its `nProbe` probed cells (enforced inside the
     * kernel, before any ranking), then the exact re-rank. Output

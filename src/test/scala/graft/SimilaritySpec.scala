@@ -269,6 +269,52 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"PQ recall@10 $recall%.3f below 0.5")
   }
 
+  test("centroids and codebooks round-trip through their persistable tables") {
+    val corpus = emb.localCheckpoint()
+    val cents = Similarity.trainCentroids(corpus, nlist = 8)
+    val books = Similarity.pqTrain(corpus, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    Similarity.centroidsTable(spark, cents).write.parquet(s"$dir/c")
+    Similarity.pqBooksTable(spark, books).write.parquet(s"$dir/b")
+    val c2 = Similarity.centroidsFrom(spark.read.parquet(s"$dir/c"))
+    val b2 = Similarity.pqBooksFrom(spark.read.parquet(s"$dir/b"))
+    assert(c2.length === cents.length)
+    assert(cents.zip(c2).forall { case (a, b) => a.sameElements(b) },
+      "centroid round-trip changed values or cell order")
+    assert(b2.length === books.length && b2(0).length === books(0).length)
+    assert(books.flatten[Array[Double]].zip(b2.flatten[Array[Double]])
+      .forall { case (a, b) => a.sameElements(b) },
+      "codebook round-trip changed values or (m, code) order")
+  }
+
+  test("ivfPqAppend encodes a new epoch exactly as the index build would") {
+    val corpus = emb.filter($"vec_id" % 2 === 0).localCheckpoint()
+    val (cents, books, _) = Similarity.ivfPqIndex(corpus, nlist = 8, m = 8, ksub = 16)
+    val batch = emb.filter($"vec_id" % 2 === 1).localCheckpoint()
+    val appended = Similarity.ivfPqAppend(cents, books, batch)
+    assert(appended.columns.sorted.toSeq === Seq("cell", "pq_codes", "vec_id"))
+    assert(appended.count() === batch.count())
+    // an exact copy of an indexed vector must get its original's cell+codes
+    val copies = corpus.limit(5)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val copyCodes = Similarity.ivfPqAppend(cents, books, copies)
+      .select(($"vec_id" - 10000).as("vec_id"), $"pq_codes", $"cell")
+    val origCodes = Similarity.ivfPqAppend(cents, books, corpus.limit(5))
+    assertSameRows(copyCodes, origCodes)
+  }
+
+  test("pqReconstructionError: zero when the corpus IS the codebook, detects corruption") {
+    // ksub >= distinct vectors and init-from-smallest-ids => every vector
+    // is its own sub-centroid after round 0; error must be ~0
+    val tiny = emb.orderBy("vec_id").limit(8).localCheckpoint()
+    val books = Similarity.pqTrain(tiny, m = 8, ksub = 8, iters = 1)
+    val e0 = Similarity.pqReconstructionError(books, tiny)
+    assert(e0 < 1e-12, s"self-codebook reconstruction error $e0 should be ~0")
+    // corrupting the codebooks must raise the drift signal
+    val bad = books.map(_.map(_.map(_ + 10.0)))
+    assert(Similarity.pqReconstructionError(bad, tiny) > 1.0)
+  }
+
   test("ivfPqTopKWith: probe-all equals plain PQ; pruning keeps recall; copies found") {
     val planted = emb.filter($"vec_id" < 10)
       .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
