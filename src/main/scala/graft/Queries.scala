@@ -3628,6 +3628,44 @@ object Queries {
       |FROM p, t, cum
       |WHERE cum >= CEIL(prob * n) AND cum - c < CEIL(prob * n)""".stripMargin
 
+  /** Column profiling ([[graft.operators.Profiling.profileColumns]])
+    * with quantiles: the EXACT mode (histogram rank selection, one
+    * extra scan for all numeric columns together) is the oracle-checked
+    * output; the in-query gate additionally runs the 100 TB-scale
+    * `exact = false` mode — GK summaries folded into the SAME single
+    * aggregate as the other stats — and requires every sketch quantile
+    * within `eps·n` ranks of the exact answer (the quantile_sketch
+    * pattern, applied to the profiling surface). */
+  def columnProfileDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profiling
+    val docs = pq(spark, dir, "documents")
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    val qNames = Profiling.Probs.map(_._2)
+    val eps = 0.05
+    val approx = Profiling
+      .profileColumns(docs, cols, exact = false, eps = eps)
+      .select((col("column_name") +: qNames.map(col)): _*).collect()
+      .map(r => r.getString(0) -> qNames.indices.map(i =>
+        if (r.isNullAt(i + 1)) Double.NaN else r.getDouble(i + 1))).toMap
+    for (c <- Seq("doc_id", "n_chars")) {
+      val hs = docs.select(col(c).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+      val total = hs.map(_._2).sum
+      for (((p, _), est) <- Profiling.Probs.zip(approx(c))) {
+        val r = math.max(1L, math.ceil(p * total).toLong)
+        val lo = hs.filter(_._1 < est).map(_._2).sum + 1
+        val hi = hs.filter(_._1 <= est).map(_._2).sum
+        val e = if (r < lo) lo - r else if (r > hi) r - hi else 0L
+        require(e <= (eps * total).toLong,
+          s"column_profile: sketch-mode $c p=$p off by $e ranks " +
+            s"(> ${(eps * total).toLong}) — GK-in-one-aggregate is broken")
+      }
+    }
+    Profiling.profileColumns(docs, cols)
+  }
+
   /** The composed draw ([[graft.operators.Sampling.temperatureMixtureSample]]):
     * temperature quotas feeding the deterministic key-hash admission —
     * the oracle recomputes quota derivation AND admission from scratch,

@@ -166,10 +166,7 @@ object SparkEntry {
     }),
     "corpus_profile" -> ((s, d) =>
       TextOps.corpusProfile(Queries.pq(s, d, "documents"))),
-    "column_profile" -> ((s, d) =>
-      graft.operators.Profiling.profileColumns(
-        Queries.pq(s, d, "documents"),
-        Seq("doc_id", "lang", "source", "n_chars"))),
+    "column_profile" -> (Queries.columnProfileDocs(_, _)),
     "tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Queries.pq(s, d, "documents"))),
     "normalize_text" -> ((s, d) => TextOps.normalizeText(Queries.pq(s, d, "documents"))),
     "mixture_sample" -> (Queries.mixtureSampleDocs(_, _)),
@@ -577,18 +574,23 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
         |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
     "column_profile" ->
-      """WITH med AS (
-        | SELECT c AS column_name, CAST(v AS DOUBLE) AS median_value FROM (
-        |  SELECT 'doc_id' AS c, doc_id AS v,
-        |   row_number() OVER (ORDER BY doc_id) AS rn,
-        |   count(*) OVER () AS nn
-        |  FROM documents WHERE doc_id IS NOT NULL) WHERE rn = (nn + 1) // 2
+      """WITH ranked AS (
+        | SELECT 'doc_id' AS c, CAST(doc_id AS DOUBLE) AS v,
+        |  row_number() OVER (ORDER BY doc_id) AS rn,
+        |  count(*) OVER () AS nn
+        | FROM documents WHERE doc_id IS NOT NULL
         | UNION ALL
-        | SELECT c, CAST(v AS DOUBLE) FROM (
-        |  SELECT 'n_chars' AS c, n_chars AS v,
-        |   row_number() OVER (ORDER BY n_chars) AS rn,
-        |   count(*) OVER () AS nn
-        |  FROM documents WHERE n_chars IS NOT NULL) WHERE rn = (nn + 1) // 2),
+        | SELECT 'n_chars', CAST(n_chars AS DOUBLE),
+        |  row_number() OVER (ORDER BY n_chars),
+        |  count(*) OVER ()
+        | FROM documents WHERE n_chars IS NOT NULL),
+        |med AS (
+        | SELECT c AS column_name,
+        |  MAX(CASE WHEN rn = CEIL(0.25 * nn) THEN v END) AS p25_value,
+        |  MAX(CASE WHEN rn = CEIL(0.5 * nn) THEN v END) AS median_value,
+        |  MAX(CASE WHEN rn = CEIL(0.75 * nn) THEN v END) AS p75_value,
+        |  MAX(CASE WHEN rn = CEIL(0.95 * nn) THEN v END) AS p95_value
+        | FROM ranked GROUP BY c),
         |base AS (
         | SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(doc_id) AS BIGINT) AS n_nonnull,
@@ -612,7 +614,8 @@ object SparkEntry {
         |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
         | FROM documents)
         |SELECT base.column_name, n_rows, n_nonnull, n_distinct, min_value,
-        | max_value, med.median_value
+        | max_value, med.p25_value, med.median_value, med.p75_value,
+        | med.p95_value
         |FROM base LEFT JOIN med ON base.column_name = med.column_name""".stripMargin,
     "corpus_profile" ->
       """WITH stats AS (SELECT lang,

@@ -346,6 +346,24 @@ object Sketches {
       org.apache.spark.sql.Encoders.product[GKSummary]
   }
 
+  /** [[GKQuantile]] over a BOXED input that skips NULLs in the
+    * aggregator itself (SQL-aggregate semantics) — for multi-column
+    * single-aggregate callers like `Profiling.profileColumns`, which
+    * cannot pre-filter rows per column the way [[quantileSketch]]
+    * does. Register with `udaf(new GKQuantileBoxed(eps),
+    * Encoders.DOUBLE)`. */
+  final class GKQuantileBoxed(eps: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[java.lang.Double, GKBuf, GKSummary] {
+    private val inner = new GKQuantile(eps)
+    def zero: GKBuf = inner.zero
+    def reduce(b: GKBuf, v: java.lang.Double): GKBuf =
+      if (v == null) b else inner.reduce(b, v.doubleValue())
+    def merge(x: GKBuf, y: GKBuf): GKBuf = inner.merge(x, y)
+    def finish(b: GKBuf): GKSummary = inner.finish(b)
+    def bufferEncoder: org.apache.spark.sql.Encoder[GKBuf] = inner.bufferEncoder
+    def outputEncoder: org.apache.spark.sql.Encoder[GKSummary] = inner.outputEncoder
+  }
+
   /** Rank-query a finished summary: the value whose rank interval
     * `[rmin, rmin+delta]` is nearest the target rank `ceil(p·n)`
     * (distance 0 when the interval covers it — guaranteed within
