@@ -217,51 +217,14 @@ object GraftExtensions {
         keys = strArg(args(4), "keys_csv").split(",").map(_.trim).toSeq,
         hotGroupFactor = 0))
     },
-    // rule DSL: ';'-separated entries — not_null:col | unique:a,b |
-    // range:col:lo:hi | regex:col:pattern | one_of:col:v1|v2 |
-    // check:label:<sql predicate>. Colons inside the regex/predicate
-    // survive (split is bounded per rule kind); a literal ';' inside a
-    // regex or predicate cannot (it IS the rule separator) — such
-    // rules need the Scala API.
+    // rule DSL: see Expectations.parseRules (shared with the
+    // task-output expectations gate)
     "graft_expectations" -> { args =>
       require(args.size == 2,
         "graft_expectations(table, rules_dsl) takes two arguments")
       import graft.operators.Expectations
-      val rules = strArg(args(1), "rules_dsl").split(";").toSeq.map(_.trim)
-        .filter(_.nonEmpty).map { entry =>
-        val parts = entry.split(":", 2)
-        require(parts.length == 2,
-          s"expectations rule must be 'kind:spec', got '$entry'")
-        val spec = parts(1)
-        parts(0) match {
-          case "not_null" => Expectations.NotNull(spec)
-          case "unique" => Expectations.Unique(spec.split(",").map(_.trim).toSeq)
-          case "range" =>
-            val p = spec.split(":")
-            require(p.length == 3, s"range needs col:lo:hi, got '$spec'")
-            val (lo, hi) = try (p(1).toDouble, p(2).toDouble) catch {
-              case _: NumberFormatException => throw new IllegalArgumentException(
-                s"range bounds must be numeric in '$entry'")
-            }
-            Expectations.InRange(p(0), lo, hi)
-          case "regex" =>
-            val p = spec.split(":", 2)
-            require(p.length == 2, s"regex needs col:pattern, got '$spec'")
-            Expectations.MatchesRegex(p(0), p(1))
-          case "one_of" =>
-            val p = spec.split(":", 2)
-            require(p.length == 2, s"one_of needs col:v1|v2|…, got '$spec'")
-            Expectations.OneOf(p(0), p(1).split("\\|").toSeq)
-          case "check" =>
-            val p = spec.split(":", 2)
-            require(p.length == 2, s"check needs label:<predicate>, got '$spec'")
-            Expectations.Satisfies(p(1), p(0))
-          case other => throw new IllegalArgumentException(
-            s"unknown expectations rule kind '$other' in '$entry'")
-        }
-      }
-      require(rules.nonEmpty, "graft_expectations needs at least one rule")
-      plan(Expectations.check(table(args.head), rules))
+      plan(Expectations.check(table(args.head),
+        Expectations.parseRules(strArg(args(1), "rules_dsl"))))
     },
     "graft_temperature_quotas" -> { args =>
       require(args.size == 3 || args.size == 4,

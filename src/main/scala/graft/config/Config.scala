@@ -56,6 +56,14 @@ object Config {
       options: Map[String, String] = Map.empty,
       schemaDdl: Option[String] = None)
 
+  /** One declarative data-quality gate on an output: `rule` in the
+    * Expectations DSL (see `Expectations.parseRules`), `severity`
+    * using the step-result protocol's event severities — FAIL aborts
+    * the write, CONTINUE records the verdict and proceeds. */
+  final case class OutputExpectation(
+      rule: String,
+      severity: String = "FAIL")       // FAIL | CONTINUE
+
   final case class OutputConf(
       name: String,
       path: String,
@@ -67,7 +75,8 @@ object Config {
       partitionBy: Seq[String] = Nil,
       options: Map[String, String] = Map.empty,
       triggerMode: Option[String] = None,      // once | availableNow | processingTime=...
-      checkpointLocation: Option[String] = None)
+      checkpointLocation: Option[String] = None,
+      expectations: Seq[OutputExpectation] = Nil)
 
   final case class RefreshPolicy(
       refreshType: String = "incremental",     // stream | incremental | backfill
@@ -160,7 +169,13 @@ object Config {
           partitionBy = strSeq(o, "partition_by"),
           options = strMap(o, "options"),
           triggerMode = optStr(o, "trigger"),
-          checkpointLocation = optStr(o, "checkpoint_location"))
+          checkpointLocation = optStr(o, "checkpoint_location"),
+          expectations = Option(o.get("expectations"))
+            .map(_.elements().asScala.toSeq).getOrElse(Nil).map { e =>
+              OutputExpectation(
+                rule = e.get("rule").asText(),
+                severity = optStr(e, "severity").getOrElse("FAIL"))
+            })
       },
       refreshPolicy = Option(n.get("refresh_policy")).map { r =>
         RefreshPolicy(optStr(r, "type").getOrElse("incremental"),

@@ -107,6 +107,52 @@ object Expectations {
       sum(when(coalesce(expr(sql), lit(false)), 0L).otherwise(1L))
   }
 
+  /**
+   * The rule DSL shared by the SQL TVF (`graft_expectations`) and the
+   * task-output gate: ';'-separated entries —
+   * `not_null:col | unique:a,b | range:col:lo:hi | regex:col:pattern |
+   * one_of:col:v1|v2 | check:label:<sql predicate>`. Colons inside the
+   * regex/predicate survive (split is bounded per rule kind); a literal
+   * ';' inside a regex or predicate cannot (it IS the rule separator) —
+   * such rules need the Scala API.
+   */
+  def parseRules(dsl: String): Seq[Rule] = {
+    val rules = dsl.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { entry =>
+      val parts = entry.split(":", 2)
+      require(parts.length == 2,
+        s"expectations rule must be 'kind:spec', got '$entry'")
+      val spec = parts(1)
+      parts(0) match {
+        case "not_null" => NotNull(spec)
+        case "unique" => Unique(spec.split(",").map(_.trim).toSeq)
+        case "range" =>
+          val p = spec.split(":")
+          require(p.length == 3, s"range needs col:lo:hi, got '$spec'")
+          val (lo, hi) = try (p(1).toDouble, p(2).toDouble) catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"range bounds must be numeric in '$entry'")
+          }
+          InRange(p(0), lo, hi)
+        case "regex" =>
+          val p = spec.split(":", 2)
+          require(p.length == 2, s"regex needs col:pattern, got '$spec'")
+          MatchesRegex(p(0), p(1))
+        case "one_of" =>
+          val p = spec.split(":", 2)
+          require(p.length == 2, s"one_of needs col:v1|v2|…, got '$spec'")
+          OneOf(p(0), p(1).split("\\|").toSeq)
+        case "check" =>
+          val p = spec.split(":", 2)
+          require(p.length == 2, s"check needs label:<predicate>, got '$spec'")
+          Satisfies(p(1), p(0))
+        case other => throw new IllegalArgumentException(
+          s"unknown expectations rule kind '$other' in '$entry'")
+      }
+    }
+    require(rules.nonEmpty, "expectations DSL parsed to zero rules")
+    rules
+  }
+
   /** Evaluate all rules in one scan: `(rule, column, n_violations,
     * passed)`, one row per rule, rule order preserved. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {

@@ -143,6 +143,53 @@ object SparkTask {
     (Features.applyAll(raw, in.features, cdcFilter), cdcState)
   }
 
+  /** A FAIL-severity output expectation failed — the write was aborted
+    * BEFORE any data landed. Subscribable through [[StepResult]]'s
+    * severity routing like any other step failure. */
+  final class ExpectationViolation(msg: String) extends RuntimeException(msg)
+
+  /**
+   * Evaluate an output's declared expectations against the batch about
+   * to be written — the reference's event-severity semantics
+   * (CONTINUE/FAIL, `StepResult.Severity`) applied to data-quality
+   * rules. ALL rules evaluate in one aggregate over one scan
+   * ([[graft.operators.Expectations.check]]); each verdict is recorded
+   * in the state store under `expectations/<output>` BEFORE any
+   * severity fires, so a FAILed batch leaves its evidence. FAIL on any
+   * failing rule aborts the write ([[ExpectationViolation]]); CONTINUE
+   * failures only record. The gate is a pre-write scan by design — an
+   * abort must happen before bytes land; a monitoring-only (all-
+   * CONTINUE) rule set could instead ride `Dataset.observe` inside the
+   * write pass, which is a caller-side choice, not this gate.
+   */
+  def checkExpectations(ctx: TaskContext, out: OutputConf,
+                        df: DataFrame): Unit = {
+    if (out.expectations.isEmpty) return
+    import graft.operators.Expectations
+    val sev = out.expectations.map(e => StepResult.Severity.parse(e.severity))
+    val rules = out.expectations.map(e => Expectations.parseRules(e.rule) match {
+      case Seq(one) => one
+      case many => throw new TaskValidationError(Seq(
+        s"output ${out.name}: each expectation entry must hold exactly one " +
+          s"rule so severity is unambiguous; '${e.rule}' parsed to ${many.size}"))
+    })
+    val verdicts = Expectations.check(df, rules).collect()
+    val json = verdicts.map { r =>
+      s"""{"rule":"${r.getString(0)}","column":"${r.getString(1)}",""" +
+        s""""n_violations":${r.getLong(2)},"passed":${r.getInt(3) == 1}}"""
+    }.mkString("[", ",", "]")
+    ctx.state.foreach(_.set("expectations", out.name,
+      s"""{"batch_id":"${ctx.batchId}","verdicts":$json}"""))
+    val failed = verdicts.zip(sev).filter(_._1.getInt(3) == 0)
+    val aborting = failed.collect {
+      case (r, StepResult.Fail) =>
+        s"${r.getString(0)}(${r.getString(1)}): ${r.getLong(2)} violations"
+    }
+    if (aborting.nonEmpty)
+      throw new ExpectationViolation(
+        s"output ${out.name}: expectations failed — ${aborting.mkString("; ")}")
+  }
+
   /** Dispatch one batch write by write_type (OutputOperator + write.py).
     *
     * `txn` makes the write EXACTLY-ONCE under foreachBatch redelivery,
@@ -165,6 +212,8 @@ object SparkTask {
         s"""{"batch_id":"${ctx.batchId}","write_type":"${out.writeType}","skipped_replay_epoch":${txn.get._2}}"""))
       return
     }
+    // declarative data-quality gate: a FAIL rule aborts before any write
+    checkExpectations(ctx, out, df)
     val meta = Some(s"""{"batch_id":"${ctx.batchId}","output_name":"${out.name}","load_type":"${out.writeType}"}""")
     out.writeType match {
       case "append" => Writers.append(ctx.spark, out.path, df, opts, meta, out.partitionBy, txn)

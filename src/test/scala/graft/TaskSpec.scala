@@ -72,6 +72,54 @@ class TaskSpec extends SparkSpec {
     assert(back.columns.contains(Meta.ValidToTs))
   }
 
+  test("output expectations: FAIL aborts the write, CONTINUE records and proceeds") {
+    val srcDir = tmpDir("task_exp_src")
+    data.write.parquet(srcDir) // offsets 10,20,30
+    val sink = tmpDir("task_exp_sink")
+    val state = tmpDir("task_exp_state")
+    def conf(exp: OutputExpectation*) = TaskConf("exp",
+      inputs = Seq(InputConf("in1", srcDir, "parquet")),
+      executionSql = Some("SELECT id, name, offset FROM in1"),
+      outputs = Seq(OutputConf("out1", sink, writeType = "append",
+        expectations = exp)),
+      stateLocation = Some(state))
+
+    // severity=FAIL on a failing range rule: the write must be ABORTED
+    val boom = intercept[SparkTask.ExpectationViolation] {
+      SparkTask.run(spark, conf(
+        OutputExpectation("range:offset:0:15", "FAIL"),
+        OutputExpectation("not_null:id", "FAIL")))
+    }
+    assert(boom.getMessage.contains("in_range(offset)") &&
+      boom.getMessage.contains("2 violations"), boom.getMessage)
+    assert(ManagedTable(spark, sink).latestVersion === None,
+      "FAIL severity must abort before any data lands")
+    // ...but the verdicts were recorded before the abort
+    val st = new graft.state.StateStore(
+      spark.sparkContext.hadoopConfiguration, state)
+    val recorded = st.get("expectations", "out1").get
+    assert(recorded.contains(""""rule":"in_range"""") &&
+      recorded.contains(""""passed":false"""), recorded)
+
+    // severity=CONTINUE: same failing rule records and the write proceeds
+    SparkTask.run(spark, conf(OutputExpectation("range:offset:0:15", "CONTINUE")))
+    assert(ManagedTable(spark, sink).read.count() === 3,
+      "CONTINUE severity must let the write proceed")
+    assert(st.get("expectations", "out1").get.contains(""""passed":false"""))
+
+    // a passing rule set under FAIL writes normally
+    SparkTask.run(spark, conf(OutputExpectation("range:offset:0:100", "FAIL")))
+    assert(ManagedTable(spark, sink).read.count() === 6)
+    assert(st.get("expectations", "out1").get.contains(""""passed":true"""))
+
+    // a multi-rule DSL entry is ambiguous for severity — refuse loudly
+    val multi = intercept[TaskValidationError] {
+      SparkTask.run(spark, conf(
+        OutputExpectation("not_null:id;not_null:name", "FAIL")))
+    }
+    assert(multi.getMessage.contains("exactly one"), multi.getMessage)
+  }
+
   test("reflection-resolved Transform class executes") {
     val srcDir = tmpDir("task_refl_src")
     data.write.parquet(srcDir)
