@@ -80,7 +80,10 @@ private[streaming] object TableOffset {
  *  - `maxVersionsPerTrigger=K` bounds tail admission by version count,
  *    `maxBytesPerTrigger=B` by ADDED BYTES (FS metadata, cached — dirs
  *    are immutable) — a single fat backfill-style commit of thousands
- *    of dirs no longer lands in one trigger. Both bounds hold across
+ *    of dirs no longer lands in one trigger. A CDF stream sizes
+ *    versions by what the FEED serves — the stored change dir, or
+ *    added + removed dirs for synthesized rewrites — so a large
+ *    rewrite commit is byte-bounded there too. Both bounds hold across
  *    restarts: the last offered position is persisted in the source's
  *    checkpoint metadata dir, so a restart against a long backlog
  *    resumes bounded admission instead of offering the whole backlog
@@ -288,8 +291,7 @@ final class TableStreamSource(
         val capV = maxVersionsPerTrigger
           .map(k => math.min(latest, cur.version + math.max(1L, k)))
           .getOrElse(latest)
-        val end = if (cdf) capV else admitVersionsByBytes(cur.version, capV)
-        TableOffset(end, -1L)
+        TableOffset(admitVersionsByBytes(cur.version, capV), -1L)
       }
     }
   }
@@ -308,9 +310,16 @@ final class TableStreamSource(
     i
   }
 
-  /** Largest tail end ≤ `capV` whose versions' ADDED bytes fit the byte
-    * budget (always ≥ one version). Unresolvable history stops bounding
-    * and lets [[getBatch]] surface its precise error. */
+  /** Largest tail end ≤ `capV` whose versions' CHANGED bytes fit the
+    * byte budget (always ≥ one version) — ADDED dirs for the append
+    * tail; for a CDF stream, what the feed will actually serve per
+    * version: the stored change dir when the commit captured one,
+    * else added + removed dirs (an uncaptured rewrite synthesizes
+    * delete-all + insert-survivors from exactly those dirs — a fat
+    * rewrite commit sizes as fat, instead of slipping past the budget
+    * as 'zero added'). All sizes come from the commit log's write-time
+    * `dirBytes` ([[seedDirBytes]]); unresolvable history stops
+    * bounding and lets [[getBatch]] surface its precise error. */
   private def admitVersionsByBytes(fromV: Long, capV: Long): Long =
     maxBytesPerTrigger match {
       case None => capV
@@ -326,13 +335,20 @@ final class TableStreamSource(
         var done = false
         while (!done && v < capV) {
           val next = v + 1L
-          val added: Seq[String] = byVersion.get(next) match {
-            case Some(c) if next == 0L => c.dirs
-            case Some(c) => byVersion.get(v)
-              .map(p => c.dirs.filterNot(p.dirs.toSet)).getOrElse(c.dirs)
+          val changed: Seq[String] = byVersion.get(next) match {
             case None => Nil
+            case Some(c) if cdf && c.changeDir.isDefined => Seq(c.changeDir.get)
+            case Some(c) if next == 0L => c.dirs
+            case Some(c) =>
+              val parent = byVersion.get(v)
+              val added = parent
+                .map(p => c.dirs.filterNot(p.dirs.toSet)).getOrElse(c.dirs)
+              val removed =
+                if (!cdf) Nil
+                else parent.map(p => p.dirs.filterNot(c.dirs.toSet)).getOrElse(Nil)
+              added ++ removed
           }
-          val vb = added.iterator.map(dirBytes).sum
+          val vb = changed.iterator.map(dirBytes).sum
           if (v > fromV && bytes + vb > budget) done = true
           else { bytes += vb; v = next }
         }

@@ -272,6 +272,41 @@ class TableStreamSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() === 35)
   }
 
+  test("CDF admission is byte-bounded too: large rewrite commits split across triggers") {
+    val path = tmpDir("ts_cdfbyt"); val ckpt = tmpDir("ts_cdfbyt_ck")
+    val sink = tmpDir("ts_cdfbyt_sink")
+    seed(path, 0 until 20, "a")
+    def drain(budget: Option[Long]): Long = {
+      val q = StreamOps.streamTable(spark, path, readChangeFeed = true,
+          maxBytesPerTrigger = budget)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.read.parquet(sink).count()
+    }
+    drain(None) // pin position: empty batch 0
+    // three UNCAPTURED rewrite commits — the feed synthesizes
+    // delete-all + insert-survivors per version; each rewrite touches
+    // every dir, so a 1-byte budget must admit exactly one per trigger
+    // (pre-fix, CDF admission ignored bytes and all three landed at once)
+    (1 to 3).foreach(i =>
+      ManagedTable(spark, path).update(Map("v" -> concat($"v", lit(s"_$i"))),
+        $"id" % 4 === i))
+    val counts = (1 to 3).map(_ => drain(Some(1L)))
+    assert(counts.head > 0 && counts(1) === 2 * counts.head &&
+      counts(2) === 3 * counts.head,
+      s"each byte-bounded trigger run must admit exactly one rewrite: $counts")
+    // the union of bounded triggers is the complete feed
+    val full = ManagedTable(spark, path)
+      .readChangeFeed(ManagedTable(spark, path).latestVersion.get - 2)
+    assert(spark.read.parquet(sink).count() === full.count(),
+      "bounded CDF admission must still serve the whole feed")
+    val byVersion = spark.read.parquet(sink)
+      .groupBy($"_commit_version").count().count()
+    assert(byVersion === 3L)
+  }
+
   test("byte-bounded admission is served from the commit log: zero FS size walks") {
     val path = tmpDir("ts_logbytes"); val ckpt = tmpDir("ts_logbytes_ck")
     val sink = tmpDir("ts_logbytes_sink")
