@@ -263,6 +263,27 @@ object GraftExtensions {
         k = intArg(args(1), "k"),
         minSpanTokens = intArg(args(2), "min_span_tokens")))
     },
+    // the incremental span-dedup flow from SQL: build the standing
+    // index once (CTAS the result), then run daily batches against it
+    "graft_span_index" -> { args =>
+      require(args.size == 2,
+        "graft_span_index(table, k) takes two arguments")
+      plan(Dedup.spanGramIndex(table(args.head), k = intArg(args(1), "k")))
+    },
+    "graft_shared_spans_against" -> { args =>
+      require(args.size == 4,
+        "graft_shared_spans_against(batch, index, k, min_span_tokens) takes four arguments")
+      plan(Dedup.sharedSpansAgainst(table(args.head), table(args(1)),
+        k = intArg(args(2), "k"),
+        minSpanTokens = intArg(args(3), "min_span_tokens")))
+    },
+    "graft_remove_spans_against" -> { args =>
+      require(args.size == 4,
+        "graft_remove_spans_against(batch, index, k, min_span_tokens) takes four arguments")
+      plan(Dedup.removeDuplicatedSpansAgainst(table(args.head), table(args(1)),
+        k = intArg(args(2), "k"),
+        minSpanTokens = intArg(args(3), "min_span_tokens")))
+    },
     "graft_approx_quantiles" -> { args =>
       require(args.size == 4,
         "graft_approx_quantiles(table, value_col, probs_csv, eps) takes four arguments")

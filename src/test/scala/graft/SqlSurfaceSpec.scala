@@ -239,6 +239,29 @@ class SqlSurfaceSpec extends SparkSpec {
         spark.table("benchidx"), minShared = 2))
   }
 
+  test("span-index TVFs: build, detect and cut against a standing index from SQL") {
+    docsView()
+    val docs = spark.table("documents")
+    val corpus = docs.filter("doc_id % 3 <> 0")
+    val batch = docs.filter("doc_id % 3 = 0")
+    corpus.createOrReplaceTempView("spancorpus")
+    batch.createOrReplaceTempView("spanbatch")
+    // build the index from SQL (the CTAS-able standing artifact)...
+    spark.sql("SELECT * FROM graft_span_index('spancorpus', 8)")
+      .createOrReplaceTempView("spanidx")
+    // ...then both the detection and the removal TVFs match the API
+    assertSameRows(
+      spark.sql(
+        "SELECT * FROM graft_shared_spans_against('spanbatch', 'spanidx', 8, 12)"),
+      graft.llm.Dedup.sharedSpansAgainst(batch,
+        graft.llm.Dedup.spanGramIndex(corpus), k = 8, minSpanTokens = 12))
+    assertSameRows(
+      spark.sql(
+        "SELECT * FROM graft_remove_spans_against('spanbatch', 'spanidx', 8, 12)"),
+      graft.llm.Dedup.removeDuplicatedSpansAgainst(batch,
+        graft.llm.Dedup.spanGramIndex(corpus), k = 8, minSpanTokens = 12))
+  }
+
   test("graft_bpe_encode TVF encodes against a persisted merges view") {
     docsView()
     val docs = spark.table("documents").limit(30)
