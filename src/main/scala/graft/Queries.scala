@@ -2470,6 +2470,131 @@ object Queries {
       | FROM corpus)
       |SELECT doc_id, lang, n_chars FROM r WHERE rn = 1""".stripMargin
 
+  /**
+   * STREAMING NEAR-dup curation ([[graft.llm.Dedup.dedupNewBatch]] per
+   * micro-batch): each arriving batch keeps only docs that are near-dup
+   * neither of the STANDING silver corpus (via its incrementally-
+   * maintained [[graft.llm.Dedup.buildNearDupIndex]] table — appended
+   * per batch, never rebuilt) nor of a smaller-id doc in the same batch
+   * — the streaming form of the daily-ingest dedup action, completing
+   * the family next to streaming EXACT dedup (stream_dedup). Both the
+   * silver append and the index append are exactly-once per table
+   * (per-table txn high-water); index rows carry their ingest epoch and
+   * the cross-check reads `_ingest_epoch < epoch`, so a crash replayed
+   * between the two appends can never treat a batch as its own corpus.
+   * Batch 2 plants exact copies of batch-1 docs under new ids — each
+   * copy has jaccard 1 with its original, whose own survivor (itself,
+   * or whatever displaced it at ≥ threshold) matches the copy equally,
+   * so every plant MUST drop (in-query gate); the oracle replays the
+   * per-batch keep rule with exact Jaccard in DuckDB, leaning on the
+   * spec-pinned LSH full recall at threshold 0.8.
+   */
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Dedup
+    import org.apache.spark.sql.streaming.Trigger
+    val bronze = tmp("sndup_bronze")
+    val silver = tmp("sndup_silver")
+    val idxPath = tmp("sndup_idx")
+    val ckpt = tmp("sndup_ck")
+    val appId = "stream_neardup"
+    val docs = pq(spark, dir, "documents")
+    Staging.timed {
+      ManagedTable(spark, bronze)
+        .write(docs.filter(col("doc_id") % 2 === 0), "APPEND", "replace")
+    }
+    def drain(): Unit = {
+      val q = graft.streaming.StreamOps.streamTable(spark, bronze)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          val sil = ManagedTable(spark, silver)
+          val idx = ManagedTable(spark, idxPath)
+          val survivors = (if (!idx.exists) Dedup.dedupNear(batch)
+            else Dedup.dedupNewBatch(batch,
+              idx.read.filter(col("_ingest_epoch") < epoch)
+                .select("doc_id", "signature", "sh")))
+            .localCheckpoint() // two appends below read it once
+          if (!idx.lastTxnVersion(appId).exists(_ >= epoch)) {
+            Writers.append(spark, idxPath,
+              Dedup.buildNearDupIndex(survivors)
+                .withColumn("_ingest_epoch", lit(epoch)),
+              txn = Some((appId, epoch)))
+            ()
+          }
+          if (!sil.lastTxnVersion(appId).exists(_ >= epoch)) {
+            Writers.append(spark, silver,
+              survivors.select("doc_id", "lang", "n_chars"),
+              txn = Some((appId, epoch)))
+            ()
+          }
+        }
+        .start()
+      drainOrFail(q, "stream_neardup")
+    }
+    drain() // even ids: batch 0
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId < 1000000L,
+      "planted-id offset 1000000 collides with natural doc_id range — " +
+        "raise it in BOTH the query and its oracle SQL")
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    ManagedTable(spark, bronze)
+      .write(docs.filter(col("doc_id") % 2 =!= 0).unionByName(planted),
+        "APPEND", "append")
+    drain() // odd ids + planted copies
+    val sil = ManagedTable(spark, silver).read.localCheckpoint()
+    require(sil.filter(col("doc_id") >= 1000000L).count() == 0,
+      "stream_neardup: a planted near-dup copy survived — the standing " +
+        "index or the batch-internal rule lost it")
+    // the index is the silver corpus, exactly (consistency invariant)
+    val onlySilver = sil.select("doc_id")
+      .exceptAll(ManagedTable(spark, idxPath).read.select("doc_id")).count()
+    val onlyIdx = ManagedTable(spark, idxPath).read.select("doc_id")
+      .exceptAll(sil.select("doc_id")).count()
+    require(onlySilver == 0 && onlyIdx == 0,
+      s"stream_neardup: index and silver diverged ($onlySilver/$onlyIdx)")
+    sil.select("doc_id", "lang", "n_chars")
+  }
+
+  val streamNearDupSql: String =
+    """WITH base AS (
+      | SELECT doc_id, lang, n_chars, text, 0 AS b FROM documents
+      | WHERE doc_id % 2 = 0
+      | UNION ALL
+      | SELECT doc_id, lang, n_chars, text, 1 FROM documents
+      | WHERE doc_id % 2 = 1
+      | UNION ALL
+      | SELECT doc_id + 1000000, lang, n_chars, text, 1 FROM documents
+      | WHERE doc_id % 50 = 0),
+      |sh AS (SELECT doc_id, b, lang, n_chars,
+      |  list_distinct([g[i] || ' ' || g[i+1] || ' ' || g[i+2]
+      |                 for i in range(1, len(g)-1)]) AS sh
+      | FROM (SELECT doc_id, b, lang, n_chars,
+      |        regexp_extract_all(lower(text), '[a-z0-9]+') AS g FROM base)),
+      |d0 AS (SELECT DISTINCT y.doc_id FROM sh x JOIN sh y
+      | ON x.b = 0 AND y.b = 0 AND x.doc_id < y.doc_id
+      | AND len(x.sh) > 0 AND len(y.sh) > 0
+      | AND len(list_intersect(x.sh, y.sh))::DOUBLE /
+      |     len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8),
+      |k0 AS (SELECT * FROM sh WHERE b = 0
+      | AND doc_id NOT IN (SELECT doc_id FROM d0)),
+      |d1x AS (SELECT DISTINCT n.doc_id FROM sh n JOIN k0 o
+      | ON n.b = 1 AND len(n.sh) > 0 AND len(o.sh) > 0
+      | AND len(list_intersect(n.sh, o.sh))::DOUBLE /
+      |     len(list_distinct(list_concat(n.sh, o.sh))) >= 0.8),
+      |d1i AS (SELECT DISTINCT y.doc_id FROM sh x JOIN sh y
+      | ON x.b = 1 AND y.b = 1 AND x.doc_id < y.doc_id
+      | AND len(x.sh) > 0 AND len(y.sh) > 0
+      | AND len(list_intersect(x.sh, y.sh))::DOUBLE /
+      |     len(list_distinct(list_concat(x.sh, y.sh))) >= 0.8),
+      |k1 AS (SELECT * FROM sh WHERE b = 1
+      | AND doc_id NOT IN (SELECT doc_id FROM d1x)
+      | AND doc_id NOT IN (SELECT doc_id FROM d1i))
+      |SELECT doc_id, lang, n_chars FROM k0
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars FROM k1""".stripMargin
+
   /** Structured Streaming input with Trigger.AvailableNow, foreachBatch
     * re-entering the batch append writer (test_stream.py:31) — result
     * equals the batch equivalent. */

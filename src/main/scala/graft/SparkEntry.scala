@@ -130,6 +130,7 @@ object SparkEntry {
     "stream_table_sink" -> (Queries.streamTableSink(_, _)),
     "stream_curate" -> (Queries.streamCurate(_, _)),
     "stream_dedup" -> (Queries.streamDedup(_, _)),
+    "stream_neardup" -> (Queries.streamNearDup(_, _)),
     "stream_join" -> (Queries.streamJoin(_, _)),
     "sessionize" -> (Queries.sessionizeEvents(_, _)),
     // LLM-pipeline text operators
@@ -338,6 +339,7 @@ object SparkEntry {
     "stream_table_sink" -> Queries.streamTableSinkSql,
     "stream_curate" -> Queries.streamCurateSql,
     "stream_dedup" -> Queries.streamDedupSql,
+    "stream_neardup" -> Queries.streamNearDupSql,
     "stream_join" -> Queries.streamJoinSql,
     "sessionize" -> Queries.sessionizeEventsSql,
     "dedup_exact" ->
