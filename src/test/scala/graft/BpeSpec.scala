@@ -130,6 +130,23 @@ class BpeSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got === want, "in-JVM incremental trainer diverged from the reference at depth")
   }
 
+  test("property: incremental trainer equals the naive reference on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // a 3-letter alphabet maximizes pair collisions, count ties and
+    // re-merge chains — the adversarial regime for incremental counts
+    val wordGen = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, wordGen))
+    val prop = Prop.forAll(corpusGen, Gen.choose(1, 20)) { (words, merges) =>
+      val wf = words.groupBy(identity)
+        .map { case (w, g) => (w, g.size.toLong) }.toArray
+      Bpe.learnLocal(wf, merges) == refLearn(Seq(words.mkString(" ")), merges)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("the local and distributed trainers agree (maxLocalWords=0 forces the fallback)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(40)
       .select("text").cache()
