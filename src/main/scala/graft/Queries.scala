@@ -3242,6 +3242,101 @@ object Queries {
       | CAST(CASE WHEN vec_id < 10 THEN 2 ELSE 1 END AS BIGINT) AS group_size
       |FROM embeddings WHERE vec_id % 2 = 1""".stripMargin
 
+  /**
+   * STREAMING semantic dedup — the [[semanticDedupIncremental]] action
+   * as continuous curation, completing the streaming dedup family
+   * (exact: stream_dedup; MinHash: stream_neardup; embedding-space:
+   * here): vectors arrive in micro-batches, each batch drops members of
+   * its cells that match the STANDING accepted corpus at cosine ≥ 0.9
+   * and dedups within itself ([[graft.llm.Similarity.semanticDedupBatch]]),
+   * and survivors append BOTH to silver and to the standing
+   * [[graft.llm.Similarity.buildSemanticIndex]] TABLE — the quantizer
+   * trains once on the initial corpus (the standing-quantizer
+   * contract; retrain on drift is a policy, not a side effect).
+   * Exactly-once per table via txn high-waters with epoch-stamped
+   * index rows (`_ingest_epoch < epoch` on the corpus side), same
+   * crash-replay argument as stream_neardup. Batch 2 carries both
+   * planted families of the incremental oracle: cross-epoch copies
+   * must drop against the index, within-batch copies must fold into
+   * group_size-2 survivors — so the final silver is deterministic and
+   * the in-query gates hard-fail any recall loss.
+   */
+  def streamSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.streaming.Trigger
+    val bronze = tmp("ssem_bronze")
+    val silver = tmp("ssem_silver")
+    val idxPath = tmp("ssem_idx")
+    val ckpt = tmp("ssem_ck")
+    val appId = "stream_semantic"
+    val emb = pq(spark, dir, "embeddings").select("vec_id", "embedding")
+    assertPlantedIdHeadroom(emb, offset = 20000)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val cents = Staging.timed {
+      ManagedTable(spark, bronze).write(corpus, "APPEND", "replace")
+      Similarity.trainCentroids(corpus, nlist = 16, iters = 2)
+    }
+    def drain(): Unit = {
+      val q = graft.streaming.StreamOps.streamTable(spark, bronze)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          val sil = ManagedTable(spark, silver)
+          val idx = ManagedTable(spark, idxPath)
+          val out = (if (!idx.exists)
+            Similarity.semanticDedupWith(cents, batch, threshold = 0.9)
+          else Similarity.semanticDedupBatch(cents, batch,
+            idx.read.filter(col("_ingest_epoch") < epoch)
+              .select("vec_id", "embedding", "cell", "cent_cos"),
+            threshold = 0.9)).localCheckpoint()
+          val vecs = batch.join(out.select("vec_id"), Seq("vec_id"), "left_semi")
+          if (!idx.lastTxnVersion(appId).exists(_ >= epoch)) {
+            Writers.append(spark, idxPath,
+              Similarity.buildSemanticIndex(cents, vecs)
+                .withColumn("_ingest_epoch", lit(epoch)),
+              txn = Some((appId, epoch)))
+            ()
+          }
+          if (!sil.lastTxnVersion(appId).exists(_ >= epoch)) {
+            Writers.append(spark, silver, out.select("vec_id", "group_size"),
+              txn = Some((appId, epoch)))
+            ()
+          }
+        }
+        .start()
+      drainOrFail(q, "stream_semantic")
+    }
+    drain() // epoch 0: the even-id corpus admits itself
+    val naturals = emb.filter(col("vec_id") % 2 === 1)
+    val crossEpoch = corpus.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 20000).as("vec_id"), col("embedding"))
+    val inBatch = naturals.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 30000).as("vec_id"), col("embedding"))
+    ManagedTable(spark, bronze).write(
+      naturals.unionByName(crossEpoch).unionByName(inBatch), "APPEND", "append")
+    drain() // epoch 1: odd naturals + both planted families
+    val sil = ManagedTable(spark, silver).read.localCheckpoint()
+    require(sil.filter(col("vec_id") >= 20000).count() == 0,
+      "stream_semantic: a planted copy survived — the standing index or " +
+        "the within-batch survivor rule is broken")
+    require(sil.filter(col("group_size") === 2).count() == 5,
+      "stream_semantic expected the 5 within-batch duplicate groups")
+    val onlySilver = sil.select("vec_id")
+      .exceptAll(ManagedTable(spark, idxPath).read.select("vec_id")).count()
+    val onlyIdx = ManagedTable(spark, idxPath).read.select("vec_id")
+      .exceptAll(sil.select("vec_id")).count()
+    require(onlySilver == 0 && onlyIdx == 0,
+      s"stream_semantic: index and silver diverged ($onlySilver/$onlyIdx)")
+    sil.select("vec_id", "group_size")
+  }
+
+  val streamSemanticDedupSql: String =
+    """SELECT vec_id,
+      | CAST(CASE WHEN vec_id % 2 = 1 AND vec_id < 10 THEN 2 ELSE 1 END
+      |      AS BIGINT) AS group_size
+      |FROM embeddings""".stripMargin
+
   /** SimHash fingerprints use md5-derived token hashes precisely so this
     * oracle exists: DuckDB recomputes every fingerprint from the text and
     * brute-forces ALL pairs, so any silent recall loss in the chunk-bucket

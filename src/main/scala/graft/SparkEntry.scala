@@ -131,6 +131,7 @@ object SparkEntry {
     "stream_curate" -> (Queries.streamCurate(_, _)),
     "stream_dedup" -> (Queries.streamDedup(_, _)),
     "stream_neardup" -> (Queries.streamNearDup(_, _)),
+    "stream_semantic" -> (Queries.streamSemanticDedup(_, _)),
     "stream_join" -> (Queries.streamJoin(_, _)),
     "sessionize" -> (Queries.sessionizeEvents(_, _)),
     // LLM-pipeline text operators
@@ -340,6 +341,7 @@ object SparkEntry {
     "stream_curate" -> Queries.streamCurateSql,
     "stream_dedup" -> Queries.streamDedupSql,
     "stream_neardup" -> Queries.streamNearDupSql,
+    "stream_semantic" -> Queries.streamSemanticDedupSql,
     "stream_join" -> Queries.streamJoinSql,
     "sessionize" -> Queries.sessionizeEventsSql,
     "dedup_exact" ->
