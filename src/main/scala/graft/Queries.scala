@@ -1631,6 +1631,71 @@ object Queries {
       |SELECT 'clone', c_mktsegment, COUNT(*)
       |FROM customer WHERE c_custkey <= 100 GROUP BY c_mktsegment""".stripMargin
 
+  /** Deletion vectors ([[graft.table.ManagedTable.deleteVectors]]) —
+    * merge-on-read row deletes, Delta's DV feature re-expressed over
+    * the dir-composition log: deleting scattered rows writes ONLY
+    * their `(file key, row index)` tombstones (O(deleted rows) at any
+    * table size — the 100 TB sparse-delete path a copy-on-write
+    * rewrite cannot serve), reads anti-join them out, and
+    * `purgeDeletes` (REORG APPLY PURGE) rewrites just the tombstoned
+    * dirs to clear the read tax. In-query gates: both DV commits leave
+    * every data dir untouched; the second delete's tombstones overlap
+    * the first's and re-deletes count as no-ops (metric exactness);
+    * time travel still serves the pre-delete snapshot; the captured
+    * change feed carries exactly `numDeletedRows` delete rows; and the
+    * purged table equals the tombstoned view (both exceptAll
+    * directions) with the DV set cleared. */
+  def deletionVectors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    val path = tmp("dv_table")
+    val l = pq(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+        col("l_returnflag"))
+    val t = ManagedTable(spark, path)
+    t.write(l.filter(col("l_orderkey") % 2 === 0), "APPEND", "append")
+    t.write(l.filter(col("l_orderkey") % 2 === 1), "APPEND", "append")
+    val v0 = t.lastCommit.get.version
+    val total = t.read.count()
+
+    val d1 = t.deleteVectors(col("l_quantity") >= 45.0)
+    require(d1.dirs == t.commitAt(v0).dirs && d1.operation == "DELETE VECTORS",
+      "DV delete must leave every data dir untouched")
+    // overlapping predicate: rows with BOTH qty>=45 and discount<=0.01
+    // are already tombstoned — they must not re-count
+    val d2 = t.deleteVectors(col("l_discount") <= 0.01)
+    require(d2.dirs == d1.dirs, "second DV delete must also be metadata+tombstones only")
+    val n1 = d1.operationMetrics("numDeletedRows").toLong
+    val n2 = d2.operationMetrics("numDeletedRows").toLong
+    require(t.read.count() == total - n1 - n2,
+      "tombstone counts must be exact under overlap (re-delete is a no-op)")
+    require(t.readAt(v0).count() == total,
+      "time travel must serve the pre-delete snapshot")
+    val feed1 = t.readChangeFeed(d1.version, Some(d1.version))
+    require(feed1.count() == n1 &&
+        feed1.filter(col("_change_type") =!= "delete").count() == 0,
+      "DV delete change feed must carry exactly the deleted rows")
+
+    val masked = t.read.localCheckpoint()
+    val purged = t.purgeDeletes().get
+    require(purged.dvDirs.isEmpty, "purge must clear the tombstone set")
+    val after = t.read
+    require(after.exceptAll(masked).count() == 0 &&
+        masked.exceptAll(after).count() == 0,
+      "purge must materialize exactly the tombstoned view")
+
+    after.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("string").as("sum_qty"))
+      .select("l_returnflag", "n", "sum_qty")
+  }
+
+  val deletionVectorsSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty
+      |FROM lineitem
+      |WHERE NOT (l_quantity >= 45.0) AND NOT (l_discount <= 0.01)
+      |GROUP BY l_returnflag""".stripMargin
+
   /** Incrementally-maintained materialized aggregate
     * ([[graft.table.IncrementalAggView]]): init from a snapshot, then
     * three refreshes fold an append (dir-diff feed), a DELETE without

@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_spans_incremental" -> (Queries.dedupSpansIncremental(_, _)),
     "incremental_view" -> (Queries.incrementalView(_, _)),
     "incremental_view_minmax" -> (Queries.incrementalViewMinMax(_, _)),
+    "deletion_vectors" -> (Queries.deletionVectors(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
     "type_widening" -> (Queries.typeWidening(_, _)),
     "expectations_check" -> (Queries.expectationsCheck(_, _)),
@@ -316,6 +317,7 @@ object SparkEntry {
     "dedup_spans_incremental" -> Queries.dedupSpansIncrementalSql,
     "incremental_view" -> Queries.incrementalViewSql,
     "incremental_view_minmax" -> Queries.incrementalViewMinMaxSql,
+    "deletion_vectors" -> Queries.deletionVectorsSql,
     "table_clone" -> Queries.tableCloneSql,
     "type_widening" -> Queries.typeWideningSql,
     "expectations_check" -> Queries.expectationsCheckSql,

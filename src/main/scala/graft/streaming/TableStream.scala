@@ -207,17 +207,19 @@ final class TableStreamSource(
   /** The backfill composition, in the commit log's (immutable) dir
     * order — index-based chunk boundaries are deterministic across
     * restarts. Resolved lazily: tail-only streams never touch it. */
-  private lazy val snapshotDirs: Seq[String] =
+  private lazy val snapshotCommit: ManagedTable.Commit =
     try {
       val c = table.commitAt(startVersion)
       seedDirBytes(c)
-      c.dirs
+      c
     } catch {
       case NonFatal(e) => throw new IllegalStateException(
         s"version $startVersion of $path (this stream's backfill snapshot) " +
           "is no longer resolvable — vacuumed past the stream checkpoint; " +
           "restart the stream fresh", e)
     }
+
+  private def snapshotDirs: Seq[String] = snapshotCommit.dirs
 
   /** Dir sizes for byte-bounded admission, served from the commit log's
     * write-time `dirBytes` record (seeded whenever a commit is resolved
@@ -377,24 +379,38 @@ final class TableStreamSource(
         case Some(sv) => TableOffset(sv - 1L, -1L)
         case None => TableOffset(startVersion, 0L)
       })
-    val dirs = dirsBetween(startO, endO)
+    val (backfillDirs, backfillDv, tailDirsSeq) = dirsBetween(startO, endO)
 
-    val batch =
-      if (dirs.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else table.readDirsAs(dirs.distinct, schema, partitioned)
+    // backfill serves the pinned snapshot → its deletion vectors apply;
+    // tail dirs are per-version ADDS whose files no tombstone can
+    // reference at admission time → plain read
+    val parts = Seq(
+      if (backfillDirs.isEmpty) None
+      else Some(table.readDirsAsDv(backfillDirs.distinct, schema, partitioned,
+        backfillDv)),
+      if (tailDirsSeq.isEmpty) None
+      else Some(table.readDirsAs(
+        tailDirsSeq.distinct.filterNot(backfillDirs.toSet), schema, partitioned)))
+      .flatten
+    val batch = parts
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     org.apache.spark.sql.graft.StreamingFrame.mark(batch)
   }
 
   /** Dirs of the half-open offset range (s, e]: the snapshot slice for
-    * the backfill portion plus the per-version added-dir tail. */
-  private def dirsBetween(s: TableOffset, e: TableOffset): Seq[String] = {
-    if (e.version < s.version)
+    * the backfill portion (with the snapshot's deletion-vector set)
+    * plus the per-version added-dir tail. */
+  private def dirsBetween(
+      s: TableOffset, e: TableOffset): (Seq[String], Seq[String], Seq[String]) = {
+    if (e.version < s.version) {
       // only reachable replaying a legacy (round-8) batch 0 whose
       // snapshot version predates this upgrade's metadata pin: serve the
       // old-style full snapshot at the logged end version
-      return table.commitAt(e.version).dirs
+      val c = table.commitAt(e.version)
+      return (c.dirs, c.dvDirs, Nil)
+    }
     val backfill =
       if (s.dirIdx >= 0) {
         val endIdx =
@@ -404,7 +420,7 @@ final class TableStreamSource(
       } else Nil
     val tail =
       if (e.version > s.version) tailDirs(s.version, e.version) else Nil
-    backfill ++ tail
+    (backfill, if (backfill.isEmpty) Nil else snapshotCommit.dvDirs, tail)
   }
 
   /** Added dirs of versions (startV, endV]: each APPEND contributes its

@@ -158,7 +158,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
   def read: DataFrame = {
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
-    readDirs(c.dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty)
+    readDirsDv(c.dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty,
+      c.dvDirs)
   }
 
   /** Snapshot as of a specific version (time travel over the commit log —
@@ -173,7 +174,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
         s"[$earliest,$latest]" +
         (if (earliest > 0) " — older versions were vacuumed)" else ")"))
     val c = commitAt(version)
-    readDirs(c.dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty)
+    // the commit's own cumulative DV list — time travel sees exactly the
+    // tombstones that existed as of that version
+    readDirsDv(c.dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty,
+      c.dvDirs)
   }
 
   /** Latest retained version whose commit time is at or before `tsMs` —
@@ -214,7 +218,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       Map("restoredVersion" -> version.toString,
         "numRestoredDirs" -> target.dirs.size.toString),
       None, target.schemaDdl, cur.version, partitionBy = target.partitionBy,
-      dirStats = target.dirStats, txn = cur.txn)
+      dirStats = target.dirStats, txn = cur.txn, dvDirs = target.dvDirs)
     writeCommit(commit, Some(cur))
     commit
   }
@@ -251,8 +255,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val src = commitAt(v)
     val target = new ManagedTable(spark, targetRoot)
     require(!target.exists, s"clone target $targetRoot already exists")
-    val (dirs, stats, bytes) =
-      if (!deep) (src.dirs, src.dirStats, src.dirBytes)
+    val (dirs, stats, bytes, dvDirs) =
+      if (!deep) (src.dirs, src.dirStats, src.dirBytes, src.dvDirs)
       else {
         // preserve each dir's path below the source's data/ node so
         // partition-subdir references stay structurally identical
@@ -264,7 +268,11 @@ final class ManagedTable(spark: SparkSession, root: String) {
           (p.getName :: segs).mkString("/") // root segment, then subpath
         }
         val targetData = new Path(new Path(targetRoot), "data")
-        val pairs = src.dirs.map { d =>
+        // DV dirs copy like data dirs; their tombstone keys are
+        // table-RELATIVE (path after `data/`) and the copy preserves
+        // each dir's path below `data/`, so the copied tombstones match
+        // the copied files without any rewrite
+        val pairs = (src.dirs ++ src.dvDirs).map { d =>
           d -> new Path(targetData, relUnderData(d)).toString
         }
         val n = math.max(1, math.min(pairs.size, 64))
@@ -291,7 +299,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         val remap = pairs.toMap
         (src.dirs.map(remap),
           src.dirStats.map { case (d, s) => remap.getOrElse(d, d) -> s },
-          src.dirBytes.map { case (d, b) => remap.getOrElse(d, d) -> b })
+          src.dirBytes.map { case (d, b) => remap.getOrElse(d, d) -> b },
+          src.dvDirs.map(remap))
       }
     val commit = Commit(0L,
       s"CLONE(source=$root, version=$v, ${if (deep) "deep" else "shallow"})",
@@ -300,7 +309,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         "numClonedDirs" -> dirs.size.toString,
         "cloneMode" -> (if (deep) "deep" else "shallow")),
       None, src.schemaDdl, -1L, partitionBy = src.partitionBy,
-      dirStats = stats, dirBytes = bytes)
+      dirStats = stats, dirBytes = bytes, dvDirs = dvDirs)
     target.writeCommit(commit)
     commit
   }
@@ -313,23 +322,27 @@ final class ManagedTable(spark: SparkSession, root: String) {
     * single multi-path scan make Spark's partition discovery raise
     * CONFLICTING_DIRECTORY_STRUCTURES (and a basePath can't span roots).
     * Unpartitioned compositions keep the single multi-path scan. */
+  private def dirFrames(dirs: Seq[String], schema: StructType,
+                        partitioned: Boolean): Seq[DataFrame] = {
+    val (subdirs, whole) = dirs.partition(d => ManagedTable.dataDirRoot(d) != d)
+    val wholeFrames =
+      if (whole.isEmpty) Nil
+      else if (partitioned && whole.size > 1)
+        whole.map(d => spark.read.option("basePath", d).schema(schema).parquet(d))
+      else
+        // one multi-path relation for all whole dirs (not an N-deep union)
+        Seq(spark.read.schema(schema).parquet(whole: _*))
+    wholeFrames ++
+      subdirs.groupBy(ManagedTable.dataDirRoot).map { case (base, ds) =>
+        spark.read.option("basePath", base).schema(schema).parquet(ds: _*)
+      }
+  }
+
   private def readDirs(dirs: Seq[String], schema: StructType,
                        partitioned: Boolean = false): DataFrame =
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else {
-      val (subdirs, whole) = dirs.partition(d => ManagedTable.dataDirRoot(d) != d)
-      val wholeFrames =
-        if (whole.isEmpty) Nil
-        else if (partitioned && whole.size > 1)
-          whole.map(d => spark.read.option("basePath", d).schema(schema).parquet(d))
-        else
-          // one multi-path relation for all whole dirs (not an N-deep union)
-          Seq(spark.read.schema(schema).parquet(whole: _*))
-      val frames = wholeFrames ++
-        subdirs.groupBy(ManagedTable.dataDirRoot).map { case (base, ds) =>
-          spark.read.option("basePath", base).schema(schema).parquet(ds: _*)
-        }
+    else
       // restrict to the commit's schema: partition discovery may append
       // dir-derived columns the schema doesn't declare (e.g. the synthetic
       // [[clusterBy]] bucket column) — they are storage layout, not data.
@@ -337,9 +350,47 @@ final class ManagedTable(spark: SparkSession, root: String) {
       // cluster-bucket subdirs + a file-scoped merge's plain dir), so a
       // layout column present in one frame and absent in another must not
       // fail the union — it is dropped by the select either way
-      frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      dirFrames(dirs, schema, partitioned)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
         .select(schema.fieldNames.map(n =>
           org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*)
+
+  /** The tombstone rows of a snapshot's deletion-vector dirs. */
+  private def dvFrame(dvDirs: Seq[String]): DataFrame =
+    spark.read.schema(ManagedTable.DvSchema).parquet(dvDirs: _*)
+
+  /** Canonical DV file key of a scan row: the file path after the last
+    * `/data/` segment — e.g. `000000000002-ab12cd34/part-0.parquet`.
+    * Comparing relative keys (not full URIs) makes tombstones robust to
+    * scheme spelling (`file:/` vs `file:///`), mount points, and deep
+    * clones (which preserve each dir's path below `data/`). Commit data
+    * dirs are `<version>-<uuid>` and partition subdirs are `col=val`,
+    * so the only bare `data` path segments are table data roots. */
+  private def dvKeyOf(fileCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(fileCol, "^.*/data/", "")
+
+  /** [[readDirs]] with the snapshot's deletion vectors applied: each
+    * scan keeps its file identity (`_metadata.file_path` canonicalized
+    * + `_metadata.row_index`) and the union anti-joins the tombstone
+    * set on (file key, row position). The DV relation is a parquet
+    * scan Spark can size, so a typical (small) tombstone set broadcasts
+    * under `autoBroadcastJoinThreshold` — the read tax is one
+    * broadcast-hash anti-join, cleared entirely by [[purgeDeletes]]. */
+  private def readDirsDv(dirs: Seq[String], schema: StructType,
+                         partitioned: Boolean, dvDirs: Seq[String]): DataFrame =
+    if (dvDirs.isEmpty || dirs.isEmpty) readDirs(dirs, schema, partitioned)
+    else {
+      import org.apache.spark.sql.functions.col
+      val cols = schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq
+      val metaed = dirFrames(dirs, schema, partitioned).map { f =>
+        f.select(cols :+ dvKeyOf(col("_metadata.file_path")).as("__graft_dv_file__") :+
+          col("_metadata.row_index").as("__graft_dv_pos__"): _*)
+      }.reduce(_.unionByName(_))
+      val dv = dvFrame(dvDirs)
+      metaed.join(dv,
+          metaed("__graft_dv_file__") === dv("file") &&
+            metaed("__graft_dv_pos__") === dv("pos"), "left_anti")
+        .select(cols: _*)
     }
 
   /**
@@ -379,7 +430,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
    */
   def readChangeFeed(startingVersion: Long,
                      endingVersion: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col, input_file_name, lit, udf}
+    import org.apache.spark.sql.functions.{col, lit, udf}
     import scala.collection.mutable
     val latest = latestVersion.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
@@ -393,8 +444,13 @@ final class ManagedTable(spark: SparkSession, root: String) {
     // Batched read lists, grouped by schema DDL (one scan per group; in the
     // common no-evolution case that is a single scan per change kind).
     val changeDirs = mutable.LinkedHashMap.empty[String, mutable.Buffer[String]]
-    val addDirs = mutable.LinkedHashMap.empty[String, mutable.Buffer[String]]
-    val removeDirs = mutable.LinkedHashMap.empty[String, mutable.Buffer[String]]
+    // synthesis groups carry the DV set to apply: none for adds (a
+    // just-added dir's files are fresh — no tombstone can reference
+    // them yet), the PREDECESSOR version's cumulative set for removes
+    // (rows tombstoned before the dir was dropped were already deleted
+    // then, and must not re-appear as deletes now)
+    val addDirs = mutable.LinkedHashMap.empty[(String, Seq[String]), mutable.Buffer[String]]
+    val removeDirs = mutable.LinkedHashMap.empty[(String, Seq[String]), mutable.Buffer[String]]
     // commit dir (path component, scheme-stripped) -> (version, timestamp)
     val addStamps = mutable.Map.empty[String, (Long, java.sql.Timestamp)]
     val removeStamps = mutable.Map.empty[String, (Long, java.sql.Timestamp)]
@@ -417,16 +473,25 @@ final class ManagedTable(spark: SparkSession, root: String) {
           throw new IllegalStateException(
             s"version $v of $root is a merge committed without " +
               "enable_change_data_feed — change data was not recorded")
+        case None if c.operation.startsWith("DELETE VECTORS") &&
+            c.operationMetrics.get("numDeletedRows").exists(_ != "0") =>
+          // a DV delete changes no dirs, so dir-diff synthesis would
+          // claim this version changed NOTHING — refuse like an
+          // uncaptured merge rather than serve a silently-empty feed
+          throw new IllegalStateException(
+            s"version $v of $root is a deletion-vector delete committed " +
+              "without change capture — replay with captureChangeData=true")
         case None =>
           val prevDirs = prev.map(_.dirs).getOrElse(Nil)
           val ts = new java.sql.Timestamp(c.timestampMs)
           c.dirs.diff(prevDirs).foreach { d =>
-            addDirs.getOrElseUpdate(c.schemaDdl, mutable.Buffer.empty) += d
+            addDirs.getOrElseUpdate((c.schemaDdl, Nil), mutable.Buffer.empty) += d
             addStamps(pathKey(d)) = (v, ts)
           }
           val prevDdl = prev.map(_.schemaDdl).getOrElse(c.schemaDdl)
+          val prevDv = prev.map(_.dvDirs).getOrElse(Nil)
           prevDirs.diff(c.dirs).foreach { d =>
-            removeDirs.getOrElseUpdate(prevDdl, mutable.Buffer.empty) += d
+            removeDirs.getOrElseUpdate((prevDdl, prevDv), mutable.Buffer.empty) += d
             removeStamps(pathKey(d)) = (v, ts)
           }
       }
@@ -452,7 +517,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
     // (see readDirs) — partitioned-ness of any commit in range applies
     val anyPartitioned = fetched.values.exists(_.partitionBy.nonEmpty)
 
-    def stamped(bySchema: mutable.LinkedHashMap[String, mutable.Buffer[String]],
+    def stamped(bySchema: mutable.LinkedHashMap[(String, Seq[String]), mutable.Buffer[String]],
                 stamps: mutable.Map[String, (Long, java.sql.Timestamp)],
                 changeType: String): Seq[DataFrame] = {
       if (bySchema.isEmpty) return Nil
@@ -468,13 +533,14 @@ final class ManagedTable(spark: SparkSession, root: String) {
           throw new IllegalStateException(s"change-feed file $file not in commit dir map")
         hit
       }
-      bySchema.map { case (ddl, dirs) =>
-        readDirs(dirs.toSeq, StructType.fromDDL(ddl), anyPartitioned)
+      bySchema.map { case ((ddl, dvAsOf), dirs) =>
+        readDirsDvWithFile(dirs.toSeq, StructType.fromDDL(ddl), anyPartitioned,
+            dvAsOf, "__graft_file__")
           .withColumn("_change_type", lit(changeType))
-          .withColumn("__graft_stamp__", stampOf(input_file_name()))
+          .withColumn("__graft_stamp__", stampOf(col("__graft_file__")))
           .withColumn("_commit_version", col("__graft_stamp__._1"))
           .withColumn("_commit_timestamp", col("__graft_stamp__._2"))
-          .drop("__graft_stamp__")
+          .drop("__graft_stamp__", "__graft_file__")
       }.toSeq
     }
 
@@ -519,7 +585,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       (for (stats <- c.dirStats.get(d); e <- predExpr)
         yield DataSkipping.mayMatch(stats, schema, e)).getOrElse(true)
     }
-    readDirs(kept, schema, c.partitionBy.nonEmpty).filter(predicate)
+    readDirsDv(kept, schema, c.partitionBy.nonEmpty, c.dvDirs).filter(predicate)
   }
 
   /**
@@ -577,6 +643,159 @@ final class ManagedTable(spark: SparkSession, root: String) {
       })(applySet)
   }
 
+  /**
+   * Row-level DELETE via DELETION VECTORS — Delta's merge-on-read
+   * delete: instead of rewriting every affected dir (the [[delete]]
+   * path — O(affected dirs) WRITE cost even for one row), the matching
+   * rows' positions `(file key, row index)` are written as a tombstone
+   * parquet and every subsequent snapshot read anti-joins them out.
+   * Commit cost is O(deleted rows), independent of how much data sits
+   * around them — on a 100 TB table, deleting 0.1 % of rows scattered
+   * across every file writes megabytes, not the 100 TB a copy-on-write
+   * rewrite would. The trade is a read tax (one anti-join against the
+   * tombstone set, broadcast-sized in the typical case) that
+   * [[purgeDeletes]] (REORG APPLY PURGE analogue) clears by rewriting
+   * only the dirs that actually contain tombstoned rows.
+   *
+   * Dir-scoped like the rewrite path: stats-pruned dirs that provably
+   * cannot match are never scanned. Rows already tombstoned are
+   * excluded before matching, so re-deleting is a no-op and
+   * `numDeletedRows` is exact. With `captureChangeData` (DEFAULT —
+   * unlike [[delete]], a DV commit changes no dirs, so without stored
+   * change rows a change feed would serve this version as empty;
+   * [[readChangeFeed]] refuses that) the deleted rows are stored as
+   * `delete` change rows in the same pass.
+   *
+   * Commits with live tombstones stamp reader protocol 2: a pre-DV
+   * build refuses to read them rather than resurrecting deleted rows.
+   */
+  def deleteVectors(predicate: org.apache.spark.sql.Column,
+                    captureChangeData: Boolean = true): Commit = synchronized {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val (affected, _) = splitDirsMayMatch(c, predicate)
+    val version = c.version + 1L
+    val tsMs = System.currentTimeMillis()
+    def noop(): Commit = {
+      val commit = Commit(version, "DELETE VECTORS", tsMs, c.dirs,
+        Map("numDeletedRows" -> "0",
+          "numDeletionVectors" -> c.dvDirs.size.toString),
+        None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
+        dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs)
+      writeCommit(commit, Some(c))
+      commit
+    }
+    if (affected.isEmpty) return noop()
+    val cols = schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq
+    val metaed = dirFrames(affected, schema, c.partitionBy.nonEmpty).map { f =>
+      f.select(cols :+ dvKeyOf(col("_metadata.file_path")).as("__graft_dv_file__") :+
+        col("_metadata.row_index").as("__graft_dv_pos__"): _*)
+    }.reduce(_.unionByName(_))
+    val alive =
+      if (c.dvDirs.isEmpty) metaed
+      else {
+        val dv = dvFrame(c.dvDirs)
+        metaed.join(dv, metaed("__graft_dv_file__") === dv("file") &&
+          metaed("__graft_dv_pos__") === dv("pos"), "left_anti")
+      }
+    // materialized once (it is the DELETED subset — small by the use
+    // case) so the tombstone write and the change capture see the
+    // identical row set, SQL DELETE NULL semantics: only TRUE matches
+    val matched = alive.filter(coalesce(predicate, lit(false))).localCheckpoint()
+    val dvDir = new Path(new Path(rootPath, "data"),
+      f"$version%012d-dv-${UUID.randomUUID().toString.take(8)}").toString
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_dv_$version-${UUID.randomUUID()}")
+    matched.select(col("__graft_dv_file__").as("file"),
+        col("__graft_dv_pos__").as("pos"))
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(dvDir)
+    val n = obs.get("rows").asInstanceOf[Long]
+    if (n == 0L) { fs.delete(new Path(dvDir), true); return noop() }
+    val changeDir =
+      if (!captureChangeData) None
+      else Some(writeChangeData(version, tsMs,
+        matched.select(cols: _*).withColumn("_change_type", lit("delete"))))
+    val commit = Commit(version, "DELETE VECTORS", tsMs, c.dirs,
+      Map("numDeletedRows" -> n.toString,
+        "numDeletionVectors" -> (c.dvDirs.size + 1).toString,
+        "numRewrittenDirs" -> "0"),
+      None, c.schemaDdl, c.version, changeDir,
+      changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
+      partitionBy = c.partitionBy, dirStats = c.dirStats, txn = c.txn,
+      dvDirs = c.dvDirs :+ dvDir)
+    try { writeCommit(commit, Some(c)); commit }
+    catch { case e: Throwable =>
+      changeDir.foreach(d => fs.delete(new Path(d), true))
+      fs.delete(new Path(dvDir), true)
+      throw e
+    }
+  }
+
+  /**
+   * Materialize every live deletion vector — Delta's
+   * `REORG TABLE ... APPLY (PURGE)`: rewrite ONLY the dirs that
+   * actually contain tombstoned rows (identified from the tombstones'
+   * own file keys — one column-pruned scan of the DV parquet, no data
+   * read), carry every other dir by reference, and drop the whole
+   * tombstone set. Afterwards reads pay no anti-join until the next
+   * [[deleteVectors]]. Returns None when the table carries no
+   * deletion vectors.
+   */
+  def purgeDeletes(): Option[Commit] = synchronized {
+    import org.apache.spark.sql.functions.{col, count, lit, split}
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    if (c.dvDirs.isEmpty) return None
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val version = c.version + 1L
+    val tsMs = System.currentTimeMillis()
+    // tombstone keys start with the data-dir root segment — the
+    // distinct first segments (bounded by the dir count) name the
+    // roots whose files carry deletes
+    val roots = dvFrame(c.dvDirs)
+      .select(split(col("file"), "/").getItem(0).as("r")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (affected, untouched) = c.dirs.partition(d =>
+      roots.contains(new Path(ManagedTable.dataDirRoot(d)).getName))
+    if (affected.isEmpty) {
+      // every tombstone references files no longer in the composition —
+      // inert; dropping them is metadata-only
+      val commit = Commit(version, "PURGE DELETES", tsMs, c.dirs,
+        Map("numRewrittenDirs" -> "0",
+          "numPurgedDvDirs" -> c.dvDirs.size.toString),
+        None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
+        dirStats = c.dirStats, txn = c.txn, dvDirs = Nil)
+      writeCommit(commit, Some(c))
+      return Some(commit)
+    }
+    val src = readDirsDv(affected, schema, c.partitionBy.nonEmpty, c.dvDirs)
+    val obs = org.apache.spark.sql.Observation(
+      s"graft_purge_$version-${UUID.randomUUID()}")
+    val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(schema)
+    val dataDir = new Path(new Path(rootPath, "data"),
+      f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
+    val writer = src.observe(obs, aggs.head, aggs.tail: _*).write.mode("overwrite")
+    (if (c.partitionBy.nonEmpty) writer.partitionBy(c.partitionBy: _*)
+     else writer).parquet(dataDir)
+    val observed = obs.get
+    val outRows = observed("rows").asInstanceOf[Long]
+    val dirs = if (outRows == 0) untouched else untouched :+ dataDir
+    val untouchedStats = c.dirStats.view.filterKeys(untouched.contains).toMap
+    val dirStats =
+      if (outRows == 0) untouchedStats
+      else untouchedStats + (dataDir -> DataSkipping.statsOf(schema, observed))
+    val commit = Commit(version, "PURGE DELETES", tsMs, dirs,
+      Map("numRewrittenDirs" -> affected.size.toString,
+        "numPurgedDvDirs" -> c.dvDirs.size.toString),
+      None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
+      dirStats = dirStats, txn = c.txn, dvDirs = Nil)
+    writeCommit(commit, Some(c))
+    Some(commit)
+  }
+
   /** Shared dir-scoped rewrite for row-level DML: stats-prune to the
     * affected dirs, apply `transform` (which sees the evaluable predicate
     * column), write the result as one new dir with fresh skipping stats,
@@ -610,12 +829,15 @@ final class ManagedTable(spark: SparkSession, root: String) {
         val commit = Commit(version, operation, tsMs, c.dirs,
           Map("numAffectedRows" -> "0", "numRewrittenDirs" -> "0"),
           None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
-          dirStats = c.dirStats, txn = c.txn)
+          dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs)
         writeCommit(commit, Some(c))
         return commit
       }
 
-      val src = readDirs(affected, schema, c.partitionBy.nonEmpty)
+      // DV-aware source read: a rewrite of a dir with live tombstones
+      // must not resurrect its deleted rows (the rewrite MATERIALIZES
+      // those deletes — tombstones for rewritten files go inert)
+      val src = readDirsDv(affected, schema, c.partitionBy.nonEmpty, c.dvDirs)
       // affected-row count observed above the transform, output rows +
       // skipping stats below it — one write job, no extra passes
       val obsIn = org.apache.spark.sql.Observation(
@@ -644,7 +866,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       // rewritten). One extra job over the affected dirs — opt-in.
       val changeDir = changeRows.map { build =>
         writeChangeData(version, tsMs,
-          build(readDirs(affected, schema, c.partitionBy.nonEmpty), predicate))
+          build(readDirsDv(affected, schema, c.partitionBy.nonEmpty, c.dvDirs),
+            predicate))
       }
       val untouchedStats = c.dirStats.view.filterKeys(untouched.contains).toMap
       val dirs = if (outRows == 0) untouched else untouched :+ dataDir
@@ -656,7 +879,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
           "numRewrittenDirs" -> affected.size.toString),
         None, c.schemaDdl, c.version, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
-        partitionBy = c.partitionBy, dirStats = dirStats, txn = c.txn)
+        partitionBy = c.partitionBy, dirStats = dirStats, txn = c.txn,
+        // carried for the untouched dirs; entries pointing at the
+        // rewritten files are inert (those files left the composition)
+        dvDirs = c.dvDirs)
       writeCommit(commit, Some(c))
       commit
     }
@@ -694,7 +920,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
   private[graft] def readDirsSubset(dirs: Seq[String]): DataFrame = {
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
-    readDirs(dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty)
+    readDirsDv(dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty,
+      c.dvDirs)
   }
 
   /** Retained commits with `fromV <= version <= toV`, ascending — one log
@@ -709,6 +936,39 @@ final class ManagedTable(spark: SparkSession, root: String) {
   private[graft] def readDirsAs(dirs: Seq[String], schema: StructType,
                                 partitioned: Boolean): DataFrame =
     readDirs(dirs, schema, partitioned)
+
+  /** [[readDirsDv]] keeping each row's source file path (full URI) as
+    * `fileCol` — change-feed synthesis stamps commit version/timestamp
+    * from the file's containing dir, and `input_file_name()` is
+    * unusable once the DV anti-join makes the plan multi-source
+    * (`_metadata.file_path` is per-relation and union/join-safe). */
+  private def readDirsDvWithFile(dirs: Seq[String], schema: StructType,
+      partitioned: Boolean, dvDirs: Seq[String], fileCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq
+    val metaed = dirFrames(dirs, schema, partitioned).map { f =>
+      f.select(cols :+ col("_metadata.file_path").as(fileCol) :+
+        col("_metadata.row_index").as("__graft_dv_pos__"): _*)
+    }.reduce(_.unionByName(_))
+    val alive =
+      if (dvDirs.isEmpty) metaed
+      else {
+        val dv = dvFrame(dvDirs)
+        metaed.join(dv, dvKeyOf(metaed(fileCol)) === dv("file") &&
+          metaed("__graft_dv_pos__") === dv("pos"), "left_anti")
+      }
+    alive.drop("__graft_dv_pos__")
+  }
+
+  /** [[readDirsAs]] with an explicit deletion-vector set — the
+    * streaming BACKFILL read: the backfill serves the pinned snapshot,
+    * so it must apply that snapshot's tombstones (tail reads serve
+    * per-version ADDED dirs, whose files no tombstone can reference at
+    * admission time, and stay on the plain path). */
+  private[graft] def readDirsAsDv(dirs: Seq[String], schema: StructType,
+                                  partitioned: Boolean,
+                                  dvDirs: Seq[String]): DataFrame =
+    readDirsDv(dirs, schema, partitioned, dvDirs)
 
   /**
    * Commit `df` as one new data dir PLUS `carried` dirs of the previous
@@ -834,7 +1094,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         userMetadata, dataSchema.toDDL, base.version, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = base.partitionBy, dirStats = dirStats,
-        txn = base.txn ++ txnUpdate.toMap)
+        txn = base.txn ++ txnUpdate.toMap, dvDirs = base.dvDirs)
       try { writeCommit(commit, Some(base)); return commit }
       catch {
         case e: ConcurrentCommitException =>
@@ -991,7 +1251,11 @@ final class ManagedTable(spark: SparkSession, root: String) {
         tableSchema.toDDL, rv, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = partitionBy, dirStats = dirStats,
-        txn = base.map(_.txn).getOrElse(Map.empty) ++ txnUpdate.toMap)
+        txn = base.map(_.txn).getOrElse(Map.empty) ++ txnUpdate.toMap,
+        // a replace starts a fresh composition (all tombstoned files
+        // leave it); an append keeps the previous snapshot's dirs and
+        // with them its live tombstones
+        dvDirs = if (mode == "append") base.map(_.dvDirs).getOrElse(Nil) else Nil)
       try writeCommit(c, base)
       catch { case e: Throwable =>
         changeDir.foreach(d => fs.delete(new Path(d), true))
@@ -1134,7 +1398,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       userMetadata, df.schema.toDDL, readVersion, changeDir,
       changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
       partitionBy = partitionBy, dirStats = dirStats,
-      txn = prev.map(_.txn).getOrElse(Map.empty) ++ txnUpdate.toMap)
+      txn = prev.map(_.txn).getOrElse(Map.empty) ++ txnUpdate.toMap,
+      dvDirs = prev.map(_.dvDirs).getOrElse(Nil))
     writeCommit(commit, prev)
     commit
   }
@@ -1179,6 +1444,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
 
     val keptRoots = keepCommits.flatMap(_.dirs).map(ManagedTable.dataDirRoot).toSet
     val keptChange = keepCommits.flatMap(_.changeDir).toSet
+    val keptDv = keepCommits.flatMap(_.dvDirs).toSet
     // Delta's rule: vacuum only ever deletes files under ITS OWN table
     // root. A shallow clone's early commits reference the SOURCE table's
     // dirs by path — deleting those would destroy the source's data from
@@ -1200,14 +1466,18 @@ final class ManagedTable(spark: SparkSession, root: String) {
       .toSet -- keptRoots).filter(underOwnRoot)
     val deadChange = (dropCommits.flatMap(_.changeDir).toSet -- keptChange)
       .filter(underOwnRoot)
+    // DV dirs referenced only by pruned commits (a purge/replace
+    // de-referenced them) — same lifecycle as change dirs
+    val deadDv = (dropCommits.flatMap(_.dvDirs).toSet -- keptDv)
+      .filter(underOwnRoot)
 
     // delete the log entries FIRST: a crash mid-vacuum then leaves orphan
     // data dirs (harmless; a later vacuum of any version sweeps nothing,
     // but no retained commit ever points at deleted data), never a live
     // commit referencing missing files
     drop.foreach(v => fs.delete(new Path(logPath, f"$v%012d.json"), false))
-    (deadRoots ++ deadChange).foreach(d => fs.delete(new Path(d), true))
-    VacuumStats(drop.size, deadRoots.size, deadChange.size)
+    (deadRoots ++ deadChange ++ deadDv).foreach(d => fs.delete(new Path(d), true))
+    VacuumStats(drop.size, deadRoots.size, deadChange.size, deadDv.size)
   }
 
   /** Partition subdirs of a data dir as relative paths like "p=1/q=a"
@@ -1267,7 +1537,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
     if (fragmented.isEmpty) return None
 
     val schema = StructType.fromDDL(c.schemaDdl)
-    val frag0 = readDirs(fragmented.values.flatten.toSeq, schema)
+    // DV-aware: compaction MATERIALIZES the tombstoned deletes for the
+    // partitions it rewrites (their old files leave the composition)
+    val frag0 = readDirsDv(fragmented.values.flatten.toSeq, schema,
+        partitioned = false, c.dvDirs)
       .repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
     // optional intra-file clustering: sorted rows give parquet tight
     // per-row-group min/max on the sort columns, so pushed filters skip
@@ -1318,9 +1591,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val schema = StructType.fromDDL(c.schemaDdl)
     val groups = compactionGroups(c, small, maxDirBytes, sizes)
     val merged =
-      if (groups.size <= 1) readDirs(small, schema, partitioned = false)
+      if (groups.size <= 1) readDirsDv(small, schema, partitioned = false, c.dvDirs)
       else groups.zipWithIndex.map { case (ds, g) =>
-        readDirs(ds, schema, partitioned = false)
+        readDirsDv(ds, schema, partitioned = false, c.dvDirs)
           .withColumn(CLUSTER_COL, org.apache.spark.sql.functions.lit(g))
       }.reduce(_.unionByName(_))
     Some(writeCarried(merged, big,
@@ -1690,7 +1963,7 @@ object ManagedTable {
   }
 
   final case class VacuumStats(prunedVersions: Int, deletedDataDirs: Int,
-                               deletedChangeDirs: Int)
+                               deletedChangeDirs: Int, deletedDvDirs: Int = 0)
 
   /** Synthetic partition column holding [[ManagedTable.clusterBy]] range
     * buckets — storage layout only, never surfaced to readers. */
@@ -1738,7 +2011,15 @@ object ManagedTable {
       // analogue): appId -> last applied epoch/version. CARRIED FORWARD
       // by every commit path so a crash-replayed micro-batch can be
       // recognized and skipped no matter what committed in between.
-      txn: Map[String, Long] = Map.empty) {
+      txn: Map[String, Long] = Map.empty,
+      // deletion-vector dirs composing this snapshot: parquet dirs of
+      // (file, pos) tombstones (file = table-relative path after the
+      // last `/data/` segment, pos = parquet row index within the
+      // file). Cumulative — every snapshot read anti-joins them; rows
+      // whose file is no longer in the composition are inert. Entries
+      // with tombstones stamp minReaderVersion 2 so a pre-DV reader
+      // refuses instead of resurrecting deleted rows.
+      dvDirs: Seq[String] = Nil) {
 
     /** Common log-entry node: `dirsKey`/`statsKey`/`bytesKey` name the
       * composition fields ("dirs"/"dirStats"/"dirBytes" for full
@@ -1748,7 +2029,12 @@ object ManagedTable {
         dirsKey: String, statsKey: String,
         bytesKey: String): com.fasterxml.jackson.databind.node.ObjectNode = {
       val node = m.createObjectNode()
-      node.put("minReaderVersion", ManagedTable.ProtocolVersion)
+      // the stamp is the MINIMUM protocol a reader needs for THIS entry,
+      // not the writer's build version: DV-free tables stay readable by
+      // pre-DV builds, while an entry with live tombstones makes an old
+      // reader refuse loudly instead of silently resurrecting rows
+      node.put("minReaderVersion",
+        if (dvDirs.nonEmpty) ManagedTable.DvProtocolVersion else 1)
       node.put("version", version)
       node.put("operation", operation)
       node.put("timestampMs", timestampMs)
@@ -1781,6 +2067,12 @@ object ManagedTable {
       if (dirBytes.nonEmpty) {
         val db = node.putObject(bytesKey)
         dirBytes.foreach { case (dir, n) => db.put(dir, n) }
+      }
+      // always the FULL cumulative list, in full and delta entries alike
+      // (short — one dir per unpurged DV delete), so delta resolution
+      // never needs the parent's
+      if (dvDirs.nonEmpty) {
+        val dv = node.putArray("dvDirs"); dvDirs.foreach(dv.add)
       }
       node
     }
@@ -1827,7 +2119,9 @@ object ManagedTable {
         // absent in logs written before byte recording → legacy, empty
         dirBytes = Option(n.get(bytesKey)).map { db =>
           db.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
-        }.getOrElse(Map.empty))
+        }.getOrElse(Map.empty),
+        dvDirs = Option(n.get("dvDirs"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
     }
 
     /** Parse a FULL-snapshot entry (delta entries are internal to the log;
@@ -1849,13 +2143,25 @@ object ManagedTable {
     * snapshots are at most this long. */
   val LogSnapshotInterval: Int = 10
 
-  /** Log protocol this build reads and writes. Every entry stamps it as
-    * `minReaderVersion`; a future format that old readers would
-    * misinterpret bumps the stamp, and THIS reader then refuses loudly
-    * instead of returning silently wrong table state (Delta's
-    * reader-version contract). Entries without the stamp predate it and
-    * read as protocol 1. */
-  val ProtocolVersion: Int = 1
+  /** Log protocol this build reads. Every entry stamps the MINIMUM
+    * protocol needed to read it as `minReaderVersion`; a format feature
+    * that old readers would misinterpret bumps the stamp on the entries
+    * that use it, and an older reader then refuses loudly instead of
+    * returning silently wrong table state (Delta's reader-version
+    * contract). Entries without the stamp predate it and read as
+    * protocol 1. Protocol 2 = deletion vectors (`dvDirs`): a protocol-1
+    * reader would scan the data dirs without the tombstone anti-join
+    * and resurrect deleted rows. */
+  val ProtocolVersion: Int = 2
+
+  /** Reader protocol required by entries carrying deletion vectors. */
+  val DvProtocolVersion: Int = 2
+
+  /** Deletion-vector tombstone schema: `file` is the table-relative
+    * file key (path after the last `/data/` segment — stable across
+    * scheme spellings, clone copies, and mount points), `pos` the row's
+    * parquet row index within that file (`_metadata.row_index`). */
+  val DvSchema: StructType = StructType.fromDDL("file STRING, pos BIGINT")
 
   /** Parse one raw log entry: full → (commit, None); delta → (commit
     * holding ONLY the added dirs/stats, Some(link)). */

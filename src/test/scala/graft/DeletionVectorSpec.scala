@@ -1,0 +1,192 @@
+package graft
+
+import graft.table.ManagedTable
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors: merge-on-read row deletes (Delta DV analogue) —
+  * tombstone `(file key, row index)` parquet anti-joined on every
+  * snapshot read, no data-dir rewrite at delete time. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(prefix: String): (String, ManagedTable) = {
+    val path = tmpDir(prefix)
+    val t = ManagedTable(spark, path)
+    t.write((1 to 10).map(i => (i, s"v$i")).toDF("id", "v"), "APPEND", "append")
+    t.write((11 to 20).map(i => (i, s"v$i")).toDF("id", "v"), "APPEND", "append")
+    (path, t)
+  }
+
+  test("deleteVectors hides rows without touching any data dir") {
+    val (_, t) = freshTable("dv_basic")
+    val before = t.lastCommit.get
+    val c = t.deleteVectors(col("id") % 2 === 0)
+    assert(c.operation === "DELETE VECTORS")
+    assert(c.dirs === before.dirs, "data dirs must be untouched")
+    assert(c.dvDirs.size === 1)
+    assert(c.operationMetrics("numDeletedRows") === "10")
+    assert(t.read.select("id").as[Int].collect().sorted.toSeq ===
+      (1 to 20).filter(_ % 2 == 1))
+  }
+
+  test("stacked DV deletes compose; re-delete of tombstoned rows is a no-op") {
+    val (_, t) = freshTable("dv_stack")
+    t.deleteVectors(col("id") <= 5)
+    val c2 = t.deleteVectors(col("id") <= 8) // 1-5 already tombstoned
+    assert(c2.operationMetrics("numDeletedRows") === "3")
+    assert(c2.dvDirs.size === 2)
+    assert(t.read.count() === 12)
+    // NULL-predicate rows stay (SQL DELETE semantics)
+    val c3 = t.deleteVectors(when(col("id") === 9, lit(null).cast("boolean"))
+      .otherwise(col("id") === 10))
+    assert(c3.operationMetrics("numDeletedRows") === "1")
+    assert(t.read.select("id").as[Int].collect().sorted.toSeq ===
+      (9 to 20).filterNot(_ == 10))
+  }
+
+  test("time travel sees each version's own tombstone set") {
+    val (_, t) = freshTable("dv_tt")
+    val v1 = t.lastCommit.get.version
+    t.deleteVectors(col("id") > 15)
+    assert(t.readAt(v1).count() === 20)
+    assert(t.read.count() === 15)
+    t.restore(v1)
+    assert(t.read.count() === 20, "restore returns to the pre-DV tombstone set")
+  }
+
+  test("readWhere data skipping composes with deletion vectors") {
+    val (_, t) = freshTable("dv_where")
+    t.deleteVectors(col("id") === 3)
+    val got = t.readWhere(col("id") < 12).select("id").as[Int].collect().sorted
+    assert(got.toSeq === (1 to 11).filterNot(_ == 3))
+  }
+
+  test("DML rewrite and compaction materialize tombstoned deletes") {
+    val (_, t) = freshTable("dv_rewrite")
+    t.deleteVectors(col("id") === 1)
+    // copy-on-write delete of a different predicate must not resurrect id=1
+    t.delete(col("id") === 20)
+    assert(t.read.select("id").as[Int].collect().sorted.toSeq === (2 to 19))
+    // dir-fold compaction reads DV-aware too
+    t.compactDirs(maxDirBytes = 1L << 30)
+    assert(t.read.select("id").as[Int].collect().sorted.toSeq === (2 to 19))
+  }
+
+  test("purgeDeletes rewrites only tombstoned dirs and clears the DV set") {
+    val (_, t) = freshTable("dv_purge")
+    t.deleteVectors(col("id") === 7) // stats-scoped to the first dir only
+    val purged = t.purgeDeletes().get
+    assert(purged.operation === "PURGE DELETES")
+    assert(purged.dvDirs.isEmpty)
+    assert(purged.operationMetrics("numRewrittenDirs") === "1",
+      "only the dir containing tombstoned rows is rewritten")
+    assert(t.read.select("id").as[Int].collect().sorted.toSeq ===
+      (1 to 20).filterNot(_ == 7))
+    assert(t.purgeDeletes() === None, "no tombstones left")
+  }
+
+  test("appends and replaces carry/reset tombstones correctly") {
+    val (_, t) = freshTable("dv_carry")
+    t.deleteVectors(col("id") === 2)
+    t.write(Seq((21, "v21")).toDF("id", "v"), "APPEND", "append")
+    assert(t.read.count() === 20, "append keeps live tombstones")
+    t.write(Seq((99, "z")).toDF("id", "v"), "OVERWRITE", "replace")
+    assert(t.lastCommit.get.dvDirs.isEmpty, "replace starts a clean composition")
+    assert(t.read.count() === 1)
+  }
+
+  test("change feed: DV delete serves captured rows; later dir-drop excludes them") {
+    val (_, t) = freshTable("dv_cdf")
+    val dvV = t.deleteVectors(col("id") === 4).version
+    val feed = t.readChangeFeed(dvV, Some(dvV))
+    assert(feed.select("_change_type").as[String].collect().toSeq === Seq("delete"))
+    assert(feed.select("id").as[Int].head() === 4)
+    // an overwrite drops both dirs: synthesized deletes must NOT include
+    // the already-tombstoned id=4 again
+    val owV = t.write(Seq((99, "z")).toDF("id", "v"), "OVERWRITE", "replace").version
+    val drops = t.readChangeFeed(owV, Some(owV))
+      .filter(col("_change_type") === "delete")
+      .select("id").as[Int].collect().sorted
+    assert(drops.toSeq === (1 to 20).filterNot(_ == 4))
+  }
+
+  test("uncaptured DV delete refuses change-feed synthesis") {
+    val (_, t) = freshTable("dv_cdf_refuse")
+    val v = t.deleteVectors(col("id") === 4, captureChangeData = false).version
+    val e = intercept[IllegalStateException](t.readChangeFeed(v, Some(v)).count())
+    assert(e.getMessage.contains("deletion-vector"))
+  }
+
+  test("shallow and deep clones preserve tombstones") {
+    val (_, t) = freshTable("dv_clone_src")
+    t.deleteVectors(col("id") <= 3)
+    val shallowRoot = tmpDir("dv_clone_sh")
+    t.cloneTo(shallowRoot)
+    assert(ManagedTable(spark, shallowRoot).read.count() === 17)
+    val deepRoot = tmpDir("dv_clone_dp")
+    t.cloneTo(deepRoot, deep = true)
+    val deep = ManagedTable(spark, deepRoot)
+    assert(deep.read.select("id").as[Int].collect().sorted.toSeq === (4 to 20))
+    // deep clone is self-contained: vacuuming the source must not break it
+    t.write(Seq((0, "x")).toDF("id", "v"), "OVERWRITE", "replace")
+    t.vacuum(keepLast = 1)
+    assert(deep.read.count() === 17)
+  }
+
+  test("vacuum protects live DV dirs and sweeps de-referenced ones") {
+    val (_, t) = freshTable("dv_vacuum")
+    t.deleteVectors(col("id") === 1)
+    val dvDir = t.lastCommit.get.dvDirs.head
+    t.write(Seq((5, "e")).toDF("id", "v"), "APPEND", "append")
+    val s1 = t.vacuum(keepLast = 1)
+    assert(s1.deletedDvDirs === 0, "live tombstones survive vacuum")
+    assert(t.read.count() === 20)
+    // a replace de-references the DVs; vacuuming past it sweeps them
+    t.write(Seq((99, "z")).toDF("id", "v"), "OVERWRITE", "replace")
+    val s2 = t.vacuum(keepLast = 1)
+    assert(s2.deletedDvDirs === 1)
+    val fs = new org.apache.hadoop.fs.Path(dvDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dvDir)))
+  }
+
+  test("DV commits stamp reader protocol 2; DV-free tables stay protocol 1") {
+    val (path, t) = freshTable("dv_proto")
+    val logDir = new java.io.File(s"$path/_graft_log")
+    def entry(v: Long): String = {
+      val f = new java.io.File(logDir, f"$v%012d.json")
+      new String(java.nio.file.Files.readAllBytes(f.toPath))
+    }
+    assert(entry(0L).contains("\"minReaderVersion\" : 1"))
+    val c = t.deleteVectors(col("id") === 1)
+    assert(entry(c.version).contains("\"minReaderVersion\" : 2"))
+  }
+
+  test("streaming backfill applies the snapshot's tombstones; tail is clean") {
+    val (path, t) = freshTable("dv_stream")
+    t.deleteVectors(col("id") > 18)
+    val out = tmpDir("dv_stream_out")
+    val ckpt = tmpDir("dv_stream_ck")
+    val q = spark.readStream.format("graft-table").load(path)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out).select("id").as[Int].collect().sorted
+    assert(got.toSeq === (1 to 18))
+  }
+
+  test("commit json round-trips dvDirs through full and delta entries") {
+    val c = ManagedTable.Commit(3L, "DELETE VECTORS", 123L, Seq("/a", "/b"),
+      Map("numDeletedRows" -> "2"), None, "`id` INT", 2L,
+      dvDirs = Seq("/a/data/000000000003-dv-x"))
+    assert(ManagedTable.Commit.fromJson(c.toJson) === c)
+    val parent = c.copy(version = 2L, operation = "APPEND", dvDirs = Nil)
+    val delta = ManagedTable.deltaJson(parent, c)
+    assert(delta.isDefined)
+    val (parsed, link) = ManagedTable.parseLogEntry(delta.get)
+    assert(link.isDefined)
+    assert(parsed.dvDirs === c.dvDirs)
+  }
+}

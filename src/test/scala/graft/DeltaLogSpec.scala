@@ -189,9 +189,11 @@ class DeltaLogSpec extends SparkSpec {
     val path = tmpDir("dl_protocol")
     val t = ManagedTable(spark, path)
     t.write(Seq((1, "a")).toDF("id", "v"), "APPEND", "append")
-    // every written entry stamps the current protocol
-    assert(rawEntry(path, 0L).contains(
-      s""""minReaderVersion" : ${ManagedTable.ProtocolVersion}"""))
+    // entries stamp the MINIMUM protocol a reader needs, not the
+    // writer's build version: a DV-free entry stays protocol 1 so
+    // pre-DV builds keep reading it (DeletionVectorSpec pins the
+    // protocol-2 stamp on entries with tombstones)
+    assert(rawEntry(path, 0L).contains(""""minReaderVersion" : 1"""))
     // an unstamped (legacy) entry reads as protocol 1
     val legacy = rawEntry(path, 0L)
       .replaceFirst(""""minReaderVersion" : \d+,\s*""", "")
