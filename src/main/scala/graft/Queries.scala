@@ -4479,6 +4479,79 @@ object Queries {
       |WHERE split = 'train' AND doc_id % 3 = 0
       |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
 
+  /** STREAMING decontamination ([[graft.llm.Dedup.decontaminateWith]]
+    * inside foreachBatch): train documents stream out of a managed
+    * table (snapshot backfill + a tail commit) and every micro-batch
+    * is checked against the FROZEN persisted benchmark shingle index —
+    * the stream-static form of `decontaminate_incremental`, completing
+    * the streaming curation family (exact dedup, near-dup, semantic,
+    * quality gates) with the eval-leakage gate. The verdict is
+    * per-document against a frozen index, so batch boundaries cannot
+    * change the answer: the streamed survivors equal the batch
+    * recompute the oracle runs over the whole train corpus. Survivors
+    * append under the (appId, epoch) txn stamp — exactly-once across
+    * crash replays. */
+  def streamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Dedup
+    import graft.operators.Sampling
+    import org.apache.spark.sql.streaming.Trigger
+    val bronze = tmp("sdecon_bronze")
+    val silver = tmp("sdecon_silver")
+    val ckpt = tmp("sdecon_ck")
+    val idxPath = tmp("sdecon_idx")
+    val appId = "stream_decontaminate"
+    val split = Sampling.hashSplit(pq(spark, dir, "documents"),
+      Seq("doc_id"), testFraction = 0.2)
+    val idx = Staging.timed {
+      Dedup.benchmarkIndex(split.filter(col("split") === "test").drop("split"))
+        .write.mode("overwrite").parquet(idxPath)
+      val train = split.filter(col("split") === "train").drop("split")
+        .select("doc_id", "lang", "text")
+      ManagedTable(spark, bronze)
+        .write(train.filter(col("doc_id") % 2 === 0), "APPEND", "replace")
+      ManagedTable(spark, bronze)
+        .write(train.filter(col("doc_id") % 2 =!= 0), "APPEND", "append")
+      // the standing index: persisted once per benchmark release,
+      // loaded + pinned for every micro-batch
+      spark.read.parquet(idxPath).localCheckpoint()
+    }
+    val q = graft.streaming.StreamOps.streamTable(spark, bronze)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val replayed = ManagedTable(spark, silver)
+          .lastTxnVersion(appId).exists(_ >= epoch)
+        if (!replayed) {
+          val keep = Dedup.decontaminateWith(batch, idx, minShared = 3)
+            .select("doc_id", "lang")
+          graft.write.Writers.append(spark, silver, keep,
+            txn = Some((appId, epoch)))
+          ()
+        }
+      }
+      .start()
+    drainOrFail(q, "stream_decontaminate")
+    ManagedTable(spark, silver).read.select("doc_id", "lang")
+  }
+
+  val streamDecontaminateSql: String =
+    """WITH s AS (SELECT doc_id, lang,
+      |  CASE WHEN substr(md5(concat_ws('|', '', CAST(doc_id AS VARCHAR))), 1, 8)
+      |            < '33333333'
+      |       THEN 'test' ELSE 'train' END AS split, text
+      | FROM documents),
+      |d AS (SELECT doc_id, split,
+      |  list_distinct([g[i] || ' ' || g[i+1] || ' ' || g[i+2]
+      |                 for i in range(1, len(g)-1)]) AS sh
+      | FROM (SELECT doc_id, split,
+      |        regexp_extract_all(lower(text), '[a-z0-9]+') AS g FROM s)),
+      |bad AS (SELECT DISTINCT r.doc_id
+      | FROM d t JOIN d r ON t.split = 'test' AND r.split = 'train'
+      | WHERE len(list_intersect(t.sh, r.sh)) >= 3)
+      |SELECT doc_id, lang FROM s
+      |WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
   /** Token-budget quota per language (capTokensPerGroup): admit docs in
     * key-hash order while the tokens admitted before each doc stay under
     * the budget — the training-mixture "at most N chars of each lang"

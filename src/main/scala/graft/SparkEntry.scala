@@ -130,6 +130,7 @@ object SparkEntry {
     "stream_table_source" -> (Queries.streamTableSource(_, _)),
     "stream_table_sink" -> (Queries.streamTableSink(_, _)),
     "stream_curate" -> (Queries.streamCurate(_, _)),
+    "stream_decontaminate" -> (Queries.streamDecontaminate(_, _)),
     "stream_dedup" -> (Queries.streamDedup(_, _)),
     "stream_neardup" -> (Queries.streamNearDup(_, _)),
     "stream_semantic" -> (Queries.streamSemanticDedup(_, _)),
@@ -341,6 +342,7 @@ object SparkEntry {
     "stream_table_source" -> Queries.streamTableSourceSql,
     "stream_table_sink" -> Queries.streamTableSinkSql,
     "stream_curate" -> Queries.streamCurateSql,
+    "stream_decontaminate" -> Queries.streamDecontaminateSql,
     "stream_dedup" -> Queries.streamDedupSql,
     "stream_neardup" -> Queries.streamNearDupSql,
     "stream_semantic" -> Queries.streamSemanticDedupSql,

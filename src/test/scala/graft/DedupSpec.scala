@@ -527,4 +527,50 @@ class DedupSpec extends SparkSpec {
     assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 101L)),
       s"expected only the anchored pair, got ${capped.mkString(",")}")
   }
+
+  test("streaming decontamination drops planted leaks in backfill AND tail epochs") {
+    import spark.implicits._
+    import graft.table.ManagedTable
+    import org.apache.spark.sql.streaming.Trigger
+    val leak = (1 to 6).map(i => s"evaltoken$i").mkString(" ")
+    val bench = Seq((900L, s"benchmark question $leak answer"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.benchmarkIndex(bench).localCheckpoint()
+    // contaminated docs in BOTH the snapshot commit and the tail commit:
+    // every micro-batch must consult the frozen index, not just batch 0
+    val epoch1 = Seq(
+      (1L, s"train doc copying $leak verbatim"),
+      (2L, "clean training document one")).toDF("doc_id", "text")
+    val epoch2 = Seq(
+      (3L, s"later ingest also leaks $leak here"),
+      (4L, "clean training document two")).toDF("doc_id", "text")
+    val bronze = tmpDir("sdecon_bronze")
+    val silver = tmpDir("sdecon_silver")
+    ManagedTable(spark, bronze).write(epoch1, "APPEND", "replace")
+    ManagedTable(spark, bronze).write(epoch2, "APPEND", "append")
+    val appId = "sdecon_spec"
+    val q = graft.streaming.StreamOps.streamTable(spark, bronze)
+      .writeStream
+      .option("checkpointLocation", tmpDir("sdecon_ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        val t = ManagedTable(spark, silver)
+        if (!t.lastTxnVersion(appId).exists(_ >= epoch)) {
+          graft.write.Writers.append(spark, silver,
+            Dedup.decontaminateWith(batch, idx, minShared = 3)
+              .select("doc_id"), txn = Some((appId, epoch)))
+          ()
+        }
+      }
+      .start()
+    assert(q.awaitTermination(60000), "stream did not drain")
+    val kept = ManagedTable(spark, silver).read
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L, 4L))
+    // streamed result equals the one-shot batch recompute
+    val batchKept = Dedup.decontaminateWith(
+      epoch1.unionByName(epoch2), idx, minShared = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === batchKept.toSeq)
+  }
 }
