@@ -3578,6 +3578,48 @@ object Queries {
     """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Count-Min frequency sketches ([[graft.operators.Sketches]] CMS
+    * pair — the frequency analogue of `sketch_distinct`'s HLL pair):
+    * per-DAY shard sketches of event-type occurrences persist at write
+    * grain, roll up to a global sketch by element-wise sum (no rescan
+    * of the fact table), and point estimates are GATED in-query
+    * against exact counts: `est ≥ exact` always (the CMS one-sided
+    * guarantee) and `est ≤ exact + 3·eps·n` (the probabilistic bound
+    * with headroom). The deterministic EXACT counts are what's emitted
+    * and hash-compared, so a broken sketch, merge, or estimate path
+    * cannot pass silently. */
+  def countminRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val events = pq(spark, dir, "events")
+    val exact = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+    // the event taxonomy is the bounded candidate list (CMS answers
+    // point queries; harvesting candidates is heavyHitters' job)
+    val exactRows = exact.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val items = exactRows.keys.toSeq.sorted
+    val eps = 1e-4
+    val merged = Sketches.countMinMerge(
+      Sketches.countMinSketch(
+        events.withColumn("day", to_date(col("ts"))).withColumn("all", lit(1)),
+        Seq("day", "all"), "event_type", eps = eps),
+      Seq("all"))
+    val est = Sketches.countMinEstimate(merged, items)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("est_count"))
+      .toMap
+    val total = exactRows.values.sum
+    val slack = math.max(1L, math.ceil(3 * eps * total).toLong)
+    items.foreach { it =>
+      require(est(it) >= exactRows(it),
+        s"CMS undercounted $it: ${est(it)} < ${exactRows(it)} — sketch broken")
+      require(est(it) <= exactRows(it) + slack,
+        s"CMS estimate for $it off by ${est(it) - exactRows(it)} (> $slack)")
+    }
+    exact
+  }
+
+  val countminRollupSql: String =
+    """SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1""".stripMargin
+
   /** Dataset card ([[graft.llm.TextOps.datasetCard]]): the long-form
     * (metric, scope, value) release datasheet — totals, exact-dup
     * count, source count, per-language breakdown with integer

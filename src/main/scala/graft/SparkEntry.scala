@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_spans_incremental" -> (Queries.dedupSpansIncremental(_, _)),
     "incremental_view" -> (Queries.incrementalView(_, _)),
     "incremental_view_minmax" -> (Queries.incrementalViewMinMax(_, _)),
+    "countmin_rollup" -> (Queries.countminRollup(_, _)),
     "deletion_vectors" -> (Queries.deletionVectors(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
     "type_widening" -> (Queries.typeWidening(_, _)),
@@ -318,6 +319,7 @@ object SparkEntry {
     "dedup_spans_incremental" -> Queries.dedupSpansIncrementalSql,
     "incremental_view" -> Queries.incrementalViewSql,
     "incremental_view_minmax" -> Queries.incrementalViewMinMaxSql,
+    "countmin_rollup" -> Queries.countminRollupSql,
     "deletion_vectors" -> Queries.deletionVectorsSql,
     "table_clone" -> Queries.tableCloneSql,
     "type_widening" -> Queries.typeWideningSql,

@@ -104,6 +104,109 @@ object Sketches {
     pruned.join(d, col(s"__fact.`$factKey`") === col(s"__dim.`$dimKey`"), joinType)
   }
 
+  // ------------------------- count-min sketch -------------------------
+
+  val CmsCol = "cms_sketch"
+
+  /** Per-group Count-Min sketches of `itemCol` occurrence frequencies
+    * (Cormode & Muthukrishnan 2005) — Spark's native `count_min_sketch`
+    * aggregate (map-side combined, binary output). The frequency
+    * analogue of the HLL pair: identical `(eps, confidence, seed)`
+    * across shards means identical dimensions and hash rows, so stored
+    * per-grain sketches ROLL UP by element-wise sum
+    * ([[countMinMerge]]) without rescanning the fact table. Point
+    * estimates ([[countMinEstimate]]) guarantee
+    * `true ≤ est` always and `est ≤ true + eps·n` with probability
+    * `confidence` — a sketch of `ceil(e/eps) × ceil(ln(1/(1-conf)))`
+    * longs per group regardless of item cardinality. */
+  def countMinSketch(df: DataFrame, keys: Seq[String], itemCol: String,
+                     eps: Double = 1e-4, confidence: Double = 0.99,
+                     seed: Int = 42): DataFrame = {
+    require(keys.nonEmpty, "countMinSketch needs group keys")
+    df.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(count_min_sketch(col(s"`$itemCol`").cast("string"),
+        lit(eps), lit(confidence), lit(seed)).as(CmsCol))
+  }
+
+  /** Roll stored CMS binaries up to a coarser grain: element-wise sum
+    * of the counter tables (exact for CMS — the merged sketch IS the
+    * sketch of the concatenated stream). All inputs must share
+    * `(eps, confidence, seed)`; mismatched dimensions fail loudly. */
+  private[operators] def cmsMergeBytes(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+    if (x.isEmpty) y
+    else if (y.isEmpty) x
+    else {
+      val cx = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(x))
+      cx.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(y)))
+      val bos = new java.io.ByteArrayOutputStream()
+      cx.writeTo(bos)
+      bos.toByteArray
+    }
+
+  /** Mergeable rollup aggregator over stored CMS binaries. */
+  final class CountMinMerge
+      extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = cmsMergeBytes(b, a)
+    def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = cmsMergeBytes(x, y)
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** [[countMinSketch]] rollup: one merged sketch per `keys` group. */
+  def countMinMerge(sketches: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "countMinMerge needs group keys")
+    val agg = udaf(new CountMinMerge)
+    sketches.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(agg(col(CmsCol)).as(CmsCol))
+  }
+
+  /** Estimated occurrence count of each candidate item under each
+    * group's sketch: one output row per (group, item). The sketch
+    * deserializes ONCE per distinct binary per partition (tiny LRU —
+    * group sketches repeat across the exploded item list), and the
+    * estimate hashes the item's UTF-8 bytes exactly as the native
+    * aggregate inserted them. Candidate items come from the caller
+    * (a CMS answers point queries; harvesting candidates is
+    * [[heavyHitters]]'s job — the two compose). */
+  def countMinEstimate(sketches: DataFrame, items: Seq[String],
+                       itemCol: String = "item",
+                       outCol: String = "est_count"): DataFrame = {
+    require(items.nonEmpty, "countMinEstimate needs candidate items")
+    val est = udf(new ((Array[Byte], String) => Long) with Serializable {
+      @transient private lazy val cache =
+        new java.util.LinkedHashMap[java.nio.ByteBuffer,
+            org.apache.spark.util.sketch.CountMinSketch](16, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[java.nio.ByteBuffer,
+                org.apache.spark.util.sketch.CountMinSketch]): Boolean =
+            size() > 64
+        }
+      def apply(bytes: Array[Byte], item: String): Long = {
+        val sk = cache.synchronized {
+          val k = java.nio.ByteBuffer.wrap(bytes)
+          var v = cache.get(k)
+          if (v == null) {
+            v = org.apache.spark.util.sketch.CountMinSketch
+              .readFrom(new java.io.ByteArrayInputStream(bytes))
+            cache.put(k, v)
+          }
+          v
+        }
+        sk.estimateCount(item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    })
+    sketches
+      .withColumn(itemCol, explode(lit(items.toArray)))
+      .withColumn(outCol, est(col(CmsCol), col(s"`$itemCol`")))
+      .drop(CmsCol)
+  }
+
   // ------------------------- frequent items --------------------------
 
   /** One tracked item: estimated count and its overestimation bound —

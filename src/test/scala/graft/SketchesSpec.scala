@@ -279,4 +279,54 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
     assert(est === Map(0.25 -> 25.0, 0.5 -> 50.0, 0.75 -> 75.0, 1.0 -> 100.0))
   }
+
+  test("CMS: estimates never undercount and are exact at wide width") {
+    import spark.implicits._
+    val rows = (1 to 400).map(i => ("g", s"item${i % 7}"))
+    val df = rows.toDF("grp", "item")
+    val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val sk = Sketches.countMinSketch(df, Seq("grp"), "item", eps = 1e-4)
+    val est = Sketches.countMinEstimate(sk, exact.keys.toSeq.sorted)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("est_count"))
+      .toMap
+    exact.foreach { case (item, n) =>
+      assert(est(item) >= n, s"CMS undercounted $item")
+      assert(est(item) === n,
+        s"width 27183 over 7 items must not collide: $item ${est(item)} vs $n")
+    }
+  }
+
+  test("CMS: per-shard sketches merge to exactly the one-shot global sketch") {
+    import spark.implicits._
+    val rows = (1 to 900).map(i => (s"shard${i % 5}", s"t${i % 11}"))
+    val df = rows.toDF("shard", "item").withColumn("all", lit("g"))
+    val items = (0 until 11).map(i => s"t$i")
+    // merge of per-shard sketches: element-wise sum → IDENTICAL table to
+    // sketching the concatenated stream → identical estimates
+    val merged = Sketches.countMinMerge(
+      Sketches.countMinSketch(df, Seq("shard", "all"), "item"), Seq("all"))
+    val direct = Sketches.countMinSketch(df, Seq("all"), "item")
+    val estM = Sketches.countMinEstimate(merged, items).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val estD = Sketches.countMinEstimate(direct, items).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(estM === estD)
+    val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    items.foreach(i => assert(estM(i) >= exact(i)))
+  }
+
+  test("CMS: estimates are partitioning-independent") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => ("g", s"k${i % 13}"))
+    val items = (0 until 13).map(i => s"k$i")
+    val ests = Seq(1, 7, 32).map { p =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, p)).toDF("grp", "item")
+      Sketches.countMinEstimate(
+        Sketches.countMinSketch(df, Seq("grp"), "item"), items)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    }
+    assert(ests.distinct.size === 1,
+      "count_min_sketch aggregation must not depend on partitioning")
+  }
 }
