@@ -1696,6 +1696,63 @@ object Queries {
       |WHERE NOT (l_quantity >= 45.0) AND NOT (l_discount <= 0.01)
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Snapshot manifest export ([[graft.table.ManagedTable.exportManifest]],
+    * Delta's `symlink_format_manifest` analogue): after appends and a
+    * copy-on-write delete reshape the composition, the manifest lists
+    * exactly the LIVE snapshot's data-file URIs so an external engine
+    * with no commit-log reader scans a consistent version. In-query
+    * gates: an "external" read of precisely the manifest's files (a
+    * plain `spark.read.parquet(files)`, no table layer) equals the
+    * table read in both exceptAll directions, and the manifest file
+    * count matches the export stats. The emitted aggregate re-derives
+    * from `orders` in DuckDB. */
+  def exportManifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    val path = tmp("manifest_src")
+    val mdir = tmp("manifest_out")
+    val o = pq(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = ManagedTable(spark, path)
+    t.write(o.filter(col("o_orderkey") % 2 === 0), "APPEND", "append")
+    t.write(o.filter(col("o_orderkey") % 2 === 1), "APPEND", "append")
+    t.delete(col("o_orderkey") % 5 === 0)
+    val stats = t.exportManifest(mdir)
+    val fs = new org.apache.hadoop.fs.Path(mdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(mdir), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName == "manifest") {
+          val in = fs.open(st.getPath)
+          val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+            finally in.close()
+          b ++= new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").filter(_.nonEmpty)
+        }
+      }
+      b.result()
+    }
+    require(files.size == stats.numFiles && stats.numManifests == 1,
+      s"manifest stats drifted: listed ${files.size} vs ${stats.numFiles}")
+    val external = spark.read.parquet(files: _*)
+    val internal = t.read
+    require(external.exceptAll(internal).count() == 0 &&
+        internal.exceptAll(external).count() == 0,
+      "external manifest read must equal the table snapshot exactly")
+    external.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")
+          .as("sum_price"))
+  }
+
+  val exportManifestSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
+      |FROM orders WHERE o_orderkey % 5 <> 0
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** Incrementally-maintained materialized aggregate
     * ([[graft.table.IncrementalAggView]]): init from a snapshot, then
     * three refreshes fold an append (dir-diff feed), a DELETE without

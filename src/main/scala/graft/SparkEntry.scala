@@ -106,6 +106,7 @@ object SparkEntry {
     "incremental_view" -> (Queries.incrementalView(_, _)),
     "incremental_view_minmax" -> (Queries.incrementalViewMinMax(_, _)),
     "countmin_rollup" -> (Queries.countminRollup(_, _)),
+    "export_manifest" -> (Queries.exportManifest(_, _)),
     "deletion_vectors" -> (Queries.deletionVectors(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
     "type_widening" -> (Queries.typeWidening(_, _)),
@@ -320,6 +321,7 @@ object SparkEntry {
     "incremental_view" -> Queries.incrementalViewSql,
     "incremental_view_minmax" -> Queries.incrementalViewMinMaxSql,
     "countmin_rollup" -> Queries.countminRollupSql,
+    "export_manifest" -> Queries.exportManifestSql,
     "deletion_vectors" -> Queries.deletionVectorsSql,
     "table_clone" -> Queries.tableCloneSql,
     "type_widening" -> Queries.typeWideningSql,

@@ -682,4 +682,65 @@ class ManagedTableSpec extends SparkSpec {
     val old = spark.read.schema(StructType.fromDDL(v0.schemaDdl)).parquet(v0.dirs: _*)
     assert(old.as[(Int, String)].collect().toSeq === Seq((1, "a")))
   }
+
+  private def manifestFiles(dir: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName == "manifest") Seq(f) else Nil
+    walk(new java.io.File(dir)).flatMap(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath)).split("\n"))
+      .filter(_.nonEmpty)
+  }
+
+  test("exportManifest lists exactly the live snapshot's files, external-readable") {
+    val path = tmpDir("mt_manifest")
+    val t = ManagedTable(spark, path)
+    t.write((1 to 10).map(i => (i, s"v$i")).toDF("id", "v"), "APPEND", "append")
+    t.write((11 to 20).map(i => (i, s"v$i")).toDF("id", "v"), "APPEND", "append")
+    t.delete(org.apache.spark.sql.functions.col("id") <= 5) // copy-on-write: first dir de-referenced
+    val mdir = tmpDir("mt_manifest_out")
+    val stats = t.exportManifest(mdir)
+    val files = manifestFiles(mdir)
+    assert(stats.numFiles === files.size && stats.numManifests === 1)
+    assert(stats.version === t.lastCommit.get.version)
+    // an external engine reading the listed files sees the exact snapshot
+    val external = spark.read.parquet(files: _*)
+    assert(external.select("id").as[Int].collect().sorted.toSeq === (6 to 20))
+    // a de-referenced dir's files must not leak into the manifest
+    val deadDir = t.commitAt(0L).dirs.head
+    assert(!files.exists(_.contains(new org.apache.hadoop.fs.Path(deadDir).getName)))
+    // as-of export serves the pre-delete composition
+    val mold = tmpDir("mt_manifest_old")
+    t.exportManifest(mold, asOfVersion = Some(1L))
+    assert(spark.read.parquet(manifestFiles(mold): _*).count() === 20)
+  }
+
+  test("exportManifest writes one manifest per partition for partitioned tables") {
+    val path = tmpDir("mt_manifest_part")
+    val t = ManagedTable(spark, path)
+    t.write((1 to 12).map(i => (i, s"p${i % 3}")).toDF("id", "p"),
+      "APPEND", "append", partitionBy = Seq("p"))
+    val mdir = tmpDir("mt_manifest_part_out")
+    val stats = t.exportManifest(mdir)
+    assert(stats.numManifests === 3)
+    (0 until 3).foreach { b =>
+      val mf = new java.io.File(s"$mdir/p=p$b/manifest")
+      assert(mf.exists(), s"missing per-partition manifest for p=p$b")
+    }
+  }
+
+  test("exportManifest refuses live deletion vectors; purge clears the refusal") {
+    val path = tmpDir("mt_manifest_dv")
+    val t = ManagedTable(spark, path)
+    t.write((1 to 10).map(i => (i, s"v$i")).toDF("id", "v"), "APPEND", "append")
+    t.deleteVectors(org.apache.spark.sql.functions.col("id") === 3)
+    val mdir = tmpDir("mt_manifest_dv_out")
+    val e = intercept[IllegalArgumentException](t.exportManifest(mdir))
+    assert(e.getMessage.contains("tombstones"))
+    t.purgeDeletes()
+    val stats = t.exportManifest(mdir)
+    assert(spark.read.parquet(manifestFiles(mdir): _*)
+      .select("id").as[Int].collect().sorted.toSeq === (1 to 10).filterNot(_ == 3))
+    assert(stats.version === t.lastCommit.get.version)
+  }
 }
