@@ -1502,19 +1502,48 @@ final class ManagedTable(spark: SparkSession, root: String) {
    * retention is conservative at root granularity), and (c) pruned
    * commits' change dirs. Time travel and change feeds older than the
    * new [[earliestVersion]] fail loudly afterwards, as in Delta.
+   *
+   * `dryRun` reports what WOULD be pruned (versions, data roots,
+   * change dirs, DV dirs) without touching the filesystem — Delta's
+   * `VACUUM ... DRY RUN`; see also [[vacuumOlderThan]] for age-based
+   * retention.
    */
-  def vacuum(keepLast: Int): ManagedTable.VacuumStats = synchronized {
+  def vacuum(keepLast: Int, dryRun: Boolean = false): ManagedTable.VacuumStats =
+    synchronized {
+      import ManagedTable.VacuumStats
+      require(keepLast >= 1, "vacuum must keep at least one version")
+      val versions = listVersions.sorted
+      if (versions.size <= keepLast) return VacuumStats(0, 0, 0)
+      vacuumCore(versions, versions(versions.size - keepLast), dryRun)
+    }
+
+  /** Age-based retention — Delta's `VACUUM ... RETAIN` semantics: prune
+    * every version whose commit timestamp is strictly before `tsMs`
+    * (the head always survives, whatever its age). Same chain-base
+    * conservatism, dry-run, and own-root guard as [[vacuum]]. */
+  def vacuumOlderThan(tsMs: Long,
+                      dryRun: Boolean = false): ManagedTable.VacuumStats =
+    synchronized {
+      val versions = listVersions.sorted
+      require(versions.nonEmpty, s"managed table $root does not exist")
+      val commits = readCommits(versions)
+      val firstKeep = commits.filter(_.timestampMs >= tsMs).map(_.version)
+        .minOption.getOrElse(versions.last)
+      vacuumCore(versions, firstKeep, dryRun)
+    }
+
+  /** Shared vacuum core: keep `firstKeep` and everything after it
+    * (extended back to the earliest kept version's full-snapshot chain
+    * base), delete — or with `dryRun` only COUNT — the rest. */
+  private def vacuumCore(versions: Seq[Long], firstKeep: Long,
+                         dryRun: Boolean): ManagedTable.VacuumStats = {
     import ManagedTable.VacuumStats
-    require(keepLast >= 1, "vacuum must keep at least one version")
-    val versions = listVersions.sorted
-    if (versions.size <= keepLast) return VacuumStats(0, 0, 0)
-    val (_, keep0) = versions.splitAt(versions.size - keepLast)
     // delta-encoded entries chain to earlier versions; the earliest kept
     // commit's whole chain must survive or retained versions become
     // unresolvable. Walk it to its full-snapshot base and keep from there
     // (≤ LogSnapshotInterval−1 extra versions, conservative like Delta's
     // checkpoint retention).
-    var chainBase = keep0.head
+    var chainBase = firstKeep
     var link = readEntry(chainBase)._2
     while (link.isDefined) {
       require(link.get.baseVersion < chainBase,
@@ -1556,6 +1585,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val deadDv = (dropCommits.flatMap(_.dvDirs).toSet -- keptDv)
       .filter(underOwnRoot)
 
+    if (dryRun)
+      return VacuumStats(drop.size, deadRoots.size, deadChange.size, deadDv.size)
     // delete the log entries FIRST: a crash mid-vacuum then leaves orphan
     // data dirs (harmless; a later vacuum of any version sweeps nothing,
     // but no retained commit ever points at deleted data), never a live

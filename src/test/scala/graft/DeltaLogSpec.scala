@@ -185,6 +185,39 @@ class DeltaLogSpec extends SparkSpec {
     assert(t.earliestVersion === Some(10L))
   }
 
+  test("vacuum dry-run reports the exact prune set and deletes nothing") {
+    val path = tmpDir("dl_vac_dry")
+    val t = ManagedTable(spark, path)
+    (0 until 13).foreach(i => t.write(Seq(i).toDF("id"), "APPEND", "append"))
+    val dry = t.vacuum(keepLast = 3, dryRun = true)
+    assert(dry.prunedVersions === 10 && dry.deletedDataDirs === 0)
+    assert(t.earliestVersion === Some(0L), "dry run must not prune the log")
+    assert(t.readAt(0L).count() === 1, "dry run must not delete data")
+    val real = t.vacuum(keepLast = 3)
+    assert(real.prunedVersions === dry.prunedVersions,
+      "dry-run report must match what the real vacuum then prunes")
+    assert(t.earliestVersion === Some(10L))
+  }
+
+  test("vacuumOlderThan prunes by commit age; the head always survives") {
+    val path = tmpDir("dl_vac_age")
+    val t = ManagedTable(spark, path)
+    (0 until 12).foreach(i => t.write(Seq(i).toDF("id"), "APPEND", "append"))
+    val cutoff = t.commitAt(11L).timestampMs + 1
+    // every commit predates the cutoff — the head must still survive
+    // (extended back to its full-snapshot chain base, v10)
+    val s = t.vacuumOlderThan(cutoff)
+    assert(t.earliestVersion === Some(10L))
+    assert(s.prunedVersions === 10)
+    assert(t.read.count() === 12)
+    // a cutoff before every commit prunes nothing
+    val t2path = tmpDir("dl_vac_age2")
+    val t2 = ManagedTable(spark, t2path)
+    (0 until 3).foreach(i => t2.write(Seq(i).toDF("id"), "APPEND", "append"))
+    assert(t2.vacuumOlderThan(0L).prunedVersions === 0)
+    assert(t2.earliestVersion === Some(0L))
+  }
+
   test("reader refuses a future-protocol entry instead of misreading it") {
     val path = tmpDir("dl_protocol")
     val t = ManagedTable(spark, path)

@@ -301,4 +301,26 @@ class PlanSpec extends SparkSpec {
     val n = "Exchange hashpartitioning".r.findAllIn(mix).size
     assert(n === 1, s"mixtureSample: expected one shuffle, got $n:\n$mix")
   }
+
+  test("DV read: tombstones broadcast as an anti-join; filters still reach the scan") {
+    import graft.table.ManagedTable
+    import spark.implicits._
+    val path = tmpDir("plan_dv")
+    val t = ManagedTable(spark, path)
+    t.write((1 to 50000).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      "APPEND", "append")
+    t.deleteVectors(col("id") % 1000 === 0)
+    val df = t.readWhere(col("id") < 25000)
+    val planStr = finalPlan(df).toString
+    // the typical (small) tombstone set must broadcast — a
+    // shuffle-both-sides anti-join would tax every read with an exchange
+    assert(planStr.contains("BroadcastHashJoin") && planStr.contains("LeftAnti"),
+      s"DV anti-join should broadcast the tombstones:\n$planStr")
+    // DV application must not break predicate pushdown on the data scan
+    val dataScan = fileScans(df)
+      .find(_.requiredSchema.fieldNames.contains("id")).get
+    assert(dataScan.dataFilters.nonEmpty,
+      "readWhere predicate no longer reaches the parquet scan under DVs")
+    assert(!planStr.toLowerCase.contains("cartesian"))
+  }
 }
