@@ -2932,6 +2932,73 @@ object Queries {
       |FROM cum c JOIN n USING (bucket_us, event_type), p
       |WHERE c.cum >= CEIL(p.prob * n.n) AND c.cum - c.c < CEIL(p.prob * n.n)""".stripMargin
 
+  /** STREAMING windowed heavy hitters
+    * ([[graft.streaming.StreamOps.windowedHeavyHitters]]): per-day
+    * top-3 event types per user segment with the mergeable SpaceSaving
+    * summary as the state-store aggregation buffer — state per
+    * (window, key) capped at `capacity` items however many distinct
+    * items flow through, windows retired by the watermark. Run in the
+    * EXACT regime (capacity 16 ≥ the event-type taxonomy), gated
+    * in-query: every emitted row must carry zero error and every
+    * comfortably-closed (window, segment) must have been emitted. The
+    * oracle recomputes the top-3 with the same deterministic
+    * (count desc, item asc) tie order. */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.streaming.Trigger
+    val dayUs = 86400000000L
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev0 = pq(spark, dir, "events")
+    val ev = ev0.withColumn("ts_us", eventMicros(ev0))
+      .select((col("user_id") % 4).cast("string").as("segment"),
+        col("ts_us"), col("event_type"))
+    val src = tmp("shh_src")
+    ev.select(col("segment"), timestamp_micros(col("ts_us")).as("ts"),
+      col("event_type")).write.parquet(src)
+    val out = tmp("shh_out")
+    val stream = spark.readStream
+      .schema("segment STRING, ts TIMESTAMP, event_type STRING").parquet(src)
+    val q = StreamOps.windowedHeavyHitters(stream, "ts", "segment",
+      "event_type", "24 hours", "10 seconds", capacity = 16, k = 3)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out)
+      .option("checkpointLocation", tmp("shh_ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    drainOrFail(q, "stream_heavy_hitters")
+    val maxUs = ev.agg(max(col("ts_us"))).head.getLong(0)
+    def closed(bucket: Column) =
+      bucket + lit(2 * dayUs) <= lit(maxUs) - lit(10000000L)
+    val est = spark.read.parquet(out)
+      .withColumn("bucket_us", unix_micros(col("window_start")))
+      .filter(closed(col("bucket_us")))
+      .localCheckpoint()
+    require(est.filter(col("max_err") =!= 0L).count() == 0,
+      "stream_heavy_hitters: capacity >= taxonomy must stay exact (max_err 0)")
+    val expectedGroups = ev
+      .withColumn("bucket_us", col("ts_us") - col("ts_us") % dayUs)
+      .filter(closed(col("bucket_us")))
+      .select("bucket_us", "segment").distinct().count()
+    require(est.select("bucket_us", "segment").distinct().count() == expectedGroups,
+      "stream_heavy_hitters: a comfortably-closed window was withheld")
+    est.select(col("bucket_us"), col("segment"), col("item"),
+      col("est_count").as("n"))
+  }
+
+  val streamHeavyHittersSql: String =
+    """WITH e AS (SELECT CAST(user_id % 4 AS VARCHAR) AS segment,
+      |                  epoch_us(ts) AS ts_us, event_type FROM events),
+      |mx AS (SELECT MAX(ts_us) AS max_us FROM e),
+      |w AS (SELECT segment, ts_us - ts_us % 86400000000 AS bucket_us, event_type
+      |      FROM e),
+      |closed AS (SELECT w.* FROM w, mx
+      |           WHERE bucket_us + 2 * 86400000000 <= max_us - 10000000),
+      |h AS (SELECT bucket_us, segment, event_type AS item,
+      |       CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM closed GROUP BY 1, 2, 3),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_us, segment
+      |                                   ORDER BY n DESC, item) AS rk FROM h)
+      |SELECT bucket_us, segment, item, n FROM r WHERE rk <= 3""".stripMargin
+
   /** Set operations through the SQL surface: customers with orders in
     * 1995 but not 1996 (EXCEPT), via the task layer's SQL execution. */
   def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {

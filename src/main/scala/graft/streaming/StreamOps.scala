@@ -95,6 +95,38 @@ object StreamOps {
         col("gk.n").as("n_values"))
   }
 
+  /** Tumbling event-time HEAVY HITTERS per key — streaming top-k item
+    * monitoring with BOUNDED state: the mergeable SpaceSaving summary
+    * ([[graft.operators.Sketches.SpaceSaving]]) is the aggregation
+    * buffer, so state per (window, key) is capped at `capacity`
+    * tracked items however many distinct items flow through —
+    * map-side combinable, merged by the state store exactly like a
+    * sum, windows retired by the watermark. With `capacity ≥` the
+    * window's distinct item count the output is EXACT
+    * (`max_err` = 0) and micro-batch-boundary-independent — the
+    * regime the driver oracle pins; above it SpaceSaving's
+    * `true ≤ est ≤ true + max_err` guarantee applies per window.
+    * Top-`k` rows emit per (window, key), ordered (count desc, item
+    * asc) so ties are deterministic across engines. */
+  def windowedHeavyHitters(events: DataFrame, timeCol: String, keyCol: String,
+                           itemCol: String, windowDuration: String,
+                           watermark: String, capacity: Int, k: Int): DataFrame = {
+    import graft.operators.Sketches
+    require(k >= 1 && k <= capacity, s"need 1 <= k <= capacity, got k=$k")
+    val agg = udaf(new Sketches.SpaceSaving(capacity))
+    events
+      .filter(col(s"`$itemCol`").isNotNull)
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowDuration).as("window"), col(s"`$keyCol`"))
+      .agg(agg(col(s"`$itemCol`").cast("string")).as("__hh__"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(s"`$keyCol`"),
+        posexplode(slice(col("__hh__"), lit(1), lit(k))))
+      .drop("pos")
+      .select(col("window_start"), col("window_end"), col(s"`$keyCol`"),
+        col("col.item"), col("col.est_count"), col("col.max_err"))
+  }
+
   final case class SessionEvent(key: String, tsMs: Long)
   final case class SessionState(startMs: Long, lastMs: Long, n: Int)
   final case class SessionOut(key: String, startMs: Long, endMs: Long, nEvents: Int)

@@ -99,6 +99,58 @@ class StreamOpsSpec extends SparkSpec {
   private def sameWindow(ts: String, windowStart: String): Boolean =
     ts.substring(0, 16) == windowStart.substring(0, 16)
 
+  test("windowed heavy hitters: SpaceSaving state bounds hold across micro-batches") {
+    val srcDir = tmpDir("hhstream_src")
+    // two 1-minute windows × two keys; one hot item at 50% share vs 5
+    // cold items against capacity 4 — the APPROXIMATE regime, with the
+    // hot item far above the n/capacity tracking threshold
+    val rows = (0 until 3000).map { i =>
+      val key = if (i % 2 == 0) "a" else "b"
+      val minute = (i / 2) % 2
+      val item = if (i % 10 < 5) "hot" else s"cold${i % 10}"
+      (key, f"2026-01-01 00:0$minute:${i % 60}%02d", item)
+    }
+    rows.toDF("k", "ts_s", "item")
+      .select($"k", to_timestamp($"ts_s", "yyyy-MM-dd HH:mm:ss").as("ts"), $"item")
+      .write.parquet(srcDir)
+    val stream = spark.readStream
+      .schema("k STRING, ts TIMESTAMP, item STRING").parquet(srcDir)
+    val out = tmpDir("hhstream_out")
+    val q = StreamOps.windowedHeavyHitters(stream, "ts", "k", "item",
+      "1 minute", "10 seconds", capacity = 4, k = 4)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("hhstream_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not drain")
+    val got = spark.read.parquet(out)
+      .select($"window_start".cast("string"), $"k", $"item", $"est_count", $"max_err")
+      .collect()
+    assert(got.nonEmpty, "no closed windows emitted")
+    val exact = rows.groupBy { case (k, t, _) => (k, t.substring(0, 16)) }
+    for (r <- got) {
+      val ws = r.getString(0); val k = r.getString(1); val item = r.getString(2)
+      val est = r.getLong(3); val err = r.getLong(4)
+      val truth = rows.count { case (kk, t, it) =>
+        kk == k && sameWindow(t, ws) && it == item }
+      assert(est >= truth && est <= truth + err,
+        s"($ws,$k,$item): true $truth outside [${est - err}, $est]")
+    }
+    // the per-window dominant item must be tracked (freq >> n/capacity).
+    // Only CLOSED windows emit in append mode (the final window stays
+    // open — the watermark never passes its end), so check emitted ones.
+    val emitted = got.map(r => (r.getString(1), r.getString(0).substring(0, 16))).toSet
+    assert(emitted.nonEmpty)
+    exact.filter { case ((k, wsPrefix), _) => emitted.contains((k, wsPrefix)) }
+      .foreach { case ((k, wsPrefix), winRows) =>
+        val top = winRows.groupBy(_._3).view.mapValues(_.size).maxBy(_._2)._1
+        assert(got.exists(r => r.getString(1) == k &&
+          r.getString(0).startsWith(wsPrefix) && r.getString(2) == top),
+          s"dominant item $top missing for ($wsPrefix,$k)")
+      }
+  }
+
   test("sessionize (streaming state) matches the batch oracle") {
     implicit val s = spark
     val input = MemoryStream[SessionEvent](spark)
