@@ -1696,6 +1696,52 @@ object Queries {
       |WHERE NOT (l_quantity >= 45.0) AND NOT (l_discount <= 0.01)
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Column mapping ([[graft.table.ManagedTable.renameColumn]] /
+    * [[graft.table.ManagedTable.dropColumn]], Delta's column-mapping
+    * analogue): RENAME and DROP commit as metadata only — the parquet
+    * files keep their physical column names, reads alias physical →
+    * logical at scan time, and later appends + DML keep working under
+    * the new logical names against the same untouched files. In-query
+    * gates: the rename commit's dir composition is byte-identical to
+    * its parent's; the pre-rename dir's parquet still carries the OLD
+    * physical name on disk; a post-rename append's files ALSO carry
+    * the physical name (uniform naming); and the dropped column's
+    * bytes do not resurrect. The oracle re-derives the final state
+    * with plain SQL aliases. */
+  def columnRename(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    val path = tmp("cmap_table")
+    val c = pq(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+    val t = ManagedTable(spark, path)
+    t.write(c.filter(col("c_custkey") % 2 === 0), "APPEND", "append")
+    val preDir = t.lastCommit.get.dirs.head
+    val renamed = t.renameColumn("c_name", "customer_name")
+    require(renamed.dirs == t.commitAt(0L).dirs,
+      "rename must be metadata-only — dir composition changed")
+    require(spark.read.parquet(preDir).columns.contains("c_name"),
+      "rename rewrote the physical files")
+    t.write(c.filter(col("c_custkey") % 2 === 1)
+        .withColumnRenamed("c_name", "customer_name"), "APPEND", "append")
+    require(spark.read.parquet(t.lastCommit.get.dirs.last).columns
+        .contains("c_name"),
+      "post-rename append must keep writing the physical name")
+    t.dropColumn("c_acctbal")
+    t.delete(col("customer_name").endsWith("1"))
+    val out = t.read
+    require(out.columns.toSeq == Seq("c_custkey", "customer_name", "c_mktsegment"),
+      s"unexpected logical schema ${out.columns.mkString(",")}")
+    out.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), max(col("customer_name")).as("max_name"))
+  }
+
+  val columnRenameSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n, MAX(c_name) AS max_name
+      |FROM customer
+      |WHERE c_name NOT LIKE '%1'
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** Snapshot manifest export ([[graft.table.ManagedTable.exportManifest]],
     * Delta's `symlink_format_manifest` analogue): after appends and a
     * copy-on-write delete reshape the composition, the manifest lists

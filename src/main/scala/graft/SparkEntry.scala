@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_spans_incremental" -> (Queries.dedupSpansIncremental(_, _)),
     "incremental_view" -> (Queries.incrementalView(_, _)),
     "incremental_view_minmax" -> (Queries.incrementalViewMinMax(_, _)),
+    "column_rename" -> (Queries.columnRename(_, _)),
     "countmin_rollup" -> (Queries.countminRollup(_, _)),
     "export_manifest" -> (Queries.exportManifest(_, _)),
     "deletion_vectors" -> (Queries.deletionVectors(_, _)),
@@ -321,6 +322,7 @@ object SparkEntry {
     "dedup_spans_incremental" -> Queries.dedupSpansIncrementalSql,
     "incremental_view" -> Queries.incrementalViewSql,
     "incremental_view_minmax" -> Queries.incrementalViewMinMaxSql,
+    "column_rename" -> Queries.columnRenameSql,
     "countmin_rollup" -> Queries.countminRollupSql,
     "export_manifest" -> Queries.exportManifestSql,
     "deletion_vectors" -> Queries.deletionVectorsSql,

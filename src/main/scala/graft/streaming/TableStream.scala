@@ -387,10 +387,11 @@ final class TableStreamSource(
     val parts = Seq(
       if (backfillDirs.isEmpty) None
       else Some(table.readDirsAsDv(backfillDirs.distinct, schema, partitioned,
-        backfillDv)),
+        backfillDv, snapshotCommit.columnMap)),
       if (tailDirsSeq.isEmpty) None
       else Some(table.readDirsAs(
-        tailDirsSeq.distinct.filterNot(backfillDirs.toSet), schema, partitioned)))
+        tailDirsSeq.distinct.filterNot(backfillDirs.toSet), schema, partitioned,
+        currentHead.columnMap)))
       .flatten
     val batch = parts
       .reduceOption(_.unionByName(_))

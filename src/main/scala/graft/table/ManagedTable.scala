@@ -159,7 +159,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
     readDirsDv(c.dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty,
-      c.dvDirs)
+      c.dvDirs, c.columnMap)
   }
 
   /** Snapshot as of a specific version (time travel over the commit log —
@@ -177,7 +177,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
     // the commit's own cumulative DV list — time travel sees exactly the
     // tombstones that existed as of that version
     readDirsDv(c.dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty,
-      c.dvDirs)
+      c.dvDirs, c.columnMap)
   }
 
   /** Latest retained version whose commit time is at or before `tsMs` —
@@ -218,7 +218,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       Map("restoredVersion" -> version.toString,
         "numRestoredDirs" -> target.dirs.size.toString),
       None, target.schemaDdl, cur.version, partitionBy = target.partitionBy,
-      dirStats = target.dirStats, txn = cur.txn, dvDirs = target.dvDirs)
+      dirStats = target.dirStats, txn = cur.txn, dvDirs = target.dvDirs,
+      columnMap = target.columnMap)
     writeCommit(commit, Some(cur))
     commit
   }
@@ -309,7 +310,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         "numClonedDirs" -> dirs.size.toString,
         "cloneMode" -> (if (deep) "deep" else "shallow")),
       None, src.schemaDdl, -1L, partitionBy = src.partitionBy,
-      dirStats = stats, dirBytes = bytes, dvDirs = dvDirs)
+      dirStats = stats, dirBytes = bytes, dvDirs = dvDirs,
+      columnMap = src.columnMap)
     target.writeCommit(commit)
     commit
   }
@@ -338,8 +340,36 @@ final class ManagedTable(spark: SparkSession, root: String) {
       }
   }
 
+  /** The LOGICAL schema's fields under their PHYSICAL parquet names —
+    * what the scan must request when a column mapping is live. */
+  private def physicalSchema(schema: StructType,
+                             cmap: Map[String, String]): StructType =
+    if (cmap.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+
+  /** Select list renaming a physical-named frame back to logical. */
+  private def logicalCols(schema: StructType,
+                          cmap: Map[String, String]): IndexedSeq[org.apache.spark.sql.Column] =
+    schema.fields.map { f =>
+      org.apache.spark.sql.functions
+        .col(s"`${cmap.getOrElse(f.name, f.name)}`").as(f.name)
+    }.toIndexedSeq
+
+  /** Rename a logical-named frame to its physical column names for
+    * writing (layout columns like [[CLUSTER_COL]] pass through
+    * unmapped) — applied AFTER any `.observe`, so recorded skipping
+    * stats stay keyed by logical names forever. */
+  private def toPhysical(df: DataFrame,
+                         cmap: Map[String, String]): DataFrame =
+    if (cmap.isEmpty) df
+    else df.select(df.columns.map(n =>
+      org.apache.spark.sql.functions.col(s"`$n`")
+        .as(cmap.getOrElse(n, n))).toIndexedSeq: _*)
+
   private def readDirs(dirs: Seq[String], schema: StructType,
-                       partitioned: Boolean = false): DataFrame =
+                       partitioned: Boolean = false,
+                       cmap: Map[String, String] = Map.empty): DataFrame =
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
@@ -350,10 +380,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
       // cluster-bucket subdirs + a file-scoped merge's plain dir), so a
       // layout column present in one frame and absent in another must not
       // fail the union — it is dropped by the select either way
-      dirFrames(dirs, schema, partitioned)
+      dirFrames(dirs, physicalSchema(schema, cmap), partitioned)
         .reduce(_.unionByName(_, allowMissingColumns = true))
-        .select(schema.fieldNames.map(n =>
-          org.apache.spark.sql.functions.col(s"`$n`")).toIndexedSeq: _*)
+        .select(logicalCols(schema, cmap): _*)
 
   /** The tombstone rows of a snapshot's deletion-vector dirs. */
   private def dvFrame(dvDirs: Seq[String]): DataFrame =
@@ -377,12 +406,14 @@ final class ManagedTable(spark: SparkSession, root: String) {
     * under `autoBroadcastJoinThreshold` — the read tax is one
     * broadcast-hash anti-join, cleared entirely by [[purgeDeletes]]. */
   private def readDirsDv(dirs: Seq[String], schema: StructType,
-                         partitioned: Boolean, dvDirs: Seq[String]): DataFrame =
-    if (dvDirs.isEmpty || dirs.isEmpty) readDirs(dirs, schema, partitioned)
+                         partitioned: Boolean, dvDirs: Seq[String],
+                         cmap: Map[String, String] = Map.empty): DataFrame =
+    if (dvDirs.isEmpty || dirs.isEmpty) readDirs(dirs, schema, partitioned, cmap)
     else {
       import org.apache.spark.sql.functions.col
-      val cols = schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq
-      val metaed = dirFrames(dirs, schema, partitioned).map { f =>
+      val cols = logicalCols(schema, cmap)
+      val outCols = schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq
+      val metaed = dirFrames(dirs, physicalSchema(schema, cmap), partitioned).map { f =>
         f.select(cols :+ dvKeyOf(col("_metadata.file_path")).as("__graft_dv_file__") :+
           col("_metadata.row_index").as("__graft_dv_pos__"): _*)
       }.reduce(_.unionByName(_))
@@ -390,7 +421,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       metaed.join(dv,
           metaed("__graft_dv_file__") === dv("file") &&
             metaed("__graft_dv_pos__") === dv("pos"), "left_anti")
-        .select(cols: _*)
+        .select(outCols: _*)
     }
 
   /**
@@ -449,8 +480,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
     // them yet), the PREDECESSOR version's cumulative set for removes
     // (rows tombstoned before the dir was dropped were already deleted
     // then, and must not re-appear as deletes now)
-    val addDirs = mutable.LinkedHashMap.empty[(String, Seq[String]), mutable.Buffer[String]]
-    val removeDirs = mutable.LinkedHashMap.empty[(String, Seq[String]), mutable.Buffer[String]]
+    val addDirs = mutable.LinkedHashMap
+      .empty[(String, Seq[String], Map[String, String]), mutable.Buffer[String]]
+    val removeDirs = mutable.LinkedHashMap
+      .empty[(String, Seq[String], Map[String, String]), mutable.Buffer[String]]
     // commit dir (path component, scheme-stripped) -> (version, timestamp)
     val addStamps = mutable.Map.empty[String, (Long, java.sql.Timestamp)]
     val removeStamps = mutable.Map.empty[String, (Long, java.sql.Timestamp)]
@@ -473,6 +506,15 @@ final class ManagedTable(spark: SparkSession, root: String) {
           throw new IllegalStateException(
             s"version $v of $root is a merge committed without " +
               "enable_change_data_feed — change data was not recorded")
+        case None if c.operation.startsWith("RENAME COLUMN") ||
+            c.operation.startsWith("DROP COLUMN") =>
+          // metadata-only, but the LOGICAL schema shifts mid-range: rows
+          // before and after would union under different names (Delta
+          // likewise refuses CDF across column-mapping changes)
+          throw new IllegalStateException(
+            s"version $v of $root changes the column mapping " +
+              s"(${c.operation}) — a change feed cannot span a " +
+              "rename/drop; read ranges on either side of it")
         case None if c.operation.startsWith("DELETE VECTORS") &&
             c.operationMetrics.get("numDeletedRows").exists(_ != "0") =>
           // a DV delete changes no dirs, so dir-diff synthesis would
@@ -485,13 +527,16 @@ final class ManagedTable(spark: SparkSession, root: String) {
           val prevDirs = prev.map(_.dirs).getOrElse(Nil)
           val ts = new java.sql.Timestamp(c.timestampMs)
           c.dirs.diff(prevDirs).foreach { d =>
-            addDirs.getOrElseUpdate((c.schemaDdl, Nil), mutable.Buffer.empty) += d
+            addDirs.getOrElseUpdate((c.schemaDdl, Nil, c.columnMap),
+              mutable.Buffer.empty) += d
             addStamps(pathKey(d)) = (v, ts)
           }
           val prevDdl = prev.map(_.schemaDdl).getOrElse(c.schemaDdl)
           val prevDv = prev.map(_.dvDirs).getOrElse(Nil)
+          val prevMap = prev.map(_.columnMap).getOrElse(Map.empty)
           prevDirs.diff(c.dirs).foreach { d =>
-            removeDirs.getOrElseUpdate((prevDdl, prevDv), mutable.Buffer.empty) += d
+            removeDirs.getOrElseUpdate((prevDdl, prevDv, prevMap),
+              mutable.Buffer.empty) += d
             removeStamps(pathKey(d)) = (v, ts)
           }
       }
@@ -517,7 +562,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
     // (see readDirs) — partitioned-ness of any commit in range applies
     val anyPartitioned = fetched.values.exists(_.partitionBy.nonEmpty)
 
-    def stamped(bySchema: mutable.LinkedHashMap[(String, Seq[String]), mutable.Buffer[String]],
+    def stamped(bySchema: mutable.LinkedHashMap[(String, Seq[String], Map[String, String]), mutable.Buffer[String]],
                 stamps: mutable.Map[String, (Long, java.sql.Timestamp)],
                 changeType: String): Seq[DataFrame] = {
       if (bySchema.isEmpty) return Nil
@@ -533,9 +578,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
           throw new IllegalStateException(s"change-feed file $file not in commit dir map")
         hit
       }
-      bySchema.map { case ((ddl, dvAsOf), dirs) =>
+      bySchema.map { case ((ddl, dvAsOf, cmapAsOf), dirs) =>
         readDirsDvWithFile(dirs.toSeq, StructType.fromDDL(ddl), anyPartitioned,
-            dvAsOf, "__graft_file__")
+            dvAsOf, "__graft_file__", cmapAsOf)
           .withColumn("_change_type", lit(changeType))
           .withColumn("__graft_stamp__", stampOf(col("__graft_file__")))
           .withColumn("_commit_version", col("__graft_stamp__._1"))
@@ -585,7 +630,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       (for (stats <- c.dirStats.get(d); e <- predExpr)
         yield DataSkipping.mayMatch(stats, schema, e)).getOrElse(true)
     }
-    readDirsDv(kept, schema, c.partitionBy.nonEmpty, c.dvDirs).filter(predicate)
+    readDirsDv(kept, schema, c.partitionBy.nonEmpty, c.dvDirs, c.columnMap)
+      .filter(predicate)
   }
 
   /**
@@ -683,13 +729,15 @@ final class ManagedTable(spark: SparkSession, root: String) {
         Map("numDeletedRows" -> "0",
           "numDeletionVectors" -> c.dvDirs.size.toString),
         None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
-        dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs)
+        dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
+        columnMap = c.columnMap)
       writeCommit(commit, Some(c))
       commit
     }
     if (affected.isEmpty) return noop()
-    val cols = schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq
-    val metaed = dirFrames(affected, schema, c.partitionBy.nonEmpty).map { f =>
+    val cols = logicalCols(schema, c.columnMap)
+    val metaed = dirFrames(affected, physicalSchema(schema, c.columnMap),
+        c.partitionBy.nonEmpty).map { f =>
       f.select(cols :+ dvKeyOf(col("_metadata.file_path")).as("__graft_dv_file__") :+
         col("_metadata.row_index").as("__graft_dv_pos__"): _*)
     }.reduce(_.unionByName(_))
@@ -717,7 +765,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val changeDir =
       if (!captureChangeData) None
       else Some(writeChangeData(version, tsMs,
-        matched.select(cols: _*).withColumn("_change_type", lit("delete"))))
+        matched.select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("delete"))))
     val commit = Commit(version, "DELETE VECTORS", tsMs, c.dirs,
       Map("numDeletedRows" -> n.toString,
         "numDeletionVectors" -> (c.dvDirs.size + 1).toString,
@@ -725,7 +774,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       None, c.schemaDdl, c.version, changeDir,
       changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
       partitionBy = c.partitionBy, dirStats = c.dirStats, txn = c.txn,
-      dvDirs = c.dvDirs :+ dvDir)
+      dvDirs = c.dvDirs :+ dvDir, columnMap = c.columnMap)
     try { writeCommit(commit, Some(c)); commit }
     catch { case e: Throwable =>
       changeDir.foreach(d => fs.delete(new Path(d), true))
@@ -767,17 +816,20 @@ final class ManagedTable(spark: SparkSession, root: String) {
         Map("numRewrittenDirs" -> "0",
           "numPurgedDvDirs" -> c.dvDirs.size.toString),
         None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
-        dirStats = c.dirStats, txn = c.txn, dvDirs = Nil)
+        dirStats = c.dirStats, txn = c.txn, dvDirs = Nil,
+        columnMap = c.columnMap)
       writeCommit(commit, Some(c))
       return Some(commit)
     }
-    val src = readDirsDv(affected, schema, c.partitionBy.nonEmpty, c.dvDirs)
+    val src = readDirsDv(affected, schema, c.partitionBy.nonEmpty, c.dvDirs,
+      c.columnMap)
     val obs = org.apache.spark.sql.Observation(
       s"graft_purge_$version-${UUID.randomUUID()}")
     val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(schema)
     val dataDir = new Path(new Path(rootPath, "data"),
       f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
-    val writer = src.observe(obs, aggs.head, aggs.tail: _*).write.mode("overwrite")
+    val writer = toPhysical(src.observe(obs, aggs.head, aggs.tail: _*),
+      c.columnMap).write.mode("overwrite")
     (if (c.partitionBy.nonEmpty) writer.partitionBy(c.partitionBy: _*)
      else writer).parquet(dataDir)
     val observed = obs.get
@@ -791,7 +843,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       Map("numRewrittenDirs" -> affected.size.toString,
         "numPurgedDvDirs" -> c.dvDirs.size.toString),
       None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
-      dirStats = dirStats, txn = c.txn, dvDirs = Nil)
+      dirStats = dirStats, txn = c.txn, dvDirs = Nil,
+      columnMap = c.columnMap)
     writeCommit(commit, Some(c))
     Some(commit)
   }
@@ -829,7 +882,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         val commit = Commit(version, operation, tsMs, c.dirs,
           Map("numAffectedRows" -> "0", "numRewrittenDirs" -> "0"),
           None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
-          dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs)
+          dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
+          columnMap = c.columnMap)
         writeCommit(commit, Some(c))
         return commit
       }
@@ -837,7 +891,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       // DV-aware source read: a rewrite of a dir with live tombstones
       // must not resurrect its deleted rows (the rewrite MATERIALIZES
       // those deletes — tombstones for rewritten files go inert)
-      val src = readDirsDv(affected, schema, c.partitionBy.nonEmpty, c.dvDirs)
+      val src = readDirsDv(affected, schema, c.partitionBy.nonEmpty, c.dvDirs,
+        c.columnMap)
       // affected-row count observed above the transform, output rows +
       // skipping stats below it — one write job, no extra passes
       val obsIn = org.apache.spark.sql.Observation(
@@ -851,7 +906,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       val outAggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(schema)
       val dataDir = new Path(new Path(rootPath, "data"),
         f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
-      val writer = result.observe(obsOut, outAggs.head, outAggs.tail: _*)
+      val writer = toPhysical(
+          result.observe(obsOut, outAggs.head, outAggs.tail: _*), c.columnMap)
         .write.mode("overwrite")
       (if (c.partitionBy.nonEmpty) writer.partitionBy(c.partitionBy: _*)
        else writer).parquet(dataDir)
@@ -866,8 +922,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       // rewritten). One extra job over the affected dirs — opt-in.
       val changeDir = changeRows.map { build =>
         writeChangeData(version, tsMs,
-          build(readDirsDv(affected, schema, c.partitionBy.nonEmpty, c.dvDirs),
-            predicate))
+          build(readDirsDv(affected, schema, c.partitionBy.nonEmpty, c.dvDirs,
+            c.columnMap), predicate))
       }
       val untouchedStats = c.dirStats.view.filterKeys(untouched.contains).toMap
       val dirs = if (outRows == 0) untouched else untouched :+ dataDir
@@ -882,7 +938,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         partitionBy = c.partitionBy, dirStats = dirStats, txn = c.txn,
         // carried for the untouched dirs; entries pointing at the
         // rewritten files are inert (those files left the composition)
-        dvDirs = c.dvDirs)
+        dvDirs = c.dvDirs, columnMap = c.columnMap)
       writeCommit(commit, Some(c))
       commit
     }
@@ -921,7 +977,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
     readDirsDv(dirs, StructType.fromDDL(c.schemaDdl), c.partitionBy.nonEmpty,
-      c.dvDirs)
+      c.dvDirs, c.columnMap)
   }
 
   /** Retained commits with `fromV <= version <= toV`, ascending — one log
@@ -934,8 +990,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
     * a stream's schema is fixed at start, so dirs committed after a
     * schema evolution are projected onto it (missing columns → NULL). */
   private[graft] def readDirsAs(dirs: Seq[String], schema: StructType,
-                                partitioned: Boolean): DataFrame =
-    readDirs(dirs, schema, partitioned)
+                                partitioned: Boolean,
+                                cmap: Map[String, String] = Map.empty): DataFrame =
+    readDirs(dirs, schema, partitioned, cmap)
 
   /** [[readDirsDv]] keeping each row's source file path (full URI) as
     * `fileCol` — change-feed synthesis stamps commit version/timestamp
@@ -943,10 +1000,11 @@ final class ManagedTable(spark: SparkSession, root: String) {
     * unusable once the DV anti-join makes the plan multi-source
     * (`_metadata.file_path` is per-relation and union/join-safe). */
   private def readDirsDvWithFile(dirs: Seq[String], schema: StructType,
-      partitioned: Boolean, dvDirs: Seq[String], fileCol: String): DataFrame = {
+      partitioned: Boolean, dvDirs: Seq[String], fileCol: String,
+      cmap: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val cols = schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq
-    val metaed = dirFrames(dirs, schema, partitioned).map { f =>
+    val cols = logicalCols(schema, cmap)
+    val metaed = dirFrames(dirs, physicalSchema(schema, cmap), partitioned).map { f =>
       f.select(cols :+ col("_metadata.file_path").as(fileCol) :+
         col("_metadata.row_index").as("__graft_dv_pos__"): _*)
     }.reduce(_.unionByName(_))
@@ -966,9 +1024,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
     * per-version ADDED dirs, whose files no tombstone can reference at
     * admission time, and stay on the plain path). */
   private[graft] def readDirsAsDv(dirs: Seq[String], schema: StructType,
-                                  partitioned: Boolean,
-                                  dvDirs: Seq[String]): DataFrame =
-    readDirsDv(dirs, schema, partitioned, dvDirs)
+                                  partitioned: Boolean, dvDirs: Seq[String],
+                                  cmap: Map[String, String] = Map.empty): DataFrame =
+    readDirsDv(dirs, schema, partitioned, dvDirs, cmap)
 
   /**
    * Commit `df` as one new data dir PLUS `carried` dirs of the previous
@@ -1055,7 +1113,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
               r.getInt(r.fieldIndex(CLUSTER_COL)) ->
                 (r.getLong(r.fieldIndex("rows")), DataSkipping.statsOf(dataSchema, vals))
             }.toMap
-        df.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(dataDir)
+        toPhysical(df, base0.columnMap)
+          .write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(dataDir)
         val ds = perGroup.keys.toSeq.sorted.map(g => s"$dataDir/$CLUSTER_COL=$g")
         (perGroup.values.map(_._1).sum, ds,
           perGroup.map { case (g, (_, st)) => s"$dataDir/$CLUSTER_COL=$g" -> st })
@@ -1063,7 +1122,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         val obs = org.apache.spark.sql.Observation(
           s"graft_fsm_${base0.version + 1L}-${UUID.randomUUID()}")
         val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(df.schema)
-        val writer = df.observe(obs, aggs.head, aggs.tail: _*).write.mode("overwrite")
+        val writer = toPhysical(df.observe(obs, aggs.head, aggs.tail: _*),
+          base0.columnMap).write.mode("overwrite")
         (if (base0.partitionBy.nonEmpty) writer.partitionBy(base0.partitionBy: _*)
          else writer).parquet(dataDir)
         val observed = obs.get
@@ -1094,7 +1154,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         userMetadata, dataSchema.toDDL, base.version, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = base.partitionBy, dirStats = dirStats,
-        txn = base.txn ++ txnUpdate.toMap, dvDirs = base.dvDirs)
+        txn = base.txn ++ txnUpdate.toMap, dvDirs = base.dvDirs,
+        columnMap = base.columnMap)
       try { writeCommit(commit, Some(base)); return commit }
       catch {
         case e: ConcurrentCommitException =>
@@ -1216,13 +1277,31 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val readVersion = prev.map(_.version).getOrElse(-1L)
     val version = readVersion + 1L
     val tsMs = System.currentTimeMillis()
+    // column mapping: a replace starts fresh files under the logical
+    // names (map resets); an append writes the previous map's PHYSICAL
+    // names so all live dirs stay uniformly named. A genuinely new
+    // column whose logical name collides with an in-use physical name
+    // (of a renamed or dropped column still present in old files) gets
+    // a fresh generated physical name — reading old bytes under the
+    // reused name would silently resurrect the old column's data.
+    val commitMap: Map[String, String] = {
+      val prevMap = prev.map(_.columnMap).getOrElse(Map.empty)
+      if (mode != "append" || prevMap.isEmpty) Map.empty
+      else {
+        val used = prevMap.values.toSet
+        prevMap ++ df.schema.fieldNames
+          .filter(n => !prevMap.contains(n) && used.contains(n))
+          .map(n => n -> s"c_${UUID.randomUUID().toString.take(8)}")
+      }
+    }
     val dataDir = new Path(new Path(rootPath, "data"),
       f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
     // row count + per-column min/max observed on the write job itself —
     // no second pass; the stats feed [[readWhere]]'s dir-level skipping
     val obs = org.apache.spark.sql.Observation(s"graft_write_$version-${UUID.randomUUID()}")
     val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(df.schema)
-    val writer = df.observe(obs, aggs.head, aggs.tail: _*).write.mode("overwrite")
+    val writer = toPhysical(df.observe(obs, aggs.head, aggs.tail: _*), commitMap)
+      .write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir)
     val observed = obs.get
@@ -1255,7 +1334,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         // a replace starts a fresh composition (all tombstoned files
         // leave it); an append keeps the previous snapshot's dirs and
         // with them its live tombstones
-        dvDirs = if (mode == "append") base.map(_.dvDirs).getOrElse(Nil) else Nil)
+        dvDirs = if (mode == "append") base.map(_.dvDirs).getOrElse(Nil) else Nil,
+        columnMap = commitMap)
       try writeCommit(c, base)
       catch { case e: Throwable =>
         changeDir.foreach(d => fs.delete(new Path(d), true))
@@ -1339,7 +1419,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val aggs = org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("rows") +:
       DataSkipping.statAggs(df.schema)
-    df.observe(obs, aggs.head, aggs.tail: _*)
+    toPhysical(df.observe(obs, aggs.head, aggs.tail: _*),
+        prev.map(_.columnMap).getOrElse(Map.empty))
       .write.mode("overwrite").partitionBy(partitionBy: _*).parquet(dataDir.toString)
 
     def partitionSubdirs(base: Path): Seq[String] =
@@ -1399,8 +1480,82 @@ final class ManagedTable(spark: SparkSession, root: String) {
       changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
       partitionBy = partitionBy, dirStats = dirStats,
       txn = prev.map(_.txn).getOrElse(Map.empty) ++ txnUpdate.toMap,
-      dvDirs = prev.map(_.dvDirs).getOrElse(Nil))
+      dvDirs = prev.map(_.dvDirs).getOrElse(Nil),
+      columnMap = prev.map(_.columnMap).getOrElse(Map.empty))
     writeCommit(commit, prev)
+    commit
+  }
+
+  /**
+   * RENAME COLUMN as METADATA ONLY — Delta's column-mapping rename:
+   * the commit adopts the new logical name in `schemaDdl` while the
+   * column mapping records that the parquet files keep carrying the
+   * old PHYSICAL name. Zero files touched at any table size; reads
+   * alias physical → logical at scan time, appends keep writing the
+   * established physical name, skipping stats re-key to the new
+   * logical name (they are commit metadata, also zero-cost). Partition
+   * columns refuse — their name IS the directory layout. Entries with
+   * a live mapping stamp reader protocol 3 (an older reader would
+   * read the renamed column as NULL); change feeds refuse to SPAN the
+   * rename commit (read ranges on either side); a full rewrite
+   * (replace / clusterBy) materializes the logical names and clears
+   * the mapping.
+   */
+  def renameColumn(oldName: String, newName: String): Commit = synchronized {
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    val schema = StructType.fromDDL(c.schemaDdl)
+    require(schema.fieldNames.contains(oldName),
+      s"no column $oldName in $root (have ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(newName),
+      s"column $newName already exists in $root")
+    require(oldName != newName, "rename to the same name is a no-op")
+    require(!c.partitionBy.contains(oldName),
+      s"cannot rename partition column $oldName — its name is the " +
+        "directory layout; repartition via a full rewrite instead")
+    val phys = c.physicalOf(oldName)
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val newMap = (c.columnMap - oldName) ++
+      (if (phys == newName) Map.empty[String, String] else Map(newName -> phys))
+    val newStats = c.dirStats.view.mapValues(m =>
+      m.map { case (k, v) => (if (k == oldName) newName else k) -> v }).toMap
+    val commit = Commit(c.version + 1L, s"RENAME COLUMN($oldName -> $newName)",
+      System.currentTimeMillis(), c.dirs,
+      Map("renamedFrom" -> oldName, "renamedTo" -> newName),
+      None, newSchema.toDDL, c.version, partitionBy = c.partitionBy,
+      dirStats = newStats, txn = c.txn, dvDirs = c.dvDirs, columnMap = newMap)
+    writeCommit(commit, Some(c))
+    commit
+  }
+
+  /**
+   * DROP COLUMN as METADATA ONLY: the logical schema loses the field;
+   * the physical bytes stay in the files (reads simply never request
+   * them — column pruning makes them free) until the next full
+   * rewrite. The dropped column's PHYSICAL name is retained in the
+   * mapping under a reserved tombstone key so a later `mergeSchema`
+   * append re-adding the same logical name gets a FRESH physical name
+   * instead of silently resurrecting the dropped column's old bytes.
+   */
+  def dropColumn(name: String): Commit = synchronized {
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    val schema = StructType.fromDDL(c.schemaDdl)
+    require(schema.fieldNames.contains(name), s"no column $name in $root")
+    require(schema.fields.length > 1, s"cannot drop the last column of $root")
+    require(!c.partitionBy.contains(name),
+      s"cannot drop partition column $name — its name is the directory layout")
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    val tombstone =
+      s"__graft_dropped_${UUID.randomUUID().toString.take(8)}" -> c.physicalOf(name)
+    val newMap = (c.columnMap - name) + tombstone
+    val newStats = c.dirStats.view.mapValues(_ - name).toMap
+    val commit = Commit(c.version + 1L, s"DROP COLUMN($name)",
+      System.currentTimeMillis(), c.dirs, Map("droppedColumn" -> name),
+      None, newSchema.toDDL, c.version, partitionBy = c.partitionBy,
+      dirStats = newStats, txn = c.txn, dvDirs = c.dvDirs, columnMap = newMap)
+    writeCommit(commit, Some(c))
     commit
   }
 
@@ -1429,6 +1584,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
     require(c.dvDirs.isEmpty,
       s"version ${c.version} of $root has live deletion vectors — external " +
         "manifest readers cannot apply tombstones; purgeDeletes() first")
+    require(c.columnMap.isEmpty,
+      s"version ${c.version} of $root has a live column mapping — external " +
+        "manifest readers would see the PHYSICAL column names; rewrite " +
+        "(replace/clusterBy) to materialize the logical names first")
     // (file URI, partition rel path or "") per data file, listed with
     // bounded driver concurrency (30k dirs = 30k × RTT if sequential)
     val listed: Seq[(String, String)] = {
@@ -1656,7 +1815,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
     // DV-aware: compaction MATERIALIZES the tombstoned deletes for the
     // partitions it rewrites (their old files leave the composition)
     val frag0 = readDirsDv(fragmented.values.flatten.toSeq, schema,
-        partitioned = false, c.dvDirs)
+        partitioned = false, c.dvDirs, c.columnMap)
       .repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
     // optional intra-file clustering: sorted rows give parquet tight
     // per-row-group min/max on the sort columns, so pushed filters skip
@@ -1707,9 +1866,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val schema = StructType.fromDDL(c.schemaDdl)
     val groups = compactionGroups(c, small, maxDirBytes, sizes)
     val merged =
-      if (groups.size <= 1) readDirsDv(small, schema, partitioned = false, c.dvDirs)
+      if (groups.size <= 1)
+        readDirsDv(small, schema, partitioned = false, c.dvDirs, c.columnMap)
       else groups.zipWithIndex.map { case (ds, g) =>
-        readDirsDv(ds, schema, partitioned = false, c.dvDirs)
+        readDirsDv(ds, schema, partitioned = false, c.dvDirs, c.columnMap)
           .withColumn(CLUSTER_COL, org.apache.spark.sql.functions.lit(g))
       }.reduce(_.unionByName(_))
     Some(writeCarried(merged, big,
@@ -2140,7 +2300,22 @@ object ManagedTable {
       // whose file is no longer in the composition are inert. Entries
       // with tombstones stamp minReaderVersion 2 so a pre-DV reader
       // refuses instead of resurrecting deleted rows.
-      dvDirs: Seq[String] = Nil) {
+      dvDirs: Seq[String] = Nil,
+      // column mapping (Delta's column-mapping analogue): LOGICAL name
+      // (as in schemaDdl, what callers see) -> PHYSICAL name (what the
+      // parquet files carry). Lets RENAME/DROP COLUMN commit as
+      // metadata only — zero file rewrites. Identity entries are
+      // omitted; every partial writer renames batches to physical
+      // before writing so ALL live dirs share one physical naming, and
+      // full replaces reset the map (fresh files adopt the logical
+      // names). Entries with a live mapping stamp minReaderVersion 3:
+      // an older reader would scan physical files under logical names
+      // and read every renamed column as NULL.
+      columnMap: Map[String, String] = Map.empty) {
+
+    /** Physical parquet name of a logical column under this commit. */
+    def physicalOf(logical: String): String =
+      columnMap.getOrElse(logical, logical)
 
     /** Common log-entry node: `dirsKey`/`statsKey`/`bytesKey` name the
       * composition fields ("dirs"/"dirStats"/"dirBytes" for full
@@ -2155,7 +2330,9 @@ object ManagedTable {
       // pre-DV builds, while an entry with live tombstones makes an old
       // reader refuse loudly instead of silently resurrecting rows
       node.put("minReaderVersion",
-        if (dvDirs.nonEmpty) ManagedTable.DvProtocolVersion else 1)
+        if (columnMap.nonEmpty) ManagedTable.ColumnMapProtocolVersion
+        else if (dvDirs.nonEmpty) ManagedTable.DvProtocolVersion
+        else 1)
       node.put("version", version)
       node.put("operation", operation)
       node.put("timestampMs", timestampMs)
@@ -2194,6 +2371,10 @@ object ManagedTable {
       // never needs the parent's
       if (dvDirs.nonEmpty) {
         val dv = node.putArray("dvDirs"); dvDirs.foreach(dv.add)
+      }
+      if (columnMap.nonEmpty) {
+        val cm = node.putObject("columnMap")
+        columnMap.foreach { case (l, p) => cm.put(l, p) }
       }
       node
     }
@@ -2242,7 +2423,10 @@ object ManagedTable {
           db.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
         }.getOrElse(Map.empty),
         dvDirs = Option(n.get("dvDirs"))
-          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+        columnMap = Option(n.get("columnMap")).map { cm =>
+          cm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        }.getOrElse(Map.empty))
     }
 
     /** Parse a FULL-snapshot entry (delta entries are internal to the log;
@@ -2272,11 +2456,18 @@ object ManagedTable {
     * contract). Entries without the stamp predate it and read as
     * protocol 1. Protocol 2 = deletion vectors (`dvDirs`): a protocol-1
     * reader would scan the data dirs without the tombstone anti-join
-    * and resurrect deleted rows. */
-  val ProtocolVersion: Int = 2
+    * and resurrect deleted rows. Protocol 3 = column mapping
+    * (`columnMap`): an older reader would read renamed columns as
+    * NULL. */
+  val ProtocolVersion: Int = 3
 
   /** Reader protocol required by entries carrying deletion vectors. */
   val DvProtocolVersion: Int = 2
+
+  /** Reader protocol required by entries carrying a column mapping: an
+    * older reader would scan the physical files under the logical
+    * schema and silently read every renamed column as NULL. */
+  val ColumnMapProtocolVersion: Int = 3
 
   /** Deletion-vector tombstone schema: `file` is the table-relative
     * file key (path after the last `/data/` segment — stable across
