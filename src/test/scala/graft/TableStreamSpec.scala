@@ -495,4 +495,30 @@ class TableStreamSpec extends SparkSpec {
     assert(s.count() === 10)
     assert(s.filter($"flag" === true).count() === 5)
   }
+
+  test("CDF stream serves DV deletes from their captured change rows") {
+    val path = tmpDir("ts_dvcdf"); val ckpt = tmpDir("ts_dvcdf_ck")
+    val sink = tmpDir("ts_dvcdf_sink")
+    val t = ManagedTable(spark, path)
+    t.write((0 until 20).map(i => (i, s"v$i")).toDF("id", "v"), "APPEND", "append")
+    def drain(): Unit = {
+      val q = StreamOps.streamTable(spark, path, readChangeFeed = true)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    drain() // pin position; nothing before the start serves
+    t.deleteVectors(col("id") % 5 === 0) // captures change rows
+    t.write(Seq((100, "new")).toDF("id", "v"), "APPEND", "append")
+    drain()
+    val changes = spark.read.parquet(sink)
+    val dels = changes.filter($"_change_type" === "delete")
+      .select("id").as[Int].collect().sorted
+    assert(dels.toSeq === Seq(0, 5, 10, 15),
+      "DV delete must stream exactly its tombstoned rows")
+    assert(changes.filter($"_change_type" === "insert")
+      .select("id").as[Int].collect().toSeq === Seq(100))
+  }
 }
