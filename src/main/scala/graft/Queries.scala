@@ -1696,6 +1696,62 @@ object Queries {
       |WHERE NOT (l_quantity >= 45.0) AND NOT (l_discount <= 0.01)
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Persistent table constraints
+    * ([[graft.table.ManagedTable.addConstraint]], Delta's
+    * `ALTER TABLE ADD CONSTRAINT` analogue): rules recorded in the
+    * commit log and enforced on every data-adding write by folding
+    * violation counts into the write job's existing Observation — no
+    * second scan, and a violating batch rolls back BEFORE its commit
+    * publishes. In-query gates: a violating append throws and leaves
+    * version, composition, and row count untouched; a violating
+    * UPDATE rolls back the same way; conforming writes proceed. The
+    * emitted aggregate re-derives from `orders`. */
+  def tableConstraints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    import graft.write.WriteTableConstraintError
+    val path = tmp("cons_table")
+    val o = pq(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val t = ManagedTable(spark, path)
+    t.write(o.filter(col("o_orderkey") % 2 === 0), "APPEND", "append")
+    t.addConstraint("price_pos", "check:price_pos:o_totalprice > 0")
+    t.addConstraint("status_known", "one_of:o_orderstatus:O|F|P")
+    t.write(o.filter(col("o_orderkey") % 2 === 1), "APPEND", "append")
+    val before = t.lastCommit.get
+    val n = t.read.count()
+    // derived from the table so the batch schema (incl. nullability)
+    // matches — only the CONSTRAINT must reject it, not the schema check
+    val violating = t.read.limit(1)
+      .withColumn("o_totalprice", col("o_totalprice") * 0 - 5)
+    val bad = try {
+      t.write(violating, "APPEND", "append")
+      false
+    } catch { case _: WriteTableConstraintError => true }
+    require(bad, "violating append must throw WriteTableConstraintError")
+    require(t.lastCommit.get.version == before.version &&
+        t.lastCommit.get.dirs == before.dirs && t.read.count() == n,
+      "violating append must roll back without a commit")
+    val badUpd = try {
+      t.update(Map("o_orderstatus" -> lit("X")), col("o_orderkey") === 2); false
+    } catch { case _: WriteTableConstraintError => true }
+    require(badUpd && t.read.filter(col("o_orderstatus") === "X").count() == 0,
+      "violating update must roll back")
+    // conforming update proceeds under the constraints
+    t.update(Map("o_totalprice" -> (col("o_totalprice") + 1)),
+      col("o_orderkey") % 100 === 0)
+    t.read.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("string")
+          .as("sum_price"))
+  }
+
+  val tableConstraintsSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1
+      |                    ELSE o_totalprice END AS DECIMAL(18,2))) AS VARCHAR)
+      |   AS sum_price
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   /** Column mapping ([[graft.table.ManagedTable.renameColumn]] /
     * [[graft.table.ManagedTable.dropColumn]], Delta's column-mapping
     * analogue): RENAME and DROP commit as metadata only — the parquet

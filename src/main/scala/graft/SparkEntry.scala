@@ -110,6 +110,7 @@ object SparkEntry {
     "export_manifest" -> (Queries.exportManifest(_, _)),
     "deletion_vectors" -> (Queries.deletionVectors(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
+    "table_constraints" -> (Queries.tableConstraints(_, _)),
     "type_widening" -> (Queries.typeWidening(_, _)),
     "expectations_check" -> (Queries.expectationsCheck(_, _)),
     "selective_overwrite" -> (Queries.selectiveOverwriteManaged(_, _)),
@@ -327,6 +328,7 @@ object SparkEntry {
     "export_manifest" -> Queries.exportManifestSql,
     "deletion_vectors" -> Queries.deletionVectorsSql,
     "table_clone" -> Queries.tableCloneSql,
+    "table_constraints" -> Queries.tableConstraintsSql,
     "type_widening" -> Queries.typeWideningSql,
     "expectations_check" -> Queries.expectationsCheckSql,
     "selective_overwrite" -> Queries.selectiveOverwriteManagedSql,

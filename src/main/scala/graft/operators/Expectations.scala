@@ -29,14 +29,14 @@ object Expectations {
     def ruleName: String
     def columnLabel: String
     /** Aggregate expression counting this rule's violations. */
-    private[operators] def violations: org.apache.spark.sql.Column
+    private[graft] def violations: org.apache.spark.sql.Column
   }
 
   /** NULLs in `col`. */
   final case class NotNull(col: String) extends Rule {
     val ruleName = "not_null"
     val columnLabel: String = col
-    private[operators] def violations =
+    private[graft] def violations =
       sum(when(org.apache.spark.sql.functions.col(s"`$col`").isNull, 1L)
         .otherwise(0L))
   }
@@ -51,7 +51,7 @@ object Expectations {
     val columnLabel: String = keys.mkString(",")
     private def nonNull = keys.map(k =>
       org.apache.spark.sql.functions.col(s"`$k`").isNotNull).reduce(_ && _)
-    private[operators] def violations =
+    private[graft] def violations =
       sum(when(nonNull, 1L).otherwise(0L)) -
         // backtick-quoted like the null filter — a raw name here would
         // parse dots as struct access and count a DIFFERENT column
@@ -64,7 +64,7 @@ object Expectations {
     require(lo <= hi, s"empty range [$lo, $hi]")
     val ruleName = "in_range"
     val columnLabel: String = col
-    private[operators] def violations = {
+    private[graft] def violations = {
       val c = org.apache.spark.sql.functions.col(s"`$col`")
       sum(when(c.isNotNull && (c < lo || c > hi), 1L).otherwise(0L))
     }
@@ -74,7 +74,7 @@ object Expectations {
   final case class MatchesRegex(col: String, regex: String) extends Rule {
     val ruleName = "matches_regex"
     val columnLabel: String = col
-    private[operators] def violations = {
+    private[graft] def violations = {
       val c = org.apache.spark.sql.functions.col(s"`$col`")
       sum(when(c.isNotNull && !c.rlike(regex), 1L).otherwise(0L))
     }
@@ -88,7 +88,7 @@ object Expectations {
     require(allowed.nonEmpty, "OneOf needs at least one allowed value")
     val ruleName = "one_of"
     val columnLabel: String = col
-    private[operators] def violations = {
+    private[graft] def violations = {
       val c = org.apache.spark.sql.functions.col(s"`$col`").cast("string")
       sum(when(c.isNotNull && !c.isin(allowed: _*), 1L).otherwise(0L))
     }
@@ -103,7 +103,7 @@ object Expectations {
   final case class Satisfies(sql: String, label: String) extends Rule {
     val ruleName = "satisfies"
     val columnLabel: String = label
-    private[operators] def violations =
+    private[graft] def violations =
       sum(when(coalesce(expr(sql), lit(false)), 0L).otherwise(1L))
   }
 
@@ -152,6 +152,12 @@ object Expectations {
     require(rules.nonEmpty, "expectations DSL parsed to zero rules")
     rules
   }
+
+  /** The rule's violation-count aggregate — for callers composing
+    * rules into their OWN aggregations (e.g. the managed table's
+    * write-time constraint enforcement, which rides the write job's
+    * Observation instead of a second scan). */
+  def violationsOf(rule: Rule): org.apache.spark.sql.Column = rule.violations
 
   /** Evaluate all rules in one scan: `(rule, column, n_violations,
     * passed)`, one row per rule, rule order preserved. */

@@ -219,7 +219,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         "numRestoredDirs" -> target.dirs.size.toString),
       None, target.schemaDdl, cur.version, partitionBy = target.partitionBy,
       dirStats = target.dirStats, txn = cur.txn, dvDirs = target.dvDirs,
-      columnMap = target.columnMap)
+      columnMap = target.columnMap, constraints = target.constraints)
     writeCommit(commit, Some(cur))
     commit
   }
@@ -311,7 +311,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         "cloneMode" -> (if (deep) "deep" else "shallow")),
       None, src.schemaDdl, -1L, partitionBy = src.partitionBy,
       dirStats = stats, dirBytes = bytes, dvDirs = dvDirs,
-      columnMap = src.columnMap)
+      columnMap = src.columnMap, constraints = src.constraints)
     target.writeCommit(commit)
     commit
   }
@@ -730,7 +730,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
           "numDeletionVectors" -> c.dvDirs.size.toString),
         None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
         dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
-        columnMap = c.columnMap)
+        columnMap = c.columnMap, constraints = c.constraints)
       writeCommit(commit, Some(c))
       commit
     }
@@ -774,7 +774,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       None, c.schemaDdl, c.version, changeDir,
       changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
       partitionBy = c.partitionBy, dirStats = c.dirStats, txn = c.txn,
-      dvDirs = c.dvDirs :+ dvDir, columnMap = c.columnMap)
+      dvDirs = c.dvDirs :+ dvDir, columnMap = c.columnMap,
+      constraints = c.constraints)
     try { writeCommit(commit, Some(c)); commit }
     catch { case e: Throwable =>
       changeDir.foreach(d => fs.delete(new Path(d), true))
@@ -817,7 +818,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
           "numPurgedDvDirs" -> c.dvDirs.size.toString),
         None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
         dirStats = c.dirStats, txn = c.txn, dvDirs = Nil,
-        columnMap = c.columnMap)
+        columnMap = c.columnMap, constraints = c.constraints)
       writeCommit(commit, Some(c))
       return Some(commit)
     }
@@ -844,7 +845,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         "numPurgedDvDirs" -> c.dvDirs.size.toString),
       None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
       dirStats = dirStats, txn = c.txn, dvDirs = Nil,
-      columnMap = c.columnMap)
+      columnMap = c.columnMap, constraints = c.constraints)
     writeCommit(commit, Some(c))
     Some(commit)
   }
@@ -883,7 +884,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
           Map("numAffectedRows" -> "0", "numRewrittenDirs" -> "0"),
           None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
           dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
-          columnMap = c.columnMap)
+          columnMap = c.columnMap, constraints = c.constraints)
         writeCommit(commit, Some(c))
         return commit
       }
@@ -903,7 +904,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         count(lit(1)).as("scanned"),
         count(whenF(predicate, 1)).as("matched"))
       val result = transform(withIn, predicate)
-      val outAggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(schema)
+      val outAggs = (count(lit(1)).as("rows") +: DataSkipping.statAggs(schema)) ++
+        constraintAggs(c.constraints)
       val dataDir = new Path(new Path(rootPath, "data"),
         f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
       val writer = toPhysical(
@@ -913,6 +915,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
        else writer).parquet(dataDir)
 
       val outObserved = obsOut.get
+      enforceConstraints(c.constraints, outObserved, Seq(dataDir))
       val outRows = outObserved("rows").asInstanceOf[Long]
       val matched = obsIn.get("matched").asInstanceOf[Long]
       // optional minimal CDF: exactly the touched rows (delete /
@@ -938,7 +941,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         partitionBy = c.partitionBy, dirStats = dirStats, txn = c.txn,
         // carried for the untouched dirs; entries pointing at the
         // rewritten files are inert (those files left the composition)
-        dvDirs = c.dvDirs, columnMap = c.columnMap)
+        dvDirs = c.dvDirs, columnMap = c.columnMap, constraints = c.constraints)
       writeCommit(commit, Some(c))
       commit
     }
@@ -1105,10 +1108,18 @@ final class ManagedTable(spark: SparkSession, root: String) {
       if (groupedLayout) {
         require(base0.partitionBy.isEmpty,
           "groupedLayout composes with unpartitioned tables only")
-        val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(dataSchema)
+        val aggs = (count(lit(1)).as("rows") +: DataSkipping.statAggs(dataSchema)) ++
+          constraintAggs(base0.constraints)
+        val groupRows = df.groupBy(col(CLUSTER_COL)).agg(aggs.head, aggs.tail: _*)
+          .collect()
+        // per-group violation sums total to the batch count
+        enforceConstraints(base0.constraints,
+          base0.constraints.keys.map(n => s"cons:$n" -> (groupRows.map(r =>
+            Option(r.getAs[Any](s"cons:$n")).map(_.asInstanceOf[Long])
+              .getOrElse(0L)).sum: Any)).toMap,
+          Nil)
         val perGroup: Map[Int, (Long, Map[String, DataSkipping.ColMinMax])] =
-          df.groupBy(col(CLUSTER_COL)).agg(aggs.head, aggs.tail: _*)
-            .collect().map { r =>
+          groupRows.map { r =>
               val vals = r.getValuesMap[Any](r.schema.fieldNames)
               r.getInt(r.fieldIndex(CLUSTER_COL)) ->
                 (r.getLong(r.fieldIndex("rows")), DataSkipping.statsOf(dataSchema, vals))
@@ -1121,12 +1132,14 @@ final class ManagedTable(spark: SparkSession, root: String) {
       } else {
         val obs = org.apache.spark.sql.Observation(
           s"graft_fsm_${base0.version + 1L}-${UUID.randomUUID()}")
-        val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(df.schema)
+        val aggs = (count(lit(1)).as("rows") +: DataSkipping.statAggs(df.schema)) ++
+          constraintAggs(base0.constraints)
         val writer = toPhysical(df.observe(obs, aggs.head, aggs.tail: _*),
           base0.columnMap).write.mode("overwrite")
         (if (base0.partitionBy.nonEmpty) writer.partitionBy(base0.partitionBy: _*)
          else writer).parquet(dataDir)
         val observed = obs.get
+        enforceConstraints(base0.constraints, observed, Seq(dataDir))
         val rows = observed("rows").asInstanceOf[Long]
         (rows, Seq(dataDir), Map(dataDir -> DataSkipping.statsOf(df.schema, observed)))
       }
@@ -1155,7 +1168,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = base.partitionBy, dirStats = dirStats,
         txn = base.txn ++ txnUpdate.toMap, dvDirs = base.dvDirs,
-        columnMap = base.columnMap)
+        columnMap = base.columnMap, constraints = base.constraints)
       try { writeCommit(commit, Some(base)); return commit }
       catch {
         case e: ConcurrentCommitException =>
@@ -1299,12 +1312,15 @@ final class ManagedTable(spark: SparkSession, root: String) {
     // row count + per-column min/max observed on the write job itself —
     // no second pass; the stats feed [[readWhere]]'s dir-level skipping
     val obs = org.apache.spark.sql.Observation(s"graft_write_$version-${UUID.randomUUID()}")
-    val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(df.schema)
+    val cons = prev.map(_.constraints).getOrElse(Map.empty)
+    val aggs = (count(lit(1)).as("rows") +: DataSkipping.statAggs(df.schema)) ++
+      constraintAggs(cons)
     val writer = toPhysical(df.observe(obs, aggs.head, aggs.tail: _*), commitMap)
       .write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir)
     val observed = obs.get
+    enforceConstraints(cons, observed, Seq(dataDir))
     val numRows = observed("rows").asInstanceOf[Long]
     val dataDirStats = DataSkipping.statsOf(df.schema, observed)
     // The change parquet carries `_commit_version` stamped INTO its rows, so
@@ -1335,7 +1351,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         // leave it); an append keeps the previous snapshot's dirs and
         // with them its live tombstones
         dvDirs = if (mode == "append") base.map(_.dvDirs).getOrElse(Nil) else Nil,
-        columnMap = commitMap)
+        columnMap = commitMap, constraints = cons)
       try writeCommit(c, base)
       catch { case e: Throwable =>
         changeDir.foreach(d => fs.delete(new Path(d), true))
@@ -1416,9 +1432,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val dataDir = new Path(new Path(rootPath, "data"),
       f"$version%012d-${UUID.randomUUID().toString.take(8)}")
     val obs = org.apache.spark.sql.Observation(s"graft_sow_$version-${UUID.randomUUID()}")
-    val aggs = org.apache.spark.sql.functions.count(
+    val consSow = prev.map(_.constraints).getOrElse(Map.empty)
+    val aggs = (org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("rows") +:
-      DataSkipping.statAggs(df.schema)
+      DataSkipping.statAggs(df.schema)) ++ constraintAggs(consSow)
     toPhysical(df.observe(obs, aggs.head, aggs.tail: _*),
         prev.map(_.columnMap).getOrElse(Map.empty))
       .write.mode("overwrite").partitionBy(partitionBy: _*).parquet(dataDir.toString)
@@ -1466,6 +1483,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val kept = keptPairs.map(_._1)
 
     val observed = obs.get
+    enforceConstraints(consSow, observed, Seq(dataDir.toString))
     val numRows = observed("rows").asInstanceOf[Long]
     // every new subdir carries the incoming batch's whole-frame stats —
     // again a conservative superset of the subdir's true interval
@@ -1481,8 +1499,99 @@ final class ManagedTable(spark: SparkSession, root: String) {
       partitionBy = partitionBy, dirStats = dirStats,
       txn = prev.map(_.txn).getOrElse(Map.empty) ++ txnUpdate.toMap,
       dvDirs = prev.map(_.dvDirs).getOrElse(Nil),
-      columnMap = prev.map(_.columnMap).getOrElse(Map.empty))
+      columnMap = prev.map(_.columnMap).getOrElse(Map.empty),
+      constraints = consSow)
     writeCommit(commit, prev)
+    commit
+  }
+
+  /** Parsed violation-count aggregates for the table's persistent
+    * constraints, aliased `cons:<name>` — appended to each write job's
+    * existing Observation so enforcement costs ZERO extra scans. */
+  private def constraintAggs(
+      cons: Map[String, String]): Seq[org.apache.spark.sql.Column] =
+    cons.toSeq.sortBy(_._1).map { case (name, dsl) =>
+      graft.operators.Expectations.parseRules(dsl) match {
+        case Seq(r) =>
+          graft.operators.Expectations.violationsOf(r)
+            .cast("long").as(s"cons:$name")
+        case rs => throw new IllegalStateException(
+          s"constraint $name of $root holds ${rs.size} rules — corrupt log")
+      }
+    }
+
+  /** Check the observed violation counts; on any violation delete the
+    * just-written (uncommitted) dirs and throw — the commit never
+    * publishes, so the table is untouched. Empty batches observe NULL
+    * sums (no rows → no violations). */
+  private def enforceConstraints(cons: Map[String, String],
+                                 observed: Map[String, Any],
+                                 cleanup: Seq[String]): Unit =
+    cons.toSeq.sortBy(_._1).foreach { case (name, dsl) =>
+      val v = Option(observed.getOrElse(s"cons:$name", null))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (v > 0L) {
+        cleanup.foreach(d => fs.delete(new Path(d), true))
+        throw new graft.write.WriteTableConstraintError(
+          s"batch violates table constraint '$name' ($dsl) on $root: " +
+            s"$v violating rows — write rolled back")
+      }
+    }
+
+  /**
+   * ADD a persistent CHECK-style CONSTRAINT — Delta's
+   * `ALTER TABLE ADD CONSTRAINT` analogue. `rule` is ONE
+   * [[graft.operators.Expectations]] DSL entry (`not_null:col`,
+   * `range:col:lo:hi`, `regex:col:pattern`, `one_of:col:v1|v2`,
+   * `check:label:<sql predicate>`); it is validated against the
+   * EXISTING data first (one aggregate scan, as Delta does), recorded
+   * in the commit log, and from then on every data-adding write path
+   * (append, replace, merge, update rewrite, selective overwrite)
+   * enforces it by folding the violation count into the write job's
+   * existing Observation — a violating batch rolls back before its
+   * commit publishes. `unique:` rules refuse (distinct aggregates
+   * cannot ride an Observation, and row-level CHECK semantics — the
+   * Delta model — are per-row anyway; uniqueness belongs to merge
+   * keys or the expectations task gate).
+   */
+  def addConstraint(name: String, rule: String): Commit = synchronized {
+    import graft.operators.Expectations
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    require(name.nonEmpty && !name.contains(":"),
+      s"constraint name must be non-empty without ':', got '$name'")
+    require(!c.constraints.contains(name),
+      s"constraint $name already exists on $root")
+    val parsed = Expectations.parseRules(rule)
+    require(parsed.size == 1,
+      s"one rule per constraint — '$rule' parsed to ${parsed.size}")
+    require(!parsed.head.isInstanceOf[Expectations.Unique],
+      "unique: rules are not supported as persistent constraints " +
+        "(enforce uniqueness via merge keys or the expectations task gate)")
+    val bad = Expectations.check(read, parsed)
+      .filter(org.apache.spark.sql.functions.col("passed") === 0).count()
+    require(bad == 0L,
+      s"existing rows of $root violate '$name' ($rule) — constraint not added")
+    val commit = Commit(c.version + 1L, s"ADD CONSTRAINT($name)",
+      System.currentTimeMillis(), c.dirs, Map("constraint" -> rule),
+      None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
+      dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
+      columnMap = c.columnMap, constraints = c.constraints + (name -> rule))
+    writeCommit(commit, Some(c))
+    commit
+  }
+
+  /** DROP a persistent constraint — metadata only. */
+  def dropConstraint(name: String): Commit = synchronized {
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    require(c.constraints.contains(name), s"no constraint $name on $root")
+    val commit = Commit(c.version + 1L, s"DROP CONSTRAINT($name)",
+      System.currentTimeMillis(), c.dirs, Map("droppedConstraint" -> name),
+      None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
+      dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
+      columnMap = c.columnMap, constraints = c.constraints - name)
+    writeCommit(commit, Some(c))
     commit
   }
 
@@ -1513,6 +1622,13 @@ final class ManagedTable(spark: SparkSession, root: String) {
     require(!c.partitionBy.contains(oldName),
       s"cannot rename partition column $oldName — its name is the " +
         "directory layout; repartition via a full rewrite instead")
+    val refing = c.constraints.filter { case (_, dsl) =>
+      ("\\b" + java.util.regex.Pattern.quote(oldName) + "\\b").r
+        .findFirstIn(dsl).isDefined
+    }
+    require(refing.isEmpty,
+      s"constraints ${refing.keys.mkString(", ")} reference column $oldName " +
+        "— drop them first and re-add under the new name")
     val phys = c.physicalOf(oldName)
     val newSchema = StructType(schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
@@ -1524,7 +1640,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       System.currentTimeMillis(), c.dirs,
       Map("renamedFrom" -> oldName, "renamedTo" -> newName),
       None, newSchema.toDDL, c.version, partitionBy = c.partitionBy,
-      dirStats = newStats, txn = c.txn, dvDirs = c.dvDirs, columnMap = newMap)
+      dirStats = newStats, txn = c.txn, dvDirs = c.dvDirs, columnMap = newMap,
+      constraints = c.constraints)
     writeCommit(commit, Some(c))
     commit
   }
@@ -1546,6 +1663,13 @@ final class ManagedTable(spark: SparkSession, root: String) {
     require(schema.fields.length > 1, s"cannot drop the last column of $root")
     require(!c.partitionBy.contains(name),
       s"cannot drop partition column $name — its name is the directory layout")
+    val refing = c.constraints.filter { case (_, dsl) =>
+      ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+        .findFirstIn(dsl).isDefined
+    }
+    require(refing.isEmpty,
+      s"constraints ${refing.keys.mkString(", ")} reference column $name " +
+        "— drop them first")
     val newSchema = StructType(schema.fields.filterNot(_.name == name))
     val tombstone =
       s"__graft_dropped_${UUID.randomUUID().toString.take(8)}" -> c.physicalOf(name)
@@ -1554,7 +1678,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val commit = Commit(c.version + 1L, s"DROP COLUMN($name)",
       System.currentTimeMillis(), c.dirs, Map("droppedColumn" -> name),
       None, newSchema.toDDL, c.version, partitionBy = c.partitionBy,
-      dirStats = newStats, txn = c.txn, dvDirs = c.dvDirs, columnMap = newMap)
+      dirStats = newStats, txn = c.txn, dvDirs = c.dvDirs, columnMap = newMap,
+      constraints = c.constraints)
     writeCommit(commit, Some(c))
     commit
   }
@@ -2115,7 +2240,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val commit = Commit(version, operation, tsMs, dirs,
       Map("numOutputRows" -> perBucket.values.map(_._1).sum.toString,
         "buckets" -> perBucket.size.toString),
-      None, c.schemaDdl, c.version, dirStats = dirStats, txn = c.txn)
+      None, c.schemaDdl, c.version, dirStats = dirStats, txn = c.txn,
+      constraints = c.constraints)
     writeCommit(commit, Some(c))
     commit
   }
@@ -2311,7 +2437,15 @@ object ManagedTable {
       // names). Entries with a live mapping stamp minReaderVersion 3:
       // an older reader would scan physical files under logical names
       // and read every renamed column as NULL.
-      columnMap: Map[String, String] = Map.empty) {
+      columnMap: Map[String, String] = Map.empty,
+      // persistent CHECK-style constraints (Delta ADD CONSTRAINT
+      // analogue): name -> Expectations rule-DSL entry. Enforced by
+      // every data-adding write path by folding violation counts into
+      // the write job's existing Observation (zero extra scans); a
+      // violating batch deletes its files and throws BEFORE the commit
+      // publishes. Reader-safe for old builds (reads don't consult
+      // them), so no protocol bump — enforcement, not interpretation.
+      constraints: Map[String, String] = Map.empty) {
 
     /** Physical parquet name of a logical column under this commit. */
     def physicalOf(logical: String): String =
@@ -2376,6 +2510,10 @@ object ManagedTable {
         val cm = node.putObject("columnMap")
         columnMap.foreach { case (l, p) => cm.put(l, p) }
       }
+      if (constraints.nonEmpty) {
+        val cs = node.putObject("constraints")
+        constraints.foreach { case (n, r) => cs.put(n, r) }
+      }
       node
     }
 
@@ -2426,6 +2564,9 @@ object ManagedTable {
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
         columnMap = Option(n.get("columnMap")).map { cm =>
           cm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        }.getOrElse(Map.empty),
+        constraints = Option(n.get("constraints")).map { cs =>
+          cs.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
         }.getOrElse(Map.empty))
     }
 
