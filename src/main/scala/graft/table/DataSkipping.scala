@@ -32,11 +32,15 @@ import org.apache.spark.sql.types._
  */
 object DataSkipping {
 
-  /** Min/max of a column within one data dir; `None`/`None` means the dir
-    * holds only NULLs for the column (prunable by any non-null-seeking
-    * comparison), which is different from the column having no recorded
-    * stats at all (absent key → never prune). */
-  final case class ColMinMax(min: Option[String], max: Option[String])
+  /** Min/max (+ null count) of a column within one data dir; `None`/
+    * `None` min/max means the dir holds only NULLs for the column
+    * (prunable by any non-null-seeking comparison), which is different
+    * from the column having no recorded stats at all (absent key →
+    * never prune). `nulls` (recorded since round 11; absent on legacy
+    * commits → never prune) enables `IS NULL` pruning: a dir with zero
+    * nulls provably has no matching row. */
+  final case class ColMinMax(min: Option[String], max: Option[String],
+                             nulls: Option[Long] = None)
 
   def eligible(dt: DataType): Boolean = dt match {
     case _: NumericType => true
@@ -60,7 +64,8 @@ object DataSkipping {
         case _             => (min(c), max(c))
       }
       Seq(mn.cast("string").as(s"min:${f.name}"),
-        mx.cast("string").as(s"max:${f.name}"))
+        mx.cast("string").as(s"max:${f.name}"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nulls:${f.name}"))
     }
   }
 
@@ -69,7 +74,9 @@ object DataSkipping {
     schema.fields.filter(f => eligible(f.dataType)).map { f =>
       f.name -> ColMinMax(
         Option(observed.getOrElse(s"min:${f.name}", null)).map(_.toString),
-        Option(observed.getOrElse(s"max:${f.name}", null)).map(_.toString))
+        Option(observed.getOrElse(s"max:${f.name}", null)).map(_.toString),
+        Option(observed.getOrElse(s"nulls:${f.name}", null))
+          .map(_.toString.toLong))
     }.toMap
 
   // ---- prune-time evaluation -------------------------------------------
@@ -192,6 +199,13 @@ object DataSkipping {
             .exists(v => cmp(stats, schema, n, v.asInstanceOf[Literal], "="))
           case None => true
         }
+      case IsNull(a) => nullMayMatch(stats, a, wantNull = true)
+      case IsNotNull(a) => nullMayMatch(stats, a, wantNull = false)
+      case _ if unresolvedFn(e, "isnull").exists(_.size == 1) =>
+        nullMayMatch(stats, unresolvedFn(e, "isnull").get.head, wantNull = true)
+      case _ if unresolvedFn(e, "isnotnull").exists(_.size == 1) =>
+        nullMayMatch(stats, unresolvedFn(e, "isnotnull").get.head,
+          wantNull = false)
       case StartsWith(a, l: Literal) if l.value != null =>
         prefixMayMatch(stats, schema, a, l)
       case _ if unresolvedFn(e, "startswith").exists(_.size == 2) =>
@@ -219,6 +233,23 @@ object DataSkipping {
       case None => true
     }
 
+  /** `IS [NOT] NULL` pruning: zero recorded nulls defeats `IS NULL`;
+    * an all-NULL dir (min/max both absent WITH recorded stats) defeats
+    * `IS NOT NULL`. Legacy stats without a null count never prune. */
+  private def nullMayMatch(stats: Map[String, ColMinMax], a: Expression,
+                           wantNull: Boolean): Boolean =
+    attrName(a) match {
+      case Some(n) => stats.get(n) match {
+        case Some(mm) if wantNull => !mm.nulls.contains(0L)
+        case Some(ColMinMax(None, None, _)) =>
+          // min/max absent with recorded stats: every value is NULL (or
+          // the dir is empty) — no non-null row can exist
+          false
+        case _ => true
+      }
+      case None => true
+    }
+
   private def flip(op: String): String = op match {
     case "<" => ">"
     case "<=" => ">="
@@ -242,8 +273,12 @@ object DataSkipping {
 
   private def cmp(stats: Map[String, ColMinMax], schema: StructType,
                   name: String, l: Literal, op: String): Boolean = {
+    // a NULL literal defeats interval logic entirely — keep. This also
+    // guards `col <=> NULL` (mapped to "=" above): an all-NULL dir
+    // MATCHES it, so the all-NULL prune below must not fire
+    if (l.value == null) return true
     stats.get(name) match {
-      case Some(ColMinMax(None, None)) =>
+      case Some(ColMinMax(None, None, _)) =>
         // dir is all NULL for this column: no comparison can match
         false
       case Some(mm) =>

@@ -2493,6 +2493,7 @@ object ManagedTable {
             val cn = dn.putObject(cName)
             mm.min.foreach(cn.put("min", _))
             mm.max.foreach(cn.put("max", _))
+            mm.nulls.foreach(cn.put("nulls", _))
           }
         }
       }
@@ -2552,7 +2553,8 @@ object ManagedTable {
             e.getKey -> e.getValue.properties().asScala.map { ce =>
               ce.getKey -> DataSkipping.ColMinMax(
                 Option(ce.getValue.get("min")).map(_.asText()),
-                Option(ce.getValue.get("max")).map(_.asText()))
+                Option(ce.getValue.get("max")).map(_.asText()),
+                Option(ce.getValue.get("nulls")).map(_.asLong()))
             }.toMap
           }.toMap
         }.getOrElse(Map.empty),

@@ -177,8 +177,8 @@ object Writers {
         case Some(st) =>
           val perKey: Seq[Either[Boolean, Column]] = keys.map { k =>
             (st.get(k), domains(k)) match {
-              case (Some(ColMinMax(None, None)), _) => NeverMatch
-              case (Some(ColMinMax(Some(mn), Some(mx))), Some((nk, parse))) =>
+              case (Some(ColMinMax(None, None, _)), _) => NeverMatch
+              case (Some(ColMinMax(Some(mn), Some(mx), _)), Some((nk, parse))) =>
                 (parse(mn), parse(mx)) match {
                   case (Some(lo), Some(hi)) => Right(nk >= lo && nk <= hi)
                   case _ => AlwaysAffected

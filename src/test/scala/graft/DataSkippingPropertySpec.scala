@@ -62,7 +62,10 @@ class DataSkippingPropertySpec extends SparkSpec {
       col("id").isin(vs.toSeq: _*))
     val swLeaf = Gen.oneOf("a", "ban", "che", "x").map(p => col("s").startsWith(p))
     val flipped = for { v <- Gen.chooseNum(-25, 25) } yield lit(v) <= col("id")
-    Gen.oneOf(idLeaf, fLeaf, sLeaf, inLeaf, swLeaf, flipped)
+    val nullLeaf = Gen.oneOf(
+      col("id").isNull, col("id").isNotNull, col("s").isNull,
+      col("s").isNotNull, col("f").isNull, col("f") <=> lit(null))
+    Gen.oneOf(idLeaf, fLeaf, sLeaf, inLeaf, swLeaf, flipped, nullLeaf)
   }
 
   private val predGen: Gen[Column] = for {
@@ -112,6 +115,38 @@ class DataSkippingPropertySpec extends SparkSpec {
     assert(!DataSkipping.mayMatch(stats, sc, e(col("id") === 5)))
     assert(!DataSkipping.mayMatch(stats, sc, e(col("id") < 100)))
     assert(DataSkipping.mayMatch(stats, sc, e(col("id").isNull)),
-      "unsupported shapes must keep the dir")
+      "all-NULL dir MATCHES IS NULL — must keep")
+    // an all-NULL dir provably has no non-null row
+    assert(!DataSkipping.mayMatch(stats, sc, e(col("id").isNotNull)))
+    // `col <=> NULL` matches the all-NULL rows — the "=" mapping must
+    // not fire the all-NULL prune
+    assert(DataSkipping.mayMatch(stats, sc, e(col("id") <=> lit(null))))
+  }
+
+  test("null counts prune IS NULL on null-free dirs and keep mixed dirs") {
+    val sc = StructType.fromDDL("id INT, s STRING")
+    def e(p: Column) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+        .filter(p).queryExecution.logical.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.get
+    def st(df: DataFrame): Map[String, DataSkipping.ColMinMax] = {
+      val aggs = DataSkipping.statAggs(sc)
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      DataSkipping.statsOf(sc, row.getValuesMap[Any](row.schema.fieldNames))
+    }
+    val noNulls = st(Seq((Some(1), Some("a")), (Some(2), Some("b")))
+      .toDF("id", "s"))
+    assert(noNulls("id").nulls === Some(0L))
+    assert(!DataSkipping.mayMatch(noNulls, sc, e(col("id").isNull)),
+      "zero recorded nulls must prune IS NULL")
+    assert(DataSkipping.mayMatch(noNulls, sc, e(col("id").isNotNull)))
+    val mixed = st(Seq((Some(1), Some("a")), (None, Some("b")))
+      .toDF("id", "s"))
+    assert(DataSkipping.mayMatch(mixed, sc, e(col("id").isNull)))
+    assert(DataSkipping.mayMatch(mixed, sc, e(col("id").isNotNull)))
+    // legacy stats (no null count) never prune null predicates
+    val legacy = noNulls.view.mapValues(_.copy(nulls = None)).toMap
+    assert(DataSkipping.mayMatch(legacy, sc, e(col("id").isNull)))
   }
 }
