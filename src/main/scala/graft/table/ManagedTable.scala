@@ -1539,6 +1539,78 @@ final class ManagedTable(spark: SparkSession, root: String) {
     }
 
   /**
+   * ANALYZE — recompute the commit log's per-dir skipping stats from
+   * the data, in ONE Spark job for the whole snapshot: every dir's
+   * files scan once, rows map to their composition entry by the
+   * longest matching table-relative prefix (entries may be whole data
+   * roots or partition subdirs), and one grouped aggregation produces
+   * each entry's min/max/null-count row. The refreshed stats land in a
+   * metadata-only commit.
+   *
+   * When to run: legacy commits written before a stats field existed
+   * (round-11 null counts), dirs fabricated outside the write path, or
+   * after widening made string-rendered stats stale. Fresh writes
+   * never need it — their stats ride the write job's Observation.
+   */
+  def recomputeStats(): Commit = synchronized {
+    import org.apache.spark.sql.functions.{col, udf}
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val version = c.version + 1L
+    if (c.dirs.isEmpty) {
+      val commit = Commit(version, "ANALYZE", System.currentTimeMillis(),
+        c.dirs, Map("numAnalyzedDirs" -> "0"), None, c.schemaDdl, c.version,
+        partitionBy = c.partitionBy, dirStats = Map.empty, txn = c.txn,
+        dvDirs = c.dvDirs, columnMap = c.columnMap, constraints = c.constraints)
+      writeCommit(commit, Some(c))
+      return commit
+    }
+    // composition entries by their table-relative key (path after data/)
+    val byKey: Map[String, String] = c.dirs.map { d =>
+      val root = ManagedTable.dataDirRoot(d)
+      val rootName = new Path(root).getName
+      val rel = if (d == root) rootName
+        else rootName + "/" + d.stripPrefix(root).stripPrefix("/")
+      rel -> d
+    }.toMap
+    val keys = byKey.keys.toSeq.sortBy(-_.length)
+    val entryOf = udf { fileKey: String =>
+      keys.find(k => fileKey.startsWith(k + "/"))
+        .getOrElse(throw new IllegalStateException(
+          s"analyze: file $fileKey matches no composition entry"))
+    }
+    val cols = logicalCols(schema, c.columnMap)
+    // deliberately NO deletion-vector anti-join: stats over raw files
+    // are a superset of the live rows' — conservative for pruning —
+    // and skipping it keeps analyze a single pure scan
+    val withEntry = dirFrames(c.dirs, physicalSchema(schema, c.columnMap),
+        c.partitionBy.nonEmpty).map { f =>
+      f.select(cols :+ dvKeyOf(col("_metadata.file_path")).as("__graft_key__"): _*)
+    }.reduce(_.unionByName(_))
+      .withColumn("__graft_entry__", entryOf(col("__graft_key__")))
+    val aggs = DataSkipping.statAggs(schema)
+    val dirStats = withEntry.groupBy(col("__graft_entry__"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val vals = r.getValuesMap[Any](r.schema.fieldNames)
+        byKey(r.getString(r.fieldIndex("__graft_entry__"))) ->
+          DataSkipping.statsOf(schema, vals)
+      }.toMap
+    // dirs with zero surviving rows keep no stats row from the groupBy —
+    // carry their previous stats (conservative) rather than dropping them
+    val merged = c.dirs.map(d =>
+      d -> dirStats.getOrElse(d, c.dirStats.getOrElse(d, Map.empty)))
+      .filter(_._2.nonEmpty).toMap
+    val commit = Commit(version, "ANALYZE", System.currentTimeMillis(), c.dirs,
+      Map("numAnalyzedDirs" -> dirStats.size.toString), None, c.schemaDdl,
+      c.version, partitionBy = c.partitionBy, dirStats = merged, txn = c.txn,
+      dvDirs = c.dvDirs, columnMap = c.columnMap, constraints = c.constraints)
+    writeCommit(commit, Some(c))
+    commit
+  }
+
+  /**
    * ADD a persistent CHECK-style CONSTRAINT — Delta's
    * `ALTER TABLE ADD CONSTRAINT` analogue. `rule` is ONE
    * [[graft.operators.Expectations]] DSL entry (`not_null:col`,

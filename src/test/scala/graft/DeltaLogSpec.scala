@@ -185,6 +185,50 @@ class DeltaLogSpec extends SparkSpec {
     assert(t.earliestVersion === Some(10L))
   }
 
+  test("recomputeStats restores pruning on a stats-stripped log") {
+    val path = tmpDir("dl_analyze")
+    val t = ManagedTable(spark, path)
+    t.write((1 to 10).map(i => (i, s"v$i")).toDF("id", "v"), "APPEND", "append")
+    t.write((11 to 20).map(i => (i, s"v$i")).toDF("id", "v"), "APPEND", "append")
+    val orig = t.lastCommit.get
+    // fabricate a legacy commit with no skipping stats at all
+    t.writeCommit(orig.copy(version = orig.version + 1,
+      readVersion = orig.version, dirStats = Map.empty))
+    val pred = org.apache.spark.sql.functions.col("id") <= 5
+    assert(t.splitDirsMayMatch(pred)._1.size === 2,
+      "without stats every dir must be a may-match")
+    val c = t.recomputeStats()
+    assert(c.operation === "ANALYZE")
+    assert(c.dirs === orig.dirs, "analyze must be metadata-only")
+    assert(t.splitDirsMayMatch(pred)._1.size === 1,
+      "recomputed stats must restore dir pruning")
+    // recomputed stats agree with the write-path observation's rendering
+    orig.dirs.foreach { d =>
+      assert(c.dirStats(d)("id").min === orig.dirStats(d)("id").min)
+      assert(c.dirStats(d)("id").max === orig.dirStats(d)("id").max)
+      assert(c.dirStats(d)("id").nulls === Some(0L))
+    }
+    assert(t.readWhere(pred).count() === 5)
+  }
+
+  test("recomputeStats maps partition-subdir compositions correctly") {
+    val path = tmpDir("dl_analyze_part")
+    val t = ManagedTable(spark, path)
+    t.write((1 to 12).map(i => (i, s"p${i % 3}")).toDF("id", "p"),
+      "APPEND", "append", partitionBy = Seq("p"))
+    // a selective overwrite decomposes the root into partition subdirs
+    t.selectiveOverwrite(
+      Seq((100, "p0")).toDF("id", "p"), Seq("p"))
+    val before = t.lastCommit.get
+    t.writeCommit(before.copy(version = before.version + 1,
+      readVersion = before.version, dirStats = Map.empty))
+    val c = t.recomputeStats()
+    assert(c.dirStats.keySet === before.dirs.toSet)
+    assert(t.read.count() === 9)
+    assert(t.readWhere(org.apache.spark.sql.functions.col("id") === 100)
+      .count() === 1)
+  }
+
   test("vacuum dry-run reports the exact prune set and deletes nothing") {
     val path = tmpDir("dl_vac_dry")
     val t = ManagedTable(spark, path)
