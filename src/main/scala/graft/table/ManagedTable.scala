@@ -762,26 +762,55 @@ final class ManagedTable(spark: SparkSession, root: String) {
       .write.mode("overwrite").parquet(dvDir)
     val n = obs.get("rows").asInstanceOf[Long]
     if (n == 0L) { fs.delete(new Path(dvDir), true); return noop() }
-    val changeDir =
+    val changeRows =
       if (!captureChangeData) None
-      else Some(writeChangeData(version, tsMs,
-        matched.select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
-          .withColumn("_change_type", lit("delete"))))
-    val commit = Commit(version, "DELETE VECTORS", tsMs, c.dirs,
-      Map("numDeletedRows" -> n.toString,
-        "numDeletionVectors" -> (c.dvDirs.size + 1).toString,
-        "numRewrittenDirs" -> "0"),
-      None, c.schemaDdl, c.version, changeDir,
-      changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
-      partitionBy = c.partitionBy, dirStats = c.dirStats, txn = c.txn,
-      dvDirs = c.dvDirs :+ dvDir, columnMap = c.columnMap,
-      constraints = c.constraints)
-    try { writeCommit(commit, Some(c)); commit }
-    catch { case e: Throwable =>
-      changeDir.foreach(d => fs.delete(new Path(d), true))
-      fs.delete(new Path(dvDir), true)
-      throw e
+      else Some(matched
+        .select(schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+        .withColumn("_change_type", lit("delete")))
+    // APPEND-commutative publication retry (Delta's conflict rule): our
+    // tombstones reference files of the snapshot we scanned; a racer
+    // that only ADDED dirs (concurrent ingest) leaves all of them live,
+    // so the delete re-publishes over the new head — the racer's rows
+    // simply were not in the deleted snapshot (the delete serializes
+    // BEFORE the append). A racer that removed/rewrote a scanned dir,
+    // changed tombstones, schema, mapping, or constraints surfaces the
+    // conflict instead. Change rows re-stamp per attempt (their
+    // _commit_version rides the parquet).
+    var base = c
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val v2 = base.version + 1L
+      val changeDir = changeRows.map(writeChangeData(v2, tsMs, _))
+      val commit = Commit(v2, "DELETE VECTORS", tsMs, base.dirs,
+        Map("numDeletedRows" -> n.toString,
+          "numDeletionVectors" -> (base.dvDirs.size + 1).toString,
+          "numRewrittenDirs" -> "0") ++
+          (if (attempts > 1) Map("numCommitRetries" -> (attempts - 1).toString)
+           else Map.empty),
+        None, base.schemaDdl, base.version, changeDir,
+        changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
+        partitionBy = base.partitionBy, dirStats = base.dirStats,
+        txn = base.txn, dvDirs = base.dvDirs :+ dvDir,
+        columnMap = base.columnMap, constraints = base.constraints)
+      try { writeCommit(commit, Some(base)); return commit }
+      catch {
+        case e: ConcurrentCommitException =>
+          changeDir.foreach(d => fs.delete(new Path(d), true))
+          val head = lastCommit.getOrElse(throw e)
+          val commutes = attempts < 10 &&
+            c.dirs.forall(head.dirs.contains) && head.dvDirs == c.dvDirs &&
+            head.schemaDdl == c.schemaDdl && head.columnMap == c.columnMap &&
+            head.constraints == c.constraints
+          if (!commutes) { fs.delete(new Path(dvDir), true); throw e }
+          base = head
+        case e: Throwable =>
+          changeDir.foreach(d => fs.delete(new Path(d), true))
+          fs.delete(new Path(dvDir), true)
+          throw e
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /**

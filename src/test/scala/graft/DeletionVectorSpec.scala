@@ -177,6 +177,56 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got.toSeq === (1 to 18))
   }
 
+  test("DV delete racing a concurrent append retries; a replace surfaces") {
+    val (path, t) = freshTable("dv_race")
+    val cur = t.lastCommit.get
+    MergeGate.arm()
+    try {
+      val gate = udf(MergeGate.pass _)
+      val got = new java.util.concurrent.atomic.AtomicReference[
+        graft.table.ManagedTable.Commit]()
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val th = new Thread(() =>
+        try got.set(t.deleteVectors(gate(col("v")).isNotNull && col("id") <= 3))
+        catch { case e: Throwable => err.set(e) })
+      th.start()
+      MergeGate.awaitReached()
+      // concurrent ingest lands while the delete is scanning (a second
+      // table handle — the delete holds its own instance's monitor)
+      ManagedTable(spark, path)
+        .write(Seq((100, "new")).toDF("id", "v"), "APPEND", "append")
+      MergeGate.release()
+      th.join(120000)
+      assert(err.get() === null, s"delete surfaced: ${err.get()}")
+      val c = got.get()
+      assert(c.version === cur.version + 2, "delete republished over the append")
+      assert(c.operationMetrics("numCommitRetries") === "1")
+      assert(c.operationMetrics("numDeletedRows") === "3")
+      assert(t.read.select("id").as[Int].collect().sorted.toSeq ===
+        ((4 to 20) :+ 100), "both the delete and the racer's rows survive")
+    } finally MergeGate.disarm()
+    // a racer that REPLACES the composition invalidates the scanned
+    // snapshot — the conflict must surface, nothing silently dropped
+    MergeGate.arm()
+    try {
+      val gate = udf(MergeGate.pass _)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val th = new Thread(() =>
+        try { t.deleteVectors(gate(col("v")).isNotNull && col("id") === 5); () }
+        catch { case e: Throwable => err.set(e) })
+      th.start()
+      MergeGate.awaitReached()
+      ManagedTable(spark, path)
+        .write(Seq((0, "z")).toDF("id", "v"), "OVERWRITE", "replace")
+      MergeGate.release()
+      th.join(120000)
+      assert(err.get() != null &&
+        err.get().isInstanceOf[graft.table.ManagedTable.ConcurrentCommitException],
+        s"expected a surfaced conflict, got ${err.get()}")
+      assert(t.read.count() === 1, "the replace's snapshot stands untouched")
+    } finally MergeGate.disarm()
+  }
+
   test("commit json round-trips dvDirs through full and delta entries") {
     val c = ManagedTable.Commit(3L, "DELETE VECTORS", 123L, Seq("/a", "/b"),
       Map("numDeletedRows" -> "2"), None, "`id` INT", 2L,
