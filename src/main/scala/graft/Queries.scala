@@ -1675,15 +1675,22 @@ object Queries {
         feed1.filter(col("_change_type") =!= "delete").count() == 0,
       "DV delete change feed must carry exactly the deleted rows")
 
-    val masked = t.read.localCheckpoint()
+    // order-free multiset digest (count + sum of row hashes): one
+    // aggregate per side instead of two exceptAll shuffle-joins
+    def digest(df: DataFrame): (Long, BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*).cast("decimal(38,0)")))
+        .head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
+    }
+    val maskedDigest = digest(t.read)
     val purged = t.purgeDeletes().get
     require(purged.dvDirs.isEmpty, "purge must clear the tombstone set")
-    val after = t.read
-    require(after.exceptAll(masked).count() == 0 &&
-        masked.exceptAll(after).count() == 0,
+    require(digest(t.read) == maskedDigest,
       "purge must materialize exactly the tombstoned view")
 
-    after.groupBy("l_returnflag")
+    t.read.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("string").as("sum_qty"))
       .select("l_returnflag", "n", "sum_qty")
