@@ -58,6 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // SQL-addressable managed tables: SELECT/INSERT on `graft.t`, with
+    // VERSION/TIMESTAMP AS OF time travel (graft.table.SqlTables)
+    ext.injectResolutionRule(graft.table.SqlTableResolution(_))
   }
 }
 

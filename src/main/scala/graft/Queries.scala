@@ -1631,6 +1631,96 @@ object Queries {
       |SELECT 'clone', c_mktsegment, COUNT(*)
       |FROM customer WHERE c_custkey <= 100 GROUP BY c_mktsegment""".stripMargin
 
+  /**
+   * SQL-addressable managed tables ([[graft.table.SqlTableResolution]]):
+   * the ENTIRE lifecycle runs as SQL text against `graft.`-namespace
+   * identifiers — CREATE-by-INSERT, a second appending INSERT, an
+   * INSERT OVERWRITE replace, and a final filtered aggregate — each
+   * statement resolving through the injected analyzer rule into the
+   * same commit-log plans the Scala API builds (one tree; pushdown and
+   * pruning apply unchanged, pinned in SqlTablesSpec). In-query gates:
+   * every statement really committed (versions 0/1/2 with operations
+   * APPEND/APPEND/OVERWRITE), and `VERSION AS OF 1` still serves the
+   * full pre-overwrite 1200 rows.
+   */
+  def sqlTableDml(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    val path = tmp("sqldml")
+    pq(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+      .createOrReplaceTempView("cust_src_sql")
+    spark.sql(
+      s"""INSERT INTO graft.`$path`
+         |SELECT * FROM cust_src_sql WHERE c_custkey <= 700""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO graft.`$path`
+         |SELECT * FROM cust_src_sql
+         |WHERE c_custkey > 700 AND c_custkey <= 1200""".stripMargin)
+    spark.sql(
+      s"""INSERT OVERWRITE graft.`$path`
+         |SELECT * FROM cust_src_sql WHERE c_custkey <= 400""".stripMargin)
+    val t = ManagedTable(spark, path)
+    require(t.latestVersion.contains(2L) &&
+      t.history.map(_.operation) == Seq("OVERWRITE", "APPEND", "APPEND"),
+      s"SQL DML must leave APPEND,APPEND,OVERWRITE commits, got ${t.history}")
+    val preOverwrite = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$path` VERSION AS OF 1")
+      .head().getLong(0)
+    val want = spark.table("cust_src_sql")
+      .filter(col("c_custkey") <= 1200).count()
+    require(preOverwrite == want,
+      s"VERSION AS OF 1 must see the pre-overwrite $want rows, got $preOverwrite")
+    spark.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_customers,
+         |  sum(c_custkey) AS sum_key
+         |FROM graft.`$path` WHERE c_nationkey < 13
+         |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  val sqlTableDmlSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      | CAST(sum(c_custkey) AS BIGINT) AS sum_key
+      |FROM customer WHERE c_custkey <= 400 AND c_nationkey < 13
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** `VERSION AS OF` time travel through pure SQL: two SQL INSERTs, then
+    * a UNION of the version-pinned snapshots, each tagged with its
+    * version. The TIMESTAMP AS OF form resolves against wall-clock
+    * commit times, so it gates in-query (against `readAt`) instead of
+    * shaping the oracle-checked output. */
+  def sqlTableTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    val path = tmp("sqltt")
+    cust(spark, dir).createOrReplaceTempView("cust_tt_sql")
+    spark.sql(
+      s"""INSERT INTO graft.`$path`
+         |SELECT * FROM cust_tt_sql WHERE c_custkey <= 500""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO graft.`$path`
+         |SELECT * FROM cust_tt_sql
+         |WHERE c_custkey > 500 AND c_custkey <= 1000""".stripMargin)
+    val t = ManagedTable(spark, path)
+    val tsIso = java.time.Instant.ofEpochMilli(t.commitAt(0).timestampMs)
+      .toString.replace("T", " ").stripSuffix("Z")
+    val viaTs = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$path` TIMESTAMP AS OF '$tsIso'")
+      .head().getLong(0)
+    require(viaTs == t.readAt(0).count(),
+      s"TIMESTAMP AS OF v0's commit time must serve v0, got $viaTs rows")
+    spark.sql(
+      s"""SELECT CAST(0 AS BIGINT) AS snapshot_version, c_custkey, c_name, c_mktsegment
+         |FROM graft.`$path` VERSION AS OF 0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), c_custkey, c_name, c_mktsegment
+         |FROM graft.`$path` VERSION AS OF 1""".stripMargin)
+  }
+
+  val sqlTableTimeTravelSql: String =
+    """SELECT CAST(0 AS BIGINT) AS snapshot_version, c_custkey, c_name, c_mktsegment
+      | FROM customer WHERE c_custkey <= 500
+      |UNION ALL
+      |SELECT 1, c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <= 1000""".stripMargin
+
   /** Deletion vectors ([[graft.table.ManagedTable.deleteVectors]]) —
     * merge-on-read row deletes, Delta's DV feature re-expressed over
     * the dir-composition log: deleting scattered rows writes ONLY

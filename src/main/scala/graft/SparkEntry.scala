@@ -110,6 +110,8 @@ object SparkEntry {
     "export_manifest" -> (Queries.exportManifest(_, _)),
     "deletion_vectors" -> (Queries.deletionVectors(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
+    "sql_table_dml" -> (Queries.sqlTableDml(_, _)),
+    "sql_table_time_travel" -> (Queries.sqlTableTimeTravel(_, _)),
     "table_constraints" -> (Queries.tableConstraints(_, _)),
     "type_widening" -> (Queries.typeWidening(_, _)),
     "expectations_check" -> (Queries.expectationsCheck(_, _)),
@@ -328,6 +330,8 @@ object SparkEntry {
     "export_manifest" -> Queries.exportManifestSql,
     "deletion_vectors" -> Queries.deletionVectorsSql,
     "table_clone" -> Queries.tableCloneSql,
+    "sql_table_dml" -> Queries.sqlTableDmlSql,
+    "sql_table_time_travel" -> Queries.sqlTableTimeTravelSql,
     "table_constraints" -> Queries.tableConstraintsSql,
     "type_widening" -> Queries.typeWideningSql,
     "expectations_check" -> Queries.expectationsCheckSql,

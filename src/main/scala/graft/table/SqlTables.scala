@@ -1,0 +1,210 @@
+package graft.table
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.AliasIdentifier
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.classic.GraftShims
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{StructType, TimestampType}
+
+/**
+ * SQL-addressable managed tables — the `spark.sql("... graft.t ...")`
+ * surface over [[ManagedTable]], done the Spark-first way: one analyzer
+ * resolution rule (injected by `GraftExtensions`) substitutes any
+ * relation under the reserved `graft` namespace with the SAME logical
+ * plan the Scala API builds, so Catalyst sees one tree and every
+ * downstream mechanism — filter/column pushdown into the parquet scan,
+ * AQE, plan reuse — applies unchanged (a `graft.t` reference is not a
+ * black box, exactly like the TVF surface).
+ *
+ * Identifier → table root (always TWO parts — `graft` + one, possibly
+ * quoted, name; Spark's session catalog rejects longer chains with
+ * REQUIRES_SINGLE_PART_NAMESPACE before any extension rule can run, so
+ * nested namespaces are spelled inside the quotes):
+ *   - `` graft.`/abs/path` ``       → that absolute root (quoting keeps
+ *     the slashes in one identifier part)
+ *   - `graft.t` / `` graft.`ns/t` `` → `<warehouse>/t`, warehouse from
+ *     `spark.graft.warehouse` (defaults under `spark.sql.warehouse.dir`)
+ *
+ * Supported statements:
+ *   - `SELECT ... FROM graft.t`                    — snapshot read (DV- and
+ *     column-mapping-aware, same as [[ManagedTable.read]])
+ *   - `... FROM graft.t VERSION AS OF n`           — [[ManagedTable.readAt]]
+ *   - `... FROM graft.t TIMESTAMP AS OF ts`        — [[ManagedTable.readAsOf]]
+ *   - `INSERT INTO graft.t [(cols)] SELECT ...`    — append commit
+ *   - `INSERT OVERWRITE graft.t SELECT ...`        — replace commit
+ *   - streaming reads: `spark.readStream.table("graft.t")` resolves to the
+ *     `graft-table` micro-batch source (initial snapshot + bounded tail)
+ *
+ * The reference keeps its SQL surface against Delta tables registered in
+ * the metastore (`core/sources/delta_source.py:19-44`); here the commit
+ * log itself is the metastore and resolution is pure metadata — no
+ * catalog round-trips, constant-time at any table count.
+ */
+object SqlTables {
+
+  /** Reserved leading identifier part. */
+  val Namespace = "graft"
+
+  def warehouse(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.warehouse")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/graft")
+
+  /** Multipart identifier (without the leading `graft`) → table root. */
+  def rootOf(spark: SparkSession, parts: Seq[String]): String = {
+    val joined = parts.mkString("/")
+    if (joined.startsWith("/") || joined.contains("://")) joined
+    else warehouse(spark) + "/" + joined
+  }
+
+  private[table] def aliased(parts: Seq[String], plan: LogicalPlan): LogicalPlan =
+    SubqueryAlias(AliasIdentifier(parts.last, Namespace +: parts.init.toList), plan)
+}
+
+/**
+ * The analyzer rule. Runs inside the main resolution batch (fixed
+ * point), so it sees `UnresolvedRelation`s before CheckAnalysis would
+ * reject them; relations outside the `graft` namespace pass through
+ * untouched. Substituted subtrees are ALREADY analyzed (they come from
+ * `ManagedTable.read`'s DataFrame), which is the supported shape for
+ * resolution-rule output — the remaining iterations only resolve the
+ * statement around them.
+ */
+final case class SqlTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private object GraftRel {
+    def unapply(p: LogicalPlan): Option[(Seq[String], Boolean)] = p match {
+      case UnresolvedRelation(head +: rest, _, isStreaming)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+        Some((rest, isStreaming))
+      case _ => None
+    }
+  }
+
+  private def table(parts: Seq[String]): ManagedTable =
+    ManagedTable(spark, SqlTables.rootOf(spark, parts))
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  override def apply(p: LogicalPlan): LogicalPlan = p.resolveOperatorsUp {
+    // INSERT INTO / INSERT OVERWRITE graft.t — wait until the source
+    // query is fully resolved, then hand it to the runnable command
+    case InsertIntoStatement(GraftRel((parts, false)), partSpec, userCols,
+        query, overwrite, ifPartitionNotExists, byName)
+        if query.resolved =>
+      require(partSpec.isEmpty && !ifPartitionNotExists,
+        "static PARTITION specs are not supported for graft tables — " +
+          "partitioning is declared at write time and appends are dir-composed")
+      GraftInsertCommand(SqlTables.rootOf(spark, parts), query, userCols,
+        overwrite, byName)
+
+    // graft.t VERSION AS OF n / TIMESTAMP AS OF ts
+    case RelationTimeTravel(GraftRel((parts, false)), tsExpr, version) =>
+      val t = table(parts)
+      val df = version match {
+        case Some(v) => t.readAt(v.toLong)
+        case None =>
+          val e = tsExpr.getOrElse(throw new IllegalArgumentException(
+            "time travel needs VERSION AS OF or TIMESTAMP AS OF"))
+          t.readAsOf(evalTsMs(e))
+      }
+      SqlTables.aliased(parts, plan(df))
+
+    // plain graft.t — batch snapshot or streaming source
+    case GraftRel((parts, isStreaming)) =>
+      val root = SqlTables.rootOf(spark, parts)
+      val df =
+        if (isStreaming) graft.streaming.StreamOps.streamTable(spark, root)
+        else table(parts).read
+      SqlTables.aliased(parts, plan(df))
+  }
+
+  /** `TIMESTAMP AS OF <expr>` → epoch millis: the parser hands a foldable
+    * expression (usually a string literal); cast it to timestamp in the
+    * session zone and evaluate driver-side — exactly what the DSv2 time
+    * travel spec does. */
+  private def evalTsMs(e: Expression): Long = {
+    require(e.foldable, s"TIMESTAMP AS OF must be a literal, got ${e.sql}")
+    val cast = Cast(e, TimestampType, Some(conf.sessionLocalTimeZone))
+    val micros = cast.eval()
+    require(micros != null, s"TIMESTAMP AS OF evaluated to NULL: ${e.sql}")
+    micros.asInstanceOf[Long] / 1000L
+  }
+}
+
+/**
+ * `INSERT INTO` / `INSERT OVERWRITE` against a managed table, as a
+ * runnable command (planned by Spark's built-in strategy — no custom
+ * physical node needed; the write job itself is [[ManagedTable.write]]'s
+ * distributed parquet write, identical to the Scala API's).
+ *
+ * Semantics:
+ *   - table absent → created with the query's schema (first append wins)
+ *   - `byName` (`INSERT ... BY NAME`) → columns matched by name
+ *   - explicit column list → query outputs bind to those names
+ *     positionally; unmentioned table columns fill with NULL
+ *   - otherwise positional against the table schema (arity must match)
+ *   - values cast to the table's column types; partitioning layout is
+ *     carried from the table's last commit so appends keep the layout
+ */
+final case class GraftInsertCommand(
+    root: String,
+    query: LogicalPlan,
+    userCols: Seq[String],
+    overwrite: Boolean,
+    byName: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(query)
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable(spark, root)
+    var df = GraftShims.ofRows(spark, query)
+    if (userCols.nonEmpty) {
+      require(userCols.size == df.columns.length,
+        s"INSERT column list has ${userCols.size} columns but the query " +
+          s"produced ${df.columns.length}")
+      df = df.toDF(userCols: _*)
+    }
+    val last = t.lastCommit
+    val aligned = last match {
+      case None => df
+      case Some(c) =>
+        val target = StructType.fromDDL(c.schemaDdl)
+        if (byName || userCols.nonEmpty) {
+          val have = df.columns.toSet
+          df.select(target.fields.toSeq.map { f =>
+            if (have.contains(f.name)) col(s"`${f.name}`").cast(f.dataType)
+            else if (userCols.nonEmpty) lit(null).cast(f.dataType).as(f.name)
+            else throw new IllegalArgumentException(
+              s"INSERT BY NAME: query has no column `${f.name}` " +
+                s"required by table $root")
+          }: _*)
+        } else {
+          require(df.columns.length == target.fields.length,
+            s"INSERT: query produced ${df.columns.length} columns but table " +
+              s"$root has ${target.fields.length} — list the columns or use BY NAME")
+          df.toDF(target.fieldNames.toIndexedSeq: _*)
+            .select(target.fields.toSeq.map(f =>
+              col(s"`${f.name}`").cast(f.dataType)): _*)
+        }
+    }
+    val partitionBy = last.map(_.partitionBy).getOrElse(Nil)
+    // mergeSchema: the alignment above already pinned names and types to
+    // the table's, so the only "evolution" this can admit is nullability
+    // widening (a nullable source column may really deliver NULLs) —
+    // exact-DDL append matching would otherwise reject e.g. a NOT NULL
+    // literal inserted into a nullable column
+    if (overwrite) t.write(aligned, "OVERWRITE", "replace", None, partitionBy)
+    else t.write(aligned, "APPEND", "append", None, partitionBy,
+      mergeSchema = true)
+    Nil
+  }
+}

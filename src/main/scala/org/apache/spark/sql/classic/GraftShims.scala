@@ -1,0 +1,20 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/**
+ * Bridge into Spark's classic `Dataset.ofRows` factory (`private[sql]`) —
+ * the standard extension-library shim (Delta Lake and Iceberg ship the
+ * identical few lines) for turning an ANALYZED `LogicalPlan` back into a
+ * `DataFrame` inside a `RunnableCommand`, where a SQL statement hands the
+ * command its already-resolved source query as a plan, not a DataFrame.
+ *
+ * This is the only file compiled into a Spark package; everything it uses
+ * is Spark's own public-jar bytecode, and the one call it exposes is the
+ * inverse of the fully-public `df.queryExecution.logical`.
+ */
+object GraftShims {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+}

@@ -1,0 +1,182 @@
+package graft
+
+import graft.table.ManagedTable
+import graft.write.{WriteOptions, Writers}
+import org.apache.spark.sql.functions._
+
+/** SQL-addressable managed tables ([[graft.table.SqlTableResolution]]):
+  * SELECT / time travel / INSERT on `graft.`-namespace identifiers must
+  * hit the same plans and commits as the Scala API. */
+class SqlTablesSpec extends SparkSpec {
+
+  private def quoted(path: String): String = s"graft.`$path`"
+
+  private def freshTable(prefix: String): String = {
+    val path = tmpDir(prefix)
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    ManagedTable(spark, path).write(nation, "APPEND", "append")
+    path
+  }
+
+  test("SELECT FROM graft.`path` matches ManagedTable.read") {
+    val path = freshTable("sqlsel")
+    assertSameRows(
+      spark.sql(s"SELECT * FROM ${quoted(path)}"),
+      ManagedTable(spark, path).read)
+  }
+
+  test("predicates and projections over graft.t reach the parquet scan") {
+    val path = freshTable("sqlpush")
+    val df = spark.sql(
+      s"SELECT n_name FROM ${quoted(path)} WHERE n_regionkey = 2")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,2)]"),
+      s"filter not pushed to scan:\n$plan")
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("n_nationkey"), s"projection not pruned:\n$plan")
+    assertSameRows(df,
+      ManagedTable(spark, path).read
+        .filter(col("n_regionkey") === 2).select("n_name"))
+  }
+
+  test("aggregates, joins and qualified column refs work over graft tables") {
+    val path = freshTable("sqlagg")
+    val region = spark.read.parquet(s"$sf/region.parquet")
+    region.createOrReplaceTempView("region_v")
+    assertSameRows(
+      spark.sql(
+        s"""SELECT r.r_name, count(*) AS n
+           |FROM ${quoted(path)} t JOIN region_v r
+           |  ON t.n_regionkey = r.r_regionkey
+           |GROUP BY r.r_name""".stripMargin),
+      ManagedTable(spark, path).read
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n")))
+  }
+
+  test("VERSION AS OF reads the pinned snapshot") {
+    val path = tmpDir("sqltt")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val t = ManagedTable(spark, path)
+    t.write(nation.filter(col("n_regionkey") < 2), "APPEND", "append")
+    t.write(nation.filter(col("n_regionkey") >= 2), "APPEND", "append")
+    assertSameRows(
+      spark.sql(s"SELECT * FROM ${quoted(path)} VERSION AS OF 0"),
+      t.readAt(0))
+    assertSameRows(
+      spark.sql(s"SELECT * FROM ${quoted(path)}"),
+      nation)
+  }
+
+  test("TIMESTAMP AS OF resolves through the commit timeline") {
+    val path = tmpDir("sqlts")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val t = ManagedTable(spark, path)
+    t.write(nation.filter(col("n_regionkey") < 2), "APPEND", "append")
+    val ts0 = t.commitAt(0).timestampMs
+    Thread.sleep(5)
+    t.write(nation.filter(col("n_regionkey") >= 2), "APPEND", "append")
+    val iso = java.time.Instant.ofEpochMilli(ts0).toString.replace("T", " ").stripSuffix("Z")
+    assertSameRows(
+      spark.sql(s"SELECT * FROM ${quoted(path)} TIMESTAMP AS OF '$iso'"),
+      t.readAt(0))
+  }
+
+  test("INSERT INTO appends a commit; INSERT OVERWRITE replaces") {
+    val path = freshTable("sqlins")
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation_v")
+    spark.sql(
+      s"""INSERT INTO ${quoted(path)}
+         |SELECT n_nationkey + 100, n_name, n_regionkey FROM nation_v""".stripMargin)
+    val t = ManagedTable(spark, path)
+    assert(t.latestVersion.contains(1L))
+    assert(t.lastCommit.get.operation == "APPEND")
+    assert(t.read.count() == 2 * spark.table("nation_v").count())
+
+    spark.sql(
+      s"""INSERT OVERWRITE ${quoted(path)}
+         |SELECT n_nationkey, n_name, n_regionkey FROM nation_v WHERE n_regionkey = 0""".stripMargin)
+    assert(t.lastCommit.get.operation == "OVERWRITE")
+    assertSameRows(t.read,
+      spark.table("nation_v")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .filter(col("n_regionkey") === 0))
+  }
+
+  test("INSERT casts to the table's column types positionally") {
+    val path = tmpDir("sqlcast")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write(Seq((1L, "a")).toDF("id", "name"), "APPEND", "append")
+    // ints arrive where the table holds longs — must widen, not fail
+    spark.sql(s"INSERT INTO ${quoted(path)} VALUES (2, 'b')")
+    assert(t.read.schema("id").dataType.typeName == "long")
+    assert(t.read.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("explicit column list fills unmentioned columns with NULL") {
+    val path = tmpDir("sqlcols")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write(Seq((1L, "a", 10.0)).toDF("id", "name", "score"), "APPEND", "append")
+    spark.sql(s"INSERT INTO ${quoted(path)} (id, name) VALUES (2, 'b')")
+    val r = t.read.filter(col("id") === 2).head()
+    assert(r.getAs[String]("name") == "b" && r.isNullAt(r.fieldIndex("score")))
+  }
+
+  test("INSERT INTO a fresh path creates the table with the query schema") {
+    val path = tmpDir("sqlcreate")
+    spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_v")
+    spark.sql(s"INSERT INTO ${quoted(path)} SELECT * FROM region_v")
+    assertSameRows(ManagedTable(spark, path).read, spark.table("region_v"))
+  }
+
+  test("warehouse-relative names resolve under spark.graft.warehouse") {
+    val wh = tmpDir("sqlwh").stripSuffix("/t")
+    spark.conf.set("spark.graft.warehouse", wh)
+    try {
+      val t = ManagedTable(spark, s"$wh/ns/items")
+      import spark.implicits._
+      t.write(Seq((1, "x")).toDF("k", "v"), "APPEND", "append")
+      // nested namespaces are spelled inside the quotes — a 3-part
+      // identifier dies in the session catalog before extension rules run
+      assert(spark.sql("SELECT v FROM graft.`ns/items` WHERE k = 1")
+        .head().getString(0) == "x")
+      spark.sql("INSERT INTO graft.`ns/items` VALUES (2, 'y')")
+      assert(t.read.count() == 2)
+
+      val flat = ManagedTable(spark, s"$wh/flat")
+      flat.write(Seq((7, "z")).toDF("k", "v"), "APPEND", "append")
+      assert(spark.sql("SELECT v FROM graft.flat").head().getString(0) == "z")
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
+  test("arity mismatch without a column list fails loudly") {
+    val path = freshTable("sqlbad")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO ${quoted(path)} VALUES (1, 'only-two')")
+    }
+  }
+
+  test("deletion vectors and column mapping are honored through SQL reads") {
+    val path = tmpDir("sqldv")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"),
+      "APPEND", "append")
+    t.deleteVectors(col("id") === 2)
+    t.renameColumn("name", "label")
+    assert(spark.sql(s"SELECT id, label FROM ${quoted(path)} ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (3L, "c")))
+  }
+
+  test("non-graft relations pass through the rule untouched") {
+    spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_v")
+    assert(spark.sql("SELECT count(*) FROM region_v").head().getLong(0) ==
+      spark.table("region_v").count())
+  }
+}
