@@ -1721,6 +1721,45 @@ object Queries {
       |UNION ALL
       |SELECT 1, c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <= 1000""".stripMargin
 
+  /**
+   * Parquet-native bloom filters via table properties
+   * ([[graft.table.ManagedTable.setProperties]], `bloom.columns`): the
+   * needle-lookup path dir-level min/max CANNOT serve — md5 fingerprints
+   * are uniform, so every dir's [min,max] interval spans the whole hex
+   * domain and interval skipping keeps everything. With the property
+   * set, each write emits row-group bloom filters for `fp` inside the
+   * data files themselves (zero driver state — the only bloom placement
+   * that survives 100 TB), and the scan's pushed equality filter skips
+   * row groups whose filter excludes the probe. In-query gates: a probe
+   * for an absent fingerprint must produce ZERO rows out of the scan
+   * node itself (proving row groups were eliminated — min/max provably
+   * can't have done it), and present-key probes return exactly the
+   * planted rows the oracle recomputes.
+   */
+  def bloomSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    val path = tmp("bloom_tbl")
+    val docs = pq(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val t = ManagedTable(spark, path)
+    t.createIfNotExists(docs.schema)
+    t.setProperties(Map(
+      ManagedTable.BloomColumnsProp -> "fp",
+      ManagedTable.BloomNdvProp + ".fp" -> "1000000"))
+    t.write(docs, "APPEND", "append")
+    // absent probe: 32 hex chars inside every row group's [min,max]
+    val absent = t.read.filter(col("fp") === "88888888deadbeef8888deadbeef8888")
+    require(absent.count() == 0, "absent fingerprint matched rows")
+    val scanned = absent.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    require(scanned == 0,
+      s"bloom row-group skip failed: scan produced $scanned rows for an absent key")
+    t.read.filter(col("doc_id") % 100 === 7)
+  }
+
+  val bloomSkippingSql: String =
+    "SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 100 = 7"
+
   /** Deletion vectors ([[graft.table.ManagedTable.deleteVectors]]) —
     * merge-on-read row deletes, Delta's DV feature re-expressed over
     * the dir-composition log: deleting scattered rows writes ONLY

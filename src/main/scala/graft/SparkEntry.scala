@@ -110,6 +110,7 @@ object SparkEntry {
     "export_manifest" -> (Queries.exportManifest(_, _)),
     "deletion_vectors" -> (Queries.deletionVectors(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
+    "bloom_skipping" -> (Queries.bloomSkipping(_, _)),
     "sql_table_dml" -> (Queries.sqlTableDml(_, _)),
     "sql_table_time_travel" -> (Queries.sqlTableTimeTravel(_, _)),
     "table_constraints" -> (Queries.tableConstraints(_, _)),
@@ -330,6 +331,7 @@ object SparkEntry {
     "export_manifest" -> Queries.exportManifestSql,
     "deletion_vectors" -> Queries.deletionVectorsSql,
     "table_clone" -> Queries.tableCloneSql,
+    "bloom_skipping" -> Queries.bloomSkippingSql,
     "sql_table_dml" -> Queries.sqlTableDmlSql,
     "sql_table_time_travel" -> Queries.sqlTableTimeTravelSql,
     "table_constraints" -> Queries.tableConstraintsSql,

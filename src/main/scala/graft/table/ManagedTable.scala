@@ -219,7 +219,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         "numRestoredDirs" -> target.dirs.size.toString),
       None, target.schemaDdl, cur.version, partitionBy = target.partitionBy,
       dirStats = target.dirStats, txn = cur.txn, dvDirs = target.dvDirs,
-      columnMap = target.columnMap, constraints = target.constraints)
+      columnMap = target.columnMap, constraints = target.constraints,
+      properties = target.properties)
     writeCommit(commit, Some(cur))
     commit
   }
@@ -311,7 +312,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         "cloneMode" -> (if (deep) "deep" else "shallow")),
       None, src.schemaDdl, -1L, partitionBy = src.partitionBy,
       dirStats = stats, dirBytes = bytes, dvDirs = dvDirs,
-      columnMap = src.columnMap, constraints = src.constraints)
+      columnMap = src.columnMap, constraints = src.constraints,
+      properties = src.properties)
     target.writeCommit(commit)
     commit
   }
@@ -730,7 +732,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
           "numDeletionVectors" -> c.dvDirs.size.toString),
         None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
         dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
-        columnMap = c.columnMap, constraints = c.constraints)
+        columnMap = c.columnMap, constraints = c.constraints,
+      properties = c.properties)
       writeCommit(commit, Some(c))
       commit
     }
@@ -792,7 +795,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = base.partitionBy, dirStats = base.dirStats,
         txn = base.txn, dvDirs = base.dvDirs :+ dvDir,
-        columnMap = base.columnMap, constraints = base.constraints)
+        columnMap = base.columnMap, constraints = base.constraints,
+      properties = base.properties)
       try { writeCommit(commit, Some(base)); return commit }
       catch {
         case e: ConcurrentCommitException =>
@@ -801,7 +805,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
           val commutes = attempts < 10 &&
             c.dirs.forall(head.dirs.contains) && head.dvDirs == c.dvDirs &&
             head.schemaDdl == c.schemaDdl && head.columnMap == c.columnMap &&
-            head.constraints == c.constraints
+            head.constraints == c.constraints && head.properties == c.properties
           if (!commutes) { fs.delete(new Path(dvDir), true); throw e }
           base = head
         case e: Throwable =>
@@ -847,7 +851,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
           "numPurgedDvDirs" -> c.dvDirs.size.toString),
         None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
         dirStats = c.dirStats, txn = c.txn, dvDirs = Nil,
-        columnMap = c.columnMap, constraints = c.constraints)
+        columnMap = c.columnMap, constraints = c.constraints,
+      properties = c.properties)
       writeCommit(commit, Some(c))
       return Some(commit)
     }
@@ -860,6 +865,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
     val writer = toPhysical(src.observe(obs, aggs.head, aggs.tail: _*),
       c.columnMap).write.mode("overwrite")
+      .options(ManagedTable.bloomWriteOptions(c.properties, c.columnMap))
     (if (c.partitionBy.nonEmpty) writer.partitionBy(c.partitionBy: _*)
      else writer).parquet(dataDir)
     val observed = obs.get
@@ -874,7 +880,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         "numPurgedDvDirs" -> c.dvDirs.size.toString),
       None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
       dirStats = dirStats, txn = c.txn, dvDirs = Nil,
-      columnMap = c.columnMap, constraints = c.constraints)
+      columnMap = c.columnMap, constraints = c.constraints,
+      properties = c.properties)
     writeCommit(commit, Some(c))
     Some(commit)
   }
@@ -913,7 +920,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
           Map("numAffectedRows" -> "0", "numRewrittenDirs" -> "0"),
           None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
           dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
-          columnMap = c.columnMap, constraints = c.constraints)
+          columnMap = c.columnMap, constraints = c.constraints,
+      properties = c.properties)
         writeCommit(commit, Some(c))
         return commit
       }
@@ -940,6 +948,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       val writer = toPhysical(
           result.observe(obsOut, outAggs.head, outAggs.tail: _*), c.columnMap)
         .write.mode("overwrite")
+        .options(ManagedTable.bloomWriteOptions(c.properties, c.columnMap))
       (if (c.partitionBy.nonEmpty) writer.partitionBy(c.partitionBy: _*)
        else writer).parquet(dataDir)
 
@@ -970,7 +979,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         partitionBy = c.partitionBy, dirStats = dirStats, txn = c.txn,
         // carried for the untouched dirs; entries pointing at the
         // rewritten files are inert (those files left the composition)
-        dvDirs = c.dvDirs, columnMap = c.columnMap, constraints = c.constraints)
+        dvDirs = c.dvDirs, columnMap = c.columnMap, constraints = c.constraints,
+      properties = c.properties)
       writeCommit(commit, Some(c))
       commit
     }
@@ -1154,7 +1164,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
                 (r.getLong(r.fieldIndex("rows")), DataSkipping.statsOf(dataSchema, vals))
             }.toMap
         toPhysical(df, base0.columnMap)
-          .write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(dataDir)
+          .write.mode("overwrite")
+          .options(ManagedTable.bloomWriteOptions(base0.properties, base0.columnMap))
+          .partitionBy(CLUSTER_COL).parquet(dataDir)
         val ds = perGroup.keys.toSeq.sorted.map(g => s"$dataDir/$CLUSTER_COL=$g")
         (perGroup.values.map(_._1).sum, ds,
           perGroup.map { case (g, (_, st)) => s"$dataDir/$CLUSTER_COL=$g" -> st })
@@ -1165,6 +1177,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
           constraintAggs(base0.constraints)
         val writer = toPhysical(df.observe(obs, aggs.head, aggs.tail: _*),
           base0.columnMap).write.mode("overwrite")
+          .options(ManagedTable.bloomWriteOptions(base0.properties, base0.columnMap))
         (if (base0.partitionBy.nonEmpty) writer.partitionBy(base0.partitionBy: _*)
          else writer).parquet(dataDir)
         val observed = obs.get
@@ -1197,7 +1210,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = base.partitionBy, dirStats = dirStats,
         txn = base.txn ++ txnUpdate.toMap, dvDirs = base.dvDirs,
-        columnMap = base.columnMap, constraints = base.constraints)
+        columnMap = base.columnMap, constraints = base.constraints,
+      properties = base.properties)
       try { writeCommit(commit, Some(base)); return commit }
       catch {
         case e: ConcurrentCommitException =>
@@ -1346,6 +1360,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       constraintAggs(cons)
     val writer = toPhysical(df.observe(obs, aggs.head, aggs.tail: _*), commitMap)
       .write.mode("overwrite")
+      .options(ManagedTable.bloomWriteOptions(
+        prev.map(_.properties).getOrElse(Map.empty), commitMap))
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir)
     val observed = obs.get
@@ -1380,7 +1396,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         // leave it); an append keeps the previous snapshot's dirs and
         // with them its live tombstones
         dvDirs = if (mode == "append") base.map(_.dvDirs).getOrElse(Nil) else Nil,
-        columnMap = commitMap, constraints = cons)
+        columnMap = commitMap, constraints = cons,
+        properties = base.map(_.properties).getOrElse(Map.empty))
       try writeCommit(c, base)
       catch { case e: Throwable =>
         changeDir.foreach(d => fs.delete(new Path(d), true))
@@ -1467,7 +1484,11 @@ final class ManagedTable(spark: SparkSession, root: String) {
       DataSkipping.statAggs(df.schema)) ++ constraintAggs(consSow)
     toPhysical(df.observe(obs, aggs.head, aggs.tail: _*),
         prev.map(_.columnMap).getOrElse(Map.empty))
-      .write.mode("overwrite").partitionBy(partitionBy: _*).parquet(dataDir.toString)
+      .write.mode("overwrite")
+      .options(ManagedTable.bloomWriteOptions(
+        prev.map(_.properties).getOrElse(Map.empty),
+        prev.map(_.columnMap).getOrElse(Map.empty)))
+      .partitionBy(partitionBy: _*).parquet(dataDir.toString)
 
     def partitionSubdirs(base: Path): Seq[String] =
       partitionSubdirsOf(base, partitionBy.size)
@@ -1529,7 +1550,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       txn = prev.map(_.txn).getOrElse(Map.empty) ++ txnUpdate.toMap,
       dvDirs = prev.map(_.dvDirs).getOrElse(Nil),
       columnMap = prev.map(_.columnMap).getOrElse(Map.empty),
-      constraints = consSow)
+      constraints = consSow,
+      properties = prev.map(_.properties).getOrElse(Map.empty))
     writeCommit(commit, prev)
     commit
   }
@@ -1591,7 +1613,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       val commit = Commit(version, "ANALYZE", System.currentTimeMillis(),
         c.dirs, Map("numAnalyzedDirs" -> "0"), None, c.schemaDdl, c.version,
         partitionBy = c.partitionBy, dirStats = Map.empty, txn = c.txn,
-        dvDirs = c.dvDirs, columnMap = c.columnMap, constraints = c.constraints)
+        dvDirs = c.dvDirs, columnMap = c.columnMap, constraints = c.constraints,
+      properties = c.properties)
       writeCommit(commit, Some(c))
       return commit
     }
@@ -1634,7 +1657,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val commit = Commit(version, "ANALYZE", System.currentTimeMillis(), c.dirs,
       Map("numAnalyzedDirs" -> dirStats.size.toString), None, c.schemaDdl,
       c.version, partitionBy = c.partitionBy, dirStats = merged, txn = c.txn,
-      dvDirs = c.dvDirs, columnMap = c.columnMap, constraints = c.constraints)
+      dvDirs = c.dvDirs, columnMap = c.columnMap, constraints = c.constraints,
+      properties = c.properties)
     writeCommit(commit, Some(c))
     commit
   }
@@ -1677,7 +1701,67 @@ final class ManagedTable(spark: SparkSession, root: String) {
       System.currentTimeMillis(), c.dirs, Map("constraint" -> rule),
       None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
       dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
-      columnMap = c.columnMap, constraints = c.constraints + (name -> rule))
+      columnMap = c.columnMap, constraints = c.constraints + (name -> rule),
+      properties = c.properties)
+    writeCommit(commit, Some(c))
+    commit
+  }
+
+  /**
+   * SET TBLPROPERTIES — metadata-only commit merging `props` into the
+   * table's property map. Recognized keys steer the write paths:
+   *
+   *   - `bloom.columns` (csv of LOGICAL column names): every subsequent
+   *     data write emits parquet-native bloom filters for these columns
+   *     (`parquet.bloom.filter.enabled#<col>`), so equality/IN probes
+   *     skip row groups whose filter excludes the value — the
+   *     high-cardinality needle path dir-level min/max cannot serve
+   *     (random keys make every dir's interval span the domain). The
+   *     filters live IN the data files and are consulted by executors
+   *     at scan time: zero driver state, which is the only bloom design
+   *     that survives 100 TB (a driver-side bloom per dir per column
+   *     would be GBs of log).
+   *   - `bloom.ndv` / `bloom.ndv.<col>`: expected distinct count hint
+   *     sizing the filter (parquet default 1M ≈ 1.2 MB/row-group/col;
+   *     set it to the real per-row-group cardinality to shrink that).
+   *
+   * Unknown keys are stored verbatim (free-form, like Delta). Columns
+   * named in `bloom.columns` must exist in the current schema.
+   */
+  def setProperties(props: Map[String, String]): Commit = synchronized {
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    require(props.nonEmpty, "setProperties needs at least one property")
+    val merged = c.properties ++ props
+    merged.get(ManagedTable.BloomColumnsProp).foreach { csv =>
+      val schema = StructType.fromDDL(c.schemaDdl)
+      val missing = csv.split(",").map(_.trim).filter(_.nonEmpty)
+        .filterNot(n => schema.fieldNames.contains(n))
+      require(missing.isEmpty,
+        s"bloom.columns names absent from the schema: ${missing.mkString(", ")}")
+    }
+    val commit = Commit(c.version + 1L, "SET TBLPROPERTIES",
+      System.currentTimeMillis(), c.dirs,
+      props.map { case (k, v) => s"property:$k" -> v },
+      None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
+      dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
+      columnMap = c.columnMap, constraints = c.constraints,
+      properties = merged)
+    writeCommit(commit, Some(c))
+    commit
+  }
+
+  /** UNSET TBLPROPERTIES — metadata-only commit dropping `keys`. */
+  def unsetProperties(keys: Seq[String]): Commit = synchronized {
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    val commit = Commit(c.version + 1L, "UNSET TBLPROPERTIES",
+      System.currentTimeMillis(), c.dirs,
+      Map("unsetProperties" -> keys.mkString(",")),
+      None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
+      dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
+      columnMap = c.columnMap, constraints = c.constraints,
+      properties = c.properties -- keys)
     writeCommit(commit, Some(c))
     commit
   }
@@ -1691,7 +1775,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       System.currentTimeMillis(), c.dirs, Map("droppedConstraint" -> name),
       None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
       dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
-      columnMap = c.columnMap, constraints = c.constraints - name)
+      columnMap = c.columnMap, constraints = c.constraints - name,
+      properties = c.properties)
     writeCommit(commit, Some(c))
     commit
   }
@@ -1742,7 +1827,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       Map("renamedFrom" -> oldName, "renamedTo" -> newName),
       None, newSchema.toDDL, c.version, partitionBy = c.partitionBy,
       dirStats = newStats, txn = c.txn, dvDirs = c.dvDirs, columnMap = newMap,
-      constraints = c.constraints)
+      constraints = c.constraints,
+      properties = c.properties)
     writeCommit(commit, Some(c))
     commit
   }
@@ -1780,7 +1866,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       System.currentTimeMillis(), c.dirs, Map("droppedColumn" -> name),
       None, newSchema.toDDL, c.version, partitionBy = c.partitionBy,
       dirStats = newStats, txn = c.txn, dvDirs = c.dvDirs, columnMap = newMap,
-      constraints = c.constraints)
+      constraints = c.constraints,
+      properties = c.properties)
     writeCommit(commit, Some(c))
     commit
   }
@@ -2332,7 +2419,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val tsMs = System.currentTimeMillis()
     val dataDir = new Path(new Path(rootPath, "data"),
       f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
-    clustered.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(dataDir)
+    clustered.write.mode("overwrite")
+      .options(ManagedTable.bloomWriteOptions(c.properties, c.columnMap))
+      .partitionBy(CLUSTER_COL).parquet(dataDir)
 
     val dirs = perBucket.keys.toSeq.sorted.map(b => s"$dataDir/$CLUSTER_COL=$b")
     val dirStats = perBucket.map { case (b, (_, stats)) =>
@@ -2342,7 +2431,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       Map("numOutputRows" -> perBucket.values.map(_._1).sum.toString,
         "buckets" -> perBucket.size.toString),
       None, c.schemaDdl, c.version, dirStats = dirStats, txn = c.txn,
-      constraints = c.constraints)
+      constraints = c.constraints,
+      properties = c.properties)
     writeCommit(commit, Some(c))
     commit
   }
@@ -2546,7 +2636,16 @@ object ManagedTable {
       // violating batch deletes its files and throws BEFORE the commit
       // publishes. Reader-safe for old builds (reads don't consult
       // them), so no protocol bump — enforcement, not interpretation.
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      // table properties (Delta TBLPROPERTIES analogue): free-form
+      // key -> value, carried forward by every commit path, set/unset
+      // via [[ManagedTable.setProperties]]/[[unsetProperties]]. The
+      // write paths consult `bloom.columns` / `bloom.ndv[.col]` to
+      // enable parquet-native bloom filters on the named columns
+      // (see [[ManagedTable.bloomWriteOptions]]). Reader-safe for old
+      // builds (properties steer writes, never reinterpret stored
+      // bytes), so no protocol bump.
+      properties: Map[String, String] = Map.empty) {
 
     /** Physical parquet name of a logical column under this commit. */
     def physicalOf(logical: String): String =
@@ -2616,6 +2715,10 @@ object ManagedTable {
         val cs = node.putObject("constraints")
         constraints.foreach { case (n, r) => cs.put(n, r) }
       }
+      if (properties.nonEmpty) {
+        val ps = node.putObject("properties")
+        properties.foreach { case (k, v) => ps.put(k, v) }
+      }
       node
     }
 
@@ -2670,6 +2773,9 @@ object ManagedTable {
         }.getOrElse(Map.empty),
         constraints = Option(n.get("constraints")).map { cs =>
           cs.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+        }.getOrElse(Map.empty),
+        properties = Option(n.get("properties")).map { ps =>
+          ps.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
         }.getOrElse(Map.empty))
     }
 
@@ -2712,6 +2818,33 @@ object ManagedTable {
     * older reader would scan the physical files under the logical
     * schema and silently read every renamed column as NULL. */
   val ColumnMapProtocolVersion: Int = 3
+
+  /** Table property naming the columns that get parquet bloom filters. */
+  val BloomColumnsProp = "bloom.columns"
+
+  /** Table property hinting expected distinct counts for bloom sizing
+    * (global `bloom.ndv` or per-column `bloom.ndv.<col>`). */
+  val BloomNdvProp = "bloom.ndv"
+
+  /** Parquet write options realizing the `bloom.*` table properties for
+    * one data write: per-column `parquet.bloom.filter.enabled#<phys>`
+    * (+ ndv sizing hints), named by PHYSICAL column so the filters
+    * follow renames. Spark copies datasource options into the write
+    * job's Hadoop conf, so these reach parquet-mr unchanged; the read
+    * side needs nothing — the scan's pushed equality filters consult
+    * row-group bloom filters automatically. */
+  private[table] def bloomWriteOptions(
+      properties: Map[String, String],
+      columnMap: Map[String, String]): Map[String, String] =
+    properties.get(BloomColumnsProp).toSeq.flatMap { csv =>
+      csv.split(",").map(_.trim).filter(_.nonEmpty).flatMap { logical =>
+        val phys = columnMap.getOrElse(logical, logical)
+        val ndv = properties.get(s"$BloomNdvProp.$logical")
+          .orElse(properties.get(BloomNdvProp))
+        Seq(s"parquet.bloom.filter.enabled#$phys" -> "true") ++
+          ndv.map(n => s"parquet.bloom.filter.expected.ndv#$phys" -> n)
+      }
+    }.toMap
 
   /** Deletion-vector tombstone schema: `file` is the table-relative
     * file key (path after the last `/data/` segment — stable across
