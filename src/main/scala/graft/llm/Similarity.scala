@@ -818,4 +818,145 @@ object Similarity {
     val scored = adcScore(books, probed, queries, Some(probeMap), idCol, vecCol)
     rerankExact(scored, corpus, queries, k, rerank, idCol, vecCol)
   }
+
+  // ---- scalar quantization (SQ8) ---------------------------------------
+
+  /**
+   * Train SQ8 ranges: per-dimension [min, max] over the corpus — the
+   * affine scalar quantizer (FAISS `IndexScalarQuantizer(QT_8bit)`,
+   * the third classic compression point next to PQ and raw floats:
+   * SQ8 keeps EVERY dimension at byte resolution — dim bytes/vector,
+   * 8× under float64 arrays — where PQ keeps m sub-codes; better
+   * recall than PQ at the same small dim, larger codes).
+   *
+   * One distributed pass: posexplode → groupBy(dim position) →
+   * min/max — `dim` groups with map-side partial aggregation, so the
+   * shuffle is O(partitions × dim) regardless of corpus size; only
+   * 2 × dim doubles reach the driver.
+   */
+  def sq8Train(corpus: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    require(rows.nonEmpty, "empty corpus: cannot train SQ8 ranges")
+    val dim = rows.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](dim)
+    val maxs = new Array[Double](dim)
+    rows.foreach { r =>
+      mins(r.getInt(0)) = r.getDouble(1); maxs(r.getInt(0)) = r.getDouble(2)
+    }
+    (mins, maxs)
+  }
+
+  /** Encode every vector to `dim` bytes under the trained ranges:
+    * byte = round((x − min) / (max − min) × 255) − 128, constant
+    * dimensions encode 0. BinaryType — the compressed corpus the
+    * approximate scan reads; persist next to the ranges. */
+  def sq8Encode(corpus: DataFrame, mins: Array[Double], maxs: Array[Double],
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val bcMin = spark.sparkContext.broadcast(mins)
+    val bcMax = spark.sparkContext.broadcast(maxs)
+    val enc = udf { (v: Seq[Double]) =>
+      val mn = bcMin.value; val mx = bcMax.value
+      val out = new Array[Byte](v.length)
+      var i = 0
+      while (i < v.length) {
+        val range = mx(i) - mn(i)
+        val q = if (range <= 0.0) 0
+          else math.max(0, math.min(255,
+            math.round((v(i) - mn(i)) / range * 255.0).toInt))
+        out(i) = (q - 128).toByte
+        i += 1
+      }
+      out
+    }
+    corpus.select(col(idCol), enc(col(vecCol).cast("array<double>")).as("sq8_code"))
+  }
+
+  /**
+   * SQ8 top-k: approximate dot against the byte codes via the affine
+   * identity  dot(q, v̂) = Σ q_d·min_d + Σ (q_d·scale_d)·(byte_d+128),
+   * so each query precomputes one scalar (the min term) and one
+   * per-dim scale table, and the scan is dim byte-multiply-adds per
+   * candidate over the BYTE codes — the same query-LUT shape as PQ's
+   * ADC kernel and the same mapPartitions rationale (per-(partition,
+   * query) table reuse IS the algorithm). Top `rerank` survivors
+   * re-rank by exact cosine; output matches [[bruteForceTopK]].
+   */
+  def sq8TopKWith(mins: Array[Double], maxs: Array[Double], codes: DataFrame,
+                  corpus: DataFrame, queries: DataFrame, k: Int,
+                  rerank: Int = 64, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val dim = mins.length
+    val scales = Array.tabulate(dim) { i =>
+      val r = maxs(i) - mins(i); if (r <= 0.0) 0.0 else r / 255.0
+    }
+    val qRows = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val bcMin = spark.sparkContext.broadcast(mins)
+    val bcScale = spark.sparkContext.broadcast(scales)
+    import spark.implicits._
+    val scored = codes
+      .select(col(idCol).cast("long").as("neighbor_id"), col("sq8_code"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val mn = bcMin.value; val sc = bcScale.value
+        // per-query affine table: (Σ q_d·min_d, q_d·scale_d per dim)
+        val tables = bcQ.value.map { case (qid, qv) =>
+          var qmin = 0.0
+          val qs = new Array[Double](qv.length)
+          var i = 0
+          while (i < qv.length) {
+            qmin += qv(i) * mn(i); qs(i) = qv(i) * sc(i); i += 1
+          }
+          (qid, qmin, qs)
+        }
+        it.flatMap { case (nid, code) =>
+          tables.iterator.map { case (qid, qmin, qs) =>
+            var s = qmin
+            var i = 0
+            while (i < code.length) { s += qs(i) * (code(i) + 128); i += 1 }
+            (qid, nid, s)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "approx_dot")
+    rerankExact(scored, corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /** One-shot [[sq8TopKWith]]: train ranges + encode + search. At
+    * scale, train and encode once per corpus generation and persist
+    * both ([[sq8RangesTable]]/[[sq8RangesFrom]]). */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              rerank: Int = 64, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val (mins, maxs) = sq8Train(corpus, idCol, vecCol)
+    sq8TopKWith(mins, maxs, sq8Encode(corpus, mins, maxs, idCol, vecCol),
+      corpus, queries, k, rerank, idCol, vecCol)
+  }
+
+  /** Persistable `(pos, mn, mx)` form of trained SQ8 ranges — the
+    * standing-model pattern the whole family follows. */
+  def sq8RangesTable(spark: org.apache.spark.sql.SparkSession,
+                     mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    import spark.implicits._
+    mins.indices.map(i => (i, mins(i), maxs(i))).toDF("pos", "mn", "mx")
+  }
+
+  def sq8RangesFrom(df: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = df.select("pos", "mn", "mx").collect()
+    val dim = rows.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](dim)
+    val maxs = new Array[Double](dim)
+    rows.foreach { r =>
+      mins(r.getInt(0)) = r.getDouble(1); maxs(r.getInt(0)) = r.getDouble(2)
+    }
+    (mins, maxs)
+  }
 }

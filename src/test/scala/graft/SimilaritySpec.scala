@@ -345,4 +345,47 @@ class SimilaritySpec extends SparkSpec {
     val recall = hits.toDouble / bf.count()
     assert(recall >= 0.25, f"IVF-PQ recall@5 $recall%.3f below 0.25")
   }
+
+  test("sq8: encode is dim bytes, decode error bounded by half a step") {
+    val (mins, maxs) = Similarity.sq8Train(emb)
+    val dim = mins.length
+    val codes = Similarity.sq8Encode(emb, mins, maxs)
+    val row = codes.join(emb, "vec_id").limit(50)
+      .select($"sq8_code", $"embedding".cast("array<double>"))
+      .as[(Array[Byte], Seq[Double])].collect()
+    row.foreach { case (code, v) =>
+      assert(code.length == dim)
+      v.indices.foreach { i =>
+        val scale = (maxs(i) - mins(i)) / 255.0
+        val decoded = mins(i) + (code(i) + 128) * scale
+        assert(math.abs(decoded - v(i)) <= scale / 2 + 1e-12,
+          s"dim $i decode error exceeds half a quantization step")
+      }
+    }
+  }
+
+  test("sq8TopK: planted copies rank first; recall beats PQ's floor") {
+    val base = emb.select($"vec_id", $"embedding")
+    val planted = base.filter($"vec_id" < 10)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(planted).localCheckpoint()
+    val qs = corpus.filter($"vec_id" >= 10000)
+    val got = Similarity.sq8TopK(corpus, qs, 10).cache()
+    assert(got.filter($"rank" === 1)
+      .filter($"neighbor_id" =!= $"query_id" - 10000).count() == 0,
+      "a planted exact copy did not rank its original first")
+    val bf = Similarity.bruteForceTopK(corpus, qs, 10)
+    val hits = got.select("query_id", "neighbor_id")
+      .intersect(bf.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / bf.count()
+    assert(recall >= 0.6, f"SQ8 recall@10 $recall%.3f below 0.6 — byte " +
+      "resolution on every dim should beat PQ's sub-code compression here")
+  }
+
+  test("sq8 ranges round-trip through the persistable table") {
+    val (mins, maxs) = Similarity.sq8Train(emb)
+    val (m2, x2) = Similarity.sq8RangesFrom(
+      Similarity.sq8RangesTable(spark, mins, maxs))
+    assert(m2.toSeq == mins.toSeq && x2.toSeq == maxs.toSeq)
+  }
 }
