@@ -58,9 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
-    // SQL-addressable managed tables: SELECT/INSERT on `graft.t`, with
-    // VERSION/TIMESTAMP AS OF time travel (graft.table.SqlTables)
+    // SQL-addressable managed tables: SELECT/INSERT/DELETE/UPDATE/MERGE
+    // on `graft.t`, with VERSION/TIMESTAMP AS OF time travel
+    // (graft.table.SqlTables); DDL goes through the Hints batch, ahead
+    // of ResolveSessionCatalog's v1-command conversion
     ext.injectResolutionRule(graft.table.SqlTableResolution(_))
+    ext.injectHintResolutionRule(graft.table.SqlTableDdl(_))
   }
 }
 

@@ -1722,6 +1722,49 @@ object Queries {
       |SELECT 1, c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <= 1000""".stripMargin
 
   /**
+   * The SQL row-level DML surface ([[graft.table.SqlDml]]): MERGE INTO
+   * (compiled to the one-full-outer-join MergeEmulator plan), DELETE
+   * FROM (stats-pruned dir-scoped rewrite), and UPDATE (same), all as
+   * pure SQL text against a `graft.` identifier. The oracle recomputes
+   * the final state from the base table with CASE arithmetic, so every
+   * clause's semantics — matched update, not-matched insert, delete
+   * predicate, update expression — is value-checked row for row.
+   * In-query gates pin the commit operations the statements must leave.
+   */
+  def sqlTableMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    val path = tmp("sqlmrg")
+    cust(spark, dir).createOrReplaceTempView("cust_mrg_sql")
+    spark.sql(
+      s"""INSERT INTO graft.`$path`
+         |SELECT * FROM cust_mrg_sql WHERE c_custkey <= 800""".stripMargin)
+    spark.sql(
+      s"""MERGE INTO graft.`$path` t
+         |USING (SELECT c_custkey, c_name, c_mktsegment || '*' AS c_mktsegment
+         |       FROM cust_mrg_sql
+         |       WHERE c_custkey BETWEEN 401 AND 1200) s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED THEN UPDATE SET c_mktsegment = s.c_mktsegment
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(s"DELETE FROM graft.`$path` WHERE c_custkey % 10 = 0")
+    spark.sql(
+      s"""UPDATE graft.`$path` SET c_name = upper(c_name)
+         |WHERE c_custkey % 2 = 0""".stripMargin)
+    val t = ManagedTable(spark, path)
+    require(t.history.map(_.operation).take(3) ==
+      Seq("UPDATE", "DELETE", "MERGE INTO"),
+      s"SQL DML must leave MERGE INTO,DELETE,UPDATE commits, got ${t.history}")
+    t.read.select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  val sqlTableMergeSql: String =
+    """SELECT c_custkey,
+      | CASE WHEN c_custkey % 2 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+      | CASE WHEN c_custkey > 400 THEN c_mktsegment || '*' ELSE c_mktsegment END AS c_mktsegment
+      |FROM customer
+      |WHERE c_custkey <= 1200 AND c_custkey % 10 <> 0""".stripMargin
+
+  /**
    * Parquet-native bloom filters via table properties
    * ([[graft.table.ManagedTable.setProperties]], `bloom.columns`): the
    * needle-lookup path dir-level min/max CANNOT serve — md5 fingerprints
@@ -3507,6 +3550,49 @@ object Queries {
   }
 
   val ivfPqTopKSql: String = annTopKSql
+
+  /**
+   * Scalar-quantized top-k ([[graft.llm.Similarity.sq8TopK]]): per-dim
+   * byte codes (dim bytes/vector — 8× under float64) scored by the
+   * affine-decode identity, exact re-rank on top. Same two hard checks
+   * as the PQ family: planted exact copies must rank their original
+   * first, and recall@10 vs brute force gates at 0.60 — SQ8 keeps every
+   * dimension at byte resolution, so its floor sits well above PQ's
+   * (m=8 sub-codes) on the same corpus; a floor breach means the range
+   * training or the byte-decode arithmetic broke. Range training +
+   * encoding are the amortizable index build (staging).
+   */
+  def sq8TopKVerified(spark: SparkSession, dir: String,
+                      recallFloor: Double = 0.60): DataFrame = {
+    import graft.llm.Similarity
+    val emb = pq(spark, dir, "embeddings").select("vec_id", "embedding")
+    assertPlantedIdHeadroom(emb, offset = 10000)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(planted).localCheckpoint()
+    val queries = corpus.filter(col("vec_id") >= 10000)
+    val (mins, maxs, codes) = Staging.timed {
+      val (mn, mx) = Similarity.sq8Train(corpus)
+      (mn, mx, Similarity.sq8Encode(corpus, mn, mx).localCheckpoint())
+    }
+    val got = Similarity.sq8TopKWith(mins, maxs, codes, corpus, queries, 10)
+      .localCheckpoint()
+    val top1 = got.filter(col("rank") === 1)
+    val misses = top1.filter(col("neighbor_id") =!= col("query_id") - 10000).count()
+    require(misses == 0,
+      s"ann_sq8: $misses planted copies did not rank their original first — " +
+        "the byte-decode scan or exact re-rank lost an identical vector")
+    val bf = Similarity.bruteForceTopK(corpus, queries, 10)
+    val hits = got.select("query_id", "neighbor_id")
+      .intersect(bf.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / bf.count()
+    require(recall >= recallFloor,
+      f"ann_sq8 recall@10 $recall%.3f fell below the calibrated floor " +
+        f"$recallFloor%.2f — SQ8 ranges/decode arithmetic are broken")
+    top1.select("query_id", "neighbor_id")
+  }
+
+  val sq8TopKSql: String = annTopKSql
 
   /**
    * IVF-PQ as a PERSISTED, INCREMENTALLY-REFRESHED index

@@ -113,6 +113,7 @@ object SparkEntry {
     "bloom_skipping" -> (Queries.bloomSkipping(_, _)),
     "sql_table_dml" -> (Queries.sqlTableDml(_, _)),
     "sql_table_time_travel" -> (Queries.sqlTableTimeTravel(_, _)),
+    "sql_table_merge" -> (Queries.sqlTableMerge(_, _)),
     "table_constraints" -> (Queries.tableConstraints(_, _)),
     "type_widening" -> (Queries.typeWidening(_, _)),
     "expectations_check" -> (Queries.expectationsCheck(_, _)),
@@ -227,6 +228,7 @@ object SparkEntry {
     "ann_topk" -> (Queries.annTopKVerified(_, _)),
     "ann_ivf" -> (Queries.ivfTopKVerified(_, _)),
     "ann_pq" -> (Queries.pqTopKVerified(_, _)),
+    "ann_sq8" -> (Queries.sq8TopKVerified(_, _)),
     "ann_ivfpq" -> (Queries.ivfPqTopKVerified(_, _)),
     "ann_ivfpq_incremental" -> (Queries.ivfPqIncrementalVerified(_, _)),
     "semantic_dedup" -> (Queries.semanticDedupVerified(_, _)),
@@ -334,6 +336,7 @@ object SparkEntry {
     "bloom_skipping" -> Queries.bloomSkippingSql,
     "sql_table_dml" -> Queries.sqlTableDmlSql,
     "sql_table_time_travel" -> Queries.sqlTableTimeTravelSql,
+    "sql_table_merge" -> Queries.sqlTableMergeSql,
     "table_constraints" -> Queries.tableConstraintsSql,
     "type_widening" -> Queries.typeWideningSql,
     "expectations_check" -> Queries.expectationsCheckSql,
@@ -796,6 +799,7 @@ object SparkEntry {
     "ann_topk" -> Queries.annTopKSql,
     "ann_ivf" -> Queries.ivfTopKSql,
     "ann_pq" -> Queries.pqTopKSql,
+    "ann_sq8" -> Queries.sq8TopKSql,
     "ann_ivfpq" -> Queries.ivfPqTopKSql,
     "ann_ivfpq_incremental" -> Queries.ivfPqIncrementalSql,
     "semantic_dedup" -> Queries.semanticDedupSql,

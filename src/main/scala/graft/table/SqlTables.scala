@@ -2,9 +2,9 @@ package graft.table
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.AliasIdentifier
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.GraftShims
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -102,6 +102,36 @@ final case class SqlTableResolution(spark: SparkSession) extends Rule[LogicalPla
           "partitioning is declared at write time and appends are dir-composed")
       GraftInsertCommand(SqlTables.rootOf(spark, parts), query, userCols,
         overwrite, byName)
+
+    // DELETE / UPDATE / MERGE: the relation child substitutes first
+    // (post-order), so these match on the alias marker it leaves behind
+    case DeleteFromTable(SqlDml.GraftTarget((parts, aliases)), cond) =>
+      GraftDeleteCommand(SqlTables.rootOf(spark, parts),
+        SqlDml.ExprBox(cond), aliases)
+
+    case UpdateTable(SqlDml.GraftTarget((parts, aliases)), assigns, cond) =>
+      val set = assigns.map { a =>
+        a.key match {
+          case org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(ps) =>
+            ps.last -> SqlDml.ExprBox(a.value)
+          case other => throw new IllegalArgumentException(
+            s"UPDATE SET key must be a column name, got ${other.sql}")
+        }
+      }
+      GraftUpdateCommand(SqlTables.rootOf(spark, parts), set,
+        cond.map(SqlDml.ExprBox), aliases)
+
+    case MergeIntoTable(SqlDml.GraftTarget((parts, aliases)), source, cond,
+        matchedActions, notMatchedActions, notMatchedBySource,
+        withSchemaEvolution) =>
+      require(notMatchedBySource.isEmpty,
+        "WHEN NOT MATCHED BY SOURCE is not supported for graft tables")
+      require(!withSchemaEvolution,
+        "MERGE WITH SCHEMA EVOLUTION is not supported for graft tables")
+      GraftMergeCommand(SqlTables.rootOf(spark, parts), source, aliases,
+        SqlDml.ExprBox(cond), SqlDml.compileMatched(matchedActions),
+        SqlDml.compileNotMatched(notMatchedActions))
+
 
     // graft.t VERSION AS OF n / TIMESTAMP AS OF ts
     case RelationTimeTravel(GraftRel((parts, false)), tsExpr, version) =>
@@ -206,5 +236,45 @@ final case class GraftInsertCommand(
     else t.write(aligned, "APPEND", "append", None, partitionBy,
       mergeSchema = true)
     Nil
+  }
+}
+
+/**
+ * DDL statements must be intercepted BEFORE the Resolution batch:
+ * Spark's `ResolveSessionCatalog` (which runs ahead of injected
+ * resolution rules in the same fixed point) would otherwise convert
+ * `CREATE TABLE` / `ALTER TABLE ... TBLPROPERTIES` on a `graft.`
+ * identifier into session-catalog v1 commands that reject the path
+ * identifier at execution. Injected via `injectHintResolutionRule` —
+ * the Hints batch precedes Resolution, and these nodes need no
+ * resolution context (the identifier and literals are all parser
+ * output).
+ */
+final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(p: LogicalPlan): LogicalPlan = p.resolveOperatorsUp {
+    // CREATE TABLE graft.t (cols...) [TBLPROPERTIES (...)]
+    case CreateTable(UnresolvedIdentifier(head +: rest, _), columns,
+        partitioning, tableSpec, ignoreIfExists)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      require(partitioning.isEmpty,
+        "PARTITIONED BY is not supported in CREATE TABLE for graft tables " +
+          "— declare partitioning on the first write instead")
+      val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
+        org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+      val props = tableSpec match {
+        case u: UnresolvedTableSpec => u.properties
+        case t: TableSpec => t.properties
+        case _ => Map.empty[String, String]
+      }
+      GraftCreateTableCommand(SqlTables.rootOf(spark, rest), schema, props,
+        ignoreIfExists)
+
+    // ALTER TABLE graft.t SET/UNSET TBLPROPERTIES
+    case SetTableProperties(UnresolvedTable(head +: rest, _, _), props)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      GraftSetPropertiesCommand(SqlTables.rootOf(spark, rest), props)
+    case UnsetTableProperties(UnresolvedTable(head +: rest, _, _), keys, _)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      GraftUnsetPropertiesCommand(SqlTables.rootOf(spark, rest), keys)
   }
 }

@@ -17,4 +17,10 @@ object GraftShims {
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** Catalyst `Expression` → public `Column` (inverse of the public
+    * `expr(...)` path) — what the SQL-DML commands use to hand parsed
+    * MERGE/UPDATE/DELETE expressions to the DataFrame API. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    ExpressionUtils.column(e)
 }

@@ -174,6 +174,100 @@ class SqlTablesSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (3L, "c")))
   }
 
+  test("DELETE FROM prunes dirs via stats and removes only matching rows") {
+    val path = freshTable("sqldel")
+    val t = ManagedTable(spark, path)
+    spark.sql(s"DELETE FROM ${quoted(path)} WHERE n_regionkey = 2")
+    assert(t.lastCommit.get.operation == "DELETE")
+    assertSameRows(t.read,
+      spark.read.parquet(s"$sf/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .filter(col("n_regionkey") =!= 2))
+    // aliased form with qualified refs
+    spark.sql(s"DELETE FROM ${quoted(path)} n WHERE n.n_nationkey < 3")
+    assert(t.read.filter(col("n_nationkey") < 3).count() == 0)
+  }
+
+  test("UPDATE SET rewrites matching rows in place") {
+    val path = freshTable("sqlupd")
+    val t = ManagedTable(spark, path)
+    spark.sql(
+      s"UPDATE ${quoted(path)} SET n_name = concat(n_name, '!') WHERE n_regionkey = 0")
+    assert(t.lastCommit.get.operation == "UPDATE")
+    val bang = t.read.filter(col("n_name").endsWith("!"))
+    assert(bang.count() > 0 &&
+      bang.count() == t.read.filter(col("n_regionkey") === 0).count())
+  }
+
+  test("MERGE INTO updates matches and inserts the rest through one commit") {
+    val path = tmpDir("sqlmerge")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "score"),
+      "APPEND", "append")
+    Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("id", "name", "score")
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO ${quoted(path)} tgt USING merge_src s
+         |ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET name = s.name, score = s.score
+         |WHEN NOT MATCHED THEN INSERT (id, name, score) VALUES (s.id, s.name, s.score)
+         |""".stripMargin)
+    assert(t.lastCommit.get.operation == "MERGE INTO")
+    assert(t.read.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0)))
+  }
+
+  test("MERGE INTO with UPDATE SET * and INSERT *") {
+    val path = tmpDir("sqlmerge2")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "APPEND", "append")
+    Seq((2L, "B2"), (4L, "d")).toDF("id", "name")
+      .createOrReplaceTempView("merge_src2")
+    spark.sql(
+      s"""MERGE INTO ${quoted(path)} USING merge_src2 s ON ${quoted(path)}.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.read.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (4L, "d")))
+  }
+
+  test("MERGE rejects unsupported clauses loudly") {
+    val path = tmpDir("sqlmerge3")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write(Seq((1L, "a")).toDF("id", "name"), "APPEND", "append")
+    Seq((1L, "x")).toDF("id", "name").createOrReplaceTempView("merge_src3")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO ${quoted(path)} tgt USING merge_src3 s ON tgt.id = s.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("not supported"))
+  }
+
+  test("CREATE TABLE and ALTER TABLE TBLPROPERTIES round-trip") {
+    val path = tmpDir("sqlcreate2")
+    spark.sql(
+      s"""CREATE TABLE ${quoted(path)} (id BIGINT, name STRING)
+         |TBLPROPERTIES ('team' = 'data-eng')""".stripMargin)
+    val t = ManagedTable(spark, path)
+    assert(t.exists && t.lastCommit.get.properties("team") == "data-eng")
+    // idempotent under IF NOT EXISTS; loud without
+    spark.sql(s"CREATE TABLE IF NOT EXISTS ${quoted(path)} (id BIGINT, name STRING)")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE ${quoted(path)} (id BIGINT, name STRING)")
+    }
+    spark.sql(s"INSERT INTO ${quoted(path)} VALUES (1, 'x')")
+    spark.sql(
+      s"ALTER TABLE ${quoted(path)} SET TBLPROPERTIES ('bloom.columns' = 'name')")
+    assert(ManagedTable(spark, path).lastCommit.get
+      .properties(ManagedTable.BloomColumnsProp) == "name")
+    spark.sql(s"ALTER TABLE ${quoted(path)} UNSET TBLPROPERTIES ('team')")
+    assert(!ManagedTable(spark, path).lastCommit.get.properties.contains("team"))
+  }
+
   test("non-graft relations pass through the rule untouched") {
     spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_v")
     assert(spark.sql("SELECT count(*) FROM region_v").head().getLong(0) ==
