@@ -142,6 +142,14 @@ object GraftExtensions {
     tvf("graft_exact_dedup")(TextOps.exactDedup(_)),
     tvf("graft_redact")(TextOps.redact(_)),
     tvf("graft_normalize_text")(TextOps.normalizeText(_)),
+    tvf("graft_bigram_fluency")(TextOps.bigramScore(_)),
+    "graft_bigram_fluency_against" -> { args =>
+      require(args.size == 2,
+        "graft_bigram_fluency_against(batch, standing) takes two table names")
+      val standing = table(args(1))
+      plan(TextOps.bigramScoreWith(table(args(0)),
+        TextOps.bigramModel(standing), TextOps.unigramModel(standing)))
+    },
     "graft_rare_tokens" -> { args =>
       require(args.size == 1 || args.size == 2,
         "graft_rare_tokens(table[, min_freq]) takes 1 or 2 arguments")

@@ -1722,6 +1722,81 @@ object Queries {
       |SELECT 1, c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <= 1000""".stripMargin
 
   /**
+   * Bigram fluency ([[graft.llm.TextOps.bigramScore]]) — the 2-gram
+   * CCNet-style gate: integer-exact transition coverage against the
+   * corpus's own bigram LM (the oracle recomputes it in SQL), with the
+   * true interpolated perplexity spec-pinned API-side (libm-dependent
+   * floats stay out of the hash). In-query gate: every scored doc's
+   * perplexity is finite and > 1 (−ln p of probabilities < 1 can never
+   * average to ≤ 0), so a broken backoff fails the driver run loudly.
+   */
+  def bigramFluency(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextOps
+    val docs = pq(spark, dir, "documents")
+    val out = TextOps.bigramScore(docs).localCheckpoint()
+    val bad = out.filter(col("n_bigrams") > 0 &&
+      (col("bigram_ppl").isNull || col("bigram_ppl") <= 1.0 ||
+        col("bigram_ppl").isNaN)).count()
+    require(bad == 0,
+      s"bigram_fluency: $bad docs scored a degenerate perplexity — " +
+        "the interpolated backoff is broken")
+    out.select("doc_id", "n_bigrams", "n_seen_bigrams", "passes_fluency")
+  }
+
+  val bigramFluencySql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+      |bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      |       FROM toks, unnest(generate_series(1, len(ts)-1)) AS t(i)),
+      |lm AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2),
+      |agg AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |        CAST(sum(CASE WHEN lm.cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_seen_bigrams
+      |        FROM bg JOIN lm USING (w1, w2) GROUP BY bg.doc_id)
+      |SELECT d.doc_id,
+      | coalesce(a.n_bigrams, 0) AS n_bigrams,
+      | coalesce(a.n_seen_bigrams, 0) AS n_seen_bigrams,
+      | CASE WHEN coalesce(a.n_bigrams, 0) > 0
+      |       AND coalesce(a.n_seen_bigrams, 0) * 2 >= coalesce(a.n_bigrams, 0)
+      |      THEN 1 ELSE 0 END AS passes_fluency
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
+  /** Daily-ingest form: the standing 90% corpus trains both LMs, the
+    * 10% batch scores against them — transitions the corpus never saw
+    * count as unseen, the out-of-distribution signal an ingest gate
+    * wants ([[graft.llm.TextOps.bigramScoreWith]]). */
+  def bigramFluencyIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextOps
+    val docs = pq(spark, dir, "documents")
+    val standing = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    TextOps.bigramScoreWith(batch, TextOps.bigramModel(standing),
+        TextOps.unigramModel(standing))
+      .select("doc_id", "n_bigrams", "n_seen_bigrams", "passes_fluency")
+  }
+
+  val bigramFluencyIncrementalSql: String =
+    """WITH toksAll AS (SELECT doc_id,
+      |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+      |bgAll AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      |          FROM toksAll, unnest(generate_series(1, len(ts)-1)) AS t(i)),
+      |lm AS (SELECT w1, w2, count(*) AS cnt FROM bgAll
+      |       WHERE doc_id % 10 <> 0 GROUP BY w1, w2),
+      |bg AS (SELECT * FROM bgAll WHERE doc_id % 10 = 0),
+      |agg AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |        CAST(sum(CASE WHEN coalesce(lm.cnt, 0) >= 3 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS n_seen_bigrams
+      |        FROM bg LEFT JOIN lm USING (w1, w2) GROUP BY bg.doc_id)
+      |SELECT d.doc_id,
+      | coalesce(a.n_bigrams, 0) AS n_bigrams,
+      | coalesce(a.n_seen_bigrams, 0) AS n_seen_bigrams,
+      | CASE WHEN coalesce(a.n_bigrams, 0) > 0
+      |       AND coalesce(a.n_seen_bigrams, 0) * 2 >= coalesce(a.n_bigrams, 0)
+      |      THEN 1 ELSE 0 END AS passes_fluency
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |WHERE d.doc_id % 10 = 0""".stripMargin
+
+  /**
    * The SQL row-level DML surface ([[graft.table.SqlDml]]): MERGE INTO
    * (compiled to the one-full-outer-join MergeEmulator plan), DELETE
    * FROM (stats-pruned dir-scoped rewrite), and UPDATE (same), all as

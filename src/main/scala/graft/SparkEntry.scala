@@ -169,6 +169,8 @@ object SparkEntry {
       TextOps.gopherRepetition(Queries.pq(s, d, "documents"))),
     "c4_line_filter" -> ((s, d) => TextOps.c4LineFilter(Queries.pq(s, d, "documents"))),
     "rare_tokens" -> ((s, d) => TextOps.rareTokenScore(Queries.pq(s, d, "documents"))),
+    "bigram_fluency" -> (Queries.bigramFluency(_, _)),
+    "bigram_fluency_incremental" -> (Queries.bigramFluencyIncremental(_, _)),
     // daily-ingest path: the standing 90% corpus trains the LM, the 10%
     // batch is scored against it — unseen tokens are maximally rare
     "rare_tokens_incremental" -> ((s, d) => {
@@ -556,6 +558,8 @@ object SparkEntry {
         |      AND NOT contains(lower(text), 'lorem ipsum')
         |      AND NOT contains(text, '{') THEN 1 ELSE 0 END AS keep_doc
         |FROM k""".stripMargin,
+    "bigram_fluency" -> Queries.bigramFluencySql,
+    "bigram_fluency_incremental" -> Queries.bigramFluencyIncrementalSql,
     "rare_tokens" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

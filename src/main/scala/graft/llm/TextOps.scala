@@ -564,6 +564,104 @@ object TextOps {
           .cast("int").as("passes_rarity"))
   }
 
+  /** Ordered adjacent token pairs per doc: `(idCol, w1, w2)` — the raw
+    * material for the bigram LM and its scoring join. posexplode keeps
+    * token ORDER (a plain explode would lose adjacency); the pair build
+    * is narrow (no shuffle until the model aggregate). */
+  private def docBigrams(docs: DataFrame, textCol: String,
+                         idCol: String): DataFrame =
+    docs.select(col(idCol),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))
+          .as("__toks__"))
+      .select(col(idCol), col("__toks__"),
+        posexplode(col("__toks__")).as(Seq("__i__", "w2")))
+      .filter(col("__i__") >= 1)
+      // element_at is 1-based: position __i__ is the PREVIOUS token
+      .select(col(idCol), element_at(col("__toks__"), col("__i__")).as("w1"),
+        col("w2"))
+
+  /** The corpus bigram LM: `(w1, w2, cnt)` adjacent-pair counts — the
+    * 2-gram companion of [[unigramModel]], persisted the same way and
+    * fed to [[bigramScoreWith]] to score daily batches at O(batch). */
+  def bigramModel(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docBigrams(docs, textCol, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Bigram fluency against a STANDING LM — the 2-gram extension of the
+   * CCNet-style rarity gate ([[rareTokenScoreWith]]): a document whose
+   * token TRANSITIONS rarely occur in the corpus reads as disfluent
+   * (scrambled text, keyword stuffing, OCR noise) even when every
+   * individual token is common — exactly the signal a unigram model
+   * cannot see.
+   *
+   * Two outputs per doc:
+   *   - the ORACLE-EXACT integers `n_bigrams` / `n_seen_bigrams`
+   *     (transitions with corpus count ≥ `minFreq`) and the pure
+   *     integer verdict `passes_fluency` (`n_seen_bigrams · 2 ≥
+   *     n_bigrams`) — deterministic in any engine, like the rarity
+   *     gate's integer rule;
+   *   - `bigram_ppl`, the true interpolated perplexity
+   *     `exp(mean −ln p)` with `p(w2|w1) = λ·c(w1,w2)/c(w1) +
+   *     (1−λ)·(c(w2)+1)/(N+V)` (Jelinek–Mercer over an add-one
+   *     unigram backoff, the CCNet shape). Floating — libm-dependent
+   *     at the last ulp, so it is spec-pinned against an in-JVM
+   *     reference rather than oracle-hashed.
+   *
+   * Scale shape: pair explode is narrow; ONE equi-join on (w1, w2)
+   * against the model (AQE-broadcast when the LM is small), two cheap
+   * unigram joins for the backoff, one doc-keyed aggregate. The N/V
+   * scalars ride a broadcast 1-row cross join.
+   */
+  def bigramScoreWith(batch: DataFrame, bigramLm: DataFrame,
+                      unigramLm: DataFrame,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      minFreq: Long = 3, lambda: Double = 0.9): DataFrame = {
+    require(minFreq > 0, s"minFreq must be positive, got $minFreq")
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
+    val scalars = unigramLm.agg(
+      sum("freq").cast("double").as("__N__"),
+      count(lit(1)).cast("double").as("__V__"))
+    val uni1 = unigramLm.select(col("tok").as("w1"), col("freq").as("c1"))
+    val uni2 = unigramLm.select(col("tok").as("w2"), col("freq").as("c2"))
+    val scored = docBigrams(batch, textCol, idCol)
+      .join(bigramLm, Seq("w1", "w2"), "left")
+      .join(uni1, Seq("w1"), "left")
+      .join(uni2, Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("__p__",
+        lit(lambda) *
+          (coalesce(col("cnt"), lit(0L)).cast("double") /
+            greatest(coalesce(col("c1"), lit(0L)).cast("double"), lit(1.0))) +
+        lit(1.0 - lambda) *
+          ((coalesce(col("c2"), lit(0L)).cast("double") + 1.0) /
+            (col("__N__") + col("__V__"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(coalesce(col("cnt"), lit(0L)) >= minFreq, 1L).otherwise(0L))
+          .as("n_seen_bigrams"),
+        exp(avg(-log(col("__p__")))).as("bigram_ppl"))
+    batch.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_seen_bigrams"), lit(0L)).as("n_seen_bigrams"),
+        col("bigram_ppl"),
+        (coalesce(col("n_bigrams"), lit(0L)) > 0 &&
+          coalesce(col("n_seen_bigrams"), lit(0L)) * 2 >=
+            coalesce(col("n_bigrams"), lit(0L)))
+          .cast("int").as("passes_fluency"))
+  }
+
+  /** One-shot [[bigramScoreWith]]: the corpus scores against its own
+    * bigram + unigram models (tokenizes twice — at 100 TB persist the
+    * models once and score batches with the `With` form). */
+  def bigramScore(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id", minFreq: Long = 3,
+                  lambda: Double = 0.9): DataFrame =
+    bigramScoreWith(docs, bigramModel(docs, textCol, idCol),
+      unigramModel(docs, textCol, idCol), textCol, idCol, minFreq, lambda)
+
   /** Per-group corpus profile with an EXACT lower median — `avg`/
     * `percentile_approx` summaries are engine-specific, but "the value
     * at rank ⌊(n+1)/2⌋ under a total order" is the same integer in any

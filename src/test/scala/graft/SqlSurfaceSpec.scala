@@ -308,4 +308,11 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM graft_mixture_sample('documents', 'lang', 'en:half', 20, 'doc_id')").collect())
     assert(e5.getMessage.contains("numeric"), e5.getMessage)
   }
+
+  test("graft_bigram_fluency TVF matches the Scala API") {
+    docsView()
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_bigram_fluency('documents')"),
+      TextOps.bigramScore(spark.table("documents")))
+  }
 }

@@ -471,4 +471,76 @@ class TextOpsSpec extends SparkSpec {
     assert(m(1L)._2 === 34 && m(1L)._3 === 22)
     assert(m(2L) === (("clean", 5, 5)))
   }
+
+  test("bigramModel counts adjacent pairs exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the cat mat"),
+      (2L, "the cat")).toDF("doc_id", "text")
+    val m = graft.llm.TextOps.bigramModel(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("the", "cat")) == 3L) // twice in doc1, once in doc2
+    assert(m(("cat", "sat")) == 1L && m(("on", "the")) == 1L &&
+      m(("cat", "mat")) == 1L && m(("sat", "on")) == 1L)
+    assert(m.values.sum == 7L) // 6 transitions in doc1 + 1 in doc2
+  }
+
+  test("bigram_ppl matches an in-JVM reference (interpolated backoff)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c a b c a b"),
+      (2L, "c b a"),
+      (3L, "b b b a")).toDF("doc_id", "text")
+    val got = graft.llm.TextOps.bigramScore(corpus, minFreq = 2, lambda = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    // independent reference: count from raw strings
+    def toks(s: String) = s.split(" ").toSeq
+    val texts = Map(1L -> "a b c a b c a b", 2L -> "c b a", 3L -> "b b b a")
+    val uni = texts.values.flatMap(toks).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = texts.values.flatMap(t => toks(t).sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = uni.values.sum.toDouble
+    val v = uni.size.toDouble
+    texts.foreach { case (id, t) =>
+      val pairs = toks(t).sliding(2).map(p => (p(0), p(1))).toSeq
+      val nll = pairs.map { case (w1, w2) =>
+        val p = 0.9 * (bi.getOrElse((w1, w2), 0L).toDouble /
+            math.max(uni.getOrElse(w1, 0L).toDouble, 1.0)) +
+          0.1 * ((uni.getOrElse(w2, 0L).toDouble + 1.0) / (n + v))
+        -math.log(p)
+      }
+      val want = math.exp(nll.sum / nll.size)
+      val (nb, _, ppl) = got(id)
+      assert(nb == pairs.size.toLong)
+      assert(math.abs(ppl - want) < 1e-9,
+        s"doc $id ppl $ppl != reference $want")
+    }
+  }
+
+  test("bigramScoreWith flags unseen transitions against a standing LM") {
+    import spark.implicits._
+    val standing = Seq(
+      (1L, "the quick brown fox jumps the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps over it")).toDF("doc_id", "text")
+    val lmB = graft.llm.TextOps.bigramModel(standing)
+    val lmU = graft.llm.TextOps.unigramModel(standing)
+    val batch = Seq(
+      (10L, "the quick brown fox"),   // transitions all seen >= 2
+      (11L, "fox brown quick the"),   // scrambled: transitions unseen
+      (12L, "x")).toDF("doc_id", "text") // single token: no bigrams
+    val got = graft.llm.TextOps.bigramScoreWith(batch, lmB, lmU, minFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(4)))).toMap
+    assert(got(10L) == ((3L, 3L, 1)))
+    assert(got(11L)._2 == 0L && got(11L)._3 == 0)
+    assert(got(12L) == ((0L, 0L, 0)))
+    // the fluent doc's perplexity beats the scrambled doc's
+    val ppls = graft.llm.TextOps.bigramScoreWith(batch, lmB, lmU, minFreq = 2)
+      .filter(org.apache.spark.sql.functions.col("bigram_ppl").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ppls(10L) < ppls(11L),
+      s"fluent ppl ${ppls(10L)} should beat scrambled ${ppls(11L)}")
+  }
 }
