@@ -1842,6 +1842,40 @@ final class ManagedTable(spark: SparkSession, root: String) {
    * append re-adding the same logical name gets a FRESH physical name
    * instead of silently resurrecting the dropped column's old bytes.
    */
+  /**
+   * ADD COLUMN — metadata only, zero file rewrites (Delta's schema
+   * evolution): the commit schema gains a NULLABLE column at the end;
+   * existing dirs simply have no such parquet column, and the
+   * schema-first read serves NULL for them. Resurrection guard: a name
+   * that is still a PHYSICAL column of live files (a dropped column's
+   * tombstone mapping, or a renamed column's original) refuses — the
+   * parquet reader matches by name, so re-adding it would silently
+   * serve the OLD bytes as the new column's values.
+   */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Commit =
+    synchronized {
+      val c = lastCommit.getOrElse(
+        throw new IllegalStateException(s"managed table $root does not exist"))
+      val schema = StructType.fromDDL(c.schemaDdl)
+      require(!schema.fieldNames.contains(name),
+        s"column $name already exists in $root")
+      require(!c.columnMap.values.toSet.contains(name),
+        s"column name $name is still a physical column of live files " +
+          "(previously dropped or renamed away) — re-adding it would " +
+          "resurrect the old stored values; pick another name or rewrite")
+      val newSchema = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+      val commit = Commit(c.version + 1L, s"ADD COLUMN($name)",
+        System.currentTimeMillis(), c.dirs,
+        Map("addedColumn" -> name, "addedType" -> dataType.sql),
+        None, newSchema.toDDL, c.version, partitionBy = c.partitionBy,
+        dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
+        columnMap = c.columnMap, constraints = c.constraints,
+        properties = c.properties)
+      writeCommit(commit, Some(c))
+      commit
+    }
+
   def dropColumn(name: String): Commit = synchronized {
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))

@@ -283,3 +283,56 @@ final case class GraftUnsetPropertiesCommand(root: String, keys: Seq[String])
     Nil
   }
 }
+
+/** `ALTER TABLE graft.t ADD COLUMN(S) ...` — metadata-only evolution. */
+final case class GraftAddColumnsCommand(
+    root: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)])
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable(spark, root)
+    cols.foreach { case (n, dt) => t.addColumn(n, dt) }
+    Nil
+  }
+}
+
+/** `ALTER TABLE graft.t RENAME COLUMN a TO b` — column-mapping commit. */
+final case class GraftRenameColumnCommand(root: String, from: String, to: String)
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    ManagedTable(spark, root).renameColumn(from, to)
+    Nil
+  }
+}
+
+/** `ALTER TABLE graft.t DROP COLUMN(S) ...` — column-mapping commit. */
+final case class GraftDropColumnsCommand(root: String, names: Seq[String],
+                                         ifExists: Boolean)
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable(spark, root)
+    val have = t.read.columns.toSet
+    names.foreach { n =>
+      if (have.contains(n)) { t.dropColumn(n); () }
+      else if (!ifExists) throw new IllegalArgumentException(
+        s"no column $n in graft table at $root (use DROP COLUMN IF EXISTS)")
+    }
+    Nil
+  }
+}
+
+/** `ALTER TABLE graft.t ADD CONSTRAINT name CHECK (cond)` — persists the
+  * rule through [[ManagedTable.addConstraint]]'s Expectations DSL
+  * (`check:` entry carrying the original SQL condition text). */
+final case class GraftAddConstraintCommand(root: String, name: String,
+                                           conditionSql: String)
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    ManagedTable(spark, root).addConstraint(name, s"check:$name:$conditionSql")
+    Nil
+  }
+}

@@ -251,6 +251,14 @@ final case class GraftInsertCommand(
  * output).
  */
 final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** Identifier parts of the single graft relation under `p`, if any. */
+  private def graftRelUnder(p: LogicalPlan): Option[Seq[String]] =
+    p.collectFirst {
+      case UnresolvedRelation(head +: rest, _, _)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty => rest
+    }
+
   override def apply(p: LogicalPlan): LogicalPlan = p.resolveOperatorsUp {
     // CREATE TABLE graft.t (cols...) [TBLPROPERTIES (...)]
     case CreateTable(UnresolvedIdentifier(head +: rest, _), columns,
@@ -276,5 +284,41 @@ final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
     case UnsetTableProperties(UnresolvedTable(head +: rest, _, _), keys, _)
         if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
       GraftUnsetPropertiesCommand(SqlTables.rootOf(spark, rest), keys)
+
+    // ALTER TABLE graft.t ADD/RENAME/DROP COLUMN(S) — all metadata-only
+    case AddColumns(UnresolvedTable(head +: rest, _, _), cols)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      val specs = cols.map { qc =>
+        require(qc.name.size == 1,
+          s"nested column paths are not supported: ${qc.name.mkString(".")}")
+        require(qc.position.isEmpty && qc.default.isEmpty,
+          "column position / DEFAULT are not supported in ADD COLUMN " +
+            "for graft tables")
+        (qc.name.head, qc.dataType)
+      }
+      GraftAddColumnsCommand(SqlTables.rootOf(spark, rest), specs)
+
+    case RenameColumn(UnresolvedTable(head +: rest, _, _), fieldName, newName)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      require(fieldName.name.size == 1,
+        s"nested column paths are not supported: ${fieldName.name.mkString(".")}")
+      GraftRenameColumnCommand(SqlTables.rootOf(spark, rest),
+        fieldName.name.head, newName)
+
+    case DropColumns(UnresolvedTable(head +: rest, _, _), fields, ifExists)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      val names = fields.map { f =>
+        require(f.name.size == 1,
+          s"nested column paths are not supported: ${f.name.mkString(".")}")
+        f.name.head
+      }
+      GraftDropColumnsCommand(SqlTables.rootOf(spark, rest), names, ifExists)
+
+    // ALTER TABLE graft.t ADD CONSTRAINT name CHECK (cond) — the parser
+    // wraps the relation in a validation Filter; recover it underneath
+    case a: AddCheckConstraint if graftRelUnder(a.child).isDefined =>
+      val rest = graftRelUnder(a.child).get
+      GraftAddConstraintCommand(SqlTables.rootOf(spark, rest),
+        a.checkConstraint.userProvidedName, a.checkConstraint.condition)
   }
 }

@@ -268,6 +268,63 @@ class SqlTablesSpec extends SparkSpec {
     assert(!ManagedTable(spark, path).lastCommit.get.properties.contains("team"))
   }
 
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN are metadata-only commits") {
+    val path = tmpDir("sqlddlcols")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "APPEND", "append")
+    val dirsBefore = t.lastCommit.get.dirs
+
+    spark.sql(s"ALTER TABLE ${quoted(path)} ADD COLUMN score DOUBLE")
+    assert(t.read.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(t.read.filter(col("score").isNull).count() == 2)
+    spark.sql(s"INSERT INTO ${quoted(path)} VALUES (3, 'c', 9.5)")
+    assert(t.read.filter(col("score") === 9.5).count() == 1)
+
+    spark.sql(s"ALTER TABLE ${quoted(path)} RENAME COLUMN name TO label")
+    assert(t.read.schema.fieldNames.contains("label"))
+
+    spark.sql(s"ALTER TABLE ${quoted(path)} DROP COLUMN score")
+    assert(!t.read.schema.fieldNames.contains("score"))
+    // every ALTER carried the original dirs — zero rewrites
+    assert(dirsBefore.forall(t.lastCommit.get.dirs.contains))
+    // re-adding a dropped name would resurrect old bytes — refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE ${quoted(path)} ADD COLUMN score DOUBLE")
+    }
+    spark.sql(s"ALTER TABLE ${quoted(path)} DROP COLUMN IF EXISTS ghost")
+  }
+
+  test("ALTER TABLE ADD CONSTRAINT CHECK persists and gates writes") {
+    val path = tmpDir("sqlddlcons")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write(Seq((1L, 10.0)).toDF("id", "score"), "APPEND", "append")
+    spark.sql(
+      s"ALTER TABLE ${quoted(path)} ADD CONSTRAINT pos_score CHECK (score > 0)")
+    assert(t.lastCommit.get.constraints.contains("pos_score"))
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO ${quoted(path)} VALUES (2, -5.0)")
+    }
+    assert(t.read.count() == 1)
+    spark.sql(s"INSERT INTO ${quoted(path)} VALUES (3, 5.0)")
+    assert(t.read.count() == 2)
+  }
+
+  test("readStream.table over graft.t streams the snapshot + tail") {
+    val path = tmpDir("sqlstream")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), "APPEND", "append")
+    val out = tmpDir("sqlstream_out")
+    val q = spark.readStream.table(s"graft.`$path`")
+      .writeStream.format("memory").queryName("graft_sql_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("graft_sql_stream").count() == 2)
+    locally(out)
+  }
+
   test("non-graft relations pass through the rule untouched") {
     spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_v")
     assert(spark.sql("SELECT count(*) FROM region_v").head().getLong(0) ==
