@@ -1840,6 +1840,45 @@ object Queries {
       |WHERE c_custkey <= 1200 AND c_custkey % 10 <> 0""".stripMargin
 
   /**
+   * Maintenance procedures as SQL `CALL` statements
+   * ([[graft.table.SqlProcedures]]): three SQL INSERTs fragment the
+   * table, `CALL graft.optimize` folds the small dirs, `CALL
+   * graft.vacuum` prunes the pre-compaction history, and `CALL
+   * graft.history` reads the commit log back as rows — the
+   * VACUUM/OPTIMIZE/DESCRIBE-HISTORY operational loop, driven entirely
+   * from SQL text. The data must be byte-for-byte unaffected (oracle
+   * recomputes it from `customer`); in-query gates pin the compaction
+   * commit, the pruned history, and the procedures' returned stats.
+   */
+  def sqlCallMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    val path = tmp("sqlcallm")
+    cust(spark, dir).createOrReplaceTempView("cust_call_sql")
+    (0 to 2).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO graft.`$path`
+           |SELECT * FROM cust_call_sql WHERE c_custkey % 3 = $i
+           |  AND c_custkey <= 900""".stripMargin)
+    }
+    val opt = spark.sql(s"CALL graft.optimize('$path')").collect()
+    require(opt.length == 1 && opt(0).getString(1).startsWith("COMPACT"),
+      s"optimize must fold the 3 fragment dirs, got ${opt.toSeq}")
+    val vac = spark.sql(s"CALL graft.vacuum('$path', 1)").head()
+    require(vac.getInt(0) == 3,
+      s"vacuum(keep 1) must prune the 3 pre-compaction versions, got $vac")
+    val hist = spark.sql(s"CALL graft.history('$path')").collect()
+    val t = ManagedTable(spark, path)
+    require(hist.length.toLong == t.history.size &&
+      hist(0).getString(1).startsWith("COMPACT"),
+      s"history must serve the surviving commits, got ${hist.toSeq}")
+    spark.sql(s"SELECT c_custkey, c_name, c_mktsegment FROM graft.`$path`")
+  }
+
+  val sqlCallMaintenanceSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer WHERE c_custkey <= 900""".stripMargin
+
+  /**
    * Parquet-native bloom filters via table properties
    * ([[graft.table.ManagedTable.setProperties]], `bloom.columns`): the
    * needle-lookup path dir-level min/max CANNOT serve — md5 fingerprints

@@ -114,6 +114,7 @@ object SparkEntry {
     "sql_table_dml" -> (Queries.sqlTableDml(_, _)),
     "sql_table_time_travel" -> (Queries.sqlTableTimeTravel(_, _)),
     "sql_table_merge" -> (Queries.sqlTableMerge(_, _)),
+    "sql_call_maintenance" -> (Queries.sqlCallMaintenance(_, _)),
     "table_constraints" -> (Queries.tableConstraints(_, _)),
     "type_widening" -> (Queries.typeWidening(_, _)),
     "expectations_check" -> (Queries.expectationsCheck(_, _)),
@@ -339,6 +340,7 @@ object SparkEntry {
     "sql_table_dml" -> Queries.sqlTableDmlSql,
     "sql_table_time_travel" -> Queries.sqlTableTimeTravelSql,
     "sql_table_merge" -> Queries.sqlTableMergeSql,
+    "sql_call_maintenance" -> Queries.sqlCallMaintenanceSql,
     "table_constraints" -> Queries.tableConstraintsSql,
     "type_widening" -> Queries.typeWideningSql,
     "expectations_check" -> Queries.expectationsCheckSql,

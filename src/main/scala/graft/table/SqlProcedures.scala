@@ -1,0 +1,145 @@
+package graft.table
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+/**
+ * Maintenance procedures as SQL `CALL` statements — the operational
+ * surface (Delta's `VACUUM`/`OPTIMIZE`/`DESCRIBE HISTORY`/`RESTORE`
+ * verbs, Iceberg's `CALL catalog.procedure(...)` spelling, which
+ * Spark 4's parser supports natively):
+ *
+ * {{{
+ *   CALL graft.history('/path/to/t')             -- the commit log as rows
+ *   CALL graft.vacuum('/path', 3)                -- keep last 3 versions
+ *   CALL graft.vacuum('/path', 3, true)          -- dry run
+ *   CALL graft.optimize('/path')                 -- fold small dirs
+ *   CALL graft.analyze('/path')                  -- recompute skipping stats
+ *   CALL graft.purge_deletes('/path')            -- materialize DV deletes
+ *   CALL graft.restore('/path', 2)               -- roll back to version 2
+ *   CALL graft.clone('/src', '/dst')             -- zero-copy clone
+ *   CALL graft.export_manifest('/path', '/out')  -- external-engine manifest
+ * }}}
+ *
+ * Each procedure is a runnable command returning its stats as rows, so
+ * `spark.sql("CALL ...")` both executes the operation and hands back
+ * the numbers a pipeline wants to log. Arguments are positional
+ * literals (the parser's `Call` node carries them as expressions;
+ * non-literal arguments refuse loudly).
+ */
+object SqlProcedures {
+
+  private[table] def attr(name: String, dt: DataType): AttributeReference =
+    AttributeReference(name, dt, nullable = true)()
+
+  private[table] def litArg(e: Expression, what: String): Any = e match {
+    case l: Literal if l.value != null => l.dataType match {
+      case StringType => l.value.toString
+      case _ => l.value
+    }
+    case other => throw new IllegalArgumentException(
+      s"CALL argument $what must be a literal, got ${other.sql}")
+  }
+
+  private[table] def strArg(e: Expression, what: String): String =
+    litArg(e, what).toString
+
+  private[table] def longArg(e: Expression, what: String): Long =
+    litArg(e, what) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case other => throw new IllegalArgumentException(
+        s"CALL argument $what must be an integer literal, got $other")
+    }
+
+  private[table] def boolArg(e: Expression, what: String): Boolean =
+    litArg(e, what) match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"CALL argument $what must be a boolean literal, got $other")
+    }
+}
+
+/** `CALL graft.<proc>(...)` — dispatches on the procedure name. */
+final case class GraftCallCommand(proc: String, args: Seq[Expression])
+  extends LeafRunnableCommand {
+  import SqlProcedures._
+
+  override val output: Seq[Attribute] = proc match {
+    case "history" => Seq(
+      attr("version", LongType), attr("operation", StringType),
+      attr("timestamp_ms", LongType), attr("num_dirs", IntegerType),
+      attr("operation_metrics", StringType), attr("user_metadata", StringType))
+    case "vacuum" => Seq(
+      attr("pruned_versions", IntegerType), attr("deleted_data_dirs", IntegerType),
+      attr("deleted_change_dirs", IntegerType), attr("deleted_dv_dirs", IntegerType))
+    case "optimize" | "analyze" | "purge_deletes" | "restore" | "clone" => Seq(
+      attr("version", LongType), attr("operation", StringType),
+      attr("operation_metrics", StringType))
+    case "export_manifest" => Seq(
+      attr("version", LongType), attr("num_files", IntegerType),
+      attr("num_manifests", IntegerType))
+    case other => throw new IllegalArgumentException(
+      s"unknown graft procedure `$other` — supported: history, vacuum, " +
+        "optimize, analyze, purge_deletes, restore, clone, export_manifest")
+  }
+
+  private def metricsJson(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+
+  private def commitRow(c: ManagedTable.Commit): Row =
+    Row(c.version, c.operation, metricsJson(c.operationMetrics))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    def table(i: Int = 0): ManagedTable =
+      ManagedTable(spark, strArg(args(i), "table path"))
+    proc match {
+      case "history" =>
+        require(args.size == 1, "CALL graft.history(path)")
+        table().history.map(c => Row(c.version, c.operation, c.timestampMs,
+          c.dirs.size, metricsJson(c.operationMetrics),
+          c.userMetadata.orNull))
+      case "vacuum" =>
+        require(args.size == 2 || args.size == 3,
+          "CALL graft.vacuum(path, keep_last[, dry_run])")
+        val dry = args.size == 3 && boolArg(args(2), "dry_run")
+        val s = table().vacuum(longArg(args(1), "keep_last").toInt, dryRun = dry)
+        Seq(Row(s.prunedVersions, s.deletedDataDirs, s.deletedChangeDirs,
+          s.deletedDvDirs))
+      case "optimize" =>
+        require(args.size == 1 || args.size == 2,
+          "CALL graft.optimize(path[, max_dir_bytes])")
+        val max = if (args.size == 2) longArg(args(1), "max_dir_bytes")
+          else 64L << 20
+        table().compactDirs(max) match {
+          case Some(c) => Seq(commitRow(c))
+          case None => Nil // nothing to fold — no commit
+        }
+      case "analyze" =>
+        require(args.size == 1, "CALL graft.analyze(path)")
+        Seq(commitRow(table().recomputeStats()))
+      case "purge_deletes" =>
+        require(args.size == 1, "CALL graft.purge_deletes(path)")
+        table().purgeDeletes().map(commitRow).toSeq
+      case "restore" =>
+        require(args.size == 2, "CALL graft.restore(path, version)")
+        Seq(commitRow(table().restore(longArg(args(1), "version"))))
+      case "clone" =>
+        require(args.size == 2 || args.size == 3,
+          "CALL graft.clone(src, dst[, deep])")
+        val deep = args.size == 3 && boolArg(args(2), "deep")
+        Seq(commitRow(table().cloneTo(strArg(args(1), "target path"), deep)))
+      case "export_manifest" =>
+        require(args.size == 2, "CALL graft.export_manifest(path, out_dir)")
+        val s = table().exportManifest(strArg(args(1), "out_dir"))
+        Seq(Row(s.version, s.numFiles, s.numManifests))
+      case other => throw new IllegalArgumentException(
+        s"unknown graft procedure `$other`")
+    }
+  }
+}

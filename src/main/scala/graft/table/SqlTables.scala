@@ -314,6 +314,12 @@ final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       GraftDropColumnsCommand(SqlTables.rootOf(spark, rest), names, ifExists)
 
+    // CALL graft.<proc>(...) — maintenance procedures
+    case Call(org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure(
+        head +: proc), callArgs, _)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && proc.nonEmpty =>
+      GraftCallCommand(proc.mkString("."), callArgs)
+
     // ALTER TABLE graft.t ADD CONSTRAINT name CHECK (cond) — the parser
     // wraps the relation in a validation Filter; recover it underneath
     case a: AddCheckConstraint if graftRelUnder(a.child).isDefined =>

@@ -325,6 +325,53 @@ class SqlTablesSpec extends SparkSpec {
     locally(out)
   }
 
+  test("CALL graft procedures: history, vacuum, optimize, analyze, restore") {
+    val path = tmpDir("sqlcall")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write(Seq((1L, "a")).toDF("id", "name"), "APPEND", "append")
+    t.write(Seq((2L, "b")).toDF("id", "name"), "APPEND", "append")
+    t.write(Seq((9L, "z")).toDF("id", "name"), "OVERWRITE", "replace")
+
+    val hist = spark.sql(s"CALL graft.history('$path')")
+    assert(hist.columns.toSeq.take(2) == Seq("version", "operation"))
+    assert(hist.select("operation").as[String].collect().toSeq ==
+      Seq("OVERWRITE", "APPEND", "APPEND"))
+
+    val dry = spark.sql(s"CALL graft.vacuum('$path', 1, true)").head()
+    assert(dry.getInt(0) == 2) // would prune 2 versions
+    assert(t.earliestVersion.contains(0L)) // dry run touched nothing
+    val real = spark.sql(s"CALL graft.vacuum('$path', 1)").head()
+    assert(real.getInt(0) == 2 && t.earliestVersion.contains(2L))
+
+    val an = spark.sql(s"CALL graft.analyze('$path')").head()
+    assert(an.getString(1) == "ANALYZE")
+
+    spark.sql(s"INSERT INTO ${quoted(path)} VALUES (10, 'y')")
+    val restored = spark.sql(s"CALL graft.restore('$path', 2)").head()
+    assert(restored.getString(1).startsWith("RESTORE"))
+    assert(t.read.count() == 1)
+
+    val dst = tmpDir("sqlcall_clone")
+    spark.sql(s"CALL graft.clone('$path', '$dst')")
+    assertSameRows(ManagedTable(spark, dst).read, t.read)
+
+    intercept[Exception] { spark.sql(s"CALL graft.frobnicate('$path')") }
+  }
+
+  test("CALL graft.optimize folds small dirs into one commit") {
+    val path = tmpDir("sqlopt")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    (1 to 5).foreach(i =>
+      t.write(Seq((i.toLong, s"r$i")).toDF("id", "name"), "APPEND", "append"))
+    val before = t.lastCommit.get.dirs.size
+    val out = spark.sql(s"CALL graft.optimize('$path')")
+    assert(out.head().getString(1).startsWith("COMPACT"))
+    assert(t.lastCommit.get.dirs.size < before)
+    assert(t.read.count() == 5)
+  }
+
   test("non-graft relations pass through the rule untouched") {
     spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_v")
     assert(spark.sql("SELECT count(*) FROM region_v").head().getLong(0) ==
