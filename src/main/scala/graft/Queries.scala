@@ -1840,6 +1840,58 @@ object Queries {
       |WHERE c_custkey <= 1200 AND c_custkey % 10 <> 0""".stripMargin
 
   /**
+   * Write-time clustering via the `cluster.columns` table property
+   * ([[graft.table.ManagedTable.ClusterColumnsProp]]): the batch
+   * range-partitions + sorts on the declared columns before writing, so
+   * files and row groups are born value-disjoint and the scan's pushed
+   * filters prune INSIDE dirs — no clusterByRange/Z maintenance pass
+   * needed before skipping works (the liquid-clustering intent). The
+   * orders table arrives in orderkey order, so a custkey range probe
+   * over an unclustered copy reads everything; the in-query gate
+   * requires the clustered table's scan to output strictly fewer rows
+   * than the unclustered twin's for the same probe. Data itself must be
+   * byte-identical (oracle recomputes from `orders`).
+   */
+  def clusterOnWrite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    // deterministic multi-file frame: LCG-shuffled keys, so WITHOUT
+    // clustering every written file's [min,max] spans the whole domain
+    // (no scan pruning possible), while the clustered twin's files are
+    // range-disjoint by construction. DuckDB recomputes the same rows
+    // from range() — both engines do exact int64 arithmetic.
+    val data = spark.range(200000L)
+      .select(col("id"), (col("id") * 48271L % 200003L).as("k"),
+        md5(col("id").cast("string")).as("v"))
+    def build(clustered: Boolean): ManagedTable = {
+      val t = ManagedTable(spark, tmp(if (clustered) "clw_c" else "clw_p"))
+      t.createIfNotExists(data.schema)
+      if (clustered)
+        t.setProperties(Map(ManagedTable.ClusterColumnsProp -> "k"))
+      t.write(data.repartition(8, col("id")), "APPEND", "append")
+      t
+    }
+    def scanRows(t: ManagedTable): (DataFrame, Long) = {
+      val df = t.read.filter(col("k").between(100000L, 100400L))
+      df.collect() // execute THIS plan — its scan metrics are the gate
+      (df, df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum)
+    }
+    val (plainDf, plainScan) = scanRows(build(clustered = false))
+    val (clusDf, clusScan) = scanRows(build(clustered = true))
+    require(clusScan < plainScan,
+      s"cluster.columns write must let row-group stats prune the probe " +
+        s"scan: clustered=$clusScan unclustered=$plainScan")
+    require(plainDf.count() == clusDf.count(),
+      "clustering changed the visible rows")
+    clusDf.select("id", "k", "v")
+  }
+
+  val clusterOnWriteSql: String =
+    """SELECT id, (id * 48271) % 200003 AS k, md5(CAST(id AS VARCHAR)) AS v
+      |FROM range(200000) t(id)
+      |WHERE (id * 48271) % 200003 BETWEEN 100000 AND 100400""".stripMargin
+
+  /**
    * Maintenance procedures as SQL `CALL` statements
    * ([[graft.table.SqlProcedures]]): three SQL INSERTs fragment the
    * table, `CALL graft.optimize` folds the small dirs, `CALL

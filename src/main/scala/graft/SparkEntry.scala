@@ -111,6 +111,7 @@ object SparkEntry {
     "deletion_vectors" -> (Queries.deletionVectors(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
     "bloom_skipping" -> (Queries.bloomSkipping(_, _)),
+    "cluster_on_write" -> (Queries.clusterOnWrite(_, _)),
     "sql_table_dml" -> (Queries.sqlTableDml(_, _)),
     "sql_table_time_travel" -> (Queries.sqlTableTimeTravel(_, _)),
     "sql_table_merge" -> (Queries.sqlTableMerge(_, _)),
@@ -337,6 +338,7 @@ object SparkEntry {
     "deletion_vectors" -> Queries.deletionVectorsSql,
     "table_clone" -> Queries.tableCloneSql,
     "bloom_skipping" -> Queries.bloomSkippingSql,
+    "cluster_on_write" -> Queries.clusterOnWriteSql,
     "sql_table_dml" -> Queries.sqlTableDmlSql,
     "sql_table_time_travel" -> Queries.sqlTableTimeTravelSql,
     "sql_table_merge" -> Queries.sqlTableMergeSql,

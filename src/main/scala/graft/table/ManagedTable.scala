@@ -1275,7 +1275,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       mergeSchema: Boolean = false,
       expectedPrevVersion: Option[Long] = None,
       txnUpdate: Option[(String, Long)] = None): Commit = synchronized {
-    import org.apache.spark.sql.functions.{count, lit}
+    import org.apache.spark.sql.functions.{col, count, lit}
     val prev = lastCommit
     // merge callers pass the version their result was COMPUTED against:
     // replacing over a different head would silently erase the
@@ -1352,13 +1352,28 @@ final class ManagedTable(spark: SparkSession, root: String) {
     }
     val dataDir = new Path(new Path(rootPath, "data"),
       f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
+    // write-time clustering (`cluster.columns` property — the liquid-
+    // clustering intent): range-partition + sort the batch on the
+    // declared columns so every written FILE covers a disjoint value
+    // range and every row group within it is tight. Dir-level min/max
+    // still records the whole batch, but the scan's pushed filters now
+    // prune at row-group grain inside the dirs — data is BORN clustered
+    // instead of waiting for a clusterByRange/Z maintenance pass.
+    val clusterCols = prev.map(_.properties).getOrElse(Map.empty)
+      .get(ManagedTable.ClusterColumnsProp).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .filter(df.columns.contains)
+    val df1 =
+      if (clusterCols.isEmpty) df
+      else df.repartitionByRange(clusterCols.map(c => col(s"`$c`")): _*)
+        .sortWithinPartitions(clusterCols.map(c => col(s"`$c`")): _*)
     // row count + per-column min/max observed on the write job itself —
     // no second pass; the stats feed [[readWhere]]'s dir-level skipping
     val obs = org.apache.spark.sql.Observation(s"graft_write_$version-${UUID.randomUUID()}")
     val cons = prev.map(_.constraints).getOrElse(Map.empty)
     val aggs = (count(lit(1)).as("rows") +: DataSkipping.statAggs(df.schema)) ++
       constraintAggs(cons)
-    val writer = toPhysical(df.observe(obs, aggs.head, aggs.tail: _*), commitMap)
+    val writer = toPhysical(df1.observe(obs, aggs.head, aggs.tail: _*), commitMap)
       .write.mode("overwrite")
       .options(ManagedTable.bloomWriteOptions(
         prev.map(_.properties).getOrElse(Map.empty), commitMap))
@@ -2855,6 +2870,13 @@ object ManagedTable {
 
   /** Table property naming the columns that get parquet bloom filters. */
   val BloomColumnsProp = "bloom.columns"
+
+  /** Table property naming write-time clustering columns: appends and
+    * replaces range-partition + sort the batch on them, so files and
+    * row groups are born value-disjoint and the scan's pushed filters
+    * prune inside dirs (liquid-clustering intent — no maintenance pass
+    * needed before skipping works). */
+  val ClusterColumnsProp = "cluster.columns"
 
   /** Table property hinting expected distinct counts for bloom sizing
     * (global `bloom.ndv` or per-column `bloom.ndv.<col>`). */
