@@ -143,3 +143,52 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
     }
   }
 }
+
+/** `SHOW TBLPROPERTIES graft.t [('key')]` — the stored property map
+  * (or one key; absent keys answer with the standard "does not have"
+  * message value, matching Spark's session-catalog behavior). */
+final case class GraftShowPropertiesCommand(root: String, key: Option[String],
+                                            override val output: Seq[Attribute])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val props = ManagedTable(spark, root).lastCommit.map(_.properties)
+      .getOrElse(throw new IllegalStateException(
+        s"graft table at $root does not exist"))
+    key match {
+      case Some(k) => Seq(Row(k, props.getOrElse(k,
+        s"Table graft.`$root` does not have property: $k")))
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
+/** `DESCRIBE [EXTENDED] graft.t` — column rows, plus commit-log detail
+  * (version, operation, partitioning, properties, constraints) under
+  * EXTENDED, in the usual `# key | value` section shape. */
+final case class GraftDescribeCommand(root: String, isExtended: Boolean,
+                                      override val output: Seq[Attribute])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val c = ManagedTable(spark, root).lastCommit.getOrElse(
+      throw new IllegalStateException(s"graft table at $root does not exist"))
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val cols = schema.fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString, null))
+    if (!isExtended) cols
+    else cols ++ Seq(
+      Row("", "", null),
+      Row("# Detailed Table Information", "", null),
+      Row("Location", root, null),
+      Row("Version", c.version.toString, null),
+      Row("Last Operation", c.operation, null),
+      Row("Partition By", c.partitionBy.mkString(", "), null),
+      Row("Num Data Dirs", c.dirs.size.toString, null),
+      Row("Deletion Vectors", c.dvDirs.size.toString, null),
+      Row("Properties",
+        c.properties.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(", "), null),
+      Row("Constraints",
+        c.constraints.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k: $v" }.mkString("; "), null))
+  }
+}

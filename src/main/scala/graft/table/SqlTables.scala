@@ -314,6 +314,24 @@ final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       GraftDropColumnsCommand(SqlTables.rootOf(spark, rest), names, ifExists)
 
+    // SHOW TBLPROPERTIES graft.t [('key')]
+    case ShowTableProperties(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+        key, out)
+        if u.multipartIdentifier.headOption.exists(
+          _.equalsIgnoreCase(SqlTables.Namespace)) &&
+          u.multipartIdentifier.size > 1 =>
+      GraftShowPropertiesCommand(
+        SqlTables.rootOf(spark, u.multipartIdentifier.tail), key, out)
+
+    // DESCRIBE [EXTENDED] graft.t — schema rows (+ table detail)
+    case DescribeRelation(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+        partSpec, isExtended, out)
+        if u.multipartIdentifier.headOption.exists(
+          _.equalsIgnoreCase(SqlTables.Namespace)) &&
+          u.multipartIdentifier.size > 1 && partSpec.isEmpty =>
+      GraftDescribeCommand(
+        SqlTables.rootOf(spark, u.multipartIdentifier.tail), isExtended, out)
+
     // CALL graft.<proc>(...) — maintenance procedures
     case Call(org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure(
         head +: proc), callArgs, _)

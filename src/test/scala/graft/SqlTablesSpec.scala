@@ -372,6 +372,29 @@ class SqlTablesSpec extends SparkSpec {
     assert(t.read.count() == 5)
   }
 
+  test("SHOW TBLPROPERTIES and DESCRIBE read the commit log") {
+    val path = tmpDir("sqlshow")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write(Seq((1L, "a")).toDF("id", "name"), "APPEND", "append")
+    t.setProperties(Map("bloom.columns" -> "name", "team" -> "data-eng"))
+
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${quoted(path)}")
+      .as[(String, String)].collect().toMap
+    assert(props == Map("bloom.columns" -> "name", "team" -> "data-eng"))
+    assert(spark.sql(s"SHOW TBLPROPERTIES ${quoted(path)} ('team')")
+      .head().getString(1) == "data-eng")
+    assert(spark.sql(s"SHOW TBLPROPERTIES ${quoted(path)} ('ghost')")
+      .head().getString(1).contains("does not have"))
+
+    val desc = spark.sql(s"DESCRIBE ${quoted(path)}").collect()
+    assert(desc.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("id", "bigint"), ("name", "string")))
+    val ext = spark.sql(s"DESCRIBE EXTENDED ${quoted(path)}").collect()
+      .map(_.getString(0))
+    assert(ext.contains("Location") && ext.contains("Version"))
+  }
+
   test("non-graft relations pass through the rule untouched") {
     spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_v")
     assert(spark.sql("SELECT count(*) FROM region_v").head().getLong(0) ==
