@@ -1366,6 +1366,38 @@ object Queries {
       |FROM customer WHERE c_custkey <= 100""".stripMargin
 
   /**
+   * Hilbert clustering under the same gate as
+   * [[zorderSkipping]] — the curve-ordered sibling
+   * ([[graft.table.ManagedTable.clusterByHilbert]], Skilling 2004):
+   * consecutive curve positions are always grid neighbors, so each
+   * bucket is a compact blob and range probes on EITHER clustered
+   * column must prune the scan below the bucket count. The curve
+   * kernel's bijectivity and unit-step property are exhaustively
+   * enumerated in ManagedTableSpec; here the driver gate is the plan
+   * shape plus DuckDB value equality.
+   */
+  def hilbertSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("hilbert")
+    val t = ManagedTable(spark, path)
+    t.write(pq(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_mktsegment"), "APPEND", "append")
+    val c = t.clusterByHilbert(Seq("c_custkey", "c_nationkey"), buckets = 16)
+    def scanned(df: DataFrame): Int = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.size
+    }.sum
+    val byKey = t.readWhere(col("c_custkey") <= 100)
+    val byNation = t.readWhere(col("c_nationkey") === 3)
+    require(scanned(byKey) < c.dirs.size && scanned(byNation) < c.dirs.size,
+      s"hilbert clustering must prune both axes: key=${scanned(byKey)} " +
+        s"nation=${scanned(byNation)} of ${c.dirs.size}")
+    byKey.select(col("c_custkey"), col("c_nationkey").cast("int").as("c_nationkey"),
+      col("c_mktsegment"))
+  }
+
+  val hilbertSkippingSql: String = zorderSkippingSql
+
+  /**
    * RESTORE under the correctness gate: append nation, overwrite with a
    * single row, restore version 0 — the final read must be the original
    * append (metadata-only re-reference), which the oracle recomputes

@@ -63,6 +63,7 @@ object SparkEntry {
     "table_maintenance" -> (Queries.tableMaintenance(_, _)),
     "data_skipping" -> (Queries.dataSkipping(_, _)),
     "zorder_skipping" -> (Queries.zorderSkipping(_, _)),
+    "hilbert_skipping" -> (Queries.hilbertSkipping(_, _)),
     "restore_snapshot" -> (Queries.restoreSnapshot(_, _)),
     "dml_delete_update" -> (Queries.dmlDeleteUpdate(_, _)),
     // skew-safe two-stage distinct count (operators/SkewOps.scala):
@@ -296,6 +297,7 @@ object SparkEntry {
     "table_maintenance" -> Queries.tableMaintenanceSql,
     "data_skipping" -> Queries.dataSkippingSql,
     "zorder_skipping" -> Queries.zorderSkippingSql,
+    "hilbert_skipping" -> Queries.hilbertSkippingSql,
     "restore_snapshot" -> Queries.restoreSnapshotSql,
     "dml_delete_update" -> Queries.dmlDeleteUpdateSql,
     "skew_distinct" ->

@@ -2416,14 +2416,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
     }
     val df = read
     val bits = Integer.numberOfTrailingZeros(zLevels)
-    val probs = (1 until zLevels).map(_.toDouble / zLevels).toArray
-    // per-column quantile rank in [0, zLevels)
-    val ranks = columns.map { n =>
-      val bounds = df.stat.approxQuantile(n, probs, 0.001).distinct
-      bounds.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col(n) >= lit(b), 1).otherwise(0)
-      }
-    }
+    val ranks = quantileRanks(df, columns, zLevels)
     // Morton interleave: bit k of rank_i lands at position k*dims + i
     val dims = columns.size
     val z = (0 until bits).foldLeft(lit(0)) { (acc, k) =>
@@ -2438,6 +2431,66 @@ final class ManagedTable(spark: SparkSession, root: String) {
       lit(buckets - 1))
     writeClustered(c, df, bucket,
       s"ZORDER BY (${columns.mkString(", ")})")
+  }
+
+  /** Per-column quantile rank in [0, levels): boundaries from one
+    * sampled pass per column, shared by the Morton and Hilbert
+    * clusterings. */
+  private def quantileRanks(df: DataFrame, columns: Seq[String],
+                            levels: Int): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val probs = (1 until levels).map(_.toDouble / levels).toArray
+    columns.map { n =>
+      val bounds = df.stat.approxQuantile(n, probs, 0.001).distinct
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(n) >= lit(b), 1).otherwise(0)
+      }
+    }
+  }
+
+  /**
+   * HILBERT-cluster the table on several numeric columns — the same
+   * quantile-rank grid as [[clusterByZ]], but orderd by the Hilbert
+   * space-filling curve instead of the Morton one. Hilbert's defining
+   * property (consecutive curve positions are ALWAYS grid neighbors —
+   * no Morton "seam jumps" across half-space boundaries) makes each
+   * equal-width bucket a contiguous curve segment covering a compact
+   * blob of the grid, so per-bucket min/max intervals are tighter on
+   * every axis and range probes prune more dirs at the same bucket
+   * count (why Databricks liquid clustering orders by Hilbert). The
+   * index kernel is Skilling's transpose algorithm ("Programming the
+   * Hilbert curve", AIP CP707, 2004) over the rank coordinates.
+   */
+  def clusterByHilbert(columns: Seq[String], buckets: Int = 16,
+                       levels: Int = 16): Commit = {
+    import org.apache.spark.sql.functions.{array, col, lit, udf}
+    require(columns.size >= 2,
+      "clusterByHilbert needs >= 2 columns (use clusterBy for 1)")
+    require(levels >= 2 && (levels & (levels - 1)) == 0,
+      s"levels must be a power of two, got $levels")
+    require(buckets >= 2, "clusterByHilbert needs at least 2 buckets")
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    require(c.partitionBy.isEmpty, "clusterByHilbert supports unpartitioned tables")
+    val schema = StructType.fromDDL(c.schemaDdl)
+    columns.foreach { n =>
+      val f = schema.fields.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in $root"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"clusterByHilbert needs numeric columns, $n is ${f.dataType.simpleString}")
+    }
+    val df = read
+    val bits = Integer.numberOfTrailingZeros(levels)
+    val dims = columns.size
+    val ranks = quantileRanks(df, columns, levels)
+    val hUdf = udf((rs: Seq[Int]) => ManagedTable.hilbertIndex(bits, rs.toArray))
+    val h = hUdf(array(ranks: _*))
+    val hSpace = math.pow(levels, dims)
+    val bucket = org.apache.spark.sql.functions.least(
+      org.apache.spark.sql.functions.floor(h * buckets / hSpace).cast("int"),
+      lit(buckets - 1))
+    writeClustered(c, df, bucket,
+      s"HILBERT BY (${columns.mkString(", ")})")
   }
 
   /** Shared clustered-rewrite commit path: per-bucket stats in one
@@ -2867,6 +2920,51 @@ object ManagedTable {
     * older reader would scan the physical files under the logical
     * schema and silently read every renamed column as NULL. */
   val ColumnMapProtocolVersion: Int = 3
+
+  /**
+   * Hilbert index of a grid cell — Skilling's transpose algorithm
+   * ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004, public
+   * domain): rotate/reflect each level so the curve enters and exits
+   * neighboring sub-cells, Gray-decode, then interleave the transposed
+   * bit planes into the scalar index. `coords` are `dims` values in
+   * [0, 2^bits); the result covers [0, 2^(bits·dims)). Consecutive
+   * indices always differ by exactly one unit step in one coordinate —
+   * the locality property the clustering relies on (property-tested by
+   * exhaustive enumeration in ManagedTableSpec).
+   */
+  private[graft] def hilbertIndex(bits: Int, coords: Array[Int]): Long = {
+    val n = coords.length
+    val x = coords.clone()
+    // inverse undo: transpose from axes (AxestoTranspose)
+    var q = 1 << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0
+    q = 1 << (bits - 1)
+    while (q > 1) { if ((x(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // interleave the transposed bit planes, most-significant first
+    var h = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      var d = 0
+      while (d < n) { h = (h << 1) | ((x(d) >> b) & 1L); d += 1 }
+      b -= 1
+    }
+    h
+  }
 
   /** Table property naming the columns that get parquet bloom filters. */
   val BloomColumnsProp = "bloom.columns"

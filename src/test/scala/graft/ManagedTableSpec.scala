@@ -743,4 +743,59 @@ class ManagedTableSpec extends SparkSpec {
       .select("id").as[Int].collect().sorted.toSeq === (1 to 10).filterNot(_ == 3))
     assert(stats.version === t.lastCommit.get.version)
   }
+
+  test("hilbertIndex is a bijection whose consecutive cells are grid neighbors") {
+    // exhaustive over several (bits, dims) grids: the two defining
+    // properties of a Hilbert curve — every cell visited exactly once,
+    // and each curve step moves ONE unit along ONE axis (Morton fails
+    // the second at every half-space seam)
+    for ((bits, dims) <- Seq((1, 2), (2, 2), (3, 2), (4, 2), (2, 3), (3, 3))) {
+      val side = 1 << bits
+      val total = math.pow(side, dims).toLong
+      val coords = Array.fill(dims)(0)
+      val seen = new Array[Array[Int]](total.toInt)
+      def loop(d: Int): Unit =
+        if (d == dims) {
+          val h = graft.table.ManagedTable.hilbertIndex(bits, coords)
+          assert(h >= 0 && h < total, s"index $h out of range for bits=$bits dims=$dims")
+          assert(seen(h.toInt) == null, s"collision at $h for bits=$bits dims=$dims")
+          seen(h.toInt) = coords.clone()
+        } else {
+          var v = 0
+          while (v < side) { coords(d) = v; loop(d + 1); v += 1 }
+        }
+      loop(0)
+      (1 until total.toInt).foreach { h =>
+        val dist = seen(h).zip(seen(h - 1)).map { case (a, b) => math.abs(a - b) }.sum
+        assert(dist == 1,
+          s"bits=$bits dims=$dims: step $h jumps distance $dist " +
+            s"(${seen(h - 1).mkString(",")} -> ${seen(h).mkString(",")})")
+      }
+    }
+  }
+
+  test("clusterByHilbert prunes range probes on every clustered axis") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("hilbert")
+    val t = graft.table.ManagedTable(spark, path)
+    val data = spark.range(20000L)
+      .select(col("id").as("a"), ((col("id") * 7919L) % 20011L).as("b"),
+        (col("id") % 97L).as("payload"))
+    t.write(data, "APPEND", "append")
+    val c = t.clusterByHilbert(Seq("a", "b"), buckets = 16)
+    assert(c.operation == "HILBERT BY (a, b)" && c.dirs.size > 4)
+    def scannedDirs(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.size
+      }.sum
+    val byA = t.readWhere(col("a") < 1000L)
+    val byB = t.readWhere(col("b") < 1000L)
+    assert(scannedDirs(byA) < c.dirs.size && scannedDirs(byB) < c.dirs.size,
+      s"hilbert must prune both axes: a=${scannedDirs(byA)} " +
+        s"b=${scannedDirs(byB)} of ${c.dirs.size}")
+    // correctness: clustering is a rewrite, rows unchanged
+    assert(t.read.count() == 20000L)
+    assert(byA.count() == 1000L)
+  }
 }
