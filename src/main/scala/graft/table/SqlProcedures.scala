@@ -62,6 +62,37 @@ object SqlProcedures {
       case other => throw new IllegalArgumentException(
         s"CALL argument $what must be a boolean literal, got $other")
     }
+
+  /** Move a managed table directory. Commit-log entries reference
+    * ABSOLUTE dir paths, so a bare FS move would orphan every entry:
+    * the log is rewritten first (both the plain and the fs-qualified
+    * spelling of the old root), then the directory moves. Shared by
+    * `ALTER TABLE ... RENAME TO` and [[GraftCatalog.renameTable]]. */
+  private[table] def renameTableDir(spark: SparkSession,
+                                    fromRoot: String, toRoot: String): Unit = {
+    val from = new org.apache.hadoop.fs.Path(fromRoot)
+    val to = new org.apache.hadoop.fs.Path(toRoot)
+    val fs = from.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(from, "_graft_log")),
+      s"graft table at $fromRoot does not exist")
+    require(!fs.exists(to), s"rename target $toRoot already exists")
+    val logDir = new org.apache.hadoop.fs.Path(from, "_graft_log")
+    val entries = fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".json"))
+    val fromUri = fs.makeQualified(from).toUri.toString
+    entries.foreach { e =>
+      val in = fs.open(e)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val rewritten = body
+        .replace(fromUri, fs.makeQualified(to).toUri.toString)
+        .replace(from.toString, to.toString)
+      val out = fs.create(e, true)
+      try out.write(rewritten.getBytes("UTF-8")) finally out.close()
+    }
+    Option(to.getParent).foreach(fs.mkdirs(_))
+    require(fs.rename(from, to), s"filesystem rename $from -> $to failed")
+  }
 }
 
 /** `CALL graft.<proc>(...)` — dispatches on the procedure name. */
@@ -190,5 +221,34 @@ final case class GraftDescribeCommand(root: String, isExtended: Boolean,
       Row("Constraints",
         c.constraints.toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k: $v" }.mkString("; "), null))
+  }
+}
+
+/** `DROP TABLE [IF EXISTS] graft.t` — deletes the table directory. */
+final case class GraftDropTableCommand(root: String, ifExists: Boolean)
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(p, "_graft_log"))
+    if (exists) { fs.delete(p, true); () }
+    else if (!ifExists) throw new IllegalStateException(
+      s"graft table at $root does not exist (use DROP TABLE IF EXISTS)")
+    Nil
+  }
+}
+
+/** `ALTER TABLE graft.t RENAME TO graft.t2` — a filesystem move; the
+  * commit log travels with the directory (all paths inside entries are
+  * rewritten... they are ABSOLUTE, so a rename would break them — the
+  * command refuses unless every logged dir lives under the root, then
+  * rewrites the log in place after the move). */
+final case class GraftRenameTableCommand(fromRoot: String, toRoot: String)
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    SqlProcedures.renameTableDir(spark, fromRoot, toRoot)
+    Nil
   }
 }

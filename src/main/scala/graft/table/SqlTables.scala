@@ -332,6 +332,27 @@ final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftDescribeCommand(
         SqlTables.rootOf(spark, u.multipartIdentifier.tail), isExtended, out)
 
+    // DROP TABLE / ALTER TABLE RENAME — name-level operations the thin
+    // catalog cannot serve through loadTable (it deliberately refuses,
+    // keeping the data path in the resolution rule), so they route here
+    case DropTable(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView(
+          head +: rest, _, _), ifExists, _)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      GraftDropTableCommand(SqlTables.rootOf(spark, rest), ifExists)
+
+    case RenameTable(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView(
+          head +: rest, _, _), newName, false)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      val target =
+        if (newName.headOption.exists(_.equalsIgnoreCase(SqlTables.Namespace)))
+          newName.tail
+        else newName
+      require(target.nonEmpty, "RENAME TO needs a table name")
+      GraftRenameTableCommand(SqlTables.rootOf(spark, rest),
+        SqlTables.rootOf(spark, target))
+
     // CALL graft.<proc>(...) — maintenance procedures
     case Call(org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure(
         head +: proc), callArgs, _)

@@ -395,6 +395,39 @@ class SqlTablesSpec extends SparkSpec {
     assert(ext.contains("Location") && ext.contains("Version"))
   }
 
+  test("registered catalog: 3-part names, SHOW TABLES/NAMESPACES, DROP, RENAME") {
+    val wh = tmpDir("sqlcat").stripSuffix("/t")
+    spark.conf.set("spark.graft.warehouse", wh)
+    try {
+      import spark.implicits._
+      spark.sql("CREATE TABLE graft.sales.orders (id BIGINT, amt DOUBLE)")
+      spark.sql("INSERT INTO graft.sales.orders VALUES (1, 10.5), (2, 20.0)")
+      // 3-part SELECT resolves through catalog + resolution rule
+      assert(spark.sql(
+        "SELECT sum(amt) FROM graft.sales.orders WHERE id <= 2")
+        .head().getDouble(0) == 30.5)
+      spark.sql("UPDATE graft.sales.orders SET amt = amt + 1 WHERE id = 1")
+      assert(spark.sql("SELECT amt FROM graft.sales.orders WHERE id = 1")
+        .head().getDouble(0) == 11.5)
+
+      spark.sql("CREATE TABLE graft.sales.items (k INT)")
+      val tables = spark.sql("SHOW TABLES IN graft.sales")
+        .select("tableName").as[String].collect().toSet
+      assert(tables == Set("orders", "items"))
+      val namespaces = spark.sql("SHOW NAMESPACES IN graft")
+        .as[String].collect().toSet
+      assert(namespaces.contains("sales"))
+
+      spark.sql("ALTER TABLE graft.sales.items RENAME TO graft.sales.items2")
+      assert(ManagedTable(spark, s"$wh/sales/items2").exists)
+      assert(!ManagedTable(spark, s"$wh/sales/items").exists)
+
+      spark.sql("DROP TABLE graft.sales.items2")
+      assert(!ManagedTable(spark, s"$wh/sales/items2").exists)
+      assert(spark.sql("SHOW TABLES IN graft.sales").count() == 1)
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("non-graft relations pass through the rule untouched") {
     spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_v")
     assert(spark.sql("SELECT count(*) FROM region_v").head().getLong(0) ==
