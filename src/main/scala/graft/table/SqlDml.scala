@@ -246,7 +246,8 @@ final case class GraftMergeCommand(root: String,
 final case class GraftCreateTableCommand(root: String,
                                          tableSchema: StructType,
                                          properties: Map[String, String],
-                                         ignoreIfExists: Boolean)
+                                         ignoreIfExists: Boolean,
+                                         checkConstraints: Seq[(String, String)] = Nil)
   extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
@@ -258,6 +259,9 @@ final case class GraftCreateTableCommand(root: String,
     } else {
       t.createIfNotExists(tableSchema)
       if (properties.nonEmpty) t.setProperties(properties)
+      checkConstraints.foreach { case (name, cond) =>
+        t.addConstraint(name, s"check:$name:$cond")
+      }
     }
     Nil
   }

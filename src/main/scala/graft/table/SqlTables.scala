@@ -145,13 +145,29 @@ final case class SqlTableResolution(spark: SparkSession) extends Rule[LogicalPla
       }
       SqlTables.aliased(parts, plan(df))
 
-    // plain graft.t — batch snapshot or streaming source
-    case GraftRel((parts, isStreaming)) =>
-      val root = SqlTables.rootOf(spark, parts)
+    // plain graft.t — batch snapshot or streaming source; the batch
+    // path honors Delta-style reader options (`spark.read
+    // .option("versionAsOf", 3).table("graft.t")`)
+    case u @ UnresolvedRelation(head +: rest, opts, isStreaming)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      val root = SqlTables.rootOf(spark, rest)
       val df =
         if (isStreaming) graft.streaming.StreamOps.streamTable(spark, root)
-        else table(parts).read
-      SqlTables.aliased(parts, plan(df))
+        else (Option(opts.get("versionAsOf")),
+              Option(opts.get("timestampAsOf"))) match {
+          case (Some(v), None) => table(rest).readAt(v.toLong)
+          case (None, Some(ts)) =>
+            // parsed in the SESSION timezone (Delta's timestampAsOf
+            // semantics), not the JVM default
+            val zone = java.time.ZoneId.of(conf.sessionLocalTimeZone)
+            table(rest).readAsOf(java.time.LocalDateTime
+              .parse(ts.replace(" ", "T"))
+              .atZone(zone).toInstant.toEpochMilli)
+          case (None, None) => table(rest).read
+          case _ => throw new IllegalArgumentException(
+            "pass either versionAsOf or timestampAsOf, not both")
+        }
+      SqlTables.aliased(rest, plan(df))
   }
 
   /** `TIMESTAMP AS OF <expr>` → epoch millis: the parser hands a foldable
@@ -274,8 +290,17 @@ final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
         case t: TableSpec => t.properties
         case _ => Map.empty[String, String]
       }
+      val checks = tableSpec match {
+        case u: UnresolvedTableSpec => u.constraints.map {
+          case cc: org.apache.spark.sql.catalyst.expressions.CheckConstraint =>
+            cc.userProvidedName -> cc.condition
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are supported in CREATE TABLE, got $other")
+        }
+        case _ => Nil
+      }
       GraftCreateTableCommand(SqlTables.rootOf(spark, rest), schema, props,
-        ignoreIfExists)
+        ignoreIfExists, checks)
 
     // ALTER TABLE graft.t SET/UNSET TBLPROPERTIES
     case SetTableProperties(UnresolvedTable(head +: rest, _, _), props)

@@ -428,6 +428,39 @@ class SqlTablesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
+  test("CREATE TABLE with inline CHECK constraints enforces them") {
+    val path = tmpDir("sqlctcons")
+    spark.sql(
+      s"""CREATE TABLE ${quoted(path)} (id BIGINT, score DOUBLE,
+         |  CONSTRAINT pos_score CHECK (score > 0))""".stripMargin)
+    val t = ManagedTable(spark, path)
+    assert(t.lastCommit.get.constraints.contains("pos_score"))
+    spark.sql(s"INSERT INTO ${quoted(path)} VALUES (1, 5.0)")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO ${quoted(path)} VALUES (2, -1.0)")
+    }
+    assert(t.read.count() == 1)
+  }
+
+  test("reader options versionAsOf / timestampAsOf on table()") {
+    val path = tmpDir("sqlropt")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write(Seq((1L, "a")).toDF("id", "name"), "APPEND", "append")
+    t.write(Seq((2L, "b")).toDF("id", "name"), "APPEND", "append")
+    assert(spark.read.option("versionAsOf", "0")
+      .table(s"graft.`$path`").count() == 1)
+    assert(spark.read.table(s"graft.`$path`").count() == 2)
+    val ts0 = java.time.Instant.ofEpochMilli(t.commitAt(0).timestampMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+    assert(spark.read.option("timestampAsOf", ts0)
+      .table(s"graft.`$path`").count() == 1)
+    intercept[Exception] {
+      spark.read.option("versionAsOf", "0").option("timestampAsOf", ts0)
+        .table(s"graft.`$path`").count()
+    }
+  }
+
   test("non-graft relations pass through the rule untouched") {
     spark.read.parquet(s"$sf/region.parquet").createOrReplaceTempView("region_v")
     assert(spark.sql("SELECT count(*) FROM region_v").head().getLong(0) ==
