@@ -142,6 +142,24 @@ object GraftExtensions {
     tvf("graft_exact_dedup")(TextOps.exactDedup(_)),
     tvf("graft_redact")(TextOps.redact(_)),
     tvf("graft_normalize_text")(TextOps.normalizeText(_)),
+    "graft_knn" -> { args =>
+      require(args.size == 3,
+        "graft_knn(corpus, queries, k) takes two table names and k")
+      plan(graft.llm.Similarity.bruteForceTopK(
+        table(args(0)), table(args(1)), intArg(args(2), "k")))
+    },
+    "graft_ann_topk" -> { args =>
+      require(args.size == 3,
+        "graft_ann_topk(corpus, queries, k) takes two table names and k")
+      plan(graft.llm.Similarity.annTopK(
+        table(args(0)), table(args(1)), intArg(args(2), "k")))
+    },
+    "graft_sq8_topk" -> { args =>
+      require(args.size == 3,
+        "graft_sq8_topk(corpus, queries, k) takes two table names and k")
+      plan(graft.llm.Similarity.sq8TopK(
+        table(args(0)), table(args(1)), intArg(args(2), "k")))
+    },
     tvf("graft_bigram_fluency")(TextOps.bigramScore(_)),
     "graft_bigram_fluency_against" -> { args =>
       require(args.size == 2,

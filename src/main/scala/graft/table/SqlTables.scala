@@ -21,14 +21,16 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
  * AQE, plan reuse — applies unchanged (a `graft.t` reference is not a
  * black box, exactly like the TVF surface).
  *
- * Identifier → table root (always TWO parts — `graft` + one, possibly
- * quoted, name; Spark's session catalog rejects longer chains with
- * REQUIRES_SINGLE_PART_NAMESPACE before any extension rule can run, so
- * nested namespaces are spelled inside the quotes):
+ * Identifier → table root:
  *   - `` graft.`/abs/path` ``       → that absolute root (quoting keeps
  *     the slashes in one identifier part)
- *   - `graft.t` / `` graft.`ns/t` `` → `<warehouse>/t`, warehouse from
- *     `spark.graft.warehouse` (defaults under `spark.sql.warehouse.dir`)
+ *   - `graft.t` / `` graft.`ns/t` `` → `<warehouse>/[ns/]t`, warehouse
+ *     from `spark.graft.warehouse` (defaults under
+ *     `spark.sql.warehouse.dir`)
+ *   - `graft.ns.t` (unquoted multi-part) additionally needs the thin
+ *     [[GraftCatalog]] registered (`spark.sql.catalog.graft`) — without
+ *     it the session catalog rejects >2-part chains with
+ *     REQUIRES_SINGLE_PART_NAMESPACE before any extension rule runs
  *
  * Supported statements:
  *   - `SELECT ... FROM graft.t`                    — snapshot read (DV- and
@@ -148,11 +150,18 @@ final case class SqlTableResolution(spark: SparkSession) extends Rule[LogicalPla
     // plain graft.t — batch snapshot or streaming source; the batch
     // path honors Delta-style reader options (`spark.read
     // .option("versionAsOf", 3).table("graft.t")`)
-    case u @ UnresolvedRelation(head +: rest, opts, isStreaming)
+    case UnresolvedRelation(head +: rest, opts, isStreaming)
         if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
       val root = SqlTables.rootOf(spark, rest)
       val df =
-        if (isStreaming) graft.streaming.StreamOps.streamTable(spark, root)
+        if (isStreaming) {
+          // forward the graft-table source's own admission options
+          // (startingVersion, maxBytesPerTrigger, readChangeFeed, ...)
+          // from `spark.readStream.option(...).table("graft.t")`
+          import scala.jdk.CollectionConverters._
+          spark.readStream.format("graft-table")
+            .options(opts.asScala.toMap).option("path", root).load()
+        }
         else (Option(opts.get("versionAsOf")),
               Option(opts.get("timestampAsOf"))) match {
           case (Some(v), None) => table(rest).readAt(v.toLong)

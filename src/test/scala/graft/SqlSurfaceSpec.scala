@@ -315,4 +315,19 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_bigram_fluency('documents')"),
       TextOps.bigramScore(spark.table("documents")))
   }
+
+  test("graft_knn and graft_sq8_topk TVFs match the Scala API") {
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").createOrReplaceTempView("emb_corpus")
+    spark.table("emb_corpus").filter("vec_id < 5")
+      .createOrReplaceTempView("emb_queries")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_knn('emb_corpus', 'emb_queries', 5)"),
+      graft.llm.Similarity.bruteForceTopK(
+        spark.table("emb_corpus"), spark.table("emb_queries"), 5))
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_sq8_topk('emb_corpus', 'emb_queries', 5)"),
+      graft.llm.Similarity.sq8TopK(
+        spark.table("emb_corpus"), spark.table("emb_queries"), 5))
+  }
 }
