@@ -1872,6 +1872,50 @@ object Queries {
       |WHERE c_custkey <= 1200 AND c_custkey % 10 <> 0""".stripMargin
 
   /**
+   * Incremental re-clustering ([[graft.table.ManagedTable.clusterAppend]]
+   * — the O(new data) maintenance loop a clustered 100 TB table runs):
+   * orders cluster on o_custkey, two appends land as unclustered tail
+   * dirs, and `CALL graft.cluster_append` folds ONLY the tail into
+   * per-bucket dirs against the boundaries the original clusterBy
+   * persisted — every already-clustered dir carries by reference.
+   * In-query gates: the original bucket dirs all survive the fold
+   * untouched, the tail dirs leave the composition, and a custkey range
+   * probe still prunes the scan. The oracle recomputes the final rows
+   * from `orders`.
+   */
+  def clusterIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    val path = tmp("clusterinc")
+    val t = ManagedTable(spark, path)
+    val orders = pq(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    t.write(orders.filter(col("o_orderkey") % 3 === 0), "APPEND", "append")
+    val full = t.clusterBy("o_custkey", buckets = 8)
+    t.write(orders.filter(col("o_orderkey") % 3 === 1), "APPEND", "append")
+    t.write(orders.filter(col("o_orderkey") % 3 === 2), "APPEND", "append")
+    val inc = spark.sql(s"CALL graft.cluster_append('$path')").collect()
+    require(inc.length == 1 && inc(0).getString(1).startsWith("CLUSTER APPEND"),
+      s"cluster_append must fold the 2 tail dirs, got ${inc.toSeq}")
+    val now = t.lastCommit.get
+    require(full.dirs.forall(now.dirs.contains),
+      "incremental fold must carry every clustered dir by reference")
+    require(now.dirs.forall(_.contains("__graft_cluster__=")),
+      s"tail dirs must leave the composition, got ${now.dirs}")
+    val probe = t.readWhere(col("o_custkey") <= 100)
+    val scanned = probe.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.size
+    }.sum
+    require(scanned < now.dirs.size,
+      s"clustered probe must prune: scanned $scanned of ${now.dirs.size}")
+    probe.select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  val clusterIncrementalSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_custkey <= 100""".stripMargin
+
+  /**
    * Write-time clustering via the `cluster.columns` table property
    * ([[graft.table.ManagedTable.ClusterColumnsProp]]): the batch
    * range-partitions + sorts on the declared columns before writing, so

@@ -113,6 +113,7 @@ object SparkEntry {
     "table_clone" -> (Queries.tableClone(_, _)),
     "bloom_skipping" -> (Queries.bloomSkipping(_, _)),
     "cluster_on_write" -> (Queries.clusterOnWrite(_, _)),
+    "cluster_incremental" -> (Queries.clusterIncremental(_, _)),
     "sql_table_dml" -> (Queries.sqlTableDml(_, _)),
     "sql_table_time_travel" -> (Queries.sqlTableTimeTravel(_, _)),
     "sql_table_merge" -> (Queries.sqlTableMerge(_, _)),
@@ -341,6 +342,7 @@ object SparkEntry {
     "table_clone" -> Queries.tableCloneSql,
     "bloom_skipping" -> Queries.bloomSkippingSql,
     "cluster_on_write" -> Queries.clusterOnWriteSql,
+    "cluster_incremental" -> Queries.clusterIncrementalSql,
     "sql_table_dml" -> Queries.sqlTableDmlSql,
     "sql_table_time_travel" -> Queries.sqlTableTimeTravelSql,
     "sql_table_merge" -> Queries.sqlTableMergeSql,

@@ -2355,7 +2355,46 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(col(column) >= lit(b), 1).otherwise(0)
     }
-    writeClustered(c, df, bucket, s"CLUSTER BY ($column)")
+    // persist the boundaries: [[clusterAppend]] re-uses them to bucket
+    // later appends WITHOUT rescanning the clustered bulk
+    writeClusteredFrame(c, df.withColumn(CLUSTER_COL, bucket),
+      s"CLUSTER BY ($column)",
+      extraProps = Map(
+        ManagedTable.ClusterByColProp -> column,
+        ManagedTable.ClusterByBoundsProp -> bounds.mkString(",")))
+  }
+
+  /**
+   * INCREMENTAL re-clustering — the O(new data) maintenance loop a
+   * 100 TB clustered table actually runs (a full [[clusterBy]] rewrite
+   * is a table-sized job; Databricks liquid clustering is incremental
+   * for the same reason): appends land as unclustered tail dirs; this
+   * folds ONLY those tail rows into per-bucket dirs using the BUCKET
+   * BOUNDARIES the original [[clusterBy]] persisted in the table
+   * properties, and carries every already-clustered dir by reference.
+   * Buckets therefore accumulate one dir per maintenance pass —
+   * [[compactDirs]] folds them when they get small-file-heavy — and
+   * bucket boundaries stay FIXED until a full re-cluster refreshes
+   * them (quantile drift shows up as skewed bucket sizes, visible in
+   * the commit's per-dir stats). No-op (None) when no tail exists.
+   */
+  def clusterAppend(): Option[Commit] = synchronized {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val c = lastCommit.getOrElse(
+      throw new IllegalStateException(s"managed table $root does not exist"))
+    val column = c.properties.getOrElse(ManagedTable.ClusterByColProp,
+      throw new IllegalStateException(
+        s"$root has no persisted cluster boundaries — run clusterBy first"))
+    val bounds = c.properties(ManagedTable.ClusterByBoundsProp)
+      .split(",").filter(_.nonEmpty).map(_.toDouble)
+    val (clusteredDirs, tail) = c.dirs.partition(_.contains(s"/$CLUSTER_COL="))
+    if (tail.isEmpty) return None
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(s"`$column`") >= lit(b), 1).otherwise(0)
+    }
+    val tailRows = readDirsSubset(tail)
+    Some(writeClusteredFrame(c, tailRows.withColumn(CLUSTER_COL, bucket),
+      s"CLUSTER APPEND ($column)", carriedDirs = clusteredDirs))
   }
 
   /**
@@ -2505,7 +2544,9 @@ final class ManagedTable(spark: SparkSession, root: String) {
     * be stable across the stats pass and the write pass (an expression
     * over the row, or a materialized frame). */
   private def writeClusteredFrame(c: Commit, clustered: DataFrame,
-                                  operation: String): Commit = {
+                                  operation: String,
+                                  carriedDirs: Seq[String] = Nil,
+                                  extraProps: Map[String, String] = Map.empty): Commit = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val schema = StructType.fromDDL(c.schemaDdl)
     val aggs = count(lit(1)).as("rows") +: DataSkipping.statAggs(schema)
@@ -2521,20 +2562,32 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val tsMs = System.currentTimeMillis()
     val dataDir = new Path(new Path(rootPath, "data"),
       f"$version%012d-${UUID.randomUUID().toString.take(8)}").toString
-    clustered.write.mode("overwrite")
-      .options(ManagedTable.bloomWriteOptions(c.properties, c.columnMap))
+    // a FULL re-cluster rewrites every file under the logical names (the
+    // column mapping resets, like any replace); an incremental pass
+    // carries physical-named clustered dirs, so its new files must keep
+    // writing the SAME physical names for the one global mapping to fit
+    val commitMap: Map[String, String] =
+      if (carriedDirs.nonEmpty) c.columnMap else Map.empty[String, String]
+    toPhysical(clustered, commitMap).write.mode("overwrite")
+      .options(ManagedTable.bloomWriteOptions(c.properties, commitMap))
       .partitionBy(CLUSTER_COL).parquet(dataDir)
 
-    val dirs = perBucket.keys.toSeq.sorted.map(b => s"$dataDir/$CLUSTER_COL=$b")
-    val dirStats = perBucket.map { case (b, (_, stats)) =>
-      s"$dataDir/$CLUSTER_COL=$b" -> stats
-    }
+    val newDirs = perBucket.keys.toSeq.sorted.map(b => s"$dataDir/$CLUSTER_COL=$b")
+    val dirs = carriedDirs ++ newDirs
+    val dirStats = c.dirStats.view.filterKeys(carriedDirs.contains).toMap ++
+      perBucket.map { case (b, (_, stats)) =>
+        s"$dataDir/$CLUSTER_COL=$b" -> stats
+      }
     val commit = Commit(version, operation, tsMs, dirs,
       Map("numOutputRows" -> perBucket.values.map(_._1).sum.toString,
         "buckets" -> perBucket.size.toString),
       None, c.schemaDdl, c.version, dirStats = dirStats, txn = c.txn,
+      // tombstones for rewritten tail files go inert (the files leave
+      // the composition); carried clustered dirs keep theirs live
+      dvDirs = if (carriedDirs.nonEmpty) c.dvDirs else Nil,
+      columnMap = commitMap,
       constraints = c.constraints,
-      properties = c.properties)
+      properties = c.properties ++ extraProps)
     writeCommit(commit, Some(c))
     commit
   }
@@ -2968,6 +3021,12 @@ object ManagedTable {
 
   /** Table property naming the columns that get parquet bloom filters. */
   val BloomColumnsProp = "bloom.columns"
+
+  /** Properties persisted by [[ManagedTable.clusterBy]] so
+    * [[ManagedTable.clusterAppend]] can bucket later appends against
+    * the SAME boundaries without rescanning the clustered bulk. */
+  val ClusterByColProp = "cluster.by.column"
+  val ClusterByBoundsProp = "cluster.by.bounds"
 
   /** Table property naming write-time clustering columns: appends and
     * replaces range-partition + sort the batch on them, so files and

@@ -108,7 +108,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
     case "vacuum" => Seq(
       attr("pruned_versions", IntegerType), attr("deleted_data_dirs", IntegerType),
       attr("deleted_change_dirs", IntegerType), attr("deleted_dv_dirs", IntegerType))
-    case "optimize" | "analyze" | "purge_deletes" | "restore" | "clone" => Seq(
+    case "optimize" | "analyze" | "purge_deletes" | "restore" | "clone" |
+         "cluster_append" => Seq(
       attr("version", LongType), attr("operation", StringType),
       attr("operation_metrics", StringType))
     case "export_manifest" => Seq(
@@ -116,7 +117,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       attr("num_manifests", IntegerType))
     case other => throw new IllegalArgumentException(
       s"unknown graft procedure `$other` — supported: history, vacuum, " +
-        "optimize, analyze, purge_deletes, restore, clone, export_manifest")
+        "optimize, analyze, cluster_append, purge_deletes, restore, clone, " +
+        "export_manifest")
   }
 
   private def metricsJson(m: Map[String, String]): String =
@@ -154,6 +156,9 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       case "analyze" =>
         require(args.size == 1, "CALL graft.analyze(path)")
         Seq(commitRow(table().recomputeStats()))
+      case "cluster_append" =>
+        require(args.size == 1, "CALL graft.cluster_append(path)")
+        table().clusterAppend().map(commitRow).toSeq
       case "purge_deletes" =>
         require(args.size == 1, "CALL graft.purge_deletes(path)")
         table().purgeDeletes().map(commitRow).toSeq

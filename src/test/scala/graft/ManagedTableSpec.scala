@@ -798,4 +798,60 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.read.count() == 20000L)
     assert(byA.count() == 1000L)
   }
+
+  test("clusterAppend folds only the unclustered tail against stored bounds") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("clusterapp")
+    val t = graft.table.ManagedTable(spark, path)
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 13).as("v"))
+    t.write(mk(0L, 10000L), "APPEND", "append")
+    val full = t.clusterBy("k", buckets = 8)
+    assert(full.properties.contains(
+      graft.table.ManagedTable.ClusterByBoundsProp))
+    val clusteredDirs = full.dirs.toSet
+
+    // no tail yet -> no-op
+    assert(t.clusterAppend().isEmpty)
+
+    t.write(mk(10000L, 12000L), "APPEND", "append")
+    t.write(mk(12000L, 13000L), "APPEND", "append")
+    val inc = t.clusterAppend().get
+    assert(inc.operation.startsWith("CLUSTER APPEND"))
+    // every originally-clustered dir carried BY REFERENCE (no rewrite)
+    assert(clusteredDirs.subsetOf(inc.dirs.toSet))
+    // tail dirs left the composition; new dirs are bucket-partitioned
+    val newDirs = inc.dirs.filterNot(clusteredDirs)
+    assert(newDirs.nonEmpty && newDirs.forall(_.contains("__graft_cluster__=")))
+    // rows intact and range probes still prune
+    assert(t.read.count() == 13000L)
+    val probe = t.readWhere(col("k") >= 12500L)
+    assert(probe.count() == 500L)
+    val scanned = probe.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.relation.location.rootPaths.size
+    }.sum
+    assert(scanned < inc.dirs.size,
+      s"stats must prune the probe: scanned $scanned of ${inc.dirs.size}")
+    // a second maintenance round composes
+    t.write(mk(13000L, 13500L), "APPEND", "append")
+    assert(t.clusterAppend().isDefined && t.read.count() == 13500L)
+  }
+
+  test("clusterAppend keeps the column mapping consistent across carried dirs") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("clusterappmap")
+    val t = graft.table.ManagedTable(spark, path)
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k"), (col("id") % 13).as("v"))
+    t.write(mk(0L, 2000L), "APPEND", "append")
+    t.clusterBy("k", buckets = 4)
+    t.renameColumn("v", "value") // physical name stays "v" in the files
+    t.write(mk(2000L, 2500L).withColumnRenamed("v", "value"),
+      "APPEND", "append")
+    val inc = t.clusterAppend().get
+    assert(inc.columnMap.nonEmpty, "mapping must carry through the fold")
+    assert(t.read.filter(col("value") === 7L).count() ==
+      (0L until 2500L).count(_ % 13 == 7))
+  }
 }
