@@ -2382,19 +2382,32 @@ final class ManagedTable(spark: SparkSession, root: String) {
     import org.apache.spark.sql.functions.{col, lit, when}
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
-    val column = c.properties.getOrElse(ManagedTable.ClusterByColProp,
-      throw new IllegalStateException(
-        s"$root has no persisted cluster boundaries — run clusterBy first"))
-    val bounds = c.properties(ManagedTable.ClusterByBoundsProp)
-      .split(",").filter(_.nonEmpty).map(_.toDouble)
     val (clusteredDirs, tail) = c.dirs.partition(_.contains(s"/$CLUSTER_COL="))
     if (tail.isEmpty) return None
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(s"`$column`") >= lit(b), 1).otherwise(0)
+    val (bucket, what) = c.properties.get(ManagedTable.HilbertColsProp) match {
+      case Some(csv) =>
+        // Hilbert grid persisted by [[clusterByHilbert]]
+        val columns = csv.split(",").toSeq
+        val bits = c.properties(ManagedTable.HilbertBitsProp).toInt
+        val buckets = c.properties(ManagedTable.HilbertBucketsProp).toInt
+        val bounds = columns.map(n =>
+          c.properties(s"${ManagedTable.HilbertBoundsPropPrefix}$n")
+            .split(",").filter(_.nonEmpty).map(_.toDouble))
+        (hilbertBucket(columns, bounds, bits, buckets), csv)
+      case None =>
+        val column = c.properties.getOrElse(ManagedTable.ClusterByColProp,
+          throw new IllegalStateException(
+            s"$root has no persisted cluster boundaries — run clusterBy " +
+              "or clusterByHilbert first"))
+        val bounds = c.properties(ManagedTable.ClusterByBoundsProp)
+          .split(",").filter(_.nonEmpty).map(_.toDouble)
+        (bounds.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col(s"`$column`") >= lit(b), 1).otherwise(0)
+        }, column)
     }
     val tailRows = readDirsSubset(tail)
     Some(writeClusteredFrame(c, tailRows.withColumn(CLUSTER_COL, bucket),
-      s"CLUSTER APPEND ($column)", carriedDirs = clusteredDirs))
+      s"CLUSTER APPEND ($what)", carriedDirs = clusteredDirs))
   }
 
   /**
@@ -2472,20 +2485,29 @@ final class ManagedTable(spark: SparkSession, root: String) {
       s"ZORDER BY (${columns.mkString(", ")})")
   }
 
-  /** Per-column quantile rank in [0, levels): boundaries from one
-    * sampled pass per column, shared by the Morton and Hilbert
-    * clusterings. */
-  private def quantileRanks(df: DataFrame, columns: Seq[String],
-                            levels: Int): Seq[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.{col, lit, when}
+  /** Per-column quantile BOUNDARIES for a [0, levels) rank grid — one
+    * sampled pass per column; persisted by the curve clusterings so the
+    * incremental fold re-ranks later appends on the SAME grid. */
+  private def quantileBounds(df: DataFrame, columns: Seq[String],
+                             levels: Int): Seq[Array[Double]] = {
     val probs = (1 until levels).map(_.toDouble / levels).toArray
-    columns.map { n =>
-      val bounds = df.stat.approxQuantile(n, probs, 0.001).distinct
-      bounds.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(col(n) >= lit(b), 1).otherwise(0)
+    columns.map(n => df.stat.approxQuantile(n, probs, 0.001).distinct)
+  }
+
+  /** Rank expressions over FIXED boundaries. */
+  private def ranksFromBounds(columns: Seq[String],
+                              bounds: Seq[Array[Double]]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    columns.zip(bounds).map { case (n, bs) =>
+      bs.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(s"`$n`") >= lit(b), 1).otherwise(0)
       }
     }
   }
+
+  private def quantileRanks(df: DataFrame, columns: Seq[String],
+                            levels: Int): Seq[org.apache.spark.sql.Column] =
+    ranksFromBounds(columns, quantileBounds(df, columns, levels))
 
   /**
    * HILBERT-cluster the table on several numeric columns — the same
@@ -2520,16 +2542,32 @@ final class ManagedTable(spark: SparkSession, root: String) {
     }
     val df = read
     val bits = Integer.numberOfTrailingZeros(levels)
-    val dims = columns.size
-    val ranks = quantileRanks(df, columns, levels)
+    val bounds = quantileBounds(df, columns, levels)
+    val bucket = hilbertBucket(columns, bounds, bits, buckets)
+    // persist the grid so [[clusterAppend]] folds later appends onto
+    // the SAME curve without rescanning the clustered bulk
+    val gridProps = Map(
+      ManagedTable.HilbertColsProp -> columns.mkString(","),
+      ManagedTable.HilbertBitsProp -> bits.toString,
+      ManagedTable.HilbertBucketsProp -> buckets.toString) ++
+      columns.zip(bounds).map { case (n, bs) =>
+        s"${ManagedTable.HilbertBoundsPropPrefix}$n" -> bs.mkString(",")
+      }
+    writeClusteredFrame(c, df.withColumn(CLUSTER_COL, bucket),
+      s"HILBERT BY (${columns.mkString(", ")})", extraProps = gridProps)
+  }
+
+  /** Hilbert bucket expression over a FIXED rank grid. */
+  private def hilbertBucket(columns: Seq[String], bounds: Seq[Array[Double]],
+                            bits: Int, buckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array, lit, udf}
+    val ranks = ranksFromBounds(columns, bounds)
     val hUdf = udf((rs: Seq[Int]) => ManagedTable.hilbertIndex(bits, rs.toArray))
     val h = hUdf(array(ranks: _*))
-    val hSpace = math.pow(levels, dims)
-    val bucket = org.apache.spark.sql.functions.least(
+    val hSpace = math.pow(1 << bits, columns.size)
+    org.apache.spark.sql.functions.least(
       org.apache.spark.sql.functions.floor(h * buckets / hSpace).cast("int"),
       lit(buckets - 1))
-    writeClustered(c, df, bucket,
-      s"HILBERT BY (${columns.mkString(", ")})")
   }
 
   /** Shared clustered-rewrite commit path: per-bucket stats in one
@@ -3027,6 +3065,15 @@ object ManagedTable {
     * the SAME boundaries without rescanning the clustered bulk. */
   val ClusterByColProp = "cluster.by.column"
   val ClusterByBoundsProp = "cluster.by.bounds"
+
+  /** Properties persisted by [[ManagedTable.clusterByHilbert]]: the
+    * quantile-rank grid (columns, per-column boundaries, bits, bucket
+    * count) so [[ManagedTable.clusterAppend]] folds later appends onto
+    * the SAME curve without rescanning the clustered bulk. */
+  val HilbertColsProp = "cluster.hilbert.columns"
+  val HilbertBitsProp = "cluster.hilbert.bits"
+  val HilbertBucketsProp = "cluster.hilbert.buckets"
+  val HilbertBoundsPropPrefix = "cluster.hilbert.bounds."
 
   /** Table property naming write-time clustering columns: appends and
     * replaces range-partition + sort the batch on them, so files and

@@ -838,6 +838,36 @@ class ManagedTableSpec extends SparkSpec {
     assert(t.clusterAppend().isDefined && t.read.count() == 13500L)
   }
 
+  test("clusterAppend folds the tail onto a persisted Hilbert grid") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("clusterapph")
+    val t = graft.table.ManagedTable(spark, path)
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("a"), ((col("id") * 7919L) % 20011L).as("b"))
+    t.write(mk(0L, 10000L), "APPEND", "append")
+    val full = t.clusterByHilbert(Seq("a", "b"), buckets = 8)
+    assert(full.properties.contains(
+      graft.table.ManagedTable.HilbertColsProp))
+    val clusteredDirs = full.dirs.toSet
+    t.write(mk(10000L, 12000L), "APPEND", "append")
+    val inc = t.clusterAppend().get
+    assert(inc.operation == "CLUSTER APPEND (a,b)")
+    // clustered bulk carried by reference, tail re-bucketed on the grid
+    assert(clusteredDirs.subsetOf(inc.dirs.toSet))
+    assert(inc.dirs.exists(d => !clusteredDirs(d)))
+    assert(t.read.count() == 12000L)
+    // both curve axes still prune after the fold
+    def scannedDirs(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.size
+      }.sum
+    val byA = t.readWhere(col("a") < 500L)
+    assert(byA.count() == 500L)
+    assert(scannedDirs(byA) < inc.dirs.size,
+      s"hilbert fold must keep pruning: ${scannedDirs(byA)} of ${inc.dirs.size}")
+  }
+
   test("clusterAppend keeps the column mapping consistent across carried dirs") {
     import org.apache.spark.sql.functions.col
     val path = tmpDir("clusterappmap")
