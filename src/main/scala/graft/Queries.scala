@@ -4310,6 +4310,76 @@ object Queries {
   val countminRollupSql: String =
     """SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1""".stripMargin
 
+  /** KMV/theta distinct-overlap sketches ([[graft.operators.Sketches]]
+    * KMV family — the SET-OPERATION analogue of `sketch_distinct`'s
+    * HLL pair, which can only union): per-(year, status) shard
+    * sketches of order-placing customers roll up to per-year sketches
+    * (theta union, no rescan), and the 1995-vs-1996 cohort overlap —
+    * distinct customers in each year, in both, in either, and in 1995
+    * only — is estimated from the two sketches alone. At 100 TB that
+    * question is normally a full shuffle join of two fact snapshots;
+    * here it is KBs of mergeable per-shard state. Every estimate is
+    * GATED in-query within 4σ (k=256 → RSE ≈ 6.3%) of exact, plus the
+    * set-algebra invariants; the deterministic EXACT counts are what's
+    * emitted and hash-compared, so a broken sketch, union, or set-op
+    * estimator cannot pass silently. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val orders = pq(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1995, 1996))
+    // exact cohort facts: one hash-agg per custkey, then one fold
+    val exact = orders.groupBy("o_custkey")
+      .agg(max(when(col("yr") === 1995, 1).otherwise(0)).as("a"),
+        max(when(col("yr") === 1996, 1).otherwise(0)).as("b"))
+      .agg(sum(col("a")).cast("long").as("n_a"),
+        sum(col("b")).cast("long").as("n_b"),
+        count(lit(1)).cast("long").as("n_union"),
+        sum(col("a") * col("b")).cast("long").as("n_inter"),
+        sum(col("a") * (lit(1) - col("b"))).cast("long").as("n_only_a"))
+    // shard-grain sketches -> year grain by theta union -> set ops
+    val k = 256
+    val byYear = Sketches.kmvMerge(
+      Sketches.kmvSketch(orders, Seq("yr", "o_orderstatus"), "o_custkey", k),
+      Seq("yr"))
+    val joined = byYear.filter(col("yr") === 1995)
+      .select(col(Sketches.KmvCol).as("ska"))
+      .crossJoin(byYear.filter(col("yr") === 1996)
+        .select(col(Sketches.KmvCol).as("skb")))
+    val est = Sketches.kmvSetEstimates(joined, "ska", "skb").collect().head
+    val ex = exact.collect().head
+    val tol = 4.0 / math.sqrt(k - 2.0)
+    Seq("est_a" -> "n_a", "est_b" -> "n_b", "est_union" -> "n_union",
+      "est_inter" -> "n_inter", "est_diff_a" -> "n_only_a").foreach {
+      case (e, x) =>
+        val estV = est.getAs[Long](e); val exV = ex.getAs[Long](x).toDouble
+        require(math.abs(estV - exV) / exV <= tol,
+          f"KMV $e=$estV vs exact $exV%.0f: off by ${math.abs(estV - exV) / exV}%.3f" +
+            f" (> $tol%.3f) — sketch/union/set-op broken")
+    }
+    require(est.getAs[Long]("est_inter") <=
+      math.min(est.getAs[Long]("est_a"), est.getAs[Long]("est_b")) &&
+      est.getAs[Long]("est_union") <=
+        est.getAs[Long]("est_a") + est.getAs[Long]("est_b"),
+      "KMV set-algebra invariants violated")
+    exact
+  }
+
+  val kmvOverlapSql: String =
+    """WITH f AS (
+      |  SELECT o_custkey,
+      |         MAX(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS a,
+      |         MAX(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS b
+      |  FROM orders
+      |  WHERE year(o_orderdate) IN (1995, 1996)
+      |  GROUP BY 1)
+      |SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+      |       CAST(SUM(b) AS BIGINT) AS n_b,
+      |       CAST(COUNT(*) AS BIGINT) AS n_union,
+      |       CAST(SUM(a * b) AS BIGINT) AS n_inter,
+      |       CAST(SUM(a * (1 - b)) AS BIGINT) AS n_only_a
+      |FROM f""".stripMargin
+
   /** Dataset card ([[graft.llm.TextOps.datasetCard]]): the long-form
     * (metric, scope, value) release datasheet — totals, exact-dup
     * count, source count, per-language breakdown with integer

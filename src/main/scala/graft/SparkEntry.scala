@@ -108,6 +108,7 @@ object SparkEntry {
     "incremental_view_minmax" -> (Queries.incrementalViewMinMax(_, _)),
     "column_rename" -> (Queries.columnRename(_, _)),
     "countmin_rollup" -> (Queries.countminRollup(_, _)),
+    "kmv_overlap" -> (Queries.kmvOverlap(_, _)),
     "export_manifest" -> (Queries.exportManifest(_, _)),
     "deletion_vectors" -> (Queries.deletionVectors(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
@@ -337,6 +338,7 @@ object SparkEntry {
     "incremental_view_minmax" -> Queries.incrementalViewMinMaxSql,
     "column_rename" -> Queries.columnRenameSql,
     "countmin_rollup" -> Queries.countminRollupSql,
+    "kmv_overlap" -> Queries.kmvOverlapSql,
     "export_manifest" -> Queries.exportManifestSql,
     "deletion_vectors" -> Queries.deletionVectorsSql,
     "table_clone" -> Queries.tableCloneSql,

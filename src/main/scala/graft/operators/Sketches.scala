@@ -578,6 +578,210 @@ object Sketches {
     quantileMergeEstimate(quantileSketch(df, keys, valueCol, eps),
       keys, probs)
 
+  // ------------------- KMV / theta distinct sketch --------------------
+
+  val KmvCol = "kmv_sketch"
+
+  /** KMV distinct sketch in the theta formulation (Bar-Yossef 2002 KMV,
+    * Beyer 2007 set-op estimators, Dasgupta 2016 theta sketches): a
+    * threshold `theta` plus every distinct value hash STRICTLY below
+    * it. `hashes` live in "u-space" — `xxhash64 ^ Long.MinValue`, so
+    * SIGNED order equals unsigned order of the raw hash and the
+    * fraction of the hash space below `u` is `u/2^64 + 0.5`. While a
+    * group has seen fewer than `k` distinct hashes the sketch is not
+    * `capped` and holds ALL of them (estimates are then EXACT);
+    * capping sets `theta` to the k-th smallest hash and keeps the
+    * `k−1` below it.
+    *
+    * Why this exists next to [[hllSketch]]: HLL only unions. The theta
+    * form supports INTERSECTION and DIFFERENCE estimates
+    * ([[kmvSetEstimates]]) — corpus-overlap questions ("how many
+    * distinct customers/documents/tokens appear in BOTH snapshots")
+    * answered from two per-shard-mergeable sketches of a few KB,
+    * where the exact answer at 100 TB is a full shuffle join of both
+    * fact tables. Estimate `|hashes|/theta` is unbiased with relative
+    * standard error ≈ `1/sqrt(k−2)` (k=1024 → ~3%). */
+  final case class KmvSketch(k: Int, thetaU: Long, capped: Boolean,
+                             hashes: Seq[Long]) {
+    /** Threshold as a fraction of the hash space (1.0 = uncapped). */
+    def thetaFrac: Double =
+      if (!capped) 1.0 else thetaU.toDouble / math.pow(2.0, 64) + 0.5
+    /** Unbiased distinct estimate; EXACT while uncapped. */
+    def estimate: Long = math.rint(hashes.size / thetaFrac).toLong
+  }
+
+  /** Merge two sorted-distinct u-space sequences, keeping at most
+    * `cap` smallest (one two-pointer pass). */
+  private[operators] def kmvMergeSorted(a: Seq[Long], b: Seq[Long],
+                                        cap: Int): Vector[Long] = {
+    val out = Vector.newBuilder[Long]
+    var i = 0; var j = 0; var n = 0
+    while (n < cap && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+          val v = a(i); if (j < b.length && b(j) == v) j += 1; i += 1; v
+        } else { val v = b(j); j += 1; v }
+      out += v; n += 1
+    }
+    out.result()
+  }
+
+  /** Aggregation buffer: the ≤ `k` smallest distinct u-space hashes,
+    * sorted ascending. */
+  final case class KmvBuf(mins: Seq[Long])
+
+  /** Builds a [[KmvSketch]] from raw `xxhash64` values — map-side
+    * combinable, O(k) state per (group, partition) regardless of
+    * cardinality. The per-row hot path is O(1) for any hash at or
+    * above the current k-th minimum (one comparison against the tail);
+    * only the O(k·ln(n/k)) accepted inserts pay the O(k) copy. */
+  final class KmvDistinct(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, KmvBuf, KmvSketch] {
+    require(k >= 16, s"k must be >= 16 for a usable estimator, got $k")
+
+    def zero: KmvBuf = KmvBuf(Vector.empty)
+
+    def reduce(b: KmvBuf, rawHash: Long): KmvBuf = {
+      val u = rawHash ^ Long.MinValue
+      val m = b.mins
+      if (m.length == k && u >= m.last) return b
+      // binary search for the insertion point; skip exact duplicates
+      var lo = 0; var hi = m.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (m(mid) < u) lo = mid + 1 else hi = mid
+      }
+      if (lo < m.length && m(lo) == u) return b
+      val ins = (m.take(lo) :+ u) ++ m.drop(lo)
+      KmvBuf(if (ins.length > k) ins.take(k) else ins)
+    }
+
+    def merge(x: KmvBuf, y: KmvBuf): KmvBuf =
+      KmvBuf(kmvMergeSorted(x.mins, y.mins, k))
+
+    def finish(b: KmvBuf): KmvSketch =
+      if (b.mins.length == k)
+        KmvSketch(k, b.mins.last, capped = true, b.mins.init)
+      else KmvSketch(k, Long.MaxValue, capped = false, b.mins)
+
+    def bufferEncoder: org.apache.spark.sql.Encoder[KmvBuf] =
+      org.apache.spark.sql.Encoders.product[KmvBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[KmvSketch] =
+      org.apache.spark.sql.Encoders.product[KmvSketch]
+  }
+
+  /** Theta union of two sketches: threshold drops to the smaller
+    * side's, both hash sets filter below it, and the result re-caps at
+    * `k` if the union would exceed it — so rolling 100 k per-shard
+    * sketches to a global grain stays O(k) state, and the estimate is
+    * exactly what a direct sketch of the concatenated stream yields. */
+  private[operators] def kmvUnion(a: KmvSketch, b: KmvSketch): KmvSketch = {
+    if (a.k == 0) return b
+    if (b.k == 0) return a
+    require(a.k == b.k, s"cannot union KMV sketches of different k: ${a.k} vs ${b.k}")
+    val k = a.k
+    val thetaU = math.min(if (a.capped) a.thetaU else Long.MaxValue,
+      if (b.capped) b.thetaU else Long.MaxValue)
+    val merged = kmvMergeSorted(a.hashes, b.hashes, 2 * k)
+      .filter(_ < thetaU)
+    if (merged.length >= k)
+      KmvSketch(k, merged(k - 1), capped = true, merged.take(k - 1))
+    else KmvSketch(k, thetaU, capped = thetaU != Long.MaxValue, merged)
+  }
+
+  /** Mergeable rollup aggregator over stored [[KmvSketch]] rows. */
+  final class KmvUnionAgg
+      extends org.apache.spark.sql.expressions.Aggregator[KmvSketch, KmvSketch, KmvSketch] {
+    def zero: KmvSketch = KmvSketch(0, Long.MaxValue, capped = false, Vector.empty)
+    def reduce(b: KmvSketch, s: KmvSketch): KmvSketch = kmvUnion(b, s)
+    def merge(x: KmvSketch, y: KmvSketch): KmvSketch = kmvUnion(x, y)
+    def finish(b: KmvSketch): KmvSketch = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[KmvSketch] =
+      org.apache.spark.sql.Encoders.product[KmvSketch]
+    def outputEncoder: org.apache.spark.sql.Encoder[KmvSketch] =
+      org.apache.spark.sql.Encoders.product[KmvSketch]
+  }
+
+  /** Distinct / union / intersection / difference estimates from TWO
+    * sketches (Beyer 2007): cut both to the common threshold
+    * `theta = min(theta_a, theta_b)`, then each set expression's
+    * surviving-hash count divided by `theta` is an unbiased estimate
+    * of its true cardinality. All five outputs are EXACT when neither
+    * sketch ever capped. */
+  private[operators] def kmvSetOps(a: KmvSketch, b: KmvSketch)
+      : (Long, Long, Long, Long, Long) = {
+    require(a.k == b.k, s"KMV set ops need equal k: ${a.k} vs ${b.k}")
+    val thetaU = math.min(if (a.capped) a.thetaU else Long.MaxValue,
+      if (b.capped) b.thetaU else Long.MaxValue)
+    val thetaF =
+      if (thetaU == Long.MaxValue) 1.0
+      else thetaU.toDouble / math.pow(2.0, 64) + 0.5
+    val sa = a.hashes.iterator.filter(_ < thetaU).toSet
+    val sb = b.hashes.iterator.filter(_ < thetaU).toSet
+    def est(n: Int): Long = math.rint(n / thetaF).toLong
+    (est(sa.size), est(sb.size), est(sa.union(sb).size),
+      est(sa.intersect(sb).size), est(sa.diff(sb).size))
+  }
+
+  private def rowToKmv(r: org.apache.spark.sql.Row): KmvSketch =
+    KmvSketch(r.getInt(0), r.getLong(1), r.getBoolean(2),
+      r.getSeq[Long](3))
+
+  /** Per-group KMV sketches of `valueCol` (struct column, mergeable
+    * via [[kmvMergeEstimate]] / usable pairwise via
+    * [[kmvSetEstimates]]). Values hash as strings so an `int` shard
+    * and a `bigint` shard of the same logical column sketch
+    * identically. */
+  def kmvSketch(df: DataFrame, keys: Seq[String], valueCol: String,
+                k: Int = 1024): DataFrame = {
+    require(keys.nonEmpty, "kmvSketch needs group keys")
+    val agg = udaf(new KmvDistinct(k), org.apache.spark.sql.Encoders.scalaLong)
+    df.filter(col(s"`$valueCol`").isNotNull)
+      .groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(agg(xxhash64(col(s"`$valueCol`").cast("string"))).as(KmvCol))
+  }
+
+  /** Roll stored KMV sketches up to a coarser grain — the result is
+    * again a `kmv_sketch` column (theta union re-capped at k), usable
+    * for further rollups or [[kmvSetEstimates]]. */
+  def kmvMerge(sketches: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "kmvMerge needs group keys")
+    val mergeAgg = udaf(new KmvUnionAgg)
+    // udaf() flattens the case-class input into its field parameters
+    sketches.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(mergeAgg(col(s"$KmvCol.k"), col(s"$KmvCol.thetaU"),
+        col(s"$KmvCol.capped"), col(s"$KmvCol.hashes")).as(KmvCol))
+  }
+
+  /** Roll stored KMV sketches up to a coarser grain and estimate the
+    * distinct count of the union — no rescan of the base data. */
+  def kmvMergeEstimate(sketches: DataFrame, keys: Seq[String],
+                       outCol: String = "approx_distinct"): DataFrame = {
+    val estimate = udf((r: org.apache.spark.sql.Row) => rowToKmv(r).estimate)
+    kmvMerge(sketches, keys)
+      .withColumn(outCol, estimate(col(KmvCol)))
+      .drop(KmvCol)
+  }
+
+  /** Set-operation estimates between two sketch columns `aCol` and
+    * `bCol` on each row: appends `est_a, est_b, est_union, est_inter,
+    * est_diff_a` (all exact when neither side capped). The 100 TB
+    * shape: sketch each corpus snapshot once at write time, answer
+    * any pairwise overlap later from KBs of stored state. */
+  def kmvSetEstimates(joined: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val ops = udf((a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row) => {
+      val (ea, eb, eu, ei, ed) = kmvSetOps(rowToKmv(a), rowToKmv(b))
+      (ea, eb, eu, ei, ed)
+    })
+    joined.withColumn("__ops__", ops(col(s"`$aCol`"), col(s"`$bCol`")))
+      .withColumn("est_a", col("__ops__._1"))
+      .withColumn("est_b", col("__ops__._2"))
+      .withColumn("est_union", col("__ops__._3"))
+      .withColumn("est_inter", col("__ops__._4"))
+      .withColumn("est_diff_a", col("__ops__._5"))
+      .drop("__ops__")
+  }
+
   /** Per-group top-`k` frequent items via [[SpaceSaving]]: one
     * aggregation (map-side combinable, ≤ `capacity` entries of state
     * per group anywhere in the plan), then an explode of the ≤

@@ -315,6 +315,80 @@ class SketchesSpec extends SparkSpec {
     items.foreach(i => assert(estM(i) >= exact(i)))
   }
 
+  test("KMV: exact (and flagged uncapped) below k; set ops exact too") {
+    val a = (0 until 300).map(i => ("a", i.toLong))
+    val b = (200 until 450).map(i => ("b", i.toLong))
+    val df = spark.createDataFrame(a ++ b).toDF("grp", "v")
+    val sk = Sketches.kmvSketch(df, Seq("grp"), "v", k = 1024).cache()
+    val est = Sketches.kmvMergeEstimate(sk, Seq("grp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") === 300L && est("b") === 250L)
+    val joined = sk.filter(col("grp") === "a")
+      .select(col(Sketches.KmvCol).as("ska"))
+      .crossJoin(sk.filter(col("grp") === "b")
+        .select(col(Sketches.KmvCol).as("skb")))
+    val r = Sketches.kmvSetEstimates(joined, "ska", "skb").collect().head
+    assert(r.getAs[Long]("est_a") === 300L)
+    assert(r.getAs[Long]("est_b") === 250L)
+    assert(r.getAs[Long]("est_union") === 450L)
+    assert(r.getAs[Long]("est_inter") === 100L)
+    assert(r.getAs[Long]("est_diff_a") === 200L)
+  }
+
+  test("KMV: capped estimates land within 4 sigma; sketches are partitioning-independent") {
+    val n = 20000
+    val rows = (0 until n).map(i => ("g", i.toLong))
+    val sketches = Seq(1, 7, 32).map { p =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, p)).toDF("grp", "v")
+      Sketches.kmvSketch(df, Seq("grp"), "v", k = 256)
+        .collect().head.getStruct(1)
+    }
+    assert(sketches.map(_.toString).distinct.size === 1,
+      "k-min set of a fixed value set must not depend on partitioning")
+    val s = sketches.head
+    assert(s.getBoolean(2), "20k distinct must cap a k=256 sketch")
+    val est = Sketches.KmvSketch(s.getInt(0), s.getLong(1), s.getBoolean(2),
+      s.getSeq[Long](3)).estimate
+    val tol = 4.0 / math.sqrt(256 - 2)
+    assert(math.abs(est - n.toDouble) / n <= tol, s"est $est vs $n")
+  }
+
+  test("KMV: rollup of shard sketches equals the direct sketch of the union") {
+    val rows = (0 until 8000).map(i => (s"shard${i % 5}", (i % 3000).toLong))
+    val df = spark.createDataFrame(rows).toDF("shard", "v")
+    val fine = Sketches.kmvSketch(df, Seq("shard"), "v", k = 128)
+      .withColumn("all", lit(1))
+    val merged = Sketches.kmvMergeEstimate(fine, Seq("all"))
+      .collect().head.getLong(1)
+    val direct = Sketches.kmvMergeEstimate(
+      Sketches.kmvSketch(df.withColumn("all", lit(1)), Seq("all"), "v", k = 128),
+      Seq("all")).collect().head.getLong(1)
+    assert(merged === direct,
+      s"theta union must reproduce the direct sketch: $merged vs $direct")
+  }
+
+  test("KMV: planted overlap estimated within 4 sigma through set ops") {
+    val a = (0 until 3000).map(i => ("a", i.toLong))
+    val b = (1500 until 4500).map(i => ("b", i.toLong))
+    val sk = Sketches.kmvSketch(
+      spark.createDataFrame(a ++ b).toDF("grp", "v"),
+      Seq("grp"), "v", k = 256).cache()
+    val joined = sk.filter(col("grp") === "a")
+      .select(col(Sketches.KmvCol).as("ska"))
+      .crossJoin(sk.filter(col("grp") === "b")
+        .select(col(Sketches.KmvCol).as("skb")))
+    val r = Sketches.kmvSetEstimates(joined, "ska", "skb").collect().head
+    val tol = 4.0 / math.sqrt(256 - 2)
+    def within(est: Long, x: Double): Unit =
+      assert(math.abs(est - x) / x <= tol, s"est $est vs exact $x")
+    within(r.getAs[Long]("est_a"), 3000)
+    within(r.getAs[Long]("est_b"), 3000)
+    within(r.getAs[Long]("est_union"), 4500)
+    within(r.getAs[Long]("est_inter"), 1500)
+    within(r.getAs[Long]("est_diff_a"), 1500)
+  }
+
   test("CMS: estimates are partitioning-independent") {
     import spark.implicits._
     val rows = (1 to 500).map(i => ("g", s"k${i % 13}"))
