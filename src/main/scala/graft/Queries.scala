@@ -4380,6 +4380,76 @@ object Queries {
       |       CAST(SUM(a * (1 - b)) AS BIGINT) AS n_only_a
       |FROM f""".stripMargin
 
+  /** Model-based quality filter ([[graft.llm.QualityClassifier]] —
+    * the GPT-3/CCNet "learned gate" stage): weak-label the corpus
+    * with a cheap rule (filler-token ratio ≥ 10% → low quality),
+    * train the multinomial NB classifier on those labels in one
+    * distributed pass, score every document with the learned
+    * per-token log-odds. Decisions are floating-point log-odds
+    * signs, so the query GATES `min |score|` in-query (boundary
+    * margin — both engines' libm agree to ~1e-12, so labels are
+    * engine-stable past 1e-6) plus training agreement ≥ 75% and
+    * both-classes-predicted; the emitted (doc_id, weak_label,
+    * nb_label) rows are then hash-compared against DuckDB
+    * re-deriving the ENTIRE model and all decisions from the raw
+    * corpus. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.QualityClassifier
+    val docs = pq(spark, dir, "documents")
+    val tk = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val weak = size(filter(tk, t => t === "slow" || t === "big")) * 10 < size(tk)
+    val out = QualityClassifier.classify(docs, weak)
+      .select(col("doc_id"), col("weak_label").cast("long").as("weak_label"),
+        col("nb_label").cast("long").as("nb_label"),
+        col("nb_margin"), col("weak_label") === col("nb_label"))
+      .toDF("doc_id", "weak_label", "nb_label", "__margin__", "__agree__")
+      .cache()
+    val g = out.agg(min(col("__margin__")).as("m"),
+      avg(col("__agree__").cast("int")).as("agree"),
+      sum(col("nb_label")).as("npos"), count(lit(1)).as("n")).collect().head
+    require(g.getAs[Double]("m") > 1e-6,
+      s"NB decision margin ${g.getAs[Double]("m")} too close to the boundary " +
+        "for engine-stable labels")
+    require(g.getAs[Double]("agree") >= 0.75,
+      s"NB training agreement ${g.getAs[Double]("agree")} < 0.75 — model did not learn")
+    require(g.getAs[Long]("npos") > 0 && g.getAs[Long]("npos") < g.getAs[Long]("n"),
+      "NB predicted a single class — degenerate model")
+    out.select("doc_id", "weak_label", "nb_label")
+  }
+
+  val qualityClassifierSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      |  FROM documents),
+      |lab AS (
+      |  SELECT doc_id, tk,
+      |         CASE WHEN len(list_filter(tk, x -> x IN ('slow', 'big'))) * 10
+      |                   < len(tk) THEN 1 ELSE 0 END AS weak_label
+      |  FROM d),
+      |tok AS (SELECT doc_id, weak_label, unnest(tk) AS token FROM lab),
+      |cnt AS (
+      |  SELECT token, CAST(SUM(weak_label) AS BIGINT) AS np,
+      |         CAST(SUM(1 - weak_label) AS BIGINT) AS nn
+      |  FROM tok GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(np) AS DOUBLE) AS tp, CAST(SUM(nn) AS DOUBLE) AS tn,
+      |         CAST(COUNT(*) AS DOUBLE) AS v
+      |  FROM cnt),
+      |pri AS (
+      |  SELECT CAST(SUM(weak_label) AS DOUBLE) AS dp,
+      |         CAST(COUNT(*) - SUM(weak_label) AS DOUBLE) AS dn
+      |  FROM lab),
+      |sc AS (
+      |  SELECT t.doc_id,
+      |         SUM(ln((c.np + 1) / (tot.tp + tot.v)) -
+      |             ln((c.nn + 1) / (tot.tn + tot.v))) AS sumw
+      |  FROM tok t JOIN cnt c USING (token), tot
+      |  GROUP BY 1)
+      |SELECT l.doc_id, CAST(l.weak_label AS BIGINT) AS weak_label,
+      |       CASE WHEN ln(pri.dp / pri.dn) + COALESCE(sc.sumw, 0) > 0
+      |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS nb_label
+      |FROM lab l LEFT JOIN sc USING (doc_id), pri""".stripMargin
+
   /** Dataset card ([[graft.llm.TextOps.datasetCard]]): the long-form
     * (metric, scope, value) release datasheet — totals, exact-dup
     * count, source count, per-language breakdown with integer

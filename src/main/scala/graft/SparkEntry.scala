@@ -78,6 +78,7 @@ object SparkEntry {
     "sketch_distinct" -> (Queries.sketchDistinct(_, _)),
     "heavy_hitters" -> (Queries.heavyHittersDocs(_, _)),
     "dataset_card" -> (Queries.datasetCardDocs(_, _)),
+    "quality_classifier" -> (Queries.qualityClassifier(_, _)),
     "bloom_prune_join" -> (Queries.bloomPruneJoin(_, _)),
     "bucketed_join" -> (Queries.bucketedJoin(_, _)),
     // deterministic sampling + packing (operators/Sampling, llm/Packing)
@@ -312,6 +313,7 @@ object SparkEntry {
     "sketch_distinct" -> Queries.sketchDistinctSql,
     "heavy_hitters" -> Queries.heavyHittersDocsSql,
     "dataset_card" -> Queries.datasetCardDocsSql,
+    "quality_classifier" -> Queries.qualityClassifierSql,
     "bloom_prune_join" -> Queries.bloomPruneJoinSql,
     "bucketed_join" -> Queries.bucketedJoinSql,
     "hash_sample" -> Queries.hashSampleDocsSql,
