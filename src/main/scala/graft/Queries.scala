@@ -3522,6 +3522,67 @@ object Queries {
       |                                   ORDER BY n DESC, item) AS rk FROM h)
       |SELECT bucket_us, segment, item, n FROM r WHERE rk <= 3""".stripMargin
 
+  /** Streaming windowed DISTINCT counts
+    * ([[graft.streaming.StreamOps.windowedDistinct]] — the KMV/theta
+    * sketch as the state-store aggregation buffer, the cardinality
+    * sibling of stream_quantiles' GK and stream_heavy_hitters'
+    * SpaceSaving): distinct users per (day, event_type) window over a
+    * file stream, state per (window, key) capped at k hashes however
+    * many distinct users flow through. Under k the output is EXACT
+    * and flagged so (a k-min set is order-blind, hence micro-batch-
+    * boundary-independent) — that regime is what the oracle pins;
+    * the in-query require makes silently-degraded exactness fail the
+    * driver run. */
+  def streamDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.streaming.Trigger
+    val dayUs = 86400000000L
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev0 = pq(spark, dir, "events")
+    val ev = ev0.withColumn("ts_us", eventMicros(ev0))
+      .select(col("event_type"), col("ts_us"), col("user_id"))
+    val src = tmp("sdx_src")
+    ev.select(col("event_type"), timestamp_micros(col("ts_us")).as("ts"),
+      col("user_id")).write.parquet(src)
+    val out = tmp("sdx_out")
+    val stream = spark.readStream
+      .schema("event_type STRING, ts TIMESTAMP, user_id BIGINT").parquet(src)
+    val q = StreamOps.windowedDistinct(stream, "ts", "event_type", "user_id",
+      "24 hours", "10 seconds", k = 1024)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out)
+      .option("checkpointLocation", tmp("sdx_ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    drainOrFail(q, "stream_distinct")
+    val maxUs = ev.agg(max(col("ts_us"))).head.getLong(0)
+    def closed(bucket: Column) =
+      bucket + lit(2 * dayUs) <= lit(maxUs) - lit(10000000L)
+    val est = spark.read.parquet(out)
+      .withColumn("bucket_us", unix_micros(col("window_start")))
+      .filter(closed(col("bucket_us")))
+      .localCheckpoint()
+    require(est.filter(col("is_estimate")).count() == 0,
+      "stream_distinct: cardinality under k must stay exact")
+    val expectedGroups = ev
+      .withColumn("bucket_us", col("ts_us") - col("ts_us") % dayUs)
+      .filter(closed(col("bucket_us")))
+      .select("bucket_us", "event_type").distinct().count()
+    require(est.count() == expectedGroups,
+      "stream_distinct: a comfortably-closed window was withheld")
+    est.select(col("bucket_us"), col("event_type"), col("n_distinct"))
+  }
+
+  val streamDistinctSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, user_id FROM events),
+      |mx AS (SELECT MAX(ts_us) AS max_us FROM e),
+      |w AS (SELECT event_type, ts_us - ts_us % 86400000000 AS bucket_us, user_id
+      |      FROM e),
+      |closed AS (SELECT w.* FROM w, mx
+      |           WHERE bucket_us + 2 * 86400000000 <= max_us - 10000000)
+      |SELECT bucket_us, event_type,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+      |FROM closed GROUP BY 1, 2""".stripMargin
+
   /** Set operations through the SQL surface: customers with orders in
     * 1995 but not 1996 (EXCEPT), via the task layer's SQL execution. */
   def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {

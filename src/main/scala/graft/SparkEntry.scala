@@ -146,6 +146,7 @@ object SparkEntry {
     "stream_curate" -> (Queries.streamCurate(_, _)),
     "stream_decontaminate" -> (Queries.streamDecontaminate(_, _)),
     "stream_heavy_hitters" -> (Queries.streamHeavyHitters(_, _)),
+    "stream_distinct" -> (Queries.streamDistinct(_, _)),
     "stream_dedup" -> (Queries.streamDedup(_, _)),
     "stream_neardup" -> (Queries.streamNearDup(_, _)),
     "stream_semantic" -> (Queries.streamSemanticDedup(_, _)),
@@ -376,6 +377,7 @@ object SparkEntry {
     "stream_curate" -> Queries.streamCurateSql,
     "stream_decontaminate" -> Queries.streamDecontaminateSql,
     "stream_heavy_hitters" -> Queries.streamHeavyHittersSql,
+    "stream_distinct" -> Queries.streamDistinctSql,
     "stream_dedup" -> Queries.streamDedupSql,
     "stream_neardup" -> Queries.streamNearDupSql,
     "stream_semantic" -> Queries.streamSemanticDedupSql,

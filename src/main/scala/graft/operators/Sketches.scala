@@ -757,11 +757,16 @@ object Sketches {
     * distinct count of the union — no rescan of the base data. */
   def kmvMergeEstimate(sketches: DataFrame, keys: Seq[String],
                        outCol: String = "approx_distinct"): DataFrame = {
-    val estimate = udf((r: org.apache.spark.sql.Row) => rowToKmv(r).estimate)
     kmvMerge(sketches, keys)
-      .withColumn(outCol, estimate(col(KmvCol)))
+      .withColumn(outCol, kmvEstimateUdf(col(KmvCol)))
       .drop(KmvCol)
   }
+
+  /** Estimate a `kmv_sketch` struct column — shared by
+    * [[kmvMergeEstimate]] and the streaming windowed-distinct
+    * operator. */
+  val kmvEstimateUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((r: org.apache.spark.sql.Row) => rowToKmv(r).estimate)
 
   /** Set-operation estimates between two sketch columns `aCol` and
     * `bCol` on each row: appends `est_a, est_b, est_union, est_inter,

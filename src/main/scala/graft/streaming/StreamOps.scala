@@ -95,6 +95,36 @@ object StreamOps {
         col("gk.n").as("n_values"))
   }
 
+  /** Tumbling event-time DISTINCT COUNTS per key — streaming
+    * cardinality monitoring (distinct users/documents/sessions per
+    * window) with BOUNDED state: the mergeable KMV/theta sketch
+    * ([[graft.operators.Sketches.KmvDistinct]]) is the aggregation
+    * buffer, so state per (window, key) is at most `k` hashes however
+    * many distinct items flow through — map-side combinable, merged
+    * by the state store exactly like a sum, windows retired by the
+    * watermark. While a window's distinct count stays under `k` the
+    * output is EXACT and flagged `is_estimate = false` (the regime
+    * the driver oracle pins — micro-batch-boundary-independent
+    * because a k-min set is order-blind); above it the unbiased
+    * `RSE ≈ 1/sqrt(k−2)` estimate applies per window. */
+  def windowedDistinct(events: DataFrame, timeCol: String, keyCol: String,
+                       itemCol: String, windowDuration: String,
+                       watermark: String, k: Int = 1024): DataFrame = {
+    import graft.operators.Sketches
+    val agg = udaf(new Sketches.KmvDistinct(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .filter(col(s"`$itemCol`").isNotNull)
+      .withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowDuration).as("window"),
+        col(s"`$keyCol`"))
+      .agg(agg(xxhash64(col(s"`$itemCol`").cast("string"))).as("kmv"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(s"`$keyCol`"),
+        Sketches.kmvEstimateUdf(col("kmv")).as("n_distinct"),
+        col("kmv.capped").as("is_estimate"))
+  }
+
   /** Tumbling event-time HEAVY HITTERS per key — streaming top-k item
     * monitoring with BOUNDED state: the mergeable SpaceSaving summary
     * ([[graft.operators.Sketches.SpaceSaving]]) is the aggregation

@@ -151,6 +151,47 @@ class StreamOpsSpec extends SparkSpec {
       }
   }
 
+  test("windowed distinct: exact under k and flagged, unbiased above it") {
+    val srcDir = tmpDir("kmvstream_src")
+    // minute 0: 3000 distinct items per key (k=256 -> estimate regime);
+    // minute 1: 50 distinct per key (exact regime)
+    val rows = (0 until 6000).map { i =>
+      val key = if (i % 2 == 0) "a" else "b"
+      (key, f"2026-01-01 00:00:${i % 60}%02d", s"u${i / 2}")
+    } ++ (0 until 600).map { i =>
+      val key = if (i % 2 == 0) "a" else "b"
+      (key, f"2026-01-01 00:01:${i % 60}%02d", s"v${(i / 2) % 50}")
+    } ++ Seq(("a", "2026-01-01 00:05:00", "end"), ("b", "2026-01-01 00:05:00", "end"))
+    rows.toDF("k", "ts_s", "item")
+      .select($"k", to_timestamp($"ts_s", "yyyy-MM-dd HH:mm:ss").as("ts"), $"item")
+      .repartition(8) // multiple files -> multiple admission orders inside the run
+      .write.parquet(srcDir)
+    val stream = spark.readStream
+      .schema("k STRING, ts TIMESTAMP, item STRING").parquet(srcDir)
+    val out = tmpDir("kmvstream_out")
+    val q = StreamOps.windowedDistinct(stream, "ts", "k", "item",
+      "1 minute", "10 seconds", k = 256)
+      .writeStream.format("parquet").outputMode("append")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("kmvstream_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not drain")
+    val got = spark.read.parquet(out)
+      .select($"window_start".cast("string"), $"k", $"n_distinct", $"is_estimate")
+      .collect()
+      .map(r => (r.getString(0).substring(14, 16), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    val tol = 4.0 / math.sqrt(256 - 2)
+    Seq("a", "b").foreach { k =>
+      val (bigN, bigEst) = got(("00", k))
+      assert(bigEst, "3000 distinct must be flagged as an estimate at k=256")
+      assert(math.abs(bigN - 3000.0) / 3000.0 <= tol, s"$k: est $bigN vs 3000")
+      assert(got(("01", k)) === ((50L, false)),
+        s"$k: the under-k window must be exact and flagged exact")
+    }
+  }
+
   test("sessionize (streaming state) matches the batch oracle") {
     implicit val s = spark
     val input = MemoryStream[SessionEvent](spark)
