@@ -249,6 +249,51 @@ object GraftExtensions {
         keys = strArg(args(4), "keys_csv").split(",").map(_.trim).toSeq,
         hotGroupFactor = 0))
     },
+    "graft_quality_classify" -> { args =>
+      require(args.size == 2 || args.size == 4,
+        "graft_quality_classify(table, label_col[, text_col, id_col]) takes 2 or 4 arguments")
+      import graft.llm.QualityClassifier
+      val df = table(args.head)
+      val lab = strArg(args(1), "label_col")
+      val (t, id) =
+        if (args.size == 4) (strArg(args(2), "text_col"), strArg(args(3), "id_col"))
+        else ("text", "doc_id")
+      plan(QualityClassifier.scoreWith(df,
+        QualityClassifier.train(df, t, lab),
+        QualityClassifier.priors(df, lab), t, id))
+    },
+    // standing-model form: model = persisted (token, n_pos, n_neg)
+    // table from QualityClassifier.train, priors = 1-row (d_pos, d_neg)
+    "graft_quality_score_against" -> { args =>
+      require(args.size == 3,
+        "graft_quality_score_against(batch, model_table, priors_table) takes three table names")
+      plan(graft.llm.QualityClassifier.scoreWith(
+        table(args.head), table(args(1)), table(args(2))))
+    },
+    "graft_kmv_distinct" -> { args =>
+      require(args.size == 3 || args.size == 4,
+        "graft_kmv_distinct(table, keys_csv, value_col[, k]) takes 3 or 4 arguments")
+      import graft.operators.Sketches
+      val keys = strArg(args(1), "keys_csv").split(",").map(_.trim).toSeq
+      val k = if (args.size == 4) intArg(args(3), "k") else 1024
+      plan(Sketches.kmvMergeEstimate(
+        Sketches.kmvSketch(table(args.head), keys,
+          strArg(args(2), "value_col"), k), keys))
+    },
+    "graft_kmv_overlap" -> { args =>
+      require(args.size == 3 || args.size == 4,
+        "graft_kmv_overlap(table_a, table_b, value_col[, k]) takes 3 or 4 arguments")
+      import graft.operators.Sketches
+      import org.apache.spark.sql.functions.{col, lit}
+      val vc = strArg(args(2), "value_col")
+      val k = if (args.size == 4) intArg(args(3), "k") else 1024
+      def one(t: DataFrame, as: String) =
+        Sketches.kmvSketch(t.withColumn("__g__", lit(1)), Seq("__g__"), vc, k)
+          .select(col(Sketches.KmvCol).as(as))
+      plan(Sketches.kmvSetEstimates(
+        one(table(args.head), "ska").crossJoin(one(table(args(1)), "skb")),
+        "ska", "skb").drop("ska", "skb"))
+    },
     // rule DSL: see Expectations.parseRules (shared with the
     // task-output expectations gate)
     "graft_expectations" -> { args =>

@@ -289,6 +289,55 @@ class SqlSurfaceSpec extends SparkSpec {
         Seq("lang"), "source", capacity = 64, k = 3))
   }
 
+  test("quality-classifier TVFs: one-shot and standing-model forms match the API") {
+    import graft.llm.QualityClassifier
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("weak_label",
+        (col("n_chars") >= 250).cast("int"))
+    docs.createOrReplaceTempView("docs_labeled")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_quality_classify('docs_labeled', 'weak_label')"),
+      QualityClassifier.scoreWith(docs,
+        QualityClassifier.train(docs), QualityClassifier.priors(docs)))
+    QualityClassifier.train(docs).createOrReplaceTempView("nb_model")
+    QualityClassifier.priors(docs).createOrReplaceTempView("nb_priors")
+    assertSameRows(
+      spark.sql(
+        "SELECT * FROM graft_quality_score_against('docs_labeled', 'nb_model', 'nb_priors')"),
+      QualityClassifier.scoreWith(docs,
+        spark.table("nb_model"), spark.table("nb_priors")))
+  }
+
+  test("KMV TVFs: per-group distinct and two-table overlap match the API") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.createOrReplaceTempView("orders")
+    orders.filter(year(col("o_orderdate")) === 1995)
+      .createOrReplaceTempView("orders95")
+    orders.filter(year(col("o_orderdate")) === 1996)
+      .createOrReplaceTempView("orders96")
+    assertSameRows(
+      spark.sql(
+        "SELECT * FROM graft_kmv_distinct('orders', 'o_orderpriority', 'o_custkey', 256)"),
+      Sketches.kmvMergeEstimate(
+        Sketches.kmvSketch(orders, Seq("o_orderpriority"), "o_custkey", 256),
+        Seq("o_orderpriority")))
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_kmv_overlap('orders95', 'orders96', 'o_custkey', 256)")
+      .collect().head
+    // overlap estimates must agree with the direct pairwise set ops
+    def one(t: org.apache.spark.sql.DataFrame, as: String) =
+      Sketches.kmvSketch(t.withColumn("g", lit(1)), Seq("g"), "o_custkey", 256)
+        .select(col(Sketches.KmvCol).as(as))
+    val api = Sketches.kmvSetEstimates(
+      one(spark.table("orders95"), "ska").crossJoin(one(spark.table("orders96"), "skb")),
+      "ska", "skb").collect().head
+    Seq("est_a", "est_b", "est_union", "est_inter", "est_diff_a").foreach(c =>
+      assert(viaSql.getAs[Long](c) === api.getAs[Long](c), c))
+  }
+
   test("TVF misuse fails loudly: wrong arity and non-string table arg") {
     docsView()
     val e1 = intercept[Exception](
