@@ -5374,6 +5374,48 @@ object Queries {
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
   }
 
+  /** Trainable unigram-LM tokenizer ([[graft.llm.UnigramLm]], Kudo
+    * 2018 — SentencePiece's default, completing the tokenizer family
+    * next to bpe_token_count): seed-and-prune vocabulary under
+    * hard-EM on the collected word-frequency table (one corpus scan,
+    * training in-JVM like BPE's), Viterbi encode under broadcast
+    * piece log-probs (per-partition word memo, zero shuffles).
+    * Viterbi is a data-dependent DP with no DuckDB expression, so
+    * this is a rows-only driver row — but gate-ful, twice over: the
+    * in-query [[graft.llm.UnigramLm.requireEncodes]] pushes plants
+    * with analytically-derived optimal segmentations through the real
+    * distributed encode path (optimality, unk fallback), and a
+    * distributed concatenation-identity require proves every emitted
+    * segmentation reassembles its document's exact word stream.
+    * Optimality against a brute-force all-segmentations enumerator
+    * and training determinism are UnigramLmSpec's pins. */
+  def unigramTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.UnigramLm
+    // gate vocab: "abab" must take ab+ab (-2) over a+b+a+b (-8);
+    // "aabc" must take a+ab+c (-6) over a+a+b+c (-9); unknown chars
+    // fall back to single-char unk pieces
+    UnigramLm.requireEncodes(spark,
+      Seq("a" -> -2.0, "b" -> -2.0, "ab" -> -1.0, "c" -> -3.0),
+      Seq("abab" -> Seq("ab", "ab"),
+        "aabc" -> Seq("a", "ab", "c"),
+        "xyz" -> Seq("x", "y", "z")))
+    val docs = pq(spark, dir, "documents")
+    val vocab = Staging.timed {
+      UnigramLm.learn(docs, vocabSize = 64, maxPieceLen = 8, emRounds = 3)
+    }
+    val out = UnigramLm.encode(docs, vocab).localCheckpoint()
+    // distributed identity gate: every segmentation must concatenate
+    // back to its document's exact word stream
+    val broken = out.join(docs.select(col("doc_id"),
+        concat_ws("", regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("__flat__")), Seq("doc_id"))
+      .filter(concat_ws("", col("ulm_tokens")) =!= col("__flat__"))
+      .count()
+    require(broken == 0L,
+      s"unigram_token_count: $broken documents failed concatenation identity")
+    out.select(col("doc_id"), col("n_words"), col("n_ulm_tokens"))
+  }
+
   /** Incremental decontamination ([[graft.llm.Dedup.decontaminateWith]]):
     * the eval set's shingle index is built ONCE, persisted as parquet,
     * and a "daily" train batch (every third train doc) is checked

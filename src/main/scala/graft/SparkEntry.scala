@@ -97,6 +97,9 @@ object SparkEntry {
     // rows-only: rank-greedy BPE has no DuckDB-expressible oracle (see
     // Bpe.scala scaladoc); exactness is BpeSpec's reference-parity pins
     "bpe_token_count" -> (Queries.bpeTokenCount(_, _)),
+    // rows-only for the same reason as bpe_token_count: Viterbi
+    // segmentation has no DuckDB expression; gates + UnigramLmSpec
+    "unigram_token_count" -> (Queries.unigramTokenCount(_, _)),
     "cap_tokens_per_group" -> (Queries.capTokensPerLang(_, _)),
     "pii_redact" -> (Queries.piiRedact(_, _)),
     "chunk_documents" -> (Queries.chunkDocs(_, _)),
