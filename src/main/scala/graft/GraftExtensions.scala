@@ -414,6 +414,11 @@ object GraftExtensions {
         "graft_bpe_encode(batch, merges_table) takes two arguments")
       plan(graft.llm.Bpe.encodeWith(table(args.head), table(args(1))))
     },
+    "graft_unigram_encode" -> { args =>
+      require(args.size == 2,
+        "graft_unigram_encode(batch, vocab_table) takes two arguments")
+      plan(graft.llm.UnigramLm.encodeWith(table(args.head), table(args(1))))
+    },
     tvf("graft_dataset_card")(graft.llm.TextOps.datasetCard(_)),
     "graft_heavy_hitters" -> { args =>
       require(args.size == 5,

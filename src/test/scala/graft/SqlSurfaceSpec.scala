@@ -274,6 +274,19 @@ class SqlSurfaceSpec extends SparkSpec {
         .select("doc_id", "n_words", "n_bpe_tokens"))
   }
 
+  test("graft_unigram_encode TVF encodes against a persisted vocab view") {
+    docsView()
+    val docs = spark.table("documents").limit(30)
+    docs.createOrReplaceTempView("ulmdocs")
+    val vocab = graft.llm.UnigramLm.learn(docs, vocabSize = 48, emRounds = 2)
+    graft.llm.UnigramLm.vocabTable(spark, vocab)
+      .createOrReplaceTempView("ulmvocab")
+    assertSameRows(
+      spark.sql("SELECT doc_id, n_words, n_ulm_tokens FROM graft_unigram_encode('ulmdocs', 'ulmvocab')"),
+      graft.llm.UnigramLm.encode(docs, vocab)
+        .select("doc_id", "n_words", "n_ulm_tokens"))
+  }
+
   test("graft_dataset_card TVF matches the API") {
     docsView()
     assertSameRows(
