@@ -4371,6 +4371,77 @@ object Queries {
   val countminRollupSql: String =
     """SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1""".stripMargin
 
+  /** Drift / anomaly expectations ([[graft.operators.Expectations]]
+    * metrics + driftCheck — the Deequ relative-rate-of-change
+    * strategy made ENGINE-EXACT): per-epoch integer metric profiles
+    * (row count, null count, exact distincts — each epoch one scan)
+    * accumulate as history, and the current epoch's profile is
+    * judged against the history mean by DECIMAL(38,0)
+    * cross-multiplication — no float ratio anywhere, so PASS/FAIL
+    * hashes identically in any engine. The orders table's partial
+    * final year (2001) is the natural planted anomaly: its row count
+    * and distinct-customer count drift past the 20% band while the
+    * priority taxonomy and null counts stay flat; the in-query
+    * requires pin exactly that pattern so a broken metric, history
+    * fold, or verdict rule fails the driver run. */
+  def expectationsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    val orders = pq(spark, dir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+    val metrics = Expectations.parseMetrics(
+      "count; nulls:o_totalprice; distinct:o_custkey; distinct:o_orderpriority")
+    val hist = (1995 to 2000)
+      .map(y => Expectations.metricsProfile(orders.filter(col("yr") === y), metrics))
+      .reduce(_ unionByName _)
+    val cur = Expectations.metricsProfile(orders.filter(col("yr") === 2001), metrics)
+    val verdict = Expectations.driftCheck(cur, hist, tolPpm = 200000L)
+      .localCheckpoint()
+    val byMetric = verdict.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Int]("passed")).toMap
+    require(byMetric(("row_count", "*")) == 0,
+      "expectations_drift: the partial year must trip row-count drift")
+    require(byMetric(("distinct_count", "o_custkey")) == 0,
+      "expectations_drift: the partial year must trip distinct-customer drift")
+    require(byMetric(("distinct_count", "o_orderpriority")) == 1,
+      "expectations_drift: the stable priority taxonomy must pass")
+    require(byMetric(("null_count", "o_totalprice")) == 1,
+      "expectations_drift: the zero-null column must pass")
+    verdict
+  }
+
+  val expectationsDriftSql: String =
+    """WITH y AS (
+      |  SELECT year(o_orderdate) AS yr, o_custkey, o_orderpriority, o_totalprice
+      |  FROM orders),
+      |prof AS (
+      |  SELECT yr, 'row_count' AS metric, '*' AS "column",
+      |         CAST(COUNT(*) AS BIGINT) AS value FROM y GROUP BY yr
+      |  UNION ALL
+      |  SELECT yr, 'null_count', 'o_totalprice',
+      |         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM y GROUP BY yr
+      |  UNION ALL
+      |  SELECT yr, 'distinct_count', 'o_custkey',
+      |         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM y GROUP BY yr
+      |  UNION ALL
+      |  SELECT yr, 'distinct_count', 'o_orderpriority',
+      |         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM y GROUP BY yr),
+      |cur AS (SELECT metric, "column", value FROM prof WHERE yr = 2001),
+      |hist AS (
+      |  SELECT metric, "column", CAST(COUNT(*) AS BIGINT) AS hist_n,
+      |         CAST(SUM(value) AS BIGINT) AS hist_sum
+      |  FROM prof WHERE yr BETWEEN 1995 AND 2000 GROUP BY 1, 2)
+      |SELECT c.metric, c."column", c.value,
+      |       COALESCE(h.hist_n, 0) AS hist_n,
+      |       COALESCE(h.hist_sum, 0) AS hist_sum,
+      |       CASE WHEN h.hist_n IS NULL THEN 1
+      |            WHEN h.hist_sum = 0 THEN
+      |              CASE WHEN c.value = 0 THEN 1 ELSE 0 END
+      |            WHEN abs(CAST(c.value AS HUGEINT) * h.hist_n - h.hist_sum)
+      |                   * 1000000 <= 200000 * CAST(h.hist_sum AS HUGEINT)
+      |            THEN 1 ELSE 0 END AS passed
+      |FROM cur c LEFT JOIN hist h USING (metric, "column")""".stripMargin
+
   /** KMV/theta distinct-overlap sketches ([[graft.operators.Sketches]]
     * KMV family — the SET-OPERATION analogue of `sketch_distinct`'s
     * HLL pair, which can only union): per-(year, status) shard

@@ -113,6 +113,7 @@ object SparkEntry {
     "column_rename" -> (Queries.columnRename(_, _)),
     "countmin_rollup" -> (Queries.countminRollup(_, _)),
     "kmv_overlap" -> (Queries.kmvOverlap(_, _)),
+    "expectations_drift" -> (Queries.expectationsDrift(_, _)),
     "export_manifest" -> (Queries.exportManifest(_, _)),
     "deletion_vectors" -> (Queries.deletionVectors(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
@@ -345,6 +346,7 @@ object SparkEntry {
     "column_rename" -> Queries.columnRenameSql,
     "countmin_rollup" -> Queries.countminRollupSql,
     "kmv_overlap" -> Queries.kmvOverlapSql,
+    "expectations_drift" -> Queries.expectationsDriftSql,
     "export_manifest" -> Queries.exportManifestSql,
     "deletion_vectors" -> Queries.deletionVectorsSql,
     "table_clone" -> Queries.tableCloneSql,

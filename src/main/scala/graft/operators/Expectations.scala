@@ -159,6 +159,107 @@ object Expectations {
     * Observation instead of a second scan). */
   def violationsOf(rule: Rule): org.apache.spark.sql.Column = rule.violations
 
+  // ---------------- drift / anomaly detection (Deequ-style) ----------------
+
+  /** An integer-exact batch metric for drift tracking. Values are
+    * BIGINT counts on purpose: drift verdicts compare value·n against
+    * Σ·history by DECIMAL(38,0) cross-multiplication, so PASS/FAIL is
+    * bit-identical in any engine — no float ratios anywhere. */
+  sealed trait Metric {
+    def metricName: String
+    def columnLabel: String
+    private[graft] def value: org.apache.spark.sql.Column
+  }
+  /** Total rows. */
+  final case class RowCount() extends Metric {
+    val metricName = "row_count"
+    val columnLabel = "*"
+    private[graft] def value = count(lit(1))
+  }
+  /** NULLs in `col`. */
+  final case class NullCount(col: String) extends Metric {
+    val metricName = "null_count"
+    val columnLabel: String = col
+    private[graft] def value =
+      sum(when(org.apache.spark.sql.functions.col(s"`$col`").isNull, 1L)
+        .otherwise(0L))
+  }
+  /** Exact distinct count of `col` (one EXPAND pass, like [[Unique]]). */
+  final case class DistinctCount(col: String) extends Metric {
+    val metricName = "distinct_count"
+    val columnLabel: String = col
+    private[graft] def value =
+      countDistinct(org.apache.spark.sql.functions.col(s"`$col`"))
+  }
+
+  /** Metrics DSL: ';'-separated `count | nulls:col | distinct:col`. */
+  def parseMetrics(dsl: String): Seq[Metric] = {
+    val ms = dsl.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { entry =>
+      entry.split(":", 2) match {
+        case Array("count") => RowCount()
+        case Array("nulls", c) => NullCount(c)
+        case Array("distinct", c) => DistinctCount(c)
+        case _ => throw new IllegalArgumentException(
+          s"unknown metric '$entry' (count | nulls:col | distinct:col)")
+      }
+    }
+    require(ms.nonEmpty, "metrics DSL parsed to zero metrics")
+    ms
+  }
+
+  /** Profile a batch in ONE scan: `(metric, column, value)`, one row
+    * per metric. Persist these per load (a managed metrics table) and
+    * feed the accumulated history to [[driftCheck]]. */
+  def metricsProfile(df: DataFrame, metrics: Seq[Metric]): DataFrame = {
+    require(metrics.nonEmpty, "metricsProfile needs at least one metric")
+    val aggs = metrics.zipWithIndex.map { case (m, i) =>
+      coalesce(m.value, lit(0L)).cast("long").as(s"__m$i")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = metrics.zipWithIndex.map { case (m, i) =>
+      val mn = m.metricName.replace("'", "''")
+      val cl = m.columnLabel.replace("'", "''")
+      s"'$mn', '$cl', `__m$i`"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${metrics.size}, $stackArgs) AS (metric, column, value)")
+  }
+
+  /**
+   * Anomaly verdicts for a batch profile against its own history (the
+   * Deequ relative-rate-of-change strategy, made engine-exact): a
+   * metric passes when `|value − mean(history)| ≤ tolPpm·1e-6 ·
+   * mean(history)`, evaluated WITHOUT division as
+   * `|value·n − Σ| · 1e6 ≤ tolPpm · Σ` in DECIMAL(38,0). A metric
+   * whose history sums to zero passes only at zero (a count appearing
+   * from nowhere IS the anomaly); a metric with no history rows
+   * passes vacuously (`hist_n = 0` marks it for the caller).
+   *
+   * `current` and `history` are both `(metric, column, value)` frames
+   * (the [[metricsProfile]] shape — history typically many epochs'
+   * rows). One aggregation of the history, one broadcast-size join;
+   * at 100 TB the expensive part is profiling the batch, never this.
+   */
+  def driftCheck(current: DataFrame, history: DataFrame,
+                 tolPpm: Long): DataFrame = {
+    require(tolPpm >= 0, s"tolPpm must be >= 0, got $tolPpm")
+    val hist = history.groupBy("metric", "column")
+      .agg(count(lit(1)).as("hist_n"),
+        sum(col("value")).cast("long").as("hist_sum"))
+    val dec = "decimal(38,0)"
+    current.join(hist, Seq("metric", "column"), "left")
+      .withColumn("hist_n", coalesce(col("hist_n"), lit(0L)))
+      .withColumn("hist_sum", coalesce(col("hist_sum"), lit(0L)))
+      .withColumn("passed",
+        when(col("hist_n") === 0L, lit(1))
+          .when(col("hist_sum") === 0L, (col("value") === 0L).cast("int"))
+          .otherwise(
+            (abs(col("value").cast(dec) * col("hist_n").cast(dec) -
+              col("hist_sum").cast(dec)) * lit(1000000L).cast(dec) <=
+              lit(tolPpm).cast(dec) * col("hist_sum").cast(dec))
+              .cast("int")))
+  }
+
   /** Evaluate all rules in one scan: `(rule, column, n_violations,
     * passed)`, one row per rule, rule order preserved. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {

@@ -43,6 +43,40 @@ class ExpectationsSpec extends SparkSpec {
     assert(v(("satisfies", "x_pos")) === ((2L, 0)))
   }
 
+  test("metricsProfile computes exact integer metrics in one scan") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, null), (3L, "b"))
+      .toDF("id", "tag")
+    val prof = Expectations.metricsProfile(df, Expectations.parseMetrics(
+      "count; nulls:tag; distinct:id; distinct:tag")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(prof(("row_count", "*")) === 4L)
+    assert(prof(("null_count", "tag")) === 1L)
+    assert(prof(("distinct_count", "id")) === 3L)
+    assert(prof(("distinct_count", "tag")) === 2L)
+  }
+
+  test("driftCheck verdicts are integer-exact at the tolerance boundary") {
+    def hist(vals: Long*) = vals.map(v => ("row_count", "*", v))
+      .toDF("metric", "column", "value")
+    def cur(v: Long) = Seq(("row_count", "*", v)).toDF("metric", "column", "value")
+    def passed(c: org.apache.spark.sql.DataFrame,
+               h: org.apache.spark.sql.DataFrame, tol: Long): Int =
+      Expectations.driftCheck(c, h, tol).collect().head.getAs[Int]("passed")
+    // history mean 100, tol 10% -> 110 passes EXACTLY, 111 fails
+    assert(passed(cur(110L), hist(90L, 100L, 110L), 100000L) === 1)
+    assert(passed(cur(111L), hist(90L, 100L, 110L), 100000L) === 0)
+    assert(passed(cur(90L), hist(90L, 100L, 110L), 100000L) === 1)
+    assert(passed(cur(89L), hist(90L, 100L, 110L), 100000L) === 0)
+    // zero history total: only zero passes (a count from nowhere IS drift)
+    assert(passed(cur(0L), hist(0L, 0L), 100000L) === 1)
+    assert(passed(cur(1L), hist(0L, 0L), 100000L) === 0)
+    // no history rows: vacuous pass, hist_n marks it
+    val v = Expectations.driftCheck(cur(7L),
+      Seq(("null_count", "x", 1L)).toDF("metric", "column", "value"), 0L)
+      .collect().head
+    assert(v.getAs[Int]("passed") === 1 && v.getAs[Long]("hist_n") === 0L)
+  }
+
   test("a clean table passes every rule; one scan serves all rules") {
     val df = (1 to 100).map(i => (i.toLong, s"n$i")).toDF("id", "name")
     val out = Expectations.check(df,
