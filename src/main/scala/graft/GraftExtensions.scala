@@ -294,6 +294,21 @@ object GraftExtensions {
         one(table(args.head), "ska").crossJoin(one(table(args(1)), "skb")),
         "ska", "skb").drop("ska", "skb"))
     },
+    // metrics DSL: count | nulls:col | distinct:col (Expectations.parseMetrics)
+    "graft_metrics_profile" -> { args =>
+      require(args.size == 2,
+        "graft_metrics_profile(table, metrics_dsl) takes two arguments")
+      import graft.operators.Expectations
+      plan(Expectations.metricsProfile(table(args.head),
+        Expectations.parseMetrics(strArg(args(1), "metrics_dsl"))))
+    },
+    // current/history are (metric, column, value) profile tables
+    "graft_drift_check" -> { args =>
+      require(args.size == 3,
+        "graft_drift_check(current, history, tol_ppm) takes three arguments")
+      plan(graft.operators.Expectations.driftCheck(
+        table(args.head), table(args(1)), longArg(args(2), "tol_ppm")))
+    },
     // rule DSL: see Expectations.parseRules (shared with the
     // task-output expectations gate)
     "graft_expectations" -> { args =>

@@ -287,6 +287,25 @@ class SqlSurfaceSpec extends SparkSpec {
         .select("doc_id", "n_words", "n_ulm_tokens"))
   }
 
+  test("drift TVFs: profile and verdicts match the API") {
+    import graft.operators.Expectations
+    docsView()
+    val docs = spark.table("documents")
+    val dsl = "count; nulls:text; distinct:lang"
+    assertSameRows(
+      spark.sql(s"SELECT * FROM graft_metrics_profile('documents', '$dsl')"),
+      Expectations.metricsProfile(docs, Expectations.parseMetrics(dsl)))
+    docs.filter("doc_id % 2 = 0").createOrReplaceTempView("cur_epoch")
+    Expectations.metricsProfile(spark.table("cur_epoch"),
+      Expectations.parseMetrics(dsl)).createOrReplaceTempView("cur_prof")
+    Expectations.metricsProfile(docs, Expectations.parseMetrics(dsl))
+      .createOrReplaceTempView("hist_prof")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_drift_check('cur_prof', 'hist_prof', 300000)"),
+      Expectations.driftCheck(spark.table("cur_prof"),
+        spark.table("hist_prof"), 300000L))
+  }
+
   test("graft_dataset_card TVF matches the API") {
     docsView()
     assertSameRows(
