@@ -2336,7 +2336,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
    * this with [[selectiveOverwrite]]).
    */
   def clusterBy(column: String, buckets: Int): Commit = {
-    import org.apache.spark.sql.functions.{col, count, lit, when}
+    import org.apache.spark.sql.functions.{col, lit, when}
     require(buckets >= 2, "clusterBy needs at least 2 buckets")
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
@@ -2346,22 +2346,58 @@ final class ManagedTable(spark: SparkSession, root: String) {
     val schema = StructType.fromDDL(c.schemaDdl)
     val field = schema.fields.find(_.name == column).getOrElse(
       throw new IllegalArgumentException(s"no column $column in $root"))
-    require(field.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"clusterBy needs a numeric column, $column is ${field.dataType.simpleString}")
-
     val df = read
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds = df.stat.approxQuantile(column, probs, 0.001).distinct
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(column) >= lit(b), 1).otherwise(0)
-    }
     // persist the boundaries: [[clusterAppend]] re-uses them to bucket
     // later appends WITHOUT rescanning the clustered bulk
-    writeClusteredFrame(c, df.withColumn(CLUSTER_COL, bucket),
-      s"CLUSTER BY ($column)",
-      extraProps = Map(
-        ManagedTable.ClusterByColProp -> column,
-        ManagedTable.ClusterByBoundsProp -> bounds.mkString(",")))
+    field.dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+        val bounds = df.stat.approxQuantile(column, probs, 0.001).distinct
+        val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col(s"`$column`") >= lit(b), 1).otherwise(0)
+        }
+        writeClusteredFrame(c, df.withColumn(CLUSTER_COL, bucket),
+          s"CLUSTER BY ($column)",
+          extraProps = Map(
+            ManagedTable.ClusterByColProp -> column,
+            ManagedTable.ClusterByBoundsProp -> bounds.mkString(",")))
+      case org.apache.spark.sql.types.StringType =>
+        val bounds = stringQuantileBounds(df, column, buckets)
+        writeClusteredFrame(c,
+          df.withColumn(CLUSTER_COL,
+            ManagedTable.stringBucket(column, bounds)),
+          s"CLUSTER BY ($column)",
+          extraProps = Map(
+            ManagedTable.ClusterByColProp -> column,
+            ManagedTable.ClusterByKindProp -> "string",
+            ManagedTable.ClusterByBoundsProp ->
+              bounds.map(ManagedTable.b64).mkString(",")))
+      case dt => throw new IllegalArgumentException(
+        s"clusterBy needs a numeric or string column, $column is ${dt.simpleString}")
+    }
+  }
+
+  /** Quantile boundary STRINGS for [[clusterBy]] on a string column:
+    * `ntile` over a sorted 5% sample (seed-fixed, so the grid is
+    * reproducible), falling back to the full value set when the table
+    * is too small for the sample to cover every tile. The sort runs
+    * over the sample, never the table. */
+  private def stringQuantileBounds(df: DataFrame, column: String,
+                                   buckets: Int): Array[String] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, min, ntile}
+    val vals = df.select(col(s"`$column`")).filter(col(s"`$column`").isNotNull)
+    val sampled = vals.sample(withReplacement = false, 0.05, seed = 42L)
+    val source =
+      if (sampled.limit(buckets * 8).count() < buckets * 8) vals else sampled
+    source
+      .withColumn("__nt__",
+        ntile(buckets).over(Window.orderBy(col(s"`$column`"))))
+      .groupBy("__nt__").agg(min(col(s"`$column`")).as("b"))
+      .orderBy("__nt__")
+      .collect().drop(1) // tile 1's min is the global min, not a boundary
+      .map(_.getAs[String]("b"))
+      .distinct
   }
 
   /**
@@ -2399,11 +2435,16 @@ final class ManagedTable(spark: SparkSession, root: String) {
           throw new IllegalStateException(
             s"$root has no persisted cluster boundaries — run clusterBy " +
               "or clusterByHilbert first"))
-        val bounds = c.properties(ManagedTable.ClusterByBoundsProp)
-          .split(",").filter(_.nonEmpty).map(_.toDouble)
-        (bounds.foldLeft(lit(0)) { (acc, b) =>
-          acc + when(col(s"`$column`") >= lit(b), 1).otherwise(0)
-        }, column)
+        val raw = c.properties(ManagedTable.ClusterByBoundsProp)
+          .split(",").filter(_.nonEmpty)
+        // kind prop absent = legacy numeric grid
+        if (c.properties.get(ManagedTable.ClusterByKindProp).contains("string"))
+          (ManagedTable.stringBucket(column,
+            raw.map(ManagedTable.unb64)), column)
+        else
+          (raw.map(_.toDouble).foldLeft(lit(0)) { (acc, b) =>
+            acc + when(col(s"`$column`") >= lit(b), 1).otherwise(0)
+          }, column)
     }
     val tailRows = readDirsSubset(tail)
     Some(writeClusteredFrame(c, tailRows.withColumn(CLUSTER_COL, bucket),
@@ -3065,6 +3106,26 @@ object ManagedTable {
     * the SAME boundaries without rescanning the clustered bulk. */
   val ClusterByColProp = "cluster.by.column"
   val ClusterByBoundsProp = "cluster.by.bounds"
+  /** "string" when the persisted boundaries are base64 strings (string
+    * column clustering); absent = numeric grid (legacy commits). */
+  val ClusterByKindProp = "cluster.by.kind"
+
+  private[table] def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private[table] def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Bucket expression over FIXED string boundaries — shared by the
+    * full rewrite and [[ManagedTable.clusterAppend]]'s tail fold. */
+  private[table] def stringBucket(column: String,
+                                  bounds: Array[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(s"`$column`") >= lit(b), 1).otherwise(0)
+    }
+  }
 
   /** Properties persisted by [[ManagedTable.clusterByHilbert]]: the
     * quantile-rank grid (columns, per-column boundaries, bits, bucket

@@ -868,6 +868,38 @@ class ManagedTableSpec extends SparkSpec {
       s"hilbert fold must keep pruning: ${scannedDirs(byA)} of ${inc.dirs.size}")
   }
 
+  test("clusterBy on a STRING column prunes and clusterAppend folds on the same grid") {
+    import org.apache.spark.sql.functions.{col, concat, format_string, lit}
+    val path = tmpDir("clusterstr")
+    val t = graft.table.ManagedTable(spark, path)
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(concat(lit("user-"), format_string("%06d", col("id"))).as("uid"),
+        (col("id") % 13).as("v"))
+    t.write(mk(0L, 8000L), "APPEND", "append")
+    val full = t.clusterBy("uid", buckets = 8)
+    assert(full.properties.get(
+      graft.table.ManagedTable.ClusterByKindProp).contains("string"))
+    val clusteredDirs = full.dirs.toSet
+    def scannedDirs(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.size
+      }.sum
+    // point and range probes on the string key must prune
+    val probe = t.readWhere(col("uid") === "user-000042")
+    assert(probe.count() == 1L)
+    assert(scannedDirs(probe) < full.dirs.size,
+      s"string stats must prune: ${scannedDirs(probe)} of ${full.dirs.size}")
+    // tail fold re-uses the persisted string grid
+    t.write(mk(8000L, 9000L), "APPEND", "append")
+    val inc = t.clusterAppend().get
+    assert(clusteredDirs.subsetOf(inc.dirs.toSet))
+    assert(t.read.count() == 9000L)
+    val probe2 = t.readWhere(col("uid") >= "user-008900")
+    assert(probe2.count() == 100L)
+    assert(scannedDirs(probe2) < inc.dirs.size)
+  }
+
   test("clusterAppend keeps the column mapping consistent across carried dirs") {
     import org.apache.spark.sql.functions.col
     val path = tmpDir("clusterappmap")
