@@ -429,6 +429,22 @@ object GraftExtensions {
         "graft_bpe_encode(batch, merges_table) takes two arguments")
       plan(graft.llm.Bpe.encodeWith(table(args.head), table(args(1))))
     },
+    "graft_fuzzy_join" -> { args =>
+      require(args.size == 4 || args.size == 7,
+        "graft_fuzzy_join(table, key, col, max_dist) or " +
+          "(left, lkey, lcol, right, rkey, rcol, max_dist)")
+      import graft.operators.FuzzyJoin
+      if (args.size == 4)
+        plan(FuzzyJoin.fuzzySelfJoin(table(args.head),
+          strArg(args(1), "key"), strArg(args(2), "col"),
+          intArg(args(3), "max_dist")))
+      else
+        plan(FuzzyJoin.fuzzyJoin(table(args.head),
+          table(args(3)),
+          strArg(args(1), "lkey"), strArg(args(2), "lcol"),
+          strArg(args(4), "rkey"), strArg(args(5), "rcol"),
+          intArg(args(6), "max_dist")))
+    },
     "graft_unigram_encode" -> { args =>
       require(args.size == 2,
         "graft_unigram_encode(batch, vocab_table) takes two arguments")

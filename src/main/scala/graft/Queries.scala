@@ -4371,6 +4371,34 @@ object Queries {
   val countminRollupSql: String =
     """SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1""".stripMargin
 
+  /** Exact fuzzy self-join ([[graft.operators.FuzzyJoin]] — FastSS
+    * deletion neighborhoods): part names within edit distance 1,
+    * candidates from an equi-join on the ≤1-deletion variants (shuffle
+    * O(rows·len), never O(rows²)), every candidate verified with the
+    * exact codegen'd levenshtein. Recall is exact by the alignment
+    * argument in the scaladoc, so the DuckDB oracle can be the BRUTE
+    * FORCE levenshtein join over the same subset — any dropped
+    * candidate bucket or broken variant generator hash-mismatches. */
+  def fuzzyJoinParts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.FuzzyJoin
+    val parts = pq(spark, dir, "part")
+      .filter(col("p_partkey") % 37 === 0)
+      .select(col("p_partkey"), col("p_name"))
+    FuzzyJoin.fuzzySelfJoin(parts, "p_partkey", "p_name", maxDist = 1)
+      .select(col("left_key").as("a_key"), col("right_key").as("b_key"),
+        col("left_val").as("a_name"), col("right_val").as("b_name"),
+        col("edit_distance").cast("long").as("edit_distance"))
+  }
+
+  val fuzzyJoinPartsSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name FROM part WHERE p_partkey % 37 = 0)
+      |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+      |       a.p_name AS a_name, b.p_name AS b_name,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance
+      |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 1""".stripMargin
+
   /** Drift / anomaly expectations ([[graft.operators.Expectations]]
     * metrics + driftCheck — the Deequ relative-rate-of-change
     * strategy made ENGINE-EXACT): per-epoch integer metric profiles

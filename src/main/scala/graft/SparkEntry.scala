@@ -114,6 +114,7 @@ object SparkEntry {
     "countmin_rollup" -> (Queries.countminRollup(_, _)),
     "kmv_overlap" -> (Queries.kmvOverlap(_, _)),
     "expectations_drift" -> (Queries.expectationsDrift(_, _)),
+    "fuzzy_join" -> (Queries.fuzzyJoinParts(_, _)),
     "export_manifest" -> (Queries.exportManifest(_, _)),
     "deletion_vectors" -> (Queries.deletionVectors(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
@@ -347,6 +348,7 @@ object SparkEntry {
     "countmin_rollup" -> Queries.countminRollupSql,
     "kmv_overlap" -> Queries.kmvOverlapSql,
     "expectations_drift" -> Queries.expectationsDriftSql,
+    "fuzzy_join" -> Queries.fuzzyJoinPartsSql,
     "export_manifest" -> Queries.exportManifestSql,
     "deletion_vectors" -> Queries.deletionVectorsSql,
     "table_clone" -> Queries.tableCloneSql,

@@ -274,6 +274,21 @@ class SqlSurfaceSpec extends SparkSpec {
         .select("doc_id", "n_words", "n_bpe_tokens"))
   }
 
+  test("graft_fuzzy_join TVF matches the API in self and two-table forms") {
+    import graft.operators.FuzzyJoin
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_name")
+    parts.createOrReplaceTempView("parts_v")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_fuzzy_join('parts_v', 'p_partkey', 'p_name', 1)"),
+      FuzzyJoin.fuzzySelfJoin(parts, "p_partkey", "p_name", 1))
+    assertSameRows(
+      spark.sql("""SELECT * FROM graft_fuzzy_join('parts_v', 'p_partkey', 'p_name',
+        |'parts_v', 'p_partkey', 'p_name', 1)""".stripMargin),
+      FuzzyJoin.fuzzyJoin(parts, parts, "p_partkey", "p_name",
+        "p_partkey", "p_name", 1))
+  }
+
   test("graft_unigram_encode TVF encodes against a persisted vocab view") {
     docsView()
     val docs = spark.table("documents").limit(30)
