@@ -267,6 +267,54 @@ object StreamOps {
     }
   }
 
+  /**
+   * Streaming drift monitor — the Deequ-style anomaly watch applied
+   * per micro-batch: profile the batch with
+   * [[graft.operators.Expectations.metricsProfile]] (integer metrics,
+   * one scan of the batch), judge it against the ACCUMULATED history
+   * in the `metricsTable` managed table with
+   * [[graft.operators.Expectations.driftCheck]] (engine-exact
+   * verdicts), hand the verdict frame to `onVerdict` (alerting /
+   * gating is the caller's policy), then append this epoch's profile
+   * to the metrics table EXACTLY-ONCE (txn-stamped; a replayed
+   * micro-batch is recognized via `lastTxnVersion` and skipped, so
+   * the history never double-counts an epoch).
+   *
+   * State is the metrics table itself — one row per (epoch, metric,
+   * column), O(metrics) per batch however large the data — and it
+   * doubles as the monitoring log: `SELECT * FROM graft.metrics` is
+   * the drift history.
+   */
+  def monitorDrift(stream: DataFrame, metricsDsl: String,
+                   metricsTable: String, tolPpm: Long)
+                  (onVerdict: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Expectations
+    val metrics = Expectations.parseMetrics(metricsDsl)
+    stream.writeStream.foreachBatch { (data: DataFrame, epoch: Long) =>
+      val spark = data.sparkSession
+      val t = graft.table.ManagedTable(spark, metricsTable)
+      if (!(t.exists && t.lastTxnVersion(MonitorDriftApp).exists(epoch <= _))) {
+        val batch = org.apache.spark.sql.graft.StreamingFrame.unmark(data)
+        val prof = Expectations.metricsProfile(batch, metrics)
+          .withColumn("epoch", lit(epoch))
+          .select("epoch", "metric", "column", "value")
+          .localCheckpoint()
+        val history =
+          if (t.exists) t.read.select("metric", "column", "value")
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            prof.drop("epoch").schema)
+        onVerdict(Expectations.driftCheck(
+          prof.drop("epoch"), history, tolPpm), epoch)
+        graft.write.Writers.append(spark, metricsTable, prof,
+          graft.write.WriteOptions(), txn = Some((MonitorDriftApp, epoch)))
+        ()
+      }
+    }
+  }
+
+  private val MonitorDriftApp = "graft-drift-monitor"
+
   /** Batch (non-streaming) sessionization with identical semantics —
     * lag() over an event-time window; used as the oracle for the
     * streaming path and as the backfill implementation. */

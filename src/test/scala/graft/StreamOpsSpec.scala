@@ -192,6 +192,46 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("monitorDrift: per-epoch profiles accumulate exactly-once and flag the anomalous batch") {
+    import org.apache.spark.sql.DataFrame
+    val src = tmpDir("drift_src")
+    val ck = tmpDir("drift_ck")
+    val mt = tmpDir("drift_metrics")
+    val verdicts = scala.collection.mutable.Map.empty[Long, Map[(String, String), (Int, Long)]]
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("k BIGINT, v STRING").parquet(src)
+      val q = StreamOps.monitorDrift(stream, "count; distinct:v", mt, 300000L) {
+        (verdict: DataFrame, epoch: Long) =>
+          verdicts(epoch) = verdict.collect().map(r =>
+            (r.getString(0), r.getString(1)) ->
+              ((r.getAs[Int]("passed"), r.getAs[Long]("hist_n")))).toMap
+      }.option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "drift stream did not drain")
+    }
+    def feed(n: Int, name: String): Unit =
+      (0 until n).map(i => (i.toLong, s"v${i % 40}")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+    // epoch 0: no history -> vacuous pass, hist_n = 0
+    feed(100, "a"); drain()
+    assert(verdicts(0L).values.forall { case (p, hn) => p == 1 && hn == 0L })
+    // epoch 1: stable batch -> passes against 1 history epoch
+    feed(100, "b"); drain()
+    assert(verdicts(1L).values.forall { case (p, hn) => p == 1 && hn == 1L })
+    // epoch 2: 3x rows -> row_count drifts past 30%, distinct stays flat
+    feed(300, "c"); drain()
+    assert(verdicts(2L)(("row_count", "*"))._1 === 0, "anomaly must be flagged")
+    assert(verdicts(2L)(("distinct_count", "v"))._1 === 1)
+    // the metrics table holds one profile per epoch, exactly once
+    val t = graft.table.ManagedTable(spark, mt)
+    assert(t.read.groupBy("epoch").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // replay with no new data: no new epochs, no double-append
+    drain()
+    assert(t.read.count() === 6L)
+  }
+
   test("sessionize (streaming state) matches the batch oracle") {
     implicit val s = spark
     val input = MemoryStream[SessionEvent](spark)
