@@ -64,6 +64,18 @@ object Config {
       rule: String,
       severity: String = "FAIL")       // FAIL | CONTINUE
 
+  /** Drift monitoring per output (`Expectations.metricsProfile` +
+    * `driftCheck`): each batch's integer metrics are judged against
+    * the metrics table's accumulated history; verdicts record in the
+    * state store, and `severity = FAIL` aborts the write on any
+    * drifted metric (the failed batch's profile is NOT appended, so a
+    * bad load can never poison its own baseline). */
+  final case class OutputDrift(
+      metrics: String,                  // metrics DSL (count | nulls:c | distinct:c)
+      metricsPath: String,              // managed table accumulating the history
+      tolerancePpm: Long = 200000L,
+      severity: String = "CONTINUE")    // FAIL | CONTINUE
+
   final case class OutputConf(
       name: String,
       path: String,
@@ -76,7 +88,8 @@ object Config {
       options: Map[String, String] = Map.empty,
       triggerMode: Option[String] = None,      // once | availableNow | processingTime=...
       checkpointLocation: Option[String] = None,
-      expectations: Seq[OutputExpectation] = Nil)
+      expectations: Seq[OutputExpectation] = Nil,
+      drift: Option[OutputDrift] = None)
 
   final case class RefreshPolicy(
       refreshType: String = "incremental",     // stream | incremental | backfill
@@ -175,7 +188,15 @@ object Config {
               OutputExpectation(
                 rule = e.get("rule").asText(),
                 severity = optStr(e, "severity").getOrElse("FAIL"))
-            })
+            },
+          drift = Option(o.get("drift")).map { d =>
+            OutputDrift(
+              metrics = d.get("metrics").asText(),
+              metricsPath = d.get("metrics_path").asText(),
+              tolerancePpm = Option(d.get("tolerance_ppm"))
+                .map(_.asLong()).getOrElse(200000L),
+              severity = optStr(d, "severity").getOrElse("CONTINUE"))
+          })
       },
       refreshPolicy = Option(n.get("refresh_policy")).map { r =>
         RefreshPolicy(optStr(r, "type").getOrElse("incremental"),
@@ -220,6 +241,17 @@ object Config {
         errs += s"output ${o.name}: ${o.writeType} requires key_attributes"
       if (o.writeType == "scd3" && o.columnAttributes.isEmpty)
         errs += s"output ${o.name}: scd3 requires column_attributes"
+      o.drift.foreach { d =>
+        try graft.operators.Expectations.parseMetrics(d.metrics)
+        catch { case e: IllegalArgumentException =>
+          errs += s"output ${o.name}: drift metrics — ${e.getMessage}" }
+        if (!Set("FAIL", "CONTINUE").contains(d.severity.toUpperCase))
+          errs += s"output ${o.name}: drift severity must be FAIL or CONTINUE, got ${d.severity}"
+        if (d.tolerancePpm < 0)
+          errs += s"output ${o.name}: drift tolerance_ppm must be >= 0"
+        if (d.metricsPath.isEmpty)
+          errs += s"output ${o.name}: drift metrics_path empty"
+      }
     }
     if (t.refreshPolicy.refreshType == "backfill" &&
         (t.refreshPolicy.startValue.isEmpty || t.refreshPolicy.endValue.isEmpty))

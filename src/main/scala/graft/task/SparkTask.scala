@@ -190,6 +190,59 @@ object SparkTask {
         s"output ${out.name}: expectations failed — ${aborting.mkString("; ")}")
   }
 
+  /** A FAIL-severity drift check tripped — the write was aborted before
+    * any data landed, and the anomalous batch's profile was NOT added
+    * to the history (a bad load can never poison its own baseline). */
+  final class DriftViolation(msg: String) extends RuntimeException(msg)
+
+  /**
+   * Evaluate an output's declared drift monitor against the batch
+   * about to be written ([[graft.operators.Expectations.metricsProfile]]
+   * + [[graft.operators.Expectations.driftCheck]] — integer metrics,
+   * engine-exact verdicts). Verdicts record in the state store under
+   * `drift/<output>` BEFORE any severity fires; on FAIL the write
+   * aborts ([[DriftViolation]]) and the profile is withheld from the
+   * history; otherwise the profile appends to the metrics table
+   * txn-stamped, so a replayed streaming epoch never double-counts.
+   */
+  def checkDrift(ctx: TaskContext, out: OutputConf, df: DataFrame,
+                 txn: Option[(String, Long)] = None): Unit = {
+    val d = out.drift.getOrElse(return)
+    import graft.operators.Expectations
+    val sev = StepResult.Severity.parse(d.severity)
+    val t = graft.table.ManagedTable(ctx.spark, d.metricsPath)
+    val driftTxn = txn.map { case (appId, epoch) => (s"$appId:drift", epoch) }
+    if (driftTxn.exists { case (a, e) =>
+        t.exists && t.lastTxnVersion(a).exists(e <= _) }) return // replayed
+    val prof = Expectations.metricsProfile(df, Expectations.parseMetrics(d.metrics))
+      .withColumn("epoch", org.apache.spark.sql.functions.lit(
+        txn.map(_._2).getOrElse(-1L)))
+      .select("epoch", "metric", "column", "value")
+      .localCheckpoint()
+    val history =
+      if (t.exists) t.read.select("metric", "column", "value")
+      else ctx.spark.createDataFrame(
+        ctx.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        prof.drop("epoch").schema)
+    val verdicts = Expectations.driftCheck(prof.drop("epoch"), history,
+      d.tolerancePpm).collect()
+    val json = verdicts.map { r =>
+      s"""{"metric":"${r.getString(0)}","column":"${r.getString(1)}",""" +
+        s""""value":${r.getLong(2)},"hist_n":${r.getAs[Long]("hist_n")},""" +
+        s""""passed":${r.getAs[Int]("passed") == 1}}"""
+    }.mkString("[", ",", "]")
+    ctx.state.foreach(_.set("drift", out.name,
+      s"""{"batch_id":"${ctx.batchId}","verdicts":$json}"""))
+    val drifted = verdicts.filter(_.getAs[Int]("passed") == 0)
+    if (drifted.nonEmpty && sev == StepResult.Fail)
+      throw new DriftViolation(
+        s"output ${out.name}: drift check failed — " + drifted.map(r =>
+          s"${r.getString(0)}(${r.getString(1)})=${r.getLong(2)}").mkString("; "))
+    graft.write.Writers.append(ctx.spark, d.metricsPath, prof,
+      graft.write.WriteOptions(), txn = driftTxn)
+    ()
+  }
+
   /** Dispatch one batch write by write_type (OutputOperator + write.py).
     *
     * `txn` makes the write EXACTLY-ONCE under foreachBatch redelivery,
@@ -214,6 +267,7 @@ object SparkTask {
     }
     // declarative data-quality gate: a FAIL rule aborts before any write
     checkExpectations(ctx, out, df)
+    checkDrift(ctx, out, df, txn)
     val meta = Some(s"""{"batch_id":"${ctx.batchId}","output_name":"${out.name}","load_type":"${out.writeType}"}""")
     out.writeType match {
       case "append" => Writers.append(ctx.spark, out.path, df, opts, meta, out.partitionBy, txn)

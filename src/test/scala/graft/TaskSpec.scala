@@ -120,6 +120,46 @@ class TaskSpec extends SparkSpec {
     assert(multi.getMessage.contains("exactly one"), multi.getMessage)
   }
 
+  test("output drift: history accumulates, FAIL aborts on anomaly, failed profile withheld") {
+    val srcA = tmpDir("task_drift_a"); val srcB = tmpDir("task_drift_b")
+    data.write.parquet(srcA)                               // 3 rows, stable
+    (data.unionAll(data).unionAll(data)).write.parquet(srcB) // 9 rows: 3x anomaly
+    val sink = tmpDir("task_drift_sink")
+    val state = tmpDir("task_drift_state")
+    val metrics = tmpDir("task_drift_metrics")
+    def conf(src: String, severity: String) = TaskConf("drift",
+      inputs = Seq(InputConf("in1", src, "parquet")),
+      executionSql = Some("SELECT id, name, offset FROM in1"),
+      outputs = Seq(OutputConf("out1", sink, writeType = "append",
+        drift = Some(OutputDrift("count; distinct:id", metrics,
+          tolerancePpm = 300000L, severity = severity)))),
+      stateLocation = Some(state))
+    // epochs 1..2: stable loads accumulate history and pass
+    SparkTask.run(spark, conf(srcA, "FAIL"))
+    SparkTask.run(spark, conf(srcA, "FAIL"))
+    assert(ManagedTable(spark, metrics).read.count() === 4L) // 2 epochs x 2 metrics
+    assert(ManagedTable(spark, sink).read.count() === 6L)
+    // anomalous 3x load under FAIL: aborted, profile withheld from history
+    val boom = intercept[SparkTask.DriftViolation] {
+      SparkTask.run(spark, conf(srcB, "FAIL"))
+    }
+    assert(boom.getMessage.contains("row_count"), boom.getMessage)
+    assert(ManagedTable(spark, sink).read.count() === 6L,
+      "FAIL drift must abort before any data lands")
+    assert(ManagedTable(spark, metrics).read.count() === 4L,
+      "a failed batch must not poison its own baseline")
+    // verdicts recorded before the abort
+    val st = new graft.state.StateStore(
+      spark.sparkContext.hadoopConfiguration, state)
+    val rec = st.get("drift", "out1").get
+    assert(rec.contains(""""metric":"row_count"""") &&
+      rec.contains(""""passed":false"""), rec)
+    // same anomaly under CONTINUE: records, writes, and joins the history
+    SparkTask.run(spark, conf(srcB, "CONTINUE"))
+    assert(ManagedTable(spark, sink).read.count() === 15L)
+    assert(ManagedTable(spark, metrics).read.count() === 6L)
+  }
+
   test("reflection-resolved Transform class executes") {
     val srcDir = tmpDir("task_refl_src")
     data.write.parquet(srcDir)
