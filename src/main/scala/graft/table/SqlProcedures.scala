@@ -115,10 +115,14 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
     case "export_manifest" => Seq(
       attr("version", LongType), attr("num_files", IntegerType),
       attr("num_manifests", IntegerType))
+    case "drift_check" => Seq(
+      attr("metric", StringType), attr("column", StringType),
+      attr("value", LongType), attr("hist_n", LongType),
+      attr("hist_sum", LongType), attr("passed", IntegerType))
     case other => throw new IllegalArgumentException(
       s"unknown graft procedure `$other` — supported: history, vacuum, " +
         "optimize, analyze, cluster_append, purge_deletes, restore, clone, " +
-        "export_manifest")
+        "export_manifest, drift_check")
   }
 
   private def metricsJson(m: Map[String, String]): String =
@@ -174,6 +178,29 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         require(args.size == 2, "CALL graft.export_manifest(path, out_dir)")
         val s = table().exportManifest(strArg(args(1), "out_dir"))
         Seq(Row(s.version, s.numFiles, s.numManifests))
+      // profile `path`, judge against the history in `metrics_path`,
+      // APPEND the profile to the history (call-after-load semantics —
+      // the caller decides what to do with failed verdicts)
+      case "drift_check" =>
+        require(args.size == 4,
+          "CALL graft.drift_check(path, metrics_dsl, metrics_path, tol_ppm)")
+        import graft.operators.Expectations
+        val metricsPath = strArg(args(2), "metrics_path")
+        val mt = ManagedTable(spark, metricsPath)
+        val prof = Expectations.metricsProfile(table().read,
+          Expectations.parseMetrics(strArg(args(1), "metrics_dsl")))
+          .localCheckpoint()
+        val history =
+          if (mt.exists) mt.read.select("metric", "column", "value")
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], prof.schema)
+        val verdicts = Expectations.driftCheck(prof, history,
+          longArg(args(3), "tol_ppm")).collect()
+        graft.write.Writers.append(spark, metricsPath, prof,
+          graft.write.WriteOptions())
+        verdicts.map(r => Row(r.getString(0), r.getString(1), r.getLong(2),
+          r.getAs[Long]("hist_n"), r.getAs[Long]("hist_sum"),
+          r.getAs[Int]("passed"))).toSeq
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure `$other`")
     }

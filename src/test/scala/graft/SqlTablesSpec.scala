@@ -359,6 +359,28 @@ class SqlTablesSpec extends SparkSpec {
     intercept[Exception] { spark.sql(s"CALL graft.frobnicate('$path')") }
   }
 
+  test("CALL graft.drift_check profiles, judges vs history, and accumulates") {
+    val path = tmpDir("sqldrift")
+    val metrics = tmpDir("sqldrift_metrics")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write((1L to 100L).map(i => (i, s"n$i")).toDF("id", "name"),
+      "APPEND", "append")
+    def call() = spark.sql(
+      s"CALL graft.drift_check('$path', 'count; distinct:id', '$metrics', 200000)")
+      .collect().map(r => r.getString(0) -> r.getInt(5)).toMap
+    // first call: vacuous pass, profile lands in the history
+    assert(call() === Map("row_count" -> 1, "distinct_count" -> 1))
+    assert(ManagedTable(spark, metrics).read.count() === 2L)
+    // stable snapshot: passes against real history
+    assert(call().values.forall(_ == 1))
+    // triple the table: row_count drifts past 20%
+    t.write((101L to 300L).map(i => (i, s"n$i")).toDF("id", "name"),
+      "APPEND", "append")
+    val v = call()
+    assert(v("row_count") === 0 && ManagedTable(spark, metrics).read.count() === 6L)
+  }
+
   test("CALL graft.optimize folds small dirs into one commit") {
     val path = tmpDir("sqlopt")
     val t = ManagedTable(spark, path)
