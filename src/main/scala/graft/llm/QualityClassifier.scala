@@ -38,7 +38,8 @@ import org.apache.spark.sql.functions._
  * combined, vocabulary Zipf-bounded). Scoring is explode → ONE
  * equi-join against the model (AQE-broadcast when the vocab is
  * small) → one doc-keyed aggregate. No driver-side loops; the class
- * totals ride a broadcast 1-row cross join.
+ * totals are five bounded scalars collected once and inlined as plan
+ * literals.
  */
 object QualityClassifier {
 
@@ -73,30 +74,30 @@ object QualityClassifier {
     * score the prior alone. */
   def scoreWith(batch: DataFrame, model: DataFrame, priorRow: DataFrame,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val scalars = model.agg(
-      sum("n_pos").cast("double").as("__tp__"),
-      sum("n_neg").cast("double").as("__tn__"),
-      count(lit(1)).cast("double").as("__v__"))
-      .crossJoin(priorRow.select(col("d_pos").cast("double").as("__dp__"),
-        col("d_neg").cast("double").as("__dn__")))
+    // five bounded scalars, collected once (the audited 1-row pattern)
+    // and inlined as literals — keeps the scoring plan to ONE model
+    // join + ONE doc-keyed aggregate, no scalar broadcasts
+    val t = model.agg(
+      sum("n_pos").cast("double").as("tp"),
+      sum("n_neg").cast("double").as("tn"),
+      count(lit(1)).cast("double").as("v")).collect().head
+    val p = priorRow.select(col("d_pos").cast("double"),
+      col("d_neg").cast("double")).collect().head
+    val (tpv, tnv) = (t.getDouble(0) + t.getDouble(2), t.getDouble(1) + t.getDouble(2))
+    val prior = math.log(p.getDouble(0) / p.getDouble(1))
     val perDoc = batch
       .select(col(s"`$idCol`"), explode(toks(textCol)).as("token"))
       .join(model, Seq("token"), "left")
-      .crossJoin(broadcast(scalars))
       .withColumn("__w__",
-        log((coalesce(col("n_pos"), lit(0L)).cast("double") + 1.0) /
-          (col("__tp__") + col("__v__"))) -
-        log((coalesce(col("n_neg"), lit(0L)).cast("double") + 1.0) /
-          (col("__tn__") + col("__v__"))))
+        log((coalesce(col("n_pos"), lit(0L)).cast("double") + 1.0) / lit(tpv)) -
+        log((coalesce(col("n_neg"), lit(0L)).cast("double") + 1.0) / lit(tnv)))
       .groupBy(col(s"`$idCol`"))
       .agg(sum(col("__w__")).as("__sumw__"))
     batch.join(perDoc, Seq(idCol), "left")
-      .crossJoin(broadcast(scalars.select(col("__dp__"), col("__dn__"))))
-      .withColumn("nb_score",
-        log(col("__dp__") / col("__dn__")) + coalesce(col("__sumw__"), lit(0.0)))
+      .withColumn("nb_score", lit(prior) + coalesce(col("__sumw__"), lit(0.0)))
       .withColumn("nb_label", (col("nb_score") > 0).cast("int"))
       .withColumn("nb_margin", abs(col("nb_score")))
-      .drop("__sumw__", "__dp__", "__dn__")
+      .drop("__sumw__")
   }
 
   /** One-shot: weak-label the corpus with `weakLabel`, train on it,

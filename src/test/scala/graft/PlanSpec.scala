@@ -302,6 +302,37 @@ class PlanSpec extends SparkSpec {
     assert(n === 1, s"mixtureSample: expected one shuffle, got $n:\n$mix")
   }
 
+  test("round-11 ops: NB scoring, KMV sketching, fuzzy join keep scale-safe shapes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("weak_label", (col("n_chars") >= 250).cast("int"))
+    // NB scoring: class totals are inlined literals, so the plan is
+    // exactly the model equi-join + the doc-keyed aggregate — no
+    // nested-loop joins of any kind, no cartesian
+    val nb = finalPlan(graft.llm.QualityClassifier.scoreWith(docs,
+      graft.llm.QualityClassifier.train(docs),
+      graft.llm.QualityClassifier.priors(docs))).toString
+    assert(!nb.contains("CartesianProduct"), s"cartesian in NB scoring:\n$nb")
+    assert(!nb.contains("NestedLoop"), s"nested loop in NB scoring:\n$nb")
+    // KMV sketch build: one hash-agg with a map-side partial (the udaf
+    // must combine before the exchange, or every raw hash shuffles)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val sk = graft.operators.Sketches.kmvSketch(
+      orders, Seq("o_orderpriority"), "o_custkey", 256)
+    val skPlan = finalPlan(sk).toString
+    // partial + final kmvdistinct aggregates (the partial lives inside
+    // the AQE shuffle stage — count on the rendered tree)
+    assert("kmvdistinct".r.findAllIn(skPlan).size >= 2,
+      s"KMV sketch must partial-aggregate map-side:\n$skPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(skPlan).size === 1,
+      s"KMV sketch: expected exactly one shuffle:\n$skPlan")
+    // fuzzy join: candidates from an equi-join on the variant
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+    val fz = finalPlan(graft.operators.FuzzyJoin.fuzzySelfJoin(
+      parts, "p_partkey", "p_name", 1)).toString
+    assert(!fz.contains("CartesianProduct") && !fz.contains("NestedLoop"),
+      s"fuzzy join must stay an equi-join:\n$fz")
+  }
+
   test("DV read: tombstones broadcast as an anti-join; filters still reach the scan") {
     import graft.table.ManagedTable
     import spark.implicits._
