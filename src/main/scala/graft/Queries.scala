@@ -59,7 +59,7 @@ object Queries {
     * at `vec_id + offset` (and whose oracle SQL hard-codes that offset)
     * are only sound while every natural id is below the offset. */
   private[graft] def assertPlantedIdHeadroom(emb: DataFrame, offset: Long): Unit = {
-    val maxId = emb.agg(max(col("vec_id"))).head.getAs[Number](0).longValue
+    val maxId = emb.agg(max(col("vec_id"))).head().getAs[Number](0).longValue
     require(maxId < offset,
       s"planted-id offset $offset collides with natural vec_id range " +
         s"(max $maxId) — the planted oracle and recall gate would be wrong; " +
@@ -3090,7 +3090,7 @@ object Queries {
     // the corpus has no exact dups at small SFs, so the second batch
     // plants cross-batch copies (every 50th doc's text under a new id)
     // — the gate is vacuous unless the anti-join provably drops them
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     require(maxId < 1000000L,
       "planted-id offset 1000000 collides with natural doc_id range — " +
         "raise it in BOTH the query and its oracle SQL")
@@ -3178,7 +3178,7 @@ object Queries {
       drainOrFail(q, "stream_neardup")
     }
     drain() // even ids: batch 0
-    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     require(maxId < 1000000L,
       "planted-id offset 1000000 collides with natural doc_id range — " +
         "raise it in BOTH the query and its oracle SQL")
@@ -3389,7 +3389,7 @@ object Queries {
       .trigger(Trigger.AvailableNow()).start()
     drainOrFail(q, "stream_quantiles")
 
-    val maxUs = ev.agg(max(col("ts_us"))).head.getLong(0)
+    val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
     // "comfortably closed": a full DAY older than (last event − the 10s
     // watermark) — strictly inside anything append mode could withhold
     def closed(bucket: Column) =
@@ -3488,7 +3488,7 @@ object Queries {
       .option("checkpointLocation", tmp("shh_ck"))
       .trigger(Trigger.AvailableNow()).start()
     drainOrFail(q, "stream_heavy_hitters")
-    val maxUs = ev.agg(max(col("ts_us"))).head.getLong(0)
+    val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
     def closed(bucket: Column) =
       bucket + lit(2 * dayUs) <= lit(maxUs) - lit(10000000L)
     val est = spark.read.parquet(out)
@@ -3554,7 +3554,7 @@ object Queries {
       .option("checkpointLocation", tmp("sdx_ck"))
       .trigger(Trigger.AvailableNow()).start()
     drainOrFail(q, "stream_distinct")
-    val maxUs = ev.agg(max(col("ts_us"))).head.getLong(0)
+    val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
     def closed(bucket: Column) =
       bucket + lit(2 * dayUs) <= lit(maxUs) - lit(10000000L)
     val est = spark.read.parquet(out)

@@ -513,7 +513,7 @@ object Similarity {
     require(m >= 1 && ksub >= 1, "pqTrain needs m >= 1 and ksub >= 1")
     val base = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")).localCheckpoint()
-    val dim = base.select(size(col("v"))).head.getInt(0)
+    val dim = base.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"vector dim $dim not divisible into $m subspaces")
     val subdim = dim / m
     val seed = base.orderBy(col("id")).limit(ksub)

@@ -111,7 +111,7 @@ object DataObjects {
                                    step: Long): DataFrame = {
     val base = if (df.columns.contains(name)) df.drop(name) else df
     val schema = base.schema.add(StructField(name, LongType, nullable = false))
-    val rows = base.rdd.zipWithIndex.map { case (r, i) =>
+    val rows = base.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (current + (i + 1L) * step))
     }
     spark.createDataFrame(rows, schema)
