@@ -4610,6 +4610,77 @@ object Queries {
       |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS nb_label
       |FROM lab l LEFT JOIN sc USING (doc_id), pri""".stripMargin
 
+  /** Standing-model quality classification
+    * ([[graft.llm.QualityClassifier.scoreWith]] — the incremental
+    * form every other learned component has): the NB model trains on
+    * the corpus bulk (docs with `doc_id % 3 != 0`), persists as two
+    * parquet tables (integer token counts + priors), and a "daily"
+    * batch (the remaining third) scores against the RELOADED tables —
+    * only the batch tokenizes at scoring time, O(batch)/day. Unseen
+    * batch tokens take the pure smoothing weight. Same margin +
+    * both-classes gates as quality_classifier; DuckDB re-derives the
+    * epoch-1 model and the batch decisions from the raw corpus, so a
+    * lossy persisted model hash-mismatches. */
+  def qualityClassifierIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.QualityClassifier
+    val tk = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val weak = (size(filter(tk, t => t === "slow" || t === "big")) * 10
+      < size(tk)).cast("int")
+    val docs = pq(spark, dir, "documents").withColumn("weak_label", weak)
+    val trainDocs = docs.filter(col("doc_id") % 3 =!= 0)
+    val modelPath = tmp("nb_model"); val priorPath = tmp("nb_priors")
+    QualityClassifier.train(trainDocs).write.mode("overwrite").parquet(modelPath)
+    QualityClassifier.priors(trainDocs).write.mode("overwrite").parquet(priorPath)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val out = QualityClassifier.scoreWith(batch,
+      spark.read.parquet(modelPath), spark.read.parquet(priorPath))
+      .select(col("doc_id"), col("weak_label").cast("long").as("weak_label"),
+        col("nb_label").cast("long").as("nb_label"), col("nb_margin"))
+      .localCheckpoint()
+    val g = out.agg(min(col("nb_margin")).as("m"),
+      sum(col("nb_label")).as("npos"), count(lit(1)).as("n")).collect().head
+    require(g.getAs[Double]("m") > 1e-6,
+      s"incremental NB margin ${g.getAs[Double]("m")} too small for engine-stable labels")
+    require(g.getAs[Long]("npos") > 0 && g.getAs[Long]("npos") < g.getAs[Long]("n"),
+      "incremental NB predicted a single class")
+    out.select("doc_id", "weak_label", "nb_label")
+  }
+
+  val qualityClassifierIncrementalSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      |  FROM documents),
+      |lab AS (
+      |  SELECT doc_id, tk,
+      |         CASE WHEN len(list_filter(tk, x -> x IN ('slow', 'big'))) * 10
+      |                   < len(tk) THEN 1 ELSE 0 END AS weak_label
+      |  FROM d),
+      |tok AS (SELECT doc_id, weak_label, unnest(tk) AS token FROM lab),
+      |cnt AS (
+      |  SELECT token, CAST(SUM(weak_label) AS BIGINT) AS np,
+      |         CAST(SUM(1 - weak_label) AS BIGINT) AS nn
+      |  FROM tok WHERE doc_id % 3 <> 0 GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(np) AS DOUBLE) AS tp, CAST(SUM(nn) AS DOUBLE) AS tn,
+      |         CAST(COUNT(*) AS DOUBLE) AS v
+      |  FROM cnt),
+      |pri AS (
+      |  SELECT CAST(SUM(weak_label) AS DOUBLE) AS dp,
+      |         CAST(COUNT(*) - SUM(weak_label) AS DOUBLE) AS dn
+      |  FROM lab WHERE doc_id % 3 <> 0),
+      |sc AS (
+      |  SELECT t.doc_id,
+      |         SUM(ln((COALESCE(c.np, 0) + 1) / (tot.tp + tot.v)) -
+      |             ln((COALESCE(c.nn, 0) + 1) / (tot.tn + tot.v))) AS sumw
+      |  FROM tok t LEFT JOIN cnt c USING (token), tot
+      |  WHERE t.doc_id % 3 = 0
+      |  GROUP BY 1)
+      |SELECT l.doc_id, CAST(l.weak_label AS BIGINT) AS weak_label,
+      |       CASE WHEN ln(pri.dp / pri.dn) + COALESCE(sc.sumw, 0) > 0
+      |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS nb_label
+      |FROM lab l LEFT JOIN sc USING (doc_id), pri
+      |WHERE l.doc_id % 3 = 0""".stripMargin
+
   /** Dataset card ([[graft.llm.TextOps.datasetCard]]): the long-form
     * (metric, scope, value) release datasheet — totals, exact-dup
     * count, source count, per-language breakdown with integer

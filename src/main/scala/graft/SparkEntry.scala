@@ -79,6 +79,8 @@ object SparkEntry {
     "heavy_hitters" -> (Queries.heavyHittersDocs(_, _)),
     "dataset_card" -> (Queries.datasetCardDocs(_, _)),
     "quality_classifier" -> (Queries.qualityClassifier(_, _)),
+    "quality_classifier_incremental" ->
+      (Queries.qualityClassifierIncremental(_, _)),
     "bloom_prune_join" -> (Queries.bloomPruneJoin(_, _)),
     "bucketed_join" -> (Queries.bucketedJoin(_, _)),
     // deterministic sampling + packing (operators/Sampling, llm/Packing)
@@ -320,6 +322,8 @@ object SparkEntry {
     "heavy_hitters" -> Queries.heavyHittersDocsSql,
     "dataset_card" -> Queries.datasetCardDocsSql,
     "quality_classifier" -> Queries.qualityClassifierSql,
+    "quality_classifier_incremental" ->
+      Queries.qualityClassifierIncrementalSql,
     "bloom_prune_join" -> Queries.bloomPruneJoinSql,
     "bucketed_join" -> Queries.bucketedJoinSql,
     "hash_sample" -> Queries.hashSampleDocsSql,
