@@ -4399,6 +4399,28 @@ object Queries {
       |FROM p a JOIN p b ON a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= 1""".stripMargin
 
+  /** Fuzzy dedup ACTION ([[graft.operators.FuzzyJoin.fuzzyDedup]]):
+    * keep the first occurrence of every fuzzy group on the same
+    * subset as fuzzy_join — the pairwise keep-first rule (a row drops
+    * iff SOME lower-keyed row is within the distance, dropped or
+    * not), which the DuckDB NOT EXISTS brute force states verbatim. */
+  def fuzzyDedupParts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.FuzzyJoin
+    val parts = pq(spark, dir, "part")
+      .filter(col("p_partkey") % 37 === 0)
+      .select(col("p_partkey"), col("p_name"))
+    FuzzyJoin.fuzzyDedup(parts, "p_partkey", "p_name", maxDist = 1)
+  }
+
+  val fuzzyDedupPartsSql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_name FROM part WHERE p_partkey % 37 = 0)
+      |SELECT a.p_partkey, a.p_name FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.p_partkey < a.p_partkey
+      |    AND levenshtein(a.p_name, b.p_name) <= 1)""".stripMargin
+
   /** Drift / anomaly expectations ([[graft.operators.Expectations]]
     * metrics + driftCheck — the Deequ relative-rate-of-change
     * strategy made ENGINE-EXACT): per-epoch integer metric profiles

@@ -117,6 +117,7 @@ object SparkEntry {
     "kmv_overlap" -> (Queries.kmvOverlap(_, _)),
     "expectations_drift" -> (Queries.expectationsDrift(_, _)),
     "fuzzy_join" -> (Queries.fuzzyJoinParts(_, _)),
+    "fuzzy_dedup" -> (Queries.fuzzyDedupParts(_, _)),
     "export_manifest" -> (Queries.exportManifest(_, _)),
     "deletion_vectors" -> (Queries.deletionVectors(_, _)),
     "table_clone" -> (Queries.tableClone(_, _)),
@@ -353,6 +354,7 @@ object SparkEntry {
     "kmv_overlap" -> Queries.kmvOverlapSql,
     "expectations_drift" -> Queries.expectationsDriftSql,
     "fuzzy_join" -> Queries.fuzzyJoinPartsSql,
+    "fuzzy_dedup" -> Queries.fuzzyDedupPartsSql,
     "export_manifest" -> Queries.exportManifestSql,
     "deletion_vectors" -> Queries.deletionVectorsSql,
     "table_clone" -> Queries.tableCloneSql,

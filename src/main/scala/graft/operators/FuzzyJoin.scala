@@ -79,4 +79,18 @@ object FuzzyJoin {
                     maxDist: Int): DataFrame =
     fuzzyJoin(df, df, key, value, key, value, maxDist)
       .filter(col("left_key") < col("right_key"))
+
+  /** Dedup ACTION over [[fuzzySelfJoin]]: keep the FIRST occurrence
+    * (minimum key) of every fuzzy group, drop any row within `maxDist`
+    * of a lower-keyed row — the keep-first rule exact dedup and span
+    * dedup use, applied to near-identical strings. One anti-join on
+    * the key; survivors of chains (a~b, b~c but a!~c) follow the
+    * pairwise rule: a row drops iff SOME earlier row is within
+    * maxDist, so `c` survives only if no earlier row is close to it. */
+  def fuzzyDedup(df: DataFrame, key: String, value: String,
+                 maxDist: Int): DataFrame = {
+    val losers = fuzzySelfJoin(df, key, value, maxDist)
+      .select(col("right_key").as(key))
+    df.join(losers, Seq(key), "left_anti")
+  }
 }

@@ -51,6 +51,17 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got === Map((1L, 10L) -> 1, (1L, 11L) -> 1, (2L, 13L) -> 1))
   }
 
+  test("fuzzyDedup keeps first occurrences under the pairwise rule, including chains") {
+    // chain: "abcd" ~ "abce" ~ "abee" but lev(abcd, abee) = 2 > 1.
+    // 1 survives; 2 drops (close to 1); 3 drops because row 2 is within
+    // distance even though 2 itself dropped — the documented pairwise rule
+    val df = Seq((1L, "abcd"), (2L, "abce"), (3L, "abee"),
+      (4L, "zzzz"), (5L, "zzzz")).toDF("id", "name")
+    val kept = FuzzyJoin.fuzzyDedup(df, "id", "name", 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L))
+  }
+
   test("candidate generation is an equi-join on the variant — no cartesian") {
     val df = (0 until 200).map(i => (i.toLong, s"name$i")).toDF("id", "name")
     val plan = FuzzyJoin.fuzzySelfJoin(df, "id", "name", 1)
