@@ -5608,6 +5608,50 @@ object Queries {
     out.select(col("doc_id"), col("n_words"), col("n_ulm_tokens"))
   }
 
+  /** Trainable WordPiece tokenizer ([[graft.llm.WordPiece]], Schuster
+    * & Nakajima 2012 / the BERT tokenizer — the third member of the
+    * tokenizer family): likelihood-scored merges trained in-JVM on
+    * the collected word-frequency table (one corpus scan, exact-
+    * rational score comparisons), greedy longest-match-first encoding
+    * under a broadcast vocabulary with `##` continuation pieces (per-
+    * partition word memo, zero shuffles). Longest-match is a data-
+    * dependent loop with no DuckDB expression, so this is rows-only —
+    * gated twice: the in-query [[graft.llm.WordPiece.requireEncodes]]
+    * pushes plants with hand-derivable piece sequences through the
+    * real distributed encode path, and a distributed concatenation-
+    * identity require proves every non-UNK segmentation reassembles
+    * its document's word stream. Reference-trainer parity (512
+    * merges), BPE-vs-likelihood divergence, and the corrupted-vocab
+    * gate trip are WordPieceSpec's pins. */
+  def wordpieceTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.WordPiece
+    // gate vocab: longest-match must take un+##aff+##able over any
+    // shorter split; afford -> aff+##ord; a word with an uncovered
+    // char collapses WHOLE to [UNK]
+    WordPiece.requireEncodes(spark,
+      Seq("un", "##aff", "##able", "aff", "##ord", "a", "##f", "##o",
+        "##r", "##d", "u", "##n", "##a", "##b", "##l", "##e"),
+      Seq(
+        "unaffable" -> Seq("un", "##aff", "##able"),
+        "afford" -> Seq("aff", "##ord"),
+        "affxord" -> Seq(WordPiece.Unk)))
+    val docs = pq(spark, dir, "documents")
+    val vocab = Staging.timed { WordPiece.learn(docs, numMerges = 24) }
+    val out = WordPiece.encode(docs, vocab).localCheckpoint()
+    // distributed identity gate (UNK-free corpus: base units always
+    // cover the training corpus's own words, so every segmentation
+    // must concatenate back exactly)
+    val broken = out.join(docs.select(col("doc_id"),
+        concat_ws("", regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("__flat__")), Seq("doc_id"))
+      .filter(concat_ws("", transform(col("wp_tokens"),
+        t => regexp_replace(t, "^##", ""))) =!= col("__flat__"))
+      .count()
+    require(broken == 0L,
+      s"wordpiece_token_count: $broken documents failed concatenation identity")
+    out.select(col("doc_id"), col("n_words"), col("n_wp_tokens"))
+  }
+
   /** Incremental decontamination ([[graft.llm.Dedup.decontaminateWith]]):
     * the eval set's shingle index is built ONCE, persisted as parquet,
     * and a "daily" train batch (every third train doc) is checked

@@ -102,6 +102,9 @@ object SparkEntry {
     // rows-only for the same reason as bpe_token_count: Viterbi
     // segmentation has no DuckDB expression; gates + UnigramLmSpec
     "unigram_token_count" -> (Queries.unigramTokenCount(_, _)),
+    // rows-only: greedy longest-match has no DuckDB expression; gated
+    // in-query (planted encodes + concatenation identity) + WordPieceSpec
+    "wordpiece_token_count" -> (Queries.wordpieceTokenCount(_, _)),
     "cap_tokens_per_group" -> (Queries.capTokensPerLang(_, _)),
     "pii_redact" -> (Queries.piiRedact(_, _)),
     "chunk_documents" -> (Queries.chunkDocs(_, _)),
