@@ -190,6 +190,14 @@ object GraftExtensions {
       plan(TextOps.rareTokenScoreWith(table(args.head), table(args(1)),
         minFreq = mf))
     },
+    "graft_bm25_topk" -> { args =>
+      require(args.size == 3 || args.size == 4,
+        "graft_bm25_topk(docs, queries, k[, exact]) takes two table names, " +
+          "k, and an optional exact flag")
+      val exact = args.size == 4 && strArg(args(3), "exact").toBoolean
+      plan(graft.llm.Retrieval.bm25TopK(table(args(0)), table(args(1)),
+        intArg(args(2), "k"), exact))
+    },
     "graft_tfidf_keywords_against" -> { args =>
       require(args.size == 2 || args.size == 3,
         "graft_tfidf_keywords_against(batch, df_table[, k]) takes 2 or 3 arguments")

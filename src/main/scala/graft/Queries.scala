@@ -5652,6 +5652,67 @@ object Queries {
     out.select(col("doc_id"), col("n_words"), col("n_wp_tokens"))
   }
 
+  /** BM25 top-k retrieval ([[graft.llm.Retrieval]], Robertson & Walker
+    * 1994) in exact integer-scaled mode: three fixed keyword queries
+    * rank the documents corpus. Every per-term score is one integer
+    * division of DECIMAL(38,0) products (the DuckDB oracle mirrors it
+    * in HUGEINT), the per-doc score is a sum of BIGINTs, and ties
+    * break (score desc, doc_id asc) — ranks, scores, and tie order are
+    * engine-exact end to end. The plan is the production shape: the
+    * broadcast query-term set prunes the postings before the one
+    * `(query_id, doc_id)` shuffle. */
+  def bm25TopKDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    val queries = Seq(
+      (1L, "spark table merge"),
+      (2L, "customer query order"),
+      (3L, "vector hash window stream")).toDF("query_id", "query_text")
+    Retrieval.bm25TopK(pq(spark, dir, "documents"), queries, k = 5,
+      exact = true)
+  }
+
+  /** DuckDB mirror of [[bm25TopKDocs]] — HUGEINT where Spark uses
+    * DECIMAL(38,0), `//` where Spark uses `div`, same fixed queries. */
+  val bm25TopKSql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |  (1, 'spark table merge'),
+      |  (2, 'customer query order'),
+      |  (3, 'vector hash window stream')),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM documents),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM dt GROUP BY doc_id),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM dt GROUP BY tok),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |qt AS (SELECT DISTINCT query_id, tok FROM
+      |  (SELECT query_id,
+      |     unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS tok
+      |   FROM q)),
+      |m AS (SELECT qt.query_id, dt.doc_id,
+      |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+      |        * 44 * dt.tf * s.total_len * 1000000000)
+      |    // (CAST(2*f.df + 1 AS HUGEINT)
+      |        * (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |           + CAST(6 AS HUGEINT)*s.total_len
+      |           + CAST(18 AS HUGEINT)*l.dl*s.n_docs)) AS BIGINT) AS s_int
+      | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
+      |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
+      |agg AS (SELECT query_id, doc_id,
+      |         CAST(sum(s_int) AS BIGINT) AS score_scaled,
+      |         CAST(count(*) AS BIGINT) AS n_terms_matched
+      |        FROM m GROUP BY query_id, doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score_scaled DESC, doc_id) AS "rank" FROM agg)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, "rank", doc_id,
+      |       score_scaled, n_terms_matched
+      |FROM r WHERE "rank" <= 5""".stripMargin
+
   /** Incremental decontamination ([[graft.llm.Dedup.decontaminateWith]]):
     * the eval set's shingle index is built ONCE, persisted as parquet,
     * and a "daily" train batch (every third train doc) is checked

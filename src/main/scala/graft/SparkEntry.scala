@@ -201,6 +201,7 @@ object SparkEntry {
       TextOps.corpusProfile(Queries.pq(s, d, "documents"))),
     "column_profile" -> (Queries.columnProfileDocs(_, _)),
     "tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Queries.pq(s, d, "documents"))),
+    "bm25_topk" -> (Queries.bm25TopKDocs(_, _)),
     "normalize_text" -> ((s, d) => TextOps.normalizeText(Queries.pq(s, d, "documents"))),
     "mixture_sample" -> (Queries.mixtureSampleDocs(_, _)),
     "temperature_quotas" -> (Queries.temperatureQuotasDocs(_, _)),
@@ -692,6 +693,7 @@ object SparkEntry {
         | m.n_chars AS median_chars
         |FROM stats s
         |JOIN r m ON m.lang = s.lang AND m.rn = (s.n_docs + 1) // 2""".stripMargin,
+    "bm25_topk" -> Queries.bm25TopKSql,
     "tfidf_keywords" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

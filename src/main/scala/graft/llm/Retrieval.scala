@@ -1,0 +1,152 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a document corpus (Robertson & Walker
+  * 1994; the Okapi BM25 weighting in its standard `k1 = 1.2`,
+  * `b = 0.75` operating point) — the retrieval primitive of a
+  * training-data pipeline: "find the corpus documents most relevant
+  * to this query" drives eval-set decontamination triage, targeted
+  * corpus audits, and RAG-style context selection.
+  *
+  * Two scoring modes:
+  *
+  *   - '''production''' (`exact = false`, the default): the Lucene
+  *     form `ln(1 + (N − df + ½)/(df + ½)) · tf·(k1+1) /
+  *     (tf + k1·(1 − b + b·dl/avgdl))` in IEEE doubles. The right
+  *     choice at scale, but `ln` plus a multi-term float SUM makes
+  *     the result engine-rounding-dependent, so it cannot sit under
+  *     a cross-engine hash gate.
+  *   - '''exact''' (`exact = true`): every per-term score is a single
+  *     integer-division of two exactly-computed integers, so the
+  *     per-document sum is an exact BIGINT — bit-identical in any
+  *     engine. With `k1 = 6/5` and `b = 3/4` the per-term score
+  *     `idf_lin · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))` clears to the
+  *     rational
+  *     {{{
+  *       (2N − 2df + 1) · 44 · tf · L
+  *       -----------------------------------------   (L = Σ dl)
+  *       (2df + 1) · (20·tf·L + 6·L + 18·dl·N)
+  *     }}}
+  *     scaled by `SCALE = 10^9` and floor-divided (`div`). The linear
+  *     idf `(2N−2df+1)/(2df+1)` replaces the log idf — a documented
+  *     variant (it is the RSJ idf without the log), steeper on rare
+  *     terms but with the same sign behaviour; the tf saturation and
+  *     length normalization are exactly BM25's. Numerators are
+  *     computed in DECIMAL(38,0) (DuckDB: HUGEINT): at a 100 TB corpus
+  *     (`N ~ 2·10^10`, `L ~ 2·10^13`) the worst-case numerator is
+  *     ~10^36, inside both engines' 38-digit range.
+  *
+  * Scale shape: the standing index ([[bm25Index]]) is one tokenize +
+  * two hash aggregates; scoring ([[bm25SearchWith]]) broadcasts the
+  * (tiny) query-term set, so the only postings touched are the ones
+  * whose `tok` appears in some query — the candidate set is the union
+  * of the query terms' posting lists, never the corpus. One shuffle
+  * on `(query_id, doc_id)` sized by matched postings, then a top-k
+  * window partitioned per query: with query batches in the thousands
+  * (the production shape) the window partitions are bounded by each
+  * query's candidate count, not the corpus.
+  */
+object Retrieval {
+
+  /** 10^9: fixed-point scale of the exact-mode score. One part per
+    * billion of ranking resolution — far below any meaningful
+    * relevance difference, far above ever mattering for top-k cuts. */
+  val Scale = 1000000000L
+
+  private def toks(c: org.apache.spark.sql.Column) =
+    regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  /** The standing BM25 inverted index: one self-contained postings
+    * table `(tok, doc_id, tf, dl, df, n_docs, total_len)` — document
+    * length, document frequency, and the two corpus scalars stamped on
+    * every posting so a persisted parquet copy needs no side tables
+    * (the same self-containment as [[TextOps.docFreqModel]]; the
+    * stamped columns run-length-compress to nothing in parquet).
+    * Build cost: one tokenize, a `(doc, tok)` count, a per-doc length
+    * roll-up, a per-tok df roll-up, and a 1-row broadcast of the
+    * corpus scalars. Persist once per frozen corpus; re-derive only on
+    * corpus change. */
+  def bm25Index(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val dt = docs.select(col(idCol).as("doc_id"),
+        explode(toks(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = dt.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scalars = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("total_len"))
+    dt.join(dl, Seq("doc_id"))
+      .join(df, Seq("tok"))
+      .crossJoin(broadcast(scalars))
+  }
+
+  /** Top-`k` documents per query against a STANDING index (the
+    * persisted-model form, like [[TextOps.tfidfKeywordsWith]]): only
+    * the queries are tokenized; query terms are DISTINCT per query
+    * (qtf is ignored — standard for short queries) and broadcast, so
+    * the index side is filtered to matched posting lists before any
+    * shuffle. Ties break (score desc, doc_id asc) for a total,
+    * engine-independent order. Returns
+    * `(query_id, rank, doc_id, score_scaled, n_terms_matched)`; in
+    * double mode `score_scaled` is `floor(score · SCALE)` (ranking is
+    * done on the un-floored double; the column is floored only for a
+    * stable display surface). */
+  def bm25SearchWith(queries: DataFrame, index: DataFrame, k: Int = 5,
+                     exact: Boolean = false,
+                     queryTextCol: String = "query_text",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(toks(col(queryTextCol))).as("tok"))
+      .distinct()
+    val matched = index.join(broadcast(qterms), Seq("tok"))
+    val dec = "DECIMAL(38,0)"
+    val termScore =
+      if (exact)
+        expr(s"""(CAST(2*n_docs - 2*df + 1 AS $dec)
+                 * CAST(44 AS $dec) * CAST(tf AS $dec)
+                 * CAST(total_len AS $dec) * CAST($Scale AS $dec))
+                div
+                (CAST(2*df + 1 AS $dec)
+                 * (CAST(20 AS $dec)*CAST(tf AS $dec)*CAST(total_len AS $dec)
+                    + CAST(6 AS $dec)*CAST(total_len AS $dec)
+                    + CAST(18 AS $dec)*CAST(dl AS $dec)*CAST(n_docs AS $dec)))
+             """)
+      else {
+        val avgdl = col("total_len").cast("double") / col("n_docs")
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+      }
+    val scored = matched.withColumn("__s__", termScore)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__s__")).as("__score__"),
+        count(lit(1)).as("n_terms_matched"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score__").desc, col("doc_id").asc)
+    // exact mode: `div` yields BIGINT per term, so the per-doc sum is
+    // an exact long (no float ever enters the plan). Double mode
+    // floors only the OUTPUT column; ranking uses the full double.
+    val outScore =
+      (if (exact) col("__score__") else floor(col("__score__") * Scale))
+        .cast("long").as("score_scaled")
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), outScore,
+        col("n_terms_matched"))
+  }
+
+  /** One-shot form: index the corpus and search in one plan. Fine for
+    * ad-hoc runs; at 100 TB persist [[bm25Index]] once and use
+    * [[bm25SearchWith]] so each query batch touches only its matched
+    * posting lists. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 5,
+               exact: Boolean = false, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame =
+    bm25SearchWith(queries, bm25Index(docs, textCol, idCol), k, exact)
+}

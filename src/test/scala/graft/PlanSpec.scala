@@ -333,6 +333,23 @@ class PlanSpec extends SparkSpec {
       s"fuzzy join must stay an equi-join:\n$fz")
   }
 
+  test("bm25: query terms broadcast onto the postings; no cartesian, no nested loop") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = Seq((1L, "spark table merge")).toDF("query_id", "query_text")
+    val p = finalPlan(graft.llm.Retrieval.bm25TopK(docs, q, k = 5,
+      exact = true)).toString
+    // the tiny query-term set must reach the postings as a broadcast
+    // hash join — a shuffled join would move every posting for nothing
+    assert(p.contains("BroadcastHashJoin"),
+      s"bm25 query terms must broadcast-join the postings:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bm25:\n$p")
+    // the ONE BroadcastNestedLoopJoin allowed is the 1-row corpus-scalar
+    // broadcast (n_docs, total_len) — anything more is a real pair blowup
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"bm25: more than the scalar broadcast nested-loop:\n$p")
+  }
+
   test("DV read: tombstones broadcast as an anti-join; filters still reach the scan") {
     import graft.table.ManagedTable
     import spark.implicits._

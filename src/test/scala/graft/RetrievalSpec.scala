@@ -1,0 +1,119 @@
+package graft
+
+import graft.llm.Retrieval
+import org.apache.spark.sql.functions._
+
+/** BM25 pins: exact-mode scores against an independent BigInt
+  * reference computation, length-normalization and idf ordering
+  * behaviour, OOV handling, exact-vs-double rank agreement, and the
+  * standing-index round trip through parquet. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark merge table table"),           // dl 4
+    (2L, "spark merge"),                       // dl 2 — same tf, shorter
+    (3L, "table table table table table"),     // dl 5
+    (4L, "window stream window stream window"), // dl 5
+    (5L, "merge")                              // dl 1
+  ).toDF("doc_id", "text")
+
+  /** Independent exact-mode reference: BigInt arithmetic, no Spark. */
+  private def refExact(docs: Seq[(Long, String)], query: String,
+                       k: Int): Seq[(Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq }
+    val dl = toks.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val n = BigInt(docs.size)
+    val totalLen = BigInt(dl.values.sum)
+    val df = toks.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).map { case (t, o) => t -> BigInt(o.size) }
+    val qts = "[a-z0-9]+".r.findAllIn(query.toLowerCase).toSeq.distinct
+    val scores = toks.flatMap { case (id, ts) =>
+      val tfm = ts.groupBy(identity).map { case (t, o) => t -> BigInt(o.size) }
+      val s = qts.flatMap { q =>
+        tfm.get(q).map { tf =>
+          val num = (2 * n - 2 * df(q) + 1) * 44 * tf * totalLen *
+            BigInt(Retrieval.Scale)
+          val den = (2 * df(q) + 1) *
+            (20 * tf * totalLen + 6 * totalLen + 18 * BigInt(dl(id)) * n)
+          num / den
+        }
+      }
+      if (s.isEmpty) None else Some(id -> s.sum.toLong)
+    }
+    scores.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  test("exact-mode scores match the BigInt reference, ranks and all") {
+    val docsSeq = Seq(1L -> "spark merge table table", 2L -> "spark merge",
+      3L -> "table table table table table",
+      4L -> "window stream window stream window", 5L -> "merge")
+    val queries = Seq((1L, "spark merge"), (2L, "table"),
+      (3L, "window table")).toDF("query_id", "query_text")
+    val got = Retrieval.bm25TopK(corpus, queries, k = 5, exact = true)
+      .select("query_id", "rank", "doc_id", "score_scaled")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val want = Seq(1L -> "spark merge", 2L -> "table", 3L -> "window table")
+      .flatMap { case (qid, q) =>
+        refExact(docsSeq, q, 5).zipWithIndex.map { case ((id, s), i) =>
+          (qid, i + 1, id, s) } }
+    assert(got === want)
+  }
+
+  test("length normalization: same tf, shorter document ranks higher") {
+    // docs 1 and 2 both have tf(spark)=1, tf(merge)=1; doc 2 is shorter
+    val q = Seq((1L, "spark")).toDF("query_id", "query_text")
+    val r = Retrieval.bm25TopK(corpus, q, k = 2, exact = true)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(r === Seq(2L, 1L))
+  }
+
+  test("rarer term outweighs a common one at equal tf and dl") {
+    // df(stream)=1 < df(table)=2; doc 4 (stream-bearing) must beat
+    // doc 3 (table-bearing) for a query holding one term of each
+    val q = Seq((1L, "stream table")).toDF("query_id", "query_text")
+    val top = Retrieval.bm25TopK(corpus, q, k = 1, exact = true)
+      .select("doc_id").as[Long].head()
+    assert(top === 4L)
+  }
+
+  test("OOV query terms contribute nothing; all-OOV query yields no rows") {
+    val q = Seq((1L, "spark zzz"), (2L, "zzz qqq")).toDF("query_id", "query_text")
+    val out = Retrieval.bm25TopK(corpus, q, k = 5, exact = true)
+    assert(out.filter(col("query_id") === 2L).count() === 0L)
+    val withOov = out.filter(col("query_id") === 1L)
+      .select("doc_id", "score_scaled").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clean = Retrieval.bm25TopK(corpus,
+        Seq((1L, "spark")).toDF("query_id", "query_text"), k = 5, exact = true)
+      .select("doc_id", "score_scaled").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withOov === clean)
+  }
+
+  test("double mode agrees with exact mode on ranking") {
+    val q = Seq((1L, "spark merge"), (2L, "window table"))
+      .toDF("query_id", "query_text")
+    def ranks(exact: Boolean) =
+      Retrieval.bm25TopK(corpus, q, k = 5, exact = exact)
+        .select("query_id", "rank", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ranks(exact = true) === ranks(exact = false))
+  }
+
+  test("standing index round-trips through parquet") {
+    val dir = tmpDir("bm25idx")
+    Retrieval.bm25Index(corpus).write.parquet(dir)
+    val q = Seq((1L, "spark merge table")).toDF("query_id", "query_text")
+    assertSameRows(
+      Retrieval.bm25SearchWith(q, spark.read.parquet(dir), k = 5, exact = true),
+      Retrieval.bm25TopK(corpus, q, k = 5, exact = true))
+  }
+
+  test("query-term dedup: repeated terms in the query text score once") {
+    val q1 = Seq((1L, "spark spark spark")).toDF("query_id", "query_text")
+    val q2 = Seq((1L, "spark")).toDF("query_id", "query_text")
+    assertSameRows(Retrieval.bm25TopK(corpus, q1, k = 5, exact = true),
+      Retrieval.bm25TopK(corpus, q2, k = 5, exact = true))
+  }
+}

@@ -426,4 +426,21 @@ class SqlSurfaceSpec extends SparkSpec {
       graft.llm.Similarity.sq8TopK(
         spark.table("emb_corpus"), spark.table("emb_queries"), 5))
   }
+
+  test("graft_bm25_topk TVF matches the Scala API in both modes") {
+    import spark.implicits._
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("bm25_docs")
+    Seq((1L, "spark table merge"), (2L, "customer query"))
+      .toDF("query_id", "query_text").createOrReplaceTempView("bm25_q")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_bm25_topk('bm25_docs', 'bm25_q', 4)"),
+      graft.llm.Retrieval.bm25TopK(
+        spark.table("bm25_docs"), spark.table("bm25_q"), 4))
+    assertSameRows(
+      spark.sql(
+        "SELECT * FROM graft_bm25_topk('bm25_docs', 'bm25_q', 4, 'true')"),
+      graft.llm.Retrieval.bm25TopK(
+        spark.table("bm25_docs"), spark.table("bm25_q"), 4, exact = true))
+  }
 }
