@@ -190,6 +190,14 @@ object GraftExtensions {
       plan(TextOps.rareTokenScoreWith(table(args.head), table(args(1)),
         minFreq = mf))
     },
+    "graft_collocations" -> { args =>
+      require(args.size == 3,
+        "graft_collocations(docs, min_count, k) takes a table name, " +
+          "min_count, and k")
+      plan(TextOps.collocations(table(args(0)),
+        minCount = intArg(args(1), "min_count").toLong,
+        k = intArg(args(2), "k")))
+    },
     "graft_bm25_topk" -> { args =>
       require(args.size == 3 || args.size == 4,
         "graft_bm25_topk(docs, queries, k[, exact]) takes two table names, " +

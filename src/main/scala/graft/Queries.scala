@@ -5713,6 +5713,38 @@ object Queries {
       |       score_scaled, n_terms_matched
       |FROM r WHERE "rank" <= 5""".stripMargin
 
+  /** Collocation mining ([[graft.llm.TextOps.collocations]], Mikolov
+    * 2013 phrase score): global top-20 adjacent pairs by
+    * `(c_xy − δ)·N / (c_x·c_y)` at δ = 5. Products in DECIMAL(38,0)
+    * (HUGEINT in the oracle), one cast-to-double and one IEEE division
+    * each — bit-identical scores, total (score, w1, w2) order, so the
+    * LIMIT cut selects the same set in both engines. */
+  def collocationsDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextOps
+    TextOps.collocations(pq(spark, dir, "documents"), minCount = 5, k = 20)
+  }
+
+  /** DuckDB mirror of [[collocationsDocs]]. */
+  val collocationsSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+      |bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+      |       FROM toks, unnest(generate_series(1, len(ts)-1)) AS t(i)),
+      |bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_cnt
+      |        FROM bg GROUP BY w1, w2),
+      |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM
+      |  (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |   FROM documents) GROUP BY tok),
+      |n AS (SELECT CAST(sum(freq) AS BIGINT) AS n_tokens FROM uni)
+      |SELECT b.w1, b.w2, b.pair_cnt,
+      |  u1.freq AS w1_cnt, u2.freq AS w2_cnt,
+      |  CAST(CAST(b.pair_cnt - 5 AS HUGEINT) * n.n_tokens AS DOUBLE)
+      |   / CAST(CAST(u1.freq AS HUGEINT) * u2.freq AS DOUBLE) AS score
+      |FROM bgc b JOIN uni u1 ON b.w1 = u1.tok
+      |     JOIN uni u2 ON b.w2 = u2.tok CROSS JOIN n
+      |WHERE b.pair_cnt > 5
+      |ORDER BY score DESC, b.w1, b.w2 LIMIT 20""".stripMargin
+
   /** Incremental decontamination ([[graft.llm.Dedup.decontaminateWith]]):
     * the eval set's shingle index is built ONCE, persisted as parquet,
     * and a "daily" train batch (every third train doc) is checked

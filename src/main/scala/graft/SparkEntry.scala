@@ -202,6 +202,7 @@ object SparkEntry {
     "column_profile" -> (Queries.columnProfileDocs(_, _)),
     "tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Queries.pq(s, d, "documents"))),
     "bm25_topk" -> (Queries.bm25TopKDocs(_, _)),
+    "collocations_topk" -> (Queries.collocationsDocs(_, _)),
     "normalize_text" -> ((s, d) => TextOps.normalizeText(Queries.pq(s, d, "documents"))),
     "mixture_sample" -> (Queries.mixtureSampleDocs(_, _)),
     "temperature_quotas" -> (Queries.temperatureQuotasDocs(_, _)),
@@ -694,6 +695,7 @@ object SparkEntry {
         |FROM stats s
         |JOIN r m ON m.lang = s.lang AND m.rn = (s.n_docs + 1) // 2""".stripMargin,
     "bm25_topk" -> Queries.bm25TopKSql,
+    "collocations_topk" -> Queries.collocationsSql,
     "tfidf_keywords" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

@@ -588,6 +588,50 @@ object TextOps {
     docBigrams(docs, textCol, idCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
 
+  /** Corpus-wide collocation mining — the phrase-detection score of
+    * Mikolov et al. 2013 ("Distributed representations of words and
+    * phrases", §4): adjacent pairs whose joint count is high relative
+    * to their parts' counts are phrases ("new york", byte-pair
+    * candidates, multi-word entities for a tokenizer's seed vocab).
+    * Score `= (c_xy − δ) · N / (c_x · c_y)` with `δ = minCount` as the
+    * discount that suppresses rare-word noise (their formula verbatim;
+    * it is PMI's argument with a subtracted prior, so the ranking is
+    * PMI-rank-equivalent at equal δ). Pairs with `c_xy ≤ δ` drop.
+    *
+    * Engine-exact: products are computed in DECIMAL(38,0) (no BIGINT
+    * overflow even at 100 TB pair counts), then ONE cast-to-double each
+    * and ONE IEEE division — both correctly-rounded, so the score is
+    * bit-identical in any engine, no `log` anywhere. The global top-k
+    * is `orderBy(score desc, w1, w2).limit(k)` — a TakeOrdered (per-
+    * partition partial top-k + driver merge of k·P rows), never a
+    * global sort. Count tables (bigram LM + unigram LM + a 1-row
+    * broadcast scalar) are the only shuffles; corpus text is scanned
+    * once per model, and both models are the persistable
+    * [[bigramModel]]/[[unigramModel]] so a standing corpus pays
+    * neither scan again. */
+  def collocations(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", minCount: Long = 5,
+                   k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minCount > 0, s"minCount must be positive, got $minCount")
+    val bg = bigramModel(docs, textCol, idCol)
+      .withColumnRenamed("cnt", "pair_cnt")
+      .filter(col("pair_cnt") > minCount)
+    val uni = unigramModel(docs, textCol, idCol)
+    val n = uni.agg(sum("freq").as("n_tokens"))
+    val dec = "DECIMAL(38,0)"
+    bg.join(uni.select(col("tok").as("w1"), col("freq").as("w1_cnt")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("freq").as("w2_cnt")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        expr(s"CAST(CAST(pair_cnt - $minCount AS $dec) * CAST(n_tokens AS $dec) AS DOUBLE)") /
+          expr(s"CAST(CAST(w1_cnt AS $dec) * CAST(w2_cnt AS $dec) AS DOUBLE)"))
+      .select(col("w1"), col("w2"), col("pair_cnt"), col("w1_cnt"),
+        col("w2_cnt"), col("score"))
+      .orderBy(col("score").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   /**
    * Bigram fluency against a STANDING LM — the 2-gram extension of the
    * CCNet-style rarity gate ([[rareTokenScoreWith]]): a document whose

@@ -427,6 +427,15 @@ class SqlSurfaceSpec extends SparkSpec {
         spark.table("emb_corpus"), spark.table("emb_queries"), 5))
   }
 
+  test("graft_collocations TVF matches the Scala API") {
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("colloc_docs")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_collocations('colloc_docs', 3, 10)"),
+      graft.llm.TextOps.collocations(
+        spark.table("colloc_docs"), minCount = 3, k = 10))
+  }
+
   test("graft_bm25_topk TVF matches the Scala API in both modes") {
     import spark.implicits._
     spark.read.parquet(s"$sf/documents.parquet")

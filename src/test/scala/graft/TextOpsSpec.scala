@@ -543,4 +543,34 @@ class TextOpsSpec extends SparkSpec {
     assert(ppls(10L) < ppls(11L),
       s"fluent ppl ${ppls(10L)} should beat scrambled ${ppls(11L)}")
   }
+
+  test("collocations: Mikolov phrase score with discount, total order, top-k cut") {
+    import spark.implicits._
+    // "new york" appears 4x adjacent; "the the" 3x from frequent parts;
+    // N = total tokens. delta = 2 drops pairs with c_xy <= 2.
+    val docs = Seq(
+      (1L, "new york new york the city"),
+      (2L, "new york the the the city"),
+      (3L, "new york the the the city")).toDF("doc_id", "text")
+    val out = graft.llm.TextOps.collocations(docs, minCount = 2, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toSeq
+    val m = out.toMap
+    // hand counts: tokens N=18; c(new)=4, c(york)=4, c(the)=7, c(city)=3
+    // pairs: (new,york)=4, (york,new)=1, (york,the)=3, (the,the)=4,
+    //        (the,city)=3, (city ends docs)
+    assert(m(("new", "york")) == ((4L, 4L, 4L, (4.0 - 2) * 18 / (4.0 * 4))))
+    assert(m(("the", "the")) == ((4L, 7L, 7L, (4.0 - 2) * 18 / (7.0 * 7))))
+    assert(m(("york", "the")) == ((3L, 4L, 7L, (3.0 - 2) * 18 / (4.0 * 7))))
+    assert(m(("the", "city")) == ((3L, 7L, 3L, (3.0 - 2) * 18 / (7.0 * 3))))
+    assert(!m.contains(("york", "new")), "c_xy <= delta must drop")
+    // ranking: (new,york) 2.25 > (the,city) ~0.857 > (york,the) ~0.643
+    //          > (the,the) ~0.735 ... compute: (the,the)=2*18/49=0.7347
+    val ranked = out.map(_._1)
+    assert(ranked.head == (("new", "york")))
+    // k cut: k=2 keeps exactly the top two by (score desc, w1, w2)
+    val top2 = graft.llm.TextOps.collocations(docs, minCount = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(top2 == ranked.take(2))
+  }
 }
