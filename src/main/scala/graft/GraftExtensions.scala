@@ -190,6 +190,29 @@ object GraftExtensions {
       plan(TextOps.rareTokenScoreWith(table(args.head), table(args(1)),
         minFreq = mf))
     },
+    "graft_cohort_retention" -> { args =>
+      require(args.size == 4,
+        "graft_cohort_retention(events, ts_us_col, user_col, period_days) " +
+          "takes a table name, two column names, and a day count")
+      plan(graft.operators.EventAnalytics.cohortRetention(table(args(0)),
+        tsUsCol = strArg(args(1), "ts_us_col"),
+        userCol = strArg(args(2), "user_col"),
+        periodMicros = intArg(args(3), "period_days").toLong *
+          graft.operators.EventAnalytics.MicrosPerDay))
+    },
+    "graft_resample_locf" -> { args =>
+      require(args.size == 6,
+        "graft_resample_locf(events, key_col, ts_us_col, value_col, " +
+          "tie_col, bin_days) takes a table name, four column names, " +
+          "and a day count")
+      plan(graft.operators.EventAnalytics.resampleLocf(table(args(0)),
+        keyCol = strArg(args(1), "key_col"),
+        tsUsCol = strArg(args(2), "ts_us_col"),
+        valueCol = strArg(args(3), "value_col"),
+        tieCol = strArg(args(4), "tie_col"),
+        binMicros = intArg(args(5), "bin_days").toLong *
+          graft.operators.EventAnalytics.MicrosPerDay))
+    },
     "graft_collocations" -> { args =>
       require(args.size == 3,
         "graft_collocations(docs, min_count, k) takes a table name, " +

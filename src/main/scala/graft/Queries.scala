@@ -5745,6 +5745,66 @@ object Queries {
       |WHERE b.pair_cnt > 5
       |ORDER BY score DESC, b.w1, b.w2 LIMIT 20""".stripMargin
 
+  /** Cohort retention ([[graft.operators.EventAnalytics.cohortRetention]]):
+    * weekly cohorts by first activity, all periods pure integer
+    * `ts_us div week` indices (no calendar/week-start semantics to
+    * disagree on), counts exact, `retention_rate` one int-to-double
+    * division. */
+  def cohortRetentionEvents(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EventAnalytics
+    val ev0 = pq(spark, dir, "events")
+    EventAnalytics.cohortRetention(ev0.withColumn("ts_us", eventMicros(ev0)))
+  }
+
+  /** DuckDB mirror of [[cohortRetentionEvents]]. */
+  val cohortRetentionSql: String =
+    """WITH up AS (SELECT DISTINCT user_id AS u,
+      |  epoch_us(ts) // 604800000000 AS p FROM events),
+      |c AS (SELECT u, MIN(p) AS cohort_period FROM up GROUP BY u),
+      |sizes AS (SELECT cohort_period,
+      |  CAST(count(*) AS BIGINT) AS n_cohort_users FROM c GROUP BY 1),
+      |cells AS (SELECT c.cohort_period, up.p - c.cohort_period AS period_offset,
+      |  CAST(count(*) AS BIGINT) AS n_active_users
+      | FROM up JOIN c USING (u) GROUP BY 1, 2)
+      |SELECT cells.cohort_period, cells.period_offset, cells.n_active_users,
+      |  sizes.n_cohort_users,
+      |  CAST(cells.n_active_users AS DOUBLE) / sizes.n_cohort_users
+      |    AS retention_rate
+      |FROM cells JOIN sizes USING (cohort_period)""".stripMargin
+
+  /** LOCF resampling ([[graft.operators.EventAnalytics.resampleLocf]]):
+    * per-event-type daily bins, last observation per bin under a total
+    * (ts, event_id) order, dense integer spine, carried values are
+    * untouched input doubles — engine-exact end to end. */
+  def resampleEvents(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EventAnalytics
+    val ev0 = pq(spark, dir, "events")
+    EventAnalytics.resampleLocf(ev0.withColumn("ts_us", eventMicros(ev0)),
+      keyCol = "event_type", tsUsCol = "ts_us", valueCol = "value",
+      tieCol = "event_id")
+  }
+
+  /** DuckDB mirror of [[resampleEvents]]. */
+  val resampleSql: String =
+    """WITH e AS (SELECT event_type AS key, epoch_us(ts) // 86400000000 AS bin,
+      |  epoch_us(ts) AS ts_us, event_id, value FROM events),
+      |rn AS (SELECT *, row_number() OVER (PARTITION BY key, bin
+      |         ORDER BY ts_us DESC, event_id DESC) AS rn FROM e),
+      |pb AS (SELECT key, bin, max(CASE WHEN rn = 1 THEN value END) AS lv,
+      |        CAST(count(*) AS BIGINT) AS n_events FROM rn GROUP BY key, bin),
+      |bounds AS (SELECT key, min(bin) AS b0, max(bin) AS b1
+      |           FROM pb GROUP BY key),
+      |spine AS (SELECT key, unnest(generate_series(b0, b1)) AS bin
+      |          FROM bounds),
+      |j AS (SELECT s.key, s.bin, pb.lv, pb.n_events
+      |      FROM spine s LEFT JOIN pb USING (key, bin))
+      |SELECT key, bin,
+      |  last_value(lv IGNORE NULLS) OVER (PARTITION BY key ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+      |  CASE WHEN lv IS NOT NULL THEN 1 ELSE 0 END AS filled,
+      |  coalesce(n_events, 0) AS n_events
+      |FROM j""".stripMargin
+
   /** Incremental decontamination ([[graft.llm.Dedup.decontaminateWith]]):
     * the eval set's shingle index is built ONCE, persisted as parquet,
     * and a "daily" train batch (every third train doc) is checked

@@ -203,6 +203,8 @@ object SparkEntry {
     "tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Queries.pq(s, d, "documents"))),
     "bm25_topk" -> (Queries.bm25TopKDocs(_, _)),
     "collocations_topk" -> (Queries.collocationsDocs(_, _)),
+    "cohort_retention" -> (Queries.cohortRetentionEvents(_, _)),
+    "resample_locf" -> (Queries.resampleEvents(_, _)),
     "normalize_text" -> ((s, d) => TextOps.normalizeText(Queries.pq(s, d, "documents"))),
     "mixture_sample" -> (Queries.mixtureSampleDocs(_, _)),
     "temperature_quotas" -> (Queries.temperatureQuotasDocs(_, _)),
@@ -696,6 +698,8 @@ object SparkEntry {
         |JOIN r m ON m.lang = s.lang AND m.rn = (s.n_docs + 1) // 2""".stripMargin,
     "bm25_topk" -> Queries.bm25TopKSql,
     "collocations_topk" -> Queries.collocationsSql,
+    "cohort_retention" -> Queries.cohortRetentionSql,
+    "resample_locf" -> Queries.resampleSql,
     "tfidf_keywords" ->
       """WITH tok AS (SELECT doc_id,
         |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok

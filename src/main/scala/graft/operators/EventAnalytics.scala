@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics kernels over event streams: cohort retention and
+  * time-series resampling with gap fill. Both are pure integer/carried-
+  * value computations — no float arithmetic ever enters, so results are
+  * engine-exact — and both keep the 100 TB shape: every aggregate is a
+  * hash aggregate on a bounded key space (users, (key, bin)), every
+  * window partitions on a high-cardinality key, and the only sort per
+  * partition is over time BINS (bounded by the time range / bin width),
+  * never raw events. */
+object EventAnalytics {
+
+  val MicrosPerDay: Long = 86400L * 1000000L
+
+  /** Classic cohort retention: users are cohorted by the period of
+    * their FIRST activity, and each (cohort, offset) cell counts users
+    * from that cohort active `offset` periods later. Periods are pure
+    * integer indices `ts_us div periodMicros` — no calendar functions,
+    * whose week-start and timezone conventions differ across engines.
+    *
+    * Shape: one distinct on (user, period) collapses raw events to
+    * user-periods (the only pass over the events); the per-user min is
+    * a hash aggregate over user-periods; the cell counts group the
+    * SAME user-period rows, so `count(*)` IS `count(distinct user)`
+    * with no distinct-aggregate rewrite. `retention_rate` is one
+    * integer-to-double division of two exact counts. */
+  def cohortRetention(events: DataFrame, tsUsCol: String = "ts_us",
+                      userCol: String = "user_id",
+                      periodMicros: Long = 7 * MicrosPerDay): DataFrame = {
+    require(periodMicros > 0, s"periodMicros must be positive")
+    // integral `div`, never `/`: a double quotient at a period boundary
+    // can round across the bin edge and disagree with the oracle
+    val userPeriods = events.select(col(userCol).as("__user__"),
+        expr(s"`$tsUsCol` div $periodMicros").as("__period__"))
+      .distinct()
+    val cohorts = userPeriods.groupBy("__user__")
+      .agg(min("__period__").as("cohort_period"))
+    val sizes = cohorts.groupBy("cohort_period")
+      .agg(count(lit(1)).as("n_cohort_users"))
+    userPeriods.join(cohorts, Seq("__user__"))
+      .groupBy(col("cohort_period"),
+        (col("__period__") - col("cohort_period")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .join(sizes, Seq("cohort_period"))
+      .select(col("cohort_period"), col("period_offset"),
+        col("n_active_users"), col("n_cohort_users"),
+        (col("n_active_users").cast("double") / col("n_cohort_users"))
+          .as("retention_rate"))
+  }
+
+  /** Resample a (key, time, value) stream onto a regular bin grid with
+    * last-observation-carried-forward gap fill — the standard
+    * time-series regularization before any windowed model sees the
+    * data. Three steps, all engine-exact:
+    *
+    *   1. per (key, bin) pick the LAST observation — row_number over
+    *      (ts desc, then `tieCol` desc for a total order), never an
+    *      argmax whose tie rule is engine-specific;
+    *   2. build the dense spine with `sequence(min_bin, max_bin)` per
+    *      key (bins are `ts_us div binMicros`, pure integers; spine
+    *      length is the key's time span over the bin width — bounded
+    *      by the calendar, not the event count);
+    *   3. LOCF via `last(value, ignoreNulls) over (rows unbounded
+    *      preceding..current)` ordered by bin. The carried value is an
+    *      untouched copy of an input value — no arithmetic, so doubles
+    *      survive hashing.
+    *
+    * `filled = 0` marks carried rows, `n_events` the bin's raw count.
+    * Bins before a key's first observation cannot carry (no prior
+    * value) and are excluded by construction since the spine starts at
+    * the key's own min bin. */
+  def resampleLocf(events: DataFrame, keyCol: String, tsUsCol: String,
+                   valueCol: String, tieCol: String,
+                   binMicros: Long = MicrosPerDay): DataFrame = {
+    require(binMicros > 0, s"binMicros must be positive")
+    val binned = events.select(col(keyCol).as("key"),
+      expr(s"`$tsUsCol` div $binMicros").as("bin"),
+      col(tsUsCol).as("__ts__"), col(tieCol).as("__tie__"),
+      col(valueCol).as("__v__"))
+    val wLast = Window.partitionBy(col("key"), col("bin"))
+      .orderBy(col("__ts__").desc, col("__tie__").desc)
+    val perBin = binned.withColumn("__rn__", row_number().over(wLast))
+      .groupBy(col("key"), col("bin"))
+      .agg(max(when(col("__rn__") === 1, col("__v__"))).as("last_value"),
+        count(lit(1)).as("n_events"))
+    val spine = perBin.groupBy("key")
+      .agg(min("bin").as("__b0__"), max("bin").as("__b1__"))
+      .select(col("key"),
+        explode(sequence(col("__b0__"), col("__b1__"))).as("bin"))
+    val wFill = Window.partitionBy(col("key")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(perBin, Seq("key", "bin"), "left")
+      .select(col("key"), col("bin"),
+        last(col("last_value"), ignoreNulls = true).over(wFill).as("value"),
+        when(col("last_value").isNotNull, 1).otherwise(0).as("filled"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+}

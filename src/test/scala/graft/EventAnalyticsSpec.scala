@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.EventAnalytics
+import org.apache.spark.sql.functions._
+
+/** Planted-scenario pins for the event-analytics kernels (the DuckDB
+  * oracle covers cross-engine exactness; these pin the semantics). */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 7 * EventAnalytics.MicrosPerDay
+
+  test("cohortRetention: cells, sizes, and rates from hand-built activity") {
+    // user 1: weeks 0, 1, 3   user 2: weeks 0, 1   user 3: week 1 only
+    // cohorts: {week 0: users 1,2}, {week 1: user 3}
+    val ev = Seq(
+      (1L, 0L * W + 5), (1L, 1L * W + 9), (1L, 3L * W),
+      (1L, 3L * W + 17), // same-period duplicate must not double-count
+      (2L, 0L * W), (2L, 1L * W + 1),
+      (3L, 1L * W + 2)).toDF("user_id", "ts_us")
+    val got = EventAnalytics.cohortRetention(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      (0L, 0L) -> ((2L, 2L, 1.0)),
+      (0L, 1L) -> ((2L, 2L, 1.0)),
+      (0L, 3L) -> ((1L, 2L, 0.5)),
+      (1L, 0L) -> ((1L, 1L, 1.0))))
+  }
+
+  test("cohortRetention: offset 0 always covers the whole cohort") {
+    val ev0 = spark.read.parquet(s"$sf/events.parquet")
+    val ev = ev0.withColumn("ts_us", Queries.eventMicros(ev0))
+    val bad = EventAnalytics.cohortRetention(ev)
+      .filter(col("period_offset") === 0 &&
+        col("n_active_users") =!= col("n_cohort_users"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("resampleLocf: gaps carry the last value; ties break on the tie column") {
+    val D = EventAnalytics.MicrosPerDay
+    val ev = Seq(
+      // key a: bins 10 and 13; bin 10 has two same-ts rows — the higher
+      // event_id (tie col) must win; bins 11, 12 are carried gaps
+      ("a", 10 * D + 100, 1L, 1.5),
+      ("a", 10 * D + 100, 2L, 2.5),
+      ("a", 13 * D, 3L, 9.0),
+      // key b: single bin, no gaps
+      ("b", 11 * D + 7, 4L, 4.0)
+    ).toDF("k", "ts_us", "event_id", "v")
+    val got = EventAnalytics.resampleLocf(ev, "k", "ts_us", "v", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("a", 10L) -> ((2.5, 1, 2L)),
+      ("a", 11L) -> ((2.5, 0, 0L)),
+      ("a", 12L) -> ((2.5, 0, 0L)),
+      ("a", 13L) -> ((9.0, 1, 1L)),
+      ("b", 11L) -> ((4.0, 1, 1L))))
+  }
+
+  test("resampleLocf: spine is dense per key between its own min and max bins") {
+    val ev0 = spark.read.parquet(s"$sf/events.parquet")
+    val ev = ev0.withColumn("ts_us", Queries.eventMicros(ev0))
+    val out = EventAnalytics.resampleLocf(ev, "event_type", "ts_us",
+      "value", "event_id").cache()
+    val perKey = out.groupBy("key")
+      .agg(count(lit(1)).as("n"), min("bin").as("b0"), max("bin").as("b1"),
+        sum(when(col("value").isNull, 1).otherwise(0)).as("nulls"))
+      .collect()
+    perKey.foreach { r =>
+      assert(r.getAs[Long]("n") === r.getAs[Long]("b1") - r.getAs[Long]("b0") + 1,
+        s"key ${r.get(0)}: spine not dense")
+      assert(r.getAs[Long]("nulls") === 0L,
+        s"key ${r.get(0)}: LOCF left nulls (first bin always has a value)")
+    }
+    out.unpersist()
+  }
+}

@@ -427,6 +427,21 @@ class SqlSurfaceSpec extends SparkSpec {
         spark.table("emb_corpus"), spark.table("emb_queries"), 5))
   }
 
+  test("graft_cohort_retention and graft_resample_locf TVFs match the Scala API") {
+    val ev0 = spark.read.parquet(s"$sf/events.parquet")
+    ev0.withColumn("ts_us", Queries.eventMicros(ev0))
+      .createOrReplaceTempView("ev_us")
+    assertSameRows(
+      spark.sql(
+        "SELECT * FROM graft_cohort_retention('ev_us', 'ts_us', 'user_id', 7)"),
+      graft.operators.EventAnalytics.cohortRetention(spark.table("ev_us")))
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_resample_locf('ev_us', 'event_type', " +
+        "'ts_us', 'value', 'event_id', 1)"),
+      graft.operators.EventAnalytics.resampleLocf(spark.table("ev_us"),
+        "event_type", "ts_us", "value", "event_id"))
+  }
+
   test("graft_collocations TVF matches the Scala API") {
     spark.read.parquet(s"$sf/documents.parquet")
       .createOrReplaceTempView("colloc_docs")
