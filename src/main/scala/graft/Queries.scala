@@ -5805,6 +5805,74 @@ object Queries {
       |  coalesce(n_events, 0) AS n_events
       |FROM j""".stripMargin
 
+  /** Incremental BM25 index maintenance
+    * ([[graft.llm.Retrieval.bm25IndexMerge]]): epoch 1 (docs with
+    * `doc_id % 3 != 0`) builds and PERSISTS the standing index; the
+    * "daily" epoch-2 batch folds in without re-tokenizing the corpus —
+    * a narrow broadcast df-bump over the persisted index plus the
+    * batch's own postings. The oracle is the full-corpus BM25 SQL, so
+    * a green row PROVES merged ≡ rebuilt-from-scratch, exact to the
+    * scaled-integer score. */
+  def bm25IncrementalDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    val docs = pq(spark, dir, "documents")
+    val idxPath = tmp("bm25idx")
+    Staging.timed {
+      Retrieval.bm25Index(docs.filter(col("doc_id") % 3 =!= 0))
+        .write.mode("overwrite").parquet(idxPath)
+    }
+    val merged = Retrieval.bm25IndexMerge(
+      spark.read.parquet(idxPath), docs.filter(col("doc_id") % 3 === 0))
+    val queries = Seq(
+      (1L, "spark join data"),
+      (2L, "order group row"),
+      (3L, "big small slow fast")).toDF("query_id", "query_text")
+    Retrieval.bm25SearchWith(queries, merged, k = 7, exact = true)
+  }
+
+  /** DuckDB mirror of [[bm25IncrementalDocs]] — the FULL-corpus BM25
+    * ranking (the oracle never sees the epochs; equality is the
+    * merged-index correctness proof). */
+  val bm25IncrementalSql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |  (1, 'spark join data'),
+      |  (2, 'order group row'),
+      |  (3, 'big small slow fast')),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM documents),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM dt GROUP BY doc_id),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM dt GROUP BY tok),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |qt AS (SELECT DISTINCT query_id, tok FROM
+      |  (SELECT query_id,
+      |     unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS tok
+      |   FROM q)),
+      |m AS (SELECT qt.query_id, dt.doc_id,
+      |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+      |        * 44 * dt.tf * s.total_len * 1000000000)
+      |    // (CAST(2*f.df + 1 AS HUGEINT)
+      |        * (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |           + CAST(6 AS HUGEINT)*s.total_len
+      |           + CAST(18 AS HUGEINT)*l.dl*s.n_docs)) AS BIGINT) AS s_int
+      | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
+      |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
+      |agg AS (SELECT query_id, doc_id,
+      |         CAST(sum(s_int) AS BIGINT) AS score_scaled,
+      |         CAST(count(*) AS BIGINT) AS n_terms_matched
+      |        FROM m GROUP BY query_id, doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score_scaled DESC, doc_id) AS "rank" FROM agg)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, "rank", doc_id,
+      |       score_scaled, n_terms_matched
+      |FROM r WHERE "rank" <= 7""".stripMargin
+
   /** Incremental decontamination ([[graft.llm.Dedup.decontaminateWith]]):
     * the eval set's shingle index is built ONCE, persisted as parquet,
     * and a "daily" train batch (every third train doc) is checked

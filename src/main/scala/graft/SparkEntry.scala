@@ -202,6 +202,7 @@ object SparkEntry {
     "column_profile" -> (Queries.columnProfileDocs(_, _)),
     "tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Queries.pq(s, d, "documents"))),
     "bm25_topk" -> (Queries.bm25TopKDocs(_, _)),
+    "bm25_incremental" -> (Queries.bm25IncrementalDocs(_, _)),
     "collocations_topk" -> (Queries.collocationsDocs(_, _)),
     "cohort_retention" -> (Queries.cohortRetentionEvents(_, _)),
     "resample_locf" -> (Queries.resampleEvents(_, _)),
@@ -697,6 +698,7 @@ object SparkEntry {
         |FROM stats s
         |JOIN r m ON m.lang = s.lang AND m.rn = (s.n_docs + 1) // 2""".stripMargin,
     "bm25_topk" -> Queries.bm25TopKSql,
+    "bm25_incremental" -> Queries.bm25IncrementalSql,
     "collocations_topk" -> Queries.collocationsSql,
     "cohort_retention" -> Queries.cohortRetentionSql,
     "resample_locf" -> Queries.resampleSql,

@@ -70,17 +70,83 @@ object Retrieval {
     * corpus change. */
   def bm25Index(docs: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
+    val dt = postings(docs, textCol, idCol)
+    val df = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scalars = dt.groupBy("doc_id").agg(first("dl").as("__dl__"))
+      .agg(count(lit(1)).as("n_docs"), sum("__dl__").as("total_len"))
+    dt.join(df, Seq("tok")).crossJoin(broadcast(scalars))
+  }
+
+  /** `(tok, doc_id, tf, dl)` postings of a document set — the df-less,
+    * stamp-less core both [[bm25Index]] and [[bm25IndexMerge]] build
+    * on. */
+  private def postings(docs: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
     val dt = docs.select(col(idCol).as("doc_id"),
         explode(toks(col(textCol))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dl = dt.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val df = dt.groupBy("tok").agg(count(lit(1)).as("df"))
-    val scalars = dl.agg(count(lit(1)).as("n_docs"),
-      sum("dl").as("total_len"))
     dt.join(dl, Seq("doc_id"))
-      .join(df, Seq("tok"))
-      .crossJoin(broadcast(scalars))
+  }
+
+  /** Fold an APPEND batch into a standing [[bm25Index]] without
+    * touching the corpus text again — the O(batch)-per-day form every
+    * standing model here gets ([[TextOps.tfidfKeywordsWith]],
+    * `decontaminateWith`, …), for the index that would otherwise
+    * re-tokenize 100 TB to admit a day's documents.
+    *
+    * What actually changes when docs append: `df` moves ONLY for
+    * tokens the batch contains; `n_docs`/`total_len` are scalar adds;
+    * existing postings' `(tok, doc_id, tf, dl)` never change. So:
+    *
+    *   - existing rows: one LEFT broadcast-join against the batch's
+    *     (tiny) per-token df delta — a narrow pass over the index, no
+    *     shuffle of it;
+    *   - batch rows: the batch's own postings, joined to the OLD df of
+    *     just-matched tokens (a semi-join-pruned aggregate over the
+    *     matched posting lists only);
+    *   - stamps: one 1-row aggregate of each side, re-broadcast.
+    *
+    * Requires batch doc ids to be NEW (append semantics — an id
+    * collision would duplicate postings); gated in-query by a bounded
+    * 1-row count, same pattern as the planted ANN gates. */
+  def bm25IndexMerge(index: DataFrame, newDocs: DataFrame,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val newPost = postings(newDocs, textCol, idCol)
+    val dup = index.select("doc_id").distinct()
+      .join(newPost.select("doc_id").distinct(), Seq("doc_id"), "semi")
+      .count()
+    require(dup == 0L,
+      s"bm25IndexMerge: $dup batch doc ids already exist in the index — " +
+        "merge is append-only; dedup or reassign ids first")
+    val batchDf = newPost.groupBy("tok").agg(count(lit(1)).as("__dfb__"))
+    // old df for exactly the batch's tokens: prune the index to matched
+    // posting lists first (semi-join on the broadcast token set), then a
+    // vocab-bounded aggregate — never a full-index df rebuild
+    val oldDfMatched = index.join(broadcast(batchDf.select("tok")),
+        Seq("tok"), "semi")
+      .groupBy("tok").agg(max("df").as("__dfo__"))
+    val oldScalars = index.agg(max("n_docs").as("__n0__"),
+      max("total_len").as("__l0__"))
+    val batchScalars = newPost.groupBy("doc_id").agg(first("dl").as("__dl__"))
+      .agg(count(lit(1)).as("__nb__"), sum("__dl__").as("__lb__"))
+    val stamps = oldScalars.crossJoin(batchScalars)
+      .select((col("__n0__") + col("__nb__")).as("n_docs"),
+        (col("__l0__") + col("__lb__")).as("total_len"))
+    // narrow df bump on existing rows (batchDf broadcasts), then the
+    // batch's rows under old+batch df; stamps re-broadcast onto all
+    val updatedOld = index.drop("n_docs", "total_len")
+      .join(broadcast(batchDf), Seq("tok"), "left")
+      .withColumn("df", col("df") + coalesce(col("__dfb__"), lit(0L)))
+      .drop("__dfb__")
+    val newRows = newPost
+      .join(broadcast(oldDfMatched), Seq("tok"), "left")
+      .join(broadcast(batchDf), Seq("tok"))
+      .withColumn("df", coalesce(col("__dfo__"), lit(0L)) + col("__dfb__"))
+      .drop("__dfo__", "__dfb__")
+    updatedOld.unionByName(newRows).crossJoin(broadcast(stamps))
   }
 
   /** Top-`k` documents per query against a STANDING index (the

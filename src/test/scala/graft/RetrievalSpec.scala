@@ -110,6 +110,34 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25TopK(corpus, q, k = 5, exact = true))
   }
 
+  test("bm25IndexMerge: merged index equals a from-scratch rebuild") {
+    // batch introduces a brand-new token ("alpha": old df 0) plus
+    // overlaps ("spark", "table") whose df must bump on OLD rows too
+    val batch = Seq((6L, "alpha spark"), (7L, "alpha table alpha"))
+      .toDF("doc_id", "text")
+    val merged = Retrieval.bm25IndexMerge(Retrieval.bm25Index(corpus), batch)
+    val rebuilt = Retrieval.bm25Index(corpus.unionByName(batch))
+    assertSameRows(merged, rebuilt)
+  }
+
+  test("bm25IndexMerge refuses doc-id collisions (append-only semantics)") {
+    val clash = Seq((2L, "whatever text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25IndexMerge(Retrieval.bm25Index(corpus), clash)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("search over a merged index matches search over the rebuilt one") {
+    val batch = Seq((6L, "spark merge spark merge")).toDF("doc_id", "text")
+    val q = Seq((1L, "spark merge")).toDF("query_id", "query_text")
+    assertSameRows(
+      Retrieval.bm25SearchWith(q,
+        Retrieval.bm25IndexMerge(Retrieval.bm25Index(corpus), batch),
+        k = 6, exact = true),
+      Retrieval.bm25TopK(corpus.unionByName(batch), q, k = 6, exact = true))
+  }
+
   test("query-term dedup: repeated terms in the query text score once") {
     val q1 = Seq((1L, "spark spark spark")).toDF("query_id", "query_text")
     val q2 = Seq((1L, "spark")).toDF("query_id", "query_text")
