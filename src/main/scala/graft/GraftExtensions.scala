@@ -213,6 +213,13 @@ object GraftExtensions {
         binMicros = intArg(args(5), "bin_days").toLong *
           graft.operators.EventAnalytics.MicrosPerDay))
     },
+    "graft_hybrid_topk" -> { args =>
+      require(args.size == 5,
+        "graft_hybrid_topk(docs, embeddings, queries_text, queries_vec, k) " +
+          "takes four table names and k")
+      plan(graft.llm.Retrieval.hybridTopK(table(args(0)), table(args(1)),
+        table(args(2)), table(args(3)), intArg(args(4), "k")))
+    },
     "graft_collocations" -> { args =>
       require(args.size == 3,
         "graft_collocations(docs, min_count, k) takes a table name, " +

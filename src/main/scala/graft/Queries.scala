@@ -5873,6 +5873,85 @@ object Queries {
       |       score_scaled, n_terms_matched
       |FROM r WHERE "rank" <= 7""".stripMargin
 
+  /** Hybrid lexical+vector retrieval
+    * ([[graft.llm.Retrieval.hybridTopK]], RRF fusion per Cormack 2009):
+    * three query-by-example probes (doc ids 10/20/30) run exact-mode
+    * BM25 on their fixed query strings AND brute-force cosine on their
+    * own embeddings; the fused score is the integer-exact
+    * `Σ SCALE div (60 + rank)`. Everything the oracle hashes is
+    * integer: ranks from both rankers are engine-stable (the BM25 side
+    * is integer-exact; the cosine side is the same deterministic
+    * double ordering knn_bruteforce already gates), and fusion
+    * arithmetic is BIGINT end to end. */
+  def hybridSearchDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    val docs = pq(spark, dir, "documents")
+    val emb = pq(spark, dir, "embeddings")
+    val qText = Seq(
+      (10L, "spark table merge"),
+      (20L, "customer query order"),
+      (30L, "vector hash stream")).toDF("query_id", "query_text")
+    val qVec = emb.filter(col("vec_id").isin(10, 20, 30))
+    Retrieval.hybridTopK(docs, emb, qText, qVec, k = 10)
+  }
+
+  /** DuckDB mirror of [[hybridSearchDocs]]. */
+  val hybridSearchSql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |  (10, 'spark table merge'),
+      |  (20, 'customer query order'),
+      |  (30, 'vector hash stream')),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM documents),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM dt GROUP BY doc_id),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM dt GROUP BY tok),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |qt AS (SELECT DISTINCT query_id, tok FROM
+      |  (SELECT query_id,
+      |     unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS tok
+      |   FROM q)),
+      |m AS (SELECT qt.query_id, dt.doc_id,
+      |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+      |        * 44 * dt.tf * s.total_len * 1000000000)
+      |    // (CAST(2*f.df + 1 AS HUGEINT)
+      |        * (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |           + CAST(6 AS HUGEINT)*s.total_len
+      |           + CAST(18 AS HUGEINT)*l.dl*s.n_docs)) AS BIGINT) AS s_int
+      | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
+      |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
+      |bm AS (SELECT query_id, doc_id,
+      |        CAST(sum(s_int) AS BIGINT) AS score_scaled
+      |       FROM m GROUP BY query_id, doc_id),
+      |lex AS (SELECT query_id, doc_id, r FROM
+      |  (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_scaled DESC, doc_id) AS r FROM bm)
+      |  WHERE r <= 20),
+      |vec AS (SELECT query_id, doc_id, r FROM
+      |  (SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+      |    row_number() OVER (PARTITION BY qv.vec_id
+      |      ORDER BY list_cosine_similarity(qv.embedding::DOUBLE[],
+      |                 c.embedding::DOUBLE[]) DESC, c.vec_id) AS r
+      |   FROM embeddings qv JOIN embeddings c ON qv.vec_id != c.vec_id
+      |   WHERE qv.vec_id IN (10, 20, 30))
+      |  WHERE r <= 20),
+      |u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
+      |f AS (SELECT query_id, doc_id,
+      |       CAST(sum(1000000000 // (60 + r)) AS BIGINT) AS rrf_scaled,
+      |       CAST(count(*) AS BIGINT) AS n_sources
+      |      FROM u GROUP BY query_id, doc_id),
+      |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY rrf_scaled DESC, doc_id) AS "rank" FROM f)
+      |SELECT query_id, "rank", doc_id, rrf_scaled, n_sources
+      |FROM rr WHERE "rank" <= 10""".stripMargin
+
   /** Incremental decontamination ([[graft.llm.Dedup.decontaminateWith]]):
     * the eval set's shingle index is built ONCE, persisted as parquet,
     * and a "daily" train batch (every third train doc) is checked

@@ -203,6 +203,7 @@ object SparkEntry {
     "tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Queries.pq(s, d, "documents"))),
     "bm25_topk" -> (Queries.bm25TopKDocs(_, _)),
     "bm25_incremental" -> (Queries.bm25IncrementalDocs(_, _)),
+    "hybrid_search" -> (Queries.hybridSearchDocs(_, _)),
     "collocations_topk" -> (Queries.collocationsDocs(_, _)),
     "cohort_retention" -> (Queries.cohortRetentionEvents(_, _)),
     "resample_locf" -> (Queries.resampleEvents(_, _)),
@@ -699,6 +700,7 @@ object SparkEntry {
         |JOIN r m ON m.lang = s.lang AND m.rn = (s.n_docs + 1) // 2""".stripMargin,
     "bm25_topk" -> Queries.bm25TopKSql,
     "bm25_incremental" -> Queries.bm25IncrementalSql,
+    "hybrid_search" -> Queries.hybridSearchSql,
     "collocations_topk" -> Queries.collocationsSql,
     "cohort_retention" -> Queries.cohortRetentionSql,
     "resample_locf" -> Queries.resampleSql,

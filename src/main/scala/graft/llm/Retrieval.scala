@@ -207,6 +207,60 @@ object Retrieval {
         col("n_terms_matched"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009 — the
+    * standard way to combine heterogeneous rankers, used by every
+    * hybrid lexical+vector search stack): each ranking contributes
+    * `1/(rrfK + rank)` per (query, doc), summed across rankers.
+    * Computed integer-exact as `SCALE div (rrfK + rank)` — ranks are
+    * small integers, so the quantization error (< 1 part in 10^7 of
+    * the largest term) never reorders anything RRF itself wouldn't
+    * call a tie, and the summed BIGINT is bit-identical in any engine.
+    * Each input is a `(query_id, doc_id, rank)` list; docs missing
+    * from a ranker simply contribute nothing (standard RRF).
+    * Shape: union of k-bounded rank lists (tiny), one hash aggregate,
+    * one per-query top-k window. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && rrfK >= 0, s"bad k=$k / rrfK=$rrfK")
+    import org.apache.spark.sql.expressions.Window
+    val all = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val scored = all
+      .withColumn("__rrf__", expr(s"$Scale div ($rrfK + rank)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("__rrf__").as("rrf_scaled"), count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_scaled").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("rrf_scaled"), col("n_sources"))
+  }
+
+  /** Hybrid lexical+vector retrieval: exact-mode BM25 over the text
+    * side and brute-force cosine over the embedding side, fused by
+    * [[rrfFuse]]. `queriesText` is `(query_id, query_text)`;
+    * `queriesVec` is `(vec_id, embedding)` query-by-example probes
+    * whose `vec_id` MUST equal the matching `query_id` (the fusion
+    * joins on it). The vector ranker excludes the probe itself
+    * (query-by-example convention); the lexical ranker has no such
+    * notion — RRF fuses whatever each ranker returns. Swap the
+    * brute-force ranker for the IVF-PQ index at scale; fusion is
+    * ranker-agnostic. */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame,
+                 queriesText: DataFrame, queriesVec: DataFrame, k: Int,
+                 kPerRanker: Int = 20, rrfK: Int = 60,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val lex = bm25TopK(docs, queriesText, kPerRanker, exact = true,
+        textCol = textCol, idCol = idCol)
+      .select("query_id", "doc_id", "rank")
+    val vec = Similarity.bruteForceTopK(embeddings, queriesVec, kPerRanker)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, vec), k, rrfK)
+  }
+
   /** One-shot form: index the corpus and search in one plan. Fine for
     * ad-hoc runs; at 100 TB persist [[bm25Index]] once and use
     * [[bm25SearchWith]] so each query batch touches only its matched

@@ -138,6 +138,53 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25TopK(corpus.unionByName(batch), q, k = 6, exact = true))
   }
 
+  test("rrfFuse: hand-computed scores, consensus beats single-source") {
+    def s(r: Int): Long = Retrieval.Scale / (60 + r)
+    val a = Seq((1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 101L, 1), (1L, 103L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sortBy(_._1)
+    // doc 101 appears in both (ranks 2 and 1) and must fuse to the top
+    assert(got === Seq(
+      (1, 101L, s(2) + s(1), 2L),
+      (2, 100L, s(1), 1L),
+      (3, 103L, s(2), 1L),
+      (4, 102L, s(3), 1L)))
+  }
+
+  test("rrfFuse of a single ranking preserves its order") {
+    val a = Seq((1L, 7L, 1), (1L, 9L, 2), (1L, 8L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a), k = 3)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(7L, 9L, 8L))
+  }
+
+  test("hybridTopK fuses the bm25 and cosine rank lists") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(1.0f, 0.0f)), Row(2L, Seq(0.9f, 0.1f)),
+        Row(3L, Seq(0.0f, 1.0f)), Row(4L, Seq(0.1f, 0.9f)),
+        Row(5L, Seq(0.7f, 0.7f)))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val qText = Seq((1L, "spark merge")).toDF("query_id", "query_text")
+    val qVec = emb.filter(col("vec_id") === 1L)
+    val fused = Retrieval.hybridTopK(corpus, emb, qText, qVec, k = 5)
+    // doc 2: lexical rank 2 (bm25: doc2 beats doc1 on length) AND
+    // vector rank 1 (closest to probe 1) — consensus must win
+    val top = fused.orderBy("rank").select("doc_id").as[Long].head()
+    assert(top === 2L)
+    val n = fused.filter(col("doc_id") === 2L)
+      .select("n_sources").as[Long].head()
+    assert(n === 2L)
+  }
+
   test("query-term dedup: repeated terms in the query text score once") {
     val q1 = Seq((1L, "spark spark spark")).toDF("query_id", "query_text")
     val q2 = Seq((1L, "spark")).toDF("query_id", "query_text")

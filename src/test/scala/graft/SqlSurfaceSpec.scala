@@ -451,6 +451,23 @@ class SqlSurfaceSpec extends SparkSpec {
         spark.table("colloc_docs"), minCount = 3, k = 10))
   }
 
+  test("graft_hybrid_topk TVF matches the Scala API") {
+    import spark.implicits._
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("hy_docs")
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .createOrReplaceTempView("hy_emb")
+    Seq((3L, "spark table merge")).toDF("query_id", "query_text")
+      .createOrReplaceTempView("hy_qt")
+    spark.table("hy_emb").filter("vec_id = 3")
+      .createOrReplaceTempView("hy_qv")
+    assertSameRows(
+      spark.sql(
+        "SELECT * FROM graft_hybrid_topk('hy_docs', 'hy_emb', 'hy_qt', 'hy_qv', 5)"),
+      graft.llm.Retrieval.hybridTopK(spark.table("hy_docs"),
+        spark.table("hy_emb"), spark.table("hy_qt"), spark.table("hy_qv"), 5))
+  }
+
   test("graft_bm25_topk TVF matches the Scala API in both modes") {
     import spark.implicits._
     spark.read.parquet(s"$sf/documents.parquet")
