@@ -5640,10 +5640,17 @@ object Queries {
     val out = WordPiece.encode(docs, vocab).localCheckpoint()
     // distributed identity gate (UNK-free corpus: base units always
     // cover the training corpus's own words, so every segmentation
-    // must concatenate back exactly)
-    val broken = out.join(docs.select(col("doc_id"),
-        concat_ws("", regexp_extract_all(lower(col("text")),
-          lit("[a-z0-9]+"), lit(0))).as("__flat__")), Seq("doc_id"))
+    // must concatenate back exactly). One carve-out: encodeWord turns
+    // any word past maxInputChars = 200 into [UNK] BY DESIGN, so a doc
+    // containing a 200+ char alphanumeric run is excluded from the
+    // identity check — it legitimately cannot reassemble.
+    val broken = out.join(docs
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0)).as("__words__"))
+        .filter(!exists(col("__words__"), w => length(w) > 200))
+        .select(col("doc_id"),
+          concat_ws("", col("__words__")).as("__flat__")), Seq("doc_id"))
       .filter(concat_ws("", transform(col("wp_tokens"),
         t => regexp_replace(t, "^##", ""))) =!= col("__flat__"))
       .count()
@@ -5696,11 +5703,11 @@ object Queries {
       |   FROM q)),
       |m AS (SELECT qt.query_id, dt.doc_id,
       |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
-      |        * 44 * dt.tf * s.total_len * 1000000000)
-      |    // (CAST(2*f.df + 1 AS HUGEINT)
-      |        * (CAST(20 AS HUGEINT)*dt.tf*s.total_len
-      |           + CAST(6 AS HUGEINT)*s.total_len
-      |           + CAST(18 AS HUGEINT)*l.dl*s.n_docs)) AS BIGINT) AS s_int
+      |        * ((CAST(44 AS HUGEINT) * dt.tf * s.total_len * 1000000)
+      |           // (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |              + CAST(6 AS HUGEINT)*s.total_len
+      |              + CAST(18 AS HUGEINT)*l.dl*s.n_docs)))
+      |    // CAST(2*f.df + 1 AS HUGEINT) AS BIGINT) AS s_int
       | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
       |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
       |agg AS (SELECT query_id, doc_id,
@@ -5856,11 +5863,11 @@ object Queries {
       |   FROM q)),
       |m AS (SELECT qt.query_id, dt.doc_id,
       |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
-      |        * 44 * dt.tf * s.total_len * 1000000000)
-      |    // (CAST(2*f.df + 1 AS HUGEINT)
-      |        * (CAST(20 AS HUGEINT)*dt.tf*s.total_len
-      |           + CAST(6 AS HUGEINT)*s.total_len
-      |           + CAST(18 AS HUGEINT)*l.dl*s.n_docs)) AS BIGINT) AS s_int
+      |        * ((CAST(44 AS HUGEINT) * dt.tf * s.total_len * 1000000)
+      |           // (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |              + CAST(6 AS HUGEINT)*s.total_len
+      |              + CAST(18 AS HUGEINT)*l.dl*s.n_docs)))
+      |    // CAST(2*f.df + 1 AS HUGEINT) AS BIGINT) AS s_int
       | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
       |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
       |agg AS (SELECT query_id, doc_id,
@@ -5919,11 +5926,11 @@ object Queries {
       |   FROM q)),
       |m AS (SELECT qt.query_id, dt.doc_id,
       |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
-      |        * 44 * dt.tf * s.total_len * 1000000000)
-      |    // (CAST(2*f.df + 1 AS HUGEINT)
-      |        * (CAST(20 AS HUGEINT)*dt.tf*s.total_len
-      |           + CAST(6 AS HUGEINT)*s.total_len
-      |           + CAST(18 AS HUGEINT)*l.dl*s.n_docs)) AS BIGINT) AS s_int
+      |        * ((CAST(44 AS HUGEINT) * dt.tf * s.total_len * 1000000)
+      |           // (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |              + CAST(6 AS HUGEINT)*s.total_len
+      |              + CAST(18 AS HUGEINT)*l.dl*s.n_docs)))
+      |    // CAST(2*f.df + 1 AS HUGEINT) AS BIGINT) AS s_int
       | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
       |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
       |bm AS (SELECT query_id, doc_id,

@@ -18,25 +18,36 @@ import org.apache.spark.sql.functions._
   *     choice at scale, but `ln` plus a multi-term float SUM makes
   *     the result engine-rounding-dependent, so it cannot sit under
   *     a cross-engine hash gate.
-  *   - '''exact''' (`exact = true`): every per-term score is a single
-  *     integer-division of two exactly-computed integers, so the
+  *   - '''exact''' (`exact = true`): every per-term score is a pair of
+  *     staged integer divisions over exactly-computed integers, so the
   *     per-document sum is an exact BIGINT — bit-identical in any
   *     engine. With `k1 = 6/5` and `b = 3/4` the per-term score
   *     `idf_lin · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))` clears to the
-  *     rational
+  *     staged form (L = Σ dl, SCALE = [[ExactScale]] = 10^6)
   *     {{{
-  *       (2N − 2df + 1) · 44 · tf · L
-  *       -----------------------------------------   (L = Σ dl)
-  *       (2df + 1) · (20·tf·L + 6·L + 18·dl·N)
+  *       sat  = (44 · tf · L · SCALE) div (20·tf·L + 6·L + 18·dl·N)
+  *       term = ((2N − 2df + 1) · sat) div (2df + 1)
   *     }}}
-  *     scaled by `SCALE = 10^9` and floor-divided (`div`). The linear
-  *     idf `(2N−2df+1)/(2df+1)` replaces the log idf — a documented
-  *     variant (it is the RSJ idf without the log), steeper on rare
-  *     terms but with the same sign behaviour; the tf saturation and
-  *     length normalization are exactly BM25's. Numerators are
-  *     computed in DECIMAL(38,0) (DuckDB: HUGEINT): at a 100 TB corpus
-  *     (`N ~ 2·10^10`, `L ~ 2·10^13`) the worst-case numerator is
-  *     ~10^36, inside both engines' 38-digit range.
+  *     The linear idf `(2N−2df+1)/(2df+1)` replaces the log idf — a
+  *     documented variant (the RSJ idf without the log), steeper on
+  *     rare terms but with the same sign behaviour; tf saturation and
+  *     length normalization are exactly BM25's. The staged division is
+  *     the overflow-safe shape — the naive single fraction's numerator
+  *     grows with tf (`~(2N)·44·tf·L·SCALE`), so a spam term in a long
+  *     doc would push a DECIMAL(38,0)/HUGEINT past 38 digits; staging
+  *     caps each intermediate independently of tf:
+  *     {{{
+  *       stage 1:  44·tf·L·SCALE ≤ 10^38  ⇔  tf·L ≤ 2.3·10^30
+  *                 (tf < 2^31 per parquet-string doc, L ≤ 10^17: safe)
+  *       sat       ≤ 44·SCALE/20 = 2.2·10^6        (denominator ≥ 20·tf·L)
+  *       stage 2:  (2N+1)·sat ≤ 10^38              (any N: safe)
+  *       term      < (2N−1)/3 · 2.2·SCALE  (df ≥ 1 on a matched posting)
+  *                 — fits BIGINT for N ≤ 6·10^12 docs; past that (far
+  *                 beyond 100 TB's N ~ 2·10^10) the ANSI overflow is a
+  *                 loud error, never a silent wrap.
+  *     }}}
+  *     Both stages floor (`div` / DuckDB `//`) on all-positive
+  *     operands, so the two engines agree bit-for-bit.
   *
   * Scale shape: the standing index ([[bm25Index]]) is one tokenize +
   * two hash aggregates; scoring ([[bm25SearchWith]]) broadcasts the
@@ -50,10 +61,18 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** 10^9: fixed-point scale of the exact-mode score. One part per
-    * billion of ranking resolution — far below any meaningful
-    * relevance difference, far above ever mattering for top-k cuts. */
+  /** 10^9: fixed-point scale of the double-mode display column and the
+    * RRF fusion arithmetic (rank denominators are tiny, so the head
+    * room is free there). */
   val Scale = 1000000000L
+
+  /** 10^6: fixed-point scale of the EXACT-mode score. One part per
+    * million of ranking resolution — still far below any meaningful
+    * relevance difference — chosen so the per-term BIGINT bound
+    * `(2N−1)/3 · 2.2·ExactScale` holds through N ≈ 6·10^12 documents
+    * (a 10^9 scale would overflow a long at N ≈ 6·10^9, BELOW the
+    * 100 TB operating point this mode advertises). */
+  val ExactScale = 1000000L
 
   private def toks(c: org.apache.spark.sql.Column) =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
@@ -171,16 +190,19 @@ object Retrieval {
       .distinct()
     val matched = index.join(broadcast(qterms), Seq("tok"))
     val dec = "DECIMAL(38,0)"
+    // staged: sat = (44·tf·L·SCALE) div (20tfL + 6L + 18·dl·N) is a
+    // BIGINT ≤ 2.2·SCALE regardless of tf, then the idf stage — see the
+    // object scaladoc for the overflow analysis both stages satisfy
     val termScore =
       if (exact)
         expr(s"""(CAST(2*n_docs - 2*df + 1 AS $dec)
-                 * CAST(44 AS $dec) * CAST(tf AS $dec)
-                 * CAST(total_len AS $dec) * CAST($Scale AS $dec))
-                div
-                (CAST(2*df + 1 AS $dec)
-                 * (CAST(20 AS $dec)*CAST(tf AS $dec)*CAST(total_len AS $dec)
-                    + CAST(6 AS $dec)*CAST(total_len AS $dec)
-                    + CAST(18 AS $dec)*CAST(dl AS $dec)*CAST(n_docs AS $dec)))
+                 * ((CAST(44 AS $dec) * CAST(tf AS $dec)
+                     * CAST(total_len AS $dec) * CAST($ExactScale AS $dec))
+                    div
+                    (CAST(20 AS $dec)*CAST(tf AS $dec)*CAST(total_len AS $dec)
+                     + CAST(6 AS $dec)*CAST(total_len AS $dec)
+                     + CAST(18 AS $dec)*CAST(dl AS $dec)*CAST(n_docs AS $dec))))
+                div CAST(2*df + 1 AS $dec)
              """)
       else {
         val avgdl = col("total_len").cast("double") / col("n_docs")

@@ -16,11 +16,23 @@ object EventAnalytics {
 
   val MicrosPerDay: Long = 86400L * 1000000L
 
+  /** FLOOR division `ts // p`, matched to the DuckDB oracle's `//` for
+    * ALL inputs: Spark's bare `div` truncates toward zero, so a
+    * pre-1970 (negative) microsecond timestamp would land one bin high
+    * and collapse with bin 0 across the epoch boundary. Subtracting
+    * `pmod` (always in `[0, p)`) first makes the quotient exact-integer
+    * floor division for any sign — and stays in BIGINT arithmetic
+    * end-to-end (a double quotient at a period boundary can round
+    * across the bin edge). */
+  private def floorDivExpr(colName: String, p: Long): org.apache.spark.sql.Column =
+    expr(s"(`$colName` - pmod(`$colName`, ${p}L)) div ${p}L")
+
   /** Classic cohort retention: users are cohorted by the period of
     * their FIRST activity, and each (cohort, offset) cell counts users
     * from that cohort active `offset` periods later. Periods are pure
-    * integer indices `ts_us div periodMicros` — no calendar functions,
-    * whose week-start and timezone conventions differ across engines.
+    * integer FLOOR indices `ts_us // periodMicros` (correct for
+    * pre-1970 timestamps too) — no calendar functions, whose
+    * week-start and timezone conventions differ across engines.
     *
     * Shape: one distinct on (user, period) collapses raw events to
     * user-periods (the only pass over the events); the per-user min is
@@ -32,10 +44,8 @@ object EventAnalytics {
                       userCol: String = "user_id",
                       periodMicros: Long = 7 * MicrosPerDay): DataFrame = {
     require(periodMicros > 0, s"periodMicros must be positive")
-    // integral `div`, never `/`: a double quotient at a period boundary
-    // can round across the bin edge and disagree with the oracle
     val userPeriods = events.select(col(userCol).as("__user__"),
-        expr(s"`$tsUsCol` div $periodMicros").as("__period__"))
+        floorDivExpr(tsUsCol, periodMicros).as("__period__"))
       .distinct()
     val cohorts = userPeriods.groupBy("__user__")
       .agg(min("__period__").as("cohort_period"))
@@ -61,7 +71,7 @@ object EventAnalytics {
     *      (ts desc, then `tieCol` desc for a total order), never an
     *      argmax whose tie rule is engine-specific;
     *   2. build the dense spine with `sequence(min_bin, max_bin)` per
-    *      key (bins are `ts_us div binMicros`, pure integers; spine
+    *      key (bins are floor `ts_us // binMicros`, pure integers; spine
     *      length is the key's time span over the bin width — bounded
     *      by the calendar, not the event count);
     *   3. LOCF via `last(value, ignoreNulls) over (rows unbounded
@@ -78,7 +88,7 @@ object EventAnalytics {
                    binMicros: Long = MicrosPerDay): DataFrame = {
     require(binMicros > 0, s"binMicros must be positive")
     val binned = events.select(col(keyCol).as("key"),
-      expr(s"`$tsUsCol` div $binMicros").as("bin"),
+      floorDivExpr(tsUsCol, binMicros).as("bin"),
       col(tsUsCol).as("__ts__"), col(tieCol).as("__tie__"),
       col(valueCol).as("__v__"))
     val wLast = Window.partitionBy(col("key"), col("bin"))

@@ -28,6 +28,37 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, 0L) -> ((1L, 1L, 1.0))))
   }
 
+  test("cohortRetention: pre-1970 timestamps bin by FLOOR division " +
+      "(no collapse across the epoch)") {
+    // user 1 active in week -1 and week 0: truncate-toward-zero would
+    // put ts = -5 into bin 0 and merge both events into one cohort cell
+    val ev = Seq(
+      (1L, -5L), (1L, 3L),        // bins -1 and 0 under floor division
+      (2L, -W - 1), (2L, -1L)     // bins -2 and -1
+    ).toDF("user_id", "ts_us")
+    val got = EventAnalytics.cohortRetention(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      (-1L, 0L) -> ((1L, 1L)), (-1L, 1L) -> ((1L, 1L)),
+      (-2L, 0L) -> ((1L, 1L)), (-2L, 1L) -> ((1L, 1L))))
+  }
+
+  test("resampleLocf: negative-timestamp bins floor, not truncate") {
+    val D = EventAnalytics.MicrosPerDay
+    val ev = Seq(
+      ("a", -1L, 1L, 1.0),        // bin -1 under floor (0 under truncate)
+      ("a", D + 1, 2L, 2.0)       // bin 1 — bins -1..1, bin 0 carried
+    ).toDF("k", "ts_us", "event_id", "v")
+    val got = EventAnalytics.resampleLocf(ev, "k", "ts_us", "v", "event_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getInt(3)))).toMap
+    assert(got === Map(
+      ("a", -1L) -> ((1.0, 1)),
+      ("a", 0L) -> ((1.0, 0)),
+      ("a", 1L) -> ((2.0, 1))))
+  }
+
   test("cohortRetention: offset 0 always covers the whole cohort") {
     val ev0 = spark.read.parquet(s"$sf/events.parquet")
     val ev = ev0.withColumn("ts_us", Queries.eventMicros(ev0))

@@ -33,11 +33,10 @@ class RetrievalSpec extends SparkSpec {
       val tfm = ts.groupBy(identity).map { case (t, o) => t -> BigInt(o.size) }
       val s = qts.flatMap { q =>
         tfm.get(q).map { tf =>
-          val num = (2 * n - 2 * df(q) + 1) * 44 * tf * totalLen *
-            BigInt(Retrieval.Scale)
-          val den = (2 * df(q) + 1) *
+          // staged form, mirroring Retrieval's overflow-safe arithmetic
+          val sat = (44 * tf * totalLen * BigInt(Retrieval.ExactScale)) /
             (20 * tf * totalLen + 6 * totalLen + 18 * BigInt(dl(id)) * n)
-          num / den
+          ((2 * n - 2 * df(q) + 1) * sat) / (2 * df(q) + 1)
         }
       }
       if (s.isEmpty) None else Some(id -> s.sum.toLong)
