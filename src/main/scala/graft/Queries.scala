@@ -5826,11 +5826,20 @@ object Queries {
     val docs = pq(spark, dir, "documents")
     val idxPath = tmp("bm25idx")
     Staging.timed {
-      Retrieval.bm25Index(docs.filter(col("doc_id") % 3 =!= 0))
-        .write.mode("overwrite").parquet(idxPath)
+      val idx = Retrieval.bm25Index(docs.filter(col("doc_id") % 3 =!= 0))
+        .localCheckpoint()
+      idx.write.mode("overwrite").parquet(s"$idxPath/postings")
+      // the doc-id bloom persists NEXT TO the index (one distinct at
+      // build time) so every daily merge's append-only gate is O(batch)
+      Retrieval.bm25IndexBloom(idx, expectedItems = 100000)
+        .write.mode("overwrite").parquet(s"$idxPath/bloom")
     }
+    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(
+      spark.read.parquet(s"$idxPath/bloom"))
     val merged = Retrieval.bm25IndexMerge(
-      spark.read.parquet(idxPath), docs.filter(col("doc_id") % 3 === 0))
+      spark.read.parquet(s"$idxPath/postings"),
+      docs.filter(col("doc_id") % 3 === 0),
+      docIdBloom = Some(bloomBytes))
     val queries = Seq(
       (1L, "spark join data"),
       (2L, "order group row"),
@@ -5958,6 +5967,146 @@ object Queries {
       |         ORDER BY rrf_scaled DESC, doc_id) AS "rank" FROM f)
       |SELECT query_id, "rank", doc_id, rrf_scaled, n_sources
       |FROM rr WHERE "rank" <= 10""".stripMargin
+
+  /** Hybrid retrieval over STANDING indexes
+    * ([[graft.llm.Retrieval.hybridTopKWith]]): both rankers serve from
+    * persisted artifacts — the BM25 inverted index and the IVF-PQ
+    * triple (centroids, codebooks, coded corpus) — built once
+    * (staging) and reloaded from parquet. Three planted consensus
+    * probes: each pairs a unique-nonce query text (only its planted
+    * doc contains the nonces, so the lexical candidate set IS the
+    * planted doc) with the planted doc's exact embedding (a
+    * +0.5-shifted copy of a natural vector — the shift changes
+    * direction, so cosine is 1.0 against the planted vector and < 1
+    * against everything natural). The planted doc must fuse at rank 1
+    * with both sources; in-query gates require that AND that the
+    * indexed fusion's rank-1 rows EQUAL brute-force fusion's
+    * ([[graft.llm.Retrieval.hybridTopK]]) — score and all — so the
+    * oracle's from-scratch DuckDB fusion proves the persisted-index
+    * path end to end (a lost planted vector in the ADC cut, a broken
+    * index round-trip, or a fusion drift all throw or hash-mismatch). */
+  def hybridSearchIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.{Retrieval, Similarity}
+    val docs = pq(spark, dir, "documents")
+    val emb = pq(spark, dir, "embeddings")
+    val plantedDocs = Seq(
+      (900010L, "zqxveca zqxvecb zqxvecc"),
+      (900020L, "zqxvecd zqxvece zqxvecf"),
+      (900030L, "zqxvecg zqxvech zqxveci")).toDF("doc_id", "text")
+    val plantedVecs = emb.filter(col("vec_id").isin(10L, 20L, 30L))
+      .select((col("vec_id") + 900000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + lit(0.5)).as("embedding"))
+    val corpusDocs = docs.select("doc_id", "text").unionByName(plantedDocs)
+    val corpusVecs = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(plantedVecs).localCheckpoint()
+    val qText = Seq(
+      (950010L, "zqxveca zqxvecb"),
+      (950020L, "zqxvecd zqxvece"),
+      (950030L, "zqxvecg zqxvech")).toDF("query_id", "query_text")
+    val qVec = plantedVecs.select((col("vec_id") + 50000L).as("vec_id"),
+      col("embedding"))
+    val idxDir = tmp("hybrid_idx")
+    Staging.timed {
+      Retrieval.bm25Index(corpusDocs)
+        .write.mode("overwrite").parquet(s"$idxDir/bm25")
+      val (c, b, cd) = Similarity.ivfPqIndex(corpusVecs, nlist = 16, m = 8,
+        ksub = 16)
+      Similarity.centroidsTable(spark, c)
+        .write.mode("overwrite").parquet(s"$idxDir/centroids")
+      Similarity.pqBooksTable(spark, b)
+        .write.mode("overwrite").parquet(s"$idxDir/books")
+      cd.write.mode("overwrite").parquet(s"$idxDir/codes")
+    }
+    val cents = Similarity.centroidsFrom(spark.read.parquet(s"$idxDir/centroids"))
+    val books = Similarity.pqBooksFrom(spark.read.parquet(s"$idxDir/books"))
+    val fusedIdx = Retrieval.hybridTopKWith(qText, qVec,
+      spark.read.parquet(s"$idxDir/bm25"), cents, books,
+      spark.read.parquet(s"$idxDir/codes"), corpusVecs,
+      k = 10, kPerRanker = 10).localCheckpoint()
+    val top = fusedIdx.filter(col("rank") === 1)
+    val badTop = top.filter(col("doc_id") =!= col("query_id") - 50000L ||
+      col("n_sources") =!= 2).count()
+    require(badTop == 0L, s"hybrid_search_indexed: $badTop probes did not " +
+      "fuse their planted doc first from both sources")
+    val bruteTop = Retrieval.hybridTopK(corpusDocs, corpusVecs, qText, qVec,
+        k = 10, kPerRanker = 10)
+      .filter(col("rank") === 1)
+    val distinctUnion = top.unionByName(bruteTop).distinct().count()
+    require(distinctUnion == 3L, "hybrid_search_indexed: indexed fusion " +
+      "diverged from brute-force fusion on the planted consensus rows")
+    top
+  }
+
+  /** DuckDB mirror of [[hybridSearchIndexed]] — the from-scratch
+    * brute-force fusion over the SAME planted construction (docs ∪
+    * nonce plants, embeddings ∪ shifted copies), rank-1 rows only. */
+  val hybridSearchIndexedSql: String =
+    """WITH pd(doc_id, text) AS (VALUES
+      |  (900010, 'zqxveca zqxvecb zqxvecc'),
+      |  (900020, 'zqxvecd zqxvece zqxvecf'),
+      |  (900030, 'zqxvecg zqxvech zqxveci')),
+      |ad AS (SELECT doc_id, text FROM documents
+      |       UNION ALL SELECT doc_id, text FROM pd),
+      |pv AS (SELECT vec_id + 900000 AS vec_id,
+      |         list_transform(embedding::DOUBLE[], x -> x + 0.5) AS e
+      |       FROM embeddings WHERE vec_id IN (10, 20, 30)),
+      |av AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      |       UNION ALL SELECT vec_id, e FROM pv),
+      |q(query_id, query_text) AS (VALUES
+      |  (950010, 'zqxveca zqxvecb'),
+      |  (950020, 'zqxvecd zqxvece'),
+      |  (950030, 'zqxvecg zqxvech')),
+      |qv AS (SELECT vec_id + 50000 AS vec_id, e FROM pv),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM ad),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM dt GROUP BY doc_id),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM dt GROUP BY tok),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |qt AS (SELECT DISTINCT query_id, tok FROM
+      |  (SELECT query_id,
+      |     unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS tok
+      |   FROM q)),
+      |m AS (SELECT qt.query_id, dt.doc_id,
+      |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+      |        * ((CAST(44 AS HUGEINT) * dt.tf * s.total_len * 1000000)
+      |           // (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |              + CAST(6 AS HUGEINT)*s.total_len
+      |              + CAST(18 AS HUGEINT)*l.dl*s.n_docs)))
+      |    // CAST(2*f.df + 1 AS HUGEINT) AS BIGINT) AS s_int
+      | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
+      |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
+      |bm AS (SELECT query_id, doc_id,
+      |        CAST(sum(s_int) AS BIGINT) AS score_scaled
+      |       FROM m GROUP BY query_id, doc_id),
+      |lex AS (SELECT query_id, doc_id, r FROM
+      |  (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_scaled DESC, doc_id) AS r FROM bm)
+      |  WHERE r <= 10),
+      |vec AS (SELECT query_id, doc_id, r FROM
+      |  (SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+      |    row_number() OVER (PARTITION BY qv.vec_id
+      |      ORDER BY list_cosine_similarity(qv.e, c.e) DESC, c.vec_id) AS r
+      |   FROM qv JOIN av c ON qv.vec_id != c.vec_id)
+      |  WHERE r <= 10),
+      |u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
+      |f AS (SELECT query_id, doc_id,
+      |       CAST(sum(1000000000 // (60 + r)) AS BIGINT) AS rrf_scaled,
+      |       CAST(count(*) AS BIGINT) AS n_sources
+      |      FROM u GROUP BY query_id, doc_id),
+      |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY rrf_scaled DESC, doc_id) AS "rank" FROM f)
+      |SELECT query_id, "rank", doc_id, rrf_scaled, n_sources
+      |FROM rr WHERE "rank" = 1""".stripMargin
 
   /** Incremental decontamination ([[graft.llm.Dedup.decontaminateWith]]):
     * the eval set's shingle index is built ONCE, persisted as parquet,

@@ -204,6 +204,7 @@ object SparkEntry {
     "bm25_topk" -> (Queries.bm25TopKDocs(_, _)),
     "bm25_incremental" -> (Queries.bm25IncrementalDocs(_, _)),
     "hybrid_search" -> (Queries.hybridSearchDocs(_, _)),
+    "hybrid_search_indexed" -> (Queries.hybridSearchIndexed(_, _)),
     "collocations_topk" -> (Queries.collocationsDocs(_, _)),
     "cohort_retention" -> (Queries.cohortRetentionEvents(_, _)),
     "resample_locf" -> (Queries.resampleEvents(_, _)),
@@ -701,6 +702,7 @@ object SparkEntry {
     "bm25_topk" -> Queries.bm25TopKSql,
     "bm25_incremental" -> Queries.bm25IncrementalSql,
     "hybrid_search" -> Queries.hybridSearchSql,
+    "hybrid_search_indexed" -> Queries.hybridSearchIndexedSql,
     "collocations_topk" -> Queries.collocationsSql,
     "cohort_retention" -> Queries.cohortRetentionSql,
     "resample_locf" -> Queries.resampleSql,

@@ -50,14 +50,15 @@ import org.apache.spark.sql.functions._
   *     operands, so the two engines agree bit-for-bit.
   *
   * Scale shape: the standing index ([[bm25Index]]) is one tokenize +
-  * two hash aggregates; scoring ([[bm25SearchWith]]) broadcasts the
-  * (tiny) query-term set, so the only postings touched are the ones
-  * whose `tok` appears in some query — the candidate set is the union
-  * of the query terms' posting lists, never the corpus. One shuffle
-  * on `(query_id, doc_id)` sized by matched postings, then a top-k
-  * window partitioned per query: with query batches in the thousands
-  * (the production shape) the window partitions are bounded by each
-  * query's candidate count, not the corpus.
+  * two hash aggregates; scoring ([[bm25SearchWith]]) joins the query
+  * term set against the postings — broadcast-hinted while the batch
+  * fits the size gate, a plain shuffled join past it — so the only
+  * postings touched are the ones whose `tok` appears in some query:
+  * the candidate set is the union of the query terms' posting lists,
+  * never the corpus. One shuffle on `(query_id, doc_id)` sized by
+  * matched postings, then a top-k window partitioned per query — the
+  * window partitions are bounded by each query's candidate count, not
+  * the corpus, at any batch size.
   */
 object Retrieval {
 
@@ -109,6 +110,59 @@ object Retrieval {
     dt.join(dl, Seq("doc_id"))
   }
 
+  /** A persistable one-row bloom filter over the index's doc ids —
+    * the O(1)-per-merge sibling of the index itself, built ONCE per
+    * index generation (one distinct over the postings) so
+    * [[bm25IndexMerge]]'s append-only gate never has to re-distinct
+    * 10^10 doc ids per daily fold: the batch tests against the bloom
+    * (O(batch), inside WholeStageCodegen via `graft_might_contain`),
+    * and the exact semi-join fallback runs only for bloom-positive
+    * ids. Row: `(bloom, expected_items, fpp)` — the sizing params ride
+    * along so [[bm25BloomAdd]] can build merge-compatible batch blooms.
+    * Ids hash as strings (`xxhash64(cast(id as string))`), so integral
+    * and string id columns both work; build and probe must agree. */
+  def bm25IndexBloom(index: DataFrame, expectedItems: Long,
+                     fpp: Double = 0.01): DataFrame = {
+    val spark = index.sparkSession
+    val bf = index.select(col("doc_id").cast("string").as("__id__")).distinct()
+      .select(xxhash64(col("__id__")).as("__h__"))
+      .stat.bloomFilter("__h__", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    import spark.implicits._
+    Seq((bos.toByteArray, expectedItems, fpp))
+      .toDF("bloom", "expected_items", "fpp")
+  }
+
+  /** Reload a persisted [[bm25IndexBloom]] row. */
+  def bm25BloomFrom(df: DataFrame): (Array[Byte], Long, Double) = {
+    val r = df.select("bloom", "expected_items", "fpp").head()
+    (r.getAs[Array[Byte]](0), r.getLong(1), r.getDouble(2))
+  }
+
+  /** Fold a batch's doc ids into a standing [[bm25IndexBloom]] — the
+    * maintenance step paired with every [[bm25IndexMerge]]: the batch
+    * builds its own bloom UNDER THE SAME SIZING (same bit width and
+    * hash count, so the merge is element-wise OR) and the union row
+    * persists alongside the merged index. The bloom must always cover
+    * the index: a stale bloom turns the collision gate into silent
+    * false negatives (documented on [[bm25IndexMerge]]). */
+  def bm25BloomAdd(bloomRow: DataFrame, newDocs: DataFrame,
+                   idCol: String = "doc_id"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (bytes, items, fpp) = bm25BloomFrom(bloomRow)
+    val old = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val add = newDocs.select(col(idCol).cast("string").as("__id__")).distinct()
+      .select(xxhash64(col("__id__")).as("__h__"))
+      .stat.bloomFilter("__h__", items, fpp)
+    old.mergeInPlace(add)
+    val bos = new java.io.ByteArrayOutputStream()
+    old.writeTo(bos)
+    import spark.implicits._
+    Seq((bos.toByteArray, items, fpp)).toDF("bloom", "expected_items", "fpp")
+  }
+
   /** Fold an APPEND batch into a standing [[bm25Index]] without
     * touching the corpus text again — the O(batch)-per-day form every
     * standing model here gets ([[TextOps.tfidfKeywordsWith]],
@@ -128,15 +182,42 @@ object Retrieval {
     *   - stamps: one 1-row aggregate of each side, re-broadcast.
     *
     * Requires batch doc ids to be NEW (append semantics — an id
-    * collision would duplicate postings); gated in-query by a bounded
-    * 1-row count, same pattern as the planted ANN gates. */
+    * collision would duplicate postings). The gate has two costs:
+    *
+    *   - `docIdBloom = None`: an exact distinct×distinct semi-join —
+    *     correct anywhere, but the index-side distinct is a full
+    *     shuffle of 10^10 doc ids at daily cadence;
+    *   - `docIdBloom = Some(bytes)` (a [[bm25IndexBloom]] covering the
+    *     index): the batch's distinct ids test against the bloom in
+    *     O(batch); when NO id is bloom-positive — the overwhelmingly
+    *     common append-only case — the index is never touched at all,
+    *     and on a (rare, fpp-bounded) positive only the suspect ids'
+    *     posting rows are semi-scanned, no full-index distinct ever.
+    *     THE BLOOM MUST COVER THE INDEX: fold every merged batch with
+    *     [[bm25BloomAdd]]; a stale bloom silently skips the exact
+    *     check for ids it has never seen (RetrievalSpec pins exactly
+    *     that skip — it is the fast path working as designed). */
   def bm25IndexMerge(index: DataFrame, newDocs: DataFrame,
                      textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
+                     idCol: String = "doc_id",
+                     docIdBloom: Option[Array[Byte]] = None): DataFrame = {
     val newPost = postings(newDocs, textCol, idCol)
-    val dup = index.select("doc_id").distinct()
-      .join(newPost.select("doc_id").distinct(), Seq("doc_id"), "semi")
-      .count()
+    val dup = docIdBloom match {
+      case Some(bytes) =>
+        graft.expressions.MightContain.register(index.sparkSession)
+        val suspects = newPost.select("doc_id").distinct()
+          .filter(call_function(graft.expressions.MightContain.Name,
+            lit(bytes), xxhash64(col("doc_id").cast("string"))))
+          .localCheckpoint()
+        if (suspects.isEmpty) 0L
+        else index.select("doc_id")
+          .join(broadcast(suspects), Seq("doc_id"), "semi")
+          .distinct().count()
+      case None =>
+        index.select("doc_id").distinct()
+          .join(newPost.select("doc_id").distinct(), Seq("doc_id"), "semi")
+          .count()
+    }
     require(dup == 0L,
       s"bm25IndexMerge: $dup batch doc ids already exist in the index — " +
         "merge is append-only; dedup or reassign ids first")
@@ -182,13 +263,23 @@ object Retrieval {
   def bm25SearchWith(queries: DataFrame, index: DataFrame, k: Int = 5,
                      exact: Boolean = false,
                      queryTextCol: String = "query_text",
-                     queryIdCol: String = "query_id"): DataFrame = {
+                     queryIdCol: String = "query_id",
+                     maxBroadcastQueries: Int = 65536): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
     val qterms = queries.select(col(queryIdCol).as("query_id"),
         explode(toks(col(queryTextCol))).as("tok"))
       .distinct()
-    val matched = index.join(broadcast(qterms), Seq("tok"))
+    // query batches up to the gate broadcast their term set (posting
+    // lists prune before any shuffle — minimum latency); past it the
+    // hint drops and the tok join runs shuffled — a production
+    // million-query batch must never become driver/broadcast state.
+    // The gate probe is a limit(cap+1).count() — O(cap), short-circuits.
+    val qSide =
+      if (Similarity.fitsDriver(queries, maxBroadcastQueries))
+        broadcast(qterms)
+      else qterms
+    val matched = index.join(qSide, Seq("tok"))
     val dec = "DECIMAL(38,0)"
     // staged: sat = (44·tf·L·SCALE) div (20tfL + 6L + 18·dl·N) is a
     // BIGINT ≤ 2.2·SCALE regardless of tf, then the idf stage — see the
@@ -267,9 +358,9 @@ object Retrieval {
     * whose `vec_id` MUST equal the matching `query_id` (the fusion
     * joins on it). The vector ranker excludes the probe itself
     * (query-by-example convention); the lexical ranker has no such
-    * notion — RRF fuses whatever each ranker returns. Swap the
-    * brute-force ranker for the IVF-PQ index at scale; fusion is
-    * ranker-agnostic. */
+    * notion — RRF fuses whatever each ranker returns. At scale use
+    * [[hybridTopKWith]], which serves both rankers from standing
+    * indexes; fusion is ranker-agnostic. */
   def hybridTopK(docs: DataFrame, embeddings: DataFrame,
                  queriesText: DataFrame, queriesVec: DataFrame, k: Int,
                  kPerRanker: Int = 20, rrfK: Int = 60,
@@ -279,6 +370,34 @@ object Retrieval {
         textCol = textCol, idCol = idCol)
       .select("query_id", "doc_id", "rank")
     val vec = Similarity.bruteForceTopK(embeddings, queriesVec, kPerRanker)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, vec), k, rrfK)
+  }
+
+  /** Hybrid retrieval served ENTIRELY from standing indexes — the
+    * production form of [[hybridTopK]]: the lexical ranker runs
+    * [[bm25SearchWith]] against a persisted [[bm25Index]] (exact
+    * integer mode), the vector ranker runs
+    * [[Similarity.ivfPqTopKWith]] against a persisted IVF-PQ index
+    * (probe-pruned ADC scan + exact re-rank), and [[rrfFuse]] combines
+    * the two k-bounded rank lists. Nothing here scans the corpus text
+    * or raw vectors beyond each ranker's own candidate sets, and both
+    * rankers carry the query-batch size gates — so this entry point
+    * serves everything from a query-by-example probe to a
+    * million-query RAG back-fill against 100 TB-scale indexes.
+    * `queriesVec.vec_id` must equal the matching text `query_id`
+    * ([[hybridTopK]]'s fusion-join convention). */
+  def hybridTopKWith(queriesText: DataFrame, queriesVec: DataFrame,
+                     bm25Idx: DataFrame,
+                     cents: Array[Array[Double]],
+                     books: Array[Array[Array[Double]]],
+                     codes: DataFrame, corpusVecs: DataFrame, k: Int,
+                     kPerRanker: Int = 20, rrfK: Int = 60,
+                     nProbe: Int = 4, rerank: Int = 64): DataFrame = {
+    val lex = bm25SearchWith(queriesText, bm25Idx, kPerRanker, exact = true)
+      .select("query_id", "doc_id", "rank")
+    val vec = Similarity.ivfPqTopKWith(cents, books, codes, corpusVecs,
+        queriesVec, kPerRanker, nProbe, rerank)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, vec), k, rrfK)
   }

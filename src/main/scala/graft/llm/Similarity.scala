@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
  * Similarity search over an embedding column (`array<float>`).
  *
  * Two paths:
- *  - [[bruteForceTopK]]: exact cosine top-k of a *small* query set against
- *    the corpus — the query side is broadcast, so the corpus is scanned
- *    once with no shuffle except the final per-query top-k. This is the
- *    correctness baseline and the right tool when |queries| is small.
+ *  - [[bruteForceTopK]]: exact cosine top-k — the query side broadcasts
+ *    while it fits the size gate (corpus scanned once, no shuffle except
+ *    the final per-query top-k), and degrades to a distributed
+ *    nested-loop past it. The correctness baseline and the right tool
+ *    when |queries| is small.
  *  - [[annTopK]]: random-hyperplane LSH. Corpus vectors land in one
  *    sign-bit bucket; queries probe their own bucket plus all buckets at
  *    hamming distance 1 (multi-probe), so the join touches
@@ -62,22 +63,39 @@ object Similarity {
     }
   }
 
+  /** Size gate shared by every query-side entry point in this family:
+    * `true` iff `df` has at most `cap` rows, probed with a
+    * `limit(cap+1).count()` — the limit short-circuits the scan, so the
+    * probe costs O(cap) rows regardless of the frame's true size, and
+    * never materializes anything on the driver. */
+  private[llm] def fitsDriver(df: DataFrame, cap: Int): Boolean =
+    cap > 0 && df.limit(cap + 1).count() <= cap
+
   /**
-   * Exact top-k neighbors per query. `queries` must be small enough to
-   * broadcast (it is hinted); output: (query_id, rank, neighbor_id, cos).
-   * Self-matches (same id) are excluded.
+   * Exact top-k neighbors per query; output: (query_id, rank,
+   * neighbor_id, cos). Self-matches (same id) are excluded.
+   *
+   * Query-batch scale: up to `maxBroadcastQueries` rows the query side
+   * is broadcast-hinted (one corpus scan, no shuffle before the
+   * per-query top-k — the right plan for probe-sized batches); past
+   * the gate the hint is DROPPED and the join runs as a distributed
+   * nested-loop/cartesian — no driver-sized assumption anywhere, at
+   * the honest O(|corpus|·|queries|) cost brute force IS at that
+   * scale (use the IVF/PQ family when that cost is wrong).
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     maxBroadcastQueries: Int = 65536): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cvec"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qvec"))
+    val qSide = if (fitsDriver(queries, maxBroadcastQueries)) broadcast(q) else q
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+    c.join(qSide, col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", nativeCosine(corpus.sparkSession, col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -583,12 +601,26 @@ object Similarity {
   def pqTopKWith(books: Array[Array[Array[Double]]], codes: DataFrame,
                  corpus: DataFrame, queries: DataFrame, k: Int,
                  rerank: Int = 64, idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
-    val scored = adcScore(books,
-      codes.select(col(idCol).cast("long").as("neighbor_id"),
-        col("pq_codes"), lit(0).as("cell")),
-      queries, queryCells = None, idCol, vecCol)
-    rerankExact(scored, corpus, queries, k, rerank, idCol, vecCol)
+                 vecCol: String = "embedding",
+                 maxDriverQueries: Int = 4096): DataFrame = {
+    if (fitsDriver(queries, maxDriverQueries)) {
+      val scored = adcScore(books,
+        codes.select(col(idCol).cast("long").as("neighbor_id"),
+          col("pq_codes"), lit(0).as("cell")),
+        queries, queryCells = None, idCol, vecCol)
+      rerankExact(scored, corpus, queries, k, rerank, idCol, vecCol)
+    } else {
+      // plain PQ scores every (query, code) pair — past the driver gate
+      // that is an explicit distributed crossJoin (NOT an equi-join on a
+      // constant cell, which would collapse to one partition), scored by
+      // the per-partition-LUT kernel; no query-side driver state
+      val joined = codes
+        .select(col(idCol).cast("long").as("neighbor_id"), col("pq_codes"))
+        .crossJoin(queries.select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).cast("array<double>").as("qvec")))
+      rerankExact(adcScoreJoined(books, joined), corpus, queries, k, rerank,
+        idCol, vecCol, broadcastQueries = false)
+    }
   }
 
   /** The ADC kernel: score each (probe-eligible query, code row) pair
@@ -639,12 +671,63 @@ object Similarity {
       }.toDF("query_id", "neighbor_id", "approx_dot")
   }
 
+  /** The DISTRIBUTED ADC kernel — the past-driver-scale sibling of
+    * [[adcScore]]: takes the ALREADY-JOINED (candidate, query) rows
+    * `(neighbor_id, pq_codes, query_id, qvec)` — produced by a
+    * cell-keyed equi-join (IVF-PQ) or an explicit crossJoin (plain
+    * PQ) — and scores each with m lookup-table adds. The query set
+    * never touches the driver; LUT amortization survives as a
+    * per-partition LRU keyed by query id (after the cell shuffle a
+    * partition's rows cluster by cell, so the queries probing those
+    * cells repeat — hit rates stay high without unbounded state;
+    * capacity 4096 LUTs ≈ 4 MB at m=8, ksub=16). */
+  private def adcScoreJoined(books: Array[Array[Array[Double]]],
+                             joined: DataFrame): DataFrame = {
+    val spark = joined.sparkSession
+    val subdim = books(0)(0).length
+    val bcBooks = spark.sparkContext.broadcast(books)
+    import spark.implicits._
+    joined
+      .select(col("neighbor_id"), col("pq_codes"), col("query_id"), col("qvec"))
+      .as[(Long, Seq[Int], Long, Seq[Double])]
+      .mapPartitions { it =>
+        val books = bcBooks.value
+        val m = books.length
+        val cache = new java.util.LinkedHashMap[Long, Array[Array[Double]]](
+            64, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[Long, Array[Array[Double]]]): Boolean =
+            size() > 4096
+        }
+        it.map { case (nid, cs, qid, qv) =>
+          var lut = cache.get(qid)
+          if (lut == null) {
+            val arr = qv.toArray
+            lut = Array.tabulate(m)(mi => books(mi).map { c =>
+              var s = 0.0
+              var i = 0
+              while (i < c.length) { s += c(i) * arr(mi * subdim + i); i += 1 }
+              s
+            })
+            cache.put(qid, lut)
+          }
+          var s = 0.0
+          var mi = 0
+          while (mi < m) { s += lut(mi)(cs(mi)); mi += 1 }
+          (qid, nid, s)
+        }
+      }.toDF("query_id", "neighbor_id", "approx_dot")
+  }
+
   /** Shared tail of the PQ family: keep each query's top `rerank` ADC
     * candidates, re-rank them by exact cosine against the raw vectors
-    * (an id-keyed join touching rerank × queries rows), emit top-k. */
+    * (an id-keyed join touching rerank × queries rows), emit top-k.
+    * `broadcastQueries = false` (the past-driver-scale path) drops the
+    * broadcast hint on the query join and lets AQE pick the strategy. */
   private def rerankExact(scored: DataFrame, corpus: DataFrame,
                           queries: DataFrame, k: Int, rerank: Int,
-                          idCol: String, vecCol: String): DataFrame = {
+                          idCol: String, vecCol: String,
+                          broadcastQueries: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
     val spark = corpus.sparkSession
@@ -659,9 +742,10 @@ object Similarity {
       col(vecCol).cast("array<double>").as("cvec"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<double>").as("qvec"))
+    val qSide = if (broadcastQueries) broadcast(q) else q
     val wE = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cands.join(c, "neighbor_id").join(broadcast(q), "query_id")
+    cands.join(c, "neighbor_id").join(qSide, "query_id")
       .withColumn("cos", nativeCosine(spark, col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(wE))
       .filter(col("rank") <= k)
@@ -792,31 +876,63 @@ object Similarity {
   }
 
   /** Serve from a persisted IVF-PQ index: each query ADC-scores ONLY
-    * the codes in its `nProbe` probed cells (enforced inside the
-    * kernel, before any ranking), then the exact re-rank. Output
-    * matches [[bruteForceTopK]]. Driver state: the probe map is
-    * queries × nProbe ints — query batches are small by the same
-    * contract as the rest of the family. */
+    * the codes in its `nProbe` probed cells, then the exact re-rank.
+    * Output matches [[bruteForceTopK]].
+    *
+    * Two query-batch regimes, gated by [[fitsDriver]]:
+    *
+    *   - up to `maxDriverQueries` rows: the probe map (queries ×
+    *     nProbe ints) collects to the driver, the codes scan prunes
+    *     with an `isin` over the probed-cell union (partition pruning
+    *     when cells are a partition/cluster key), and the ADC kernel
+    *     broadcasts per-query LUTs — minimum latency for the
+    *     query-by-example / triage shape;
+    *   - past the gate (a production million-query batch — RAG
+    *     back-fill, corpus-wide decontamination): NOTHING query-sized
+    *     touches the driver. Probe cells are assigned DISTRIBUTIVELY
+    *     (the centroid array — nlist × dim doubles, tiny — ships in
+    *     the UDF closure; each query row explodes to its nProbe
+    *     cells), candidates come from a cell-keyed equi-join against
+    *     the codes (AQE handles hot cells as ordinary join skew), and
+    *     [[adcScoreJoined]] scores with a per-partition LUT cache.
+    *     One extra shuffle of the (small) exploded query side buys
+    *     unbounded batch scale. */
   def ivfPqTopKWith(cents: Array[Array[Double]],
                     books: Array[Array[Array[Double]]], codes: DataFrame,
                     corpus: DataFrame, queries: DataFrame, k: Int,
                     nProbe: Int = 4, rerank: Int = 64,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    val probeMap: Map[Long, Set[Int]] = queries
-      .select(col(idCol).cast("long"),
-        probeCellsUdf(cents, nProbe)(col(vecCol).cast("array<double>")))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
-    // prune the scan itself to the union of probed cells — with cells
-    // persisted as a partition/cluster key this is partition pruning
-    val union = probeMap.values.flatten.toSet.toSeq
-    val probed = codes
-      .filter(col("cell").isin(union: _*))
-      .select(col(idCol).cast("long").as("neighbor_id"),
+                    vecCol: String = "embedding",
+                    maxDriverQueries: Int = 4096): DataFrame = {
+    if (fitsDriver(queries, maxDriverQueries)) {
+      val probeMap: Map[Long, Set[Int]] = queries
+        .select(col(idCol).cast("long"),
+          probeCellsUdf(cents, nProbe)(col(vecCol).cast("array<double>")))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+      // prune the scan itself to the union of probed cells — with cells
+      // persisted as a partition/cluster key this is partition pruning
+      val union = probeMap.values.flatten.toSet.toSeq
+      val probed = codes
+        .filter(col("cell").isin(union: _*))
+        .select(col(idCol).cast("long").as("neighbor_id"),
+          col("pq_codes"), col("cell").cast("int").as("cell"))
+      val scored = adcScore(books, probed, queries, Some(probeMap), idCol, vecCol)
+      rerankExact(scored, corpus, queries, k, rerank, idCol, vecCol)
+    } else {
+      val qcells = queries
+        .select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).cast("array<double>").as("qvec"))
+        .withColumn("cell",
+          explode(probeCellsUdf(cents, nProbe)(col("qvec"))))
+      val probed = codes.select(col(idCol).cast("long").as("neighbor_id"),
         col("pq_codes"), col("cell").cast("int").as("cell"))
-    val scored = adcScore(books, probed, queries, Some(probeMap), idCol, vecCol)
-    rerankExact(scored, corpus, queries, k, rerank, idCol, vecCol)
+      // a code row carries exactly ONE cell, so a (query, candidate)
+      // pair meets at most once across the query's nProbe explosions
+      val scored = adcScoreJoined(books, probed.join(qcells, Seq("cell")))
+      rerankExact(scored, corpus, queries, k, rerank, idCol, vecCol,
+        broadcastQueries = false)
+    }
   }
 
   // ---- scalar quantization (SQ8) ---------------------------------------
@@ -890,44 +1006,85 @@ object Similarity {
   def sq8TopKWith(mins: Array[Double], maxs: Array[Double], codes: DataFrame,
                   corpus: DataFrame, queries: DataFrame, k: Int,
                   rerank: Int = 64, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding",
+                  maxDriverQueries: Int = 4096): DataFrame = {
     val spark = queries.sparkSession
     val dim = mins.length
     val scales = Array.tabulate(dim) { i =>
       val r = maxs(i) - mins(i); if (r <= 0.0) 0.0 else r / 255.0
     }
-    val qRows = queries.select(col(idCol).cast("long").as("query_id"),
-      col(vecCol).cast("array<double>").as("qvec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val bcQ = spark.sparkContext.broadcast(qRows)
     val bcMin = spark.sparkContext.broadcast(mins)
     val bcScale = spark.sparkContext.broadcast(scales)
     import spark.implicits._
-    val scored = codes
-      .select(col(idCol).cast("long").as("neighbor_id"), col("sq8_code"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val mn = bcMin.value; val sc = bcScale.value
-        // per-query affine table: (Σ q_d·min_d, q_d·scale_d per dim)
-        val tables = bcQ.value.map { case (qid, qv) =>
-          var qmin = 0.0
-          val qs = new Array[Double](qv.length)
-          var i = 0
-          while (i < qv.length) {
-            qmin += qv(i) * mn(i); qs(i) = qv(i) * sc(i); i += 1
+    val driverSized = fitsDriver(queries, maxDriverQueries)
+    val scored = if (driverSized) {
+      val qRows = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val bcQ = spark.sparkContext.broadcast(qRows)
+      codes
+        .select(col(idCol).cast("long").as("neighbor_id"), col("sq8_code"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val mn = bcMin.value; val sc = bcScale.value
+          // per-query affine table: (Σ q_d·min_d, q_d·scale_d per dim)
+          val tables = bcQ.value.map { case (qid, qv) =>
+            var qmin = 0.0
+            val qs = new Array[Double](qv.length)
+            var i = 0
+            while (i < qv.length) {
+              qmin += qv(i) * mn(i); qs(i) = qv(i) * sc(i); i += 1
+            }
+            (qid, qmin, qs)
           }
-          (qid, qmin, qs)
-        }
-        it.flatMap { case (nid, code) =>
-          tables.iterator.map { case (qid, qmin, qs) =>
-            var s = qmin
+          it.flatMap { case (nid, code) =>
+            tables.iterator.map { case (qid, qmin, qs) =>
+              var s = qmin
+              var i = 0
+              while (i < code.length) { s += qs(i) * (code(i) + 128); i += 1 }
+              (qid, nid, s)
+            }
+          }
+        }.toDF("query_id", "neighbor_id", "approx_dot")
+    } else {
+      // past the driver gate the query set never collects: explicit
+      // distributed crossJoin (SQ8 scores every pair by construction),
+      // affine tables rebuilt through a per-partition LRU keyed by
+      // query id — the [[adcScoreJoined]] amortization pattern
+      codes.select(col(idCol).cast("long").as("neighbor_id"), col("sq8_code"))
+        .crossJoin(queries.select(col(idCol).cast("long").as("query_id"),
+          col(vecCol).cast("array<double>").as("qvec")))
+        .as[(Long, Array[Byte], Long, Seq[Double])]
+        .mapPartitions { it =>
+          val mn = bcMin.value; val sc = bcScale.value
+          val cache = new java.util.LinkedHashMap[Long, (Double, Array[Double])](
+              64, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[Long, (Double, Array[Double])]): Boolean =
+              size() > 4096
+          }
+          it.map { case (nid, code, qid, qv) =>
+            var t = cache.get(qid)
+            if (t == null) {
+              var qmin = 0.0
+              val qs = new Array[Double](qv.length)
+              var i = 0
+              while (i < qv.length) {
+                qmin += qv(i) * mn(i); qs(i) = qv(i) * sc(i); i += 1
+              }
+              t = (qmin, qs)
+              cache.put(qid, t)
+            }
+            var s = t._1
+            val qs = t._2
             var i = 0
             while (i < code.length) { s += qs(i) * (code(i) + 128); i += 1 }
             (qid, nid, s)
           }
-        }
-      }.toDF("query_id", "neighbor_id", "approx_dot")
-    rerankExact(scored, corpus, queries, k, rerank, idCol, vecCol)
+        }.toDF("query_id", "neighbor_id", "approx_dot")
+    }
+    rerankExact(scored, corpus, queries, k, rerank, idCol, vecCol,
+      broadcastQueries = driverSized)
   }
 
   /** One-shot [[sq8TopKWith]]: train ranges + encode + search. At

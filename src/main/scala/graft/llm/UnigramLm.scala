@@ -91,20 +91,21 @@ object UnigramLm {
    * Learn a `(piece, logp)` vocabulary of (at most) `vocabSize` pieces.
    * One Spark job (the word-frequency aggregation); everything after
    * the capped collect is in-JVM. Past `maxLocalWords` the trainer
-   * refuses rather than degrade silently — at that point train on a
-   * `Sampling.hashSample` of the corpus, the reproducible-subset knob
-   * every production tokenizer uses anyway.
+   * falls back to [[learnDistributed]] — per-EM-round distributed
+   * expected-count aggregation, the same above-cap posture as
+   * [[Bpe.learn]] (the family used to be asymmetric here: unigram
+   * hard-refused where BPE degraded gracefully).
    */
   def learn(docs: DataFrame, vocabSize: Int, textCol: String = "text",
             maxPieceLen: Int = 8, emRounds: Int = 4,
             maxLocalWords: Int = 2000000): Seq[(String, Double)] = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
-    val head = wordFreq(docs, textCol).limit(maxLocalWords + 1).collect()
-    require(head.length <= maxLocalWords,
-      s"distinct-word surface exceeds maxLocalWords=$maxLocalWords — " +
-        "train on a Sampling.hashSample of the corpus")
-    learnLocal(head.map(r => (r.getAs[String]("word"), r.getAs[Long]("cnt"))),
-      vocabSize, maxPieceLen, emRounds)
+    val wf = wordFreq(docs, textCol)
+    val head = wf.limit(maxLocalWords + 1).collect()
+    if (head.length <= maxLocalWords)
+      learnLocal(head.map(r => (r.getAs[String]("word"), r.getAs[Long]("cnt"))),
+        vocabSize, maxPieceLen, emRounds)
+    else learnDistributed(wf, vocabSize, maxPieceLen, emRounds)
   }
 
   /** In-JVM trainer over the collected word surface: seed with every
@@ -142,33 +143,45 @@ object UnigramLm {
       .take(seedBudget - chars.size)
       .map(_._1)
 
-    var logp: Map[String, Double] = {
-      val tot = vocab.size.toDouble
-      vocab.iterator.map(p => p -> math.log(1.0 / tot)).toMap
-    }
-
-    def emRound(): mutable.Map[String, Double] = {
+    trainLoop(vocab, vocabSize, emRounds, logp => {
       val exp = mutable.HashMap.empty[String, Double].withDefaultValue(0.0)
       words.foreach { case (w, c) =>
         viterbi(w, logp, maxPieceLen).foreach(p => exp(p) += c.toDouble)
       }
       exp
+    })
+  }
+
+  /** The shared EM-estimate / prune driver loop — ONE implementation
+    * behind both trainers, so the local and distributed paths cannot
+    * drift: `em(logp)` returns the expected piece counts under the
+    * current distribution (in-JVM Viterbi sweep locally, one
+    * explode→groupBy aggregation distributively — integer count sums
+    * below 2^53 are exact in doubles in any order, so the two agree
+    * bit-for-bit; UnigramLmSpec pins the parity). */
+  private def trainLoop(vocab0: Set[String], vocabSize: Int, emRounds: Int,
+                        em: Map[String, Double] =>
+                          scala.collection.mutable.Map[String, Double])
+      : Seq[(String, Double)] = {
+    var vocab = vocab0
+    var logp: Map[String, Double] = {
+      val tot = vocab.size.toDouble
+      vocab.iterator.map(p => p -> math.log(1.0 / tot)).toMap
     }
-    def reestimate(exp: mutable.Map[String, Double]): Unit = {
+    def reestimate(exp: scala.collection.mutable.Map[String, Double]): Unit = {
       val total = exp.valuesIterator.sum
       logp = vocab.iterator.map { p =>
         // add-one over the vocab keeps never-used single chars finite
-        p -> math.log((exp(p) + 1.0) / (total + vocab.size))
+        p -> math.log((exp.getOrElse(p, 0.0) + 1.0) / (total + vocab.size))
       }.toMap
     }
-
     var done = false
     while (!done) {
       var r = 0
-      var exp = emRound()
-      while (r < emRounds) { reestimate(exp); exp = emRound(); r += 1 }
+      var exp = em(logp)
+      while (r < emRounds) { reestimate(exp); exp = em(logp); r += 1 }
       val multi = vocab.iterator.filter(_.length > 1).toSeq
-        .sortBy(p => (exp(p), p)) // ascending: least-used first
+        .sortBy(p => (exp.getOrElse(p, 0.0), p)) // ascending: least-used first
       if (vocab.size <= vocabSize || multi.isEmpty) {
         // fits — or only the unprunable single chars remain (an
         // alphabet larger than vocabSize keeps every char regardless)
@@ -183,6 +196,67 @@ object UnigramLm {
       }
     }
     logp.toSeq.sortBy { case (p, lp) => (-lp, p) }
+  }
+
+  /**
+   * Fallback trainer for a word surface past the driver cap — the
+   * [[Bpe.learnDistributed]] posture applied to EM: the seed substring
+   * counts are one explode→groupBy aggregation whose TOP-seed-budget
+   * head (vocab-sized, never word-surface-sized) is all that reaches
+   * the driver, and each EM round is one distributed Viterbi-encode +
+   * piece-count aggregation under the broadcast `logp`, collecting only
+   * the (vocab-bounded) expected-count table. Correct at any corpus
+   * scale but driver-paced — `(emRounds+1) × prune-iterations` Spark
+   * jobs — which is why [[learn]] prefers the in-JVM path whenever the
+   * Zipf-bounded surface fits. Expected counts are LONG sums (exact),
+   * and the in-JVM path's double accumulation of integer counts is
+   * exact too, so the two trainers produce IDENTICAL vocabularies on
+   * the same corpus (pinned in UnigramLmSpec).
+   */
+  private[graft] def learnDistributed(wordFreq: DataFrame, vocabSize: Int,
+                                      maxPieceLen: Int, emRounds: Int)
+      : Seq[(String, Double)] = {
+    import scala.collection.mutable
+    val spark = wordFreq.sparkSession
+    val base = wordFreq.select(col("word"), col("cnt")).localCheckpoint()
+    val subUdf = udf { (w: String) =>
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= w.length) {
+          out += w.substring(i, i + l); l += 1
+        }
+        i += 1
+      }
+      out.result()
+    }
+    val subs = base
+      .select(explode(subUdf(col("word"))).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("c"))
+      .localCheckpoint()
+    val chars: Set[String] = subs.filter(length(col("piece")) === 1)
+      .select("piece").collect().map(_.getString(0)).toSet
+    if (chars.isEmpty) return Seq.empty
+    val seedBudget = math.max(vocabSize * 4, chars.size + vocabSize)
+    // same seed rule as learnLocal: count·(len−1), ties on the piece —
+    // TakeOrdered via orderBy+limit, so only the head is collected
+    val multiSeed = subs.filter(length(col("piece")) > 1)
+      .select(col("piece"), (col("c") * (length(col("piece")) - 1)).as("s"))
+      .orderBy(col("s").desc, col("piece").asc)
+      .limit(math.max(0, seedBudget - chars.size))
+      .select("piece").collect().map(_.getString(0))
+    trainLoop(chars ++ multiSeed, vocabSize, emRounds, logp => {
+      val bc = spark.sparkContext.broadcast(logp)
+      val encUdf = udf((w: String) => viterbi(w, bc.value, maxPieceLen).toSeq)
+      val rows = base
+        .select(explode(encUdf(col("word"))).as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum("cnt").as("c"))
+        .collect()
+      val m = mutable.HashMap.empty[String, Double].withDefaultValue(0.0)
+      rows.foreach(r => m(r.getString(0)) = r.getLong(1).toDouble)
+      m
+    })
   }
 
   /** [[learn]]'s result as a persistable `(piece, logp)` table — the

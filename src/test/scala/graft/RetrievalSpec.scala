@@ -137,6 +137,47 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25TopK(corpus.unionByName(batch), q, k = 6, exact = true))
   }
 
+  test("bloom-gated merge: same result as the exact gate, catches covered " +
+      "collisions, and the no-hit fast path really skips the index") {
+    val idx = Retrieval.bm25Index(corpus).localCheckpoint()
+    val bloomRow = Retrieval.bm25IndexBloom(idx, expectedItems = 100)
+    val (bytes, _, _) = Retrieval.bm25BloomFrom(bloomRow)
+    val batch = Seq((6L, "spark merge spark")).toDF("doc_id", "text")
+    val q = Seq((1L, "spark merge")).toDF("query_id", "query_text")
+    // bloom path == exact path on a clean append
+    assertSameRows(
+      Retrieval.bm25SearchWith(q,
+        Retrieval.bm25IndexMerge(idx, batch, docIdBloom = Some(bytes)),
+        k = 6, exact = true),
+      Retrieval.bm25SearchWith(q, Retrieval.bm25IndexMerge(idx, batch),
+        k = 6, exact = true))
+    // a collision the bloom covers still refuses
+    val clash = Seq((2L, "whatever")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25IndexMerge(idx, clash, docIdBloom = Some(bytes))
+    }
+    assert(e.getMessage.contains("append-only"))
+    // the fast-path pin: a bloom that does NOT cover id 2 skips the
+    // exact semi-join entirely — the collision sails through, which is
+    // the documented trust contract (bloom must cover the index) and
+    // the structural proof that no full-index distinct runs on a miss
+    val partial = Retrieval.bm25IndexBloom(
+      idx.filter(col("doc_id") =!= 2L), expectedItems = 100)
+    val (partialBytes, _, _) = Retrieval.bm25BloomFrom(partial)
+    Retrieval.bm25IndexMerge(idx, clash, docIdBloom = Some(partialBytes))
+      .count() // no throw: the gate never consulted the index
+    // bloom maintenance: after bm25BloomAdd folds a batch, re-merging
+    // those same ids IS caught
+    val grown = Retrieval.bm25BloomAdd(bloomRow, batch)
+    val (grownBytes, _, _) = Retrieval.bm25BloomFrom(grown)
+    val merged = Retrieval.bm25IndexMerge(idx, batch, docIdBloom = Some(bytes))
+      .localCheckpoint()
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.bm25IndexMerge(merged, batch, docIdBloom = Some(grownBytes))
+    }
+    assert(e2.getMessage.contains("append-only"))
+  }
+
   test("rrfFuse: hand-computed scores, consensus beats single-source") {
     def s(r: Int): Long = Retrieval.Scale / (60 + r)
     val a = Seq((1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3))
@@ -182,6 +223,37 @@ class RetrievalSpec extends SparkSpec {
     val n = fused.filter(col("doc_id") === 2L)
       .select("n_sources").as[Long].head()
     assert(n === 2L)
+  }
+
+  test("hybridTopKWith over standing indexes equals hybridTopK when the " +
+      "IVF-PQ index probes every cell") {
+    import graft.llm.Similarity
+    // 5 corpus vectors, dim 4 (m=2 → subdim 2); probe vectors are fresh
+    // ids so nothing self-excludes asymmetrically between the paths
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.2, 0.1)), (2L, Seq(0.9, 0.1, 0.2, 0.1)),
+      (3L, Seq(0.0, 1.0, 0.1, 0.3)), (4L, Seq(0.1, 0.9, 0.4, 0.0)),
+      (5L, Seq(0.7, 0.7, 0.1, 0.1))).toDF("vec_id", "embedding")
+    val qText = Seq((100L, "spark merge"), (101L, "table window"))
+      .toDF("query_id", "query_text")
+    val qVec = Seq(
+      (100L, Seq(0.95, 0.05, 0.2, 0.1)),
+      (101L, Seq(0.05, 0.95, 0.2, 0.2))).toDF("vec_id", "embedding")
+    val dir = tmpDir("hybrid_idx")
+    Retrieval.bm25Index(corpus).write.parquet(s"$dir/bm25")
+    val (cents, books, codes) = Similarity.ivfPqIndex(emb, nlist = 2, m = 2,
+      ksub = 2)
+    codes.write.parquet(s"$dir/codes")
+    // nProbe = nlist and rerank ≥ corpus: every candidate is exact
+    // re-ranked, so the indexed vector ranker IS brute force — the two
+    // fusion paths must agree bit for bit, proving the index round-trip
+    val got = Retrieval.hybridTopKWith(qText, qVec,
+      spark.read.parquet(s"$dir/bm25"), cents, books,
+      spark.read.parquet(s"$dir/codes"), emb,
+      k = 5, kPerRanker = 3, nProbe = 2, rerank = 5)
+    val want = Retrieval.hybridTopK(corpus, emb, qText, qVec, k = 5,
+      kPerRanker = 3)
+    assertSameRows(got, want)
   }
 
   test("query-term dedup: repeated terms in the query text score once") {

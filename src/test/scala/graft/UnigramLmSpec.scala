@@ -93,6 +93,25 @@ class UnigramLmSpec extends SparkSpec {
     assert(results.head(4L) === UnigramLm.viterbi("aabba", lp, 2).toSeq)
   }
 
+  test("learnDistributed produces the IDENTICAL vocabulary to the in-JVM " +
+      "trainer, and learn() falls back to it past the word cap") {
+    val docs = Seq.tabulate(40)(i =>
+        (i.toLong, "sparkle sparks spark park bark lark spa streaming"))
+      .toDF("doc_id", "text")
+    val local = UnigramLm.learn(docs, vocabSize = 20, maxPieceLen = 6,
+      emRounds = 3)
+    val dist = UnigramLm.learnDistributed(UnigramLm.wordFreq(docs),
+      vocabSize = 20, maxPieceLen = 6, emRounds = 3)
+    assert(dist === local,
+      "distributed EM diverged from the in-JVM trainer — same corpus must " +
+        "train the same (piece, logp) vocabulary bit-for-bit")
+    // the cap routes through the fallback instead of refusing (the old
+    // behavior was a hard require; the family now degrades like Bpe.learn)
+    val viaCap = UnigramLm.learn(docs, vocabSize = 20, maxPieceLen = 6,
+      emRounds = 3, maxLocalWords = 1)
+    assert(viaCap === local)
+  }
+
   test("standing vocab table round-trips and requireEncodes trips on corruption") {
     val docs = Seq.tabulate(30)(i => (i.toLong, "spark spark pipeline"))
       .toDF("doc_id", "text")
