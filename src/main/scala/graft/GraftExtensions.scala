@@ -220,6 +220,23 @@ object GraftExtensions {
       plan(graft.llm.Retrieval.hybridTopK(table(args(0)), table(args(1)),
         table(args(2)), table(args(3)), intArg(args(4), "k")))
     },
+    // NOTE: like graft_semantic_dedup, the centroid/codebook tables
+    // collect at RESOLUTION time (they ARE driver-sized — nlist×dim and
+    // m×ksub×subdim doubles; that is the persisted-index contract, not a
+    // scale leak). The spliced serve-side plan stays lazy.
+    "graft_hybrid_topk_indexed" -> { args =>
+      require(args.size == 8,
+        "graft_hybrid_topk_indexed(bm25_index, centroids, books, codes, " +
+          "corpus_vecs, queries_text, queries_vec, k) takes seven table " +
+          "names and k")
+      plan(graft.llm.Retrieval.hybridTopKWith(
+        queriesText = table(args(5)), queriesVec = table(args(6)),
+        bm25Idx = table(args(0)),
+        cents = graft.llm.Similarity.centroidsFrom(table(args(1))),
+        books = graft.llm.Similarity.pqBooksFrom(table(args(2))),
+        codes = table(args(3)), corpusVecs = table(args(4)),
+        k = intArg(args(7), "k")))
+    },
     "graft_collocations" -> { args =>
       require(args.size == 3,
         "graft_collocations(docs, min_count, k) takes a table name, " +

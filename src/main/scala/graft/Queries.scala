@@ -1061,6 +1061,46 @@ object Queries {
       |       (SELECT COUNT(*) FROM s2) AS n_clicked,
       |       (SELECT COUNT(*) FROM s3) AS n_purchased""".stripMargin
 
+  /** Time-boxed funnel ([[graft.operators.EventAnalytics.funnelWindowed]]):
+    * view → click → purchase with BOTH expiry knobs — each step within
+    * 2 days of the previous one, the whole funnel within 5 days of the
+    * user's first view (greedy-earliest anchor, documented on the
+    * operator). Pure integer microsecond arithmetic; the oracle
+    * mirrors the same greedy chain. */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EventAnalytics
+    val ev0 = pq(spark, dir, "events")
+    EventAnalytics.funnelWindowed(
+      ev0.withColumn("ts_us", eventMicros(ev0)),
+      steps = Seq("view", "click", "purchase"),
+      conversionWindowMicros = Some(5 * EventAnalytics.MicrosPerDay),
+      maxStepGapMicros = Some(2 * EventAnalytics.MicrosPerDay))
+  }
+
+  /** DuckDB mirror of [[funnelWindowed]] — same greedy-earliest chain
+    * with the same integer bounds. */
+  val funnelWindowedSql: String =
+    """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts
+      |           FROM events),
+      |s1 AS (SELECT u, MIN(ts) AS tp, MIN(ts) AS t1 FROM e
+      |       WHERE t = 'view' GROUP BY u),
+      |s2 AS (SELECT e.u, MIN(e.ts) AS tp, MIN(s1.t1) AS t1
+      |       FROM e JOIN s1 USING (u)
+      |       WHERE t = 'click' AND e.ts > s1.tp
+      |         AND e.ts <= s1.tp + 172800000000
+      |         AND e.ts <= s1.t1 + 432000000000
+      |       GROUP BY e.u),
+      |s3 AS (SELECT e.u, MIN(e.ts) AS tp, MIN(s2.t1) AS t1
+      |       FROM e JOIN s2 USING (u)
+      |       WHERE t = 'purchase' AND e.ts > s2.tp
+      |         AND e.ts <= s2.tp + 172800000000
+      |         AND e.ts <= s2.t1 + 432000000000
+      |       GROUP BY e.u)
+      |SELECT 1 AS step, 'view' AS event_type,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+      |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+      |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""".stripMargin
+
   /** ROLLUP aggregation (grouping-sets family — beyond the reference's
     * own operator set, exposed through the engine's SQL surface). */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
@@ -1714,6 +1754,54 @@ object Queries {
       | CAST(sum(c_custkey) AS BIGINT) AS sum_key
       |FROM customer WHERE c_custkey <= 400 AND c_nationkey < 13
       |GROUP BY c_mktsegment""".stripMargin
+
+  /** `CREATE TABLE ... AS SELECT` through the SQL surface
+    * ([[graft.table.GraftCtasCommand]]) — the first statement of any
+    * SQL-first workflow: a partitioned CTAS with TBLPROPERTIES over the
+    * orders table, re-read through `graft.` and aggregated. In-query
+    * gates pin the commit shape (CREATE → SET TBLPROPERTIES → CTAS
+    * data write, so layout properties govern the first files), the
+    * carried partition layout, and that `IF NOT EXISTS` on the
+    * existing table is a zero-commit no-op; the oracle recomputes the
+    * aggregate from the source parquet. */
+  def sqlTableCtas(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    val path = tmp("sqlctas")
+    pq(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .createOrReplaceTempView("orders_ctas_src")
+    spark.sql(
+      s"""CREATE TABLE graft.`$path`
+         |PARTITIONED BY (o_orderstatus)
+         |TBLPROPERTIES ('graft.owner' = 'ctas-verify')
+         |AS SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+         |FROM orders_ctas_src WHERE o_orderkey <= 6000""".stripMargin)
+    val t = ManagedTable(spark, path)
+    val c = t.lastCommit.get
+    require(c.operation == "CREATE TABLE AS SELECT" &&
+      c.partitionBy == Seq("o_orderstatus") &&
+      t.history.map(_.operation).reverse ==
+        Seq("CREATE TABLE", "SET TBLPROPERTIES", "CREATE TABLE AS SELECT"),
+      s"sql_table_ctas: unexpected commit shape ${t.history.map(_.operation)}")
+    require(c.properties.get("graft.owner").contains("ctas-verify"),
+      "sql_table_ctas: TBLPROPERTIES did not persist")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft.`$path` AS SELECT 1 AS x")
+    require(t.latestVersion.contains(c.version),
+      "sql_table_ctas: IF NOT EXISTS must not commit")
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         |  sum(o_custkey) AS sum_cust
+         |FROM graft.`$path`
+         |GROUP BY o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  /** DuckDB mirror of [[sqlTableCtas]]. */
+  val sqlTableCtasSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      | CAST(count(*) AS BIGINT) AS n_orders,
+      | CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+      |FROM orders WHERE o_orderkey <= 6000
+      |GROUP BY o_orderstatus, o_orderpriority""".stripMargin
 
   /** `VERSION AS OF` time travel through pure SQL: two SQL INSERTs, then
     * a UNION of the version-pinned snapshots, each tagged with its
@@ -5967,6 +6055,91 @@ object Queries {
       |         ORDER BY rrf_scaled DESC, doc_id) AS "rank" FROM f)
       |SELECT query_id, "rank", doc_id, rrf_scaled, n_sources
       |FROM rr WHERE "rank" <= 10""".stripMargin
+
+  /** BM25 index as a CDF-maintained standing view
+    * ([[graft.table.Bm25IndexView]]): the corpus is a managed table,
+    * epoch 1 initializes the postings state (+ doc-id bloom), and two
+    * "daily" appends each drive one [[graft.table.Bm25IndexView#refresh]]
+    * — the view reads ONLY the unprocessed change-feed range and folds
+    * it via `bm25IndexMerge` under the bloom gate, watermarked
+    * exactly-once on the state table's own commits. The second refresh
+    * runs through a FRESH view instance (restart: watermark recovered
+    * from the commit log) and a third refresh must be a zero-commit
+    * no-op. The oracle is the full-corpus BM25 ranking, so a green row
+    * proves twice-merged ≡ rebuilt-from-scratch. */
+  def bm25ViewRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    import graft.table.{Bm25IndexView, ManagedTable}
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    val srcPath = tmp("bm25view_src")
+    val stPath = tmp("bm25view_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs.filter(col("doc_id") % 3 =!= 0), "APPEND", "append")
+      new Bm25IndexView(spark, srcPath, stPath, expectedDocs = 100000)
+        .initialize()
+    }
+    val view = new Bm25IndexView(spark, srcPath, stPath)
+    t.write(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0),
+      "APPEND", "append")
+    require(view.refresh() == 1L, "bm25_view_refresh: first fold must land on v1")
+    t.write(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0),
+      "APPEND", "append")
+    val restarted = new Bm25IndexView(spark, srcPath, stPath)
+    require(restarted.refresh() == 2L,
+      "bm25_view_refresh: restarted view must resume from the recorded watermark")
+    val vBefore = ManagedTable(spark, stPath).latestVersion
+    require(restarted.refresh() == 2L &&
+      ManagedTable(spark, stPath).latestVersion == vBefore,
+      "bm25_view_refresh: an already-current refresh must commit nothing")
+    val queries = Seq(
+      (1L, "merge stream table"),
+      (2L, "fast query data"),
+      (3L, "row group window hash")).toDF("query_id", "query_text")
+    Retrieval.bm25SearchWith(queries, restarted.read, k = 7, exact = true)
+  }
+
+  /** DuckDB mirror of [[bm25ViewRefresh]] — the FULL-corpus ranking
+    * (the oracle never sees the epochs). */
+  val bm25ViewRefreshSql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |  (1, 'merge stream table'),
+      |  (2, 'fast query data'),
+      |  (3, 'row group window hash')),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM documents),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM dt GROUP BY doc_id),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM dt GROUP BY tok),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |qt AS (SELECT DISTINCT query_id, tok FROM
+      |  (SELECT query_id,
+      |     unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS tok
+      |   FROM q)),
+      |m AS (SELECT qt.query_id, dt.doc_id,
+      |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+      |        * ((CAST(44 AS HUGEINT) * dt.tf * s.total_len * 1000000)
+      |           // (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |              + CAST(6 AS HUGEINT)*s.total_len
+      |              + CAST(18 AS HUGEINT)*l.dl*s.n_docs)))
+      |    // CAST(2*f.df + 1 AS HUGEINT) AS BIGINT) AS s_int
+      | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
+      |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
+      |agg AS (SELECT query_id, doc_id,
+      |         CAST(sum(s_int) AS BIGINT) AS score_scaled,
+      |         CAST(count(*) AS BIGINT) AS n_terms_matched
+      |        FROM m GROUP BY query_id, doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score_scaled DESC, doc_id) AS "rank" FROM agg)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, "rank", doc_id,
+      |       score_scaled, n_terms_matched
+      |FROM r WHERE "rank" <= 7""".stripMargin
 
   /** Hybrid retrieval over STANDING indexes
     * ([[graft.llm.Retrieval.hybridTopKWith]]): both rankers serve from

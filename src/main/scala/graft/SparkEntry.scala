@@ -47,6 +47,7 @@ object SparkEntry {
     "events_window" -> (Queries.eventsWindow(_, _)),
     "events_frames" -> (Queries.eventsFrames(_, _)),
     "funnel_steps" -> (Queries.funnelSteps(_, _)),
+    "funnel_windowed" -> (Queries.funnelWindowed(_, _)),
     "events_json" -> (Queries.eventsJson(_, _)),
     "grouping_sets" -> (Queries.groupingSetsRevenue(_, _)),
     "rollup_revenue" -> (Queries.rollupRevenue(_, _)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "cluster_on_write" -> (Queries.clusterOnWrite(_, _)),
     "cluster_incremental" -> (Queries.clusterIncremental(_, _)),
     "sql_table_dml" -> (Queries.sqlTableDml(_, _)),
+    "sql_table_ctas" -> (Queries.sqlTableCtas(_, _)),
     "sql_table_time_travel" -> (Queries.sqlTableTimeTravel(_, _)),
     "sql_table_merge" -> (Queries.sqlTableMerge(_, _)),
     "sql_call_maintenance" -> (Queries.sqlCallMaintenance(_, _)),
@@ -203,6 +205,7 @@ object SparkEntry {
     "tfidf_keywords" -> ((s, d) => TextOps.tfidfKeywords(Queries.pq(s, d, "documents"))),
     "bm25_topk" -> (Queries.bm25TopKDocs(_, _)),
     "bm25_incremental" -> (Queries.bm25IncrementalDocs(_, _)),
+    "bm25_view_refresh" -> (Queries.bm25ViewRefresh(_, _)),
     "hybrid_search" -> (Queries.hybridSearchDocs(_, _)),
     "hybrid_search_indexed" -> (Queries.hybridSearchIndexed(_, _)),
     "collocations_topk" -> (Queries.collocationsDocs(_, _)),
@@ -304,6 +307,7 @@ object SparkEntry {
     "events_window" -> Queries.eventsWindowSql,
     "events_frames" -> Queries.eventsFramesSql,
     "funnel_steps" -> Queries.funnelStepsSql,
+    "funnel_windowed" -> Queries.funnelWindowedSql,
     "events_json" -> Queries.eventsJsonSql,
     "grouping_sets" -> Queries.groupingSetsRevenueSql,
     "rollup_revenue" -> Queries.rollupRevenueSql,
@@ -372,6 +376,7 @@ object SparkEntry {
     "cluster_on_write" -> Queries.clusterOnWriteSql,
     "cluster_incremental" -> Queries.clusterIncrementalSql,
     "sql_table_dml" -> Queries.sqlTableDmlSql,
+    "sql_table_ctas" -> Queries.sqlTableCtasSql,
     "sql_table_time_travel" -> Queries.sqlTableTimeTravelSql,
     "sql_table_merge" -> Queries.sqlTableMergeSql,
     "sql_call_maintenance" -> Queries.sqlCallMaintenanceSql,
@@ -701,6 +706,7 @@ object SparkEntry {
         |JOIN r m ON m.lang = s.lang AND m.rn = (s.n_docs + 1) // 2""".stripMargin,
     "bm25_topk" -> Queries.bm25TopKSql,
     "bm25_incremental" -> Queries.bm25IncrementalSql,
+    "bm25_view_refresh" -> Queries.bm25ViewRefreshSql,
     "hybrid_search" -> Queries.hybridSearchSql,
     "hybrid_search_indexed" -> Queries.hybridSearchIndexedSql,
     "collocations_topk" -> Queries.collocationsSql,

@@ -62,6 +62,63 @@ object EventAnalytics {
           .as("retention_rate"))
   }
 
+  /** Time-boxed ordered funnel — conversion-window semantics on top of
+    * the strict-order funnel (the knob every product-analytics engine
+    * has; the plain ordered form is `Queries.funnelSteps`): a user
+    * advances from step `i` to step `i+1` only on an event that is
+    *
+    *   - strictly later than their step-`i` completion time,
+    *   - within `maxStepGapMicros` of it (when set — per-step expiry),
+    *   - within `conversionWindowMicros` of their step-1 ANCHOR time
+    *     (when set — the whole-funnel deadline).
+    *
+    * Semantics are GREEDY-EARLIEST and documented as such: the anchor
+    * is the user's first step-1 event and each step completes at its
+    * earliest qualifying event. A later anchor could in principle
+    * convert where the earliest one expires — greedy is the
+    * deterministic, one-pass-per-step convention (and what the SQL
+    * oracle can mirror exactly); all arithmetic is integer
+    * microseconds, so results are engine-exact.
+    *
+    * Shape: one user-keyed hash aggregate per step, each joined to the
+    * previous stage's user set — the same single hash partitioning
+    * serves the whole chain, stages shrink monotonically, and the
+    * 1-row per-step counts cross-join at the end (scalars, not data).
+    * Output: `(step, event_type, n_users)`, one row per step. */
+  def funnelWindowed(events: DataFrame, steps: Seq[String],
+                     tsUsCol: String = "ts_us", userCol: String = "user_id",
+                     typeCol: String = "event_type",
+                     conversionWindowMicros: Option[Long] = None,
+                     maxStepGapMicros: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs at least two steps, got $steps")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    conversionWindowMicros.foreach(w => require(w > 0, "window must be positive"))
+    maxStepGapMicros.foreach(g => require(g > 0, "max gap must be positive"))
+    val ev = events.select(col(userCol).as("__u__"), col(typeCol).as("__t__"),
+      col(tsUsCol).as("__ts__"))
+    var stage = ev.filter(col("__t__") === steps.head)
+      .groupBy("__u__").agg(min("__ts__").as("__tp__"))
+      .withColumn("__t1__", col("__tp__"))
+    val rows = scala.collection.mutable.Buffer(
+      stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("step"), lit(steps.head).as("event_type"),
+          col("n_users")))
+    steps.drop(1).zipWithIndex.foreach { case (s, i) =>
+      var cond = col("__ts__") > col("__tp__")
+      maxStepGapMicros.foreach(g => cond = cond && col("__ts__") <= col("__tp__") + g)
+      conversionWindowMicros.foreach(w => cond = cond && col("__ts__") <= col("__t1__") + w)
+      stage = ev.filter(col("__t__") === s)
+        .join(stage.select("__u__", "__tp__", "__t1__"), "__u__")
+        .filter(cond)
+        .groupBy("__u__")
+        .agg(min("__ts__").as("__tp__"), min("__t1__").as("__t1__"))
+      rows += stage.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 2).as("step"), lit(s).as("event_type"), col("n_users"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Resample a (key, time, value) stream onto a regular bin grid with
     * last-observation-carried-forward gap fill — the standard
     * time-series regularization before any windowed model sees the

@@ -1,0 +1,113 @@
+package graft.table
+
+import graft.llm.Retrieval
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The BM25 inverted index as a STANDING, CDF-maintained artifact — the
+ * [[IncrementalAggView]] pattern applied to [[graft.llm.Retrieval]]'s
+ * retrieval index: the corpus lives in a [[ManagedTable]], the postings
+ * live in their own ManagedTable (time travel, history and concurrency
+ * checks for free), and each refresh reads ONLY the unprocessed
+ * change-feed range of the corpus and folds it with
+ * [[Retrieval.bm25IndexMerge]] — O(batch) per day, the corpus text is
+ * never re-tokenized. Before this class, `bm25IndexMerge` folded a
+ * batch the caller handed it; the view closes the loop: WHICH rows are
+ * new comes from the corpus table's own commit log.
+ *
+ * Exactly-once, restart-safe: the last folded corpus version rides each
+ * state commit's `userMetadata`, so a re-run reads the watermark from
+ * the state's commit log and processes `(watermark, latest]` or
+ * nothing; the replace commit carries `expectedPrevVersion`, so two
+ * racing refreshes cannot both land.
+ *
+ * The append-only doc-id gate stays O(batch): a [[Retrieval
+ * .bm25IndexBloom]] persists NEXT TO the state and each refresh tests
+ * the slice against it, folding the slice's ids back in with
+ * [[Retrieval.bm25BloomAdd]]. The bloom write deliberately precedes the
+ * state commit — a crash between the two leaves the bloom with ids the
+ * index lacks, which only produces false POSITIVES (an exact re-check
+ * that passes), never a silently-skipped collision.
+ *
+ * APPEND slices only, loudly enforced: BM25 postings are not
+ * delta-maintainable under updates/deletes (df moves for every token of
+ * a changed doc; the index-side rows are immutable by construction) —
+ * a slice carrying non-insert changes raises and the caller
+ * re-[[initialize]]s, exactly FAISS's add-vs-train split restated for
+ * lexical indexes.
+ */
+final class Bm25IndexView(spark: SparkSession, sourcePath: String,
+                          statePath: String,
+                          textCol: String = "text",
+                          idCol: String = "doc_id",
+                          expectedDocs: Long = 10000000L) {
+
+  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
+  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
+
+  private def source = ManagedTable(spark, sourcePath)
+  private def state = ManagedTable(spark, statePath)
+  private val bloomPath = statePath.stripSuffix("/") + "_bloom"
+
+  /** The last source version folded into the index (from the state
+    * table's own commit metadata). */
+  def sourceVersion: Long = {
+    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
+      s"bm25 view state $statePath does not exist — call initialize() first"))
+    c.userMetadata match {
+      case Some(MetaRe(v)) => v.toLong
+      case other => throw new IllegalStateException(
+        s"state commit carries no sourceVersion watermark: $other")
+    }
+  }
+
+  /** Build the index from the corpus's CURRENT snapshot — the only
+    * O(corpus) step in the view's lifetime (one tokenize + the bloom's
+    * one distinct). */
+  def initialize(): Long = {
+    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    state.write(Retrieval.bm25Index(source.read, textCol, idCol),
+      "BM25_INIT", "replace", meta(v))
+    Retrieval.bm25IndexBloom(state.read, expectedDocs)
+      .write.mode("overwrite").parquet(bloomPath)
+    v
+  }
+
+  /** Fold the unprocessed change-feed range into the index. No-op (no
+    * new commit) when already current or when the range carries no
+    * rows. Returns the new watermark. */
+  def refresh(): Long = {
+    val last = sourceVersion
+    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    require(latest >= last,
+      s"source went backwards: watermark $last, latest $latest — was the " +
+        "corpus table recreated? Re-initialize the view.")
+    if (latest == last) return last
+    val cdf = source.readChangeFeed(last + 1, Some(latest)).localCheckpoint()
+    val nonInsert = cdf.filter(col("_change_type") =!= "insert").limit(1).count()
+    require(nonInsert == 0L,
+      "bm25 index view maintains APPEND slices only — the change feed " +
+        "carries updates/deletes; re-initialize() to rebuild the index")
+    val batch = cdf.select(col(idCol), col(textCol))
+    if (batch.isEmpty) return last // nothing to fold; range re-reads empty
+    val bloomRow = spark.read.parquet(bloomPath)
+    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(bloomRow)
+    val merged = Retrieval.bm25IndexMerge(state.read, batch, textCol, idCol,
+      docIdBloom = Some(bloomBytes))
+    // bloom BEFORE state: a crash between the two can only over-approximate
+    // (bm25BloomAdd returns a driver-built row — no read dependence on
+    // bloomPath remains when the overwrite lands)
+    Retrieval.bm25BloomAdd(bloomRow, batch, idCol)
+      .write.mode("overwrite").parquet(bloomPath)
+    state.write(merged, "BM25_REFRESH", "replace", meta(latest),
+      expectedPrevVersion = state.latestVersion)
+    latest
+  }
+
+  /** The maintained postings table — feed straight into
+    * [[Retrieval.bm25SearchWith]] / [[Retrieval.hybridTopKWith]]. */
+  def read: DataFrame = state.read
+}

@@ -267,6 +267,40 @@ final case class GraftCreateTableCommand(root: String,
   }
 }
 
+/** `CREATE TABLE graft.t [PARTITIONED BY ...] [TBLPROPERTIES ...] AS
+  * SELECT ...` — the first statement of any SQL-first workflow. The
+  * query analyzes at RUN time (it was captured in the pre-resolution
+  * Hints batch), then: create with the query's schema, stamp
+  * TBLPROPERTIES BEFORE the data write — so layout-bearing properties
+  * (`graft.bloom.columns`, clustering hints) already govern the very
+  * first files — and commit the data as one replace write carrying the
+  * declared partitioning. `IF NOT EXISTS` on an existing table is a
+  * no-op that never executes the query (standard CTAS semantics). */
+final case class GraftCtasCommand(root: String,
+                                  query: LogicalPlan,
+                                  partitionBy: Seq[String],
+                                  properties: Map[String, String],
+                                  ignoreIfExists: Boolean)
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(query)
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable(spark, root)
+    if (t.exists) {
+      if (!ignoreIfExists)
+        throw new IllegalStateException(s"graft table at $root already " +
+          "exists (use CREATE TABLE IF NOT EXISTS ... AS SELECT)")
+    } else {
+      val df = GraftShims.ofRows(spark, query)
+      t.createIfNotExists(df.schema)
+      if (properties.nonEmpty) t.setProperties(properties)
+      t.write(df, "CREATE TABLE AS SELECT", "replace", None, partitionBy)
+    }
+    Nil
+  }
+}
+
 /** `ALTER TABLE graft.t SET TBLPROPERTIES (...)`. */
 final case class GraftSetPropertiesCommand(root: String,
                                            props: Map[String, String])

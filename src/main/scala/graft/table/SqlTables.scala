@@ -311,6 +311,27 @@ final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftCreateTableCommand(SqlTables.rootOf(spark, rest), schema, props,
         ignoreIfExists, checks)
 
+    // CREATE TABLE graft.t [PARTITIONED BY (...)] [TBLPROPERTIES] AS SELECT
+    // — the query stays unanalyzed parser output here (Hints batch);
+    // the command analyzes it at run time (GraftShims.ofRows), exactly
+    // like MERGE's source, so CTAS over other graft tables works too
+    case CreateTableAsSelect(UnresolvedIdentifier(head +: rest, _),
+        partitioning, ctQuery, tableSpec, _, ignoreIfExists, _)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      val partCols = partitioning.map { t =>
+        GraftShims.identityTransformCol(t).getOrElse(
+          throw new UnsupportedOperationException(
+            "CTAS on graft tables supports only identity PARTITIONED BY " +
+              s"columns, got $t"))
+      }
+      val props = tableSpec match {
+        case u: UnresolvedTableSpec => u.properties
+        case t: TableSpec => t.properties
+        case _ => Map.empty[String, String]
+      }
+      GraftCtasCommand(SqlTables.rootOf(spark, rest), ctQuery, partCols,
+        props, ignoreIfExists)
+
     // ALTER TABLE graft.t SET/UNSET TBLPROPERTIES
     case SetTableProperties(UnresolvedTable(head +: rest, _, _), props)
         if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>

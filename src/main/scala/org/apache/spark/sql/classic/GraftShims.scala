@@ -23,4 +23,19 @@ object GraftShims {
     * MERGE/UPDATE/DELETE expressions to the DataFrame API. */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     ExpressionUtils.column(e)
+
+  /** Single-part column name of an identity partition transform
+    * (`PARTITIONED BY (col)`), None for anything else — the
+    * `IdentityTransform`/`FieldReference` extractors are `private[sql]`
+    * in ScalaSig despite public bytecode, so the CTAS rule reads them
+    * through this shim. */
+  def identityTransformCol(
+      t: org.apache.spark.sql.connector.expressions.Transform): Option[String] =
+    t match {
+      case org.apache.spark.sql.connector.expressions.IdentityTransform(
+          org.apache.spark.sql.connector.expressions.FieldReference(parts))
+          if parts.size == 1 =>
+        Some(parts.head)
+      case _ => None
+    }
 }

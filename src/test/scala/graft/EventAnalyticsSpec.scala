@@ -69,6 +69,49 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("funnelWindowed: planted convert/expire sequences hit exactly the " +
+      "right bounds") {
+    val D = EventAnalytics.MicrosPerDay
+    val ev = Seq(
+      // user 1: converts fully — click 1d after view, buy 1d after click
+      (1L, "view", 0L), (1L, "click", D), (1L, "purchase", 2 * D),
+      // user 2: click EXACTLY at the 2d gap bound (inclusive — counts),
+      // purchase EXACTLY at the next 2d gap bound and inside the window
+      (2L, "view", 0L), (2L, "click", 2 * D), (2L, "purchase", 4 * D),
+      // user 3: click one microsecond past the gap — expires at step 2
+      (3L, "view", 0L), (3L, "click", 2 * D + 1),
+      // user 4: click in time, purchase past the 5d window — step 3 lost
+      (4L, "view", 0L), (4L, "click", D), (4L, "purchase", 5 * D + 1),
+      // user 5: clicks in time but the only purchase PRECEDES the
+      // click — strict order drops step 3
+      (5L, "view", 0L), (5L, "purchase", D), (5L, "click", 2 * D),
+      // user 6: greedy anchor pin — the FIRST view anchors the window,
+      // so the 10d click sits outside it even though a later view at
+      // 9d would have admitted it
+      (6L, "view", 0L), (6L, "view", 9 * D), (6L, "click", 10 * D)
+    ).toDF("user_id", "event_type", "ts_us")
+    val got = EventAnalytics.funnelWindowed(ev,
+        Seq("view", "click", "purchase"),
+        conversionWindowMicros = Some(5 * D),
+        maxStepGapMicros = Some(2 * D))
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1 -> (("view", 6L)),       // all six viewed
+      2 -> (("click", 4L)),      // users 1, 2, 4, 5 (3 gap-expired, 6 window)
+      3 -> (("purchase", 2L))))  // users 1, 2 (4 past window, 5 wrong order)
+  }
+
+  test("funnelWindowed: unbounded knobs reduce to the strict-order funnel") {
+    val D = EventAnalytics.MicrosPerDay
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", 100 * D), (1L, "purchase", 300 * D),
+      (2L, "view", 0L)).toDF("user_id", "event_type", "ts_us")
+    val got = EventAnalytics.funnelWindowed(ev,
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got === Map(1 -> 2L, 2 -> 1L, 3 -> 1L))
+  }
+
   test("resampleLocf: gaps carry the last value; ties break on the tie column") {
     val D = EventAnalytics.MicrosPerDay
     val ev = Seq(

@@ -468,6 +468,33 @@ class SqlSurfaceSpec extends SparkSpec {
         spark.table("hy_emb"), spark.table("hy_qt"), spark.table("hy_qv"), 5))
   }
 
+  test("graft_hybrid_topk_indexed TVF serves from persisted index tables " +
+      "and matches the Scala API") {
+    import spark.implicits._
+    import graft.llm.{Retrieval, Similarity}
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("hyi_docs")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.createOrReplaceTempView("hyi_emb")
+    Seq((3L, "spark table merge")).toDF("query_id", "query_text")
+      .createOrReplaceTempView("hyi_qt")
+    emb.filter("vec_id = 3").createOrReplaceTempView("hyi_qv")
+    Retrieval.bm25Index(spark.table("hyi_docs"))
+      .createOrReplaceTempView("hyi_bm25")
+    val (cents, books, codes) =
+      Similarity.ivfPqIndex(emb, nlist = 8, m = 8, ksub = 8)
+    Similarity.centroidsTable(spark, cents).createOrReplaceTempView("hyi_cents")
+    Similarity.pqBooksTable(spark, books).createOrReplaceTempView("hyi_books")
+    codes.localCheckpoint().createOrReplaceTempView("hyi_codes")
+    assertSameRows(
+      spark.sql(
+        "SELECT * FROM graft_hybrid_topk_indexed('hyi_bm25', 'hyi_cents', " +
+          "'hyi_books', 'hyi_codes', 'hyi_emb', 'hyi_qt', 'hyi_qv', 5)"),
+      Retrieval.hybridTopKWith(spark.table("hyi_qt"), spark.table("hyi_qv"),
+        spark.table("hyi_bm25"), cents, books, spark.table("hyi_codes"),
+        spark.table("hyi_emb"), k = 5))
+  }
+
   test("graft_bm25_topk TVF matches the Scala API in both modes") {
     import spark.implicits._
     spark.read.parquet(s"$sf/documents.parquet")

@@ -488,4 +488,63 @@ class SqlTablesSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM region_v").head().getLong(0) ==
       spark.table("region_v").count())
   }
+
+  test("CTAS creates the table with the query's schema and rows") {
+    val path = tmpDir("sqlctas")
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation_ctas")
+    spark.sql(s"""CREATE TABLE ${quoted(path)} AS
+                 |SELECT n_nationkey, n_name FROM nation_ctas
+                 |WHERE n_nationkey < 10""".stripMargin)
+    assertSameRows(
+      spark.sql(s"SELECT * FROM ${quoted(path)}"),
+      spark.table("nation_ctas").select("n_nationkey", "n_name")
+        .filter(col("n_nationkey") < 10))
+    assert(ManagedTable(spark, path).lastCommit.get.operation ===
+      "CREATE TABLE AS SELECT")
+  }
+
+  test("partitioned CTAS carries the layout; TBLPROPERTIES stamp before data") {
+    val path = tmpDir("sqlctasp")
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation_ctas2")
+    spark.sql(s"""CREATE TABLE ${quoted(path)}
+                 |PARTITIONED BY (n_regionkey)
+                 |TBLPROPERTIES ('graft.owner' = 'ctas-spec')
+                 |AS SELECT n_nationkey, n_name, n_regionkey
+                 |FROM nation_ctas2""".stripMargin)
+    val t = ManagedTable(spark, path)
+    assert(t.lastCommit.get.partitionBy === Seq("n_regionkey"))
+    assert(t.lastCommit.get.properties.get("graft.owner").contains("ctas-spec"))
+    // the property commit precedes the data commit (layout-bearing
+    // properties must govern the first files)
+    assert(t.history.map(_.operation).reverse.take(3) ===
+      Seq("CREATE TABLE", "SET TBLPROPERTIES", "CREATE TABLE AS SELECT"))
+    assertSameRows(spark.sql(s"SELECT * FROM ${quoted(path)}"),
+      spark.table("nation_ctas2").select("n_nationkey", "n_name", "n_regionkey"))
+  }
+
+  test("CTAS IF NOT EXISTS is a no-op on an existing table; plain CTAS refuses") {
+    val path = freshTable("sqlctasine")
+    val before = spark.sql(s"SELECT count(*) FROM ${quoted(path)}").head().getLong(0)
+    val v = ManagedTable(spark, path).latestVersion
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS ${quoted(path)} AS
+                 |SELECT 1 AS x""".stripMargin)
+    assert(ManagedTable(spark, path).latestVersion === v,
+      "IF NOT EXISTS must not commit anything")
+    assert(spark.sql(s"SELECT count(*) FROM ${quoted(path)}")
+      .head().getLong(0) === before)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE ${quoted(path)} AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.contains("already"))
+  }
+
+  test("CTAS rejects non-identity partitioning transforms") {
+    val path = tmpDir("sqlctasb")
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE ${quoted(path)}
+                   |PARTITIONED BY (bucket(4, n_nationkey))
+                   |AS SELECT 1 AS n_nationkey""".stripMargin)
+    }
+    assert(e.getMessage.contains("identity"))
+  }
 }
