@@ -245,6 +245,12 @@ object GraftExtensions {
         minCount = intArg(args(1), "min_count").toLong,
         k = intArg(args(2), "k")))
     },
+    "graft_phrase_search" -> { args =>
+      require(args.size == 3,
+        "graft_phrase_search(docs, phrases, k) takes two table names and k")
+      plan(graft.llm.Retrieval.phraseSearch(table(args(0)), table(args(1)),
+        intArg(args(2), "k")))
+    },
     "graft_bm25_topk" -> { args =>
       require(args.size == 3 || args.size == 4,
         "graft_bm25_topk(docs, queries, k[, exact]) takes two table names, " +

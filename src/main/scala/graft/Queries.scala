@@ -1788,6 +1788,21 @@ object Queries {
     spark.sql(s"CREATE TABLE IF NOT EXISTS graft.`$path` AS SELECT 1 AS x")
     require(t.latestVersion.contains(c.version),
       "sql_table_ctas: IF NOT EXISTS must not commit")
+    // RTAS lifecycle gate on a scratch table: CREATE OR REPLACE lands a
+    // single replace commit on the SAME log (history stays travelable),
+    // and plain REPLACE on a missing table refuses
+    val rt = tmp("sqlrtas")
+    spark.sql(s"CREATE OR REPLACE TABLE graft.`$rt` AS SELECT 1 AS x")
+    spark.sql(s"CREATE OR REPLACE TABLE graft.`$rt` AS SELECT 2 AS x, 3 AS y")
+    val rtT = ManagedTable(spark, rt)
+    require(rtT.lastCommit.get.operation == "REPLACE TABLE AS SELECT" &&
+      rtT.read.columns.toSeq == Seq("x", "y") &&
+      rtT.readAt(rtT.latestVersion.get - 1).columns.toSeq == Seq("x"),
+      "sql_table_ctas: RTAS must replace schema+data in one commit with " +
+        "history intact")
+    require(scala.util.Try(spark.sql(
+      s"REPLACE TABLE graft.`${tmp("sqlrtas_missing")}` AS SELECT 1 AS x"
+    )).isFailure, "sql_table_ctas: plain REPLACE on a missing table must refuse")
     spark.sql(
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
          |  sum(o_custkey) AS sum_cust
@@ -6055,6 +6070,86 @@ object Queries {
       |         ORDER BY rrf_scaled DESC, doc_id) AS "rank" FROM f)
       |SELECT query_id, "rank", doc_id, rrf_scaled, n_sources
       |FROM rr WHERE "rank" <= 10""".stripMargin
+
+  /** Exact phrase search ([[graft.llm.Retrieval.phraseSearchWith]]) —
+    * the positional-index retrieval operation bag-of-words BM25 cannot
+    * express. The positional index persists as parquet (staging);
+    * three planted docs carry nonce phrases engineering the edges the
+    * diagonal-anchor math must get right: doc A holds the two-word
+    * phrase twice (and a three-word OVERLAPPING phrase twice — anchors
+    * 0 and 2 share the middle token), doc B holds both tokens in the
+    * WRONG ORDER (an AND-search would match; phrase search must not),
+    * doc C matches a REPEATED-token phrase at two overlapping anchors.
+    * In-query requires pin those counts; the oracle recomputes from
+    * documents ∪ the planted VALUES with 1-based positions (anchor
+    * values cancel, counts are offset-invariant). */
+  def phraseSearchDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    val planted = Seq(
+      (910001L, "qphraseax qphrasebx qphraseax qphrasebx qphraseax"),
+      (910002L, "qphrasebx qphraseax"),
+      (910003L, "qphrasecx qphrasecx qphrasecx")).toDF("doc_id", "text")
+    val corpus = pq(spark, dir, "documents").select("doc_id", "text")
+      .unionByName(planted)
+    val idxPath = tmp("posidx")
+    Staging.timed {
+      Retrieval.positionalIndex(corpus).write.mode("overwrite").parquet(idxPath)
+    }
+    val phrases = Seq(
+      (1L, "qphraseax qphrasebx"),
+      (2L, "qphraseax qphrasebx qphraseax"),
+      (3L, "qphrasecx qphrasecx"),
+      (4L, "table hash")).toDF("query_id", "query_text") // natural phrase
+    val got = Retrieval.phraseSearchWith(phrases,
+      spark.read.parquet(idxPath), k = 10).localCheckpoint()
+    val want = Map(1L -> (910001L, 2L), 2L -> (910001L, 2L), 3L -> (910003L, 2L))
+    val planted3 = got.filter(col("query_id") <= 3).collect()
+    require(planted3.length == 3 && planted3.forall { r =>
+      want(r.getLong(0)) == ((r.getLong(2), r.getLong(3))) && r.getInt(1) == 1
+    }, s"phrase_search: planted occurrence counts wrong: " +
+      s"${planted3.mkString(", ")} — wrong-order or partial diagonals " +
+      "leaked into the counts")
+    got
+  }
+
+  /** DuckDB mirror of [[phraseSearchDocs]] — same diagonal-anchor
+    * aggregation with 1-based `unnest` positions. */
+  val phraseSearchSql: String =
+    """WITH pd(doc_id, text) AS (VALUES
+      |  (910001, 'qphraseax qphrasebx qphraseax qphrasebx qphraseax'),
+      |  (910002, 'qphrasebx qphraseax'),
+      |  (910003, 'qphrasecx qphrasecx qphrasecx')),
+      |ad AS (SELECT doc_id, text FROM documents
+      |       UNION ALL SELECT doc_id, text FROM pd),
+      |q(query_id, query_text) AS (VALUES
+      |  (1, 'qphraseax qphrasebx'),
+      |  (2, 'qphraseax qphrasebx qphraseax'),
+      |  (3, 'qphrasecx qphrasecx'),
+      |  (4, 'table hash')),
+      |toks AS (SELECT doc_id,
+      |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM ad),
+      |tok AS (SELECT doc_id, ts[i] AS tok, i AS pos
+      |        FROM toks, unnest(generate_series(1, len(ts))) AS t(i)),
+      |qtoks AS (SELECT query_id,
+      |  regexp_extract_all(lower(query_text), '[a-z0-9]+') AS ts FROM q),
+      |qtok AS (SELECT query_id, ts[i] AS tok, i AS qpos
+      |         FROM qtoks, unnest(generate_series(1, len(ts))) AS t(i)),
+      |qlen AS (SELECT query_id, CAST(count(*) AS BIGINT) AS qlen
+      |         FROM qtok GROUP BY query_id),
+      |diag AS (SELECT qtok.query_id, tok.doc_id,
+      |          tok.pos - qtok.qpos AS anchor,
+      |          CAST(count(*) AS BIGINT) AS n
+      |         FROM tok JOIN qtok USING (tok)
+      |         GROUP BY 1, 2, 3),
+      |occ AS (SELECT d.query_id, d.doc_id FROM diag d JOIN qlen USING (query_id)
+      |        WHERE d.n = qlen.qlen),
+      |cnt AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches
+      |        FROM occ GROUP BY query_id, doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY n_matches DESC, doc_id) AS "rank" FROM cnt)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, "rank", doc_id, n_matches
+      |FROM r WHERE "rank" <= 10""".stripMargin
 
   /** BM25 index as a CDF-maintained standing view
     * ([[graft.table.Bm25IndexView]]): the corpus is a managed table,

@@ -206,6 +206,7 @@ object SparkEntry {
     "bm25_topk" -> (Queries.bm25TopKDocs(_, _)),
     "bm25_incremental" -> (Queries.bm25IncrementalDocs(_, _)),
     "bm25_view_refresh" -> (Queries.bm25ViewRefresh(_, _)),
+    "phrase_search" -> (Queries.phraseSearchDocs(_, _)),
     "hybrid_search" -> (Queries.hybridSearchDocs(_, _)),
     "hybrid_search_indexed" -> (Queries.hybridSearchIndexed(_, _)),
     "collocations_topk" -> (Queries.collocationsDocs(_, _)),
@@ -707,6 +708,7 @@ object SparkEntry {
     "bm25_topk" -> Queries.bm25TopKSql,
     "bm25_incremental" -> Queries.bm25IncrementalSql,
     "bm25_view_refresh" -> Queries.bm25ViewRefreshSql,
+    "phrase_search" -> Queries.phraseSearchSql,
     "hybrid_search" -> Queries.hybridSearchSql,
     "hybrid_search_indexed" -> Queries.hybridSearchIndexedSql,
     "collocations_topk" -> Queries.collocationsSql,

@@ -320,6 +320,75 @@ object Retrieval {
         col("n_terms_matched"))
   }
 
+  /** Positional postings: one row per token OCCURRENCE `(tok, doc_id,
+    * pos)` — the index behind exact phrase search, the retrieval
+    * operation BM25's bag-of-words postings cannot express (bags know
+    * a doc has "new" and "york", not that they are adjacent). Build
+    * cost: one tokenize + posexplode, no aggregation at all; persist
+    * once per frozen corpus next to [[bm25Index]]. Size: one row per
+    * corpus token (the index IS the tokenized corpus re-keyed), so at
+    * 100 TB partition/cluster it by `tok` — every search touches only
+    * its phrases' posting lists. */
+  def positionalIndex(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(toks(col(textCol))).as(Seq("pos", "tok")))
+
+  /** Exact phrase search against a standing [[positionalIndex]]: top-k
+    * documents per phrase by OCCURRENCE COUNT of the exact token
+    * sequence (case-folded, same `[a-z0-9]+` tokenization as the rest
+    * of the family). One aggregation finds every occurrence of every
+    * phrase — the DIAGONAL-ANCHOR trick ([[Dedup]] uses the same math
+    * for duplicated-span detection): a phrase occurrence starting at
+    * document position `a` puts its `qpos`-th token at `pos = a +
+    * qpos`, so every matched (phrase token, posting) pair votes for
+    * anchor `pos − qpos`, and an anchor collecting ALL `qlen` distinct
+    * phrase positions is one complete occurrence. No per-term
+    * self-join chain (the classic positional-intersection plan is
+    * n−1 joins for an n-word phrase); arbitrary phrase length at one
+    * `(query, doc, anchor)` hash aggregate whose input is bounded by
+    * the matched posting lists. Repeated phrase tokens are exact (a
+    * (query,qpos,doc,pos) pair joins at most once — each side holds
+    * one token per position); overlapping occurrences count separately
+    * (distinct anchors), the standard convention. Everything is
+    * integer arithmetic — ranks, counts, and ties (n_matches desc,
+    * doc_id asc) sit bit-identical under the cross-engine hash gate.
+    * The query side carries the family's [[Similarity.fitsDriver]]
+    * broadcast gate. Output: `(query_id, rank, doc_id, n_matches)`;
+    * phrases with no full occurrence contribute no rows. */
+  def phraseSearchWith(phrases: DataFrame, index: DataFrame, k: Int = 10,
+                       queryTextCol: String = "query_text",
+                       queryIdCol: String = "query_id",
+                       maxBroadcastQueries: Int = 65536): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val qtok = phrases.select(col(queryIdCol).as("query_id"),
+      posexplode(toks(col(queryTextCol))).as(Seq("qpos", "tok")))
+    val qlen = qtok.groupBy("query_id").agg(count(lit(1)).as("__qlen__"))
+    val small = Similarity.fitsDriver(phrases, maxBroadcastQueries)
+    val qSide = if (small) broadcast(qtok) else qtok
+    val qlenSide = if (small) broadcast(qlen) else qlen
+    val occurrences = index.join(qSide, Seq("tok"))
+      .groupBy(col("query_id"), col("doc_id"),
+        (col("pos") - col("qpos")).as("__anchor__"))
+      .agg(count(lit(1)).as("__n__"))
+      .join(qlenSide, Seq("query_id"))
+      .filter(col("__n__") === col("__qlen__"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_matches").desc, col("doc_id").asc)
+    occurrences.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "n_matches")
+  }
+
+  /** One-shot [[phraseSearchWith]]: index and search in one plan. */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame, k: Int = 10,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    phraseSearchWith(phrases, positionalIndex(docs, textCol, idCol), k)
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009 — the
     * standard way to combine heterogeneous rankers, used by every
     * hybrid lexical+vector search stack): each ranking contributes

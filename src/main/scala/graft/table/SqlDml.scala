@@ -301,6 +301,41 @@ final case class GraftCtasCommand(root: String,
   }
 }
 
+/** `[CREATE OR] REPLACE TABLE graft.t [PARTITIONED BY ...]
+  * [TBLPROPERTIES ...] AS SELECT ...` — the atomic redefinition form:
+  * the new data, schema, partition layout, and properties land as ONE
+  * replace commit on the SAME commit log, so history and time travel
+  * still reach every pre-replace version (Delta's CREATE OR REPLACE
+  * semantics; a DROP + CTAS would orphan the history). Plain `REPLACE
+  * TABLE` on a missing table errors; `OR CREATE` falls back to CTAS. */
+final case class GraftRtasCommand(root: String,
+                                  query: LogicalPlan,
+                                  partitionBy: Seq[String],
+                                  properties: Map[String, String],
+                                  orCreate: Boolean)
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    Seq(query)
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable(spark, root)
+    if (!t.exists) {
+      if (!orCreate)
+        throw new IllegalStateException(s"graft table at $root does not " +
+          "exist (use CREATE OR REPLACE TABLE ... AS SELECT)")
+      val df = GraftShims.ofRows(spark, query)
+      t.createIfNotExists(df.schema)
+      if (properties.nonEmpty) t.setProperties(properties)
+      t.write(df, "CREATE TABLE AS SELECT", "replace", None, partitionBy)
+    } else {
+      if (properties.nonEmpty) t.setProperties(properties)
+      t.write(GraftShims.ofRows(spark, query), "REPLACE TABLE AS SELECT",
+        "replace", None, partitionBy)
+    }
+    Nil
+  }
+}
+
 /** `ALTER TABLE graft.t SET TBLPROPERTIES (...)`. */
 final case class GraftSetPropertiesCommand(root: String,
                                            props: Map[String, String])

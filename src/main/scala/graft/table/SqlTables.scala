@@ -332,6 +332,25 @@ final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftCtasCommand(SqlTables.rootOf(spark, rest), ctQuery, partCols,
         props, ignoreIfExists)
 
+    // [CREATE OR] REPLACE TABLE graft.t ... AS SELECT — one replace
+    // commit on the same log, history intact
+    case ReplaceTableAsSelect(UnresolvedIdentifier(head +: rest, _),
+        partitioning, rtQuery, tableSpec, _, orCreate, _)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      val partCols = partitioning.map { t =>
+        GraftShims.identityTransformCol(t).getOrElse(
+          throw new UnsupportedOperationException(
+            "REPLACE TABLE AS SELECT on graft tables supports only " +
+              s"identity PARTITIONED BY columns, got $t"))
+      }
+      val props = tableSpec match {
+        case u: UnresolvedTableSpec => u.properties
+        case t: TableSpec => t.properties
+        case _ => Map.empty[String, String]
+      }
+      GraftRtasCommand(SqlTables.rootOf(spark, rest), rtQuery, partCols,
+        props, orCreate)
+
     // ALTER TABLE graft.t SET/UNSET TBLPROPERTIES
     case SetTableProperties(UnresolvedTable(head +: rest, _, _), props)
         if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>

@@ -256,6 +256,44 @@ class RetrievalSpec extends SparkSpec {
     assertSameRows(got, want)
   }
 
+  test("phraseSearch: exact adjacency, overlap, repeats, and order all " +
+      "behave — and the index round-trips through parquet") {
+    val docs = Seq(
+      (1L, "new york city new york"),       // "new york" ×2
+      (2L, "york new"),                      // both tokens, wrong order
+      (3L, "new new new"),                   // repeated-token phrase ×2
+      (4L, "the new york times"),            // "new york" ×1 mid-doc
+      (5L, "newyork")                        // one fused token — no match
+    ).toDF("doc_id", "text")
+    val q = Seq(
+      (1L, "new york"), (2L, "new new"), (3L, "new york city"),
+      (4L, "absent phrase"), (5L, "york")).toDF("query_id", "query_text")
+    val got = Retrieval.phraseSearch(docs, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 1, 1L, 2L), (1L, 2, 4L, 1L),  // counts rank doc 1 first
+      (2L, 1, 3L, 2L),                    // overlapping repeated-token hits
+      (3L, 1, 1L, 1L),                    // three-word phrase, once
+      (5L, 1, 1L, 2L), (5L, 2, 2L, 1L), (5L, 3, 4L, 1L))) // single-token
+    // standing-index form equals the one-shot through a parquet round trip
+    val dir = tmpDir("posidx")
+    Retrieval.positionalIndex(docs).write.parquet(dir)
+    assertSameRows(
+      Retrieval.phraseSearchWith(q, spark.read.parquet(dir), k = 10),
+      Retrieval.phraseSearch(docs, q, k = 10))
+  }
+
+  test("phraseSearch: the shuffled query path matches the broadcast path") {
+    val docs = corpus
+    val q = Seq((1L, "spark merge"), (2L, "table table"))
+      .toDF("query_id", "query_text")
+    assertSameRows(
+      Retrieval.phraseSearch(docs, q, k = 5),
+      Retrieval.phraseSearchWith(q, Retrieval.positionalIndex(docs), k = 5,
+        maxBroadcastQueries = 0))
+  }
+
   test("query-term dedup: repeated terms in the query text score once") {
     val q1 = Seq((1L, "spark spark spark")).toDF("query_id", "query_text")
     val q2 = Seq((1L, "spark")).toDF("query_id", "query_text")

@@ -538,6 +538,31 @@ class SqlTablesSpec extends SparkSpec {
     assert(e.getMessage.contains("already"))
   }
 
+  test("CREATE OR REPLACE TABLE AS SELECT replaces data atomically and " +
+      "keeps history; plain REPLACE on a missing table refuses") {
+    val path = freshTable("sqlrtas")
+    val vBefore = ManagedTable(spark, path).latestVersion.get
+    spark.sql(s"""CREATE OR REPLACE TABLE ${quoted(path)} AS
+                 |SELECT 7 AS n_nationkey, 'X' AS n_name""".stripMargin)
+    val t = ManagedTable(spark, path)
+    assert(t.lastCommit.get.operation === "REPLACE TABLE AS SELECT")
+    assert(spark.sql(s"SELECT * FROM ${quoted(path)}").count() === 1L)
+    // history intact: the pre-replace snapshot is still time-travelable
+    assert(spark.sql(
+      s"SELECT count(*) FROM ${quoted(path)} VERSION AS OF $vBefore")
+      .head().getLong(0) > 1L)
+    // OR CREATE on a fresh path falls back to CTAS
+    val fresh = tmpDir("sqlrtas2")
+    spark.sql(s"CREATE OR REPLACE TABLE ${quoted(fresh)} AS SELECT 1 AS x")
+    assert(spark.sql(s"SELECT * FROM ${quoted(fresh)}").count() === 1L)
+    // plain REPLACE TABLE on a missing path refuses
+    val missing = tmpDir("sqlrtas3")
+    val e = intercept[Exception] {
+      spark.sql(s"REPLACE TABLE ${quoted(missing)} AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
   test("CTAS rejects non-identity partitioning transforms") {
     val path = tmpDir("sqlctasb")
     val e = intercept[Exception] {
