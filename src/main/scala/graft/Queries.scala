@@ -1101,6 +1101,74 @@ object Queries {
       |UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
       |UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)""".stripMargin
 
+  /** Funnel time-to-convert statistics
+    * ([[graft.operators.EventAnalytics.funnelConversionStats]]): the
+    * same greedy windowed chain as [[funnelWindowed]], emitting per
+    * transition the exact count/min/max/sum of `t_i − t_{i−1}` plus
+    * DISCRETE p50/p90 by counting sort over millisecond buckets — the
+    * cumulative window runs over distinct buckets, never users, so
+    * exact quantiles survive any funnel size. Everything BIGINT. */
+  def funnelConversionStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EventAnalytics
+    val ev0 = pq(spark, dir, "events")
+    EventAnalytics.funnelConversionStats(
+      ev0.withColumn("ts_us", eventMicros(ev0)),
+      steps = Seq("view", "click", "purchase"),
+      conversionWindowMicros = Some(5 * EventAnalytics.MicrosPerDay),
+      maxStepGapMicros = Some(2 * EventAnalytics.MicrosPerDay))
+  }
+
+  /** DuckDB mirror of [[funnelConversionStats]]. */
+  val funnelConversionStatsSql: String =
+    """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts
+      |           FROM events),
+      |s1 AS (SELECT u, MIN(ts) AS tp, MIN(ts) AS t1 FROM e
+      |       WHERE t = 'view' GROUP BY u),
+      |s2 AS (SELECT e.u, MIN(e.ts) AS tp, MIN(s1.t1) AS t1
+      |       FROM e JOIN s1 USING (u)
+      |       WHERE t = 'click' AND e.ts > s1.tp
+      |         AND e.ts <= s1.tp + 172800000000
+      |         AND e.ts <= s1.t1 + 432000000000
+      |       GROUP BY e.u),
+      |s3 AS (SELECT e.u, MIN(e.ts) AS tp, MIN(s2.t1) AS t1
+      |       FROM e JOIN s2 USING (u)
+      |       WHERE t = 'purchase' AND e.ts > s2.tp
+      |         AND e.ts <= s2.tp + 172800000000
+      |         AND e.ts <= s2.t1 + 432000000000
+      |       GROUP BY e.u),
+      |d2 AS (SELECT s2.tp - s1.tp AS d FROM s2 JOIN s1 USING (u)),
+      |d3 AS (SELECT s3.tp - s2.tp AS d FROM s3 JOIN s2 USING (u)),
+      |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n, MIN(d) AS mn, MAX(d) AS mx,
+      |        CAST(sum(d) AS BIGINT) AS s FROM d2),
+      |n3 AS (SELECT CAST(count(*) AS BIGINT) AS n, MIN(d) AS mn, MAX(d) AS mx,
+      |        CAST(sum(d) AS BIGINT) AS s FROM d3),
+      |c2 AS (SELECT b, sum(c) OVER (ORDER BY b
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |       FROM (SELECT d // 1000 AS b, CAST(count(*) AS BIGINT) AS c
+      |             FROM d2 GROUP BY 1)),
+      |c3 AS (SELECT b, sum(c) OVER (ORDER BY b
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |       FROM (SELECT d // 1000 AS b, CAST(count(*) AS BIGINT) AS c
+      |             FROM d3 GROUP BY 1)),
+      |q2 AS (SELECT
+      |        CAST(min(CASE WHEN cum >= (n+1)//2 THEN b*1000 END) AS BIGINT)
+      |          AS p50,
+      |        CAST(min(CASE WHEN cum >= (9*n+9)//10 THEN b*1000 END) AS BIGINT)
+      |          AS p90
+      |       FROM c2, n2),
+      |q3 AS (SELECT
+      |        CAST(min(CASE WHEN cum >= (n+1)//2 THEN b*1000 END) AS BIGINT)
+      |          AS p50,
+      |        CAST(min(CASE WHEN cum >= (9*n+9)//10 THEN b*1000 END) AS BIGINT)
+      |          AS p90
+      |       FROM c3, n3)
+      |SELECT 2 AS step, 'click' AS event_type, n AS n_converted, mn AS min_us,
+      |       q2.p50 AS p50_us, q2.p90 AS p90_us, mx AS max_us, s AS sum_us
+      |FROM n2, q2 WHERE n > 0
+      |UNION ALL
+      |SELECT 3, 'purchase', n, mn, q3.p50, q3.p90, mx, s
+      |FROM n3, q3 WHERE n > 0""".stripMargin
+
   /** ROLLUP aggregation (grouping-sets family — beyond the reference's
     * own operator set, exposed through the engine's SQL surface). */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
@@ -2416,6 +2484,73 @@ object Queries {
     got.select(col("o_orderstatus"), col("cnt"),
       col("sum_o_totalprice").cast("string").as("sum_totalprice"))
   }
+
+  /** Incrementally-maintained JOIN-aggregate view
+    * ([[graft.table.IncrementalJoinAggView]] — the star-join mart the
+    * single-table view cannot express): `orders ⋈ customer` grouped by
+    * market segment, maintained by the signed delta-join identity
+    * `L1⋈R1 − L0⋈R0 = dL⋈R0 + L0⋈dR + dL⋈dR` while the scenario
+    * drives appends on BOTH sides (including a fact batch whose
+    * customers arrive in the same range — the cross term), a fact
+    * delete, and a dimension update that MOVES rows across groups.
+    * Each refresh reads only the change-feed ranges plus the other
+    * side's watermark snapshot semi-pruned to the delta's keys. The
+    * in-query gate compares against the full join recompute; the
+    * oracle rebuilds the final state from the base tables. */
+  def incrementalJoinView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.{IncrementalJoinAggView, ManagedTable}
+    val lp = tmp("jview_l")
+    val rp = tmp("jview_r")
+    val sp = tmp("jview_s")
+    val o = pq(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+        col("o_totalprice"))
+    val c = pq(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val lt = ManagedTable(spark, lp)
+    val rt = ManagedTable(spark, rp)
+    lt.write(o.filter(col("o_orderkey") % 3 === 0), "APPEND", "append")
+    rt.write(c.filter(col("custkey") % 2 === 0), "APPEND", "append")
+    val view = new IncrementalJoinAggView(spark, lp, rp, sp,
+      joinKeys = Seq("custkey"), groupCols = Seq("c_mktsegment"),
+      sumCols = Seq("o_totalprice"))
+    view.initialize()
+    // both sides move in ONE range: odd customers arrive together with
+    // more facts — the dL⋈dR cross term fires alongside both snapshots
+    lt.write(o.filter(col("o_orderkey") % 3 === 1), "APPEND", "append")
+    rt.write(c.filter(col("custkey") % 2 =!= 0), "APPEND", "append")
+    view.refresh()
+    lt.delete(col("o_orderkey") % 5 === 0)
+    rt.update(Map("c_mktsegment" -> lit("MOVED")),
+      col("custkey") % 7 === 0, captureChangeData = true)
+    view.refresh()
+    val got = view.read
+    val want = lt.read.join(rt.read, Seq("custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_o_totalprice"))
+    require(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "incremental_join_view drifted from the full join recompute")
+    got.select(col("c_mktsegment"), col("cnt"),
+      col("sum_o_totalprice").cast("string").as("sum_totalprice"))
+  }
+
+  /** DuckDB mirror of [[incrementalJoinView]] — the final state from
+    * the base tables. */
+  val incrementalJoinViewSql: String =
+    """WITH l AS (SELECT o_custkey AS custkey, o_totalprice FROM orders
+      |           WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0),
+      |r AS (SELECT c_custkey AS custkey,
+      |        CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+      |             ELSE c_mktsegment END AS c_mktsegment
+      |      FROM customer)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR)
+      |   AS sum_totalprice
+      |FROM l JOIN r USING (custkey)
+      |GROUP BY c_mktsegment""".stripMargin
 
   val incrementalViewSql: String =
     """WITH rows AS (
@@ -6299,8 +6434,17 @@ object Queries {
       col("n_sources") =!= 2).count()
     require(badTop == 0L, s"hybrid_search_indexed: $badTop probes did not " +
       "fuse their planted doc first from both sources")
-    val bruteTop = Retrieval.hybridTopK(corpusDocs, corpusVecs, qText, qVec,
-        k = 10, kPerRanker = 10)
+    // brute gate varies only the VECTOR ranker (exact cosine instead of
+    // the IVF-PQ index) against the SAME persisted lexical index — the
+    // lexical side is independently recomputed from scratch by the
+    // DuckDB oracle, so re-tokenizing the corpus here would only pay a
+    // second full scan for a check the hash gate already performs
+    val bruteTop = Retrieval.rrfFuse(Seq(
+        Retrieval.bm25SearchWith(qText, spark.read.parquet(s"$idxDir/bm25"),
+          k = 10, exact = true).select("query_id", "doc_id", "rank"),
+        graft.llm.Similarity.bruteForceTopK(corpusVecs, qVec, 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank"))), k = 10)
       .filter(col("rank") === 1)
     val distinctUnion = top.unionByName(bruteTop).distinct().count()
     require(distinctUnion == 3L, "hybrid_search_indexed: indexed fusion " +

@@ -48,6 +48,7 @@ object SparkEntry {
     "events_frames" -> (Queries.eventsFrames(_, _)),
     "funnel_steps" -> (Queries.funnelSteps(_, _)),
     "funnel_windowed" -> (Queries.funnelWindowed(_, _)),
+    "funnel_conversion_stats" -> (Queries.funnelConversionStats(_, _)),
     "events_json" -> (Queries.eventsJson(_, _)),
     "grouping_sets" -> (Queries.groupingSetsRevenue(_, _)),
     "rollup_revenue" -> (Queries.rollupRevenue(_, _)),
@@ -115,6 +116,7 @@ object SparkEntry {
     "dedup_spans_action" -> (Queries.dedupSpansAction(_, _)),
     "dedup_spans_incremental" -> (Queries.dedupSpansIncremental(_, _)),
     "incremental_view" -> (Queries.incrementalView(_, _)),
+    "incremental_join_view" -> (Queries.incrementalJoinView(_, _)),
     "incremental_view_minmax" -> (Queries.incrementalViewMinMax(_, _)),
     "column_rename" -> (Queries.columnRename(_, _)),
     "countmin_rollup" -> (Queries.countminRollup(_, _)),
@@ -309,6 +311,7 @@ object SparkEntry {
     "events_frames" -> Queries.eventsFramesSql,
     "funnel_steps" -> Queries.funnelStepsSql,
     "funnel_windowed" -> Queries.funnelWindowedSql,
+    "funnel_conversion_stats" -> Queries.funnelConversionStatsSql,
     "events_json" -> Queries.eventsJsonSql,
     "grouping_sets" -> Queries.groupingSetsRevenueSql,
     "rollup_revenue" -> Queries.rollupRevenueSql,
@@ -363,6 +366,7 @@ object SparkEntry {
     "dedup_spans_action" -> Queries.dedupSpansActionSql,
     "dedup_spans_incremental" -> Queries.dedupSpansIncrementalSql,
     "incremental_view" -> Queries.incrementalViewSql,
+    "incremental_join_view" -> Queries.incrementalJoinViewSql,
     "incremental_view_minmax" -> Queries.incrementalViewMinMaxSql,
     "column_rename" -> Queries.columnRenameSql,
     "countmin_rollup" -> Queries.countminRollupSql,

@@ -95,28 +95,107 @@ object EventAnalytics {
       s"funnel steps must be distinct, got $steps")
     conversionWindowMicros.foreach(w => require(w > 0, "window must be positive"))
     maxStepGapMicros.foreach(g => require(g > 0, "max gap must be positive"))
+    val frames = funnelStages(events, steps, tsUsCol, userCol, typeCol,
+      conversionWindowMicros, maxStepGapMicros)
+    frames.map { case (step, name, f) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The greedy-earliest stage chain shared by [[funnelWindowed]] and
+    * [[funnelConversionStats]]: one frame per step with the user's
+    * completion time `__tp__`, the step-1 anchor `__t1__`, and the
+    * PREVIOUS step's completion `__tprev__` (== `__tp__` at step 1). */
+  private def funnelStages(events: DataFrame, steps: Seq[String],
+                           tsUsCol: String, userCol: String, typeCol: String,
+                           conversionWindowMicros: Option[Long],
+                           maxStepGapMicros: Option[Long])
+      : Seq[(Int, String, DataFrame)] = {
     val ev = events.select(col(userCol).as("__u__"), col(typeCol).as("__t__"),
       col(tsUsCol).as("__ts__"))
     var stage = ev.filter(col("__t__") === steps.head)
       .groupBy("__u__").agg(min("__ts__").as("__tp__"))
       .withColumn("__t1__", col("__tp__"))
-    val rows = scala.collection.mutable.Buffer(
-      stage.agg(count(lit(1)).as("n_users"))
-        .select(lit(1).as("step"), lit(steps.head).as("event_type"),
-          col("n_users")))
+      .withColumn("__tprev__", col("__tp__"))
+    val out = scala.collection.mutable.Buffer((1, steps.head, stage))
     steps.drop(1).zipWithIndex.foreach { case (s, i) =>
       var cond = col("__ts__") > col("__tp__")
       maxStepGapMicros.foreach(g => cond = cond && col("__ts__") <= col("__tp__") + g)
       conversionWindowMicros.foreach(w => cond = cond && col("__ts__") <= col("__t1__") + w)
       stage = ev.filter(col("__t__") === s)
-        .join(stage.select("__u__", "__tp__", "__t1__"), "__u__")
+        .join(stage.select(col("__u__"), col("__tp__"), col("__t1__")), "__u__")
         .filter(cond)
         .groupBy("__u__")
-        .agg(min("__ts__").as("__tp__"), min("__t1__").as("__t1__"))
-      rows += stage.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 2).as("step"), lit(s).as("event_type"), col("n_users"))
+        .agg(min("__ts__").as("__tp__"), min("__t1__").as("__t1__"),
+          min("__tp__").as("__tprev__"))
+      out += ((i + 2, s, stage))
     }
-    rows.reduce(_ unionByName _)
+    out.toSeq
+  }
+
+  /** Time-to-convert statistics per funnel transition — the metric
+    * panel next to [[funnelWindowed]]'s counts: for each step `i ≥ 2`,
+    * the distribution of `t_i − t_{i−1}` over converting users. All
+    * engine-exact integers:
+    *
+    *   - `n_converted`, `min_us`, `max_us`, `sum_us` — one hash
+    *     aggregate, exact at any scale;
+    *   - `p50_us`, `p90_us` — DISCRETE quantiles by counting sort:
+    *     deltas floor to `quantileUnitMicros` buckets (default 1 ms —
+    *     the resolution knob that bounds distinct values), one
+    *     `(step, bucket)` count, a cumulative window over the
+    *     DISTINCT buckets (not the users), and the quantile is the
+    *     smallest bucket whose cumulative count reaches `ceil(q·n)` —
+    *     reported in micros, floored to the unit. Exact for the
+    *     bucketed domain, deterministic in any engine, and the sort
+    *     is over distinct buckets — never a per-user sort, which is
+    *     what makes exact quantiles survive a 10^9-user funnel.
+    *
+    * Greedy-earliest semantics and both expiry knobs are exactly
+    * [[funnelWindowed]]'s (shared chain). Output one row per
+    * transition: `(step, event_type, n_converted, min_us, p50_us,
+    * p90_us, max_us, sum_us)`; transitions nobody completed emit no
+    * row (no quantile of an empty set). */
+  def funnelConversionStats(events: DataFrame, steps: Seq[String],
+                            tsUsCol: String = "ts_us",
+                            userCol: String = "user_id",
+                            typeCol: String = "event_type",
+                            conversionWindowMicros: Option[Long] = None,
+                            maxStepGapMicros: Option[Long] = None,
+                            quantileUnitMicros: Long = 1000L): DataFrame = {
+    require(quantileUnitMicros > 0, "quantileUnitMicros must be positive")
+    val frames = funnelStages(events, steps, tsUsCol, userCol, typeCol,
+      conversionWindowMicros, maxStepGapMicros)
+    frames.drop(1).map { case (step, name, f) =>
+      val deltas = f.select((col("__tp__") - col("__tprev__")).as("__d__"))
+      val base = deltas.agg(count(lit(1)).as("n_converted"),
+        min("__d__").as("min_us"), max("__d__").as("max_us"),
+        sum("__d__").as("sum_us"))
+      // counting-sort quantiles: deltas are strictly positive (strict
+      // order), so div == floor division
+      val hist = deltas
+        .groupBy(expr(s"__d__ div ${quantileUnitMicros}L").as("__b__"))
+        .agg(count(lit(1)).as("__c__"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy("__b__")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = hist.withColumn("__cum__", sum("__c__").over(wCum))
+        .crossJoin(broadcast(base.select(col("n_converted").as("__n__"))))
+      // ceil(q·n) as pure integer arithmetic: k50 = (n+1) div 2,
+      // k90 = (9n+9) div 10
+      val quant = cum.agg(
+        min(when(col("__cum__") >= expr("(__n__ + 1) div 2"),
+          col("__b__") * quantileUnitMicros)).as("p50_us"),
+        min(when(col("__cum__") >= expr("(9 * __n__ + 9) div 10"),
+          col("__b__") * quantileUnitMicros)).as("p90_us"))
+      base.filter(col("n_converted") > 0).crossJoin(broadcast(quant))
+        .select(lit(step).as("step"), lit(name).as("event_type"),
+          col("n_converted"), col("min_us"), col("p50_us"), col("p90_us"),
+          col("max_us"), col("sum_us"))
+    }.reduce(_ unionByName _)
   }
 
   /** Resample a (key, time, value) stream onto a regular bin grid with

@@ -1,0 +1,165 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incrementally-maintained JOIN-aggregate view over TWO [[ManagedTable]]s
+ * — the star-join materialization [[IncrementalAggView]] cannot express
+ * (it folds one table's change feed; real marts aggregate fact ⋈
+ * dimension). Maintains `SELECT groupCols, count(*), sum(sumCols) FROM
+ * L JOIN R USING (joinKeys) GROUP BY groupCols` under ANY mix of
+ * appends, deletes, and updates on EITHER side, reading only:
+ *
+ *   - each side's unprocessed change-feed range (`dL`, `dR`), and
+ *   - the OTHER side's watermark snapshot, SEMI-JOIN PRUNED to the
+ *     delta's join keys before the real join — so the big side is
+ *     scanned narrow (one pass, no shuffle of it) and never re-joined
+ *     wholesale.
+ *
+ * The algebra is the classic signed delta-join identity over signed
+ * multisets (inner equi-join, additive aggregates):
+ * {{{
+ *   L1⋈R1 − L0⋈R0 = dL⋈R0 + L0⋈dR + dL⋈dR
+ * }}}
+ * where change rows carry sign +1 (insert / update_postimage) or −1
+ * (delete / update_preimage) and a joined pair's sign is the product.
+ * Update rows that move a join key or group key are just a (−1, +1)
+ * pair, so they fall out of the same identity. A dir-rewrite commit's
+ * coarse feed (all old dir rows − / survivors +) nets to the same
+ * delta as a minimal per-row feed — the additivity argument of
+ * [[IncrementalAggView]], unchanged.
+ *
+ * Sums carry as `DECIMAL(28,6)` (exact under subtraction, like the
+ * single-table view); groups whose count reaches zero leave the state.
+ * Both watermark versions ride each state commit's `userMetadata`, so
+ * refresh is idempotent and restart-safe, and the replace commit's
+ * `expectedPrevVersion` keeps racing refreshes from both landing.
+ *
+ * Non-key column names must be disjoint across the two sides (the
+ * joined frame must resolve unambiguously) — checked loudly at
+ * construction time against the CURRENT schemas.
+ */
+final class IncrementalJoinAggView(spark: SparkSession,
+                                   leftPath: String, rightPath: String,
+                                   statePath: String,
+                                   joinKeys: Seq[String],
+                                   groupCols: Seq[String],
+                                   sumCols: Seq[String]) {
+  require(joinKeys.nonEmpty, "IncrementalJoinAggView needs join keys")
+  require(groupCols.nonEmpty, "IncrementalJoinAggView needs group columns")
+
+  private val Dec = "decimal(28,6)"
+  private def meta(l: Long, r: Long) =
+    Some(s"""{"leftVersion":$l,"rightVersion":$r}""")
+  private val MetaRe = """\{"leftVersion":(\d+),"rightVersion":(\d+)\}""".r
+
+  private def left = ManagedTable(spark, leftPath)
+  private def right = ManagedTable(spark, rightPath)
+  private def state = ManagedTable(spark, statePath)
+
+  private def gCols = groupCols.map(c => col(s"`$c`"))
+
+  private def joined(l: DataFrame, r: DataFrame, sign: Column): DataFrame =
+    l.join(r, joinKeys)
+      .groupBy(gCols: _*)
+      .agg(sum(sign).as("cnt"),
+        sumCols.map(c =>
+          sum(sign * col(s"`$c`").cast(Dec)).cast(Dec).as(s"sum_$c")): _*)
+
+  /** The (leftVersion, rightVersion) pair folded into the state. */
+  def sourceVersions: (Long, Long) = {
+    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
+      s"join-view state $statePath does not exist — call initialize() first"))
+    c.userMetadata match {
+      case Some(MetaRe(l, r)) => (l.toLong, r.toLong)
+      case other => throw new IllegalStateException(
+        s"state commit carries no version watermarks: $other")
+    }
+  }
+
+  /** Build the state from both CURRENT snapshots — the only
+    * both-sides-full join in the view's lifetime. */
+  def initialize(): (Long, Long) = {
+    val vl = left.latestVersion.getOrElse(throw new IllegalStateException(
+      s"left table $leftPath does not exist"))
+    val vr = right.latestVersion.getOrElse(throw new IllegalStateException(
+      s"right table $rightPath does not exist"))
+    checkDisjointColumns()
+    state.write(joined(left.read, right.read, lit(1L)), "JOINVIEW_INIT",
+      "replace", meta(vl, vr))
+    (vl, vr)
+  }
+
+  private def checkDisjointColumns(): Unit = {
+    val lCols = left.read.columns.toSet -- joinKeys
+    val rCols = right.read.columns.toSet -- joinKeys
+    val clash = lCols intersect rCols
+    require(clash.isEmpty,
+      s"non-key columns must be disjoint across the join sides, both have: " +
+        clash.mkString(", "))
+  }
+
+  /** Signed change rows of a range, or None when the range is empty. */
+  private def signedDelta(t: ManagedTable, from: Long,
+                          to: Long): Option[DataFrame] = {
+    if (to <= from) return None
+    val cdf = t.readChangeFeed(from + 1, Some(to))
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    Some(cdf.withColumn("__sign__", sign)
+      .drop("_change_type", "_commit_version", "_commit_timestamp"))
+  }
+
+  /** The other side's WATERMARK snapshot, semi-join pruned to the
+    * delta's join keys — the big side is scanned once, narrow, and
+    * never shuffled (the delta key set broadcasts). */
+  private def prunedSnapshot(t: ManagedTable, version: Long,
+                             delta: DataFrame): DataFrame = {
+    val keys = delta.select(joinKeys.map(c => col(s"`$c`")): _*).distinct()
+    t.readAt(version).join(broadcast(keys), joinKeys, "left_semi")
+  }
+
+  /** Fold both unprocessed ranges into the state. No-op (no commit)
+    * when both sides are current. Returns the new watermark pair. */
+  def refresh(): (Long, Long) = {
+    val (vl0, vr0) = sourceVersions
+    val vl1 = left.latestVersion.getOrElse(throw new IllegalStateException(
+      s"left table $leftPath does not exist"))
+    val vr1 = right.latestVersion.getOrElse(throw new IllegalStateException(
+      s"right table $rightPath does not exist"))
+    require(vl1 >= vl0 && vr1 >= vr0,
+      s"a source went backwards (left $vl0→$vl1, right $vr0→$vr1) — was a " +
+        "table recreated? Re-initialize the view.")
+    if (vl1 == vl0 && vr1 == vr0) return (vl0, vr0)
+    val dL = signedDelta(left, vl0, vl1).map(_.localCheckpoint())
+    val dR = signedDelta(right, vr0, vr1).map(_.localCheckpoint())
+    val parts = Seq(
+      // dL ⋈ R0 — old right, pruned to dL's keys
+      dL.map(d => joined(d, prunedSnapshot(right, vr0, d),
+        col("__sign__"))),
+      // L0 ⋈ dR — old left, pruned to dR's keys
+      dR.map(d => joined(prunedSnapshot(left, vl0, d), d,
+        col("__sign__"))),
+      // dL ⋈ dR — sign is the product
+      for { l <- dL; r <- dR } yield joined(
+        l.withColumnRenamed("__sign__", "__sl__"),
+        r.withColumnRenamed("__sign__", "__sr__"),
+        col("__sl__") * col("__sr__"))
+    ).flatten
+    val delta = parts.reduce(_ unionByName _)
+    val cur = state.read.select(
+      (gCols ++ (col("cnt") +: sumCols.map(c => col(s"`sum_$c`")))): _*)
+    val merged = cur.unionByName(delta)
+      .groupBy(gCols: _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sumCols.map(c => sum(col(s"`sum_$c`")).cast(Dec).as(s"sum_$c")): _*)
+      .filter(col("cnt") > 0)
+    state.write(merged, "JOINVIEW_REFRESH", "replace", meta(vl1, vr1),
+      expectedPrevVersion = state.latestVersion)
+    (vl1, vr1)
+  }
+
+  /** The maintained join aggregate. */
+  def read: DataFrame = state.read
+}

@@ -101,6 +101,34 @@ class EventAnalyticsSpec extends SparkSpec {
       3 -> (("purchase", 2L))))  // users 1, 2 (4 past window, 5 wrong order)
   }
 
+  test("funnelConversionStats: counting-sort quantiles hit the exact " +
+      "discrete ranks; sub-unit deltas floor to their bucket") {
+    // ten users convert view→click with deltas 1..10 ms; one more user
+    // converts at 1.5 ms (floors to the 1 ms bucket)
+    val ev = (1 to 10).flatMap { u =>
+      Seq((u.toLong, "view", 0L), (u.toLong, "click", u * 1000L))
+    } ++ Seq((11L, "view", 0L), (11L, "click", 1500L))
+    val got = EventAnalytics.funnelConversionStats(
+        ev.toDF("user_id", "event_type", "ts_us"), Seq("view", "click"))
+      .collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getInt(0) === 2 && r.getString(1) === "click")
+    // n=11: k50 = 6 → sorted buckets (1,1,2,..,10) 6th = 5 ms;
+    // k90 = ceil(9.9) = 10 → 10th bucket = 9 ms
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6), r.getLong(7)) ===
+      ((11L, 1000L, 5000L, 9000L, 10000L, 56500L)))
+  }
+
+  test("funnelConversionStats: a transition nobody completes emits no row") {
+    val ev = Seq((1L, "view", 0L), (1L, "click", 5L))
+      .toDF("user_id", "event_type", "ts_us")
+    val got = EventAnalytics.funnelConversionStats(ev,
+      Seq("view", "click", "purchase")).collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(2))
+  }
+
   test("funnelWindowed: unbounded knobs reduce to the strict-order funnel") {
     val D = EventAnalytics.MicrosPerDay
     val ev = Seq(
