@@ -245,6 +245,23 @@ object GraftExtensions {
         minCount = intArg(args(1), "min_count").toLong,
         k = intArg(args(2), "k")))
     },
+    "graft_cooccurrence" -> { args =>
+      require(args.size == 4,
+        "graft_cooccurrence(docs, window, min_count, k) takes a table name " +
+          "and three integers")
+      plan(TextOps.cooccurrencePmi(table(args(0)),
+        window = intArg(args(1), "window"),
+        minCount = intArg(args(2), "min_count").toLong,
+        k = intArg(args(3), "k")))
+    },
+    "graft_cascade_rerank" -> { args =>
+      require(args.size == 6,
+        "graft_cascade_rerank(docs, embeddings, queries_text, queries_vec, " +
+          "recall_n, k) takes four table names and two integers")
+      plan(graft.llm.Retrieval.cascadeRerank(table(args(2)), table(args(3)),
+        graft.llm.Retrieval.bm25Index(table(args(0))), table(args(1)),
+        recallN = intArg(args(4), "recall_n"), k = intArg(args(5), "k")))
+    },
     "graft_phrase_search" -> { args =>
       require(args.size == 3,
         "graft_phrase_search(docs, phrases, k) takes two table names and k")

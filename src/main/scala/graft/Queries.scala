@@ -6520,6 +6520,113 @@ object Queries {
       |SELECT query_id, "rank", doc_id, rrf_scaled, n_sources
       |FROM rr WHERE "rank" = 1""".stripMargin
 
+  /** Two-stage cascade retrieval
+    * ([[graft.llm.Retrieval.cascadeRerank]]): exact-mode BM25 recalls
+    * each query's top-40 documents, exact cosine against the
+    * embeddings re-ranks just those candidates — retrieve-then-rerank,
+    * the default neural-search architecture (vs. hybrid_search's
+    * fusion of peer rankers). Probes are query-by-example (query
+    * vector = embedding of doc 10/20/30), so the hash gate covers the
+    * integer BM25 cut, the candidate-bounded re-rank join, and the
+    * deterministic cosine ordering in one row set. */
+  def cascadeRerankDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    val docs = pq(spark, dir, "documents")
+    val emb = pq(spark, dir, "embeddings")
+    val qText = Seq(
+      (10L, "table hash join"),
+      (20L, "merge stream window"),
+      (30L, "customer order data")).toDF("query_id", "query_text")
+    val qVec = emb.filter(col("vec_id").isin(10L, 20L, 30L))
+    Retrieval.cascadeRerank(qText, qVec, Retrieval.bm25Index(docs), emb,
+      recallN = 40, k = 10)
+  }
+
+  /** DuckDB mirror of [[cascadeRerankDocs]]. */
+  val cascadeRerankSql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |  (10, 'table hash join'),
+      |  (20, 'merge stream window'),
+      |  (30, 'customer order data')),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM documents),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM dt GROUP BY doc_id),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM dt GROUP BY tok),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |qt AS (SELECT DISTINCT query_id, tok FROM
+      |  (SELECT query_id,
+      |     unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS tok
+      |   FROM q)),
+      |m AS (SELECT qt.query_id, dt.doc_id,
+      |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+      |        * ((CAST(44 AS HUGEINT) * dt.tf * s.total_len * 1000000)
+      |           // (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |              + CAST(6 AS HUGEINT)*s.total_len
+      |              + CAST(18 AS HUGEINT)*l.dl*s.n_docs)))
+      |    // CAST(2*f.df + 1 AS HUGEINT) AS BIGINT) AS s_int
+      | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
+      |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
+      |agg AS (SELECT query_id, doc_id,
+      |         CAST(sum(s_int) AS BIGINT) AS score_scaled
+      |        FROM m GROUP BY query_id, doc_id),
+      |cand AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, r
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |          ORDER BY score_scaled DESC, doc_id) AS r FROM agg)
+      |  WHERE r <= 40),
+      |qv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      |       WHERE vec_id IN (10, 20, 30)),
+      |rr AS (SELECT c.query_id, c.doc_id, c.r AS bm25_rank,
+      |        row_number() OVER (PARTITION BY c.query_id
+      |          ORDER BY list_cosine_similarity(qv.e, ce.embedding::DOUBLE[])
+      |            DESC, c.doc_id) AS "rank"
+      |       FROM cand c JOIN embeddings ce ON c.doc_id = ce.vec_id
+      |            JOIN qv ON qv.vec_id = c.query_id)
+      |SELECT query_id, "rank", doc_id, CAST(bm25_rank AS INTEGER) AS bm25_rank
+      |FROM rr WHERE "rank" <= 10""".stripMargin
+
+  /** Windowed co-occurrence PMI ([[graft.llm.TextOps.cooccurrencePmi]],
+    * window 3): every unordered token pair within 3 positions counts
+    * once per occurrence via the offset-exploded equi-join (linear in
+    * corpus tokens — no per-doc self join), scored by the discounted
+    * normalized ratio (PMI sans log — same top-k, exact DECIMAL
+    * products, one IEEE division). */
+  def cooccurrenceDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextOps
+    TextOps.cooccurrencePmi(pq(spark, dir, "documents"), window = 3,
+      minCount = 5, k = 20)
+  }
+
+  /** DuckDB mirror of [[cooccurrenceDocs]]. */
+  val cooccurrenceSql: String =
+    """WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |              FROM documents),
+      |pr AS (SELECT least(ts[i], ts[i+d]) AS w1, greatest(ts[i], ts[i+d]) AS w2
+      |       FROM toks,
+      |            unnest(generate_series(1, len(ts))) AS t(i),
+      |            unnest(generate_series(1, 3)) AS u(d)
+      |       WHERE i + d <= len(ts)),
+      |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_cnt
+      |       FROM pr GROUP BY w1, w2),
+      |np AS (SELECT CAST(sum(pair_cnt) AS BIGINT) AS n_pairs FROM pc),
+      |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM
+      |  (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |   FROM documents) GROUP BY tok)
+      |SELECT pc.w1, pc.w2, pc.pair_cnt,
+      |  u1.freq AS w1_cnt, u2.freq AS w2_cnt,
+      |  CAST(CAST(pc.pair_cnt - 5 AS HUGEINT) * np.n_pairs AS DOUBLE)
+      |   / CAST(CAST(u1.freq AS HUGEINT) * u2.freq AS DOUBLE) AS score
+      |FROM pc JOIN uni u1 ON pc.w1 = u1.tok
+      |     JOIN uni u2 ON pc.w2 = u2.tok CROSS JOIN np
+      |WHERE pc.pair_cnt > 5
+      |ORDER BY score DESC, pc.w1, pc.w2 LIMIT 20""".stripMargin
+
   /** Incremental decontamination ([[graft.llm.Dedup.decontaminateWith]]):
     * the eval set's shingle index is built ONCE, persisted as parquet,
     * and a "daily" train batch (every third train doc) is checked

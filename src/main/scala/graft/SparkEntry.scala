@@ -209,6 +209,8 @@ object SparkEntry {
     "bm25_incremental" -> (Queries.bm25IncrementalDocs(_, _)),
     "bm25_view_refresh" -> (Queries.bm25ViewRefresh(_, _)),
     "phrase_search" -> (Queries.phraseSearchDocs(_, _)),
+    "cascade_rerank" -> (Queries.cascadeRerankDocs(_, _)),
+    "cooccurrence_pmi" -> (Queries.cooccurrenceDocs(_, _)),
     "hybrid_search" -> (Queries.hybridSearchDocs(_, _)),
     "hybrid_search_indexed" -> (Queries.hybridSearchIndexed(_, _)),
     "collocations_topk" -> (Queries.collocationsDocs(_, _)),
@@ -713,6 +715,8 @@ object SparkEntry {
     "bm25_incremental" -> Queries.bm25IncrementalSql,
     "bm25_view_refresh" -> Queries.bm25ViewRefreshSql,
     "phrase_search" -> Queries.phraseSearchSql,
+    "cascade_rerank" -> Queries.cascadeRerankSql,
+    "cooccurrence_pmi" -> Queries.cooccurrenceSql,
     "hybrid_search" -> Queries.hybridSearchSql,
     "hybrid_search_indexed" -> Queries.hybridSearchIndexedSql,
     "collocations_topk" -> Queries.collocationsSql,

@@ -471,6 +471,42 @@ object Retrieval {
     rrfFuse(Seq(lex, vec), k, rrfK)
   }
 
+  /** Two-stage CASCADE retrieval — the other production composition
+    * next to [[hybridTopKWith]]'s fusion: stage 1 recalls each query's
+    * top `recallN` documents by exact-mode BM25 against the standing
+    * index (cheap, lexical, integer-exact), stage 2 re-ranks ONLY
+    * those candidates by exact cosine between the query vector and
+    * the documents' embeddings. Fusion treats the rankers as peers;
+    * a cascade uses the cheap ranker to bound the expensive one's
+    * work — the re-rank join touches `recallN × |queries|` rows no
+    * matter the corpus size, which is why this shape (retrieve →
+    * re-rank) is the default architecture of every neural search
+    * stack. `queriesVec.vec_id` must equal the matching text
+    * `query_id`; candidates without an embedding drop (inner join —
+    * an unembedded doc cannot be re-ranked). Output: `(query_id,
+    * rank, doc_id, bm25_rank)` — the rank movement between the two
+    * columns IS the re-ranker's contribution. */
+  def cascadeRerank(queriesText: DataFrame, queriesVec: DataFrame,
+                    bm25Idx: DataFrame, embeddings: DataFrame,
+                    recallN: Int = 100, k: Int = 10): DataFrame = {
+    require(k >= 1 && recallN >= k,
+      s"need 1 <= k <= recallN, got k=$k recallN=$recallN")
+    import org.apache.spark.sql.expressions.Window
+    val cands = bm25SearchWith(queriesText, bm25Idx, recallN, exact = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+    val q = queriesVec.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qvec"))
+    val c = embeddings.select(col("vec_id").as("doc_id"),
+      col("embedding").cast("array<double>").as("cvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cos__").desc, col("doc_id").asc)
+    cands.join(c, "doc_id").join(q, "query_id")
+      .withColumn("__cos__", Similarity.cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "bm25_rank")
+  }
+
   /** One-shot form: index the corpus and search in one plan. Fine for
     * ad-hoc runs; at 100 TB persist [[bm25Index]] once and use
     * [[bm25SearchWith]] so each query batch touches only its matched

@@ -633,6 +633,64 @@ object TextOps {
   }
 
   /**
+   * Windowed co-occurrence mining with PMI-style scoring — the
+   * word2vec-window generalization of [[collocations]] (which scores
+   * ADJACENT pairs only): every unordered token pair within `window`
+   * positions of each other in a document counts once per occurrence,
+   * and pairs rank by the discounted normalized ratio
+   * `(pair_cnt − minCount) · n_pairs / (w1_cnt · w2_cnt)` — PMI
+   * without the log (log is monotone, so the top-k set and order are
+   * PMI's; the ratio keeps the arithmetic one exact DECIMAL(38,0)
+   * product per side and ONE IEEE division, bit-identical across
+   * engines like [[collocations]]'s score).
+   *
+   * Scale shape: NO per-document self-join (a doc-keyed self-join is
+   * quadratic in document length — a pathological 10^6-token doc
+   * would explode). Instead the positional table joins ONCE against
+   * itself exploded by offset `d ∈ [1, window]` on the exact key
+   * `(doc, pos + d)` — the diagonal trick again — so candidate volume
+   * is exactly `window · corpus_tokens`, linear at any document
+   * length. Pairs canonicalize unordered (`least/greatest`);
+   * `n_pairs` is the total windowed-pair count (the PMI normalizer).
+   * Ties break (score desc, w1, w2) for a total order; top-k is a
+   * TakeOrdered, never a global sort.
+   */
+  def cooccurrencePmi(docs: DataFrame, window: Int = 5,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      minCount: Long = 5, k: Int = 20): DataFrame = {
+    require(window >= 1 && window <= 64,
+      s"window must be in [1, 64], got $window")
+    require(k > 0, s"k must be positive, got $k")
+    require(minCount > 0, s"minCount must be positive, got $minCount")
+    val base = docs.select(col(idCol).as("__id__"),
+      posexplode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z0-9]+"), lit(0))).as(Seq("__pos__", "__tok__")))
+    val right = base.select(col("__id__"),
+      explode(sequence(lit(1), lit(window))).as("__d__"),
+      col("__pos__"), col("__tok__").as("__tb__"))
+      .select(col("__id__"), (col("__pos__") - col("__d__")).as("__pos__"),
+        col("__tb__"))
+    val pairs = base.join(right, Seq("__id__", "__pos__"))
+      .select(least(col("__tok__"), col("__tb__")).as("w1"),
+        greatest(col("__tok__"), col("__tb__")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_cnt"))
+    val nPairs = pairs.agg(sum("pair_cnt").as("n_pairs"))
+    val uni = unigramModel(docs, textCol, idCol)
+    val dec = "DECIMAL(38,0)"
+    val scored = pairs.filter(col("pair_cnt") > minCount)
+      .join(uni.select(col("tok").as("w1"), col("freq").as("w1_cnt")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("freq").as("w2_cnt")), Seq("w2"))
+      .crossJoin(broadcast(nPairs))
+      .withColumn("score",
+        expr(s"CAST(CAST(pair_cnt - $minCount AS $dec) * CAST(n_pairs AS $dec) AS DOUBLE)") /
+          expr(s"CAST(CAST(w1_cnt AS $dec) * CAST(w2_cnt AS $dec) AS DOUBLE)"))
+    scored.select(col("w1"), col("w2"), col("pair_cnt"), col("w1_cnt"),
+        col("w2_cnt"), col("score"))
+      .orderBy(col("score").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /**
    * Bigram fluency against a STANDING LM — the 2-gram extension of the
    * CCNet-style rarity gate ([[rareTokenScoreWith]]): a document whose
    * token TRANSITIONS rarely occur in the corpus reads as disfluent

@@ -294,6 +294,35 @@ class RetrievalSpec extends SparkSpec {
         maxBroadcastQueries = 0))
   }
 
+  test("cascadeRerank: BM25 recalls, cosine reorders, and the cut stays " +
+      "inside the recall set") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // lexically docs 1 and 2 both match "spark merge" (doc 2 shorter →
+    // bm25 rank 1); the probe vector sits next to doc 1's embedding, so
+    // the re-ranker must SWAP them. doc 5 matches lexically but has no
+    // embedding — it must drop, not null-rank.
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(1.0, 0.0)), Row(2L, Seq(0.0, 1.0)),
+        Row(3L, Seq(0.5, 0.5)), Row(4L, Seq(0.3, 0.7)),
+        Row(100L, Seq(0.9, 0.1)))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    val qText = Seq((100L, "spark merge")).toDF("query_id", "query_text")
+    val qVec = emb.filter(col("vec_id") === 100L)
+    val got = Retrieval.cascadeRerank(qText, qVec,
+        Retrieval.bm25Index(corpus), emb, recallN = 5, k = 5)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+    // candidates with embeddings: docs 1, 2 (doc 5 matched bm25 but has
+    // no vector). probe (0.9, 0.1) is closest to doc 1 (1, 0)
+    assert(got.map(_._2).toSeq === Seq(1L, 2L),
+      s"re-ranker must put doc 1 first: ${got.mkString(", ")}")
+    assert(got.head._3 > got(1)._3,
+      "bm25_rank must show the pre-rerank order (doc 2 was lexically first)")
+  }
+
   test("query-term dedup: repeated terms in the query text score once") {
     val q1 = Seq((1L, "spark spark spark")).toDF("query_id", "query_text")
     val q2 = Seq((1L, "spark")).toDF("query_id", "query_text")

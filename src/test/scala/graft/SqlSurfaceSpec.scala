@@ -495,6 +495,29 @@ class SqlSurfaceSpec extends SparkSpec {
         spark.table("hyi_emb"), k = 5))
   }
 
+  test("graft_cooccurrence and graft_cascade_rerank TVFs match the Scala API") {
+    import spark.implicits._
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("co_docs")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_cooccurrence('co_docs', 3, 5, 10)"),
+      graft.llm.TextOps.cooccurrencePmi(spark.table("co_docs"), window = 3,
+        minCount = 5, k = 10))
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .createOrReplaceTempView("co_emb")
+    Seq((3L, "table hash")).toDF("query_id", "query_text")
+      .createOrReplaceTempView("co_qt")
+    spark.table("co_emb").filter("vec_id = 3")
+      .createOrReplaceTempView("co_qv")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_cascade_rerank('co_docs', 'co_emb', " +
+        "'co_qt', 'co_qv', 20, 5)"),
+      graft.llm.Retrieval.cascadeRerank(spark.table("co_qt"),
+        spark.table("co_qv"),
+        graft.llm.Retrieval.bm25Index(spark.table("co_docs")),
+        spark.table("co_emb"), recallN = 20, k = 5))
+  }
+
   test("graft_bm25_topk TVF matches the Scala API in both modes") {
     import spark.implicits._
     spark.read.parquet(s"$sf/documents.parquet")

@@ -573,4 +573,37 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(top2 == ranked.take(2))
   }
+
+  test("cooccurrencePmi: hand-counted windowed pairs, unordered " +
+      "canonicalization, self-pairs, window bound") {
+    import spark.implicits._
+    // doc: a b c a  → window 2 ordered pairs: (a,b),(b,c),(c,a),(a,c),(b,a)
+    // unordered: (a,b)×2, (b,c)×1, (a,c)×2
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val out = graft.llm.TextOps.cooccurrencePmi(docs, window = 2,
+        minCount = 1, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    // minCount=1 keeps pairs with cnt > 1 only
+    assert(out === Map(("a", "b") -> 2L, ("a", "c") -> 2L))
+    // window 1 reduces to adjacent pairs: (a,b),(b,c),(c,a) — all cnt 1,
+    // so nothing survives cnt > 1
+    assert(graft.llm.TextOps.cooccurrencePmi(docs, window = 1,
+      minCount = 1, k = 10).count() === 0L)
+    // self-pairs within the window count: "x y x" window 2 → (x,x) once
+    val d2 = Seq((1L, "x y x x")).toDF("doc_id", "text")
+    val self = graft.llm.TextOps.cooccurrencePmi(d2, window = 2,
+        minCount = 1, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    // ordered window-2 pairs of x y x x: (x,y),(y,x),(x,x)@d1,(x,x)@d2,
+    // (y,x)@d2 → unordered (x,x)×2, (x,y)×3
+    assert(self === Map(("x", "x") -> 2L, ("x", "y") -> 3L))
+    // pairs never cross documents
+    val d3 = Seq((1L, "p q"), (2L, "q p")).toDF("doc_id", "text")
+    val cross = graft.llm.TextOps.cooccurrencePmi(d3, window = 4,
+      minCount = 1, k = 10).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(cross === Map(("p", "q") -> 2L))
+  }
 }
