@@ -119,10 +119,16 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       attr("metric", StringType), attr("column", StringType),
       attr("value", LongType), attr("hist_n", LongType),
       attr("hist_sum", LongType), attr("passed", IntegerType))
+    case "init_agg_view" | "refresh_agg_view" |
+         "init_bm25_view" | "refresh_bm25_view" => Seq(
+      attr("source_version", LongType))
+    case "init_join_view" | "refresh_join_view" => Seq(
+      attr("left_version", LongType), attr("right_version", LongType))
     case other => throw new IllegalArgumentException(
       s"unknown graft procedure `$other` — supported: history, vacuum, " +
         "optimize, analyze, cluster_append, purge_deletes, restore, clone, " +
-        "export_manifest, drift_check")
+        "export_manifest, drift_check, init_agg_view, refresh_agg_view, " +
+        "init_join_view, refresh_join_view, init_bm25_view, refresh_bm25_view")
   }
 
   private def metricsJson(m: Map[String, String]): String =
@@ -201,10 +207,46 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         verdicts.map(r => Row(r.getString(0), r.getString(1), r.getLong(2),
           r.getAs[Long]("hist_n"), r.getAs[Long]("hist_sum"),
           r.getAs[Int]("passed"))).toSeq
+      // the incremental-view family as CALL procedures — a pure-SQL
+      // pipeline can initialize and maintain every standing view the
+      // Scala API has (aggregate, join-aggregate, BM25 postings)
+      case "init_agg_view" | "refresh_agg_view" =>
+        require(args.size == 4 || args.size == 5,
+          s"CALL graft.$proc(source, state, group_csv, sum_csv[, minmax_csv])")
+        val view = new IncrementalAggView(spark,
+          strArg(args(0), "source path"), strArg(args(1), "state path"),
+          csv(args(2), "group_csv"), csv(args(3), "sum_csv"),
+          if (args.size == 5) csv(args(4), "minmax_csv") else Nil)
+        val v = if (proc == "init_agg_view") view.initialize() else view.refresh()
+        Seq(Row(v))
+      case "init_join_view" | "refresh_join_view" =>
+        require(args.size == 6,
+          s"CALL graft.$proc(left, right, state, keys_csv, group_csv, sum_csv)")
+        val view = new IncrementalJoinAggView(spark,
+          strArg(args(0), "left path"), strArg(args(1), "right path"),
+          strArg(args(2), "state path"), csv(args(3), "keys_csv"),
+          csv(args(4), "group_csv"), csv(args(5), "sum_csv"))
+        val (vl, vr) =
+          if (proc == "init_join_view") view.initialize() else view.refresh()
+        Seq(Row(vl, vr))
+      case "init_bm25_view" | "refresh_bm25_view" =>
+        require(args.size == 2 || args.size == 3,
+          s"CALL graft.$proc(source, state[, expected_docs])")
+        val view = new Bm25IndexView(spark, strArg(args(0), "source path"),
+          strArg(args(1), "state path"),
+          expectedDocs = if (args.size == 3) longArg(args(2), "expected_docs")
+            else 10000000L)
+        val v = if (proc == "init_bm25_view") view.initialize() else view.refresh()
+        Seq(Row(v))
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure `$other`")
     }
   }
+
+  /** Comma-separated column list; an empty string means "no columns"
+    * (sum-less count views are legal). */
+  private def csv(e: Expression, what: String): Seq[String] =
+    strArg(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
 }
 
 /** `SHOW TBLPROPERTIES graft.t [('key')]` — the stored property map

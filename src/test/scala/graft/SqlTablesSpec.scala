@@ -563,6 +563,56 @@ class SqlTablesSpec extends SparkSpec {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("CALL init/refresh procedures drive the whole view family from SQL") {
+    import spark.implicits._
+    // aggregate view
+    val src = tmpDir("callv_src"); val st = tmpDir("callv_st")
+    val t = ManagedTable(spark, src)
+    t.write(Seq(("a", 1.0), ("b", 2.0)).toDF("g", "x"), "APPEND", "append")
+    val v0 = spark.sql(
+      s"CALL graft.init_agg_view('$src', '$st', 'g', 'x')").head().getLong(0)
+    assert(v0 === 0L)
+    t.write(Seq(("a", 3.0)).toDF("g", "x"), "APPEND", "append")
+    assert(spark.sql(s"CALL graft.refresh_agg_view('$src', '$st', 'g', 'x')")
+      .head().getLong(0) === 1L)
+    val cnt = ManagedTable(spark, st).read
+      .filter(col("g") === "a").select("cnt").head().getLong(0)
+    assert(cnt === 2L)
+    // join view
+    val lp = tmpDir("callv_l"); val rp = tmpDir("callv_r")
+    val sj = tmpDir("callv_sj")
+    ManagedTable(spark, lp).write(Seq((1L, 5.0)).toDF("k", "x"),
+      "APPEND", "append")
+    ManagedTable(spark, rp).write(Seq((1L, "d1")).toDF("k", "d"),
+      "APPEND", "append")
+    val r0 = spark.sql(
+      s"CALL graft.init_join_view('$lp', '$rp', '$sj', 'k', 'd', 'x')").head()
+    assert((r0.getLong(0), r0.getLong(1)) === ((0L, 0L)))
+    ManagedTable(spark, lp).write(Seq((1L, 7.0)).toDF("k", "x"),
+      "APPEND", "append")
+    val r1 = spark.sql(
+      s"CALL graft.refresh_join_view('$lp', '$rp', '$sj', 'k', 'd', 'x')").head()
+    assert((r1.getLong(0), r1.getLong(1)) === ((1L, 0L)))
+    assert(ManagedTable(spark, sj).read.select("cnt").head().getLong(0) === 2L)
+    // bm25 view
+    val bsrc = tmpDir("callv_b"); val bst = tmpDir("callv_bs")
+    ManagedTable(spark, bsrc).write(
+      Seq((1L, "spark merge"), (2L, "table scan")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    assert(spark.sql(s"CALL graft.init_bm25_view('$bsrc', '$bst', 1000)")
+      .head().getLong(0) === 0L)
+    ManagedTable(spark, bsrc).write(Seq((3L, "spark table")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    assert(spark.sql(s"CALL graft.refresh_bm25_view('$bsrc', '$bst')")
+      .head().getLong(0) === 1L)
+    val q = Seq((1L, "spark")).toDF("query_id", "query_text")
+    assertSameRows(
+      graft.llm.Retrieval.bm25SearchWith(q, ManagedTable(spark, bst).read,
+        k = 5, exact = true),
+      graft.llm.Retrieval.bm25TopK(ManagedTable(spark, bsrc).read, q, k = 5,
+        exact = true))
+  }
+
   test("CTAS rejects non-identity partitioning transforms") {
     val path = tmpDir("sqlctasb")
     val e = intercept[Exception] {
