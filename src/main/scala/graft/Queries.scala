@@ -3201,6 +3201,98 @@ object Queries {
        | '$T0' AS __metadata_valid_to_ts__
        |FROM customer""".stripMargin
 
+  /** STREAMING funnel ([[graft.streaming.StreamOps.streamingFunnel]]):
+    * the greedy windowed funnel as per-user `flatMapGroupsWithState` —
+    * transitions emit the moment the qualifying event arrives. The
+    * events table splits into three TIME-CONTIGUOUS appends on a
+    * managed table and each drains as its own micro-batch run against
+    * the same checkpoint, so per-user state genuinely spans batch
+    * boundaries (a user can view in batch 1 and click in batch 3);
+    * completed users drop their state. Exactly-once appends under the
+    * (appId, epoch) txn stamp. The oracle recomputes every per-user
+    * transition time from the batch chain — batch-boundary invariance
+    * under ordered input is the whole claim, and it is hash-checked
+    * row for row, not just counted. */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamOps
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    val D = graft.operators.EventAnalytics.MicrosPerDay
+    val bronze = tmp("sfun_bronze")
+    val silver = tmp("sfun_silver")
+    val ckpt = tmp("sfun_ck")
+    val appId = "stream_funnel"
+    val raw = pq(spark, dir, "events")
+    val ev = raw.withColumn("ts_us", eventMicros(raw))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("ts_us"))
+    val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val b1 = mn + (mx - mn) / 3
+    val b2 = mn + 2 * ((mx - mn) / 3)
+    val t = ManagedTable(spark, bronze)
+    def drain(): Unit = {
+      val stream = StreamOps.streamTable(spark, bronze)
+        .select(col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("ts_us").as("tsUs"))
+        .as[StreamOps.FunnelEvent]
+      val q = StreamOps.streamingFunnel(stream,
+          Seq("view", "click", "purchase"),
+          conversionWindowMicros = Some(5 * D),
+          maxStepGapMicros = Some(2 * D))
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          val replayed = ManagedTable(spark, silver)
+            .lastTxnVersion(appId).exists(_ >= epoch)
+          if (!replayed) {
+            graft.write.Writers.append(spark, silver, batch,
+              txn = Some((appId, epoch)))
+            ()
+          }
+        }
+        .start()
+      drainOrFail(q, "stream_funnel")
+    }
+    Staging.timed {
+      t.write(ev.filter(col("ts_us") < b1), "APPEND", "append")
+    }
+    drain()
+    t.write(ev.filter(col("ts_us") >= b1 && col("ts_us") < b2),
+      "APPEND", "append")
+    drain()
+    t.write(ev.filter(col("ts_us") >= b2), "APPEND", "append")
+    drain()
+    ManagedTable(spark, silver).read
+      .select("user_id", "step", "event_type", "ts_us")
+  }
+
+  /** DuckDB mirror of [[streamFunnel]] — every per-user transition
+    * time from the equivalent batch greedy chain. */
+  val streamFunnelSql: String =
+    """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts
+      |           FROM events),
+      |s1 AS (SELECT u, MIN(ts) AS tp, MIN(ts) AS t1 FROM e
+      |       WHERE t = 'view' GROUP BY u),
+      |s2 AS (SELECT e.u, MIN(e.ts) AS tp, MIN(s1.t1) AS t1
+      |       FROM e JOIN s1 USING (u)
+      |       WHERE t = 'click' AND e.ts > s1.tp
+      |         AND e.ts <= s1.tp + 172800000000
+      |         AND e.ts <= s1.t1 + 432000000000
+      |       GROUP BY e.u),
+      |s3 AS (SELECT e.u, MIN(e.ts) AS tp, MIN(s2.t1) AS t1
+      |       FROM e JOIN s2 USING (u)
+      |       WHERE t = 'purchase' AND e.ts > s2.tp
+      |         AND e.ts <= s2.tp + 172800000000
+      |         AND e.ts <= s2.t1 + 432000000000
+      |       GROUP BY e.u)
+      |SELECT u AS user_id, 1 AS step, 'view' AS event_type, tp AS ts_us FROM s1
+      |UNION ALL SELECT u, 2, 'click', tp FROM s2
+      |UNION ALL SELECT u, 3, 'purchase', tp FROM s3""".stripMargin
+
   /** Streaming corpus CURATION end to end: documents stream out of a
     * managed table (two commits → snapshot backfill + a tail batch) and
     * each micro-batch runs the curation chain — whitespace/control

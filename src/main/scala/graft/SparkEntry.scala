@@ -159,6 +159,7 @@ object SparkEntry {
     "stream_table_source" -> (Queries.streamTableSource(_, _)),
     "stream_table_sink" -> (Queries.streamTableSink(_, _)),
     "stream_curate" -> (Queries.streamCurate(_, _)),
+    "stream_funnel" -> (Queries.streamFunnel(_, _)),
     "stream_decontaminate" -> (Queries.streamDecontaminate(_, _)),
     "stream_heavy_hitters" -> (Queries.streamHeavyHitters(_, _)),
     "stream_distinct" -> (Queries.streamDistinct(_, _)),
@@ -410,6 +411,7 @@ object SparkEntry {
     "stream_table_source" -> Queries.streamTableSourceSql,
     "stream_table_sink" -> Queries.streamTableSinkSql,
     "stream_curate" -> Queries.streamCurateSql,
+    "stream_funnel" -> Queries.streamFunnelSql,
     "stream_decontaminate" -> Queries.streamDecontaminateSql,
     "stream_heavy_hitters" -> Queries.streamHeavyHittersSql,
     "stream_distinct" -> Queries.streamDistinctSql,

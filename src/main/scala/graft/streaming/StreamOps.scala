@@ -199,6 +199,88 @@ object StreamOps {
       }
   }
 
+  final case class FunnelEvent(userId: Long, eventType: String, tsUs: Long)
+  final case class FunnelProgress(nextStep: Int, tprev: Long, t1: Long,
+                                  lastTs: Long)
+  final case class FunnelOut(user_id: Long, step: Int, event_type: String,
+                             ts_us: Long)
+
+  /**
+   * STREAMING windowed funnel — [[graft.operators.EventAnalytics
+   * .funnelWindowed]]'s greedy-earliest chain as per-user state over a
+   * live stream: each user's [[FunnelProgress]] tracks the next
+   * expected step, the previous completion time, and the step-1
+   * anchor; a qualifying event (strictly later than the previous
+   * completion, inside the optional per-step gap and whole-funnel
+   * window) EMITS a `(user, step, ts)` transition the moment it
+   * arrives — the real-time shape of funnel analytics, vs the batch
+   * operator's end-of-day counts.
+   *
+   * State is one tiny record per user EVER seen — including completed
+   * users, whose terminal record is what stops a second view from
+   * re-entering the funnel and "converting" again (the batch operator
+   * counts each user's FIRST conversion only; removing completed
+   * state here was measurably wrong — repeat converters re-emitted).
+   * Swap in a `GroupStateTimeout` eviction policy when total-user
+   * state matters at your retention window.
+   *
+   * Ordering contract, loudly enforced: the greedy chain is
+   * order-sensitive, so per-user event time must be NON-DECREASING
+   * across micro-batches (within a batch the group sorts — ties break
+   * toward the earlier step, matching the batch operator's strict-`>`
+   * algebra). An event older than already-processed state THROWS with
+   * the remediation (replay through the batch operator) rather than
+   * silently producing a different funnel than the batch recompute —
+   * batch-boundary invariance under ordered input is exactly what the
+   * oracle proves.
+   */
+  def streamingFunnel(events: Dataset[FunnelEvent], steps: Seq[String],
+                      conversionWindowMicros: Option[Long] = None,
+                      maxStepGapMicros: Option[Long] = None)
+                     (implicit spark: SparkSession): Dataset[FunnelOut] = {
+    require(steps.size >= 2, s"a funnel needs at least two steps, got $steps")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    import spark.implicits._
+    val stepIdx: Map[String, Int] = steps.zipWithIndex.toMap
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelProgress, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          val sorted = rows.toSeq
+            .filter(e => stepIdx.contains(e.eventType))
+            .sortBy(e => (e.tsUs, stepIdx(e.eventType)))
+          var s = state.getOption.getOrElse(
+            FunnelProgress(0, Long.MinValue, Long.MinValue, Long.MinValue))
+          sorted.headOption.foreach { e =>
+            require(s.lastTs == Long.MinValue || e.tsUs >= s.lastTs,
+              s"streamingFunnel: user $user received an event at ${e.tsUs} " +
+                s"BEFORE already-processed time ${s.lastTs} — per-user event " +
+                "time must be non-decreasing across micro-batches; replay " +
+                "unordered history through the batch funnel operator instead")
+          }
+          val out = Seq.newBuilder[FunnelOut]
+          sorted.foreach { e =>
+            if (s.nextStep < steps.size && e.eventType == steps(s.nextStep)) {
+              val ok =
+                if (s.nextStep == 0) true
+                else e.tsUs > s.tprev &&
+                  maxStepGapMicros.forall(g => e.tsUs <= s.tprev + g) &&
+                  conversionWindowMicros.forall(w => e.tsUs <= s.t1 + w)
+              if (ok) {
+                out += FunnelOut(user, s.nextStep + 1, e.eventType, e.tsUs)
+                s = FunnelProgress(s.nextStep + 1, e.tsUs,
+                  if (s.nextStep == 0) e.tsUs else s.t1, e.tsUs)
+              } else s = s.copy(lastTs = math.max(s.lastTs, e.tsUs))
+            } else s = s.copy(lastTs = math.max(s.lastTs, e.tsUs))
+          }
+          // terminal state (nextStep == steps.size) persists: it is the
+          // record that a completed user never re-enters the funnel
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /**
    * Watermarked stream-stream INNER join (the enrichment shape: e.g.
    * impressions joined with their clicks): equality on `keyCol` plus a

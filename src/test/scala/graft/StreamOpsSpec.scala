@@ -260,6 +260,61 @@ class StreamOpsSpec extends SparkSpec {
       ("k2", 100L, 100L, 1)))
   }
 
+  test("streamingFunnel: transitions across micro-batches match the batch " +
+      "chain; completed users never re-enter") {
+    implicit val s = spark
+    import StreamOps.{FunnelEvent, FunnelOut}
+    val D = 86400L * 1000000L
+    val input = MemoryStream[FunnelEvent](spark)
+    val out = StreamOps.streamingFunnel(input.toDS(),
+      Seq("view", "click", "purchase"),
+      conversionWindowMicros = Some(5 * D), maxStepGapMicros = Some(2 * D))
+    val q = out.writeStream.format("memory")
+      .queryName("funnel_out").outputMode("append").start()
+    // batch 1: user 1 views+clicks; user 3 clicks BEFORE viewing (the
+    // click must not count); user 6 anchors at its first view
+    input.addData(
+      FunnelEvent(1L, "view", 0), FunnelEvent(1L, "click", D),
+      FunnelEvent(3L, "click", 0), FunnelEvent(3L, "view", D),
+      FunnelEvent(6L, "view", 0))
+    q.processAllAvailable()
+    // batch 2 (later times only): user 1 purchases in bounds; user 3
+    // clicks one past the gap (expired); user 6's second view must NOT
+    // re-anchor — its 10d click sits outside the 5d window
+    input.addData(
+      FunnelEvent(1L, "purchase", 2 * D),
+      FunnelEvent(3L, "click", 3 * D + 1),
+      FunnelEvent(6L, "view", 9 * D), FunnelEvent(6L, "click", 10 * D))
+    q.processAllAvailable()
+    // batch 3: user 1 already CONVERTED — a fresh view+click must not
+    // re-enter the funnel (batch semantics count first conversions)
+    input.addData(
+      FunnelEvent(1L, "view", 20 * D), FunnelEvent(1L, "click", 21 * D))
+    q.processAllAvailable()
+    val got = spark.table("funnel_out").as[FunnelOut].collect()
+      .map(o => (o.user_id, o.step, o.ts_us)).toSet
+    assert(got === Set(
+      (1L, 1, 0L), (1L, 2, D), (1L, 3, 2 * D),
+      (3L, 1, D),
+      (6L, 1, 0L)))
+    q.stop()
+
+    // out-of-order across batches throws with the remediation message
+    val bad = MemoryStream[FunnelEvent](spark)
+    val q2 = StreamOps.streamingFunnel(bad.toDS(), Seq("view", "click"))
+      .writeStream.format("memory").queryName("funnel_bad")
+      .outputMode("append").start()
+    bad.addData(FunnelEvent(9L, "view", 100))
+    q2.processAllAvailable()
+    bad.addData(FunnelEvent(9L, "click", 50))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    assert(e.getMessage.contains("non-decreasing") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-decreasing")))
+    q2.stop()
+  }
+
   test("enrichPointInTime resolves historical facts to historical dim versions") {
     val srcDir = tmpDir("pit_src")
     // facts at t=150 (inside v1) and t=250 (inside v2) for key "a"
