@@ -245,6 +245,46 @@ object GraftExtensions {
         minCount = intArg(args(1), "min_count").toLong,
         k = intArg(args(2), "k")))
     },
+    // steps ride as a CSV (positional SQL has no array literal at TVF
+    // resolution); 0 disables a bound, mirroring the Scala Options
+    "graft_funnel" -> { args =>
+      require(args.size == 7,
+        "graft_funnel(events, ts_us_col, user_col, type_col, steps_csv, " +
+          "window_days, gap_days) takes a table name, three column names, " +
+          "the step list, and two day counts (0 = unbounded)")
+      val day = graft.operators.EventAnalytics.MicrosPerDay
+      def bound(i: Int, what: String): Option[Long] =
+        intArg(args(i), what) match {
+          case 0 => None
+          case d => Some(d.toLong * day)
+        }
+      plan(graft.operators.EventAnalytics.funnelWindowed(table(args(0)),
+        steps = strArg(args(4), "steps_csv").split(",").map(_.trim).toSeq,
+        tsUsCol = strArg(args(1), "ts_us_col"),
+        userCol = strArg(args(2), "user_col"),
+        typeCol = strArg(args(3), "type_col"),
+        conversionWindowMicros = bound(5, "window_days"),
+        maxStepGapMicros = bound(6, "gap_days")))
+    },
+    "graft_funnel_stats" -> { args =>
+      require(args.size == 7,
+        "graft_funnel_stats(events, ts_us_col, user_col, type_col, " +
+          "steps_csv, window_days, gap_days) takes a table name, three " +
+          "column names, the step list, and two day counts (0 = unbounded)")
+      val day = graft.operators.EventAnalytics.MicrosPerDay
+      def bound(i: Int, what: String): Option[Long] =
+        intArg(args(i), what) match {
+          case 0 => None
+          case d => Some(d.toLong * day)
+        }
+      plan(graft.operators.EventAnalytics.funnelConversionStats(table(args(0)),
+        steps = strArg(args(4), "steps_csv").split(",").map(_.trim).toSeq,
+        tsUsCol = strArg(args(1), "ts_us_col"),
+        userCol = strArg(args(2), "user_col"),
+        typeCol = strArg(args(3), "type_col"),
+        conversionWindowMicros = bound(5, "window_days"),
+        maxStepGapMicros = bound(6, "gap_days")))
+    },
     "graft_cooccurrence" -> { args =>
       require(args.size == 4,
         "graft_cooccurrence(docs, window, min_count, k) takes a table name " +

@@ -2513,7 +2513,7 @@ object Queries {
     rt.write(c.filter(col("custkey") % 2 === 0), "APPEND", "append")
     val view = new IncrementalJoinAggView(spark, lp, rp, sp,
       joinKeys = Seq("custkey"), groupCols = Seq("c_mktsegment"),
-      sumCols = Seq("o_totalprice"))
+      sumCols = Seq("o_totalprice"), minMaxCols = Seq("o_totalprice"))
     view.initialize()
     // both sides move in ONE range: odd customers arrive together with
     // more facts — the dL⋈dR cross term fires alongside both snapshots
@@ -2529,12 +2529,16 @@ object Queries {
       .groupBy("c_mktsegment")
       .agg(sum(lit(1L)).as("cnt"),
         sum(col("o_totalprice").cast("decimal(28,6)")).cast("decimal(28,6)")
-          .as("sum_o_totalprice"))
+          .as("sum_o_totalprice"),
+        min("o_totalprice").as("min_o_totalprice"),
+        max("o_totalprice").as("max_o_totalprice"))
     require(got.exceptAll(want).count() == 0 &&
       want.exceptAll(got).count() == 0,
       "incremental_join_view drifted from the full join recompute")
     got.select(col("c_mktsegment"), col("cnt"),
-      col("sum_o_totalprice").cast("string").as("sum_totalprice"))
+      col("sum_o_totalprice").cast("string").as("sum_totalprice"),
+      col("min_o_totalprice").as("min_price"),
+      col("max_o_totalprice").as("max_price"))
   }
 
   /** DuckDB mirror of [[incrementalJoinView]] — the final state from
@@ -2548,7 +2552,9 @@ object Queries {
       |      FROM customer)
       |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR)
-      |   AS sum_totalprice
+      |   AS sum_totalprice,
+      | MIN(o_totalprice) AS min_price,
+      | MAX(o_totalprice) AS max_price
       |FROM l JOIN r USING (custkey)
       |GROUP BY c_mktsegment""".stripMargin
 

@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
  *
  * Sums carry as `DECIMAL(28,6)` (exact under subtraction, like the
  * single-table view); groups whose count reaches zero leave the state.
+ * `minMaxCols` adds MIN/MAX, which are not delta-maintainable under
+ * deletes — they maintain by TOUCHED-GROUP recompute over the new
+ * watermark snapshots (each side semi-pruned by its own group columns
+ * before the join), exactly the single-table view's rule lifted to a
+ * join source; untouched groups carry their stored min/max unread.
  * Both watermark versions ride each state commit's `userMetadata`, so
  * refresh is idempotent and restart-safe, and the replace commit's
  * `expectedPrevVersion` keeps racing refreshes from both landing.
@@ -45,7 +50,8 @@ final class IncrementalJoinAggView(spark: SparkSession,
                                    statePath: String,
                                    joinKeys: Seq[String],
                                    groupCols: Seq[String],
-                                   sumCols: Seq[String]) {
+                                   sumCols: Seq[String],
+                                   minMaxCols: Seq[String] = Nil) {
   require(joinKeys.nonEmpty, "IncrementalJoinAggView needs join keys")
   require(groupCols.nonEmpty, "IncrementalJoinAggView needs group columns")
 
@@ -59,13 +65,29 @@ final class IncrementalJoinAggView(spark: SparkSession,
   private def state = ManagedTable(spark, statePath)
 
   private def gCols = groupCols.map(c => col(s"`$c`"))
+  private def mmNames = minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+  private def mmAggs: Seq[Column] = minMaxCols.flatMap(c => Seq(
+    min(col(s"`$c`")).as(s"min_$c"), max(col(s"`$c`")).as(s"max_$c")))
 
-  private def joined(l: DataFrame, r: DataFrame, sign: Column): DataFrame =
+  private def joined(l: DataFrame, r: DataFrame, sign: Column,
+                     extra: Seq[Column] = Nil): DataFrame =
     l.join(r, joinKeys)
       .groupBy(gCols: _*)
       .agg(sum(sign).as("cnt"),
-        sumCols.map(c =>
-          sum(sign * col(s"`$c`").cast(Dec)).cast(Dec).as(s"sum_$c")): _*)
+        (sumCols.map(c =>
+          sum(sign * col(s"`$c`").cast(Dec)).cast(Dec).as(s"sum_$c")) ++
+          extra): _*)
+
+  /** Null-safe LEFT SEMI restriction of `df` to the `touched` group
+    * set projected onto `cols` (NULL is a legal group key — a plain
+    * equi join would silently drop its rows). */
+  private def semiOnGroups(df: DataFrame, touched: DataFrame,
+                           cols: Seq[String]): DataFrame = {
+    val t = touched.select(cols.map(c => col(s"`$c`").as(s"__t_$c")): _*)
+      .distinct()
+    val cond = cols.map(c => col(s"`$c`") <=> col(s"`__t_$c`")).reduce(_ && _)
+    df.join(t, cond, "left_semi")
+  }
 
   /** The (leftVersion, rightVersion) pair folded into the state. */
   def sourceVersions: (Long, Long) = {
@@ -86,8 +108,8 @@ final class IncrementalJoinAggView(spark: SparkSession,
     val vr = right.latestVersion.getOrElse(throw new IllegalStateException(
       s"right table $rightPath does not exist"))
     checkDisjointColumns()
-    state.write(joined(left.read, right.read, lit(1L)), "JOINVIEW_INIT",
-      "replace", meta(vl, vr))
+    state.write(joined(left.read, right.read, lit(1L), mmAggs),
+      "JOINVIEW_INIT", "replace", meta(vl, vr))
     (vl, vr)
   }
 
@@ -147,14 +169,64 @@ final class IncrementalJoinAggView(spark: SparkSession,
         r.withColumnRenamed("__sign__", "__sr__"),
         col("__sl__") * col("__sr__"))
     ).flatten
-    val delta = parts.reduce(_ unionByName _)
-    val cur = state.read.select(
-      (gCols ++ (col("cnt") +: sumCols.map(c => col(s"`sum_$c`")))): _*)
-    val merged = cur.unionByName(delta)
-      .groupBy(gCols: _*)
-      .agg(sum(col("cnt")).as("cnt"),
-        sumCols.map(c => sum(col(s"`sum_$c`")).cast(Dec).as(s"sum_$c")): _*)
-      .filter(col("cnt") > 0)
+    val delta = parts.reduce(_ unionByName _).localCheckpoint()
+    val merged =
+      if (minMaxCols.isEmpty) {
+        val cur = state.read.select(
+          (gCols ++ (col("cnt") +: sumCols.map(c => col(s"`sum_$c`")))): _*)
+        cur.unionByName(delta)
+          .groupBy(gCols: _*)
+          .agg(sum(col("cnt")).as("cnt"),
+            sumCols.map(c => sum(col(s"`sum_$c`")).cast(Dec).as(s"sum_$c")): _*)
+          .filter(col("cnt") > 0)
+      } else {
+        // min/max are NOT delta-maintainable under deletes/updates —
+        // recompute them for exactly the TOUCHED groups (the grouped
+        // delta's group keys) over the NEW watermark snapshots, pruned
+        // before the join: each side semi-restricts by the touched
+        // values of ITS OWN group columns (when it carries any), then
+        // the post-join semi restriction drops the superset a
+        // partial-side prune admits. Untouched groups carry their
+        // stored min/max unread — the single-table view's tagged-union
+        // fold, with the recompute source being a JOIN instead of one
+        // fact. Sound against the new snapshots for the same reason as
+        // there: a group changed later is re-touched by those commits.
+        val touched = delta.select(gCols: _*).distinct().localCheckpoint()
+        val lCols = left.read.columns.toSet
+        val rCols = right.read.columns.toSet
+        val gOnL = groupCols.filter(lCols.contains)
+        val gOnR = groupCols.filter(rCols.contains)
+        def prune(df: DataFrame, own: Seq[String]) =
+          if (own.isEmpty) df else semiOnGroups(df, touched, own)
+        val rec = semiOnGroups(
+          prune(left.readAt(vl1), gOnL).join(prune(right.readAt(vr1), gOnR),
+            joinKeys),
+          touched, groupCols)
+          .groupBy(gCols: _*).agg(mmAggs.head, mmAggs.tail: _*)
+        val cur = state.read.select((gCols ++ (col("cnt") +:
+          sumCols.map(c => col(s"`sum_$c`"))) ++
+          mmNames.map(c => col(s"`$c`"))): _*)
+          .withColumn("__src__", lit("cur"))
+        val tagged = cur
+          .unionByName(delta.withColumn("__src__", lit("delta")),
+            allowMissingColumns = true)
+          .unionByName(rec.withColumn("__src__", lit("rec")),
+            allowMissingColumns = true)
+          .unionByName(touched.withColumn("__src__", lit("touch")),
+            allowMissingColumns = true)
+        val additive = col("__src__").isin("cur", "delta")
+        val isTouched = max(when(col("__src__") === "touch", 1).otherwise(0)) === 1
+        def pick(c: String, agg: Column => Column) =
+          when(isTouched, agg(when(col("__src__") === "rec", col(s"`$c`"))))
+            .otherwise(agg(when(col("__src__") === "cur", col(s"`$c`")))).as(c)
+        tagged.groupBy(gCols: _*)
+          .agg(sum(when(additive, col("cnt"))).as("cnt"),
+            (sumCols.map(c => sum(when(additive, col(s"`sum_$c`")))
+              .cast(Dec).as(s"sum_$c")) ++
+              minMaxCols.flatMap(c => Seq(
+                pick(s"min_$c", min), pick(s"max_$c", max)))): _*)
+          .filter(col("cnt") > 0)
+      }
     state.write(merged, "JOINVIEW_REFRESH", "replace", meta(vl1, vr1),
       expectedPrevVersion = state.latestVersion)
     (vl1, vr1)

@@ -76,6 +76,45 @@ class IncrementalJoinViewSpec extends SparkSpec {
     again.refresh(); check(again, l, r)
   }
 
+  test("minMaxCols: deletes resurface the runner-up, group moves recompute " +
+      "both sides, untouched groups carry over") {
+    val lp = tmpDir("jvm_l"); val rp = tmpDir("jvm_r"); val sp = tmpDir("jvm_s")
+    val l = ManagedTable(spark, lp)
+    val r = ManagedTable(spark, rp)
+    l.write(Seq((1L, 10.0), (1L, 4.0), (2L, 7.0), (3L, 99.0))
+      .toDF("k", "x"), "APPEND", "append")
+    r.write(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "d"),
+      "APPEND", "append")
+    val view = new IncrementalJoinAggView(spark, lp, rp, sp,
+      Seq("k"), Seq("d"), Seq("x"), minMaxCols = Seq("x"))
+    view.initialize()
+    def mm(d: String): (Double, Double) = {
+      val row = view.read.filter(col("d") === d)
+        .select("min_x", "max_x").head()
+      (row.getDouble(0), row.getDouble(1))
+    }
+    assert(mm("a") === ((4.0, 10.0)))
+    // delete group a's max: the runner-up must resurface (a pure delta
+    // could never know it); group b untouched — carried over unread
+    l.delete(col("x") === 10.0)
+    view.refresh()
+    assert(mm("a") === ((4.0, 7.0)))
+    assert(mm("b") === ((99.0, 99.0)))
+    // dimension update MOVES k=2 from group a to group b: both groups
+    // are touched and both recompute
+    r.update(Map("d" -> lit("b")), col("k") === 2L, captureChangeData = true)
+    view.refresh()
+    assert(mm("a") === ((4.0, 4.0)))
+    assert(mm("b") === ((7.0, 99.0)))
+    // additive columns must agree with the full recompute throughout
+    val want = l.read.join(r.read, Seq("k")).groupBy("d")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("x").cast("decimal(28,6)")).cast("decimal(28,6)").as("sum_x"),
+        min("x").as("min_x"), max("x").as("max_x"))
+    val got = view.read.select("d", "cnt", "sum_x", "min_x", "max_x")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("non-key column clashes across sides refuse at initialize") {
     val lp = tmpDir("jv_l2"); val rp = tmpDir("jv_r2"); val sp = tmpDir("jv_s2")
     ManagedTable(spark, lp).write(Seq((1L, 1.0)).toDF("k", "x"),

@@ -495,6 +495,27 @@ class SqlSurfaceSpec extends SparkSpec {
         spark.table("hyi_emb"), k = 5))
   }
 
+  test("graft_funnel / graft_funnel_stats TVFs thread steps and bounds " +
+      "through to the operators") {
+    import spark.implicits._
+    val D = graft.operators.EventAnalytics.MicrosPerDay
+    Seq((1L, "view", 0L), (1L, "click", D), (1L, "purchase", 2 * D),
+        (2L, "view", 0L), (2L, "click", 3 * D))
+      .toDF("user_id", "event_type", "ts_us")
+      .createOrReplaceTempView("fn_ev")
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_funnel('fn_ev', 'ts_us', 'user_id', " +
+        "'event_type', 'view,click,purchase', 5, 2)"),
+      graft.operators.EventAnalytics.funnelWindowed(spark.table("fn_ev"),
+        Seq("view", "click", "purchase"),
+        conversionWindowMicros = Some(5 * D), maxStepGapMicros = Some(2 * D)))
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_funnel_stats('fn_ev', 'ts_us', " +
+        "'user_id', 'event_type', 'view,click,purchase', 0, 0)"),
+      graft.operators.EventAnalytics.funnelConversionStats(spark.table("fn_ev"),
+        Seq("view", "click", "purchase")))
+  }
+
   test("graft_cooccurrence and graft_cascade_rerank TVFs match the Scala API") {
     import spark.implicits._
     spark.read.parquet(s"$sf/documents.parquet")
