@@ -501,7 +501,9 @@ object Retrieval {
     val w = Window.partitionBy("query_id")
       .orderBy(col("__cos__").desc, col("doc_id").asc)
     cands.join(c, "doc_id").join(q, "query_id")
-      .withColumn("__cos__", Similarity.cosine(col("qvec"), col("cvec")))
+      .withColumn("__cos__",
+        Similarity.nativeCosine(embeddings.sparkSession, col("qvec"),
+          col("cvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "bm25_rank")

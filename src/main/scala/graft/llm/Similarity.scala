@@ -44,7 +44,7 @@ object Similarity {
 
   /** Codegen'd cosine for the operator hot paths: registers the native
     * expression on the frame's session and calls it by name. */
-  private def nativeCosine(session: org.apache.spark.sql.SparkSession,
+  private[llm] def nativeCosine(session: org.apache.spark.sql.SparkSession,
                            a: Column, b: Column): Column = {
     graft.expressions.CosineSimilarity.register(session)
     call_function("graft_cosine", a, b)
