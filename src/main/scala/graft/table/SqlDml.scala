@@ -336,6 +336,25 @@ final case class GraftRtasCommand(root: String,
   }
 }
 
+/** `TRUNCATE TABLE graft.t` — an empty replace commit preserving the
+  * schema, partitioning, properties and the whole commit history (a
+  * pre-truncate `VERSION AS OF` still reads the data; `vacuum` is the
+  * space-reclaim knob, deliberately separate). */
+final case class GraftTruncateCommand(root: String)
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable(spark, root)
+    val c = t.lastCommit.getOrElse(throw new IllegalStateException(
+      s"TRUNCATE TABLE: graft table at $root does not exist"))
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    t.write(empty, "TRUNCATE", "replace", None, c.partitionBy)
+    Nil
+  }
+}
+
 /** `ALTER TABLE graft.t SET TBLPROPERTIES (...)`. */
 final case class GraftSetPropertiesCommand(root: String,
                                            props: Map[String, String])

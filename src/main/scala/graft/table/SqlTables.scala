@@ -388,6 +388,12 @@ final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       GraftDropColumnsCommand(SqlTables.rootOf(spark, rest), names, ifExists)
 
+    // TRUNCATE TABLE graft.t — one empty-snapshot replace commit on the
+    // same log (history stays travelable, schema survives)
+    case TruncateTable(UnresolvedTable(head +: rest, _, _))
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      GraftTruncateCommand(SqlTables.rootOf(spark, rest))
+
     // SHOW TBLPROPERTIES graft.t [('key')]
     case ShowTableProperties(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
         key, out)

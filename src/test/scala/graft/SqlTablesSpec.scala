@@ -613,6 +613,28 @@ class SqlTablesSpec extends SparkSpec {
         exact = true))
   }
 
+  test("TRUNCATE TABLE empties the snapshot but keeps schema and history") {
+    val path = freshTable("sqltrunc")
+    val v = ManagedTable(spark, path).latestVersion.get
+    val before = spark.sql(s"SELECT count(*) FROM ${quoted(path)}")
+      .head().getLong(0)
+    spark.sql(s"TRUNCATE TABLE ${quoted(path)}")
+    val t = ManagedTable(spark, path)
+    assert(t.lastCommit.get.operation === "TRUNCATE")
+    assert(spark.sql(s"SELECT count(*) FROM ${quoted(path)}")
+      .head().getLong(0) === 0L)
+    assert(t.read.columns.toSeq ===
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    // history intact: the pre-truncate snapshot still reads
+    assert(spark.sql(
+      s"SELECT count(*) FROM ${quoted(path)} VERSION AS OF $v")
+      .head().getLong(0) === before)
+    // inserts after truncate work against the preserved schema
+    spark.sql(s"INSERT INTO ${quoted(path)} VALUES (99, 'X', 1)")
+    assert(spark.sql(s"SELECT count(*) FROM ${quoted(path)}")
+      .head().getLong(0) === 1L)
+  }
+
   test("CTAS rejects non-identity partitioning transforms") {
     val path = tmpDir("sqlctasb")
     val e = intercept[Exception] {
