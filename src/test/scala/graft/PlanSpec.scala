@@ -350,6 +350,38 @@ class PlanSpec extends SparkSpec {
       s"bm25: more than the scalar broadcast nested-loop:\n$p")
   }
 
+  test("phrase search / cascade / co-occurrence plans: hash joins only, " +
+      "no cartesian, candidate-bounded re-rank") {
+    import spark.implicits._
+    import graft.llm.{Retrieval, TextOps}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val phrases = Seq((1L, "table hash")).toDF("query_id", "query_text")
+    val pPlan = finalPlan(Retrieval.phraseSearch(docs, phrases, k = 5)).toString
+    // the (doc, pos) diagonal meets the query side in a hash join
+    // (broadcast for a probe-sized batch); never a cartesian
+    assert(pPlan.contains("BroadcastHashJoin"),
+      s"phrase query side should broadcast-join the positional index:\n$pPlan")
+    assert(!pPlan.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in phrase search:\n$pPlan")
+    val qv = emb.filter(col("vec_id") === 3L)
+    val cPlan = finalPlan(Retrieval.cascadeRerank(
+      Seq((3L, "table hash")).toDF("query_id", "query_text"), qv,
+      Retrieval.bm25Index(docs), emb, recallN = 20, k = 5)).toString
+    assert(!cPlan.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in cascade re-rank:\n$cPlan")
+    // the re-rank joins CANDIDATES (post-window) to embeddings by id —
+    // the window cut must sit below the cosine join, which is what
+    // bounds the expensive stage to recallN × queries rows
+    assert(cPlan.indexOf("row_number") >= 0 &&
+      cPlan.contains("graft_cosine"),
+      s"cascade plan lost its window cut or native cosine:\n$cPlan")
+    val oPlan = finalPlan(TextOps.cooccurrencePmi(docs, window = 2,
+      minCount = 5, k = 5)).toString
+    assert(!oPlan.toLowerCase.contains("cartesianproduct"),
+      s"cartesian in co-occurrence:\n$oPlan")
+  }
+
   test("DV read: tombstones broadcast as an anti-join; filters still reach the scan") {
     import graft.table.ManagedTable
     import spark.implicits._
