@@ -67,7 +67,19 @@ object Similarity {
     * `true` iff `df` has at most `cap` rows, probed with a
     * `limit(cap+1).count()` — the limit short-circuits the scan, so the
     * probe costs O(cap) rows regardless of the frame's true size, and
-    * never materializes anything on the driver. */
+    * never materializes anything on the driver.
+    *
+    * DETERMINISM CONTRACT: the probe executes the query frame once and
+    * the entry point's join executes it again, so the frame must yield
+    * the same rows on re-execution. Every stable source (tables,
+    * parquet, a checkpointed frame) satisfies this; a nondeterministic
+    * frame (`.sample` without a seed, an unordered `.limit` over a
+    * shuffle, `rand()`) could legally change rows between the probe and
+    * the join — gate decision and results would be internally
+    * consistent per execution but not with each other. Callers holding
+    * such a frame should `localCheckpoint()` it first (which also
+    * pins the rows the answer is FOR — the right call regardless of
+    * this gate). */
   private[llm] def fitsDriver(df: DataFrame, cap: Int): Boolean =
     cap > 0 && df.limit(cap + 1).count() <= cap
 

@@ -64,14 +64,21 @@ final class Bm25IndexView(spark: SparkSession, sourcePath: String,
 
   /** Build the index from the corpus's CURRENT snapshot — the only
     * O(corpus) step in the view's lifetime (one tokenize + the bloom's
-    * one distinct). */
+    * one distinct). The bloom writes BEFORE the state commit — the same
+    * crash-safe order as [[refresh]]: a crash between the two leaves a
+    * bloom that covers MORE ids than the (old or absent) state, which
+    * only produces false positives routed to the exact re-check, never
+    * a silently-skipped collision (the reverse order would leave a
+    * stale bloom UNDER-covering the new index). */
   def initialize(): Long = {
     val v = source.latestVersion.getOrElse(throw new IllegalStateException(
       s"source table $sourcePath does not exist"))
-    state.write(Retrieval.bm25Index(source.read, textCol, idCol),
-      "BM25_INIT", "replace", meta(v))
-    Retrieval.bm25IndexBloom(state.read, expectedDocs)
+    val snapshot = source.read
+    Retrieval.bm25IndexBloom(snapshot.select(col(idCol).as("doc_id")),
+        expectedDocs)
       .write.mode("overwrite").parquet(bloomPath)
+    state.write(Retrieval.bm25Index(snapshot, textCol, idCol),
+      "BM25_INIT", "replace", meta(v))
     v
   }
 

@@ -113,13 +113,25 @@ final class IncrementalJoinAggView(spark: SparkSession,
     (vl, vr)
   }
 
+  /** Loud schema guard, run at [[initialize]] AND at every [[refresh]]
+    * (a column added to BOTH sides after init would otherwise surface
+    * as an opaque ambiguous-reference analysis error mid-refresh), and
+    * the view's internal working names (`__sign__`, `__t_*`, `__sl__`,
+    * `__sr__`, `__src__`) are reserved — a source column wearing one
+    * would silently collide with the signed-delta machinery. */
   private def checkDisjointColumns(): Unit = {
-    val lCols = left.read.columns.toSet -- joinKeys
-    val rCols = right.read.columns.toSet -- joinKeys
-    val clash = lCols intersect rCols
+    val lAll = left.read.columns.toSet
+    val rAll = right.read.columns.toSet
+    val clash = (lAll -- joinKeys) intersect (rAll -- joinKeys)
     require(clash.isEmpty,
       s"non-key columns must be disjoint across the join sides, both have: " +
         clash.mkString(", "))
+    val reserved = (lAll ++ rAll).filter(c =>
+      c == "__sign__" || c == "__sl__" || c == "__sr__" || c == "__src__" ||
+        c.startsWith("__t_"))
+    require(reserved.isEmpty,
+      "source columns collide with the view's reserved internal names " +
+        s"(__sign__, __sl__, __sr__, __src__, __t_*): ${reserved.mkString(", ")}")
   }
 
   /** Signed change rows of a range, or None when the range is empty. */
@@ -154,6 +166,7 @@ final class IncrementalJoinAggView(spark: SparkSession,
       s"a source went backwards (left $vl0→$vl1, right $vr0→$vr1) — was a " +
         "table recreated? Re-initialize the view.")
     if (vl1 == vl0 && vr1 == vr0) return (vl0, vr0)
+    checkDisjointColumns()
     val dL = signedDelta(left, vl0, vl1).map(_.localCheckpoint())
     val dR = signedDelta(right, vr0, vr1).map(_.localCheckpoint())
     val parts = Seq(

@@ -1274,7 +1274,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       changeData: Option[DataFrame] = None,
       mergeSchema: Boolean = false,
       expectedPrevVersion: Option[Long] = None,
-      txnUpdate: Option[(String, Long)] = None): Commit = synchronized {
+      txnUpdate: Option[(String, Long)] = None,
+      propertiesOverride: Option[Map[String, String]] = None): Commit = synchronized {
     import org.apache.spark.sql.functions.{col, count, lit}
     val prev = lastCommit
     // merge callers pass the version their result was COMPUTED against:
@@ -1359,7 +1360,14 @@ final class ManagedTable(spark: SparkSession, root: String) {
     // still records the whole batch, but the scan's pushed filters now
     // prune at row-group grain inside the dirs — data is BORN clustered
     // instead of waiting for a clusterByRange/Z maintenance pass.
-    val clusterCols = prev.map(_.properties).getOrElse(Map.empty)
+    // `propertiesOverride` (REPLACE TABLE AS SELECT): the DECLARED
+    // property set both lands in this one commit (no separate
+    // setProperties commit to crash between) and governs this very
+    // write's layout knobs (clustering, bloom filters) — the first
+    // files of the replaced table are born under the new properties
+    val effectiveProps = propertiesOverride
+      .getOrElse(prev.map(_.properties).getOrElse(Map.empty))
+    val clusterCols = effectiveProps
       .get(ManagedTable.ClusterColumnsProp).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
       .filter(df.columns.contains)
@@ -1375,8 +1383,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       constraintAggs(cons)
     val writer = toPhysical(df1.observe(obs, aggs.head, aggs.tail: _*), commitMap)
       .write.mode("overwrite")
-      .options(ManagedTable.bloomWriteOptions(
-        prev.map(_.properties).getOrElse(Map.empty), commitMap))
+      .options(ManagedTable.bloomWriteOptions(effectiveProps, commitMap))
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dataDir)
     val observed = obs.get
@@ -1412,7 +1419,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
         // with them its live tombstones
         dvDirs = if (mode == "append") base.map(_.dvDirs).getOrElse(Nil) else Nil,
         columnMap = commitMap, constraints = cons,
-        properties = base.map(_.properties).getOrElse(Map.empty))
+        properties = propertiesOverride
+          .getOrElse(base.map(_.properties).getOrElse(Map.empty)))
       try writeCommit(c, base)
       catch { case e: Throwable =>
         changeDir.foreach(d => fs.delete(new Path(d), true))

@@ -304,10 +304,15 @@ final case class GraftCtasCommand(root: String,
 /** `[CREATE OR] REPLACE TABLE graft.t [PARTITIONED BY ...]
   * [TBLPROPERTIES ...] AS SELECT ...` — the atomic redefinition form:
   * the new data, schema, partition layout, and properties land as ONE
-  * replace commit on the SAME commit log, so history and time travel
-  * still reach every pre-replace version (Delta's CREATE OR REPLACE
-  * semantics; a DROP + CTAS would orphan the history). Plain `REPLACE
-  * TABLE` on a missing table errors; `OR CREATE` falls back to CTAS. */
+  * replace commit on the SAME commit log (`propertiesOverride` rides
+  * the data write, so a failing SELECT leaves properties untouched and
+  * the declared set RESETS any pre-existing properties — Delta's
+  * CREATE OR REPLACE semantics), and history/time travel still reach
+  * every pre-replace version (a DROP + CTAS would orphan the history).
+  * Layout-bearing properties (`cluster.columns`, bloom filters) govern
+  * the replace's own files — the table is born under the new
+  * properties. Plain `REPLACE TABLE` on a missing table errors;
+  * `OR CREATE` falls back to the CTAS shape. */
 final case class GraftRtasCommand(root: String,
                                   query: LogicalPlan,
                                   partitionBy: Seq[String],
@@ -325,12 +330,12 @@ final case class GraftRtasCommand(root: String,
           "exist (use CREATE OR REPLACE TABLE ... AS SELECT)")
       val df = GraftShims.ofRows(spark, query)
       t.createIfNotExists(df.schema)
-      if (properties.nonEmpty) t.setProperties(properties)
-      t.write(df, "CREATE TABLE AS SELECT", "replace", None, partitionBy)
+      t.write(df, "CREATE TABLE AS SELECT", "replace", None, partitionBy,
+        propertiesOverride = Some(properties))
     } else {
-      if (properties.nonEmpty) t.setProperties(properties)
       t.write(GraftShims.ofRows(spark, query), "REPLACE TABLE AS SELECT",
-        "replace", None, partitionBy)
+        "replace", None, partitionBy,
+        propertiesOverride = Some(properties))
     }
     Nil
   }

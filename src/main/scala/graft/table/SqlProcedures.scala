@@ -220,12 +220,14 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         val v = if (proc == "init_agg_view") view.initialize() else view.refresh()
         Seq(Row(v))
       case "init_join_view" | "refresh_join_view" =>
-        require(args.size == 6,
-          s"CALL graft.$proc(left, right, state, keys_csv, group_csv, sum_csv)")
+        require(args.size == 6 || args.size == 7,
+          s"CALL graft.$proc(left, right, state, keys_csv, group_csv, " +
+            "sum_csv[, minmax_csv])")
         val view = new IncrementalJoinAggView(spark,
           strArg(args(0), "left path"), strArg(args(1), "right path"),
           strArg(args(2), "state path"), csv(args(3), "keys_csv"),
-          csv(args(4), "group_csv"), csv(args(5), "sum_csv"))
+          csv(args(4), "group_csv"), csv(args(5), "sum_csv"),
+          if (args.size == 7) csv(args(6), "minmax_csv") else Nil)
         val (vl, vr) =
           if (proc == "init_join_view") view.initialize() else view.refresh()
         Seq(Row(vl, vr))

@@ -127,4 +127,34 @@ class IncrementalJoinViewSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("disjoint"))
   }
+
+  test("a clash introduced AFTER init refuses loudly at refresh; reserved " +
+      "internal names refuse too") {
+    val lp = tmpDir("jv_l3"); val rp = tmpDir("jv_r3"); val sp = tmpDir("jv_s3")
+    val l = ManagedTable(spark, lp)
+    val r = ManagedTable(spark, rp)
+    l.write(Seq((1L, 1.0)).toDF("k", "x"), "APPEND", "append")
+    r.write(Seq((1L, "a")).toDF("k", "d"), "APPEND", "append")
+    val view = new IncrementalJoinAggView(spark, lp, rp, sp,
+      Seq("k"), Seq("d"), Seq("x"))
+    view.initialize()
+    // schema evolution lands `d` on the LEFT side too — the next refresh
+    // must refuse with the construction-time message, not an opaque
+    // ambiguous-reference analysis error mid-plan
+    l.addColumn("d", org.apache.spark.sql.types.StringType)
+    l.write(Seq((2L, 3.0, "z")).toDF("k", "x", "d"), "APPEND", "append")
+    val e = intercept[IllegalArgumentException] { view.refresh() }
+    assert(e.getMessage.contains("disjoint"))
+    // a source column wearing a reserved internal name refuses at init
+    val lp2 = tmpDir("jv_l4"); val rp2 = tmpDir("jv_r4"); val sp2 = tmpDir("jv_s4")
+    ManagedTable(spark, lp2).write(
+      Seq((1L, 1.0)).toDF("k", "__sign__"), "APPEND", "append")
+    ManagedTable(spark, rp2).write(Seq((1L, "a")).toDF("k", "d"),
+      "APPEND", "append")
+    val e2 = intercept[IllegalArgumentException] {
+      new IncrementalJoinAggView(spark, lp2, rp2, sp2,
+        Seq("k"), Seq("d"), Seq("__sign__")).initialize()
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
 }

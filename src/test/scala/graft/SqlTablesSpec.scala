@@ -563,6 +563,52 @@ class SqlTablesSpec extends SparkSpec {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("RTAS lands data + properties as ONE replace commit and RESETS " +
+      "pre-existing properties") {
+    val path = freshTable("sqlrtasp")
+    spark.sql(
+      s"ALTER TABLE ${quoted(path)} SET TBLPROPERTIES ('stale' = 'old')")
+    val vBefore = ManagedTable(spark, path).latestVersion.get
+    spark.sql(s"""CREATE OR REPLACE TABLE ${quoted(path)}
+                 |TBLPROPERTIES ('team' = 'rtas-spec')
+                 |AS SELECT 1 AS x""".stripMargin)
+    val t = ManagedTable(spark, path)
+    // exactly one commit past the SET TBLPROPERTIES — no separate
+    // property commit a failing SELECT could strand
+    assert(t.latestVersion.get === vBefore + 1)
+    val c = t.lastCommit.get
+    assert(c.operation === "REPLACE TABLE AS SELECT")
+    assert(c.properties === Map("team" -> "rtas-spec"),
+      s"RTAS must RESET properties to the declared set, got ${c.properties}")
+    // layout-bearing declared properties govern the replace's own files
+    val path2 = freshTable("sqlrtasc")
+    spark.sql(s"""CREATE OR REPLACE TABLE ${quoted(path2)}
+                 |TBLPROPERTIES ('cluster.columns' = 'x')
+                 |AS SELECT id AS x FROM range(100)""".stripMargin)
+    assert(ManagedTable(spark, path2).lastCommit.get.properties
+      .get("cluster.columns").contains("x"))
+  }
+
+  test("CALL init/refresh_join_view accept the optional minmax_csv " +
+      "argument") {
+    import spark.implicits._
+    val lp = tmpDir("callmm_l"); val rp = tmpDir("callmm_r")
+    val sj = tmpDir("callmm_s")
+    ManagedTable(spark, lp).write(
+      Seq((1L, 5.0), (1L, 9.0)).toDF("k", "x"), "APPEND", "append")
+    ManagedTable(spark, rp).write(Seq((1L, "d1")).toDF("k", "d"),
+      "APPEND", "append")
+    spark.sql(
+      s"CALL graft.init_join_view('$lp', '$rp', '$sj', 'k', 'd', 'x', 'x')")
+    ManagedTable(spark, lp).delete(col("x") === 9.0)
+    spark.sql(
+      s"CALL graft.refresh_join_view('$lp', '$rp', '$sj', 'k', 'd', 'x', 'x')")
+    val row = ManagedTable(spark, sj).read
+      .select("min_x", "max_x", "cnt").head()
+    assert((row.getDouble(0), row.getDouble(1), row.getLong(2)) ===
+      ((5.0, 5.0, 1L)))
+  }
+
   test("CALL init/refresh procedures drive the whole view family from SQL") {
     import spark.implicits._
     // aggregate view
