@@ -1169,6 +1169,88 @@ object Queries {
       |SELECT 3, 'purchase', n, mn, q3.p50, q3.p90, mx, s
       |FROM n3, q3 WHERE n > 0""".stripMargin
 
+  /** The `any_qualifying` funnel anchor policy
+    * ([[graft.operators.EventAnalytics.funnelWindowed]]'s re-anchoring
+    * knob): every step-1 event is a candidate anchor and a user counts
+    * when ANY anchor's greedy chain converts. Two planted users pin the
+    * semantics IN-QUERY before the oracle sees anything: 9900001's
+    * first view expires (the click lands 4 days later, past the 2-day
+    * step gap) but a second view 3 days in rescues the chain — the
+    * user converts ONLY under `any_qualifying`; 9900002 converts under
+    * both policies. The gates run both policies over just the planted
+    * rows (tiny frames) and require exactly that split; the returned
+    * frame is the `any_qualifying` counts over the full corpus +
+    * plants, hash-matched against the DuckDB per-(user, anchor) chain. */
+  def funnelAnchorPolicy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EventAnalytics
+    import spark.implicits._
+    val D = EventAnalytics.MicrosPerDay
+    val A = 1704067200000000L // 2024-01-01 00:00:00 UTC in epoch micros
+    val W = Some(5 * D) // whole-funnel window
+    val G = Some(2 * D) // per-step gap
+    val planted = Seq(
+      (9900001L, "view", A),
+      (9900001L, "view", A + 3 * D),
+      (9900001L, "click", A + 4 * D),
+      (9900001L, "purchase", A + 4 * D + D / 2),
+      (9900002L, "view", A),
+      (9900002L, "click", A + 1 * D),
+      (9900002L, "purchase", A + 2 * D)).toDF("user_id", "event_type", "ts_us")
+    val steps = Seq("view", "click", "purchase")
+    def converted(policy: String): Long =
+      EventAnalytics.funnelWindowed(planted, steps,
+          conversionWindowMicros = W, maxStepGapMicros = G,
+          anchorPolicy = policy)
+        .filter(col("step") === 3).head().getLong(2)
+    require(converted("earliest") == 1L,
+      "funnel_anchor_policy: under the earliest anchor only 9900002 may " +
+        "convert — the expired first view must NOT be rescued")
+    require(converted("any_qualifying") == 2L,
+      "funnel_anchor_policy: under any_qualifying the second view must " +
+        "rescue 9900001 — re-anchoring is the point of the policy")
+    val raw = pq(spark, dir, "events")
+    val ev = raw.withColumn("ts_us", eventMicros(raw))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("ts_us"))
+    require(ev.agg(max("user_id")).head().getLong(0) < 9900001L,
+      "planted user ids collide with the natural user_id range")
+    EventAnalytics.funnelWindowed(ev.unionByName(planted), steps,
+      conversionWindowMicros = W, maxStepGapMicros = G,
+      anchorPolicy = "any_qualifying")
+  }
+
+  /** DuckDB mirror of [[funnelAnchorPolicy]] — the greedy chain per
+    * (user, anchor), counting DISTINCT users per step. */
+  val funnelAnchorPolicySql: String =
+    """WITH e AS (SELECT CAST(user_id AS BIGINT) AS u, event_type AS t,
+      |                  epoch_us(ts) AS ts FROM events
+      |           UNION ALL SELECT * FROM (VALUES
+      |             (9900001, 'view',     1704067200000000),
+      |             (9900001, 'view',     1704326400000000),
+      |             (9900001, 'click',    1704412800000000),
+      |             (9900001, 'purchase', 1704456000000000),
+      |             (9900002, 'view',     1704067200000000),
+      |             (9900002, 'click',    1704153600000000),
+      |             (9900002, 'purchase', 1704240000000000))
+      |             v(u, t, ts)),
+      |s1 AS (SELECT DISTINCT u, ts AS a FROM e WHERE t = 'view'),
+      |s2 AS (SELECT e.u, s1.a, MIN(e.ts) AS tp
+      |       FROM e JOIN s1 USING (u)
+      |       WHERE t = 'click' AND e.ts > s1.a
+      |         AND e.ts <= s1.a + 172800000000
+      |         AND e.ts <= s1.a + 432000000000
+      |       GROUP BY e.u, s1.a),
+      |s3 AS (SELECT e.u, s2.a, MIN(e.ts) AS tp
+      |       FROM e JOIN s2 USING (u)
+      |       WHERE t = 'purchase' AND e.ts > s2.tp
+      |         AND e.ts <= s2.tp + 172800000000
+      |         AND e.ts <= s2.a + 432000000000
+      |       GROUP BY e.u, s2.a)
+      |SELECT 1 AS step, 'view' AS event_type,
+      |       CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users FROM s1
+      |UNION ALL SELECT 2, 'click', COUNT(DISTINCT u) FROM s2
+      |UNION ALL SELECT 3, 'purchase', COUNT(DISTINCT u) FROM s3""".stripMargin
+
   /** ROLLUP aggregation (grouping-sets family — beyond the reference's
     * own operator set, exposed through the engine's SQL surface). */
   def rollupRevenue(spark: SparkSession, dir: String): DataFrame =

@@ -49,6 +49,7 @@ object SparkEntry {
     "funnel_steps" -> (Queries.funnelSteps(_, _)),
     "funnel_windowed" -> (Queries.funnelWindowed(_, _)),
     "funnel_conversion_stats" -> (Queries.funnelConversionStats(_, _)),
+    "funnel_anchor_policy" -> (Queries.funnelAnchorPolicy(_, _)),
     "events_json" -> (Queries.eventsJson(_, _)),
     "grouping_sets" -> (Queries.groupingSetsRevenue(_, _)),
     "rollup_revenue" -> (Queries.rollupRevenue(_, _)),
@@ -315,6 +316,7 @@ object SparkEntry {
     "funnel_steps" -> Queries.funnelStepsSql,
     "funnel_windowed" -> Queries.funnelWindowedSql,
     "funnel_conversion_stats" -> Queries.funnelConversionStatsSql,
+    "funnel_anchor_policy" -> Queries.funnelAnchorPolicySql,
     "events_json" -> Queries.eventsJsonSql,
     "grouping_sets" -> Queries.groupingSetsRevenueSql,
     "rollup_revenue" -> Queries.rollupRevenueSql,

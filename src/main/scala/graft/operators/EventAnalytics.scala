@@ -72,13 +72,30 @@ object EventAnalytics {
     *   - within `conversionWindowMicros` of their step-1 ANCHOR time
     *     (when set — the whole-funnel deadline).
     *
-    * Semantics are GREEDY-EARLIEST and documented as such: the anchor
-    * is the user's first step-1 event and each step completes at its
-    * earliest qualifying event. A later anchor could in principle
-    * convert where the earliest one expires — greedy is the
-    * deterministic, one-pass-per-step convention (and what the SQL
-    * oracle can mirror exactly); all arithmetic is integer
-    * microseconds, so results are engine-exact.
+    * `anchorPolicy` picks the step-1 ANCHORING rule — the semantics
+    * knob users of every product-analytics engine eventually ask
+    * about, because a user whose FIRST step-1 event expires may still
+    * have a later step-1 event that would convert:
+    *
+    *   - `"earliest"` (default): the anchor is the user's first
+    *     step-1 event and each step completes at its earliest
+    *     qualifying event — the deterministic one-pass-per-step
+    *     convention several commercial engines default to;
+    *   - `"any_qualifying"`: EVERY step-1 event is a candidate
+    *     anchor; the greedy chain runs per (user, anchor) and a user
+    *     counts at step `k` when ANY anchor's chain reaches it — the
+    *     re-anchoring semantics under which a later session rescues a
+    *     user the earliest anchor expired. It strictly dominates
+    *     `earliest` (the earliest anchor is one of the candidates, so
+    *     per-step counts are monotonically ≥), and the chain's hash
+    *     aggregates stay user-keyed — anchors add one grouping
+    *     column bounded by the user's own step-1 events, same shuffle
+    *     count.
+    *
+    * Within an anchor the chain is greedy-earliest (with per-step
+    * gaps, greedy can miss chains a non-greedy event choice would
+    * complete — a policy every engine shares, documented here); all
+    * arithmetic is integer microseconds, so results are engine-exact.
     *
     * Shape: one user-keyed hash aggregate per step, each joined to the
     * previous stage's user set — the same single hash partitioning
@@ -89,16 +106,30 @@ object EventAnalytics {
                      tsUsCol: String = "ts_us", userCol: String = "user_id",
                      typeCol: String = "event_type",
                      conversionWindowMicros: Option[Long] = None,
-                     maxStepGapMicros: Option[Long] = None): DataFrame = {
+                     maxStepGapMicros: Option[Long] = None,
+                     anchorPolicy: String = "earliest"): DataFrame = {
     require(steps.size >= 2, s"a funnel needs at least two steps, got $steps")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got $steps")
     conversionWindowMicros.foreach(w => require(w > 0, "window must be positive"))
     maxStepGapMicros.foreach(g => require(g > 0, "max gap must be positive"))
-    val frames = funnelStages(events, steps, tsUsCol, userCol, typeCol,
-      conversionWindowMicros, maxStepGapMicros)
+    val frames = anchorPolicy match {
+      case "earliest" =>
+        funnelStages(events, steps, tsUsCol, userCol, typeCol,
+          conversionWindowMicros, maxStepGapMicros)
+      case "any_qualifying" =>
+        funnelStagesAnyAnchor(events, steps, tsUsCol, userCol, typeCol,
+          conversionWindowMicros, maxStepGapMicros)
+      case other => throw new IllegalArgumentException(
+        s"anchorPolicy must be 'earliest' or 'any_qualifying', got $other")
+    }
+    // earliest frames hold ONE row per user (count == distinct count,
+    // no distinct-aggregate rewrite); anchored frames hold one row per
+    // (user, anchor) and must de-dup the user
+    val anchored = anchorPolicy == "any_qualifying"
     frames.map { case (step, name, f) =>
-      f.agg(count(lit(1)).as("n_users"))
+      f.agg((if (anchored) countDistinct(col("__u__"))
+             else count(lit(1))).as("n_users"))
         .select(lit(step).as("step"), lit(name).as("event_type"),
           col("n_users"))
     }.reduce(_ unionByName _)
@@ -130,6 +161,43 @@ object EventAnalytics {
         .groupBy("__u__")
         .agg(min("__ts__").as("__tp__"), min("__t1__").as("__t1__"),
           min("__tp__").as("__tprev__"))
+      out += ((i + 2, s, stage))
+    }
+    out.toSeq
+  }
+
+  /** The `any_qualifying` anchor chain ([[funnelWindowed]]'s
+    * re-anchoring policy): stage 1 keeps EVERY distinct step-1 event
+    * time as its own anchor `__a__`, and each later stage runs the
+    * greedy-earliest fold per (user, anchor) — the group key grows by
+    * the anchor column, nothing else changes, so the whole chain still
+    * rides one hash partitioning on the user. Anchors per user are
+    * bounded by that user's own step-1 events (sessions, not corpus),
+    * so the extra grouping column never explodes a partition. */
+  private def funnelStagesAnyAnchor(events: DataFrame, steps: Seq[String],
+                                    tsUsCol: String, userCol: String,
+                                    typeCol: String,
+                                    conversionWindowMicros: Option[Long],
+                                    maxStepGapMicros: Option[Long])
+      : Seq[(Int, String, DataFrame)] = {
+    val ev = events.select(col(userCol).as("__u__"), col(typeCol).as("__t__"),
+      col(tsUsCol).as("__ts__"))
+    var stage = ev.filter(col("__t__") === steps.head)
+      .select(col("__u__"), col("__ts__").as("__a__"))
+      .distinct()
+      .withColumn("__tp__", col("__a__"))
+      .withColumn("__t1__", col("__a__"))
+    val out = scala.collection.mutable.Buffer((1, steps.head, stage))
+    steps.drop(1).zipWithIndex.foreach { case (s, i) =>
+      var cond = col("__ts__") > col("__tp__")
+      maxStepGapMicros.foreach(g => cond = cond && col("__ts__") <= col("__tp__") + g)
+      conversionWindowMicros.foreach(w => cond = cond && col("__ts__") <= col("__t1__") + w)
+      stage = ev.filter(col("__t__") === s)
+        .join(stage.select(col("__u__"), col("__a__"), col("__tp__"),
+          col("__t1__")), Seq("__u__"))
+        .filter(cond)
+        .groupBy("__u__", "__a__")
+        .agg(min("__ts__").as("__tp__"), min("__t1__").as("__t1__"))
       out += ((i + 2, s, stage))
     }
     out.toSeq

@@ -162,6 +162,37 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", 11L) -> ((4.0, 1, 1L))))
   }
 
+  test("funnelWindowed anchorPolicy: any_qualifying rescues a later anchor, " +
+      "dominates earliest per step, and rejects unknown policies") {
+    val D = EventAnalytics.MicrosPerDay
+    val A = 1000L * D
+    val ev = Seq(
+      // u1: first view's chain expires (click 4d later > 2d gap), the
+      // 3d view rescues it
+      (1L, "view", A), (1L, "view", A + 3 * D),
+      (1L, "click", A + 4 * D), (1L, "purchase", A + 4 * D + D / 2),
+      // u2: converts under both policies
+      (2L, "view", A), (2L, "click", A + D), (2L, "purchase", A + 2 * D),
+      // u3: never converts under any anchor (no purchase)
+      (3L, "view", A), (3L, "click", A + D))
+      .toDF("user_id", "event_type", "ts_us")
+    def counts(policy: String): Map[Int, Long] =
+      EventAnalytics.funnelWindowed(ev, Seq("view", "click", "purchase"),
+          conversionWindowMicros = Some(5 * D),
+          maxStepGapMicros = Some(2 * D), anchorPolicy = policy)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val e = counts("earliest")
+    val a = counts("any_qualifying")
+    assert(e === Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+    assert(a === Map(1 -> 3L, 2 -> 3L, 3 -> 2L))
+    (1 to 3).foreach(s => assert(a(s) >= e(s), s"dominance broken at step $s"))
+    val bad = intercept[IllegalArgumentException] {
+      EventAnalytics.funnelWindowed(ev, Seq("view", "click"),
+        anchorPolicy = "latest")
+    }
+    assert(bad.getMessage.contains("anchorPolicy"))
+  }
+
   test("resampleLocf: spine is dense per key between its own min and max bins") {
     val ev0 = spark.read.parquet(s"$sf/events.parquet")
     val ev = ev0.withColumn("ts_us", Queries.eventMicros(ev0))
