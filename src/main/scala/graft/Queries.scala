@@ -6551,6 +6551,127 @@ object Queries {
       |       score_scaled, n_terms_matched
       |FROM r WHERE "rank" <= 7""".stripMargin
 
+  /** The BM25 view surviving the pipeline's OWN curation output
+    * ([[graft.llm.Retrieval.bm25IndexApplyDelta]] behind
+    * [[graft.table.Bm25IndexView#refresh]]): the corpus table takes an
+    * exact-dedup DELETE and a text UPDATE — the non-insert slices every
+    * curation action writes — and the view folds them by signed posting
+    * maintenance instead of refusing. Epochs: init on 2/3 of docs plus
+    * planted exact copies; a pure append; an exact-dedup gate proves
+    * every planted copy's keeper is its original, then the copies
+    * DELETE through the table (coarse dir-rewrite feed — the survivor
+    * rows must net away); a dir-rewrite UPDATE re-texts `doc_id % 97 ==
+    * 5`; one refresh on a FRESH instance folds delete+update together.
+    * In-query gates: merged ≡ rebuilt postings (exact frame equality)
+    * and a zero-commit no-op refresh. Oracle: the full BM25 ranking
+    * over the FINAL corpus (original docs with the update applied — the
+    * oracle never sees the epochs), with a query term only the updated
+    * docs contain. */
+  def bm25ViewDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.{Retrieval, TextOps}
+    import graft.table.{Bm25IndexView, ManagedTable}
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    require(docs.agg(max("doc_id")).head().getLong(0) < 950000L,
+      "planted-copy offset 950000 collides with natural doc ids")
+    val planted = docs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 950000L).as("doc_id"), col("text"))
+    val srcPath = tmp("bm25vd_src")
+    val stPath = tmp("bm25vd_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs.filter(col("doc_id") % 3 =!= 0).unionByName(planted),
+        "APPEND", "append")
+      new Bm25IndexView(spark, srcPath, stPath, expectedDocs = 100000)
+        .initialize()
+    }
+    val view = new Bm25IndexView(spark, srcPath, stPath)
+    // epoch 1: plain append — the proven insert path still works
+    t.write(docs.filter(col("doc_id") % 3 === 0), "APPEND", "append")
+    require(view.refresh() == 1L, "bm25_view_delete: append fold must land on v1")
+    // CURATION: exact dedup identifies each planted copy's original as
+    // the keeper — proven in-query before the copies delete through the
+    // table (the loser set is exactly the planted rows)
+    val stats = TextOps.exactDedupStats(t.read)
+    val keeperOk = t.read.filter(col("doc_id") >= 950000L)
+      .withColumn("text_hash", md5(col("text")))
+      .join(stats, "text_hash")
+      .filter(col("keep_id") === col("doc_id") - 950000L)
+      .count()
+    require(keeperOk == 40L,
+      s"bm25_view_delete: exact dedup must keep every planted copy's " +
+        s"original (got $keeperOk of 40)")
+    t.delete(col("doc_id") >= 950000L)
+    // and a dir-rewrite UPDATE: (−pre, +post) through the coarse feed
+    t.update(Map("text" ->
+        concat(col("text"), lit(" zzgraftrevised zzgraftrevised"))),
+      col("doc_id") % 97 === 5)
+    val restarted = new Bm25IndexView(spark, srcPath, stPath)
+    require(restarted.refresh() == 3L,
+      "bm25_view_delete: one refresh must fold the delete and update slices")
+    val vBefore = ManagedTable(spark, stPath).latestVersion
+    require(restarted.refresh() == 3L &&
+      ManagedTable(spark, stPath).latestVersion == vBefore,
+      "bm25_view_delete: an already-current refresh must commit nothing")
+    val merged = restarted.read
+    val rebuilt = Retrieval.bm25Index(t.read, "text", "doc_id")
+    require(merged.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(merged).isEmpty,
+      "bm25_view_delete: signed-maintained postings drifted from the " +
+        "from-scratch rebuild")
+    val queries = Seq(
+      (1L, "zzgraftrevised"),
+      (2L, "merge stream table"),
+      (3L, "row group window hash")).toDF("query_id", "query_text")
+    Retrieval.bm25SearchWith(queries, merged, k = 7, exact = true)
+  }
+
+  /** DuckDB mirror of [[bm25ViewDelete]] — the FULL-corpus ranking over
+    * the final state (updates applied, planted copies gone). */
+  val bm25ViewDeleteSql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |  (1, 'zzgraftrevised'),
+      |  (2, 'merge stream table'),
+      |  (3, 'row group window hash')),
+      |docs AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 97 = 5
+      |       THEN text || ' zzgraftrevised zzgraftrevised'
+      |       ELSE text END AS text
+      | FROM documents),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM docs),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM dt GROUP BY doc_id),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM dt GROUP BY tok),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |qt AS (SELECT DISTINCT query_id, tok FROM
+      |  (SELECT query_id,
+      |     unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS tok
+      |   FROM q)),
+      |m AS (SELECT qt.query_id, dt.doc_id,
+      |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+      |        * ((CAST(44 AS HUGEINT) * dt.tf * s.total_len * 1000000)
+      |           // (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |              + CAST(6 AS HUGEINT)*s.total_len
+      |              + CAST(18 AS HUGEINT)*l.dl*s.n_docs)))
+      |    // CAST(2*f.df + 1 AS HUGEINT) AS BIGINT) AS s_int
+      | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
+      |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
+      |agg AS (SELECT query_id, doc_id,
+      |         CAST(sum(s_int) AS BIGINT) AS score_scaled,
+      |         CAST(count(*) AS BIGINT) AS n_terms_matched
+      |        FROM m GROUP BY query_id, doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score_scaled DESC, doc_id) AS "rank" FROM agg)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, "rank", doc_id,
+      |       score_scaled, n_terms_matched
+      |FROM r WHERE "rank" <= 7""".stripMargin
+
   /** Hybrid retrieval over STANDING indexes
     * ([[graft.llm.Retrieval.hybridTopKWith]]): both rankers serve from
     * persisted artifacts — the BM25 inverted index and the IVF-PQ

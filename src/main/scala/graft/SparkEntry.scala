@@ -210,6 +210,7 @@ object SparkEntry {
     "bm25_topk" -> (Queries.bm25TopKDocs(_, _)),
     "bm25_incremental" -> (Queries.bm25IncrementalDocs(_, _)),
     "bm25_view_refresh" -> (Queries.bm25ViewRefresh(_, _)),
+    "bm25_view_delete" -> (Queries.bm25ViewDelete(_, _)),
     "phrase_search" -> (Queries.phraseSearchDocs(_, _)),
     "cascade_rerank" -> (Queries.cascadeRerankDocs(_, _)),
     "cooccurrence_pmi" -> (Queries.cooccurrenceDocs(_, _)),
@@ -718,6 +719,7 @@ object SparkEntry {
     "bm25_topk" -> Queries.bm25TopKSql,
     "bm25_incremental" -> Queries.bm25IncrementalSql,
     "bm25_view_refresh" -> Queries.bm25ViewRefreshSql,
+    "bm25_view_delete" -> Queries.bm25ViewDeleteSql,
     "phrase_search" -> Queries.phraseSearchSql,
     "cascade_rerank" -> Queries.cascadeRerankSql,
     "cooccurrence_pmi" -> Queries.cooccurrenceSql,

@@ -249,6 +249,113 @@ object Retrieval {
     updatedOld.unionByName(newRows).crossJoin(broadcast(stamps))
   }
 
+  /** Apply a SIGNED document delta — `insDocs` entering, `delDocs`
+    * (with their text) leaving — to a standing [[bm25Index]], the
+    * general maintenance step [[bm25IndexMerge]]'s append-only form
+    * cannot express. This is what lets a standing index survive the
+    * pipeline's own curation: `removeDuplicatedSpans`, fuzzy dedup,
+    * decontamination actions and SQL `DELETE FROM`/`UPDATE` all write
+    * deletes (or update pairs) to the corpus table, and an index that
+    * only accepts appends would force a full rebuild after every
+    * curation pass. The algebra is [[graft.table.IncrementalJoinAggView]]'s
+    * ±1 identity applied to postings:
+    *
+    *   - `df` moves by `Σ sign` per token over the delta's `(doc, tok)`
+    *     posting rows (a deleted doc decrements df for each of its
+    *     tokens; an inserted one increments) — a token whose df reaches
+    *     zero simply has no surviving rows left to carry it;
+    *   - `n_docs` / `total_len` move by the signed scalar sums;
+    *   - deleted docs' `(tok, doc_id, tf, dl)` rows leave by anti-join
+    *     against the (batch-sized, broadcast) deleted-id set; surviving
+    *     rows keep their tf/dl untouched (a doc's own postings never
+    *     change while it lives);
+    *   - an UPDATE is a (−preimage, +postimage) pair — both sides
+    *     tokenize from the delta itself, the corpus text is never
+    *     re-read.
+    *
+    * Cost: one narrow pass over the index (broadcast anti-join +
+    * broadcast df-delta left join, no shuffle of the index) plus
+    * O(delta) tokenization — the same budget as the append-only merge.
+    *
+    * Loud gates, all O(delta) against the index:
+    *   - every `delDocs` id must exist in the index (subtracting
+    *     postings that were never added would corrupt df silently);
+    *   - every `insDocs` id must be NEW relative to the surviving index
+    *     (post-delete), bloom-gated exactly like [[bm25IndexMerge]] —
+    *     an update's reused id passes because its delete lands in the
+    *     same delta. */
+  def bm25IndexApplyDelta(index: DataFrame, insDocs: DataFrame,
+                          delDocs: DataFrame,
+                          textCol: String = "text",
+                          idCol: String = "doc_id",
+                          docIdBloom: Option[Array[Byte]] = None): DataFrame = {
+    val insPost = postings(insDocs, textCol, idCol)
+    val delPost = postings(delDocs, textCol, idCol)
+    val delIds = delDocs.select(col(idCol).cast("string").as("doc_id"))
+      .distinct().localCheckpoint()
+    val nDel = delIds.count()
+    if (nDel > 0) {
+      val matched = index.select(col("doc_id").cast("string").as("doc_id"))
+        .join(broadcast(delIds), Seq("doc_id"), "semi").distinct().count()
+      require(matched == nDel,
+        s"bm25IndexApplyDelta: ${nDel - matched} deleted doc ids are not in " +
+          "the index — the delta does not describe this index's corpus")
+    }
+    val insIds = insPost.select("doc_id").distinct()
+    val suspects = (docIdBloom match {
+      case Some(bytes) =>
+        graft.expressions.MightContain.register(index.sparkSession)
+        insIds.filter(call_function(graft.expressions.MightContain.Name,
+          lit(bytes), xxhash64(col("doc_id").cast("string"))))
+      case None => insIds
+    }).localCheckpoint()
+    if (!suspects.isEmpty) {
+      val dup = index.select("doc_id")
+        .join(broadcast(suspects), Seq("doc_id"), "semi")
+        .join(broadcast(delIds.select(col("doc_id").as("__del__"))),
+          col("doc_id").cast("string") === col("__del__"), "anti")
+        .distinct().count()
+      require(dup == 0L,
+        s"bm25IndexApplyDelta: $dup inserted doc ids already exist in the " +
+          "surviving index — inserts must be new or paired with a delete")
+    }
+    // signed df delta per token: one row per (doc, tok) on each side
+    val dfDelta = insPost.select(col("tok"), lit(1L).as("__d__"))
+      .unionByName(delPost.select(col("tok"), lit(-1L).as("__d__")))
+      .groupBy("tok").agg(sum("__d__").as("__dfd__"))
+    def scalars(post: DataFrame) = post
+      .groupBy("doc_id").agg(first("dl").as("__dl__"))
+      .agg(coalesce(count(lit(1)), lit(0L)).as("__n__"),
+        coalesce(sum("__dl__"), lit(0L)).as("__l__"))
+    val oldScalars = index.agg(coalesce(max("n_docs"), lit(0L)).as("__n0__"),
+      coalesce(max("total_len"), lit(0L)).as("__l0__"))
+    val stamps = oldScalars
+      .crossJoin(scalars(insPost).select(col("__n__").as("__ni__"),
+        col("__l__").as("__li__")))
+      .crossJoin(scalars(delPost).select(col("__n__").as("__nd__"),
+        col("__l__").as("__ld__")))
+      .select((col("__n0__") + col("__ni__") - col("__nd__")).as("n_docs"),
+        (col("__l0__") + col("__li__") - col("__ld__")).as("total_len"))
+    // old stamped df for exactly the insert batch's tokens (semi-pruned
+    // posting lists, never a full df rebuild) — the stamped value counts
+    // deleted docs, and dfDelta's −1s correct for them
+    val oldDfMatched = index.join(broadcast(insPost.select("tok").distinct()),
+        Seq("tok"), "semi")
+      .groupBy("tok").agg(max("df").as("__dfo__"))
+    val survivors = index.drop("n_docs", "total_len")
+      .join(broadcast(delIds.select(col("doc_id").as("__del__"))),
+        col("doc_id").cast("string") === col("__del__"), "anti")
+      .join(broadcast(dfDelta), Seq("tok"), "left")
+      .withColumn("df", col("df") + coalesce(col("__dfd__"), lit(0L)))
+      .drop("__dfd__")
+    val newRows = insPost
+      .join(broadcast(oldDfMatched), Seq("tok"), "left")
+      .join(broadcast(dfDelta), Seq("tok"))
+      .withColumn("df", coalesce(col("__dfo__"), lit(0L)) + col("__dfd__"))
+      .drop("__dfo__", "__dfd__")
+    survivors.unionByName(newRows).crossJoin(broadcast(stamps))
+  }
+
   /** Top-`k` documents per query against a STANDING index (the
     * persisted-model form, like [[TextOps.tfidfKeywordsWith]]): only
     * the queries are tokenized; query terms are DISTINCT per query

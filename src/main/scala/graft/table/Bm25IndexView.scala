@@ -30,12 +30,24 @@ import org.apache.spark.sql.functions._
  * index lacks, which only produces false POSITIVES (an exact re-check
  * that passes), never a silently-skipped collision.
  *
- * APPEND slices only, loudly enforced: BM25 postings are not
- * delta-maintainable under updates/deletes (df moves for every token of
- * a changed doc; the index-side rows are immutable by construction) —
- * a slice carrying non-insert changes raises and the caller
- * re-[[initialize]]s, exactly FAISS's add-vs-train split restated for
- * lexical indexes.
+ * ANY slice folds — appends, deletes, and updates: the change rows net
+ * per `(doc_id, text)` under a ±1 sign (so a dir-rewrite commit's
+ * coarse feed — all old dir rows − / survivors + — cancels to the
+ * minimal delta, the [[IncrementalJoinAggView]] additivity argument),
+ * pure-insert slices take [[Retrieval.bm25IndexMerge]]'s proven
+ * append path, and mixed slices take
+ * [[Retrieval.bm25IndexApplyDelta]]'s signed posting maintenance
+ * (df decrements per deleted doc token, doc-count/length scalars move
+ * by signed sums, updates are a (−pre, +post) pair tokenized from the
+ * feed itself). The corpus text is never re-read in either path — this
+ * is what lets the index survive the pipeline's own curation actions
+ * (span dedup, fuzzy dedup, decontamination, SQL DELETE/UPDATE), which
+ * all write non-insert slices.
+ *
+ * The bloom only ever GROWS (deleted ids stay in it): a re-inserted
+ * previously-deleted id tests bloom-positive and falls through to the
+ * exact check against the surviving index, which passes — the bloom
+ * over-approximates by design, never under-covers.
  */
 final class Bm25IndexView(spark: SparkSession, sourcePath: String,
                           statePath: String,
@@ -93,22 +105,51 @@ final class Bm25IndexView(spark: SparkSession, sourcePath: String,
       s"source went backwards: watermark $last, latest $latest — was the " +
         "corpus table recreated? Re-initialize the view.")
     if (latest == last) return last
-    val cdf = source.readChangeFeed(last + 1, Some(latest)).localCheckpoint()
-    val nonInsert = cdf.filter(col("_change_type") =!= "insert").limit(1).count()
-    require(nonInsert == 0L,
-      "bm25 index view maintains APPEND slices only — the change feed " +
-        "carries updates/deletes; re-initialize() to rebuild the index")
-    val batch = cdf.select(col(idCol), col(textCol))
-    if (batch.isEmpty) return last // nothing to fold; range re-reads empty
+    val cdf = source.readChangeFeed(last + 1, Some(latest))
+    // net the slice per (doc_id, text) under ±1: insert/update_postimage
+    // enter, delete/update_preimage leave; a row inserted AND deleted (or
+    // a coarse dir-rewrite feed's untouched survivors) cancels to nothing
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val net = cdf.select(col(idCol), col(textCol), sign.as("__sign__"))
+      .groupBy(col(idCol), col(textCol))
+      .agg(sum("__sign__").as("__cnt__"))
+      .filter(col("__cnt__") =!= 0L)
+      .localCheckpoint()
+    if (net.isEmpty) return last // nothing to fold; range re-reads empty
+    // after netting, a doc id may carry at most one entering and one
+    // leaving text — anything else is a duplicate-id feed, refused loudly
+    val badCnt = net.filter(abs(col("__cnt__")) =!= 1L)
+    val dupDir = net
+      .groupBy(col(idCol), (col("__cnt__") > 0L).as("__pos__"))
+      .agg(count(lit(1)).as("__n__"))
+      .filter(col("__n__") > 1L)
+    require(badCnt.isEmpty && dupDir.isEmpty,
+      "bm25 view: the change-feed slice nets to duplicate rows for one " +
+        "doc id (|net sign| != 1 or multiple same-direction texts) — " +
+        "duplicate ids cannot index; dedup upstream")
+    val ins = net.filter(col("__cnt__") > 0L).select(col(idCol), col(textCol))
+    val del = net.filter(col("__cnt__") < 0L).select(col(idCol), col(textCol))
     val bloomRow = spark.read.parquet(bloomPath)
     val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(bloomRow)
-    val merged = Retrieval.bm25IndexMerge(state.read, batch, textCol, idCol,
-      docIdBloom = Some(bloomBytes))
+    val merged =
+      if (del.isEmpty) // pure-append slice: the proven merge path
+        Retrieval.bm25IndexMerge(state.read, ins, textCol, idCol,
+          docIdBloom = Some(bloomBytes))
+      else
+        Retrieval.bm25IndexApplyDelta(state.read, ins, del, textCol, idCol,
+          docIdBloom = Some(bloomBytes))
     // bloom BEFORE state: a crash between the two can only over-approximate
     // (bm25BloomAdd returns a driver-built row — no read dependence on
-    // bloomPath remains when the overwrite lands)
-    Retrieval.bm25BloomAdd(bloomRow, batch, idCol)
-      .write.mode("overwrite").parquet(bloomPath)
+    // bloomPath remains when the overwrite lands). Deleted ids stay in the
+    // bloom deliberately — over-approximation routes a re-insert of such
+    // an id to the exact check, which passes against the surviving index.
+    // A delete-only slice leaves the bloom as-is (nothing new to cover,
+    // and Spark's bloom builder cannot fold an empty frame).
+    if (!ins.isEmpty)
+      Retrieval.bm25BloomAdd(bloomRow, ins, idCol)
+        .write.mode("overwrite").parquet(bloomPath)
     state.write(merged, "BM25_REFRESH", "replace", meta(latest),
       expectedPrevVersion = state.latestVersion)
     latest

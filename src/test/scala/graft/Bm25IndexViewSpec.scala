@@ -5,8 +5,9 @@ import graft.table.{Bm25IndexView, ManagedTable}
 import org.apache.spark.sql.functions._
 
 /** Lifecycle pins for the CDF-maintained BM25 index view: fold-equals-
-  * rebuild, watermark recovery across instances, no-op refreshes, and
-  * the loud append-only contract. */
+  * rebuild under appends, deletes, AND updates (signed posting
+  * maintenance), watermark recovery across instances, no-op refreshes,
+  * and the loud duplicate-id / recreated-source contracts. */
 class Bm25IndexViewSpec extends SparkSpec {
   import spark.implicits._
 
@@ -42,16 +43,80 @@ class Bm25IndexViewSpec extends SparkSpec {
       Retrieval.bm25TopK(corpus, q, k = 7, exact = true))
   }
 
-  test("a change-feed slice with updates or deletes refuses loudly") {
-    val src = tmpDir("bm25v_src2")
-    val st = tmpDir("bm25v_state2")
+  private def searchEquals(view: Bm25IndexView, t: ManagedTable): Unit = {
+    val q = Seq((1L, "spark merge"), (2L, "window table"), (3L, "stream"))
+      .toDF("query_id", "query_text")
+    assertSameRows(
+      Retrieval.bm25SearchWith(q, view.read, k = 7, exact = true),
+      Retrieval.bm25TopK(t.read, q, k = 7, exact = true))
+  }
+
+  test("deletes fold through signed posting maintenance: merged equals " +
+      "rebuilt, df/scalars decrement, postings leave") {
+    val src = tmpDir("bm25v_del")
+    val st = tmpDir("bm25v_dels")
     val t = ManagedTable(spark, src)
     t.write(corpus, "APPEND", "append")
     val view = new Bm25IndexView(spark, src, st, expectedDocs = 1000)
     view.initialize()
+    // a coarse dir-rewrite delete (no captured change data): the
+    // survivors' +/− rows must net away and only doc 3 leave
     t.delete(col("doc_id") === 3L)
+    assert(view.refresh() === 1L)
+    searchEquals(view, t)
+    val merged = view.read
+    val rebuilt = Retrieval.bm25Index(t.read, "text", "doc_id")
+    assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty,
+      "merged postings table must equal the from-scratch rebuild exactly")
+    assert(merged.filter(col("doc_id") === 3L).isEmpty)
+    // delete-then-append in SEPARATE slices, one refresh folds both
+    t.delete(col("doc_id") === 4L)
+    t.write(Seq((8L, "stream stream merge")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    assert(view.refresh() === 3L)
+    searchEquals(view, t)
+  }
+
+  test("updates fold as (−pre, +post) pairs; re-inserting a deleted id " +
+      "passes the bloom's exact re-check") {
+    val src = tmpDir("bm25v_upd")
+    val st = tmpDir("bm25v_upds")
+    val t = ManagedTable(spark, src)
+    t.write(corpus, "APPEND", "append")
+    val view = new Bm25IndexView(spark, src, st, expectedDocs = 1000)
+    view.initialize()
+    // dir-rewrite UPDATE without captured CDF: the coarse feed nets to
+    // the (−old text, +new text) pair
+    t.update(Map("text" -> lit("table stream freshword")),
+      col("doc_id") === 2L)
+    assert(view.refresh() === 1L)
+    searchEquals(view, t)
+    // delete an id, then re-insert it in a later slice: the id is still
+    // bloom-positive, so the exact check against the SURVIVING index
+    // must let it back in
+    t.delete(col("doc_id") === 5L)
+    assert(view.refresh() === 2L)
+    t.write(Seq((5L, "merge window merge")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    assert(view.refresh() === 3L)
+    searchEquals(view, t)
+    val rebuilt = Retrieval.bm25Index(t.read, "text", "doc_id")
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+  }
+
+  test("a duplicate-id feed refuses loudly") {
+    val src = tmpDir("bm25v_dup")
+    val st = tmpDir("bm25v_dups")
+    val t = ManagedTable(spark, src)
+    t.write(corpus, "APPEND", "append")
+    val view = new Bm25IndexView(spark, src, st, expectedDocs = 1000)
+    view.initialize()
+    // two inserts of an EXISTING id with different texts in one slice
+    t.write(Seq((9L, "alpha beta"), (9L, "gamma delta"))
+      .toDF("doc_id", "text"), "APPEND", "append")
     val e = intercept[IllegalArgumentException] { view.refresh() }
-    assert(e.getMessage.contains("APPEND slices only"))
+    assert(e.getMessage.contains("duplicate"))
   }
 
   test("a recreated source table is refused instead of silently refolded") {
