@@ -6672,6 +6672,178 @@ object Queries {
       |       score_scaled, n_terms_matched
       |FROM r WHERE "rank" <= 7""".stripMargin
 
+  /** The positional phrase index as a CDF-maintained standing view
+    * ([[graft.table.PositionalIndexView]]): positions are row-local, so
+    * a pure-insert slice must land as an APPEND commit (the standing
+    * index is never read — pinned in-query on the commit shape), while
+    * deletes/updates rewrite once by broadcast anti-join. Epochs: init
+    * on 2/3 of docs + three planted phrase docs; append the rest
+    * (append-commit pin); delete one planted doc and re-text another
+    * (coarse dir-rewrite feeds); one refresh on a FRESH instance folds
+    * both. Gates: merged ≡ rebuilt posexplode (exact frame equality),
+    * zero-commit no-op. Oracle: the diagonal-anchor phrase ranking over
+    * the FINAL corpus. */
+  def phraseViewRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    import graft.table.{ManagedTable, PositionalIndexView}
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    require(docs.agg(max("doc_id")).head().getLong(0) < 910001L,
+      "planted ids collide with natural doc ids")
+    val planted = Seq(
+      (910001L, "qphraseax qphrasebx qphraseax qphrasebx qphraseax"),
+      (910002L, "qphrasebx qphraseax"),
+      (910003L, "qphrasecx qphrasecx qphrasecx")).toDF("doc_id", "text")
+    val srcPath = tmp("phrasev_src")
+    val stPath = tmp("phrasev_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs.filter(col("doc_id") % 3 =!= 0).unionByName(planted),
+        "APPEND", "append")
+      new PositionalIndexView(spark, srcPath, stPath, expectedDocs = 100000)
+        .initialize()
+    }
+    val view = new PositionalIndexView(spark, srcPath, stPath)
+    t.write(docs.filter(col("doc_id") % 3 === 0), "APPEND", "append")
+    require(view.refresh() == 1L,
+      "phrase_view_refresh: append fold must land on v1")
+    val afterAppend = ManagedTable(spark, stPath).lastCommit.get
+    require(afterAppend.operation == "PHRASE_REFRESH" &&
+      afterAppend.dirs.size == 2,
+      "phrase_view_refresh: a pure-insert slice must APPEND a dir — the " +
+        "standing index was rewritten")
+    t.delete(col("doc_id") === 910003L)
+    t.update(Map("text" -> lit("qphraseax qphrasebx qphraseax")),
+      col("doc_id") === 910002L)
+    val restarted = new PositionalIndexView(spark, srcPath, stPath)
+    require(restarted.refresh() == 3L,
+      "phrase_view_refresh: one refresh must fold the delete and update")
+    val vBefore = ManagedTable(spark, stPath).latestVersion
+    require(restarted.refresh() == 3L &&
+      ManagedTable(spark, stPath).latestVersion == vBefore,
+      "phrase_view_refresh: an already-current refresh must commit nothing")
+    val rebuilt = Retrieval.positionalIndex(t.read, "text", "doc_id")
+    require(restarted.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(restarted.read).isEmpty,
+      "phrase_view_refresh: maintained occurrences drifted from the rebuild")
+    val phrases = Seq(
+      (1L, "qphraseax qphrasebx"),
+      (2L, "qphraseax qphrasebx qphraseax"),
+      (3L, "qphrasecx qphrasecx"),
+      (4L, "table hash")).toDF("query_id", "query_text")
+    Retrieval.phraseSearchWith(phrases, restarted.read, k = 10)
+  }
+
+  /** DuckDB mirror of [[phraseViewRefresh]] — the diagonal-anchor
+    * ranking over the FINAL corpus (910003 deleted, 910002 re-texted;
+    * phrase 3 has no occurrences left). */
+  val phraseViewRefreshSql: String =
+    """WITH pd(doc_id, text) AS (VALUES
+      |  (910001, 'qphraseax qphrasebx qphraseax qphrasebx qphraseax'),
+      |  (910002, 'qphraseax qphrasebx qphraseax')),
+      |ad AS (SELECT doc_id, text FROM documents
+      |       UNION ALL SELECT doc_id, text FROM pd),
+      |q(query_id, query_text) AS (VALUES
+      |  (1, 'qphraseax qphrasebx'),
+      |  (2, 'qphraseax qphrasebx qphraseax'),
+      |  (3, 'qphrasecx qphrasecx'),
+      |  (4, 'table hash')),
+      |toks AS (SELECT doc_id,
+      |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM ad),
+      |tok AS (SELECT doc_id, ts[i] AS tok, i AS pos
+      |        FROM toks, unnest(generate_series(1, len(ts))) AS t(i)),
+      |qtoks AS (SELECT query_id,
+      |  regexp_extract_all(lower(query_text), '[a-z0-9]+') AS ts FROM q),
+      |qtok AS (SELECT query_id, ts[i] AS tok, i AS qpos
+      |         FROM qtoks, unnest(generate_series(1, len(ts))) AS t(i)),
+      |qlen AS (SELECT query_id, CAST(count(*) AS BIGINT) AS qlen
+      |         FROM qtok GROUP BY query_id),
+      |diag AS (SELECT qtok.query_id, tok.doc_id,
+      |          tok.pos - qtok.qpos AS anchor,
+      |          CAST(count(*) AS BIGINT) AS n
+      |         FROM tok JOIN qtok USING (tok)
+      |         GROUP BY 1, 2, 3),
+      |occ AS (SELECT d.query_id, d.doc_id FROM diag d JOIN qlen USING (query_id)
+      |        WHERE d.n = qlen.qlen),
+      |cnt AS (SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches
+      |        FROM occ GROUP BY query_id, doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY n_matches DESC, doc_id) AS "rank" FROM cnt)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, "rank", doc_id, n_matches
+      |FROM r WHERE "rank" <= 10""".stripMargin
+
+  /** The IVF-PQ ANN index as a CDF-maintained standing view
+    * ([[graft.table.AnnIndexView]]): the quantizer trains once at init
+    * (add-vs-train split), appends append-encode against it as APPEND
+    * commits (pinned in-query on the commit shape), deletes drop code
+    * rows. Epochs: init trains on the vector corpus; planted exact
+    * copies append (vec_id + 10000); a range of non-planted originals
+    * deletes; a FRESH instance folds the delete. Gates: maintained
+    * codes ≡ a re-encode of the final corpus against the same frozen
+    * quantizer (exact frame equality — the argmins are deterministic),
+    * every planted copy ranks its original first, recall@10 vs brute
+    * force over the final corpus holds the floor, zero-commit no-op.
+    * Oracle: the deterministic planted pairs. */
+  def annViewRefresh(spark: SparkSession, dir: String,
+                     recallFloor: Double = 0.30): DataFrame = {
+    import graft.llm.Similarity
+    import graft.table.{AnnIndexView, ManagedTable}
+    val emb = pq(spark, dir, "embeddings").select("vec_id", "embedding")
+    assertPlantedIdHeadroom(emb, offset = 10000)
+    val srcPath = tmp("annv_src")
+    val stPath = tmp("annv_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(emb, "APPEND", "append")
+      new AnnIndexView(spark, srcPath, stPath, nlist = 16, m = 8, ksub = 16,
+        expectedVecs = 100000).initialize()
+    }
+    t.write(emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")),
+      "APPEND", "append")
+    val view = new AnnIndexView(spark, srcPath, stPath, nlist = 16, m = 8,
+      ksub = 16)
+    require(view.refresh() == 1L,
+      "ann_view_refresh: append fold must land on v1")
+    val afterAppend = ManagedTable(spark, stPath).lastCommit.get
+    require(afterAppend.operation == "ANN_REFRESH" &&
+      afterAppend.dirs.size == 2,
+      "ann_view_refresh: a pure-insert slice must APPEND a dir — the " +
+        "standing codes were rewritten")
+    t.delete(col("vec_id") >= 30 && col("vec_id") < 40)
+    val restarted = new AnnIndexView(spark, srcPath, stPath, nlist = 16,
+      m = 8, ksub = 16)
+    require(restarted.refresh() == 2L,
+      "ann_view_refresh: the delete slice must fold on a restarted instance")
+    val vBefore = ManagedTable(spark, stPath).latestVersion
+    require(restarted.refresh() == 2L &&
+      ManagedTable(spark, stPath).latestVersion == vBefore,
+      "ann_view_refresh: an already-current refresh must commit nothing")
+    val reencoded = Similarity.ivfPqAppend(restarted.centroids,
+      restarted.codebooks, t.read)
+    require(restarted.read.exceptAll(reencoded).isEmpty &&
+      reencoded.exceptAll(restarted.read).isEmpty,
+      "ann_view_refresh: maintained codes drifted from a re-encode of the " +
+        "final corpus against the frozen quantizer")
+    val queries = t.read.filter(col("vec_id") >= 10000).localCheckpoint()
+    val got = restarted.search(queries, k = 10, nProbe = 4).localCheckpoint()
+    val top1 = got.filter(col("rank") === 1)
+    val misses = top1.filter(col("neighbor_id") =!= col("query_id") - 10000)
+      .count()
+    require(misses == 0,
+      s"ann_view_refresh: $misses planted copies did not rank their " +
+        "original first")
+    val bf = Similarity.bruteForceTopK(t.read, queries, 10)
+    val hits = got.select("query_id", "neighbor_id")
+      .intersect(bf.select("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / bf.count()
+    require(recall >= recallFloor,
+      f"ann_view_refresh recall@10 $recall%.3f below $recallFloor%.2f")
+    top1.select("query_id", "neighbor_id")
+  }
+
+  val annViewRefreshSql: String = annTopKSql
+
   /** Hybrid retrieval over STANDING indexes
     * ([[graft.llm.Retrieval.hybridTopKWith]]): both rankers serve from
     * persisted artifacts — the BM25 inverted index and the IVF-PQ

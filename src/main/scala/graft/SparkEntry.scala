@@ -211,6 +211,8 @@ object SparkEntry {
     "bm25_incremental" -> (Queries.bm25IncrementalDocs(_, _)),
     "bm25_view_refresh" -> (Queries.bm25ViewRefresh(_, _)),
     "bm25_view_delete" -> (Queries.bm25ViewDelete(_, _)),
+    "phrase_view_refresh" -> (Queries.phraseViewRefresh(_, _)),
+    "ann_view_refresh" -> (Queries.annViewRefresh(_, _)),
     "phrase_search" -> (Queries.phraseSearchDocs(_, _)),
     "cascade_rerank" -> (Queries.cascadeRerankDocs(_, _)),
     "cooccurrence_pmi" -> (Queries.cooccurrenceDocs(_, _)),
@@ -720,6 +722,8 @@ object SparkEntry {
     "bm25_incremental" -> Queries.bm25IncrementalSql,
     "bm25_view_refresh" -> Queries.bm25ViewRefreshSql,
     "bm25_view_delete" -> Queries.bm25ViewDeleteSql,
+    "phrase_view_refresh" -> Queries.phraseViewRefreshSql,
+    "ann_view_refresh" -> Queries.annViewRefreshSql,
     "phrase_search" -> Queries.phraseSearchSql,
     "cascade_rerank" -> Queries.cascadeRerankSql,
     "cooccurrence_pmi" -> Queries.cooccurrenceSql,

@@ -109,28 +109,8 @@ final class Bm25IndexView(spark: SparkSession, sourcePath: String,
     // net the slice per (doc_id, text) under ±1: insert/update_postimage
     // enter, delete/update_preimage leave; a row inserted AND deleted (or
     // a coarse dir-rewrite feed's untouched survivors) cancels to nothing
-    val sign = when(
-      col("_change_type").isin("insert", "update_postimage"), 1L)
-      .otherwise(-1L)
-    val net = cdf.select(col(idCol), col(textCol), sign.as("__sign__"))
-      .groupBy(col(idCol), col(textCol))
-      .agg(sum("__sign__").as("__cnt__"))
-      .filter(col("__cnt__") =!= 0L)
-      .localCheckpoint()
-    if (net.isEmpty) return last // nothing to fold; range re-reads empty
-    // after netting, a doc id may carry at most one entering and one
-    // leaving text — anything else is a duplicate-id feed, refused loudly
-    val badCnt = net.filter(abs(col("__cnt__")) =!= 1L)
-    val dupDir = net
-      .groupBy(col(idCol), (col("__cnt__") > 0L).as("__pos__"))
-      .agg(count(lit(1)).as("__n__"))
-      .filter(col("__n__") > 1L)
-    require(badCnt.isEmpty && dupDir.isEmpty,
-      "bm25 view: the change-feed slice nets to duplicate rows for one " +
-        "doc id (|net sign| != 1 or multiple same-direction texts) — " +
-        "duplicate ids cannot index; dedup upstream")
-    val ins = net.filter(col("__cnt__") > 0L).select(col(idCol), col(textCol))
-    val del = net.filter(col("__cnt__") < 0L).select(col(idCol), col(textCol))
+    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol), "bm25 view")
+    if (ins.isEmpty && del.isEmpty) return last // range nets to nothing
     val bloomRow = spark.read.parquet(bloomPath)
     val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(bloomRow)
     val merged =

@@ -1,0 +1,337 @@
+package graft.table
+
+import graft.llm.{Retrieval, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Shared machinery for CDF-maintained index views ([[Bm25IndexView]],
+ * [[PositionalIndexView]], [[AnnIndexView]]): net a change-feed slice
+ * per (id, payload) under ±1 signs, and the id-membership gates every
+ * standing index needs before folding a delta.
+ */
+private[table] object CdfNetting {
+
+  /** Net `cdf` per (`idCol`, `payloadCols`) with sign +1 for
+    * insert/update_postimage and −1 for delete/update_preimage, so a
+    * dir-rewrite commit's coarse feed (all old dir rows − / survivors
+    * +) cancels to the minimal delta. Returns `(ins, del)` — rows
+    * entering and rows leaving, both checkpointed. Refuses feeds that
+    * net to duplicate same-direction rows for one id (|net| ≠ 1, or
+    * two different payloads entering for the same id) — duplicate ids
+    * cannot index. */
+  def net(cdf: DataFrame, idCol: String, payloadCols: Seq[String],
+          what: String): (DataFrame, DataFrame) = {
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val cols = col(s"`$idCol`") +: payloadCols.map(c => col(s"`$c`"))
+    val netted = cdf.select(cols :+ sign.as("__sign__"): _*)
+      .groupBy(cols: _*)
+      .agg(sum("__sign__").as("__cnt__"))
+      .filter(col("__cnt__") =!= 0L)
+      .localCheckpoint()
+    val badCnt = netted.filter(abs(col("__cnt__")) =!= 1L)
+    val dupDir = netted
+      .groupBy(col(s"`$idCol`"), (col("__cnt__") > 0L).as("__pos__"))
+      .agg(count(lit(1)).as("__n__"))
+      .filter(col("__n__") > 1L)
+    require(badCnt.isEmpty && dupDir.isEmpty,
+      s"$what: the change-feed slice nets to duplicate rows for one id " +
+        "(|net sign| != 1 or multiple same-direction payloads) — " +
+        "duplicate ids cannot index; dedup upstream")
+    (netted.filter(col("__cnt__") > 0L).select(cols: _*),
+      netted.filter(col("__cnt__") < 0L).select(cols: _*))
+  }
+
+  /** Every id in `delIds` must exist among `indexIds` (subtracting
+    * rows that were never added would corrupt the index silently).
+    * One narrow pass over the index, broadcast semi-join. */
+  def requireExistingIds(indexIds: DataFrame, delIds: DataFrame,
+                         what: String): Unit = {
+    val del = delIds.distinct().localCheckpoint()
+    val nDel = del.count()
+    if (nDel == 0) return
+    val matched = indexIds
+      .join(broadcast(del), indexIds.columns.toSeq, "semi")
+      .distinct().count()
+    require(matched == nDel,
+      s"$what: ${nDel - matched} deleted ids are not in the index — the " +
+        "delta does not describe this index's corpus")
+  }
+
+  /** Every id in `insIds` must be NEW relative to the surviving index
+    * (`indexIds` minus `delIds`) — bloom-gated: only bloom-positive
+    * suspects reach the exact semi-check, so the common all-new batch
+    * never touches the index at all. An update's reused id passes
+    * because its delete lands in the same delta. Ids compare as
+    * strings (the blooms hash `xxhash64(cast(id as string))`). */
+  def requireNewIds(spark: SparkSession, indexIds: DataFrame,
+                    insIds: DataFrame, delIds: DataFrame,
+                    bloom: Option[Array[Byte]], what: String): Unit = {
+    val idName = insIds.columns.head
+    val ins = insIds.distinct()
+    val suspects = (bloom match {
+      case Some(bytes) =>
+        graft.expressions.MightContain.register(spark)
+        ins.filter(call_function(graft.expressions.MightContain.Name,
+          lit(bytes), xxhash64(col(s"`$idName`").cast("string"))))
+      case None => ins
+    }).localCheckpoint()
+    if (suspects.isEmpty) return
+    val dup = indexIds
+      .join(broadcast(suspects), indexIds.columns.toSeq, "semi")
+      .join(broadcast(delIds.distinct().toDF("__del__")),
+        col(s"`${indexIds.columns.head}`").cast("string") ===
+          col("__del__").cast("string"), "anti")
+      .distinct().count()
+    require(dup == 0L,
+      s"$what: $dup inserted ids already exist in the surviving index — " +
+        "inserts must be new or paired with a delete")
+  }
+}
+
+/**
+ * The POSITIONAL index behind [[Retrieval.phraseSearchWith]] as a
+ * standing, CDF-maintained view — the [[Bm25IndexView]] pattern for
+ * exact phrase search: the corpus lives in a [[ManagedTable]], the
+ * `(doc_id, pos, tok)` occurrence rows live in their own ManagedTable,
+ * and each refresh reads ONLY the unprocessed change-feed range.
+ * Positions are per-document, so maintenance is ROW-LOCAL — no
+ * df-style cross-document statistic moves:
+ *
+ *   - a pure-insert slice lands as an APPEND commit of the batch's own
+ *     posexploded rows — O(batch), the standing index is not even read;
+ *   - a slice with deletes/updates rewrites once: survivors leave by
+ *     broadcast anti-join on the (batch-sized) deleted-id set, the
+ *     entering docs' rows union on — one narrow pass, no shuffle of
+ *     the index (the same budget the BM25 view's signed path pays).
+ *
+ * Exactly-once watermarks, the doc-id bloom gate, and the loud
+ * duplicate-id / recreated-source contracts are [[Bm25IndexView]]'s,
+ * verbatim; the bloom only ever grows (deleted ids stay — a re-insert
+ * falls through to the exact check against the surviving index).
+ */
+final class PositionalIndexView(spark: SparkSession, sourcePath: String,
+                                statePath: String,
+                                textCol: String = "text",
+                                idCol: String = "doc_id",
+                                expectedDocs: Long = 10000000L) {
+
+  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
+  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
+
+  private def source = ManagedTable(spark, sourcePath)
+  private def state = ManagedTable(spark, statePath)
+  private val bloomPath = statePath.stripSuffix("/") + "_bloom"
+
+  /** The last source version folded into the index. */
+  def sourceVersion: Long = {
+    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
+      s"positional view state $statePath does not exist — call initialize() first"))
+    c.userMetadata match {
+      case Some(MetaRe(v)) => v.toLong
+      case other => throw new IllegalStateException(
+        s"state commit carries no sourceVersion watermark: $other")
+    }
+  }
+
+  /** Build from the corpus's CURRENT snapshot — bloom first (crash
+    * between the two only over-approximates, never under-covers). */
+  def initialize(): Long = {
+    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    val snapshot = source.read
+    Retrieval.bm25IndexBloom(snapshot.select(col(idCol).as("doc_id")),
+        expectedDocs)
+      .write.mode("overwrite").parquet(bloomPath)
+    state.write(Retrieval.positionalIndex(snapshot, textCol, idCol),
+      "PHRASE_INIT", "replace", meta(v))
+    v
+  }
+
+  /** Fold the unprocessed change-feed range. No-op (no commit) when
+    * already current or the range nets to nothing. */
+  def refresh(): Long = {
+    val last = sourceVersion
+    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    require(latest >= last,
+      s"source went backwards: watermark $last, latest $latest — was the " +
+        "corpus table recreated? Re-initialize the view.")
+    if (latest == last) return last
+    val cdf = source.readChangeFeed(last + 1, Some(latest))
+    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol),
+      "positional index view")
+    if (ins.isEmpty && del.isEmpty) return last
+    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(
+      spark.read.parquet(bloomPath))
+    val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
+    val delIds = del.select(col(s"`$idCol`").as("doc_id"))
+    CdfNetting.requireNewIds(spark, state.read.select("doc_id"), insIds,
+      delIds, Some(bloomBytes), "positional index view")
+    if (!ins.isEmpty)
+      Retrieval.bm25BloomAdd(spark.read.parquet(bloomPath), ins, idCol)
+        .write.mode("overwrite").parquet(bloomPath)
+    if (del.isEmpty)
+      // positions are row-local: a pure-insert slice APPENDS its own
+      // rows, the standing index is never read or rewritten
+      state.write(Retrieval.positionalIndex(ins, textCol, idCol),
+        "PHRASE_REFRESH", "append", meta(latest))
+    else {
+      CdfNetting.requireExistingIds(state.read.select("doc_id"), delIds,
+        "positional index view")
+      val survivors = state.read
+        .join(broadcast(delIds.distinct().toDF("__del__")),
+          col("doc_id").cast("string") === col("__del__").cast("string"),
+          "anti")
+      state.write(
+        survivors.unionByName(Retrieval.positionalIndex(ins, textCol, idCol)),
+        "PHRASE_REFRESH", "replace", meta(latest),
+        expectedPrevVersion = state.latestVersion)
+    }
+    latest
+  }
+
+  /** The maintained occurrence table — feed straight into
+    * [[Retrieval.phraseSearchWith]]. */
+  def read: DataFrame = state.read
+}
+
+/**
+ * The IVF-PQ ANN index as a standing, CDF-maintained view — the
+ * [[Bm25IndexView]] lifecycle applied to [[Similarity.ivfPqIndex]]:
+ * the vector corpus lives in a [[ManagedTable]], the codes table
+ * `(vec_id, pq_codes, cell)` lives in its own ManagedTable, and the
+ * quantizer (coarse centroids + PQ codebooks) trains ONCE at
+ * [[initialize]] and persists beside the state — FAISS's add-vs-train
+ * split: appends append-encode against the frozen quantizer
+ * ([[Similarity.ivfPqAppend]], O(batch)); deletes drop code rows
+ * (trivially signed — codes are per-vector, nothing cross-vector
+ * moves); re-training is a POLICY decision (watch
+ * [[Similarity.pqReconstructionError]] and re-[[initialize]] on
+ * drift), never a side effect of refresh.
+ *
+ * Refresh shape: a pure-insert slice is an APPEND commit of the
+ * batch's encoded rows (the standing codes are not even read); a
+ * slice with deletes rewrites once via broadcast anti-join. The same
+ * exactly-once watermark, bloom gate, and duplicate-id contracts as
+ * the lexical views.
+ */
+final class AnnIndexView(spark: SparkSession, sourcePath: String,
+                         statePath: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                         trainIters: Int = 2,
+                         expectedVecs: Long = 10000000L) {
+
+  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
+  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
+
+  private def source = ManagedTable(spark, sourcePath)
+  private def state = ManagedTable(spark, statePath)
+  private val bloomPath = statePath.stripSuffix("/") + "_bloom"
+  private val centsPath = statePath.stripSuffix("/") + "_centroids"
+  private val booksPath = statePath.stripSuffix("/") + "_books"
+
+  /** The frozen coarse quantizer (trained at [[initialize]]). */
+  def centroids: Array[Array[Double]] =
+    Similarity.centroidsFrom(spark.read.parquet(centsPath))
+
+  /** The frozen PQ codebooks (trained at [[initialize]]). */
+  def codebooks: Array[Array[Array[Double]]] =
+    Similarity.pqBooksFrom(spark.read.parquet(booksPath))
+
+  /** The last source version folded into the codes table. */
+  def sourceVersion: Long = {
+    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
+      s"ann view state $statePath does not exist — call initialize() first"))
+    c.userMetadata match {
+      case Some(MetaRe(v)) => v.toLong
+      case other => throw new IllegalStateException(
+        s"state commit carries no sourceVersion watermark: $other")
+    }
+  }
+
+  /** Train the quantizer on the CURRENT snapshot and encode it — the
+    * only O(corpus) training step in the view's lifetime. Quantizer
+    * and bloom write before the state commit (same crash-safe order as
+    * the lexical views: a crash leaves artifacts the old state simply
+    * does not reference yet). */
+  def initialize(): Long = {
+    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    val snapshot = source.read
+    val (cents, books, codes) = Similarity.ivfPqIndex(snapshot, nlist, m,
+      ksub, trainIters, idCol, vecCol)
+    Similarity.centroidsTable(spark, cents)
+      .write.mode("overwrite").parquet(centsPath)
+    Similarity.pqBooksTable(spark, books)
+      .write.mode("overwrite").parquet(booksPath)
+    Retrieval.bm25IndexBloom(snapshot.select(col(idCol).as("doc_id")),
+        expectedVecs)
+      .write.mode("overwrite").parquet(bloomPath)
+    state.write(codes, "ANN_INIT", "replace", meta(v))
+    v
+  }
+
+  /** Fold the unprocessed change-feed range against the FROZEN
+    * quantizer. No-op (no commit) when already current or the range
+    * nets to nothing. */
+  def refresh(): Long = {
+    val last = sourceVersion
+    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    require(latest >= last,
+      s"source went backwards: watermark $last, latest $latest — was the " +
+        "corpus table recreated? Re-initialize the view.")
+    if (latest == last) return last
+    val cdf = source.readChangeFeed(last + 1, Some(latest))
+    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(vecCol), "ann index view")
+    if (ins.isEmpty && del.isEmpty) return last
+    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(
+      spark.read.parquet(bloomPath))
+    val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
+    val delIds = del.select(col(s"`$idCol`").as("doc_id"))
+    CdfNetting.requireNewIds(spark,
+      state.read.select(col(s"`$idCol`").as("doc_id")), insIds, delIds,
+      Some(bloomBytes), "ann index view")
+    val encoded =
+      if (ins.isEmpty) None
+      else Some(Similarity.ivfPqAppend(centroids, codebooks, ins, idCol, vecCol))
+    if (!ins.isEmpty)
+      Retrieval.bm25BloomAdd(spark.read.parquet(bloomPath), ins, idCol)
+        .write.mode("overwrite").parquet(bloomPath)
+    if (del.isEmpty)
+      state.write(encoded.get, "ANN_REFRESH", "append", meta(latest))
+    else {
+      CdfNetting.requireExistingIds(
+        state.read.select(col(s"`$idCol`").as("doc_id")), delIds,
+        "ann index view")
+      val survivors = state.read
+        .join(broadcast(delIds.distinct().toDF("__del__")),
+          col(s"`$idCol`").cast("string") === col("__del__").cast("string"),
+          "anti")
+      val merged = encoded match {
+        case Some(e) => survivors.unionByName(e)
+        case None => survivors
+      }
+      state.write(merged, "ANN_REFRESH", "replace", meta(latest),
+        expectedPrevVersion = state.latestVersion)
+    }
+    latest
+  }
+
+  /** The maintained codes table. */
+  def read: DataFrame = state.read
+
+  /** Serve top-k from the standing artifacts: probe-pruned ADC scan
+    * over the maintained codes, exact re-rank against the CURRENT
+    * corpus snapshot ([[Similarity.ivfPqTopKWith]] — both query-batch
+    * regimes apply). */
+  def search(queries: DataFrame, k: Int, nProbe: Int = 4,
+             rerank: Int = 64): DataFrame =
+    Similarity.ivfPqTopKWith(centroids, codebooks, state.read, source.read,
+      queries, k, nProbe, rerank, idCol, vecCol)
+}

@@ -120,7 +120,9 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       attr("value", LongType), attr("hist_n", LongType),
       attr("hist_sum", LongType), attr("passed", IntegerType))
     case "init_agg_view" | "refresh_agg_view" |
-         "init_bm25_view" | "refresh_bm25_view" => Seq(
+         "init_bm25_view" | "refresh_bm25_view" |
+         "init_phrase_view" | "refresh_phrase_view" |
+         "init_ann_view" | "refresh_ann_view" => Seq(
       attr("source_version", LongType))
     case "init_join_view" | "refresh_join_view" => Seq(
       attr("left_version", LongType), attr("right_version", LongType))
@@ -128,7 +130,9 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       s"unknown graft procedure `$other` — supported: history, vacuum, " +
         "optimize, analyze, cluster_append, purge_deletes, restore, clone, " +
         "export_manifest, drift_check, init_agg_view, refresh_agg_view, " +
-        "init_join_view, refresh_join_view, init_bm25_view, refresh_bm25_view")
+        "init_join_view, refresh_join_view, init_bm25_view, " +
+        "refresh_bm25_view, init_phrase_view, refresh_phrase_view, " +
+        "init_ann_view, refresh_ann_view")
   }
 
   private def metricsJson(m: Map[String, String]): String =
@@ -239,6 +243,31 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
           expectedDocs = if (args.size == 3) longArg(args(2), "expected_docs")
             else 10000000L)
         val v = if (proc == "init_bm25_view") view.initialize() else view.refresh()
+        Seq(Row(v))
+      case "init_phrase_view" | "refresh_phrase_view" =>
+        require(args.size == 2 || args.size == 3,
+          s"CALL graft.$proc(source, state[, expected_docs])")
+        val view = new PositionalIndexView(spark,
+          strArg(args(0), "source path"), strArg(args(1), "state path"),
+          expectedDocs = if (args.size == 3) longArg(args(2), "expected_docs")
+            else 10000000L)
+        val v = if (proc == "init_phrase_view") view.initialize()
+          else view.refresh()
+        Seq(Row(v))
+      case "init_ann_view" | "refresh_ann_view" =>
+        require(args.size == 2 || args.size == 5,
+          s"CALL graft.$proc(source, state[, nlist, m, ksub])")
+        val view =
+          if (args.size == 5)
+            new AnnIndexView(spark, strArg(args(0), "source path"),
+              strArg(args(1), "state path"),
+              nlist = longArg(args(2), "nlist").toInt,
+              m = longArg(args(3), "m").toInt,
+              ksub = longArg(args(4), "ksub").toInt)
+          else new AnnIndexView(spark, strArg(args(0), "source path"),
+            strArg(args(1), "state path"))
+        val v = if (proc == "init_ann_view") view.initialize()
+          else view.refresh()
         Seq(Row(v))
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure `$other`")

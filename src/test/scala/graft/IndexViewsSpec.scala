@@ -1,0 +1,139 @@
+package graft
+
+import graft.llm.{Retrieval, Similarity}
+import graft.table.{AnnIndexView, ManagedTable, PositionalIndexView}
+import org.apache.spark.sql.functions._
+
+/** Lifecycle pins for the positional-index and IVF-PQ index views:
+  * fold-equals-rebuild (or re-encode) under appends/deletes/updates,
+  * the pure-insert APPEND fast path (the standing index must not be
+  * rewritten), watermark recovery, no-op refreshes, duplicate-id
+  * refusal, and the CALL surface. */
+class IndexViewsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "new york city new york"),
+    (2L, "york new"),
+    (3L, "san francisco bay"),
+    (4L, "new york stream table"),
+    (5L, "bay area san francisco bay")).toDF("doc_id", "text")
+
+  test("positional view: append folds as an APPEND commit; deletes and " +
+      "updates rewrite once; merged equals rebuilt; restart + no-op") {
+    val src = tmpDir("pv_src"); val st = tmpDir("pv_st")
+    val t = ManagedTable(spark, src)
+    t.write(corpus.filter(col("doc_id") <= 3), "APPEND", "append")
+    new PositionalIndexView(spark, src, st, expectedDocs = 1000).initialize()
+    // pure-insert slice: MUST land as an append commit (O(batch))
+    t.write(corpus.filter(col("doc_id") > 3), "APPEND", "append")
+    val view = new PositionalIndexView(spark, src, st)
+    assert(view.refresh() === 1L)
+    assert(ManagedTable(spark, st).lastCommit.get.operation === "PHRASE_REFRESH")
+    assert(ManagedTable(spark, st).lastCommit.get.dirs.size === 2,
+      "a pure-insert refresh must APPEND a dir, not rewrite the index")
+    def rebuilt = Retrieval.positionalIndex(t.read, "text", "doc_id")
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+    // coarse dir-rewrite delete + update in one range, restarted instance
+    t.delete(col("doc_id") === 2L)
+    t.update(Map("text" -> lit("york york york")), col("doc_id") === 3L)
+    val again = new PositionalIndexView(spark, src, st)
+    assert(again.refresh() === 3L)
+    assert(again.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(again.read).isEmpty)
+    // phrase search through the maintained index equals one-shot
+    val phrases = Seq((1L, "new york"), (2L, "york york"),
+      (3L, "san francisco bay")).toDF("query_id", "query_text")
+    assertSameRows(
+      Retrieval.phraseSearchWith(phrases, again.read, k = 5),
+      Retrieval.phraseSearch(t.read, phrases, k = 5))
+    // no-op refresh commits nothing
+    val v = ManagedTable(spark, st).latestVersion
+    assert(again.refresh() === 3L)
+    assert(ManagedTable(spark, st).latestVersion === v)
+  }
+
+  test("positional view: duplicate-id feeds refuse loudly") {
+    val src = tmpDir("pv_src2"); val st = tmpDir("pv_st2")
+    val t = ManagedTable(spark, src)
+    t.write(corpus, "APPEND", "append")
+    val view = new PositionalIndexView(spark, src, st, expectedDocs = 1000)
+    view.initialize()
+    t.write(Seq((2L, "another text")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    val e = intercept[IllegalArgumentException] { view.refresh() }
+    assert(e.getMessage.contains("already exist"))
+  }
+
+  private def vecs(ids: Range, shift: Double = 0.0) = ids.map { i =>
+    val base = Array.tabulate(8)(d => math.sin(i * 7 + d * 3) + shift)
+    (i.toLong, base.toSeq)
+  }.toDF("vec_id", "embedding")
+
+  test("ann view: appends append-encode against the frozen quantizer " +
+      "(APPEND commit), deletes drop code rows, fold equals re-encode, " +
+      "search finds planted copies; restart + no-op + duplicate refusal") {
+    val src = tmpDir("av_src"); val st = tmpDir("av_st")
+    val t = ManagedTable(spark, src)
+    t.write(vecs(0 until 64), "APPEND", "append")
+    new AnnIndexView(spark, src, st, nlist = 4, m = 4, ksub = 8,
+      expectedVecs = 1000).initialize()
+    // epoch 1: planted copies of 0..4 at +1000 — pure-insert APPEND path
+    t.write(vecs(0 until 5).select((col("vec_id") + 1000).as("vec_id"),
+      col("embedding")), "APPEND", "append")
+    val view = new AnnIndexView(spark, src, st, nlist = 4, m = 4, ksub = 8)
+    assert(view.refresh() === 1L)
+    assert(ManagedTable(spark, st).lastCommit.get.operation === "ANN_REFRESH")
+    assert(ManagedTable(spark, st).lastCommit.get.dirs.size === 2,
+      "a pure-insert refresh must APPEND a dir, not rewrite the codes")
+    // epoch 2: delete some originals NOT among the planted pairs
+    t.delete(col("vec_id") >= 50 && col("vec_id") < 60)
+    val again = new AnnIndexView(spark, src, st, nlist = 4, m = 4, ksub = 8)
+    assert(again.refresh() === 2L)
+    // fold equals re-encoding the FINAL corpus against the same quantizer
+    val reencoded = Similarity.ivfPqAppend(again.centroids, again.codebooks,
+      t.read)
+    assert(again.read.exceptAll(reencoded).isEmpty &&
+      reencoded.exceptAll(again.read).isEmpty,
+      "maintained codes drifted from a re-encode of the final corpus")
+    assert(again.read.filter(col("vec_id") === 55L).isEmpty)
+    // search: each planted copy must rank its original first
+    val queries = t.read.filter(col("vec_id") >= 1000)
+    val top1 = again.search(queries, k = 3, nProbe = 2).filter(col("rank") === 1)
+    assert(top1.filter(col("neighbor_id") =!= col("query_id") - 1000)
+      .isEmpty, "planted copies must rank their originals first")
+    // no-op refresh commits nothing
+    val v = ManagedTable(spark, st).latestVersion
+    assert(again.refresh() === 2L)
+    assert(ManagedTable(spark, st).latestVersion === v)
+    // duplicate id without a paired delete refuses
+    t.write(vecs(0 until 1), "APPEND", "append")
+    val e = intercept[IllegalArgumentException] { again.refresh() }
+    assert(e.getMessage.contains("already exist"))
+  }
+
+  test("CALL init/refresh_phrase_view and init/refresh_ann_view drive the " +
+      "lifecycles from SQL") {
+    val src = tmpDir("cv_src"); val st = tmpDir("cv_st")
+    ManagedTable(spark, src).write(corpus, "APPEND", "append")
+    assert(spark.sql(s"CALL graft.init_phrase_view('$src', '$st', 1000)")
+      .head().getLong(0) === 0L)
+    ManagedTable(spark, src).delete(col("doc_id") === 1L)
+    assert(spark.sql(s"CALL graft.refresh_phrase_view('$src', '$st')")
+      .head().getLong(0) === 1L)
+    val rebuilt = Retrieval.positionalIndex(
+      ManagedTable(spark, src).read, "text", "doc_id")
+    val got = ManagedTable(spark, st).read
+    assert(got.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(got).isEmpty)
+
+    val asrc = tmpDir("cav_src"); val ast = tmpDir("cav_st")
+    ManagedTable(spark, asrc).write(vecs(0 until 32), "APPEND", "append")
+    assert(spark.sql(s"CALL graft.init_ann_view('$asrc', '$ast', 4, 4, 8)")
+      .head().getLong(0) === 0L)
+    ManagedTable(spark, asrc).write(vecs(32 until 40), "APPEND", "append")
+    assert(spark.sql(s"CALL graft.refresh_ann_view('$asrc', '$ast')")
+      .head().getLong(0) === 1L)
+    assert(ManagedTable(spark, ast).read.count() === 40L)
+  }
+}
