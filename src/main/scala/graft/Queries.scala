@@ -3381,6 +3381,93 @@ object Queries {
       |UNION ALL SELECT u, 2, 'click', tp FROM s2
       |UNION ALL SELECT u, 3, 'purchase', tp FROM s3""".stripMargin
 
+  /** OUT-OF-ORDER streaming funnel
+    * ([[graft.streaming.StreamOps.streamingFunnelOutOfOrder]]): the
+    * event stream is split into three time bands, but every band's
+    * last-quarter events for `user_id % 7 == 3` are HELD BACK one
+    * micro-batch — planted cross-batch stragglers that violate the
+    * ordered operator's contract. The watermark-buffered form keeps
+    * each user's pending events in state, folds them in timestamp
+    * order as the watermark (delay = half a band, comfortably covering
+    * the quarter-band lateness) passes, and re-fires parked groups via
+    * event-time timeouts; a final flush event pushes the watermark
+    * past everything. The oracle is the SAME batch greedy chain as
+    * `stream_funnel` — hash-equality proves arrival order and batch
+    * boundaries changed nothing. */
+  def streamFunnelOoo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamOps
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    val D = graft.operators.EventAnalytics.MicrosPerDay
+    val bronze = tmp("sfoo_bronze")
+    val silver = tmp("sfoo_silver")
+    val ckpt = tmp("sfoo_ck")
+    val appId = "stream_funnel_ooo"
+    val raw = pq(spark, dir, "events")
+    val ev = raw.withColumn("ts_us", eventMicros(raw))
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("ts_us"))
+    val bounds = ev.agg(min("ts_us"), max("ts_us")).head()
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val band = (mx - mn) / 3
+    val q = band / 4
+    val (b1, b2) = (mn + band, mn + 2 * band)
+    val late = col("user_id") % 7 === 3
+    val h1 = col("ts_us") >= b1 - q && col("ts_us") < b1 && late
+    val h2 = col("ts_us") >= b2 - q && col("ts_us") < b2 && late
+    val t = ManagedTable(spark, bronze)
+    def drain(): Unit = {
+      val stream = StreamOps.streamTable(spark, bronze)
+        .select(col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("ts_us").as("tsUs"))
+        .as[StreamOps.FunnelEvent]
+      val sq = StreamOps.streamingFunnelOutOfOrder(stream,
+          Seq("view", "click", "purchase"),
+          watermarkDelay = s"${band / 2} microseconds",
+          conversionWindowMicros = Some(5 * D),
+          maxStepGapMicros = Some(2 * D))
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          val replayed = ManagedTable(spark, silver)
+            .lastTxnVersion(appId).exists(_ >= epoch)
+          if (!replayed) {
+            graft.write.Writers.append(spark, silver, batch,
+              txn = Some((appId, epoch)))
+            ()
+          }
+        }
+        .start()
+      drainOrFail(sq, "stream_funnel_ooo")
+    }
+    Staging.timed {
+      t.write(ev.filter(col("ts_us") < b1 && !h1), "APPEND", "append")
+    }
+    drain()
+    t.write(ev.filter((col("ts_us") >= b1 && col("ts_us") < b2 && !h2) || h1),
+      "APPEND", "append")
+    drain()
+    t.write(ev.filter(col("ts_us") >= b2 || h2), "APPEND", "append")
+    drain()
+    // flush: one far-future non-step event advances the watermark past
+    // every pending buffer; parked groups re-fire on their timeouts
+    t.write(ev.filter(lit(false)).unionByName(
+        Seq((999999999L, "zzflush", mx + 100 * band))
+          .toDF("user_id", "event_type", "ts_us")),
+      "APPEND", "append")
+    drain()
+    ManagedTable(spark, silver).read
+      .select("user_id", "step", "event_type", "ts_us")
+  }
+
+  /** DuckDB mirror of [[streamFunnelOoo]] — identical to
+    * [[streamFunnelSql]]: the batch chain over ALL events, which the
+    * out-of-order stream must reproduce exactly. */
+  val streamFunnelOooSql: String = streamFunnelSql
+
   /** Streaming corpus CURATION end to end: documents stream out of a
     * managed table (two commits → snapshot backfill + a tail batch) and
     * each micro-batch runs the curation chain — whitespace/control

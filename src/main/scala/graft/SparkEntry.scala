@@ -161,6 +161,7 @@ object SparkEntry {
     "stream_table_sink" -> (Queries.streamTableSink(_, _)),
     "stream_curate" -> (Queries.streamCurate(_, _)),
     "stream_funnel" -> (Queries.streamFunnel(_, _)),
+    "stream_funnel_ooo" -> (Queries.streamFunnelOoo(_, _)),
     "stream_decontaminate" -> (Queries.streamDecontaminate(_, _)),
     "stream_heavy_hitters" -> (Queries.streamHeavyHitters(_, _)),
     "stream_distinct" -> (Queries.streamDistinct(_, _)),
@@ -417,6 +418,7 @@ object SparkEntry {
     "stream_table_sink" -> Queries.streamTableSinkSql,
     "stream_curate" -> Queries.streamCurateSql,
     "stream_funnel" -> Queries.streamFunnelSql,
+    "stream_funnel_ooo" -> Queries.streamFunnelOooSql,
     "stream_decontaminate" -> Queries.streamDecontaminateSql,
     "stream_heavy_hitters" -> Queries.streamHeavyHittersSql,
     "stream_distinct" -> Queries.streamDistinctSql,

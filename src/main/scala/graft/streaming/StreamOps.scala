@@ -281,6 +281,111 @@ object StreamOps {
       }
   }
 
+  final case class FunnelEventTs(userId: Long, eventType: String, tsUs: Long,
+                                 ts: java.sql.Timestamp)
+  final case class FunnelOooState(nextStep: Int, tprev: Long, t1: Long,
+                                  frontierUs: Long,
+                                  pending: Seq[FunnelEvent])
+
+  /**
+   * OUT-OF-ORDER streaming funnel — [[streamingFunnel]] without its
+   * non-decreasing-event-time contract: real event streams arrive out
+   * of order, so this form buffers each user's events in state UNDER A
+   * WATERMARK and folds them in timestamp order only once the
+   * watermark passes — the standard event-time pattern every
+   * production funnel engine uses. Given every event arrives within
+   * `watermarkDelay` of the stream's high-water mark, the emitted
+   * transitions are EXACTLY the batch chain's, independent of arrival
+   * order and batch boundaries (the oracle proves this with planted
+   * cross-batch stragglers).
+   *
+   * Mechanics per micro-batch and user group:
+   *
+   *   1. new events join the user's pending buffer (state);
+   *   2. events at or below the current watermark fold — merged,
+   *      sorted by `(ts, step index)`, run through the same greedy
+   *      chain as the ordered form, transitions emitted;
+   *   3. the fold FRONTIER (the watermark folded up to) persists, and
+   *      an event-time timeout is set to the earliest still-pending
+   *      event so the group re-fires when the watermark passes it even
+   *      if no new events arrive.
+   *
+   * State per user: the tiny progress record plus ONLY the events
+   * still above the watermark — bounded by the watermark horizon, not
+   * the stream's history. An event below the already-folded frontier
+   * (possible only when `watermarkDelay` under-covers the stream's
+   * true lateness AND the engine's late-row filter let it through)
+   * throws loudly with the remediation rather than silently diverging
+   * from the batch recompute.
+   */
+  def streamingFunnelOutOfOrder(events: Dataset[FunnelEvent],
+                                steps: Seq[String],
+                                watermarkDelay: String,
+                                conversionWindowMicros: Option[Long] = None,
+                                maxStepGapMicros: Option[Long] = None)
+                               (implicit spark: SparkSession): Dataset[FunnelOut] = {
+    require(steps.size >= 2, s"a funnel needs at least two steps, got $steps")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    import spark.implicits._
+    val stepIdx: Map[String, Int] = steps.zipWithIndex.toMap
+    // the watermark column rides INTO the stateful operator — dropping
+    // it would detach the late-row filter and event-time timeouts
+    val withTs = events
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", watermarkDelay)
+      .as[FunnelEventTs]
+    withTs.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelOooState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rowsTs: Iterator[FunnelEventTs],
+         state: GroupState[FunnelOooState]) =>
+          val rows = rowsTs.map(e => FunnelEvent(e.userId, e.eventType, e.tsUs))
+          var s = state.getOption.getOrElse(FunnelOooState(0, Long.MinValue,
+            Long.MinValue, Long.MinValue, Nil))
+          val fresh = rows.filter(e => stepIdx.contains(e.eventType)).toSeq
+          fresh.find(e => e.tsUs < s.frontierUs).foreach { e =>
+            throw new IllegalStateException(
+              s"streamingFunnelOutOfOrder: user $user received an event at " +
+                s"${e.tsUs} BELOW the already-folded watermark frontier " +
+                s"${s.frontierUs} — the configured watermark delay " +
+                "under-covers the stream's lateness; raise it and replay " +
+                "history through the batch funnel operator")
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, still) = (s.pending ++ fresh)
+            .sortBy(e => (e.tsUs, stepIdx(e.eventType)))
+            .partition(_.tsUs <= wmUs)
+          val out = Seq.newBuilder[FunnelOut]
+          var (next, tprev, t1) = (s.nextStep, s.tprev, s.t1)
+          ready.foreach { e =>
+            if (next < steps.size && e.eventType == steps(next)) {
+              val ok =
+                if (next == 0) true
+                else e.tsUs > tprev &&
+                  maxStepGapMicros.forall(g => e.tsUs <= tprev + g) &&
+                  conversionWindowMicros.forall(w => e.tsUs <= t1 + w)
+              if (ok) {
+                out += FunnelOut(user, next + 1, e.eventType, e.tsUs)
+                if (next == 0) t1 = e.tsUs
+                tprev = e.tsUs
+                next += 1
+              }
+            }
+          }
+          state.update(FunnelOooState(next, tprev, t1,
+            math.max(s.frontierUs, wmUs), still))
+          // re-fire when the watermark passes the earliest pending event
+          // (timeouts clear on every invocation — re-arm each time)
+          if (still.nonEmpty) {
+            val earliestMs = still.map(_.tsUs).min / 1000L
+            state.setTimeoutTimestamp(
+              math.max(earliestMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.result().iterator
+      }
+  }
+
   /**
    * Watermarked stream-stream INNER join (the enrichment shape: e.g.
    * impressions joined with their clicks): equality on `keyCol` plus a

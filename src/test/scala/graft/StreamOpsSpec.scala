@@ -315,6 +315,48 @@ class StreamOpsSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("streamingFunnelOutOfOrder: cross-batch stragglers fold in timestamp " +
+      "order once the watermark passes; timeouts flush parked buffers") {
+    implicit val s = spark
+    import StreamOps.{FunnelEvent, FunnelOut}
+    val D = 86400L * 1000000L
+    val base = 1704067200000000L // keep timestamps in a sane epoch range
+    val input = MemoryStream[FunnelEvent](spark)
+    val out = StreamOps.streamingFunnelOutOfOrder(input.toDS(),
+      Seq("view", "click", "purchase"), watermarkDelay = "3 days",
+      conversionWindowMicros = Some(5 * D), maxStepGapMicros = Some(2 * D))
+    val q = out.writeStream.format("memory")
+      .queryName("funnel_ooo").outputMode("append").start()
+    // batch 1: user 1's CLICK arrives before its view ever shows up;
+    // user 2 is fully ordered
+    input.addData(
+      FunnelEvent(1L, "click", base + D),
+      FunnelEvent(2L, "view", base), FunnelEvent(2L, "click", base + D))
+    q.processAllAvailable()
+    // batch 2: user 1's view arrives LATE (older than the click, within
+    // the 3-day delay); user 2 purchases
+    input.addData(
+      FunnelEvent(1L, "view", base),
+      FunnelEvent(1L, "purchase", base + 2 * D),
+      FunnelEvent(2L, "purchase", base + 2 * D))
+    q.processAllAvailable()
+    // flush: a far-future event pushes the watermark past everything;
+    // user 1's parked buffer re-fires on its event-time timeout
+    input.addData(FunnelEvent(99L, "view", base + 60 * D))
+    q.processAllAvailable()
+    input.addData(FunnelEvent(99L, "view", base + 120 * D))
+    q.processAllAvailable()
+    val got = spark.table("funnel_ooo").as[FunnelOut].collect()
+      .map(o => (o.user_id, o.step, o.ts_us)).toSet
+    // both users convert identically to the batch chain over the SAME
+    // events — user 1's out-of-order arrival changed nothing
+    assert(got.filter(_._1 <= 2L) === Set(
+      (1L, 1, base), (1L, 2, base + D), (1L, 3, base + 2 * D),
+      (2L, 1, base), (2L, 2, base + D), (2L, 3, base + 2 * D)),
+      s"got $got")
+    q.stop()
+  }
+
   test("enrichPointInTime resolves historical facts to historical dim versions") {
     val srcDir = tmpDir("pit_src")
     // facts at t=150 (inside v1) and t=250 (inside v2) for key "a"
