@@ -1853,6 +1853,70 @@ object Queries {
       |SELECT 'clone', c_mktsegment, COUNT(*)
       |FROM customer WHERE c_custkey <= 100 GROUP BY c_mktsegment""".stripMargin
 
+  /** Logical SQL VIEWS over the graft namespace
+    * ([[graft.table.GraftViews]]): a graft TABLE materializes from
+    * customers, a view filters+projects it, a second view aggregates
+    * THROUGH the first (view-over-view), and the result reads through
+    * both splices. In-query gates: the base table evolves AFTER view
+    * creation and the view reflects the new snapshot (views store SQL
+    * text, not data); `DROP VIEW` makes the name unresolvable; plain
+    * re-CREATE refuses while OR REPLACE redefines. Oracle: the
+    * equivalent direct SQL over the same rows. */
+  def sqlCreateView(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmp("sqlview_base")
+    val v1 = tmp("sqlview_one")
+    val v2 = tmp("sqlview_two")
+    pq(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal")
+      .createOrReplaceTempView("cust_view_src")
+    spark.sql(s"""CREATE TABLE graft.`$base` AS
+                 |SELECT * FROM cust_view_src WHERE c_custkey <= 900""".stripMargin)
+    spark.sql(s"""CREATE VIEW graft.`$v1` AS
+                 |SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal
+                 |FROM graft.`$base` WHERE c_nationkey < 15""".stripMargin)
+    spark.sql(s"""CREATE VIEW graft.`$v2` AS
+                 |SELECT c_mktsegment, count(*) AS n_customers,
+                 |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+                 |FROM graft.`$v1` GROUP BY c_mktsegment""".stripMargin)
+    // the view must track the base table's CURRENT snapshot: rows
+    // inserted AFTER view creation show through both splices
+    spark.sql(s"""INSERT INTO graft.`$base`
+                 |SELECT * FROM cust_view_src
+                 |WHERE c_custkey > 900 AND c_custkey <= 1100""".stripMargin)
+    val throughView = spark.sql(
+      s"SELECT count(*) FROM graft.`$v1`").head().getLong(0)
+    val direct = spark.table("cust_view_src")
+      .filter(col("c_custkey") <= 1100 && col("c_nationkey") < 15).count()
+    require(throughView == direct,
+      s"sql_create_view: view must see the evolved base table " +
+        s"($direct rows), got $throughView")
+    val e = scala.util.Try(
+      spark.sql(s"CREATE VIEW graft.`$v1` AS SELECT 1 AS x"))
+    require(e.isFailure, "sql_create_view: plain re-CREATE must refuse")
+    spark.sql(s"CREATE OR REPLACE VIEW graft.`$v1` AS " +
+      s"SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal " +
+      s"FROM graft.`$base` WHERE c_nationkey < 15")
+    spark.sql(s"DROP VIEW IF EXISTS graft.`${v1}_ghost`")
+    val result = spark.sql(
+      s"""SELECT c_mktsegment, n_customers,
+         |  CAST(total_bal AS STRING) AS total_bal
+         |FROM graft.`$v2`""".stripMargin)
+      .localCheckpoint()
+    spark.sql(s"DROP VIEW graft.`$v2`")
+    require(scala.util.Try(
+      spark.sql(s"SELECT * FROM graft.`$v2`").collect()).isFailure,
+      "sql_create_view: a dropped view must be unresolvable")
+    result
+  }
+
+  val sqlCreateViewSql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |       AS VARCHAR) AS total_bal
+      |FROM customer
+      |WHERE c_custkey <= 1100 AND c_nationkey < 15
+      |GROUP BY c_mktsegment""".stripMargin
+
   /**
    * SQL-addressable managed tables ([[graft.table.SqlTableResolution]]):
    * the ENTIRE lifecycle runs as SQL text against `graft.`-namespace

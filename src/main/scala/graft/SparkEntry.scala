@@ -133,6 +133,7 @@ object SparkEntry {
     "cluster_incremental" -> (Queries.clusterIncremental(_, _)),
     "sql_table_dml" -> (Queries.sqlTableDml(_, _)),
     "sql_table_ctas" -> (Queries.sqlTableCtas(_, _)),
+    "sql_create_view" -> (Queries.sqlCreateView(_, _)),
     "sql_table_time_travel" -> (Queries.sqlTableTimeTravel(_, _)),
     "sql_table_merge" -> (Queries.sqlTableMerge(_, _)),
     "sql_call_maintenance" -> (Queries.sqlCallMaintenance(_, _)),
@@ -391,6 +392,7 @@ object SparkEntry {
     "cluster_incremental" -> Queries.clusterIncrementalSql,
     "sql_table_dml" -> Queries.sqlTableDmlSql,
     "sql_table_ctas" -> Queries.sqlTableCtasSql,
+    "sql_create_view" -> Queries.sqlCreateViewSql,
     "sql_table_time_travel" -> Queries.sqlTableTimeTravelSql,
     "sql_table_merge" -> Queries.sqlTableMergeSql,
     "sql_call_maintenance" -> Queries.sqlCallMaintenanceSql,

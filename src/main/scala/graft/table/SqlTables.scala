@@ -147,6 +147,17 @@ final case class SqlTableResolution(spark: SparkSession) extends Rule[LogicalPla
       }
       SqlTables.aliased(parts, plan(df))
 
+    // plain graft.v where a VIEW is defined: splice the stored SQL's
+    // re-parsed (unresolved) plan — the surrounding fixed point
+    // resolves it, including nested graft references (view-over-view,
+    // views over graft tables)
+    case UnresolvedRelation(head +: rest, _, false)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty &&
+          !ManagedTable(spark, SqlTables.rootOf(spark, rest)).exists &&
+          GraftViews.load(spark, SqlTables.rootOf(spark, rest)).isDefined =>
+      SqlTables.aliased(rest, spark.sessionState.sqlParser.parsePlan(
+        GraftViews.load(spark, SqlTables.rootOf(spark, rest)).get))
+
     // plain graft.t — batch snapshot or streaming source; the batch
     // path honors Delta-style reader options (`spark.read
     // .option("versionAsOf", 3).table("graft.t")`)
@@ -350,6 +361,24 @@ final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       GraftRtasCommand(SqlTables.rootOf(spark, rest), rtQuery, partCols,
         props, orCreate)
+
+    // CREATE [OR REPLACE] VIEW graft.v AS SELECT — persist the ORIGINAL
+    // SQL text; reads splice the re-parsed plan (SqlTableResolution)
+    case CreateView(UnresolvedIdentifier(head +: rest, _), userCols, _, _,
+        props, originalText, _, allowExisting, replace, _)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      require(userCols.isEmpty,
+        "column lists are not supported in CREATE VIEW for graft views")
+      require(props.isEmpty,
+        "TBLPROPERTIES are not supported in CREATE VIEW for graft views")
+      val sql = originalText.getOrElse(throw new IllegalArgumentException(
+        "CREATE VIEW on graft views needs the query's SQL text"))
+      GraftCreateViewCommand(SqlTables.rootOf(spark, rest), sql,
+        allowExisting, replace)
+
+    case DropView(UnresolvedIdentifier(head +: rest, _), ifExists)
+        if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
+      GraftDropViewCommand(SqlTables.rootOf(spark, rest), ifExists)
 
     // ALTER TABLE graft.t SET/UNSET TBLPROPERTIES
     case SetTableProperties(UnresolvedTable(head +: rest, _, _), props)

@@ -609,6 +609,70 @@ class SqlTablesSpec extends SparkSpec {
       ((5.0, 5.0, 1L)))
   }
 
+  test("CREATE VIEW stores SQL text; reads splice the plan (pushdown " +
+      "intact); view-over-view, OR REPLACE, IF NOT EXISTS, DROP VIEW, " +
+      "and table/view kind checks") {
+    val path = freshTable("sqlview_t")
+    val v1 = tmpDir("sqlview_v1")
+    val v2 = tmpDir("sqlview_v2")
+    spark.sql(s"""CREATE VIEW graft.`$v1` AS
+                 |SELECT n_name, n_regionkey FROM ${quoted(path)}
+                 |WHERE n_regionkey >= 2""".stripMargin)
+    assertSameRows(
+      spark.sql(s"SELECT * FROM graft.`$v1`"),
+      ManagedTable(spark, path).read
+        .filter(col("n_regionkey") >= 2).select("n_name", "n_regionkey"))
+    // pushdown reaches the parquet scan THROUGH the view
+    val plan = spark.sql(
+      s"SELECT n_name FROM graft.`$v1` WHERE n_regionkey = 3")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      s"filter not pushed through the view:\n$plan")
+    // view over view
+    spark.sql(s"""CREATE VIEW graft.`$v2` AS
+                 |SELECT n_regionkey, count(*) AS n FROM graft.`$v1`
+                 |GROUP BY n_regionkey""".stripMargin)
+    assertSameRows(
+      spark.sql(s"SELECT * FROM graft.`$v2`"),
+      ManagedTable(spark, path).read.filter(col("n_regionkey") >= 2)
+        .groupBy("n_regionkey").agg(count(lit(1)).as("n")))
+    // a view tracks its base table's CURRENT snapshot
+    spark.sql(s"INSERT INTO ${quoted(path)} VALUES (99, 'ZED', 2)")
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.`$v1` WHERE n_name = 'ZED'")
+      .head().getLong(0) === 1L)
+    // plain CREATE on an existing view refuses; IF NOT EXISTS no-ops;
+    // OR REPLACE redefines
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE VIEW graft.`$v1` AS SELECT 1 AS x")
+    }
+    assert(e1.getMessage.contains("already"))
+    spark.sql(s"CREATE VIEW IF NOT EXISTS graft.`$v1` AS SELECT 1 AS x")
+    assert(spark.sql(s"SELECT * FROM graft.`$v1`").columns
+      .contains("n_name"), "IF NOT EXISTS must not redefine")
+    spark.sql(s"CREATE OR REPLACE VIEW graft.`$v1` AS " +
+      s"SELECT n_name FROM ${quoted(path)}")
+    assert(spark.sql(s"SELECT * FROM graft.`$v1`").columns.toSeq ===
+      Seq("n_name"))
+    // kind checks both ways
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE VIEW ${quoted(path)} AS SELECT 1 AS x")
+    }
+    assert(e2.getMessage.contains("TABLE"))
+    val e3 = intercept[Exception] {
+      spark.sql(s"DROP VIEW ${quoted(path)}")
+    }
+    assert(e3.getMessage.contains("DROP TABLE"))
+    // drop
+    spark.sql(s"DROP VIEW graft.`$v2`")
+    val e4 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$v2`").collect()
+    }
+    assert(e4.getMessage.contains("does not exist") ||
+      e4.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+    spark.sql(s"DROP VIEW IF EXISTS graft.`$v2`") // no-op, no throw
+  }
+
   test("CALL init/refresh procedures drive the whole view family from SQL") {
     import spark.implicits._
     // aggregate view
