@@ -150,6 +150,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25IndexApplyDelta: every index-side join is broadcast — the " +
+      "standing index is never sort-merge/shuffle-joined") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val index = graft.llm.Retrieval.bm25Index(docs, "text", "doc_id")
+      .localCheckpoint()
+    val ins = Seq((900001L, "fresh spark merge text"))
+      .toDF("doc_id", "text")
+    val del = docs.filter(col("doc_id") < 3).localCheckpoint()
+    val out = graft.llm.Retrieval.bm25IndexApplyDelta(index, ins, del)
+    val plan = out.queryExecution.sparkPlan.toString
+    // delta-sized frames shuffle (their own aggregations); the INDEX must
+    // only ever meet them through broadcast joins — a sort-merge or
+    // shuffled-hash join here would shuffle 10^10 postings per refresh
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin") &&
+      !plan.toLowerCase.contains("cartesianproduct"),
+      s"index-side join degraded to a shuffle:\n${plan.take(1500)}")
+  }
+
   test("temperature quotas: scalars broadcast, corpus scanned once, no cartesian") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val df = graft.operators.Sampling.temperatureQuotas(docs, "lang", total = 100L)
