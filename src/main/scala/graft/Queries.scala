@@ -6995,6 +6995,84 @@ object Queries {
 
   val annViewRefreshSql: String = annTopKSql
 
+  /** The corpus unigram LM as a CDF-maintained standing view
+    * ([[graft.table.CorpusLmView]]): token counts are additive, so the
+    * model folds EXACTLY under appends, deletes, and updates — the
+    * property that keeps ingest-gate scoring honest after curation
+    * deletes corpus rows. Epochs: init on 2/3 of docs; append the
+    * rest; a dir-rewrite DELETE (`doc_id % 5 == 1`) and UPDATE
+    * (`% 97 == 2` gains a marker token) fold in ONE refresh on a fresh
+    * instance. Gates: merged ≡ `unigramModel` recomputed on the final
+    * corpus (exact frame equality) and a zero-commit no-op. Result:
+    * [[graft.llm.TextOps.rareTokenScoreWith]] scoring a batch against
+    * the maintained model, hash-matched to DuckDB over the final
+    * corpus. */
+  def lmViewRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextOps
+    import graft.table.{CorpusLmView, ManagedTable}
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    val srcPath = tmp("lmv_src")
+    val stPath = tmp("lmv_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs.filter(col("doc_id") % 3 =!= 0), "APPEND", "append")
+      new CorpusLmView(spark, srcPath, stPath).initialize()
+    }
+    val view = new CorpusLmView(spark, srcPath, stPath)
+    t.write(docs.filter(col("doc_id") % 3 === 0), "APPEND", "append")
+    require(view.refresh() == 1L, "lm_view_refresh: append fold must land on v1")
+    t.delete(col("doc_id") % 5 === 1)
+    t.update(Map("text" ->
+        concat(col("text"), lit(" zqlmfresh zqlmfresh"))),
+      col("doc_id") % 97 === 2)
+    val restarted = new CorpusLmView(spark, srcPath, stPath)
+    require(restarted.refresh() == 3L,
+      "lm_view_refresh: one refresh must fold the delete and update slices")
+    val vBefore = ManagedTable(spark, stPath).latestVersion
+    require(restarted.refresh() == 3L &&
+      ManagedTable(spark, stPath).latestVersion == vBefore,
+      "lm_view_refresh: an already-current refresh must commit nothing")
+    val rebuilt = TextOps.unigramModel(t.read)
+    require(restarted.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(restarted.read).isEmpty,
+      "lm_view_refresh: maintained model drifted from the recompute — " +
+        "signed token counts are wrong")
+    TextOps.rareTokenScoreWith(t.read.filter(col("doc_id") % 10 === 0),
+      restarted.read)
+  }
+
+  /** DuckDB mirror of [[lmViewRefresh]] — rare-token scoring of the
+    * batch against the FULL final-corpus LM (the oracle never sees the
+    * epochs). */
+  val lmViewRefreshSql: String =
+    """WITH fin AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 97 = 2 THEN text || ' zqlmfresh zqlmfresh'
+      |       ELSE text END AS text
+      | FROM documents WHERE doc_id % 5 <> 1),
+      |tokc AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM fin),
+      |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      |       FROM tokc GROUP BY tok),
+      |dtb AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |        FROM tokc WHERE doc_id % 10 = 0 GROUP BY doc_id, tok),
+      |agg AS (SELECT dtb.doc_id,
+      |         CAST(sum(dtb.tf) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+      |         CAST(sum(CASE WHEN coalesce(lm.freq, 0) < 3
+      |                       THEN dtb.tf ELSE 0 END) AS BIGINT)
+      |           AS n_rare_tokens
+      |        FROM dtb LEFT JOIN lm USING (tok) GROUP BY dtb.doc_id)
+      |SELECT d.doc_id,
+      | coalesce(a.n_tokens, 0) AS n_tokens,
+      | coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens,
+      | coalesce(a.n_rare_tokens, 0) AS n_rare_tokens,
+      | CASE WHEN coalesce(a.n_tokens, 0) > 0
+      |       AND coalesce(a.n_rare_tokens, 0) * 5 <= coalesce(a.n_tokens, 0)
+      |      THEN 1 ELSE 0 END AS passes_rarity
+      |FROM (SELECT doc_id FROM fin WHERE doc_id % 10 = 0) d
+      |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
   /** Hybrid retrieval over STANDING indexes
     * ([[graft.llm.Retrieval.hybridTopKWith]]): both rankers serve from
     * persisted artifacts — the BM25 inverted index and the IVF-PQ

@@ -213,6 +213,7 @@ object SparkEntry {
     "bm25_incremental" -> (Queries.bm25IncrementalDocs(_, _)),
     "bm25_view_refresh" -> (Queries.bm25ViewRefresh(_, _)),
     "bm25_view_delete" -> (Queries.bm25ViewDelete(_, _)),
+    "lm_view_refresh" -> (Queries.lmViewRefresh(_, _)),
     "phrase_view_refresh" -> (Queries.phraseViewRefresh(_, _)),
     "ann_view_refresh" -> (Queries.annViewRefresh(_, _)),
     "phrase_search" -> (Queries.phraseSearchDocs(_, _)),
@@ -726,6 +727,7 @@ object SparkEntry {
     "bm25_incremental" -> Queries.bm25IncrementalSql,
     "bm25_view_refresh" -> Queries.bm25ViewRefreshSql,
     "bm25_view_delete" -> Queries.bm25ViewDeleteSql,
+    "lm_view_refresh" -> Queries.lmViewRefreshSql,
     "phrase_view_refresh" -> Queries.phraseViewRefreshSql,
     "ann_view_refresh" -> Queries.annViewRefreshSql,
     "phrase_search" -> Queries.phraseSearchSql,

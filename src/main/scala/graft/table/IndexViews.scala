@@ -199,6 +199,93 @@ final class PositionalIndexView(spark: SparkSession, sourcePath: String,
 }
 
 /**
+ * The corpus unigram language model ([[graft.llm.TextOps.unigramModel]]
+ * — the `(tok, freq)` table behind rare-token gating, tf-idf and the
+ * rarity curation filters) as a standing, CDF-maintained view. Token
+ * counts are PURELY ADDITIVE, so this is the cleanest member of the
+ * family: an entering doc's term frequencies add, a leaving doc's
+ * subtract, an update is the (−pre, +post) pair — the fold is exact
+ * under any mix of appends, deletes, and updates, with no append-only
+ * carve-out and no id-membership gates at all (a count can simply go
+ * to zero and leave). This is what keeps ingest-gate models HONEST
+ * under curation: after a dedup pass deletes corpus rows, the standing
+ * LM still equals the model a full recompute would build — scoring
+ * never drifts from the corpus it claims to describe.
+ *
+ * Refresh cost: O(batch) tokenization + one shuffle of the VOCABULARY
+ * table (the state is token-type-sized — Heaps' law puts it orders of
+ * magnitude below the corpus, so folding it through one hash aggregate
+ * is the honest, simple plan; there is no 10^10-row frame anywhere).
+ * A negative folded count (deleting occurrences that were never added
+ * — a feed that does not describe this corpus) refuses loudly before
+ * the commit. Watermarks, restart recovery, and the concurrency fence
+ * are the family's, verbatim.
+ */
+final class CorpusLmView(spark: SparkSession, sourcePath: String,
+                         statePath: String,
+                         textCol: String = "text",
+                         idCol: String = "doc_id") {
+
+  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
+  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
+
+  private def source = ManagedTable(spark, sourcePath)
+  private def state = ManagedTable(spark, statePath)
+
+  /** The last source version folded into the model. */
+  def sourceVersion: Long = {
+    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
+      s"lm view state $statePath does not exist — call initialize() first"))
+    c.userMetadata match {
+      case Some(MetaRe(v)) => v.toLong
+      case other => throw new IllegalStateException(
+        s"state commit carries no sourceVersion watermark: $other")
+    }
+  }
+
+  /** Build the model from the corpus's CURRENT snapshot. */
+  def initialize(): Long = {
+    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    state.write(graft.llm.TextOps.unigramModel(source.read, textCol, idCol),
+      "LM_INIT", "replace", meta(v))
+    v
+  }
+
+  /** Fold the unprocessed change-feed range. No-op (no commit) when
+    * already current or the range nets to nothing. */
+  def refresh(): Long = {
+    val last = sourceVersion
+    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    require(latest >= last,
+      s"source went backwards: watermark $last, latest $latest — was the " +
+        "corpus table recreated? Re-initialize the view.")
+    if (latest == last) return last
+    val cdf = source.readChangeFeed(last + 1, Some(latest))
+    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol), "lm view")
+    if (ins.isEmpty && del.isEmpty) return last
+    val lm = graft.llm.TextOps.unigramModel(_: DataFrame, textCol, idCol)
+    val delta = lm(ins).select(col("tok"), col("freq"))
+      .unionByName(lm(del).select(col("tok"), (-col("freq")).as("freq")))
+    val merged = state.read.select("tok", "freq").unionByName(delta)
+      .groupBy("tok").agg(sum("freq").as("freq"))
+      .localCheckpoint()
+    require(merged.filter(col("freq") < 0L).isEmpty,
+      "lm view: the folded model went NEGATIVE for some token — the slice " +
+        "subtracts occurrences this corpus never added; re-initialize")
+    state.write(merged.filter(col("freq") > 0L), "LM_REFRESH", "replace",
+      meta(latest), expectedPrevVersion = state.latestVersion)
+    latest
+  }
+
+  /** The maintained `(tok, freq)` model — feed straight into
+    * [[graft.llm.TextOps.rareTokenScoreWith]] /
+    * `tfidfKeywordsWith`-style standing-model scorers. */
+  def read: DataFrame = state.read
+}
+
+/**
  * The IVF-PQ ANN index as a standing, CDF-maintained view — the
  * [[Bm25IndexView]] lifecycle applied to [[Similarity.ivfPqIndex]]:
  * the vector corpus lives in a [[ManagedTable]], the codes table

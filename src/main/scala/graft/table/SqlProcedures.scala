@@ -122,7 +122,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
     case "init_agg_view" | "refresh_agg_view" |
          "init_bm25_view" | "refresh_bm25_view" |
          "init_phrase_view" | "refresh_phrase_view" |
-         "init_ann_view" | "refresh_ann_view" => Seq(
+         "init_ann_view" | "refresh_ann_view" |
+         "init_lm_view" | "refresh_lm_view" => Seq(
       attr("source_version", LongType))
     case "init_join_view" | "refresh_join_view" => Seq(
       attr("left_version", LongType), attr("right_version", LongType))
@@ -132,7 +133,7 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         "export_manifest, drift_check, init_agg_view, refresh_agg_view, " +
         "init_join_view, refresh_join_view, init_bm25_view, " +
         "refresh_bm25_view, init_phrase_view, refresh_phrase_view, " +
-        "init_ann_view, refresh_ann_view")
+        "init_ann_view, refresh_ann_view, init_lm_view, refresh_lm_view")
   }
 
   private def metricsJson(m: Map[String, String]): String =
@@ -252,6 +253,14 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
           expectedDocs = if (args.size == 3) longArg(args(2), "expected_docs")
             else 10000000L)
         val v = if (proc == "init_phrase_view") view.initialize()
+          else view.refresh()
+        Seq(Row(v))
+      case "init_lm_view" | "refresh_lm_view" =>
+        require(args.size == 2,
+          s"CALL graft.$proc(source, state)")
+        val view = new CorpusLmView(spark, strArg(args(0), "source path"),
+          strArg(args(1), "state path"))
+        val v = if (proc == "init_lm_view") view.initialize()
           else view.refresh()
         Seq(Row(v))
       case "init_ann_view" | "refresh_ann_view" =>

@@ -113,6 +113,34 @@ class IndexViewsSpec extends SparkSpec {
     assert(e.getMessage.contains("already exist"))
   }
 
+  test("corpus LM view: signed token counts equal the recompute under " +
+      "append, delete, and update; restart + no-op; CALL surface") {
+    import graft.table.CorpusLmView
+    import graft.llm.TextOps
+    val src = tmpDir("lmv_src"); val st = tmpDir("lmv_st")
+    val t = ManagedTable(spark, src)
+    t.write(corpus.filter(col("doc_id") <= 3), "APPEND", "append")
+    assert(spark.sql(s"CALL graft.init_lm_view('$src', '$st')")
+      .head().getLong(0) === 0L)
+    t.write(corpus.filter(col("doc_id") > 3), "APPEND", "append")
+    assert(spark.sql(s"CALL graft.refresh_lm_view('$src', '$st')")
+      .head().getLong(0) === 1L)
+    t.delete(col("doc_id") === 1L)
+    t.update(Map("text" -> lit("york bay bay")), col("doc_id") === 4L)
+    val view = new CorpusLmView(spark, src, st)
+    assert(view.refresh() === 3L)
+    val rebuilt = TextOps.unigramModel(t.read)
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty,
+      "maintained LM drifted from the recompute")
+    // a token whose count reaches zero LEAVES the model (doc 1 was the
+    // only 'city' carrier)
+    assert(view.read.filter(col("tok") === "city").isEmpty)
+    val v = ManagedTable(spark, st).latestVersion
+    assert(view.refresh() === 3L)
+    assert(ManagedTable(spark, st).latestVersion === v)
+  }
+
   test("CALL init/refresh_phrase_view and init/refresh_ann_view drive the " +
       "lifecycles from SQL") {
     val src = tmpDir("cv_src"); val st = tmpDir("cv_st")
