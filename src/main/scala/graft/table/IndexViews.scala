@@ -359,7 +359,15 @@ final class AnnIndexView(spark: SparkSession, sourcePath: String,
     Retrieval.bm25IndexBloom(snapshot.select(col(idCol).as("doc_id")),
         expectedVecs)
       .write.mode("overwrite").parquet(bloomPath)
-    state.write(codes, "ANN_INIT", "replace", meta(v))
+    // the codes are BORN clustered by `cell` (the property lands in the
+    // same commit and governs this very write): each file covers a
+    // disjoint cell range with sorted row groups, so the driver-regime
+    // probe's `cell IN (...)` filter prunes at dir-stat and row-group
+    // grain — the IVF scan touches only probed cells' bytes. Appends
+    // inherit the property, so refresh batches cluster too.
+    state.write(codes, "ANN_INIT", "replace", meta(v),
+      propertiesOverride =
+        Some(Map(ManagedTable.ClusterColumnsProp -> "cell")))
     v
   }
 

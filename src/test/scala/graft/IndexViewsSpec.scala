@@ -82,6 +82,10 @@ class IndexViewsSpec extends SparkSpec {
     // epoch 1: planted copies of 0..4 at +1000 — pure-insert APPEND path
     t.write(vecs(0 until 5).select((col("vec_id") + 1000).as("vec_id"),
       col("embedding")), "APPEND", "append")
+    // codes are born clustered by cell (property lands in the init
+    // commit itself), so probed-cell filters prune dirs/row groups
+    assert(ManagedTable(spark, st).lastCommit.get.properties
+      .get(ManagedTable.ClusterColumnsProp).contains("cell"))
     val view = new AnnIndexView(spark, src, st, nlist = 4, m = 4, ksub = 8)
     assert(view.refresh() === 1L)
     assert(ManagedTable(spark, st).lastCommit.get.operation === "ANN_REFRESH")
