@@ -5272,6 +5272,118 @@ object Queries {
       |FROM lab l LEFT JOIN sc USING (doc_id), pri
       |WHERE l.doc_id % 3 = 0""".stripMargin
 
+  /** The NB quality-filter model as a CDF-maintained standing view
+    * ([[graft.table.ClassifierModelView]]): per-class token counts and
+    * doc priors are additive, so the learned gate folds EXACTLY under
+    * appends, deletes, and updates — after curation deletes corpus
+    * rows, scoring equals a from-scratch retrain. Epochs: init on 2/3
+    * of the weakly-labeled corpus; append the rest; a dir-rewrite
+    * DELETE (`% 5 == 1`) and an UPDATE that re-texts AND re-labels
+    * (`% 97 == 2` gains spam markers, label recomputed from the new
+    * text) fold in ONE refresh on a fresh instance. Gates: merged ≡
+    * retrained model + priors (exact equality), zero-commit no-op, and
+    * the label-stability margin. Result: maintained-model decisions on
+    * a score batch, hash-matched to DuckDB's model-over-final-corpus
+    * recompute. */
+  def classifierViewRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.QualityClassifier
+    import graft.table.{ClassifierModelView, ManagedTable}
+    def weakOf(text: Column): Column = {
+      val tk = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+      (size(filter(tk, t => t === "slow" || t === "big")) * 10 < size(tk))
+        .cast("int")
+    }
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+      .withColumn("weak_label", weakOf(col("text")))
+    val srcPath = tmp("nbv_src")
+    val stPath = tmp("nbv_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs.filter(col("doc_id") % 3 =!= 0), "APPEND", "append")
+      new ClassifierModelView(spark, srcPath, stPath).initialize()
+    }
+    val view = new ClassifierModelView(spark, srcPath, stPath)
+    t.write(docs.filter(col("doc_id") % 3 === 0), "APPEND", "append")
+    require(view.refresh() == 1L,
+      "classifier_view_refresh: append fold must land on v1")
+    t.delete(col("doc_id") % 5 === 1)
+    // the update re-texts AND re-labels consistently: the label column
+    // is a function of the text, recomputed from the post-image
+    val newText = concat(col("text"), lit(" slow big slow big slow big"))
+    t.update(Map("text" -> newText, "weak_label" -> weakOf(newText)),
+      col("doc_id") % 97 === 2)
+    val restarted = new ClassifierModelView(spark, srcPath, stPath)
+    require(restarted.refresh() == 3L,
+      "classifier_view_refresh: one refresh must fold the delete and update")
+    val vBefore = ManagedTable(spark, stPath).latestVersion
+    require(restarted.refresh() == 3L &&
+      ManagedTable(spark, stPath).latestVersion == vBefore,
+      "classifier_view_refresh: an already-current refresh must commit nothing")
+    val rebuilt = QualityClassifier.train(t.read)
+    require(restarted.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(restarted.read).isEmpty,
+      "classifier_view_refresh: maintained counts drifted from the retrain")
+    val (_, dp, dn) = restarted.watermark
+    val priRow = QualityClassifier.priors(t.read).head()
+    require(dp == priRow.getLong(0) && dn == priRow.getLong(1),
+      s"classifier_view_refresh: maintained priors ($dp, $dn) drifted from " +
+        s"the recompute (${priRow.getLong(0)}, ${priRow.getLong(1)})")
+    val out = restarted.score(t.read.filter(col("doc_id") % 10 === 0))
+      .select(col("doc_id"), col("weak_label").cast("long").as("weak_label"),
+        col("nb_label").cast("long").as("nb_label"), col("nb_margin"))
+      .localCheckpoint()
+    val g = out.agg(min(col("nb_margin")).as("m"),
+      sum(col("nb_label")).as("npos"), count(lit(1)).as("n")).head()
+    require(g.getAs[Double]("m") > 1e-6,
+      s"classifier_view_refresh: margin ${g.getAs[Double]("m")} too small " +
+        "for engine-stable labels")
+    require(g.getAs[Long]("npos") > 0 && g.getAs[Long]("npos") < g.getAs[Long]("n"),
+      "classifier_view_refresh: predicted a single class")
+    out.select("doc_id", "weak_label", "nb_label")
+  }
+
+  /** DuckDB mirror of [[classifierViewRefresh]] — the model retrained
+    * over the FINAL corpus (deletes applied, updated docs re-texted
+    * and re-labeled), scoring the same batch. */
+  val classifierViewRefreshSql: String =
+    """WITH fin AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 97 = 2
+      |       THEN text || ' slow big slow big slow big' ELSE text END AS text
+      | FROM documents WHERE doc_id % 5 <> 1),
+      |d AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      |  FROM fin),
+      |lab AS (
+      |  SELECT doc_id, tk,
+      |         CASE WHEN len(list_filter(tk, x -> x IN ('slow', 'big'))) * 10
+      |                   < len(tk) THEN 1 ELSE 0 END AS weak_label
+      |  FROM d),
+      |tok AS (SELECT doc_id, weak_label, unnest(tk) AS token FROM lab),
+      |cnt AS (
+      |  SELECT token, CAST(SUM(weak_label) AS BIGINT) AS np,
+      |         CAST(SUM(1 - weak_label) AS BIGINT) AS nn
+      |  FROM tok GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(np) AS DOUBLE) AS tp, CAST(SUM(nn) AS DOUBLE) AS tn,
+      |         CAST(COUNT(*) AS DOUBLE) AS v
+      |  FROM cnt),
+      |pri AS (
+      |  SELECT CAST(SUM(weak_label) AS DOUBLE) AS dp,
+      |         CAST(COUNT(*) - SUM(weak_label) AS DOUBLE) AS dn
+      |  FROM lab),
+      |sc AS (
+      |  SELECT t.doc_id,
+      |         SUM(ln((COALESCE(c.np, 0) + 1) / (tot.tp + tot.v)) -
+      |             ln((COALESCE(c.nn, 0) + 1) / (tot.tn + tot.v))) AS sumw
+      |  FROM tok t LEFT JOIN cnt c USING (token), tot
+      |  WHERE t.doc_id % 10 = 0
+      |  GROUP BY 1)
+      |SELECT l.doc_id, CAST(l.weak_label AS BIGINT) AS weak_label,
+      |       CASE WHEN ln(pri.dp / pri.dn) + COALESCE(sc.sumw, 0) > 0
+      |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS nb_label
+      |FROM lab l LEFT JOIN sc USING (doc_id), pri
+      |WHERE l.doc_id % 10 = 0""".stripMargin
+
   /** Dataset card ([[graft.llm.TextOps.datasetCard]]): the long-form
     * (metric, scope, value) release datasheet — totals, exact-dup
     * count, source count, per-language breakdown with integer

@@ -84,6 +84,7 @@ object SparkEntry {
     "quality_classifier" -> (Queries.qualityClassifier(_, _)),
     "quality_classifier_incremental" ->
       (Queries.qualityClassifierIncremental(_, _)),
+    "classifier_view_refresh" -> (Queries.classifierViewRefresh(_, _)),
     "bloom_prune_join" -> (Queries.bloomPruneJoin(_, _)),
     "bucketed_join" -> (Queries.bucketedJoin(_, _)),
     // deterministic sampling + packing (operators/Sampling, llm/Packing)
@@ -354,6 +355,7 @@ object SparkEntry {
     "quality_classifier" -> Queries.qualityClassifierSql,
     "quality_classifier_incremental" ->
       Queries.qualityClassifierIncrementalSql,
+    "classifier_view_refresh" -> Queries.classifierViewRefreshSql,
     "bloom_prune_join" -> Queries.bloomPruneJoinSql,
     "bucketed_join" -> Queries.bucketedJoinSql,
     "hash_sample" -> Queries.hashSampleDocsSql,

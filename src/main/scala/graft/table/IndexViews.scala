@@ -286,6 +286,123 @@ final class CorpusLmView(spark: SparkSession, sourcePath: String,
 }
 
 /**
+ * The Naive-Bayes quality-filter model
+ * ([[graft.llm.QualityClassifier]] — the GPT-3/CCNet-style learned
+ * ingest gate) as a standing, CDF-maintained view: the weakly-labeled
+ * corpus lives in a [[ManagedTable]] (text + 0/1 label columns), the
+ * `(token, n_pos, n_neg)` count model lives in its own ManagedTable,
+ * and the doc-count priors ride each state commit's metadata (two
+ * longs — no side table). Like [[CorpusLmView]], every statistic is
+ * ADDITIVE, so the fold is exact under any mix of appends, deletes,
+ * and label-or-text updates: an entering doc adds its per-class token
+ * counts, a leaving doc subtracts them, priors move by signed doc
+ * counts. After curation deletes corpus rows, [[score]] still decides
+ * exactly as a model retrained from scratch would — the learned gate
+ * never drifts from the corpus it claims to describe. The state is
+ * vocabulary-sized; a count gone negative refuses loudly before the
+ * commit.
+ */
+final class ClassifierModelView(spark: SparkSession, sourcePath: String,
+                                statePath: String,
+                                textCol: String = "text",
+                                idCol: String = "doc_id",
+                                labelCol: String = "weak_label") {
+  import graft.llm.QualityClassifier
+
+  private def meta(v: Long, dPos: Long, dNeg: Long) =
+    Some(s"""{"sourceVersion":$v,"dPos":$dPos,"dNeg":$dNeg}""")
+  private val MetaRe =
+    """\{"sourceVersion":(\d+),"dPos":(\d+),"dNeg":(\d+)\}""".r
+
+  private def source = ManagedTable(spark, sourcePath)
+  private def state = ManagedTable(spark, statePath)
+
+  /** (folded source version, positive-doc prior, negative-doc prior). */
+  def watermark: (Long, Long, Long) = {
+    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
+      s"classifier view state $statePath does not exist — call initialize() first"))
+    c.userMetadata match {
+      case Some(MetaRe(v, p, n)) => (v.toLong, p.toLong, n.toLong)
+      case other => throw new IllegalStateException(
+        s"state commit carries no watermark/priors: $other")
+    }
+  }
+
+  def sourceVersion: Long = watermark._1
+
+  private def priorsOf(docs: DataFrame): (Long, Long) = {
+    // coalesce: sum() over an empty side (e.g. a delete-less slice) is NULL
+    val r = QualityClassifier.priors(docs, labelCol)
+      .select(coalesce(col("d_pos"), lit(0L)),
+        coalesce(col("d_neg"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Train from the corpus's CURRENT snapshot. */
+  def initialize(): Long = {
+    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    val snapshot = source.read
+    val (dp, dn) = priorsOf(snapshot)
+    state.write(QualityClassifier.train(snapshot, textCol, labelCol),
+      "NB_INIT", "replace", meta(v, dp, dn))
+    v
+  }
+
+  /** Fold the unprocessed change-feed range. No-op (no commit) when
+    * already current or the range nets to nothing. */
+  def refresh(): Long = {
+    val (last, dp0, dn0) = watermark
+    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    require(latest >= last,
+      s"source went backwards: watermark $last, latest $latest — was the " +
+        "corpus table recreated? Re-initialize the view.")
+    if (latest == last) return last
+    val cdf = source.readChangeFeed(last + 1, Some(latest))
+    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol, labelCol),
+      "classifier view")
+    if (ins.isEmpty && del.isEmpty) return last
+    val train = QualityClassifier.train(_: DataFrame, textCol, labelCol)
+    val delta = train(ins)
+      .unionByName(train(del).select(col("token"),
+        (-col("n_pos")).as("n_pos"), (-col("n_neg")).as("n_neg")))
+    val merged = state.read.select("token", "n_pos", "n_neg")
+      .unionByName(delta)
+      .groupBy("token")
+      .agg(sum("n_pos").as("n_pos"), sum("n_neg").as("n_neg"))
+      .localCheckpoint()
+    require(merged.filter(col("n_pos") < 0L || col("n_neg") < 0L).isEmpty,
+      "classifier view: the folded model went NEGATIVE for some token — " +
+        "the slice subtracts counts this corpus never added; re-initialize")
+    val (dpi, dni) = priorsOf(ins)
+    val (dpd, dnd) = priorsOf(del)
+    state.write(
+      merged.filter(col("n_pos") > 0L || col("n_neg") > 0L),
+      "NB_REFRESH", "replace",
+      meta(latest, dp0 + dpi - dpd, dn0 + dni - dnd),
+      expectedPrevVersion = state.latestVersion)
+    latest
+  }
+
+  /** The maintained `(token, n_pos, n_neg)` model. */
+  def read: DataFrame = state.read
+
+  /** The maintained doc-count priors as the 1-row frame
+    * [[graft.llm.QualityClassifier.scoreWith]] expects. */
+  def priorsRow: DataFrame = {
+    import spark.implicits._
+    val (_, dp, dn) = watermark
+    Seq((dp, dn)).toDF("d_pos", "d_neg")
+  }
+
+  /** Score a batch against the maintained model — identical decisions
+    * to a model retrained on the current corpus snapshot. */
+  def score(batch: DataFrame): DataFrame =
+    QualityClassifier.scoreWith(batch, state.read, priorsRow, textCol, idCol)
+}
+
+/**
  * The IVF-PQ ANN index as a standing, CDF-maintained view — the
  * [[Bm25IndexView]] lifecycle applied to [[Similarity.ivfPqIndex]]:
  * the vector corpus lives in a [[ManagedTable]], the codes table

@@ -123,7 +123,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
          "init_bm25_view" | "refresh_bm25_view" |
          "init_phrase_view" | "refresh_phrase_view" |
          "init_ann_view" | "refresh_ann_view" |
-         "init_lm_view" | "refresh_lm_view" => Seq(
+         "init_lm_view" | "refresh_lm_view" |
+         "init_nb_view" | "refresh_nb_view" => Seq(
       attr("source_version", LongType))
     case "init_join_view" | "refresh_join_view" => Seq(
       attr("left_version", LongType), attr("right_version", LongType))
@@ -133,7 +134,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         "export_manifest, drift_check, init_agg_view, refresh_agg_view, " +
         "init_join_view, refresh_join_view, init_bm25_view, " +
         "refresh_bm25_view, init_phrase_view, refresh_phrase_view, " +
-        "init_ann_view, refresh_ann_view, init_lm_view, refresh_lm_view")
+        "init_ann_view, refresh_ann_view, init_lm_view, refresh_lm_view, " +
+        "init_nb_view, refresh_nb_view")
   }
 
   private def metricsJson(m: Map[String, String]): String =
@@ -261,6 +263,16 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         val view = new CorpusLmView(spark, strArg(args(0), "source path"),
           strArg(args(1), "state path"))
         val v = if (proc == "init_lm_view") view.initialize()
+          else view.refresh()
+        Seq(Row(v))
+      case "init_nb_view" | "refresh_nb_view" =>
+        require(args.size == 2 || args.size == 3,
+          s"CALL graft.$proc(source, state[, label_col])")
+        val view = new ClassifierModelView(spark,
+          strArg(args(0), "source path"), strArg(args(1), "state path"),
+          labelCol = if (args.size == 3) strArg(args(2), "label_col")
+            else "weak_label")
+        val v = if (proc == "init_nb_view") view.initialize()
           else view.refresh()
         Seq(Row(v))
       case "init_ann_view" | "refresh_ann_view" =>

@@ -145,6 +145,46 @@ class IndexViewsSpec extends SparkSpec {
     assert(ManagedTable(spark, st).latestVersion === v)
   }
 
+  test("classifier model view: signed per-class counts and priors equal " +
+      "the retrain under append/delete/label-flip update; CALL surface") {
+    import graft.table.ClassifierModelView
+    import graft.llm.QualityClassifier
+    import spark.implicits._
+    val src = tmpDir("nbv_src"); val st = tmpDir("nbv_st")
+    val t = ManagedTable(spark, src)
+    val rows = Seq(
+      (1L, "good clean prose here", 1), (2L, "spam spam junk", 0),
+      (3L, "more clean text words", 1), (4L, "junk junk junk spam", 0),
+      (5L, "clean words prose text", 1))
+      .toDF("doc_id", "text", "weak_label")
+    t.write(rows.filter(col("doc_id") <= 3), "APPEND", "append")
+    assert(spark.sql(s"CALL graft.init_nb_view('$src', '$st')")
+      .head().getLong(0) === 0L)
+    t.write(rows.filter(col("doc_id") > 3), "APPEND", "append")
+    assert(spark.sql(s"CALL graft.refresh_nb_view('$src', '$st')")
+      .head().getLong(0) === 1L)
+    // delete a negative doc; flip a label WITH its text (update pair)
+    t.delete(col("doc_id") === 2L)
+    t.update(Map("text" -> lit("now junk spam junk"), "weak_label" -> lit(0)),
+      col("doc_id") === 5L)
+    val view = new ClassifierModelView(spark, src, st)
+    assert(view.refresh() === 3L)
+    val rebuilt = QualityClassifier.train(t.read)
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty,
+      "maintained counts drifted from the retrain")
+    val (_, dp, dn) = view.watermark
+    assert((dp, dn) === ((2L, 2L)))
+    // scoring through the view equals scoring against the retrain
+    val batch = t.read
+    assertSameRows(view.score(batch),
+      QualityClassifier.scoreWith(batch, rebuilt,
+        QualityClassifier.priors(t.read)))
+    val v = ManagedTable(spark, st).latestVersion
+    assert(view.refresh() === 3L)
+    assert(ManagedTable(spark, st).latestVersion === v)
+  }
+
   test("CALL init/refresh_phrase_view and init/refresh_ann_view drive the " +
       "lifecycles from SQL") {
     val src = tmpDir("cv_src"); val st = tmpDir("cv_st")
