@@ -248,10 +248,11 @@ object GraftExtensions {
     // steps ride as a CSV (positional SQL has no array literal at TVF
     // resolution); 0 disables a bound, mirroring the Scala Options
     "graft_funnel" -> { args =>
-      require(args.size == 7,
+      require(args.size == 7 || args.size == 8,
         "graft_funnel(events, ts_us_col, user_col, type_col, steps_csv, " +
-          "window_days, gap_days) takes a table name, three column names, " +
-          "the step list, and two day counts (0 = unbounded)")
+          "window_days, gap_days[, anchor_policy]) takes a table name, " +
+          "three column names, the step list, two day counts (0 = " +
+          "unbounded), and optionally 'earliest' | 'any_qualifying'")
       val day = graft.operators.EventAnalytics.MicrosPerDay
       def bound(i: Int, what: String): Option[Long] =
         intArg(args(i), what) match {
@@ -264,7 +265,9 @@ object GraftExtensions {
         userCol = strArg(args(2), "user_col"),
         typeCol = strArg(args(3), "type_col"),
         conversionWindowMicros = bound(5, "window_days"),
-        maxStepGapMicros = bound(6, "gap_days")))
+        maxStepGapMicros = bound(6, "gap_days"),
+        anchorPolicy = if (args.size == 8) strArg(args(7), "anchor_policy")
+          else "earliest"))
     },
     "graft_funnel_stats" -> { args =>
       require(args.size == 7,

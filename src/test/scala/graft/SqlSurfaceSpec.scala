@@ -514,6 +514,14 @@ class SqlSurfaceSpec extends SparkSpec {
         "'user_id', 'event_type', 'view,click,purchase', 0, 0)"),
       graft.operators.EventAnalytics.funnelConversionStats(spark.table("fn_ev"),
         Seq("view", "click", "purchase")))
+    // optional 8th argument routes the anchor policy
+    assertSameRows(
+      spark.sql("SELECT * FROM graft_funnel('fn_ev', 'ts_us', 'user_id', " +
+        "'event_type', 'view,click,purchase', 5, 2, 'any_qualifying')"),
+      graft.operators.EventAnalytics.funnelWindowed(spark.table("fn_ev"),
+        Seq("view", "click", "purchase"),
+        conversionWindowMicros = Some(5 * D), maxStepGapMicros = Some(2 * D),
+        anchorPolicy = "any_qualifying"))
   }
 
   test("graft_cooccurrence and graft_cascade_rerank TVFs match the Scala API") {
