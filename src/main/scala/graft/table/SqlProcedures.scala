@@ -321,12 +321,29 @@ final case class GraftShowPropertiesCommand(root: String, key: Option[String],
 
 /** `DESCRIBE [EXTENDED] graft.t` — column rows, plus commit-log detail
   * (version, operation, partitioning, properties, constraints) under
-  * EXTENDED, in the usual `# key | value` section shape. */
+  * EXTENDED, in the usual `# key | value` section shape. A graft VIEW
+  * at the identifier describes too: its stored SQL analyzes for the
+  * column rows, and EXTENDED shows the view text. */
 final case class GraftDescribeCommand(root: String, isExtended: Boolean,
                                       override val output: Seq[Attribute])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val c = ManagedTable(spark, root).lastCommit.getOrElse(
+    val table = ManagedTable(spark, root)
+    if (!table.exists) {
+      GraftViews.load(spark, root).foreach { sql =>
+        val analyzed = org.apache.spark.sql.classic.GraftShims.ofRows(spark,
+          spark.sessionState.sqlParser.parsePlan(sql))
+        val cols = analyzed.schema.fields.toSeq.map(f =>
+          Row(f.name, f.dataType.simpleString, null))
+        return cols ++ (if (!isExtended) Nil else Seq(
+          Row("", "", null),
+          Row("# Detailed View Information", "", null),
+          Row("Location", root, null),
+          Row("Type", "VIEW", null),
+          Row("View Text", sql, null)))
+      }
+    }
+    val c = table.lastCommit.getOrElse(
       throw new IllegalStateException(s"graft table at $root does not exist"))
     val schema = StructType.fromDDL(c.schemaDdl)
     val cols = schema.fields.toSeq.map(f =>

@@ -636,6 +636,19 @@ class SqlTablesSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft.`$v2`"),
       ManagedTable(spark, path).read.filter(col("n_regionkey") >= 2)
         .groupBy("n_regionkey").agg(count(lit(1)).as("n")))
+    // DESCRIBE works on views: column rows from the analyzed SQL,
+    // EXTENDED shows the stored text
+    val desc = spark.sql(s"DESCRIBE EXTENDED graft.`$v2`").collect()
+    assert(desc.exists(r => r.getString(0) == "n" &&
+      r.getString(1) == "bigint"), desc.mkString("\n"))
+    assert(desc.exists(r => r.getString(0) == "Type" &&
+      r.getString(1) == "VIEW"))
+    // warehouse-relative (unquoted) view names resolve like tables do
+    spark.sql(s"CREATE OR REPLACE VIEW graft.relview13 AS " +
+      s"SELECT n_name FROM ${quoted(path)}")
+    assert(spark.sql("SELECT * FROM graft.relview13").columns.toSeq ===
+      Seq("n_name"))
+    spark.sql("DROP VIEW graft.relview13")
     // a view tracks its base table's CURRENT snapshot
     spark.sql(s"INSERT INTO ${quoted(path)} VALUES (99, 'ZED', 2)")
     assert(spark.sql(
