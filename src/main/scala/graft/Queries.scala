@@ -7107,6 +7107,85 @@ object Queries {
 
   val annViewRefreshSql: String = annTopKSql
 
+  /** The near-dup index as a CDF-maintained standing view
+    * ([[graft.table.NearDupIndexView]]): the dedup family's own
+    * curation asymmetry — a stale index rejects re-submitted documents
+    * as duplicates of GHOSTS (docs the corpus no longer contains).
+    * Five planted nonce docs join the corpus, then DELETE; the
+    * in-query gates prove the STALE index rejects exact re-submissions
+    * of all five (ghost behavior) while the REFRESHED index admits
+    * them, still rejects copies of live docs, and equals the
+    * from-scratch rebuild exactly. The pure-insert epoch pins the
+    * APPEND commit shape (row-local index — never rewritten for
+    * appends). Oracle: the deterministic survivor set of the final
+    * batch dedup. */
+  def neardupViewRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Dedup
+    import graft.table.{ManagedTable, NearDupIndexView}
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    require(docs.agg(max("doc_id")).head().getLong(0) < 970000L,
+      "planted ids collide with natural doc ids")
+    def nonceDoc(i: Int, tag: String): (Long, String) =
+      (970000L + i, (1 to 12).map(k => s"zz${tag}tok$i$k").mkString(" "))
+    val ghosts = (1 to 5).map(nonceDoc(_, "ghost")).toDF("doc_id", "text")
+    val srcPath = tmp("ndv_src")
+    val stPath = tmp("ndv_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs.filter(col("doc_id") % 3 =!= 0).unionByName(ghosts),
+        "APPEND", "append")
+      new NearDupIndexView(spark, srcPath, stPath, expectedDocs = 100000)
+        .initialize()
+    }
+    val view = new NearDupIndexView(spark, srcPath, stPath)
+    t.write(docs.filter(col("doc_id") % 3 === 0), "APPEND", "append")
+    require(view.refresh() == 1L,
+      "neardup_view_refresh: append fold must land on v1")
+    val afterAppend = ManagedTable(spark, stPath).lastCommit.get
+    require(afterAppend.operation == "NEARDUP_REFRESH" &&
+      afterAppend.dirs.size == 2,
+      "neardup_view_refresh: a pure-insert slice must APPEND a dir")
+    // the curation event: the planted docs DELETE from the corpus
+    t.delete(col("doc_id") >= 970000L)
+    // GHOST GATE — against the STALE index, exact re-submissions of the
+    // deleted docs are all rejected as duplicates of ghosts
+    val resubmit = ghosts.select((col("doc_id") + 20000L).as("doc_id"),
+      col("text"))
+    require(Dedup.dedupNewBatch(resubmit, view.read).isEmpty,
+      "neardup_view_refresh: the stale index must reject every ghost " +
+        "re-submission — otherwise this scenario proves nothing")
+    val restarted = new NearDupIndexView(spark, srcPath, stPath)
+    require(restarted.refresh() == 2L,
+      "neardup_view_refresh: the delete slice must fold on a restarted instance")
+    val vBefore = ManagedTable(spark, stPath).latestVersion
+    require(restarted.refresh() == 2L &&
+      ManagedTable(spark, stPath).latestVersion == vBefore,
+      "neardup_view_refresh: an already-current refresh must commit nothing")
+    val rebuilt = Dedup.buildNearDupIndex(t.read)
+    require(restarted.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(restarted.read).isEmpty,
+      "neardup_view_refresh: maintained signatures drifted from the rebuild")
+    // the final batch: ghost re-submissions (now admissible), copies of
+    // LIVE docs (still duplicates), and fresh nonce docs (admissible)
+    val liveCopies = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 980000L).as("doc_id"), col("text"))
+    require(liveCopies.count() == 5L, "need 5 live docs to copy")
+    val fresh = (1 to 3).map(nonceDoc(_, "fresh")).toDF("doc_id", "text")
+      .select((col("doc_id") + 25000L).as("doc_id"), col("text"))
+    val batch = resubmit.unionByName(liveCopies).unionByName(fresh)
+    restarted.dedupBatch(batch).select("doc_id")
+  }
+
+  /** DuckDB mirror of [[neardupViewRefresh]] — the survivor set is
+    * fully determined by construction: ghost re-submissions (their
+    * nonce originals left the corpus) and fresh nonce docs survive;
+    * copies of live docs are rejected. */
+  val neardupViewRefreshSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (VALUES
+      |  (990001), (990002), (990003), (990004), (990005),
+      |  (995001), (995002), (995003)) v(doc_id)""".stripMargin
+
   /** The corpus unigram LM as a CDF-maintained standing view
     * ([[graft.table.CorpusLmView]]): token counts are additive, so the
     * model folds EXACTLY under appends, deletes, and updates — the

@@ -215,6 +215,7 @@ object SparkEntry {
     "bm25_view_refresh" -> (Queries.bm25ViewRefresh(_, _)),
     "bm25_view_delete" -> (Queries.bm25ViewDelete(_, _)),
     "lm_view_refresh" -> (Queries.lmViewRefresh(_, _)),
+    "neardup_view_refresh" -> (Queries.neardupViewRefresh(_, _)),
     "phrase_view_refresh" -> (Queries.phraseViewRefresh(_, _)),
     "ann_view_refresh" -> (Queries.annViewRefresh(_, _)),
     "phrase_search" -> (Queries.phraseSearchDocs(_, _)),
@@ -730,6 +731,7 @@ object SparkEntry {
     "bm25_view_refresh" -> Queries.bm25ViewRefreshSql,
     "bm25_view_delete" -> Queries.bm25ViewDeleteSql,
     "lm_view_refresh" -> Queries.lmViewRefreshSql,
+    "neardup_view_refresh" -> Queries.neardupViewRefreshSql,
     "phrase_view_refresh" -> Queries.phraseViewRefreshSql,
     "ann_view_refresh" -> Queries.annViewRefreshSql,
     "phrase_search" -> Queries.phraseSearchSql,

@@ -199,6 +199,115 @@ final class PositionalIndexView(spark: SparkSession, sourcePath: String,
 }
 
 /**
+ * The standing NEAR-DUP index ([[graft.llm.Dedup.buildNearDupIndex]] —
+ * the MinHash-signature + shingle-set table behind incremental
+ * batch-vs-corpus dedup) as a CDF-maintained view. This closes the
+ * most consequential curation asymmetry of the dedup family itself: a
+ * stale index keeps DELETED documents' signatures, so a re-submitted
+ * document is rejected as a duplicate of a GHOST — a doc the corpus no
+ * longer contains. Rows are per-document (signature + shingle set), so
+ * maintenance is row-local exactly like [[PositionalIndexView]]:
+ * pure-insert slices land as APPEND commits of the batch's own
+ * signature rows (the standing index is not even read), delete slices
+ * rewrite once via broadcast anti-join, updates are the (−pre, +post)
+ * pair. Same watermark/bloom/duplicate-id contracts as the family.
+ */
+final class NearDupIndexView(spark: SparkSession, sourcePath: String,
+                             statePath: String,
+                             textCol: String = "text",
+                             idCol: String = "doc_id",
+                             numHashes: Int = 64, shingleN: Int = 3,
+                             expectedDocs: Long = 10000000L) {
+  import graft.llm.Dedup
+
+  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
+  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
+
+  private def source = ManagedTable(spark, sourcePath)
+  private def state = ManagedTable(spark, statePath)
+  private val bloomPath = statePath.stripSuffix("/") + "_bloom"
+
+  private def build(docs: DataFrame): DataFrame =
+    Dedup.buildNearDupIndex(docs, textCol, idCol, numHashes, shingleN)
+
+  /** The last source version folded into the index. */
+  def sourceVersion: Long = {
+    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
+      s"neardup view state $statePath does not exist — call initialize() first"))
+    c.userMetadata match {
+      case Some(MetaRe(v)) => v.toLong
+      case other => throw new IllegalStateException(
+        s"state commit carries no sourceVersion watermark: $other")
+    }
+  }
+
+  /** Build from the corpus's CURRENT snapshot (bloom first — the
+    * family's crash-safe order). */
+  def initialize(): Long = {
+    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    val snapshot = source.read
+    Retrieval.bm25IndexBloom(snapshot.select(col(s"`$idCol`").as("doc_id")),
+        expectedDocs)
+      .write.mode("overwrite").parquet(bloomPath)
+    state.write(build(snapshot), "NEARDUP_INIT", "replace", meta(v))
+    v
+  }
+
+  /** Fold the unprocessed change-feed range. No-op (no commit) when
+    * already current or the range nets to nothing. */
+  def refresh(): Long = {
+    val last = sourceVersion
+    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    require(latest >= last,
+      s"source went backwards: watermark $last, latest $latest — was the " +
+        "corpus table recreated? Re-initialize the view.")
+    if (latest == last) return last
+    val cdf = source.readChangeFeed(last + 1, Some(latest))
+    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol), "neardup view")
+    if (ins.isEmpty && del.isEmpty) return last
+    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(
+      spark.read.parquet(bloomPath))
+    val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
+    val delIds = del.select(col(s"`$idCol`").as("doc_id"))
+    CdfNetting.requireNewIds(spark,
+      state.read.select(col(s"`$idCol`").as("doc_id")), insIds, delIds,
+      Some(bloomBytes), "neardup view")
+    if (!ins.isEmpty)
+      Retrieval.bm25BloomAdd(spark.read.parquet(bloomPath), ins, idCol)
+        .write.mode("overwrite").parquet(bloomPath)
+    if (del.isEmpty)
+      state.write(build(ins), "NEARDUP_REFRESH", "append", meta(latest))
+    else {
+      CdfNetting.requireExistingIds(
+        state.read.select(col(s"`$idCol`").as("doc_id")), delIds,
+        "neardup view")
+      val survivors = state.read
+        .join(broadcast(delIds.distinct().toDF("__del__")),
+          col(s"`$idCol`").cast("string") === col("__del__").cast("string"),
+          "anti")
+      state.write(survivors.unionByName(build(ins)),
+        "NEARDUP_REFRESH", "replace", meta(latest),
+        expectedPrevVersion = state.latestVersion)
+    }
+    latest
+  }
+
+  /** The maintained signature index. */
+  def read: DataFrame = state.read
+
+  /** Keep only the batch docs that are near-dups of NOTHING — neither
+    * the maintained corpus index (ghost-free: deleted docs no longer
+    * reject re-submissions) nor each other
+    * ([[graft.llm.Dedup.dedupNewBatch]]). */
+  def dedupBatch(newDocs: DataFrame, threshold: Double = 0.8,
+                 bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    Dedup.dedupNewBatch(newDocs, state.read, textCol, idCol, threshold,
+      numHashes, shingleN, bands, rowsPerBand)
+}
+
+/**
  * The corpus unigram language model ([[graft.llm.TextOps.unigramModel]]
  * — the `(tok, freq)` table behind rare-token gating, tf-idf and the
  * rarity curation filters) as a standing, CDF-maintained view. Token

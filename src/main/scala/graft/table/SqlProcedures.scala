@@ -124,7 +124,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
          "init_phrase_view" | "refresh_phrase_view" |
          "init_ann_view" | "refresh_ann_view" |
          "init_lm_view" | "refresh_lm_view" |
-         "init_nb_view" | "refresh_nb_view" => Seq(
+         "init_nb_view" | "refresh_nb_view" |
+         "init_neardup_view" | "refresh_neardup_view" => Seq(
       attr("source_version", LongType))
     case "init_join_view" | "refresh_join_view" => Seq(
       attr("left_version", LongType), attr("right_version", LongType))
@@ -135,7 +136,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         "init_join_view, refresh_join_view, init_bm25_view, " +
         "refresh_bm25_view, init_phrase_view, refresh_phrase_view, " +
         "init_ann_view, refresh_ann_view, init_lm_view, refresh_lm_view, " +
-        "init_nb_view, refresh_nb_view")
+        "init_nb_view, refresh_nb_view, init_neardup_view, " +
+        "refresh_neardup_view")
   }
 
   private def metricsJson(m: Map[String, String]): String =
@@ -263,6 +265,16 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         val view = new CorpusLmView(spark, strArg(args(0), "source path"),
           strArg(args(1), "state path"))
         val v = if (proc == "init_lm_view") view.initialize()
+          else view.refresh()
+        Seq(Row(v))
+      case "init_neardup_view" | "refresh_neardup_view" =>
+        require(args.size == 2 || args.size == 3,
+          s"CALL graft.$proc(source, state[, expected_docs])")
+        val view = new NearDupIndexView(spark,
+          strArg(args(0), "source path"), strArg(args(1), "state path"),
+          expectedDocs = if (args.size == 3) longArg(args(2), "expected_docs")
+            else 10000000L)
+        val v = if (proc == "init_neardup_view") view.initialize()
           else view.refresh()
         Seq(Row(v))
       case "init_nb_view" | "refresh_nb_view" =>

@@ -145,6 +145,36 @@ class IndexViewsSpec extends SparkSpec {
     assert(ManagedTable(spark, st).latestVersion === v)
   }
 
+  test("neardup index view: stale indexes reject ghost re-submissions, " +
+      "refreshed ones admit them; fold equals rebuild; CALL surface") {
+    import graft.table.NearDupIndexView
+    import graft.llm.Dedup
+    val src = tmpDir("ndv_src"); val st = tmpDir("ndv_st")
+    val t = ManagedTable(spark, src)
+    val ghost = Seq((9L, (1 to 10).map(k => s"zzghost$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    t.write(corpus.unionByName(ghost), "APPEND", "append")
+    assert(spark.sql(s"CALL graft.init_neardup_view('$src', '$st', 1000)")
+      .head().getLong(0) === 0L)
+    t.delete(col("doc_id") === 9L)
+    // stale: the re-submitted ghost is rejected as a dup of a deleted doc
+    val resubmit = ghost.select((col("doc_id") + 100L).as("doc_id"),
+      col("text"))
+    val view = new NearDupIndexView(spark, src, st)
+    assert(view.dedupBatch(resubmit).isEmpty)
+    assert(spark.sql(s"CALL graft.refresh_neardup_view('$src', '$st')")
+      .head().getLong(0) === 1L)
+    // refreshed: the ghost is gone, the re-submission is admissible;
+    // a copy of a LIVE doc still rejects
+    assert(view.dedupBatch(resubmit).count() === 1L)
+    val liveCopy = corpus.filter(col("doc_id") === 1L)
+      .select((col("doc_id") + 200L).as("doc_id"), col("text"))
+    assert(view.dedupBatch(liveCopy).isEmpty)
+    val rebuilt = Dedup.buildNearDupIndex(t.read)
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+  }
+
   test("classifier model view: signed per-class counts and priors equal " +
       "the retrain under append/delete/label-flip update; CALL surface") {
     import graft.table.ClassifierModelView
