@@ -111,6 +111,19 @@ class IndexViewsSpec extends SparkSpec {
     val v = ManagedTable(spark, st).latestVersion
     assert(again.refresh() === 2L)
     assert(ManagedTable(spark, st).latestVersion === v)
+    // a RE-EMBEDDED vector (update-in-place) folds as the (-pre, +post)
+    // pair: the paired delete admits the reused id, the new embedding
+    // re-encodes against the frozen quantizer
+    t.update(Map("embedding" ->
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x + lit(0.25))),
+      col("vec_id") === 7L)
+    assert(again.refresh() === 3L)
+    val reenc2 = Similarity.ivfPqAppend(again.centroids, again.codebooks,
+      t.read)
+    assert(again.read.exceptAll(reenc2).isEmpty &&
+      reenc2.exceptAll(again.read).isEmpty,
+      "re-embedded vector's codes drifted from the re-encode")
     // duplicate id without a paired delete refuses
     t.write(vecs(0 until 1), "APPEND", "append")
     val e = intercept[IllegalArgumentException] { again.refresh() }
