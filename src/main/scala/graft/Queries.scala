@@ -7186,6 +7186,80 @@ object Queries {
       |  (990001), (990002), (990003), (990004), (990005),
       |  (995001), (995002), (995003)) v(doc_id)""".stripMargin
 
+  /** The semantic-dedup index as a CDF-maintained standing view
+    * ([[graft.table.SemanticIndexView]]) — the embedding-space ghost
+    * scenario mirroring `neardup_view_refresh`: five NEGATED corpus
+    * vectors (pairwise |cos| vs everything natural ≤ ~0.6, verified
+    * range; cos 1 only to their own exact copies) join the corpus,
+    * then DELETE. The STALE index must semantically reject their exact
+    * re-submissions at the 0.99 threshold (ghosts); the refreshed
+    * index admits them, still rejects copies of live vectors, and
+    * equals re-indexing the final corpus under the frozen quantizer.
+    * Pure-insert epoch pins the APPEND commit shape. Oracle: the
+    * deterministic survivor set (all singleton groups). */
+  def semanticViewRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity
+    import graft.table.{ManagedTable, SemanticIndexView}
+    val emb = pq(spark, dir, "embeddings").select("vec_id", "embedding")
+    assertPlantedIdHeadroom(emb, offset = 970000)
+    def negated(ids: Column => Column, base: Long) = emb.filter(ids(col("vec_id")))
+      .select((col("vec_id") + base).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val ghosts = negated(id => id >= 100 && id < 105, 969901L) // 970001..5
+    val srcPath = tmp("semv_src")
+    val stPath = tmp("semv_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(emb.filter(col("vec_id") % 2 === 0).unionByName(ghosts),
+        "APPEND", "append")
+      new SemanticIndexView(spark, srcPath, stPath, expectedVecs = 100000)
+        .initialize()
+    }
+    val view = new SemanticIndexView(spark, srcPath, stPath)
+    t.write(emb.filter(col("vec_id") % 2 =!= 0), "APPEND", "append")
+    require(view.refresh() == 1L,
+      "semantic_view_refresh: append fold must land on v1")
+    val afterAppend = ManagedTable(spark, stPath).lastCommit.get
+    require(afterAppend.operation == "SEMANTIC_REFRESH" &&
+      afterAppend.dirs.size == 2,
+      "semantic_view_refresh: a pure-insert slice must APPEND a dir")
+    t.delete(col("vec_id") >= 970000L)
+    // GHOST GATE: against the stale index, exact re-submissions of the
+    // deleted vectors are all semantic duplicates of ghosts
+    val resubmit = ghosts.select((col("vec_id") + 20000L).as("vec_id"),
+      col("embedding")) // 990001..5
+    require(Similarity.semanticDedupBatch(view.centroids, resubmit,
+        view.read, threshold = 0.99).isEmpty,
+      "semantic_view_refresh: the stale index must reject every ghost " +
+        "re-submission")
+    val restarted = new SemanticIndexView(spark, srcPath, stPath)
+    require(restarted.refresh() == 2L,
+      "semantic_view_refresh: the delete slice must fold on a restarted instance")
+    val vBefore = ManagedTable(spark, stPath).latestVersion
+    require(restarted.refresh() == 2L &&
+      ManagedTable(spark, stPath).latestVersion == vBefore,
+      "semantic_view_refresh: an already-current refresh must commit nothing")
+    val rebuilt = Similarity.buildSemanticIndex(restarted.centroids, t.read)
+    require(restarted.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(restarted.read).isEmpty,
+      "semantic_view_refresh: maintained index drifted from re-indexing " +
+        "the final corpus under the frozen quantizer")
+    val liveCopies = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 980000L).as("vec_id"), col("embedding"))
+    val fresh = negated(id => id >= 200 && id < 203, 994801L) // 995001..3
+    val batch = resubmit.unionByName(liveCopies).unionByName(fresh)
+    restarted.dedupBatch(batch, threshold = 0.99)
+  }
+
+  /** DuckDB mirror of [[semanticViewRefresh]] — deterministic by
+    * construction: ghost re-submissions and fresh negated vectors
+    * survive as singleton groups, live copies are rejected. */
+  val semanticViewRefreshSql: String =
+    """SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |       CAST(1 AS BIGINT) AS group_size FROM (VALUES
+      |  (990001), (990002), (990003), (990004), (990005),
+      |  (995001), (995002), (995003)) v(vec_id)""".stripMargin
+
   /** The corpus unigram LM as a CDF-maintained standing view
     * ([[graft.table.CorpusLmView]]): token counts are additive, so the
     * model folds EXACTLY under appends, deletes, and updates — the

@@ -216,6 +216,7 @@ object SparkEntry {
     "bm25_view_delete" -> (Queries.bm25ViewDelete(_, _)),
     "lm_view_refresh" -> (Queries.lmViewRefresh(_, _)),
     "neardup_view_refresh" -> (Queries.neardupViewRefresh(_, _)),
+    "semantic_view_refresh" -> (Queries.semanticViewRefresh(_, _)),
     "phrase_view_refresh" -> (Queries.phraseViewRefresh(_, _)),
     "ann_view_refresh" -> (Queries.annViewRefresh(_, _)),
     "phrase_search" -> (Queries.phraseSearchDocs(_, _)),
@@ -732,6 +733,7 @@ object SparkEntry {
     "bm25_view_delete" -> Queries.bm25ViewDeleteSql,
     "lm_view_refresh" -> Queries.lmViewRefreshSql,
     "neardup_view_refresh" -> Queries.neardupViewRefreshSql,
+    "semantic_view_refresh" -> Queries.semanticViewRefreshSql,
     "phrase_view_refresh" -> Queries.phraseViewRefreshSql,
     "ann_view_refresh" -> Queries.annViewRefreshSql,
     "phrase_search" -> Queries.phraseSearchSql,

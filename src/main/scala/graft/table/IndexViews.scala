@@ -308,6 +308,121 @@ final class NearDupIndexView(spark: SparkSession, sourcePath: String,
 }
 
 /**
+ * The standing SEMANTIC-DEDUP index ([[Similarity.buildSemanticIndex]]
+ * — each corpus vector with its k-means cell and centroid cosine) as a
+ * CDF-maintained view — the embedding-space sibling of
+ * [[NearDupIndexView]], closing the same ghost asymmetry: a stale
+ * index keeps deleted vectors, so a re-submitted (or re-embedded)
+ * document is semantically rejected against a doc the corpus no
+ * longer contains. The cell quantizer trains ONCE at [[initialize]]
+ * and persists beside the state (the [[AnnIndexView]] add-vs-train
+ * split — re-training on drift is an explicit re-initialize); rows
+ * are per-vector, so pure-insert slices APPEND their own cell-assigned
+ * rows and delete slices rewrite once via broadcast anti-join. Same
+ * watermark/bloom/duplicate-id contracts as the family.
+ */
+final class SemanticIndexView(spark: SparkSession, sourcePath: String,
+                              statePath: String,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              nlist: Int = 16, trainIters: Int = 2,
+                              expectedVecs: Long = 10000000L) {
+
+  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
+  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
+
+  private def source = ManagedTable(spark, sourcePath)
+  private def state = ManagedTable(spark, statePath)
+  private val bloomPath = statePath.stripSuffix("/") + "_bloom"
+  private val centsPath = statePath.stripSuffix("/") + "_centroids"
+
+  /** The frozen cell quantizer (trained at [[initialize]]). */
+  def centroids: Array[Array[Double]] =
+    Similarity.centroidsFrom(spark.read.parquet(centsPath))
+
+  /** The last source version folded into the index. */
+  def sourceVersion: Long = {
+    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
+      s"semantic view state $statePath does not exist — call initialize() first"))
+    c.userMetadata match {
+      case Some(MetaRe(v)) => v.toLong
+      case other => throw new IllegalStateException(
+        s"state commit carries no sourceVersion watermark: $other")
+    }
+  }
+
+  /** Train the quantizer on the CURRENT snapshot and index it. */
+  def initialize(): Long = {
+    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    val snapshot = source.read
+    val cents = Similarity.trainCentroids(snapshot, nlist, trainIters,
+      idCol, vecCol)
+    Similarity.centroidsTable(spark, cents)
+      .write.mode("overwrite").parquet(centsPath)
+    Retrieval.bm25IndexBloom(snapshot.select(col(s"`$idCol`").as("doc_id")),
+        expectedVecs)
+      .write.mode("overwrite").parquet(bloomPath)
+    state.write(Similarity.buildSemanticIndex(cents, snapshot, idCol, vecCol),
+      "SEMANTIC_INIT", "replace", meta(v))
+    v
+  }
+
+  /** Fold the unprocessed change-feed range against the FROZEN
+    * quantizer. No-op (no commit) when already current or the range
+    * nets to nothing. */
+  def refresh(): Long = {
+    val last = sourceVersion
+    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    require(latest >= last,
+      s"source went backwards: watermark $last, latest $latest — was the " +
+        "corpus table recreated? Re-initialize the view.")
+    if (latest == last) return last
+    val cdf = source.readChangeFeed(last + 1, Some(latest))
+    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(vecCol), "semantic view")
+    if (ins.isEmpty && del.isEmpty) return last
+    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(
+      spark.read.parquet(bloomPath))
+    val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
+    val delIds = del.select(col(s"`$idCol`").as("doc_id"))
+    CdfNetting.requireNewIds(spark,
+      state.read.select(col(s"`$idCol`").as("doc_id")), insIds, delIds,
+      Some(bloomBytes), "semantic view")
+    if (!ins.isEmpty)
+      Retrieval.bm25BloomAdd(spark.read.parquet(bloomPath), ins, idCol)
+        .write.mode("overwrite").parquet(bloomPath)
+    if (del.isEmpty)
+      state.write(Similarity.buildSemanticIndex(centroids, ins, idCol, vecCol),
+        "SEMANTIC_REFRESH", "append", meta(latest))
+    else {
+      CdfNetting.requireExistingIds(
+        state.read.select(col(s"`$idCol`").as("doc_id")), delIds,
+        "semantic view")
+      val survivors = state.read
+        .join(broadcast(delIds.distinct().toDF("__del__")),
+          col(s"`$idCol`").cast("string") === col("__del__").cast("string"),
+          "anti")
+      state.write(survivors.unionByName(
+          Similarity.buildSemanticIndex(centroids, ins, idCol, vecCol)),
+        "SEMANTIC_REFRESH", "replace", meta(latest),
+        expectedPrevVersion = state.latestVersion)
+    }
+    latest
+  }
+
+  /** The maintained `(id, vec, cell, cent_cos)` index. */
+  def read: DataFrame = state.read
+
+  /** Keep only the batch vectors that are semantic duplicates of
+    * NOTHING — neither the maintained (ghost-free) corpus index nor
+    * each other ([[Similarity.semanticDedupBatch]]). */
+  def dedupBatch(batch: DataFrame, threshold: Double): DataFrame =
+    Similarity.semanticDedupBatch(centroids, batch, state.read, threshold,
+      idCol, vecCol)
+}
+
+/**
  * The corpus unigram language model ([[graft.llm.TextOps.unigramModel]]
  * — the `(tok, freq)` table behind rare-token gating, tf-idf and the
  * rarity curation filters) as a standing, CDF-maintained view. Token

@@ -188,6 +188,47 @@ class IndexViewsSpec extends SparkSpec {
       rebuilt.exceptAll(view.read).isEmpty)
   }
 
+  test("semantic index view: stale indexes reject ghost re-submissions, " +
+      "refreshed ones admit them; fold equals re-index; CALL surface") {
+    import graft.table.SemanticIndexView
+    import graft.llm.Similarity
+    val src = tmpDir("semv_src"); val st = tmpDir("semv_st")
+    val t = ManagedTable(spark, src)
+    // a ghost vector that provably matches nothing in the base set at
+    // the 0.99 threshold (guard below keeps the scenario honest)
+    val ghostArr = Array(1.0, -0.2, 0.9, -1.1, 0.3, 0.8, -0.6, 0.1)
+    def cosA(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val base = (0 until 32).map(i =>
+      Array.tabulate(8)(d => math.sin(i * 7 + d * 3)))
+    assert(base.forall(v => math.abs(cosA(v, ghostArr)) < 0.9),
+      "pick a different ghost vector — this one collides with the base set")
+    import spark.implicits._
+    val ghost = Seq((1009L, ghostArr.toSeq)).toDF("vec_id", "embedding")
+    t.write(vecs(0 until 32).unionByName(ghost), "APPEND", "append")
+    assert(spark.sql(s"CALL graft.init_semantic_view('$src', '$st', 4)")
+      .head().getLong(0) === 0L)
+    t.delete(col("vec_id") === 1009L)
+    val resubmit = ghost.select(lit(777L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val view = new SemanticIndexView(spark, src, st, nlist = 4)
+    assert(view.dedupBatch(resubmit, threshold = 0.99).isEmpty,
+      "stale index must reject the ghost re-submission")
+    assert(spark.sql(s"CALL graft.refresh_semantic_view('$src', '$st')")
+      .head().getLong(0) === 1L)
+    assert(view.dedupBatch(resubmit, threshold = 0.99).count() === 1L,
+      "refreshed index must admit the re-submission")
+    val liveCopy = vecs(3 until 4)
+      .select(lit(888L).as("vec_id"), col("embedding"))
+    assert(view.dedupBatch(liveCopy, threshold = 0.99).isEmpty,
+      "a copy of a live vector must still reject")
+    val rebuilt = Similarity.buildSemanticIndex(view.centroids, t.read)
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+  }
+
   test("classifier model view: signed per-class counts and priors equal " +
       "the retrain under append/delete/label-flip update; CALL surface") {
     import graft.table.ClassifierModelView
