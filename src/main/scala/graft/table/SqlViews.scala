@@ -43,12 +43,29 @@ object GraftViews {
       // minimal, dependency-free JSON: {"sql": "<escaped>"}
       val re = """(?s)\{"sql":\s*"(.*)"\}\s*""".r
       body match {
-        case re(esc) => Some(esc.replace("\\\"", "\"").replace("\\n", "\n")
-          .replace("\\\\", "\\"))
+        case re(esc) => Some(unescape(esc))
         case _ => throw new IllegalStateException(
           s"corrupt view definition at $p: $body")
       }
     }
+  }
+
+  /** Single left-to-right pass — sequential `.replace` calls would
+    * mangle SQL containing a literal backslash before an 'n' (regex
+    * text inside the view query, e.g. `'\\n'`). */
+  private def unescape(esc: String): String = {
+    val sb = new StringBuilder(esc.length)
+    var i = 0
+    while (i < esc.length) {
+      if (esc.charAt(i) == '\\' && i + 1 < esc.length) {
+        esc.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case c => sb.append(c) // \\  \"  and any future escape
+        }
+        i += 2
+      } else { sb.append(esc.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 
   def store(spark: SparkSession, root: String, sql: String): Unit = {

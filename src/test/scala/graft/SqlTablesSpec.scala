@@ -589,6 +589,22 @@ class SqlTablesSpec extends SparkSpec {
       .get("cluster.columns").contains("x"))
   }
 
+  test("view SQL with backslashes, embedded quotes, and newlines " +
+      "round-trips the storage escape exactly") {
+    val path = freshTable("sqlviewesc")
+    val v = tmpDir("sqlview_esc")
+    // multi-line text with a regex backslash-n literal and a double quote
+    val sql = s"""SELECT regexp_replace(n_name, '\\\\d', 'N') AS a,
+                 |  'he said "hi"' AS b,
+                 |  '\\\\n' AS c
+                 |FROM ${quoted(path)}""".stripMargin
+    spark.sql(s"CREATE VIEW graft.`$v` AS $sql")
+    assertSameRows(spark.sql(s"SELECT * FROM graft.`$v`"), spark.sql(sql))
+    // c must be the two-char string backslash-n, not a newline
+    assert(spark.sql(s"SELECT c FROM graft.`$v`").head().getString(0)
+      === "\\n")
+  }
+
   test("CALL init/refresh_join_view accept the optional minmax_csv " +
       "argument") {
     import spark.implicits._
