@@ -7186,6 +7186,77 @@ object Queries {
       |  (990001), (990002), (990003), (990004), (990005),
       |  (995001), (995002), (995003)) v(doc_id)""".stripMargin
 
+  /** The decontamination benchmark index as a CDF-maintained standing
+    * view ([[graft.table.BenchmarkIndexView]]): benchmarks change too
+    * — suites gain members and RETIRE them — and a stale index keeps a
+    * retired benchmark's shingles, so clean training docs are held
+    * back as contaminated against eval items that no longer exist
+    * (ghost contamination). Three planted nonce benchmarks join the
+    * suite; two retire; the STALE index must flag copies of all three
+    * (ghosts), the REFRESHED one flags only the survivor's copy,
+    * admits the retirees' copies, passes clean docs, and equals the
+    * rebuild exactly. The pure-insert epoch pins the APPEND commit
+    * shape. Oracle: the deterministic decontamination survivor set. */
+  def benchmarkViewRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Dedup
+    import graft.table.{BenchmarkIndexView, ManagedTable}
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    require(docs.agg(max("doc_id")).head().getLong(0) < 970000L,
+      "planted ids collide with natural doc ids")
+    def nonceDoc(i: Int, tag: String): (Long, String) =
+      (970000L + i, (1 to 12).map(k => s"zz${tag}bench$i$k").mkString(" "))
+    val planted = (1 to 3).map(nonceDoc(_, "eval")).toDF("doc_id", "text")
+    val srcPath = tmp("bchv_src")
+    val stPath = tmp("bchv_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs.filter(col("doc_id") < 50).unionByName(planted),
+        "APPEND", "append")
+      new BenchmarkIndexView(spark, srcPath, stPath, expectedDocs = 100000)
+        .initialize()
+    }
+    val view = new BenchmarkIndexView(spark, srcPath, stPath)
+    t.write(docs.filter(col("doc_id") >= 50 && col("doc_id") < 100),
+      "APPEND", "append")
+    require(view.refresh() == 1L,
+      "benchmark_view_refresh: append fold must land on v1")
+    val afterAppend = ManagedTable(spark, stPath).lastCommit.get
+    require(afterAppend.operation == "BENCH_REFRESH" &&
+      afterAppend.dirs.size == 2,
+      "benchmark_view_refresh: a pure-insert slice must APPEND a dir")
+    // the suite RETIRES two of the planted benchmarks
+    t.delete(col("doc_id").isin(970002L, 970003L))
+    val copies = planted.select((col("doc_id") + 20000L).as("doc_id"),
+      col("text")) // 990001..3 — verbatim copies of the planted evals
+    val clean = (1 to 2).map(nonceDoc(_, "clean")).toDF("doc_id", "text")
+      .select((col("doc_id") + 25000L).as("doc_id"), col("text")) // 995001..2
+    val batch = copies.unionByName(clean)
+    // GHOST GATE: the stale index still flags the retirees' copies
+    require(view.decontaminate(batch).count() == 2L,
+      "benchmark_view_refresh: the stale index must hold back copies of " +
+        "ALL planted benchmarks — only the clean docs may pass")
+    val restarted = new BenchmarkIndexView(spark, srcPath, stPath)
+    require(restarted.refresh() == 2L,
+      "benchmark_view_refresh: the retire slice must fold on a restarted instance")
+    val vBefore = ManagedTable(spark, stPath).latestVersion
+    require(restarted.refresh() == 2L &&
+      ManagedTable(spark, stPath).latestVersion == vBefore,
+      "benchmark_view_refresh: an already-current refresh must commit nothing")
+    val rebuilt = Dedup.benchmarkIndex(t.read)
+    require(restarted.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(restarted.read).isEmpty,
+      "benchmark_view_refresh: maintained grams drifted from the rebuild")
+    restarted.decontaminate(batch).select("doc_id")
+  }
+
+  /** DuckDB mirror of [[benchmarkViewRefresh]] — deterministic by
+    * construction: the retirees' copies (990002, 990003) and the clean
+    * docs pass; the surviving benchmark's copy (990001) is held. */
+  val benchmarkViewRefreshSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (VALUES
+      |  (990002), (990003), (995001), (995002)) v(doc_id)""".stripMargin
+
   /** The semantic-dedup index as a CDF-maintained standing view
     * ([[graft.table.SemanticIndexView]]) — the embedding-space ghost
     * scenario mirroring `neardup_view_refresh`: five NEGATED corpus

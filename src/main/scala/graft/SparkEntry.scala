@@ -217,6 +217,7 @@ object SparkEntry {
     "lm_view_refresh" -> (Queries.lmViewRefresh(_, _)),
     "neardup_view_refresh" -> (Queries.neardupViewRefresh(_, _)),
     "semantic_view_refresh" -> (Queries.semanticViewRefresh(_, _)),
+    "benchmark_view_refresh" -> (Queries.benchmarkViewRefresh(_, _)),
     "phrase_view_refresh" -> (Queries.phraseViewRefresh(_, _)),
     "ann_view_refresh" -> (Queries.annViewRefresh(_, _)),
     "phrase_search" -> (Queries.phraseSearchDocs(_, _)),
@@ -734,6 +735,7 @@ object SparkEntry {
     "lm_view_refresh" -> Queries.lmViewRefreshSql,
     "neardup_view_refresh" -> Queries.neardupViewRefreshSql,
     "semantic_view_refresh" -> Queries.semanticViewRefreshSql,
+    "benchmark_view_refresh" -> Queries.benchmarkViewRefreshSql,
     "phrase_view_refresh" -> Queries.phraseViewRefreshSql,
     "ann_view_refresh" -> Queries.annViewRefreshSql,
     "phrase_search" -> Queries.phraseSearchSql,

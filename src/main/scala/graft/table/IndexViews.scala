@@ -308,6 +308,114 @@ final class NearDupIndexView(spark: SparkSession, sourcePath: String,
 }
 
 /**
+ * The standing DECONTAMINATION benchmark index
+ * ([[graft.llm.Dedup.benchmarkIndex]] — one `(gram, test_id)` row per
+ * distinct eval-doc shingle) as a CDF-maintained view over the
+ * BENCHMARK table. Benchmarks change too: suites gain members
+ * (appends) and retire them (deletes) — and a stale index keeps a
+ * retired benchmark's grams, so clean training documents are held
+ * back as "contaminated" against eval items that no longer exist
+ * (ghost contamination — the exact mirror of the corpus-side ghost
+ * dedup). Grams are per-eval-doc, so maintenance is row-local like
+ * [[PositionalIndexView]]: pure-insert slices APPEND the batch's own
+ * gram rows, delete slices rewrite once via broadcast anti-join on
+ * `test_id`, updates are the (−pre, +post) pair. Same watermark /
+ * bloom / duplicate-id contracts as the family.
+ */
+final class BenchmarkIndexView(spark: SparkSession, sourcePath: String,
+                               statePath: String,
+                               textCol: String = "text",
+                               idCol: String = "doc_id",
+                               shingleN: Int = 3,
+                               expectedDocs: Long = 10000000L) {
+  import graft.llm.Dedup
+
+  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
+  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
+
+  private def source = ManagedTable(spark, sourcePath)
+  private def state = ManagedTable(spark, statePath)
+  private val bloomPath = statePath.stripSuffix("/") + "_bloom"
+
+  private def build(docs: DataFrame): DataFrame =
+    Dedup.benchmarkIndex(docs, textCol, idCol, shingleN)
+
+  /** The last source version folded into the index. */
+  def sourceVersion: Long = {
+    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
+      s"benchmark view state $statePath does not exist — call initialize() first"))
+    c.userMetadata match {
+      case Some(MetaRe(v)) => v.toLong
+      case other => throw new IllegalStateException(
+        s"state commit carries no sourceVersion watermark: $other")
+    }
+  }
+
+  /** Build from the benchmark table's CURRENT snapshot. */
+  def initialize(): Long = {
+    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    val snapshot = source.read
+    Retrieval.bm25IndexBloom(snapshot.select(col(s"`$idCol`").as("doc_id")),
+        expectedDocs)
+      .write.mode("overwrite").parquet(bloomPath)
+    state.write(build(snapshot), "BENCH_INIT", "replace", meta(v))
+    v
+  }
+
+  /** Fold the unprocessed change-feed range. No-op (no commit) when
+    * already current or the range nets to nothing. */
+  def refresh(): Long = {
+    val last = sourceVersion
+    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    require(latest >= last,
+      s"source went backwards: watermark $last, latest $latest — was the " +
+        "benchmark table recreated? Re-initialize the view.")
+    if (latest == last) return last
+    val cdf = source.readChangeFeed(last + 1, Some(latest))
+    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol), "benchmark view")
+    if (ins.isEmpty && del.isEmpty) return last
+    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(
+      spark.read.parquet(bloomPath))
+    val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
+    val delIds = del.select(col(s"`$idCol`").as("doc_id"))
+    CdfNetting.requireNewIds(spark,
+      state.read.select(col("test_id").as("doc_id")), insIds, delIds,
+      Some(bloomBytes), "benchmark view")
+    if (!ins.isEmpty)
+      Retrieval.bm25BloomAdd(spark.read.parquet(bloomPath), ins, idCol)
+        .write.mode("overwrite").parquet(bloomPath)
+    if (del.isEmpty)
+      state.write(build(ins), "BENCH_REFRESH", "append", meta(latest))
+    else {
+      CdfNetting.requireExistingIds(
+        state.read.select(col("test_id").as("doc_id")), delIds,
+        "benchmark view")
+      val survivors = state.read
+        .join(broadcast(delIds.distinct().toDF("__del__")),
+          col("test_id").cast("string") === col("__del__").cast("string"),
+          "anti")
+      state.write(survivors.unionByName(build(ins)),
+        "BENCH_REFRESH", "replace", meta(latest),
+        expectedPrevVersion = state.latestVersion)
+    }
+    latest
+  }
+
+  /** The maintained `(test_id, gram)` index. */
+  def read: DataFrame = state.read
+
+  /** Keep only the batch docs safe to train on — not contaminated
+    * against any CURRENT benchmark member
+    * ([[graft.llm.Dedup.decontaminateWith]], ghost-free). */
+  def decontaminate(batch: DataFrame, minShared: Int = 3,
+                    commonGrams: Option[DataFrame] = None): DataFrame =
+    Dedup.decontaminateWith(batch, state.read, textCol, idCol, shingleN,
+      minShared, commonGrams)
+}
+
+/**
  * The standing SEMANTIC-DEDUP index ([[Similarity.buildSemanticIndex]]
  * — each corpus vector with its k-means cell and centroid cosine) as a
  * CDF-maintained view — the embedding-space sibling of

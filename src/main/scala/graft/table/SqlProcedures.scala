@@ -126,7 +126,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
          "init_lm_view" | "refresh_lm_view" |
          "init_nb_view" | "refresh_nb_view" |
          "init_neardup_view" | "refresh_neardup_view" |
-         "init_semantic_view" | "refresh_semantic_view" => Seq(
+         "init_semantic_view" | "refresh_semantic_view" |
+         "init_benchmark_view" | "refresh_benchmark_view" => Seq(
       attr("source_version", LongType))
     case "init_join_view" | "refresh_join_view" => Seq(
       attr("left_version", LongType), attr("right_version", LongType))
@@ -138,7 +139,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         "refresh_bm25_view, init_phrase_view, refresh_phrase_view, " +
         "init_ann_view, refresh_ann_view, init_lm_view, refresh_lm_view, " +
         "init_nb_view, refresh_nb_view, init_neardup_view, " +
-        "refresh_neardup_view, init_semantic_view, refresh_semantic_view")
+        "refresh_neardup_view, init_semantic_view, refresh_semantic_view, " +
+        "init_benchmark_view, refresh_benchmark_view")
   }
 
   private def metricsJson(m: Map[String, String]): String =
@@ -266,6 +268,16 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         val view = new CorpusLmView(spark, strArg(args(0), "source path"),
           strArg(args(1), "state path"))
         val v = if (proc == "init_lm_view") view.initialize()
+          else view.refresh()
+        Seq(Row(v))
+      case "init_benchmark_view" | "refresh_benchmark_view" =>
+        require(args.size == 2 || args.size == 3,
+          s"CALL graft.$proc(source, state[, shingle_n])")
+        val view = new BenchmarkIndexView(spark,
+          strArg(args(0), "source path"), strArg(args(1), "state path"),
+          shingleN = if (args.size == 3) longArg(args(2), "shingle_n").toInt
+            else 3)
+        val v = if (proc == "init_benchmark_view") view.initialize()
           else view.refresh()
         Seq(Row(v))
       case "init_semantic_view" | "refresh_semantic_view" =>

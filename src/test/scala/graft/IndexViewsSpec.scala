@@ -188,6 +188,35 @@ class IndexViewsSpec extends SparkSpec {
       rebuilt.exceptAll(view.read).isEmpty)
   }
 
+  test("benchmark index view: a retired benchmark stops holding back " +
+      "clean training docs after refresh; fold equals rebuild; CALL") {
+    import graft.table.BenchmarkIndexView
+    import graft.llm.Dedup
+    val src = tmpDir("bchv_src"); val st = tmpDir("bchv_st")
+    val t = ManagedTable(spark, src)
+    val evals = Seq(
+      (1L, (1 to 10).map(k => s"zzevala$k").mkString(" ")),
+      (2L, (1 to 10).map(k => s"zzevalb$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    t.write(evals, "APPEND", "append")
+    assert(spark.sql(s"CALL graft.init_benchmark_view('$src', '$st')")
+      .head().getLong(0) === 0L)
+    // benchmark 2 retires
+    t.delete(col("doc_id") === 2L)
+    val train = evals.select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val view = new BenchmarkIndexView(spark, src, st)
+    // stale: both copies held back (102 by the GHOST)
+    assert(view.decontaminate(train).isEmpty)
+    assert(spark.sql(s"CALL graft.refresh_benchmark_view('$src', '$st')")
+      .head().getLong(0) === 1L)
+    // refreshed: the retiree's copy passes, the survivor's stays held
+    assert(view.decontaminate(train).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq === Seq(102L))
+    val rebuilt = Dedup.benchmarkIndex(t.read)
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+  }
+
   test("semantic index view: stale indexes reject ghost re-submissions, " +
       "refreshed ones admit them; fold equals re-index; CALL surface") {
     import graft.table.SemanticIndexView
