@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /**
  * Shared machinery for CDF-maintained index views ([[Bm25IndexView]],
- * [[PositionalIndexView]], [[AnnIndexView]]): net a change-feed slice
- * per (id, payload) under ±1 signs, and the id-membership gates every
- * standing index needs before folding a delta.
+ * the [[RowLocalIndexView]] family, [[CorpusLmView]],
+ * [[ClassifierModelView]]): net a change-feed slice per (id, payload)
+ * under ±1 signs, and the id-membership gates every standing index
+ * needs before folding a delta.
  */
 private[table] object CdfNetting {
 
@@ -92,219 +93,146 @@ private[table] object CdfNetting {
 }
 
 /**
+ * The shared lifecycle of every ROW-LOCAL standing-index view — an
+ * index whose rows are a function of ONE source row (positions,
+ * MinHash signatures, PQ codes, cell assignments, benchmark shingles),
+ * so maintenance never moves a cross-document statistic:
+ *
+ *   - [[initialize]]: (optional per-view training hook), doc-id bloom
+ *     written FIRST (a crash between bloom and state can only
+ *     over-approximate, never under-cover), then one replace commit of
+ *     the full index;
+ *   - [[refresh]]: the unprocessed change-feed range nets per
+ *     (id, payload) ([[CdfNetting.net]] — coarse dir-rewrite feeds
+ *     cancel to the minimal delta); a PURE-INSERT slice lands as an
+ *     APPEND commit of the batch's own rows (the standing index is not
+ *     even read — O(batch) per day); a slice with deletes rewrites
+ *     once, the deleted-id set broadcast into an anti-join; updates
+ *     are the (−pre, +post) pair. Insert-id collisions are bloom-gated
+ *     against the surviving index, deletes must describe rows the
+ *     index holds — both loud.
+ *
+ * Exactly-once: the folded source version rides each state commit's
+ * metadata; replace commits carry `expectedPrevVersion` so racing
+ * refreshes cannot both land. Subclasses supply only [[buildRows]]
+ * (the indexing function), names, and optional training/layout hooks
+ * — the contract and its tests are shared, not stamped.
+ */
+private[table] abstract class RowLocalIndexView(
+    spark: SparkSession, sourcePath: String, statePath: String,
+    idCol: String, payloadCols: Seq[String],
+    what: String, opPrefix: String, expectedIds: Long) {
+
+  /** Index rows for a set of source rows — must be a per-row-local
+    * function (a doc's index rows depend on that doc alone). */
+  protected def buildRows(docs: DataFrame): DataFrame
+
+  /** The id column NAME inside the state rows. */
+  protected def stateIdColumn: String = idCol
+
+  /** Hook before the init write — train and persist quantizers. */
+  protected def beforeInitialize(snapshot: DataFrame): Unit = ()
+
+  /** Properties landing IN the init commit (layout knobs governing the
+    * index's very first files). */
+  protected def initProperties: Option[Map[String, String]] = None
+
+  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
+  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
+
+  protected final def source: ManagedTable = ManagedTable(spark, sourcePath)
+  protected final def state: ManagedTable = ManagedTable(spark, statePath)
+  private val bloomPath = statePath.stripSuffix("/") + "_bloom"
+
+  private def stateIds: DataFrame =
+    state.read.select(col(s"`$stateIdColumn`").as("doc_id"))
+
+  /** The last source version folded into the index. */
+  final def sourceVersion: Long = {
+    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
+      s"$what state $statePath does not exist — call initialize() first"))
+    c.userMetadata match {
+      case Some(MetaRe(v)) => v.toLong
+      case other => throw new IllegalStateException(
+        s"state commit carries no sourceVersion watermark: $other")
+    }
+  }
+
+  /** Build from the source table's CURRENT snapshot. */
+  final def initialize(): Long = {
+    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    val snapshot = source.read
+    beforeInitialize(snapshot)
+    Retrieval.bm25IndexBloom(snapshot.select(col(s"`$idCol`").as("doc_id")),
+        expectedIds)
+      .write.mode("overwrite").parquet(bloomPath)
+    state.write(buildRows(snapshot), s"${opPrefix}_INIT", "replace", meta(v),
+      propertiesOverride = initProperties)
+    v
+  }
+
+  /** Fold the unprocessed change-feed range. No-op (no commit) when
+    * already current or the range nets to nothing. */
+  final def refresh(): Long = {
+    val last = sourceVersion
+    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
+      s"source table $sourcePath does not exist"))
+    require(latest >= last,
+      s"source went backwards: watermark $last, latest $latest — was the " +
+        "source table recreated? Re-initialize the view.")
+    if (latest == last) return last
+    val cdf = source.readChangeFeed(last + 1, Some(latest))
+    val (ins, del) = CdfNetting.net(cdf, idCol, payloadCols, what)
+    if (ins.isEmpty && del.isEmpty) return last
+    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(
+      spark.read.parquet(bloomPath))
+    val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
+    val delIds = del.select(col(s"`$idCol`").as("doc_id"))
+    CdfNetting.requireNewIds(spark, stateIds, insIds, delIds,
+      Some(bloomBytes), what)
+    if (!ins.isEmpty)
+      Retrieval.bm25BloomAdd(spark.read.parquet(bloomPath), ins, idCol)
+        .write.mode("overwrite").parquet(bloomPath)
+    if (del.isEmpty)
+      state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
+        meta(latest))
+    else {
+      CdfNetting.requireExistingIds(stateIds, delIds, what)
+      val survivors = state.read
+        .join(broadcast(delIds.distinct().toDF("__del__")),
+          col(s"`$stateIdColumn`").cast("string") ===
+            col("__del__").cast("string"), "anti")
+      state.write(survivors.unionByName(buildRows(ins)),
+        s"${opPrefix}_REFRESH", "replace", meta(latest),
+        expectedPrevVersion = state.latestVersion)
+    }
+    latest
+  }
+
+  /** The maintained index. */
+  final def read: DataFrame = state.read
+}
+
+/**
  * The POSITIONAL index behind [[Retrieval.phraseSearchWith]] as a
- * standing, CDF-maintained view — the [[Bm25IndexView]] pattern for
- * exact phrase search: the corpus lives in a [[ManagedTable]], the
- * `(doc_id, pos, tok)` occurrence rows live in their own ManagedTable,
- * and each refresh reads ONLY the unprocessed change-feed range.
- * Positions are per-document, so maintenance is ROW-LOCAL — no
- * df-style cross-document statistic moves:
- *
- *   - a pure-insert slice lands as an APPEND commit of the batch's own
- *     posexploded rows — O(batch), the standing index is not even read;
- *   - a slice with deletes/updates rewrites once: survivors leave by
- *     broadcast anti-join on the (batch-sized) deleted-id set, the
- *     entering docs' rows union on — one narrow pass, no shuffle of
- *     the index (the same budget the BM25 view's signed path pays).
- *
- * Exactly-once watermarks, the doc-id bloom gate, and the loud
- * duplicate-id / recreated-source contracts are [[Bm25IndexView]]'s,
- * verbatim; the bloom only ever grows (deleted ids stay — a re-insert
- * falls through to the exact check against the surviving index).
+ * standing, CDF-maintained view — `(doc_id, pos, tok)` occurrence rows
+ * for exact phrase search. Positions are per-document, so the
+ * [[RowLocalIndexView]] lifecycle applies verbatim: pure-insert slices
+ * APPEND their own posexploded rows, deletes rewrite once.
  */
 final class PositionalIndexView(spark: SparkSession, sourcePath: String,
                                 statePath: String,
                                 textCol: String = "text",
                                 idCol: String = "doc_id",
-                                expectedDocs: Long = 10000000L) {
+                                expectedDocs: Long = 10000000L)
+  extends RowLocalIndexView(spark, sourcePath, statePath, idCol,
+    Seq(textCol), "positional index view", "PHRASE", expectedDocs) {
 
-  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
-  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
+  override protected def stateIdColumn: String = "doc_id"
 
-  private def source = ManagedTable(spark, sourcePath)
-  private def state = ManagedTable(spark, statePath)
-  private val bloomPath = statePath.stripSuffix("/") + "_bloom"
-
-  /** The last source version folded into the index. */
-  def sourceVersion: Long = {
-    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
-      s"positional view state $statePath does not exist — call initialize() first"))
-    c.userMetadata match {
-      case Some(MetaRe(v)) => v.toLong
-      case other => throw new IllegalStateException(
-        s"state commit carries no sourceVersion watermark: $other")
-    }
-  }
-
-  /** Build from the corpus's CURRENT snapshot — bloom first (crash
-    * between the two only over-approximates, never under-covers). */
-  def initialize(): Long = {
-    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
-      s"source table $sourcePath does not exist"))
-    val snapshot = source.read
-    Retrieval.bm25IndexBloom(snapshot.select(col(idCol).as("doc_id")),
-        expectedDocs)
-      .write.mode("overwrite").parquet(bloomPath)
-    state.write(Retrieval.positionalIndex(snapshot, textCol, idCol),
-      "PHRASE_INIT", "replace", meta(v))
-    v
-  }
-
-  /** Fold the unprocessed change-feed range. No-op (no commit) when
-    * already current or the range nets to nothing. */
-  def refresh(): Long = {
-    val last = sourceVersion
-    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
-      s"source table $sourcePath does not exist"))
-    require(latest >= last,
-      s"source went backwards: watermark $last, latest $latest — was the " +
-        "corpus table recreated? Re-initialize the view.")
-    if (latest == last) return last
-    val cdf = source.readChangeFeed(last + 1, Some(latest))
-    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol),
-      "positional index view")
-    if (ins.isEmpty && del.isEmpty) return last
-    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(
-      spark.read.parquet(bloomPath))
-    val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
-    val delIds = del.select(col(s"`$idCol`").as("doc_id"))
-    CdfNetting.requireNewIds(spark, state.read.select("doc_id"), insIds,
-      delIds, Some(bloomBytes), "positional index view")
-    if (!ins.isEmpty)
-      Retrieval.bm25BloomAdd(spark.read.parquet(bloomPath), ins, idCol)
-        .write.mode("overwrite").parquet(bloomPath)
-    if (del.isEmpty)
-      // positions are row-local: a pure-insert slice APPENDS its own
-      // rows, the standing index is never read or rewritten
-      state.write(Retrieval.positionalIndex(ins, textCol, idCol),
-        "PHRASE_REFRESH", "append", meta(latest))
-    else {
-      CdfNetting.requireExistingIds(state.read.select("doc_id"), delIds,
-        "positional index view")
-      val survivors = state.read
-        .join(broadcast(delIds.distinct().toDF("__del__")),
-          col("doc_id").cast("string") === col("__del__").cast("string"),
-          "anti")
-      state.write(
-        survivors.unionByName(Retrieval.positionalIndex(ins, textCol, idCol)),
-        "PHRASE_REFRESH", "replace", meta(latest),
-        expectedPrevVersion = state.latestVersion)
-    }
-    latest
-  }
-
-  /** The maintained occurrence table — feed straight into
-    * [[Retrieval.phraseSearchWith]]. */
-  def read: DataFrame = state.read
-}
-
-/**
- * The standing NEAR-DUP index ([[graft.llm.Dedup.buildNearDupIndex]] —
- * the MinHash-signature + shingle-set table behind incremental
- * batch-vs-corpus dedup) as a CDF-maintained view. This closes the
- * most consequential curation asymmetry of the dedup family itself: a
- * stale index keeps DELETED documents' signatures, so a re-submitted
- * document is rejected as a duplicate of a GHOST — a doc the corpus no
- * longer contains. Rows are per-document (signature + shingle set), so
- * maintenance is row-local exactly like [[PositionalIndexView]]:
- * pure-insert slices land as APPEND commits of the batch's own
- * signature rows (the standing index is not even read), delete slices
- * rewrite once via broadcast anti-join, updates are the (−pre, +post)
- * pair. Same watermark/bloom/duplicate-id contracts as the family.
- */
-final class NearDupIndexView(spark: SparkSession, sourcePath: String,
-                             statePath: String,
-                             textCol: String = "text",
-                             idCol: String = "doc_id",
-                             numHashes: Int = 64, shingleN: Int = 3,
-                             expectedDocs: Long = 10000000L) {
-  import graft.llm.Dedup
-
-  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
-  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
-
-  private def source = ManagedTable(spark, sourcePath)
-  private def state = ManagedTable(spark, statePath)
-  private val bloomPath = statePath.stripSuffix("/") + "_bloom"
-
-  private def build(docs: DataFrame): DataFrame =
-    Dedup.buildNearDupIndex(docs, textCol, idCol, numHashes, shingleN)
-
-  /** The last source version folded into the index. */
-  def sourceVersion: Long = {
-    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
-      s"neardup view state $statePath does not exist — call initialize() first"))
-    c.userMetadata match {
-      case Some(MetaRe(v)) => v.toLong
-      case other => throw new IllegalStateException(
-        s"state commit carries no sourceVersion watermark: $other")
-    }
-  }
-
-  /** Build from the corpus's CURRENT snapshot (bloom first — the
-    * family's crash-safe order). */
-  def initialize(): Long = {
-    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
-      s"source table $sourcePath does not exist"))
-    val snapshot = source.read
-    Retrieval.bm25IndexBloom(snapshot.select(col(s"`$idCol`").as("doc_id")),
-        expectedDocs)
-      .write.mode("overwrite").parquet(bloomPath)
-    state.write(build(snapshot), "NEARDUP_INIT", "replace", meta(v))
-    v
-  }
-
-  /** Fold the unprocessed change-feed range. No-op (no commit) when
-    * already current or the range nets to nothing. */
-  def refresh(): Long = {
-    val last = sourceVersion
-    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
-      s"source table $sourcePath does not exist"))
-    require(latest >= last,
-      s"source went backwards: watermark $last, latest $latest — was the " +
-        "corpus table recreated? Re-initialize the view.")
-    if (latest == last) return last
-    val cdf = source.readChangeFeed(last + 1, Some(latest))
-    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol), "neardup view")
-    if (ins.isEmpty && del.isEmpty) return last
-    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(
-      spark.read.parquet(bloomPath))
-    val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
-    val delIds = del.select(col(s"`$idCol`").as("doc_id"))
-    CdfNetting.requireNewIds(spark,
-      state.read.select(col(s"`$idCol`").as("doc_id")), insIds, delIds,
-      Some(bloomBytes), "neardup view")
-    if (!ins.isEmpty)
-      Retrieval.bm25BloomAdd(spark.read.parquet(bloomPath), ins, idCol)
-        .write.mode("overwrite").parquet(bloomPath)
-    if (del.isEmpty)
-      state.write(build(ins), "NEARDUP_REFRESH", "append", meta(latest))
-    else {
-      CdfNetting.requireExistingIds(
-        state.read.select(col(s"`$idCol`").as("doc_id")), delIds,
-        "neardup view")
-      val survivors = state.read
-        .join(broadcast(delIds.distinct().toDF("__del__")),
-          col(s"`$idCol`").cast("string") === col("__del__").cast("string"),
-          "anti")
-      state.write(survivors.unionByName(build(ins)),
-        "NEARDUP_REFRESH", "replace", meta(latest),
-        expectedPrevVersion = state.latestVersion)
-    }
-    latest
-  }
-
-  /** The maintained signature index. */
-  def read: DataFrame = state.read
-
-  /** Keep only the batch docs that are near-dups of NOTHING — neither
-    * the maintained corpus index (ghost-free: deleted docs no longer
-    * reject re-submissions) nor each other
-    * ([[graft.llm.Dedup.dedupNewBatch]]). */
-  def dedupBatch(newDocs: DataFrame, threshold: Double = 0.8,
-                 bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    Dedup.dedupNewBatch(newDocs, state.read, textCol, idCol, threshold,
-      numHashes, shingleN, bands, rowsPerBand)
+  override protected def buildRows(docs: DataFrame): DataFrame =
+    Retrieval.positionalIndex(docs, textCol, idCol)
 }
 
 /**
@@ -316,103 +244,60 @@ final class NearDupIndexView(spark: SparkSession, sourcePath: String,
  * retired benchmark's grams, so clean training documents are held
  * back as "contaminated" against eval items that no longer exist
  * (ghost contamination — the exact mirror of the corpus-side ghost
- * dedup). Grams are per-eval-doc, so maintenance is row-local like
- * [[PositionalIndexView]]: pure-insert slices APPEND the batch's own
- * gram rows, delete slices rewrite once via broadcast anti-join on
- * `test_id`, updates are the (−pre, +post) pair. Same watermark /
- * bloom / duplicate-id contracts as the family.
+ * dedup).
  */
 final class BenchmarkIndexView(spark: SparkSession, sourcePath: String,
                                statePath: String,
                                textCol: String = "text",
                                idCol: String = "doc_id",
                                shingleN: Int = 3,
-                               expectedDocs: Long = 10000000L) {
-  import graft.llm.Dedup
+                               expectedDocs: Long = 10000000L)
+  extends RowLocalIndexView(spark, sourcePath, statePath, idCol,
+    Seq(textCol), "benchmark view", "BENCH", expectedDocs) {
 
-  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
-  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
+  override protected def stateIdColumn: String = "test_id"
 
-  private def source = ManagedTable(spark, sourcePath)
-  private def state = ManagedTable(spark, statePath)
-  private val bloomPath = statePath.stripSuffix("/") + "_bloom"
-
-  private def build(docs: DataFrame): DataFrame =
-    Dedup.benchmarkIndex(docs, textCol, idCol, shingleN)
-
-  /** The last source version folded into the index. */
-  def sourceVersion: Long = {
-    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
-      s"benchmark view state $statePath does not exist — call initialize() first"))
-    c.userMetadata match {
-      case Some(MetaRe(v)) => v.toLong
-      case other => throw new IllegalStateException(
-        s"state commit carries no sourceVersion watermark: $other")
-    }
-  }
-
-  /** Build from the benchmark table's CURRENT snapshot. */
-  def initialize(): Long = {
-    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
-      s"source table $sourcePath does not exist"))
-    val snapshot = source.read
-    Retrieval.bm25IndexBloom(snapshot.select(col(s"`$idCol`").as("doc_id")),
-        expectedDocs)
-      .write.mode("overwrite").parquet(bloomPath)
-    state.write(build(snapshot), "BENCH_INIT", "replace", meta(v))
-    v
-  }
-
-  /** Fold the unprocessed change-feed range. No-op (no commit) when
-    * already current or the range nets to nothing. */
-  def refresh(): Long = {
-    val last = sourceVersion
-    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
-      s"source table $sourcePath does not exist"))
-    require(latest >= last,
-      s"source went backwards: watermark $last, latest $latest — was the " +
-        "benchmark table recreated? Re-initialize the view.")
-    if (latest == last) return last
-    val cdf = source.readChangeFeed(last + 1, Some(latest))
-    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol), "benchmark view")
-    if (ins.isEmpty && del.isEmpty) return last
-    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(
-      spark.read.parquet(bloomPath))
-    val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
-    val delIds = del.select(col(s"`$idCol`").as("doc_id"))
-    CdfNetting.requireNewIds(spark,
-      state.read.select(col("test_id").as("doc_id")), insIds, delIds,
-      Some(bloomBytes), "benchmark view")
-    if (!ins.isEmpty)
-      Retrieval.bm25BloomAdd(spark.read.parquet(bloomPath), ins, idCol)
-        .write.mode("overwrite").parquet(bloomPath)
-    if (del.isEmpty)
-      state.write(build(ins), "BENCH_REFRESH", "append", meta(latest))
-    else {
-      CdfNetting.requireExistingIds(
-        state.read.select(col("test_id").as("doc_id")), delIds,
-        "benchmark view")
-      val survivors = state.read
-        .join(broadcast(delIds.distinct().toDF("__del__")),
-          col("test_id").cast("string") === col("__del__").cast("string"),
-          "anti")
-      state.write(survivors.unionByName(build(ins)),
-        "BENCH_REFRESH", "replace", meta(latest),
-        expectedPrevVersion = state.latestVersion)
-    }
-    latest
-  }
-
-  /** The maintained `(test_id, gram)` index. */
-  def read: DataFrame = state.read
+  override protected def buildRows(docs: DataFrame): DataFrame =
+    graft.llm.Dedup.benchmarkIndex(docs, textCol, idCol, shingleN)
 
   /** Keep only the batch docs safe to train on — not contaminated
     * against any CURRENT benchmark member
     * ([[graft.llm.Dedup.decontaminateWith]], ghost-free). */
   def decontaminate(batch: DataFrame, minShared: Int = 3,
                     commonGrams: Option[DataFrame] = None): DataFrame =
-    Dedup.decontaminateWith(batch, state.read, textCol, idCol, shingleN,
-      minShared, commonGrams)
+    graft.llm.Dedup.decontaminateWith(batch, read, textCol, idCol,
+      shingleN, minShared, commonGrams)
+}
+
+/**
+ * The standing NEAR-DUP index ([[graft.llm.Dedup.buildNearDupIndex]] —
+ * MinHash signature + shingle set per document) as a CDF-maintained
+ * view. This closes the most consequential curation asymmetry of the
+ * dedup family itself: a stale index keeps DELETED documents'
+ * signatures, so a re-submitted document is rejected as a duplicate of
+ * a GHOST — a doc the corpus no longer contains.
+ */
+final class NearDupIndexView(spark: SparkSession, sourcePath: String,
+                             statePath: String,
+                             textCol: String = "text",
+                             idCol: String = "doc_id",
+                             numHashes: Int = 64, shingleN: Int = 3,
+                             expectedDocs: Long = 10000000L)
+  extends RowLocalIndexView(spark, sourcePath, statePath, idCol,
+    Seq(textCol), "neardup view", "NEARDUP", expectedDocs) {
+
+  override protected def buildRows(docs: DataFrame): DataFrame =
+    graft.llm.Dedup.buildNearDupIndex(docs, textCol, idCol, numHashes,
+      shingleN)
+
+  /** Keep only the batch docs that are near-dups of NOTHING — neither
+    * the maintained corpus index (ghost-free: deleted docs no longer
+    * reject re-submissions) nor each other
+    * ([[graft.llm.Dedup.dedupNewBatch]]). */
+  def dedupBatch(newDocs: DataFrame, threshold: Double = 0.8,
+                 bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    graft.llm.Dedup.dedupNewBatch(newDocs, read, textCol, idCol, threshold,
+      numHashes, shingleN, bands, rowsPerBand)
 }
 
 /**
@@ -422,112 +307,101 @@ final class BenchmarkIndexView(spark: SparkSession, sourcePath: String,
  * [[NearDupIndexView]], closing the same ghost asymmetry: a stale
  * index keeps deleted vectors, so a re-submitted (or re-embedded)
  * document is semantically rejected against a doc the corpus no
- * longer contains. The cell quantizer trains ONCE at [[initialize]]
- * and persists beside the state (the [[AnnIndexView]] add-vs-train
- * split — re-training on drift is an explicit re-initialize); rows
- * are per-vector, so pure-insert slices APPEND their own cell-assigned
- * rows and delete slices rewrite once via broadcast anti-join. Same
- * watermark/bloom/duplicate-id contracts as the family.
+ * longer contains. The cell quantizer trains ONCE at `initialize` and
+ * persists beside the state (the [[AnnIndexView]] add-vs-train split —
+ * re-training on drift is an explicit re-initialize).
  */
 final class SemanticIndexView(spark: SparkSession, sourcePath: String,
                               statePath: String,
                               idCol: String = "vec_id",
                               vecCol: String = "embedding",
                               nlist: Int = 16, trainIters: Int = 2,
-                              expectedVecs: Long = 10000000L) {
+                              expectedVecs: Long = 10000000L)
+  extends RowLocalIndexView(spark, sourcePath, statePath, idCol,
+    Seq(vecCol), "semantic view", "SEMANTIC", expectedVecs) {
 
-  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
-  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
-
-  private def source = ManagedTable(spark, sourcePath)
-  private def state = ManagedTable(spark, statePath)
-  private val bloomPath = statePath.stripSuffix("/") + "_bloom"
   private val centsPath = statePath.stripSuffix("/") + "_centroids"
 
-  /** The frozen cell quantizer (trained at [[initialize]]). */
+  /** The frozen cell quantizer (trained at `initialize`). */
   def centroids: Array[Array[Double]] =
     Similarity.centroidsFrom(spark.read.parquet(centsPath))
 
-  /** The last source version folded into the index. */
-  def sourceVersion: Long = {
-    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
-      s"semantic view state $statePath does not exist — call initialize() first"))
-    c.userMetadata match {
-      case Some(MetaRe(v)) => v.toLong
-      case other => throw new IllegalStateException(
-        s"state commit carries no sourceVersion watermark: $other")
-    }
-  }
-
-  /** Train the quantizer on the CURRENT snapshot and index it. */
-  def initialize(): Long = {
-    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
-      s"source table $sourcePath does not exist"))
-    val snapshot = source.read
+  override protected def beforeInitialize(snapshot: DataFrame): Unit = {
     val cents = Similarity.trainCentroids(snapshot, nlist, trainIters,
       idCol, vecCol)
     Similarity.centroidsTable(spark, cents)
       .write.mode("overwrite").parquet(centsPath)
-    Retrieval.bm25IndexBloom(snapshot.select(col(s"`$idCol`").as("doc_id")),
-        expectedVecs)
-      .write.mode("overwrite").parquet(bloomPath)
-    state.write(Similarity.buildSemanticIndex(cents, snapshot, idCol, vecCol),
-      "SEMANTIC_INIT", "replace", meta(v))
-    v
   }
 
-  /** Fold the unprocessed change-feed range against the FROZEN
-    * quantizer. No-op (no commit) when already current or the range
-    * nets to nothing. */
-  def refresh(): Long = {
-    val last = sourceVersion
-    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
-      s"source table $sourcePath does not exist"))
-    require(latest >= last,
-      s"source went backwards: watermark $last, latest $latest — was the " +
-        "corpus table recreated? Re-initialize the view.")
-    if (latest == last) return last
-    val cdf = source.readChangeFeed(last + 1, Some(latest))
-    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(vecCol), "semantic view")
-    if (ins.isEmpty && del.isEmpty) return last
-    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(
-      spark.read.parquet(bloomPath))
-    val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
-    val delIds = del.select(col(s"`$idCol`").as("doc_id"))
-    CdfNetting.requireNewIds(spark,
-      state.read.select(col(s"`$idCol`").as("doc_id")), insIds, delIds,
-      Some(bloomBytes), "semantic view")
-    if (!ins.isEmpty)
-      Retrieval.bm25BloomAdd(spark.read.parquet(bloomPath), ins, idCol)
-        .write.mode("overwrite").parquet(bloomPath)
-    if (del.isEmpty)
-      state.write(Similarity.buildSemanticIndex(centroids, ins, idCol, vecCol),
-        "SEMANTIC_REFRESH", "append", meta(latest))
-    else {
-      CdfNetting.requireExistingIds(
-        state.read.select(col(s"`$idCol`").as("doc_id")), delIds,
-        "semantic view")
-      val survivors = state.read
-        .join(broadcast(delIds.distinct().toDF("__del__")),
-          col(s"`$idCol`").cast("string") === col("__del__").cast("string"),
-          "anti")
-      state.write(survivors.unionByName(
-          Similarity.buildSemanticIndex(centroids, ins, idCol, vecCol)),
-        "SEMANTIC_REFRESH", "replace", meta(latest),
-        expectedPrevVersion = state.latestVersion)
-    }
-    latest
-  }
-
-  /** The maintained `(id, vec, cell, cent_cos)` index. */
-  def read: DataFrame = state.read
+  override protected def buildRows(docs: DataFrame): DataFrame =
+    Similarity.buildSemanticIndex(centroids, docs, idCol, vecCol)
 
   /** Keep only the batch vectors that are semantic duplicates of
     * NOTHING — neither the maintained (ghost-free) corpus index nor
     * each other ([[Similarity.semanticDedupBatch]]). */
   def dedupBatch(batch: DataFrame, threshold: Double): DataFrame =
-    Similarity.semanticDedupBatch(centroids, batch, state.read, threshold,
+    Similarity.semanticDedupBatch(centroids, batch, read, threshold,
       idCol, vecCol)
+}
+
+/**
+ * The IVF-PQ ANN index as a standing, CDF-maintained view: the codes
+ * table `(vec_id, pq_codes, cell)` lives in its own ManagedTable, and
+ * the quantizer (coarse centroids + PQ codebooks) trains ONCE at
+ * `initialize` and persists beside the state — FAISS's add-vs-train
+ * split: appends append-encode against the frozen quantizer
+ * ([[Similarity.ivfPqAppend]], O(batch)); deletes drop code rows;
+ * re-training is a POLICY decision (watch
+ * [[Similarity.pqReconstructionError]] and re-initialize on drift),
+ * never a refresh side effect. The codes are BORN clustered by `cell`
+ * (the property lands in the init commit and governs its very first
+ * files; appends inherit it), so the driver-regime probe's
+ * `cell IN (...)` filter prunes at dir-stat and row-group grain.
+ */
+final class AnnIndexView(spark: SparkSession, sourcePath: String,
+                         statePath: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                         trainIters: Int = 2,
+                         expectedVecs: Long = 10000000L)
+  extends RowLocalIndexView(spark, sourcePath, statePath, idCol,
+    Seq(vecCol), "ann index view", "ANN", expectedVecs) {
+
+  private val centsPath = statePath.stripSuffix("/") + "_centroids"
+  private val booksPath = statePath.stripSuffix("/") + "_books"
+
+  /** The frozen coarse quantizer (trained at `initialize`). */
+  def centroids: Array[Array[Double]] =
+    Similarity.centroidsFrom(spark.read.parquet(centsPath))
+
+  /** The frozen PQ codebooks (trained at `initialize`). */
+  def codebooks: Array[Array[Array[Double]]] =
+    Similarity.pqBooksFrom(spark.read.parquet(booksPath))
+
+  override protected def beforeInitialize(snapshot: DataFrame): Unit = {
+    Similarity.centroidsTable(spark,
+        Similarity.trainCentroids(snapshot, nlist, trainIters, idCol, vecCol))
+      .write.mode("overwrite").parquet(centsPath)
+    Similarity.pqBooksTable(spark,
+        Similarity.pqTrain(snapshot, m, ksub, trainIters, idCol, vecCol))
+      .write.mode("overwrite").parquet(booksPath)
+  }
+
+  override protected def initProperties: Option[Map[String, String]] =
+    Some(Map(ManagedTable.ClusterColumnsProp -> "cell"))
+
+  override protected def buildRows(docs: DataFrame): DataFrame =
+    Similarity.ivfPqAppend(centroids, codebooks, docs, idCol, vecCol)
+
+  /** Serve top-k from the standing artifacts: probe-pruned ADC scan
+    * over the maintained codes, exact re-rank against the CURRENT
+    * corpus snapshot ([[Similarity.ivfPqTopKWith]] — both query-batch
+    * regimes apply). */
+  def search(queries: DataFrame, k: Int, nProbe: Int = 4,
+             rerank: Int = 64): DataFrame =
+    Similarity.ivfPqTopKWith(centroids, codebooks, read, source.read,
+      queries, k, nProbe, rerank, idCol, vecCol)
 }
 
 /**
@@ -732,150 +606,4 @@ final class ClassifierModelView(spark: SparkSession, sourcePath: String,
     * to a model retrained on the current corpus snapshot. */
   def score(batch: DataFrame): DataFrame =
     QualityClassifier.scoreWith(batch, state.read, priorsRow, textCol, idCol)
-}
-
-/**
- * The IVF-PQ ANN index as a standing, CDF-maintained view — the
- * [[Bm25IndexView]] lifecycle applied to [[Similarity.ivfPqIndex]]:
- * the vector corpus lives in a [[ManagedTable]], the codes table
- * `(vec_id, pq_codes, cell)` lives in its own ManagedTable, and the
- * quantizer (coarse centroids + PQ codebooks) trains ONCE at
- * [[initialize]] and persists beside the state — FAISS's add-vs-train
- * split: appends append-encode against the frozen quantizer
- * ([[Similarity.ivfPqAppend]], O(batch)); deletes drop code rows
- * (trivially signed — codes are per-vector, nothing cross-vector
- * moves); re-training is a POLICY decision (watch
- * [[Similarity.pqReconstructionError]] and re-[[initialize]] on
- * drift), never a side effect of refresh.
- *
- * Refresh shape: a pure-insert slice is an APPEND commit of the
- * batch's encoded rows (the standing codes are not even read); a
- * slice with deletes rewrites once via broadcast anti-join. The same
- * exactly-once watermark, bloom gate, and duplicate-id contracts as
- * the lexical views.
- */
-final class AnnIndexView(spark: SparkSession, sourcePath: String,
-                         statePath: String,
-                         idCol: String = "vec_id",
-                         vecCol: String = "embedding",
-                         nlist: Int = 16, m: Int = 8, ksub: Int = 16,
-                         trainIters: Int = 2,
-                         expectedVecs: Long = 10000000L) {
-
-  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
-  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
-
-  private def source = ManagedTable(spark, sourcePath)
-  private def state = ManagedTable(spark, statePath)
-  private val bloomPath = statePath.stripSuffix("/") + "_bloom"
-  private val centsPath = statePath.stripSuffix("/") + "_centroids"
-  private val booksPath = statePath.stripSuffix("/") + "_books"
-
-  /** The frozen coarse quantizer (trained at [[initialize]]). */
-  def centroids: Array[Array[Double]] =
-    Similarity.centroidsFrom(spark.read.parquet(centsPath))
-
-  /** The frozen PQ codebooks (trained at [[initialize]]). */
-  def codebooks: Array[Array[Array[Double]]] =
-    Similarity.pqBooksFrom(spark.read.parquet(booksPath))
-
-  /** The last source version folded into the codes table. */
-  def sourceVersion: Long = {
-    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
-      s"ann view state $statePath does not exist — call initialize() first"))
-    c.userMetadata match {
-      case Some(MetaRe(v)) => v.toLong
-      case other => throw new IllegalStateException(
-        s"state commit carries no sourceVersion watermark: $other")
-    }
-  }
-
-  /** Train the quantizer on the CURRENT snapshot and encode it — the
-    * only O(corpus) training step in the view's lifetime. Quantizer
-    * and bloom write before the state commit (same crash-safe order as
-    * the lexical views: a crash leaves artifacts the old state simply
-    * does not reference yet). */
-  def initialize(): Long = {
-    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
-      s"source table $sourcePath does not exist"))
-    val snapshot = source.read
-    val (cents, books, codes) = Similarity.ivfPqIndex(snapshot, nlist, m,
-      ksub, trainIters, idCol, vecCol)
-    Similarity.centroidsTable(spark, cents)
-      .write.mode("overwrite").parquet(centsPath)
-    Similarity.pqBooksTable(spark, books)
-      .write.mode("overwrite").parquet(booksPath)
-    Retrieval.bm25IndexBloom(snapshot.select(col(idCol).as("doc_id")),
-        expectedVecs)
-      .write.mode("overwrite").parquet(bloomPath)
-    // the codes are BORN clustered by `cell` (the property lands in the
-    // same commit and governs this very write): each file covers a
-    // disjoint cell range with sorted row groups, so the driver-regime
-    // probe's `cell IN (...)` filter prunes at dir-stat and row-group
-    // grain — the IVF scan touches only probed cells' bytes. Appends
-    // inherit the property, so refresh batches cluster too.
-    state.write(codes, "ANN_INIT", "replace", meta(v),
-      propertiesOverride =
-        Some(Map(ManagedTable.ClusterColumnsProp -> "cell")))
-    v
-  }
-
-  /** Fold the unprocessed change-feed range against the FROZEN
-    * quantizer. No-op (no commit) when already current or the range
-    * nets to nothing. */
-  def refresh(): Long = {
-    val last = sourceVersion
-    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
-      s"source table $sourcePath does not exist"))
-    require(latest >= last,
-      s"source went backwards: watermark $last, latest $latest — was the " +
-        "corpus table recreated? Re-initialize the view.")
-    if (latest == last) return last
-    val cdf = source.readChangeFeed(last + 1, Some(latest))
-    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(vecCol), "ann index view")
-    if (ins.isEmpty && del.isEmpty) return last
-    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(
-      spark.read.parquet(bloomPath))
-    val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
-    val delIds = del.select(col(s"`$idCol`").as("doc_id"))
-    CdfNetting.requireNewIds(spark,
-      state.read.select(col(s"`$idCol`").as("doc_id")), insIds, delIds,
-      Some(bloomBytes), "ann index view")
-    val encoded =
-      if (ins.isEmpty) None
-      else Some(Similarity.ivfPqAppend(centroids, codebooks, ins, idCol, vecCol))
-    if (!ins.isEmpty)
-      Retrieval.bm25BloomAdd(spark.read.parquet(bloomPath), ins, idCol)
-        .write.mode("overwrite").parquet(bloomPath)
-    if (del.isEmpty)
-      state.write(encoded.get, "ANN_REFRESH", "append", meta(latest))
-    else {
-      CdfNetting.requireExistingIds(
-        state.read.select(col(s"`$idCol`").as("doc_id")), delIds,
-        "ann index view")
-      val survivors = state.read
-        .join(broadcast(delIds.distinct().toDF("__del__")),
-          col(s"`$idCol`").cast("string") === col("__del__").cast("string"),
-          "anti")
-      val merged = encoded match {
-        case Some(e) => survivors.unionByName(e)
-        case None => survivors
-      }
-      state.write(merged, "ANN_REFRESH", "replace", meta(latest),
-        expectedPrevVersion = state.latestVersion)
-    }
-    latest
-  }
-
-  /** The maintained codes table. */
-  def read: DataFrame = state.read
-
-  /** Serve top-k from the standing artifacts: probe-pruned ADC scan
-    * over the maintained codes, exact re-rank against the CURRENT
-    * corpus snapshot ([[Similarity.ivfPqTopKWith]] — both query-batch
-    * regimes apply). */
-  def search(queries: DataFrame, k: Int, nProbe: Int = 4,
-             rerank: Int = 64): DataFrame =
-    Similarity.ivfPqTopKWith(centroids, codebooks, state.read, source.read,
-      queries, k, nProbe, rerank, idCol, vecCol)
 }
