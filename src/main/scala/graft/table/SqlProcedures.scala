@@ -401,6 +401,46 @@ final case class GraftDescribeCommand(root: String, isExtended: Boolean,
   }
 }
 
+/** `SHOW CREATE TABLE graft.t` — the DDL reconstructed from the commit
+  * log: columns, identity PARTITIONED BY, CONSTRAINTs, and
+  * TBLPROPERTIES, in runnable `graft.`-namespace spelling. A graft
+  * VIEW at the identifier answers with its `CREATE VIEW` text. */
+final case class GraftShowCreateCommand(root: String, parts: Seq[String],
+                                        override val output: Seq[Attribute])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val name = "graft." + (
+      if (parts.size == 1 && !parts.head.contains("/")) parts.head
+      else "`" + parts.mkString("/") + "`")
+    val table = ManagedTable(spark, root)
+    if (!table.exists) {
+      GraftViews.load(spark, root).foreach { sql =>
+        return Seq(Row(s"CREATE VIEW $name AS $sql"))
+      }
+    }
+    val c = table.lastCommit.getOrElse(throw new IllegalStateException(
+      s"graft table at $root does not exist"))
+    val schema = StructType.fromDDL(c.schemaDdl)
+    val cols = schema.fields.map(f =>
+      s"  ${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
+      .mkString(",\n")
+    val partClause =
+      if (c.partitionBy.isEmpty) ""
+      else s"\nPARTITIONED BY (${c.partitionBy.mkString(", ")})"
+    val consClause =
+      if (c.constraints.isEmpty) ""
+      else c.constraints.toSeq.sortBy(_._1).collect {
+        case (n, rule) if rule.startsWith(s"check:$n:") =>
+          s"\nCONSTRAINT $n CHECK (${rule.stripPrefix(s"check:$n:")})"
+      }.mkString
+    val propClause =
+      if (c.properties.isEmpty) ""
+      else "\nTBLPROPERTIES (" + c.properties.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")"
+    Seq(Row(s"CREATE TABLE $name (\n$cols)$partClause$consClause$propClause"))
+  }
+}
+
 /** `DROP TABLE [IF EXISTS] graft.t` — deletes the table directory. */
 final case class GraftDropTableCommand(root: String, ifExists: Boolean)
   extends LeafRunnableCommand {

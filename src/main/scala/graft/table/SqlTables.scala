@@ -423,6 +423,17 @@ final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
         if head.equalsIgnoreCase(SqlTables.Namespace) && rest.nonEmpty =>
       GraftTruncateCommand(SqlTables.rootOf(spark, rest))
 
+    // SHOW CREATE TABLE graft.t — the DDL reconstructed from the
+    // commit log (views answer with their CREATE VIEW text)
+    case ShowCreateTable(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+        _, out)
+        if u.multipartIdentifier.headOption.exists(
+          _.equalsIgnoreCase(SqlTables.Namespace)) &&
+          u.multipartIdentifier.size > 1 =>
+      GraftShowCreateCommand(
+        SqlTables.rootOf(spark, u.multipartIdentifier.tail),
+        u.multipartIdentifier.tail, out)
+
     // SHOW TBLPROPERTIES graft.t [('key')]
     case ShowTableProperties(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
         key, out)

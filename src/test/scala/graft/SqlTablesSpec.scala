@@ -752,6 +752,25 @@ class SqlTablesSpec extends SparkSpec {
         exact = true))
   }
 
+  test("SHOW CREATE TABLE reconstructs DDL from the commit log; views " +
+      "answer with their CREATE VIEW text") {
+    val path = tmpDir("sqlshowc")
+    spark.sql(s"""CREATE TABLE ${quoted(path)} (
+                 |  id BIGINT NOT NULL, name STRING)
+                 |TBLPROPERTIES ('team' = 'ddl-spec')""".stripMargin)
+    spark.sql(s"ALTER TABLE ${quoted(path)} ADD CONSTRAINT pos CHECK (id > 0)")
+    val ddl = spark.sql(s"SHOW CREATE TABLE ${quoted(path)}")
+      .head().getString(0)
+    assert(ddl.contains("CREATE TABLE graft.`" + path + "`"), ddl)
+    assert(ddl.contains("id BIGINT NOT NULL") && ddl.contains("name STRING"), ddl)
+    assert(ddl.contains("CONSTRAINT pos CHECK (id > 0)"), ddl)
+    assert(ddl.contains("'team' = 'ddl-spec'"), ddl)
+    val v = tmpDir("sqlshowv")
+    spark.sql(s"CREATE VIEW graft.`$v` AS SELECT id FROM ${quoted(path)}")
+    val vddl = spark.sql(s"SHOW CREATE TABLE graft.`$v`").head().getString(0)
+    assert(vddl.startsWith("CREATE VIEW") && vddl.contains("SELECT id"), vddl)
+  }
+
   test("TRUNCATE TABLE empties the snapshot but keeps schema and history") {
     val path = freshTable("sqltrunc")
     val v = ManagedTable(spark, path).latestVersion.get
