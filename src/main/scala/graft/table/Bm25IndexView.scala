@@ -63,16 +63,14 @@ final class Bm25IndexView(spark: SparkSession, sourcePath: String,
   private val bloomPath = statePath.stripSuffix("/") + "_bloom"
 
   /** The last source version folded into the index (from the state
-    * table's own commit metadata). */
-  def sourceVersion: Long = {
-    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
-      s"bm25 view state $statePath does not exist — call initialize() first"))
-    c.userMetadata match {
-      case Some(MetaRe(v)) => v.toLong
-      case other => throw new IllegalStateException(
-        s"state commit carries no sourceVersion watermark: $other")
-    }
-  }
+    * table's own commit metadata; maintenance commits on the state —
+    * OPTIMIZE/ANALYZE/CLUSTER record no watermark — are transparent). */
+  def sourceVersion: Long =
+    CdfNetting.commitMetas(state, "bm25 view", statePath)
+      .collectFirst { case MetaRe(v) => v.toLong }
+      .getOrElse(throw new IllegalStateException(
+        "no commit in the bm25 view state's history carries a sourceVersion " +
+          "watermark — was the state table created outside the view?"))
 
   /** Build the index from the corpus's CURRENT snapshot — the only
     * O(corpus) step in the view's lifetime (one tokenize + the bloom's

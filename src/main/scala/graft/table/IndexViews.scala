@@ -90,6 +90,19 @@ private[table] object CdfNetting {
       s"$what: $dup inserted ids already exist in the surviving index — " +
         "inserts must be new or paired with a delete")
   }
+
+  /** Commit metadata strings of a view STATE table, newest first,
+    * after checking the state exists — the watermark readers walk this
+    * list for their most recent matching entry, so MAINTENANCE commits
+    * on the state (OPTIMIZE/ANALYZE/CLUSTER, which record no
+    * watermark) are transparent instead of stranding the view, and a
+    * RESTORE finds the restored commit's own carried watermark first. */
+  def commitMetas(state: ManagedTable, what: String,
+                  statePath: String): Seq[String] = {
+    require(state.lastCommit.isDefined,
+      s"$what state $statePath does not exist — call initialize() first")
+    state.history.flatMap(_.userMetadata)
+  }
 }
 
 /**
@@ -147,16 +160,15 @@ private[table] abstract class RowLocalIndexView(
   private def stateIds: DataFrame =
     state.read.select(col(s"`$stateIdColumn`").as("doc_id"))
 
-  /** The last source version folded into the index. */
-  final def sourceVersion: Long = {
-    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
-      s"$what state $statePath does not exist — call initialize() first"))
-    c.userMetadata match {
-      case Some(MetaRe(v)) => v.toLong
-      case other => throw new IllegalStateException(
-        s"state commit carries no sourceVersion watermark: $other")
-    }
-  }
+  /** The last source version folded into the index (the most recent
+    * watermark-bearing state commit — maintenance commits on the state
+    * table are transparent). */
+  final def sourceVersion: Long =
+    CdfNetting.commitMetas(state, what, statePath)
+      .collectFirst { case MetaRe(v) => v.toLong }
+      .getOrElse(throw new IllegalStateException(
+        s"no commit in the $what state's history carries a sourceVersion " +
+          "watermark — was the state table created outside the view?"))
 
   /** Build from the source table's CURRENT snapshot. */
   final def initialize(): Long = {
@@ -195,8 +207,12 @@ private[table] abstract class RowLocalIndexView(
       Retrieval.bm25BloomAdd(spark.read.parquet(bloomPath), ins, idCol)
         .write.mode("overwrite").parquet(bloomPath)
     if (del.isEmpty)
+      // mergeSchema: names and types are fixed by buildRows, but
+      // NULLABILITY can legitimately differ from the state's (a
+      // compaction pass reads-and-rewrites, widening NOT NULL away) —
+      // exact-DDL matching would refuse the append for that alone
       state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
-        meta(latest))
+        meta(latest), mergeSchema = true)
     else {
       CdfNetting.requireExistingIds(stateIds, delIds, what)
       val survivors = state.read
@@ -438,16 +454,14 @@ final class CorpusLmView(spark: SparkSession, sourcePath: String,
   private def source = ManagedTable(spark, sourcePath)
   private def state = ManagedTable(spark, statePath)
 
-  /** The last source version folded into the model. */
-  def sourceVersion: Long = {
-    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
-      s"lm view state $statePath does not exist — call initialize() first"))
-    c.userMetadata match {
-      case Some(MetaRe(v)) => v.toLong
-      case other => throw new IllegalStateException(
-        s"state commit carries no sourceVersion watermark: $other")
-    }
-  }
+  /** The last source version folded into the model (maintenance
+    * commits on the state table are transparent). */
+  def sourceVersion: Long =
+    CdfNetting.commitMetas(state, "lm view", statePath)
+      .collectFirst { case MetaRe(v) => v.toLong }
+      .getOrElse(throw new IllegalStateException(
+        "no commit in the lm view state's history carries a sourceVersion " +
+          "watermark — was the state table created outside the view?"))
 
   /** Build the model from the corpus's CURRENT snapshot. */
   def initialize(): Long = {
@@ -523,16 +537,14 @@ final class ClassifierModelView(spark: SparkSession, sourcePath: String,
   private def source = ManagedTable(spark, sourcePath)
   private def state = ManagedTable(spark, statePath)
 
-  /** (folded source version, positive-doc prior, negative-doc prior). */
-  def watermark: (Long, Long, Long) = {
-    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
-      s"classifier view state $statePath does not exist — call initialize() first"))
-    c.userMetadata match {
-      case Some(MetaRe(v, p, n)) => (v.toLong, p.toLong, n.toLong)
-      case other => throw new IllegalStateException(
-        s"state commit carries no watermark/priors: $other")
-    }
-  }
+  /** (folded source version, positive-doc prior, negative-doc prior)
+    * — maintenance commits on the state table are transparent. */
+  def watermark: (Long, Long, Long) =
+    CdfNetting.commitMetas(state, "classifier view", statePath)
+      .collectFirst { case MetaRe(v, p, n) => (v.toLong, p.toLong, n.toLong) }
+      .getOrElse(throw new IllegalStateException(
+        "no commit in the classifier view state's history carries a " +
+          "watermark — was the state table created outside the view?"))
 
   def sourceVersion: Long = watermark._1
 

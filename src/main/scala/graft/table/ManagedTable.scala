@@ -213,11 +213,16 @@ final class ManagedTable(spark: SparkSession, root: String) {
       s"cannot restore $root to version $version — vacuumed " +
         s"(earliest retained is $earliest)")
     val target = commitAt(version)
+    // the restore commit CARRIES the target's userMetadata: for the
+    // view family the metadata is the fold watermark, and the restored
+    // state IS that commit's state — a restore without it would strand
+    // the view between a newer recorded watermark and older data
     val commit = Commit(cur.version + 1L, s"RESTORE(version=$version)",
       System.currentTimeMillis(), target.dirs,
       Map("restoredVersion" -> version.toString,
         "numRestoredDirs" -> target.dirs.size.toString),
-      None, target.schemaDdl, cur.version, partitionBy = target.partitionBy,
+      target.userMetadata, target.schemaDdl, cur.version,
+      partitionBy = target.partitionBy,
       dirStats = target.dirStats, txn = cur.txn, dvDirs = target.dvDirs,
       columnMap = target.columnMap, constraints = target.constraints,
       properties = target.properties)

@@ -54,6 +54,39 @@ class IndexViewsSpec extends SparkSpec {
     assert(ManagedTable(spark, st).latestVersion === v)
   }
 
+  test("state-table maintenance is transparent to the watermark: OPTIMIZE " +
+      "and ANALYZE commits don't strand the view, RESTORE carries the " +
+      "restored fold's watermark") {
+    val src = tmpDir("pvm_src"); val st = tmpDir("pvm_st")
+    val t = ManagedTable(spark, src)
+    t.write(corpus.filter(col("doc_id") <= 2), "APPEND", "append")
+    val view = new PositionalIndexView(spark, src, st, expectedDocs = 1000)
+    view.initialize()
+    t.write(corpus.filter(col("doc_id") === 3L), "APPEND", "append")
+    assert(view.refresh() === 1L)
+    // fold the state's small dirs + recompute stats — neither commit
+    // carries a watermark, and neither may strand the view
+    spark.sql(s"CALL graft.optimize('$st')")
+    spark.sql(s"CALL graft.analyze('$st')")
+    assert(view.sourceVersion === 1L)
+    t.write(corpus.filter(col("doc_id") > 3), "APPEND", "append")
+    assert(view.refresh() === 2L)
+    val rebuilt = Retrieval.positionalIndex(t.read, "text", "doc_id")
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+    // RESTORE the state to the first fold: the restore commit carries
+    // that fold's watermark, so the view resumes from there and can
+    // re-fold the later range
+    val stT = ManagedTable(spark, st)
+    val v1 = stT.history.reverse.find(_.operation == "PHRASE_REFRESH").get
+    stT.restore(v1.version)
+    assert(view.sourceVersion === 1L,
+      "restore must resume the watermark of the restored fold")
+    assert(view.refresh() === 2L)
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+  }
+
   test("positional view: duplicate-id feeds refuse loudly") {
     val src = tmpDir("pv_src2"); val st = tmpDir("pv_st2")
     val t = ManagedTable(spark, src)
