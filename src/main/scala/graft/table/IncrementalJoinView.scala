@@ -89,16 +89,15 @@ final class IncrementalJoinAggView(spark: SparkSession,
     df.join(t, cond, "left_semi")
   }
 
-  /** The (leftVersion, rightVersion) pair folded into the state. */
-  def sourceVersions: (Long, Long) = {
-    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
-      s"join-view state $statePath does not exist — call initialize() first"))
-    c.userMetadata match {
-      case Some(MetaRe(l, r)) => (l.toLong, r.toLong)
-      case other => throw new IllegalStateException(
-        s"state commit carries no version watermarks: $other")
-    }
-  }
+  /** The (leftVersion, rightVersion) pair folded into the state —
+    * maintenance commits on the state table are transparent, and
+    * RESTORE carries the restored fold's own watermarks. */
+  def sourceVersions: (Long, Long) =
+    CdfNetting.commitMetas(state, "join view", statePath)
+      .collectFirst { case MetaRe(l, r) => (l.toLong, r.toLong) }
+      .getOrElse(throw new IllegalStateException(
+        "no commit in the join view state's history carries version " +
+          "watermarks — was the state table created outside the view?"))
 
   /** Build the state from both CURRENT snapshots — the only
     * both-sides-full join in the view's lifetime. */

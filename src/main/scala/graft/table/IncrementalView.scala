@@ -85,15 +85,15 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
 
   /** The last source version folded into the state (from the state
     * table's own commit metadata). */
-  def sourceVersion: Long = {
-    val c = state.lastCommit.getOrElse(throw new IllegalStateException(
-      s"view state $statePath does not exist — call initialize() first"))
-    c.userMetadata match {
-      case Some(MetaRe(v)) => v.toLong
-      case other => throw new IllegalStateException(
-        s"state commit carries no sourceVersion watermark: $other")
-    }
-  }
+  def sourceVersion: Long =
+    // most recent watermark-bearing commit: maintenance on the state
+    // table (OPTIMIZE/ANALYZE record no watermark) is transparent, and
+    // RESTORE carries the restored fold's own watermark
+    CdfNetting.commitMetas(state, "agg view", statePath)
+      .collectFirst { case MetaRe(v) => v.toLong }
+      .getOrElse(throw new IllegalStateException(
+        "no commit in the agg view state's history carries a sourceVersion " +
+          "watermark — was the state table created outside the view?"))
 
   /** Build the state from the source's CURRENT snapshot (one full
     * scan — the only O(table) step in the view's lifetime). */
