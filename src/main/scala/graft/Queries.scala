@@ -6731,18 +6731,21 @@ object Queries {
 
   /** BM25 index as a CDF-maintained standing view
     * ([[graft.table.Bm25IndexView]]): the corpus is a managed table,
-    * epoch 1 initializes the postings state (+ doc-id bloom), and two
-    * "daily" appends each drive one [[graft.table.Bm25IndexView#refresh]]
-    * — the view reads ONLY the unprocessed change-feed range and folds
-    * it via `bm25IndexMerge` under the bloom gate, watermarked
-    * exactly-once on the state table's own commits. The second refresh
-    * runs through a FRESH view instance (restart: watermark recovered
-    * from the commit log) and a third refresh must be a zero-commit
-    * no-op. The oracle is the full-corpus BM25 ranking, so a green row
-    * proves twice-merged ≡ rebuilt-from-scratch. */
+    * epoch 1 initializes the normalized `(tok, doc_id, tf, dl)`
+    * postings state (+ doc-id bloom), and two "daily" appends each
+    * drive one [[graft.table.Bm25IndexView#refresh]] — the view reads
+    * ONLY the unprocessed change-feed range and APPENDs only the
+    * batch's own posting rows (pinned in-query on the commit shape:
+    * O(batch) on the WRITE side, the standing index is never
+    * rewritten), with the corpus scalars moved by signed sums on the
+    * commit metadata. The second refresh runs through a FRESH view
+    * instance (restart: watermark recovered from the commit log) and a
+    * third refresh must be a zero-commit no-op. The oracle is the
+    * full-corpus BM25 ranking (df derived at query time over the
+    * matched posting lists), so a green row proves twice-appended ≡
+    * rebuilt-from-scratch. */
   def bm25ViewRefresh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.llm.Retrieval
     import graft.table.{Bm25IndexView, ManagedTable}
     val docs = pq(spark, dir, "documents").select("doc_id", "text")
     val srcPath = tmp("bm25view_src")
@@ -6754,9 +6757,16 @@ object Queries {
         .initialize()
     }
     val view = new Bm25IndexView(spark, srcPath, stPath)
+    val initDirs = ManagedTable(spark, stPath).lastCommit.get.dirs
     t.write(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0),
       "APPEND", "append")
     require(view.refresh() == 1L, "bm25_view_refresh: first fold must land on v1")
+    val afterAppend = ManagedTable(spark, stPath).lastCommit.get
+    require(afterAppend.operation == "BM25_REFRESH" &&
+      initDirs.forall(afterAppend.dirs.contains) &&
+      afterAppend.dirs.size == initDirs.size + 1,
+      "bm25_view_refresh: a pure-insert slice must APPEND one dir of the " +
+        "batch's own postings — the standing index was rewritten")
     t.write(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0),
       "APPEND", "append")
     val restarted = new Bm25IndexView(spark, srcPath, stPath)
@@ -6770,7 +6780,7 @@ object Queries {
       (1L, "merge stream table"),
       (2L, "fast query data"),
       (3L, "row group window hash")).toDF("query_id", "query_text")
-    Retrieval.bm25SearchWith(queries, restarted.read, k = 7, exact = true)
+    restarted.search(queries, k = 7, exact = true)
   }
 
   /** DuckDB mirror of [[bm25ViewRefresh]] — the FULL-corpus ranking
@@ -6814,22 +6824,23 @@ object Queries {
       |       score_scaled, n_terms_matched
       |FROM r WHERE "rank" <= 7""".stripMargin
 
-  /** The BM25 view surviving the pipeline's OWN curation output
-    * ([[graft.llm.Retrieval.bm25IndexApplyDelta]] behind
-    * [[graft.table.Bm25IndexView#refresh]]): the corpus table takes an
-    * exact-dedup DELETE and a text UPDATE — the non-insert slices every
-    * curation action writes — and the view folds them by signed posting
-    * maintenance instead of refusing. Epochs: init on 2/3 of docs plus
+  /** The BM25 view surviving the pipeline's OWN curation output: the
+    * corpus table takes an exact-dedup DELETE and a text UPDATE — the
+    * non-insert slices every curation action writes — and the view
+    * folds them as merge-on-read DELETION VECTORS plus an append of
+    * the entering rows (pinned in-query: the delete slice must land a
+    * DELETE VECTORS commit that rewrites NO postings dir — O(deleted
+    * rows) on the write side). Epochs: init on 2/3 of docs plus
     * planted exact copies; a pure append; an exact-dedup gate proves
     * every planted copy's keeper is its original, then the copies
     * DELETE through the table (coarse dir-rewrite feed — the survivor
     * rows must net away); a dir-rewrite UPDATE re-texts `doc_id % 97 ==
     * 5`; one refresh on a FRESH instance folds delete+update together.
-    * In-query gates: merged ≡ rebuilt postings (exact frame equality)
-    * and a zero-commit no-op refresh. Oracle: the full BM25 ranking
-    * over the FINAL corpus (original docs with the update applied — the
-    * oracle never sees the epochs), with a query term only the updated
-    * docs contain. */
+    * In-query gates: merged ≡ rebuilt postings (exact frame equality),
+    * maintained scalars ≡ recomputed scalars, and a zero-commit no-op
+    * refresh. Oracle: the full BM25 ranking over the FINAL corpus
+    * (original docs with the update applied — the oracle never sees
+    * the epochs), with a query term only the updated docs contain. */
   def bm25ViewDelete(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.llm.{Retrieval, TextOps}
@@ -6870,23 +6881,38 @@ object Queries {
         concat(col("text"), lit(" zzgraftrevised zzgraftrevised"))),
       col("doc_id") % 97 === 5)
     val restarted = new Bm25IndexView(spark, srcPath, stPath)
+    val dirsBefore = ManagedTable(spark, stPath).lastCommit.get.dirs
     require(restarted.refresh() == 3L,
       "bm25_view_delete: one refresh must fold the delete and update slices")
+    val st = ManagedTable(spark, stPath)
+    val (dvCommit, appendCommit) =
+      (st.commitAt(st.latestVersion.get - 1L), st.lastCommit.get)
+    require(dvCommit.operation == "DELETE VECTORS" &&
+      dvCommit.dirs == dirsBefore,
+      s"bm25_view_delete: the curation slice must tombstone via a DELETE " +
+        s"VECTORS commit rewriting NO postings dir, got ${dvCommit.operation}")
+    require(appendCommit.operation == "BM25_REFRESH" &&
+      dirsBefore.forall(appendCommit.dirs.contains),
+      "bm25_view_delete: the slice's entering rows must APPEND")
     val vBefore = ManagedTable(spark, stPath).latestVersion
     require(restarted.refresh() == 3L &&
       ManagedTable(spark, stPath).latestVersion == vBefore,
       "bm25_view_delete: an already-current refresh must commit nothing")
     val merged = restarted.read
-    val rebuilt = Retrieval.bm25Index(t.read, "text", "doc_id")
+    val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
     require(merged.exceptAll(rebuilt).isEmpty &&
       rebuilt.exceptAll(merged).isEmpty,
-      "bm25_view_delete: signed-maintained postings drifted from the " +
+      "bm25_view_delete: maintained postings drifted from the " +
         "from-scratch rebuild")
+    val scal = rebuilt.groupBy("doc_id").agg(first("dl").as("__dl__"))
+      .agg(count(lit(1)), sum("__dl__")).head()
+    require(restarted.scalars == ((scal.getLong(0), scal.getLong(1))),
+      "bm25_view_delete: maintained corpus scalars drifted from the recompute")
     val queries = Seq(
       (1L, "zzgraftrevised"),
       (2L, "merge stream table"),
       (3L, "row group window hash")).toDF("query_id", "query_text")
-    Retrieval.bm25SearchWith(queries, merged, k = 7, exact = true)
+    restarted.search(queries, k = 7, exact = true)
   }
 
   /** DuckDB mirror of [[bm25ViewDelete]] — the FULL-corpus ranking over

@@ -99,7 +99,22 @@ object Retrieval {
 
   /** `(tok, doc_id, tf, dl)` postings of a document set — the df-less,
     * stamp-less core both [[bm25Index]] and [[bm25IndexMerge]] build
-    * on. */
+    * on. PUBLIC as the normalized standing-index layout
+    * ([[graft.table.Bm25IndexView]]'s state): every column is a
+    * function of its OWN document, so index maintenance is row-local —
+    * an entering doc appends its rows, a leaving doc's rows delete, and
+    * nothing else in the table moves. `df` is NOT stored: it is the
+    * posting-list length, re-derivable at query time over exactly the
+    * matched lists ([[bm25SearchPostings]]); the two corpus scalars
+    * (`n_docs`, `total_len`) live wherever the caller keeps index
+    * metadata (the view rides them on its commit log). This is what
+    * makes a daily refresh O(batch) on the WRITE side — the
+    * denormalized [[bm25Index]] must restamp every row when the corpus
+    * scalars move, i.e. on every batch. */
+  def bm25Postings(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    postings(docs, textCol, idCol)
+
   private def postings(docs: DataFrame, textCol: String,
                        idCol: String): DataFrame = {
     val dt = docs.select(col(idCol).as("doc_id"),
@@ -278,25 +293,42 @@ object Retrieval {
     * O(delta) tokenization — the same budget as the append-only merge.
     *
     * Loud gates, all O(delta) against the index:
-    *   - every `delDocs` id must exist in the index (subtracting
-    *     postings that were never added would corrupt df silently);
+    *   - every deleted doc with at least one POSTING must exist in the
+    *     index (subtracting postings that were never added would
+    *     corrupt df silently) — a deleted doc whose text tokenizes to
+    *     NOTHING is exempt: it never entered the postings or `n_docs`
+    *     at build time, so deleting it is a legal no-op, not
+    *     corruption (gating on it would wedge the index on a perfectly
+    *     valid corpus DELETE);
     *   - every `insDocs` id must be NEW relative to the surviving index
     *     (post-delete), bloom-gated exactly like [[bm25IndexMerge]] —
     *     an update's reused id passes because its delete lands in the
-    *     same delta. */
+    *     same delta.
+    *
+    * Every delta-side join broadcasts only under `maxBroadcastIds`
+    * ([[Similarity.fitsDriver]]'s probe) — the pipeline's own
+    * corpus-wide curation (fuzzy dedup, span dedup, decontamination)
+    * can delete a data-scaled fraction of the corpus, and an ungated
+    * broadcast of that id set is a driver/executor OOM; past the gate
+    * the same joins run shuffled. */
   def bm25IndexApplyDelta(index: DataFrame, insDocs: DataFrame,
                           delDocs: DataFrame,
                           textCol: String = "text",
                           idCol: String = "doc_id",
-                          docIdBloom: Option[Array[Byte]] = None): DataFrame = {
+                          docIdBloom: Option[Array[Byte]] = None,
+                          maxBroadcastIds: Int = 65536): DataFrame = {
+    def gated(df: DataFrame): DataFrame =
+      if (Similarity.fitsDriver(df, maxBroadcastIds)) broadcast(df) else df
     val insPost = postings(insDocs, textCol, idCol)
     val delPost = postings(delDocs, textCol, idCol)
-    val delIds = delDocs.select(col(idCol).cast("string").as("doc_id"))
+    // ids from the delta's own POSTINGS, not every deleted source id —
+    // zero-token docs have no index rows to subtract (see scaladoc)
+    val delIds = delPost.select(col("doc_id").cast("string").as("doc_id"))
       .distinct().localCheckpoint()
     val nDel = delIds.count()
     if (nDel > 0) {
       val matched = index.select(col("doc_id").cast("string").as("doc_id"))
-        .join(broadcast(delIds), Seq("doc_id"), "semi").distinct().count()
+        .join(gated(delIds), Seq("doc_id"), "semi").distinct().count()
       require(matched == nDel,
         s"bm25IndexApplyDelta: ${nDel - matched} deleted doc ids are not in " +
           "the index — the delta does not describe this index's corpus")
@@ -311,8 +343,8 @@ object Retrieval {
     }).localCheckpoint()
     if (!suspects.isEmpty) {
       val dup = index.select("doc_id")
-        .join(broadcast(suspects), Seq("doc_id"), "semi")
-        .join(broadcast(delIds.select(col("doc_id").as("__del__"))),
+        .join(gated(suspects), Seq("doc_id"), "semi")
+        .join(gated(delIds.select(col("doc_id").as("__del__"))),
           col("doc_id").cast("string") === col("__del__"), "anti")
         .distinct().count()
       require(dup == 0L,
@@ -320,9 +352,13 @@ object Retrieval {
           "surviving index — inserts must be new or paired with a delete")
     }
     // signed df delta per token: one row per (doc, tok) on each side
+    // (checkpointed — it feeds two joins and the size-gate probe, and
+    // must yield the same rows to all three)
     val dfDelta = insPost.select(col("tok"), lit(1L).as("__d__"))
       .unionByName(delPost.select(col("tok"), lit(-1L).as("__d__")))
       .groupBy("tok").agg(sum("__d__").as("__dfd__"))
+      .localCheckpoint()
+    val dfDeltaG = gated(dfDelta)
     def scalars(post: DataFrame) = post
       .groupBy("doc_id").agg(first("dl").as("__dl__"))
       .agg(coalesce(count(lit(1)), lit(0L)).as("__n__"),
@@ -339,18 +375,18 @@ object Retrieval {
     // old stamped df for exactly the insert batch's tokens (semi-pruned
     // posting lists, never a full df rebuild) — the stamped value counts
     // deleted docs, and dfDelta's −1s correct for them
-    val oldDfMatched = index.join(broadcast(insPost.select("tok").distinct()),
+    val oldDfMatched = index.join(gated(insPost.select("tok").distinct()),
         Seq("tok"), "semi")
       .groupBy("tok").agg(max("df").as("__dfo__"))
     val survivors = index.drop("n_docs", "total_len")
-      .join(broadcast(delIds.select(col("doc_id").as("__del__"))),
+      .join(gated(delIds.select(col("doc_id").as("__del__"))),
         col("doc_id").cast("string") === col("__del__"), "anti")
-      .join(broadcast(dfDelta), Seq("tok"), "left")
+      .join(dfDeltaG, Seq("tok"), "left")
       .withColumn("df", col("df") + coalesce(col("__dfd__"), lit(0L)))
       .drop("__dfd__")
     val newRows = insPost
-      .join(broadcast(oldDfMatched), Seq("tok"), "left")
-      .join(broadcast(dfDelta), Seq("tok"))
+      .join(gated(oldDfMatched), Seq("tok"), "left")
+      .join(dfDeltaG, Seq("tok"))
       .withColumn("df", coalesce(col("__dfo__"), lit(0L)) + col("__dfd__"))
       .drop("__dfo__", "__dfd__")
     survivors.unionByName(newRows).crossJoin(broadcast(stamps))
@@ -387,6 +423,54 @@ object Retrieval {
         broadcast(qterms)
       else qterms
     val matched = index.join(qSide, Seq("tok"))
+    bm25ScoreAndRank(matched, k, exact)
+  }
+
+  /** Top-`k` per query against the NORMALIZED standing layout — a
+    * [[bm25Postings]] table plus the two corpus scalars (from the
+    * index's metadata; [[graft.table.Bm25IndexView]] rides them on its
+    * commit log). `df` is derived HERE, from exactly the matched
+    * posting lists: the query token set semi-prunes the postings, and
+    * one window count per `tok` partition IS the document frequency
+    * (each `(tok, doc)` holds one row). Costs one extra shuffle of the
+    * matched lists on `tok` versus the denormalized path — bounded by
+    * the candidate set, never the corpus — and buys a write path where
+    * daily maintenance appends only the batch's rows. Scoring, ranking,
+    * tie-breaks, and both arithmetic modes are [[bm25SearchWith]]'s,
+    * bit-identical. */
+  def bm25SearchPostings(queries: DataFrame, postings: DataFrame,
+                         nDocs: Long, totalLen: Long, k: Int = 5,
+                         exact: Boolean = false,
+                         queryTextCol: String = "query_text",
+                         queryIdCol: String = "query_id",
+                         maxBroadcastQueries: Int = 65536): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+        explode(toks(col(queryTextCol))).as("tok"))
+      .distinct()
+    val small = Similarity.fitsDriver(queries, maxBroadcastQueries)
+    val qSide = if (small) broadcast(qterms) else qterms
+    val qtoks = qterms.select("tok").distinct()
+    val qtokSide = if (small) broadcast(qtoks) else qtoks
+    // semi-prune the postings to matched lists FIRST (the semi-join
+    // pushes into the scan when broadcast), THEN count df per tok over
+    // those lists alone — a full-vocabulary df rebuild never happens
+    val matchedPost = postings.join(qtokSide, Seq("tok"), "semi")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+    val matched = matchedPost.join(qSide, Seq("tok"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("total_len", lit(totalLen))
+    bm25ScoreAndRank(matched, k, exact)
+  }
+
+  /** Shared scoring tail of [[bm25SearchWith]] / [[bm25SearchPostings]]:
+    * `matched` carries `(query_id, doc_id, tf, dl, df, n_docs,
+    * total_len)` — score per term, sum per (query, doc), top-k window
+    * with the (score desc, doc_id asc) total order. */
+  private def bm25ScoreAndRank(matched: DataFrame, k: Int,
+                               exact: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dec = "DECIMAL(38,0)"
     // staged: sat = (44·tf·L·SCALE) div (20tfL + 6L + 18·dl·N) is a
     // BIGINT ≤ 2.2·SCALE regardless of tf, then the idf stage — see the

@@ -80,7 +80,7 @@ object Similarity {
     * such a frame should `localCheckpoint()` it first (which also
     * pins the rows the answer is FOR — the right call regardless of
     * this gate). */
-  private[llm] def fitsDriver(df: DataFrame, cap: Int): Boolean =
+  private[graft] def fitsDriver(df: DataFrame, cap: Int): Boolean =
     cap > 0 && df.limit(cap + 1).count() <= cap
 
   /**

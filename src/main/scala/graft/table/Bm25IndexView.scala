@@ -6,134 +6,110 @@ import org.apache.spark.sql.functions._
 
 /**
  * The BM25 inverted index as a STANDING, CDF-maintained artifact — the
- * [[IncrementalAggView]] pattern applied to [[graft.llm.Retrieval]]'s
- * retrieval index: the corpus lives in a [[ManagedTable]], the postings
- * live in their own ManagedTable (time travel, history and concurrency
- * checks for free), and each refresh reads ONLY the unprocessed
- * change-feed range of the corpus and folds it with
- * [[Retrieval.bm25IndexMerge]] — O(batch) per day, the corpus text is
- * never re-tokenized. Before this class, `bm25IndexMerge` folded a
- * batch the caller handed it; the view closes the loop: WHICH rows are
- * new comes from the corpus table's own commit log.
+ * [[RowLocalIndexView]] lifecycle applied to [[graft.llm.Retrieval]]'s
+ * retrieval index, in the NORMALIZED layout that makes BM25
+ * maintenance row-local in the first place:
  *
- * Exactly-once, restart-safe: the last folded corpus version rides each
- * state commit's `userMetadata`, so a re-run reads the watermark from
- * the state's commit log and processes `(watermark, latest]` or
- * nothing; the replace commit carries `expectedPrevVersion`, so two
- * racing refreshes cannot both land.
+ *   - the state table holds pure `(tok, doc_id, tf, dl)` postings
+ *     ([[Retrieval.bm25Postings]]) — every column a function of its
+ *     OWN document, so an entering doc appends its rows, a leaving doc
+ *     tombstones them, and NOTHING else in the table moves;
+ *   - `df` is not stored at all: it is the posting-list length,
+ *     derived at query time over exactly the matched lists
+ *     ([[Retrieval.bm25SearchPostings]]) — deletes keep it exact for
+ *     free;
+ *   - the two corpus scalars (`n_docs`, `total_len`) ride each state
+ *     commit's metadata next to the watermark, moved by the slice's
+ *     signed sums — never stamped on rows.
  *
- * The append-only doc-id gate stays O(batch): a [[Retrieval
- * .bm25IndexBloom]] persists NEXT TO the state and each refresh tests
- * the slice against it, folding the slice's ids back in with
- * [[Retrieval.bm25BloomAdd]]. The bloom write deliberately precedes the
- * state commit — a crash between the two leaves the bloom with ids the
- * index lacks, which only produces false POSITIVES (an exact re-check
- * that passes), never a silently-skipped collision.
+ * The denormalized one-shot [[Retrieval.bm25Index]] stamps df and the
+ * scalars on every posting, which is right for a frozen corpus but
+ * makes EVERY maintenance commit O(index) on the write side: a
+ * pure-append daily batch moves `n_docs`, and restamping it rewrites
+ * the whole postings table. In this layout a daily append commits
+ * O(batch) rows; the pipeline's own curation deletes (span dedup,
+ * fuzzy dedup, decontamination, SQL DELETE/UPDATE) land as
+ * O(deleted-rows) deletion vectors; only a corpus-scale delete set
+ * (past the broadcast gate) rewrites, by shuffled anti-join — all
+ * inherited verbatim from [[RowLocalIndexView]], including the doc-id
+ * bloom gate, watermark recovery, the concurrency fences, and the
+ * crash-resume of a half-applied delete-bearing slice.
  *
- * ANY slice folds — appends, deletes, and updates: the change rows net
- * per `(doc_id, text)` under a ±1 sign (so a dir-rewrite commit's
- * coarse feed — all old dir rows − / survivors + — cancels to the
- * minimal delta, the [[IncrementalJoinAggView]] additivity argument),
- * pure-insert slices take [[Retrieval.bm25IndexMerge]]'s proven
- * append path, and mixed slices take
- * [[Retrieval.bm25IndexApplyDelta]]'s signed posting maintenance
- * (df decrements per deleted doc token, doc-count/length scalars move
- * by signed sums, updates are a (−pre, +post) pair tokenized from the
- * feed itself). The corpus text is never re-read in either path — this
- * is what lets the index survive the pipeline's own curation actions
- * (span dedup, fuzzy dedup, decontamination, SQL DELETE/UPDATE), which
- * all write non-insert slices.
- *
- * The bloom only ever GROWS (deleted ids stay in it): a re-inserted
- * previously-deleted id tests bloom-positive and falls through to the
- * exact check against the surviving index, which passes — the bloom
- * over-approximates by design, never under-covers.
+ * The postings are BORN clustered by `tok` (the property lands in the
+ * init commit and governs its very first files; appends inherit it),
+ * so a query batch's matched-posting-list scan prunes at dir-stat and
+ * row-group grain instead of reading the corpus's whole vocabulary.
  */
 final class Bm25IndexView(spark: SparkSession, sourcePath: String,
                           statePath: String,
                           textCol: String = "text",
                           idCol: String = "doc_id",
-                          expectedDocs: Long = 10000000L) {
+                          expectedDocs: Long = 10000000L,
+                          deleteBroadcastCap: Int =
+                            CdfNetting.MaxBroadcastIds)
+  extends RowLocalIndexView(spark, sourcePath, statePath, idCol,
+    Seq(textCol), "bm25 view", "BM25", expectedDocs) {
 
-  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
-  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
+  override protected def stateIdColumn: String = "doc_id"
 
-  private def source = ManagedTable(spark, sourcePath)
-  private def state = ManagedTable(spark, statePath)
-  private val bloomPath = statePath.stripSuffix("/") + "_bloom"
+  override protected def maxBroadcastIds: Int = deleteBroadcastCap
 
-  /** The last source version folded into the index (from the state
-    * table's own commit metadata; maintenance commits on the state —
-    * OPTIMIZE/ANALYZE/CLUSTER record no watermark — are transparent). */
-  def sourceVersion: Long =
+  override protected def initProperties: Option[Map[String, String]] =
+    Some(Map(ManagedTable.ClusterColumnsProp -> "tok"))
+
+  override protected def buildRows(docs: DataFrame): DataFrame =
+    Retrieval.bm25Postings(docs, textCol, idCol)
+
+  /** (docs with ≥1 token, Σ dl) of a payload frame — zero-token docs
+    * never enter the postings, so they never count here either (the
+    * same convention [[Retrieval.bm25Index]] bakes into its stamps). */
+  private def scalarsOf(docs: DataFrame): (Long, Long) = {
+    val r = buildRows(docs)
+      .groupBy("doc_id").agg(first("dl").as("__dl__"))
+      .agg(count(lit(1)).as("__n__"),
+        coalesce(sum("__dl__"), lit(0L)).as("__l__"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  override protected def initMeta(v: Long, snapshot: DataFrame): String = {
+    val (n, l) = scalarsOf(snapshot)
+    s"""{"sourceVersion":$v,"nDocs":$n,"totalLen":$l}"""
+  }
+
+  override protected def refreshMeta(v: Long, ins: DataFrame,
+                                     del: DataFrame): String = {
+    val (n0, l0) = scalars
+    val (ni, li) = scalarsOf(ins)
+    val (nd, ld) = scalarsOf(del)
+    s"""{"sourceVersion":$v,"nDocs":${n0 + ni - nd},"totalLen":${l0 + li - ld}}"""
+  }
+
+  private val ScalarsRe =
+    """"sourceVersion":\d+,"nDocs":(\d+),"totalLen":(\d+)""".r
+
+  /** The maintained corpus scalars `(n_docs, total_len)` — read from
+    * the same watermark-bearing commit the fold landed (a half-applied
+    * slice's pending delete commit is transparent, exactly like the
+    * watermark itself). */
+  def scalars: (Long, Long) =
     CdfNetting.commitMetas(state, "bm25 view", statePath)
-      .collectFirst { case MetaRe(v) => v.toLong }
+      .collectFirst {
+        case m if ScalarsRe.findFirstMatchIn(m).isDefined =>
+          val g = ScalarsRe.findFirstMatchIn(m).get
+          (g.group(1).toLong, g.group(2).toLong)
+      }
       .getOrElse(throw new IllegalStateException(
-        "no commit in the bm25 view state's history carries a sourceVersion " +
-          "watermark — was the state table created outside the view?"))
+        "no commit in the bm25 view state's history carries the corpus " +
+          "scalars — was the state table created outside the view?"))
 
-  /** Build the index from the corpus's CURRENT snapshot — the only
-    * O(corpus) step in the view's lifetime (one tokenize + the bloom's
-    * one distinct). The bloom writes BEFORE the state commit — the same
-    * crash-safe order as [[refresh]]: a crash between the two leaves a
-    * bloom that covers MORE ids than the (old or absent) state, which
-    * only produces false positives routed to the exact re-check, never
-    * a silently-skipped collision (the reverse order would leave a
-    * stale bloom UNDER-covering the new index). */
-  def initialize(): Long = {
-    val v = source.latestVersion.getOrElse(throw new IllegalStateException(
-      s"source table $sourcePath does not exist"))
-    val snapshot = source.read
-    Retrieval.bm25IndexBloom(snapshot.select(col(idCol).as("doc_id")),
-        expectedDocs)
-      .write.mode("overwrite").parquet(bloomPath)
-    state.write(Retrieval.bm25Index(snapshot, textCol, idCol),
-      "BM25_INIT", "replace", meta(v))
-    v
+  /** Top-`k` per query served ENTIRELY from the standing artifacts:
+    * the maintained postings plus the commit-metadata scalars
+    * ([[Retrieval.bm25SearchPostings]] — df derived over the matched
+    * lists, both query-batch regimes, both arithmetic modes). */
+  def search(queries: DataFrame, k: Int = 5,
+             exact: Boolean = false): DataFrame = {
+    val (n, l) = scalars
+    Retrieval.bm25SearchPostings(queries, read, n, l, k, exact)
   }
-
-  /** Fold the unprocessed change-feed range into the index. No-op (no
-    * new commit) when already current or when the range carries no
-    * rows. Returns the new watermark. */
-  def refresh(): Long = {
-    val last = sourceVersion
-    val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
-      s"source table $sourcePath does not exist"))
-    require(latest >= last,
-      s"source went backwards: watermark $last, latest $latest — was the " +
-        "corpus table recreated? Re-initialize the view.")
-    if (latest == last) return last
-    val cdf = source.readChangeFeed(last + 1, Some(latest))
-    // net the slice per (doc_id, text) under ±1: insert/update_postimage
-    // enter, delete/update_preimage leave; a row inserted AND deleted (or
-    // a coarse dir-rewrite feed's untouched survivors) cancels to nothing
-    val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol), "bm25 view")
-    if (ins.isEmpty && del.isEmpty) return last // range nets to nothing
-    val bloomRow = spark.read.parquet(bloomPath)
-    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(bloomRow)
-    val merged =
-      if (del.isEmpty) // pure-append slice: the proven merge path
-        Retrieval.bm25IndexMerge(state.read, ins, textCol, idCol,
-          docIdBloom = Some(bloomBytes))
-      else
-        Retrieval.bm25IndexApplyDelta(state.read, ins, del, textCol, idCol,
-          docIdBloom = Some(bloomBytes))
-    // bloom BEFORE state: a crash between the two can only over-approximate
-    // (bm25BloomAdd returns a driver-built row — no read dependence on
-    // bloomPath remains when the overwrite lands). Deleted ids stay in the
-    // bloom deliberately — over-approximation routes a re-insert of such
-    // an id to the exact check, which passes against the surviving index.
-    // A delete-only slice leaves the bloom as-is (nothing new to cover,
-    // and Spark's bloom builder cannot fold an empty frame).
-    if (!ins.isEmpty)
-      Retrieval.bm25BloomAdd(bloomRow, ins, idCol)
-        .write.mode("overwrite").parquet(bloomPath)
-    state.write(merged, "BM25_REFRESH", "replace", meta(latest),
-      expectedPrevVersion = state.latestVersion)
-    latest
-  }
-
-  /** The maintained postings table — feed straight into
-    * [[Retrieval.bm25SearchWith]] / [[Retrieval.hybridTopKWith]]. */
-  def read: DataFrame = state.read
 }

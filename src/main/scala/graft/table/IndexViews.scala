@@ -45,16 +45,38 @@ private[table] object CdfNetting {
       netted.filter(col("__cnt__") < 0L).select(cols: _*))
   }
 
+  /** Default query/delete-batch broadcast gate shared by the view
+    * family — past it, maintenance joins run shuffled (a corpus-wide
+    * curation pass can delete billions of ids; broadcasting that set
+    * is a driver/executor OOM, Spark's 8 GB broadcast hard limit
+    * aside). */
+  val MaxBroadcastIds: Int = 65536
+
+  /** Hint `small` for broadcast only while it fits the driver gate —
+    * the delete-side sibling of [[Similarity.fitsDriver]]'s query-side
+    * gating: a handful of curated ids broadcast (one narrow pass over
+    * the index, no shuffle of it), a corpus-scale delete set falls
+    * back to a shuffled join of the same shape. */
+  private def gated(small: DataFrame, cap: Int): DataFrame =
+    if (Similarity.fitsDriver(small, cap)) broadcast(small) else small
+
   /** Every id in `delIds` must exist among `indexIds` (subtracting
     * rows that were never added would corrupt the index silently).
-    * One narrow pass over the index, broadcast semi-join. */
+    * One narrow pass over the index; the delete side broadcasts only
+    * under the size gate. Callers must pass the ids the index is
+    * EXPECTED to hold — for a row-local index that is the ids of the
+    * delta's own buildRows output, NOT every deleted source id (a doc
+    * whose payload indexes to zero rows — empty text, text shorter
+    * than the shingle width — legitimately has no index rows, and
+    * gating on it would wedge the view on a perfectly valid DELETE). */
   def requireExistingIds(indexIds: DataFrame, delIds: DataFrame,
-                         what: String): Unit = {
+                         what: String,
+                         cap: Int = MaxBroadcastIds): Unit = {
     val del = delIds.distinct().localCheckpoint()
     val nDel = del.count()
     if (nDel == 0) return
     val matched = indexIds
-      .join(broadcast(del), indexIds.columns.toSeq, "semi")
+      .join(gated(del, cap), indexIds.columns.toSeq, "semi")
       .distinct().count()
     require(matched == nDel,
       s"$what: ${nDel - matched} deleted ids are not in the index — the " +
@@ -66,10 +88,13 @@ private[table] object CdfNetting {
     * suspects reach the exact semi-check, so the common all-new batch
     * never touches the index at all. An update's reused id passes
     * because its delete lands in the same delta. Ids compare as
-    * strings (the blooms hash `xxhash64(cast(id as string))`). */
+    * strings (the blooms hash `xxhash64(cast(id as string))`). Both
+    * delta-side joins broadcast only under the size gate (a re-ingest
+    * after a corpus-wide dedup makes them delta-scaled). */
   def requireNewIds(spark: SparkSession, indexIds: DataFrame,
                     insIds: DataFrame, delIds: DataFrame,
-                    bloom: Option[Array[Byte]], what: String): Unit = {
+                    bloom: Option[Array[Byte]], what: String,
+                    cap: Int = MaxBroadcastIds): Unit = {
     val idName = insIds.columns.head
     val ins = insIds.distinct()
     val suspects = (bloom match {
@@ -81,8 +106,8 @@ private[table] object CdfNetting {
     }).localCheckpoint()
     if (suspects.isEmpty) return
     val dup = indexIds
-      .join(broadcast(suspects), indexIds.columns.toSeq, "semi")
-      .join(broadcast(delIds.distinct().toDF("__del__")),
+      .join(gated(suspects, cap), indexIds.columns.toSeq, "semi")
+      .join(gated(delIds.distinct().toDF("__del__"), cap),
         col(s"`${indexIds.columns.head}`").cast("string") ===
           col("__del__").cast("string"), "anti")
       .distinct().count()
@@ -96,20 +121,40 @@ private[table] object CdfNetting {
     * list for their most recent matching entry, so MAINTENANCE commits
     * on the state (OPTIMIZE/ANALYZE/CLUSTER, which record no
     * watermark) are transparent instead of stranding the view, and a
-    * RESTORE finds the restored commit's own carried watermark first. */
+    * RESTORE finds the restored commit's own carried watermark first.
+    *
+    * RESTORE commits confine the rest of the walk: a restore TO a
+    * watermark-less maintenance commit carries no metadata itself, and
+    * the commits between the restore target and the restore (the
+    * rolled-back refreshes) describe data the table no longer holds —
+    * walking into them would pair the OLD restored fold with a NEWER
+    * superseded watermark, silently never folding the range between.
+    * So on meeting `RESTORE(version=V)` the walk jumps to V and
+    * continues down from there, exactly the history the restored data
+    * came from (nested restores compose — each one can only lower the
+    * cap). */
   def commitMetas(state: ManagedTable, what: String,
                   statePath: String): Seq[String] = {
     require(state.lastCommit.isDefined,
       s"$what state $statePath does not exist — call initialize() first")
-    state.history.flatMap(_.userMetadata)
+    var cap = Long.MaxValue
+    val out = Seq.newBuilder[String]
+    state.history.foreach { c =>
+      if (c.version <= cap) {
+        c.userMetadata.foreach(out += _)
+        c.operationMetrics.get("restoredVersion")
+          .foreach(v => cap = math.min(cap, v.toLong))
+      }
+    }
+    out.result()
   }
 }
 
 /**
  * The shared lifecycle of every ROW-LOCAL standing-index view — an
- * index whose rows are a function of ONE source row (positions,
- * MinHash signatures, PQ codes, cell assignments, benchmark shingles),
- * so maintenance never moves a cross-document statistic:
+ * index whose rows are a function of ONE source row (positions, BM25
+ * postings, MinHash signatures, PQ codes, cell assignments, benchmark
+ * shingles), so maintenance never moves a cross-document statistic:
  *
  *   - [[initialize]]: (optional per-view training hook), doc-id bloom
  *     written FIRST (a crash between bloom and state can only
@@ -119,17 +164,36 @@ private[table] object CdfNetting {
  *     (id, payload) ([[CdfNetting.net]] — coarse dir-rewrite feeds
  *     cancel to the minimal delta); a PURE-INSERT slice lands as an
  *     APPEND commit of the batch's own rows (the standing index is not
- *     even read — O(batch) per day); a slice with deletes rewrites
- *     once, the deleted-id set broadcast into an anti-join; updates
- *     are the (−pre, +post) pair. Insert-id collisions are bloom-gated
- *     against the surviving index, deletes must describe rows the
- *     index holds — both loud.
+ *     even read — O(batch) per day); a slice with deletes lands as
+ *     merge-on-read DELETION VECTORS (O(deleted rows) — the index is
+ *     STILL never rewritten) followed by an append of the entering
+ *     rows; only a delete set past the broadcast gate (a corpus-wide
+ *     curation pass) rewrites, by SHUFFLED anti-join. Updates are the
+ *     (−pre, +post) pair. Insert-id collisions are bloom-gated against
+ *     the surviving index; deletes must describe index rows the state
+ *     holds — gated on the ids of the delta's own [[buildRows]] output,
+ *     so a doc whose payload indexes to NOTHING (empty text, text
+ *     shorter than the shingle width) deletes as a legal no-op instead
+ *     of wedging the view.
  *
  * Exactly-once: the folded source version rides each state commit's
- * metadata; replace commits carry `expectedPrevVersion` so racing
- * refreshes cannot both land. Subclasses supply only [[buildRows]]
- * (the indexing function), names, and optional training/layout hooks
- * — the contract and its tests are shared, not stamped.
+ * metadata; every slice's commits carry `expectedPrevVersion` captured
+ * at the watermark read, so racing refreshes cannot both land. The DV
+ * path is two commits (delete, then the insert append) — the delete
+ * carries a `pendingSourceVersion` marker instead of the watermark, so
+ * a crash between the two resumes: the next [[refresh]] re-nets the
+ * SAME immutable change-feed range and lands only the missing append,
+ * stamped with the full watermark. The doc-id bloom lives in its own
+ * [[ManagedTable]] (atomic replace via the commit log — no
+ * delete-then-write window where a crash leaves NO bloom), written
+ * BEFORE the state commits so any crash order only over-approximates.
+ *
+ * State-table housekeeping composes: [[purge]] materializes the
+ * accumulated deletion vectors ([[ManagedTable.purgeDeletes]]) as a
+ * watermark-less maintenance commit, transparent to the walk.
+ * Subclasses supply only [[buildRows]] (the indexing function), names,
+ * and optional training/layout/metadata hooks — the contract and its
+ * tests are shared, not stamped.
  */
 private[table] abstract class RowLocalIndexView(
     spark: SparkSession, sourcePath: String, statePath: String,
@@ -150,22 +214,44 @@ private[table] abstract class RowLocalIndexView(
     * index's very first files). */
   protected def initProperties: Option[Map[String, String]] = None
 
-  private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
-  private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
+  /** Commit metadata of the init commit — subclasses append their own
+    * keys AFTER `"sourceVersion"` ([[Bm25IndexView]] rides the corpus
+    * scalars here). Must keep the `"sourceVersion":<v>` key. */
+  protected def initMeta(v: Long, snapshot: DataFrame): String =
+    s"""{"sourceVersion":$v}"""
+
+  /** Commit metadata of the slice's FINAL commit — `ins`/`del` are the
+    * netted payload frames. Must keep the `"sourceVersion":<v>` key. */
+  protected def refreshMeta(v: Long, ins: DataFrame,
+                            del: DataFrame): String =
+    s"""{"sourceVersion":$v}"""
+
+  /** Delete-id sets up to this size broadcast (and may collect into a
+    * deletion-vector predicate); past it, maintenance joins run
+    * shuffled and the delete rewrites the state once. */
+  protected def maxBroadcastIds: Int = CdfNetting.MaxBroadcastIds
+
+  private val WatermarkRe = """"sourceVersion":(\d+)""".r
+  private val PendingRe = """\{"pendingSourceVersion":(\d+)\}""".r
 
   protected final def source: ManagedTable = ManagedTable(spark, sourcePath)
   protected final def state: ManagedTable = ManagedTable(spark, statePath)
   private val bloomPath = statePath.stripSuffix("/") + "_bloom"
+  private def bloomTable: ManagedTable = ManagedTable(spark, bloomPath)
 
   private def stateIds: DataFrame =
     state.read.select(col(s"`$stateIdColumn`").as("doc_id"))
 
-  /** The last source version folded into the index (the most recent
-    * watermark-bearing state commit — maintenance commits on the state
-    * table are transparent). */
+  /** The last source version FULLY folded into the index (the most
+    * recent watermark-bearing state commit — maintenance commits on
+    * the state table, and a half-applied slice's pending delete
+    * commit, are transparent). */
   final def sourceVersion: Long =
     CdfNetting.commitMetas(state, what, statePath)
-      .collectFirst { case MetaRe(v) => v.toLong }
+      .collectFirst {
+        case m if WatermarkRe.findFirstMatchIn(m).isDefined =>
+          WatermarkRe.findFirstMatchIn(m).get.group(1).toLong
+      }
       .getOrElse(throw new IllegalStateException(
         s"no commit in the $what state's history carries a sourceVersion " +
           "watermark — was the state table created outside the view?"))
@@ -176,55 +262,119 @@ private[table] abstract class RowLocalIndexView(
       s"source table $sourcePath does not exist"))
     val snapshot = source.read
     beforeInitialize(snapshot)
-    Retrieval.bm25IndexBloom(snapshot.select(col(s"`$idCol`").as("doc_id")),
-        expectedIds)
-      .write.mode("overwrite").parquet(bloomPath)
-    state.write(buildRows(snapshot), s"${opPrefix}_INIT", "replace", meta(v),
-      propertiesOverride = initProperties)
+    bloomTable.write(
+      Retrieval.bm25IndexBloom(snapshot.select(col(s"`$idCol`").as("doc_id")),
+        expectedIds), s"${opPrefix}_BLOOM", "replace")
+    state.write(buildRows(snapshot), s"${opPrefix}_INIT", "replace",
+      Some(initMeta(v, snapshot)), propertiesOverride = initProperties)
     v
   }
 
   /** Fold the unprocessed change-feed range. No-op (no commit) when
     * already current or the range nets to nothing. */
   final def refresh(): Long = {
-    val last = sourceVersion
+    val resumed = resumePending()
+    val last = resumed.getOrElse(sourceVersion)
     val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
       s"source table $sourcePath does not exist"))
     require(latest >= last,
       s"source went backwards: watermark $last, latest $latest — was the " +
         "source table recreated? Re-initialize the view.")
     if (latest == last) return last
+    val fence = state.latestVersion
     val cdf = source.readChangeFeed(last + 1, Some(latest))
     val (ins, del) = CdfNetting.net(cdf, idCol, payloadCols, what)
     if (ins.isEmpty && del.isEmpty) return last
-    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(
-      spark.read.parquet(bloomPath))
+    val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(bloomTable.read)
     val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
     val delIds = del.select(col(s"`$idCol`").as("doc_id"))
     CdfNetting.requireNewIds(spark, stateIds, insIds, delIds,
-      Some(bloomBytes), what)
+      Some(bloomBytes), what, maxBroadcastIds)
+    // bloom BEFORE the state commits (its replace is atomic through its
+    // own commit log): any crash order leaves a bloom covering MORE ids
+    // than the state — false positives routed to the exact re-check,
+    // never a silently-skipped collision
     if (!ins.isEmpty)
-      Retrieval.bm25BloomAdd(spark.read.parquet(bloomPath), ins, idCol)
-        .write.mode("overwrite").parquet(bloomPath)
+      bloomTable.write(Retrieval.bm25BloomAdd(bloomTable.read, ins, idCol),
+        s"${opPrefix}_BLOOM", "replace")
     if (del.isEmpty)
       // mergeSchema: names and types are fixed by buildRows, but
       // NULLABILITY can legitimately differ from the state's (a
       // compaction pass reads-and-rewrites, widening NOT NULL away) —
       // exact-DDL matching would refuse the append for that alone
       state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
-        meta(latest), mergeSchema = true)
+        Some(refreshMeta(latest, ins, del)), mergeSchema = true,
+        expectedPrevVersion = fence)
     else {
-      CdfNetting.requireExistingIds(stateIds, delIds, what)
-      val survivors = state.read
-        .join(broadcast(delIds.distinct().toDF("__del__")),
-          col(s"`$stateIdColumn`").cast("string") ===
-            col("__del__").cast("string"), "anti")
-      state.write(survivors.unionByName(buildRows(ins)),
-        s"${opPrefix}_REFRESH", "replace", meta(latest),
-        expectedPrevVersion = state.latestVersion)
+      // gate on the ids the state actually HOLDS rows for — the ids of
+      // the delta's own index rows, not every deleted source id (a
+      // payload indexing to zero rows deletes as a legal no-op)
+      val delStateIds = buildRows(del)
+        .select(col(s"`$stateIdColumn`").as("doc_id"))
+        .distinct().localCheckpoint()
+      CdfNetting.requireExistingIds(stateIds, delStateIds, what,
+        maxBroadcastIds)
+      if (Similarity.fitsDriver(delStateIds, maxBroadcastIds)) {
+        // merge-on-read path: tombstone the deleted docs' rows —
+        // O(deleted rows), the standing index is never rewritten. Two
+        // commits when rows also enter; the delete carries a PENDING
+        // marker (not the watermark) so a crash between them resumes
+        val ids = delStateIds.collect().map(r => String.valueOf(r.get(0)))
+        val pred = col(s"`$stateIdColumn`").cast("string")
+          .isin(ids.toIndexedSeq: _*)
+        if (ins.isEmpty)
+          state.deleteVectors(pred,
+            userMetadata = Some(refreshMeta(latest, ins, del)),
+            expectedPrevVersion = fence)
+        else {
+          state.deleteVectors(pred,
+            userMetadata = Some(s"""{"pendingSourceVersion":$latest}"""),
+            expectedPrevVersion = fence)
+          state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
+            Some(refreshMeta(latest, ins, del)), mergeSchema = true,
+            expectedPrevVersion = state.latestVersion)
+        }
+      } else {
+        // corpus-scale delete (the pipeline's own fuzzy-dedup /
+        // decontamination output): the id set must not become driver
+        // or broadcast state — one SHUFFLED anti-join, one rewrite
+        val survivors = state.read
+          .join(delStateIds.toDF("__del__"),
+            col(s"`$stateIdColumn`").cast("string") ===
+              col("__del__").cast("string"), "anti")
+        state.write(survivors.unionByName(buildRows(ins)),
+          s"${opPrefix}_REFRESH", "replace",
+          Some(refreshMeta(latest, ins, del)),
+          expectedPrevVersion = fence)
+      }
     }
     latest
   }
+
+  /** Finish a half-applied delete-bearing slice: the DV delete commit
+    * landed with a pending marker but the insert append did not (crash
+    * between the two). The change-feed range is immutable and the
+    * netting deterministic, so re-deriving the slice and landing only
+    * the missing append is exactly-once. Returns the recovered
+    * watermark, or None when nothing was pending. */
+  private def resumePending(): Option[Long] =
+    state.lastCommit.flatMap(_.userMetadata)
+      .flatMap(m => PendingRe.findFirstMatchIn(m).map(_.group(1).toLong))
+      .map { p =>
+        val w = sourceVersion // pending markers are transparent to this
+        val cdf = source.readChangeFeed(w + 1, Some(p))
+        val (ins, del) = CdfNetting.net(cdf, idCol, payloadCols, what)
+        state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
+          Some(refreshMeta(p, ins, del)), mergeSchema = true,
+          expectedPrevVersion = state.latestVersion)
+        p
+      }
+
+  /** Materialize the deletion vectors the DV refresh path accumulates
+    * — [[ManagedTable.purgeDeletes]] as the view's own maintenance
+    * procedure; the commit carries no watermark and is transparent to
+    * the walk. */
+  final def purge(): Unit = { state.purgeDeletes(); () }
 
   /** The maintained index. */
   final def read: DataFrame = state.read
@@ -241,11 +391,15 @@ final class PositionalIndexView(spark: SparkSession, sourcePath: String,
                                 statePath: String,
                                 textCol: String = "text",
                                 idCol: String = "doc_id",
-                                expectedDocs: Long = 10000000L)
+                                expectedDocs: Long = 10000000L,
+                                deleteBroadcastCap: Int =
+                                  CdfNetting.MaxBroadcastIds)
   extends RowLocalIndexView(spark, sourcePath, statePath, idCol,
     Seq(textCol), "positional index view", "PHRASE", expectedDocs) {
 
   override protected def stateIdColumn: String = "doc_id"
+
+  override protected def maxBroadcastIds: Int = deleteBroadcastCap
 
   override protected def buildRows(docs: DataFrame): DataFrame =
     Retrieval.positionalIndex(docs, textCol, idCol)

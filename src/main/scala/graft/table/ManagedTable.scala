@@ -723,10 +723,21 @@ final class ManagedTable(spark: SparkSession, root: String) {
    * build refuses to read them rather than resurrecting deleted rows.
    */
   def deleteVectors(predicate: org.apache.spark.sql.Column,
-                    captureChangeData: Boolean = true): Commit = synchronized {
+                    captureChangeData: Boolean = true,
+                    userMetadata: Option[String] = None,
+                    expectedPrevVersion: Option[Long] = None): Commit = synchronized {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit}
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
+    // same fence as write(): callers that computed their tombstone set
+    // against a specific version (the view family's watermark reads)
+    // refuse to publish over an advanced head instead of silently
+    // deleting rows the intervening commit may have re-shaped
+    expectedPrevVersion.filter(_ != c.version).foreach { v =>
+      throw new ConcurrentCommitException(
+        s"table $root advanced from version $v to ${c.version} while a " +
+          "delete was computing")
+    }
     val schema = StructType.fromDDL(c.schemaDdl)
     val (affected, _) = splitDirsMayMatch(c, predicate)
     val version = c.version + 1L
@@ -735,7 +746,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       val commit = Commit(version, "DELETE VECTORS", tsMs, c.dirs,
         Map("numDeletedRows" -> "0",
           "numDeletionVectors" -> c.dvDirs.size.toString),
-        None, c.schemaDdl, c.version, partitionBy = c.partitionBy,
+        userMetadata, c.schemaDdl, c.version, partitionBy = c.partitionBy,
         dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
         columnMap = c.columnMap, constraints = c.constraints,
       properties = c.properties)
@@ -796,7 +807,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
           "numRewrittenDirs" -> "0") ++
           (if (attempts > 1) Map("numCommitRetries" -> (attempts - 1).toString)
            else Map.empty),
-        None, base.schemaDdl, base.version, changeDir,
+        userMetadata, base.schemaDdl, base.version, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = base.partitionBy, dirStats = base.dirStats,
         txn = base.txn, dvDirs = base.dvDirs :+ dvDir,

@@ -79,7 +79,16 @@ object GraftViews {
 
   def drop(spark: SparkSession, root: String, ifExists: Boolean): Unit = {
     val (fs, p) = fsAndPath(spark, root)
-    if (fs.exists(p)) { fs.delete(new org.apache.hadoop.fs.Path(root), true); () }
+    if (fs.exists(p)) {
+      // delete ONLY the view descriptor — anything else under the root
+      // (pre-existing user files, a nested graft table created beneath
+      // it) is not the view's to destroy; the directory itself leaves
+      // only once it is empty afterwards
+      fs.delete(p, false)
+      val dir = new org.apache.hadoop.fs.Path(root)
+      if (fs.exists(dir) && fs.listStatus(dir).isEmpty) fs.delete(dir, false)
+      ()
+    }
     else if (!ifExists) throw new IllegalStateException(
       s"graft view at $root does not exist (use DROP VIEW IF EXISTS)")
   }

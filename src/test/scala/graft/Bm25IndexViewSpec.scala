@@ -39,7 +39,7 @@ class Bm25IndexViewSpec extends SparkSpec {
     val q = Seq((1L, "spark merge"), (2L, "window table"))
       .toDF("query_id", "query_text")
     assertSameRows(
-      Retrieval.bm25SearchWith(q, restarted.read, k = 7, exact = true),
+      restarted.search(q, k = 7, exact = true),
       Retrieval.bm25TopK(corpus, q, k = 7, exact = true))
   }
 
@@ -47,7 +47,7 @@ class Bm25IndexViewSpec extends SparkSpec {
     val q = Seq((1L, "spark merge"), (2L, "window table"), (3L, "stream"))
       .toDF("query_id", "query_text")
     assertSameRows(
-      Retrieval.bm25SearchWith(q, view.read, k = 7, exact = true),
+      view.search(q, k = 7, exact = true),
       Retrieval.bm25TopK(t.read, q, k = 7, exact = true))
   }
 
@@ -65,7 +65,7 @@ class Bm25IndexViewSpec extends SparkSpec {
     assert(view.refresh() === 1L)
     searchEquals(view, t)
     val merged = view.read
-    val rebuilt = Retrieval.bm25Index(t.read, "text", "doc_id")
+    val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
     assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty,
       "merged postings table must equal the from-scratch rebuild exactly")
     assert(merged.filter(col("doc_id") === 3L).isEmpty)
@@ -100,7 +100,7 @@ class Bm25IndexViewSpec extends SparkSpec {
       "APPEND", "append")
     assert(view.refresh() === 3L)
     searchEquals(view, t)
-    val rebuilt = Retrieval.bm25Index(t.read, "text", "doc_id")
+    val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
     assert(view.read.exceptAll(rebuilt).isEmpty &&
       rebuilt.exceptAll(view.read).isEmpty)
   }
@@ -117,6 +117,103 @@ class Bm25IndexViewSpec extends SparkSpec {
       .toDF("doc_id", "text"), "APPEND", "append")
     val e = intercept[IllegalArgumentException] { view.refresh() }
     assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("write-path shapes: a pure-insert slice APPENDs only the batch's " +
+      "postings; a small delete lands as deletion vectors; scalars ride " +
+      "the commit metadata") {
+    val src = tmpDir("bm25v_shape")
+    val st = tmpDir("bm25v_shapes")
+    val t = ManagedTable(spark, src)
+    t.write(corpus.filter(col("doc_id") <= 5), "APPEND", "append")
+    val view = new Bm25IndexView(spark, src, st, expectedDocs = 1000)
+    view.initialize()
+    val initDirs = ManagedTable(spark, st).lastCommit.get.dirs
+    t.write(corpus.filter(col("doc_id") >= 6), "APPEND", "append")
+    view.refresh()
+    val afterAppend = ManagedTable(spark, st).lastCommit.get
+    assert(afterAppend.operation === "BM25_REFRESH")
+    assert(initDirs.forall(afterAppend.dirs.contains) &&
+      afterAppend.dirs.size === initDirs.size + 1,
+      "a pure-insert slice must APPEND a dir — the standing index was rewritten")
+    // scalars follow the fold: 7 docs, Σ dl of the whole corpus
+    val dl = Retrieval.bm25Postings(t.read)
+      .groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(sum("dl")).head().getLong(0)
+    assert(view.scalars === ((7L, dl)))
+    // a small delete slice: merge-on-read tombstones, postings untouched
+    t.delete(col("doc_id") === 3L)
+    view.refresh()
+    val afterDel = ManagedTable(spark, st).lastCommit.get
+    assert(afterDel.operation === "DELETE VECTORS",
+      s"a gated delete slice must land as deletion vectors, " +
+        s"got ${afterDel.operation}")
+    assert(afterDel.dirs === afterAppend.dirs,
+      "a DV delete must not rewrite any postings dir")
+    val rebuilt = Retrieval.bm25Postings(t.read)
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+    assert(view.scalars === ((6L, dl - 5L))) // doc 3 had 5 tokens
+    searchEquals(view, t)
+    // purge materializes the tombstones as a watermark-less maintenance
+    // commit — transparent to the walk, index unchanged
+    view.purge()
+    assert(view.sourceVersion === 2L && view.scalars === ((6L, dl - 5L)))
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+  }
+
+  test("a delete set past the broadcast gate folds through the SHUFFLED " +
+      "rewrite path with identical results") {
+    val src = tmpDir("bm25v_big")
+    val st = tmpDir("bm25v_bigs")
+    val t = ManagedTable(spark, src)
+    t.write(corpus, "APPEND", "append")
+    // cap 1: any delete set of ≥2 ids exceeds the gate
+    val view = new Bm25IndexView(spark, src, st, expectedDocs = 1000,
+      deleteBroadcastCap = 1)
+    view.initialize()
+    t.delete(col("doc_id").isin(2L, 4L, 6L))
+    t.write(Seq((9L, "stream window stream")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    assert(view.refresh() === 2L)
+    val last = ManagedTable(spark, st).lastCommit.get
+    assert(last.operation === "BM25_REFRESH",
+      "past the gate the slice must fold as one shuffled-rewrite commit")
+    val rebuilt = Retrieval.bm25Postings(t.read)
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+    searchEquals(view, t)
+  }
+
+  test("a crash between the DV delete commit and the insert append " +
+      "resumes: the next refresh lands only the missing append") {
+    val src = tmpDir("bm25v_crash")
+    val st = tmpDir("bm25v_crashs")
+    val t = ManagedTable(spark, src)
+    t.write(corpus, "APPEND", "append")
+    val view = new Bm25IndexView(spark, src, st, expectedDocs = 1000)
+    view.initialize()
+    // the slice a refresh would net: doc 2 leaves, doc 8 enters
+    t.delete(col("doc_id") === 2L)
+    val ins = Seq((8L, "stream stream merge")).toDF("doc_id", "text")
+    t.write(ins, "APPEND", "append")
+    // simulate the crashed refresh's surviving prefix: bloom folded,
+    // DV delete committed with the pending marker, append MISSING
+    val bloom = ManagedTable(spark, st.stripSuffix("/") + "_bloom")
+    bloom.write(Retrieval.bm25BloomAdd(bloom.read, ins, "doc_id"),
+      "BM25_BLOOM", "replace")
+    ManagedTable(spark, st).deleteVectors(
+      col("doc_id").cast("string").isin("2"),
+      userMetadata = Some("""{"pendingSourceVersion":2}"""))
+    // watermark still reads the last FULL fold; refresh resumes
+    assert(view.sourceVersion === 0L)
+    assert(view.refresh() === 2L)
+    assert(view.sourceVersion === 2L)
+    val rebuilt = Retrieval.bm25Postings(t.read)
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+    searchEquals(view, t)
   }
 
   test("a recreated source table is refused instead of silently refolded") {

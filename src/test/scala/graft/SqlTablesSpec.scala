@@ -746,8 +746,8 @@ class SqlTablesSpec extends SparkSpec {
       .head().getLong(0) === 1L)
     val q = Seq((1L, "spark")).toDF("query_id", "query_text")
     assertSameRows(
-      graft.llm.Retrieval.bm25SearchWith(q, ManagedTable(spark, bst).read,
-        k = 5, exact = true),
+      new graft.table.Bm25IndexView(spark, bsrc, bst).search(q, k = 5,
+        exact = true),
       graft.llm.Retrieval.bm25TopK(ManagedTable(spark, bsrc).read, q, k = 5,
         exact = true))
   }
