@@ -109,7 +109,8 @@ object Bench {
         // top-5 by cost, plus the two distributed query-scale join plans
         // pinned by name so their per-sf ratios are tracked round-over-
         // round even when they are not among the most expensive queries
-        val pinnedProbes = Set("ann_ivfpq", "phrase_search")
+        val pinnedProbes = Set("ann_ivfpq", "phrase_search",
+          "bm25_view_bulk_delete")
         val top = (results.filter(_._3).sortBy(-_._2).take(5) ++
           results.filter(r => pinnedProbes.contains(r._1) && r._3))
           .distinctBy(_._1)

@@ -63,6 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (graft.table.SqlTables); DDL goes through the Hints batch, ahead
     // of ResolveSessionCatalog's v1-command conversion
     ext.injectResolutionRule(graft.table.SqlTableResolution(_))
+    ext.injectParser((_, delegate) => new graft.table.GraftSqlParser(delegate))
     ext.injectHintResolutionRule(graft.table.SqlTableDdl(_))
   }
 }

@@ -1862,6 +1862,57 @@ object Queries {
     * text, not data); `DROP VIEW` makes the name unresolvable; plain
     * re-CREATE refuses while OR REPLACE redefines. Oracle: the
     * equivalent direct SQL over the same rows. */
+  /** The SQL catalog LISTING surface — `SHOW TABLES IN graft.ns`,
+    * `SHOW VIEWS IN graft.ns [LIKE ...]`, and `DESCRIBE HISTORY
+    * graft.ns.t` (Delta's spelling, via the injected parser): two
+    * tables and two views land under a warehouse namespace, the SHOW
+    * listings enumerate them by kind, and DESCRIBE HISTORY must return
+    * row-for-row what `CALL graft.history` returns (gated in-query,
+    * along with the LIKE filter). Reference posture: the framework
+    * contract enumerates its data objects
+    * (`framework/contract/config/objects.py:59`); here the warehouse
+    * IS the registry and listing is one directory scan. Output:
+    * `(name, kind)` sorted — the catalog's object inventory. */
+  def sqlShowObjects(spark: SparkSession, dir: String): DataFrame = {
+    val wh = tmp("showobj_wh")
+    spark.conf.set("spark.graft.warehouse", wh)
+    try {
+      pq(spark, dir, "nation").createOrReplaceTempView("showobj_nation")
+      spark.sql("CREATE TABLE graft.invns.nat (n_nationkey BIGINT, n_name STRING)")
+      spark.sql("INSERT INTO graft.invns.nat " +
+        "SELECT n_nationkey, n_name FROM showobj_nation")
+      spark.sql("CREATE TABLE graft.invns.nat2 (n_regionkey BIGINT)")
+      spark.sql("INSERT INTO graft.invns.nat2 " +
+        "SELECT DISTINCT n_regionkey FROM showobj_nation")
+      spark.sql("CREATE VIEW graft.invns.big AS " +
+        "SELECT * FROM graft.invns.nat WHERE n_nationkey >= 10")
+      spark.sql("CREATE VIEW graft.invns.cnt AS " +
+        "SELECT count(*) AS n FROM graft.invns.big")
+      // DESCRIBE HISTORY ≡ CALL graft.history, row for row
+      val hist = spark.sql("DESCRIBE HISTORY graft.invns.nat2").collect().toSeq
+      val call = spark.sql(s"CALL graft.history('$wh/invns/nat2')")
+        .collect().toSeq
+      require(hist == call,
+        "sql_show_objects: DESCRIBE HISTORY must return the CALL's rows")
+      require(hist.map(_.getString(1)) == Seq("APPEND", "CREATE TABLE"),
+        s"sql_show_objects: unexpected history ${hist.map(_.getString(1))}")
+      require(spark.sql("SHOW VIEWS IN graft.invns LIKE 'c*'")
+        .collect().map(_.getString(1)).toSeq == Seq("cnt"),
+        "sql_show_objects: the SHOW VIEWS LIKE filter must apply")
+      val tables = spark.sql("SHOW TABLES IN graft.invns")
+        .select(col("tableName").as("name"), lit("table").as("kind"))
+      val views = spark.sql("SHOW VIEWS IN graft.invns")
+        .select(col("viewName").as("name"), lit("view").as("kind"))
+      tables.unionByName(views).orderBy("name").localCheckpoint()
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
+  /** DuckDB mirror of [[sqlShowObjects]] — the expected inventory. */
+  val sqlShowObjectsSql: String =
+    """SELECT * FROM (VALUES ('big','view'), ('cnt','view'),
+      |  ('nat','table'), ('nat2','table')) AS t(name, kind)
+      |ORDER BY name""".stripMargin
+
   def sqlCreateView(spark: SparkSession, dir: String): DataFrame = {
     val base = tmp("sqlview_base")
     val v1 = tmp("sqlview_one")
@@ -6961,11 +7012,239 @@ object Queries {
       |       score_scaled, n_terms_matched
       |FROM r WHERE "rank" <= 7""".stripMargin
 
+  /** BULK corpus-fraction deletes through the BM25 view — the
+    * write-amplification probe: a curation pass deletes 20 % of the
+    * corpus and the view folds it as merge-on-read DELETION VECTORS
+    * (O(deleted rows) — pinned in-query: the DV commit must rewrite NO
+    * postings dir); a second 20 % delete runs through a view instance
+    * whose broadcast gate is forced shut, exercising the corpus-scale
+    * SHUFFLED rewrite path the same slice would take past the 65536-id
+    * gate (pinned: one replace commit, identical results). This query
+    * rides the bench scale probe, so BOTH delete paths' per-sf slopes
+    * are tracked round-over-round. Oracle: the full BM25 ranking over
+    * the surviving 60 % of the corpus. */
+  def bm25ViewBulkDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    import graft.table.{Bm25IndexView, ManagedTable}
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    val srcPath = tmp("bm25vb_src")
+    val stPath = tmp("bm25vb_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs, "APPEND", "append")
+      new Bm25IndexView(spark, srcPath, stPath, expectedDocs = 100000)
+        .initialize()
+    }
+    // curation pass 1: 20 % of the corpus leaves; the gated path
+    // tombstones — the postings table is not rewritten
+    t.delete(col("doc_id") % 5 === 0)
+    val view = new Bm25IndexView(spark, srcPath, stPath)
+    val dirsBefore = ManagedTable(spark, stPath).lastCommit.get.dirs
+    require(view.refresh() == 1L,
+      "bm25_view_bulk_delete: the first bulk delete must fold on v1")
+    val dvCommit = ManagedTable(spark, stPath).lastCommit.get
+    require(dvCommit.operation == "DELETE VECTORS" &&
+      dvCommit.dirs == dirsBefore,
+      s"bm25_view_bulk_delete: a gated bulk delete must tombstone, got " +
+        s"${dvCommit.operation}")
+    // curation pass 2: another 20 %, through a FORCED-SHUT gate — the
+    // exact plan a past-65536-id delete takes: shuffled anti-join, one
+    // rewrite, no broadcast of the id set anywhere
+    t.delete(col("doc_id") % 5 === 1)
+    val gated = new Bm25IndexView(spark, srcPath, stPath,
+      deleteBroadcastCap = 1)
+    require(gated.refresh() == 2L,
+      "bm25_view_bulk_delete: the second bulk delete must fold on v2")
+    val rwCommit = ManagedTable(spark, stPath).lastCommit.get
+    require(rwCommit.operation == "BM25_REFRESH",
+      s"bm25_view_bulk_delete: past the gate the slice must fold as one " +
+        s"shuffled-rewrite commit, got ${rwCommit.operation}")
+    val merged = gated.read
+    val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
+    require(merged.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(merged).isEmpty,
+      "bm25_view_bulk_delete: bulk-deleted postings drifted from the rebuild")
+    val queries = Seq(
+      (1L, "merge stream table"),
+      (2L, "fast query data"),
+      (3L, "row group window hash")).toDF("query_id", "query_text")
+    gated.search(queries, k = 7, exact = true)
+  }
+
+  /** DuckDB mirror of [[bm25ViewBulkDelete]] — the ranking over the
+    * surviving 60 % of the corpus. */
+  val bm25ViewBulkDeleteSql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |  (1, 'merge stream table'),
+      |  (2, 'fast query data'),
+      |  (3, 'row group window hash')),
+      |docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 >= 2),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM docs),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM dt GROUP BY doc_id),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM dt GROUP BY tok),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |qt AS (SELECT DISTINCT query_id, tok FROM
+      |  (SELECT query_id,
+      |     unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS tok
+      |   FROM q)),
+      |m AS (SELECT qt.query_id, dt.doc_id,
+      |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+      |        * ((CAST(44 AS HUGEINT) * dt.tf * s.total_len * 1000000)
+      |           // (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |              + CAST(6 AS HUGEINT)*s.total_len
+      |              + CAST(18 AS HUGEINT)*l.dl*s.n_docs)))
+      |    // CAST(2*f.df + 1 AS HUGEINT) AS BIGINT) AS s_int
+      | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
+      |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
+      |agg AS (SELECT query_id, doc_id,
+      |         CAST(sum(s_int) AS BIGINT) AS score_scaled,
+      |         CAST(count(*) AS BIGINT) AS n_terms_matched
+      |        FROM m GROUP BY query_id, doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score_scaled DESC, doc_id) AS "rank" FROM agg)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, "rank", doc_id,
+      |       score_scaled, n_terms_matched
+      |FROM r WHERE "rank" <= 7""".stripMargin
+
+  /** STREAMING maintenance of the BM25 view
+    * ([[graft.table.RowLocalIndexView#refreshStream]]): the corpus
+    * table's CDF STREAM drives the index instead of batch CALLs — a
+    * streaming curation pipeline's index stays current through the
+    * same netting, gates, and write choreography (appends APPEND,
+    * small deletes tombstone as deletion vectors, scalars move on the
+    * commit metadata), exactly-once via the (checkpoint, epoch)
+    * transaction high-water riding each fold's final commit. Epochs:
+    * init on 2/3 of docs + planted exact copies; then three source
+    * commits — a pure append, a curation DELETE of the copies, and a
+    * dir-rewrite UPDATE — drained by ONE AvailableNow stream pass.
+    * In-query gates: the watermark advances to the last source commit,
+    * a DELETE VECTORS commit landed in the state history (the delete
+    * slice tombstoned instead of rewriting), maintained ≡ rebuilt
+    * postings, and a second pass on the SAME checkpoint after one more
+    * append commits exactly that batch (resume without double-fold).
+    * Oracle: the full BM25 ranking over the FINAL corpus. */
+  def streamBm25View(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    import graft.table.{Bm25IndexView, ManagedTable}
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    require(docs.agg(max("doc_id")).head().getLong(0) < 940000L,
+      "planted-copy offset 940000 collides with natural doc ids")
+    val planted = docs.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 940000L).as("doc_id"), col("text"))
+    val srcPath = tmp("bm25vs_src")
+    val stPath = tmp("bm25vs_state")
+    val ck = tmp("bm25vs_ck")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs.filter(col("doc_id") % 3 =!= 0).unionByName(planted),
+        "APPEND", "append")
+      new Bm25IndexView(spark, srcPath, stPath, expectedDocs = 100000)
+        .initialize()
+    }
+    val view = new Bm25IndexView(spark, srcPath, stPath)
+    t.write(docs.filter(col("doc_id") % 3 === 0), "APPEND", "append")
+    t.delete(col("doc_id") >= 940000L)
+    t.update(Map("text" ->
+        concat(col("text"), lit(" zzgraftstreamed zzgraftstreamed"))),
+      col("doc_id") % 89 === 7)
+    val q1 = view.refreshStream(ck)
+    require(q1.awaitTermination(300000),
+      "stream_bm25_view: the view stream did not drain")
+    require(view.sourceVersion == 3L,
+      "stream_bm25_view: the stream must advance the watermark to the " +
+        s"last source commit, got ${view.sourceVersion}")
+    val st = ManagedTable(spark, stPath)
+    require(st.history.exists(_.operation == "DELETE VECTORS"),
+      "stream_bm25_view: the curation delete slice must tombstone via " +
+        "DELETE VECTORS instead of rewriting the postings")
+    val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
+    require(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty,
+      "stream_bm25_view: stream-maintained postings drifted from the rebuild")
+    // resume the SAME checkpoint after one more append: exactly that
+    // batch folds, nothing double-applies
+    t.write(docs.limit(0).unionByName( // inherit the table's nullability
+      Seq((940001L, "zzgraftstreamed merge stream")).toDF("doc_id", "text")),
+      "APPEND", "append")
+    val q2 = view.refreshStream(ck)
+    require(q2.awaitTermination(300000),
+      "stream_bm25_view: the resumed view stream did not drain")
+    val rebuilt2 = Retrieval.bm25Postings(t.read, "text", "doc_id")
+    require(view.read.exceptAll(rebuilt2).isEmpty &&
+      rebuilt2.exceptAll(view.read).isEmpty,
+      "stream_bm25_view: the resumed checkpoint double-folded or dropped " +
+        "the new batch")
+    val queries = Seq(
+      (1L, "zzgraftstreamed"),
+      (2L, "merge stream table"),
+      (3L, "row group window hash")).toDF("query_id", "query_text")
+    view.search(queries, k = 7, exact = true)
+  }
+
+  /** DuckDB mirror of [[streamBm25View]] — the FULL-corpus ranking over
+    * the final state (updates applied, planted copies gone, the
+    * post-resume doc present). */
+  val streamBm25ViewSql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |  (1, 'zzgraftstreamed'),
+      |  (2, 'merge stream table'),
+      |  (3, 'row group window hash')),
+      |docs AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 89 = 7
+      |       THEN text || ' zzgraftstreamed zzgraftstreamed'
+      |       ELSE text END AS text
+      | FROM documents
+      | UNION ALL
+      | SELECT 940001, 'zzgraftstreamed merge stream'),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM docs),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM dt GROUP BY doc_id),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM dt GROUP BY tok),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |qt AS (SELECT DISTINCT query_id, tok FROM
+      |  (SELECT query_id,
+      |     unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS tok
+      |   FROM q)),
+      |m AS (SELECT qt.query_id, dt.doc_id,
+      |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+      |        * ((CAST(44 AS HUGEINT) * dt.tf * s.total_len * 1000000)
+      |           // (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |              + CAST(6 AS HUGEINT)*s.total_len
+      |              + CAST(18 AS HUGEINT)*l.dl*s.n_docs)))
+      |    // CAST(2*f.df + 1 AS HUGEINT) AS BIGINT) AS s_int
+      | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
+      |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
+      |agg AS (SELECT query_id, doc_id,
+      |         CAST(sum(s_int) AS BIGINT) AS score_scaled,
+      |         CAST(count(*) AS BIGINT) AS n_terms_matched
+      |        FROM m GROUP BY query_id, doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score_scaled DESC, doc_id) AS "rank" FROM agg)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, "rank", doc_id,
+      |       score_scaled, n_terms_matched
+      |FROM r WHERE "rank" <= 7""".stripMargin
+
   /** The positional phrase index as a CDF-maintained standing view
     * ([[graft.table.PositionalIndexView]]): positions are row-local, so
     * a pure-insert slice must land as an APPEND commit (the standing
     * index is never read — pinned in-query on the commit shape), while
-    * deletes/updates rewrite once by broadcast anti-join. Epochs: init
+    * deletes tombstone as merge-on-read deletion vectors (also pinned:
+    * the DV commit rewrites no occurrence dir). Epochs: init
     * on 2/3 of docs + three planted phrase docs; append the rest
     * (append-commit pin); delete one planted doc and re-text another
     * (coarse dir-rewrite feeds); one refresh on a FRESH instance folds
@@ -7007,6 +7286,12 @@ object Queries {
     val restarted = new PositionalIndexView(spark, srcPath, stPath)
     require(restarted.refresh() == 3L,
       "phrase_view_refresh: one refresh must fold the delete and update")
+    val stT = ManagedTable(spark, stPath)
+    val dvc = stT.commitAt(stT.latestVersion.get - 1L)
+    require(dvc.operation == "DELETE VECTORS" &&
+      dvc.dirs == afterAppend.dirs,
+      s"phrase_view_refresh: the delete slice must tombstone via DELETE " +
+        s"VECTORS rewriting NO occurrence dir, got ${dvc.operation}")
     val vBefore = ManagedTable(spark, stPath).latestVersion
     require(restarted.refresh() == 3L &&
       ManagedTable(spark, stPath).latestVersion == vBefore,
@@ -7104,6 +7389,11 @@ object Queries {
       m = 8, ksub = 16)
     require(restarted.refresh() == 2L,
       "ann_view_refresh: the delete slice must fold on a restarted instance")
+    val dvc = ManagedTable(spark, stPath).lastCommit.get
+    require(dvc.operation == "DELETE VECTORS" &&
+      dvc.dirs == afterAppend.dirs,
+      s"ann_view_refresh: a delete-only slice must tombstone via DELETE " +
+        s"VECTORS rewriting NO codes dir, got ${dvc.operation}")
     val vBefore = ManagedTable(spark, stPath).latestVersion
     require(restarted.refresh() == 2L &&
       ManagedTable(spark, stPath).latestVersion == vBefore,

@@ -135,6 +135,7 @@ object SparkEntry {
     "sql_table_dml" -> (Queries.sqlTableDml(_, _)),
     "sql_table_ctas" -> (Queries.sqlTableCtas(_, _)),
     "sql_create_view" -> (Queries.sqlCreateView(_, _)),
+    "sql_show_objects" -> (Queries.sqlShowObjects(_, _)),
     "sql_table_time_travel" -> (Queries.sqlTableTimeTravel(_, _)),
     "sql_table_merge" -> (Queries.sqlTableMerge(_, _)),
     "sql_call_maintenance" -> (Queries.sqlCallMaintenance(_, _)),
@@ -214,6 +215,8 @@ object SparkEntry {
     "bm25_incremental" -> (Queries.bm25IncrementalDocs(_, _)),
     "bm25_view_refresh" -> (Queries.bm25ViewRefresh(_, _)),
     "bm25_view_delete" -> (Queries.bm25ViewDelete(_, _)),
+    "stream_bm25_view" -> (Queries.streamBm25View(_, _)),
+    "bm25_view_bulk_delete" -> (Queries.bm25ViewBulkDelete(_, _)),
     "lm_view_refresh" -> (Queries.lmViewRefresh(_, _)),
     "neardup_view_refresh" -> (Queries.neardupViewRefresh(_, _)),
     "semantic_view_refresh" -> (Queries.semanticViewRefresh(_, _)),
@@ -399,6 +402,7 @@ object SparkEntry {
     "sql_table_dml" -> Queries.sqlTableDmlSql,
     "sql_table_ctas" -> Queries.sqlTableCtasSql,
     "sql_create_view" -> Queries.sqlCreateViewSql,
+    "sql_show_objects" -> Queries.sqlShowObjectsSql,
     "sql_table_time_travel" -> Queries.sqlTableTimeTravelSql,
     "sql_table_merge" -> Queries.sqlTableMergeSql,
     "sql_call_maintenance" -> Queries.sqlCallMaintenanceSql,
@@ -732,6 +736,8 @@ object SparkEntry {
     "bm25_incremental" -> Queries.bm25IncrementalSql,
     "bm25_view_refresh" -> Queries.bm25ViewRefreshSql,
     "bm25_view_delete" -> Queries.bm25ViewDeleteSql,
+    "stream_bm25_view" -> Queries.streamBm25ViewSql,
+    "bm25_view_bulk_delete" -> Queries.bm25ViewBulkDeleteSql,
     "lm_view_refresh" -> Queries.lmViewRefreshSql,
     "neardup_view_refresh" -> Queries.neardupViewRefreshSql,
     "semantic_view_refresh" -> Queries.semanticViewRefreshSql,

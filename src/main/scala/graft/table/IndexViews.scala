@@ -281,10 +281,20 @@ private[table] abstract class RowLocalIndexView(
       s"source went backwards: watermark $last, latest $latest — was the " +
         "source table recreated? Re-initialize the view.")
     if (latest == last) return last
-    val fence = state.latestVersion
     val cdf = source.readChangeFeed(last + 1, Some(latest))
     val (ins, del) = CdfNetting.net(cdf, idCol, payloadCols, what)
     if (ins.isEmpty && del.isEmpty) return last
+    foldSlice(ins, del, latest, None)
+    latest
+  }
+
+  /** Apply one netted slice and advance the watermark to `latest` —
+    * the shared write choreography behind [[refresh]] (batch range)
+    * and [[refreshStream]] (micro-batch). The slice's FINAL commit
+    * carries the watermark (and the stream's txn high-water). */
+  private def foldSlice(ins: DataFrame, del: DataFrame, latest: Long,
+                        txn: Option[(String, Long)]): Unit = {
+    val fence = state.latestVersion
     val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(bloomTable.read)
     val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
     val delIds = del.select(col(s"`$idCol`").as("doc_id"))
@@ -304,7 +314,7 @@ private[table] abstract class RowLocalIndexView(
       // exact-DDL matching would refuse the append for that alone
       state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
         Some(refreshMeta(latest, ins, del)), mergeSchema = true,
-        expectedPrevVersion = fence)
+        expectedPrevVersion = fence, txnUpdate = txn)
     else {
       // gate on the ids the state actually HOLDS rows for — the ids of
       // the delta's own index rows, not every deleted source id (a
@@ -325,14 +335,14 @@ private[table] abstract class RowLocalIndexView(
         if (ins.isEmpty)
           state.deleteVectors(pred,
             userMetadata = Some(refreshMeta(latest, ins, del)),
-            expectedPrevVersion = fence)
+            expectedPrevVersion = fence, txnUpdate = txn)
         else {
           state.deleteVectors(pred,
             userMetadata = Some(s"""{"pendingSourceVersion":$latest}"""),
             expectedPrevVersion = fence)
           state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
             Some(refreshMeta(latest, ins, del)), mergeSchema = true,
-            expectedPrevVersion = state.latestVersion)
+            expectedPrevVersion = state.latestVersion, txnUpdate = txn)
         }
       } else {
         // corpus-scale delete (the pipeline's own fuzzy-dedup /
@@ -345,10 +355,65 @@ private[table] abstract class RowLocalIndexView(
         state.write(survivors.unionByName(buildRows(ins)),
           s"${opPrefix}_REFRESH", "replace",
           Some(refreshMeta(latest, ins, del)),
-          expectedPrevVersion = fence)
+          expectedPrevVersion = fence, txnUpdate = txn)
       }
     }
-    latest
+  }
+
+  /** STREAMING maintenance: the source's CDF stream folds into the
+    * index per micro-batch with the SAME netting, gates, and write
+    * choreography as [[refresh]] — a streaming curation pipeline's
+    * indexes stay current without a batch CALL. Exactly-once mirrors
+    * [[IncrementalView.refreshStream]]: the slice's final commit
+    * carries the (checkpoint, epoch) transaction high-water so a
+    * crash-replayed micro-batch is recognized; each fold advances the
+    * `sourceVersion` watermark to the batch's max `_commit_version`
+    * and drops batch rows at or below it, so batch [[refresh]] calls
+    * interleave safely with a resumed checkpoint; a half-applied DV
+    * slice (crash between the delete and the insert append) resumes
+    * through the same pending-marker recovery. Caller drains/stops the
+    * returned query. */
+  final def refreshStream(checkpoint: String,
+                          trigger: org.apache.spark.sql.streaming.Trigger =
+                            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = s"graft-view:$checkpoint"
+    val start = sourceVersion + 1
+    val stream = graft.streaming.StreamOps.streamTable(spark, sourcePath,
+      startingVersion = Some(start), readChangeFeed = true)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (state.lastTxnVersion(appId).exists(_ >= epochId)) {
+          // A genuinely replayed epoch re-delivers only commits the
+          // watermark already covers; if it holds NEWER commits the
+          // checkpoint path was deleted and reused — refuse instead of
+          // silently dropping unseen data (epochs restarted at 0)
+          val last = sourceVersion
+          if (!batch.filter(col("_commit_version") > last).isEmpty)
+            throw new IllegalStateException(
+              s"view stream checkpoint '$checkpoint' was re-created: " +
+                s"epoch $epochId is at or below the recorded high-water " +
+                "but carries commits beyond the watermark. Use a FRESH " +
+                "checkpoint path (epoch high-waters are keyed by path).")
+        } else {
+          resumePending()
+          val last = sourceVersion
+          val fresh = batch.filter(col("_commit_version") > last)
+            .localCheckpoint()
+          val maxV = fresh.agg(max(col("_commit_version"))).head()
+          if (!maxV.isNullAt(0)) {
+            val (ins, del) = CdfNetting.net(fresh, idCol, payloadCols, what)
+            // a slice netting to nothing lands no commit — a replay
+            // nets to nothing again, so skipping stays idempotent
+            if (!ins.isEmpty || !del.isEmpty)
+              foldSlice(ins, del, maxV.getLong(0), Some((appId, epochId)))
+          }
+        }
+        ()
+      }
+      .trigger(trigger)
+      .start()
   }
 
   /** Finish a half-applied delete-bearing slice: the DV delete commit
@@ -385,7 +450,8 @@ private[table] abstract class RowLocalIndexView(
  * standing, CDF-maintained view — `(doc_id, pos, tok)` occurrence rows
  * for exact phrase search. Positions are per-document, so the
  * [[RowLocalIndexView]] lifecycle applies verbatim: pure-insert slices
- * APPEND their own posexploded rows, deletes rewrite once.
+ * APPEND their own posexploded rows, deletes tombstone as deletion
+ * vectors (shuffled rewrite only past the broadcast gate).
  */
 final class PositionalIndexView(spark: SparkSession, sourcePath: String,
                                 statePath: String,

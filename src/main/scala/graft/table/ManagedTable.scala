@@ -725,7 +725,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
   def deleteVectors(predicate: org.apache.spark.sql.Column,
                     captureChangeData: Boolean = true,
                     userMetadata: Option[String] = None,
-                    expectedPrevVersion: Option[Long] = None): Commit = synchronized {
+                    expectedPrevVersion: Option[Long] = None,
+                    txnUpdate: Option[(String, Long)] = None): Commit = synchronized {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit}
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
@@ -747,7 +748,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         Map("numDeletedRows" -> "0",
           "numDeletionVectors" -> c.dvDirs.size.toString),
         userMetadata, c.schemaDdl, c.version, partitionBy = c.partitionBy,
-        dirStats = c.dirStats, txn = c.txn, dvDirs = c.dvDirs,
+        dirStats = c.dirStats, txn = c.txn ++ txnUpdate, dvDirs = c.dvDirs,
         columnMap = c.columnMap, constraints = c.constraints,
       properties = c.properties)
       writeCommit(commit, Some(c))
@@ -810,7 +811,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         userMetadata, base.schemaDdl, base.version, changeDir,
         changeFormat = if (changeDir.isDefined) STAMPED_CHANGE_FORMAT else 0,
         partitionBy = base.partitionBy, dirStats = base.dirStats,
-        txn = base.txn, dvDirs = base.dvDirs :+ dvDir,
+        txn = base.txn ++ txnUpdate, dvDirs = base.dvDirs :+ dvDir,
         columnMap = base.columnMap, constraints = base.constraints,
       properties = base.properties)
       try { writeCommit(commit, Some(base)); return commit }

@@ -31,6 +31,10 @@ import org.apache.spark.sql.types._
  */
 object SqlProcedures {
 
+  private[table] def metricsJson(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+
   private[table] def attr(name: String, dt: DataType): AttributeReference =
     AttributeReference(name, dt, nullable = true)()
 
@@ -143,9 +147,6 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         "init_benchmark_view, refresh_benchmark_view")
   }
 
-  private def metricsJson(m: Map[String, String]): String =
-    m.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
 
   private def commitRow(c: ManagedTable.Commit): Row =
     Row(c.version, c.operation, metricsJson(c.operationMetrics))
@@ -350,6 +351,57 @@ final case class GraftShowPropertiesCommand(root: String, key: Option[String],
         s"Table graft.`$root` does not have property: $k")))
       case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
     }
+  }
+}
+
+/** `SHOW VIEWS IN graft[.ns]` — the logical-view listing Spark's v2
+  * catalog path cannot serve (graft views are descriptor files, not
+  * catalog entries): every warehouse directory under the namespace
+  * holding a `_graft_view.json`, name-sorted, filtered by the optional
+  * `LIKE` pattern with Spark's own pattern semantics. Output matches
+  * the session catalog's SHOW VIEWS shape
+  * `(namespace, viewName, isTemporary)`. */
+final case class GraftShowViewsCommand(ns: Seq[String],
+                                       pattern: Option[String],
+                                       override val output: Seq[Attribute])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val base = new org.apache.hadoop.fs.Path(
+      (SqlTables.warehouse(spark) +: ns).mkString("/"))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) throw new IllegalStateException(
+      s"namespace graft${ns.map("." + _).mkString} not found under the warehouse")
+    val names = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(
+        new org.apache.hadoop.fs.Path(p, "_graft_view.json")))
+      .map(_.getName).toSeq.sorted
+    val kept = pattern match {
+      case Some(p) =>
+        org.apache.spark.sql.catalyst.util.StringUtils.filterPattern(names, p)
+      case None => names
+    }
+    kept.map(n => Row(ns.mkString("."), n, false))
+  }
+}
+
+/** `DESCRIBE HISTORY graft.t` — the commit log as rows, Delta's
+  * spelling for the same listing `CALL graft.history(path)` serves
+  * (the statement is not in Spark's grammar, so [[GraftSqlParser]]
+  * recognizes it before delegating everything else). Newest first,
+  * the procedure's exact column shape. */
+final case class GraftDescribeHistoryCommand(parts: Seq[String])
+  extends LeafRunnableCommand {
+  import SqlProcedures.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("version", LongType), attr("operation", StringType),
+    attr("timestamp_ms", LongType), attr("num_dirs", IntegerType),
+    attr("operation_metrics", StringType), attr("user_metadata", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = ManagedTable(spark, SqlTables.rootOf(spark, parts))
+    require(t.exists, s"graft table at ${parts.mkString(".")} does not exist")
+    t.history.map(c => Row(c.version, c.operation, c.timestampMs,
+      c.dirs.size, SqlProcedures.metricsJson(c.operationMetrics),
+      c.userMetadata.orNull))
   }
 }
 

@@ -473,6 +473,15 @@ final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftRenameTableCommand(SqlTables.rootOf(spark, rest),
         SqlTables.rootOf(spark, target))
 
+    // SHOW VIEWS IN graft[.ns] [LIKE 'pat'] — logical views are
+    // descriptor files, not catalog entries, so the v2 catalog path
+    // cannot serve them; list the warehouse namespace directly
+    case ShowViews(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace(
+          head +: ns, _), pattern, out)
+        if head.equalsIgnoreCase(SqlTables.Namespace) =>
+      GraftShowViewsCommand(ns, pattern, out)
+
     // CALL graft.<proc>(...) — maintenance procedures
     case Call(org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure(
         head +: proc), callArgs, _)
@@ -486,4 +495,42 @@ final case class SqlTableDdl(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftAddConstraintCommand(SqlTables.rootOf(spark, rest),
         a.checkConstraint.userProvidedName, a.checkConstraint.condition)
   }
+}
+
+/** Thin delegating parser (injected by `GraftExtensions`) adding the
+  * one statement Spark's grammar lacks: `DESCRIBE HISTORY graft.t` —
+  * Delta's spelling for the commit-log listing
+  * (`CALL graft.history(path)` remains the procedure form; both return
+  * the same rows). Non-graft identifiers and every other statement
+  * delegate untouched, so the session dialect is otherwise exactly
+  * Spark's. */
+final class GraftSqlParser(
+    delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+  extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+
+  private val HistoryRe =
+    """(?is)\A\s*(?:DESC|DESCRIBE)\s+HISTORY\s+(.+?)\s*;?\s*\z""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case HistoryRe(ident) =>
+      val parts =
+        try delegate.parseMultipartIdentifier(ident)
+        catch { case _: Exception => Nil }
+      if (parts.headOption.exists(_.equalsIgnoreCase(SqlTables.Namespace)) &&
+          parts.size > 1)
+        GraftDescribeHistoryCommand(parts.tail)
+      else delegate.parsePlan(sqlText)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(s: String) = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String) = delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String) =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String) =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String) = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String) = delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String) = delegate.parseTableSchema(s)
+  override def parseDataType(s: String) = delegate.parseDataType(s)
 }

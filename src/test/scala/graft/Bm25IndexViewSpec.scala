@@ -216,6 +216,53 @@ class Bm25IndexViewSpec extends SparkSpec {
     searchEquals(view, t)
   }
 
+  test("streaming maintenance drains CDF micro-batches through the same " +
+      "choreography: appends, a delete, and an interleaved batch refresh") {
+    val src = tmpDir("bm25v_strm")
+    val st = tmpDir("bm25v_strms")
+    val ck = tmpDir("bm25v_strmck")
+    val t = ManagedTable(spark, src)
+    t.write(corpus.filter(col("doc_id") <= 4), "APPEND", "append")
+    val view = new Bm25IndexView(spark, src, st, expectedDocs = 1000)
+    view.initialize()
+    // three more source commits — an append, a curation delete, and a
+    // dir-rewrite update — drained by the CDF stream
+    t.write(corpus.filter(col("doc_id") >= 5), "APPEND", "append")
+    t.delete(col("doc_id") === 3L)
+    t.update(Map("text" -> lit("table stream freshword")),
+      col("doc_id") === 2L)
+    val q = view.refreshStream(ck)
+    assert(q.awaitTermination(120000), "view stream did not drain")
+    assert(view.sourceVersion === t.latestVersion.get,
+      "stream fold must advance the watermark to the folded commit")
+    val rebuilt = Retrieval.bm25Postings(t.read)
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty,
+      "stream-maintained postings drifted from the rebuild")
+    searchEquals(view, t)
+    // a BATCH refresh after more source commits continues from there
+    t.write(Seq((10L, "merge window")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    view.refresh()
+    searchEquals(view, t)
+    // resume the SAME checkpoint: replayed WAL offsets overlap the
+    // batch-refreshed range — the watermark filter must drop them
+    t.write(Seq((11L, "stream spark")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    val q2 = view.refreshStream(ck)
+    assert(q2.awaitTermination(120000))
+    val rebuilt2 = Retrieval.bm25Postings(t.read)
+    assert(view.read.exceptAll(rebuilt2).isEmpty &&
+      rebuilt2.exceptAll(view.read).isEmpty)
+    searchEquals(view, t)
+    // an up-to-date pass on a fresh checkpoint commits nothing
+    val before = ManagedTable(spark, st).latestVersion
+    val q3 = view.refreshStream(tmpDir("bm25v_strmck2"))
+    assert(q3.awaitTermination(120000))
+    assert(ManagedTable(spark, st).latestVersion === before,
+      "an up-to-date stream pass must not commit")
+  }
+
   test("a recreated source table is refused instead of silently refolded") {
     val src = tmpDir("bm25v_src3")
     val st = tmpDir("bm25v_state3")

@@ -20,7 +20,8 @@ class IndexViewsSpec extends SparkSpec {
     (5L, "bay area san francisco bay")).toDF("doc_id", "text")
 
   test("positional view: append folds as an APPEND commit; deletes and " +
-      "updates rewrite once; merged equals rebuilt; restart + no-op") {
+      "updates tombstone via deletion vectors; merged equals rebuilt; " +
+      "restart + no-op") {
     val src = tmpDir("pv_src"); val st = tmpDir("pv_st")
     val t = ManagedTable(spark, src)
     t.write(corpus.filter(col("doc_id") <= 3), "APPEND", "append")
@@ -38,8 +39,16 @@ class IndexViewsSpec extends SparkSpec {
     // coarse dir-rewrite delete + update in one range, restarted instance
     t.delete(col("doc_id") === 2L)
     t.update(Map("text" -> lit("york york york")), col("doc_id") === 3L)
+    val dirsBefore = ManagedTable(spark, st).lastCommit.get.dirs
     val again = new PositionalIndexView(spark, src, st)
     assert(again.refresh() === 3L)
+    // the gated delete slice lands as a DV commit rewriting NO dir,
+    // then the update's entering rows APPEND
+    val stT = ManagedTable(spark, st)
+    val dv = stT.commitAt(stT.latestVersion.get - 1L)
+    assert(dv.operation === "DELETE VECTORS" && dv.dirs === dirsBefore,
+      s"a gated delete slice must tombstone, got ${dv.operation}")
+    assert(stT.lastCommit.get.operation === "PHRASE_REFRESH")
     assert(again.read.exceptAll(rebuilt).isEmpty &&
       rebuilt.exceptAll(again.read).isEmpty)
     // phrase search through the maintained index equals one-shot
@@ -85,6 +94,78 @@ class IndexViewsSpec extends SparkSpec {
     assert(view.refresh() === 2L)
     assert(view.read.exceptAll(rebuilt).isEmpty &&
       rebuilt.exceptAll(view.read).isEmpty)
+  }
+
+  test("RESTORE to a watermark-LESS maintenance commit resumes from the " +
+      "restored data's own fold, not a newer superseded watermark") {
+    val src = tmpDir("pvr_src"); val st = tmpDir("pvr_st")
+    val t = ManagedTable(spark, src)
+    t.write(corpus.filter(col("doc_id") <= 2), "APPEND", "append")
+    val view = new PositionalIndexView(spark, src, st, expectedDocs = 1000)
+    view.initialize()
+    t.write(corpus.filter(col("doc_id") === 3L), "APPEND", "append")
+    assert(view.refresh() === 1L) // fold A (state v1)
+    // a maintenance commit lands BETWEEN two folds — no watermark
+    spark.sql(s"CALL graft.optimize('$st')")
+    val stT = ManagedTable(spark, st)
+    val optV = stT.latestVersion.get
+    assert(stT.commitAt(optV).userMetadata.isEmpty)
+    t.write(corpus.filter(col("doc_id") > 3), "APPEND", "append")
+    assert(view.refresh() === 2L) // fold B
+    // restore to the OPTIMIZE commit: the restored DATA is fold A, and
+    // the walk must NOT find fold B's newer watermark (that would
+    // silently never re-fold the A→B range)
+    stT.restore(optV)
+    assert(view.sourceVersion === 1L,
+      "the walk must resume from the restored data's own fold")
+    assert(view.refresh() === 2L)
+    val rebuilt = Retrieval.positionalIndex(t.read, "text", "doc_id")
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+  }
+
+  test("two refreshes of the SAME view racing: exactly one lands, the " +
+      "loser fails loudly, the watermark and index stay consistent") {
+    val src = tmpDir("pvc_src"); val st = tmpDir("pvc_st")
+    val t = ManagedTable(spark, src)
+    t.write(corpus.filter(col("doc_id") <= 3), "APPEND", "append")
+    new PositionalIndexView(spark, src, st, expectedDocs = 1000).initialize()
+    t.write(corpus.filter(col("doc_id") > 3), "APPEND", "append")
+    // two instances over the same paths, driven from two threads with a
+    // start barrier — the expectedPrevVersion fence must let exactly one
+    // of any COLLIDING pair land (a clean interleave where the second
+    // starts after the first's commit is also legal: it no-ops at the
+    // advanced watermark)
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Seq(
+      Future { gate.await()
+        scala.util.Try(new PositionalIndexView(spark, src, st,
+          expectedDocs = 1000).refresh()) },
+      Future { gate.await()
+        scala.util.Try(new PositionalIndexView(spark, src, st,
+          expectedDocs = 1000).refresh()) })
+      .map(Await.result(_, 120.seconds))
+    assert(attempts.exists(_.isSuccess), "at least one refresh must land")
+    attempts.filter(_.isFailure).foreach { f =>
+      // three legitimate loud losses, depending on where the collision
+      // lands: the state fence, the bloom table's own commit race, or
+      // the new-id gate (the winner's rows already admitted)
+      val msg = f.failed.get.getMessage
+      assert(msg.contains("advanced from version") ||
+        msg.contains("concurrent commit detected") ||
+        msg.contains("already exist"),
+        s"the losing refresh must fail on the fence, got: $msg")
+    }
+    // whatever the interleave, the final state is the single fold
+    val view = new PositionalIndexView(spark, src, st, expectedDocs = 1000)
+    assert(view.sourceVersion === 1L)
+    val rebuilt = Retrieval.positionalIndex(t.read, "text", "doc_id")
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+    assert(view.refresh() === 1L) // already current
   }
 
   test("positional view: duplicate-id feeds refuse loudly") {

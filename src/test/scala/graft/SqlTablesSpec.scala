@@ -450,6 +450,44 @@ class SqlTablesSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.warehouse")
   }
 
+  test("SHOW VIEWS lists warehouse views (LIKE-filtered); DESCRIBE " +
+      "HISTORY reads the commit log with the CALL procedure's shape") {
+    val wh = tmpDir("sqlshowv").stripSuffix("/t")
+    spark.conf.set("spark.graft.warehouse", wh)
+    try {
+      import spark.implicits._
+      spark.sql("CREATE TABLE graft.shns.t1 (id BIGINT)")
+      spark.sql("INSERT INTO graft.shns.t1 VALUES (1), (2)")
+      spark.sql("CREATE TABLE graft.shns.t2 (k STRING)")
+      spark.sql("CREATE VIEW graft.shns.v1 AS SELECT id * 2 AS d FROM graft.shns.t1")
+      spark.sql("CREATE VIEW graft.shns.v2 AS SELECT count(*) AS n FROM graft.shns.t1")
+      // tables list through the catalog, views through the new command
+      assert(spark.sql("SHOW TABLES IN graft.shns")
+        .select("tableName").as[String].collect().toSet === Set("t1", "t2"))
+      val views = spark.sql("SHOW VIEWS IN graft.shns")
+      assert(views.columns.toSeq === Seq("namespace", "viewName", "isTemporary"))
+      assert(views.select("viewName").as[String].collect().toSet ===
+        Set("v1", "v2"))
+      assert(spark.sql("SHOW VIEWS IN graft.shns LIKE 'v1'")
+        .select("viewName").as[String].collect().toSeq === Seq("v1"))
+      // the view still reads (listing is metadata-only)
+      assert(spark.sql("SELECT sum(d) FROM graft.shns.v1").head().getLong(0) === 6L)
+      // DESCRIBE HISTORY — Delta's spelling, the CALL's exact rows
+      val hist = spark.sql("DESCRIBE HISTORY graft.shns.t1")
+      assert(hist.columns.toSeq === Seq("version", "operation",
+        "timestamp_ms", "num_dirs", "operation_metrics", "user_metadata"))
+      assert(hist.select("operation").as[String].collect().toSeq ===
+        Seq("APPEND", "CREATE TABLE"))
+      assertSameRows(hist,
+        spark.sql(s"CALL graft.history('$wh/shns/t1')"))
+      // non-graft DESCRIBE statements delegate untouched
+      val e = intercept[Exception] {
+        spark.sql("DESCRIBE HISTORY not_graft.t")
+      }
+      assert(!e.getMessage.contains("graft table"))
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("CREATE TABLE with inline CHECK constraints enforces them") {
     val path = tmpDir("sqlctcons")
     spark.sql(
