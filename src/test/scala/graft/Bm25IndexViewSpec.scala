@@ -263,6 +263,69 @@ class Bm25IndexViewSpec extends SparkSpec {
       "an up-to-date stream pass must not commit")
   }
 
+  test("deleting a doc whose text indexes to ZERO rows is a legal no-op, " +
+      "not a wedge: the existence gate checks the delta's own index rows") {
+    val src = tmpDir("bm25v_zero")
+    val st = tmpDir("bm25v_zeros")
+    val t = ManagedTable(spark, src)
+    // doc 100 tokenizes to nothing — it never enters postings or n_docs
+    t.write(corpus.unionByName(
+      Seq((100L, "???!!! --- ...")).toDF("doc_id", "text")),
+      "APPEND", "append")
+    val view = new Bm25IndexView(spark, src, st, expectedDocs = 1000)
+    view.initialize()
+    assert(view.read.filter(col("doc_id") === 100L).isEmpty)
+    val scalarsBefore = view.scalars
+    // a valid corpus DELETE of that doc must fold, not throw forever
+    t.delete(col("doc_id") === 100L)
+    assert(view.refresh() === 1L)
+    assert(view.scalars === scalarsBefore,
+      "a zero-token doc never counted in the scalars, so they must not move")
+    val rebuilt = Retrieval.bm25Postings(t.read)
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+    // and a MIXED slice pairing the zero-row delete with a real delete
+    t.write(Seq((101L, "")).toDF("doc_id", "text"), "APPEND", "append")
+    assert(view.refresh() === 2L)
+    t.delete(col("doc_id").isin(101L, 1L))
+    assert(view.refresh() === 3L)
+    val rebuilt2 = Retrieval.bm25Postings(t.read)
+    assert(view.read.exceptAll(rebuilt2).isEmpty &&
+      rebuilt2.exceptAll(view.read).isEmpty)
+    searchEquals(view, t)
+  }
+
+  test("bloom crash windows recover without re-initialize: a bloom fold " +
+      "that landed without its state commit only over-approximates, and " +
+      "the bloom table's replace is atomic (no descriptor-less window)") {
+    val src = tmpDir("bm25v_bcr")
+    val st = tmpDir("bm25v_bcrs")
+    val t = ManagedTable(spark, src)
+    t.write(corpus.filter(col("doc_id") <= 5), "APPEND", "append")
+    val view = new Bm25IndexView(spark, src, st, expectedDocs = 1000)
+    view.initialize()
+    // crash window: the slice's bloom fold landed, then the process died
+    // before ANY state commit — simulate by folding the batch into the
+    // bloom table directly (the exact prefix refresh() writes first)
+    val ins = Seq((8L, "stream stream merge")).toDF("doc_id", "text")
+    t.write(ins, "APPEND", "append")
+    val bloom = ManagedTable(spark, st.stripSuffix("/") + "_bloom")
+    bloom.write(Retrieval.bm25BloomAdd(bloom.read, ins, "doc_id"),
+      "BM25_BLOOM", "replace")
+    // the restarted refresh re-runs the whole slice: the doubly-folded
+    // bloom is a superset (over-approximation), the exact re-check
+    // admits the batch, and the index still equals the rebuild
+    assert(view.refresh() === 1L)
+    val rebuilt = Retrieval.bm25Postings(t.read)
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+    // the bloom table is a managed table: its history shows atomic
+    // replaces, never a window with no readable bloom row
+    assert(bloom.history.forall(_.operation.contains("BLOOM")))
+    assert(bloom.read.count() === 1L)
+    searchEquals(view, t)
+  }
+
   test("a recreated source table is refused instead of silently refolded") {
     val src = tmpDir("bm25v_src3")
     val st = tmpDir("bm25v_state3")

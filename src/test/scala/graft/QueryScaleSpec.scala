@@ -87,6 +87,26 @@ class QueryScaleSpec extends SparkSpec {
     assertSameRows(dist, drv)
   }
 
+  test("bm25SearchPostings: the normalized layout matches the denormalized " +
+      "ranking bit-for-bit, in BOTH query-batch regimes") {
+    val corpus60 = docs(60).localCheckpoint()
+    val idx = Retrieval.bm25Index(corpus60).localCheckpoint()
+    val post = Retrieval.bm25Postings(corpus60).localCheckpoint()
+    val scal = post.groupBy("doc_id").agg(first("dl").as("dl"))
+      .agg(count(lit(1)), sum("dl")).head()
+    val (nDocs, totalLen) = (scal.getLong(0), scal.getLong(1))
+    val queries = spark.range(30).select(col("id").as("query_id"),
+      concat_ws(" ", concat(lit("alpha"), col("id") % 5),
+        lit("common")).as("query_text"))
+    val denorm = Retrieval.bm25SearchWith(queries, idx, k = 4, exact = true)
+    val norm = Retrieval.bm25SearchPostings(queries, post, nDocs, totalLen,
+      k = 4, exact = true)
+    val normDist = Retrieval.bm25SearchPostings(queries, post, nDocs,
+      totalLen, k = 4, exact = true, maxBroadcastQueries = 0)
+    assertSameRows(norm, denorm)
+    assertSameRows(normDist, denorm)
+  }
+
   test("plan pin: past the gate no isin literal on cell and no LocalRelation " +
       "feeds the ANN join; the driver path keeps its isin pruning") {
     val (cents, books, codes) = ivfpq

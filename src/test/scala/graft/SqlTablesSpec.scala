@@ -740,6 +740,27 @@ class SqlTablesSpec extends SparkSpec {
     spark.sql(s"DROP VIEW IF EXISTS graft.`$v2`") // no-op, no throw
   }
 
+  test("DROP VIEW deletes only the view descriptor — pre-existing files " +
+      "under the same root survive") {
+    val root = tmpDir("sqlviewdrop")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a user file already lives where the view will be created
+    val keeper = new org.apache.hadoop.fs.Path(root, "notes.txt")
+    val out = fs.create(keeper); out.write("keep me".getBytes); out.close()
+    spark.sql(s"CREATE VIEW graft.`$root` AS SELECT 1 AS x")
+    assert(spark.sql(s"SELECT x FROM graft.`$root`").head().getInt(0) === 1)
+    spark.sql(s"DROP VIEW graft.`$root`")
+    assert(fs.exists(keeper), "DROP VIEW must not destroy unrelated files")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_view.json")))
+    // an empty view root leaves with its descriptor
+    val root2 = tmpDir("sqlviewdrop2")
+    spark.sql(s"CREATE VIEW graft.`$root2` AS SELECT 2 AS x")
+    spark.sql(s"DROP VIEW graft.`$root2`")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root2)),
+      "an empty root should leave with the descriptor")
+  }
+
   test("CALL init/refresh procedures drive the whole view family from SQL") {
     import spark.implicits._
     // aggregate view
