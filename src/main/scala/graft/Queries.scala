@@ -7874,6 +7874,160 @@ object Queries {
       |SELECT query_id, "rank", doc_id, rrf_scaled, n_sources
       |FROM rr WHERE "rank" = 1""".stripMargin
 
+  /** Hybrid retrieval served ENTIRELY from CDF-MAINTAINED views
+    * ([[graft.table.IndexServing.hybridTopK]]): where
+    * hybrid_search_indexed serves from artifacts persisted ONCE, this
+    * serves from a [[graft.table.Bm25IndexView]] and an
+    * [[graft.table.AnnIndexView]] kept current by the corpus tables'
+    * own lifecycle — init on the natural corpus, an APPEND epoch lands
+    * the planted docs/vectors through both views' O(batch) append
+    * paths, and a curation DELETE epoch (doc 11 and its vector) folds
+    * through both views' deletion-vector paths — THEN the hybrid query
+    * runs. In-query gates: every probe fuses its planted doc at rank 1
+    * from both sources, and the view-served fusion agrees with a
+    * from-scratch brute-force fusion on those consensus rows. Oracle:
+    * the brute-force fusion over the final (post-delete) corpus,
+    * rank-1 rows only. */
+  def hybridViewSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.{Retrieval, Similarity}
+    import graft.table.{AnnIndexView, Bm25IndexView, IndexServing, ManagedTable}
+    val docs = pq(spark, dir, "documents")
+    val emb = pq(spark, dir, "embeddings")
+    val plantedDocs = Seq(
+      (900010L, "zqxveca zqxvecb zqxvecc"),
+      (900020L, "zqxvecd zqxvece zqxvecf"),
+      (900030L, "zqxvecg zqxvech zqxveci")).toDF("doc_id", "text")
+    val plantedVecs = emb.filter(col("vec_id").isin(10L, 20L, 30L))
+      .select((col("vec_id") + 900000L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + lit(0.5)).as("embedding"))
+    val srcDocs = tmp("hvw_docs"); val stBm25 = tmp("hvw_bm25")
+    val srcVecs = tmp("hvw_vecs"); val stAnn = tmp("hvw_ann")
+    val tDocs = ManagedTable(spark, srcDocs)
+    val tVecs = ManagedTable(spark, srcVecs)
+    val (bm25View, annView) = Staging.timed {
+      tDocs.write(docs.select("doc_id", "text"), "APPEND", "append")
+      tVecs.write(emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding")),
+        "APPEND", "append")
+      val b = new Bm25IndexView(spark, srcDocs, stBm25, expectedDocs = 100000)
+      val a = new AnnIndexView(spark, srcVecs, stAnn, nlist = 16, m = 8,
+        ksub = 16)
+      b.initialize(); a.initialize()
+      (b, a)
+    }
+    // epoch 1: the planted rows APPEND through both views' fast paths
+    // (limit(0) unions inherit the tables' nullability)
+    tDocs.write(tDocs.read.limit(0).unionByName(plantedDocs),
+      "APPEND", "append")
+    tVecs.write(tVecs.read.limit(0).unionByName(plantedVecs),
+      "APPEND", "append")
+    require(bm25View.refresh() == 1L && annView.refresh() == 1L,
+      "hybrid_view_search: the planted epoch must fold into both views")
+    // epoch 2: a curation delete folds through both DV paths
+    tDocs.delete(col("doc_id") === 11L)
+    tVecs.delete(col("vec_id") === 11L)
+    require(bm25View.refresh() == 2L && annView.refresh() == 2L,
+      "hybrid_view_search: the delete epoch must fold into both views")
+    val qText = Seq(
+      (950010L, "zqxveca zqxvecb"),
+      (950020L, "zqxvecd zqxvece"),
+      (950030L, "zqxvecg zqxvech")).toDF("query_id", "query_text")
+    val qVec = plantedVecs.select((col("vec_id") + 50000L).as("vec_id"),
+      col("embedding"))
+    val fused = IndexServing.hybridTopK(bm25View, annView, qText, qVec,
+      k = 10, kPerRanker = 10).localCheckpoint()
+    val top = fused.filter(col("rank") === 1)
+    val badTop = top.filter(col("doc_id") =!= col("query_id") - 50000L ||
+      col("n_sources") =!= 2).count()
+    require(badTop == 0L, s"hybrid_view_search: $badTop probes did not " +
+      "fuse their planted doc first from both sources")
+    // brute gate: both rankers recomputed from the corpus TABLES'
+    // current snapshots — the maintained views must agree on the
+    // planted consensus rows
+    val bruteTop = Retrieval.rrfFuse(Seq(
+        Retrieval.bm25TopK(tDocs.read, qText, k = 10, exact = true)
+          .select("query_id", "doc_id", "rank"),
+        Similarity.bruteForceTopK(tVecs.read, qVec, 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank"))), k = 10)
+      .filter(col("rank") === 1)
+    val distinctUnion = top.unionByName(bruteTop).distinct().count()
+    require(distinctUnion == 3L, "hybrid_view_search: view-served fusion " +
+      "diverged from brute-force fusion on the planted consensus rows")
+    top
+  }
+
+  /** DuckDB mirror of [[hybridViewSearch]] — brute-force fusion over
+    * the FINAL corpus (planted rows in, doc/vec 11 deleted), rank-1
+    * rows only. */
+  val hybridViewSearchSql: String =
+    """WITH pd(doc_id, text) AS (VALUES
+      |  (900010, 'zqxveca zqxvecb zqxvecc'),
+      |  (900020, 'zqxvecd zqxvece zqxvecf'),
+      |  (900030, 'zqxvecg zqxvech zqxveci')),
+      |ad AS (SELECT doc_id, text FROM documents WHERE doc_id != 11
+      |       UNION ALL SELECT doc_id, text FROM pd),
+      |pv AS (SELECT vec_id + 900000 AS vec_id,
+      |         list_transform(embedding::DOUBLE[], x -> x + 0.5) AS e
+      |       FROM embeddings WHERE vec_id IN (10, 20, 30)),
+      |av AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      |       WHERE vec_id != 11
+      |       UNION ALL SELECT vec_id, e FROM pv),
+      |q(query_id, query_text) AS (VALUES
+      |  (950010, 'zqxveca zqxvecb'),
+      |  (950020, 'zqxvecd zqxvece'),
+      |  (950030, 'zqxvecg zqxvech')),
+      |qv AS (SELECT vec_id + 50000 AS vec_id, e FROM pv),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM ad),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM dt GROUP BY doc_id),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM dt GROUP BY tok),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |qt AS (SELECT DISTINCT query_id, tok FROM
+      |  (SELECT query_id,
+      |     unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS tok
+      |   FROM q)),
+      |m AS (SELECT qt.query_id, dt.doc_id,
+      |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+      |        * ((CAST(44 AS HUGEINT) * dt.tf * s.total_len * 1000000)
+      |           // (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |              + CAST(6 AS HUGEINT)*s.total_len
+      |              + CAST(18 AS HUGEINT)*l.dl*s.n_docs)))
+      |    // CAST(2*f.df + 1 AS HUGEINT) AS BIGINT) AS s_int
+      | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
+      |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
+      |bm AS (SELECT query_id, doc_id,
+      |        CAST(sum(s_int) AS BIGINT) AS score_scaled
+      |       FROM m GROUP BY query_id, doc_id),
+      |lex AS (SELECT query_id, doc_id, r FROM
+      |  (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_scaled DESC, doc_id) AS r FROM bm)
+      |  WHERE r <= 10),
+      |vec AS (SELECT query_id, doc_id, r FROM
+      |  (SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+      |    row_number() OVER (PARTITION BY qv.vec_id
+      |      ORDER BY list_cosine_similarity(qv.e, c.e) DESC, c.vec_id) AS r
+      |   FROM qv JOIN av c ON qv.vec_id != c.vec_id)
+      |  WHERE r <= 10),
+      |u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
+      |f AS (SELECT query_id, doc_id,
+      |       CAST(sum(1000000000 // (60 + r)) AS BIGINT) AS rrf_scaled,
+      |       CAST(count(*) AS BIGINT) AS n_sources
+      |      FROM u GROUP BY query_id, doc_id),
+      |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |         ORDER BY rrf_scaled DESC, doc_id) AS "rank" FROM f)
+      |SELECT query_id, "rank", doc_id, rrf_scaled, n_sources
+      |FROM rr WHERE "rank" = 1""".stripMargin
+
   /** Two-stage cascade retrieval
     * ([[graft.llm.Retrieval.cascadeRerank]]): exact-mode BM25 recalls
     * each query's top-40 documents, exact cosine against the

@@ -228,6 +228,7 @@ object SparkEntry {
     "cooccurrence_pmi" -> (Queries.cooccurrenceDocs(_, _)),
     "hybrid_search" -> (Queries.hybridSearchDocs(_, _)),
     "hybrid_search_indexed" -> (Queries.hybridSearchIndexed(_, _)),
+    "hybrid_view_search" -> (Queries.hybridViewSearch(_, _)),
     "collocations_topk" -> (Queries.collocationsDocs(_, _)),
     "cohort_retention" -> (Queries.cohortRetentionEvents(_, _)),
     "resample_locf" -> (Queries.resampleEvents(_, _)),
@@ -749,6 +750,7 @@ object SparkEntry {
     "cooccurrence_pmi" -> Queries.cooccurrenceSql,
     "hybrid_search" -> Queries.hybridSearchSql,
     "hybrid_search_indexed" -> Queries.hybridSearchIndexedSql,
+    "hybrid_view_search" -> Queries.hybridViewSearchSql,
     "collocations_topk" -> Queries.collocationsSql,
     "cohort_retention" -> Queries.cohortRetentionSql,
     "resample_locf" -> Queries.resampleSql,

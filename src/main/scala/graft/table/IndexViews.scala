@@ -839,3 +839,34 @@ final class ClassifierModelView(spark: SparkSession, sourcePath: String,
   def score(batch: DataFrame): DataFrame =
     QualityClassifier.scoreWith(batch, state.read, priorsRow, textCol, idCol)
 }
+
+/**
+ * Retrieval served ENTIRELY from CDF-MAINTAINED standing views — the
+ * composition that closes the loop between the maintenance family and
+ * the serving family: [[graft.llm.Retrieval.hybridTopKWith]] serves
+ * from artifacts a caller persisted once; this serves from artifacts
+ * the view lifecycle keeps CURRENT through the corpus's own appends,
+ * curation deletes, and updates. Both rankers carry their query-batch
+ * size gates, the lexical side derives df over the matched posting
+ * lists and reads the corpus scalars off the commit log, the vector
+ * side probe-prunes the born-clustered codes — nothing here scans a
+ * corpus-sized frame outside each ranker's candidate set.
+ */
+object IndexServing {
+
+  /** Hybrid lexical+vector top-k: exact-mode BM25 from a
+    * [[Bm25IndexView]] fused with IVF-PQ ANN from an [[AnnIndexView]]
+    * by reciprocal-rank fusion. `queriesVec.vec_id` must equal the
+    * matching text `query_id` (the fusion-join convention of
+    * [[graft.llm.Retrieval.hybridTopK]]). */
+  def hybridTopK(bm25: Bm25IndexView, ann: AnnIndexView,
+                 queriesText: DataFrame, queriesVec: DataFrame, k: Int,
+                 kPerRanker: Int = 20, rrfK: Int = 60,
+                 nProbe: Int = 4, rerank: Int = 64): DataFrame = {
+    val lex = bm25.search(queriesText, kPerRanker, exact = true)
+      .select("query_id", "doc_id", "rank")
+    val vec = ann.search(queriesVec, kPerRanker, nProbe, rerank)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(lex, vec), k, rrfK)
+  }
+}
