@@ -110,7 +110,7 @@ object Bench {
         // pinned by name so their per-sf ratios are tracked round-over-
         // round even when they are not among the most expensive queries
         val pinnedProbes = Set("ann_ivfpq", "phrase_search",
-          "bm25_view_bulk_delete")
+          "bm25_view_bulk_delete", "view_maintenance")
         val top = (results.filter(_._3).sortBy(-_._2).take(5) ++
           results.filter(r => pinnedProbes.contains(r._1) && r._3))
           .distinctBy(_._1)

@@ -320,6 +320,41 @@ object GraftExtensions {
       plan(graft.llm.Retrieval.bm25TopK(table(args(0)), table(args(1)),
         intArg(args(2), "k"), exact))
     },
+    // standing-view serving — the SQL side of the CALL lifecycle: a
+    // pure-SQL pipeline initializes and maintains a view with
+    // `CALL graft.init/refresh_*_view(...)` + `CALL graft.maintain(...)`
+    // and SEARCHES it here, through the same dir-pruned skipping reads
+    // the Scala serving paths use (identical rows, fewer files scanned)
+    "graft_bm25_view_search" -> { args =>
+      require(args.size == 4 || args.size == 5,
+        "graft_bm25_view_search(source_path, state_path, queries, k" +
+          "[, exact]) takes two paths, a table name, k, and an optional " +
+          "exact flag")
+      val exact = args.size == 5 && strArg(args(4), "exact").toBoolean
+      plan(new graft.table.Bm25IndexView(SparkSession.active,
+          strArg(args(0), "source_path"), strArg(args(1), "state_path"))
+        .search(table(args(2)), intArg(args(3), "k"), exact))
+    },
+    "graft_phrase_view_search" -> { args =>
+      require(args.size == 4,
+        "graft_phrase_view_search(source_path, state_path, phrases, k) " +
+          "takes two paths, a table name, and k")
+      plan(new graft.table.PositionalIndexView(SparkSession.active,
+          strArg(args(0), "source_path"), strArg(args(1), "state_path"))
+        .search(table(args(2)), intArg(args(3), "k")))
+    },
+    "graft_ann_view_search" -> { args =>
+      require(args.size == 4 || args.size == 6,
+        "graft_ann_view_search(source_path, state_path, queries, k" +
+          "[, n_probe, rerank]) takes two paths, a table name, k, and " +
+          "optional n_probe/rerank")
+      val (nProbe, rerank) =
+        if (args.size == 6) (intArg(args(4), "n_probe"), intArg(args(5), "rerank"))
+        else (4, 64)
+      plan(new graft.table.AnnIndexView(SparkSession.active,
+          strArg(args(0), "source_path"), strArg(args(1), "state_path"))
+        .search(table(args(2)), intArg(args(3), "k"), nProbe, rerank))
+    },
     "graft_tfidf_keywords_against" -> { args =>
       require(args.size == 2 || args.size == 3,
         "graft_tfidf_keywords_against(batch, df_table[, k]) takes 2 or 3 arguments")

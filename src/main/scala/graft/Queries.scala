@@ -7239,6 +7239,245 @@ object Queries {
       |       score_scaled, n_terms_matched
       |FROM r WHERE "rank" <= 7""".stripMargin
 
+  /** Layout MAINTENANCE for the standing-view family, proven invisible
+    * to everything but the file layout: the O(batch) refresh design
+    * appends one dir per slice spanning the whole token range, so
+    * per-dir stats overlap completely and skipping reads degrade as
+    * appends accumulate. `recluster` (heavy, periodic — a full rewrite
+    * into range buckets with a persisted grid) restores disjoint
+    * per-dir stats; `maintain` (cheap, routine — DV purge +
+    * clusterAppend of exactly the unbucketed tail) keeps them that way
+    * at O(tombstones + tail) cost. Epochs: init on 2/3 of docs; a pure
+    * append; RECLUSTER (pinned: only bucket dirs remain, the commit
+    * carries no watermark, the walk still reads the old watermark and
+    * scalars, search rows are bit-identical); another append (pinned:
+    * the refresh STILL lands an O(batch) unbucketed tail dir — the
+    * grid must not make refreshes table-sized); a curation DELETE
+    * folded as deletion vectors; MAINTAIN (pinned: tombstones
+    * materialized, the tail folded onto the SAME grid, only bucket
+    * dirs remain, watermark intact); then the serving gates — a
+    * skipping read on the query tokens scans STRICTLY fewer files than
+    * the full postings scan, and the dir-pruned driver-regime search
+    * equals the gate-shut full-scan search frame-for-frame. Oracle:
+    * the full BM25 ranking over the final corpus (the oracle never
+    * sees epochs or maintenance). */
+  def viewMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    import graft.table.{Bm25IndexView, ManagedTable}
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    val srcPath = tmp("vmaint_src")
+    val stPath = tmp("vmaint_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs.filter(col("doc_id") % 3 =!= 0), "APPEND", "append")
+      new Bm25IndexView(spark, srcPath, stPath, expectedDocs = 100000)
+        .initialize()
+    }
+    val view = new Bm25IndexView(spark, srcPath, stPath)
+    t.write(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0),
+      "APPEND", "append")
+    require(view.refresh() == 1L, "view_maintenance: append fold on v1")
+    val queries = Seq(
+      (1L, "merge stream table"),
+      (2L, "fast query data"),
+      (3L, "row group window hash")).toDF("query_id", "query_text")
+    val before = view.search(queries, k = 7, exact = true).localCheckpoint()
+    val (w0, s0) = (view.sourceVersion, view.scalars)
+    view.recluster("tok", 16)
+    val clusterCol = ManagedTable.CLUSTER_COL
+    val afterCluster = ManagedTable(spark, stPath).lastCommit.get
+    require(afterCluster.dirs.forall(_.contains(s"/$clusterCol=")) &&
+      afterCluster.userMetadata.isEmpty,
+      "view_maintenance: recluster must land only bucket dirs in a " +
+        "watermark-less commit")
+    require(view.sourceVersion == w0 && view.scalars == s0,
+      "view_maintenance: recluster must be transparent to the watermark walk")
+    val afterRecluster = view.search(queries, k = 7, exact = true)
+    require(afterRecluster.exceptAll(before).isEmpty &&
+      before.exceptAll(afterRecluster).isEmpty,
+      "view_maintenance: recluster changed search rows")
+    t.write(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0),
+      "APPEND", "append")
+    require(view.refresh() == 2L, "view_maintenance: append fold on v2")
+    val withTail = ManagedTable(spark, stPath).lastCommit.get
+    require(withTail.operation == "BM25_REFRESH" &&
+      withTail.dirs.exists(!_.contains(s"/$clusterCol=")),
+      "view_maintenance: a refresh over the grid must STILL append an " +
+        "O(batch) tail dir, not rewrite into buckets")
+    t.delete(col("doc_id") % 101 === 7)
+    require(view.refresh() == 3L, "view_maintenance: delete fold on v3")
+    require(ManagedTable(spark, stPath).lastCommit.get.dvDirs.nonEmpty,
+      "view_maintenance: the curation delete must tombstone as DVs")
+    view.maintain()
+    val afterMaintain = ManagedTable(spark, stPath).lastCommit.get
+    require(afterMaintain.dirs.forall(_.contains(s"/$clusterCol=")) &&
+      afterMaintain.dvDirs.isEmpty,
+      "view_maintenance: maintain must purge tombstones and fold the " +
+        "tail onto the persisted grid")
+    require(view.sourceVersion == 3L,
+      "view_maintenance: maintain must be transparent to the watermark walk")
+    val fullFiles = view.read.inputFiles.length
+    val prunedFiles = view
+      .readWhere(col("tok").isin(Retrieval.queryToks(queries)
+        .collect().map(_.getString(0)).toIndexedSeq: _*))
+      .inputFiles.length
+    require(prunedFiles < fullFiles,
+      s"view_maintenance: the maintained grid must dir-prune the query " +
+        s"tokens' skipping read ($prunedFiles vs $fullFiles files)")
+    val pruned = view.search(queries, k = 7, exact = true)
+    val gateShut = view.search(queries, k = 7, exact = true,
+      maxPrunedToks = 0)
+    require(pruned.exceptAll(gateShut).isEmpty &&
+      gateShut.exceptAll(pruned).isEmpty,
+      "view_maintenance: dir-pruned search drifted from the full scan")
+    pruned
+  }
+
+  /** DuckDB mirror of [[viewMaintenance]] — the FULL-corpus ranking
+    * minus the curation-deleted docs (the oracle never sees epochs or
+    * maintenance commits). */
+  val viewMaintenanceSql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |  (1, 'merge stream table'),
+      |  (2, 'fast query data'),
+      |  (3, 'row group window hash')),
+      |fin AS (SELECT doc_id, text FROM documents WHERE doc_id % 101 <> 7),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM fin),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM dt GROUP BY doc_id),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM dt GROUP BY tok),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |qt AS (SELECT DISTINCT query_id, tok FROM
+      |  (SELECT query_id,
+      |     unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS tok
+      |   FROM q)),
+      |m AS (SELECT qt.query_id, dt.doc_id,
+      |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+      |        * ((CAST(44 AS HUGEINT) * dt.tf * s.total_len * 1000000)
+      |           // (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |              + CAST(6 AS HUGEINT)*s.total_len
+      |              + CAST(18 AS HUGEINT)*l.dl*s.n_docs)))
+      |    // CAST(2*f.df + 1 AS HUGEINT) AS BIGINT) AS s_int
+      | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
+      |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
+      |agg AS (SELECT query_id, doc_id,
+      |         CAST(sum(s_int) AS BIGINT) AS score_scaled,
+      |         CAST(count(*) AS BIGINT) AS n_terms_matched
+      |        FROM m GROUP BY query_id, doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score_scaled DESC, doc_id) AS "rank" FROM agg)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, "rank", doc_id,
+      |       score_scaled, n_terms_matched
+      |FROM r WHERE "rank" <= 7""".stripMargin
+
+  /** The corpus LM view under STREAMING maintenance
+    * ([[graft.table.CorpusLmView.refreshStream]]): the corpus table's
+    * CDF stream folds into the standing model per micro-batch,
+    * exactly-once via the (checkpoint, epoch) txn high-water — a
+    * streaming curation pipeline's ingest-gate model stays current
+    * without a batch CALL. Epochs: init on 2/3 of docs; append the
+    * rest, a dir-rewrite DELETE, and a marker UPDATE, all drained
+    * through ONE checkpoint; gates: maintained ≡ recomputed
+    * `unigramModel` (exact frame equality) after the drain AND again
+    * after a RESUMED checkpoint folds one more append (nothing
+    * double-applies — token counts would double visibly), then a batch
+    * refresh interleaves as a zero-commit no-op. Result: rare-token
+    * scoring against the maintained model, hash-matched to DuckDB over
+    * the final corpus. */
+  def streamLmView(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.TextOps
+    import graft.table.{CorpusLmView, ManagedTable}
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    require(docs.agg(max("doc_id")).head().getLong(0) < 930000L,
+      "synthetic doc offset 930000 collides with natural doc ids")
+    val srcPath = tmp("lmvs_src")
+    val stPath = tmp("lmvs_state")
+    val ck = tmp("lmvs_ck")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs.filter(col("doc_id") % 3 =!= 0), "APPEND", "append")
+      new CorpusLmView(spark, srcPath, stPath).initialize()
+    }
+    val view = new CorpusLmView(spark, srcPath, stPath)
+    t.write(docs.filter(col("doc_id") % 3 === 0), "APPEND", "append")
+    t.delete(col("doc_id") % 5 === 1)
+    t.update(Map("text" ->
+        concat(col("text"), lit(" zqlmstream zqlmstream"))),
+      col("doc_id") % 97 === 2)
+    require(view.refreshStream(ck).awaitTermination(300000),
+      "stream_lm_view: the view stream did not drain")
+    require(view.sourceVersion == 3L,
+      s"stream_lm_view: watermark must reach the last source commit, " +
+        s"got ${view.sourceVersion}")
+    val rebuilt = TextOps.unigramModel(t.read)
+    require(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty,
+      "stream_lm_view: stream-maintained model drifted from the recompute")
+    // resume the SAME checkpoint after one more append: exactly that
+    // batch folds — a double-fold would double its token counts
+    t.write(docs.limit(0).unionByName(
+      Seq((930001L, "zqlmstream merge stream")).toDF("doc_id", "text")),
+      "APPEND", "append")
+    require(view.refreshStream(ck).awaitTermination(300000),
+      "stream_lm_view: the resumed view stream did not drain")
+    require(view.sourceVersion == 4L,
+      "stream_lm_view: the resumed checkpoint must fold the new slice")
+    val rebuilt2 = TextOps.unigramModel(t.read)
+    require(view.read.exceptAll(rebuilt2).isEmpty &&
+      rebuilt2.exceptAll(view.read).isEmpty,
+      "stream_lm_view: the resumed checkpoint double-folded or dropped " +
+        "the new batch")
+    val vBefore = ManagedTable(spark, stPath).latestVersion
+    require(view.refresh() == 4L &&
+      ManagedTable(spark, stPath).latestVersion == vBefore,
+      "stream_lm_view: a batch refresh after the stream must be a " +
+        "zero-commit no-op")
+    TextOps.rareTokenScoreWith(t.read.filter(col("doc_id") % 10 === 0),
+      view.read)
+  }
+
+  /** DuckDB mirror of [[streamLmView]] — rare-token scoring against the
+    * final-corpus LM (deletes out, updates applied, the post-resume
+    * synthetic doc in; the oracle never sees the stream). */
+  val streamLmViewSql: String =
+    """WITH fin AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 2 THEN text || ' zqlmstream zqlmstream'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 <> 1
+      |  UNION ALL SELECT 930001, 'zqlmstream merge stream'),
+      |tokc AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM fin),
+      |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      |       FROM tokc GROUP BY tok),
+      |dtb AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |        FROM tokc WHERE doc_id % 10 = 0 GROUP BY doc_id, tok),
+      |agg AS (SELECT dtb.doc_id,
+      |         CAST(sum(dtb.tf) AS BIGINT) AS n_tokens,
+      |         CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+      |         CAST(sum(CASE WHEN coalesce(lm.freq, 0) < 3
+      |                       THEN dtb.tf ELSE 0 END) AS BIGINT)
+      |           AS n_rare_tokens
+      |        FROM dtb LEFT JOIN lm USING (tok) GROUP BY dtb.doc_id)
+      |SELECT d.doc_id,
+      | coalesce(a.n_tokens, 0) AS n_tokens,
+      | coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens,
+      | coalesce(a.n_rare_tokens, 0) AS n_rare_tokens,
+      | CASE WHEN coalesce(a.n_tokens, 0) > 0
+      |       AND coalesce(a.n_rare_tokens, 0) * 5 <= coalesce(a.n_tokens, 0)
+      |      THEN 1 ELSE 0 END AS passes_rarity
+      |FROM (SELECT doc_id FROM fin WHERE doc_id % 10 = 0) d
+      |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
   /** The positional phrase index as a CDF-maintained standing view
     * ([[graft.table.PositionalIndexView]]): positions are row-local, so
     * a pure-insert slice must land as an APPEND commit (the standing

@@ -217,7 +217,9 @@ object SparkEntry {
     "bm25_view_delete" -> (Queries.bm25ViewDelete(_, _)),
     "stream_bm25_view" -> (Queries.streamBm25View(_, _)),
     "bm25_view_bulk_delete" -> (Queries.bm25ViewBulkDelete(_, _)),
+    "view_maintenance" -> (Queries.viewMaintenance(_, _)),
     "lm_view_refresh" -> (Queries.lmViewRefresh(_, _)),
+    "stream_lm_view" -> (Queries.streamLmView(_, _)),
     "neardup_view_refresh" -> (Queries.neardupViewRefresh(_, _)),
     "semantic_view_refresh" -> (Queries.semanticViewRefresh(_, _)),
     "benchmark_view_refresh" -> (Queries.benchmarkViewRefresh(_, _)),
@@ -739,7 +741,9 @@ object SparkEntry {
     "bm25_view_delete" -> Queries.bm25ViewDeleteSql,
     "stream_bm25_view" -> Queries.streamBm25ViewSql,
     "bm25_view_bulk_delete" -> Queries.bm25ViewBulkDeleteSql,
+    "view_maintenance" -> Queries.viewMaintenanceSql,
     "lm_view_refresh" -> Queries.lmViewRefreshSql,
+    "stream_lm_view" -> Queries.streamLmViewSql,
     "neardup_view_refresh" -> Queries.neardupViewRefreshSql,
     "semantic_view_refresh" -> Queries.semanticViewRefreshSql,
     "benchmark_view_refresh" -> Queries.benchmarkViewRefreshSql,

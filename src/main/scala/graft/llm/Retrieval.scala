@@ -78,6 +78,14 @@ object Retrieval {
   private def toks(c: org.apache.spark.sql.Column) =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
+  /** The DISTINCT token set of a query batch, under exactly the
+    * tokenizer every index here uses — the one-column frame a serving
+    * path hands to a skipping read (`tok IN (...)` over a clustered
+    * postings table prunes at dir grain) before scoring. */
+  def queryToks(queries: DataFrame,
+                queryTextCol: String = "query_text"): DataFrame =
+    queries.select(explode(toks(col(queryTextCol))).as("tok")).distinct()
+
   /** The standing BM25 inverted index: one self-contained postings
     * table `(tok, doc_id, tf, dl, df, n_docs, total_len)` — document
     * length, document frequency, and the two corpus scalars stamped on

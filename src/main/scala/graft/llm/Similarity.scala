@@ -196,6 +196,25 @@ object Similarity {
     best
   }
 
+  /** The union of probed cells across a DRIVER-REGIME query batch —
+    * `Some(cells)` when `queries` fits the gate (the same
+    * deterministic [[fitsDriver]] probe [[ivfPqTopKWith]] applies, so
+    * the two decisions always agree), `None` past it (a corpus-scale
+    * query batch's cell set must not become driver state). Serving
+    * paths use the union for a SKIPPING read of the codes table
+    * (`cell IN (...)` prunes whole dirs from commit-log stats once
+    * the codes are bucket-clustered by cell); [[ivfPqTopKWith]]'s own
+    * per-query probe map then re-filters inside the survivors, so
+    * results are identical to the unpruned scan. */
+  def probeCellUnion(cents: Array[Array[Double]], queries: DataFrame,
+                     nProbe: Int, maxDriverQueries: Int = 4096,
+                     vecCol: String = "embedding"): Option[Seq[Int]] =
+    if (!fitsDriver(queries, maxDriverQueries)) None
+    else Some(queries
+      .select(explode(probeCellsUdf(cents, nProbe)(
+        col(vecCol).cast("array<double>"))).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted)
+
   /** The `nProbe` nearest cells of a vector, nearest first. */
   private def probeCellsUdf(cents: Array[Array[Double]], nProbe: Int) =
     udf { (v: Seq[Double]) =>

@@ -106,10 +106,29 @@ final class Bm25IndexView(spark: SparkSession, sourcePath: String,
   /** Top-`k` per query served ENTIRELY from the standing artifacts:
     * the maintained postings plus the commit-metadata scalars
     * ([[Retrieval.bm25SearchPostings]] — df derived over the matched
-    * lists, both query-batch regimes, both arithmetic modes). */
+    * lists, both query-batch regimes, both arithmetic modes).
+    *
+    * In the driver regime (the query batch's distinct token set fits
+    * `maxPrunedToks`) the postings come from a SKIPPING read —
+    * `readWhere(tok IN queryToks)` prunes whole state dirs from
+    * commit-log stats before any scan is planned, which is selective
+    * once [[recluster]]/[[maintain]] keep per-dir token ranges
+    * disjoint. Results are identical to the full read by
+    * [[ManagedTable.readWhere]]'s contract (the predicate re-applies
+    * on the survivors); past the gate the token set must not become
+    * driver state, so the full postings frame flows and the scoring
+    * path's own semi-join prunes at row-group grain instead. */
   def search(queries: DataFrame, k: Int = 5,
-             exact: Boolean = false): DataFrame = {
+             exact: Boolean = false,
+             maxPrunedToks: Int = 4096): DataFrame = {
     val (n, l) = scalars
-    Retrieval.bm25SearchPostings(queries, read, n, l, k, exact)
+    val qtoks = Retrieval.queryToks(queries)
+    val postings =
+      if (graft.llm.Similarity.fitsDriver(qtoks, maxPrunedToks)) {
+        val ts = qtoks.collect().map(_.getString(0)).toIndexedSeq
+        if (ts.isEmpty) read.limit(0)
+        else readWhere(col("tok").isin(ts: _*))
+      } else read
+    Retrieval.bm25SearchPostings(queries, postings, n, l, k, exact)
   }
 }

@@ -156,6 +156,13 @@ final class IncrementalJoinAggView(spark: SparkSession,
   /** Fold both unprocessed ranges into the state. No-op (no commit)
     * when both sides are current. Returns the new watermark pair. */
   def refresh(): (Long, Long) = {
+    // fence BEFORE the watermark read and every state.read below: a
+    // racing refresh that lands after this point fails the replace's
+    // expectedPrevVersion loudly instead of letting this fold land a
+    // delta computed against the pre-racer state (which would
+    // double-apply the overlapping range — the additive-fold race the
+    // row-local index views catch with id gates)
+    val fence = state.latestVersion
     val (vl0, vr0) = sourceVersions
     val vl1 = left.latestVersion.getOrElse(throw new IllegalStateException(
       s"left table $leftPath does not exist"))
@@ -240,7 +247,7 @@ final class IncrementalJoinAggView(spark: SparkSession,
           .filter(col("cnt") > 0)
       }
     state.write(merged, "JOINVIEW_REFRESH", "replace", meta(vl1, vr1),
-      expectedPrevVersion = state.latestVersion)
+      expectedPrevVersion = fence)
     (vl1, vr1)
   }
 

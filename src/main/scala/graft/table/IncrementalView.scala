@@ -135,9 +135,23 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
 
   /** Fold a change-feed slice into the state and advance the watermark
     * to `newWatermark` — the shared delta algebra behind [[refresh]]
-    * (batch range) and [[refreshStream]] (micro-batch). */
-  private def foldDelta(cdf: DataFrame, newWatermark: Long,
+    * (batch range) and [[refreshStream]] (micro-batch). Race-safe
+    * WITHOUT id gates (this fold has none — counts just move): the
+    * fence is captured BEFORE the standing state is read, and the
+    * watermark re-checks under that fence against `from` (the
+    * watermark the slice was netted from), so a racing refresh that
+    * already folded the whole range turns this call into a no-op, one
+    * that folded a DIFFERENT range refuses loudly, and one landing
+    * after the fence makes the replace fail its `expectedPrevVersion`
+    * — the additive fold can never double-apply a slice. */
+  private def foldDelta(cdf: DataFrame, from: Long, newWatermark: Long,
                         txn: Option[(String, Long)] = None): Unit = {
+    val fence = state.latestVersion
+    val w = sourceVersion
+    if (w >= newWatermark) return
+    require(w == from,
+      s"view state advanced from $from to $w while this refresh netted " +
+        "its slice — a concurrent refresh interleaved; re-run refresh()")
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     val delta = grouped(cdf, sign)
@@ -189,7 +203,7 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
           .filter(col("cnt") > 0)
       }
     state.write(merged, "VIEW_REFRESH", "replace", meta(newWatermark),
-      expectedPrevVersion = state.latestVersion, txnUpdate = txn)
+      expectedPrevVersion = fence, txnUpdate = txn)
   }
 
   /** Fold the unprocessed change-feed range into the state. No-op (and
@@ -202,7 +216,7 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
       s"source went backwards: watermark $last, latest $latest — was the " +
         "source table recreated? Re-initialize the view.")
     if (latest == last) return last
-    foldDelta(source.readChangeFeed(last + 1, Some(latest)), latest)
+    foldDelta(source.readChangeFeed(last + 1, Some(latest)), last, latest)
     latest
   }
 
@@ -253,7 +267,7 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
             .localCheckpoint()
           val maxV = fresh.agg(max(col("_commit_version"))).head()
           if (!maxV.isNullAt(0))
-            foldDelta(fresh, maxV.getLong(0), Some((appId, epochId)))
+            foldDelta(fresh, last, maxV.getLong(0), Some((appId, epochId)))
         }
         ()
       }

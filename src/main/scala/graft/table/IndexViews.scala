@@ -116,6 +116,63 @@ private[table] object CdfNetting {
         "inserts must be new or paired with a delete")
   }
 
+  /** The shared `foreachBatch` choreography of every view family
+    * member's `refreshStream` — exactly-once via a (checkpoint, epoch)
+    * transaction high-water on each fold's final commit, watermark
+    * filtering so batch refreshes and resumed checkpoints interleave
+    * safely, and a loud refusal when a checkpoint path is deleted and
+    * reused (replayed epoch numbers with commits BEYOND the watermark).
+    * `beforeFold` runs first in every live epoch (the row-local family
+    * resumes a half-applied DV slice there); `fold` applies one netted
+    * slice `(ins, del, from, to, txn)` — `from` is the watermark the
+    * slice was filtered against (the additive folds re-check it under
+    * their fence) — and must land the txn on its final commit. */
+  def startStream(spark: SparkSession, sourcePath: String,
+                  state: () => ManagedTable, checkpoint: String,
+                  trigger: org.apache.spark.sql.streaming.Trigger,
+                  idCol: String, payloadCols: Seq[String], what: String,
+                  sourceVersion: () => Long, beforeFold: () => Unit,
+                  fold: (DataFrame, DataFrame, Long, Long, (String, Long)) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = s"graft-view:$checkpoint"
+    val start = sourceVersion() + 1
+    val stream = graft.streaming.StreamOps.streamTable(spark, sourcePath,
+      startingVersion = Some(start), readChangeFeed = true)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (state().lastTxnVersion(appId).exists(_ >= epochId)) {
+          // A genuinely replayed epoch re-delivers only commits the
+          // watermark already covers; if it holds NEWER commits the
+          // checkpoint path was deleted and reused — refuse instead of
+          // silently dropping unseen data (epochs restarted at 0)
+          val last = sourceVersion()
+          if (!batch.filter(col("_commit_version") > last).isEmpty)
+            throw new IllegalStateException(
+              s"view stream checkpoint '$checkpoint' was re-created: " +
+                s"epoch $epochId is at or below the recorded high-water " +
+                "but carries commits beyond the watermark. Use a FRESH " +
+                "checkpoint path (epoch high-waters are keyed by path).")
+        } else {
+          beforeFold()
+          val last = sourceVersion()
+          val fresh = batch.filter(col("_commit_version") > last)
+            .localCheckpoint()
+          val maxV = fresh.agg(max(col("_commit_version"))).head()
+          if (!maxV.isNullAt(0)) {
+            val (ins, del) = CdfNetting.net(fresh, idCol, payloadCols, what)
+            // a slice netting to nothing lands no commit — a replay
+            // nets to nothing again, so skipping stays idempotent
+            if (!ins.isEmpty || !del.isEmpty)
+              fold(ins, del, last, maxV.getLong(0), (appId, epochId))
+          }
+        }
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
   /** Commit metadata strings of a view STATE table, newest first,
     * after checking the state exists — the watermark readers walk this
     * list for their most recent matching entry, so MAINTENANCE commits
@@ -376,45 +433,11 @@ private[table] abstract class RowLocalIndexView(
   final def refreshStream(checkpoint: String,
                           trigger: org.apache.spark.sql.streaming.Trigger =
                             org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val appId = s"graft-view:$checkpoint"
-    val start = sourceVersion + 1
-    val stream = graft.streaming.StreamOps.streamTable(spark, sourcePath,
-      startingVersion = Some(start), readChangeFeed = true)
-    stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (state.lastTxnVersion(appId).exists(_ >= epochId)) {
-          // A genuinely replayed epoch re-delivers only commits the
-          // watermark already covers; if it holds NEWER commits the
-          // checkpoint path was deleted and reused — refuse instead of
-          // silently dropping unseen data (epochs restarted at 0)
-          val last = sourceVersion
-          if (!batch.filter(col("_commit_version") > last).isEmpty)
-            throw new IllegalStateException(
-              s"view stream checkpoint '$checkpoint' was re-created: " +
-                s"epoch $epochId is at or below the recorded high-water " +
-                "but carries commits beyond the watermark. Use a FRESH " +
-                "checkpoint path (epoch high-waters are keyed by path).")
-        } else {
-          resumePending()
-          val last = sourceVersion
-          val fresh = batch.filter(col("_commit_version") > last)
-            .localCheckpoint()
-          val maxV = fresh.agg(max(col("_commit_version"))).head()
-          if (!maxV.isNullAt(0)) {
-            val (ins, del) = CdfNetting.net(fresh, idCol, payloadCols, what)
-            // a slice netting to nothing lands no commit — a replay
-            // nets to nothing again, so skipping stays idempotent
-            if (!ins.isEmpty || !del.isEmpty)
-              foldSlice(ins, del, maxV.getLong(0), Some((appId, epochId)))
-          }
-        }
-        ()
-      }
-      .trigger(trigger)
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    CdfNetting.startStream(spark, sourcePath, () => state, checkpoint,
+      trigger, idCol, payloadCols, what, () => sourceVersion,
+      () => { resumePending(); () },
+      (ins, del, _, maxV, txn) => foldSlice(ins, del, maxV, Some(txn)))
 
   /** Finish a half-applied delete-bearing slice: the DV delete commit
     * landed with a pending marker but the insert append did not (crash
@@ -440,6 +463,49 @@ private[table] abstract class RowLocalIndexView(
     * procedure; the commit carries no watermark and is transparent to
     * the walk. */
   final def purge(): Unit = { state.purgeDeletes(); () }
+
+  /** HEAVY periodic maintenance — re-cluster the state table on
+    * `column` into `buckets` range buckets ([[ManagedTable.clusterBy]]):
+    * a full copy-on-write rewrite that lands one dir per bucket with
+    * DISJOINT per-dir min/max stats and persists the bucket grid in the
+    * table properties. Run at the cadence quantile drift justifies;
+    * between runs [[maintain]] folds the append tail onto the SAME grid
+    * incrementally. Why a view needs this at all: every O(batch)
+    * refresh APPENDs a dir spanning the index's whole key space (a
+    * daily batch touches the full vocabulary / cell range), so dir
+    * stats overlap completely and [[readWhere]] degrades to a full-dir
+    * listing as appends accumulate — write-time clustering keeps row
+    * groups tight INSIDE each dir, but only the bucket grid restores
+    * dir-grain skipping. The commit carries no watermark and is
+    * transparent to the walk; DVs on rewritten dirs are materialized
+    * (tombstones go inert with their files). */
+  final def recluster(column: String, buckets: Int): Unit = {
+    state.clusterBy(column, buckets); ()
+  }
+
+  /** CHEAP routine maintenance, O(tombstones + append tail), never a
+    * table rewrite: materialize accumulated deletion vectors
+    * ([[ManagedTable.purgeDeletes]] — only dirs holding tombstoned rows
+    * rewrite), then fold the unclustered append tail onto the persisted
+    * bucket grid when [[recluster]] established one
+    * ([[ManagedTable.clusterAppend]] — clustered bulk carried by
+    * reference), else bin-pack small dirs
+    * ([[ManagedTable.compactDirs]]). All commits are watermark-less
+    * maintenance commits, transparent to the walk and to concurrent
+    * readers; a [[refresh]] racing a maintenance commit fails its
+    * `expectedPrevVersion` fence loudly and simply re-runs. */
+  final def maintain(maxDirBytes: Long = 64L << 20): Unit = {
+    state.maintainLayout(maxDirBytes); ()
+  }
+
+  /** The maintained index restricted by `predicate`, skipping every
+    * state dir whose commit-log stats prove it empty of matches
+    * ([[ManagedTable.readWhere]]) — results identical to
+    * `read.filter(predicate)`, only the scanned file set shrinks.
+    * Selective exactly when maintenance keeps per-dir ranges disjoint
+    * ([[recluster]] + [[maintain]]). */
+  final def readWhere(predicate: org.apache.spark.sql.Column): DataFrame =
+    state.readWhere(predicate)
 
   /** The maintained index. */
   final def read: DataFrame = state.read
@@ -469,6 +535,25 @@ final class PositionalIndexView(spark: SparkSession, sourcePath: String,
 
   override protected def buildRows(docs: DataFrame): DataFrame =
     Retrieval.positionalIndex(docs, textCol, idCol)
+
+  /** Exact phrase top-k served from the maintained occurrences
+    * ([[Retrieval.phraseSearchWith]]). In the driver regime the index
+    * comes from a SKIPPING read over the phrases' token set — after
+    * [[recluster]]`("tok", …)` whole occurrence dirs prune from
+    * commit-log stats; the phrase join only ever touches matching
+    * tokens, so results are identical. Past the gate the full index
+    * flows. */
+  def search(phrases: DataFrame, k: Int = 10,
+             maxPrunedToks: Int = 4096): DataFrame = {
+    val qtoks = Retrieval.queryToks(phrases)
+    val index =
+      if (Similarity.fitsDriver(qtoks, maxPrunedToks)) {
+        val ts = qtoks.collect().map(_.getString(0)).toIndexedSeq
+        if (ts.isEmpty) read.limit(0)
+        else readWhere(col("tok").isin(ts: _*))
+      } else read
+    Retrieval.phraseSearchWith(phrases, index, k)
+  }
 }
 
 /**
@@ -633,11 +718,26 @@ final class AnnIndexView(spark: SparkSession, sourcePath: String,
   /** Serve top-k from the standing artifacts: probe-pruned ADC scan
     * over the maintained codes, exact re-rank against the CURRENT
     * corpus snapshot ([[Similarity.ivfPqTopKWith]] — both query-batch
-    * regimes apply). */
+    * regimes apply). In the driver regime the codes come from a
+    * SKIPPING read over the probed-cell union
+    * ([[Similarity.probeCellUnion]] + [[readWhere]]) — after
+    * [[recluster]]`("cell", …)` whole state dirs prune from
+    * commit-log stats before any scan is planned; `ivfPqTopKWith`'s
+    * per-query probe map re-filters inside the survivors, so results
+    * are identical. Past the gate the full codes frame flows (the
+    * cell set must not become driver state). */
   def search(queries: DataFrame, k: Int, nProbe: Int = 4,
-             rerank: Int = 64): DataFrame =
-    Similarity.ivfPqTopKWith(centroids, codebooks, read, source.read,
+             rerank: Int = 64): DataFrame = {
+    val codes = Similarity.probeCellUnion(centroids, queries, nProbe,
+        vecCol = vecCol) match {
+      case Some(cells) if cells.nonEmpty =>
+        readWhere(col("cell").isin(cells: _*))
+      case Some(_) => read.limit(0)
+      case None => read
+    }
+    Similarity.ivfPqTopKWith(centroids, codebooks, codes, source.read,
       queries, k, nProbe, rerank, idCol, vecCol)
+  }
 }
 
 /**
@@ -705,6 +805,29 @@ final class CorpusLmView(spark: SparkSession, sourcePath: String,
     val cdf = source.readChangeFeed(last + 1, Some(latest))
     val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol), "lm view")
     if (ins.isEmpty && del.isEmpty) return last
+    foldSlice(ins, del, last, latest, None)
+    latest
+  }
+
+  /** Apply one netted slice onto the standing model and advance the
+    * watermark to `latest`. Race-safe WITHOUT id gates (this fold has
+    * none — counts just move): the fence is captured BEFORE the
+    * standing model is read, and the watermark re-checks under that
+    * fence, so a racing refresh that already folded this range turns
+    * this call into a no-op, and one that lands AFTER the fence makes
+    * the replace fail its `expectedPrevVersion` loudly — the additive
+    * fold can never land twice (a double-fold would silently double
+    * every count in the slice, the quiet corruption the row-local
+    * family's id gates catch structurally). */
+  private def foldSlice(ins: DataFrame, del: DataFrame, from: Long,
+                        latest: Long,
+                        txn: Option[(String, Long)]): Unit = {
+    val fence = state.latestVersion
+    val w = sourceVersion
+    if (w >= latest) return
+    require(w == from,
+      s"lm view watermark advanced from $from to $w while this refresh " +
+        "netted its slice — a concurrent refresh interleaved; re-run")
     val lm = graft.llm.TextOps.unigramModel(_: DataFrame, textCol, idCol)
     val delta = lm(ins).select(col("tok"), col("freq"))
       .unionByName(lm(del).select(col("tok"), (-col("freq")).as("freq")))
@@ -715,9 +838,25 @@ final class CorpusLmView(spark: SparkSession, sourcePath: String,
       "lm view: the folded model went NEGATIVE for some token — the slice " +
         "subtracts occurrences this corpus never added; re-initialize")
     state.write(merged.filter(col("freq") > 0L), "LM_REFRESH", "replace",
-      meta(latest), expectedPrevVersion = state.latestVersion)
-    latest
+      meta(latest), expectedPrevVersion = fence, txnUpdate = txn)
+    ()
   }
+
+  /** STREAMING maintenance — the corpus's CDF stream folds into the
+    * standing model per micro-batch with the same netting and
+    * choreography as [[refresh]] ([[CdfNetting.startStream]]):
+    * exactly-once via the (checkpoint, epoch) txn high-water riding
+    * the replace commit, watermark filtering so batch refreshes and
+    * resumed checkpoints interleave safely. Caller drains/stops the
+    * returned query. */
+  def refreshStream(checkpoint: String,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    CdfNetting.startStream(spark, sourcePath, () => state, checkpoint,
+      trigger, idCol, Seq(textCol), "lm view", () => sourceVersion,
+      () => (),
+      (ins, del, from, maxV, txn) => foldSlice(ins, del, from, maxV, Some(txn)))
 
   /** The maintained `(tok, freq)` model — feed straight into
     * [[graft.llm.TextOps.rareTokenScoreWith]] /
@@ -790,7 +929,7 @@ final class ClassifierModelView(spark: SparkSession, sourcePath: String,
   /** Fold the unprocessed change-feed range. No-op (no commit) when
     * already current or the range nets to nothing. */
   def refresh(): Long = {
-    val (last, dp0, dn0) = watermark
+    val last = sourceVersion
     val latest = source.latestVersion.getOrElse(throw new IllegalStateException(
       s"source table $sourcePath does not exist"))
     require(latest >= last,
@@ -801,6 +940,25 @@ final class ClassifierModelView(spark: SparkSession, sourcePath: String,
     val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol, labelCol),
       "classifier view")
     if (ins.isEmpty && del.isEmpty) return last
+    foldSlice(ins, del, last, latest, None)
+    latest
+  }
+
+  /** Apply one netted slice onto the standing model and advance the
+    * watermark to `latest` — fence captured BEFORE the standing model
+    * (and the priors it pairs with) is read, watermark re-checked
+    * under that fence, so the additive fold can never land twice
+    * (same contract as [[CorpusLmView]]'s fold; a double-fold would
+    * silently double the slice's counts AND move the priors twice). */
+  private def foldSlice(ins: DataFrame, del: DataFrame, from: Long,
+                        latest: Long,
+                        txn: Option[(String, Long)]): Unit = {
+    val fence = state.latestVersion
+    val (last, dp0, dn0) = watermark
+    if (last >= latest) return
+    require(last == from,
+      s"classifier view watermark advanced from $from to $last while this " +
+        "refresh netted its slice — a concurrent refresh interleaved; re-run")
     val train = QualityClassifier.train(_: DataFrame, textCol, labelCol)
     val delta = train(ins)
       .unionByName(train(del).select(col("token"),
@@ -819,9 +977,24 @@ final class ClassifierModelView(spark: SparkSession, sourcePath: String,
       merged.filter(col("n_pos") > 0L || col("n_neg") > 0L),
       "NB_REFRESH", "replace",
       meta(latest, dp0 + dpi - dpd, dn0 + dni - dnd),
-      expectedPrevVersion = state.latestVersion)
-    latest
+      expectedPrevVersion = fence, txnUpdate = txn)
+    ()
   }
+
+  /** STREAMING maintenance — the labeled corpus's CDF stream folds
+    * into the standing model per micro-batch, exactly-once via the
+    * (checkpoint, epoch) txn high-water ([[CdfNetting.startStream]]);
+    * the learned ingest gate stays current through a streaming
+    * curation pipeline without a batch CALL. Caller drains/stops the
+    * returned query. */
+  def refreshStream(checkpoint: String,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    CdfNetting.startStream(spark, sourcePath, () => state, checkpoint,
+      trigger, idCol, Seq(textCol, labelCol), "classifier view",
+      () => sourceVersion, () => (),
+      (ins, del, from, maxV, txn) => foldSlice(ins, del, from, maxV, Some(txn)))
 
   /** The maintained `(token, n_pos, n_neg)` model. */
   def read: DataFrame = state.read

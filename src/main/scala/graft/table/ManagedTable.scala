@@ -2159,6 +2159,31 @@ final class ManagedTable(spark: SparkSession, root: String) {
   }
 
   /**
+   * One-call ROUTINE layout maintenance, O(tombstones + append tail),
+   * never a table rewrite: materialize accumulated deletion vectors
+   * ([[purgeDeletes]] — only dirs holding tombstoned rows rewrite),
+   * then fold the unclustered append tail onto the persisted bucket
+   * grid when a [[clusterBy]]/[[clusterByHilbert]] pass established
+   * one ([[clusterAppend]] — the clustered bulk carries by reference),
+   * else bin-pack small dirs ([[compactDirs]]). The append-heavy
+   * steady state every CDF-maintained index view produces is exactly
+   * what this serves: each O(batch) refresh appends one dir spanning
+   * the whole key range, and this pass keeps per-dir stats disjoint so
+   * [[readWhere]] stays selective. Both commits are watermark-less
+   * maintenance commits — transparent to view watermark walks and to
+   * stream txn high-waters (both carry `txn` forward). Returns the
+   * commits that actually landed (possibly none).
+   */
+  def maintainLayout(maxDirBytes: Long = 64L << 20): Seq[Commit] = {
+    val purged = purgeDeletes()
+    val hasGrid = lastCommit.exists(c =>
+      c.properties.contains(ManagedTable.ClusterByColProp) ||
+        c.properties.contains(ManagedTable.HilbertColsProp))
+    val folded = if (hasGrid) clusterAppend() else compactDirs(maxDirBytes)
+    purged.toSeq ++ folded.toSeq
+  }
+
+  /**
    * Compact fragmented partitions — the OPTIMIZE analogue. Repeated
    * appends/merges leave a partition's rows spread over many small files
    * across many commit dirs; small files are the classic parquet-scan

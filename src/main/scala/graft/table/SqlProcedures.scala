@@ -113,7 +113,7 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       attr("pruned_versions", IntegerType), attr("deleted_data_dirs", IntegerType),
       attr("deleted_change_dirs", IntegerType), attr("deleted_dv_dirs", IntegerType))
     case "optimize" | "analyze" | "purge_deletes" | "restore" | "clone" |
-         "cluster_append" => Seq(
+         "cluster_append" | "cluster_by" | "maintain" => Seq(
       attr("version", LongType), attr("operation", StringType),
       attr("operation_metrics", StringType))
     case "export_manifest" => Seq(
@@ -137,7 +137,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       attr("left_version", LongType), attr("right_version", LongType))
     case other => throw new IllegalArgumentException(
       s"unknown graft procedure `$other` — supported: history, vacuum, " +
-        "optimize, analyze, cluster_append, purge_deletes, restore, clone, " +
+        "optimize, analyze, cluster_by, cluster_append, maintain, " +
+        "purge_deletes, restore, clone, " +
         "export_manifest, drift_check, init_agg_view, refresh_agg_view, " +
         "init_join_view, refresh_join_view, init_bm25_view, " +
         "refresh_bm25_view, init_phrase_view, refresh_phrase_view, " +
@@ -182,6 +183,22 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       case "cluster_append" =>
         require(args.size == 1, "CALL graft.cluster_append(path)")
         table().clusterAppend().map(commitRow).toSeq
+      case "cluster_by" =>
+        // the HEAVY periodic re-cluster: full rewrite into range
+        // buckets with a persisted grid `maintain` folds appends onto
+        require(args.size == 3,
+          "CALL graft.cluster_by(path, column, buckets)")
+        Seq(commitRow(table().clusterBy(strArg(args(1), "column"),
+          longArg(args(2), "buckets").toInt)))
+      case "maintain" =>
+        // routine layout maintenance: purge deletion vectors + fold the
+        // append tail (clusterAppend under a persisted grid, compactDirs
+        // otherwise) — one commit row per maintenance commit landed
+        require(args.size == 1 || args.size == 2,
+          "CALL graft.maintain(path[, max_dir_bytes])")
+        val max = if (args.size == 2) longArg(args(1), "max_dir_bytes")
+          else 64L << 20
+        table().maintainLayout(max).map(commitRow)
       case "purge_deletes" =>
         require(args.size == 1, "CALL graft.purge_deletes(path)")
         table().purgeDeletes().map(commitRow).toSeq

@@ -394,6 +394,29 @@ class SqlTablesSpec extends SparkSpec {
     assert(t.read.count() == 5)
   }
 
+  test("CALL graft.cluster_by then graft.maintain: the grid lands once, " +
+      "routine maintenance folds the append tail onto it") {
+    val path = tmpDir("sqlclby")
+    val t = ManagedTable(spark, path)
+    import spark.implicits._
+    t.write((1 to 40).map(i => (i.toLong, s"k$i"))
+      .toDF("id", "name"), "APPEND", "append")
+    val out = spark.sql(s"CALL graft.cluster_by('$path', 'id', 4)")
+    assert(out.head().getString(1).startsWith("CLUSTER BY"))
+    assert(t.lastCommit.get.dirs.forall(
+      _.contains(s"/${ManagedTable.CLUSTER_COL}=")))
+    // an append lands an unbucketed tail; maintain folds it onto the grid
+    t.write(Seq((41L, "k41"), (42L, "k42")).toDF("id", "name"),
+      "APPEND", "append")
+    val rows = spark.sql(s"CALL graft.maintain('$path')").collect()
+    assert(rows.exists(_.getString(1).startsWith("CLUSTER APPEND")))
+    assert(t.lastCommit.get.dirs.forall(
+      _.contains(s"/${ManagedTable.CLUSTER_COL}=")))
+    assert(t.read.count() === 42L)
+    // nothing pending → no commit rows at all
+    assert(spark.sql(s"CALL graft.maintain('$path')").collect().isEmpty)
+  }
+
   test("SHOW TBLPROPERTIES and DESCRIBE read the commit log") {
     val path = tmpDir("sqlshow")
     val t = ManagedTable(spark, path)
