@@ -215,6 +215,19 @@ object Similarity {
         col(vecCol).cast("array<double>"))).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted)
 
+  /** The distinct nearest-cell assignments of a batch — at most
+    * `cents.length` values whatever the batch size (the domain is the
+    * cell ids), so collecting it is safe at ANY scale, with no driver
+    * gate: the distinct runs distributed and only ≤ nlist ints reach
+    * the driver. Serving/dedup paths use it for a skipping read of a
+    * cell-keyed index (`cell IN (...)`); the downstream cell equi-join
+    * re-filters inside the survivors, so results are identical. */
+  def assignedCellUnion(cents: Array[Array[Double]], batch: DataFrame,
+                        vecCol: String = "embedding"): Seq[Int] =
+    batch.select(nearestCellUdf(cents)(
+        col(vecCol).cast("array<double>")).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
   /** The `nProbe` nearest cells of a vector, nearest first. */
   private def probeCellsUdf(cents: Array[Array[Double]], nProbe: Int) =
     udf { (v: Seq[Double]) =>

@@ -480,6 +480,23 @@ private[table] abstract class RowLocalIndexView(
     * transparent to the walk; DVs on rewritten dirs are materialized
     * (tombstones go inert with their files). */
   final def recluster(column: String, buckets: Int): Unit = {
+    // The doc-id bloom only GROWS through refreshes (a deleted id stays
+    // bloom-positive; a re-insert falls to the exact check) — after
+    // years of curation churn the filter saturates and its fpp decays,
+    // sending ever more inserts to the exact semi-join. The heavy pass
+    // re-derives it from the CURRENT ids, fenced on the bloom table and
+    // rebuilt BEFORE the state rewrite, which makes the must-always-
+    // cover-the-state invariant unconditional: a racing refresh either
+    // lands its bloom fold first (our fence fails → skip the rebuild
+    // until the next heavy pass) or after ours (its fold unions the
+    // batch into whichever bloom it read — both cover). The rebuild is
+    // one distinct over the index ids, the same order as the rewrite
+    // this pass already pays.
+    val fence = bloomTable.latestVersion
+    val fresh = Retrieval.bm25IndexBloom(stateIds, expectedIds)
+    try bloomTable.write(fresh, s"${opPrefix}_BLOOM", "replace",
+      expectedPrevVersion = fence)
+    catch { case _: ManagedTable.ConcurrentCommitException => () }
     state.clusterBy(column, buckets); ()
   }
 
@@ -654,15 +671,32 @@ final class SemanticIndexView(spark: SparkSession, sourcePath: String,
       .write.mode("overwrite").parquet(centsPath)
   }
 
+  /** Born clustered by `cell` like [[AnnIndexView]]'s codes — the
+    * dedup probe's cell-keyed join prunes at row-group grain from the
+    * first file, and [[RowLocalIndexView.recluster]]`("cell", …)`
+    * restores dir-grain pruning as append slices accumulate. */
+  override protected def initProperties: Option[Map[String, String]] =
+    Some(Map(ManagedTable.ClusterColumnsProp -> "cell"))
+
   override protected def buildRows(docs: DataFrame): DataFrame =
     Similarity.buildSemanticIndex(centroids, docs, idCol, vecCol)
 
   /** Keep only the batch vectors that are semantic duplicates of
     * NOTHING — neither the maintained (ghost-free) corpus index nor
-    * each other ([[Similarity.semanticDedupBatch]]). */
-  def dedupBatch(batch: DataFrame, threshold: Double): DataFrame =
-    Similarity.semanticDedupBatch(centroids, batch, read, threshold,
-      idCol, vecCol)
+    * each other ([[Similarity.semanticDedupBatch]]). The corpus side
+    * comes from a SKIPPING read over the batch's assigned-cell union
+    * ([[Similarity.assignedCellUnion]] — at most `nlist` values at ANY
+    * batch size, so the pruning needs no driver gate; the dedup's own
+    * cell equi-join re-filters inside the survivors, results
+    * identical). */
+  def dedupBatch(batch: DataFrame, threshold: Double): DataFrame = {
+    val cs = centroids
+    val cells = Similarity.assignedCellUnion(cs, batch, vecCol)
+    val index =
+      if (cells.isEmpty) read.limit(0)
+      else readWhere(col("cell").isin(cells: _*))
+    Similarity.semanticDedupBatch(cs, batch, index, threshold, idCol, vecCol)
+  }
 }
 
 /**

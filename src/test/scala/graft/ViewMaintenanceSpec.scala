@@ -216,6 +216,76 @@ class ViewMaintenanceSpec extends SparkSpec {
       "cell-bucketed codes must dir-prune the probed-cell read")
   }
 
+  test("recluster rebuilds the doc-id bloom from the current ids: " +
+      "deleted ids drop out, the lifecycle continues") {
+    val src = tmpDir("vm_blsrc")
+    val st = tmpDir("vm_blstate")
+    val t = ManagedTable(spark, src)
+    t.write(corpus(0 until 60), "APPEND", "append")
+    new Bm25IndexView(spark, src, st, expectedDocs = 1000).initialize()
+    val view = new Bm25IndexView(spark, src, st)
+    t.delete(col("doc_id") >= 40)
+    assert(view.refresh() === 1L)
+    def bloomHits(ids: Seq[Long]): Int = {
+      val (bytes, _, _) = Retrieval.bm25BloomFrom(
+        ManagedTable(spark, st.stripSuffix("/") + "_bloom").read)
+      graft.expressions.MightContain.register(spark)
+      ids.map(i => Seq(i).toDF("id")
+        .filter(call_function(graft.expressions.MightContain.Name,
+          lit(bytes), xxhash64(col("id").cast("string"))))
+        .count()).sum.toInt
+    }
+    val deleted = (40L until 60L).toSeq
+    assert(bloomHits(deleted) === 20,
+      "before the rebuild every deleted id must still be bloom-positive")
+    view.recluster("tok", 4)
+    assert(bloomHits(deleted) < 20,
+      "the heavy pass must re-derive the bloom from the CURRENT ids — " +
+        "deleted ids stay positive only at the fpp rate")
+    assert(bloomHits((0L until 40L).toSeq) === 40,
+      "every live id must remain covered after the rebuild")
+    // a previously-deleted id re-inserts cleanly against the fresh bloom
+    t.write(corpus(40 until 45), "APPEND", "append")
+    assert(view.refresh() === 2L)
+    assertSameRows(view.read,
+      Retrieval.bm25Postings(t.read, "text", "doc_id"))
+  }
+
+  test("semantic dedupBatch prunes the index read to the batch's " +
+      "assigned-cell union and matches the unpruned decision") {
+    import graft.table.SemanticIndexView
+    val src = tmpDir("vm_semsrc")
+    val st = tmpDir("vm_semstate")
+    val vecs = (0 until 100).map { i =>
+      val base = Array.fill(8)(0.01 * ((i * 7) % 5))
+      base(i % 4) = 5.0 + (i % 9) * 0.1
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val t = ManagedTable(spark, src)
+    t.write(vecs, "APPEND", "append")
+    new SemanticIndexView(spark, src, st, nlist = 4, expectedVecs = 1000)
+      .initialize()
+    val view = new SemanticIndexView(spark, src, st, nlist = 4)
+    view.recluster("cell", 4)
+    // batch: one exact corpus copy (re-submitted id), one fresh vector
+    val batch = vecs.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+      .unionByName(Seq((6000L, Array.fill(8)(0.0).updated(0, -9.0)))
+        .toDF("vec_id", "embedding"))
+    val pruned = view.dedupBatch(batch, threshold = 0.95)
+    val full = graft.llm.Similarity.semanticDedupBatch(view.centroids,
+      batch, view.read, 0.95)
+    assertSameRows(pruned, full)
+    assert(pruned.filter(col("vec_id") === 5007L).isEmpty,
+      "the corpus copy must be rejected against the maintained index")
+    assert(!pruned.filter(col("vec_id") === 6000L).isEmpty,
+      "the fresh vector must survive")
+    val cells = graft.llm.Similarity.assignedCellUnion(view.centroids, batch)
+    assert(view.readWhere(col("cell").isin(cells: _*)).inputFiles.length <
+      view.read.inputFiles.length,
+      "the cell-bucketed index must dir-prune the batch's cell read")
+  }
+
   test("the view-search TVFs serve the standing indexes from SQL and " +
       "match the Scala serving paths") {
     val src = tmpDir("vm_tvfsrc")
