@@ -355,6 +355,41 @@ object GraftExtensions {
           strArg(args(0), "source_path"), strArg(args(1), "state_path"))
         .search(table(args(2)), intArg(args(3), "k"), nProbe, rerank))
     },
+    // AS-OF serving from SQL: `VERSION AS OF` on the state table alone
+    // cannot reproduce a historical ranking (the BM25 scalars ride the
+    // commit metadata and the ANN re-rank needs the MATCHING corpus
+    // snapshot) — these pin the whole world to one state version
+    "graft_bm25_view_search_at" -> { args =>
+      require(args.size == 5 || args.size == 6,
+        "graft_bm25_view_search_at(source_path, state_path, version, " +
+          "queries, k[, exact])")
+      val exact = args.size == 6 && strArg(args(5), "exact").toBoolean
+      plan(new graft.table.Bm25IndexView(SparkSession.active,
+          strArg(args(0), "source_path"), strArg(args(1), "state_path"))
+        .searchAt(longArg(args(2), "version"), table(args(3)),
+          intArg(args(4), "k"), exact))
+    },
+    "graft_phrase_view_search_at" -> { args =>
+      require(args.size == 5,
+        "graft_phrase_view_search_at(source_path, state_path, version, " +
+          "phrases, k)")
+      plan(new graft.table.PositionalIndexView(SparkSession.active,
+          strArg(args(0), "source_path"), strArg(args(1), "state_path"))
+        .searchAt(longArg(args(2), "version"), table(args(3)),
+          intArg(args(4), "k")))
+    },
+    "graft_ann_view_search_at" -> { args =>
+      require(args.size == 5 || args.size == 7,
+        "graft_ann_view_search_at(source_path, state_path, version, " +
+          "queries, k[, n_probe, rerank])")
+      val (nProbe, rerank) =
+        if (args.size == 7) (intArg(args(5), "n_probe"), intArg(args(6), "rerank"))
+        else (4, 64)
+      plan(new graft.table.AnnIndexView(SparkSession.active,
+          strArg(args(0), "source_path"), strArg(args(1), "state_path"))
+        .searchAt(longArg(args(2), "version"), table(args(3)),
+          intArg(args(4), "k"), nProbe, rerank))
+    },
     "graft_tfidf_keywords_against" -> { args =>
       require(args.size == 2 || args.size == 3,
         "graft_tfidf_keywords_against(batch, df_table[, k]) takes 2 or 3 arguments")

@@ -7377,6 +7377,104 @@ object Queries {
       |       score_scaled, n_terms_matched
       |FROM r WHERE "rank" <= 7""".stripMargin
 
+  /** AS-OF serving from a standing view — reproducible retrieval for
+    * training-data lineage: `searchAt(v)` serves the EXACT ranking the
+    * index at state version `v` produced, long after later refreshes,
+    * curation deletes, and layout maintenance moved the head. The
+    * watermark contract makes this checkable two independent ways,
+    * both gated in-query: the pinned walk names the matching SOURCE
+    * version (`sourceVersionAt(vInit) == 0`), and the as-of ranking
+    * equals a fresh ONE-SHOT ranking over `source.readAt(0)` — time
+    * travel on the view and on the corpus name the same world. Epochs
+    * after the pin: an append fold, a curation delete fold (deletion
+    * vectors), recluster + maintain (full maintenance pass). Oracle:
+    * DuckDB ranks the INITIAL corpus subset (the epochs and
+    * maintenance are invisible to it by construction). */
+  def viewTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    import graft.table.{Bm25IndexView, ManagedTable}
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    val srcPath = tmp("vtt_src")
+    val stPath = tmp("vtt_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs.filter(col("doc_id") % 3 =!= 0), "APPEND", "append")
+      new Bm25IndexView(spark, srcPath, stPath, expectedDocs = 100000)
+        .initialize()
+    }
+    val view = new Bm25IndexView(spark, srcPath, stPath)
+    val vInit = ManagedTable(spark, stPath).latestVersion.get
+    t.write(docs.filter(col("doc_id") % 3 === 0), "APPEND", "append")
+    require(view.refresh() == 1L, "view_time_travel: append fold on v1")
+    t.delete(col("doc_id") % 11 === 4)
+    require(view.refresh() == 2L, "view_time_travel: delete fold on v2")
+    view.recluster("tok", 16)
+    view.maintain()
+    require(view.sourceVersionAt(vInit) == 0L,
+      "view_time_travel: the pinned walk must name the matching source " +
+        s"version, got ${view.sourceVersionAt(vInit)}")
+    val queries = Seq(
+      (1L, "merge stream table"),
+      (2L, "fast query data"),
+      (3L, "row group window hash")).toDF("query_id", "query_text")
+    val asOf = view.searchAt(vInit, queries, k = 7, exact = true)
+    val oneShot = Retrieval.bm25TopK(t.readAt(0L), queries, k = 7,
+      exact = true)
+    require(asOf.exceptAll(oneShot).isEmpty && oneShot.exceptAll(asOf).isEmpty,
+      "view_time_travel: the as-of ranking drifted from the one-shot " +
+        "ranking over the matching source snapshot")
+    val head = view.search(queries, k = 7, exact = true)
+    val headShot = Retrieval.bm25TopK(t.read, queries, k = 7, exact = true)
+    require(head.exceptAll(headShot).isEmpty &&
+      headShot.exceptAll(head).isEmpty,
+      "view_time_travel: the head must keep serving the current world")
+    asOf
+  }
+
+  /** DuckDB mirror of [[viewTimeTravel]] — the ranking over the INITIAL
+    * corpus subset (`doc_id % 3 <> 0`); the later epochs and the
+    * maintenance commits are invisible to the pinned read. */
+  val viewTimeTravelSql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |  (1, 'merge stream table'),
+      |  (2, 'fast query data'),
+      |  (3, 'row group window hash')),
+      |fin AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM fin),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM dt GROUP BY doc_id),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM dt GROUP BY tok),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |qt AS (SELECT DISTINCT query_id, tok FROM
+      |  (SELECT query_id,
+      |     unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS tok
+      |   FROM q)),
+      |m AS (SELECT qt.query_id, dt.doc_id,
+      |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+      |        * ((CAST(44 AS HUGEINT) * dt.tf * s.total_len * 1000000)
+      |           // (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |              + CAST(6 AS HUGEINT)*s.total_len
+      |              + CAST(18 AS HUGEINT)*l.dl*s.n_docs)))
+      |    // CAST(2*f.df + 1 AS HUGEINT) AS BIGINT) AS s_int
+      | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
+      |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
+      |agg AS (SELECT query_id, doc_id,
+      |         CAST(sum(s_int) AS BIGINT) AS score_scaled,
+      |         CAST(count(*) AS BIGINT) AS n_terms_matched
+      |        FROM m GROUP BY query_id, doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score_scaled DESC, doc_id) AS "rank" FROM agg)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, "rank", doc_id,
+      |       score_scaled, n_terms_matched
+      |FROM r WHERE "rank" <= 7""".stripMargin
+
   /** The corpus LM view under STREAMING maintenance
     * ([[graft.table.CorpusLmView.refreshStream]]): the corpus table's
     * CDF stream folds into the standing model per micro-batch,

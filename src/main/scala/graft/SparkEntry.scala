@@ -218,6 +218,7 @@ object SparkEntry {
     "stream_bm25_view" -> (Queries.streamBm25View(_, _)),
     "bm25_view_bulk_delete" -> (Queries.bm25ViewBulkDelete(_, _)),
     "view_maintenance" -> (Queries.viewMaintenance(_, _)),
+    "view_time_travel" -> (Queries.viewTimeTravel(_, _)),
     "lm_view_refresh" -> (Queries.lmViewRefresh(_, _)),
     "stream_lm_view" -> (Queries.streamLmView(_, _)),
     "neardup_view_refresh" -> (Queries.neardupViewRefresh(_, _)),
@@ -742,6 +743,7 @@ object SparkEntry {
     "stream_bm25_view" -> Queries.streamBm25ViewSql,
     "bm25_view_bulk_delete" -> Queries.bm25ViewBulkDeleteSql,
     "view_maintenance" -> Queries.viewMaintenanceSql,
+    "view_time_travel" -> Queries.viewTimeTravelSql,
     "lm_view_refresh" -> Queries.lmViewRefreshSql,
     "stream_lm_view" -> Queries.streamLmViewSql,
     "neardup_view_refresh" -> Queries.neardupViewRefreshSql,

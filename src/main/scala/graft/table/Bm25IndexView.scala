@@ -92,8 +92,16 @@ final class Bm25IndexView(spark: SparkSession, sourcePath: String,
     * the same watermark-bearing commit the fold landed (a half-applied
     * slice's pending delete commit is transparent, exactly like the
     * watermark itself). */
-  def scalars: (Long, Long) =
-    CdfNetting.commitMetas(state, "bm25 view", statePath)
+  def scalars: (Long, Long) = scalarsWalk(None)
+
+  /** The corpus scalars AS OF a state version — the pinned walk, so an
+    * [[searchAt]] scores with exactly the n_docs/total_len that state
+    * described. */
+  def scalarsAt(stateVersion: Long): (Long, Long) =
+    scalarsWalk(Some(stateVersion))
+
+  private def scalarsWalk(atOrBelow: Option[Long]): (Long, Long) =
+    CdfNetting.commitMetas(state, "bm25 view", statePath, atOrBelow)
       .collectFirst {
         case m if ScalarsRe.findFirstMatchIn(m).isDefined =>
           val g = ScalarsRe.findFirstMatchIn(m).get
@@ -130,5 +138,18 @@ final class Bm25IndexView(spark: SparkSession, sourcePath: String,
         else readWhere(col("tok").isin(ts: _*))
       } else read
     Retrieval.bm25SearchPostings(queries, postings, n, l, k, exact)
+  }
+
+  /** [[search]] AS OF a state version — the ranking a past pipeline
+    * run served, reproducible after any number of later refreshes:
+    * postings from [[readAt]], scalars from the pinned walk. By the
+    * watermark contract this equals a fresh one-shot ranking over
+    * `source.readAt(sourceVersionAt(stateVersion))` — time travel on
+    * the view and on the corpus name the same world. */
+  def searchAt(stateVersion: Long, queries: DataFrame, k: Int = 5,
+               exact: Boolean = false): DataFrame = {
+    val (n, l) = scalarsAt(stateVersion)
+    Retrieval.bm25SearchPostings(queries, readAt(stateVersion), n, l, k,
+      exact)
   }
 }

@@ -190,11 +190,13 @@ private[table] object CdfNetting {
     * continues down from there, exactly the history the restored data
     * came from (nested restores compose — each one can only lower the
     * cap). */
-  def commitMetas(state: ManagedTable, what: String,
-                  statePath: String): Seq[String] = {
+  def commitMetas(state: ManagedTable, what: String, statePath: String,
+                  atOrBelow: Option[Long] = None): Seq[String] = {
     require(state.lastCommit.isDefined,
       s"$what state $statePath does not exist — call initialize() first")
-    var cap = Long.MaxValue
+    // an AS-OF read walks the same history from its pinned version down
+    // — the RESTORE cap and the time-travel cap are the same mechanism
+    var cap = atOrBelow.getOrElse(Long.MaxValue)
     val out = Seq.newBuilder[String]
     state.history.foreach { c =>
       if (c.version <= cap) {
@@ -524,6 +526,29 @@ private[table] abstract class RowLocalIndexView(
   final def readWhere(predicate: org.apache.spark.sql.Column): DataFrame =
     state.readWhere(predicate)
 
+  /** The index AS OF a state version — reproducible retrieval for
+    * training-data lineage: the exact artifact a past pipeline run
+    * served from, long after later refreshes moved the head. */
+  final def readAt(stateVersion: Long): DataFrame =
+    state.readAt(stateVersion)
+
+  /** The SOURCE version the index at `stateVersion` had folded — the
+    * watermark walk pinned at that version, so time travel on the
+    * VIEW names the matching time travel on the SOURCE: the index at
+    * state version v describes exactly `source.readAt(
+    * sourceVersionAt(v))`. A pending half-applied delete commit at the
+    * pin is transparent, exactly like the live walk. */
+  final def sourceVersionAt(stateVersion: Long): Long =
+    CdfNetting.commitMetas(state, what, statePath, Some(stateVersion))
+      .collectFirst {
+        case m if WatermarkRe.findFirstMatchIn(m).isDefined =>
+          WatermarkRe.findFirstMatchIn(m).get.group(1).toLong
+      }
+      .getOrElse(throw new IllegalStateException(
+        s"no commit at or below state version $stateVersion carries a " +
+          s"sourceVersion watermark — is $stateVersion before the $what's " +
+          "initialize()?"))
+
   /** The maintained index. */
   final def read: DataFrame = state.read
 }
@@ -571,6 +596,13 @@ final class PositionalIndexView(spark: SparkSession, sourcePath: String,
       } else read
     Retrieval.phraseSearchWith(phrases, index, k)
   }
+
+  /** [[search]] AS OF a state version — phrase results against the
+    * exact occurrence index a past run served
+    * ([[RowLocalIndexView.readAt]]). */
+  def searchAt(stateVersion: Long, phrases: DataFrame,
+               k: Int = 10): DataFrame =
+    Retrieval.phraseSearchWith(phrases, readAt(stateVersion), k)
 }
 
 /**
@@ -772,6 +804,18 @@ final class AnnIndexView(spark: SparkSession, sourcePath: String,
     Similarity.ivfPqTopKWith(centroids, codebooks, codes, source.read,
       queries, k, nProbe, rerank, idCol, vecCol)
   }
+
+  /** [[search]] AS OF a state version: codes from [[readAt]], exact
+    * re-rank against the MATCHING corpus snapshot
+    * (`source.readAt(sourceVersionAt(v))`) — the neighbors a past run
+    * retrieved, reproducible after later refreshes moved both tables.
+    * The quantizer is frozen at initialize, so historical codes decode
+    * under the same centroids/codebooks by construction. */
+  def searchAt(stateVersion: Long, queries: DataFrame, k: Int,
+               nProbe: Int = 4, rerank: Int = 64): DataFrame =
+    Similarity.ivfPqTopKWith(centroids, codebooks, readAt(stateVersion),
+      source.readAt(sourceVersionAt(stateVersion)), queries, k, nProbe,
+      rerank, idCol, vecCol)
 }
 
 /**

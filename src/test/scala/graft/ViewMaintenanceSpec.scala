@@ -216,6 +216,64 @@ class ViewMaintenanceSpec extends SparkSpec {
       "cell-bucketed codes must dir-prune the probed-cell read")
   }
 
+  test("AS-OF serving: searchAt(v) reproduces the ranking a past run " +
+      "served, equals the one-shot ranking over the matching source " +
+      "snapshot, and survives later maintenance") {
+    val src = tmpDir("vm_asof_src")
+    val st = tmpDir("vm_asof_state")
+    val t = ManagedTable(spark, src)
+    t.write(corpus(0 until 50), "APPEND", "append")
+    new Bm25IndexView(spark, src, st, expectedDocs = 1000).initialize()
+    val view = new Bm25IndexView(spark, src, st)
+    val vInit = ManagedTable(spark, st).latestVersion.get
+    val atInit = view.search(queries, k = 5, exact = true).collect().toSeq
+    t.write(corpus(50 until 90), "APPEND", "append")
+    assert(view.refresh() === 1L)
+    t.delete(col("doc_id") % 9 === 2)
+    assert(view.refresh() === 2L)
+    view.recluster("tok", 4)
+    view.maintain()
+    // the pinned walk names the matching SOURCE version...
+    assert(view.sourceVersionAt(vInit) === 0L)
+    assert(view.scalarsAt(vInit) !== view.scalars)
+    // ...and the as-of ranking is bit-identical to what that state
+    // served then, AND to a fresh one-shot over the source as-of
+    val asOf = view.searchAt(vInit, queries, k = 5, exact = true)
+    assertSameRows(asOf, atInit.toDF(spark, asOf.schema))
+    assertSameRows(asOf,
+      Retrieval.bm25TopK(t.readAt(0L), queries, k = 5, exact = true))
+    // the head keeps serving the current world
+    assertSameRows(view.search(queries, k = 5, exact = true),
+      Retrieval.bm25TopK(t.read, queries, k = 5, exact = true))
+  }
+
+  test("a resumed view stream survives interleaved maintenance: the " +
+      "txn high-water rides maintenance commits, nothing double-folds") {
+    val src = tmpDir("vm_smx_src")
+    val st = tmpDir("vm_smx_state")
+    val ck = tmpDir("vm_smx_ck")
+    val t = ManagedTable(spark, src)
+    t.write(corpus(0 until 30), "APPEND", "append")
+    new Bm25IndexView(spark, src, st, expectedDocs = 1000).initialize()
+    val view = new Bm25IndexView(spark, src, st)
+    t.write(corpus(30 until 50), "APPEND", "append")
+    assert(view.refreshStream(ck).awaitTermination(120000))
+    assert(view.sourceVersion === 1L)
+    // maintenance between stream epochs: recluster + maintain land
+    // watermark-less commits that MUST carry the (checkpoint, epoch)
+    // high-water forward — losing it would make the resumed stream
+    // replay epoch 0 as new and double-fold the first slice
+    view.recluster("tok", 4)
+    t.delete(col("doc_id") % 10 === 3)
+    assert(view.refresh() === 2L)
+    view.maintain()
+    t.write(corpus(50 until 60), "APPEND", "append")
+    assert(view.refreshStream(ck).awaitTermination(120000))
+    assert(view.sourceVersion === 3L)
+    assertSameRows(view.read,
+      Retrieval.bm25Postings(t.read, "text", "doc_id"))
+  }
+
   test("recluster rebuilds the doc-id bloom from the current ids: " +
       "deleted ids drop out, the lifecycle continues") {
     val src = tmpDir("vm_blsrc")
@@ -307,6 +365,19 @@ class ViewMaintenanceSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft_phrase_view_search('$src', '$phSt', " +
         "'vm_tvf_q', 6)"),
       phView.search(queries, k = 6))
+    // AS-OF from SQL: pin the init state, append + refresh, and the
+    // pinned TVF must keep serving the historical ranking
+    val vInit = ManagedTable(spark, st).latestVersion.get
+    t.write(corpus(60 until 80), "APPEND", "append")
+    assert(view.refresh() === 1L)
+    assertSameRows(
+      spark.sql(s"SELECT * FROM graft_bm25_view_search_at('$src', '$st', " +
+        s"$vInit, 'vm_tvf_q', 6, 'true')"),
+      view.searchAt(vInit, queries, k = 6, exact = true))
+    assert(spark.sql(s"SELECT * FROM graft_bm25_view_search_at('$src', " +
+        s"'$st', $vInit, 'vm_tvf_q', 6, 'true')")
+      .exceptAll(view.search(queries, k = 6, exact = true)).count() > 0,
+      "the pinned ranking must differ from the refreshed head here")
   }
 
   test("the corpus LM view folds a streamed CDF range exactly once and " +
