@@ -7760,6 +7760,82 @@ object Queries {
 
   val annViewRefreshSql: String = annTopKSql
 
+  /** The RE-INITIALIZE lifecycle of the ANN view — the drift policy:
+    * the quantizer retrains on the CURRENT corpus and the codes rebuild,
+    * while AS-OF serving stays reproducible because every init commit
+    * NAMES the quantizer versions that encoded its codes (the quantizer
+    * lives in versioned ManagedTables — a re-train lands a new version,
+    * it never overwrites the one historical codes decode under).
+    * In-query gates: (1) a pre-re-init ranking re-served via `searchAt`
+    * is row-identical after the re-init; (2) the quantizer table's
+    * version ADVANCES; (3) an ORPHAN quantizer version — a re-initialize
+    * that crashed between the quantizer write and the init commit —
+    * changes nothing, because the state metadata pins the governing
+    * version. Oracle: the deterministic planted pairs on the final
+    * (re-initialized) index. */
+  def annViewReinit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity
+    import graft.table.{AnnIndexView, ManagedTable}
+    val emb = pq(spark, dir, "embeddings").select("vec_id", "embedding")
+    assertPlantedIdHeadroom(emb, offset = 10000)
+    val srcPath = tmp("annri_src")
+    val stPath = tmp("annri_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(emb, "APPEND", "append")
+      new AnnIndexView(spark, srcPath, stPath, nlist = 16, m = 8, ksub = 16,
+        expectedVecs = 100000).initialize()
+    }
+    val view = new AnnIndexView(spark, srcPath, stPath, nlist = 16, m = 8,
+      ksub = 16)
+    val stateV1 = ManagedTable(spark, stPath).latestVersion.get
+    val queries0 = emb.filter(col("vec_id") < 5).localCheckpoint()
+    // materialized NOW — a lazy frame would silently re-plan against the
+    // post-re-init state and the gate would prove nothing
+    val before = view.searchAt(stateV1, queries0, k = 5, nProbe = 4)
+      .localCheckpoint()
+    // the corpus evolves (planted exact copies append; the view folds
+    // them O(batch)), then the drift policy fires: RE-INITIALIZE
+    t.write(emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding")),
+      "APPEND", "append")
+    require(view.refresh() == 1L,
+      "ann_view_reinit: append fold must land on v1")
+    Staging.timed { view.initialize() }
+    val centsT = ManagedTable(spark, stPath.stripSuffix("/") + "_centroids")
+    require(centsT.latestVersion.exists(_ > 0L),
+      "ann_view_reinit: re-initialize must land a NEW quantizer version, " +
+        "not overwrite the one historical codes were encoded under")
+    val after = view.searchAt(stateV1, queries0, k = 5, nProbe = 4)
+    require(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "ann_view_reinit: searchAt across the re-initialize must reproduce " +
+        "the historical ranking — codes decoded under a retrained quantizer")
+    val queries = t.read.filter(col("vec_id") >= 10000).localCheckpoint()
+    val served = view.search(queries, k = 10, nProbe = 4).localCheckpoint()
+    // crash window: a re-initialize that wrote its quantizer but died
+    // before the init commit — fresh instance, nothing staged, the state
+    // still names the governing version
+    centsT.write(Similarity.centroidsTable(spark,
+      view.centroids.map(_.map(_ + 100.0))), "ANN_QUANTIZER", "replace")
+    val fresh = new AnnIndexView(spark, srcPath, stPath, nlist = 16, m = 8,
+      ksub = 16)
+    val served2 = fresh.search(queries, k = 10, nProbe = 4).localCheckpoint()
+    require(served2.exceptAll(served).isEmpty &&
+      served.exceptAll(served2).isEmpty,
+      "ann_view_reinit: a crashed re-initialize's orphan quantizer version " +
+        "leaked into serving — the state metadata must pin the governing " +
+        "version")
+    val top1 = served2.filter(col("rank") === 1)
+    val misses = top1.filter(col("neighbor_id") =!= col("query_id") - 10000)
+      .count()
+    require(misses == 0,
+      s"ann_view_reinit: $misses planted copies did not rank their " +
+        "original first on the re-initialized index")
+    top1.select("query_id", "neighbor_id")
+  }
+
+  val annViewReinitSql: String = annTopKSql
+
   /** The near-dup index as a CDF-maintained standing view
     * ([[graft.table.NearDupIndexView]]): the dedup family's own
     * curation asymmetry — a stale index rejects re-submitted documents

@@ -226,6 +226,7 @@ object SparkEntry {
     "benchmark_view_refresh" -> (Queries.benchmarkViewRefresh(_, _)),
     "phrase_view_refresh" -> (Queries.phraseViewRefresh(_, _)),
     "ann_view_refresh" -> (Queries.annViewRefresh(_, _)),
+    "ann_view_reinit" -> (Queries.annViewReinit(_, _)),
     "phrase_search" -> (Queries.phraseSearchDocs(_, _)),
     "cascade_rerank" -> (Queries.cascadeRerankDocs(_, _)),
     "cooccurrence_pmi" -> (Queries.cooccurrenceDocs(_, _)),
@@ -751,6 +752,7 @@ object SparkEntry {
     "benchmark_view_refresh" -> Queries.benchmarkViewRefreshSql,
     "phrase_view_refresh" -> Queries.phraseViewRefreshSql,
     "ann_view_refresh" -> Queries.annViewRefreshSql,
+    "ann_view_reinit" -> Queries.annViewReinitSql,
     "phrase_search" -> Queries.phraseSearchSql,
     "cascade_rerank" -> Queries.cascadeRerankSql,
     "cooccurrence_pmi" -> Queries.cooccurrenceSql,

@@ -216,7 +216,8 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
       s"source went backwards: watermark $last, latest $latest — was the " +
         "source table recreated? Re-initialize the view.")
     if (latest == last) return last
-    foldDelta(source.readChangeFeed(last + 1, Some(latest)), last, latest)
+    foldDelta(CdfNetting.cdfSlice(source, last, latest, "agg view"),
+      last, latest)
     latest
   }
 

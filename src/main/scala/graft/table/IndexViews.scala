@@ -173,6 +173,24 @@ private[table] object CdfNetting {
       .start()
   }
 
+  /** The unprocessed change-feed range `from+1..to` of a view's SOURCE,
+    * with the retention seam made loud: if the source was vacuumed PAST
+    * the view's watermark, the range's early commits (and their change
+    * dirs) are gone — the fold can never be completed incrementally, so
+    * refuse with the remediation (re-initialize) instead of surfacing a
+    * raw missing-file error from deep inside the scan. */
+  def cdfSlice(source: ManagedTable, from: Long, to: Long,
+               what: String): DataFrame = {
+    source.earliestVersion.foreach { e =>
+      require(e <= from + 1,
+        s"$what: the source's change feed no longer covers versions " +
+          s"${from + 1}..$to (earliest retained commit is $e — vacuumed " +
+          "past the watermark?). The unprocessed range cannot be folded " +
+          "incrementally; re-initialize the view.")
+    }
+    source.readChangeFeed(from + 1, Some(to))
+  }
+
   /** Commit metadata strings of a view STATE table, newest first,
     * after checking the state exists — the watermark readers walk this
     * list for their most recent matching entry, so MAINTENANCE commits
@@ -191,21 +209,25 @@ private[table] object CdfNetting {
     * came from (nested restores compose — each one can only lower the
     * cap). */
   def commitMetas(state: ManagedTable, what: String, statePath: String,
-                  atOrBelow: Option[Long] = None): Seq[String] = {
-    require(state.lastCommit.isDefined,
+                  atOrBelow: Option[Long] = None): Iterator[String] = {
+    require(state.exists,
       s"$what state $statePath does not exist — call initialize() first")
     // an AS-OF read walks the same history from its pinned version down
-    // — the RESTORE cap and the time-travel cap are the same mechanism
+    // — the RESTORE cap and the time-travel cap are the same mechanism.
+    // LAZY ([[ManagedTable.metaHistory]] — raw entries, no delta-chain
+    // resolution): every caller collectFirsts its newest match, and the
+    // watermark almost always rides the newest commit, so the walk that
+    // runs per refresh / per search / per streaming micro-batch reads
+    // O(one log batch), not a years-old view's entire commit history
     var cap = atOrBelow.getOrElse(Long.MaxValue)
-    val out = Seq.newBuilder[String]
-    state.history.foreach { c =>
+    state.metaHistory.flatMap { c =>
       if (c.version <= cap) {
-        c.userMetadata.foreach(out += _)
+        val metas = c.userMetadata.toList
         c.operationMetrics.get("restoredVersion")
           .foreach(v => cap = math.min(cap, v.toLong))
-      }
+        metas
+      } else Nil
     }
-    out.result()
   }
 }
 
@@ -269,6 +291,12 @@ private[table] abstract class RowLocalIndexView(
   /** Hook before the init write — train and persist quantizers. */
   protected def beforeInitialize(snapshot: DataFrame): Unit = ()
 
+  /** Hook after the init attempt, success or failure — subclasses drop
+    * any state they staged for the init window (the ANN/semantic views
+    * stage the just-trained quantizer version here until the init
+    * commit's metadata names it). */
+  protected def afterInitialize(): Unit = ()
+
   /** Properties landing IN the init commit (layout knobs governing the
     * index's very first files). */
   protected def initProperties: Option[Map[String, String]] = None
@@ -321,12 +349,14 @@ private[table] abstract class RowLocalIndexView(
       s"source table $sourcePath does not exist"))
     val snapshot = source.read
     beforeInitialize(snapshot)
-    bloomTable.write(
-      Retrieval.bm25IndexBloom(snapshot.select(col(s"`$idCol`").as("doc_id")),
-        expectedIds), s"${opPrefix}_BLOOM", "replace")
-    state.write(buildRows(snapshot), s"${opPrefix}_INIT", "replace",
-      Some(initMeta(v, snapshot)), propertiesOverride = initProperties)
-    v
+    try {
+      bloomTable.write(
+        Retrieval.bm25IndexBloom(snapshot.select(col(s"`$idCol`").as("doc_id")),
+          expectedIds), s"${opPrefix}_BLOOM", "replace")
+      state.write(buildRows(snapshot), s"${opPrefix}_INIT", "replace",
+        Some(initMeta(v, snapshot)), propertiesOverride = initProperties)
+      v
+    } finally afterInitialize()
   }
 
   /** Fold the unprocessed change-feed range. No-op (no commit) when
@@ -340,7 +370,7 @@ private[table] abstract class RowLocalIndexView(
       s"source went backwards: watermark $last, latest $latest — was the " +
         "source table recreated? Re-initialize the view.")
     if (latest == last) return last
-    val cdf = source.readChangeFeed(last + 1, Some(latest))
+    val cdf = CdfNetting.cdfSlice(source, last, latest, what)
     val (ins, del) = CdfNetting.net(cdf, idCol, payloadCols, what)
     if (ins.isEmpty && del.isEmpty) return last
     foldSlice(ins, del, latest, None)
@@ -452,7 +482,7 @@ private[table] abstract class RowLocalIndexView(
       .flatMap(m => PendingRe.findFirstMatchIn(m).map(_.group(1).toLong))
       .map { p =>
         val w = sourceVersion // pending markers are transparent to this
-        val cdf = source.readChangeFeed(w + 1, Some(p))
+        val cdf = CdfNetting.cdfSlice(source, w, p, what)
         val (ins, del) = CdfNetting.net(cdf, idCol, payloadCols, what)
         state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
           Some(refreshMeta(p, ins, del)), mergeSchema = true,
@@ -465,6 +495,29 @@ private[table] abstract class RowLocalIndexView(
     * procedure; the commit carries no watermark and is transparent to
     * the walk. */
   final def purge(): Unit = { state.purgeDeletes(); () }
+
+  /** Retention maintenance for the WHOLE view, coherent across its
+    * artifacts: prune the state table's history to its last `keepLast`
+    * versions ([[ManagedTable.vacuum]] — de-referenced MVCC dirs delete
+    * with their aged-out log entries, which also bounds the log listing
+    * the lazy watermark walk pays), keep only the doc-id bloom's head
+    * (refresh gates read the head; AS-OF serving never consults the
+    * bloom), and let subclasses prune their quantizer tables down to
+    * the versions still NAMED by a retained state commit — so
+    * [[readAt]]/[[searchAt]] keep working on exactly the state versions
+    * that survive, never on a state whose quantizer was swept away.
+    * AS-OF reads older than the horizon are gone by policy, exactly
+    * like table time travel after vacuum. */
+  final def vacuum(keepLast: Int): ManagedTable.VacuumStats = {
+    val stats = state.vacuum(keepLast)
+    if (bloomTable.exists) { bloomTable.vacuum(1); () }
+    afterVacuum()
+    stats
+  }
+
+  /** Hook after [[vacuum]] pruned the state — subclasses prune sidecar
+    * tables to what retained state commits still name. */
+  protected def afterVacuum(): Unit = ()
 
   /** HEAVY periodic maintenance — re-cluster the state table on
     * `column` into `buckets` range buckets ([[ManagedTable.clusterBy]]):
@@ -677,9 +730,13 @@ final class NearDupIndexView(spark: SparkSession, sourcePath: String,
  * [[NearDupIndexView]], closing the same ghost asymmetry: a stale
  * index keeps deleted vectors, so a re-submitted (or re-embedded)
  * document is semantically rejected against a doc the corpus no
- * longer contains. The cell quantizer trains ONCE at `initialize` and
- * persists beside the state (the [[AnnIndexView]] add-vs-train split —
- * re-training on drift is an explicit re-initialize).
+ * longer contains. The cell quantizer trains ONCE at `initialize`,
+ * persists in its own VERSIONED ManagedTable beside the state, and
+ * each init commit's metadata names the version that encoded its cells
+ * (the [[AnnIndexView]] add-vs-train split and crash/as-of consistency
+ * contract — re-training on drift is an explicit re-initialize, and a
+ * crash mid-re-initialize can never pair old cells with the new
+ * quantizer).
  */
 final class SemanticIndexView(spark: SparkSession, sourcePath: String,
                               statePath: String,
@@ -691,16 +748,78 @@ final class SemanticIndexView(spark: SparkSession, sourcePath: String,
     Seq(vecCol), "semantic view", "SEMANTIC", expectedVecs) {
 
   private val centsPath = statePath.stripSuffix("/") + "_centroids"
+  private def centsTable: ManagedTable = ManagedTable(spark, centsPath)
 
-  /** The frozen cell quantizer (trained at `initialize`). */
+  // The quantizer version the in-flight initialize staged but whose init
+  // commit has not landed yet — buildRows/initMeta read it during the
+  // init window; cleared (success or failure) once the attempt ends, so
+  // every later read resolves through the state metadata walk and a
+  // FAILED re-initialize can never leave this instance encoding refresh
+  // batches under a quantizer the state's codes were not built with.
+  @volatile private var stagedQuantizer: Option[Long] = None
+
+  private val CentsRe = """"centsVersion":(\d+)""".r
+
+  /** The quantizer version governing the state at `atOrBelow` (None =
+    * current): the newest state commit naming a `centsVersion` — init
+    * commits name it, refreshes inherit it through the walk, RESTORE
+    * confines the walk, and a RE-initialize lands a new init commit
+    * naming the retrained version. The quantizer table is versioned and
+    * the state names which version encoded it, so a crash between the
+    * quantizer write and the init commit leaves every read consistent
+    * (old quantizer + old codes), and AS-OF reads across a re-initialize
+    * decode historical codes under their HISTORICAL quantizer. */
+  private def centsVersion(atOrBelow: Option[Long]): Long = {
+    val walked =
+      if (state.exists)
+        CdfNetting.commitMetas(state, "semantic view", statePath, atOrBelow)
+          .collectFirst { case m if CentsRe.findFirstMatchIn(m).isDefined =>
+            CentsRe.findFirstMatchIn(m).get.group(1).toLong }
+      else None
+    (if (atOrBelow.isDefined) walked else stagedQuantizer.orElse(walked))
+      .getOrElse(throw new IllegalStateException(
+        "no commit in the semantic view state's history names a quantizer " +
+          "version — call initialize() first"))
+  }
+
+  /** The frozen cell quantizer governing the CURRENT state. */
   def centroids: Array[Array[Double]] =
-    Similarity.centroidsFrom(spark.read.parquet(centsPath))
+    Similarity.centroidsFrom(centsTable.readAt(centsVersion(None)))
+
+  /** The quantizer AS OF a state version — historical codes decode
+    * under the quantizer that encoded them even across a re-initialize
+    * (retention coupling: keep the quantizer table's old versions as
+    * long as AS-OF reads of the state need them). */
+  def centroidsAt(stateVersion: Long): Array[Array[Double]] =
+    Similarity.centroidsFrom(centsTable.readAt(centsVersion(Some(stateVersion))))
 
   override protected def beforeInitialize(snapshot: DataFrame): Unit = {
     val cents = Similarity.trainCentroids(snapshot, nlist, trainIters,
       idCol, vecCol)
-    Similarity.centroidsTable(spark, cents)
-      .write.mode("overwrite").parquet(centsPath)
+    centsTable.write(Similarity.centroidsTable(spark, cents),
+      "SEMANTIC_QUANTIZER", "replace")
+    stagedQuantizer = centsTable.latestVersion
+  }
+
+  override protected def afterInitialize(): Unit = stagedQuantizer = None
+
+  override protected def initMeta(v: Long, snapshot: DataFrame): String =
+    s"""{"sourceVersion":$v,"centsVersion":${stagedQuantizer.get}}"""
+
+  // every watermark-bearing commit fully names its quantizer (the BM25
+  // scalar pattern): vacuum can age out the init commit without the
+  // walk losing the pin
+  override protected def refreshMeta(v: Long, ins: DataFrame,
+                                     del: DataFrame): String =
+    s"""{"sourceVersion":$v,"centsVersion":${centsVersion(None)}}"""
+
+  override protected def afterVacuum(): Unit = {
+    val named = state.metaHistory.flatMap(c => c.userMetadata
+      .flatMap(m => CentsRe.findFirstMatchIn(m)).map(_.group(1).toLong)).toSeq
+    centsTable.latestVersion.foreach { l =>
+      if (named.nonEmpty && named.min <= l)
+        centsTable.vacuum((l - named.min + 1).toInt)
+    }
   }
 
   /** Born clustered by `cell` like [[AnnIndexView]]'s codes — the
@@ -735,15 +854,21 @@ final class SemanticIndexView(spark: SparkSession, sourcePath: String,
  * The IVF-PQ ANN index as a standing, CDF-maintained view: the codes
  * table `(vec_id, pq_codes, cell)` lives in its own ManagedTable, and
  * the quantizer (coarse centroids + PQ codebooks) trains ONCE at
- * `initialize` and persists beside the state — FAISS's add-vs-train
- * split: appends append-encode against the frozen quantizer
- * ([[Similarity.ivfPqAppend]], O(batch)); deletes drop code rows;
- * re-training is a POLICY decision (watch
+ * `initialize` and persists in its own VERSIONED ManagedTables beside
+ * the state — FAISS's add-vs-train split: appends append-encode
+ * against the frozen quantizer ([[Similarity.ivfPqAppend]], O(batch));
+ * deletes drop code rows; re-training is a POLICY decision (watch
  * [[Similarity.pqReconstructionError]] and re-initialize on drift),
- * never a refresh side effect. The codes are BORN clustered by `cell`
- * (the property lands in the init commit and governs its very first
- * files; appends inherit it), so the driver-regime probe's
- * `cell IN (...)` filter prunes at dir-stat and row-group grain.
+ * never a refresh side effect. Each init commit's metadata NAMES the
+ * quantizer versions that encoded its codes, so codes and quantizer
+ * can never silently mix across a re-initialize: a crash between the
+ * quantizer write and the init commit leaves every read consistent
+ * (the state still names the old pair), and [[searchAt]] decodes
+ * historical codes under their historical quantizer. The codes are
+ * BORN clustered by `cell` (the property lands in the init commit and
+ * governs its very first files; appends inherit it), so the
+ * driver-regime probe's `cell IN (...)` filter prunes at dir-stat and
+ * row-group grain.
  */
 final class AnnIndexView(spark: SparkSession, sourcePath: String,
                          statePath: String,
@@ -757,22 +882,95 @@ final class AnnIndexView(spark: SparkSession, sourcePath: String,
 
   private val centsPath = statePath.stripSuffix("/") + "_centroids"
   private val booksPath = statePath.stripSuffix("/") + "_books"
+  private def centsTable: ManagedTable = ManagedTable(spark, centsPath)
+  private def booksTable: ManagedTable = ManagedTable(spark, booksPath)
 
-  /** The frozen coarse quantizer (trained at `initialize`). */
+  // Just-trained quantizer versions staged for the init window (see
+  // [[SemanticIndexView.stagedQuantizer]] — same contract: cleared on
+  // init success OR failure, every later read resolves through the
+  // state metadata walk, so no crash order can pair codes with a
+  // quantizer that did not encode them).
+  @volatile private var stagedQuantizer: Option[(Long, Long)] = None
+
+  private val QuantRe = """"centsVersion":(\d+),"booksVersion":(\d+)""".r
+
+  /** (coarse-centroid version, PQ-codebook version) governing the state
+    * at `atOrBelow` (None = current) — the newest state commit naming
+    * them; a re-initialize lands a new init commit naming the retrained
+    * pair, so AS-OF reads decode historical codes under their
+    * historical quantizer. */
+  private def quantVersions(atOrBelow: Option[Long]): (Long, Long) = {
+    val walked =
+      if (state.exists)
+        CdfNetting.commitMetas(state, "ann index view", statePath, atOrBelow)
+          .collectFirst { case m if QuantRe.findFirstMatchIn(m).isDefined =>
+            val g = QuantRe.findFirstMatchIn(m).get
+            (g.group(1).toLong, g.group(2).toLong) }
+      else None
+    (if (atOrBelow.isDefined) walked else stagedQuantizer.orElse(walked))
+      .getOrElse(throw new IllegalStateException(
+        "no commit in the ann view state's history names quantizer " +
+          "versions — call initialize() first"))
+  }
+
+  /** The frozen coarse quantizer governing the CURRENT state. */
   def centroids: Array[Array[Double]] =
-    Similarity.centroidsFrom(spark.read.parquet(centsPath))
+    Similarity.centroidsFrom(centsTable.readAt(quantVersions(None)._1))
 
-  /** The frozen PQ codebooks (trained at `initialize`). */
+  /** The frozen PQ codebooks governing the CURRENT state. */
   def codebooks: Array[Array[Array[Double]]] =
-    Similarity.pqBooksFrom(spark.read.parquet(booksPath))
+    Similarity.pqBooksFrom(booksTable.readAt(quantVersions(None)._2))
+
+  /** Quantizer pair AS OF a state version (retention coupling: keep the
+    * quantizer tables' old versions as long as AS-OF reads need them). */
+  def quantizerAt(stateVersion: Long)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val (cv, bv) = quantVersions(Some(stateVersion))
+    (Similarity.centroidsFrom(centsTable.readAt(cv)),
+      Similarity.pqBooksFrom(booksTable.readAt(bv)))
+  }
 
   override protected def beforeInitialize(snapshot: DataFrame): Unit = {
-    Similarity.centroidsTable(spark,
-        Similarity.trainCentroids(snapshot, nlist, trainIters, idCol, vecCol))
-      .write.mode("overwrite").parquet(centsPath)
-    Similarity.pqBooksTable(spark,
-        Similarity.pqTrain(snapshot, m, ksub, trainIters, idCol, vecCol))
-      .write.mode("overwrite").parquet(booksPath)
+    centsTable.write(Similarity.centroidsTable(spark,
+        Similarity.trainCentroids(snapshot, nlist, trainIters, idCol, vecCol)),
+      "ANN_QUANTIZER", "replace")
+    booksTable.write(Similarity.pqBooksTable(spark,
+        Similarity.pqTrain(snapshot, m, ksub, trainIters, idCol, vecCol)),
+      "ANN_QUANTIZER", "replace")
+    stagedQuantizer =
+      Some((centsTable.latestVersion.get, booksTable.latestVersion.get))
+  }
+
+  override protected def afterInitialize(): Unit = stagedQuantizer = None
+
+  override protected def initMeta(v: Long, snapshot: DataFrame): String = {
+    val (cv, bv) = stagedQuantizer.get
+    s"""{"sourceVersion":$v,"centsVersion":$cv,"booksVersion":$bv}"""
+  }
+
+  // every watermark-bearing commit fully names its quantizer pair (the
+  // BM25 scalar pattern): vacuum can age out the init commit without
+  // the walk losing the pin
+  override protected def refreshMeta(v: Long, ins: DataFrame,
+                                     del: DataFrame): String = {
+    val (cv, bv) = quantVersions(None)
+    s"""{"sourceVersion":$v,"centsVersion":$cv,"booksVersion":$bv}"""
+  }
+
+  override protected def afterVacuum(): Unit = {
+    val named = state.metaHistory.flatMap(c => c.userMetadata
+      .flatMap(m => QuantRe.findFirstMatchIn(m))
+      .map(g => (g.group(1).toLong, g.group(2).toLong))).toSeq
+    if (named.nonEmpty) {
+      centsTable.latestVersion.foreach { l =>
+        if (named.map(_._1).min <= l)
+          centsTable.vacuum((l - named.map(_._1).min + 1).toInt)
+      }
+      booksTable.latestVersion.foreach { l =>
+        if (named.map(_._2).min <= l)
+          booksTable.vacuum((l - named.map(_._2).min + 1).toInt)
+      }
+    }
   }
 
   override protected def initProperties: Option[Map[String, String]] =
@@ -807,15 +1005,19 @@ final class AnnIndexView(spark: SparkSession, sourcePath: String,
 
   /** [[search]] AS OF a state version: codes from [[readAt]], exact
     * re-rank against the MATCHING corpus snapshot
-    * (`source.readAt(sourceVersionAt(v))`) — the neighbors a past run
-    * retrieved, reproducible after later refreshes moved both tables.
-    * The quantizer is frozen at initialize, so historical codes decode
-    * under the same centroids/codebooks by construction. */
+    * (`source.readAt(sourceVersionAt(v))`), and the quantizer pair AS
+    * OF the same state version ([[quantizerAt]]) — the neighbors a past
+    * run retrieved, reproducible after later refreshes moved both
+    * tables AND after a drift-triggered re-initialize retrained the
+    * quantizer (historical codes always decode under the centroids/
+    * codebooks that encoded them). */
   def searchAt(stateVersion: Long, queries: DataFrame, k: Int,
-               nProbe: Int = 4, rerank: Int = 64): DataFrame =
-    Similarity.ivfPqTopKWith(centroids, codebooks, readAt(stateVersion),
+               nProbe: Int = 4, rerank: Int = 64): DataFrame = {
+    val (cents, books) = quantizerAt(stateVersion)
+    Similarity.ivfPqTopKWith(cents, books, readAt(stateVersion),
       source.readAt(sourceVersionAt(stateVersion)), queries, k, nProbe,
       rerank, idCol, vecCol)
+  }
 }
 
 /**
@@ -880,7 +1082,7 @@ final class CorpusLmView(spark: SparkSession, sourcePath: String,
       s"source went backwards: watermark $last, latest $latest — was the " +
         "corpus table recreated? Re-initialize the view.")
     if (latest == last) return last
-    val cdf = source.readChangeFeed(last + 1, Some(latest))
+    val cdf = CdfNetting.cdfSlice(source, last, latest, "lm view")
     val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol), "lm view")
     if (ins.isEmpty && del.isEmpty) return last
     foldSlice(ins, del, last, latest, None)
@@ -1014,7 +1216,7 @@ final class ClassifierModelView(spark: SparkSession, sourcePath: String,
       s"source went backwards: watermark $last, latest $latest — was the " +
         "corpus table recreated? Re-initialize the view.")
     if (latest == last) return last
-    val cdf = source.readChangeFeed(last + 1, Some(latest))
+    val cdf = CdfNetting.cdfSlice(source, last, latest, "classifier view")
     val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol, labelCol),
       "classifier view")
     if (ins.isEmpty && del.isEmpty) return last

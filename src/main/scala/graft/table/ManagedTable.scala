@@ -59,8 +59,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Oldest version still present in the commit log (version 0 unless log
-    * cleanup is ever added). */
+  /** Oldest version still present in the commit log (version 0 until a
+    * [[vacuum]] prunes aged-out entries). */
   def earliestVersion: Option[Long] = {
     val vs = listVersions
     if (vs.isEmpty) None else Some(vs.min)
@@ -69,6 +69,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
   /** One raw log entry: the parsed commit (for delta entries `dirs` /
     * `dirStats` hold only the ADDED dirs/stats) plus the delta link. */
   private def readEntry(version: Long): (Commit, Option[ManagedTable.DeltaPart]) = {
+    ManagedTable.logEntryReads.incrementAndGet()
     val p = new Path(logPath, f"$version%012d.json")
     val in = fs.open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
@@ -153,6 +154,23 @@ final class ManagedTable(spark: SparkSession, root: String) {
     lastCommit.flatMap(_.txn.get(appId))
 
   def history: Seq[Commit] = readCommits(listVersions.sorted.reverse)
+
+  /** Commit-log entries newest-first WITHOUT delta-chain resolution —
+    * `version`, `operation`, `operationMetrics`, `userMetadata` and the
+    * txn map are exact on every raw entry; only `dirs`/`dirStats`/
+    * `dirBytes` of delta entries are partial (that commit's additions).
+    * LAZY and batched: a walker that stops at its first matching entry
+    * costs one log listing plus O(one batch) of entry reads, not the
+    * whole log. The view watermark walks run on EVERY refresh, every
+    * search, and every streaming micro-batch — after a year of
+    * micro-batch commits, resolving the full history there would be
+    * O(all commits) of driver IO per batch for a value that almost
+    * always rides the newest commit. */
+  def metaHistory: Iterator[Commit] = {
+    val vs = listVersions.sorted.reverse
+    vs.iterator.grouped(ManagedTable.MetaWalkBatch)
+      .flatMap(b => readEntries(b).map(_._1))
+  }
 
   /** Current snapshot as a DataFrame. Fails if the table does not exist. */
   def read: DataFrame = {
@@ -3081,6 +3099,18 @@ object ManagedTable {
   /** Full snapshot forced every this-many versions; delta chains between
     * snapshots are at most this long. */
   val LogSnapshotInterval: Int = 10
+
+  /** Entries per driver IO round of [[ManagedTable.metaHistory]]'s lazy
+    * walk — small enough that a first-batch hit (the overwhelmingly
+    * common case: the newest commit carries the watermark) stays O(1),
+    * large enough to amortize round-trips when maintenance commits bury
+    * the match a few entries deep. */
+  val MetaWalkBatch: Int = 16
+
+  /** Driver-side commit-log entry reads since JVM start — a diagnostic
+    * counter for the log IO the lazy walks are designed to bound (tests
+    * pin that a watermark read against a long history stays O(batch)). */
+  val logEntryReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Log protocol this build reads. Every entry stamps the MINIMUM
     * protocol needed to read it as `minReaderVersion`; a format feature

@@ -109,7 +109,7 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       attr("version", LongType), attr("operation", StringType),
       attr("timestamp_ms", LongType), attr("num_dirs", IntegerType),
       attr("operation_metrics", StringType), attr("user_metadata", StringType))
-    case "vacuum" => Seq(
+    case "vacuum" | "vacuum_index_view" => Seq(
       attr("pruned_versions", IntegerType), attr("deleted_data_dirs", IntegerType),
       attr("deleted_change_dirs", IntegerType), attr("deleted_dv_dirs", IntegerType))
     case "optimize" | "analyze" | "purge_deletes" | "restore" | "clone" |
@@ -135,6 +135,7 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       attr("source_version", LongType))
     case "init_join_view" | "refresh_join_view" => Seq(
       attr("left_version", LongType), attr("right_version", LongType))
+    case "ann_view_drift" => Seq(attr("mse", DoubleType))
     case other => throw new IllegalArgumentException(
       s"unknown graft procedure `$other` — supported: history, vacuum, " +
         "optimize, analyze, cluster_by, cluster_append, maintain, " +
@@ -145,7 +146,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         "init_ann_view, refresh_ann_view, init_lm_view, refresh_lm_view, " +
         "init_nb_view, refresh_nb_view, init_neardup_view, " +
         "refresh_neardup_view, init_semantic_view, refresh_semantic_view, " +
-        "init_benchmark_view, refresh_benchmark_view")
+        "init_benchmark_view, refresh_benchmark_view, vacuum_index_view, " +
+        "ann_view_drift")
   }
 
 
@@ -327,6 +329,39 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         val v = if (proc == "init_nb_view") view.initialize()
           else view.refresh()
         Seq(Row(v))
+      case "ann_view_drift" =>
+        // the drift signal behind the re-initialize policy: mean squared
+        // PQ reconstruction error of the CURRENT corpus under the view's
+        // GOVERNING codebooks (the versions the state metadata names) —
+        // watch it round-over-round and CALL init_ann_view when it
+        // degrades past tolerance (FAISS's add-vs-train split as SQL)
+        require(args.size == 2, "CALL graft.ann_view_drift(source, state)")
+        val src = strArg(args(0), "source path")
+        val view = new AnnIndexView(spark, src, strArg(args(1), "state path"))
+        Seq(Row(graft.llm.Similarity.pqReconstructionError(view.codebooks,
+          ManagedTable(spark, src).read)))
+      case "vacuum_index_view" =>
+        // retention for the WHOLE standing index — state history, bloom
+        // head, and (ann/semantic) the quantizer versions retained
+        // commits still name, pruned coherently (RowLocalIndexView.vacuum)
+        require(args.size == 4,
+          "CALL graft.vacuum_index_view(kind, source, state, keep_last)")
+        val src = strArg(args(1), "source path")
+        val st = strArg(args(2), "state path")
+        val view: RowLocalIndexView = strArg(args(0), "kind") match {
+          case "bm25" => new Bm25IndexView(spark, src, st)
+          case "phrase" => new PositionalIndexView(spark, src, st)
+          case "ann" => new AnnIndexView(spark, src, st)
+          case "neardup" => new NearDupIndexView(spark, src, st)
+          case "semantic" => new SemanticIndexView(spark, src, st)
+          case "benchmark" => new BenchmarkIndexView(spark, src, st)
+          case k => throw new IllegalArgumentException(
+            s"unknown index-view kind `$k` — supported: bm25, phrase, " +
+              "ann, neardup, semantic, benchmark")
+        }
+        val s = view.vacuum(longArg(args(3), "keep_last").toInt)
+        Seq(Row(s.prunedVersions, s.deletedDataDirs, s.deletedChangeDirs,
+          s.deletedDvDirs))
       case "init_ann_view" | "refresh_ann_view" =>
         require(args.size == 2 || args.size == 5,
           s"CALL graft.$proc(source, state[, nlist, m, ksub])")

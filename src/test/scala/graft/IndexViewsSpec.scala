@@ -168,6 +168,24 @@ class IndexViewsSpec extends SparkSpec {
     assert(view.refresh() === 1L) // already current
   }
 
+  test("a source vacuumed past the watermark refuses refresh with the " +
+      "re-initialize remediation, not a missing-file error") {
+    val src = tmpDir("pv_ret_src"); val st = tmpDir("pv_ret_st")
+    val t = ManagedTable(spark, src)
+    t.write(corpus, "APPEND", "append")
+    new PositionalIndexView(spark, src, st, expectedDocs = 100).initialize()
+    (0 until 12).foreach { i =>
+      t.write(Seq((100L + i, s"tail doc number$i")).toDF("doc_id", "text"),
+        "APPEND", "append")
+    }
+    t.vacuum(keepLast = 2)
+    assert(t.earliestVersion.get > 1L, "vacuum must age out the early log")
+    val view = new PositionalIndexView(spark, src, st)
+    val e = intercept[IllegalArgumentException] { view.refresh() }
+    assert(e.getMessage.contains("re-initialize"),
+      s"wrong remediation: ${e.getMessage}")
+  }
+
   test("positional view: duplicate-id feeds refuse loudly") {
     val src = tmpDir("pv_src2"); val st = tmpDir("pv_st2")
     val t = ManagedTable(spark, src)
@@ -242,6 +260,71 @@ class IndexViewsSpec extends SparkSpec {
     t.write(vecs(0 until 1), "APPEND", "append")
     val e = intercept[IllegalArgumentException] { again.refresh() }
     assert(e.getMessage.contains("already exist"))
+  }
+
+  test("ann view: a re-initialize retrains the quantizer but AS-OF reads " +
+      "decode historical codes under their HISTORICAL quantizer; a crash " +
+      "between the quantizer write and the init commit changes nothing") {
+    val src = tmpDir("av_qv_src"); val st = tmpDir("av_qv_st")
+    val t = ManagedTable(spark, src)
+    t.write(vecs(0 until 64), "APPEND", "append")
+    val view = new AnnIndexView(spark, src, st, nlist = 4, m = 4, ksub = 8)
+    view.initialize()
+    val stateV1 = ManagedTable(spark, st).latestVersion.get
+    val queries = vecs(0 until 5)
+    val before = view.searchAt(stateV1, queries, k = 3, nProbe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    // the corpus drifts (a far-shifted cluster lands): the SQL drift
+    // signal degrades measurably, and the policy fires — re-initialize
+    // retrains quantizer + codes on the new corpus
+    val mse0 = spark.sql(s"CALL graft.ann_view_drift('$src', '$st')")
+      .head().getDouble(0)
+    t.write(vecs(100 until 164, shift = 5.0), "APPEND", "append")
+    val mse1 = spark.sql(s"CALL graft.ann_view_drift('$src', '$st')")
+      .head().getDouble(0)
+    assert(mse1 > mse0,
+      s"the drift signal must degrade after the shifted cluster " +
+        s"($mse0 -> $mse1)")
+    view.initialize()
+    val mse2 = spark.sql(s"CALL graft.ann_view_drift('$src', '$st')")
+      .head().getDouble(0)
+    assert(mse2 < mse1,
+      s"re-training must recover the reconstruction error ($mse1 -> $mse2)")
+    assert(ManagedTable(spark, st.stripSuffix("/") + "_centroids")
+      .latestVersion.get > 0L, "re-initialize must land a NEW quantizer " +
+      "version, not overwrite the one historical codes were encoded under")
+    // AS-OF at the pre-re-init state version: identical rows — the old
+    // codes decode under the OLD quantizer pair, not the retrained one
+    val after = view.searchAt(stateV1, queries, k = 3, nProbe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before,
+      "searchAt across a re-initialize must reproduce the historical " +
+        "ranking — codes decoded under a retrained quantizer")
+    // current-state serving works against the retrained pair — all 4
+    // cells probed and rerank covering the whole corpus makes the exact
+    // re-rank authoritative, so an exact COPY query (fresh id — the
+    // ranker excludes self-id matches) must rank its original first
+    val probeQ = vecs(0 until 3)
+      .select((col("vec_id") + 9000).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val cur = view.search(probeQ, k = 3, nProbe = 4, rerank = 256)
+    assert(cur.filter(col("rank") === 1)
+      .filter(col("neighbor_id") =!= col("query_id") - 9000).isEmpty,
+      "an exact copy must rank its original first under the current " +
+        "quantizer")
+    val curRows = cur.collect().map(_.toString).sorted.toSeq
+    // crash window: a re-initialize that wrote its quantizer but died
+    // before the init commit — the state still NAMES the old versions,
+    // so every read (fresh instance: no staged version) is unchanged
+    ManagedTable(spark, st.stripSuffix("/") + "_centroids").write(
+      Similarity.centroidsTable(spark,
+        Array.tabulate(4)(c => Array.tabulate(8)(d => c * 10.0 + d))),
+      "ANN_QUANTIZER", "replace")
+    val fresh = new AnnIndexView(spark, src, st, nlist = 4, m = 4, ksub = 8)
+    assert(fresh.search(probeQ, k = 3, nProbe = 4, rerank = 256)
+      .collect().map(_.toString).sorted.toSeq === curRows,
+      "a crashed re-initialize's orphan quantizer version leaked into " +
+        "serving — the state metadata must pin the governing version")
   }
 
   test("corpus LM view: signed token counts equal the recompute under " +
@@ -370,6 +453,93 @@ class IndexViewsSpec extends SparkSpec {
     val rebuilt = Similarity.buildSemanticIndex(view.centroids, t.read)
     assert(view.read.exceptAll(rebuilt).isEmpty &&
       rebuilt.exceptAll(view.read).isEmpty)
+  }
+
+  test("view vacuum is coherent across state + bloom + quantizer: every " +
+      "retained state version keeps serving, quantizer versions no " +
+      "retained commit names are swept, aged-out AS-OF reads are gone") {
+    val src = tmpDir("av_vac_src"); val st = tmpDir("av_vac_st")
+    val t = ManagedTable(spark, src)
+    t.write(vecs(0 until 64), "APPEND", "append")
+    val view = new AnnIndexView(spark, src, st, nlist = 4, m = 4, ksub = 8)
+    view.initialize() // state v0 names quantizer v0
+    t.write(vecs(200 until 205), "APPEND", "append")
+    view.refresh() // state v1 (quantizer v0)
+    view.initialize() // re-init: state v2 names quantizer v1
+    // a dozen refresh epochs push the head past a full-snapshot boundary
+    // so vacuum genuinely ages out the early history
+    (0 until 12).foreach { i =>
+      t.write(vecs((300 + i * 5) until (305 + i * 5)), "APPEND", "append")
+      view.refresh()
+    }
+    val queries = vecs(0 until 3)
+    val head = view.search(queries, k = 3, nProbe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    // the CALL surface drives the same coherent retention pass
+    val pruned = spark.sql(
+      s"CALL graft.vacuum_index_view('ann', '$src', '$st', 3)")
+      .head().getInt(0)
+    assert(pruned > 0, "vacuum_index_view must prune aged-out versions here")
+    val stT = ManagedTable(spark, st)
+    val earliest = stT.earliestVersion.get
+    assert(earliest > 0L, "vacuum must age out early state versions here")
+    // every RETAINED version still serves — the quantizer versions its
+    // commits name survived the sidecar sweep
+    (earliest to stT.latestVersion.get).foreach { v =>
+      view.searchAt(v, queries, k = 3, nProbe = 4).collect(); ()
+    }
+    // current serving is untouched
+    assert(view.search(queries, k = 3, nProbe = 4)
+      .collect().map(_.toString).sorted.toSeq === head)
+    // the pre-re-init quantizer (v0) is named by NO retained commit —
+    // swept; the governing one (v1) survives as the earliest retained
+    val cents = ManagedTable(spark, st.stripSuffix("/") + "_centroids")
+    assert(cents.earliestVersion === Some(1L),
+      s"quantizer retention drifted: ${cents.earliestVersion}")
+    // the bloom keeps only its head (gates read the head; AS-OF serving
+    // never consults it)
+    val bloom = ManagedTable(spark, st.stripSuffix("/") + "_bloom")
+    assert(bloom.earliestVersion === bloom.latestVersion)
+    // an aged-out AS-OF read is gone by policy, loudly
+    intercept[Exception] {
+      view.searchAt(earliest - 1, queries, k = 3, nProbe = 4).collect()
+    }
+  }
+
+  test("semantic index view: re-initialize versions the quantizer — the " +
+      "state names the version that encoded its cells, so an orphan " +
+      "quantizer from a crashed re-init never leaks into dedup") {
+    import graft.table.SemanticIndexView
+    import graft.llm.Similarity
+    val src = tmpDir("semv_qv_src"); val st = tmpDir("semv_qv_st")
+    val t = ManagedTable(spark, src)
+    t.write(vecs(0 until 32), "APPEND", "append")
+    val view = new SemanticIndexView(spark, src, st, nlist = 4)
+    view.initialize()
+    // the corpus drifts, the drift policy fires: re-initialize retrains
+    t.write(vecs(100 until 132, shift = 4.0), "APPEND", "append")
+    view.initialize()
+    assert(ManagedTable(spark, st.stripSuffix("/") + "_centroids")
+      .latestVersion.get > 0L,
+      "re-initialize must land a NEW quantizer version")
+    // the maintained index equals a re-index under the CURRENT quantizer
+    val rebuilt = Similarity.buildSemanticIndex(view.centroids, t.read)
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+    val probe = vecs(3 until 4)
+      .select(lit(888L).as("vec_id"), col("embedding")).localCheckpoint()
+    assert(view.dedupBatch(probe, threshold = 0.99).isEmpty,
+      "a copy of a live vector must reject under the retrained quantizer")
+    // crash window: an orphan quantizer version (re-init died before its
+    // init commit) — a fresh instance must keep deduping under the
+    // version the state metadata names
+    ManagedTable(spark, st.stripSuffix("/") + "_centroids").write(
+      Similarity.centroidsTable(spark,
+        view.centroids.map(_.map(_ + 50.0))), "SEMANTIC_QUANTIZER", "replace")
+    val fresh = new SemanticIndexView(spark, src, st, nlist = 4)
+    assert(fresh.dedupBatch(probe, threshold = 0.99).isEmpty,
+      "orphan quantizer version leaked into dedup — the state metadata " +
+        "must pin the governing version")
   }
 
   test("classifier model view: signed per-class counts and priors equal " +

@@ -33,6 +33,32 @@ class ManagedTableSpec extends SparkSpec {
     assert(h(0).readVersion === 0L)
   }
 
+  test("metaHistory walks newest-first lazily — a first-batch hit reads " +
+    "O(batch) log entries, not the whole log") {
+    val path = tmpDir("mt_metawalk")
+    val t = ManagedTable(spark, path)
+    val n = ManagedTable.MetaWalkBatch * 3 // 48 commits — 3 walk batches
+    (0 until n).foreach { i =>
+      t.write(Seq(i).toDF("id"), "APPEND", "append",
+        userMetadata = Some(s"""{"batch":$i}"""))
+    }
+    // metadata is exact on raw entries: same order/content as the
+    // resolved history, no delta-chain resolution needed
+    assert(t.metaHistory.map(c => (c.version, c.userMetadata)).toSeq ===
+      t.history.map(c => (c.version, c.userMetadata)))
+    // the laziness pin: stopping at the newest matching entry must cost
+    // one walk batch of entry reads, not all n — this is the watermark
+    // walk that runs per view refresh / search / streaming micro-batch
+    val before = ManagedTable.logEntryReads.get()
+    val hit = t.metaHistory
+      .collectFirst { case c if c.userMetadata.isDefined => c }
+    assert(hit.map(_.version) === Some((n - 1).toLong))
+    val reads = ManagedTable.logEntryReads.get() - before
+    assert(reads <= ManagedTable.MetaWalkBatch,
+      s"first-batch watermark hit read $reads log entries — the lazy walk " +
+        s"must stay within one batch (${ManagedTable.MetaWalkBatch})")
+  }
+
   test("createIfNotExists bootstraps an empty readable snapshot; idempotent") {
     val path = tmpDir("mt_create")
     val t = ManagedTable(spark, path)
