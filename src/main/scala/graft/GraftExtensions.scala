@@ -355,6 +355,38 @@ object GraftExtensions {
           strArg(args(0), "source_path"), strArg(args(1), "state_path"))
         .search(table(args(2)), intArg(args(3), "k"), nProbe, rerank))
     },
+    // standing-view DEDUP from SQL — the gate side of the same story:
+    // a pure-SQL ingest pipeline admits only the batch rows that are
+    // duplicates of NOTHING (ghost-free: the maintained index no longer
+    // holds deleted docs), same rows as the Scala dedupBatch paths
+    "graft_neardup_view_dedup" -> { args =>
+      require(args.size == 3 || args.size == 4,
+        "graft_neardup_view_dedup(source_path, state_path, batch" +
+          "[, threshold]) takes two paths, a table name, and an optional " +
+          "threshold")
+      val thr = if (args.size == 4) dblArg(args(3), "threshold") else 0.8
+      plan(new graft.table.NearDupIndexView(SparkSession.active,
+          strArg(args(0), "source_path"), strArg(args(1), "state_path"))
+        .dedupBatch(table(args(2)), thr))
+    },
+    "graft_semantic_view_dedup" -> { args =>
+      require(args.size == 4,
+        "graft_semantic_view_dedup(source_path, state_path, batch, " +
+          "threshold) takes two paths, a table name, and a threshold")
+      plan(new graft.table.SemanticIndexView(SparkSession.active,
+          strArg(args(0), "source_path"), strArg(args(1), "state_path"))
+        .dedupBatch(table(args(2)), dblArg(args(3), "threshold")))
+    },
+    "graft_benchmark_view_decontaminate" -> { args =>
+      require(args.size == 3 || args.size == 4,
+        "graft_benchmark_view_decontaminate(source_path, state_path, " +
+          "batch[, min_shared]) takes two paths, a table name, and an " +
+          "optional min_shared")
+      val ms = if (args.size == 4) intArg(args(3), "min_shared") else 3
+      plan(new graft.table.BenchmarkIndexView(SparkSession.active,
+          strArg(args(0), "source_path"), strArg(args(1), "state_path"))
+        .decontaminate(table(args(2)), ms))
+    },
     // AS-OF serving from SQL: `VERSION AS OF` on the state table alone
     // cannot reproduce a historical ranking (the BM25 scalars ride the
     // commit metadata and the ANN re-rank needs the MATCHING corpus

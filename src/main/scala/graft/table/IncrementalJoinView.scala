@@ -137,7 +137,7 @@ final class IncrementalJoinAggView(spark: SparkSession,
   private def signedDelta(t: ManagedTable, from: Long,
                           to: Long): Option[DataFrame] = {
     if (to <= from) return None
-    val cdf = t.readChangeFeed(from + 1, Some(to))
+    val cdf = CdfNetting.cdfSlice(t, from, to, "join view")
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
     Some(cdf.withColumn("__sign__", sign)
@@ -172,6 +172,18 @@ final class IncrementalJoinAggView(spark: SparkSession,
       s"a source went backwards (left $vl0→$vl1, right $vr0→$vr1) — was a " +
         "table recreated? Re-initialize the view.")
     if (vl1 == vl0 && vr1 == vr0) return (vl0, vr0)
+    // retention seam, stricter than the slice alone: the delta-join
+    // identity reads the OTHER side's WATERMARK snapshot (readAt(v0)),
+    // so a side with unprocessed commits must still retain its
+    // watermark VERSION, not just the range above it — refuse with the
+    // remediation instead of a missing-file error mid-join
+    Seq((left, leftPath, vl0, vl1), (right, rightPath, vr0, vr1)).foreach {
+      case (t, p, v0, v1) =>
+        if (v0 < v1) t.earliestVersion.foreach(e => require(e <= v0,
+          s"join view: $p was vacuumed past the watermark (earliest " +
+            s"retained commit $e > watermark $v0) — the delta-join fold " +
+            "needs the watermark snapshot; re-initialize the view."))
+    }
     checkDisjointColumns()
     val dL = signedDelta(left, vl0, vl1).map(_.localCheckpoint())
     val dR = signedDelta(right, vr0, vr1).map(_.localCheckpoint())
@@ -249,6 +261,31 @@ final class IncrementalJoinAggView(spark: SparkSession,
     state.write(merged, "JOINVIEW_REFRESH", "replace", meta(vl1, vr1),
       expectedPrevVersion = fence)
     (vl1, vr1)
+  }
+
+  /** STREAMING maintenance — the LEFT (fact) side's CDF stream is the
+    * TRIGGER: each micro-batch runs one [[refresh]] fold, which
+    * re-derives BOTH sides' unprocessed ranges itself, so right-side
+    * (dimension) changes fold on the next left epoch — the fact ⋈ dim
+    * cadence of a streaming mart (a dimension-only change between left
+    * commits waits for the next epoch or a batch CALL). Exactly-once
+    * needs no txn ledger here: the fold is idempotent by construction —
+    * the watermark pair re-reads per call, both-current epochs no-op
+    * without a commit, and a replayed or racing epoch either re-derives
+    * an empty range or fails the replace's `expectedPrevVersion` fence
+    * loudly. Caller drains/stops the returned query. */
+  def refreshStream(checkpoint: String,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val start = sourceVersions._1 + 1
+    val stream = graft.streaming.StreamOps.streamTable(spark, leftPath,
+      startingVersion = Some(start), readChangeFeed = true)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) => refresh(); () }
+      .trigger(trigger)
+      .start()
   }
 
   /** The maintained join aggregate. */

@@ -157,4 +157,34 @@ class IncrementalJoinViewSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("reserved"))
   }
+
+  test("refreshStream: the fact side's CDF stream triggers folds that " +
+      "pick up BOTH sides' deltas; resume folds only the new slice; " +
+      "batch refresh interleaves as a no-op") {
+    val lp = tmpDir("jv_sl"); val rp = tmpDir("jv_sr")
+    val sp = tmpDir("jv_ss"); val ck = tmpDir("jv_sck")
+    val l = ManagedTable(spark, lp)
+    val r = ManagedTable(spark, rp)
+    l.write(Seq((1L, 10.0), (2L, 7.0)).toDF("k", "x"), "APPEND", "append")
+    r.write(Seq((1L, "a"), (2L, "b")).toDF("k", "d"), "APPEND", "append")
+    val view = new IncrementalJoinAggView(spark, lp, rp, sp,
+      joinKeys = Seq("k"), groupCols = Seq("d"), sumCols = Seq("x"))
+    view.initialize()
+    // facts append AND a dimension moves between epochs — the left
+    // stream is the trigger, but the fold must carry the right delta too
+    l.write(Seq((1L, 5.0), (3L, 2.0)).toDF("k", "x"), "APPEND", "append")
+    r.write(Seq((3L, "c")).toDF("k", "d"), "APPEND", "append")
+    assert(view.refreshStream(ck).awaitTermination(120000),
+      "the join view stream did not drain")
+    check(view, l, r)
+    // resume the SAME checkpoint after one more slice on each side
+    l.write(Seq((3L, 4.0)).toDF("k", "x"), "APPEND", "append")
+    r.update(Map("d" -> lit("a")), col("k") === 2L)
+    assert(view.refreshStream(ck).awaitTermination(120000))
+    check(view, l, r)
+    // a batch refresh interleaves as a no-op (both sides current)
+    val vBefore = ManagedTable(spark, sp).latestVersion
+    view.refresh()
+    assert(ManagedTable(spark, sp).latestVersion === vBefore)
+  }
 }

@@ -380,6 +380,59 @@ class ViewMaintenanceSpec extends SparkSpec {
       "the pinned ranking must differ from the refreshed head here")
   }
 
+  test("the view-dedup TVFs gate batches from SQL and match the Scala " +
+      "dedupBatch / decontaminate paths") {
+    import graft.table.{BenchmarkIndexView, NearDupIndexView, SemanticIndexView}
+    val src = tmpDir("vm_ddsrc")
+    val t = ManagedTable(spark, src)
+    t.write(corpus(0 until 40), "APPEND", "append")
+    // near-dup: an exact copy of a live doc must reject, a nonce doc
+    // survives — TVF rows ≡ the Scala gate
+    val ndSt = tmpDir("vm_ddnd")
+    new NearDupIndexView(spark, src, ndSt, expectedDocs = 1000).initialize()
+    val ndView = new NearDupIndexView(spark, src, ndSt)
+    val batch = corpus(3 until 4)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text"))
+      .unionByName(Seq((6000L, (1 to 12).map(k => s"zzfreshtok$k")
+        .mkString(" "))).toDF("doc_id", "text"))
+      .localCheckpoint()
+    batch.createOrReplaceTempView("vm_dd_b")
+    assertSameRows(
+      spark.sql(s"SELECT * FROM graft_neardup_view_dedup('$src', '$ndSt', " +
+        "'vm_dd_b', 0.8)"),
+      ndView.dedupBatch(batch, 0.8))
+    assert(spark.sql(s"SELECT * FROM graft_neardup_view_dedup('$src', " +
+      s"'$ndSt', 'vm_dd_b', 0.8)").filter(col("doc_id") === 5003L).isEmpty)
+    // benchmark decontamination: a doc sharing an eval's shingles drops
+    val bxSt = tmpDir("vm_ddbx")
+    new BenchmarkIndexView(spark, src, bxSt, expectedDocs = 1000).initialize()
+    val bxView = new BenchmarkIndexView(spark, src, bxSt)
+    assertSameRows(
+      spark.sql(s"SELECT * FROM graft_benchmark_view_decontaminate(" +
+        s"'$src', '$bxSt', 'vm_dd_b', 2)"),
+      bxView.decontaminate(batch, minShared = 2))
+    // semantic: the embedding-space gate from SQL
+    val vsrc = tmpDir("vm_ddvsrc"); val smSt = tmpDir("vm_ddsm")
+    val vt = ManagedTable(spark, vsrc)
+    val vecs = (0 until 32).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 7 + d * 3)).toSeq))
+      .toDF("vec_id", "embedding")
+    vt.write(vecs, "APPEND", "append")
+    new SemanticIndexView(spark, vsrc, smSt, nlist = 4).initialize()
+    val smView = new SemanticIndexView(spark, vsrc, smSt, nlist = 4)
+    val vbatch = vecs.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 5000L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    vbatch.createOrReplaceTempView("vm_dd_vb")
+    assertSameRows(
+      spark.sql(s"SELECT * FROM graft_semantic_view_dedup('$vsrc', " +
+        s"'$smSt', 'vm_dd_vb', 0.95)"),
+      smView.dedupBatch(vbatch, 0.95))
+    assert(spark.sql(s"SELECT * FROM graft_semantic_view_dedup('$vsrc', " +
+      s"'$smSt', 'vm_dd_vb', 0.95)").isEmpty,
+      "the corpus copy must be rejected against the maintained index")
+  }
+
   test("the corpus LM view folds a streamed CDF range exactly once and " +
       "matches the rebuilt model; the resumed checkpoint does not " +
       "double-fold") {
