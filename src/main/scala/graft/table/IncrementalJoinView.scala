@@ -109,6 +109,8 @@ final class IncrementalJoinAggView(spark: SparkSession,
     checkDisjointColumns()
     state.write(joined(left.read, right.read, lit(1L), mmAggs),
       "JOINVIEW_INIT", "replace", meta(vl, vr))
+    left.setRetentionHold(statePath, vl)
+    right.setRetentionHold(statePath, vr)
     (vl, vr)
   }
 
@@ -260,6 +262,10 @@ final class IncrementalJoinAggView(spark: SparkSession,
       }
     state.write(merged, "JOINVIEW_REFRESH", "replace", meta(vl1, vr1),
       expectedPrevVersion = fence)
+    // slide both pins forward: the delta-join fold needs each side's
+    // watermark SNAPSHOT, so the hold sits at the watermark itself
+    left.setRetentionHold(statePath, vl1)
+    right.setRetentionHold(statePath, vr1)
     (vl1, vr1)
   }
 

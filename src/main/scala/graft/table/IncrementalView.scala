@@ -102,6 +102,7 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
       s"source table $sourcePath does not exist"))
     state.write(grouped(source.read, lit(1L), mmAggs), "VIEW_INIT",
       "replace", meta(v))
+    source.setRetentionHold(statePath, v)
     v
   }
 
@@ -204,6 +205,9 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
       }
     state.write(merged, "VIEW_REFRESH", "replace", meta(newWatermark),
       expectedPrevVersion = fence, txnUpdate = txn)
+    // pin the new watermark against source vacuum (slides forward as
+    // slices fold; a crashed fold keeps the older, SAFER pin)
+    source.setRetentionHold(statePath, newWatermark)
   }
 
   /** Fold the unprocessed change-feed range into the state. No-op (and

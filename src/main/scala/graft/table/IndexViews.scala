@@ -355,6 +355,10 @@ private[table] abstract class RowLocalIndexView(
           expectedIds), s"${opPrefix}_BLOOM", "replace")
       state.write(buildRows(snapshot), s"${opPrefix}_INIT", "replace",
         Some(initMeta(v, snapshot)), propertiesOverride = initProperties)
+      // pin the watermark against source vacuum — routine retention can
+      // then never strand this view into an O(corpus) re-initialize; a
+      // refresh slides the pin forward, releasing folded history
+      source.setRetentionHold(statePath, v)
       v
     } finally afterInitialize()
   }
@@ -383,6 +387,14 @@ private[table] abstract class RowLocalIndexView(
     * carries the watermark (and the stream's txn high-water). */
   private def foldSlice(ins: DataFrame, del: DataFrame, latest: Long,
                         txn: Option[(String, Long)]): Unit = {
+    foldSliceInner(ins, del, latest, txn)
+    // only after the slice's final commit landed: a crashed fold keeps
+    // the OLD (lower) pin, which holds MORE history — never less
+    source.setRetentionHold(statePath, latest)
+  }
+
+  private def foldSliceInner(ins: DataFrame, del: DataFrame, latest: Long,
+                             txn: Option[(String, Long)]): Unit = {
     val fence = state.latestVersion
     val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(bloomTable.read)
     val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
@@ -487,6 +499,7 @@ private[table] abstract class RowLocalIndexView(
         state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
           Some(refreshMeta(p, ins, del)), mergeSchema = true,
           expectedPrevVersion = state.latestVersion)
+        source.setRetentionHold(statePath, p)
         p
       }
 
@@ -913,6 +926,16 @@ final class AnnIndexView(spark: SparkSession, sourcePath: String,
           "versions — call initialize() first"))
   }
 
+  /** The governing quantizer pair, resolved with ONE metadata walk —
+    * serving paths that need both artifacts read this instead of the
+    * single getters (each getter is its own walk + log listing). */
+  private def quantizerNow
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val (cv, bv) = quantVersions(None)
+    (Similarity.centroidsFrom(centsTable.readAt(cv)),
+      Similarity.pqBooksFrom(booksTable.readAt(bv)))
+  }
+
   /** The frozen coarse quantizer governing the CURRENT state. */
   def centroids: Array[Array[Double]] =
     Similarity.centroidsFrom(centsTable.readAt(quantVersions(None)._1))
@@ -977,7 +1000,8 @@ final class AnnIndexView(spark: SparkSession, sourcePath: String,
     Some(Map(ManagedTable.ClusterColumnsProp -> "cell"))
 
   override protected def buildRows(docs: DataFrame): DataFrame =
-    Similarity.ivfPqAppend(centroids, codebooks, docs, idCol, vecCol)
+    { val (cents, books) = quantizerNow
+      Similarity.ivfPqAppend(cents, books, docs, idCol, vecCol) }
 
   /** Serve top-k from the standing artifacts: probe-pruned ADC scan
     * over the maintained codes, exact re-rank against the CURRENT
@@ -992,14 +1016,15 @@ final class AnnIndexView(spark: SparkSession, sourcePath: String,
     * cell set must not become driver state). */
   def search(queries: DataFrame, k: Int, nProbe: Int = 4,
              rerank: Int = 64): DataFrame = {
-    val codes = Similarity.probeCellUnion(centroids, queries, nProbe,
+    val (cents, books) = quantizerNow
+    val codes = Similarity.probeCellUnion(cents, queries, nProbe,
         vecCol = vecCol) match {
       case Some(cells) if cells.nonEmpty =>
         readWhere(col("cell").isin(cells: _*))
       case Some(_) => read.limit(0)
       case None => read
     }
-    Similarity.ivfPqTopKWith(centroids, codebooks, codes, source.read,
+    Similarity.ivfPqTopKWith(cents, books, codes, source.read,
       queries, k, nProbe, rerank, idCol, vecCol)
   }
 
@@ -1069,6 +1094,7 @@ final class CorpusLmView(spark: SparkSession, sourcePath: String,
       s"source table $sourcePath does not exist"))
     state.write(graft.llm.TextOps.unigramModel(source.read, textCol, idCol),
       "LM_INIT", "replace", meta(v))
+    source.setRetentionHold(statePath, v)
     v
   }
 
@@ -1119,6 +1145,7 @@ final class CorpusLmView(spark: SparkSession, sourcePath: String,
         "subtracts occurrences this corpus never added; re-initialize")
     state.write(merged.filter(col("freq") > 0L), "LM_REFRESH", "replace",
       meta(latest), expectedPrevVersion = fence, txnUpdate = txn)
+    source.setRetentionHold(statePath, latest)
     ()
   }
 
@@ -1203,6 +1230,7 @@ final class ClassifierModelView(spark: SparkSession, sourcePath: String,
     val (dp, dn) = priorsOf(snapshot)
     state.write(QualityClassifier.train(snapshot, textCol, labelCol),
       "NB_INIT", "replace", meta(v, dp, dn))
+    source.setRetentionHold(statePath, v)
     v
   }
 
@@ -1258,6 +1286,7 @@ final class ClassifierModelView(spark: SparkSession, sourcePath: String,
       "NB_REFRESH", "replace",
       meta(latest, dp0 + dpi - dpd, dn0 + dni - dnd),
       expectedPrevVersion = fence, txnUpdate = txn)
+    source.setRetentionHold(statePath, latest)
     ()
   }
 

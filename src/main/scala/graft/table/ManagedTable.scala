@@ -155,6 +155,17 @@ final class ManagedTable(spark: SparkSession, root: String) {
 
   def history: Seq[Commit] = readCommits(listVersions.sorted.reverse)
 
+  /** The newest `limit` commits, fully resolved — the bounded read for
+    * operational inspection of a years-old table: O(limit + chain
+    * bases) log entries instead of the whole log ([[resolveAll]]
+    * fetches any out-of-range chain base in a follow-up batch, bounded
+    * by the forced full snapshot every
+    * [[ManagedTable.LogSnapshotInterval]] versions). */
+  def historyNewest(limit: Int): Seq[Commit] = {
+    require(limit >= 1, "historyNewest needs limit >= 1")
+    readCommits(listVersions.sorted.reverse.take(limit))
+  }
+
   /** Commit-log entries newest-first WITHOUT delta-chain resolution —
     * `version`, `operation`, `operationMetrics`, `userMetadata` and the
     * txn map are exact on every raw entry; only `dirs`/`dirStats`/
@@ -2081,6 +2092,59 @@ final class ManagedTable(spark: SparkSession, root: String) {
       vacuumCore(versions, versions(versions.size - keepLast), dryRun)
     }
 
+  // ------------------------- retention holds -------------------------
+  // A standing consumer (a CDF-maintained view) pins the versions it
+  // still needs: its watermark version (the join view reads it as a
+  // snapshot) and the change feed above it. Holds live as one tiny JSON
+  // file per holder under _graft_holds — no commit contention with
+  // writers, last-write-wins per holder, and every vacuum CLAMPS its
+  // cut to the minimum held version, so routine retention can never
+  // strand a view into an O(corpus) re-initialize. A dropped view's
+  // stale hold is released explicitly (CALL graft.release_hold).
+
+  private val holdsPath = new Path(rootPath, "_graft_holds")
+
+  private def holdFile(holder: String): Path = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(holder.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    new Path(holdsPath, s"$h.json")
+  }
+
+  /** Pin versions >= `version` against vacuum, keyed by `holder` (the
+    * consumer's identity — a view uses its state path). Re-setting a
+    * holder's hold replaces it, so a view's refresh slides its pin
+    * forward and releases history as it folds. */
+  def setRetentionHold(holder: String, version: Long): Unit = {
+    val esc = holder.replace("\\", "\\\\").replace("\"", "\\\"")
+    val out = fs.create(holdFile(holder), true)
+    try out.write(
+      s"""{"holder": "$esc", "version": $version}""".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Drop `holder`'s pin (a decommissioned view). No-op when absent. */
+  def releaseRetentionHold(holder: String): Unit = {
+    fs.delete(holdFile(holder), false); ()
+  }
+
+  private val HoldRe =
+    """\{"holder": "((?:[^"\\]|\\.)*)", "version": (\d+)\}""".r
+
+  /** Current holds, holder -> pinned version. */
+  def retentionHolds: Map[String, Long] = {
+    if (!fs.exists(holdsPath)) return Map.empty
+    fs.listStatus(holdsPath).toSeq.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val s = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      finally in.close()
+      HoldRe.findFirstMatchIn(s).map(g =>
+        g.group(1).replace("\\\"", "\"").replace("\\\\", "\\") ->
+          g.group(2).toLong)
+    }.toMap
+  }
+
   /** Age-based retention — Delta's `VACUUM ... RETAIN` semantics: prune
     * every version whose commit timestamp is strictly before `tsMs`
     * (the head always survives, whatever its age). Same chain-base
@@ -2097,11 +2161,15 @@ final class ManagedTable(spark: SparkSession, root: String) {
     }
 
   /** Shared vacuum core: keep `firstKeep` and everything after it
-    * (extended back to the earliest kept version's full-snapshot chain
-    * base), delete — or with `dryRun` only COUNT — the rest. */
-  private def vacuumCore(versions: Seq[Long], firstKeep: Long,
+    * (clamped DOWN to the minimum retention hold — a pinned consumer's
+    * versions always survive — then extended back to the earliest kept
+    * version's full-snapshot chain base), delete — or with `dryRun`
+    * only COUNT — the rest. */
+  private def vacuumCore(versions: Seq[Long], firstKeepRaw: Long,
                          dryRun: Boolean): ManagedTable.VacuumStats = {
     import ManagedTable.VacuumStats
+    val firstKeep = retentionHolds.values.minOption
+      .fold(firstKeepRaw)(h => math.min(firstKeepRaw, math.max(h, versions.head)))
     // delta-encoded entries chain to earlier versions; the earliest kept
     // commit's whole chain must survive or retained versions become
     // unresolvable. Walk it to its full-snapshot base and keep from there

@@ -109,7 +109,7 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       attr("version", LongType), attr("operation", StringType),
       attr("timestamp_ms", LongType), attr("num_dirs", IntegerType),
       attr("operation_metrics", StringType), attr("user_metadata", StringType))
-    case "vacuum" | "vacuum_index_view" => Seq(
+    case "vacuum" | "vacuum_older_than" | "vacuum_index_view" => Seq(
       attr("pruned_versions", IntegerType), attr("deleted_data_dirs", IntegerType),
       attr("deleted_change_dirs", IntegerType), attr("deleted_dv_dirs", IntegerType))
     case "optimize" | "analyze" | "purge_deletes" | "restore" | "clone" |
@@ -136,8 +136,11 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
     case "init_join_view" | "refresh_join_view" => Seq(
       attr("left_version", LongType), attr("right_version", LongType))
     case "ann_view_drift" => Seq(attr("mse", DoubleType))
+    case "show_holds" | "release_hold" => Seq(
+      attr("holder", StringType), attr("version", LongType))
     case other => throw new IllegalArgumentException(
       s"unknown graft procedure `$other` — supported: history, vacuum, " +
+        "vacuum_older_than, " +
         "optimize, analyze, cluster_by, cluster_append, maintain, " +
         "purge_deletes, restore, clone, " +
         "export_manifest, drift_check, init_agg_view, refresh_agg_view, " +
@@ -147,7 +150,7 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         "init_nb_view, refresh_nb_view, init_neardup_view, " +
         "refresh_neardup_view, init_semantic_view, refresh_semantic_view, " +
         "init_benchmark_view, refresh_benchmark_view, vacuum_index_view, " +
-        "ann_view_drift")
+        "ann_view_drift, show_holds, release_hold")
   }
 
 
@@ -159,8 +162,16 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       ManagedTable(spark, strArg(args(i), "table path"))
     proc match {
       case "history" =>
-        require(args.size == 1, "CALL graft.history(path)")
-        table().history.map(c => Row(c.version, c.operation, c.timestampMs,
+        // the optional limit bounds the log read itself (newest-first,
+        // O(limit) entries) — a LIMIT clause over the result would only
+        // trim rows AFTER the whole log was resolved
+        require(args.size == 1 || args.size == 2,
+          "CALL graft.history(path[, limit])")
+        val commits =
+          if (args.size == 2)
+            table().historyNewest(longArg(args(1), "limit").toInt)
+          else table().history
+        commits.map(c => Row(c.version, c.operation, c.timestampMs,
           c.dirs.size, metricsJson(c.operationMetrics),
           c.userMetadata.orNull))
       case "vacuum" =>
@@ -168,6 +179,17 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
           "CALL graft.vacuum(path, keep_last[, dry_run])")
         val dry = args.size == 3 && boolArg(args(2), "dry_run")
         val s = table().vacuum(longArg(args(1), "keep_last").toInt, dryRun = dry)
+        Seq(Row(s.prunedVersions, s.deletedDataDirs, s.deletedChangeDirs,
+          s.deletedDvDirs))
+      case "vacuum_older_than" =>
+        // age-based retention (Delta's VACUUM ... RETAIN semantics):
+        // prune versions committed strictly before the timestamp; the
+        // head always survives, and retention holds clamp here too
+        require(args.size == 2 || args.size == 3,
+          "CALL graft.vacuum_older_than(path, ts_ms[, dry_run])")
+        val dry = args.size == 3 && boolArg(args(2), "dry_run")
+        val s = table().vacuumOlderThan(longArg(args(1), "ts_ms"),
+          dryRun = dry)
         Seq(Row(s.prunedVersions, s.deletedDataDirs, s.deletedChangeDirs,
           s.deletedDvDirs))
       case "optimize" =>
@@ -329,6 +351,18 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         val v = if (proc == "init_nb_view") view.initialize()
           else view.refresh()
         Seq(Row(v))
+      case "show_holds" | "release_hold" =>
+        // retention holds: the pins CDF-maintained views register at
+        // their watermarks so vacuum cannot strand them; release is the
+        // explicit decommissioning step for a dropped view. Both return
+        // the holds AFTER the operation, sorted by holder.
+        require(args.size == (if (proc == "show_holds") 1 else 2),
+          if (proc == "show_holds") "CALL graft.show_holds(path)"
+          else "CALL graft.release_hold(path, holder)")
+        val t = table()
+        if (proc == "release_hold")
+          t.releaseRetentionHold(strArg(args(1), "holder"))
+        t.retentionHolds.toSeq.sortBy(_._1).map { case (h, v) => Row(h, v) }
       case "ann_view_drift" =>
         // the drift signal behind the re-initialize policy: mean squared
         // PQ reconstruction error of the CURRENT corpus under the view's

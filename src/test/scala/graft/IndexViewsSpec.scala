@@ -178,6 +178,18 @@ class IndexViewsSpec extends SparkSpec {
       t.write(Seq((100L + i, s"tail doc number$i")).toDF("doc_id", "text"),
         "APPEND", "append")
     }
+    // the view REGISTERED a retention hold at its watermark, so routine
+    // vacuum clamps and cannot strand it
+    assert(t.retentionHolds.get(st).contains(0L))
+    t.vacuum(keepLast = 2)
+    assert(t.earliestVersion.get === 0L,
+      "the view's hold must clamp vacuum to its watermark")
+    // an operator decommissions the view (releases the pin via SQL) —
+    // NOW the history ages out, and a refresh refuses with remediation
+    val shown = spark.sql(s"CALL graft.show_holds('$src')").collect()
+    assert(shown.length === 1 && shown.head.getString(0) === st &&
+      shown.head.getLong(1) === 0L)
+    assert(spark.sql(s"CALL graft.release_hold('$src', '$st')").isEmpty)
     t.vacuum(keepLast = 2)
     assert(t.earliestVersion.get > 1L, "vacuum must age out the early log")
     val view = new PositionalIndexView(spark, src, st)

@@ -59,6 +59,61 @@ class ManagedTableSpec extends SparkSpec {
         s"must stay within one batch (${ManagedTable.MetaWalkBatch})")
   }
 
+  test("retention holds clamp vacuum to the minimum pinned version; " +
+      "release restores pruning") {
+    val path = tmpDir("mt_holds")
+    val t = ManagedTable(spark, path)
+    (0 until 13).foreach(i =>
+      t.write(Seq(i).toDF("id"), "APPEND", "append"))
+    t.setRetentionHold("view-a", 5L)
+    t.setRetentionHold("view-b", 8L)
+    assert(t.retentionHolds === Map("view-a" -> 5L, "view-b" -> 8L))
+    t.vacuum(keepLast = 1)
+    assert(t.earliestVersion.get <= 5L,
+      "vacuum must keep everything at or above the MINIMUM hold")
+    assert(t.readAt(5L).count() === 6L, "held versions must stay readable")
+    // releasing one hold leaves the other's clamp
+    t.releaseRetentionHold("view-a")
+    t.vacuum(keepLast = 1)
+    assert(t.earliestVersion.get <= 8L && t.readAt(8L).count() === 9L)
+    // releasing the last hold restores normal retention (the earliest
+    // kept version extends back only to the head's full-snapshot base)
+    t.releaseRetentionHold("view-b")
+    t.vacuum(keepLast = 1)
+    assert(t.earliestVersion.get === 10L)
+    intercept[Exception] { t.readAt(5L).count() }
+  }
+
+  test("CALL graft.history(path, limit) reads only the newest commits — " +
+      "bounded log IO, resolved dirs exact") {
+    val path = tmpDir("mt_histlim")
+    val t = ManagedTable(spark, path)
+    (0 until 25).foreach(i =>
+      t.write(Seq(i).toDF("id"), "APPEND", "append"))
+    val before = ManagedTable.logEntryReads.get()
+    val rows = spark.sql(s"CALL graft.history('$path', 3)").collect()
+    val reads = ManagedTable.logEntryReads.get() - before
+    assert(rows.map(_.getLong(0)).toSeq === Seq(24L, 23L, 22L))
+    // dirs resolve through the chain: version 24 composes 25 append dirs
+    assert(rows.head.getInt(3) === 25)
+    assert(reads < 25,
+      s"limited history read $reads log entries — must be bounded by " +
+        "limit + chain bases, not the whole log")
+  }
+
+  test("CALL graft.vacuum_older_than prunes by commit age — the head " +
+      "always survives, reads are unchanged") {
+    val path = tmpDir("mt_vot")
+    val t = ManagedTable(spark, path)
+    (0 until 13).foreach(i => t.write(Seq(i).toDF("id"), "APPEND", "append"))
+    val r = spark.sql(s"CALL graft.vacuum_older_than('$path', " +
+      s"${System.currentTimeMillis() + 60000})").head()
+    assert(r.getInt(0) > 0, "must prune aged-out versions")
+    // pruning extends back only to the head's full-snapshot chain base
+    assert(t.earliestVersion.get === 10L)
+    assert(t.read.count() === 13)
+  }
+
   test("createIfNotExists bootstraps an empty readable snapshot; idempotent") {
     val path = tmpDir("mt_create")
     val t = ManagedTable(spark, path)
