@@ -2755,6 +2755,95 @@ object Queries {
       |FROM l JOIN r USING (custkey)
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** STREAMING maintenance of the join-aggregate view
+    * ([[graft.table.IncrementalJoinAggView.refreshStream]] — the fact
+    * side's CDF stream triggers idempotent both-sides folds): appends
+    * on BOTH sides, a fact delete, and a group-moving dimension update
+    * drain through ONE checkpoint; the resumed checkpoint folds exactly
+    * the new fact slice; a batch refresh after the stream is a
+    * zero-commit no-op. In-query gate: the stream-maintained state
+    * equals the full join recompute after BOTH drains. Oracle: the
+    * final join-aggregate from the base tables. */
+  def streamJoinView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.{IncrementalJoinAggView, ManagedTable}
+    val lp = tmp("jvs_l"); val rp = tmp("jvs_r")
+    val sp = tmp("jvs_s"); val ck = tmp("jvs_ck")
+    val o = pq(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+        col("o_totalprice"))
+    val c = pq(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val lt = ManagedTable(spark, lp)
+    val rt = ManagedTable(spark, rp)
+    val view = new IncrementalJoinAggView(spark, lp, rp, sp,
+      joinKeys = Seq("custkey"), groupCols = Seq("c_mktsegment"),
+      sumCols = Seq("o_totalprice"), minMaxCols = Seq("o_totalprice"))
+    Staging.timed {
+      lt.write(o.filter(col("o_orderkey") % 3 === 0), "APPEND", "append")
+      rt.write(c.filter(col("custkey") % 2 === 0), "APPEND", "append")
+      view.initialize()
+    }
+    // both sides move while only the FACT stream triggers: the epoch's
+    // fold must carry the dimension delta (and the group move) too
+    lt.write(o.filter(col("o_orderkey") % 3 === 1), "APPEND", "append")
+    rt.write(c.filter(col("custkey") % 2 =!= 0), "APPEND", "append")
+    lt.delete(col("o_orderkey") % 5 === 0)
+    rt.update(Map("c_mktsegment" -> lit("MOVED")),
+      col("custkey") % 7 === 0, captureChangeData = true)
+    require(view.refreshStream(ck).awaitTermination(300000),
+      "stream_join_view: the join view stream did not drain")
+    def fullRecompute() = lt.read.join(rt.read, Seq("custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_o_totalprice"),
+        min("o_totalprice").as("min_o_totalprice"),
+        max("o_totalprice").as("max_o_totalprice"))
+    val w1 = fullRecompute()
+    require(view.read.exceptAll(w1).count() == 0 &&
+      w1.exceptAll(view.read).count() == 0,
+      "stream_join_view: stream-maintained state drifted from the full " +
+        "join recompute")
+    // resume the SAME checkpoint after one more fact slice — exactly
+    // that slice folds (a double-fold would double its counts)
+    lt.write(o.filter(col("o_orderkey") % 3 === 2), "APPEND", "append")
+    require(view.refreshStream(ck).awaitTermination(300000),
+      "stream_join_view: the resumed join view stream did not drain")
+    val w2 = fullRecompute()
+    require(view.read.exceptAll(w2).count() == 0 &&
+      w2.exceptAll(view.read).count() == 0,
+      "stream_join_view: the resumed checkpoint double-folded or dropped " +
+        "the new fact slice")
+    val vBefore = ManagedTable(spark, sp).latestVersion
+    view.refresh()
+    require(ManagedTable(spark, sp).latestVersion == vBefore,
+      "stream_join_view: a batch refresh after the stream must be a " +
+        "zero-commit no-op")
+    view.read.select(col("c_mktsegment"), col("cnt"),
+      col("sum_o_totalprice").cast("string").as("sum_totalprice"),
+      col("min_o_totalprice").as("min_price"),
+      col("max_o_totalprice").as("max_price"))
+  }
+
+  /** DuckDB mirror of [[streamJoinView]] — the final state from the
+    * base tables (the last fact slice arrived AFTER the delete, so its
+    * %5 rows survive; the oracle never sees the stream). */
+  val streamJoinViewSql: String =
+    """WITH l AS (SELECT o_custkey AS custkey, o_totalprice FROM orders
+      |           WHERE (o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0)
+      |              OR o_orderkey % 3 = 2),
+      |r AS (SELECT c_custkey AS custkey,
+      |        CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+      |             ELSE c_mktsegment END AS c_mktsegment
+      |      FROM customer)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR)
+      |   AS sum_totalprice,
+      | MIN(o_totalprice) AS min_price,
+      | MAX(o_totalprice) AS max_price
+      |FROM l JOIN r USING (custkey)
+      |GROUP BY c_mktsegment""".stripMargin
+
   val incrementalViewSql: String =
     """WITH rows AS (
       | SELECT o_orderstatus,
@@ -7682,6 +7771,105 @@ object Queries {
       |        ORDER BY n_matches DESC, doc_id) AS "rank" FROM cnt)
       |SELECT CAST(query_id AS BIGINT) AS query_id, "rank", doc_id, n_matches
       |FROM r WHERE "rank" <= 10""".stripMargin
+
+  /** The retention-hold lifecycle end to end
+    * ([[graft.table.ManagedTable.setRetentionHold]] + the view family):
+    * a standing view PINS its watermark on its source, so routine
+    * source vacuum CLAMPS instead of stranding the view; each fold
+    * slides the pin forward, releasing folded history; decommissioning
+    * is the explicit `CALL graft.release_hold`, after which a vacuum
+    * really prunes and the next refresh refuses LOUDLY with the
+    * re-initialize remediation (never a silent wrong fold). In-query
+    * gates pin every step; the oracle recomputes token stats of the
+    * final corpus (which the re-initialized index must equal). */
+  def viewRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.table.{ManagedTable, PositionalIndexView}
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    require(docs.agg(max("doc_id")).head().getLong(0) < 940000L,
+      "planted ids collide with natural doc ids")
+    val srcPath = tmp("vret_src")
+    val stPath = tmp("vret_state")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs.filter(col("doc_id") % 3 =!= 0), "APPEND", "append")
+      new PositionalIndexView(spark, srcPath, stPath, expectedDocs = 100000)
+        .initialize()
+    }
+    val view = new PositionalIndexView(spark, srcPath, stPath)
+    require(t.retentionHolds.get(stPath).contains(0L),
+      "view_retention: initialize must register the watermark hold")
+    // 12 source epochs march the log past a full-snapshot boundary
+    (0 until 12).foreach { i =>
+      t.write(docs.filter(col("doc_id") % 3 === 0 &&
+        pmod((col("doc_id") / 3).cast("long"), lit(12L)) === i),
+        "APPEND", "append")
+    }
+    // routine vacuum CLAMPS to the view's pin — nothing strands
+    t.vacuum(keepLast = 2)
+    require(t.earliestVersion.contains(0L),
+      "view_retention: the hold must clamp vacuum to the watermark")
+    require(view.refresh() == 12L,
+      "view_retention: the clamped history must still fold")
+    require(t.retentionHolds.get(stPath).contains(12L),
+      "view_retention: the fold must slide the pin forward")
+    // NOW the pre-fold history ages out, and the view keeps working
+    t.vacuum(keepLast = 2)
+    require(t.earliestVersion.exists(_ > 0L),
+      "view_retention: history behind the slid pin must age out")
+    t.write(docs.limit(0).unionByName(
+      Seq((940001L, "zzreten probe alpha")).toDF("doc_id", "text")),
+      "APPEND", "append")
+    require(view.refresh() == 13L,
+      "view_retention: refresh past the pruned history must fold")
+    // decommission: release the pin, let retention prune PAST the
+    // watermark, and the next refresh must refuse with remediation
+    require(spark.sql(s"CALL graft.release_hold('$srcPath', '$stPath')")
+      .isEmpty, "view_retention: release must drop the only hold")
+    (0 until 12).foreach { i =>
+      t.write(docs.limit(0).unionByName(
+        Seq((940002L + i, s"zzreten probe doc$i alpha"))
+          .toDF("doc_id", "text")), "APPEND", "append")
+    }
+    t.vacuum(keepLast = 2)
+    require(t.earliestVersion.exists(_ > 14L),
+      "view_retention: the released history must age out past the watermark")
+    val refused =
+      try { view.refresh(); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("re-initialize") }
+    require(refused,
+      "view_retention: a refresh past pruned history must refuse with " +
+        "the re-initialize remediation")
+    // the remediation: re-initialize rebuilds and re-registers the pin
+    view.initialize()
+    require(t.retentionHolds.get(stPath).contains(t.latestVersion.get),
+      "view_retention: re-initialize must re-register the hold")
+    view.read.filter(col("tok").isin("zzreten", "alpha", "probe"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  /** DuckDB mirror of [[viewRetention]] — token stats of the FINAL
+    * corpus (all documents + the 13 planted probes; the re-initialized
+    * index must equal its from-scratch tokenization). */
+  val viewRetentionSql: String =
+    """WITH planted(doc_id, text) AS (
+      |  SELECT 940001, 'zzreten probe alpha'
+      |  UNION ALL
+      |  SELECT 940002 + i, 'zzreten probe doc' || CAST(i AS VARCHAR) ||
+      |    ' alpha'
+      |  FROM unnest(generate_series(0, 11)) AS t(i)),
+      |fin AS (SELECT doc_id, text FROM documents
+      |        UNION ALL SELECT doc_id, text FROM planted),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM fin)
+      |SELECT tok, CAST(count(*) AS BIGINT) AS n_occ,
+      | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM tok WHERE tok IN ('zzreten', 'alpha', 'probe')
+      |GROUP BY tok""".stripMargin
 
   /** The IVF-PQ ANN index as a CDF-maintained standing view
     * ([[graft.table.AnnIndexView]]): the quantizer trains once at init

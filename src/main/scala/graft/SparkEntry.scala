@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_spans_incremental" -> (Queries.dedupSpansIncremental(_, _)),
     "incremental_view" -> (Queries.incrementalView(_, _)),
     "incremental_join_view" -> (Queries.incrementalJoinView(_, _)),
+    "stream_join_view" -> (Queries.streamJoinView(_, _)),
     "incremental_view_minmax" -> (Queries.incrementalViewMinMax(_, _)),
     "column_rename" -> (Queries.columnRename(_, _)),
     "countmin_rollup" -> (Queries.countminRollup(_, _)),
@@ -225,6 +226,7 @@ object SparkEntry {
     "semantic_view_refresh" -> (Queries.semanticViewRefresh(_, _)),
     "benchmark_view_refresh" -> (Queries.benchmarkViewRefresh(_, _)),
     "phrase_view_refresh" -> (Queries.phraseViewRefresh(_, _)),
+    "view_retention" -> (Queries.viewRetention(_, _)),
     "ann_view_refresh" -> (Queries.annViewRefresh(_, _)),
     "ann_view_reinit" -> (Queries.annViewReinit(_, _)),
     "phrase_search" -> (Queries.phraseSearchDocs(_, _)),
@@ -391,6 +393,7 @@ object SparkEntry {
     "dedup_spans_incremental" -> Queries.dedupSpansIncrementalSql,
     "incremental_view" -> Queries.incrementalViewSql,
     "incremental_join_view" -> Queries.incrementalJoinViewSql,
+    "stream_join_view" -> Queries.streamJoinViewSql,
     "incremental_view_minmax" -> Queries.incrementalViewMinMaxSql,
     "column_rename" -> Queries.columnRenameSql,
     "countmin_rollup" -> Queries.countminRollupSql,
@@ -751,6 +754,7 @@ object SparkEntry {
     "semantic_view_refresh" -> Queries.semanticViewRefreshSql,
     "benchmark_view_refresh" -> Queries.benchmarkViewRefreshSql,
     "phrase_view_refresh" -> Queries.phraseViewRefreshSql,
+    "view_retention" -> Queries.viewRetentionSql,
     "ann_view_refresh" -> Queries.annViewRefreshSql,
     "ann_view_reinit" -> Queries.annViewReinitSql,
     "phrase_search" -> Queries.phraseSearchSql,

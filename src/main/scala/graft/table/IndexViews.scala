@@ -376,7 +376,18 @@ private[table] abstract class RowLocalIndexView(
     if (latest == last) return last
     val cdf = CdfNetting.cdfSlice(source, last, latest, what)
     val (ins, del) = CdfNetting.net(cdf, idCol, payloadCols, what)
-    if (ins.isEmpty && del.isEmpty) return last
+    if (ins.isEmpty && del.isEmpty) {
+      // the range nets to NOTHING (pure source compaction: coarse
+      // add/remove feeds that cancel) — still advance the watermark
+      // with an empty commit so the retention hold slides; otherwise a
+      // source that only ever compacts pins its whole history against
+      // vacuum forever
+      state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
+        Some(refreshMeta(latest, ins, del)), mergeSchema = true,
+        expectedPrevVersion = state.latestVersion)
+      source.setRetentionHold(statePath, latest)
+      return latest
+    }
     foldSlice(ins, del, latest, None)
     latest
   }
@@ -1110,7 +1121,15 @@ final class CorpusLmView(spark: SparkSession, sourcePath: String,
     if (latest == last) return last
     val cdf = CdfNetting.cdfSlice(source, last, latest, "lm view")
     val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol), "lm view")
-    if (ins.isEmpty && del.isEmpty) return last
+    if (ins.isEmpty && del.isEmpty) {
+      // nets to nothing (pure compaction): advance the watermark with an
+      // EMPTY append (zero rows — never an O(vocab) rewrite) so the
+      // retention hold slides
+      state.write(state.read.limit(0), "LM_REFRESH", "append", meta(latest),
+        expectedPrevVersion = state.latestVersion)
+      source.setRetentionHold(statePath, latest)
+      return latest
+    }
     foldSlice(ins, del, last, latest, None)
     latest
   }
@@ -1247,7 +1266,16 @@ final class ClassifierModelView(spark: SparkSession, sourcePath: String,
     val cdf = CdfNetting.cdfSlice(source, last, latest, "classifier view")
     val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol, labelCol),
       "classifier view")
-    if (ins.isEmpty && del.isEmpty) return last
+    if (ins.isEmpty && del.isEmpty) {
+      // nets to nothing (pure compaction): advance the watermark with an
+      // EMPTY append (zero rows — never an O(vocab) rewrite) so the
+      // retention hold slides
+      val (_, dp, dn) = watermark
+      state.write(state.read.limit(0), "NB_REFRESH", "append",
+        meta(latest, dp, dn), expectedPrevVersion = state.latestVersion)
+      source.setRetentionHold(statePath, latest)
+      return latest
+    }
     foldSlice(ins, del, last, latest, None)
     latest
   }

@@ -168,6 +168,37 @@ class IndexViewsSpec extends SparkSpec {
     assert(view.refresh() === 1L) // already current
   }
 
+  test("a slice that nets to NOTHING (pure source compaction) still " +
+      "advances the watermark and slides the retention hold — a " +
+      "compact-only source does not pin its history forever") {
+    val src = tmpDir("pv_net0_src"); val st = tmpDir("pv_net0_st")
+    val t = ManagedTable(spark, src)
+    t.write(corpus, "APPEND", "append")
+    new PositionalIndexView(spark, src, st, expectedDocs = 100).initialize()
+    val view = new PositionalIndexView(spark, src, st)
+    // march the log past a full-snapshot boundary with tiny appends
+    (0 until 11).foreach { i =>
+      t.write(Seq((100L + i, s"extra doc number$i")).toDF("doc_id", "text"),
+        "APPEND", "append")
+    }
+    assert(view.refresh() === 11L)
+    val before = view.read.localCheckpoint()
+    // pure compaction: the coarse add/remove feed nets to nothing
+    assert(t.compactDirs().isDefined, "compaction must land a commit here")
+    assert(t.latestVersion.get === 12L)
+    assert(view.refresh() === 12L,
+      "the nothing-net slice must still advance the watermark")
+    assert(view.sourceVersion === 12L)
+    assert(t.retentionHolds.get(st).contains(12L),
+      "the hold must slide with the watermark")
+    // the index content is untouched
+    assert(view.read.exceptAll(before).isEmpty &&
+      before.exceptAll(view.read).isEmpty)
+    // and the compacted history can now age out
+    t.vacuum(keepLast = 1)
+    assert(t.earliestVersion.get > 0L)
+  }
+
   test("a source vacuumed past the watermark refuses refresh with the " +
       "re-initialize remediation, not a missing-file error") {
     val src = tmpDir("pv_ret_src"); val st = tmpDir("pv_ret_st")
