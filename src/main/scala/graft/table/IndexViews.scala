@@ -533,7 +533,18 @@ private[table] abstract class RowLocalIndexView(
     * AS-OF reads older than the horizon are gone by policy, exactly
     * like table time travel after vacuum. */
   final def vacuum(keepLast: Int): ManagedTable.VacuumStats = {
-    val stats = state.vacuum(keepLast)
+    // clamp to the newest WATERMARK-BEARING commit: when the head is a
+    // run of watermark-less maintenance commits (OPTIMIZE/CLUSTER land
+    // above the last refresh), a count-based cut could prune every
+    // watermarked commit and wedge the view's walks — keep at least
+    // back to the newest one
+    val wmV = state.metaHistory.collectFirst {
+      case c if c.userMetadata.exists(m =>
+        WatermarkRe.findFirstMatchIn(m).isDefined) => c.version
+    }
+    val keep = (for { w <- wmV; l <- state.latestVersion }
+      yield math.max(keepLast.toLong, l - w + 1).toInt).getOrElse(keepLast)
+    val stats = state.vacuum(keep)
     if (bloomTable.exists) { bloomTable.vacuum(1); () }
     afterVacuum()
     stats

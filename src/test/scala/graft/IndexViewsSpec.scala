@@ -547,6 +547,15 @@ class IndexViewsSpec extends SparkSpec {
     intercept[Exception] {
       view.searchAt(earliest - 1, queries, k = 3, nProbe = 4).collect()
     }
+    // a head of watermark-less maintenance commits must not let a
+    // count-based vacuum prune every watermarked commit and wedge the
+    // walks — view.vacuum clamps to the newest watermark commit
+    val wmBefore = view.sourceVersion
+    view.maintain()
+    view.vacuum(keepLast = 1)
+    assert(view.sourceVersion === wmBefore,
+      "vacuum after maintenance commits wedged the watermark walk")
+    assert(view.search(queries, k = 3, nProbe = 4).collect().nonEmpty)
   }
 
   test("semantic index view: re-initialize versions the quantizer — the " +
