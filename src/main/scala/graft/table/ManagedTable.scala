@@ -45,13 +45,76 @@ final class ManagedTable(spark: SparkSession, root: String) {
 
   def exists: Boolean = fs.exists(logPath) && latestVersion.isDefined
 
+  /** Read one advisory pointer file (`_head.ptr` / `_floor.ptr`). A
+    * missing, truncated, or mid-overwrite file reads as None — callers
+    * fall back to the full directory listing. */
+  private def readPtr(name: String): Option[Long] = {
+    val p = new Path(logPath, name)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8).trim finally in.close()
+        s.toLongOption
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Best-effort pointer write — the pointers are ADVISORY (every read
+    * verifies by probing actual entry files and heals staleness), so a
+    * failed write degrades to the listing fallback, never to a wrong
+    * answer. */
+  private def writePtr(name: String, v: Long): Unit =
+    try {
+      val out = fs.create(new Path(logPath, name), true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def commitFileExists(v: Long): Boolean =
+    fs.exists(new Path(logPath, f"$v%012d.json"))
+
+  /** The retained version range resolved from the advisory head/floor
+    * pointers WITHOUT listing the log directory. Retained versions are
+    * contiguous by construction (commits append head+1; vacuum deletes
+    * an ascending prefix), so the range is (floor, head) with both ends
+    * healed by existence probes: a head pointer that lost a race with a
+    * newer commit probes UP to the real head, a floor pointer left
+    * stale-low by a crash mid-vacuum probes up to the first retained
+    * entry. None (→ full listing) when either pointer is absent or the
+    * pointed head entry is gone — correctness never rests on the
+    * pointers. Why this exists: a once-a-second micro-batch view
+    * accumulates ~31M commits/year, and every watermark walk used to
+    * pay a full directory listing of them; with the pointers the walk
+    * costs O(probes), independent of history length. */
+  private def pointerRange: Option[(Long, Long)] = {
+    for {
+      h0 <- readPtr(ManagedTable.HeadPtrFile)
+      f0 <- readPtr(ManagedTable.FloorPtrFile)
+      if h0 >= f0 && commitFileExists(h0)
+    } yield {
+      var h = h0
+      while (commitFileExists(h + 1)) h += 1
+      var f = math.min(f0, h)
+      while (f < h && !commitFileExists(f)) f += 1
+      (f, h)
+    }
+  }
+
   /** One log listing (a single driver FS round-trip) serving every
-    * version-range question — never one RPC per commit. */
-  private def listVersions: Seq[Long] = {
-    if (!fs.exists(logPath)) return Nil
-    fs.listStatus(logPath).toSeq
-      .map(_.getPath.getName)
-      .collect { case CommitFile(v) => v.toLong }
+    * version-range question — never one RPC per commit. Served from the
+    * advisory head/floor pointers (O(probes), no listing) whenever they
+    * resolve; the listing is the fallback for pre-pointer tables and
+    * unreadable pointers. */
+  private def listVersions: Seq[Long] = pointerRange match {
+    case Some((f, h)) => f to h
+    case None =>
+      if (!fs.exists(logPath)) return Nil
+      ManagedTable.logListings.incrementAndGet()
+      fs.listStatus(logPath).toSeq
+        .map(_.getPath.getName)
+        .collect { case CommitFile(v) => v.toLong }
   }
 
   def latestVersion: Option[Long] = {
@@ -82,20 +145,21 @@ final class ManagedTable(spark: SparkSession, root: String) {
   private def readEntries(
       versions: Seq[Long]): Seq[(Commit, Option[ManagedTable.DeltaPart])] = {
     if (versions.isEmpty) return Nil
-    if (versions.size == 1) return Seq(readEntry(versions.head))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, versions.size))
-    try {
-      import scala.jdk.CollectionConverters._
-      val tasks: Seq[java.util.concurrent.Callable[(Commit, Option[ManagedTable.DeltaPart])]] =
-        versions.map(v => () => readEntry(v))
-      pool.invokeAll(tasks.asJava).asScala.map { f =>
-        // surface the underlying IO/parse exception, not Future.get's wrapper,
-        // so callers see the same exception type as the sequential path
-        try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-      }.toSeq
-    } finally { pool.shutdown(); () }
+    // small batches read sequentially: metaHistory walks run on every
+    // view refresh/search/micro-batch, and paying executor handoff (let
+    // alone the old per-call pool create/shutdown) for a 2-entry read
+    // costs more than the reads
+    if (versions.size <= 4) return versions.map(readEntry)
+    import scala.jdk.CollectionConverters._
+    val tasks: Seq[java.util.concurrent.Callable[(Commit, Option[ManagedTable.DeltaPart])]] =
+      versions.map(v => () => readEntry(v))
+    // shared daemon pool (one per JVM, not per call) — bounded driver IO
+    ManagedTable.logIoPool.invokeAll(tasks.asJava).asScala.map { f =>
+      // surface the underlying IO/parse exception, not Future.get's wrapper,
+      // so callers see the same exception type as the sequential path
+      try f.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+    }.toSeq
   }
 
   /** Resolve log entries to full snapshot commits. Delta entries chain to
@@ -178,8 +242,15 @@ final class ManagedTable(spark: SparkSession, root: String) {
     * O(all commits) of driver IO per batch for a value that almost
     * always rides the newest commit. */
   def metaHistory: Iterator[Commit] = {
-    val vs = listVersions.sorted.reverse
-    vs.iterator.grouped(ManagedTable.MetaWalkBatch)
+    // descending iterator WITHOUT materializing the version list — on a
+    // pointer-served table that is two small values, and even a 31M-commit
+    // stream view walks lazily (Range keeps O(1) memory; the fallback
+    // listing pays its vector once)
+    val vs: Iterator[Long] = pointerRange match {
+      case Some((f, h)) => Iterator.iterate(h)(_ - 1L).takeWhile(_ >= f)
+      case None => listVersions.sorted.reverseIterator
+    }
+    vs.grouped(ManagedTable.MetaWalkBatch)
       .flatMap(b => readEntries(b).map(_._1))
   }
 
@@ -499,6 +570,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
                      endingVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, udf}
     import scala.collection.mutable
+    ManagedTable.changeFeedReads.incrementAndGet()
     val latest = latestVersion.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
     val end = endingVersion.getOrElse(latest)
@@ -755,7 +827,40 @@ final class ManagedTable(spark: SparkSession, root: String) {
                     captureChangeData: Boolean = true,
                     userMetadata: Option[String] = None,
                     expectedPrevVersion: Option[Long] = None,
-                    txnUpdate: Option[(String, Long)] = None): Commit = synchronized {
+                    txnUpdate: Option[(String, Long)] = None): Commit =
+    deleteVectorsCore(Left(predicate), captureChangeData, userMetadata,
+      expectedPrevVersion, txnUpdate)
+
+  /**
+   * FRAME-KEYED deletion vectors — [[deleteVectors]] whose matching rows
+   * come from a null-safe LEFT SEMI join against `keys` (projected onto
+   * `keyCols`) instead of a predicate. This is the delete path for a
+   * DATA-SCALED key set: a predicate delete needs its keys as driver
+   * state (an IN-list), capping it at the broadcast gate, but the
+   * tombstone computation itself is fully distributed (a per-dir join on
+   * executors, tombstone parquet written distributed) — so a
+   * 1–10 %-of-corpus curation delete lands as an O(deleted rows) DV
+   * commit with the key frame never leaving the cluster, instead of the
+   * O(index) shuffled rewrite the driver gate used to force. NULL keys
+   * match NULL-valued rows (`<=>` — a NULL group key is a legal key for
+   * the view family's touched-group tombstones). No dir-stat pruning
+   * (that needs driver-side key values): every live dir is scanned once
+   * to locate positions, but the WRITE stays O(matched rows).
+   */
+  def deleteVectorsMatching(keys: DataFrame, keyCols: Seq[String],
+                            captureChangeData: Boolean = true,
+                            userMetadata: Option[String] = None,
+                            expectedPrevVersion: Option[Long] = None,
+                            txnUpdate: Option[(String, Long)] = None): Commit =
+    deleteVectorsCore(Right((keys, keyCols)), captureChangeData, userMetadata,
+      expectedPrevVersion, txnUpdate)
+
+  private def deleteVectorsCore(
+      sel: Either[org.apache.spark.sql.Column, (DataFrame, Seq[String])],
+      captureChangeData: Boolean,
+      userMetadata: Option[String],
+      expectedPrevVersion: Option[Long],
+      txnUpdate: Option[(String, Long)]): Commit = synchronized {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit}
     val c = lastCommit.getOrElse(
       throw new IllegalStateException(s"managed table $root does not exist"))
@@ -769,7 +874,15 @@ final class ManagedTable(spark: SparkSession, root: String) {
           "delete was computing")
     }
     val schema = StructType.fromDDL(c.schemaDdl)
-    val (affected, _) = splitDirsMayMatch(c, predicate)
+    sel.foreach { case (_, kcols) =>
+      require(kcols.nonEmpty, "deleteVectorsMatching needs key columns")
+      kcols.foreach(k => require(schema.fieldNames.contains(k),
+        s"deleteVectorsMatching key column $k is not in the table schema"))
+    }
+    val affected = sel match {
+      case Left(p) => splitDirsMayMatch(c, p)._1
+      case Right(_) => c.dirs
+    }
     val version = c.version + 1L
     val tsMs = System.currentTimeMillis()
     def noop(): Commit = {
@@ -799,8 +912,19 @@ final class ManagedTable(spark: SparkSession, root: String) {
       }
     // materialized once (it is the DELETED subset — small by the use
     // case) so the tombstone write and the change capture see the
-    // identical row set, SQL DELETE NULL semantics: only TRUE matches
-    val matched = alive.filter(coalesce(predicate, lit(false))).localCheckpoint()
+    // identical row set. Predicate form keeps SQL DELETE NULL semantics
+    // (only TRUE matches); frame form matches null-safely (a NULL key
+    // names the NULL group).
+    val matched = (sel match {
+      case Left(predicate) => alive.filter(coalesce(predicate, lit(false)))
+      case Right((keys, kcols)) =>
+        val k = keys
+          .select(kcols.map(kc => col(s"`$kc`").as(s"__graft_k_$kc")): _*)
+          .distinct()
+        val cond = kcols.map(kc => col(s"`$kc`") <=> col(s"`__graft_k_$kc`"))
+          .reduce(_ && _)
+        alive.join(k, cond, "left_semi")
+    }).localCheckpoint()
     val dvDir = new Path(new Path(rootPath, "data"),
       f"$version%012d-dv-${UUID.randomUUID().toString.take(8)}").toString
     val obs = org.apache.spark.sql.Observation(
@@ -2131,10 +2255,14 @@ final class ManagedTable(spark: SparkSession, root: String) {
   private val HoldRe =
     """\{"holder": "((?:[^"\\]|\\.)*)", "version": (\d+)\}""".r
 
-  /** Current holds, holder -> pinned version. */
+  /** Current holds, holder -> pinned version. FAIL-CLOSED on a present
+    * but unparsable hold file (corrupt/truncated write): silently
+    * dropping it would let vacuum proceed unclamped and prune past the
+    * watermark of exactly the view the hold was protecting — the safety
+    * mechanism must refuse loudly, not degrade silently. */
   def retentionHolds: Map[String, Long] = {
     if (!fs.exists(holdsPath)) return Map.empty
-    fs.listStatus(holdsPath).toSeq.flatMap { st =>
+    fs.listStatus(holdsPath).toSeq.filter(_.isFile).map { st =>
       val in = fs.open(st.getPath)
       val s = try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
@@ -2142,6 +2270,11 @@ final class ManagedTable(spark: SparkSession, root: String) {
       HoldRe.findFirstMatchIn(s).map(g =>
         g.group(1).replace("\\\"", "\"").replace("\\\\", "\\") ->
           g.group(2).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"retention hold file ${st.getPath} of $root is unparsable — " +
+            "refusing to treat it as absent (vacuum would prune past the " +
+            "version it protects). Re-set the hold (setRetentionHold) or " +
+            "delete the file if its holder is decommissioned."))
     }.toMap
   }
 
@@ -2222,8 +2355,13 @@ final class ManagedTable(spark: SparkSession, root: String) {
     // delete the log entries FIRST: a crash mid-vacuum then leaves orphan
     // data dirs (harmless; a later vacuum of any version sweeps nothing,
     // but no retained commit ever points at deleted data), never a live
-    // commit referencing missing files
+    // commit referencing missing files. Entries delete in ASCENDING order
+    // so the retained set stays contiguous even through a crash — the
+    // invariant the advisory floor/head pointers rest on (a crash before
+    // the floor update leaves the pointer stale-LOW, which the read-side
+    // probe heals).
     drop.foreach(v => fs.delete(new Path(logPath, f"$v%012d.json"), false))
+    writePtr(ManagedTable.FloorPtrFile, chainBase)
     (deadRoots ++ deadChange ++ deadDv).foreach(d => fs.delete(new Path(d), true))
     VacuumStats(drop.size, deadRoots.size, deadChange.size, deadDv.size)
   }
@@ -2887,11 +3025,61 @@ final class ManagedTable(spark: SparkSession, root: String) {
       throw new ConcurrentCommitException(
         s"concurrent commit detected for version ${c.version} of $root")
     }
+    // advance the advisory head pointer (readers heal a lost race by
+    // probing up, so last-write-wins between concurrent committers is
+    // fine); seed the floor pointer once — for version 0 it IS 0, for a
+    // pre-pointer table the one-time listing here retires every future
+    // walk's listing
+    writePtr(ManagedTable.HeadPtrFile, c.version)
+    if (readPtr(ManagedTable.FloorPtrFile).isEmpty) {
+      val floor =
+        if (c.version == 0L) 0L
+        else fs.listStatus(logPath).toSeq.map(_.getPath.getName)
+          .collect { case CommitFile(v) => v.toLong }
+          .minOption.getOrElse(c.version)
+      writePtr(ManagedTable.FloorPtrFile, floor)
+    }
   }
 }
 
 object ManagedTable {
   private val CommitFile: Regex = """(\d{12})\.json""".r
+
+  /** Advisory newest-commit pointer under `_graft_log` — see
+    * [[ManagedTable.pointerRange]]. */
+  private[graft] val HeadPtrFile = "_head.ptr"
+
+  /** Advisory oldest-retained-commit pointer (advanced by vacuum). */
+  private[graft] val FloorPtrFile = "_floor.ptr"
+
+  /** Count of full `_graft_log` directory listings (the fallback when
+    * the advisory pointers do not resolve). Hot walks on a
+    * pointer-maintained table must leave this untouched — the
+    * O(one-listing-per-walk) cost at 31M commits is exactly what the
+    * pointers retire. Test-visible. */
+  private[graft] val logListings = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Count of change-feed range reads ([[ManagedTable.readChangeFeed]])
+    * — the one-pass multi-view refresh pins "N views, ONE slice read"
+    * against this. Test-visible. */
+  private[graft] val changeFeedReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Shared bounded pool for driver-side commit-log entry IO — one per
+    * JVM (daemon threads), never per call: metaHistory batches run on
+    * every view refresh, search, and streaming micro-batch, and a
+    * create/shutdown per 16-entry batch was measurable on those hot
+    * serving paths. */
+  private[table] lazy val logIoPool: java.util.concurrent.ExecutorService = {
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-log-io-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    java.util.concurrent.Executors.newFixedThreadPool(16, tf)
+  }
 
   /** Count of read-side dir-size FS walks — the legacy fallback when a
     * commit predates `Commit.dirBytes`. On a new-format table every

@@ -227,6 +227,71 @@ class DeletionVectorSpec extends SparkSpec {
     } finally MergeGate.disarm()
   }
 
+  test("deleteVectorsMatching: frame-keyed tombstones — distributed key " +
+      "set, null-safe match, no dir rewrite") {
+    val path = tmpDir("dv_frame")
+    val t = ManagedTable(spark, path)
+    val rows: Seq[(java.lang.Integer, String)] =
+      Seq[(java.lang.Integer, String)]((1, "a"), (2, "b"), (3, "c"),
+        (null, "n1"), (null, "n2"), (4, "d"))
+    t.write(rows.toDF("k", "v"), "APPEND", "append")
+    t.write(Seq[(java.lang.Integer, String)]((5, "e"), (6, "f"))
+      .toDF("k", "v"), "APPEND", "append")
+    val before = t.lastCommit.get
+    // keys arrive as a FRAME (never driver state); NULL names the NULL key
+    val keys = Seq[java.lang.Integer](2, null, 6).toDF("k")
+    val c = t.deleteVectorsMatching(keys, Seq("k"))
+    assert(c.operation === "DELETE VECTORS")
+    assert(c.dirs === before.dirs, "data dirs must be untouched")
+    assert(c.operationMetrics("numDeletedRows") === "4",
+      "k=2, both NULL rows, k=6")
+    assert(t.read.select("v").as[String].collect().sorted.toSeq ===
+      Seq("a", "c", "d", "e"))
+    // re-delete of tombstoned keys is a no-op commit
+    val c2 = t.deleteVectorsMatching(Seq[java.lang.Integer](2).toDF("k"),
+      Seq("k"))
+    assert(c2.operationMetrics("numDeletedRows") === "0")
+    // change feed carries the frame-keyed deletes like predicate deletes
+    val feed = t.readChangeFeed(c.version, Some(c.version))
+    assert(feed.filter(col("_change_type") === "delete").count() === 4)
+  }
+
+  test("deleteVectorsMatching: multi-column keys and unknown-column refusal") {
+    val path = tmpDir("dv_frame_mc")
+    val t = ManagedTable(spark, path)
+    t.write(Seq((1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0))
+      .toDF("g1", "g2", "m"), "APPEND", "append")
+    val keys = Seq((1, "x"), (2, "x")).toDF("g1", "g2")
+    val c = t.deleteVectorsMatching(keys, Seq("g1", "g2"))
+    assert(c.operationMetrics("numDeletedRows") === "2")
+    assert(t.read.select("m").as[Double].collect().toSeq === Seq(20.0))
+    intercept[IllegalArgumentException](
+      t.deleteVectorsMatching(keys, Seq("g1", "nope")))
+  }
+
+  test("retentionHolds fails CLOSED on an unparsable hold file — vacuum " +
+      "refuses instead of pruning past the protected watermark") {
+    val path = tmpDir("dv_holds")
+    val t = ManagedTable(spark, path)
+    t.write(Seq((1, "a")).toDF("id", "v"), "APPEND", "append")
+    t.write(Seq((2, "b")).toDF("id", "v"), "APPEND", "append")
+    t.setRetentionHold("some/view/state", 0L)
+    assert(t.retentionHolds === Map("some/view/state" -> 0L))
+    val holdsDir = new org.apache.hadoop.fs.Path(path, "_graft_holds")
+    val fs = holdsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = fs.listStatus(holdsDir).head.getPath
+    val out = fs.create(f, true)
+    try out.write("{\"holder\": \"trunc".getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalStateException](t.retentionHolds)
+    assert(e.getMessage.contains("unparsable"))
+    intercept[IllegalStateException](t.vacuum(1))
+    // remediation: re-setting the holder's hold repairs the file
+    t.setRetentionHold("some/view/state", 0L)
+    assert(t.retentionHolds === Map("some/view/state" -> 0L))
+    assert(t.vacuum(1, dryRun = true).prunedVersions === 0,
+      "the repaired hold clamps the cut again")
+  }
+
   test("commit json round-trips dvDirs through full and delta entries") {
     val c = ManagedTable.Commit(3L, "DELETE VECTORS", 123L, Seq("/a", "/b"),
       Map("numDeletedRows" -> "2"), None, "`id` INT", 2L,
