@@ -110,7 +110,12 @@ object Bench {
         // pinned by name so their per-sf ratios are tracked round-over-
         // round even when they are not among the most expensive queries
         val pinnedProbes = Set("ann_ivfpq", "phrase_search",
-          "bm25_view_bulk_delete", "view_maintenance")
+          "bm25_view_bulk_delete", "view_maintenance",
+          // group-cardinality agg-view fold: its write path is
+          // O(touched groups) only if the DV+APPEND tiering holds —
+          // slope-track it so a regression to full-state replaces
+          // shows as a super-linear per-sf ratio
+          "incremental_join_view")
         val top = (results.filter(_._3).sortBy(-_._2).take(5) ++
           results.filter(r => pinnedProbes.contains(r._1) && r._3))
           .distinctBy(_._1)

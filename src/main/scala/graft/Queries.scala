@@ -2678,6 +2678,46 @@ object Queries {
           .as("sum_o_totalprice"))
     require(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
       "incremental_view drifted from the full recompute")
+    // WRITE-SIDE pins at GROUP cardinality (the 10^9-group mart shape,
+    // where a full-state replace per fold is the write amplification
+    // the touched-group path retires): an o_orderkey-keyed view (one
+    // group per key) must fold a small delta as frame-keyed DELETION
+    // VECTORS + an APPEND of the touched groups — O(touched groups)
+    // writes, standing dirs untouched — and a full-churn fold as ONE
+    // replace
+    val fineSt = tmp("iview_fine_state")
+    val fine = new IncrementalAggView(spark, path, fineSt,
+      Seq("o_orderkey"), Seq("o_totalprice"))
+    fine.initialize()
+    val fineState = ManagedTable(spark, fineSt)
+    val fineDirs = fineState.lastCommit.get.dirs
+    // residues 3 and 4 mod 30 are ≡ 0/1 mod 3 and alive past the %5
+    // delete — a ~7 % touched set, far under the fraction threshold
+    t.delete(col("o_orderkey") % 30 === 3)
+    t.update(Map("o_totalprice" -> (col("o_totalprice") + 1)),
+      col("o_orderkey") % 30 === 4, captureChangeData = true)
+    fine.refresh()
+    val fApp = fineState.lastCommit.get
+    require(fApp.operation == "VIEW_DELTA" &&
+      fineDirs.forall(fApp.dirs.contains),
+      s"incremental_view: a small-delta fold must APPEND the touched " +
+        s"groups over untouched standing dirs, got ${fApp.operation}")
+    require(fineState.commitAt(fApp.version - 1).operation ==
+      "DELETE VECTORS",
+      "incremental_view: touched groups must tombstone as frame-keyed DVs")
+    t.update(Map("o_totalprice" -> (col("o_totalprice") * 2)), lit(true))
+    fine.refresh()
+    require(fineState.lastCommit.get.operation == "VIEW_REFRESH",
+      "incremental_view: a full-churn fold must land one replace, got " +
+        fineState.lastCommit.get.operation)
+    val fineWant = t.read.groupBy("o_orderkey")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_o_totalprice"))
+    require(fine.read.exceptAll(fineWant).count() == 0 &&
+      fineWant.exceptAll(fine.read).count() == 0,
+      "incremental_view: the delta-folded fine-grained state drifted " +
+        "from the full recompute")
     got.select(col("o_orderstatus"), col("cnt"),
       col("sum_o_totalprice").cast("string").as("sum_totalprice"))
   }
@@ -2732,6 +2772,45 @@ object Queries {
     require(got.exceptAll(want).count() == 0 &&
       want.exceptAll(got).count() == 0,
       "incremental_join_view drifted from the full join recompute")
+    // WRITE-SIDE pins at GROUP cardinality: an o_orderkey-keyed join
+    // view (one group per fact row — the 10^9-group mart shape) must
+    // fold a small delta as frame-keyed DELETION VECTORS + an APPEND
+    // of the touched groups, and a full fact churn as ONE replace
+    val fineSp = tmp("jview_fine_s")
+    val fine = new IncrementalJoinAggView(spark, lp, rp, fineSp,
+      joinKeys = Seq("custkey"), groupCols = Seq("o_orderkey"),
+      sumCols = Seq("o_totalprice"))
+    fine.initialize()
+    val fineState = ManagedTable(spark, fineSp)
+    val fineDirs = fineState.lastCommit.get.dirs
+    // residues 3/4 mod 30 are ≡ 0/1 mod 3 and alive past the %5 delete
+    lt.delete(col("o_orderkey") % 30 === 3)
+    lt.update(Map("o_totalprice" -> (col("o_totalprice") + 1)),
+      col("o_orderkey") % 30 === 4, captureChangeData = true)
+    fine.refresh()
+    val fApp = fineState.lastCommit.get
+    require(fApp.operation == "JOINVIEW_DELTA" &&
+      fineDirs.forall(fApp.dirs.contains),
+      s"incremental_join_view: a small-delta fold must APPEND the " +
+        s"touched groups over untouched standing dirs, got ${fApp.operation}")
+    require(fineState.commitAt(fApp.version - 1).operation ==
+      "DELETE VECTORS",
+      "incremental_join_view: touched groups must tombstone as " +
+        "frame-keyed DVs")
+    lt.update(Map("o_totalprice" -> (col("o_totalprice") * 2)), lit(true))
+    fine.refresh()
+    require(fineState.lastCommit.get.operation == "JOINVIEW_REFRESH",
+      "incremental_join_view: a full-churn fold must land one replace, " +
+        s"got ${fineState.lastCommit.get.operation}")
+    val fineWant = lt.read.join(rt.read, Seq("custkey"))
+      .groupBy("o_orderkey")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_o_totalprice"))
+    require(fine.read.exceptAll(fineWant).count() == 0 &&
+      fineWant.exceptAll(fine.read).count() == 0,
+      "incremental_join_view: the delta-folded fine-grained state " +
+        "drifted from the full join recompute")
     got.select(col("c_mktsegment"), col("cnt"),
       col("sum_o_totalprice").cast("string").as("sum_totalprice"),
       col("min_o_totalprice").as("min_price"),
@@ -7102,16 +7181,22 @@ object Queries {
       |FROM r WHERE "rank" <= 7""".stripMargin
 
   /** BULK corpus-fraction deletes through the BM25 view — the
-    * write-amplification probe: a curation pass deletes 20 % of the
-    * corpus and the view folds it as merge-on-read DELETION VECTORS
-    * (O(deleted rows) — pinned in-query: the DV commit must rewrite NO
-    * postings dir); a second 20 % delete runs through a view instance
-    * whose broadcast gate is forced shut, exercising the corpus-scale
-    * SHUFFLED rewrite path the same slice would take past the 65536-id
-    * gate (pinned: one replace commit, identical results). This query
-    * rides the bench scale probe, so BOTH delete paths' per-sf slopes
-    * are tracked round-over-round. Oracle: the full BM25 ranking over
-    * the surviving 60 % of the corpus. */
+    * write-amplification probe for all THREE delete tiers: a curation
+    * pass deletes 20 % of the corpus and the view folds it as
+    * merge-on-read DELETION VECTORS (O(deleted rows) — pinned in-query:
+    * the DV commit must rewrite NO postings dir); a second ~25 % delete
+    * runs through a view instance whose broadcast gate is forced shut —
+    * the plan a past-65536-id delete takes — and must STILL land as a
+    * DV commit, now FRAME-KEYED ([[graft.table.ManagedTable
+    * .deleteVectorsMatching]]: tombstones computed per-dir on
+    * executors, the id set never driver or broadcast state); only the
+    * third delete, ~50 % of the surviving state (above the
+    * 30 %-of-state-rows fraction threshold, where accumulated
+    * tombstones would read-amplify every search), folds as the single
+    * SHUFFLED anti-join rewrite (pinned: one replace commit). This
+    * query rides the bench scale probe, so all delete paths' per-sf
+    * slopes are tracked round-over-round. Oracle: the full BM25 ranking
+    * over the surviving corpus. */
   def bm25ViewBulkDelete(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.llm.Retrieval
@@ -7137,18 +7222,32 @@ object Queries {
       dvCommit.dirs == dirsBefore,
       s"bm25_view_bulk_delete: a gated bulk delete must tombstone, got " +
         s"${dvCommit.operation}")
-    // curation pass 2: another 20 %, through a FORCED-SHUT gate — the
-    // exact plan a past-65536-id delete takes: shuffled anti-join, one
-    // rewrite, no broadcast of the id set anywhere
+    // curation pass 2: another ~25 % of the state, through a
+    // FORCED-SHUT gate — the exact plan a past-65536-id delete takes.
+    // Under the 30 % fraction threshold this must STILL be an
+    // O(deleted rows) DV commit (frame-keyed, computed distributed),
+    // not a rewrite
     t.delete(col("doc_id") % 5 === 1)
     val gated = new Bm25IndexView(spark, srcPath, stPath,
       deleteBroadcastCap = 1)
     require(gated.refresh() == 2L,
       "bm25_view_bulk_delete: the second bulk delete must fold on v2")
+    val fkCommit = ManagedTable(spark, stPath).lastCommit.get
+    require(fkCommit.operation == "DELETE VECTORS" &&
+      fkCommit.dirs == dirsBefore,
+      s"bm25_view_bulk_delete: a past-gate delete under the fraction " +
+        s"threshold must land frame-keyed DVs, got ${fkCommit.operation}")
+    // curation pass 3: ~half the surviving corpus — ABOVE the fraction
+    // threshold, where tombstones would read-amplify every search: the
+    // honest plan is the one shuffled anti-join rewrite
+    t.delete(col("doc_id") % 2 === 0)
+    require(gated.refresh() == 3L,
+      "bm25_view_bulk_delete: the third bulk delete must fold on v3")
     val rwCommit = ManagedTable(spark, stPath).lastCommit.get
-    require(rwCommit.operation == "BM25_REFRESH",
-      s"bm25_view_bulk_delete: past the gate the slice must fold as one " +
-        s"shuffled-rewrite commit, got ${rwCommit.operation}")
+    require(rwCommit.operation == "BM25_REFRESH" &&
+      rwCommit.dvDirs.isEmpty,
+      s"bm25_view_bulk_delete: above the fraction threshold the slice " +
+        s"must fold as one shuffled-rewrite commit, got ${rwCommit.operation}")
     val merged = gated.read
     val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
     require(merged.exceptAll(rebuilt).isEmpty &&
@@ -7162,13 +7261,14 @@ object Queries {
   }
 
   /** DuckDB mirror of [[bm25ViewBulkDelete]] — the ranking over the
-    * surviving 60 % of the corpus. */
+    * corpus surviving all three delete tiers. */
   val bm25ViewBulkDeleteSql: String =
     """WITH q(query_id, query_text) AS (VALUES
       |  (1, 'merge stream table'),
       |  (2, 'fast query data'),
       |  (3, 'row group window hash')),
-      |docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 >= 2),
+      |docs AS (SELECT doc_id, text FROM documents
+      |         WHERE doc_id % 5 >= 2 AND doc_id % 2 = 1),
       |tok AS (SELECT doc_id,
       |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
       | FROM docs),

@@ -30,6 +30,18 @@ import org.apache.spark.sql.functions._
  * delta as a minimal per-row feed — the additivity argument of
  * [[IncrementalAggView]], unchanged.
  *
+ * THE WRITE SIDE IS O(TOUCHED GROUPS), like [[IncrementalAggView]]: a
+ * fold whose touched-group set stays under
+ * [[RowLocalIndexView.RewriteFractionPct]] of the state's rows
+ * tombstones exactly the touched groups' rows (frame-keyed deletion
+ * vectors, `pendingLeftVersion`/`pendingRightVersion` marker) and
+ * APPENDs their recomputed rows — a per-customer mart at 10^9 groups
+ * folds a small delta by writing O(touched groups) rows, not by
+ * replacing 10^9. A crash between the two commits resumes exactly-once
+ * (immutable feed ranges + the pre-delete state snapshot); a full-churn
+ * fold takes the one-replace path. State is born range-clustered by
+ * group key; [[maintain]] purges tombstones and folds the append tail.
+ *
  * Sums carry as `DECIMAL(28,6)` (exact under subtraction, like the
  * single-table view); groups whose count reaches zero leave the state.
  * `minMaxCols` adds MIN/MAX, which are not delta-maintainable under
@@ -38,8 +50,11 @@ import org.apache.spark.sql.functions._
  * before the join), exactly the single-table view's rule lifted to a
  * join source; untouched groups carry their stored min/max unread.
  * Both watermark versions ride each state commit's `userMetadata`, so
- * refresh is idempotent and restart-safe, and the replace commit's
- * `expectedPrevVersion` keeps racing refreshes from both landing.
+ * refresh is idempotent and restart-safe, and every state commit's
+ * `expectedPrevVersion` keeps racing refreshes from both landing. The
+ * live row count rides replace folds' own `numOutputRows` and delta
+ * folds' `stateRows` metadata — the fraction decision never scans the
+ * state.
  *
  * Non-key column names must be disjoint across the two sides (the
  * joined frame must resolve unambiguously) — checked loudly at
@@ -58,7 +73,13 @@ final class IncrementalJoinAggView(spark: SparkSession,
   private val Dec = "decimal(28,6)"
   private def meta(l: Long, r: Long) =
     Some(s"""{"leftVersion":$l,"rightVersion":$r}""")
-  private val MetaRe = """\{"leftVersion":(\d+),"rightVersion":(\d+)\}""".r
+  private def metaRows(l: Long, r: Long, rows: Long) =
+    Some(s"""{"leftVersion":$l,"rightVersion":$r,"stateRows":$rows}""")
+  // leading-quote anchors keep "pendingLeftVersion" from false-matching
+  private val MetaRe = """"leftVersion":(\d+),"rightVersion":(\d+)""".r
+  private val StateRowsRe = """"stateRows":(\d+)""".r
+  private val PendingRe =
+    """\{"pendingLeftVersion":(\d+),"pendingRightVersion":(\d+)\}""".r
 
   private def left = ManagedTable(spark, leftPath)
   private def right = ManagedTable(spark, rightPath)
@@ -68,6 +89,8 @@ final class IncrementalJoinAggView(spark: SparkSession,
   private def mmNames = minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
   private def mmAggs: Seq[Column] = minMaxCols.flatMap(c => Seq(
     min(col(s"`$c`")).as(s"min_$c"), max(col(s"`$c`")).as(s"max_$c")))
+  private def addCols: Seq[Column] =
+    col("cnt") +: sumCols.map(c => col(s"`sum_$c`"))
 
   private def joined(l: DataFrame, r: DataFrame, sign: Column,
                      extra: Seq[Column] = Nil): DataFrame =
@@ -90,17 +113,36 @@ final class IncrementalJoinAggView(spark: SparkSession,
   }
 
   /** The (leftVersion, rightVersion) pair folded into the state —
-    * maintenance commits on the state table are transparent, and
-    * RESTORE carries the restored fold's own watermarks. */
+    * maintenance commits on the state table, and a half-applied fold's
+    * pending delete commit, are transparent; RESTORE carries the
+    * restored fold's own watermarks. */
   def sourceVersions: (Long, Long) =
     CdfNetting.commitMetas(state, "join view", statePath)
-      .collectFirst { case MetaRe(l, r) => (l.toLong, r.toLong) }
+      .collectFirst {
+        case m if MetaRe.findFirstMatchIn(m).isDefined =>
+          val g = MetaRe.findFirstMatchIn(m).get
+          (g.group(1).toLong, g.group(2).toLong)
+      }
       .getOrElse(throw new IllegalStateException(
         "no commit in the join view state's history carries version " +
           "watermarks — was the state table created outside the view?"))
 
+  /** Live state rows (= group count) from the commit log, no state
+    * scan: delta folds carry it explicitly, replace folds' count is
+    * their own `numOutputRows`. */
+  private def stateRowCount: Long =
+    CdfNetting.commitWalk(state).collectFirst {
+      case c if c.userMetadata.exists(m =>
+          StateRowsRe.findFirstMatchIn(m).isDefined) =>
+        StateRowsRe.findFirstMatchIn(c.userMetadata.get).get.group(1).toLong
+      case c if c.userMetadata.exists(m =>
+          MetaRe.findFirstMatchIn(m).isDefined) =>
+        c.operationMetrics.getOrElse("numOutputRows", "0").toLong
+    }.getOrElse(0L)
+
   /** Build the state from both CURRENT snapshots — the only
-    * both-sides-full join in the view's lifetime. */
+    * both-sides-full join in the view's lifetime. Born range-clustered
+    * by group key. */
   def initialize(): (Long, Long) = {
     val vl = left.latestVersion.getOrElse(throw new IllegalStateException(
       s"left table $leftPath does not exist"))
@@ -108,7 +150,9 @@ final class IncrementalJoinAggView(spark: SparkSession,
       s"right table $rightPath does not exist"))
     checkDisjointColumns()
     state.write(joined(left.read, right.read, lit(1L), mmAggs),
-      "JOINVIEW_INIT", "replace", meta(vl, vr))
+      "JOINVIEW_INIT", "replace", meta(vl, vr),
+      propertiesOverride = Some(Map(
+        ManagedTable.ClusterColumnsProp -> groupCols.mkString(","))))
     left.setRetentionHold(statePath, vl)
     right.setRetentionHold(statePath, vr)
     (vl, vr)
@@ -155,13 +199,182 @@ final class IncrementalJoinAggView(spark: SparkSession,
     t.readAt(version).join(broadcast(keys), joinKeys, "left_semi")
   }
 
+  /** The grouped signed delta of the range (vl0,vr0] → (vl1,vr1] —
+    * the three delta-join terms unioned — or None when both ranges are
+    * empty after netting. */
+  private def groupedDelta(vl0: Long, vr0: Long, vl1: Long,
+                           vr1: Long): Option[DataFrame] = {
+    val dL = signedDelta(left, vl0, vl1).map(_.localCheckpoint())
+    val dR = signedDelta(right, vr0, vr1).map(_.localCheckpoint())
+    val parts = Seq(
+      // dL ⋈ R0 — old right, pruned to dL's keys
+      dL.map(d => joined(d, prunedSnapshot(right, vr0, d),
+        col("__sign__"))),
+      // L0 ⋈ dR — old left, pruned to dR's keys
+      dR.map(d => joined(prunedSnapshot(left, vl0, d), d,
+        col("__sign__"))),
+      // dL ⋈ dR — sign is the product
+      for { l <- dL; r <- dR } yield joined(
+        l.withColumnRenamed("__sign__", "__sl__"),
+        r.withColumnRenamed("__sign__", "__sr__"),
+        col("__sl__") * col("__sr__"))
+    ).flatten
+    if (parts.isEmpty) return None
+    // net the three terms per group; zero-net groups drop ONLY for
+    // additive-only views (a coarse dir-rewrite feed marks every group
+    // of the rewritten dir — additively those fold to nothing, but with
+    // minMaxCols a zero-net group may still have reshaped the value
+    // multiset min/max are order statistics of, so it stays touched)
+    val net = parts.reduce(_ unionByName _)
+      .groupBy(gCols: _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sumCols.map(c => sum(col(s"`sum_$c`")).cast(Dec).as(s"sum_$c")): _*)
+    val kept =
+      if (minMaxCols.nonEmpty) net
+      else net.filter(sumCols
+        .map(c => coalesce(col(s"`sum_$c`"), lit(0).cast(Dec)) =!=
+          lit(0).cast(Dec))
+        .foldLeft(col("cnt") =!= 0L)(_ || _))
+    Some(kept.localCheckpoint())
+  }
+
+  /** MIN/MAX recomputed for exactly the touched groups over the NEW
+    * watermark snapshots, pruned before the join: each side
+    * semi-restricts by the touched values of ITS OWN group columns
+    * (when it carries any), then the post-join semi restriction drops
+    * the superset a partial-side prune admits. Sound against the new
+    * snapshots for the same reason as the single-table view: a group
+    * changed later is re-touched by those commits. */
+  private def recomputeMinMax(touched: DataFrame, vl1: Long,
+                              vr1: Long): DataFrame = {
+    val lCols = left.read.columns.toSet
+    val rCols = right.read.columns.toSet
+    val gOnL = groupCols.filter(lCols.contains)
+    val gOnR = groupCols.filter(rCols.contains)
+    def prune(df: DataFrame, own: Seq[String]) =
+      if (own.isEmpty) df else semiOnGroups(df, touched, own)
+    semiOnGroups(
+      prune(left.readAt(vl1), gOnL).join(prune(right.readAt(vr1), gOnR),
+        joinKeys),
+      touched, groupCols)
+      .groupBy(gCols: _*).agg(mmAggs.head, mmAggs.tail: _*)
+  }
+
+  /** Sum additive columns of a (cur ∪ delta)-shaped frame. */
+  private def foldAdditive(df: DataFrame) =
+    df.groupBy(gCols: _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sumCols.map(c => sum(col(s"`sum_$c`")).cast(Dec).as(s"sum_$c")): _*)
+      .filter(col("cnt") > 0)
+
+  /** Recomputed rows for EXACTLY the touched groups — the delta fold's
+    * append payload. `cur` is the state the fold nets against (live
+    * head, or the pre-delete snapshot on crash resume). */
+  private def touchedRows(delta: DataFrame, touched: DataFrame,
+                          cur: DataFrame, vl1: Long,
+                          vr1: Long): DataFrame = {
+    val curT = semiOnGroups(cur.select((gCols ++ addCols): _*),
+      touched, groupCols)
+    if (minMaxCols.isEmpty) foldAdditive(curT.unionByName(delta))
+    else {
+      val rec = recomputeMinMax(touched, vl1, vr1)
+      val tagged = curT.withColumn("__src__", lit("cur"))
+        .unionByName(delta.withColumn("__src__", lit("delta")),
+          allowMissingColumns = true)
+        .unionByName(rec.withColumn("__src__", lit("rec")),
+          allowMissingColumns = true)
+      val additive = col("__src__").isin("cur", "delta")
+      tagged.groupBy(gCols: _*)
+        .agg(sum(when(additive, col("cnt"))).as("cnt"),
+          (sumCols.map(c => sum(when(additive, col(s"`sum_$c`")))
+            .cast(Dec).as(s"sum_$c")) ++
+            minMaxCols.flatMap(c => Seq(
+              min(when(col("__src__") === "rec", col(s"`min_$c`")))
+                .as(s"min_$c"),
+              max(when(col("__src__") === "rec", col(s"`max_$c`")))
+                .as(s"max_$c")))): _*)
+        .filter(col("cnt") > 0)
+    }
+  }
+
+  /** The full-state merge — the replace fold's payload. */
+  private def mergedState(delta: DataFrame, touched: DataFrame, vl1: Long,
+                          vr1: Long): DataFrame = {
+    if (minMaxCols.isEmpty)
+      foldAdditive(state.read.select((gCols ++ addCols): _*)
+        .unionByName(delta))
+    else {
+      // min/max are NOT delta-maintainable under deletes/updates —
+      // recompute them for exactly the TOUCHED groups over the NEW
+      // watermark snapshots; untouched groups carry their stored
+      // min/max unread — the single-table view's tagged-union fold,
+      // with the recompute source being a JOIN instead of one fact
+      val rec = recomputeMinMax(touched, vl1, vr1)
+      val cur = state.read.select((gCols ++ addCols ++
+        mmNames.map(c => col(s"`$c`"))): _*)
+        .withColumn("__src__", lit("cur"))
+      val tagged = cur
+        .unionByName(delta.withColumn("__src__", lit("delta")),
+          allowMissingColumns = true)
+        .unionByName(rec.withColumn("__src__", lit("rec")),
+          allowMissingColumns = true)
+        .unionByName(touched.withColumn("__src__", lit("touch")),
+          allowMissingColumns = true)
+      val additive = col("__src__").isin("cur", "delta")
+      val isTouched = max(when(col("__src__") === "touch", 1).otherwise(0)) === 1
+      def pick(c: String, agg: Column => Column) =
+        when(isTouched, agg(when(col("__src__") === "rec", col(s"`$c`"))))
+          .otherwise(agg(when(col("__src__") === "cur", col(s"`$c`")))).as(c)
+      tagged.groupBy(gCols: _*)
+        .agg(sum(when(additive, col("cnt"))).as("cnt"),
+          (sumCols.map(c => sum(when(additive, col(s"`sum_$c`")))
+            .cast(Dec).as(s"sum_$c")) ++
+            minMaxCols.flatMap(c => Seq(
+              pick(s"min_$c", min), pick(s"max_$c", max)))): _*)
+        .filter(col("cnt") > 0)
+    }
+  }
+
+  /** Finish a half-applied delta fold (crash between the frame-keyed
+    * delete and the append): re-derive the immutable ranges, recompute
+    * the touched rows against the PRE-DELETE state snapshot, land only
+    * the missing append. Returns the recovered watermark pair, or None
+    * when nothing was pending. */
+  private def resumePending(): Option[(Long, Long)] =
+    state.lastCommit
+      .filter(_.userMetadata.exists(m =>
+        PendingRe.findFirstMatchIn(m).isDefined))
+      .map { dvc =>
+        val g = PendingRe.findFirstMatchIn(dvc.userMetadata.get).get
+        val (pl, pr) = (g.group(1).toLong, g.group(2).toLong)
+        val (vl0, vr0) = sourceVersions // pending marker is transparent
+        val oldRows = stateRowCount
+        val delta = groupedDelta(vl0, vr0, pl, pr).getOrElse(
+          throw new IllegalStateException(
+            "join view: a pending delete commit exists but the source " +
+              "ranges are empty — was a source table recreated?"))
+        val touched = delta.select(gCols: _*).distinct().localCheckpoint()
+        val preDelete = state.readAt(dvc.version - 1)
+        val newRows = touchedRows(delta, touched, preDelete, pl, pr)
+          .localCheckpoint()
+        val newN = newRows.count()
+        val deleted = dvc.operationMetrics("numDeletedRows").toLong
+        state.write(newRows, "JOINVIEW_DELTA", "append",
+          metaRows(pl, pr, oldRows - deleted + newN), mergeSchema = true,
+          expectedPrevVersion = state.latestVersion)
+        left.setRetentionHold(statePath, pl)
+        right.setRetentionHold(statePath, pr)
+        (pl, pr)
+      }
+
   /** Fold both unprocessed ranges into the state. No-op (no commit)
     * when both sides are current. Returns the new watermark pair. */
   def refresh(): (Long, Long) = {
+    resumePending()
     // fence BEFORE the watermark read and every state.read below: a
-    // racing refresh that lands after this point fails the replace's
-    // expectedPrevVersion loudly instead of letting this fold land a
-    // delta computed against the pre-racer state (which would
+    // racing refresh that lands after this point fails the delete's or
+    // replace's expectedPrevVersion loudly instead of letting this fold
+    // land a delta computed against the pre-racer state (which would
     // double-apply the overlapping range — the additive-fold race the
     // row-local index views catch with id gates)
     val fence = state.latestVersion
@@ -187,81 +400,38 @@ final class IncrementalJoinAggView(spark: SparkSession,
             "needs the watermark snapshot; re-initialize the view."))
     }
     checkDisjointColumns()
-    val dL = signedDelta(left, vl0, vl1).map(_.localCheckpoint())
-    val dR = signedDelta(right, vr0, vr1).map(_.localCheckpoint())
-    val parts = Seq(
-      // dL ⋈ R0 — old right, pruned to dL's keys
-      dL.map(d => joined(d, prunedSnapshot(right, vr0, d),
-        col("__sign__"))),
-      // L0 ⋈ dR — old left, pruned to dR's keys
-      dR.map(d => joined(prunedSnapshot(left, vl0, d), d,
-        col("__sign__"))),
-      // dL ⋈ dR — sign is the product
-      for { l <- dL; r <- dR } yield joined(
-        l.withColumnRenamed("__sign__", "__sl__"),
-        r.withColumnRenamed("__sign__", "__sr__"),
-        col("__sl__") * col("__sr__"))
-    ).flatten
-    val delta = parts.reduce(_ unionByName _).localCheckpoint()
-    val merged =
-      if (minMaxCols.isEmpty) {
-        val cur = state.read.select(
-          (gCols ++ (col("cnt") +: sumCols.map(c => col(s"`sum_$c`")))): _*)
-        cur.unionByName(delta)
-          .groupBy(gCols: _*)
-          .agg(sum(col("cnt")).as("cnt"),
-            sumCols.map(c => sum(col(s"`sum_$c`")).cast(Dec).as(s"sum_$c")): _*)
-          .filter(col("cnt") > 0)
-      } else {
-        // min/max are NOT delta-maintainable under deletes/updates —
-        // recompute them for exactly the TOUCHED groups (the grouped
-        // delta's group keys) over the NEW watermark snapshots, pruned
-        // before the join: each side semi-restricts by the touched
-        // values of ITS OWN group columns (when it carries any), then
-        // the post-join semi restriction drops the superset a
-        // partial-side prune admits. Untouched groups carry their
-        // stored min/max unread — the single-table view's tagged-union
-        // fold, with the recompute source being a JOIN instead of one
-        // fact. Sound against the new snapshots for the same reason as
-        // there: a group changed later is re-touched by those commits.
-        val touched = delta.select(gCols: _*).distinct().localCheckpoint()
-        val lCols = left.read.columns.toSet
-        val rCols = right.read.columns.toSet
-        val gOnL = groupCols.filter(lCols.contains)
-        val gOnR = groupCols.filter(rCols.contains)
-        def prune(df: DataFrame, own: Seq[String]) =
-          if (own.isEmpty) df else semiOnGroups(df, touched, own)
-        val rec = semiOnGroups(
-          prune(left.readAt(vl1), gOnL).join(prune(right.readAt(vr1), gOnR),
-            joinKeys),
-          touched, groupCols)
-          .groupBy(gCols: _*).agg(mmAggs.head, mmAggs.tail: _*)
-        val cur = state.read.select((gCols ++ (col("cnt") +:
-          sumCols.map(c => col(s"`sum_$c`"))) ++
-          mmNames.map(c => col(s"`$c`"))): _*)
-          .withColumn("__src__", lit("cur"))
-        val tagged = cur
-          .unionByName(delta.withColumn("__src__", lit("delta")),
-            allowMissingColumns = true)
-          .unionByName(rec.withColumn("__src__", lit("rec")),
-            allowMissingColumns = true)
-          .unionByName(touched.withColumn("__src__", lit("touch")),
-            allowMissingColumns = true)
-        val additive = col("__src__").isin("cur", "delta")
-        val isTouched = max(when(col("__src__") === "touch", 1).otherwise(0)) === 1
-        def pick(c: String, agg: Column => Column) =
-          when(isTouched, agg(when(col("__src__") === "rec", col(s"`$c`"))))
-            .otherwise(agg(when(col("__src__") === "cur", col(s"`$c`")))).as(c)
-        tagged.groupBy(gCols: _*)
-          .agg(sum(when(additive, col("cnt"))).as("cnt"),
-            (sumCols.map(c => sum(when(additive, col(s"`sum_$c`")))
-              .cast(Dec).as(s"sum_$c")) ++
-              minMaxCols.flatMap(c => Seq(
-                pick(s"min_$c", min), pick(s"max_$c", max)))): _*)
-          .filter(col("cnt") > 0)
-      }
-    state.write(merged, "JOINVIEW_REFRESH", "replace", meta(vl1, vr1),
-      expectedPrevVersion = fence)
+    val delta = groupedDelta(vl0, vr0, vl1, vr1).get
+    val touched = delta.select(gCols: _*).distinct().localCheckpoint()
+    val touchedN = touched.count()
+    val oldRows = stateRowCount
+    if (touchedN == 0L) {
+      // the ranges cancel per group — advance both watermarks with an
+      // empty append so the retention holds slide
+      state.write(delta.limit(0), "JOINVIEW_DELTA", "append",
+        metaRows(vl1, vr1, oldRows), mergeSchema = true,
+        expectedPrevVersion = fence)
+    } else if (touchedN * 100L >=
+        oldRows * RowLocalIndexView.RewriteFractionPct) {
+      // full-churn fold (or tiny/empty state): one replace
+      state.write(mergedState(delta, touched, vl1, vr1),
+        "JOINVIEW_REFRESH", "replace", meta(vl1, vr1),
+        expectedPrevVersion = fence)
+    } else {
+      // O(touched groups) fold: recompute first (against the pre-delete
+      // state), then frame-keyed tombstones with the pending marker,
+      // then the append carrying the real watermark pair
+      val newRows = touchedRows(delta, touched, state.read, vl1, vr1)
+        .localCheckpoint()
+      val newN = newRows.count()
+      val dv = state.deleteVectorsMatching(touched, groupCols,
+        userMetadata = Some(
+          s"""{"pendingLeftVersion":$vl1,"pendingRightVersion":$vr1}"""),
+        expectedPrevVersion = fence)
+      val deleted = dv.operationMetrics("numDeletedRows").toLong
+      state.write(newRows, "JOINVIEW_DELTA", "append",
+        metaRows(vl1, vr1, oldRows - deleted + newN), mergeSchema = true,
+        expectedPrevVersion = Some(dv.version))
+    }
     // slide both pins forward: the delta-join fold needs each side's
     // watermark SNAPSHOT, so the hold sits at the watermark itself
     left.setRetentionHold(statePath, vl1)
@@ -277,9 +447,10 @@ final class IncrementalJoinAggView(spark: SparkSession,
     * commits waits for the next epoch or a batch CALL). Exactly-once
     * needs no txn ledger here: the fold is idempotent by construction —
     * the watermark pair re-reads per call, both-current epochs no-op
-    * without a commit, and a replayed or racing epoch either re-derives
-    * an empty range or fails the replace's `expectedPrevVersion` fence
-    * loudly. Caller drains/stops the returned query. */
+    * without a commit, a half-applied delta fold resumes through its
+    * pending marker, and a replayed or racing epoch either re-derives
+    * an empty range or fails its `expectedPrevVersion` fence loudly.
+    * Caller drains/stops the returned query. */
   def refreshStream(checkpoint: String,
                     trigger: org.apache.spark.sql.streaming.Trigger =
                       org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -294,6 +465,19 @@ final class IncrementalJoinAggView(spark: SparkSession,
       .start()
   }
 
+  /** ROUTINE state maintenance, O(tombstones + append tail): purge the
+    * deletion vectors delta folds accumulate and fold the append tail
+    * onto the group-key clustering. Watermark-less commits, transparent
+    * to the walk. */
+  def maintain(maxDirBytes: Long = 64L << 20): Unit = {
+    state.maintainLayout(maxDirBytes); ()
+  }
+
   /** The maintained join aggregate. */
   def read: DataFrame = state.read
+
+  /** The maintained aggregate restricted by `predicate` with dir-stat
+    * skipping — selective because the state is born clustered by group
+    * key and [[maintain]] keeps the tail folded. */
+  def readWhere(predicate: Column): DataFrame = state.readWhere(predicate)
 }

@@ -212,21 +212,29 @@ private[table] object CdfNetting {
                   atOrBelow: Option[Long] = None): Iterator[String] = {
     require(state.exists,
       s"$what state $statePath does not exist — call initialize() first")
-    // an AS-OF read walks the same history from its pinned version down
-    // — the RESTORE cap and the time-travel cap are the same mechanism.
-    // LAZY ([[ManagedTable.metaHistory]] — raw entries, no delta-chain
-    // resolution): every caller collectFirsts its newest match, and the
-    // watermark almost always rides the newest commit, so the walk that
-    // runs per refresh / per search / per streaming micro-batch reads
-    // O(one log batch), not a years-old view's entire commit history
+    commitWalk(state, atOrBelow).flatMap(_.userMetadata)
+  }
+
+  /** The restore-confined commit walk behind [[commitMetas]], exposed
+    * at COMMIT grain for readers that pair a commit's metadata with its
+    * operation metrics (the aggregate views derive their live row count
+    * from a replace fold's own `numOutputRows`). Same semantics: an
+    * AS-OF read walks from its pinned version down — the RESTORE cap
+    * and the time-travel cap are the same mechanism. LAZY
+    * ([[ManagedTable.metaHistory]] — raw entries, no delta-chain
+    * resolution): every caller collectFirsts its newest match, and the
+    * watermark almost always rides the newest commit, so the walk that
+    * runs per refresh / per search / per streaming micro-batch reads
+    * O(one log batch), not a years-old view's entire commit history. */
+  def commitWalk(state: ManagedTable,
+                 atOrBelow: Option[Long] = None): Iterator[ManagedTable.Commit] = {
     var cap = atOrBelow.getOrElse(Long.MaxValue)
     state.metaHistory.flatMap { c =>
       if (c.version <= cap) {
-        val metas = c.userMetadata.toList
         c.operationMetrics.get("restoredVersion")
           .foreach(v => cap = math.min(cap, v.toLong))
-        metas
-      } else Nil
+        Some(c)
+      } else None
     }
   }
 }
@@ -248,9 +256,13 @@ private[table] object CdfNetting {
  *     even read — O(batch) per day); a slice with deletes lands as
  *     merge-on-read DELETION VECTORS (O(deleted rows) — the index is
  *     STILL never rewritten) followed by an append of the entering
- *     rows; only a delete set past the broadcast gate (a corpus-wide
- *     curation pass) rewrites, by SHUFFLED anti-join. Updates are the
- *     (−pre, +post) pair. Insert-id collisions are bloom-gated against
+ *     rows; past the broadcast gate the DVs go FRAME-KEYED
+ *     ([[ManagedTable.deleteVectorsMatching]] — tombstones computed
+ *     per-dir on executors, the id set never driver state), so even a
+ *     corpus-scale curation delete is an O(deleted rows) commit; only
+ *     a delete above [[RowLocalIndexView.RewriteFractionPct]] of the
+ *     state's rows rewrites, by SHUFFLED anti-join (read-amplification
+ *     honesty). Updates are the (−pre, +post) pair. Insert-id collisions are bloom-gated against
  *     the surviving index; deletes must describe index rows the state
  *     holds — gated on the ids of the delta's own [[buildRows]] output,
  *     so a doc whose payload indexes to NOTHING (empty text, text
@@ -431,43 +443,66 @@ private[table] abstract class RowLocalIndexView(
       // gate on the ids the state actually HOLDS rows for — the ids of
       // the delta's own index rows, not every deleted source id (a
       // payload indexing to zero rows deletes as a legal no-op)
-      val delStateIds = buildRows(del)
+      val delRows = buildRows(del).localCheckpoint()
+      val delStateIds = delRows
         .select(col(s"`$stateIdColumn`").as("doc_id"))
         .distinct().localCheckpoint()
       CdfNetting.requireExistingIds(stateIds, delStateIds, what,
         maxBroadcastIds)
-      if (Similarity.fitsDriver(delStateIds, maxBroadcastIds)) {
-        // merge-on-read path: tombstone the deleted docs' rows —
-        // O(deleted rows), the standing index is never rewritten. Two
-        // commits when rows also enter; the delete carries a PENDING
-        // marker (not the watermark) so a crash between them resumes
-        val ids = delStateIds.collect().map(r => String.valueOf(r.get(0)))
-        val pred = col(s"`$stateIdColumn`").cast("string")
-          .isin(ids.toIndexedSeq: _*)
-        if (ins.isEmpty)
-          state.deleteVectors(pred,
-            userMetadata = Some(refreshMeta(latest, ins, del)),
+      // how the delete lands, decided by SIZE then FRACTION:
+      //   - id set under the broadcast gate → predicate DVs (the ids may
+      //     collect into a driver-side IN-list);
+      //   - past the gate but under RewriteFractionPct of the state's
+      //     rows → FRAME-KEYED DVs (ManagedTable.deleteVectorsMatching:
+      //     tombstones computed per-dir on executors, the id frame never
+      //     becomes driver or broadcast state) — a 1-10%-of-corpus
+      //     curation pass is an O(deleted rows) commit, the index is
+      //     STILL never rewritten;
+      //   - above the fraction → one SHUFFLED anti-join rewrite (honest:
+      //     a half-tombstoned index read-amplifies every search until
+      //     purge, so accumulating DVs past this point costs more than
+      //     the rewrite). The two counts below run only on past-the-gate
+      //     deletes — rare corpus-scale curation events, one narrow scan.
+      val dvDelete: Option[(Option[String], Option[(String, Long)]) => Unit] =
+        if (Similarity.fitsDriver(delStateIds, maxBroadcastIds)) {
+          val ids = delStateIds.collect().map(r => String.valueOf(r.get(0)))
+          val pred = col(s"`$stateIdColumn`").cast("string")
+            .isin(ids.toIndexedSeq: _*)
+          Some((meta, t) => { state.deleteVectors(pred, userMetadata = meta,
+            expectedPrevVersion = fence, txnUpdate = t); () })
+        } else if (delRows.count() * 100L <
+            state.read.count() * RowLocalIndexView.RewriteFractionPct) {
+          val keys = delRows.select(col(s"`$stateIdColumn`")).distinct()
+          Some((meta, t) => { state.deleteVectorsMatching(keys,
+            Seq(stateIdColumn), userMetadata = meta,
+            expectedPrevVersion = fence, txnUpdate = t); () })
+        } else None
+      dvDelete match {
+        case Some(tombstone) =>
+          // merge-on-read path: tombstone the deleted docs' rows —
+          // O(deleted rows), the standing index is never rewritten. Two
+          // commits when rows also enter; the delete carries a PENDING
+          // marker (not the watermark) so a crash between them resumes
+          if (ins.isEmpty)
+            tombstone(Some(refreshMeta(latest, ins, del)), txn)
+          else {
+            tombstone(Some(s"""{"pendingSourceVersion":$latest}"""), None)
+            state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
+              Some(refreshMeta(latest, ins, del)), mergeSchema = true,
+              expectedPrevVersion = state.latestVersion, txnUpdate = txn)
+          }
+        case None =>
+          // corpus-scale delete of a state-rivaling FRACTION (a
+          // re-curation of most of the corpus): one shuffled anti-join,
+          // one rewrite — the id set still never broadcasts
+          val survivors = state.read
+            .join(delStateIds.toDF("__del__"),
+              col(s"`$stateIdColumn`").cast("string") ===
+                col("__del__").cast("string"), "anti")
+          state.write(survivors.unionByName(buildRows(ins)),
+            s"${opPrefix}_REFRESH", "replace",
+            Some(refreshMeta(latest, ins, del)),
             expectedPrevVersion = fence, txnUpdate = txn)
-        else {
-          state.deleteVectors(pred,
-            userMetadata = Some(s"""{"pendingSourceVersion":$latest}"""),
-            expectedPrevVersion = fence)
-          state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
-            Some(refreshMeta(latest, ins, del)), mergeSchema = true,
-            expectedPrevVersion = state.latestVersion, txnUpdate = txn)
-        }
-      } else {
-        // corpus-scale delete (the pipeline's own fuzzy-dedup /
-        // decontamination output): the id set must not become driver
-        // or broadcast state — one SHUFFLED anti-join, one rewrite
-        val survivors = state.read
-          .join(delStateIds.toDF("__del__"),
-            col(s"`$stateIdColumn`").cast("string") ===
-              col("__del__").cast("string"), "anti")
-        state.write(survivors.unionByName(buildRows(ins)),
-          s"${opPrefix}_REFRESH", "replace",
-          Some(refreshMeta(latest, ins, del)),
-          expectedPrevVersion = fence, txnUpdate = txn)
       }
     }
   }
@@ -639,6 +674,17 @@ private[table] abstract class RowLocalIndexView(
 
   /** The maintained index. */
   final def read: DataFrame = state.read
+}
+
+private[table] object RowLocalIndexView {
+  /** Past-the-broadcast-gate delete slices land as FRAME-KEYED deletion
+    * vectors (O(deleted rows) writes, id set never driver state) while
+    * the deleted index rows stay under this percentage of the state's
+    * rows; at or above it the fold takes the single shuffled anti-join
+    * rewrite — a state tombstoned past ~a third read-amplifies every
+    * search until the next purge, so the rewrite is the cheaper honest
+    * plan there. */
+  val RewriteFractionPct: Long = 30L
 }
 
 /**

@@ -163,8 +163,8 @@ class Bm25IndexViewSpec extends SparkSpec {
       rebuilt.exceptAll(view.read).isEmpty)
   }
 
-  test("a delete set past the broadcast gate folds through the SHUFFLED " +
-      "rewrite path with identical results") {
+  test("past the broadcast gate a small-fraction delete folds as " +
+      "FRAME-KEYED deletion vectors; a state-rivaling fraction rewrites") {
     val src = tmpDir("bm25v_big")
     val st = tmpDir("bm25v_bigs")
     val t = ManagedTable(spark, src)
@@ -173,13 +173,36 @@ class Bm25IndexViewSpec extends SparkSpec {
     val view = new Bm25IndexView(spark, src, st, expectedDocs = 1000,
       deleteBroadcastCap = 1)
     view.initialize()
-    t.delete(col("doc_id").isin(2L, 4L, 6L))
-    t.write(Seq((9L, "stream window stream")).toDF("doc_id", "text"),
+    val dirs0 = ManagedTable(spark, st).lastCommit.get.dirs
+    // docs 3+5 are ~14 % of the postings — far under the 30 % fraction
+    // threshold: the past-gate plan must STILL be an O(deleted rows) DV
+    // commit (tombstones computed per-dir on executors, the id set
+    // never driver state), followed by the entering doc's append
+    t.delete(col("doc_id").isin(3L, 5L))
+    t.write(Seq((8L, "merge merge stream")).toDF("doc_id", "text"),
       "APPEND", "append")
     assert(view.refresh() === 2L)
+    val st1 = ManagedTable(spark, st)
+    val appendC = st1.lastCommit.get
+    assert(appendC.operation === "BM25_REFRESH")
+    val dvC = st1.commitAt(appendC.version - 1)
+    assert(dvC.operation === "DELETE VECTORS" && dvC.dirs === dirs0,
+      "past-gate small-fraction delete must land frame-keyed DVs, " +
+        "rewriting no postings dir")
+    val rebuilt1 = Retrieval.bm25Postings(t.read)
+    assert(view.read.exceptAll(rebuilt1).isEmpty &&
+      rebuilt1.exceptAll(view.read).isEmpty)
+    searchEquals(view, t)
+    // ~70 % of the surviving state leaves: ABOVE the threshold, where
+    // accumulated tombstones would read-amplify every search — the
+    // honest plan is the one shuffled anti-join rewrite (which also
+    // clears the standing tombstones)
+    t.delete(col("doc_id").isin(1L, 2L, 4L, 6L))
+    assert(view.refresh() === 3L)
     val last = ManagedTable(spark, st).lastCommit.get
-    assert(last.operation === "BM25_REFRESH",
-      "past the gate the slice must fold as one shuffled-rewrite commit")
+    assert(last.operation === "BM25_REFRESH" && last.dvDirs.isEmpty,
+      "past the fraction threshold the slice must fold as one " +
+        "shuffled-rewrite commit")
     val rebuilt = Retrieval.bm25Postings(t.read)
     assert(view.read.exceptAll(rebuilt).isEmpty &&
       rebuilt.exceptAll(view.read).isEmpty)

@@ -115,6 +115,93 @@ class IncrementalJoinViewSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("a small delta folds as DV+APPEND — O(touched groups) writes; " +
+      "full churn replaces") {
+    val lp = tmpDir("jv_dv_l"); val rp = tmpDir("jv_dv_r")
+    val sp = tmpDir("jv_dv_s")
+    val l = ManagedTable(spark, lp); val r = ManagedTable(spark, rp)
+    // 100 one-row groups (the group-cardinality-sized mart shape)
+    l.write((1 to 100).map(i => (i % 10, s"d$i", i * 1.0))
+      .toDF("k", "d", "x"), "APPEND", "append")
+    r.write((0 until 10).map(k => (k, s"w$k")).toDF("k", "w"),
+      "APPEND", "append")
+    val view = new IncrementalJoinAggView(spark, lp, rp, sp,
+      joinKeys = Seq("k"), groupCols = Seq("d"), sumCols = Seq("x"))
+    view.initialize()
+    val s = ManagedTable(spark, sp)
+    val dirs0 = s.lastCommit.get.dirs
+    // 3 new groups enter, 2 leave (coarse feed — the per-group netting
+    // must shrink the touched set to exactly these 5)
+    l.write(Seq((1, "d101", 1.0), (2, "d102", 2.0), (3, "d103", 3.0))
+      .toDF("k", "d", "x"), "APPEND", "append")
+    l.delete(col("d") === "d7" || col("d") === "d13")
+    view.refresh()
+    val appendC = s.lastCommit.get
+    assert(appendC.operation === "JOINVIEW_DELTA",
+      s"a small-delta fold must APPEND, got ${appendC.operation}")
+    assert(appendC.operationMetrics("numOutputRows") === "3")
+    assert(dirs0.forall(appendC.dirs.contains),
+      "standing state dirs carry over untouched")
+    val dvC = s.commitAt(appendC.version - 1)
+    assert(dvC.operation === "DELETE VECTORS" &&
+      dvC.operationMetrics("numDeletedRows") === "2")
+    assert(appendC.userMetadata.get.contains("\"stateRows\":101"))
+    check(view, l, r)
+    // a dim-side update that changes NO aggregated column nets to
+    // nothing — the fold advances the watermark with an empty append
+    r.update(Map("w" -> lit("renamed")), col("k") < 5,
+      captureChangeData = true)
+    view.refresh()
+    assert(view.sourceVersions === (l.latestVersion.get, r.latestVersion.get))
+    check(view, l, r)
+    // full fact churn: every group's sum moves → one replace
+    l.update(Map("x" -> (col("x") * 2)), lit(true))
+    view.refresh()
+    val replaceC = s.lastCommit.get
+    assert(replaceC.operation === "JOINVIEW_REFRESH" &&
+      replaceC.dvDirs.isEmpty,
+      s"a full-churn fold must land one replace, got ${replaceC.operation}")
+    check(view, l, r)
+    view.maintain()
+    check(view, l, r)
+  }
+
+  test("a crash between the touched-group delete and the append resumes " +
+      "exactly-once") {
+    val lp = tmpDir("jv_cr_l"); val rp = tmpDir("jv_cr_r")
+    val sp = tmpDir("jv_cr_s")
+    val l = ManagedTable(spark, lp); val r = ManagedTable(spark, rp)
+    l.write((1 to 50).map(i => (i % 5, s"d$i", i * 1.0))
+      .toDF("k", "d", "x"), "APPEND", "append")
+    r.write((0 until 5).map(k => (k, s"w$k")).toDF("k", "w"),
+      "APPEND", "append")
+    val view = new IncrementalJoinAggView(spark, lp, rp, sp,
+      joinKeys = Seq("k"), groupCols = Seq("d"), sumCols = Seq("x"))
+    view.initialize()
+    // the slice a refresh would net: d3, d5 change; d51 enters
+    l.update(Map("x" -> (col("x") + 100)), col("d").isin("d3", "d5"),
+      captureChangeData = true)
+    l.write(Seq((1, "d51", 7.0)).toDF("k", "d", "x"), "APPEND", "append")
+    // crashed fold's surviving prefix: frame-keyed delete with the
+    // pending pair landed, append missing
+    ManagedTable(spark, sp).deleteVectorsMatching(
+      Seq("d3", "d5").toDF("d"), Seq("d"),
+      userMetadata = Some(
+        """{"pendingLeftVersion":2,"pendingRightVersion":0}"""))
+    assert(view.sourceVersions === ((0L, 0L)))
+    assert(view.refresh() === ((2L, 0L)))
+    val s = ManagedTable(spark, sp)
+    assert(s.lastCommit.get.operation === "JOINVIEW_DELTA" &&
+      s.lastCommit.get.operationMetrics("numOutputRows") === "3",
+      "the resume lands ONLY the missing append (d3, d5, d51)")
+    assert(s.lastCommit.get.userMetadata.get.contains("\"stateRows\":51"))
+    check(view, l, r)
+    // the resumed state keeps folding
+    l.delete(col("d") === "d51")
+    view.refresh()
+    check(view, l, r)
+  }
+
   test("non-key column clashes across sides refuse at initialize") {
     val lp = tmpDir("jv_l2"); val rp = tmpDir("jv_r2"); val sp = tmpDir("jv_s2")
     ManagedTable(spark, lp).write(Seq((1L, 1.0)).toDF("k", "x"),

@@ -186,6 +186,107 @@ class IncrementalViewSpec extends SparkSpec {
     assertCurrent(view, t) // 26 rows total, nothing counted twice
   }
 
+  test("a small delta folds as DV+APPEND — O(touched groups) writes; a " +
+      "full-churn fold replaces") {
+    val src = tmpDir("iv_dv_src"); val st = tmpDir("iv_dv_st")
+    val t = ManagedTable(spark, src)
+    // GROUP-cardinality-sized state: one group per id (200 groups) —
+    // the shape where a full-state replace per fold is the write
+    // amplification this path retires
+    t.write((1 to 200).map(i => (i.toLong, i * 1.5)).toDF("id", "v"),
+      "APPEND", "append")
+    val view = new IncrementalAggView(spark, src, st, Seq("id"), Seq("v"))
+    def checkById(): Unit = {
+      val got = view.read.select("id", "cnt", "sum_v")
+      val want = t.read.groupBy("id")
+        .agg(sum(lit(1L)).as("cnt"),
+          sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)")
+            .as("sum_v"))
+      assert(got.exceptAll(want).count() === 0 &&
+        want.exceptAll(got).count() === 0, "id-keyed view drifted")
+    }
+    view.initialize()
+    val s = ManagedTable(spark, st)
+    val dirs0 = s.lastCommit.get.dirs
+    // delta touching 7 of 200 groups: 5 new ids + 2 deleted
+    t.write(Seq((201L, 1.0), (202L, 2.0), (203L, 3.0), (204L, 4.0),
+      (205L, 5.0)).toDF("id", "v"), "APPEND", "append")
+    t.delete(col("id") === 7L || col("id") === 13L)
+    view.refresh()
+    val appendC = s.lastCommit.get
+    assert(appendC.operation === "VIEW_DELTA",
+      "a small-delta fold must APPEND the touched groups, not replace " +
+        s"the state — got ${appendC.operation}")
+    assert(appendC.operationMetrics("numOutputRows") === "5",
+      "the append writes exactly the surviving touched groups' rows")
+    assert(dirs0.forall(appendC.dirs.contains),
+      "the standing state dirs carry over untouched")
+    val dvC = s.commitAt(appendC.version - 1)
+    assert(dvC.operation === "DELETE VECTORS" &&
+      dvC.operationMetrics("numDeletedRows") === "2",
+      "touched groups' old rows tombstone as frame-keyed DVs")
+    assert(appendC.userMetadata.get.contains("\"stateRows\":203"),
+      s"live row count must track 200 - 2 + 5, got ${appendC.userMetadata}")
+    checkById()
+    // full churn: every group moves — above the fraction threshold the
+    // honest plan is ONE replace (its own numOutputRows is the count)
+    t.update(Map("v" -> (col("v") * 2)), lit(true))
+    view.refresh()
+    val replaceC = s.lastCommit.get
+    assert(replaceC.operation === "VIEW_REFRESH" && replaceC.dvDirs.isEmpty,
+      s"a full-churn fold must land one replace, got ${replaceC.operation}")
+    assert(dirs0.forall(d => !replaceC.dirs.contains(d)))
+    checkById()
+    // maintenance: purge the delta folds' tombstones + fold the tail —
+    // watermark-less, state unchanged
+    view.maintain()
+    assert(ManagedTable(spark, st).lastCommit.get.dvDirs.isEmpty)
+    checkById()
+  }
+
+  test("a crash between the touched-group delete and the append resumes: " +
+      "the next refresh lands only the missing append") {
+    val src = tmpDir("iv_crash_src"); val st = tmpDir("iv_crash_st")
+    val t = ManagedTable(spark, src)
+    t.write((1 to 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      "APPEND", "append")
+    val view = new IncrementalAggView(spark, src, st, Seq("id"), Seq("v"))
+    def checkById(): Unit = {
+      val got = view.read.select("id", "cnt", "sum_v")
+      val want = t.read.groupBy("id")
+        .agg(sum(lit(1L)).as("cnt"),
+          sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)")
+            .as("sum_v"))
+      assert(got.exceptAll(want).count() === 0 &&
+        want.exceptAll(got).count() === 0, "id-keyed view drifted")
+    }
+    view.initialize()
+    // the slice a refresh would net: ids 3, 5 change, id 101 enters
+    t.update(Map("v" -> (col("v") + 100)), col("id").isin(3L, 5L),
+      captureChangeData = true)
+    t.write(Seq((101L, 7.0)).toDF("id", "v"), "APPEND", "append")
+    // simulate the crashed fold's surviving prefix: the frame-keyed
+    // delete landed with the pending marker, the append did NOT
+    import spark.implicits._
+    ManagedTable(spark, st).deleteVectorsMatching(
+      Seq(3L, 5L).toDF("id"), Seq("id"),
+      userMetadata = Some("""{"pendingSourceVersion":2}"""))
+    // the watermark still reads the last FULL fold; refresh resumes
+    assert(view.sourceVersion === 0L)
+    assert(view.refresh() === 2L)
+    assert(view.sourceVersion === 2L)
+    val s = ManagedTable(spark, st)
+    assert(s.lastCommit.get.operation === "VIEW_DELTA" &&
+      s.lastCommit.get.operationMetrics("numOutputRows") === "3",
+      "the resume lands ONLY the missing append (ids 3, 5, 101)")
+    assert(s.lastCommit.get.userMetadata.get.contains("\"stateRows\":101"))
+    checkById()
+    // and the resumed state folds further slices normally
+    t.delete(col("id") === 101L)
+    view.refresh()
+    checkById()
+  }
+
   test("a group whose count reaches zero leaves the state") {
     val src = tmpDir("iv_src3"); val st = tmpDir("iv_st3")
     val t = ManagedTable(spark, src)
