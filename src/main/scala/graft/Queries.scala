@@ -7043,6 +7043,117 @@ object Queries {
       |       score_scaled, n_terms_matched
       |FROM r WHERE "rank" <= 7""".stripMargin
 
+  /** ONE-PASS maintenance of the standing-view family
+    * ([[graft.table.StandingViews.refreshAll]], driven through `CALL
+    * graft.refresh_views`): the flagship pipeline keeps BM25 +
+    * positional + near-dup views of one corpus, and refreshing them
+    * individually re-reads and re-nets the SAME change-feed slice once
+    * per view — at 100 TB the daily slice is TB-scale, so N scans of
+    * it is the refresh loop's dominant IO. This query drives a day's
+    * churn (an append + a curation delete) through the CALL and pins
+    * IN-QUERY that the slice was read exactly ONCE
+    * (`ManagedTable.changeFeedReads` counter) however many views, that
+    * every view's watermark advanced to the head, and that each folded
+    * state equals its from-scratch rebuild (the same canonical gate an
+    * individual refresh carries — so one-pass ≡ per-view refreshes).
+    * Oracle: the full BM25 ranking over the FINAL corpus. */
+  def multiViewRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    import graft.table.{Bm25IndexView, ManagedTable, NearDupIndexView,
+      PositionalIndexView}
+    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    val srcPath = tmp("mview_src")
+    val st1 = tmp("mview_bm25")
+    val st2 = tmp("mview_phrase")
+    val st3 = tmp("mview_nd")
+    val t = ManagedTable(spark, srcPath)
+    Staging.timed {
+      t.write(docs.filter(col("doc_id") % 3 =!= 0), "APPEND", "append")
+      new Bm25IndexView(spark, srcPath, st1, expectedDocs = 100000)
+        .initialize()
+      new PositionalIndexView(spark, srcPath, st2, expectedDocs = 100000)
+        .initialize()
+      new NearDupIndexView(spark, srcPath, st3, expectedDocs = 100000)
+        .initialize()
+    }
+    // one day's churn, netted ONCE for the whole family
+    t.write(docs.filter(col("doc_id") % 3 === 0), "APPEND", "append")
+    t.delete(col("doc_id") % 13 === 0)
+    ManagedTable.changeFeedReads.set(0L)
+    val rows = spark.sql(s"CALL graft.refresh_views('$srcPath', " +
+      s"'bm25:$st1,phrase:$st2,neardup:$st3')").collect()
+    require(ManagedTable.changeFeedReads.get == 1L,
+      "multi_view_refresh: N views must fold from ONE change-feed read, " +
+        s"got ${ManagedTable.changeFeedReads.get}")
+    require(rows.length == 3 && rows.forall(_.getLong(2) == 2L),
+      "multi_view_refresh: every view must advance to source version 2")
+    val bm = new Bm25IndexView(spark, srcPath, st1)
+    val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
+    require(bm.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(bm.read).isEmpty,
+      "multi_view_refresh: one-pass BM25 fold drifted from the rebuild")
+    val ph = new PositionalIndexView(spark, srcPath, st2)
+    val rebuiltP = Retrieval.positionalIndex(t.read, "text", "doc_id")
+    require(ph.read.exceptAll(rebuiltP).isEmpty &&
+      rebuiltP.exceptAll(ph.read).isEmpty,
+      "multi_view_refresh: one-pass positional fold drifted from the rebuild")
+    val nd = new NearDupIndexView(spark, srcPath, st3)
+    val rebuiltN = graft.llm.Dedup.buildNearDupIndex(t.read, "text",
+      "doc_id", 64, 3)
+    require(nd.read.exceptAll(rebuiltN).isEmpty &&
+      rebuiltN.exceptAll(nd.read).isEmpty,
+      "multi_view_refresh: one-pass near-dup fold drifted from the rebuild")
+    val queries = Seq(
+      (1L, "merge stream table"),
+      (2L, "fast query data"),
+      (3L, "row group window hash")).toDF("query_id", "query_text")
+    bm.search(queries, k = 7, exact = true)
+  }
+
+  /** DuckDB mirror of [[multiViewRefresh]] — the full-corpus ranking
+    * with the curation delete applied (the oracle never sees the
+    * epochs or the orchestration). */
+  val multiViewRefreshSql: String =
+    """WITH q(query_id, query_text) AS (VALUES
+      |  (1, 'merge stream table'),
+      |  (2, 'fast query data'),
+      |  (3, 'row group window hash')),
+      |docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+      |tok AS (SELECT doc_id,
+      |  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      | FROM docs),
+      |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, tok),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM dt GROUP BY doc_id),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM dt GROUP BY tok),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      |qt AS (SELECT DISTINCT query_id, tok FROM
+      |  (SELECT query_id,
+      |     unnest(regexp_extract_all(lower(query_text), '[a-z0-9]+')) AS tok
+      |   FROM q)),
+      |m AS (SELECT qt.query_id, dt.doc_id,
+      |  CAST((CAST(2*s.n_docs - 2*f.df + 1 AS HUGEINT)
+      |        * ((CAST(44 AS HUGEINT) * dt.tf * s.total_len * 1000000)
+      |           // (CAST(20 AS HUGEINT)*dt.tf*s.total_len
+      |              + CAST(6 AS HUGEINT)*s.total_len
+      |              + CAST(18 AS HUGEINT)*l.dl*s.n_docs)))
+      |    // CAST(2*f.df + 1 AS HUGEINT) AS BIGINT) AS s_int
+      | FROM dt JOIN qt USING (tok) JOIN dl l USING (doc_id)
+      |      JOIN dfreq f USING (tok) CROSS JOIN scal s),
+      |agg AS (SELECT query_id, doc_id,
+      |         CAST(sum(s_int) AS BIGINT) AS score_scaled,
+      |         CAST(count(*) AS BIGINT) AS n_terms_matched
+      |        FROM m GROUP BY query_id, doc_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score_scaled DESC, doc_id) AS "rank" FROM agg)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, "rank", doc_id,
+      |       score_scaled, n_terms_matched
+      |FROM r WHERE "rank" <= 7""".stripMargin
+
   /** The BM25 view surviving the pipeline's OWN curation output: the
     * corpus table takes an exact-dedup DELETE and a text UPDATE — the
     * non-insert slices every curation action writes — and the view
@@ -8089,11 +8200,25 @@ object Queries {
       "APPEND", "append")
     require(view.refresh() == 1L,
       "ann_view_reinit: append fold must land on v1")
-    Staging.timed { view.initialize() }
+    // the re-initialize fires through the DRIFT POLICY, not a manual
+    // call: refreshWithDriftPolicy folds (a no-op here), measures the
+    // corpus's PQ reconstruction MSE under the governing codebooks, and
+    // re-trains because the threshold sits below any real error —
+    // exactly ONE new quantizer version lands
     val centsT = ManagedTable(spark, stPath.stripSuffix("/") + "_centroids")
-    require(centsT.latestVersion.exists(_ > 0L),
-      "ann_view_reinit: re-initialize must land a NEW quantizer version, " +
-        "not overwrite the one historical codes were encoded under")
+    val quantBefore = centsT.latestVersion.get
+    Staging.timed {
+      val (_, reinit) = view.refreshWithDriftPolicy(maxDrift = 1e-12)
+      require(reinit,
+        "ann_view_reinit: drift past max_drift must trigger a re-initialize")
+    }
+    require(centsT.latestVersion.contains(quantBefore + 1),
+      "ann_view_reinit: the policy must land exactly one NEW quantizer " +
+        "version, not overwrite the one historical codes were encoded under")
+    // a generous threshold is stable: fold only, no retrain
+    val (_, reinit2) = view.refreshWithDriftPolicy(maxDrift = 1e18)
+    require(!reinit2 && centsT.latestVersion.contains(quantBefore + 1),
+      "ann_view_reinit: a policy call under the threshold must not retrain")
     val after = view.searchAt(stateV1, queries0, k = 5, nProbe = 4)
     require(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
       "ann_view_reinit: searchAt across the re-initialize must reproduce " +

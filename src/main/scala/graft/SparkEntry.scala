@@ -218,6 +218,7 @@ object SparkEntry {
     "bm25_view_delete" -> (Queries.bm25ViewDelete(_, _)),
     "stream_bm25_view" -> (Queries.streamBm25View(_, _)),
     "bm25_view_bulk_delete" -> (Queries.bm25ViewBulkDelete(_, _)),
+    "multi_view_refresh" -> (Queries.multiViewRefresh(_, _)),
     "view_maintenance" -> (Queries.viewMaintenance(_, _)),
     "view_time_travel" -> (Queries.viewTimeTravel(_, _)),
     "lm_view_refresh" -> (Queries.lmViewRefresh(_, _)),
@@ -746,6 +747,7 @@ object SparkEntry {
     "bm25_view_delete" -> Queries.bm25ViewDeleteSql,
     "stream_bm25_view" -> Queries.streamBm25ViewSql,
     "bm25_view_bulk_delete" -> Queries.bm25ViewBulkDeleteSql,
+    "multi_view_refresh" -> Queries.multiViewRefreshSql,
     "view_maintenance" -> Queries.viewMaintenanceSql,
     "view_time_travel" -> Queries.viewTimeTravelSql,
     "lm_view_refresh" -> Queries.lmViewRefreshSql,

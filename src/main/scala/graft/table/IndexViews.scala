@@ -288,10 +288,37 @@ private[table] object CdfNetting {
  * and optional training/layout/metadata hooks — the contract and its
  * tests are shared, not stamped.
  */
-private[table] abstract class RowLocalIndexView(
+abstract class RowLocalIndexView(
     spark: SparkSession, sourcePath: String, statePath: String,
     idCol: String, payloadCols: Seq[String],
     what: String, opPrefix: String, expectedIds: Long) {
+
+  // one-pass multi-view refresh plumbing ([[StandingViews.refreshAll]]):
+  // the orchestrator groups views by source/watermark/payload signature,
+  // nets each signature ONCE, and hands every view its pre-netted slice
+  private[table] final def sourceTablePath: String = sourcePath
+  private[table] final def netIdCol: String = idCol
+  private[table] final def netPayloadCols: Seq[String] = payloadCols
+  private[table] final def viewKind: String = what
+  private[table] final def resumePendingSlice(): Unit = { resumePending(); () }
+  private[table] final def stateTxnVersion(appId: String): Option[Long] =
+    state.lastTxnVersion(appId)
+
+  /** Apply one pre-netted slice `(ins, del)` and advance the watermark
+    * to `latest` — [[refresh]]'s tail, split out so the multi-view
+    * orchestrator can net once and fold many. A nets-to-nothing slice
+    * still advances the watermark (empty commit) so the retention hold
+    * slides. */
+  private[table] final def foldNetted(ins: DataFrame, del: DataFrame,
+                                      latest: Long,
+                                      txn: Option[(String, Long)] = None): Unit = {
+    if (ins.isEmpty && del.isEmpty) {
+      state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
+        Some(refreshMeta(latest, ins, del)), mergeSchema = true,
+        expectedPrevVersion = state.latestVersion, txnUpdate = txn)
+      source.setRetentionHold(statePath, latest)
+    } else foldSlice(ins, del, latest, txn)
+  }
 
   /** Index rows for a set of source rows — must be a per-row-local
     * function (a doc's index rows depend on that doc alone). */
@@ -387,20 +414,13 @@ private[table] abstract class RowLocalIndexView(
         "source table recreated? Re-initialize the view.")
     if (latest == last) return last
     val cdf = CdfNetting.cdfSlice(source, last, latest, what)
+    // a range netting to NOTHING (pure source compaction: coarse
+    // add/remove feeds that cancel) still advances the watermark with
+    // an empty commit inside foldNetted, so the retention hold slides —
+    // otherwise a source that only ever compacts pins its whole history
+    // against vacuum forever
     val (ins, del) = CdfNetting.net(cdf, idCol, payloadCols, what)
-    if (ins.isEmpty && del.isEmpty) {
-      // the range nets to NOTHING (pure source compaction: coarse
-      // add/remove feeds that cancel) — still advance the watermark
-      // with an empty commit so the retention hold slides; otherwise a
-      // source that only ever compacts pins its whole history against
-      // vacuum forever
-      state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
-        Some(refreshMeta(latest, ins, del)), mergeSchema = true,
-        expectedPrevVersion = state.latestVersion)
-      source.setRetentionHold(statePath, latest)
-      return latest
-    }
-    foldSlice(ins, del, latest, None)
+    foldNetted(ins, del, latest)
     latest
   }
 
@@ -676,7 +696,132 @@ private[table] abstract class RowLocalIndexView(
   final def read: DataFrame = state.read
 }
 
-private[table] object RowLocalIndexView {
+/**
+ * ONE-PASS maintenance for MANY standing views over one corpus — the
+ * flagship curation pipeline keeps BM25 + positional + near-dup +
+ * semantic + ANN + benchmark views of the same documents table, and
+ * refreshing them one by one re-reads and re-nets the identical
+ * change-feed slice once per view (and re-tokenizes it for every text
+ * view). At 100 TB the daily slice is TB-scale; N scans of it is real
+ * money. [[refreshAll]] reads the slice ONCE per (watermark) group
+ * (column-pruned to the union of the views' id/payload columns,
+ * localCheckpoint'd), nets it once per payload SIGNATURE (text views
+ * share one netting, embedding views another), and hands each view its
+ * pre-netted `(ins, del)` — per-view gates, bloom folds, write
+ * choreography, and watermarks unchanged, so the result is
+ * commit-for-commit what individual refreshes would build.
+ * [[refreshStreamAll]] is the streaming form: ONE CDF stream, N folds
+ * per micro-batch, exactly-once per view via (checkpoint, epoch)
+ * transaction high-waters on each view's own state.
+ */
+object StandingViews {
+
+  /** Refresh every view in `views` (all over the SAME source table)
+    * reading the unprocessed change feed once per distinct watermark.
+    * Returns the source version every view is current to. */
+  def refreshAll(spark: SparkSession,
+                 views: Seq[RowLocalIndexView]): Long = {
+    require(views.nonEmpty, "refreshAll needs at least one view")
+    val srcPath = views.head.sourceTablePath
+    require(views.forall(_.sourceTablePath == srcPath),
+      "refreshAll nets ONE source's change feed — views span " +
+        views.map(_.sourceTablePath).distinct.mkString(", "))
+    // finish any half-applied DV slice first (its pending range is
+    // already tombstoned; the watermark must reflect the completed fold
+    // before this pass nets from it)
+    views.foreach(_.resumePendingSlice())
+    val source = ManagedTable(spark, srcPath)
+    val latest = source.latestVersion.getOrElse(
+      throw new IllegalStateException(s"source table $srcPath does not exist"))
+    views.groupBy(_.sourceVersion).foreach { case (wm, group) =>
+      require(latest >= wm,
+        s"source went backwards: watermark $wm, latest $latest — was the " +
+          "source table recreated? Re-initialize the views.")
+      if (latest != wm) {
+        val needed = group
+          .flatMap(v => v.netIdCol +: v.netPayloadCols).distinct
+        val slice = CdfNetting
+          .cdfSlice(source, wm, latest, "multi-view refresh")
+          .select((needed.map(c => col(s"`$c`")) :+ col("_change_type")): _*)
+          .localCheckpoint()
+        group.groupBy(v => (v.netIdCol, v.netPayloadCols)).foreach {
+          case ((id, pay), vs) =>
+            val (ins, del) = CdfNetting.net(slice, id, pay,
+              s"multi-view refresh (${vs.map(_.viewKind).mkString(", ")})")
+            vs.foreach(_.foldNetted(ins, del, latest))
+        }
+      }
+    }
+    latest
+  }
+
+  /** STREAMING form: ONE CDF stream over the shared source drives every
+    * view's fold per micro-batch — netted once per (watermark, payload
+    * signature) from the checkpointed batch. Exactly-once PER VIEW: each
+    * fold's final commit carries the (checkpoint, epoch) transaction
+    * high-water on that view's own state, so a crash after view k folded
+    * but view k+1 did not replays the epoch folding only the k+1 tail;
+    * the re-created-checkpoint refusal is per view too. Caller
+    * drains/stops the returned query. */
+  def refreshStreamAll(spark: SparkSession, views: Seq[RowLocalIndexView],
+                       checkpoint: String,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(views.nonEmpty, "refreshStreamAll needs at least one view")
+    val srcPath = views.head.sourceTablePath
+    require(views.forall(_.sourceTablePath == srcPath),
+      "refreshStreamAll nets ONE source's change feed — views span " +
+        views.map(_.sourceTablePath).distinct.mkString(", "))
+    val appId = s"graft-view:$checkpoint"
+    val start = views.map(_.sourceVersion).min + 1
+    val stream = graft.streaming.StreamOps.streamTable(spark, srcPath,
+      startingVersion = Some(start), readChangeFeed = true)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val live = views.filter(v =>
+          !v.stateTxnVersion(appId).exists(_ >= epochId))
+        if (live.isEmpty) {
+          // every view recognizes the epoch as replayed; if it carries
+          // commits BEYOND every watermark, the checkpoint path was
+          // deleted and reused — refuse instead of dropping unseen data
+          val maxWm = views.map(_.sourceVersion).max
+          if (!batch.filter(col("_commit_version") > maxWm).isEmpty)
+            throw new IllegalStateException(
+              s"multi-view stream checkpoint '$checkpoint' was re-created: " +
+                s"epoch $epochId is at or below every view's recorded " +
+                "high-water but carries commits beyond the watermark. Use " +
+                "a FRESH checkpoint path.")
+        } else {
+          live.foreach(_.resumePendingSlice())
+          val needed = live
+            .flatMap(v => v.netIdCol +: v.netPayloadCols).distinct
+          val slice = batch.select((needed.map(c => col(s"`$c`")) :+
+            col("_change_type") :+ col("_commit_version")): _*)
+            .localCheckpoint()
+          live.groupBy(_.sourceVersion).foreach { case (wm, group) =>
+            val fresh = slice.filter(col("_commit_version") > wm)
+            val maxV = fresh.agg(max(col("_commit_version"))).head()
+            if (!maxV.isNullAt(0)) {
+              group.groupBy(v => (v.netIdCol, v.netPayloadCols)).foreach {
+                case ((id, pay), vs) =>
+                  val (ins, del) = CdfNetting.net(fresh, id, pay,
+                    s"multi-view stream (${vs.map(_.viewKind).mkString(", ")})")
+                  vs.foreach(_.foldNetted(ins, del, maxV.getLong(0),
+                    Some((appId, epochId))))
+              }
+            }
+          }
+        }
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+}
+
+object RowLocalIndexView {
   /** Past-the-broadcast-gate delete slices land as FRAME-KEYED deletion
     * vectors (O(deleted rows) writes, id set never driver state) while
     * the deleted index rows stay under this percentage of the state's
@@ -851,16 +996,21 @@ final class SemanticIndexView(spark: SparkSession, sourcePath: String,
     * (old quantizer + old codes), and AS-OF reads across a re-initialize
     * decode historical codes under their HISTORICAL quantizer. */
   private def centsVersion(atOrBelow: Option[Long]): Long = {
+    // resolved ONLY through the state metadata walk — the staged
+    // (not-yet-committed) version is threaded explicitly into the init
+    // path's buildRows/initMeta instead of taking global precedence
+    // here, so a concurrent search/dedupBatch on this instance during
+    // an in-flight re-initialize keeps decoding the OLD codes under
+    // the OLD quantizer
     val walked =
       if (state.exists)
         CdfNetting.commitMetas(state, "semantic view", statePath, atOrBelow)
           .collectFirst { case m if CentsRe.findFirstMatchIn(m).isDefined =>
             CentsRe.findFirstMatchIn(m).get.group(1).toLong }
       else None
-    (if (atOrBelow.isDefined) walked else stagedQuantizer.orElse(walked))
-      .getOrElse(throw new IllegalStateException(
-        "no commit in the semantic view state's history names a quantizer " +
-          "version — call initialize() first"))
+    walked.getOrElse(throw new IllegalStateException(
+      "no commit in the semantic view state's history names a quantizer " +
+        "version — call initialize() first"))
   }
 
   /** The frozen cell quantizer governing the CURRENT state. */
@@ -910,8 +1060,14 @@ final class SemanticIndexView(spark: SparkSession, sourcePath: String,
   override protected def initProperties: Option[Map[String, String]] =
     Some(Map(ManagedTable.ClusterColumnsProp -> "cell"))
 
-  override protected def buildRows(docs: DataFrame): DataFrame =
-    Similarity.buildSemanticIndex(centroids, docs, idCol, vecCol)
+  override protected def buildRows(docs: DataFrame): DataFrame = {
+    // the init window's just-trained version threads in here (its init
+    // commit has not named it yet); every other fold resolves through
+    // the walk
+    val cv = stagedQuantizer.getOrElse(centsVersion(None))
+    Similarity.buildSemanticIndex(
+      Similarity.centroidsFrom(centsTable.readAt(cv)), docs, idCol, vecCol)
+  }
 
   /** Keep only the batch vectors that are semantic duplicates of
     * NOTHING — neither the maintained (ghost-free) corpus index nor
@@ -981,6 +1137,11 @@ final class AnnIndexView(spark: SparkSession, sourcePath: String,
     * pair, so AS-OF reads decode historical codes under their
     * historical quantizer. */
   private def quantVersions(atOrBelow: Option[Long]): (Long, Long) = {
+    // resolved ONLY through the state metadata walk — the staged pair
+    // threads explicitly into the init path's buildRows/initMeta (see
+    // [[SemanticIndexView.centsVersion]]): a concurrent search on this
+    // instance during an in-flight re-initialize must keep decoding the
+    // OLD codes under the OLD quantizer pair
     val walked =
       if (state.exists)
         CdfNetting.commitMetas(state, "ann index view", statePath, atOrBelow)
@@ -988,10 +1149,9 @@ final class AnnIndexView(spark: SparkSession, sourcePath: String,
             val g = QuantRe.findFirstMatchIn(m).get
             (g.group(1).toLong, g.group(2).toLong) }
       else None
-    (if (atOrBelow.isDefined) walked else stagedQuantizer.orElse(walked))
-      .getOrElse(throw new IllegalStateException(
-        "no commit in the ann view state's history names quantizer " +
-          "versions — call initialize() first"))
+    walked.getOrElse(throw new IllegalStateException(
+      "no commit in the ann view state's history names quantizer " +
+        "versions — call initialize() first"))
   }
 
   /** The governing quantizer pair, resolved with ONE metadata walk —
@@ -1049,6 +1209,12 @@ final class AnnIndexView(spark: SparkSession, sourcePath: String,
   }
 
   override protected def afterVacuum(): Unit = {
+    // keeps named.min..latest. A crashed re-initialize's ORPHAN version
+    // (written above every named one) rides along: vacuum semantics
+    // never drop the head, and once a later init lands the orphan sits
+    // interior to the kept range — a small BOUNDED sidecar per crashed
+    // re-init (two tiny quantizer tables), accepted over a
+    // gap-tracking vacuum variant.
     val named = state.metaHistory.flatMap(c => c.userMetadata
       .flatMap(m => QuantRe.findFirstMatchIn(m))
       .map(g => (g.group(1).toLong, g.group(2).toLong))).toSeq
@@ -1067,9 +1233,30 @@ final class AnnIndexView(spark: SparkSession, sourcePath: String,
   override protected def initProperties: Option[Map[String, String]] =
     Some(Map(ManagedTable.ClusterColumnsProp -> "cell"))
 
-  override protected def buildRows(docs: DataFrame): DataFrame =
-    { val (cents, books) = quantizerNow
-      Similarity.ivfPqAppend(cents, books, docs, idCol, vecCol) }
+  override protected def buildRows(docs: DataFrame): DataFrame = {
+    // the init window's just-trained pair threads in here; every other
+    // fold resolves through the walk
+    val (cv, bv) = stagedQuantizer.getOrElse(quantVersions(None))
+    Similarity.ivfPqAppend(Similarity.centroidsFrom(centsTable.readAt(cv)),
+      Similarity.pqBooksFrom(booksTable.readAt(bv)), docs, idCol, vecCol)
+  }
+
+  /** [[refresh]] plus the FAISS retrain-when-stale loop as ONE call:
+    * after the fold, the CURRENT corpus's PQ reconstruction MSE under
+    * the governing codebooks ([[Similarity.pqReconstructionError]] —
+    * the `CALL graft.ann_view_drift` signal) is compared to
+    * `maxDrift`; past it the view re-[[initialize]]s — retrain, new
+    * VERSIONED quantizer pair, a fresh init commit naming it — so the
+    * policy loop is one idempotent maintenance call. AS-OF reads of
+    * pre-re-init states keep decoding under their historical quantizer
+    * (the versioned-lineage contract). Returns (watermark,
+    * reinitialized?). */
+  def refreshWithDriftPolicy(maxDrift: Double): (Long, Boolean) = {
+    require(maxDrift > 0, "max_drift must be positive")
+    val v = refresh()
+    val mse = Similarity.pqReconstructionError(codebooks, source.read)
+    if (mse > maxDrift) (initialize(), true) else (v, false)
+  }
 
   /** Serve top-k from the standing artifacts: probe-pruned ADC scan
     * over the maintained codes, exact re-rank against the CURRENT

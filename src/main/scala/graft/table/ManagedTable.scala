@@ -2301,8 +2301,16 @@ final class ManagedTable(spark: SparkSession, root: String) {
   private def vacuumCore(versions: Seq[Long], firstKeepRaw: Long,
                          dryRun: Boolean): ManagedTable.VacuumStats = {
     import ManagedTable.VacuumStats
-    val firstKeep = retentionHolds.values.minOption
+    val holds = retentionHolds
+    val firstKeep = holds.values.minOption
       .fold(firstKeepRaw)(h => math.min(firstKeepRaw, math.max(h, versions.head)))
+    // surface forgotten pins: a live view slides its hold every fold, so
+    // a pin trailing the REQUESTED cut by more than the warn threshold
+    // is a decommissioned consumer pinning history forever
+    val stale = holds.toSeq
+      .filter { case (_, v) =>
+        firstKeepRaw - v > ManagedTable.StaleHoldWarnVersions.toLong }
+      .sortBy(_._1)
     // delta-encoded entries chain to earlier versions; the earliest kept
     // commit's whole chain must survive or retained versions become
     // unresolvable. Walk it to its full-snapshot base and keep from there
@@ -2317,7 +2325,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
       link = readEntry(chainBase)._2
     }
     val (drop, keep) = versions.partition(_ < chainBase)
-    if (drop.isEmpty) return VacuumStats(0, 0, 0)
+    if (drop.isEmpty) return VacuumStats(0, 0, 0, 0, stale)
     val keepCommits = readCommits(keep)
     val dropCommits = readCommits(drop)
 
@@ -2351,7 +2359,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
       .filter(underOwnRoot)
 
     if (dryRun)
-      return VacuumStats(drop.size, deadRoots.size, deadChange.size, deadDv.size)
+      return VacuumStats(drop.size, deadRoots.size, deadChange.size,
+        deadDv.size, stale)
     // delete the log entries FIRST: a crash mid-vacuum then leaves orphan
     // data dirs (harmless; a later vacuum of any version sweeps nothing,
     // but no retained commit ever points at deleted data), never a live
@@ -2363,7 +2372,8 @@ final class ManagedTable(spark: SparkSession, root: String) {
     drop.foreach(v => fs.delete(new Path(logPath, f"$v%012d.json"), false))
     writePtr(ManagedTable.FloorPtrFile, chainBase)
     (deadRoots ++ deadChange ++ deadDv).foreach(d => fs.delete(new Path(d), true))
-    VacuumStats(drop.size, deadRoots.size, deadChange.size, deadDv.size)
+    VacuumStats(drop.size, deadRoots.size, deadChange.size, deadDv.size,
+      stale)
   }
 
   /** Partition subdirs of a data dir as relative paths like "p=1/q=a"
@@ -3114,7 +3124,19 @@ object ManagedTable {
   }
 
   final case class VacuumStats(prunedVersions: Int, deletedDataDirs: Int,
-                               deletedChangeDirs: Int, deletedDvDirs: Int = 0)
+                               deletedChangeDirs: Int, deletedDvDirs: Int = 0,
+                               // holders whose pin lags the REQUESTED cut
+                               // by more than StaleHoldWarnVersions — a
+                               // forgotten hold (dropped view, dead
+                               // consumer) pins history forever, and
+                               // without this it does so silently
+                               staleHolds: Seq[(String, Long)] = Nil)
+
+  /** A retention hold trailing the requested vacuum cut by more than
+    * this many versions is reported as STALE in [[VacuumStats]] — live
+    * views slide their pins every fold, so a pin this far behind is a
+    * decommissioned consumer someone forgot to release. */
+  val StaleHoldWarnVersions: Int = 64
 
   /** [[ManagedTable.exportManifest]] result: the exported snapshot
     * version, data files listed, and manifest files written (1, or one

@@ -60,6 +60,19 @@ object SqlProcedures {
         s"CALL argument $what must be an integer literal, got $other")
     }
 
+  private[table] def doubleArg(e: Expression, what: String): Double =
+    litArg(e, what) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+      case d: BigDecimal => d.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"CALL argument $what must be a numeric literal, got $other")
+    }
+
   private[table] def boolArg(e: Expression, what: String): Boolean =
     litArg(e, what) match {
       case b: Boolean => b
@@ -111,7 +124,11 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       attr("operation_metrics", StringType), attr("user_metadata", StringType))
     case "vacuum" | "vacuum_older_than" | "vacuum_index_view" => Seq(
       attr("pruned_versions", IntegerType), attr("deleted_data_dirs", IntegerType),
-      attr("deleted_change_dirs", IntegerType), attr("deleted_dv_dirs", IntegerType))
+      attr("deleted_change_dirs", IntegerType), attr("deleted_dv_dirs", IntegerType),
+      // holders whose pin trails the requested cut by more than the warn
+      // threshold ("holder@version,..."), else NULL — a forgotten hold
+      // pins history forever, and this is where an operator sees it
+      attr("stale_holds", StringType))
     case "optimize" | "analyze" | "purge_deletes" | "restore" | "clone" |
          "cluster_append" | "cluster_by" | "maintain" => Seq(
       attr("version", LongType), attr("operation", StringType),
@@ -136,6 +153,12 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
     case "init_join_view" | "refresh_join_view" => Seq(
       attr("left_version", LongType), attr("right_version", LongType))
     case "ann_view_drift" => Seq(attr("mse", DoubleType))
+    case "refresh_views" => Seq(
+      attr("kind", StringType), attr("state", StringType),
+      attr("source_version", LongType))
+    case "stream_refresh_view" => Seq(
+      attr("query_id", StringType), attr("batches", LongType),
+      attr("status", StringType))
     case "show_holds" | "release_hold" => Seq(
       attr("holder", StringType), attr("version", LongType))
     case other => throw new IllegalArgumentException(
@@ -150,12 +173,19 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         "init_nb_view, refresh_nb_view, init_neardup_view, " +
         "refresh_neardup_view, init_semantic_view, refresh_semantic_view, " +
         "init_benchmark_view, refresh_benchmark_view, vacuum_index_view, " +
-        "ann_view_drift, show_holds, release_hold")
+        "ann_view_drift, refresh_views, stream_refresh_view, show_holds, " +
+        "release_hold")
   }
 
 
   private def commitRow(c: ManagedTable.Commit): Row =
     Row(c.version, c.operation, metricsJson(c.operationMetrics))
+
+  private def vacuumRow(s: ManagedTable.VacuumStats): Row =
+    Row(s.prunedVersions, s.deletedDataDirs, s.deletedChangeDirs,
+      s.deletedDvDirs,
+      if (s.staleHolds.isEmpty) null
+      else s.staleHolds.map { case (h, v) => s"$h@$v" }.mkString(","))
 
   override def run(spark: SparkSession): Seq[Row] = {
     def table(i: Int = 0): ManagedTable =
@@ -178,9 +208,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         require(args.size == 2 || args.size == 3,
           "CALL graft.vacuum(path, keep_last[, dry_run])")
         val dry = args.size == 3 && boolArg(args(2), "dry_run")
-        val s = table().vacuum(longArg(args(1), "keep_last").toInt, dryRun = dry)
-        Seq(Row(s.prunedVersions, s.deletedDataDirs, s.deletedChangeDirs,
-          s.deletedDvDirs))
+        Seq(vacuumRow(table().vacuum(longArg(args(1), "keep_last").toInt,
+          dryRun = dry)))
       case "vacuum_older_than" =>
         // age-based retention (Delta's VACUUM ... RETAIN semantics):
         // prune versions committed strictly before the timestamp; the
@@ -188,10 +217,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         require(args.size == 2 || args.size == 3,
           "CALL graft.vacuum_older_than(path, ts_ms[, dry_run])")
         val dry = args.size == 3 && boolArg(args(2), "dry_run")
-        val s = table().vacuumOlderThan(longArg(args(1), "ts_ms"),
-          dryRun = dry)
-        Seq(Row(s.prunedVersions, s.deletedDataDirs, s.deletedChangeDirs,
-          s.deletedDvDirs))
+        Seq(vacuumRow(table().vacuumOlderThan(longArg(args(1), "ts_ms"),
+          dryRun = dry)))
       case "optimize" =>
         require(args.size == 1 || args.size == 2,
           "CALL graft.optimize(path[, max_dir_bytes])")
@@ -380,25 +407,117 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         // commits still name, pruned coherently (RowLocalIndexView.vacuum)
         require(args.size == 4,
           "CALL graft.vacuum_index_view(kind, source, state, keep_last)")
-        val src = strArg(args(1), "source path")
-        val st = strArg(args(2), "state path")
-        val view: RowLocalIndexView = strArg(args(0), "kind") match {
-          case "bm25" => new Bm25IndexView(spark, src, st)
-          case "phrase" => new PositionalIndexView(spark, src, st)
-          case "ann" => new AnnIndexView(spark, src, st)
-          case "neardup" => new NearDupIndexView(spark, src, st)
-          case "semantic" => new SemanticIndexView(spark, src, st)
-          case "benchmark" => new BenchmarkIndexView(spark, src, st)
-          case k => throw new IllegalArgumentException(
-            s"unknown index-view kind `$k` — supported: bm25, phrase, " +
-              "ann, neardup, semantic, benchmark")
+        val srcPath = strArg(args(1), "source path")
+        val stPath = strArg(args(2), "state path")
+        if (!ManagedTable(spark, stPath).exists) {
+          // decommissioned view: its state is gone but its retention
+          // hold would pin the SOURCE's history forever — release it
+          // and say so, instead of failing on the missing state
+          ManagedTable(spark, srcPath).releaseRetentionHold(stPath)
+          Seq(Row(0, 0, 0, 0, s"released stale hold $stPath"))
+        } else {
+          val view = indexView(spark, strArg(args(0), "kind"), srcPath,
+            stPath)
+          Seq(vacuumRow(view.vacuum(longArg(args(3), "keep_last").toInt)))
         }
-        val s = view.vacuum(longArg(args(3), "keep_last").toInt)
-        Seq(Row(s.prunedVersions, s.deletedDataDirs, s.deletedChangeDirs,
-          s.deletedDvDirs))
+      case "refresh_views" =>
+        // ONE-PASS maintenance of the whole standing-view family over a
+        // corpus: the unprocessed change feed is read once and netted
+        // once per payload signature, then every view folds its
+        // pre-netted slice (StandingViews.refreshAll) — the pure-SQL
+        // spelling of the daily pipeline tick.
+        //   CALL graft.refresh_views('/corpus', 'bm25:/s1,phrase:/s2,ann:/s3')
+        require(args.size == 2,
+          "CALL graft.refresh_views(source, 'kind:state[,kind:state...]')")
+        val src = strArg(args(0), "source path")
+        val pairs = strArg(args(1), "view list").split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq.map { s =>
+            val i = s.indexOf(':')
+            require(i > 0 && i < s.length - 1,
+              s"view list entries are kind:state, got `$s`")
+            (s.substring(0, i).trim, s.substring(i + 1).trim)
+          }
+        require(pairs.nonEmpty, "refresh_views needs at least one view")
+        val views = pairs.map { case (k, st) => (k, st,
+          indexView(spark, k, src, st)) }
+        val v = StandingViews.refreshAll(spark, views.map(_._3))
+        views.map { case (k, st, _) => Row(k, st, v) }
+      case "stream_refresh_view" =>
+        // STREAMING maintenance as SQL — a pure-SQL pipeline could
+        // init/refresh/maintain/serve every standing view but not START
+        // its streaming maintenance. Runs the view's CDF stream with an
+        // AvailableNow drain and returns (query id, micro-batches seen,
+        // status). Kinds: the index-view registry, 'lm', 'nb', 'agg'
+        // (+group/sum[/minmax] csvs), 'join' (+left/right/keys/...),
+        // and 'views' (one stream, N folds — StandingViews).
+        val kind = strArg(args(0), "kind")
+        val q: org.apache.spark.sql.streaming.StreamingQuery = kind match {
+          case "lm" =>
+            require(args.size == 4,
+              "CALL graft.stream_refresh_view('lm', source, state, checkpoint)")
+            new CorpusLmView(spark, strArg(args(1), "source path"),
+              strArg(args(2), "state path"))
+              .refreshStream(strArg(args(3), "checkpoint"))
+          case "nb" =>
+            require(args.size == 4,
+              "CALL graft.stream_refresh_view('nb', source, state, checkpoint)")
+            new ClassifierModelView(spark, strArg(args(1), "source path"),
+              strArg(args(2), "state path"))
+              .refreshStream(strArg(args(3), "checkpoint"))
+          case "agg" =>
+            require(args.size == 6 || args.size == 7,
+              "CALL graft.stream_refresh_view('agg', source, state, " +
+                "checkpoint, group_csv, sum_csv[, minmax_csv])")
+            new IncrementalAggView(spark, strArg(args(1), "source path"),
+              strArg(args(2), "state path"), csv(args(4), "group_csv"),
+              csv(args(5), "sum_csv"),
+              if (args.size == 7) csv(args(6), "minmax_csv") else Nil)
+              .refreshStream(strArg(args(3), "checkpoint"))
+          case "join" =>
+            require(args.size == 8 || args.size == 9,
+              "CALL graft.stream_refresh_view('join', left, right, state, " +
+                "checkpoint, keys_csv, group_csv, sum_csv[, minmax_csv])")
+            new IncrementalJoinAggView(spark, strArg(args(1), "left path"),
+              strArg(args(2), "right path"), strArg(args(3), "state path"),
+              csv(args(5), "keys_csv"), csv(args(6), "group_csv"),
+              csv(args(7), "sum_csv"),
+              if (args.size == 9) csv(args(8), "minmax_csv") else Nil)
+              .refreshStream(strArg(args(4), "checkpoint"))
+          case "views" =>
+            require(args.size == 4,
+              "CALL graft.stream_refresh_view('views', source, " +
+                "'kind:state[,...]', checkpoint)")
+            val src = strArg(args(1), "source path")
+            val vs = strArg(args(2), "view list").split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq.map { s =>
+                val i = s.indexOf(':')
+                require(i > 0 && i < s.length - 1,
+                  s"view list entries are kind:state, got `$s`")
+                indexView(spark, s.substring(0, i).trim,
+                  src, s.substring(i + 1).trim)
+              }
+            StandingViews.refreshStreamAll(spark, vs,
+              strArg(args(3), "checkpoint"))
+          case k =>
+            require(args.size == 4,
+              s"CALL graft.stream_refresh_view('$k', source, state, checkpoint)")
+            indexView(spark, k, strArg(args(1), "source path"),
+              strArg(args(2), "state path"))
+              .refreshStream(strArg(args(3), "checkpoint"))
+        }
+        val drained = q.awaitTermination(600000)
+        if (!drained) { q.stop() }
+        require(drained,
+          "stream_refresh_view: the AvailableNow drain did not finish " +
+            "within 10 minutes — the query was stopped")
+        Seq(Row(q.id.toString, q.recentProgress.length.toLong, "drained"))
       case "init_ann_view" | "refresh_ann_view" =>
-        require(args.size == 2 || args.size == 5,
-          s"CALL graft.$proc(source, state[, nlist, m, ksub])")
+        require(args.size == 2 || args.size == 5 ||
+          (proc == "refresh_ann_view" && args.size == 3),
+          s"CALL graft.$proc(source, state[, nlist, m, ksub])" +
+            (if (proc == "refresh_ann_view")
+              " or CALL graft.refresh_ann_view(source, state, max_drift)"
+             else ""))
         val view =
           if (args.size == 5)
             new AnnIndexView(spark, strArg(args(0), "source path"),
@@ -408,7 +527,13 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
               ksub = longArg(args(4), "ksub").toInt)
           else new AnnIndexView(spark, strArg(args(0), "source path"),
             strArg(args(1), "state path"))
-        val v = if (proc == "init_ann_view") view.initialize()
+        val v =
+          if (proc == "init_ann_view") view.initialize()
+          else if (args.size == 3)
+            // the drift POLICY: fold, measure reconstruction MSE under
+            // the governing codebooks, re-initialize when it exceeds
+            // max_drift — FAISS's retrain-when-stale loop as one CALL
+            view.refreshWithDriftPolicy(doubleArg(args(2), "max_drift"))._1
           else view.refresh()
         Seq(Row(v))
       case other => throw new IllegalArgumentException(
@@ -420,6 +545,21 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
     * (sum-less count views are legal). */
   private def csv(e: Expression, what: String): Seq[String] =
     strArg(e, what).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Default-parameter index view of `kind` — the kind registry shared
+    * by vacuum_index_view / refresh_views / stream_refresh_view. */
+  private def indexView(spark: SparkSession, kind: String, src: String,
+                        st: String): RowLocalIndexView = kind match {
+    case "bm25" => new Bm25IndexView(spark, src, st)
+    case "phrase" => new PositionalIndexView(spark, src, st)
+    case "ann" => new AnnIndexView(spark, src, st)
+    case "neardup" => new NearDupIndexView(spark, src, st)
+    case "semantic" => new SemanticIndexView(spark, src, st)
+    case "benchmark" => new BenchmarkIndexView(spark, src, st)
+    case k => throw new IllegalArgumentException(
+      s"unknown index-view kind `$k` — supported: bm25, phrase, " +
+        "ann, neardup, semantic, benchmark")
+  }
 }
 
 /** `SHOW TBLPROPERTIES graft.t [('key')]` — the stored property map

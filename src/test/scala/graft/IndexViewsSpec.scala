@@ -556,6 +556,18 @@ class IndexViewsSpec extends SparkSpec {
     assert(view.sourceVersion === wmBefore,
       "vacuum after maintenance commits wedged the watermark walk")
     assert(view.search(queries, k = 3, nProbe = 4).collect().nonEmpty)
+    // decommissioning: the state directory is dropped but its retention
+    // hold would pin the SOURCE's history forever — vacuum_index_view of
+    // the missing state releases the hold and says so
+    assert(t.retentionHolds.contains(st))
+    val fsSt = new org.apache.hadoop.fs.Path(st)
+    fsSt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(fsSt, true)
+    val rel = spark.sql(
+      s"CALL graft.vacuum_index_view('ann', '$src', '$st', 1)").head()
+    assert(rel.getString(4).contains("released stale hold"))
+    assert(!t.retentionHolds.contains(st),
+      "the dropped view's source hold must be released")
   }
 
   test("semantic index view: re-initialize versions the quantizer — the " +

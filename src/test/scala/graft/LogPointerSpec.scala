@@ -107,6 +107,24 @@ class LogPointerSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readAt(earliest - 1))
   }
 
+  test("vacuum reports holds that trail the requested cut past the warn " +
+      "threshold; sliding the pin clears the warning") {
+    val (_, t) = fabricated("ptr_stale_hold", 110L)
+    t.setRetentionHold("dead/view/state", 0L)
+    val s = t.vacuum(1, dryRun = true)
+    assert(s.prunedVersions === 0, "the hold clamps the whole cut")
+    assert(s.staleHolds === Seq("dead/view/state" -> 0L),
+      "a pin 109 versions behind the requested cut must be reported stale")
+    // a live consumer's pin sits near the head — no warning
+    t.setRetentionHold("dead/view/state", 100L)
+    val s2 = t.vacuum(1, dryRun = true)
+    assert(s2.staleHolds.isEmpty)
+    assert(s2.prunedVersions > 0, "the slid pin releases history")
+    // releasing entirely unclamps
+    t.releaseRetentionHold("dead/view/state")
+    assert(t.vacuum(1, dryRun = true).staleHolds.isEmpty)
+  }
+
   test("a real write/delete/restore lifecycle keeps pointer-served " +
       "answers identical to the listing's") {
     val path = tmpDir("ptr_real")

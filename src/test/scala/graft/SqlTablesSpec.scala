@@ -834,6 +834,107 @@ class SqlTablesSpec extends SparkSpec {
         exact = true))
   }
 
+  test("CALL graft.refresh_views folds MANY views from one slice read; " +
+      "stream_refresh_view drives streaming maintenance from SQL") {
+    import spark.implicits._
+    val src = tmpDir("mvc_src")
+    val st1 = tmpDir("mvc_bm25"); val st2 = tmpDir("mvc_ph")
+    val t = ManagedTable(spark, src)
+    t.write(Seq((1L, "spark merge table"), (2L, "table scan row"),
+      (3L, "stream window group")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    spark.sql(s"CALL graft.init_bm25_view('$src', '$st1', 1000)").collect()
+    spark.sql(s"CALL graft.init_phrase_view('$src', '$st2', 1000)").collect()
+    t.write(Seq((4L, "spark window")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    t.delete(col("doc_id") === 2L)
+    ManagedTable.changeFeedReads.set(0L)
+    val rows = spark.sql(
+      s"CALL graft.refresh_views('$src', 'bm25:$st1,phrase:$st2')").collect()
+    assert(ManagedTable.changeFeedReads.get === 1L,
+      "the CALL must net the slice once for both views")
+    assert(rows.map(r => (r.getString(0), r.getLong(2))).toSet ===
+      Set(("bm25", 2L), ("phrase", 2L)))
+    val rebuilt = graft.llm.Retrieval.bm25Postings(t.read, "text", "doc_id")
+    val bm = new graft.table.Bm25IndexView(spark, src, st1)
+    assert(bm.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(bm.read).isEmpty)
+    // streaming maintenance as SQL: one AvailableNow drain per CALL
+    t.write(Seq((5L, "merge group hash")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    val ck = tmpDir("mvc_ck")
+    val s1 = spark.sql(
+      s"CALL graft.stream_refresh_view('bm25', '$src', '$st1', '$ck')").head()
+    assert(s1.getString(2) === "drained")
+    assert(bm.sourceVersion === t.latestVersion.get,
+      "the streamed fold must advance the watermark to the source head")
+    val rebuilt2 = graft.llm.Retrieval.bm25Postings(t.read, "text", "doc_id")
+    assert(bm.read.exceptAll(rebuilt2).isEmpty &&
+      rebuilt2.exceptAll(bm.read).isEmpty)
+    // the multi-view streaming spelling drains the remaining view too
+    val ck2 = tmpDir("mvc_ck2")
+    val s2 = spark.sql(s"CALL graft.stream_refresh_view('views', '$src', " +
+      s"'phrase:$st2', '$ck2')").head()
+    assert(s2.getString(2) === "drained")
+    val ph = new graft.table.PositionalIndexView(spark, src, st2)
+    assert(ph.sourceVersion === t.latestVersion.get)
+    val rebuiltP = graft.llm.Retrieval.positionalIndex(t.read, "text", "doc_id")
+    assert(ph.read.exceptAll(rebuiltP).isEmpty &&
+      rebuiltP.exceptAll(ph.read).isEmpty)
+    // the agg spelling streams too (group/sum csvs ride the CALL)
+    val asrc = tmpDir("mvc_asrc"); val ast = tmpDir("mvc_ast")
+    val at = ManagedTable(spark, asrc)
+    at.write(Seq(("a", 1.0), ("b", 2.0)).toDF("g", "x"), "APPEND", "append")
+    spark.sql(s"CALL graft.init_agg_view('$asrc', '$ast', 'g', 'x')").collect()
+    at.write(Seq(("a", 3.0)).toDF("g", "x"), "APPEND", "append")
+    val s3 = spark.sql(s"CALL graft.stream_refresh_view('agg', '$asrc', " +
+      s"'$ast', '${tmpDir("mvc_ack")}', 'g', 'x')").head()
+    assert(s3.getString(2) === "drained")
+    assert(ManagedTable(spark, ast).read
+      .filter(col("g") === "a").select("cnt").head().getLong(0) === 2L)
+  }
+
+  test("CALL graft.refresh_ann_view with max_drift re-initializes exactly " +
+      "when reconstruction error exceeds the threshold") {
+    import spark.implicits._
+    val src = tmpDir("adp_src"); val st = tmpDir("adp_st")
+    val t = ManagedTable(spark, src)
+    def vecs(ids: Range, shift: Double = 0.0) = ids.map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 7 + d * 3) + shift).toSeq)
+    }.toDF("vec_id", "embedding")
+    t.write(vecs(0 until 64), "APPEND", "append")
+    spark.sql(s"CALL graft.init_ann_view('$src', '$st', 4, 4, 8)").collect()
+    val view = new graft.table.AnnIndexView(spark, src, st)
+    val quantV0 = ManagedTable(spark, st.stripSuffix("/") + "_centroids")
+      .latestVersion.get
+    // a small same-distribution append: drift stays tiny — a generous
+    // threshold must NOT re-initialize
+    t.write(vecs(64 until 68), "APPEND", "append")
+    spark.sql(s"CALL graft.refresh_ann_view('$src', '$st', 1e9)").collect()
+    assert(ManagedTable(spark, st.stripSuffix("/") + "_centroids")
+      .latestVersion.get === quantV0, "no re-init under the threshold")
+    // distribution shift + impossible threshold: exactly one re-init —
+    // the quantizer tables gain one version and the init commit names it
+    t.write(vecs(100 until 164, shift = 25.0), "APPEND", "append")
+    val before = ManagedTable(spark, st).latestVersion.get
+    spark.sql(s"CALL graft.refresh_ann_view('$src', '$st', 1e-12)").collect()
+    val quantV1 = ManagedTable(spark, st.stripSuffix("/") + "_centroids")
+      .latestVersion.get
+    assert(quantV1 === quantV0 + 1,
+      "drift past the threshold must retrain exactly one quantizer version")
+    assert(ManagedTable(spark, st).lastCommit.get.operation === "ANN_INIT")
+    // AS-OF rankings from BEFORE the re-init reproduce under the OLD
+    // quantizer (versioned lineage)
+    val q = vecs(0 until 2)
+      .select((col("vec_id") + 9000).as("vec_id"), col("embedding"))
+    val asOf = view.searchAt(before, q, k = 3)
+    assert(asOf.count() > 0)
+    // and a repeat policy call with a generous threshold is stable
+    spark.sql(s"CALL graft.refresh_ann_view('$src', '$st', 1e9)").collect()
+    assert(ManagedTable(spark, st.stripSuffix("/") + "_centroids")
+      .latestVersion.get === quantV1)
+  }
+
   test("SHOW CREATE TABLE reconstructs DDL from the commit log; views " +
       "answer with their CREATE VIEW text") {
     val path = tmpDir("sqlshowc")
