@@ -2688,7 +2688,7 @@ object Queries {
     val fineSt = tmp("iview_fine_state")
     val fine = new IncrementalAggView(spark, path, fineSt,
       Seq("o_orderkey"), Seq("o_totalprice"))
-    fine.initialize()
+    Staging.timed { fine.initialize() }
     val fineState = ManagedTable(spark, fineSt)
     val fineDirs = fineState.lastCommit.get.dirs
     // residues 3 and 4 mod 30 are ≡ 0/1 mod 3 and alive past the %5
@@ -2780,7 +2780,7 @@ object Queries {
     val fine = new IncrementalJoinAggView(spark, lp, rp, fineSp,
       joinKeys = Seq("custkey"), groupCols = Seq("o_orderkey"),
       sumCols = Seq("o_totalprice"))
-    fine.initialize()
+    Staging.timed { fine.initialize() }
     val fineState = ManagedTable(spark, fineSp)
     val fineDirs = fineState.lastCommit.get.dirs
     // residues 3/4 mod 30 are ≡ 0/1 mod 3 and alive past the %5 delete

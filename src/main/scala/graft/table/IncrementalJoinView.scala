@@ -191,12 +191,19 @@ final class IncrementalJoinAggView(spark: SparkSession,
   }
 
   /** The other side's WATERMARK snapshot, semi-join pruned to the
-    * delta's join keys — the big side is scanned once, narrow, and
-    * never shuffled (the delta key set broadcasts). */
+    * delta's join keys — the big side is scanned once, narrow. The key
+    * set broadcasts only under the family's driver gate: a routine
+    * delta's keys are tiny, but a full-churn slice (re-ingest,
+    * corpus-wide curation) carries state-scale keys and must shuffle
+    * instead of OOMing the broadcast. */
   private def prunedSnapshot(t: ManagedTable, version: Long,
                              delta: DataFrame): DataFrame = {
     val keys = delta.select(joinKeys.map(c => col(s"`$c`")): _*).distinct()
-    t.readAt(version).join(broadcast(keys), joinKeys, "left_semi")
+    val gated =
+      if (graft.llm.Similarity.fitsDriver(keys, CdfNetting.MaxBroadcastIds))
+        broadcast(keys)
+      else keys
+    t.readAt(version).join(gated, joinKeys, "left_semi")
   }
 
   /** The grouped signed delta of the range (vl0,vr0] → (vl1,vr1] —

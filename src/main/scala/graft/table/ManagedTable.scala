@@ -281,16 +281,19 @@ final class ManagedTable(spark: SparkSession, root: String) {
   }
 
   /** Latest retained version whose commit time is at or before `tsMs` —
-    * Delta's `timestampAsOf` resolution. One batched commit-log fetch
-    * (bounded-concurrency driver IO, same as [[history]]). */
+    * Delta's `timestampAsOf` resolution. Walks the log NEWEST-FIRST and
+    * stops at the first commit old enough (commit timestamps are
+    * non-decreasing in version order — one writer stamps them at
+    * publish), so "as of yesterday" on a years-old table reads O(head
+    * distance) entries, not the whole history. */
   def versionAsOf(tsMs: Long): Long = {
-    val vs = listVersions.sorted
-    require(vs.nonEmpty, s"managed table $root does not exist")
-    val at = readCommits(vs).filter(_.timestampMs <= tsMs)
-    require(at.nonEmpty,
-      s"no retained version of $root exists at or before timestamp $tsMs " +
-        s"(earliest commit is at ${readCommits(Seq(vs.head)).head.timestampMs})")
-    at.map(_.version).max
+    require(latestVersion.isDefined, s"managed table $root does not exist")
+    metaHistory.find(_.timestampMs <= tsMs).map(_.version).getOrElse {
+      val e = earliestVersion.get
+      throw new IllegalArgumentException(
+        s"no retained version of $root exists at or before timestamp $tsMs " +
+          s"(earliest commit is at ${readEntry(e)._1.timestampMs})")
+    }
   }
 
   /** Snapshot as of a wall-clock time (`timestampAsOf` time travel). */

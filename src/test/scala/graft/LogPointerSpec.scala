@@ -35,11 +35,30 @@ class LogPointerSpec extends SparkSpec {
     var prev = t.lastCommit.get
     (1L to n).foreach { v =>
       val c = prev.copy(version = v, readVersion = v - 1,
+        timestampMs = prev.timestampMs + v, // strictly increasing
         userMetadata = Some(s"""{"n":$v}"""))
       t.writeCommit(c, Some(prev))
       prev = c
     }
     (path, t)
+  }
+
+  test("versionAsOf walks newest-first: a near-head timestamp lookup " +
+      "reads O(one batch) of entries on a long history") {
+    val (_, t) = fabricated("ptr_asof", 512L)
+    val headTs = t.lastCommit.get.timestampMs
+    ManagedTable.logEntryReads.set(0L)
+    ManagedTable.logListings.set(0L)
+    // "as of just before the newest commit" — resolves a version close
+    // to the head without resolving the whole log
+    assert(t.versionAsOf(headTs - 1) === 511L)
+    assert(t.versionAsOf(headTs) === 512L)
+    assert(ManagedTable.logListings.get === 0L)
+    assert(ManagedTable.logEntryReads.get <=
+      3L * ManagedTable.MetaWalkBatch,
+      s"near-head versionAsOf must not read the whole 512-entry log, " +
+        s"read ${ManagedTable.logEntryReads.get}")
+    intercept[IllegalArgumentException](t.versionAsOf(0L))
   }
 
   test("version questions and watermark walks list the log dir ZERO " +
