@@ -7046,7 +7046,9 @@ object Queries {
   /** ONE-PASS maintenance of the standing-view family
     * ([[graft.table.StandingViews.refreshAll]], driven through `CALL
     * graft.refresh_views`): the flagship pipeline keeps BM25 +
-    * positional + near-dup views of one corpus, and refreshing them
+    * positional + near-dup + corpus-LM views of one corpus (the LM
+    * shares the text views' netting SIGNATURE, so four views cost one
+    * slice read and one text netting), and refreshing them
     * individually re-reads and re-nets the SAME change-feed slice once
     * per view — at 100 TB the daily slice is TB-scale, so N scans of
     * it is the refresh loop's dominant IO. This query drives a day's
@@ -7067,6 +7069,7 @@ object Queries {
     val st1 = tmp("mview_bm25")
     val st2 = tmp("mview_phrase")
     val st3 = tmp("mview_nd")
+    val st4 = tmp("mview_lm")
     val t = ManagedTable(spark, srcPath)
     Staging.timed {
       t.write(docs.filter(col("doc_id") % 3 =!= 0), "APPEND", "append")
@@ -7076,17 +7079,18 @@ object Queries {
         .initialize()
       new NearDupIndexView(spark, srcPath, st3, expectedDocs = 100000)
         .initialize()
+      new graft.table.CorpusLmView(spark, srcPath, st4).initialize()
     }
     // one day's churn, netted ONCE for the whole family
     t.write(docs.filter(col("doc_id") % 3 === 0), "APPEND", "append")
     t.delete(col("doc_id") % 13 === 0)
     ManagedTable.changeFeedReads.set(0L)
     val rows = spark.sql(s"CALL graft.refresh_views('$srcPath', " +
-      s"'bm25:$st1,phrase:$st2,neardup:$st3')").collect()
+      s"'bm25:$st1,phrase:$st2,neardup:$st3,lm:$st4')").collect()
     require(ManagedTable.changeFeedReads.get == 1L,
       "multi_view_refresh: N views must fold from ONE change-feed read, " +
         s"got ${ManagedTable.changeFeedReads.get}")
-    require(rows.length == 3 && rows.forall(_.getLong(2) == 2L),
+    require(rows.length == 4 && rows.forall(_.getLong(2) == 2L),
       "multi_view_refresh: every view must advance to source version 2")
     val bm = new Bm25IndexView(spark, srcPath, st1)
     val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
@@ -7104,6 +7108,11 @@ object Queries {
     require(nd.read.exceptAll(rebuiltN).isEmpty &&
       rebuiltN.exceptAll(nd.read).isEmpty,
       "multi_view_refresh: one-pass near-dup fold drifted from the rebuild")
+    val lm = new graft.table.CorpusLmView(spark, srcPath, st4)
+    val rebuiltL = graft.llm.TextOps.unigramModel(t.read, "text", "doc_id")
+    require(lm.read.exceptAll(rebuiltL).isEmpty &&
+      rebuiltL.exceptAll(lm.read).isEmpty,
+      "multi_view_refresh: one-pass LM fold drifted from the retrain")
     val queries = Seq(
       (1L, "merge stream table"),
       (2L, "fast query data"),

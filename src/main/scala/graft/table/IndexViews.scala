@@ -288,10 +288,43 @@ private[table] object CdfNetting {
  * and optional training/layout/metadata hooks — the contract and its
  * tests are shared, not stamped.
  */
+/**
+ * A CDF-maintained standing view that folds PRE-NETTED change slices —
+ * the contract [[StandingViews]] orchestrates over. Every implementor
+ * nets its slice per `(netIdCol, netPayloadCols)` with
+ * [[CdfNetting.net]], so the one-pass family refresh can read a shared
+ * slice once and net it once per payload SIGNATURE (the text views AND
+ * the corpus-LM share one netting; the classifier adds its label
+ * column; the embedding views net separately) — each view then folds
+ * its pre-netted `(ins, del)` through its own gates, fences, and
+ * write choreography, exactly as an individual refresh would.
+ */
+trait CdfMaintainedView {
+  /** Build the view from the source's current snapshot. */
+  def initialize(): Long
+  /** The last source version fully folded into the state. */
+  def sourceVersion: Long
+  private[table] def sourceTablePath: String
+  private[table] def netIdCol: String
+  private[table] def netPayloadCols: Seq[String]
+  private[table] def viewKind: String
+  /** Finish any half-applied two-commit slice before netting. */
+  private[table] def resumePendingSlice(): Unit = ()
+  private[table] def stateTxnVersion(appId: String): Option[Long]
+  /** Apply one slice netted FROM `from`, advancing the watermark to
+    * `latest`; a nets-to-nothing slice still advances the watermark
+    * (empty commit) so the retention hold slides. The slice's FINAL
+    * commit must carry `txn`. */
+  private[table] def foldNetted(ins: DataFrame, del: DataFrame,
+                                from: Long, latest: Long,
+                                txn: Option[(String, Long)]): Unit
+}
+
 abstract class RowLocalIndexView(
     spark: SparkSession, sourcePath: String, statePath: String,
     idCol: String, payloadCols: Seq[String],
-    what: String, opPrefix: String, expectedIds: Long) {
+    what: String, opPrefix: String, expectedIds: Long)
+  extends CdfMaintainedView {
 
   // one-pass multi-view refresh plumbing ([[StandingViews.refreshAll]]):
   // the orchestrator groups views by source/watermark/payload signature,
@@ -300,18 +333,20 @@ abstract class RowLocalIndexView(
   private[table] final def netIdCol: String = idCol
   private[table] final def netPayloadCols: Seq[String] = payloadCols
   private[table] final def viewKind: String = what
-  private[table] final def resumePendingSlice(): Unit = { resumePending(); () }
+  private[table] final override def resumePendingSlice(): Unit = {
+    resumePending(); ()
+  }
   private[table] final def stateTxnVersion(appId: String): Option[Long] =
     state.lastTxnVersion(appId)
 
   /** Apply one pre-netted slice `(ins, del)` and advance the watermark
     * to `latest` — [[refresh]]'s tail, split out so the multi-view
-    * orchestrator can net once and fold many. A nets-to-nothing slice
-    * still advances the watermark (empty commit) so the retention hold
-    * slides. */
+    * orchestrator can net once and fold many ([[CdfMaintainedView]]).
+    * `from` is re-derived by this family's own gates, so it is not
+    * consulted here. */
   private[table] final def foldNetted(ins: DataFrame, del: DataFrame,
-                                      latest: Long,
-                                      txn: Option[(String, Long)] = None): Unit = {
+                                      from: Long, latest: Long,
+                                      txn: Option[(String, Long)]): Unit = {
     if (ins.isEmpty && del.isEmpty) {
       state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
         Some(refreshMeta(latest, ins, del)), mergeSchema = true,
@@ -420,7 +455,7 @@ abstract class RowLocalIndexView(
     // otherwise a source that only ever compacts pins its whole history
     // against vacuum forever
     val (ins, del) = CdfNetting.net(cdf, idCol, payloadCols, what)
-    foldNetted(ins, del, latest)
+    foldNetted(ins, del, last, latest, None)
     latest
   }
 
@@ -720,7 +755,7 @@ object StandingViews {
     * reading the unprocessed change feed once per distinct watermark.
     * Returns the source version every view is current to. */
   def refreshAll(spark: SparkSession,
-                 views: Seq[RowLocalIndexView]): Long = {
+                 views: Seq[CdfMaintainedView]): Long = {
     require(views.nonEmpty, "refreshAll needs at least one view")
     val srcPath = views.head.sourceTablePath
     require(views.forall(_.sourceTablePath == srcPath),
@@ -748,7 +783,7 @@ object StandingViews {
           case ((id, pay), vs) =>
             val (ins, del) = CdfNetting.net(slice, id, pay,
               s"multi-view refresh (${vs.map(_.viewKind).mkString(", ")})")
-            vs.foreach(_.foldNetted(ins, del, latest))
+            vs.foreach(_.foldNetted(ins, del, wm, latest, None))
         }
       }
     }
@@ -763,7 +798,7 @@ object StandingViews {
     * but view k+1 did not replays the epoch folding only the k+1 tail;
     * the re-created-checkpoint refusal is per view too. Caller
     * drains/stops the returned query. */
-  def refreshStreamAll(spark: SparkSession, views: Seq[RowLocalIndexView],
+  def refreshStreamAll(spark: SparkSession, views: Seq[CdfMaintainedView],
                        checkpoint: String,
                        trigger: org.apache.spark.sql.streaming.Trigger =
                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -808,7 +843,7 @@ object StandingViews {
                 case ((id, pay), vs) =>
                   val (ins, del) = CdfNetting.net(fresh, id, pay,
                     s"multi-view stream (${vs.map(_.viewKind).mkString(", ")})")
-                  vs.foreach(_.foldNetted(ins, del, maxV.getLong(0),
+                  vs.foreach(_.foldNetted(ins, del, wm, maxV.getLong(0),
                     Some((appId, epochId))))
               }
             }
@@ -1326,13 +1361,37 @@ final class AnnIndexView(spark: SparkSession, sourcePath: String,
 final class CorpusLmView(spark: SparkSession, sourcePath: String,
                          statePath: String,
                          textCol: String = "text",
-                         idCol: String = "doc_id") {
+                         idCol: String = "doc_id")
+  extends CdfMaintainedView {
 
   private def meta(v: Long) = Some(s"""{"sourceVersion":$v}""")
   private val MetaRe = """\{"sourceVersion":(\d+)\}""".r
 
   private def source = ManagedTable(spark, sourcePath)
   private def state = ManagedTable(spark, statePath)
+
+  // one-pass family refresh plumbing: the LM nets per (doc_id, text) —
+  // the SAME signature as the text index views, so the orchestrator
+  // tokenizes the shared slice's netting once for all of them
+  private[table] def sourceTablePath: String = sourcePath
+  private[table] def netIdCol: String = idCol
+  private[table] def netPayloadCols: Seq[String] = Seq(textCol)
+  private[table] def viewKind: String = "lm view"
+  private[table] def stateTxnVersion(appId: String): Option[Long] =
+    state.lastTxnVersion(appId)
+
+  private[table] def foldNetted(ins: DataFrame, del: DataFrame,
+                                from: Long, latest: Long,
+                                txn: Option[(String, Long)]): Unit = {
+    if (ins.isEmpty && del.isEmpty) {
+      // nets to nothing (pure compaction): advance the watermark with an
+      // EMPTY append (zero rows — never an O(vocab) rewrite) so the
+      // retention hold slides
+      state.write(state.read.limit(0), "LM_REFRESH", "append", meta(latest),
+        expectedPrevVersion = state.latestVersion, txnUpdate = txn)
+      source.setRetentionHold(statePath, latest)
+    } else foldSlice(ins, del, from, latest, txn)
+  }
 
   /** The last source version folded into the model (maintenance
     * commits on the state table are transparent). */
@@ -1365,16 +1424,7 @@ final class CorpusLmView(spark: SparkSession, sourcePath: String,
     if (latest == last) return last
     val cdf = CdfNetting.cdfSlice(source, last, latest, "lm view")
     val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol), "lm view")
-    if (ins.isEmpty && del.isEmpty) {
-      // nets to nothing (pure compaction): advance the watermark with an
-      // EMPTY append (zero rows — never an O(vocab) rewrite) so the
-      // retention hold slides
-      state.write(state.read.limit(0), "LM_REFRESH", "append", meta(latest),
-        expectedPrevVersion = state.latestVersion)
-      source.setRetentionHold(statePath, latest)
-      return latest
-    }
-    foldSlice(ins, del, last, latest, None)
+    foldNetted(ins, del, last, latest, None)
     latest
   }
 
@@ -1455,8 +1505,34 @@ final class ClassifierModelView(spark: SparkSession, sourcePath: String,
                                 statePath: String,
                                 textCol: String = "text",
                                 idCol: String = "doc_id",
-                                labelCol: String = "weak_label") {
+                                labelCol: String = "weak_label")
+  extends CdfMaintainedView {
   import graft.llm.QualityClassifier
+
+  // one-pass family refresh plumbing — the classifier nets per
+  // (doc_id, text, label), its own payload signature
+  private[table] def sourceTablePath: String = sourcePath
+  private[table] def netIdCol: String = idCol
+  private[table] def netPayloadCols: Seq[String] = Seq(textCol, labelCol)
+  private[table] def viewKind: String = "classifier view"
+  private[table] def stateTxnVersion(appId: String): Option[Long] =
+    ManagedTable(spark, statePath).lastTxnVersion(appId)
+
+  private[table] def foldNetted(ins: DataFrame, del: DataFrame,
+                                from: Long, latest: Long,
+                                txn: Option[(String, Long)]): Unit = {
+    if (ins.isEmpty && del.isEmpty) {
+      // nets to nothing (pure compaction): advance the watermark with an
+      // EMPTY append (zero rows — never an O(vocab) rewrite) so the
+      // retention hold slides; priors carry over unchanged
+      val (_, dp, dn) = watermark
+      val st = ManagedTable(spark, statePath)
+      st.write(st.read.limit(0), "NB_REFRESH", "append",
+        meta(latest, dp, dn), expectedPrevVersion = st.latestVersion,
+        txnUpdate = txn)
+      ManagedTable(spark, sourcePath).setRetentionHold(statePath, latest)
+    } else foldSlice(ins, del, from, latest, txn)
+  }
 
   private def meta(v: Long, dPos: Long, dNeg: Long) =
     Some(s"""{"sourceVersion":$v,"dPos":$dPos,"dNeg":$dNeg}""")
@@ -1510,17 +1586,7 @@ final class ClassifierModelView(spark: SparkSession, sourcePath: String,
     val cdf = CdfNetting.cdfSlice(source, last, latest, "classifier view")
     val (ins, del) = CdfNetting.net(cdf, idCol, Seq(textCol, labelCol),
       "classifier view")
-    if (ins.isEmpty && del.isEmpty) {
-      // nets to nothing (pure compaction): advance the watermark with an
-      // EMPTY append (zero rows — never an O(vocab) rewrite) so the
-      // retention hold slides
-      val (_, dp, dn) = watermark
-      state.write(state.read.limit(0), "NB_REFRESH", "append",
-        meta(latest, dp, dn), expectedPrevVersion = state.latestVersion)
-      source.setRetentionHold(statePath, latest)
-      return latest
-    }
-    foldSlice(ins, del, last, latest, None)
+    foldNetted(ins, del, last, latest, None)
     latest
   }
 

@@ -439,7 +439,7 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
           }
         require(pairs.nonEmpty, "refresh_views needs at least one view")
         val views = pairs.map { case (k, st) => (k, st,
-          indexView(spark, k, src, st)) }
+          cdfView(spark, k, src, st)) }
         val v = StandingViews.refreshAll(spark, views.map(_._3))
         views.map { case (k, st, _) => Row(k, st, v) }
       case "stream_refresh_view" =>
@@ -493,7 +493,7 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
                 val i = s.indexOf(':')
                 require(i > 0 && i < s.length - 1,
                   s"view list entries are kind:state, got `$s`")
-                indexView(spark, s.substring(0, i).trim,
+                cdfView(spark, s.substring(0, i).trim,
                   src, s.substring(i + 1).trim)
               }
             StandingViews.refreshStreamAll(spark, vs,
@@ -559,6 +559,16 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
     case k => throw new IllegalArgumentException(
       s"unknown index-view kind `$k` — supported: bm25, phrase, " +
         "ann, neardup, semantic, benchmark")
+  }
+
+  /** Any CDF-maintained view of `kind` — the index-view registry plus
+    * the additive model views, all of which fold pre-netted slices
+    * (the refresh_views / multi-view-stream kind registry). */
+  private def cdfView(spark: SparkSession, kind: String, src: String,
+                      st: String): CdfMaintainedView = kind match {
+    case "lm" => new CorpusLmView(spark, src, st)
+    case "nb" => new ClassifierModelView(spark, src, st)
+    case k => indexView(spark, k, src, st)
   }
 }
 

@@ -29,33 +29,45 @@ class MultiViewRefreshSpec extends SparkSpec {
     val src = tmpDir("mv_src")
     val t = ManagedTable(spark, src)
     t.write(docs(0 until 64), "APPEND", "append")
-    def mkSet(tag: String) = Seq[RowLocalIndexView](
+    def mkSet(tag: String) = Seq[CdfMaintainedView](
       new Bm25IndexView(spark, src, tmpDir(s"mv_${tag}_bm25"),
         expectedDocs = 1000),
       new PositionalIndexView(spark, src, tmpDir(s"mv_${tag}_ph"),
         expectedDocs = 1000),
       new NearDupIndexView(spark, src, tmpDir(s"mv_${tag}_nd"),
         expectedDocs = 1000),
+      // the additive corpus-LM shares the text views' netting SIGNATURE
+      new CorpusLmView(spark, src, tmpDir(s"mv_${tag}_lm")),
       new AnnIndexView(spark, src, tmpDir(s"mv_${tag}_ann"),
         idCol = "doc_id", vecCol = "embedding", nlist = 4, m = 4, ksub = 8,
         expectedVecs = 1000))
     val multi = mkSet("a")
     val twins = mkSet("b")
+    def twinRefresh(v: CdfMaintainedView): Unit = v match {
+      case r: RowLocalIndexView => r.refresh(); ()
+      case l: CorpusLmView => l.refresh(); ()
+      case other => fail(s"unexpected view kind $other")
+    }
+    def readOf(v: CdfMaintainedView) = v match {
+      case r: RowLocalIndexView => r.read
+      case l: CorpusLmView => l.read
+      case other => fail(s"unexpected view kind $other")
+    }
     (multi ++ twins).foreach(_.initialize())
     // one day's churn: an append, a curation delete, a text-only update
     // (the embedding netting must see it cancel to nothing)
     t.write(docs(64 until 72), "APPEND", "append")
     t.delete(col("doc_id") === 3L)
     t.update(Map("text" -> lit("fresh york window")), col("doc_id") === 5L)
-    twins.foreach(_.refresh())
+    twins.foreach(twinRefresh)
     ManagedTable.changeFeedReads.set(0L)
     assert(StandingViews.refreshAll(spark, multi) === t.latestVersion.get)
     assert(ManagedTable.changeFeedReads.get === 1L,
       "however many views, the unprocessed slice is read ONCE")
     multi.zip(twins).foreach { case (a, b) =>
       assert(a.sourceVersion === b.sourceVersion)
-      assert(a.read.exceptAll(b.read).isEmpty &&
-        b.read.exceptAll(a.read).isEmpty,
+      assert(readOf(a).exceptAll(readOf(b)).isEmpty &&
+        readOf(b).exceptAll(readOf(a)).isEmpty,
         "one-pass fold drifted from the individually-refreshed twin")
     }
     // already-current pass: zero reads, zero commits
