@@ -287,6 +287,53 @@ class IncrementalViewSpec extends SparkSpec {
     checkById()
   }
 
+  test("streaming micro-batches take the DV+APPEND delta path at group " +
+      "cardinality — O(touched groups) writes per epoch") {
+    val src = tmpDir("iv_sdv_src"); val st = tmpDir("iv_sdv_st")
+    val ck = tmpDir("iv_sdv_ck")
+    val t = ManagedTable(spark, src)
+    t.write((1 to 150).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      "APPEND", "append")
+    val view = new IncrementalAggView(spark, src, st, Seq("id"), Seq("v"))
+    def checkById(): Unit = {
+      val got = view.read.select("id", "cnt", "sum_v")
+      val want = t.read.groupBy("id")
+        .agg(sum(lit(1L)).as("cnt"),
+          sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)")
+            .as("sum_v"))
+      assert(got.exceptAll(want).count() === 0 &&
+        want.exceptAll(got).count() === 0, "id-keyed view drifted")
+    }
+    view.initialize()
+    val s = ManagedTable(spark, st)
+    val dirs0 = s.lastCommit.get.dirs
+    // a small micro-batch slice: 3 new groups, 2 updated (captured)
+    t.write(Seq((151L, 1.0), (152L, 2.0), (153L, 3.0)).toDF("id", "v"),
+      "APPEND", "append")
+    t.update(Map("v" -> (col("v") + 10)), col("id").isin(4L, 9L),
+      captureChangeData = true)
+    val q = view.refreshStream(ck)
+    assert(q.awaitTermination(120000), "agg view stream did not drain")
+    checkById()
+    val appendC = s.lastCommit.get
+    assert(appendC.operation === "VIEW_DELTA" &&
+      dirs0.forall(appendC.dirs.contains),
+      s"a streamed small-delta fold must APPEND over untouched standing " +
+        s"dirs, got ${appendC.operation}")
+    assert(s.commitAt(appendC.version - 1).operation === "DELETE VECTORS",
+      "the streamed fold's touched groups tombstone as frame-keyed DVs")
+    assert(appendC.txn.keys.exists(_.startsWith("graft-view:")),
+      "exactly-once: the fold's FINAL commit carries the stream txn " +
+        "high-water")
+    // resume the SAME checkpoint with another small slice: exactly that
+    // slice folds, again as DV+APPEND
+    t.delete(col("id") === 151L)
+    val q2 = view.refreshStream(ck)
+    assert(q2.awaitTermination(120000))
+    checkById()
+    assert(view.sourceVersion === t.latestVersion.get)
+  }
+
   test("a group whose count reaches zero leaves the state") {
     val src = tmpDir("iv_src3"); val st = tmpDir("iv_st3")
     val t = ManagedTable(spark, src)
