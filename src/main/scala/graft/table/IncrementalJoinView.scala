@@ -483,6 +483,38 @@ final class IncrementalJoinAggView(spark: SparkSession,
   /** The maintained join aggregate. */
   def read: DataFrame = state.read
 
+  /** The join aggregate AS OF a state version (lineage — see
+    * [[IncrementalAggView.readAt]]). */
+  def readAt(stateVersion: Long): DataFrame = state.readAt(stateVersion)
+
+  /** The (leftVersion, rightVersion) pair the state at `stateVersion`
+    * had folded — the watermark walk pinned at that version: the mart
+    * at state version v describes exactly `L.readAt(l) ⋈ R.readAt(r)`
+    * for the returned pair. Pending delete commits are transparent. */
+  def sourceVersionsAt(stateVersion: Long): (Long, Long) =
+    CdfNetting.commitMetas(state, "join view", statePath, Some(stateVersion))
+      .collectFirst {
+        case m if MetaRe.findFirstMatchIn(m).isDefined =>
+          val g = MetaRe.findFirstMatchIn(m).get
+          (g.group(1).toLong, g.group(2).toLong)
+      }
+      .getOrElse(throw new IllegalStateException(
+        s"no commit at or below state version $stateVersion carries " +
+          "version watermarks — is it before the view's initialize()?"))
+
+  /** Retention clamped to the newest WATERMARK-BEARING commit — a head
+    * of [[maintain]]'s watermark-less commits must never let a
+    * count-based cut wedge the walks (the row-local family's rule). */
+  def vacuum(keepLast: Int): ManagedTable.VacuumStats = {
+    val wmV = state.metaHistory.collectFirst {
+      case c if c.userMetadata.exists(m =>
+        MetaRe.findFirstMatchIn(m).isDefined) => c.version
+    }
+    val keep = (for { w <- wmV; l <- state.latestVersion }
+      yield math.max(keepLast.toLong, l - w + 1).toInt).getOrElse(keepLast)
+    state.vacuum(keep)
+  }
+
   /** The maintained aggregate restricted by `predicate` with dir-stat
     * skipping — selective because the state is born clustered by group
     * key and [[maintain]] keeps the tail folded. */

@@ -482,6 +482,43 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
   /** The maintained aggregate. */
   def read: DataFrame = state.read
 
+  /** The aggregate AS OF a state version — reproducible marts for
+    * lineage, exactly the row-local family's contract. A version
+    * inside a half-applied fold's delete-append window reflects the
+    * tombstones only; pin the fold's FINAL commit. */
+  def readAt(stateVersion: Long): DataFrame = state.readAt(stateVersion)
+
+  /** The SOURCE version the state at `stateVersion` had folded — the
+    * watermark walk pinned at that version, so time travel on the VIEW
+    * names the matching time travel on the SOURCE: the aggregate at
+    * state version v describes exactly
+    * `source.readAt(sourceVersionAt(v))`. Pending delete commits are
+    * transparent, like the live walk. */
+  def sourceVersionAt(stateVersion: Long): Long =
+    CdfNetting.commitMetas(state, "agg view", statePath, Some(stateVersion))
+      .collectFirst {
+        case m if MetaRe.findFirstMatchIn(m).isDefined =>
+          MetaRe.findFirstMatchIn(m).get.group(1).toLong
+      }
+      .getOrElse(throw new IllegalStateException(
+        s"no commit at or below state version $stateVersion carries a " +
+          "sourceVersion watermark — is it before the view's initialize()?"))
+
+  /** Retention for the view state, clamped to the newest
+    * WATERMARK-BEARING commit: [[maintain]] lands watermark-less
+    * commits above the last fold, and a purely count-based cut could
+    * prune every watermarked commit and wedge the view's walks (the
+    * row-local family's vacuum rule). */
+  def vacuum(keepLast: Int): ManagedTable.VacuumStats = {
+    val wmV = state.metaHistory.collectFirst {
+      case c if c.userMetadata.exists(m =>
+        MetaRe.findFirstMatchIn(m).isDefined) => c.version
+    }
+    val keep = (for { w <- wmV; l <- state.latestVersion }
+      yield math.max(keepLast.toLong, l - w + 1).toInt).getOrElse(keepLast)
+    state.vacuum(keep)
+  }
+
   /** The maintained aggregate restricted by `predicate`, dir-stat
     * skipping through the state's commit-log stats
     * ([[ManagedTable.readWhere]]) — selective because the state is born

@@ -202,6 +202,44 @@ class IncrementalJoinViewSpec extends SparkSpec {
     check(view, l, r)
   }
 
+  test("AS-OF lineage: readAt/sourceVersionsAt pin past folds; vacuum " +
+      "clamps to the newest watermark commit") {
+    val lp = tmpDir("jv_ao_l"); val rp = tmpDir("jv_ao_r")
+    val sp = tmpDir("jv_ao_s")
+    val l = ManagedTable(spark, lp); val r = ManagedTable(spark, rp)
+    l.write((1 to 60).map(i => (i % 6, s"d$i", i * 1.0))
+      .toDF("k", "d", "x"), "APPEND", "append")
+    r.write((0 until 6).map(k => (k, s"w$k")).toDF("k", "w"),
+      "APPEND", "append")
+    val view = new IncrementalJoinAggView(spark, lp, rp, sp,
+      joinKeys = Seq("k"), groupCols = Seq("d"), sumCols = Seq("x"))
+    view.initialize()
+    l.write(Seq((1, "d61", 9.0)).toDF("k", "d", "x"), "APPEND", "append")
+    view.refresh()
+    val s = ManagedTable(spark, sp)
+    val pin = s.latestVersion.get
+    l.delete(col("d") === "d61")
+    r.update(Map("w" -> lit("renamed")), col("k") === 1,
+      captureChangeData = true)
+    view.refresh()
+    val (lv, rv) = view.sourceVersionsAt(pin)
+    val want = l.readAt(lv).join(r.readAt(rv), Seq("k"))
+      .groupBy("d")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("x").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_x"))
+    val got = view.readAt(pin).select("d", "cnt", "sum_x")
+    assert(got.exceptAll(want).count() === 0 &&
+      want.exceptAll(got).count() === 0,
+      "readAt(pin) drifted from the recompute over the pinned sources")
+    view.maintain()
+    val wmBefore = view.sourceVersions
+    view.vacuum(1)
+    assert(view.sourceVersions === wmBefore,
+      "vacuum after maintenance commits wedged the watermark walk")
+    check(view, l, r)
+  }
+
   test("non-key column clashes across sides refuse at initialize") {
     val lp = tmpDir("jv_l2"); val rp = tmpDir("jv_r2"); val sp = tmpDir("jv_s2")
     ManagedTable(spark, lp).write(Seq((1L, 1.0)).toDF("k", "x"),

@@ -334,6 +334,48 @@ class IncrementalViewSpec extends SparkSpec {
     assert(view.sourceVersion === t.latestVersion.get)
   }
 
+  test("AS-OF lineage: readAt/sourceVersionAt pin past folds; vacuum " +
+      "clamps to the newest watermark commit") {
+    val src = tmpDir("iv_asof_src"); val st = tmpDir("iv_asof_st")
+    val t = ManagedTable(spark, src)
+    t.write((1 to 120).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      "APPEND", "append")
+    val view = new IncrementalAggView(spark, src, st, Seq("id"), Seq("v"))
+    view.initialize()
+    // fold 1 (delta path — DV + APPEND commits)
+    t.write(Seq((121L, 5.0), (122L, 6.0)).toDF("id", "v"), "APPEND", "append")
+    t.update(Map("v" -> (col("v") + 1)), col("id") === 7L,
+      captureChangeData = true)
+    view.refresh()
+    val s = ManagedTable(spark, st)
+    val pin = s.latestVersion.get // the fold's FINAL commit
+    // fold 2 moves the head past the pin
+    t.delete(col("id") === 121L)
+    view.refresh()
+    // lineage: the state at the pin describes exactly the SOURCE at the
+    // pinned watermark
+    val srcV = view.sourceVersionAt(pin)
+    val want = t.readAt(srcV).groupBy("id")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_v"))
+    val got = view.readAt(pin).select("id", "cnt", "sum_v")
+    assert(got.exceptAll(want).count() === 0 &&
+      want.exceptAll(got).count() === 0,
+      "readAt(pin) drifted from the recompute over the pinned source")
+    // a head of watermark-less maintenance commits must not let a
+    // count-based vacuum prune every watermarked commit
+    view.maintain()
+    val wmBefore = view.sourceVersion
+    view.vacuum(1)
+    assert(view.sourceVersion === wmBefore,
+      "vacuum after maintenance commits wedged the watermark walk")
+    // the view keeps folding after the vacuum
+    t.write(Seq((123L, 7.0)).toDF("id", "v"), "APPEND", "append")
+    view.refresh()
+    assert(view.sourceVersion === t.latestVersion.get)
+  }
+
   test("a group whose count reaches zero leaves the state") {
     val src = tmpDir("iv_src3"); val st = tmpDir("iv_st3")
     val t = ManagedTable(spark, src)
