@@ -846,9 +846,22 @@ final class ManagedTable(spark: SparkSession, root: String) {
    * commit with the key frame never leaving the cluster, instead of the
    * O(index) shuffled rewrite the driver gate used to force. NULL keys
    * match NULL-valued rows (`<=>` — a NULL group key is a legal key for
-   * the view family's touched-group tombstones). No dir-stat pruning
-   * (that needs driver-side key values): every live dir is scanned once
-   * to locate positions, but the WRITE stays O(matched rows).
+   * the view family's touched-group tombstones).
+   *
+   * The READ side dir-prunes too: full key values can't come to the
+   * driver (that is the point of the frame form), but each key column's
+   * MIN/MAX + has-null — two scalars and a flag per column at ANY key
+   * cardinality — can, so the scan drops every dir whose commit-log
+   * stats provably cannot overlap the key set's range (the same
+   * conservative [[DataSkipping]] walk the predicate form uses) BEFORE
+   * the per-dir join. A small fold against a range-clustered state
+   * scans O(touched dirs), not O(state dirs); a key set spanning the
+   * whole key space honestly degrades to every dir. With
+   * `captureChangeData=false` the surviving dirs are also scanned at
+   * KEY width (+ file/pos) instead of full row width — the tombstone
+   * needs nothing else. [[ManagedTable.dvScanDirs]] /
+   * [[ManagedTable.dvLiveDirs]] count scanned vs live dirs per call
+   * (test-visible), so the pruning is pinnable.
    */
   def deleteVectorsMatching(keys: DataFrame, keyCols: Seq[String],
                             captureChangeData: Boolean = true,
@@ -884,8 +897,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
     }
     val affected = sel match {
       case Left(p) => splitDirsMayMatch(c, p)._1
-      case Right(_) => c.dirs
+      case Right((keys, kcols)) => frameDirsMayMatch(c, schema, keys, kcols)
     }
+    ManagedTable.dvScanDirs.addAndGet(affected.size.toLong)
+    ManagedTable.dvLiveDirs.addAndGet(c.dirs.size.toLong)
     val version = c.version + 1L
     val tsMs = System.currentTimeMillis()
     def noop(): Commit = {
@@ -900,8 +915,47 @@ final class ManagedTable(spark: SparkSession, root: String) {
       commit
     }
     if (affected.isEmpty) return noop()
-    val cols = logicalCols(schema, c.columnMap)
-    val metaed = dirFrames(affected, physicalSchema(schema, c.columnMap),
+    // scan WIDTH: the tombstone itself needs only (match columns, file,
+    // pos). With change capture the matched rows also become full-width
+    // change rows, so only a no-capture call prunes the scan's columns —
+    // the view families' state tombstones (capture off) scan key-width.
+    val scanSchema: StructType =
+      if (captureChangeData) schema
+      else {
+        val keep: Option[Seq[String]] = sel match {
+          case Right((_, kcols)) => Some(kcols)
+          case Left(p) =>
+            // conservative reference extraction (same empty-frame trick
+            // as [[splitDirsMayMatch]] — Spark 4's Column hides its
+            // expression): any shape that could name columns beyond
+            // plain attributes keeps full width
+            val predExpr = spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+              .filter(p).queryExecution.logical
+              .collectFirst {
+                case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                  f.condition
+              }
+            val opaque = predExpr.forall(_.exists {
+              case _: org.apache.spark.sql.catalyst.analysis.UnresolvedStar => true
+              case _: org.apache.spark.sql.catalyst.analysis.UnresolvedRegex => true
+              case _ => false
+            })
+            val names = predExpr.toSeq.flatMap(_.collect {
+              case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                u.name
+              case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+                a.name
+            }).distinct
+            if (opaque || names.isEmpty ||
+                !names.forall(schema.fieldNames.contains)) None
+            else Some(names)
+        }
+        keep.map(ks => StructType(schema.fields.filter(f => ks.contains(f.name))))
+          .getOrElse(schema)
+      }
+    val cols = logicalCols(scanSchema, c.columnMap)
+    val metaed = dirFrames(affected, physicalSchema(scanSchema, c.columnMap),
         c.partitionBy.nonEmpty).map { f =>
       f.select(cols :+ dvKeyOf(col("_metadata.file_path")).as("__graft_dv_file__") :+
         col("_metadata.row_index").as("__graft_dv_pos__"): _*)
@@ -1184,6 +1238,54 @@ final class ManagedTable(spark: SparkSession, root: String) {
       (for (stats <- c.dirStats.get(d); e <- predExpr)
         yield DataSkipping.mayMatch(stats, schema, e)).getOrElse(true)
     }
+  }
+
+  /** Dirs that MAY hold a row matching the frame-keyed delete's key set
+    * — the frame form's analogue of [[splitDirsMayMatch]]. The keys
+    * themselves are data-scaled and never come to the driver; what does
+    * is each eligible key column's MIN/MAX + has-null (2 scalars and a
+    * flag per column at ANY key cardinality, one small agg job over the
+    * key frame), rendered as the conservative range predicate
+    * `(k BETWEEN min AND max)[ OR k IS NULL]` AND-ed across columns and
+    * handed to the same stats walk. Strictly conservative: a row
+    * matching some key tuple has every key column inside that column's
+    * overall [min,max] (or NULL when the key set holds one), so a dir
+    * the walk prunes provably holds no match; columns without eligible
+    * stats constrain nothing. An EMPTY key frame prunes every dir (the
+    * caller no-ops). */
+  private def frameDirsMayMatch(c: Commit, schema: StructType,
+                                keys: DataFrame,
+                                kcols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    val fields = kcols.flatMap(k => schema.fields.find(_.name == k))
+      .filter(f => DataSkipping.eligible(f.dataType))
+    val aggs = count(lit(1)).as("__n__") +: fields.flatMap { f =>
+      val kc = col(s"`${f.name}`")
+      Seq(min(kc).as(s"mn:${f.name}"), max(kc).as(s"mx:${f.name}"),
+        sum(when(kc.isNull, 1L).otherwise(0L)).as(s"nl:${f.name}"))
+    }
+    val row = keys.agg(aggs.head, aggs.tail: _*).head()
+    if (row.getLong(row.fieldIndex("__n__")) == 0L) return Nil
+    val preds = fields.map { f =>
+      val mn = Option(row.get(row.fieldIndex(s"mn:${f.name}")))
+      val mx = Option(row.get(row.fieldIndex(s"mx:${f.name}")))
+      val hasNull = row.getLong(row.fieldIndex(s"nl:${f.name}")) > 0L
+      val kc = col(s"`${f.name}`")
+      val range = (mn, mx) match {
+        case (Some(a), Some(b)) => Some(kc >= lit(a) && kc <= lit(b))
+        case _ => None // every key is NULL for this column
+      }
+      // NO bare-literal arms: the stats walker treats shapes it can't
+      // interpret (a lone `lit(false)`) as may-match, which would
+      // defeat the whole prune under an OR
+      (range, hasNull) match {
+        case (Some(r), true) => r || kc.isNull
+        case (Some(r), false) => r
+        case (None, _) => kc.isNull // the key set is exactly {NULL}
+      }
+    }
+    if (preds.isEmpty) c.dirs
+    else splitDirsMayMatch(c, preds.reduce(_ && _))._1
   }
 
   /** Read a subset of the CURRENT snapshot's dirs (same read mechanics
@@ -3076,6 +3178,18 @@ object ManagedTable {
     * — the one-pass multi-view refresh pins "N views, ONE slice read"
     * against this. Test-visible. */
   private[graft] val changeFeedReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Dirs SCANNED by deletion-vector tombstone location (predicate and
+    * frame form alike), cumulative — against [[dvLiveDirs]] (the live
+    * dir totals at those same calls) this pins that a small delete
+    * against a range-clustered table scans O(touched dirs), not every
+    * dir: the view families' O(touched-groups) folds are incremental on
+    * the READ side exactly when scanned < live. Test-visible. */
+  private[graft] val dvScanDirs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Live-dir totals at each deletion-vector scan — [[dvScanDirs]]'s
+    * denominator. Test-visible. */
+  private[graft] val dvLiveDirs = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Shared bounded pool for driver-side commit-log entry IO — one per
     * JVM (daemon threads), never per call: metaHistory batches run on

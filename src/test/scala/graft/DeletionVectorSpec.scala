@@ -256,6 +256,62 @@ class DeletionVectorSpec extends SparkSpec {
     assert(feed.filter(col("_change_type") === "delete").count() === 4)
   }
 
+  test("deleteVectorsMatching: key-range stats prune dirs the key set " +
+      "cannot touch — the tombstone scan is O(touched dirs)") {
+    val path = tmpDir("dv_frame_prune")
+    val t = ManagedTable(spark, path)
+    // three dirs with DISJOINT key ranges (per-append dir stats)
+    t.write((1 to 10).map(i => (i, s"v$i")).toDF("k", "v"), "APPEND", "append")
+    t.write((11 to 20).map(i => (i, s"v$i")).toDF("k", "v"), "APPEND", "append")
+    t.write((21 to 30).map(i => (i, s"v$i")).toDF("k", "v"), "APPEND", "append")
+    val scan0 = ManagedTable.dvScanDirs.get
+    val live0 = ManagedTable.dvLiveDirs.get
+    val c = t.deleteVectorsMatching(Seq(12, 14).toDF("k"), Seq("k"),
+      captureChangeData = false)
+    assert(c.operationMetrics("numDeletedRows") === "2")
+    assert(ManagedTable.dvLiveDirs.get - live0 === 3)
+    assert(ManagedTable.dvScanDirs.get - scan0 === 1,
+      "keys 12/14 can only live in the 11-20 dir — the other two must " +
+        "prune from commit-log stats, never be scanned")
+    assert(t.read.count() === 28)
+    // no change capture: the DV commit carries no change dir (and the
+    // scan ran at key width — behaviorally pinned by the counts above)
+    assert(c.changeDir.isEmpty)
+    // an all-NULL key frame prunes every dir without a NULL in the column
+    val scan1 = ManagedTable.dvScanDirs.get
+    val cN = t.deleteVectorsMatching(
+      Seq[java.lang.Integer](null).toDF("k"), Seq("k"),
+      captureChangeData = false)
+    assert(cN.operationMetrics("numDeletedRows") === "0")
+    assert(ManagedTable.dvScanDirs.get - scan1 === 0,
+      "no dir holds NULL keys — the null-count stats prune all three")
+    // an EMPTY key frame is a no-op without scanning anything
+    val scan2 = ManagedTable.dvScanDirs.get
+    val cE = t.deleteVectorsMatching(Seq.empty[Int].toDF("k"), Seq("k"))
+    assert(cE.operationMetrics("numDeletedRows") === "0")
+    assert(ManagedTable.dvScanDirs.get - scan2 === 0)
+  }
+
+  test("predicate-form deleteVectors prunes the scan to referenced " +
+      "columns when change capture is off") {
+    val path = tmpDir("dv_pred_prune")
+    val t = ManagedTable(spark, path)
+    t.write((1 to 10).map(i => (i, s"v$i", i * 1.5)).toDF("k", "v", "m"),
+      "APPEND", "append")
+    t.write((11 to 20).map(i => (i, s"v$i", i * 1.5)).toDF("k", "v", "m"),
+      "APPEND", "append")
+    val scan0 = ManagedTable.dvScanDirs.get
+    val c = t.deleteVectors(col("k") === 3 || col("k") === 15,
+      captureChangeData = false)
+    assert(c.operationMetrics("numDeletedRows") === "2")
+    assert(c.changeDir.isEmpty)
+    assert(ManagedTable.dvScanDirs.get - scan0 === 2, "both dirs hold a key")
+    assert(t.read.count() === 18)
+    // results stay exact after the pruned-width scan
+    assert(t.read.agg(sum(col("m"))).head().getDouble(0) ===
+      (1 to 20).filterNot(i => i == 3 || i == 15).map(_ * 1.5).sum)
+  }
+
   test("deleteVectorsMatching: multi-column keys and unknown-column refusal") {
     val path = tmpDir("dv_frame_mc")
     val t = ManagedTable(spark, path)
