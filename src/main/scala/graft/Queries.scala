@@ -2705,6 +2705,34 @@ object Queries {
     require(fineState.commitAt(fApp.version - 1).operation ==
       "DELETE VECTORS",
       "incremental_view: touched groups must tombstone as frame-keyed DVs")
+    // READ-side pin, one level down from the O(touched groups) write:
+    // tombstone LOCATION must dir-prune. Recluster the state into 8
+    // range-disjoint bucket dirs, then fold a NARROW key-range delete —
+    // the fold's DV scan must touch strictly fewer dirs than the state
+    // holds (commit-log key-stats pruning: the IN-list form prunes per
+    // touched VALUE, the frame form by the keys' min/max range), and
+    // the tombstone commit must carry no change dir (nothing consumes
+    // the view state's own change feed — capture would force the scan
+    // to full row width)
+    fineState.clusterBy("o_orderkey", 8)
+    val liveDirs = fineState.lastCommit.get.dirs.size
+    val dvScan0 = ManagedTable.dvScanDirs.get
+    t.delete(col("o_orderkey") <= 999)
+    fine.refresh()
+    val pruneApp = fineState.lastCommit.get
+    require(pruneApp.operation == "VIEW_DELTA",
+      s"incremental_view: the narrow delete must fold as DV+APPEND, got " +
+        s"${pruneApp.operation}")
+    val pruneDv = fineState.commitAt(pruneApp.version - 1)
+    require(pruneDv.operation == "DELETE VECTORS" &&
+      pruneDv.changeDir.isEmpty,
+      "incremental_view: the state tombstone commit must not pay " +
+        "full-width change capture")
+    val dvScanned = ManagedTable.dvScanDirs.get - dvScan0
+    require(dvScanned >= 1 && dvScanned < liveDirs,
+      s"incremental_view: a narrow-range fold must scan strictly fewer " +
+        s"state dirs than the $liveDirs live — scanned $dvScanned (the " +
+        "O(touched groups) write would still pay an O(state) read)")
     t.update(Map("o_totalprice" -> (col("o_totalprice") * 2)), lit(true))
     fine.refresh()
     require(fineState.lastCommit.get.operation == "VIEW_REFRESH",
@@ -2833,6 +2861,79 @@ object Queries {
       | MAX(o_totalprice) AS max_price
       |FROM l JOIN r USING (custkey)
       |GROUP BY c_mktsegment""".stripMargin
+
+  /** HIGH-GROUP-CARDINALITY aggregate-view fold — the 10^9-group mart
+    * shape at bench scale, where the state is FACT-sized (one group per
+    * `(l_orderkey, l_linenumber)` — the composite key forces the
+    * FRAME-keyed tombstone path) and a small delta must cost O(touched)
+    * on BOTH sides of the fold: the init + recluster are staged out, so
+    * the probed cost is the fold itself — touched-group recompute over
+    * a readWhere range-pruned slice, frame-keyed DVs whose tombstone
+    * scan dir-prunes by the touched keys' min/max (pinned in-query:
+    * strictly fewer dirs scanned than the state holds, no change-
+    * capture dir on the tombstone commit), and an APPEND of the
+    * recomputed rows. Rides the bench scale probe pinned by name, so
+    * the read-side prune is slope-visible across sf instead of only
+    * counter-visible. Oracle: the per-line aggregate over the touched
+    * key range after the update. */
+  def aggViewHighcard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.{IncrementalAggView, ManagedTable}
+    val src = tmp("avh_src")
+    val st = tmp("avh_state")
+    val li = pq(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val t = ManagedTable(spark, src)
+    val view = new IncrementalAggView(spark, src, st,
+      Seq("l_orderkey", "l_linenumber"), Seq("l_extendedprice"))
+    Staging.timed {
+      t.write(li, "APPEND", "append")
+      view.initialize()
+      // the standing mart's serving layout: 16 range-disjoint bucket
+      // dirs on the leading group key (the heavy maintenance pass a
+      // real mart runs at its own cadence — staged out of the fold)
+      ManagedTable(spark, st).clusterBy("l_orderkey", 16)
+    }
+    // the day's delta: a narrow key range moves (~0.03-3 % of groups
+    // across sf) — a repricing event on recent orders. Staged with
+    // captured change rows so the probed cost is the FOLD, not the
+    // source churn: the fold then reads the minimal per-row feed
+    // instead of a coarse whole-dir rewrite feed
+    Staging.timed {
+      t.update(Map("l_extendedprice" -> (col("l_extendedprice") + 1)),
+        col("l_orderkey") <= 320L, captureChangeData = true)
+    }
+    val s = ManagedTable(spark, st)
+    val liveDirs = s.lastCommit.get.dirs.size
+    val dvScan0 = ManagedTable.dvScanDirs.get
+    view.refresh()
+    val appendC = s.lastCommit.get
+    require(appendC.operation == "VIEW_DELTA",
+      s"agg_view_highcard: a narrow fold against a fact-cardinality " +
+        s"state must land DV+APPEND, got ${appendC.operation}")
+    val dvC = s.commitAt(appendC.version - 1)
+    require(dvC.operation == "DELETE VECTORS" && dvC.changeDir.isEmpty,
+      "agg_view_highcard: touched groups must tombstone frame-keyed " +
+        "with no change capture")
+    val dvScanned = ManagedTable.dvScanDirs.get - dvScan0
+    require(dvScanned >= 1 && dvScanned < liveDirs,
+      s"agg_view_highcard: the frame-keyed tombstone scan must dir-prune " +
+        s"by the touched keys' range — scanned $dvScanned of $liveDirs")
+    // serving read over the touched range (dir-pruned), verified by the
+    // oracle's recompute
+    view.readWhere(col("l_orderkey") <= 320L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("cnt"),
+        col("sum_l_extendedprice").cast("string").as("sum_price"))
+  }
+
+  /** DuckDB mirror of [[aggViewHighcard]] — the touched range's
+    * per-line aggregate with the repricing applied. */
+  val aggViewHighcardSql: String =
+    """SELECT l_orderkey, l_linenumber, CAST(COUNT(*) AS BIGINT) AS cnt,
+      | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+      |        + CAST(1 AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS VARCHAR)
+      |   AS sum_price
+      |FROM lineitem WHERE l_orderkey <= 320
+      |GROUP BY l_orderkey, l_linenumber""".stripMargin
 
   /** STREAMING maintenance of the join-aggregate view
     * ([[graft.table.IncrementalJoinAggView.refreshStream]] — the fact
@@ -7046,31 +7147,41 @@ object Queries {
   /** ONE-PASS maintenance of the standing-view family
     * ([[graft.table.StandingViews.refreshAll]], driven through `CALL
     * graft.refresh_views`): the flagship pipeline keeps BM25 +
-    * positional + near-dup + corpus-LM views of one corpus (the LM
-    * shares the text views' netting SIGNATURE, so four views cost one
-    * slice read and one text netting), and refreshing them
-    * individually re-reads and re-nets the SAME change-feed slice once
-    * per view — at 100 TB the daily slice is TB-scale, so N scans of
-    * it is the refresh loop's dominant IO. This query drives a day's
-    * churn (an append + a curation delete) through the CALL and pins
-    * IN-QUERY that the slice was read exactly ONCE
-    * (`ManagedTable.changeFeedReads` counter) however many views, that
-    * every view's watermark advanced to the head, and that each folded
-    * state equals its from-scratch rebuild (the same canonical gate an
-    * individual refresh carries — so one-pass ≡ per-view refreshes).
-    * Oracle: the full BM25 ranking over the FINAL corpus. */
+    * positional + near-dup + corpus-LM views AND an aggregate mart of
+    * one corpus (the LM shares the text views' netting SIGNATURE; the
+    * mart consumes the SAME slice raw through the SignedSliceView
+    * contract), plus views over a SECOND source table in the same CALL
+    * — and refreshing them individually re-reads the same change-feed
+    * slice once per view: at 100 TB the daily slice is TB-scale, so N
+    * scans of it is the refresh loop's dominant IO. This query drives
+    * a day's churn (appends + a curation delete on both sources)
+    * through ONE CALL and pins IN-QUERY that each source's slice was
+    * read exactly ONCE (`ManagedTable.changeFeedReads` == number of
+    * sources, however many views), that every view's watermark
+    * advanced to its source's head, and that each folded state equals
+    * its from-scratch rebuild (the same canonical gate an individual
+    * refresh carries — so one-pass ≡ per-view refreshes). Oracle: the
+    * full BM25 ranking over the FINAL corpus. */
   def multiViewRefresh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.llm.Retrieval
-    import graft.table.{Bm25IndexView, ManagedTable, NearDupIndexView,
-      PositionalIndexView}
-    val docs = pq(spark, dir, "documents").select("doc_id", "text")
+    import graft.table.{Bm25IndexView, IncrementalAggView, ManagedTable,
+      NearDupIndexView, PositionalIndexView}
+    val docs = pq(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), (col("doc_id") % 7).as("bucket"),
+        length(col("text")).cast("long").as("score"))
     val srcPath = tmp("mview_src")
     val st1 = tmp("mview_bm25")
     val st2 = tmp("mview_phrase")
     val st3 = tmp("mview_nd")
     val st4 = tmp("mview_lm")
+    val st5 = tmp("mview_agg")
+    val src2 = tmp("mview_src2")
+    val st6 = tmp("mview_agg2")
     val t = ManagedTable(spark, srcPath)
+    val t2 = ManagedTable(spark, src2)
+    val orders = pq(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_totalprice"))
     Staging.timed {
       t.write(docs.filter(col("doc_id") % 3 =!= 0), "APPEND", "append")
       new Bm25IndexView(spark, srcPath, st1, expectedDocs = 100000)
@@ -7080,18 +7191,53 @@ object Queries {
       new NearDupIndexView(spark, srcPath, st3, expectedDocs = 100000)
         .initialize()
       new graft.table.CorpusLmView(spark, srcPath, st4).initialize()
+      new IncrementalAggView(spark, srcPath, st5, Seq("bucket"),
+        Seq("score")).initialize()
+      t2.write(orders.filter(col("o_orderstatus") =!= "F"), "APPEND",
+        "append")
+      new IncrementalAggView(spark, src2, st6, Seq("o_orderstatus"),
+        Seq("o_totalprice")).initialize()
     }
-    // one day's churn, netted ONCE for the whole family
+    // one day's churn on EACH source, read ONCE per source for the
+    // whole family — index views net it, the marts fold it raw
     t.write(docs.filter(col("doc_id") % 3 === 0), "APPEND", "append")
     t.delete(col("doc_id") % 13 === 0)
+    t2.write(orders.filter(col("o_orderstatus") === "F"), "APPEND",
+      "append")
     ManagedTable.changeFeedReads.set(0L)
     val rows = spark.sql(s"CALL graft.refresh_views('$srcPath', " +
-      s"'bm25:$st1,phrase:$st2,neardup:$st3,lm:$st4')").collect()
-    require(ManagedTable.changeFeedReads.get == 1L,
-      "multi_view_refresh: N views must fold from ONE change-feed read, " +
-        s"got ${ManagedTable.changeFeedReads.get}")
-    require(rows.length == 4 && rows.forall(_.getLong(2) == 2L),
-      "multi_view_refresh: every view must advance to source version 2")
+      s"'bm25:$st1,phrase:$st2,neardup:$st3,lm:$st4," +
+      s"agg(bucket;score):$st5," +
+      s"$src2>agg(o_orderstatus;o_totalprice):$st6')").collect()
+    require(ManagedTable.changeFeedReads.get == 2L,
+      "multi_view_refresh: two sources must fold from ONE change-feed " +
+        s"read EACH, got ${ManagedTable.changeFeedReads.get}")
+    require(rows.length == 6,
+      s"multi_view_refresh: six views expected, got ${rows.length}")
+    require(rows.take(5).forall(_.getLong(2) == 2L),
+      "multi_view_refresh: every corpus view must advance to version 2")
+    require(rows.last.getLong(2) == 1L,
+      "multi_view_refresh: the second source's view must advance to ITS " +
+        "source's head")
+    // the marts folded the same slices: state ≡ recompute, exactly-once
+    val agg1 = new IncrementalAggView(spark, srcPath, st5, Seq("bucket"),
+      Seq("score"))
+    val wantAgg = t.read.groupBy("bucket")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("score").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_score"))
+    require(agg1.read.exceptAll(wantAgg).count() == 0 &&
+      wantAgg.exceptAll(agg1.read).count() == 0,
+      "multi_view_refresh: the one-pass agg mart drifted from the recompute")
+    val agg2 = new IncrementalAggView(spark, src2, st6,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    val wantAgg2 = t2.read.groupBy("o_orderstatus")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(28,6)"))
+          .cast("decimal(28,6)").as("sum_o_totalprice"))
+    require(agg2.read.exceptAll(wantAgg2).count() == 0 &&
+      wantAgg2.exceptAll(agg2.read).count() == 0,
+      "multi_view_refresh: the second source's mart drifted")
     val bm = new Bm25IndexView(spark, srcPath, st1)
     val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
     require(bm.read.exceptAll(rebuilt).isEmpty &&
@@ -7350,13 +7496,20 @@ object Queries {
     t.delete(col("doc_id") % 5 === 1)
     val gated = new Bm25IndexView(spark, srcPath, stPath,
       deleteBroadcastCap = 1)
+    val tierScans0 = graft.table.RowLocalIndexView.tierCountScans.get
     require(gated.refresh() == 2L,
       "bm25_view_bulk_delete: the second bulk delete must fold on v2")
+    require(graft.table.RowLocalIndexView.tierCountScans.get == tierScans0,
+      "bm25_view_bulk_delete: the replace-vs-DV fraction decision must " +
+        "read live rows off the commit log, never a full state scan")
     val fkCommit = ManagedTable(spark, stPath).lastCommit.get
     require(fkCommit.operation == "DELETE VECTORS" &&
       fkCommit.dirs == dirsBefore,
       s"bm25_view_bulk_delete: a past-gate delete under the fraction " +
         s"threshold must land frame-keyed DVs, got ${fkCommit.operation}")
+    require(fkCommit.changeDir.isEmpty,
+      "bm25_view_bulk_delete: the state tombstone commit must not pay " +
+        "full-width change capture — nothing consumes the state's feed")
     // curation pass 3: ~half the surviving corpus — ABOVE the fraction
     // threshold, where tombstones would read-amplify every search: the
     // honest plan is the one shuffled anti-join rewrite

@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_spans_incremental" -> (Queries.dedupSpansIncremental(_, _)),
     "incremental_view" -> (Queries.incrementalView(_, _)),
     "incremental_join_view" -> (Queries.incrementalJoinView(_, _)),
+    "agg_view_highcard" -> (Queries.aggViewHighcard(_, _)),
     "stream_join_view" -> (Queries.streamJoinView(_, _)),
     "incremental_view_minmax" -> (Queries.incrementalViewMinMax(_, _)),
     "column_rename" -> (Queries.columnRename(_, _)),
@@ -394,6 +395,7 @@ object SparkEntry {
     "dedup_spans_incremental" -> Queries.dedupSpansIncrementalSql,
     "incremental_view" -> Queries.incrementalViewSql,
     "incremental_join_view" -> Queries.incrementalJoinViewSql,
+    "agg_view_highcard" -> Queries.aggViewHighcardSql,
     "stream_join_view" -> Queries.streamJoinViewSql,
     "incremental_view_minmax" -> Queries.incrementalViewMinMaxSql,
     "column_rename" -> Queries.columnRenameSql,

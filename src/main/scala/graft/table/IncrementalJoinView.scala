@@ -66,8 +66,33 @@ final class IncrementalJoinAggView(spark: SparkSession,
                                    joinKeys: Seq[String],
                                    groupCols: Seq[String],
                                    sumCols: Seq[String],
-                                   minMaxCols: Seq[String] = Nil) {
+                                   minMaxCols: Seq[String] = Nil,
+                                   captureStateChangeData: Boolean = false)
+  extends SignedSliceView {
   require(joinKeys.nonEmpty, "IncrementalJoinAggView needs join keys")
+
+  // one-pass multi-view orchestrator plumbing ([[StandingViews]]): the
+  // LEFT (fact) table is the shared source — the orchestrator hands
+  // this view its pre-read left slice and the fold derives the right
+  // (dimension) side's range itself, exactly like [[refreshStream]]'s
+  // per-epoch folds. sourceVersion is the LEFT watermark.
+  def sourceVersion: Long = sourceVersions._1
+  private[table] def sourceTablePath: String = leftPath
+  private[table] def viewKind: String = "join view"
+  private[table] def neededSliceCols: Seq[String] = {
+    val lCols = left.read.columns.toSet
+    (joinKeys ++ (groupCols ++ sumCols ++ minMaxCols).filter(lCols)).distinct
+  }
+  private[table] override def resumePendingSlice(): Unit = {
+    resumePending(); ()
+  }
+  private[table] def stateTxnVersion(appId: String): Option[Long] =
+    state.lastTxnVersion(appId)
+  private[table] def foldRawSlice(slice: DataFrame, from: Long,
+                                  latest: Long,
+                                  txn: Option[(String, Long)]): Unit = {
+    refreshImpl(Some((slice, from, latest)), txn); ()
+  }
   require(groupCols.nonEmpty, "IncrementalJoinAggView needs group columns")
 
   private val Dec = "decimal(28,6)"
@@ -103,14 +128,61 @@ final class IncrementalJoinAggView(spark: SparkSession,
 
   /** Null-safe LEFT SEMI restriction of `df` to the `touched` group
     * set projected onto `cols` (NULL is a legal group key — a plain
-    * equi join would silently drop its rows). */
+    * equi join would silently drop its rows). The scan side is
+    * PRE-FILTERED by the touched keys' min/max range
+    * ([[IncrementalAggView.keyRangePredicate]]) — a conservative
+    * superset the exact join then narrows, but one Catalyst pushes
+    * into the parquet scan (row-group pruning on the range-clustered
+    * state and the watermark snapshots), so the recompute reads
+    * O(touched range), not O(table). */
   private def semiOnGroups(df: DataFrame, touched: DataFrame,
                            cols: Seq[String]): DataFrame = {
     val t = touched.select(cols.map(c => col(s"`$c`").as(s"__t_$c")): _*)
       .distinct()
     val cond = cols.map(c => col(s"`$c`") <=> col(s"`__t_$c`")).reduce(_ && _)
-    df.join(t, cond, "left_semi")
+    val base = IncrementalAggView
+      .keyRangePredicate(touched.select(cols.map(c => col(s"`$c`")): _*), cols)
+      .map(df.filter).getOrElse(df)
+    base.join(t, cond, "left_semi")
   }
+
+  /** IN-list cap for the touched-group tombstone predicate — the
+    * single-table view's rule ([[IncrementalAggView]]): past it the
+    * driver collect stops being free and the frame form takes over. */
+  private val MaxInList = 1000
+
+  /** The touched-group set as a driver-side IN-list predicate when it
+    * has a driver-safe spelling (single group key, ≤ [[MaxInList]]
+    * values; NULL keys ride as an explicit IS NULL arm) — None past
+    * the cap or for composite keys. */
+  private def touchedPredicate(touched: DataFrame): Option[Column] = {
+    if (groupCols.size != 1) return None
+    val g = groupCols.head
+    val vals = touched.limit(MaxInList + 1).collect().map(_.get(0))
+    if (vals.length > MaxInList) return None
+    val nonNull = vals.filter(_ != null)
+    val base: Column =
+      if (nonNull.isEmpty) lit(false)
+      else col(s"`$g`").isin(nonNull.toIndexedSeq: _*)
+    Some(if (vals.contains(null)) base || col(s"`$g`").isNull else base)
+  }
+
+  /** Tombstone the touched groups' state rows: predicate-form DVs
+    * (per-VALUE dir-stat pruning) under the IN-list cap, frame-keyed
+    * DVs (key-RANGE dir pruning, keys never driver state) past it.
+    * State change capture is a deliberate choice, default off — see
+    * [[IncrementalAggView]]. */
+  private def tombstoneTouched(touched: DataFrame, meta: Option[String],
+                               fence: Option[Long]): ManagedTable.Commit =
+    touchedPredicate(touched) match {
+      case Some(pred) =>
+        state.deleteVectors(pred, captureChangeData = captureStateChangeData,
+          userMetadata = meta, expectedPrevVersion = fence)
+      case None =>
+        state.deleteVectorsMatching(touched, groupCols,
+          captureChangeData = captureStateChangeData, userMetadata = meta,
+          expectedPrevVersion = fence)
+    }
 
   /** The (leftVersion, rightVersion) pair folded into the state —
     * maintenance commits on the state table, and a half-applied fold's
@@ -206,12 +278,30 @@ final class IncrementalJoinAggView(spark: SparkSession,
     t.readAt(version).join(gated, joinKeys, "left_semi")
   }
 
+  /** A pre-read raw slice in signed form — the orchestrator-handed
+    * left delta: sign from `_change_type`, stream/meta columns dropped
+    * (drop tolerates absent names, so batch and streaming slices both
+    * land here). */
+  private def signedOf(slice: DataFrame): DataFrame = {
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    slice.withColumn("__sign__", sign)
+      .drop("_change_type", "_commit_version", "_commit_timestamp")
+  }
+
   /** The grouped signed delta of the range (vl0,vr0] → (vl1,vr1] —
     * the three delta-join terms unioned — or None when both ranges are
-    * empty after netting. */
-  private def groupedDelta(vl0: Long, vr0: Long, vl1: Long,
-                           vr1: Long): Option[DataFrame] = {
-    val dL = signedDelta(left, vl0, vl1).map(_.localCheckpoint())
+    * empty after netting. `dLSlice`, when given, is the LEFT range's
+    * already-read raw slice (the one-pass orchestrator's shared read —
+    * this fold must not read the feed again). */
+  private def groupedDelta(vl0: Long, vr0: Long, vl1: Long, vr1: Long,
+                           dLSlice: Option[DataFrame] = None)
+      : Option[DataFrame] = {
+    val dL = dLSlice match {
+      case Some(s) =>
+        if (vl1 > vl0) Some(signedOf(s).localCheckpoint()) else None
+      case None => signedDelta(left, vl0, vl1).map(_.localCheckpoint())
+    }
     val dR = signedDelta(right, vr0, vr1).map(_.localCheckpoint())
     val parts = Seq(
       // dL ⋈ R0 — old right, pruned to dL's keys
@@ -376,7 +466,15 @@ final class IncrementalJoinAggView(spark: SparkSession,
 
   /** Fold both unprocessed ranges into the state. No-op (no commit)
     * when both sides are current. Returns the new watermark pair. */
-  def refresh(): (Long, Long) = {
+  def refresh(): (Long, Long) = refreshImpl(None, None)
+
+  /** The fold behind [[refresh]] (reads both feeds itself) and
+    * [[foldRawSlice]] (the left range arrives pre-read as
+    * `(slice, from, latest)` — the one-pass orchestrator's shared
+    * read). `txn` rides the fold's FINAL commit for the streaming
+    * orchestrator's exactly-once ledger. */
+  private def refreshImpl(leftSlice: Option[(DataFrame, Long, Long)],
+                          txn: Option[(String, Long)]): (Long, Long) = {
     resumePending()
     // fence BEFORE the watermark read and every state.read below: a
     // racing refresh that lands after this point fails the delete's or
@@ -386,8 +484,14 @@ final class IncrementalJoinAggView(spark: SparkSession,
     // row-local index views catch with id gates)
     val fence = state.latestVersion
     val (vl0, vr0) = sourceVersions
-    val vl1 = left.latestVersion.getOrElse(throw new IllegalStateException(
-      s"left table $leftPath does not exist"))
+    leftSlice.foreach { case (_, from, _) =>
+      require(vl0 == from,
+        s"join view state advanced from $from to $vl0 while the shared " +
+          "slice was read — a concurrent refresh interleaved; re-run")
+    }
+    val vl1 = leftSlice.map(_._3).getOrElse(
+      left.latestVersion.getOrElse(throw new IllegalStateException(
+        s"left table $leftPath does not exist")))
     val vr1 = right.latestVersion.getOrElse(throw new IllegalStateException(
       s"right table $rightPath does not exist"))
     require(vl1 >= vl0 && vr1 >= vr0,
@@ -407,7 +511,7 @@ final class IncrementalJoinAggView(spark: SparkSession,
             "needs the watermark snapshot; re-initialize the view."))
     }
     checkDisjointColumns()
-    val delta = groupedDelta(vl0, vr0, vl1, vr1).get
+    val delta = groupedDelta(vl0, vr0, vl1, vr1, leftSlice.map(_._1)).get
     val touched = delta.select(gCols: _*).distinct().localCheckpoint()
     val touchedN = touched.count()
     val oldRows = stateRowCount
@@ -416,13 +520,13 @@ final class IncrementalJoinAggView(spark: SparkSession,
       // empty append so the retention holds slide
       state.write(delta.limit(0), "JOINVIEW_DELTA", "append",
         metaRows(vl1, vr1, oldRows), mergeSchema = true,
-        expectedPrevVersion = fence)
+        expectedPrevVersion = fence, txnUpdate = txn)
     } else if (touchedN * 100L >=
         oldRows * RowLocalIndexView.RewriteFractionPct) {
       // full-churn fold (or tiny/empty state): one replace
       state.write(mergedState(delta, touched, vl1, vr1),
         "JOINVIEW_REFRESH", "replace", meta(vl1, vr1),
-        expectedPrevVersion = fence)
+        expectedPrevVersion = fence, txnUpdate = txn)
     } else {
       // O(touched groups) fold: recompute first (against the pre-delete
       // state), then frame-keyed tombstones with the pending marker,
@@ -430,14 +534,13 @@ final class IncrementalJoinAggView(spark: SparkSession,
       val newRows = touchedRows(delta, touched, state.read, vl1, vr1)
         .localCheckpoint()
       val newN = newRows.count()
-      val dv = state.deleteVectorsMatching(touched, groupCols,
-        userMetadata = Some(
-          s"""{"pendingLeftVersion":$vl1,"pendingRightVersion":$vr1}"""),
-        expectedPrevVersion = fence)
+      val dv = tombstoneTouched(touched,
+        Some(s"""{"pendingLeftVersion":$vl1,"pendingRightVersion":$vr1}"""),
+        fence)
       val deleted = dv.operationMetrics("numDeletedRows").toLong
       state.write(newRows, "JOINVIEW_DELTA", "append",
         metaRows(vl1, vr1, oldRows - deleted + newN), mergeSchema = true,
-        expectedPrevVersion = Some(dv.version))
+        expectedPrevVersion = Some(dv.version), txnUpdate = txn)
     }
     // slide both pins forward: the delta-join fold needs each side's
     // watermark SNAPSHOT, so the hold sits at the watermark itself

@@ -81,8 +81,29 @@ import org.apache.spark.sql.functions._
 final class IncrementalAggView(spark: SparkSession, sourcePath: String,
                                statePath: String, groupCols: Seq[String],
                                sumCols: Seq[String],
-                               minMaxCols: Seq[String] = Nil) {
+                               minMaxCols: Seq[String] = Nil,
+                               captureStateChangeData: Boolean = false)
+  extends SignedSliceView {
   require(groupCols.nonEmpty, "IncrementalAggView needs group columns")
+
+  // one-pass multi-view orchestrator plumbing ([[StandingViews]]): this
+  // family consumes the RAW signed slice (its algebra nets per GROUP),
+  // so it implements [[SignedSliceView]] — the orchestrator reads a
+  // shared corpus slice once and this view folds it through the exact
+  // [[refresh]] tail, gates and write choreography unchanged
+  private[table] def sourceTablePath: String = sourcePath
+  private[table] def viewKind: String = "agg view"
+  private[table] def neededSliceCols: Seq[String] =
+    (groupCols ++ sumCols ++ minMaxCols).distinct
+  private[table] override def resumePendingSlice(): Unit = {
+    resumePending(); ()
+  }
+  private[table] def stateTxnVersion(appId: String): Option[Long] =
+    state.lastTxnVersion(appId)
+  private[table] def foldRawSlice(slice: DataFrame, from: Long,
+                                  latest: Long,
+                                  txn: Option[(String, Long)]): Unit =
+    foldDelta(slice, from, latest, txn)
 
   private val Dec = "decimal(28,6)"
   /** IN-list cap for the touched-group readWhere path: past this the
@@ -183,33 +204,71 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
     v
   }
 
-  /** `reader` restricted to the touched groups: an IN-list predicate
-    * (dir-stat skipping via the caller's readWhere) when the single
-    * group key's touched set is small — the common case, a daily load
-    * touches few groups of a well-clustered fact/state — else a
-    * group-keyed null-safe LEFT SEMI join (NULL is a legal group key; a
-    * plain equi join would silently drop its rows). */
+  /** The touched-group set as a driver-side IN-list predicate, when it
+    * HAS a driver-safe spelling: a single group key with at most
+    * [[MaxInList]] distinct values (the common case — a daily load
+    * touches few groups of a well-clustered fact/state). NULL is a
+    * legal group key and rides as an explicit `IS NULL` arm (predicate
+    * consumers use SQL match semantics — only TRUE matches — so the
+    * IN-list alone would silently skip the NULL group). None past the
+    * cap or for composite keys — consumers fall to frame form. */
+  private def touchedPredicate(touched: DataFrame): Option[Column] = {
+    if (groupCols.size != 1) return None
+    val g = groupCols.head
+    val vals = touched.limit(MaxInList + 1).collect().map(_.get(0))
+    if (vals.length > MaxInList) return None
+    val nonNull = vals.filter(_ != null)
+    val base: Column =
+      if (nonNull.isEmpty) lit(false)
+      else col(s"`$g`").isin(nonNull.toIndexedSeq: _*)
+    Some(if (vals.contains(null)) base || col(s"`$g`").isNull else base)
+  }
+
+  /** `reader` restricted to the touched groups: the IN-list predicate
+    * (dir-stat skipping via the caller's readWhere) when
+    * [[touchedPredicate]] has one, else a group-keyed null-safe LEFT
+    * SEMI join (NULL is a legal group key; a plain equi join would
+    * silently drop its rows) over a scan PRE-FILTERED by the touched
+    * keys' min/max range ([[IncrementalAggView.keyRangePredicate]] —
+    * dir-stat skipping through readWhere, so the composite-key fold's
+    * recompute read is O(touched dirs) against a range-clustered
+    * state, not O(state)). */
   private def touchedSlice(touched: DataFrame,
                            readWhere: Column => DataFrame,
-                           readAll: => DataFrame): DataFrame = {
-    if (groupCols.size == 1) {
-      val g = groupCols.head
-      val vals = touched.limit(MaxInList + 1).collect().map(_.get(0))
-      if (vals.length <= MaxInList) {
-        val nonNull = vals.filter(_ != null)
-        val base: Column =
-          if (nonNull.isEmpty) lit(false)
-          else col(s"`$g`").isin(nonNull.toIndexedSeq: _*)
-        val pred =
-          if (vals.contains(null)) base || col(s"`$g`").isNull else base
-        return readWhere(pred)
-      }
+                           readAll: => DataFrame): DataFrame =
+    touchedPredicate(touched) match {
+      case Some(pred) => readWhere(pred)
+      case None =>
+        val t = touched
+          .select(groupCols.map(c => col(s"`$c`").as(s"__t_$c")): _*)
+        val cond = groupCols.map(c => col(s"`$c`") <=> col(s"`__t_$c`"))
+          .reduce(_ && _)
+        val base = IncrementalAggView.keyRangePredicate(touched, groupCols)
+          .map(readWhere).getOrElse(readAll)
+        base.join(t, cond, "left_semi")
     }
-    val t = touched.select(groupCols.map(c => col(s"`$c`").as(s"__t_$c")): _*)
-    val cond = groupCols.map(c => col(s"`$c`") <=> col(s"`__t_$c`"))
-      .reduce(_ && _)
-    readAll.join(t, cond, "left_semi")
-  }
+
+  /** Tombstone the touched groups' current state rows, routed by the
+    * same rule as the reads: the IN-list predicate form when the
+    * touched set has one (dir-stat pruning per VALUE —
+    * [[ManagedTable.deleteVectors]]), else the frame-keyed form
+    * (key-RANGE dir pruning, the key frame never driver state —
+    * [[ManagedTable.deleteVectorsMatching]]). Change capture on the
+    * STATE table is a deliberate choice (`captureStateChangeData`,
+    * default off): nothing consumes the state's own change feed unless
+    * the caller chains views, and capture forces the tombstone scan to
+    * full row width. */
+  private def tombstoneTouched(touched: DataFrame, meta: Option[String],
+                               fence: Option[Long]): ManagedTable.Commit =
+    touchedPredicate(touched) match {
+      case Some(pred) =>
+        state.deleteVectors(pred, captureChangeData = captureStateChangeData,
+          userMetadata = meta, expectedPrevVersion = fence)
+      case None =>
+        state.deleteVectorsMatching(touched, groupCols,
+          captureChangeData = captureStateChangeData, userMetadata = meta,
+          expectedPrevVersion = fence)
+    }
 
   private def touchedFact(touched: DataFrame): DataFrame =
     touchedSlice(touched, source.readWhere, source.read)
@@ -347,9 +406,8 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
       val curTouched = touchedSlice(touched, state.readWhere, state.read)
       val newRows = touchedRows(delta, touched, curTouched).localCheckpoint()
       val newN = newRows.count()
-      val dv = state.deleteVectorsMatching(touched, groupCols,
-        userMetadata = Some(s"""{"pendingSourceVersion":$newWatermark}"""),
-        expectedPrevVersion = fence)
+      val dv = tombstoneTouched(touched,
+        Some(s"""{"pendingSourceVersion":$newWatermark}"""), fence)
       val deleted = dv.operationMetrics("numDeletedRows").toLong
       state.write(newRows, "VIEW_DELTA", "append",
         metaRows(newWatermark, oldRows - deleted + newN),
@@ -524,4 +582,50 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
     * ([[ManagedTable.readWhere]]) — selective because the state is born
     * clustered by group key and [[maintain]] keeps the tail folded. */
   def readWhere(predicate: Column): DataFrame = state.readWhere(predicate)
+}
+
+object IncrementalAggView {
+  /** Conservative range predicate covering every touched key — the
+    * frame-DV dir prune's READ-side twin: the touched set itself is
+    * data-scaled, but each eligible key column's min/max + has-null
+    * (two scalars and a flag per column at any cardinality, one small
+    * job over the already-checkpointed touched frame) spell a
+    * predicate that provably admits every touched group, so the exact
+    * null-safe semi join can run over a readWhere-pruned scan instead
+    * of the whole state. None when no key column has orderable stats.
+    * Strictly a superset filter — consumers ALWAYS follow with the
+    * exact join. */
+  private[table] def keyRangePredicate(touched: DataFrame,
+                                       cols: Seq[String]): Option[Column] = {
+    val fields = cols.flatMap(c => touched.schema.fields.find(_.name == c))
+      .filter(f => DataSkipping.eligible(f.dataType))
+    if (fields.isEmpty) return None
+    val aggs = fields.flatMap { f =>
+      val kc = col(s"`${f.name}`")
+      Seq(min(kc).as(s"mn:${f.name}"), max(kc).as(s"mx:${f.name}"),
+        sum(when(kc.isNull, 1L).otherwise(0L)).as(s"nl:${f.name}"))
+    }
+    val row = touched.agg(aggs.head, aggs.tail: _*).head()
+    val preds = fields.map { f =>
+      val mn = Option(row.get(row.fieldIndex(s"mn:${f.name}")))
+      val mx = Option(row.get(row.fieldIndex(s"mx:${f.name}")))
+      val hasNull = Option(row.get(row.fieldIndex(s"nl:${f.name}")))
+        .exists(_.asInstanceOf[Long] > 0L)
+      val kc = col(s"`${f.name}`")
+      val range = (mn, mx) match {
+        case (Some(a), Some(b)) => Some(kc >= lit(a) && kc <= lit(b))
+        case _ => None
+      }
+      // no bare-literal arms — the stats walker treats a lone lit() as
+      // may-match, defeating the prune under an OR (an EMPTY touched
+      // frame lands here too: all stats NULL → IS NULL matches nothing
+      // extra, and the exact join returns empty regardless)
+      (range, hasNull) match {
+        case (Some(r), true) => r || kc.isNull
+        case (Some(r), false) => r
+        case (None, _) => kc.isNull
+      }
+    }
+    Some(preds.reduce(_ && _))
+  }
 }

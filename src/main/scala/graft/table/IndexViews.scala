@@ -289,28 +289,49 @@ private[table] object CdfNetting {
  * tests are shared, not stamped.
  */
 /**
- * A CDF-maintained standing view that folds PRE-NETTED change slices —
- * the contract [[StandingViews]] orchestrates over. Every implementor
- * nets its slice per `(netIdCol, netPayloadCols)` with
- * [[CdfNetting.net]], so the one-pass family refresh can read a shared
- * slice once and net it once per payload SIGNATURE (the text views AND
- * the corpus-LM share one netting; the classifier adds its label
- * column; the embedding views net separately) — each view then folds
- * its pre-netted `(ins, del)` through its own gates, fences, and
- * write choreography, exactly as an individual refresh would.
+ * Base contract of the one-pass multi-view orchestrator
+ * ([[StandingViews]]): anything that maintains itself from a source
+ * table's change feed and can fold a slice the orchestrator read FOR
+ * it. Two shapes implement it — [[CdfMaintainedView]] folds PRE-NETTED
+ * `(ins, del)` pairs (the row-local index views and the additive model
+ * views, which all net per (id, payload)), and [[SignedSliceView]]
+ * folds the RAW signed slice (the aggregate/join-aggregate views, whose
+ * algebra nets per GROUP, not per id — handing them a per-id netting
+ * would be wrong, and they need none). The orchestrator groups views by
+ * source table, reads each (source, watermark) group's slice exactly
+ * once (column-pruned to the union of the group's [[neededSliceCols]],
+ * localCheckpoint'd), and fans it out to both shapes.
  */
-trait CdfMaintainedView {
-  /** Build the view from the source's current snapshot. */
-  def initialize(): Long
+trait StandingView {
   /** The last source version fully folded into the state. */
   def sourceVersion: Long
   private[table] def sourceTablePath: String
-  private[table] def netIdCol: String
-  private[table] def netPayloadCols: Seq[String]
   private[table] def viewKind: String
-  /** Finish any half-applied two-commit slice before netting. */
+  /** Columns this view needs from a shared change-feed slice (the
+    * `_change_type` / `_commit_version` metadata rides implicitly). */
+  private[table] def neededSliceCols: Seq[String]
+  /** Finish any half-applied two-commit slice before folding. */
   private[table] def resumePendingSlice(): Unit = ()
   private[table] def stateTxnVersion(appId: String): Option[Long]
+}
+
+/**
+ * A CDF-maintained standing view that folds PRE-NETTED change slices.
+ * Every implementor nets its slice per `(netIdCol, netPayloadCols)`
+ * with [[CdfNetting.net]], so the one-pass family refresh can net a
+ * shared slice once per payload SIGNATURE (the text views AND the
+ * corpus-LM share one netting; the classifier adds its label column;
+ * the embedding views net separately) — each view then folds its
+ * pre-netted `(ins, del)` through its own gates, fences, and write
+ * choreography, exactly as an individual refresh would.
+ */
+trait CdfMaintainedView extends StandingView {
+  /** Build the view from the source's current snapshot. */
+  def initialize(): Long
+  private[table] def netIdCol: String
+  private[table] def netPayloadCols: Seq[String]
+  private[table] final def neededSliceCols: Seq[String] =
+    netIdCol +: netPayloadCols
   /** Apply one slice netted FROM `from`, advancing the watermark to
     * `latest`; a nets-to-nothing slice still advances the watermark
     * (empty commit) so the retention hold slides. The slice's FINAL
@@ -318,6 +339,26 @@ trait CdfMaintainedView {
   private[table] def foldNetted(ins: DataFrame, del: DataFrame,
                                 from: Long, latest: Long,
                                 txn: Option[(String, Long)]): Unit
+}
+
+/**
+ * A standing view that folds the RAW SIGNED slice — the
+ * aggregate-view side of the orchestrator contract
+ * ([[IncrementalAggView]], [[IncrementalJoinAggView]]). Their delta
+ * algebra nets per GROUP inside the fold (signed by `_change_type`),
+ * so the orchestrator hands the shared slice through untouched; the
+ * win is the same as the netted family's: a corpus that keeps standing
+ * indexes AND marts reads each TB-scale daily slice once, not once per
+ * view family.
+ */
+trait SignedSliceView extends StandingView {
+  /** Fold one RAW change-feed slice (rows carry `_change_type`; the
+    * streaming form also carries `_commit_version`) covering
+    * `(from, latest]`, advancing the watermark to `latest`. The fold's
+    * FINAL commit must carry `txn` when given. */
+  private[table] def foldRawSlice(slice: DataFrame, from: Long,
+                                  latest: Long,
+                                  txn: Option[(String, Long)]): Unit
 }
 
 abstract class RowLocalIndexView(
@@ -392,8 +433,18 @@ abstract class RowLocalIndexView(
     * shuffled and the delete rewrites the state once. */
   protected def maxBroadcastIds: Int = CdfNetting.MaxBroadcastIds
 
+  /** Change capture on the STATE table's tombstone commits — a
+    * deliberate choice, off by default: nothing consumes a standing
+    * index's own change feed, capture forces the tombstone scan to
+    * full row width instead of key width, and a reader that DOES need
+    * the state's feed across a no-capture DV commit is refused loudly
+    * by [[ManagedTable.readChangeFeed]] rather than served an empty
+    * version. Subclasses that chain views off the state opt in. */
+  protected def captureStateChangeData: Boolean = false
+
   private val WatermarkRe = """"sourceVersion":(\d+)""".r
   private val PendingRe = """\{"pendingSourceVersion":(\d+)\}""".r
+  private val ReplaceMarkerRe = """"stateReplace":true""".r
 
   protected final def source: ManagedTable = ManagedTable(spark, sourcePath)
   protected final def state: ManagedTable = ManagedTable(spark, statePath)
@@ -402,6 +453,55 @@ abstract class RowLocalIndexView(
 
   private def stateIds: DataFrame =
     state.read.select(col(s"`$stateIdColumn`").as("doc_id"))
+
+  /** Mark a full-churn replace commit's metadata so [[liveStateRows]]
+    * can anchor on its `numOutputRows` without re-classifying append
+    * vs replace from dir composition. */
+  private def markReplace(meta: String): String = {
+    require(meta.startsWith("{"), s"refreshMeta must be a JSON object: $meta")
+    meta.replaceFirst("\\{", "{\"stateReplace\":true,")
+  }
+
+  /** Live state rows derived from the COMMIT LOG alone — the
+    * replace-vs-DV fraction decision used to pay a full state scan for
+    * this one count (the single O(state) read left on the delete
+    * path); the agg-view family reads its count off commit metadata
+    * for exactly this reason ([[IncrementalAggView]]). Walk
+    * newest-first, accumulating append folds' own `numOutputRows` and
+    * DV commits' `numDeletedRows`, until an ABSOLUTE anchor: the INIT
+    * commit or a marked full-churn replace (each one's `numOutputRows`
+    * IS the live count at that version). Maintenance commits
+    * (purge/compact/cluster/analyze) preserve live rows and are
+    * neutral; RESTORE is neutral because [[CdfNetting.commitWalk]]
+    * already continues the walk below the restore target — exactly the
+    * history the restored rows came from. An operation the walk cannot
+    * classify answers None and the caller falls back to one narrow
+    * scan, counted by [[RowLocalIndexView.tierCountScans]] so tests
+    * pin that the lifecycle's own commits never need it. */
+  private def liveStateRows: Option[Long] = {
+    val refreshOp = s"${opPrefix}_REFRESH"
+    val initOp = s"${opPrefix}_INIT"
+    var acc = 0L
+    CdfNetting.commitWalk(state).foreach { c =>
+      def out = c.operationMetrics.getOrElse("numOutputRows", "0").toLong
+      c.operation match {
+        case op if op == initOp => return Some(out + acc)
+        case op if op == refreshOp =>
+          if (c.userMetadata.exists(m =>
+              ReplaceMarkerRe.findFirstIn(m).isDefined))
+            return Some(out + acc)
+          else acc += out
+        case "DELETE VECTORS" =>
+          acc -= c.operationMetrics.getOrElse("numDeletedRows", "0").toLong
+        case "PURGE DELETES" | "ANALYZE" => ()
+        case op if op.startsWith("COMPACT") || op.startsWith("CLUSTER") ||
+          op.startsWith("OPTIMIZE") || op.startsWith("ZORDER") ||
+          op.startsWith("RESTORE") => ()
+        case _ => return None
+      }
+    }
+    None
+  }
 
   /** The last source version FULLY folded into the index (the most
     * recent watermark-bearing state commit — maintenance commits on
@@ -523,13 +623,17 @@ abstract class RowLocalIndexView(
           val ids = delStateIds.collect().map(r => String.valueOf(r.get(0)))
           val pred = col(s"`$stateIdColumn`").cast("string")
             .isin(ids.toIndexedSeq: _*)
-          Some((meta, t) => { state.deleteVectors(pred, userMetadata = meta,
+          Some((meta, t) => { state.deleteVectors(pred,
+            captureChangeData = captureStateChangeData, userMetadata = meta,
             expectedPrevVersion = fence, txnUpdate = t); () })
-        } else if (delRows.count() * 100L <
-            state.read.count() * RowLocalIndexView.RewriteFractionPct) {
+        } else if (delRows.count() * 100L < liveStateRows.getOrElse {
+            RowLocalIndexView.tierCountScans.incrementAndGet()
+            state.read.count()
+          } * RowLocalIndexView.RewriteFractionPct) {
           val keys = delRows.select(col(s"`$stateIdColumn`")).distinct()
           Some((meta, t) => { state.deleteVectorsMatching(keys,
-            Seq(stateIdColumn), userMetadata = meta,
+            Seq(stateIdColumn), captureChangeData = captureStateChangeData,
+            userMetadata = meta,
             expectedPrevVersion = fence, txnUpdate = t); () })
         } else None
       dvDelete match {
@@ -556,7 +660,7 @@ abstract class RowLocalIndexView(
                 col("__del__").cast("string"), "anti")
           state.write(survivors.unionByName(buildRows(ins)),
             s"${opPrefix}_REFRESH", "replace",
-            Some(refreshMeta(latest, ins, del)),
+            Some(markReplace(refreshMeta(latest, ins, del))),
             expectedPrevVersion = fence, txnUpdate = txn)
       }
     }
@@ -751,43 +855,51 @@ abstract class RowLocalIndexView(
  */
 object StandingViews {
 
-  /** Refresh every view in `views` (all over the SAME source table)
-    * reading the unprocessed change feed once per distinct watermark.
-    * Returns the source version every view is current to. */
+  /** Refresh every view in `views`, reading each SOURCE's unprocessed
+    * change feed once per distinct (source, watermark) group — views
+    * may span MULTIPLE source tables (the README pipeline maintains
+    * views over the corpus AND the benchmark table; one CALL, one
+    * slice read per source, pinned by [[ManagedTable.changeFeedReads]]).
+    * Within a group the slice is column-pruned to the union of the
+    * group's needed columns and fanned out to both contract shapes:
+    * netted views once per payload signature, signed views raw.
+    * Returns the source version each source's views are current to,
+    * keyed by source path. */
   def refreshAll(spark: SparkSession,
-                 views: Seq[CdfMaintainedView]): Long = {
+                 views: Seq[StandingView]): Map[String, Long] = {
     require(views.nonEmpty, "refreshAll needs at least one view")
-    val srcPath = views.head.sourceTablePath
-    require(views.forall(_.sourceTablePath == srcPath),
-      "refreshAll nets ONE source's change feed — views span " +
-        views.map(_.sourceTablePath).distinct.mkString(", "))
-    // finish any half-applied DV slice first (its pending range is
-    // already tombstoned; the watermark must reflect the completed fold
-    // before this pass nets from it)
-    views.foreach(_.resumePendingSlice())
-    val source = ManagedTable(spark, srcPath)
-    val latest = source.latestVersion.getOrElse(
-      throw new IllegalStateException(s"source table $srcPath does not exist"))
-    views.groupBy(_.sourceVersion).foreach { case (wm, group) =>
-      require(latest >= wm,
-        s"source went backwards: watermark $wm, latest $latest — was the " +
-          "source table recreated? Re-initialize the views.")
-      if (latest != wm) {
-        val needed = group
-          .flatMap(v => v.netIdCol +: v.netPayloadCols).distinct
-        val slice = CdfNetting
-          .cdfSlice(source, wm, latest, "multi-view refresh")
-          .select((needed.map(c => col(s"`$c`")) :+ col("_change_type")): _*)
-          .localCheckpoint()
-        group.groupBy(v => (v.netIdCol, v.netPayloadCols)).foreach {
-          case ((id, pay), vs) =>
-            val (ins, del) = CdfNetting.net(slice, id, pay,
-              s"multi-view refresh (${vs.map(_.viewKind).mkString(", ")})")
-            vs.foreach(_.foldNetted(ins, del, wm, latest, None))
+    views.groupBy(_.sourceTablePath).map { case (srcPath, group) =>
+      // finish any half-applied DV slice first (its pending range is
+      // already tombstoned; the watermark must reflect the completed
+      // fold before this pass nets from it)
+      group.foreach(_.resumePendingSlice())
+      val source = ManagedTable(spark, srcPath)
+      val latest = source.latestVersion.getOrElse(
+        throw new IllegalStateException(
+          s"source table $srcPath does not exist"))
+      group.groupBy(_.sourceVersion).foreach { case (wm, g) =>
+        require(latest >= wm,
+          s"source went backwards: watermark $wm, latest $latest — was " +
+            "the source table recreated? Re-initialize the views.")
+        if (latest != wm) {
+          val needed = g.flatMap(_.neededSliceCols).distinct
+          val slice = CdfNetting
+            .cdfSlice(source, wm, latest, "multi-view refresh")
+            .select((needed.map(c => col(s"`$c`")) :+ col("_change_type")): _*)
+            .localCheckpoint()
+          g.collect { case v: CdfMaintainedView => v }
+            .groupBy(v => (v.netIdCol, v.netPayloadCols)).foreach {
+              case ((id, pay), vs) =>
+                val (ins, del) = CdfNetting.net(slice, id, pay,
+                  s"multi-view refresh (${vs.map(_.viewKind).mkString(", ")})")
+                vs.foreach(_.foldNetted(ins, del, wm, latest, None))
+            }
+          g.collect { case v: SignedSliceView => v }
+            .foreach(_.foldRawSlice(slice, wm, latest, None))
         }
       }
+      srcPath -> latest
     }
-    latest
   }
 
   /** STREAMING form: ONE CDF stream over the shared source drives every
@@ -798,7 +910,7 @@ object StandingViews {
     * but view k+1 did not replays the epoch folding only the k+1 tail;
     * the re-created-checkpoint refusal is per view too. Caller
     * drains/stops the returned query. */
-  def refreshStreamAll(spark: SparkSession, views: Seq[CdfMaintainedView],
+  def refreshStreamAll(spark: SparkSession, views: Seq[StandingView],
                        checkpoint: String,
                        trigger: org.apache.spark.sql.streaming.Trigger =
                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -806,8 +918,9 @@ object StandingViews {
     require(views.nonEmpty, "refreshStreamAll needs at least one view")
     val srcPath = views.head.sourceTablePath
     require(views.forall(_.sourceTablePath == srcPath),
-      "refreshStreamAll nets ONE source's change feed — views span " +
-        views.map(_.sourceTablePath).distinct.mkString(", "))
+      "refreshStreamAll streams ONE source's change feed — views span " +
+        views.map(_.sourceTablePath).distinct.mkString(", ") +
+        "; run one stream (and checkpoint) per source")
     val appId = s"graft-view:$checkpoint"
     val start = views.map(_.sourceVersion).min + 1
     val stream = graft.streaming.StreamOps.streamTable(spark, srcPath,
@@ -830,8 +943,7 @@ object StandingViews {
                 "a FRESH checkpoint path.")
         } else {
           live.foreach(_.resumePendingSlice())
-          val needed = live
-            .flatMap(v => v.netIdCol +: v.netPayloadCols).distinct
+          val needed = live.flatMap(_.neededSliceCols).distinct
           val slice = batch.select((needed.map(c => col(s"`$c`")) :+
             col("_change_type") :+ col("_commit_version")): _*)
             .localCheckpoint()
@@ -839,13 +951,17 @@ object StandingViews {
             val fresh = slice.filter(col("_commit_version") > wm)
             val maxV = fresh.agg(max(col("_commit_version"))).head()
             if (!maxV.isNullAt(0)) {
-              group.groupBy(v => (v.netIdCol, v.netPayloadCols)).foreach {
-                case ((id, pay), vs) =>
-                  val (ins, del) = CdfNetting.net(fresh, id, pay,
-                    s"multi-view stream (${vs.map(_.viewKind).mkString(", ")})")
-                  vs.foreach(_.foldNetted(ins, del, wm, maxV.getLong(0),
-                    Some((appId, epochId))))
-              }
+              group.collect { case v: CdfMaintainedView => v }
+                .groupBy(v => (v.netIdCol, v.netPayloadCols)).foreach {
+                  case ((id, pay), vs) =>
+                    val (ins, del) = CdfNetting.net(fresh, id, pay,
+                      s"multi-view stream (${vs.map(_.viewKind).mkString(", ")})")
+                    vs.foreach(_.foldNetted(ins, del, wm, maxV.getLong(0),
+                      Some((appId, epochId))))
+                }
+              group.collect { case v: SignedSliceView => v }
+                .foreach(_.foldRawSlice(fresh, wm, maxV.getLong(0),
+                  Some((appId, epochId))))
             }
           }
         }
@@ -865,6 +981,14 @@ object RowLocalIndexView {
     * search until the next purge, so the rewrite is the cheaper honest
     * plan there. */
   val RewriteFractionPct: Long = 30L
+
+  /** Full-scan fallbacks of the delete-tier row count — the fraction
+    * decision reads live rows off the commit log
+    * ([[RowLocalIndexView.liveStateRows]]) and only an unclassifiable
+    * foreign commit on the state table forces a scan, so this stays 0
+    * across the view lifecycle's own commits. Test-visible. */
+  private[graft] val tierCountScans =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /**

@@ -421,27 +421,28 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
           Seq(vacuumRow(view.vacuum(longArg(args(3), "keep_last").toInt)))
         }
       case "refresh_views" =>
-        // ONE-PASS maintenance of the whole standing-view family over a
-        // corpus: the unprocessed change feed is read once and netted
-        // once per payload signature, then every view folds its
-        // pre-netted slice (StandingViews.refreshAll) — the pure-SQL
-        // spelling of the daily pipeline tick.
-        //   CALL graft.refresh_views('/corpus', 'bm25:/s1,phrase:/s2,ann:/s3')
+        // ONE-PASS maintenance of the whole standing-view family: each
+        // SOURCE's unprocessed change feed is read once (views may span
+        // sources — corpus views and benchmark-table views in one
+        // CALL), netted once per payload signature for the index/model
+        // views and handed RAW to the agg/join marts
+        // (StandingViews.refreshAll) — the pure-SQL spelling of the
+        // daily pipeline tick.
+        //   CALL graft.refresh_views('/corpus',
+        //     'bm25:/s1,agg(bucket;score):/s2,
+        //      join(/dim;bucket;segment;score):/s3,/bench>bm25:/s4')
+        // Entry grammar: [source>]kind[(params)]:state — `source>`
+        // overrides the CALL's default source; agg params are
+        // group|..;sum|..[;minmax|..] csvs ('|'-separated columns),
+        // join params prepend the RIGHT table path.
         require(args.size == 2,
-          "CALL graft.refresh_views(source, 'kind:state[,kind:state...]')")
+          "CALL graft.refresh_views(source, '[src>]kind[(params)]:state[,...]')")
         val src = strArg(args(0), "source path")
-        val pairs = strArg(args(1), "view list").split(",").map(_.trim)
-          .filter(_.nonEmpty).toSeq.map { s =>
-            val i = s.indexOf(':')
-            require(i > 0 && i < s.length - 1,
-              s"view list entries are kind:state, got `$s`")
-            (s.substring(0, i).trim, s.substring(i + 1).trim)
-          }
-        require(pairs.nonEmpty, "refresh_views needs at least one view")
-        val views = pairs.map { case (k, st) => (k, st,
-          cdfView(spark, k, src, st)) }
+        val views = parseViewList(spark, src, strArg(args(1), "view list"))
+        require(views.nonEmpty, "refresh_views needs at least one view")
         val v = StandingViews.refreshAll(spark, views.map(_._3))
-        views.map { case (k, st, _) => Row(k, st, v) }
+        views.map { case (k, st, view) =>
+          Row(k, st, v(view.sourceTablePath)) }
       case "stream_refresh_view" =>
         // STREAMING maintenance as SQL — a pure-SQL pipeline could
         // init/refresh/maintain/serve every standing view but not START
@@ -486,16 +487,10 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
           case "views" =>
             require(args.size == 4,
               "CALL graft.stream_refresh_view('views', source, " +
-                "'kind:state[,...]', checkpoint)")
+                "'kind[(params)]:state[,...]', checkpoint)")
             val src = strArg(args(1), "source path")
-            val vs = strArg(args(2), "view list").split(",").map(_.trim)
-              .filter(_.nonEmpty).toSeq.map { s =>
-                val i = s.indexOf(':')
-                require(i > 0 && i < s.length - 1,
-                  s"view list entries are kind:state, got `$s`")
-                cdfView(spark, s.substring(0, i).trim,
-                  src, s.substring(i + 1).trim)
-              }
+            val vs = parseViewList(spark, src,
+              strArg(args(2), "view list")).map(_._3)
             StandingViews.refreshStreamAll(spark, vs,
               strArg(args(3), "checkpoint"))
           case k =>
@@ -570,6 +565,76 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
     case "nb" => new ClassifierModelView(spark, src, st)
     case k => indexView(spark, k, src, st)
   }
+
+  /** Any orchestratable standing view of `kind` — [[cdfView]]'s
+    * registry plus the SIGNED-slice marts: `agg` takes
+    * `group|..;sum|..[;minmax|..]` params and `join` prepends the
+    * RIGHT table path (`right;keys|..;group|..;sum|..[;minmax|..]`).
+    * Columns inside a param group separate with '|' (',' splits list
+    * entries, ';' splits param groups). */
+  private def standingView(spark: SparkSession, kind: String,
+                           params: Option[String], src: String,
+                           st: String): StandingView = {
+    def cols(s: String): Seq[String] =
+      s.split("\\|").map(_.trim).filter(_.nonEmpty).toSeq
+    kind match {
+      case "agg" =>
+        val ps = params.getOrElse(throw new IllegalArgumentException(
+          "agg view entries are agg(group|..;sum|..[;minmax|..]):state"))
+          .split(";", -1).toSeq
+        require(ps.size == 2 || ps.size == 3,
+          s"agg params are group|..;sum|..[;minmax|..], got `${params.get}`")
+        new IncrementalAggView(spark, src, st, cols(ps(0)), cols(ps(1)),
+          if (ps.size == 3) cols(ps(2)) else Nil)
+      case "join" =>
+        val ps = params.getOrElse(throw new IllegalArgumentException(
+          "join view entries are " +
+            "join(right;keys|..;group|..;sum|..[;minmax|..]):state"))
+          .split(";", -1).toSeq
+        require(ps.size == 4 || ps.size == 5,
+          s"join params are right;keys|..;group|..;sum|..[;minmax|..], " +
+            s"got `${params.get}`")
+        new IncrementalJoinAggView(spark, src, ps.head.trim, st,
+          cols(ps(1)), cols(ps(2)), cols(ps(3)),
+          if (ps.size == 5) cols(ps(4)) else Nil)
+      case k =>
+        require(params.isEmpty,
+          s"view kind `$k` takes no (params), got `${params.getOrElse("")}`")
+        cdfView(spark, k, src, st)
+    }
+  }
+
+  /** Parse a refresh_views / multi-view-stream view list:
+    * comma-separated `[source>]kind[(params)]:state` entries —
+    * `source>` overrides `defaultSrc` (multi-source CALLs). Returns
+    * (display kind, state, view) triples. */
+  private def parseViewList(spark: SparkSession, defaultSrc: String,
+                            list: String): Seq[(String, String, StandingView)] =
+    list.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
+      val (src, rest) = s.indexOf('>') match {
+        case -1 => (defaultSrc, s)
+        case i =>
+          require(i > 0 && i < s.length - 1,
+            s"view list entries are [src>]kind[(params)]:state, got `$s`")
+          (s.substring(0, i).trim, s.substring(i + 1))
+      }
+      // the ':' separating kind from state comes AFTER any (params)
+      val close = rest.indexOf(')')
+      val colon = rest.indexOf(':', math.max(close, 0))
+      require(colon > 0 && colon < rest.length - 1,
+        s"view list entries are [src>]kind[(params)]:state, got `$s`")
+      val kindPart = rest.substring(0, colon).trim
+      val st = rest.substring(colon + 1).trim
+      val (kind, params) = kindPart.indexOf('(') match {
+        case -1 => (kindPart, None)
+        case i =>
+          require(kindPart.endsWith(")"),
+            s"unterminated (params) in view list entry `$s`")
+          (kindPart.substring(0, i),
+            Some(kindPart.substring(i + 1, kindPart.length - 1)))
+      }
+      (kindPart, st, standingView(spark, kind, params, src, st))
+    }
 }
 
 /** `SHOW TBLPROPERTIES graft.t [('key')]` — the stored property map

@@ -181,6 +181,7 @@ class Bm25IndexViewSpec extends SparkSpec {
     t.delete(col("doc_id").isin(3L, 5L))
     t.write(Seq((8L, "merge merge stream")).toDF("doc_id", "text"),
       "APPEND", "append")
+    val scans0 = graft.table.RowLocalIndexView.tierCountScans.get
     assert(view.refresh() === 2L)
     val st1 = ManagedTable(spark, st)
     val appendC = st1.lastCommit.get
@@ -189,6 +190,12 @@ class Bm25IndexViewSpec extends SparkSpec {
     assert(dvC.operation === "DELETE VECTORS" && dvC.dirs === dirs0,
       "past-gate small-fraction delete must land frame-keyed DVs, " +
         "rewriting no postings dir")
+    assert(dvC.changeDir.isEmpty,
+      "nothing consumes the state's own change feed — the tombstone " +
+        "commit must not pay full-width change capture")
+    assert(graft.table.RowLocalIndexView.tierCountScans.get === scans0,
+      "the fraction decision must read live rows off the commit log, " +
+        "never a full state scan")
     val rebuilt1 = Retrieval.bm25Postings(t.read)
     assert(view.read.exceptAll(rebuilt1).isEmpty &&
       rebuilt1.exceptAll(view.read).isEmpty)
@@ -203,6 +210,12 @@ class Bm25IndexViewSpec extends SparkSpec {
     assert(last.operation === "BM25_REFRESH" && last.dvDirs.isEmpty,
       "past the fraction threshold the slice must fold as one " +
         "shuffled-rewrite commit")
+    assert(graft.table.RowLocalIndexView.tierCountScans.get === scans0,
+      "the rewrite tier's fraction decision walked the log too — the " +
+        "append/DV accumulation over the prior fold must anchor on INIT")
+    assert(last.userMetadata.get.contains("\"stateReplace\":true"),
+      "the full-churn replace marks its metadata so later walks anchor " +
+        "on its numOutputRows")
     val rebuilt = Retrieval.bm25Postings(t.read)
     assert(view.read.exceptAll(rebuilt).isEmpty &&
       rebuilt.exceptAll(view.read).isEmpty)

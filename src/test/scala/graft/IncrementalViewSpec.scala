@@ -244,6 +244,71 @@ class IncrementalViewSpec extends SparkSpec {
     checkById()
   }
 
+  test("touched-group tombstones dir-prune a clustered state: the IN-list " +
+      "fold scans only touched buckets, pays no change capture") {
+    val src = tmpDir("iv_prune_src"); val st = tmpDir("iv_prune_st")
+    val t = ManagedTable(spark, src)
+    t.write((1 to 400).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      "APPEND", "append")
+    val view = new IncrementalAggView(spark, src, st, Seq("id"), Seq("v"))
+    view.initialize()
+    val s = ManagedTable(spark, st)
+    s.clusterBy("id", 8) // 8 range-disjoint state dirs, one per bucket
+    val live = s.lastCommit.get.dirs.size
+    assert(live >= 8)
+    val scan0 = ManagedTable.dvScanDirs.get
+    t.delete(col("id") <= 10L) // touches only the lowest bucket's range
+    view.refresh()
+    val appendC = s.lastCommit.get
+    assert(appendC.operation === "VIEW_DELTA")
+    val dvC = s.commitAt(appendC.version - 1)
+    assert(dvC.operation === "DELETE VECTORS" &&
+      dvC.operationMetrics("numDeletedRows") === "10")
+    assert(dvC.changeDir.isEmpty,
+      "state tombstones must not pay full-width change capture")
+    val scanned = ManagedTable.dvScanDirs.get - scan0
+    assert(scanned >= 1 && scanned < live,
+      s"the touched-group tombstone scan must dir-prune: scanned " +
+        s"$scanned of $live state dirs for a one-bucket delete")
+    val want = t.read.groupBy("id")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_v"))
+    assert(view.read.exceptAll(want).count() === 0 &&
+      want.exceptAll(view.read).count() === 0)
+  }
+
+  test("composite-key touched sets tombstone FRAME-keyed with key-RANGE " +
+      "dir pruning — the key frame never becomes driver state") {
+    val src = tmpDir("iv_fprune_src"); val st = tmpDir("iv_fprune_st")
+    val t = ManagedTable(spark, src)
+    t.write((1 to 400).map(i => (i.toLong, (i % 2).toLong, i * 1.0))
+      .toDF("id", "b", "v"), "APPEND", "append")
+    // composite group key → no IN-list spelling → frame form
+    val view = new IncrementalAggView(spark, src, st, Seq("id", "b"),
+      Seq("v"))
+    view.initialize()
+    val s = ManagedTable(spark, st)
+    s.clusterBy("id", 8)
+    val live = s.lastCommit.get.dirs.size
+    val scan0 = ManagedTable.dvScanDirs.get
+    t.delete(col("id") <= 10L)
+    view.refresh()
+    val dvC = s.commitAt(s.lastCommit.get.version - 1)
+    assert(dvC.operation === "DELETE VECTORS" &&
+      dvC.operationMetrics("numDeletedRows") === "10")
+    val scanned = ManagedTable.dvScanDirs.get - scan0
+    assert(scanned >= 1 && scanned < live,
+      s"the frame-keyed scan must prune by the touched keys' min/max " +
+        s"range: scanned $scanned of $live dirs")
+    val want = t.read.groupBy("id", "b")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_v"))
+    assert(view.read.exceptAll(want).count() === 0 &&
+      want.exceptAll(view.read).count() === 0)
+  }
+
   test("a crash between the touched-group delete and the append resumes: " +
       "the next refresh lands only the missing append") {
     val src = tmpDir("iv_crash_src"); val st = tmpDir("iv_crash_st")

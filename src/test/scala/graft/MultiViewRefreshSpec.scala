@@ -61,7 +61,8 @@ class MultiViewRefreshSpec extends SparkSpec {
     t.update(Map("text" -> lit("fresh york window")), col("doc_id") === 5L)
     twins.foreach(twinRefresh)
     ManagedTable.changeFeedReads.set(0L)
-    assert(StandingViews.refreshAll(spark, multi) === t.latestVersion.get)
+    assert(StandingViews.refreshAll(spark, multi) ===
+      Map(src -> t.latestVersion.get))
     assert(ManagedTable.changeFeedReads.get === 1L,
       "however many views, the unprocessed slice is read ONCE")
     multi.zip(twins).foreach { case (a, b) =>
@@ -76,12 +77,92 @@ class MultiViewRefreshSpec extends SparkSpec {
     StandingViews.refreshAll(spark, multi)
     assert(ManagedTable.changeFeedReads.get === 0L)
     assert(multi.map(_.sourceVersion) === heads)
-    // spanning two sources refuses loudly
-    val foreign = new Bm25IndexView(spark, tmpDir("mv_other_src"),
-      tmpDir("mv_other_st"))
+    // views may span SOURCES — one slice read PER SOURCE, never per view
+    val src2 = tmpDir("mv_src2")
+    val t2 = ManagedTable(spark, src2)
+    t2.write(docs(0 until 16), "APPEND", "append")
+    val foreign = new Bm25IndexView(spark, src2, tmpDir("mv_other_st"),
+      expectedDocs = 1000)
+    foreign.initialize()
+    t.write(docs(72 until 76), "APPEND", "append")
+    t2.write(docs(16 until 20), "APPEND", "append")
+    ManagedTable.changeFeedReads.set(0L)
+    val got = StandingViews.refreshAll(spark, multi :+ foreign)
+    assert(got === Map(src -> t.latestVersion.get,
+      src2 -> t2.latestVersion.get))
+    assert(ManagedTable.changeFeedReads.get === 2L,
+      "two sources, one slice read EACH")
+    assert(foreign.sourceVersion === t2.latestVersion.get)
+    val rebuiltF = Retrieval.bm25Postings(t2.read, "text", "doc_id")
+    assert(foreign.read.exceptAll(rebuiltF).isEmpty &&
+      rebuiltF.exceptAll(foreign.read).isEmpty)
+    // the STREAMING form still streams one source per checkpoint
     val e = intercept[IllegalArgumentException](
-      StandingViews.refreshAll(spark, multi :+ foreign))
+      StandingViews.refreshStreamAll(spark, multi :+ foreign,
+        tmpDir("mv_refuse_ck")))
     assert(e.getMessage.contains("ONE source"))
+  }
+
+  test("refreshAll hands the RAW slice to the agg/join views — a corpus " +
+      "with standing indexes AND marts reads the slice once") {
+    val src = tmpDir("mva_src")
+    val t = ManagedTable(spark, src)
+    def corpus(ids: Range) = ids.map { i =>
+      (i.toLong, s"${words(i % 10)} ${words((i / 2) % 10)}",
+        (i % 5).toLong, i * 1.5)
+    }.toDF("doc_id", "text", "bucket", "score")
+    t.write(corpus(0 until 64), "APPEND", "append")
+    val dim = tmpDir("mva_dim")
+    val dimT = ManagedTable(spark, dim)
+    dimT.write((0L to 4L).map(b => (b, s"seg$b")).toDF("bucket", "segment"),
+      "APPEND", "append")
+    val bm25 = new Bm25IndexView(spark, src, tmpDir("mva_bm25"),
+      expectedDocs = 1000)
+    val agg = new IncrementalAggView(spark, src, tmpDir("mva_agg"),
+      Seq("bucket"), Seq("score"))
+    val jv = new IncrementalJoinAggView(spark, src, dim, tmpDir("mva_join"),
+      joinKeys = Seq("bucket"), groupCols = Seq("segment"),
+      sumCols = Seq("score"))
+    bm25.initialize(); agg.initialize(); jv.initialize()
+    // one tick's churn on the shared corpus
+    t.write(corpus(64 until 80), "APPEND", "append")
+    t.delete(col("doc_id") % 7 === 0)
+    ManagedTable.changeFeedReads.set(0L)
+    val got = StandingViews.refreshAll(spark, Seq(bm25, agg, jv))
+    assert(got === Map(src -> t.latestVersion.get))
+    assert(ManagedTable.changeFeedReads.get === 1L,
+      "index + agg + join views must share ONE slice read")
+    assert(agg.sourceVersion === t.latestVersion.get)
+    assert(jv.sourceVersions ===
+      ((t.latestVersion.get, dimT.latestVersion.get)))
+    val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
+    assert(bm25.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(bm25.read).isEmpty)
+    val wantAgg = t.read.groupBy("bucket")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("score").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_score"))
+    assert(agg.read.exceptAll(wantAgg).count() === 0 &&
+      wantAgg.exceptAll(agg.read).count() === 0,
+      "one-pass agg fold drifted from the recompute")
+    val wantJ = t.read.join(dimT.read, Seq("bucket")).groupBy("segment")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("score").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_score"))
+    assert(jv.read.exceptAll(wantJ).count() === 0 &&
+      wantJ.exceptAll(jv.read).count() === 0,
+      "one-pass join fold drifted from the join recompute")
+    // a dimension-only change folds on the view's own refresh (the
+    // shared source's feed has nothing for it — documented cadence)
+    dimT.update(Map("segment" -> lit("MOVED")), col("bucket") === 1L)
+    StandingViews.refreshAll(spark, Seq(bm25, agg, jv))
+    jv.refresh()
+    val wantJ2 = t.read.join(dimT.read, Seq("bucket")).groupBy("segment")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("score").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_score"))
+    assert(jv.read.exceptAll(wantJ2).count() === 0 &&
+      wantJ2.exceptAll(jv.read).count() === 0)
   }
 
   test("refreshAll groups by watermark: a lagging view heals with its " +
@@ -121,10 +202,15 @@ class MultiViewRefreshSpec extends SparkSpec {
       expectedDocs = 1000)
     val phrase = new PositionalIndexView(spark, src, tmpDir("mvs_ph"),
       expectedDocs = 1000)
-    bm25.initialize(); phrase.initialize()
+    // a SIGNED-contract view rides the same stream: a per-doc count
+    // mart (group = doc_id — the fine-grained mart shape)
+    val agg = new IncrementalAggView(spark, src, tmpDir("mvs_agg"),
+      Seq("doc_id"), Nil)
+    bm25.initialize(); phrase.initialize(); agg.initialize()
     t.write(docs(16 until 24), "APPEND", "append")
     t.delete(col("doc_id") === 2L)
-    val q = StandingViews.refreshStreamAll(spark, Seq(bm25, phrase), ck)
+    val views: Seq[StandingView] = Seq(bm25, phrase, agg)
+    val q = StandingViews.refreshStreamAll(spark, views, ck)
     assert(q.awaitTermination(120000), "multi-view stream did not drain")
     def checkBoth(): Unit = {
       val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
@@ -133,21 +219,26 @@ class MultiViewRefreshSpec extends SparkSpec {
       val rebuiltP = Retrieval.positionalIndex(t.read, "text", "doc_id")
       assert(phrase.read.exceptAll(rebuiltP).isEmpty &&
         rebuiltP.exceptAll(phrase.read).isEmpty)
+      val wantAgg = t.read.groupBy("doc_id").agg(sum(lit(1L)).as("cnt"))
+      assert(agg.read.exceptAll(wantAgg).count() === 0 &&
+        wantAgg.exceptAll(agg.read).count() === 0,
+        "streamed signed fold drifted from the recompute")
     }
     checkBoth()
     // resume the SAME checkpoint after one more slice — exactly that
-    // slice folds into BOTH views
+    // slice folds into ALL views
     t.write(docs(24 until 28), "APPEND", "append")
-    val q2 = StandingViews.refreshStreamAll(spark, Seq(bm25, phrase), ck)
+    val q2 = StandingViews.refreshStreamAll(spark, views, ck)
     assert(q2.awaitTermination(120000))
     checkBoth()
     assert(bm25.sourceVersion === t.latestVersion.get &&
-      phrase.sourceVersion === t.latestVersion.get)
+      phrase.sourceVersion === t.latestVersion.get &&
+      agg.sourceVersion === t.latestVersion.get)
     // an up-to-date pass on a fresh checkpoint commits nothing
-    val heads = Seq(bm25, phrase).map(_.sourceVersion)
-    val q3 = StandingViews.refreshStreamAll(spark, Seq(bm25, phrase),
+    val heads = views.map(_.sourceVersion)
+    val q3 = StandingViews.refreshStreamAll(spark, views,
       tmpDir("mvs_ck2"))
     assert(q3.awaitTermination(120000))
-    assert(Seq(bm25, phrase).map(_.sourceVersion) === heads)
+    assert(views.map(_.sourceVersion) === heads)
   }
 }
