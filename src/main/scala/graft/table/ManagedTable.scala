@@ -49,6 +49,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
     * missing, truncated, or mid-overwrite file reads as None — callers
     * fall back to the full directory listing. */
   private def readPtr(name: String): Option[Long] = {
+    ManagedTable.ptrReads.incrementAndGet()
     val p = new Path(logPath, name)
     try {
       if (!fs.exists(p)) None
@@ -72,8 +73,10 @@ final class ManagedTable(spark: SparkSession, root: String) {
       finally out.close()
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  private def commitFileExists(v: Long): Boolean =
+  private def commitFileExists(v: Long): Boolean = {
+    ManagedTable.ptrProbes.incrementAndGet()
     fs.exists(new Path(logPath, f"$v%012d.json"))
+  }
 
   /** The retained version range resolved from the advisory head/floor
     * pointers WITHOUT listing the log directory. Retained versions are
@@ -3190,6 +3193,17 @@ object ManagedTable {
   /** Live-dir totals at each deletion-vector scan — [[dvScanDirs]]'s
     * denominator. Test-visible. */
   private[graft] val dvLiveDirs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Advisory-pointer file reads ([[ManagedTable.readPtr]]) — with
+    * [[ptrProbes]] this attributes the fixed per-walk cost the log
+    * pointers trade for the old full listing, so a bench regression on
+    * a many-small-commit query can be pinned to pointer IO instead of
+    * guessed at. Diagnostic, bench-visible. */
+  private[graft] val ptrReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Commit-entry existence probes issued by pointer-range healing
+    * ([[ManagedTable.pointerRange]]). Diagnostic, bench-visible. */
+  private[graft] val ptrProbes = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Shared bounded pool for driver-side commit-log entry IO — one per
     * JVM (daemon threads), never per call: metaHistory batches run on
