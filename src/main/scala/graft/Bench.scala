@@ -130,11 +130,14 @@ object Bench {
       .sortBy(_._2)
     // primary keeps the historical pick: largest sf ABOVE the main run
     // (sf1 when the harness grows one), else the largest below
+    // env override wins outright; overriding with the main dir itself
+    // disables probing (the dev knob for pin-only validation runs)
     val primary: Option[(String, Double)] =
       sys.env.get("SPARK_GRAFT_PROBE_DIR")
         .map(d => (d, sfOf(d).getOrElse(1.0)))
         .orElse(siblings.filter(_._2 > sfMain).lastOption)
         .orElse(siblings.filter(_._2 < sfMain).lastOption)
+        .filter(_._1 != sfDir)
     val probeJson = primary match {
       case Some((pd, _)) =>
         val extra = siblings.filterNot(_._1 == pd)

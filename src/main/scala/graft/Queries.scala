@@ -2717,7 +2717,12 @@ object Queries {
     fineState.clusterBy("o_orderkey", 8)
     val liveDirs = fineState.lastCommit.get.dirs.size
     val dvScan0 = ManagedTable.dvScanDirs.get
-    t.delete(col("o_orderkey") <= 999)
+    // ~5 % of the KEYSPACE (sf-relative — the absolute key range grows
+    // with scale, the touched FRACTION stays fixed and under the
+    // replace tier); this delete postdates the coarse view's last fold,
+    // so the oracle never sees it
+    val narrowKey = o.agg(max("o_orderkey")).head().getLong(0) / 20L
+    t.delete(col("o_orderkey") <= narrowKey)
     fine.refresh()
     val pruneApp = fineState.lastCommit.get
     require(pruneApp.operation == "VIEW_DELTA",
@@ -2893,14 +2898,14 @@ object Queries {
       // real mart runs at its own cadence — staged out of the fold)
       ManagedTable(spark, st).clusterBy("l_orderkey", 16)
     }
-    // the day's delta: a narrow key range moves (~0.03-3 % of groups
+    // the day's delta: a narrow key range moves (~0.01-10 % of groups
     // across sf) — a repricing event on recent orders. Staged with
     // captured change rows so the probed cost is the FOLD, not the
     // source churn: the fold then reads the minimal per-row feed
     // instead of a coarse whole-dir rewrite feed
     Staging.timed {
       t.update(Map("l_extendedprice" -> (col("l_extendedprice") + 1)),
-        col("l_orderkey") <= 320L, captureChangeData = true)
+        col("l_orderkey") <= 150L, captureChangeData = true)
     }
     val s = ManagedTable(spark, st)
     val liveDirs = s.lastCommit.get.dirs.size
@@ -2920,7 +2925,7 @@ object Queries {
         s"by the touched keys' range — scanned $dvScanned of $liveDirs")
     // serving read over the touched range (dir-pruned), verified by the
     // oracle's recompute
-    view.readWhere(col("l_orderkey") <= 320L)
+    view.readWhere(col("l_orderkey") <= 150L)
       .select(col("l_orderkey"), col("l_linenumber"), col("cnt"),
         col("sum_l_extendedprice").cast("string").as("sum_price"))
   }
@@ -2932,7 +2937,7 @@ object Queries {
       | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
       |        + CAST(1 AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS VARCHAR)
       |   AS sum_price
-      |FROM lineitem WHERE l_orderkey <= 320
+      |FROM lineitem WHERE l_orderkey <= 150
       |GROUP BY l_orderkey, l_linenumber""".stripMargin
 
   /** STREAMING maintenance of the join-aggregate view

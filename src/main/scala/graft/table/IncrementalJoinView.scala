@@ -275,7 +275,12 @@ final class IncrementalJoinAggView(spark: SparkSession,
       if (graft.llm.Similarity.fitsDriver(keys, CdfNetting.MaxBroadcastIds))
         broadcast(keys)
       else keys
-    t.readAt(version).join(gated, joinKeys, "left_semi")
+    // key-range pre-filter ahead of the semi join — Catalyst pushes it
+    // into the snapshot's parquet scan (row-group pruning on a
+    // key-clustered side), the join then narrows the superset
+    val base = IncrementalAggView.keyRangePredicate(keys, joinKeys)
+      .map(t.readAt(version).filter).getOrElse(t.readAt(version))
+    base.join(gated, joinKeys, "left_semi")
   }
 
   /** A pre-read raw slice in signed form — the orchestrator-handed

@@ -577,7 +577,18 @@ abstract class RowLocalIndexView(
     val (bloomBytes, _, _) = Retrieval.bm25BloomFrom(bloomTable.read)
     val insIds = ins.select(col(s"`$idCol`").as("doc_id"))
     val delIds = del.select(col(s"`$idCol`").as("doc_id"))
-    CdfNetting.requireNewIds(spark, stateIds, insIds, delIds,
+    // collision gate's state scan, range-pruned: a state row colliding
+    // with an entering id has its id inside the batch's [min,max] — on
+    // an id-clustered state the exact re-check of bloom positives then
+    // scans O(batch range), not every id (ascending-id ingest makes the
+    // batch range disjoint from most of the state)
+    val insGateIds = graft.table.IncrementalAggView
+      .keyRangePredicate(insIds.select(col("doc_id").as(stateIdColumn)),
+        Seq(stateIdColumn))
+      .map(p => state.readWhere(p)
+        .select(col(s"`$stateIdColumn`").as("doc_id")))
+      .getOrElse(stateIds)
+    CdfNetting.requireNewIds(spark, insGateIds, insIds, delIds,
       Some(bloomBytes), what, maxBroadcastIds)
     // bloom BEFORE the state commits (its replace is atomic through its
     // own commit log): any crash order leaves a bloom covering MORE ids
@@ -602,7 +613,18 @@ abstract class RowLocalIndexView(
       val delStateIds = delRows
         .select(col(s"`$stateIdColumn`").as("doc_id"))
         .distinct().localCheckpoint()
-      CdfNetting.requireExistingIds(stateIds, delStateIds, what,
+      // the exists gate over ids the state holds, range-pruned: any
+      // state row matching a deleted id has its id inside the deleted
+      // set's [min,max] (the frame-DV prune's read-side twin), so the
+      // gate's semi join scans O(touched range) of a key-clustered
+      // state instead of every id
+      val gateIds = graft.table.IncrementalAggView
+        .keyRangePredicate(delStateIds.select(
+          col("doc_id").as(stateIdColumn)), Seq(stateIdColumn))
+        .map(p => state.readWhere(p)
+          .select(col(s"`$stateIdColumn`").as("doc_id")))
+        .getOrElse(stateIds)
+      CdfNetting.requireExistingIds(gateIds, delStateIds, what,
         maxBroadcastIds)
       // how the delete lands, decided by SIZE then FRACTION:
       //   - id set under the broadcast gate → predicate DVs (the ids may

@@ -898,8 +898,14 @@ final class ManagedTable(spark: SparkSession, root: String) {
       kcols.foreach(k => require(schema.fieldNames.contains(k),
         s"deleteVectorsMatching key column $k is not in the table schema"))
     }
-    val affected = sel match {
-      case Left(p) => splitDirsMayMatch(c, p)._1
+    // `frameRange` is the frame form's conservative key-range predicate:
+    // it prunes DIRS here and is re-applied to the surviving dirs' scan
+    // below, where Catalyst pushes it into the parquet read (row-group
+    // pruning INSIDE a dir whose stats span the range) — the exact
+    // null-safe semi join then narrows the superset, so it can only
+    // shrink the scan, never change the matched set
+    val (affected, frameRange) = sel match {
+      case Left(p) => (splitDirsMayMatch(c, p)._1, None)
       case Right((keys, kcols)) => frameDirsMayMatch(c, schema, keys, kcols)
     }
     ManagedTable.dvScanDirs.addAndGet(affected.size.toLong)
@@ -983,7 +989,11 @@ final class ManagedTable(spark: SparkSession, root: String) {
           .distinct()
         val cond = kcols.map(kc => col(s"`$kc`") <=> col(s"`__graft_k_$kc`"))
           .reduce(_ && _)
-        alive.join(k, cond, "left_semi")
+        // range pre-filter pushed into the scan (row-group pruning);
+        // the exact semi join below narrows the superset
+        val base = frameRange
+          .map(r => alive.filter(coalesce(r, lit(false)))).getOrElse(alive)
+        base.join(k, cond, "left_semi")
     }).localCheckpoint()
     val dvDir = new Path(new Path(rootPath, "data"),
       f"$version%012d-dv-${UUID.randomUUID().toString.take(8)}").toString
@@ -1255,10 +1265,12 @@ final class ManagedTable(spark: SparkSession, root: String) {
     * overall [min,max] (or NULL when the key set holds one), so a dir
     * the walk prunes provably holds no match; columns without eligible
     * stats constrain nothing. An EMPTY key frame prunes every dir (the
-    * caller no-ops). */
+    * caller no-ops). Also returns the range predicate itself so the
+    * caller can push it into the surviving dirs' scan (row-group
+    * pruning inside dirs whose stats span the range). */
   private def frameDirsMayMatch(c: Commit, schema: StructType,
-                                keys: DataFrame,
-                                kcols: Seq[String]): Seq[String] = {
+                                keys: DataFrame, kcols: Seq[String])
+      : (Seq[String], Option[org.apache.spark.sql.Column]) = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
     val fields = kcols.flatMap(k => schema.fields.find(_.name == k))
       .filter(f => DataSkipping.eligible(f.dataType))
@@ -1268,7 +1280,7 @@ final class ManagedTable(spark: SparkSession, root: String) {
         sum(when(kc.isNull, 1L).otherwise(0L)).as(s"nl:${f.name}"))
     }
     val row = keys.agg(aggs.head, aggs.tail: _*).head()
-    if (row.getLong(row.fieldIndex("__n__")) == 0L) return Nil
+    if (row.getLong(row.fieldIndex("__n__")) == 0L) return (Nil, None)
     val preds = fields.map { f =>
       val mn = Option(row.get(row.fieldIndex(s"mn:${f.name}")))
       val mx = Option(row.get(row.fieldIndex(s"mx:${f.name}")))
@@ -1287,8 +1299,11 @@ final class ManagedTable(spark: SparkSession, root: String) {
         case (None, _) => kc.isNull // the key set is exactly {NULL}
       }
     }
-    if (preds.isEmpty) c.dirs
-    else splitDirsMayMatch(c, preds.reduce(_ && _))._1
+    if (preds.isEmpty) (c.dirs, None)
+    else {
+      val pred = preds.reduce(_ && _)
+      (splitDirsMayMatch(c, pred)._1, Some(pred))
+    }
   }
 
   /** Read a subset of the CURRENT snapshot's dirs (same read mechanics
