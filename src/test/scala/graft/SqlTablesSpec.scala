@@ -892,6 +892,36 @@ class SqlTablesSpec extends SparkSpec {
     assert(s3.getString(2) === "drained")
     assert(ManagedTable(spark, ast).read
       .filter(col("g") === "a").select("cnt").head().getLong(0) === 2L)
+    // the refresh_views list grammar carries the marts and source
+    // overrides: agg(group|..;sum|..):state entries fold from the SAME
+    // slice read as the index views, and a `src>`-prefixed entry folds
+    // a DIFFERENT source's view in the same CALL (one read per source)
+    val ast2 = tmpDir("mvc_ast2")
+    spark.sql(s"CALL graft.init_agg_view('$src', '$ast2', 'doc_id', '')")
+      .collect()
+    t.write(Seq((6L, "hash table probe")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    at.write(Seq(("b", 5.0)).toDF("g", "x"), "APPEND", "append")
+    ManagedTable.changeFeedReads.set(0L)
+    val rows2 = spark.sql(s"CALL graft.refresh_views('$src', " +
+      s"'bm25:$st1,agg(doc_id;):$ast2,$asrc>agg(g;x):$ast')").collect()
+    assert(ManagedTable.changeFeedReads.get === 2L,
+      "two sources in one CALL: one slice read each")
+    assert(rows2.length === 3)
+    assert(ManagedTable(spark, ast2).read.count() === t.read.count(),
+      "the in-CALL agg mart folded the same slice as the index view")
+    assert(ManagedTable(spark, ast).read
+      .filter(col("g") === "b").select(col("sum_x").cast("double"))
+      .head().getDouble(0) === 7.0,
+      "the overridden-source mart folded its own source's slice")
+    // malformed entries refuse loudly with the grammar in the message
+    val e1 = intercept[Exception](
+      spark.sql(s"CALL graft.refresh_views('$src', 'agg:$ast2')").collect())
+    assert(e1.getMessage.contains("agg(group|..;sum|..[;minmax|..])"))
+    val e2 = intercept[Exception](
+      spark.sql(s"CALL graft.refresh_views('$src', 'bm25(x):$st1')")
+        .collect())
+    assert(e2.getMessage.contains("takes no (params)"))
   }
 
   test("CALL graft.refresh_ann_view with max_drift re-initializes exactly " +
