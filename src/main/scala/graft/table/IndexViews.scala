@@ -932,6 +932,32 @@ object StandingViews {
     * but view k+1 did not replays the epoch folding only the k+1 tail;
     * the re-created-checkpoint refusal is per view too. Caller
     * drains/stops the returned query. */
+  /** Multi-SOURCE streaming form: one CDF stream per source table,
+    * each under its own DETERMINISTIC checkpoint subdirectory of
+    * `checkpoint` (keyed by a content hash of the source path, so a
+    * restart resumes every source's stream from its own offsets —
+    * list-order changes or added sources never shift an existing
+    * source's checkpoint). Exactly-once per view is unchanged: each
+    * fold's ledger lives on the view's own state keyed by its
+    * subdirectory's appId. Returns the started query per source;
+    * caller drains/stops each. */
+  def refreshStreamAllMulti(spark: SparkSession, views: Seq[StandingView],
+                            checkpoint: String,
+                            trigger: org.apache.spark.sql.streaming.Trigger =
+                              org.apache.spark.sql.streaming.Trigger
+                                .AvailableNow())
+      : Map[String, org.apache.spark.sql.streaming.StreamingQuery] = {
+    require(views.nonEmpty, "refreshStreamAllMulti needs at least one view")
+    views.groupBy(_.sourceTablePath).map { case (src, group) =>
+      val digest = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(src.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      src -> refreshStreamAll(spark, group,
+        new org.apache.hadoop.fs.Path(checkpoint, s"src-$digest").toString,
+        trigger)
+    }
+  }
+
   def refreshStreamAll(spark: SparkSession, views: Seq[StandingView],
                        checkpoint: String,
                        trigger: org.apache.spark.sql.streaming.Trigger =
@@ -942,7 +968,8 @@ object StandingViews {
     require(views.forall(_.sourceTablePath == srcPath),
       "refreshStreamAll streams ONE source's change feed — views span " +
         views.map(_.sourceTablePath).distinct.mkString(", ") +
-        "; run one stream (and checkpoint) per source")
+        "; use refreshStreamAllMulti (one stream + checkpoint subdir " +
+        "per source)")
     val appId = s"graft-view:$checkpoint"
     val start = views.map(_.sourceVersion).min + 1
     val stream = graft.streaming.StreamOps.streamTable(spark, srcPath,

@@ -487,12 +487,27 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
           case "views" =>
             require(args.size == 4,
               "CALL graft.stream_refresh_view('views', source, " +
-                "'kind[(params)]:state[,...]', checkpoint)")
+                "'[src>]kind[(params)]:state[,...]', checkpoint)")
             val src = strArg(args(1), "source path")
             val vs = parseViewList(spark, src,
               strArg(args(2), "view list")).map(_._3)
-            StandingViews.refreshStreamAll(spark, vs,
-              strArg(args(3), "checkpoint"))
+            val ck = strArg(args(3), "checkpoint")
+            if (vs.map(_.sourceTablePath).distinct.size == 1)
+              StandingViews.refreshStreamAll(spark, vs, ck)
+            else {
+              // multi-source list: one stream per source under the
+              // CALL's checkpoint root — drain the extras here, return
+              // the first for the shared drain below
+              val qs = StandingViews.refreshStreamAllMulti(spark, vs, ck)
+                .values.toSeq
+              qs.tail.foreach { q =>
+                val ok = q.awaitTermination(600000)
+                if (!ok) { q.stop() }
+                require(ok, "stream_refresh_view: a per-source drain did " +
+                  "not finish within 10 minutes — the query was stopped")
+              }
+              qs.head
+            }
           case k =>
             require(args.size == 4,
               s"CALL graft.stream_refresh_view('$k', source, state, checkpoint)")

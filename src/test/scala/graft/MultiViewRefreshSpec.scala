@@ -241,4 +241,38 @@ class MultiViewRefreshSpec extends SparkSpec {
     assert(q3.awaitTermination(120000))
     assert(views.map(_.sourceVersion) === heads)
   }
+
+  test("refreshStreamAllMulti: one stream + deterministic checkpoint " +
+      "subdir per source; a resumed root folds only each source's tail") {
+    val srcA = tmpDir("mvm_a"); val srcB = tmpDir("mvm_b")
+    val ck = tmpDir("mvm_ck")
+    val ta = ManagedTable(spark, srcA); val tb = ManagedTable(spark, srcB)
+    ta.write(docs(0 until 16), "APPEND", "append")
+    tb.write(docs(0 until 12), "APPEND", "append")
+    val bmA = new Bm25IndexView(spark, srcA, tmpDir("mvm_bma"),
+      expectedDocs = 1000)
+    val bmB = new Bm25IndexView(spark, srcB, tmpDir("mvm_bmb"),
+      expectedDocs = 1000)
+    bmA.initialize(); bmB.initialize()
+    ta.write(docs(16 until 20), "APPEND", "append")
+    tb.delete(col("doc_id") === 3L)
+    def drainAll(): Unit = StandingViews
+      .refreshStreamAllMulti(spark, Seq(bmA, bmB), ck).values
+      .foreach(q => assert(q.awaitTermination(120000)))
+    drainAll()
+    def checkBoth(): Unit = Seq((bmA, ta), (bmB, tb)).foreach {
+      case (v, t) =>
+        assert(v.sourceVersion === t.latestVersion.get)
+        val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
+        assert(v.read.exceptAll(rebuilt).isEmpty &&
+          rebuilt.exceptAll(v.read).isEmpty)
+    }
+    checkBoth()
+    // resume from the SAME root: each source's stream picks up its own
+    // checkpointed offsets and folds exactly its new slice
+    ta.write(docs(20 until 24), "APPEND", "append")
+    tb.write(docs(12 until 14), "APPEND", "append")
+    drainAll()
+    checkBoth()
+  }
 }

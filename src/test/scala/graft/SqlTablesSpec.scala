@@ -922,6 +922,17 @@ class SqlTablesSpec extends SparkSpec {
       spark.sql(s"CALL graft.refresh_views('$src', 'bm25(x):$st1')")
         .collect())
     assert(e2.getMessage.contains("takes no (params)"))
+    // the multi-source STREAM spelling: one CALL, one stream (and
+    // checkpoint subdir) per source, all drained
+    t.write(Seq((7L, "window probe")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    at.write(Seq(("c", 1.5)).toDF("g", "x"), "APPEND", "append")
+    val s4 = spark.sql(s"CALL graft.stream_refresh_view('views', '$src', " +
+      s"'bm25:$st1,$asrc>agg(g;x):$ast', '${tmpDir("mvc_mck")}')").head()
+    assert(s4.getString(2) === "drained")
+    assert(bm.sourceVersion === t.latestVersion.get)
+    assert(ManagedTable(spark, ast).read.filter(col("g") === "c")
+      .select("cnt").head().getLong(0) === 1L)
   }
 
   test("CALL graft.refresh_ann_view with max_drift re-initializes exactly " +
