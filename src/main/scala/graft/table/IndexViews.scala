@@ -445,6 +445,9 @@ abstract class RowLocalIndexView(
   private val WatermarkRe = """"sourceVersion":(\d+)""".r
   private val PendingRe = """\{"pendingSourceVersion":(\d+)\}""".r
   private val ReplaceMarkerRe = """"stateReplace":true""".r
+  // leading-quote anchored like the agg family's — an absolute
+  // live-row anchor planted by past-the-gate DV folds
+  private val StateRowsRe = """"stateRows":(\d+)""".r
 
   protected final def source: ManagedTable = ManagedTable(spark, sourcePath)
   protected final def state: ManagedTable = ManagedTable(spark, statePath)
@@ -468,9 +471,11 @@ abstract class RowLocalIndexView(
     * path); the agg-view family reads its count off commit metadata
     * for exactly this reason ([[IncrementalAggView]]). Walk
     * newest-first, accumulating append folds' own `numOutputRows` and
-    * DV commits' `numDeletedRows`, until an ABSOLUTE anchor: the INIT
-    * commit or a marked full-churn replace (each one's `numOutputRows`
-    * IS the live count at that version). Maintenance commits
+    * DV commits' `numDeletedRows`, until an ABSOLUTE anchor: a
+    * `stateRows` metadata stamp (planted by every past-the-gate DV
+    * fold's append, so each walk amortizes into a fresh near-head
+    * anchor), the INIT commit, or a marked full-churn replace (whose
+    * `numOutputRows` IS the live count at that version). Maintenance commits
     * (purge/compact/cluster/analyze) preserve live rows and are
     * neutral; RESTORE is neutral because [[CdfNetting.commitWalk]]
     * already continues the walk below the restore target — exactly the
@@ -484,6 +489,9 @@ abstract class RowLocalIndexView(
     var acc = 0L
     CdfNetting.commitWalk(state).foreach { c =>
       def out = c.operationMetrics.getOrElse("numOutputRows", "0").toLong
+      val anchor = c.userMetadata.flatMap(m =>
+        StateRowsRe.findFirstMatchIn(m).map(_.group(1).toLong))
+      if (anchor.isDefined) return anchor.map(_ + acc)
       c.operation match {
         case op if op == initOp => return Some(out + acc)
         case op if op == refreshOp =>
@@ -640,36 +648,61 @@ abstract class RowLocalIndexView(
       //     purge, so accumulating DVs past this point costs more than
       //     the rewrite). The two counts below run only on past-the-gate
       //     deletes — rare corpus-scale curation events, one narrow scan.
-      val dvDelete: Option[(Option[String], Option[(String, Long)]) => Unit] =
+      // the fraction walk's result, when it ran — the DV-path append
+      // below re-anchors the live-row count from it, so each walk's
+      // cost amortizes: walks happen only on past-the-gate deletes, and
+      // every such fold plants a fresh anchor one commit from the head
+      var walkedOld: Option[Long] = None
+      val dvDelete
+          : Option[(Option[String], Option[(String, Long)]) => ManagedTable.Commit] =
         if (Similarity.fitsDriver(delStateIds, maxBroadcastIds)) {
           val ids = delStateIds.collect().map(r => String.valueOf(r.get(0)))
           val pred = col(s"`$stateIdColumn`").cast("string")
             .isin(ids.toIndexedSeq: _*)
-          Some((meta, t) => { state.deleteVectors(pred,
+          Some((meta, t) => state.deleteVectors(pred,
             captureChangeData = captureStateChangeData, userMetadata = meta,
-            expectedPrevVersion = fence, txnUpdate = t); () })
-        } else if (delRows.count() * 100L < liveStateRows.getOrElse {
+            expectedPrevVersion = fence, txnUpdate = t))
+        } else {
+          val old = liveStateRows.getOrElse {
             RowLocalIndexView.tierCountScans.incrementAndGet()
             state.read.count()
-          } * RowLocalIndexView.RewriteFractionPct) {
-          val keys = delRows.select(col(s"`$stateIdColumn`")).distinct()
-          Some((meta, t) => { state.deleteVectorsMatching(keys,
-            Seq(stateIdColumn), captureChangeData = captureStateChangeData,
-            userMetadata = meta,
-            expectedPrevVersion = fence, txnUpdate = t); () })
-        } else None
+          }
+          walkedOld = Some(old)
+          if (delRows.count() * 100L <
+              old * RowLocalIndexView.RewriteFractionPct) {
+            val keys = delRows.select(col(s"`$stateIdColumn`")).distinct()
+            Some((meta, t) => state.deleteVectorsMatching(keys,
+              Seq(stateIdColumn), captureChangeData = captureStateChangeData,
+              userMetadata = meta,
+              expectedPrevVersion = fence, txnUpdate = t))
+          } else None
+        }
       dvDelete match {
         case Some(tombstone) =>
           // merge-on-read path: tombstone the deleted docs' rows —
           // O(deleted rows), the standing index is never rewritten. Two
           // commits when rows also enter; the delete carries a PENDING
           // marker (not the watermark) so a crash between them resumes
-          if (ins.isEmpty)
-            tombstone(Some(refreshMeta(latest, ins, del)), txn)
-          else {
-            tombstone(Some(s"""{"pendingSourceVersion":$latest}"""), None)
-            state.write(buildRows(ins), s"${opPrefix}_REFRESH", "append",
-              Some(refreshMeta(latest, ins, del)), mergeSchema = true,
+          if (ins.isEmpty) {
+            tombstone(Some(refreshMeta(latest, ins, del)), txn); ()
+          } else {
+            val dvc = tombstone(
+              Some(s"""{"pendingSourceVersion":$latest}"""), None)
+            val (insRows, meta) = walkedOld match {
+              case Some(old) =>
+                // the walk already priced the live count — spend one
+                // count of the batch-scale insert rows to anchor it on
+                // this commit (future walks stop here, not at INIT)
+                val rows = buildRows(ins).localCheckpoint()
+                val n = old -
+                  dvc.operationMetrics("numDeletedRows").toLong +
+                  rows.count()
+                (rows, refreshMeta(latest, ins, del)
+                  .replaceFirst("\\{", s"""{"stateRows":$n,"""))
+              case None => (buildRows(ins), refreshMeta(latest, ins, del))
+            }
+            state.write(insRows, s"${opPrefix}_REFRESH", "append",
+              Some(meta), mergeSchema = true,
               expectedPrevVersion = state.latestVersion, txnUpdate = txn)
           }
         case None =>

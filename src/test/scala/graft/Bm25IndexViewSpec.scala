@@ -196,6 +196,9 @@ class Bm25IndexViewSpec extends SparkSpec {
     assert(graft.table.RowLocalIndexView.tierCountScans.get === scans0,
       "the fraction decision must read live rows off the commit log, " +
         "never a full state scan")
+    assert(appendC.userMetadata.get.contains("\"stateRows\":"),
+      "a past-the-gate fold plants a live-row anchor on its append so " +
+        "the next walk stops one commit from the head")
     val rebuilt1 = Retrieval.bm25Postings(t.read)
     assert(view.read.exceptAll(rebuilt1).isEmpty &&
       rebuilt1.exceptAll(view.read).isEmpty)
