@@ -278,6 +278,43 @@ class IncrementalViewSpec extends SparkSpec {
       want.exceptAll(view.read).count() === 0)
   }
 
+  test("a NULL single group key folds through the predicate-form " +
+      "tombstone route (IS NULL arm) — touched, tombstoned, recomputed") {
+    val src = tmpDir("iv_null_src"); val st = tmpDir("iv_null_st")
+    val t = ManagedTable(spark, src)
+    val rows: Seq[(java.lang.Long, Double)] =
+      (1 to 50).map(i => (java.lang.Long.valueOf(i.toLong), i * 1.0)) ++
+        Seq((null.asInstanceOf[java.lang.Long], 100.0),
+          (null.asInstanceOf[java.lang.Long], 200.0))
+    t.write(rows.toDF("g", "v"), "APPEND", "append")
+    val view = new IncrementalAggView(spark, src, st, Seq("g"), Seq("v"))
+    view.initialize()
+    val s = ManagedTable(spark, st)
+    // delta touches the NULL group and one keyed group — far under the
+    // fraction tier, single key → IN-list predicate route with the
+    // explicit IS NULL arm (SQL match semantics would silently skip
+    // the NULL group's state row otherwise)
+    t.write(Seq((null.asInstanceOf[java.lang.Long], 300.0),
+      (java.lang.Long.valueOf(7L), 7.5)).toDF("g", "v"),
+      "APPEND", "append")
+    view.refresh()
+    val appendC = s.lastCommit.get
+    assert(appendC.operation === "VIEW_DELTA")
+    val dvC = s.commitAt(appendC.version - 1)
+    assert(dvC.operation === "DELETE VECTORS" &&
+      dvC.operationMetrics("numDeletedRows") === "2",
+      "the NULL group's and group 7's state rows must both tombstone")
+    val want = t.read.groupBy("g")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_v"))
+    assert(view.read.exceptAll(want).count() === 0 &&
+      want.exceptAll(view.read).count() === 0,
+      "NULL-group fold drifted from the recompute")
+    assert(view.read.filter(col("g").isNull)
+      .select(col("cnt")).head().getLong(0) === 3L)
+  }
+
   test("composite-key touched sets tombstone FRAME-keyed with key-RANGE " +
       "dir pruning — the key frame never becomes driver state") {
     val src = tmpDir("iv_fprune_src"); val st = tmpDir("iv_fprune_st")
