@@ -346,6 +346,57 @@ class IncrementalViewSpec extends SparkSpec {
       want.exceptAll(view.read).count() === 0)
   }
 
+  test("randomized fold sequences equal the recompute — single and " +
+      "composite keys, NULL groups, every tombstone route (seeded)") {
+    // the range-prune paths (touchedSlice readWhere, frame-DV dir+row
+    // pruning, semi-join pre-filters) are all conservative-SUPERSET
+    // claims; a miss would silently drop state rows. Drive random op
+    // sequences through both key shapes and hold the fold to the full
+    // recompute after every step.
+    val rnd = new scala.util.Random(20260816L)
+    def randRows(n: Int): Seq[(java.lang.Long, java.lang.Long, Double)] =
+      (1 to n).map { _ =>
+        val g: java.lang.Long =
+          if (rnd.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(40).toLong)
+        (g, java.lang.Long.valueOf(rnd.nextInt(3).toLong),
+          math.round(rnd.nextDouble() * 1000) / 10.0)
+      }
+    for ((groupCols, tag) <- Seq((Seq("g"), "single"),
+        (Seq("g", "b"), "composite"))) {
+      val src = tmpDir(s"iv_rand_${tag}_src")
+      val st = tmpDir(s"iv_rand_${tag}_st")
+      val t = ManagedTable(spark, src)
+      t.write(randRows(300).toDF("g", "b", "v"), "APPEND", "append")
+      val view = new IncrementalAggView(spark, src, st, groupCols, Seq("v"))
+      view.initialize()
+      // cluster so the prunes actually bite (a pruned-away matching row
+      // would surface as drift below)
+      ManagedTable(spark, st).clusterBy("g", 4)
+      for (step <- 1 to 4) {
+        rnd.nextInt(3) match {
+          case 0 => t.write(randRows(30 + rnd.nextInt(40)).toDF("g", "b", "v"),
+            "APPEND", "append")
+          case 1 =>
+            val lo = rnd.nextInt(40).toLong
+            val pred = col("g") >= lo && col("g") < lit(lo + 6)
+            t.delete(if (rnd.nextBoolean()) pred else pred || col("g").isNull)
+          case 2 => t.update(Map("v" -> (col("v") + 1)),
+            col("g") % 7 === rnd.nextInt(7).toLong,
+            captureChangeData = rnd.nextBoolean())
+        }
+        view.refresh()
+        val want = t.read.groupBy(groupCols.map(col): _*)
+          .agg(sum(lit(1L)).as("cnt"),
+            sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)")
+              .as("sum_v"))
+        assert(view.read.exceptAll(want).count() === 0 &&
+          want.exceptAll(view.read).count() === 0,
+          s"$tag-key randomized fold drifted at step $step")
+      }
+    }
+  }
+
   test("a crash between the touched-group delete and the append resumes: " +
       "the next refresh lands only the missing append") {
     val src = tmpDir("iv_crash_src"); val st = tmpDir("iv_crash_st")
