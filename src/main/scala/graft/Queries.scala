@@ -2940,6 +2940,81 @@ object Queries {
       |FROM lineitem WHERE l_orderkey <= 150
       |GROUP BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Layout maintenance as POLICY (`CALL graft.maintain_auto`,
+    * [[graft.table.ManagedTable.maintainLayoutIfNeeded]]): a
+    * continuously-maintained mart accrues ~2 read-overhead dirs per
+    * DV+APPEND fold — at 100 TB with folds every few minutes, serving
+    * reads degrade unless SOMETHING decides when to fold the debt, and
+    * a scheduled OPTIMIZE job either runs too often (wasted rewrites)
+    * or too rarely (read amplification). The policy prices the debt
+    * from the state's HEAD COMMIT alone (small-dir count + DV-dir
+    * count — one log-entry read, no data scan, no FS listing), so
+    * asking after every fold is free. In-query gates: four narrow
+    * repricing folds accrue visible debt; a below-threshold CALL
+    * reports it and lands NOTHING (state version pinned unchanged); a
+    * past-threshold CALL purges every deletion vector and folds the
+    * small dirs (pinned strictly fewer dirs, zero DV dirs) while the
+    * watermark and the served aggregate stay byte-identical. Oracle:
+    * the repriced per-order aggregate over the probed key range. */
+  def viewAutoMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.{IncrementalAggView, ManagedTable}
+    val src = tmp("vam_src")
+    val st = tmp("vam_state")
+    val o = pq(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val t = ManagedTable(spark, src)
+    t.write(o, "APPEND", "append")
+    val view = new IncrementalAggView(spark, src, st,
+      Seq("o_orderkey"), Seq("o_totalprice"))
+    view.initialize()
+    // four daily ticks, each repricing a disjoint 2 % key slice — every
+    // fold lands tombstones + a small append (the O(touched) path), so
+    // the state accrues exactly the debt a real fold loop accrues
+    (1 to 4).foreach { k =>
+      t.update(Map("o_totalprice" -> (col("o_totalprice") + 1)),
+        col("o_orderkey") % 50 === k, captureChangeData = true)
+      view.refresh()
+    }
+    val s = ManagedTable(spark, st)
+    val debt = s.maintenanceDebt()
+    require(debt.dvDirs >= 3 && debt.smallDirs >= 3,
+      s"view_auto_maintain: four DV+APPEND folds must accrue visible " +
+        s"debt, got ${debt.smallDirs} small dirs / ${debt.dvDirs} DV dirs")
+    val wm = view.sourceVersion
+    val vBefore = s.latestVersion.get
+    val dirsBefore = s.lastCommit.get.dirs.size
+    val quiet = spark.sql(
+      s"CALL graft.maintain_auto('$st', ${64L << 20}, 16, 8)").head()
+    require(quiet.getInt(2) == 0 && s.latestVersion.get == vBefore,
+      "view_auto_maintain: a below-threshold CALL must land nothing")
+    val fired = spark.sql(
+      s"CALL graft.maintain_auto('$st', ${64L << 20}, 3, 3)").head()
+    require(fired.getInt(2) == 1 && !fired.isNullAt(3),
+      "view_auto_maintain: past-threshold debt must trigger the fold")
+    val head = s.lastCommit.get
+    require(head.dvDirs.isEmpty && head.dirs.size < dirsBefore,
+      s"view_auto_maintain: maintenance must purge tombstones and fold " +
+        s"small dirs — ${head.dirs.size} of $dirsBefore dirs, " +
+        s"${head.dvDirs.size} DV dirs")
+    require(view.sourceVersion == wm,
+      "view_auto_maintain: maintenance commits are watermark-less")
+    view.readWhere(col("o_orderkey") <= 300L)
+      .select(col("o_orderkey"), col("cnt"),
+        col("sum_o_totalprice").cast("string").as("sum_price"))
+  }
+
+  /** DuckDB mirror of [[viewAutoMaintain]] — the probed key range's
+    * per-order aggregate with the four repricing ticks applied. */
+  val viewAutoMaintainSql: String =
+    """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+      | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))
+      |        + CASE WHEN o_orderkey % 50 IN (1,2,3,4)
+      |               THEN CAST(1 AS DECIMAL(28,6))
+      |               ELSE CAST(0 AS DECIMAL(28,6)) END)
+      |      AS DECIMAL(28,6)) AS VARCHAR) AS sum_price
+      |FROM orders WHERE o_orderkey <= 300
+      |GROUP BY o_orderkey""".stripMargin
+
   /** STREAMING maintenance of the join-aggregate view
     * ([[graft.table.IncrementalJoinAggView.refreshStream]] — the fact
     * side's CDF stream triggers idempotent both-sides folds): appends

@@ -120,6 +120,7 @@ object SparkEntry {
     "incremental_view" -> (Queries.incrementalView(_, _)),
     "incremental_join_view" -> (Queries.incrementalJoinView(_, _)),
     "agg_view_highcard" -> (Queries.aggViewHighcard(_, _)),
+    "view_auto_maintain" -> (Queries.viewAutoMaintain(_, _)),
     "stream_join_view" -> (Queries.streamJoinView(_, _)),
     "incremental_view_minmax" -> (Queries.incrementalViewMinMax(_, _)),
     "column_rename" -> (Queries.columnRename(_, _)),
@@ -396,6 +397,7 @@ object SparkEntry {
     "incremental_view" -> Queries.incrementalViewSql,
     "incremental_join_view" -> Queries.incrementalJoinViewSql,
     "agg_view_highcard" -> Queries.aggViewHighcardSql,
+    "view_auto_maintain" -> Queries.viewAutoMaintainSql,
     "stream_join_view" -> Queries.streamJoinViewSql,
     "incremental_view_minmax" -> Queries.incrementalViewMinMaxSql,
     "column_rename" -> Queries.columnRenameSql,

@@ -88,6 +88,7 @@ final class IncrementalJoinAggView(spark: SparkSession,
   }
   private[table] def stateTxnVersion(appId: String): Option[Long] =
     state.lastTxnVersion(appId)
+  private[table] def stateTable: ManagedTable = state
   private[table] def foldRawSlice(slice: DataFrame, from: Long,
                                   latest: Long,
                                   txn: Option[(String, Long)]): Unit = {

@@ -100,6 +100,7 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
   }
   private[table] def stateTxnVersion(appId: String): Option[Long] =
     state.lastTxnVersion(appId)
+  private[table] def stateTable: ManagedTable = state
   private[table] def foldRawSlice(slice: DataFrame, from: Long,
                                   latest: Long,
                                   txn: Option[(String, Long)]): Unit =

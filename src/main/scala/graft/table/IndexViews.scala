@@ -313,6 +313,24 @@ trait StandingView {
   /** Finish any half-applied two-commit slice before folding. */
   private[table] def resumePendingSlice(): Unit = ()
   private[table] def stateTxnVersion(appId: String): Option[Long]
+  /** The view's STATE table — what layout maintenance rewrites. */
+  private[table] def stateTable: ManagedTable
+
+  /** Routine state-layout maintenance as POLICY
+    * ([[ManagedTable.maintainLayoutIfNeeded]]): every DV+APPEND fold
+    * adds ~2 read-side overhead units (one small dir, one DV dir), so a
+    * continuous pipeline degrades its own serving reads unless SOMETHING
+    * decides when to fold the debt. The decision here is one head-commit
+    * read — no data scan, no FS listing — which is what lets the
+    * orchestrator ask after EVERY fold/micro-batch instead of running a
+    * scheduled rewrite job. Maintenance commits are watermark-less and
+    * carry `txn` forward, so the family's watermark walks, AS-OF
+    * lineage, and streaming exactly-once ledgers see straight through
+    * them. Returns the commits that landed (usually none). */
+  final def maintainIfNeeded(maxDirBytes: Long = 64L << 20,
+                             minSmallDirs: Int = 16,
+                             minDvDirs: Int = 8): Seq[ManagedTable.Commit] =
+    stateTable.maintainLayoutIfNeeded(maxDirBytes, minSmallDirs, minDvDirs)
 }
 
 /**
@@ -379,6 +397,7 @@ abstract class RowLocalIndexView(
   }
   private[table] final def stateTxnVersion(appId: String): Option[Long] =
     state.lastTxnVersion(appId)
+  private[table] final def stateTable: ManagedTable = state
 
   /** Apply one pre-netted slice `(ins, del)` and advance the watermark
     * to `latest` — [[refresh]]'s tail, split out so the multi-view
@@ -919,9 +938,19 @@ object StandingViews {
     * group's needed columns and fanned out to both contract shapes:
     * netted views once per payload signature, signed views raw.
     * Returns the source version each source's views are current to,
-    * keyed by source path. */
+    * keyed by source path.
+    *
+    * `autoMaintain` folds each view state's accumulated layout debt
+    * (small fold dirs + deletion vectors) right after its fold whenever
+    * the state's HEAD COMMIT says the debt crossed a threshold
+    * ([[StandingView.maintainIfNeeded]] — the decision is one log-entry
+    * read, so asking on every pass is free; the rewrite only ever pays
+    * O(tombstones + small dirs)). Off by default: maintenance commits
+    * are extra versions on the state, and callers that pin commit
+    * shapes (tests, AS-OF consumers) should opt in deliberately. */
   def refreshAll(spark: SparkSession,
-                 views: Seq[StandingView]): Map[String, Long] = {
+                 views: Seq[StandingView],
+                 autoMaintain: Boolean = false): Map[String, Long] = {
     require(views.nonEmpty, "refreshAll needs at least one view")
     views.groupBy(_.sourceTablePath).map { case (srcPath, group) =>
       // finish any half-applied DV slice first (its pending range is
@@ -953,6 +982,7 @@ object StandingViews {
             .foreach(_.foldRawSlice(slice, wm, latest, None))
         }
       }
+      if (autoMaintain) group.foreach(_.maintainIfNeeded())
       srcPath -> latest
     }
   }
@@ -978,7 +1008,8 @@ object StandingViews {
                             checkpoint: String,
                             trigger: org.apache.spark.sql.streaming.Trigger =
                               org.apache.spark.sql.streaming.Trigger
-                                .AvailableNow())
+                                .AvailableNow(),
+                            autoMaintain: Boolean = false)
       : Map[String, org.apache.spark.sql.streaming.StreamingQuery] = {
     require(views.nonEmpty, "refreshStreamAllMulti needs at least one view")
     views.groupBy(_.sourceTablePath).map { case (src, group) =>
@@ -987,14 +1018,15 @@ object StandingViews {
         .take(8).map(b => f"$b%02x").mkString
       src -> refreshStreamAll(spark, group,
         new org.apache.hadoop.fs.Path(checkpoint, s"src-$digest").toString,
-        trigger)
+        trigger, autoMaintain)
     }
   }
 
   def refreshStreamAll(spark: SparkSession, views: Seq[StandingView],
                        checkpoint: String,
                        trigger: org.apache.spark.sql.streaming.Trigger =
-                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                       autoMaintain: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(views.nonEmpty, "refreshStreamAll needs at least one view")
     val srcPath = views.head.sourceTablePath
@@ -1046,6 +1078,13 @@ object StandingViews {
                   Some((appId, epochId))))
             }
           }
+          // continuous pipelines accrue ~2 read-overhead dirs per fold;
+          // the zero-IO debt check makes per-epoch maintenance free to
+          // ASK for, and the rewrite amortizes to O(batch) per epoch.
+          // Maintenance commits carry txn forward, so a crash between a
+          // fold and its maintenance replays safely (fold recognized by
+          // the ledger, debt simply re-checked next epoch)
+          if (autoMaintain) live.foreach(_.maintainIfNeeded())
         }
         ()
       }
@@ -1585,6 +1624,7 @@ final class CorpusLmView(spark: SparkSession, sourcePath: String,
   private[table] def viewKind: String = "lm view"
   private[table] def stateTxnVersion(appId: String): Option[Long] =
     state.lastTxnVersion(appId)
+  private[table] def stateTable: ManagedTable = state
 
   private[table] def foldNetted(ins: DataFrame, del: DataFrame,
                                 from: Long, latest: Long,
@@ -1723,6 +1763,7 @@ final class ClassifierModelView(spark: SparkSession, sourcePath: String,
   private[table] def viewKind: String = "classifier view"
   private[table] def stateTxnVersion(appId: String): Option[Long] =
     ManagedTable(spark, statePath).lastTxnVersion(appId)
+  private[table] def stateTable: ManagedTable = ManagedTable(spark, statePath)
 
   private[table] def foldNetted(ins: DataFrame, del: DataFrame,
                                 from: Long, latest: Long,

@@ -2541,6 +2541,68 @@ final class ManagedTable(spark: SparkSession, root: String) {
   }
 
   /**
+   * Layout debt of the CURRENT snapshot, priced from the head commit
+   * alone — zero data scans, and zero FS calls on any table whose dirs
+   * all carry write-time sizes (`Commit.dirBytes`; only dirs of legacy
+   * pre-bytes commits fall back to one FS metadata walk each).
+   * `smallDirs` counts data dirs under `maxDirBytes` — each is a
+   * listing + parquet footer + task at EVERY read until folded;
+   * `dvDirs` counts deletion-vector dirs — each is an anti-join input
+   * at every read until purged. This is what makes CONTINUOUS
+   * maintenance affordable: the decision to (not) rewrite costs one
+   * log-entry read, so a pipeline can ask after every fold.
+   *
+   * Only FOLDABLE debt counts: on a table with a persisted cluster
+   * grid, [[maintainLayout]] folds the unclustered append TAIL
+   * ([[clusterAppend]]) and carries the bucket dirs by reference, so
+   * small BUCKET dirs (inevitable at low fill, irreducible below the
+   * bucket count) are excluded — otherwise a clustered mart's policy
+   * would trigger on every fold forever and land nothing.
+   */
+  def maintenanceDebt(maxDirBytes: Long = 64L << 20): ManagedTable.MaintenanceDebt = {
+    val c = lastCommit.getOrElse(throw new IllegalStateException(
+      s"managed table $root does not exist"))
+    val hasGrid = c.properties.contains(ManagedTable.ClusterByColProp) ||
+      c.properties.contains(ManagedTable.HilbertColsProp)
+    val foldable =
+      if (hasGrid) c.dirs.filterNot(_.contains(s"/$CLUSTER_COL=")) else c.dirs
+    val small = foldable.count(d =>
+      c.dirBytes.getOrElse(d, measureDirBytes(d)) < maxDirBytes)
+    ManagedTable.MaintenanceDebt(small, c.dvDirs.size)
+  }
+
+  /**
+   * [[maintainLayout]] iff the head commit's [[maintenanceDebt]]
+   * crosses a threshold — the WHEN of layout maintenance as policy, so
+   * a fold loop (thousands of O(batch) DV+APPEND refreshes a day at
+   * 100 TB) keeps its read amplification bounded without a scheduled
+   * rewrite job or an operator watching dir counts. A below-threshold
+   * call is one log-entry read and lands nothing; past a threshold the
+   * pass pays exactly [[maintainLayout]]'s O(tombstones + small dirs).
+   * Thresholds are denominated in read-side overhead units (dirs), not
+   * bytes or rows, because dirs are what every snapshot read pays for.
+   */
+  def maintainLayoutIfNeeded(maxDirBytes: Long = 64L << 20,
+                             minSmallDirs: Int = 16,
+                             minDvDirs: Int = 8): Seq[Commit] = {
+    require(minSmallDirs >= 2 && minDvDirs >= 1,
+      "maintainLayoutIfNeeded thresholds below (2 small dirs, 1 dv dir) " +
+        "would fire on states maintenance cannot improve")
+    val d = maintenanceDebt(maxDirBytes)
+    if (d.smallDirs >= minSmallDirs || d.dvDirs >= minDvDirs) {
+      val c = lastCommit.get
+      if (c.partitionBy.nonEmpty)
+        // partitioned analogue of maintainLayout (whose compactDirs is
+        // unpartitioned-only): materialize the tombstones, then fold
+        // fragmented partitions partition-scoped — [[compact]] pays one
+        // FS-metadata pass, but only AFTER the head-commit debt said a
+        // rewrite is due, so the every-load decision stays zero-IO
+        purgeDeletes().toSeq ++ compact(c.partitionBy).toSeq
+      else maintainLayout(maxDirBytes)
+    } else Nil
+  }
+
+  /**
    * Compact fragmented partitions — the OPTIMIZE analogue. Repeated
    * appends/merges leave a partition's rows spread over many small files
    * across many commit dirs; small files are the classic parquet-scan
@@ -3268,6 +3330,9 @@ object ManagedTable {
     }
     pair(a, b).orElse(pair(b, a))
   }
+
+  /** Head-commit layout debt — see [[ManagedTable.maintenanceDebt]]. */
+  final case class MaintenanceDebt(smallDirs: Int, dvDirs: Int)
 
   final case class VacuumStats(prunedVersions: Int, deletedDataDirs: Int,
                                deletedChangeDirs: Int, deletedDvDirs: Int = 0,

@@ -133,6 +133,12 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
          "cluster_append" | "cluster_by" | "maintain" => Seq(
       attr("version", LongType), attr("operation", StringType),
       attr("operation_metrics", StringType))
+    case "maintain_auto" => Seq(
+      // head-commit layout debt + whether it crossed the thresholds;
+      // `operations` lists the maintenance commits that landed
+      // ("op@version,..."), NULL when below threshold
+      attr("small_dirs", IntegerType), attr("dv_dirs", IntegerType),
+      attr("triggered", IntegerType), attr("operations", StringType))
     case "export_manifest" => Seq(
       attr("version", LongType), attr("num_files", IntegerType),
       attr("num_manifests", IntegerType))
@@ -165,7 +171,7 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       s"unknown graft procedure `$other` — supported: history, vacuum, " +
         "vacuum_older_than, " +
         "optimize, analyze, cluster_by, cluster_append, maintain, " +
-        "purge_deletes, restore, clone, " +
+        "maintain_auto, purge_deletes, restore, clone, " +
         "export_manifest, drift_check, init_agg_view, refresh_agg_view, " +
         "init_join_view, refresh_join_view, init_bm25_view, " +
         "refresh_bm25_view, init_phrase_view, refresh_phrase_view, " +
@@ -250,6 +256,28 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         val max = if (args.size == 2) longArg(args(1), "max_dir_bytes")
           else 64L << 20
         table().maintainLayout(max).map(commitRow)
+      case "maintain_auto" =>
+        // maintenance as POLICY: report the head-commit layout debt and
+        // rewrite only past the thresholds — the decision is one
+        // log-entry read (no data scan, no FS listing), so a scheduler
+        // can CALL this after every load/fold and pay nothing until the
+        // debt is real
+        require(args.size >= 1 && args.size <= 4,
+          "CALL graft.maintain_auto(path[, max_dir_bytes" +
+            "[, min_small_dirs[, min_dv_dirs]]])")
+        val max = if (args.size >= 2) longArg(args(1), "max_dir_bytes")
+          else 64L << 20
+        val minSmall = if (args.size >= 3)
+          longArg(args(2), "min_small_dirs").toInt else 16
+        val minDv = if (args.size >= 4)
+          longArg(args(3), "min_dv_dirs").toInt else 8
+        val t = table()
+        val debt = t.maintenanceDebt(max)
+        val triggered = debt.smallDirs >= minSmall || debt.dvDirs >= minDv
+        val landed = if (triggered) t.maintainLayout(max) else Nil
+        Seq(Row(debt.smallDirs, debt.dvDirs, if (triggered) 1 else 0,
+          if (landed.isEmpty) null
+          else landed.map(c => s"${c.operation}@${c.version}").mkString(",")))
       case "purge_deletes" =>
         require(args.size == 1, "CALL graft.purge_deletes(path)")
         table().purgeDeletes().map(commitRow).toSeq
@@ -435,12 +463,19 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         // overrides the CALL's default source; agg params are
         // group|..;sum|..[;minmax|..] csvs ('|'-separated columns),
         // join params prepend the RIGHT table path.
-        require(args.size == 2,
-          "CALL graft.refresh_views(source, '[src>]kind[(params)]:state[,...]')")
+        // an optional third arg opts into per-pass auto-maintenance:
+        // each state's layout debt is checked from its head commit
+        // (zero-IO) right after its fold and rewritten only past the
+        // thresholds — the daily tick then never needs a separate
+        // OPTIMIZE schedule
+        require(args.size == 2 || args.size == 3,
+          "CALL graft.refresh_views(source, " +
+            "'[src>]kind[(params)]:state[,...]'[, auto_maintain])")
         val src = strArg(args(0), "source path")
         val views = parseViewList(spark, src, strArg(args(1), "view list"))
         require(views.nonEmpty, "refresh_views needs at least one view")
-        val v = StandingViews.refreshAll(spark, views.map(_._3))
+        val auto = args.size == 3 && boolArg(args(2), "auto_maintain")
+        val v = StandingViews.refreshAll(spark, views.map(_._3), auto)
         views.map { case (k, st, view) =>
           Row(k, st, v(view.sourceTablePath)) }
       case "stream_refresh_view" =>
@@ -485,21 +520,26 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
               if (args.size == 9) csv(args(8), "minmax_csv") else Nil)
               .refreshStream(strArg(args(4), "checkpoint"))
           case "views" =>
-            require(args.size == 4,
+            // optional fifth arg opts into per-epoch auto-maintenance
+            // (zero-IO debt check after each fold — see maintain_auto)
+            require(args.size == 4 || args.size == 5,
               "CALL graft.stream_refresh_view('views', source, " +
-                "'[src>]kind[(params)]:state[,...]', checkpoint)")
+                "'[src>]kind[(params)]:state[,...]', checkpoint" +
+                "[, auto_maintain])")
             val src = strArg(args(1), "source path")
             val vs = parseViewList(spark, src,
               strArg(args(2), "view list")).map(_._3)
             val ck = strArg(args(3), "checkpoint")
+            val auto = args.size == 5 && boolArg(args(4), "auto_maintain")
             if (vs.map(_.sourceTablePath).distinct.size == 1)
-              StandingViews.refreshStreamAll(spark, vs, ck)
+              StandingViews.refreshStreamAll(spark, vs, ck,
+                autoMaintain = auto)
             else {
               // multi-source list: one stream per source under the
               // CALL's checkpoint root — drain the extras here, return
               // the first for the shared drain below
-              val qs = StandingViews.refreshStreamAllMulti(spark, vs, ck)
-                .values.toSeq
+              val qs = StandingViews.refreshStreamAllMulti(spark, vs, ck,
+                autoMaintain = auto).values.toSeq
               qs.tail.foreach { q =>
                 val ok = q.awaitTermination(600000)
                 if (!ok) { q.stop() }

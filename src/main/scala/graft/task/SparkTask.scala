@@ -282,6 +282,23 @@ object SparkTask {
     }
     ctx.state.foreach(_.set("sink", s"${out.name}_last_write",
       s"""{"batch_id":"${ctx.batchId}","write_type":"${out.writeType}"}"""))
+    // post-load layout maintenance as POLICY (opt-in per output): a
+    // daily/hourly load cadence fragments the sink one small dir — and
+    // under DV-landing deletes one tombstone dir — per load. The debt
+    // decision reads the sink's head commit only (no data scan, no
+    // listing — ManagedTable.maintainLayoutIfNeeded), so the every-load
+    // check costs nothing until a rewrite is actually due. Broader than
+    // the merge writers' inline `auto_compact_min_dirs` micro-compaction
+    // (Writers.autoCompact — unpartitioned small-dir folds only): this
+    // also purges deletion vectors, folds onto a persisted cluster grid,
+    // and compacts partitioned sinks partition-scoped.
+    if (out.options.get("auto_maintain").exists(_.toBoolean)) {
+      val max = out.options.get("maintain_max_dir_bytes").map(_.toLong)
+        .getOrElse(64L << 20)
+      graft.table.ManagedTable(ctx.spark, out.path)
+        .maintainLayoutIfNeeded(max)
+      ()
+    }
   }
 
   /** Streaming write: every micro-batch re-enters the batch writer —

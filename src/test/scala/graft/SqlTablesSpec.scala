@@ -933,6 +933,24 @@ class SqlTablesSpec extends SparkSpec {
     assert(bm.sourceVersion === t.latestVersion.get)
     assert(ManagedTable(spark, ast).read.filter(col("g") === "c")
       .select("cnt").head().getLong(0) === 1L)
+    // both CALLs accept the auto_maintain opt-in: below the default
+    // debt thresholds the pass folds and maintains NOTHING extra —
+    // content and results identical to a plain refresh
+    t.write(Seq((8L, "probe row")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    val st1v = ManagedTable(spark, st1).latestVersion.get
+    val rows3 = spark.sql(
+      s"CALL graft.refresh_views('$src', 'bm25:$st1', true)").collect()
+    assert(rows3.length === 1 &&
+      rows3(0).getLong(2) === t.latestVersion.get)
+    assert(ManagedTable(spark, st1).latestVersion.get === st1v + 1,
+      "below-threshold auto_maintain adds NO commit beyond the fold")
+    t.write(Seq((9L, "drain row")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    val s5 = spark.sql(s"CALL graft.stream_refresh_view('views', '$src', " +
+      s"'bm25:$st1', '${tmpDir("mvc_amck")}', true)").head()
+    assert(s5.getString(2) === "drained")
+    assert(bm.sourceVersion === t.latestVersion.get)
   }
 
   test("CALL graft.refresh_ann_view with max_drift re-initializes exactly " +
