@@ -3015,6 +3015,61 @@ object Queries {
       |FROM orders WHERE o_orderkey <= 300
       |GROUP BY o_orderkey""".stripMargin
 
+  /** Retention as POLICY (`CALL graft.vacuum_auto`,
+    * [[graft.table.ManagedTable.vacuumIfNeeded]]) — the storage twin of
+    * `view_auto_maintain`'s read-amplification policy: a fold/load loop
+    * commits thousands of versions a day, and on a copy-on-write table
+    * every superseded version holds its full bytes until vacuumed. The
+    * ask is two advisory-pointer reads (no listing, no entry reads) so
+    * it can ride EVERY load; the slack is hysteresis, so a firing
+    * prunes a whole slack's worth in one pass instead of one version
+    * per commit. In-query gates: 12 UPDATE ticks accrue 13 versions; a
+    * below-threshold CALL reports retained=13 and lands nothing; a
+    * past-threshold CALL prunes exactly to the kept chain's snapshot
+    * base (v10 — LogSnapshotInterval conservatism, like Delta keeping
+    * its checkpoint); time travel below the cut then refuses loudly.
+    * Oracle: the surviving head recomputed from the raw table. */
+  def autoVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.ManagedTable
+    val path = tmp("avac")
+    val t = ManagedTable(spark, path)
+    t.write(pq(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .filter(col("o_orderkey") <= 2000), "APPEND", "append")
+    (1 to 12).foreach { k =>
+      t.update(Map("o_orderstatus" -> lit(s"T$k")),
+        col("o_orderkey") % 60 === k)
+    }
+    require(t.retainedVersionCount == 13,
+      s"auto_vacuum: 12 ticks over the initial load must retain 13 " +
+        s"versions, got ${t.retainedVersionCount}")
+    val quiet = spark.sql(s"CALL graft.vacuum_auto('$path', 5, 16)").head()
+    require(quiet.getInt(0) == 13 && quiet.getInt(1) == 0 &&
+      t.retainedVersionCount == 13,
+      "auto_vacuum: below keep+slack the CALL reports debt and lands nothing")
+    val fired = spark.sql(s"CALL graft.vacuum_auto('$path', 3, 8)").head()
+    require(fired.getInt(1) == 1 && fired.getInt(2) == 10,
+      s"auto_vacuum: 13 retained >= 3+8 must prune to the kept chain's " +
+        s"snapshot base v10, pruned ${fired.getInt(2)}")
+    require(t.earliestVersion.contains(10L) && t.retainedVersionCount == 3,
+      "auto_vacuum: versions 10..12 survive the cut")
+    val refused =
+      try { t.readAt(5L); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused, "auto_vacuum: time travel below the cut must refuse " +
+      "loudly, not serve a partial snapshot")
+    t.read
+  }
+
+  /** DuckDB mirror of [[autoVacuum]] — the surviving head: the 12
+    * status ticks applied to the raw table. */
+  val autoVacuumSql: String =
+    """SELECT o_orderkey,
+      | CASE WHEN o_orderkey % 60 BETWEEN 1 AND 12
+      |      THEN 'T' || CAST(o_orderkey % 60 AS VARCHAR)
+      |      ELSE o_orderstatus END AS o_orderstatus
+      |FROM orders WHERE o_orderkey <= 2000""".stripMargin
+
   /** STREAMING maintenance of the join-aggregate view
     * ([[graft.table.IncrementalJoinAggView.refreshStream]] — the fact
     * side's CDF stream triggers idempotent both-sides folds): appends

@@ -121,6 +121,7 @@ object SparkEntry {
     "incremental_join_view" -> (Queries.incrementalJoinView(_, _)),
     "agg_view_highcard" -> (Queries.aggViewHighcard(_, _)),
     "view_auto_maintain" -> (Queries.viewAutoMaintain(_, _)),
+    "auto_vacuum" -> (Queries.autoVacuum(_, _)),
     "stream_join_view" -> (Queries.streamJoinView(_, _)),
     "incremental_view_minmax" -> (Queries.incrementalViewMinMax(_, _)),
     "column_rename" -> (Queries.columnRename(_, _)),
@@ -398,6 +399,7 @@ object SparkEntry {
     "incremental_join_view" -> Queries.incrementalJoinViewSql,
     "agg_view_highcard" -> Queries.aggViewHighcardSql,
     "view_auto_maintain" -> Queries.viewAutoMaintainSql,
+    "auto_vacuum" -> Queries.autoVacuumSql,
     "stream_join_view" -> Queries.streamJoinViewSql,
     "incremental_view_minmax" -> Queries.incrementalViewMinMaxSql,
     "column_rename" -> Queries.columnRenameSql,

@@ -331,6 +331,17 @@ trait StandingView {
                              minSmallDirs: Int = 16,
                              minDvDirs: Int = 8): Seq[ManagedTable.Commit] =
     stateTable.maintainLayoutIfNeeded(maxDirBytes, minSmallDirs, minDvDirs)
+
+  /** Retention policy for the view's STATE history
+    * ([[ManagedTable.vacuumIfNeeded]]): every fold commits a version,
+    * so a continuously-maintained view's state accretes history without
+    * bound unless something prunes it. The below-threshold ask is two
+    * pointer reads; a firing prunes down to `keepLast`, bounding how
+    * far back [[ManagedTable.readAt]]-style AS-OF serving reaches —
+    * callers that serve deep lineage choose `keepLast` accordingly. */
+  final def vacuumStateIfNeeded(keepLast: Int, slackVersions: Int = 16)
+      : Option[ManagedTable.VacuumStats] =
+    stateTable.vacuumIfNeeded(keepLast, slackVersions)
 }
 
 /**

@@ -2416,6 +2416,48 @@ final class ManagedTable(spark: SparkSession, root: String) {
       vacuumCore(versions, firstKeep, dryRun)
     }
 
+  /** Retained-version count of the commit log — the storage-lifecycle
+    * twin of [[maintenanceDebt]]'s read-amplification pricing: resolved
+    * from the advisory head/floor pointers (O(existence probes), zero
+    * listings on a pointered table), so a fold loop can ask after every
+    * commit what its history costs. */
+  def retainedVersionCount: Int = listVersions.size
+
+  /**
+   * [[vacuum]] iff the retained-version count crosses
+   * `keepLast + slackVersions` — retention as POLICY, the WHEN of
+   * storage reclamation decided the same way [[maintainLayoutIfNeeded]]
+   * decides the WHEN of compaction. A continuous fold loop commits
+   * thousands of versions a day; without a policy either an operator
+   * schedules VACUUM jobs per table or history (every superseded
+   * version's full bytes on a copy-on-write table) grows forever.
+   *
+   * The slack is hysteresis, and it is the point: AT the threshold with
+   * no slack, every commit would pay a full vacuum pass to prune ONE
+   * version. With slack, the below-threshold ask is two pointer reads,
+   * and each firing prunes ~`slackVersions` versions down to
+   * `keepLast`, amortizing the pass's fixed cost (holds listing,
+   * kept-chain resolution, per-dir deletes) across the slack's worth of
+   * commits. Retention holds still clamp the cut inside [[vacuum]] — a
+   * holds-clamped firing may prune nothing, which is transient for a
+   * live view (its hold slides every fold) and surfaced via
+   * `staleHolds` when the holder is forgotten. A firing can also prune
+   * less than the slack when the kept chain's full-snapshot base
+   * extends the cut back (≤ [[ManagedTable.LogSnapshotInterval]]−1
+   * extra versions), so pick a slack comfortably above the interval —
+   * the default 16 > 10 guarantees every firing reclaims something
+   * unless a hold clamps it.
+   */
+  def vacuumIfNeeded(keepLast: Int, slackVersions: Int = 16,
+                     dryRun: Boolean = false): Option[ManagedTable.VacuumStats] = {
+    require(keepLast >= 1, "vacuumIfNeeded must keep at least one version")
+    require(slackVersions >= 2,
+      "slack below 2 versions degenerates to a full vacuum pass per commit")
+    if (retainedVersionCount >= keepLast + slackVersions)
+      Some(vacuum(keepLast, dryRun))
+    else None
+  }
+
   /** Shared vacuum core: keep `firstKeep` and everything after it
     * (clamped DOWN to the minimum retention hold — a pinned consumer's
     * versions always survive — then extended back to the earliest kept

@@ -139,6 +139,14 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       // ("op@version,..."), NULL when below threshold
       attr("small_dirs", IntegerType), attr("dv_dirs", IntegerType),
       attr("triggered", IntegerType), attr("operations", StringType))
+    case "vacuum_auto" => Seq(
+      // retained-version count (two pointer reads) + whether it crossed
+      // keep_last + slack; the vacuum columns mirror CALL graft.vacuum
+      // and are zero/NULL on a quiet pass
+      attr("retained", IntegerType), attr("triggered", IntegerType),
+      attr("pruned_versions", IntegerType), attr("deleted_data_dirs", IntegerType),
+      attr("deleted_change_dirs", IntegerType), attr("deleted_dv_dirs", IntegerType),
+      attr("stale_holds", StringType))
     case "export_manifest" => Seq(
       attr("version", LongType), attr("num_files", IntegerType),
       attr("num_manifests", IntegerType))
@@ -171,7 +179,7 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       s"unknown graft procedure `$other` — supported: history, vacuum, " +
         "vacuum_older_than, " +
         "optimize, analyze, cluster_by, cluster_append, maintain, " +
-        "maintain_auto, purge_deletes, restore, clone, " +
+        "maintain_auto, vacuum_auto, purge_deletes, restore, clone, " +
         "export_manifest, drift_check, init_agg_view, refresh_agg_view, " +
         "init_join_view, refresh_join_view, init_bm25_view, " +
         "refresh_bm25_view, init_phrase_view, refresh_phrase_view, " +
@@ -278,6 +286,25 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         Seq(Row(debt.smallDirs, debt.dvDirs, if (triggered) 1 else 0,
           if (landed.isEmpty) null
           else landed.map(c => s"${c.operation}@${c.version}").mkString(",")))
+      case "vacuum_auto" =>
+        // retention as POLICY: the quiet path is two pointer reads, so a
+        // scheduler can CALL this after every load and pay nothing until
+        // the history actually crossed keep_last + slack — then one
+        // vacuum prunes the whole slack's worth of versions at once
+        require(args.size == 2 || args.size == 3,
+          "CALL graft.vacuum_auto(path, keep_last[, slack_versions])")
+        val keep = longArg(args(1), "keep_last").toInt
+        val slack = if (args.size >= 3)
+          longArg(args(2), "slack_versions").toInt else 16
+        val t = table()
+        val retained = t.retainedVersionCount
+        t.vacuumIfNeeded(keep, slack) match {
+          case Some(s) => Seq(Row(retained, 1, s.prunedVersions,
+            s.deletedDataDirs, s.deletedChangeDirs, s.deletedDvDirs,
+            if (s.staleHolds.isEmpty) null
+            else s.staleHolds.map { case (h, v) => s"$h@$v" }.mkString(",")))
+          case None => Seq(Row(retained, 0, 0, 0, 0, 0, null))
+        }
       case "purge_deletes" =>
         require(args.size == 1, "CALL graft.purge_deletes(path)")
         table().purgeDeletes().map(commitRow).toSeq

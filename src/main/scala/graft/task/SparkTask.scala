@@ -299,6 +299,16 @@ object SparkTask {
         .maintainLayoutIfNeeded(max)
       ()
     }
+    // retention as POLICY (opt-in): every load commits a version, and a
+    // daily/hourly sink holds every superseded version's bytes forever
+    // without it. The quiet path is two pointer reads; a firing prunes
+    // the slack's worth of history in one pass (vacuumIfNeeded)
+    out.options.get("auto_vacuum_keep").map(_.toInt).foreach { keep =>
+      val slack = out.options.get("vacuum_slack").map(_.toInt).getOrElse(16)
+      graft.table.ManagedTable(ctx.spark, out.path)
+        .vacuumIfNeeded(keep, slack)
+      ()
+    }
   }
 
   /** Streaming write: every micro-batch re-enters the batch writer —
