@@ -3159,6 +3159,66 @@ object Queries {
       |FROM l JOIN r USING (custkey)
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** DIMENSION-triggered streaming maintenance
+    * ([[graft.table.StandingViews.refreshStreamAllMulti]] with
+    * `dimTriggers`, reached through the 6-arg
+    * `CALL graft.stream_refresh_view('views', ...)`): a fact-triggered
+    * stream folds dimension churn only on the NEXT fact epoch, so a
+    * mart over a quiet fact table and a moving dimension goes stale —
+    * here the dimension table gets its own trigger stream whose epochs
+    * run a RIGHT-ONLY fold (the left watermark never moves under an
+    * in-flight fact slice). In-query gates: the fact table never
+    * commits after init, yet the drained CALL leaves the mart current
+    * to the dimension head with the left watermark untouched. Oracle:
+    * the full join recompute with the segment moves applied. */
+  def streamDimTrigger(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.{IncrementalJoinAggView, ManagedTable}
+    val lp = tmp("sdt_l"); val rp = tmp("sdt_r")
+    val sp = tmp("sdt_s"); val ck = tmp("sdt_ck")
+    val o = pq(spark, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = pq(spark, dir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val lt = ManagedTable(spark, lp)
+    val rt = ManagedTable(spark, rp)
+    val view = new IncrementalJoinAggView(spark, lp, rp, sp,
+      joinKeys = Seq("custkey"), groupCols = Seq("c_mktsegment"),
+      sumCols = Seq("o_totalprice"))
+    Staging.timed {
+      lt.write(o, "APPEND", "append")
+      rt.write(c.filter(col("custkey") % 2 === 0), "APPEND", "append")
+      view.initialize()
+    }
+    // dimension-only churn: the fact table NEVER commits again
+    rt.write(c.filter(col("custkey") % 2 =!= 0), "APPEND", "append")
+    rt.update(Map("c_mktsegment" -> lit("MOVED")),
+      col("custkey") % 7 === 0, captureChangeData = true)
+    val lv = lt.latestVersion.get
+    val drained = spark.sql(
+      s"CALL graft.stream_refresh_view('views', '$lp', " +
+        s"'join($rp;custkey;c_mktsegment;o_totalprice):$sp', '$ck', " +
+        "false, true)").head()
+    require(drained.getString(2) == "drained",
+      s"stream_dim_trigger: expected a drained stream, got $drained")
+    require(view.sourceVersions == ((lv, rt.latestVersion.get)),
+      "stream_dim_trigger: the dimension trigger stream must fold the " +
+        s"dimension churn with the left watermark untouched — got " +
+        s"${view.sourceVersions}, want ($lv, ${rt.latestVersion.get})")
+    view.read.select(col("c_mktsegment"), col("cnt"),
+      col("sum_o_totalprice").cast("string").as("sum_totalprice"))
+  }
+
+  /** DuckDB mirror of [[streamDimTrigger]] — the join recompute with
+    * the segment moves applied (the oracle never sees the stream). */
+  val streamDimTriggerSql: String =
+    """SELECT CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+      |            ELSE c_mktsegment END AS c_mktsegment,
+      | CAST(COUNT(*) AS BIGINT) AS cnt,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR)
+      |   AS sum_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   val incrementalViewSql: String =
     """WITH rows AS (
       | SELECT o_orderstatus,

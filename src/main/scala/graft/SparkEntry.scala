@@ -123,6 +123,7 @@ object SparkEntry {
     "view_auto_maintain" -> (Queries.viewAutoMaintain(_, _)),
     "auto_vacuum" -> (Queries.autoVacuum(_, _)),
     "stream_join_view" -> (Queries.streamJoinView(_, _)),
+    "stream_dim_trigger" -> (Queries.streamDimTrigger(_, _)),
     "incremental_view_minmax" -> (Queries.incrementalViewMinMax(_, _)),
     "column_rename" -> (Queries.columnRename(_, _)),
     "countmin_rollup" -> (Queries.countminRollup(_, _)),
@@ -401,6 +402,7 @@ object SparkEntry {
     "view_auto_maintain" -> Queries.viewAutoMaintainSql,
     "auto_vacuum" -> Queries.autoVacuumSql,
     "stream_join_view" -> Queries.streamJoinViewSql,
+    "stream_dim_trigger" -> Queries.streamDimTriggerSql,
     "incremental_view_minmax" -> Queries.incrementalViewMinMaxSql,
     "column_rename" -> Queries.columnRenameSql,
     "countmin_rollup" -> Queries.countminRollupSql,

@@ -94,6 +94,22 @@ final class IncrementalJoinAggView(spark: SparkSession,
                                   txn: Option[(String, Long)]): Unit = {
     refreshImpl(Some((slice, from, latest)), txn); ()
   }
+  // the DIMENSION side is an aux source: the orchestrator folds this
+  // mart when only the right table moved (batch) and can open a
+  // dimension-trigger stream (refreshStreamAllMulti(dimTriggers)) —
+  // the fold is the same idempotent both-sides refresh either way
+  private[table] override def auxSourcePaths: Seq[String] = Seq(rightPath)
+  private[table] override def auxSourceVersion(path: String): Long = {
+    require(path == rightPath, s"join view has no aux source $path")
+    sourceVersions._2
+  }
+  private[table] override def foldPending(): Unit = {
+    // RIGHT-ONLY: a dimension trigger must never advance the left
+    // watermark — the fact stream's epoch slices are cut against it,
+    // and folding the left range here would invalidate a slice already
+    // in flight on the other stream
+    refreshImpl(None, None, rightOnly = true); ()
+  }
   require(groupCols.nonEmpty, "IncrementalJoinAggView needs group columns")
 
   private val Dec = "decimal(28,6)"
@@ -474,13 +490,22 @@ final class IncrementalJoinAggView(spark: SparkSession,
     * when both sides are current. Returns the new watermark pair. */
   def refresh(): (Long, Long) = refreshImpl(None, None)
 
-  /** The fold behind [[refresh]] (reads both feeds itself) and
+  /** The fold behind [[refresh]] (reads both feeds itself),
     * [[foldRawSlice]] (the left range arrives pre-read as
     * `(slice, from, latest)` — the one-pass orchestrator's shared
-    * read). `txn` rides the fold's FINAL commit for the streaming
-    * orchestrator's exactly-once ledger. */
+    * read), and [[foldPending]] (`rightOnly` — a dimension trigger
+    * folds ONLY the right range so the left watermark never moves
+    * under a concurrently-streamed fact slice). `txn` rides the fold's
+    * FINAL commit for the streaming orchestrator's exactly-once
+    * ledger. Synchronized: the dimension-trigger stream and the fact
+    * stream share this view instance in one driver, and interleaved
+    * folds would trip each other's state fences — cross-driver racers
+    * still surface as typed [[ManagedTable.ConcurrentCommitException]]
+    * fence conflicts, exactly as before. */
   private def refreshImpl(leftSlice: Option[(DataFrame, Long, Long)],
-                          txn: Option[(String, Long)]): (Long, Long) = {
+                          txn: Option[(String, Long)],
+                          rightOnly: Boolean = false): (Long, Long) =
+    synchronized {
     resumePending()
     // fence BEFORE the watermark read and every state.read below: a
     // racing refresh that lands after this point fails the delete's or
@@ -495,9 +520,11 @@ final class IncrementalJoinAggView(spark: SparkSession,
         s"join view state advanced from $from to $vl0 while the shared " +
           "slice was read — a concurrent refresh interleaved; re-run")
     }
-    val vl1 = leftSlice.map(_._3).getOrElse(
-      left.latestVersion.getOrElse(throw new IllegalStateException(
-        s"left table $leftPath does not exist")))
+    val vl1 =
+      if (rightOnly) vl0
+      else leftSlice.map(_._3).getOrElse(
+        left.latestVersion.getOrElse(throw new IllegalStateException(
+          s"left table $leftPath does not exist")))
     val vr1 = right.latestVersion.getOrElse(throw new IllegalStateException(
       s"right table $rightPath does not exist"))
     require(vl1 >= vl0 && vr1 >= vr0,

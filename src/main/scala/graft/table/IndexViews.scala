@@ -332,6 +332,26 @@ trait StandingView {
                              minDvDirs: Int = 8): Seq[ManagedTable.Commit] =
     stateTable.maintainLayoutIfNeeded(maxDirBytes, minSmallDirs, minDvDirs)
 
+  /** Source tables beyond the primary slice feed whose changes this
+    * view also folds — the join-aggregate mart's DIMENSION side. Empty
+    * for single-source views. The orchestrator uses these to fold a
+    * mart when ONLY a dimension changed (batch) and to open
+    * dimension-trigger streams (`refreshStreamAllMulti(dimTriggers)`). */
+  private[table] def auxSourcePaths: Seq[String] = Nil
+
+  /** The view's watermark on an aux source — only defined for paths in
+    * [[auxSourcePaths]]. */
+  private[table] def auxSourceVersion(path: String): Long =
+    throw new UnsupportedOperationException(
+      s"$viewKind has no aux source $path")
+
+  /** Fold every side's pending range WITHOUT a pre-read slice — the
+    * aux-source trigger path. Must be idempotent (both-current is a
+    * no-op) and fence-guarded (a concurrent primary fold surfaces as
+    * [[ManagedTable.ConcurrentCommitException]], which the trigger
+    * retries). No-op for single-source views. */
+  private[table] def foldPending(): Unit = ()
+
   /** Retention policy for the view's STATE history
     * ([[ManagedTable.vacuumIfNeeded]]): every fold commits a version,
     * so a continuously-maintained view's state accretes history without
@@ -993,8 +1013,36 @@ object StandingViews {
             .foreach(_.foldRawSlice(slice, wm, latest, None))
         }
       }
+      // marts whose DIMENSION side moved while the fact source was
+      // current: the slice loop above never fires for them (it keys on
+      // the primary watermark), so without this a dimension-only load
+      // leaves the mart stale until the next fact commit. The ask is
+      // pointer reads per aux source; the fold is the view's own
+      // both-sides refresh and no-ops when the slice fold above already
+      // carried the dimension range
+      group.foreach { v =>
+        if (v.auxSourcePaths.exists(p => ManagedTable(spark, p)
+            .latestVersion.exists(_ > v.auxSourceVersion(p))))
+          foldPendingRetry(v)
+      }
       if (autoMaintain) group.foreach(_.maintainIfNeeded())
       srcPath -> latest
+    }
+  }
+
+  /** Run an aux-triggered fold, retrying the typed fence conflict a
+    * concurrent primary-stream fold produces — the fold re-reads both
+    * watermarks per attempt, so a retry after a racer lands either
+    * folds the honest remainder or no-ops. */
+  private def foldPendingRetry(v: StandingView, attempts: Int = 3): Unit = {
+    var left = attempts
+    while (left > 0) {
+      try { v.foldPending(); return }
+      catch {
+        case e: ManagedTable.ConcurrentCommitException =>
+          left -= 1
+          if (left == 0) throw e
+      }
     }
   }
 
@@ -1020,24 +1068,60 @@ object StandingViews {
                             trigger: org.apache.spark.sql.streaming.Trigger =
                               org.apache.spark.sql.streaming.Trigger
                                 .AvailableNow(),
-                            autoMaintain: Boolean = false)
+                            autoMaintain: Boolean = false,
+                            dimTriggers: Boolean = false)
       : Map[String, org.apache.spark.sql.streaming.StreamingQuery] = {
     require(views.nonEmpty, "refreshStreamAllMulti needs at least one view")
-    views.groupBy(_.sourceTablePath).map { case (src, group) =>
+    def subdir(prefix: String, src: String): String = {
       val digest = java.security.MessageDigest.getInstance("SHA-1")
         .digest(src.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .take(8).map(b => f"$b%02x").mkString
-      src -> refreshStreamAll(spark, group,
-        new org.apache.hadoop.fs.Path(checkpoint, s"src-$digest").toString,
-        trigger, autoMaintain)
+      new org.apache.hadoop.fs.Path(checkpoint, s"$prefix-$digest").toString
     }
+    val primary = views.groupBy(_.sourceTablePath)
+    // `dimTriggers` closes the streaming cadence gap: a join mart's
+    // dimension-only change otherwise waits for the next FACT epoch.
+    // Each aux source either rides an existing primary stream (its
+    // epochs also trigger the marts) or gets a dedicated trigger stream
+    val auxBySrc: Map[String, Seq[StandingView]] =
+      if (!dimTriggers) Map.empty
+      else views.flatMap(v => v.auxSourcePaths.map(_ -> v)).groupBy(_._1)
+        .map { case (s, ps) => s -> ps.map(_._2).distinct }
+    val base = primary.map { case (src, group) =>
+      src -> refreshStreamAll(spark, group, subdir("src", src),
+        trigger, autoMaintain, auxBySrc.getOrElse(src, Nil))
+    }
+    // aux-only sources stream under their own "aux-" checkpoint prefix:
+    // if the topology later makes this table a PRIMARY source, its
+    // "src-" checkpoint starts fresh from the views' watermarks instead
+    // of silently inheriting trigger-stream offsets that no view ledger
+    // ever folded from
+    val auxOnly = (auxBySrc -- primary.keys).map { case (src, marts) =>
+      val start = marts.map(_.auxSourceVersion(src)).min + 1
+      src -> graft.streaming.StreamOps.streamTable(spark, src,
+          startingVersion = Some(start), readChangeFeed = true)
+        .writeStream
+        .option("checkpointLocation", subdir("aux", src))
+        .foreachBatch { (_: DataFrame, _: Long) =>
+          // the epoch is only a TRIGGER: the fold re-derives both
+          // sides' pending ranges itself and is idempotent, so replays
+          // need no ledger and a racing fact fold retries on its fence
+          marts.foreach(foldPendingRetry(_))
+          if (autoMaintain) marts.foreach(_.maintainIfNeeded())
+          ()
+        }
+        .trigger(trigger)
+        .start()
+    }
+    base ++ auxOnly
   }
 
   def refreshStreamAll(spark: SparkSession, views: Seq[StandingView],
                        checkpoint: String,
                        trigger: org.apache.spark.sql.streaming.Trigger =
                          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-                       autoMaintain: Boolean = false)
+                       autoMaintain: Boolean = false,
+                       auxViews: Seq[StandingView] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(views.nonEmpty, "refreshStreamAll needs at least one view")
     val srcPath = views.head.sourceTablePath
@@ -1097,6 +1181,12 @@ object StandingViews {
           // the ledger, debt simply re-checked next epoch)
           if (autoMaintain) live.foreach(_.maintainIfNeeded())
         }
+        // marts whose DIMENSION side is this stream's source: the epoch
+        // is only a trigger (the fold re-derives both sides' pending
+        // ranges, idempotent, fence-retried), so dimension changes fold
+        // on THIS source's cadence instead of waiting for a fact epoch
+        auxViews.foreach(foldPendingRetry(_))
+        if (autoMaintain) auxViews.foreach(_.maintainIfNeeded())
         ()
       }
       .trigger(trigger)

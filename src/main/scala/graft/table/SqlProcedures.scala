@@ -548,25 +548,29 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
               .refreshStream(strArg(args(4), "checkpoint"))
           case "views" =>
             // optional fifth arg opts into per-epoch auto-maintenance
-            // (zero-IO debt check after each fold — see maintain_auto)
-            require(args.size == 4 || args.size == 5,
+            // (zero-IO debt check after each fold — see maintain_auto);
+            // optional sixth opens dimension-trigger streams so a join
+            // mart folds when ONLY its dimension table changed
+            require(args.size >= 4 && args.size <= 6,
               "CALL graft.stream_refresh_view('views', source, " +
                 "'[src>]kind[(params)]:state[,...]', checkpoint" +
-                "[, auto_maintain])")
+                "[, auto_maintain[, dim_triggers]])")
             val src = strArg(args(1), "source path")
             val vs = parseViewList(spark, src,
               strArg(args(2), "view list")).map(_._3)
             val ck = strArg(args(3), "checkpoint")
-            val auto = args.size == 5 && boolArg(args(4), "auto_maintain")
-            if (vs.map(_.sourceTablePath).distinct.size == 1)
+            val auto = args.size >= 5 && boolArg(args(4), "auto_maintain")
+            val dim = args.size >= 6 && boolArg(args(5), "dim_triggers")
+            if (!dim && vs.map(_.sourceTablePath).distinct.size == 1)
               StandingViews.refreshStreamAll(spark, vs, ck,
                 autoMaintain = auto)
             else {
-              // multi-source list: one stream per source under the
-              // CALL's checkpoint root — drain the extras here, return
-              // the first for the shared drain below
+              // multi-source list (or dimension triggers requested):
+              // one stream per source under the CALL's checkpoint root
+              // — drain the extras here, return the first for the
+              // shared drain below
               val qs = StandingViews.refreshStreamAllMulti(spark, vs, ck,
-                autoMaintain = auto).values.toSeq
+                autoMaintain = auto, dimTriggers = dim).values.toSeq
               qs.tail.foreach { q =>
                 val ok = q.awaitTermination(600000)
                 if (!ok) { q.stop() }

@@ -152,11 +152,14 @@ class MultiViewRefreshSpec extends SparkSpec {
     assert(jv.read.exceptAll(wantJ).count() === 0 &&
       wantJ.exceptAll(jv.read).count() === 0,
       "one-pass join fold drifted from the join recompute")
-    // a dimension-only change folds on the view's own refresh (the
-    // shared source's feed has nothing for it — documented cadence)
+    // a dimension-only change folds in the SAME one-pass call: the fact
+    // slice loop has nothing for it, but the aux-source check (pointer
+    // reads on the dim table) routes the mart through its own
+    // both-sides refresh
     dimT.update(Map("segment" -> lit("MOVED")), col("bucket") === 1L)
     StandingViews.refreshAll(spark, Seq(bm25, agg, jv))
-    jv.refresh()
+    assert(jv.sourceVersions._2 === dimT.latestVersion.get,
+      "refreshAll must fold a dimension-only change without a fact commit")
     val wantJ2 = t.read.join(dimT.read, Seq("bucket")).groupBy("segment")
       .agg(sum(lit(1L)).as("cnt"),
         sum(col("score").cast("decimal(28,6)")).cast("decimal(28,6)")
@@ -274,5 +277,86 @@ class MultiViewRefreshSpec extends SparkSpec {
     tb.write(docs(12 until 14), "APPEND", "append")
     drainAll()
     checkBoth()
+  }
+
+  private def corpusRows(ids: Range) = ids.map { i =>
+    (i.toLong, s"${words(i % 10)} ${words((i / 2) % 10)}",
+      (i % 5).toLong, i * 1.5)
+  }.toDF("doc_id", "text", "bucket", "score")
+
+  private def joinRecompute(t: ManagedTable, dimT: ManagedTable) =
+    t.read.join(dimT.read, Seq("bucket")).groupBy("segment")
+      .agg(sum(lit(1L)).as("cnt"),
+        sum(col("score").cast("decimal(28,6)")).cast("decimal(28,6)")
+          .as("sum_score"))
+
+  test("dimTriggers: a dimension-only change folds on the dim table's " +
+      "own trigger stream, not the next fact epoch") {
+    val src = tmpDir("mvd_src"); val dim = tmpDir("mvd_dim")
+    val ck = tmpDir("mvd_ck")
+    val t = ManagedTable(spark, src); val dimT = ManagedTable(spark, dim)
+    t.write(corpusRows(0 until 40), "APPEND", "append")
+    dimT.write((0L to 4L).map(b => (b, s"seg$b")).toDF("bucket", "segment"),
+      "APPEND", "append")
+    val bm25 = new Bm25IndexView(spark, src, tmpDir("mvd_bm25"),
+      expectedDocs = 1000)
+    val jv = new IncrementalJoinAggView(spark, src, dim, tmpDir("mvd_jv"),
+      joinKeys = Seq("bucket"), groupCols = Seq("segment"),
+      sumCols = Seq("score"))
+    bm25.initialize(); jv.initialize()
+    // a dimension-only tick: NO fact commit anywhere
+    dimT.update(Map("segment" -> lit("MOVED")), col("bucket") === 2L)
+    val qs = StandingViews.refreshStreamAllMulti(spark, Seq(bm25, jv), ck,
+      dimTriggers = true)
+    assert(qs.keySet === Set(src, dim),
+      "the dim table gets its own trigger stream (aux-only source)")
+    qs.values.foreach(q => assert(q.awaitTermination(120000)))
+    assert(jv.sourceVersions._2 === dimT.latestVersion.get,
+      "the dim trigger stream must fold the mart without a fact epoch")
+    val want = joinRecompute(t, dimT)
+    assert(jv.read.exceptAll(want).isEmpty && want.exceptAll(jv.read).isEmpty)
+    // resume the same root with churn on BOTH sides: the fact stream
+    // folds bm25 + the mart's left range, the dim stream re-triggers
+    t.write(corpusRows(40 until 48), "APPEND", "append")
+    dimT.update(Map("segment" -> lit("MOVED2")), col("bucket") === 0L)
+    StandingViews.refreshStreamAllMulti(spark, Seq(bm25, jv), ck,
+      dimTriggers = true).values.foreach(q => assert(q.awaitTermination(120000)))
+    assert(jv.sourceVersions ===
+      ((t.latestVersion.get, dimT.latestVersion.get)))
+    val want2 = joinRecompute(t, dimT)
+    assert(jv.read.exceptAll(want2).isEmpty && want2.exceptAll(jv.read).isEmpty)
+    val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
+    assert(bm25.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(bm25.read).isEmpty)
+  }
+
+  test("dimTriggers: a dim table that is ALSO a primary source rides its " +
+      "existing stream — no third query") {
+    val src = tmpDir("mvp_src"); val dim = tmpDir("mvp_dim")
+    val ck = tmpDir("mvp_ck")
+    val t = ManagedTable(spark, src); val dimT = ManagedTable(spark, dim)
+    t.write(corpusRows(0 until 30), "APPEND", "append")
+    dimT.write((0L to 4L).map(b => (b, s"seg$b")).toDF("bucket", "segment"),
+      "APPEND", "append")
+    val jv = new IncrementalJoinAggView(spark, src, dim, tmpDir("mvp_jv"),
+      joinKeys = Seq("bucket"), groupCols = Seq("segment"),
+      sumCols = Seq("score"))
+    // the dim table carries its own standing view too (kind-agnostic:
+    // any view whose PRIMARY source is the dim table)
+    val dimAgg = new IncrementalAggView(spark, dim, tmpDir("mvp_dimagg"),
+      Seq("segment"), Nil)
+    jv.initialize(); dimAgg.initialize()
+    dimT.write(Seq((5L, "seg5")).toDF("bucket", "segment"),
+      "APPEND", "append")
+    val qs = StandingViews.refreshStreamAllMulti(spark,
+      Seq(jv, dimAgg), ck, dimTriggers = true)
+    assert(qs.keySet === Set(src, dim),
+      "the mart's dim side must ride the dim table's primary stream")
+    qs.values.foreach(q => assert(q.awaitTermination(120000)))
+    assert(jv.sourceVersions._2 === dimT.latestVersion.get,
+      "the dim table's primary epoch must also trigger the mart")
+    assert(dimAgg.sourceVersion === dimT.latestVersion.get)
+    val want = joinRecompute(t, dimT)
+    assert(jv.read.exceptAll(want).isEmpty && want.exceptAll(jv.read).isEmpty)
   }
 }
