@@ -651,6 +651,12 @@ final class IncrementalJoinAggView(spark: SparkSession,
     state.vacuum(keep)
   }
 
+  // the retention policy routes through the mart's own clamp (its
+  // watermark meta key is the leftVersion/rightVersion pair, not the
+  // generic sourceVersion form)
+  private[table] override def vacuumState(keepLast: Int)
+      : ManagedTable.VacuumStats = vacuum(keepLast)
+
   /** The maintained aggregate restricted by `predicate` with dir-stat
     * skipping — selective because the state is born clustered by group
     * key and [[maintain]] keeps the tail folded. */

@@ -578,6 +578,11 @@ final class IncrementalAggView(spark: SparkSession, sourcePath: String,
     state.vacuum(keep)
   }
 
+  // the retention policy routes through the mart's own clamp (its
+  // watermark meta key differs from the generic sourceVersion form)
+  private[table] override def vacuumState(keepLast: Int)
+      : ManagedTable.VacuumStats = vacuum(keepLast)
+
   /** The maintained aggregate restricted by `predicate`, dir-stat
     * skipping through the state's commit-log stats
     * ([[ManagedTable.readWhere]]) — selective because the state is born

@@ -360,8 +360,32 @@ trait StandingView {
     * far back [[ManagedTable.readAt]]-style AS-OF serving reaches —
     * callers that serve deep lineage choose `keepLast` accordingly. */
   final def vacuumStateIfNeeded(keepLast: Int, slackVersions: Int = 16)
-      : Option[ManagedTable.VacuumStats] =
-    stateTable.vacuumIfNeeded(keepLast, slackVersions)
+      : Option[ManagedTable.VacuumStats] = {
+    require(keepLast >= 1, "vacuumStateIfNeeded must keep at least one version")
+    require(slackVersions >= 2,
+      "slack below 2 versions degenerates to a full vacuum pass per commit")
+    if (stateTable.retainedVersionCount >= keepLast + slackVersions)
+      Some(vacuumState(keepLast))
+    else None
+  }
+
+  /** Family-clamped state retention: the cut keeps at least back to the
+    * newest commit whose metadata carries a `sourceVersion` watermark —
+    * maintenance commits are watermark-less, and a purely count-based
+    * cut under a head run of them would prune every watermarked commit
+    * and wedge the family's walks. Families with stronger lineage
+    * obligations (the row-local family's quantizer version holds, the
+    * marts' watermark-pair metas) override with their own vacuum. */
+  private[table] def vacuumState(keepLast: Int): ManagedTable.VacuumStats = {
+    val t = stateTable
+    val wmV = t.metaHistory.collectFirst {
+      case c if c.userMetadata.exists(_.contains("\"sourceVersion\":")) =>
+        c.version
+    }
+    val keep = (for { w <- wmV; l <- t.latestVersion }
+      yield math.max(keepLast.toLong, l - w + 1).toInt).getOrElse(keepLast)
+    t.vacuum(keep)
+  }
 }
 
 /**
@@ -818,6 +842,11 @@ abstract class RowLocalIndexView(
     * procedure; the commit carries no watermark and is transparent to
     * the walk. */
   final def purge(): Unit = { state.purgeDeletes(); () }
+
+  // the retention policy must go through the family's own vacuum: it
+  // also prunes the doc-id bloom and the quantizer lineage coherently
+  private[table] final override def vacuumState(keepLast: Int)
+      : ManagedTable.VacuumStats = vacuum(keepLast)
 
   /** Retention maintenance for the WHOLE view, coherent across its
     * artifacts: prune the state table's history to its last `keepLast`

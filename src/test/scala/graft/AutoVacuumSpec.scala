@@ -110,6 +110,33 @@ class AutoVacuumSpec extends SparkSpec {
     assert(got === Set((1, 16), (2, 17), (3, 18), (4, 14), (0, 15)))
   }
 
+  test("view state retention clamps to the newest watermark-bearing " +
+      "commit — a head run of maintenance commits never wedges the walk") {
+    val src = tmpDir("avc_csrc")
+    val st = tmpDir("avc_cst")
+    val t = ManagedTable(spark, src)
+    t.write((1 to 30).map(i => (i.toLong, s"doc $i words ${i % 3}"))
+      .toDF("doc_id", "text"), "APPEND", "append")
+    val view = new Bm25IndexView(spark, src, st, expectedDocs = 1000)
+    view.initialize()
+    (1 to 6).foreach { k =>
+      t.write(Seq((200L + k, s"tick $k")).toDF("doc_id", "text"),
+        "APPEND", "append")
+      view.refresh()
+    }
+    // land watermark-less maintenance commits ABOVE the last fold
+    val folded = view.maintainIfNeeded(minSmallDirs = 2, minDvDirs = 8)
+    assert(folded.nonEmpty, "the maintenance run must land head commits")
+    val wm = view.sourceVersion
+    // keepLast=1 would, unclamped, retain ONLY the maintenance head
+    val stats = view.vacuumStateIfNeeded(keepLast = 1, slackVersions = 2)
+    assert(stats.nonEmpty)
+    assert(view.sourceVersion === wm,
+      "the clamped cut must keep the newest watermark-bearing commit — " +
+        "an unclamped count cut would wedge every walk here")
+    assert(view.read.count() > 0)
+  }
+
   test("view state retention: history bounded, watermark and serving intact") {
     val src = tmpDir("avc_vsrc")
     val st = tmpDir("avc_vst")
