@@ -282,7 +282,12 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         val t = table()
         val debt = t.maintenanceDebt(max)
         val triggered = debt.smallDirs >= minSmall || debt.dvDirs >= minDv
-        val landed = if (triggered) t.maintainLayout(max) else Nil
+        // route through maintainLayoutIfNeeded rather than maintainLayout:
+        // it owns the partitioned-table branch (compactDirs is
+        // unpartitioned-only) and re-checks the same thresholds for free
+        val landed =
+          if (triggered) t.maintainLayoutIfNeeded(max, minSmall, minDv)
+          else Nil
         Seq(Row(debt.smallDirs, debt.dvDirs, if (triggered) 1 else 0,
           if (landed.isEmpty) null
           else landed.map(c => s"${c.operation}@${c.version}").mkString(",")))

@@ -184,6 +184,23 @@ class AutoMaintainSpec extends SparkSpec {
     assert(got === Set((1, 16), (2, 17), (3, 18), (4, 14), (0, 15)))
   }
 
+  test("CALL graft.maintain_auto on a PARTITIONED table takes the " +
+      "partition-scoped fold (compactDirs is unpartitioned-only)") {
+    val path = tmpDir("amd_sqlp")
+    val t = ManagedTable(spark, path)
+    (0 until 4).foreach { a =>
+      t.write((1 to 20).map(i => (i, i % 2, s"v$i")).toDF("id", "p", "v"),
+        "APPEND", "append", partitionBy = Seq("p"))
+    }
+    val before = t.read.collect().toSet
+    val fired = spark.sql(
+      s"CALL graft.maintain_auto('$path', ${64L << 20}, 3, 8)").head()
+    assert(fired.getInt(2) === 1 && !fired.isNullAt(3))
+    assert(fired.getString(3).contains("OPTIMIZE"),
+      s"partitioned fold lands the OPTIMIZE analogue, got ${fired.getString(3)}")
+    assert(t.read.collect().toSet === before)
+  }
+
   test("CALL graft.maintain_auto reports debt and folds only past thresholds") {
     val (path, t) = frag("amd_sql")
     t.deleteVectors(col("id") % 9 === 0)

@@ -110,6 +110,42 @@ class AutoVacuumSpec extends SparkSpec {
     assert(got === Set((1, 16), (2, 17), (3, 18), (4, 14), (0, 15)))
   }
 
+  test("end-to-end pipeline retention: source policy + sliding view holds " +
+      "coordinate with no operator in the loop") {
+    val src = tmpDir("avc_psrc")
+    val t = ManagedTable(spark, src)
+    t.write((1 to 20).map(i => (i.toLong, s"doc $i base")).toDF("doc_id", "text"),
+      "APPEND", "append")
+    val view = new Bm25IndexView(spark, src, tmpDir("avc_pst"),
+      expectedDocs = 1000)
+    view.initialize()
+    // the view stops refreshing while loads keep landing: its hold pins
+    // the watermark, so the source policy must stall AT the watermark
+    (1 to 12).foreach { k =>
+      t.write(Seq((300L + k, s"load $k")).toDF("doc_id", "text"),
+        "APPEND", "append")
+    }
+    val wm = view.sourceVersion
+    val clamped = t.vacuumIfNeeded(keepLast = 2, slackVersions = 4)
+    assert(clamped.nonEmpty && t.earliestVersion.get <= wm,
+      "the lagging view's hold must clamp the source cut to its watermark")
+    // the view can still fold its whole backlog after the vacuum
+    view.refresh()
+    assert(view.sourceVersion === t.latestVersion.get)
+    // with the hold slid forward, the next firing reclaims the backlog
+    (1 to 3).foreach { k =>
+      t.write(Seq((400L + k, s"tail $k")).toDF("doc_id", "text"),
+        "APPEND", "append")
+      view.refresh()
+    }
+    val freed = t.vacuumIfNeeded(keepLast = 2, slackVersions = 4)
+    assert(freed.nonEmpty && freed.get.prunedVersions > 0,
+      "a current view's slid hold must release the history")
+    val rebuilt = graft.llm.Retrieval.bm25Postings(t.read, "text", "doc_id")
+    assert(view.read.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(view.read).isEmpty)
+  }
+
   test("view state retention clamps to the newest watermark-bearing " +
       "commit — a head run of maintenance commits never wedges the walk") {
     val src = tmpDir("avc_csrc")
