@@ -2458,6 +2458,59 @@ final class ManagedTable(spark: SparkSession, root: String) {
     else None
   }
 
+  /**
+   * Age-based retention as POLICY — [[vacuumOlderThan]]'s WHEN, the
+   * time-denominated twin of [[vacuumIfNeeded]] (Delta's operator
+   * contract is "RETAIN n HOURS", not a version count). The quiet-path
+   * ask is the floor pointer plus ONE log-entry read: the FLOOR
+   * commit's own timestamp says whether anything even CAN be stale.
+   * `slackMs` is the hysteresis — a firing prunes everything older
+   * than `now − maxAgeMs`, which moves the floor to ~the cutoff, so
+   * the next `slackMs` of wall clock asks quietly.
+   *
+   * A stale floor alone is not enough to fire: when every version is
+   * old (a cold table) or the floor sits inside the kept chain's
+   * snapshot block, [[vacuumOlderThan]] would pay its pass and prune
+   * NOTHING, every ask, forever. So past the age gate the decision
+   * resolves what the pass WOULD keep (timestamp scan of the retained
+   * entries + the kept chain's base — O(retained) small entry reads,
+   * only on stale-floor asks) and fires only when the cut lands above
+   * the floor: a firing always reclaims, unless a retention hold
+   * clamps it ([[vacuum]]'s rule, surfaced via `staleHolds`). Pair
+   * with [[vacuumIfNeeded]] to keep the retained window — and with it
+   * this path's worst-case ask — bounded.
+   */
+  /** Age of the FLOOR (earliest retained) commit — the age policy's
+    * quiet-path evidence; pointer reads plus one entry read. None when
+    * the table does not exist. */
+  def floorAgeMs(nowMs: Long = System.currentTimeMillis()): Option[Long] =
+    earliestVersion.map(v => nowMs - readEntry(v)._1.timestampMs)
+
+  def vacuumOlderThanIfNeeded(maxAgeMs: Long,
+                              slackMs: Long = 6L * 3600 * 1000,
+                              dryRun: Boolean = false,
+                              nowMs: Long = System.currentTimeMillis())
+      : Option[ManagedTable.VacuumStats] = {
+    require(maxAgeMs > 0, "vacuumOlderThanIfNeeded needs a positive age")
+    require(slackMs >= 0, "negative slack")
+    val cutoff = nowMs - maxAgeMs
+    earliestVersion.flatMap { floor =>
+      if (readEntry(floor)._1.timestampMs >= cutoff - slackMs) None
+      else {
+        val versions = listVersions.sorted
+        val entries = readEntries(versions).map(_._1)
+        val firstKeep = entries.filter(_.timestampMs >= cutoff).map(_.version)
+          .minOption.getOrElse(versions.last)
+        var base = firstKeep
+        var link = readEntry(base)._2
+        while (link.isDefined) { base = link.get.baseVersion
+          link = readEntry(base)._2 }
+        if (base <= floor) None
+        else Some(vacuumOlderThan(cutoff, dryRun))
+      }
+    }
+  }
+
   /** Shared vacuum core: keep `firstKeep` and everything after it
     * (clamped DOWN to the minimum retention hold — a pinned consumer's
     * versions always survive — then extended back to the earliest kept

@@ -147,6 +147,13 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       attr("pruned_versions", IntegerType), attr("deleted_data_dirs", IntegerType),
       attr("deleted_change_dirs", IntegerType), attr("deleted_dv_dirs", IntegerType),
       attr("stale_holds", StringType))
+    case "vacuum_older_auto" => Seq(
+      // the FLOOR commit's age (the quiet-path evidence: one entry
+      // read) + whether the age policy fired; vacuum columns as above
+      attr("floor_age_ms", LongType), attr("triggered", IntegerType),
+      attr("pruned_versions", IntegerType), attr("deleted_data_dirs", IntegerType),
+      attr("deleted_change_dirs", IntegerType), attr("deleted_dv_dirs", IntegerType),
+      attr("stale_holds", StringType))
     case "export_manifest" => Seq(
       attr("version", LongType), attr("num_files", IntegerType),
       attr("num_manifests", IntegerType))
@@ -179,7 +186,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       s"unknown graft procedure `$other` — supported: history, vacuum, " +
         "vacuum_older_than, " +
         "optimize, analyze, cluster_by, cluster_append, maintain, " +
-        "maintain_auto, vacuum_auto, purge_deletes, restore, clone, " +
+        "maintain_auto, vacuum_auto, vacuum_older_auto, purge_deletes, " +
+        "restore, clone, " +
         "export_manifest, drift_check, init_agg_view, refresh_agg_view, " +
         "init_join_view, refresh_join_view, init_bm25_view, " +
         "refresh_bm25_view, init_phrase_view, refresh_phrase_view, " +
@@ -309,6 +317,26 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
             if (s.staleHolds.isEmpty) null
             else s.staleHolds.map { case (h, v) => s"$h@$v" }.mkString(",")))
           case None => Seq(Row(retained, 0, 0, 0, 0, 0, null))
+        }
+      case "vacuum_older_auto" =>
+        // age-based retention policy (Delta's RETAIN-hours contract as
+        // a WHEN): quiet asks cost the floor pointer + one entry read;
+        // a firing prunes everything older than now - max_age_ms and
+        // only ever fires when the cut actually reclaims something
+        require(args.size == 2 || args.size == 3,
+          "CALL graft.vacuum_older_auto(path, max_age_ms[, slack_ms])")
+        val age = longArg(args(1), "max_age_ms")
+        val slackMs = if (args.size >= 3) longArg(args(2), "slack_ms")
+          else 6L * 3600 * 1000
+        val t = table()
+        val floorAge = t.floorAgeMs().getOrElse(throw new IllegalStateException(
+          s"managed table ${strArg(args(0), "table path")} does not exist"))
+        t.vacuumOlderThanIfNeeded(age, slackMs) match {
+          case Some(s) => Seq(Row(floorAge, 1, s.prunedVersions,
+            s.deletedDataDirs, s.deletedChangeDirs, s.deletedDvDirs,
+            if (s.staleHolds.isEmpty) null
+            else s.staleHolds.map { case (h, v) => s"$h@$v" }.mkString(",")))
+          case None => Seq(Row(floorAge, 0, 0, 0, 0, 0, null))
         }
       case "purge_deletes" =>
         require(args.size == 1, "CALL graft.purge_deletes(path)")

@@ -75,6 +75,61 @@ class AutoVacuumSpec extends SparkSpec {
     }
   }
 
+  test("age policy: a fresh floor is quiet at one entry read; a stale " +
+      "floor fires only when the cut reclaims; never busy-fires after") {
+    val (_, t) = versioned("avc_age", 14)
+    ManagedTable.logEntryReads.set(0L)
+    ManagedTable.logListings.set(0L)
+    assert(t.vacuumOlderThanIfNeeded(maxAgeMs = 3600 * 1000).isEmpty,
+      "commits written seconds ago are inside any sane age window")
+    assert(ManagedTable.logListings.get === 0L)
+    assert(ManagedTable.logEntryReads.get <= 1L,
+      "the quiet ask is the floor pointer + ONE entry read, got " +
+        ManagedTable.logEntryReads.get)
+    // a synthetic future clock makes every commit stale: the firing
+    // prunes to the kept chain's snapshot base, like the count policy
+    val future = System.currentTimeMillis() + 30L * 24 * 3600 * 1000
+    val stats = t.vacuumOlderThanIfNeeded(maxAgeMs = 24L * 3600 * 1000,
+      nowMs = future)
+    assert(stats.nonEmpty && stats.get.prunedVersions === 10,
+      s"all-stale history prunes to the head's snapshot base, got $stats")
+    assert(t.retainedVersionCount === 4)
+    // floor is STILL stale under the future clock, but the cut cannot
+    // reclaim anything below the kept chain — the policy must answer
+    // None instead of paying a useless vacuum pass per ask forever
+    assert(t.vacuumOlderThanIfNeeded(maxAgeMs = 24L * 3600 * 1000,
+      nowMs = future).isEmpty,
+      "a stale-but-irreducible floor must not busy-fire")
+  }
+
+  test("age policy: a retention hold clamps the firing; releasing frees it") {
+    val (_, t) = versioned("avc_ageh", 12)
+    t.setRetentionHold("consumer", 0L)
+    val future = System.currentTimeMillis() + 30L * 24 * 3600 * 1000
+    val clamped = t.vacuumOlderThanIfNeeded(maxAgeMs = 1000,
+      nowMs = future)
+    assert(clamped.nonEmpty && clamped.get.prunedVersions === 0,
+      "the hold clamps inside vacuum — the firing lands nothing")
+    t.releaseRetentionHold("consumer")
+    val freed = t.vacuumOlderThanIfNeeded(maxAgeMs = 1000, nowMs = future)
+    assert(freed.nonEmpty && freed.get.prunedVersions === 10)
+  }
+
+  test("CALL graft.vacuum_older_auto fires on real elapsed time and " +
+      "reports the floor age") {
+    val (path, t) = versioned("avc_agesql", 14)
+    // max_age 1ms, slack 0: milliseconds-old commits are already stale
+    val fired = spark.sql(
+      s"CALL graft.vacuum_older_auto('$path', 1, 0)").head()
+    assert(fired.getLong(0) > 0L && fired.getInt(1) === 1)
+    assert(fired.getInt(2) === 10 && t.retainedVersionCount === 4)
+    // immediately re-CALL: floor still stale but irreducible — quiet
+    val quiet = spark.sql(
+      s"CALL graft.vacuum_older_auto('$path', 1, 0)").head()
+    assert(quiet.getInt(1) === 0 && quiet.getInt(2) === 0,
+      "the re-CALL must not busy-fire on an irreducible stale floor")
+  }
+
   test("CALL graft.vacuum_auto reports retained count and prunes past slack") {
     val (path, t) = versioned("avc_sql", 14)
     val quiet = spark.sql(s"CALL graft.vacuum_auto('$path', 5, 16)").head()
