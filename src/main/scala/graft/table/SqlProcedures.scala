@@ -139,7 +139,7 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       // ("op@version,..."), NULL when below threshold
       attr("small_dirs", IntegerType), attr("dv_dirs", IntegerType),
       attr("triggered", IntegerType), attr("operations", StringType))
-    case "vacuum_auto" => Seq(
+    case "vacuum_auto" | "vacuum_index_view_auto" => Seq(
       // retained-version count (two pointer reads) + whether it crossed
       // keep_last + slack; the vacuum columns mirror CALL graft.vacuum
       // and are zero/NULL on a quiet pass
@@ -186,8 +186,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
       s"unknown graft procedure `$other` — supported: history, vacuum, " +
         "vacuum_older_than, " +
         "optimize, analyze, cluster_by, cluster_append, maintain, " +
-        "maintain_auto, vacuum_auto, vacuum_older_auto, purge_deletes, " +
-        "restore, clone, " +
+        "maintain_auto, vacuum_auto, vacuum_older_auto, " +
+        "vacuum_index_view_auto, purge_deletes, restore, clone, " +
         "export_manifest, drift_check, init_agg_view, refresh_agg_view, " +
         "init_join_view, refresh_join_view, init_bm25_view, " +
         "refresh_bm25_view, init_phrase_view, refresh_phrase_view, " +
@@ -507,6 +507,37 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
           val view = indexView(spark, strArg(args(0), "kind"), srcPath,
             stPath)
           Seq(vacuumRow(view.vacuum(longArg(args(3), "keep_last").toInt)))
+        }
+      case "vacuum_index_view_auto" =>
+        // the retention POLICY for a standing view's state: quiet asks
+        // are two pointer reads; a firing routes through the FAMILY's
+        // clamped vacuum (state history + bloom head + named quantizer
+        // versions pruned coherently, never past the newest
+        // watermark-bearing commit) — CALL graft.vacuum_auto on a view
+        // state would bypass that clamp, so this is the view spelling
+        require(args.size == 4 || args.size == 5,
+          "CALL graft.vacuum_index_view_auto(kind, source, state, " +
+            "keep_last[, slack_versions])")
+        val srcPath = strArg(args(1), "source path")
+        val stPath = strArg(args(2), "state path")
+        val keep = longArg(args(3), "keep_last").toInt
+        val slack = if (args.size >= 5)
+          longArg(args(4), "slack_versions").toInt else 16
+        val st = ManagedTable(spark, stPath)
+        if (!st.exists) {
+          ManagedTable(spark, srcPath).releaseRetentionHold(stPath)
+          Seq(Row(0, 0, 0, 0, 0, 0, s"released stale hold $stPath"))
+        } else {
+          val view = indexView(spark, strArg(args(0), "kind"), srcPath,
+            stPath)
+          val retained = st.retainedVersionCount
+          view.vacuumStateIfNeeded(keep, slack) match {
+            case Some(s) => Seq(Row(retained, 1, s.prunedVersions,
+              s.deletedDataDirs, s.deletedChangeDirs, s.deletedDvDirs,
+              if (s.staleHolds.isEmpty) null
+              else s.staleHolds.map { case (h, v) => s"$h@$v" }.mkString(",")))
+            case None => Seq(Row(retained, 0, 0, 0, 0, 0, null))
+          }
         }
       case "refresh_views" =>
         // ONE-PASS maintenance of the whole standing-view family: each

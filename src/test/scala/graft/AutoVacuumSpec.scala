@@ -144,6 +144,32 @@ class AutoVacuumSpec extends SparkSpec {
     assert(t.retainedVersionCount === 4)
   }
 
+  test("CALL graft.vacuum_index_view_auto: family-clamped state retention " +
+      "from SQL (vacuum_auto on a view state would bypass the clamp)") {
+    val src = tmpDir("avc_ivsrc"); val st = tmpDir("avc_ivst")
+    val t = ManagedTable(spark, src)
+    t.write((1 to 20).map(i => (i.toLong, s"doc $i words"))
+      .toDF("doc_id", "text"), "APPEND", "append")
+    val view = new Bm25IndexView(spark, src, st, expectedDocs = 1000)
+    view.initialize()
+    (1 to 12).foreach { k =>
+      t.write(Seq((500L + k, s"tick $k")).toDF("doc_id", "text"),
+        "APPEND", "append")
+      view.refresh()
+    }
+    val quiet = spark.sql(s"CALL graft.vacuum_index_view_auto('bm25', " +
+      s"'$src', '$st', 3, 16)").head()
+    assert(quiet.getInt(0) === 13 && quiet.getInt(1) === 0,
+      "13 retained < 3 + 16 stays quiet")
+    val fired = spark.sql(s"CALL graft.vacuum_index_view_auto('bm25', " +
+      s"'$src', '$st', 3, 5)").head()
+    assert(fired.getInt(1) === 1 && fired.getInt(2) === 10,
+      s"13 retained >= 3 + 5 prunes to the snapshot base, got $fired")
+    assert(view.sourceVersion === t.latestVersion.get,
+      "the family clamp keeps the watermark walk intact")
+    assert(view.read.count() > 0)
+  }
+
   test("task outputs: auto_vacuum_keep bounds a load loop's history") {
     import graft.config.Config.OutputConf
     import graft.task.{SparkTask, TaskContext}
