@@ -515,9 +515,13 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
         // versions pruned coherently, never past the newest
         // watermark-bearing commit) — CALL graft.vacuum_auto on a view
         // state would bypass that clamp, so this is the view spelling
+        // the kind takes the view-list grammar's params form too, so the
+        // MARTS are reachable: 'agg(group|..;sum|..)' /
+        // 'join(right;keys|..;group|..;sum|..)' — their clamp keys on
+        // the watermark-pair metas, which only their own vacuum knows
         require(args.size == 4 || args.size == 5,
-          "CALL graft.vacuum_index_view_auto(kind, source, state, " +
-            "keep_last[, slack_versions])")
+          "CALL graft.vacuum_index_view_auto(kind[(params)], source, " +
+            "state, keep_last[, slack_versions])")
         val srcPath = strArg(args(1), "source path")
         val stPath = strArg(args(2), "state path")
         val keep = longArg(args(3), "keep_last").toInt
@@ -528,8 +532,8 @@ final case class GraftCallCommand(proc: String, args: Seq[Expression])
           ManagedTable(spark, srcPath).releaseRetentionHold(stPath)
           Seq(Row(0, 0, 0, 0, 0, 0, s"released stale hold $stPath"))
         } else {
-          val view = indexView(spark, strArg(args(0), "kind"), srcPath,
-            stPath)
+          val view = parseViewList(spark, srcPath,
+            s"${strArg(args(0), "kind")}:$stPath").head._3
           val retained = st.retainedVersionCount
           view.vacuumStateIfNeeded(keep, slack) match {
             case Some(s) => Seq(Row(retained, 1, s.prunedVersions,

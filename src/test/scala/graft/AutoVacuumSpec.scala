@@ -170,6 +170,30 @@ class AutoVacuumSpec extends SparkSpec {
     assert(view.read.count() > 0)
   }
 
+  test("vacuum_index_view_auto reaches the MARTS through the view-list " +
+      "params grammar — their watermark-pair clamp rides along") {
+    val src = tmpDir("avc_msrc"); val st = tmpDir("avc_mst")
+    val t = ManagedTable(spark, src)
+    t.write((1 to 40).map(i => (i.toLong, (i % 4).toLong, i * 2.0))
+      .toDF("id", "bucket", "score"), "APPEND", "append")
+    val view = new IncrementalAggView(spark, src, st,
+      Seq("bucket"), Seq("score"))
+    view.initialize()
+    (1 to 12).foreach { k =>
+      t.write(Seq((100L + k, (k % 4).toLong, k * 1.0))
+        .toDF("id", "bucket", "score"), "APPEND", "append")
+      view.refresh()
+    }
+    val wm = view.sourceVersion
+    val retained = ManagedTable(spark, st).retainedVersionCount
+    val fired = spark.sql(s"CALL graft.vacuum_index_view_auto(" +
+      s"'agg(bucket;score)', '$src', '$st', 2, 4)").head()
+    assert(fired.getInt(0) === retained && fired.getInt(1) === 1)
+    assert(fired.getInt(2) > 0, s"the firing must reclaim, got $fired")
+    assert(view.sourceVersion === wm,
+      "the mart's watermark-pair clamp must keep the walk intact")
+  }
+
   test("task outputs: auto_vacuum_keep bounds a load loop's history") {
     import graft.config.Config.OutputConf
     import graft.task.{SparkTask, TaskContext}
