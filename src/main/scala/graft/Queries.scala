@@ -7399,14 +7399,16 @@ object Queries {
     t.delete(col("doc_id") % 13 === 0)
     t2.write(orders.filter(col("o_orderstatus") === "F"), "APPEND",
       "append")
-    ManagedTable.changeFeedReads.set(0L)
+    // baseline-delta, never a reset: the bench harness reports per-query
+    // counter deltas, and an in-query set(0) would turn them negative
+    val cfr0 = ManagedTable.changeFeedReads.get
     val rows = spark.sql(s"CALL graft.refresh_views('$srcPath', " +
       s"'bm25:$st1,phrase:$st2,neardup:$st3,lm:$st4," +
       s"agg(bucket;score):$st5," +
       s"$src2>agg(o_orderstatus;o_totalprice):$st6')").collect()
-    require(ManagedTable.changeFeedReads.get == 2L,
+    require(ManagedTable.changeFeedReads.get - cfr0 == 2L,
       "multi_view_refresh: two sources must fold from ONE change-feed " +
-        s"read EACH, got ${ManagedTable.changeFeedReads.get}")
+        s"read EACH, got ${ManagedTable.changeFeedReads.get - cfr0}")
     require(rows.length == 6,
       s"multi_view_refresh: six views expected, got ${rows.length}")
     require(rows.take(5).forall(_.getLong(2) == 2L),
