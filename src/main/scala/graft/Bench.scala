@@ -47,6 +47,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Sort-path shuffle writes at EVERY partition count: the bypass
+      // writer opens one file per reduce partition per map task (P
+      // files + concat per task), which at small partition counts is
+      // pure FS-op overhead — measured 2.4x on a tiny two-stage
+      // aggregation (guide §2.2: shuffle block count, not bytes, is the
+      // small-shuffle cost). Scale-neutral: past ~200 partitions the
+      // bypass writer is never chosen anyway, so this only changes the
+      // small-shuffle regime.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.catalog.graft", "graft.table.GraftCatalog")

@@ -32,12 +32,14 @@ private[table] object CdfNetting {
       .agg(sum("__sign__").as("__cnt__"))
       .filter(col("__cnt__") =!= 0L)
       .localCheckpoint()
-    val badCnt = netted.filter(abs(col("__cnt__")) =!= 1L)
-    val dupDir = netted
+    // both duplicate shapes (|net sign| != 1 on a row, >1 same-direction
+    // payloads per id) checked in ONE aggregation job over the already-
+    // checkpointed netting, instead of two separate scans of it
+    val viol = netted
       .groupBy(col(s"`$idCol`"), (col("__cnt__") > 0L).as("__pos__"))
-      .agg(count(lit(1)).as("__n__"))
-      .filter(col("__n__") > 1L)
-    require(badCnt.isEmpty && dupDir.isEmpty,
+      .agg(count(lit(1)).as("__n__"), max(abs(col("__cnt__"))).as("__m__"))
+      .filter(col("__n__") > 1L || col("__m__") =!= 1L)
+    require(viol.isEmpty,
       s"$what: the change-feed slice nets to duplicate rows for one id " +
         "(|net sign| != 1 or multiple same-direction payloads) — " +
         "duplicate ids cannot index; dedup upstream")
