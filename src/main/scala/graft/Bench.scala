@@ -43,24 +43,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // Sort-path shuffle writes at EVERY partition count: the bypass
-      // writer opens one file per reduce partition per map task (P
-      // files + concat per task), which at small partition counts is
-      // pure FS-op overhead — measured 2.4x on a tiny two-stage
-      // aggregation (guide §2.2: shuffle block count, not bytes, is the
-      // small-shuffle cost). Scale-neutral: past ~200 partitions the
-      // bypass writer is never chosen anyway, so this only changes the
-      // small-shuffle regime.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.catalog.graft", "graft.table.GraftCatalog")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Harness.sessionBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (JVM JIT, codegen compiler, parquet footer reads)
     // so the alphabetically-first query doesn't absorb ~4-5 s of one-time
@@ -221,7 +204,24 @@ object Bench {
           s""""queries":${probed.mkString("{", ",", "}")}}"""
       case None => ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$totalStaging,"queries":$qs,"n_ok":$nOk,"n_fail":${results.size - nOk},"sf":"$sfDir"$probeJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","staging_sec":$totalStaging,"queries":$qs,"n_ok":$nOk,"n_fail":${results.size - nOk},"sf":"$sfDir"$probeJson}"""
+    // The driver keeps only a bounded tail of sbt's stdout, and the full
+    // line (~26 KB at 212 queries) outgrows it — BENCH_r01..r16 all show
+    // `parsed: null` with the line demonstrably printed. So the SAME
+    // one-line JSON is also written to a file the driver (and the judge)
+    // can read whole: ./bench_out.json (cwd is the repo root under
+    // `sbt run`), plus $SPARK_GRAFT_BENCH_OUT when set.
+    val outFiles = Seq("bench_out.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    outFiles.foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
+    }
     spark.stop()
+    // printed last (after spark.stop) so no Spark shutdown logging can
+    // land between the JSON line and end-of-output
+    println(line)
+    System.out.flush()
   }
 }

@@ -3,7 +3,6 @@ package graft
 import scala.collection.mutable
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run ONE SparkEntry query with a job listener and print every
   * Spark job's wall time, task count and call site, plus the wall-vs-job
@@ -19,20 +18,7 @@ object Profile {
     val name = args(1)
     val repeat = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.catalog.graft", "graft.table.GraftCatalog")
-      .config("spark.ui.enabled", "false")
-    // experiment knob: SPARK_GRAFT_CONF="k=v;k=v" overlays session conf
-    sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(";")).map(_.split("=", 2))
-      .collect { case Array(k, v) => builder.config(k.trim, v.trim) }
-    val spark = builder.getOrCreate()
+    val spark = Harness.sessionBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up, mirroring Bench
     try {
@@ -48,7 +34,7 @@ object Profile {
     // wall into "real task work" vs scheduling/codegen/broadcast overhead
     val stageTaskMs = mutable.Map.empty[Int, Long].withDefaultValue(0L)
     val stageNames = mutable.Map.empty[Int, String]
-    spark.sparkContext.addSparkListener(new SparkListener {
+    val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = synchronized {
         val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
         val tasks = js.stageInfos.map(_.numTasks).sum
@@ -69,7 +55,8 @@ object Profile {
             stageTaskMs(sc.stageInfo.stageId) +=
               m.executorRunTime + m.executorDeserializeTime + m.resultSerializationTime
         }
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
 
     // poor-man's driver profiler: sample the main thread's stack while the
     // query runs, attributing wall time to the deepest "interesting" frame
@@ -121,7 +108,10 @@ object Profile {
 
     val fn = SparkEntry.queries(name)
     (1 to repeat).foreach { pass =>
-      finished.clear()
+      // reads and clears go through the listener's own lock (its handlers
+      // mutate under `synchronized`); `running` is cleared too so a job
+      // spanning passes isn't misattributed to the next pass
+      listener.synchronized { finished.clear(); running.clear() }
       samples.clear()
       sampling = true
       val t0 = System.nanoTime()
@@ -130,7 +120,7 @@ object Profile {
       val wallSec = (System.nanoTime() - t0) / 1e9
       // listener events are async; give the bus a moment to drain
       Thread.sleep(300)
-      val jobs = finished.toVector
+      val jobs = listener.synchronized(finished.toVector)
       val jobSec = jobs.map(_._2).sum / 1e9
       println(f"== $name pass $pass: wall $wallSec%.2f s, " +
         f"${jobs.size} jobs totalling $jobSec%.2f s, " +
@@ -142,9 +132,12 @@ object Profile {
         println(f"  $sec%8.3f s  n=$n%-4d tasks=$tasks%-6d $site")
       }
       println("-- top 25 individual jobs (wall / task-time / stages) --")
+      val (taskMsSnap, namesSnap) =
+        listener.synchronized((stageTaskMs.toMap.withDefaultValue(0L),
+          stageNames.toMap))
       jobs.sortBy(-_._2).take(25).foreach { case (j, ns) =>
-        val taskMs = j.stages.map(stageTaskMs).sum
-        val names = j.stages.map(s => stageNames.getOrElse(s, "?")).distinct
+        val taskMs = j.stages.map(taskMsSnap).sum
+        val names = j.stages.map(s => namesSnap.getOrElse(s, "?")).distinct
           .mkString(" | ")
         println(f"  ${ns / 1e9}%7.3f s  task ${taskMs / 1e3}%7.3f s  " +
           f"tasks=${j.tasks}%-5d $names")
