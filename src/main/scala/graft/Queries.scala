@@ -55,6 +55,26 @@ object Queries {
           s"events.$c has unsupported type $other; expected raw-nanos long or timestamp")
     }
 
+  /** Multiset row equality in ONE aggregation job: sign each side ±1,
+    * group on every column, and any non-zero net count is a difference.
+    * Replaces the two-directional exceptAll-both-empty gate pattern,
+    * which evaluates BOTH inputs twice across two actions
+    * and pays two wide shuffles — the signed union evaluates each input
+    * once and shuffles once (guide §1.2: don't compute things twice;
+    * §2.4: two operations keyed the same way share one exchange).
+    * Semantics match the exceptAll pair exactly: both are bag equality
+    * with SQL null/NaN grouping semantics. */
+  private[graft] def sameRows(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq.map(c => col(s"`$c`"))
+    val bCols = b.columns.toSeq.map(c => col(s"`$c`"))
+    a.select(cols :+ lit(1L).as("__sign__"): _*)
+      .unionByName(b.select(bCols :+ lit(-1L).as("__sign__"): _*))
+      .groupBy(cols: _*)
+      .agg(sum(col("__sign__")).as("__net__"))
+      .filter(col("__net__") =!= 0L)
+      .isEmpty
+  }
+
   /** Planted-scenario guard: queries that plant copies of corpus vectors
     * at `vec_id + offset` (and whose oracle SQL hard-codes that offset)
     * are only sound while every natural id is below the offset. */
@@ -2629,8 +2649,7 @@ object Queries {
       s"manifest stats drifted: listed ${files.size} vs ${stats.numFiles}")
     val external = spark.read.parquet(files: _*)
     val internal = t.read
-    require(external.exceptAll(internal).count() == 0 &&
-        internal.exceptAll(external).count() == 0,
+    require(sameRows(external, internal),
       "external manifest read must equal the table snapshot exactly")
     external.groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -2676,7 +2695,7 @@ object Queries {
       .agg(sum(lit(1L)).as("cnt"),
         sum(col("o_totalprice").cast("decimal(28,6)")).cast("decimal(28,6)")
           .as("sum_o_totalprice"))
-    require(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+    require(sameRows(got, want),
       "incremental_view drifted from the full recompute")
     // WRITE-SIDE pins at GROUP cardinality (the 10^9-group mart shape,
     // where a full-state replace per fold is the write amplification
@@ -2747,8 +2766,7 @@ object Queries {
       .agg(sum(lit(1L)).as("cnt"),
         sum(col("o_totalprice").cast("decimal(28,6)")).cast("decimal(28,6)")
           .as("sum_o_totalprice"))
-    require(fine.read.exceptAll(fineWant).count() == 0 &&
-      fineWant.exceptAll(fine.read).count() == 0,
+    require(sameRows(fine.read, fineWant),
       "incremental_view: the delta-folded fine-grained state drifted " +
         "from the full recompute")
     got.select(col("o_orderstatus"), col("cnt"),
@@ -2802,8 +2820,7 @@ object Queries {
           .as("sum_o_totalprice"),
         min("o_totalprice").as("min_o_totalprice"),
         max("o_totalprice").as("max_o_totalprice"))
-    require(got.exceptAll(want).count() == 0 &&
-      want.exceptAll(got).count() == 0,
+    require(sameRows(got, want),
       "incremental_join_view drifted from the full join recompute")
     // WRITE-SIDE pins at GROUP cardinality: an o_orderkey-keyed join
     // view (one group per fact row — the 10^9-group mart shape) must
@@ -2840,8 +2857,7 @@ object Queries {
       .agg(sum(lit(1L)).as("cnt"),
         sum(col("o_totalprice").cast("decimal(28,6)")).cast("decimal(28,6)")
           .as("sum_o_totalprice"))
-    require(fine.read.exceptAll(fineWant).count() == 0 &&
-      fineWant.exceptAll(fine.read).count() == 0,
+    require(sameRows(fine.read, fineWant),
       "incremental_join_view: the delta-folded fine-grained state " +
         "drifted from the full join recompute")
     got.select(col("c_mktsegment"), col("cnt"),
@@ -3115,8 +3131,7 @@ object Queries {
         min("o_totalprice").as("min_o_totalprice"),
         max("o_totalprice").as("max_o_totalprice"))
     val w1 = fullRecompute()
-    require(view.read.exceptAll(w1).count() == 0 &&
-      w1.exceptAll(view.read).count() == 0,
+    require(sameRows(view.read, w1),
       "stream_join_view: stream-maintained state drifted from the full " +
         "join recompute")
     // resume the SAME checkpoint after one more fact slice — exactly
@@ -3125,8 +3140,7 @@ object Queries {
     require(view.refreshStream(ck).awaitTermination(300000),
       "stream_join_view: the resumed join view stream did not drain")
     val w2 = fullRecompute()
-    require(view.read.exceptAll(w2).count() == 0 &&
-      w2.exceptAll(view.read).count() == 0,
+    require(sameRows(view.read, w2),
       "stream_join_view: the resumed checkpoint double-folded or dropped " +
         "the new fact slice")
     val vBefore = ManagedTable(spark, sp).latestVersion
@@ -3277,7 +3291,7 @@ object Queries {
           .as("sum_o_totalprice"),
         min(col("o_totalprice")).as("min_o_totalprice"),
         max(col("o_totalprice")).as("max_o_totalprice"))
-    require(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+    require(sameRows(got, want),
       "incremental_view_minmax drifted from the full recompute")
     got.select(col("o_orderstatus"), col("cnt"),
       col("sum_o_totalprice").cast("string").as("sum_totalprice"),
@@ -4277,12 +4291,9 @@ object Queries {
       "stream_neardup: a planted near-dup copy survived — the standing " +
         "index or the batch-internal rule lost it")
     // the index is the silver corpus, exactly (consistency invariant)
-    val onlySilver = sil.select("doc_id")
-      .exceptAll(ManagedTable(spark, idxPath).read.select("doc_id")).count()
-    val onlyIdx = ManagedTable(spark, idxPath).read.select("doc_id")
-      .exceptAll(sil.select("doc_id")).count()
-    require(onlySilver == 0 && onlyIdx == 0,
-      s"stream_neardup: index and silver diverged ($onlySilver/$onlyIdx)")
+    require(sameRows(sil.select("doc_id"),
+        ManagedTable(spark, idxPath).read.select("doc_id")),
+      "stream_neardup: index and silver diverged")
     sil.select("doc_id", "lang", "n_chars")
   }
 
@@ -5222,12 +5233,9 @@ object Queries {
         "the within-batch survivor rule is broken")
     require(sil.filter(col("group_size") === 2).count() == 5,
       "stream_semantic expected the 5 within-batch duplicate groups")
-    val onlySilver = sil.select("vec_id")
-      .exceptAll(ManagedTable(spark, idxPath).read.select("vec_id")).count()
-    val onlyIdx = ManagedTable(spark, idxPath).read.select("vec_id")
-      .exceptAll(sil.select("vec_id")).count()
-    require(onlySilver == 0 && onlyIdx == 0,
-      s"stream_semantic: index and silver diverged ($onlySilver/$onlyIdx)")
+    require(sameRows(sil.select("vec_id"),
+        ManagedTable(spark, idxPath).read.select("vec_id")),
+      "stream_semantic: index and silver diverged")
     sil.select("vec_id", "group_size")
   }
 
@@ -5835,8 +5843,7 @@ object Queries {
       ManagedTable(spark, stPath).latestVersion == vBefore,
       "classifier_view_refresh: an already-current refresh must commit nothing")
     val rebuilt = QualityClassifier.train(t.read)
-    require(restarted.read.exceptAll(rebuilt).isEmpty &&
-      rebuilt.exceptAll(restarted.read).isEmpty,
+    require(sameRows(restarted.read, rebuilt),
       "classifier_view_refresh: maintained counts drifted from the retrain")
     val (_, dp, dn) = restarted.watermark
     val priRow = QualityClassifier.priors(t.read).head()
@@ -7423,8 +7430,7 @@ object Queries {
       .agg(sum(lit(1L)).as("cnt"),
         sum(col("score").cast("decimal(28,6)")).cast("decimal(28,6)")
           .as("sum_score"))
-    require(agg1.read.exceptAll(wantAgg).count() == 0 &&
-      wantAgg.exceptAll(agg1.read).count() == 0,
+    require(sameRows(agg1.read, wantAgg),
       "multi_view_refresh: the one-pass agg mart drifted from the recompute")
     val agg2 = new IncrementalAggView(spark, src2, st6,
       Seq("o_orderstatus"), Seq("o_totalprice"))
@@ -7432,29 +7438,24 @@ object Queries {
       .agg(sum(lit(1L)).as("cnt"),
         sum(col("o_totalprice").cast("decimal(28,6)"))
           .cast("decimal(28,6)").as("sum_o_totalprice"))
-    require(agg2.read.exceptAll(wantAgg2).count() == 0 &&
-      wantAgg2.exceptAll(agg2.read).count() == 0,
+    require(sameRows(agg2.read, wantAgg2),
       "multi_view_refresh: the second source's mart drifted")
     val bm = new Bm25IndexView(spark, srcPath, st1)
     val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
-    require(bm.read.exceptAll(rebuilt).isEmpty &&
-      rebuilt.exceptAll(bm.read).isEmpty,
+    require(sameRows(bm.read, rebuilt),
       "multi_view_refresh: one-pass BM25 fold drifted from the rebuild")
     val ph = new PositionalIndexView(spark, srcPath, st2)
     val rebuiltP = Retrieval.positionalIndex(t.read, "text", "doc_id")
-    require(ph.read.exceptAll(rebuiltP).isEmpty &&
-      rebuiltP.exceptAll(ph.read).isEmpty,
+    require(sameRows(ph.read, rebuiltP),
       "multi_view_refresh: one-pass positional fold drifted from the rebuild")
     val nd = new NearDupIndexView(spark, srcPath, st3)
     val rebuiltN = graft.llm.Dedup.buildNearDupIndex(t.read, "text",
       "doc_id", 64, 3)
-    require(nd.read.exceptAll(rebuiltN).isEmpty &&
-      rebuiltN.exceptAll(nd.read).isEmpty,
+    require(sameRows(nd.read, rebuiltN),
       "multi_view_refresh: one-pass near-dup fold drifted from the rebuild")
     val lm = new graft.table.CorpusLmView(spark, srcPath, st4)
     val rebuiltL = graft.llm.TextOps.unigramModel(t.read, "text", "doc_id")
-    require(lm.read.exceptAll(rebuiltL).isEmpty &&
-      rebuiltL.exceptAll(lm.read).isEmpty,
+    require(sameRows(lm.read, rebuiltL),
       "multi_view_refresh: one-pass LM fold drifted from the retrain")
     val queries = Seq(
       (1L, "merge stream table"),
@@ -7582,8 +7583,7 @@ object Queries {
       "bm25_view_delete: an already-current refresh must commit nothing")
     val merged = restarted.read
     val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
-    require(merged.exceptAll(rebuilt).isEmpty &&
-      rebuilt.exceptAll(merged).isEmpty,
+    require(sameRows(merged, rebuilt),
       "bm25_view_delete: maintained postings drifted from the " +
         "from-scratch rebuild")
     val scal = rebuilt.groupBy("doc_id").agg(first("dl").as("__dl__"))
@@ -7720,8 +7720,7 @@ object Queries {
         s"must fold as one shuffled-rewrite commit, got ${rwCommit.operation}")
     val merged = gated.read
     val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
-    require(merged.exceptAll(rebuilt).isEmpty &&
-      rebuilt.exceptAll(merged).isEmpty,
+    require(sameRows(merged, rebuilt),
       "bm25_view_bulk_delete: bulk-deleted postings drifted from the rebuild")
     val queries = Seq(
       (1L, "merge stream table"),
@@ -7826,8 +7825,7 @@ object Queries {
       "stream_bm25_view: the curation delete slice must tombstone via " +
         "DELETE VECTORS instead of rewriting the postings")
     val rebuilt = Retrieval.bm25Postings(t.read, "text", "doc_id")
-    require(view.read.exceptAll(rebuilt).isEmpty &&
-      rebuilt.exceptAll(view.read).isEmpty,
+    require(sameRows(view.read, rebuilt),
       "stream_bm25_view: stream-maintained postings drifted from the rebuild")
     // resume the SAME checkpoint after one more append: exactly that
     // batch folds, nothing double-applies
@@ -7838,8 +7836,7 @@ object Queries {
     require(q2.awaitTermination(300000),
       "stream_bm25_view: the resumed view stream did not drain")
     val rebuilt2 = Retrieval.bm25Postings(t.read, "text", "doc_id")
-    require(view.read.exceptAll(rebuilt2).isEmpty &&
-      rebuilt2.exceptAll(view.read).isEmpty,
+    require(sameRows(view.read, rebuilt2),
       "stream_bm25_view: the resumed checkpoint double-folded or dropped " +
         "the new batch")
     val queries = Seq(
@@ -7953,8 +7950,7 @@ object Queries {
     require(view.sourceVersion == w0 && view.scalars == s0,
       "view_maintenance: recluster must be transparent to the watermark walk")
     val afterRecluster = view.search(queries, k = 7, exact = true)
-    require(afterRecluster.exceptAll(before).isEmpty &&
-      before.exceptAll(afterRecluster).isEmpty,
+    require(sameRows(afterRecluster, before),
       "view_maintenance: recluster changed search rows")
     t.write(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0),
       "APPEND", "append")
@@ -7987,8 +7983,7 @@ object Queries {
     val pruned = view.search(queries, k = 7, exact = true)
     val gateShut = view.search(queries, k = 7, exact = true,
       maxPrunedToks = 0)
-    require(pruned.exceptAll(gateShut).isEmpty &&
-      gateShut.exceptAll(pruned).isEmpty,
+    require(sameRows(pruned, gateShut),
       "view_maintenance: dir-pruned search drifted from the full scan")
     pruned
   }
@@ -8080,13 +8075,12 @@ object Queries {
     val asOf = view.searchAt(vInit, queries, k = 7, exact = true)
     val oneShot = Retrieval.bm25TopK(t.readAt(0L), queries, k = 7,
       exact = true)
-    require(asOf.exceptAll(oneShot).isEmpty && oneShot.exceptAll(asOf).isEmpty,
+    require(sameRows(asOf, oneShot),
       "view_time_travel: the as-of ranking drifted from the one-shot " +
         "ranking over the matching source snapshot")
     val head = view.search(queries, k = 7, exact = true)
     val headShot = Retrieval.bm25TopK(t.read, queries, k = 7, exact = true)
-    require(head.exceptAll(headShot).isEmpty &&
-      headShot.exceptAll(head).isEmpty,
+    require(sameRows(head, headShot),
       "view_time_travel: the head must keep serving the current world")
     asOf
   }
@@ -8175,8 +8169,7 @@ object Queries {
       s"stream_lm_view: watermark must reach the last source commit, " +
         s"got ${view.sourceVersion}")
     val rebuilt = TextOps.unigramModel(t.read)
-    require(view.read.exceptAll(rebuilt).isEmpty &&
-      rebuilt.exceptAll(view.read).isEmpty,
+    require(sameRows(view.read, rebuilt),
       "stream_lm_view: stream-maintained model drifted from the recompute")
     // resume the SAME checkpoint after one more append: exactly that
     // batch folds — a double-fold would double its token counts
@@ -8188,8 +8181,7 @@ object Queries {
     require(view.sourceVersion == 4L,
       "stream_lm_view: the resumed checkpoint must fold the new slice")
     val rebuilt2 = TextOps.unigramModel(t.read)
-    require(view.read.exceptAll(rebuilt2).isEmpty &&
-      rebuilt2.exceptAll(view.read).isEmpty,
+    require(sameRows(view.read, rebuilt2),
       "stream_lm_view: the resumed checkpoint double-folded or dropped " +
         "the new batch")
     val vBefore = ManagedTable(spark, stPath).latestVersion
@@ -8293,8 +8285,7 @@ object Queries {
       ManagedTable(spark, stPath).latestVersion == vBefore,
       "phrase_view_refresh: an already-current refresh must commit nothing")
     val rebuilt = Retrieval.positionalIndex(t.read, "text", "doc_id")
-    require(restarted.read.exceptAll(rebuilt).isEmpty &&
-      rebuilt.exceptAll(restarted.read).isEmpty,
+    require(sameRows(restarted.read, rebuilt),
       "phrase_view_refresh: maintained occurrences drifted from the rebuild")
     val phrases = Seq(
       (1L, "qphraseax qphrasebx"),
@@ -8495,8 +8486,7 @@ object Queries {
       "ann_view_refresh: an already-current refresh must commit nothing")
     val reencoded = Similarity.ivfPqAppend(restarted.centroids,
       restarted.codebooks, t.read)
-    require(restarted.read.exceptAll(reencoded).isEmpty &&
-      reencoded.exceptAll(restarted.read).isEmpty,
+    require(sameRows(restarted.read, reencoded),
       "ann_view_refresh: maintained codes drifted from a re-encode of the " +
         "final corpus against the frozen quantizer")
     val queries = t.read.filter(col("vec_id") >= 10000).localCheckpoint()
@@ -8579,7 +8569,7 @@ object Queries {
     require(!reinit2 && centsT.latestVersion.contains(quantBefore + 1),
       "ann_view_reinit: a policy call under the threshold must not retrain")
     val after = view.searchAt(stateV1, queries0, k = 5, nProbe = 4)
-    require(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+    require(sameRows(after, before),
       "ann_view_reinit: searchAt across the re-initialize must reproduce " +
         "the historical ranking — codes decoded under a retrained quantizer")
     val queries = t.read.filter(col("vec_id") >= 10000).localCheckpoint()
@@ -8592,8 +8582,7 @@ object Queries {
     val fresh = new AnnIndexView(spark, srcPath, stPath, nlist = 16, m = 8,
       ksub = 16)
     val served2 = fresh.search(queries, k = 10, nProbe = 4).localCheckpoint()
-    require(served2.exceptAll(served).isEmpty &&
-      served.exceptAll(served2).isEmpty,
+    require(sameRows(served2, served),
       "ann_view_reinit: a crashed re-initialize's orphan quantizer version " +
         "leaked into serving — the state metadata must pin the governing " +
         "version")
@@ -8664,8 +8653,7 @@ object Queries {
       ManagedTable(spark, stPath).latestVersion == vBefore,
       "neardup_view_refresh: an already-current refresh must commit nothing")
     val rebuilt = Dedup.buildNearDupIndex(t.read)
-    require(restarted.read.exceptAll(rebuilt).isEmpty &&
-      rebuilt.exceptAll(restarted.read).isEmpty,
+    require(sameRows(restarted.read, rebuilt),
       "neardup_view_refresh: maintained signatures drifted from the rebuild")
     // the final batch: ghost re-submissions (now admissible), copies of
     // LIVE docs (still duplicates), and fresh nonce docs (admissible)
@@ -8745,8 +8733,7 @@ object Queries {
       ManagedTable(spark, stPath).latestVersion == vBefore,
       "benchmark_view_refresh: an already-current refresh must commit nothing")
     val rebuilt = Dedup.benchmarkIndex(t.read)
-    require(restarted.read.exceptAll(rebuilt).isEmpty &&
-      rebuilt.exceptAll(restarted.read).isEmpty,
+    require(sameRows(restarted.read, rebuilt),
       "benchmark_view_refresh: maintained grams drifted from the rebuild")
     restarted.decontaminate(batch).select("doc_id")
   }
@@ -8812,8 +8799,7 @@ object Queries {
       ManagedTable(spark, stPath).latestVersion == vBefore,
       "semantic_view_refresh: an already-current refresh must commit nothing")
     val rebuilt = Similarity.buildSemanticIndex(restarted.centroids, t.read)
-    require(restarted.read.exceptAll(rebuilt).isEmpty &&
-      rebuilt.exceptAll(restarted.read).isEmpty,
+    require(sameRows(restarted.read, rebuilt),
       "semantic_view_refresh: maintained index drifted from re-indexing " +
         "the final corpus under the frozen quantizer")
     val liveCopies = emb.filter(col("vec_id") < 5)
@@ -8870,8 +8856,7 @@ object Queries {
       ManagedTable(spark, stPath).latestVersion == vBefore,
       "lm_view_refresh: an already-current refresh must commit nothing")
     val rebuilt = TextOps.unigramModel(t.read)
-    require(restarted.read.exceptAll(rebuilt).isEmpty &&
-      rebuilt.exceptAll(restarted.read).isEmpty,
+    require(sameRows(restarted.read, rebuilt),
       "lm_view_refresh: maintained model drifted from the recompute — " +
         "signed token counts are wrong")
     TextOps.rareTokenScoreWith(t.read.filter(col("doc_id") % 10 === 0),
