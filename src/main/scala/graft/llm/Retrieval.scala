@@ -75,7 +75,10 @@ object Retrieval {
     * 100 TB operating point this mode advertises). */
   val ExactScale = 1000000L
 
-  private def toks(c: org.apache.spark.sql.Column) =
+  // private[graft]: the standing-index views reuse the EXACT tokenizer
+  // for their commit-metadata scalar deltas (a re-spelled regex there
+  // could silently drift from the postings build)
+  private[graft] def toks(c: org.apache.spark.sql.Column) =
     regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
   /** The DISTINCT token set of a query batch, under exactly the

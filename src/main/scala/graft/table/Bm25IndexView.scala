@@ -77,12 +77,30 @@ final class Bm25IndexView(spark: SparkSession, sourcePath: String,
     s"""{"sourceVersion":$v,"nDocs":$n,"totalLen":$l}"""
   }
 
+  /** Signed scalar movement of one netted slice in ONE narrow job.
+    * `dl` is each doc's own total token count (== the sum of its
+    * postings' tf), so the (n_docs, total_len) delta needs no postings
+    * build: the old path ran [[buildRows]] (tokenize + explode + two
+    * aggregations) TWICE per fold — once per direction — only to read
+    * two scalars off each. Netted frames hold one row per id per
+    * direction ([[CdfNetting.net]] refuses duplicates), so counting
+    * rows with ≥1 token is exactly the postings' distinct-doc count. */
+  private def scalarsDelta(ins: DataFrame, del: DataFrame): (Long, Long) = {
+    def side(df: DataFrame, s: Long) = df.select(lit(s).as("__s__"),
+      size(Retrieval.toks(col(s"`$textCol`"))).cast("long").as("__dl__"))
+    val r = side(ins, 1L).unionByName(side(del, -1L))
+      .filter(col("__dl__") > 0L)
+      .agg(coalesce(sum(col("__s__")), lit(0L)).as("__n__"),
+        coalesce(sum(col("__s__") * col("__dl__")), lit(0L)).as("__l__"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   override protected def refreshMeta(v: Long, ins: DataFrame,
                                      del: DataFrame): String = {
     val (n0, l0) = scalars
-    val (ni, li) = scalarsOf(ins)
-    val (nd, ld) = scalarsOf(del)
-    s"""{"sourceVersion":$v,"nDocs":${n0 + ni - nd},"totalLen":${l0 + li - ld}}"""
+    val (dn, dl) = scalarsDelta(ins, del)
+    s"""{"sourceVersion":$v,"nDocs":${n0 + dn},"totalLen":${l0 + dl}}"""
   }
 
   private val ScalarsRe =

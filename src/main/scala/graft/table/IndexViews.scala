@@ -1033,15 +1033,26 @@ object StandingViews {
             .cdfSlice(source, wm, latest, "multi-view refresh")
             .select((needed.map(c => col(s"`$c`")) :+ col("_change_type")): _*)
             .localCheckpoint()
-          g.collect { case v: CdfMaintainedView => v }
-            .groupBy(v => (v.netIdCol, v.netPayloadCols)).foreach {
+          // nettings run sequentially (each is one shared checkpointed
+          // frame per payload signature), then EVERY view's fold runs
+          // CONCURRENTLY (guide §2.6 — overlap independent jobs): a
+          // fold is a chain of small driver-latency-bound actions on
+          // its OWN state table, so sequential folds leave the
+          // executors idle between commits; concurrent folds back-fill.
+          // Per-view choreography, fences, and watermarks are untouched
+          // — only the cross-VIEW ordering (which nothing observes:
+          // each state table is independent and exactly-once on its own
+          // fence) becomes concurrent.
+          val netFolds = g.collect { case v: CdfMaintainedView => v }
+            .groupBy(v => (v.netIdCol, v.netPayloadCols)).toSeq.flatMap {
               case ((id, pay), vs) =>
                 val (ins, del) = CdfNetting.net(slice, id, pay,
                   s"multi-view refresh (${vs.map(_.viewKind).mkString(", ")})")
-                vs.foreach(_.foldNetted(ins, del, wm, latest, None))
+                vs.map(v => () => v.foldNetted(ins, del, wm, latest, None))
             }
-          g.collect { case v: SignedSliceView => v }
-            .foreach(_.foldRawSlice(slice, wm, latest, None))
+          val rawFolds = g.collect { case v: SignedSliceView => v }
+            .map(v => () => v.foldRawSlice(slice, wm, latest, None))
+          StandingViews.inParallel(netFolds ++ rawFolds)
         }
       }
       // marts whose DIMENSION side moved while the fact source was
@@ -1059,6 +1070,31 @@ object StandingViews {
       if (autoMaintain) group.foreach(_.maintainIfNeeded())
       srcPath -> latest
     }
+  }
+
+  /** Run independent per-view fold tasks concurrently on a bounded
+    * driver pool and surface the FIRST failure (matching the sequential
+    * loop's exception type). Spark's scheduler runs concurrent jobs
+    * FIFO, so a fold's small jobs back-fill executor slots another
+    * fold's driver round-trips leave idle. Views commit to their OWN
+    * state tables under their own fences, so cross-view ordering was
+    * never observable — a task that fails cannot corrupt a sibling
+    * (each landed fold is independently exactly-once). */
+  private[table] def inParallel(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.sizeIs <= 1) { tasks.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(tasks.size, 6))
+    try {
+      import scala.jdk.CollectionConverters._
+      val callables: Seq[java.util.concurrent.Callable[Unit]] =
+        tasks.map(t => () => t())
+      pool.invokeAll(callables.asJava).asScala.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
   }
 
   /** Run an aux-triggered fold, retrying the typed fence conflict a
