@@ -9088,17 +9088,23 @@ object Queries {
       (b, a)
     }
     // epoch 1: the planted rows APPEND through both views' fast paths
-    // (limit(0) unions inherit the tables' nullability)
+    // (limit(0) unions inherit the tables' nullability). Maintenance
+    // routes through the one-pass orchestrator: the two sources' fold
+    // chains run concurrently (each view's commit choreography is its
+    // own refresh()'s, verbatim), and the watermark requires below pin
+    // that both folds landed.
     tDocs.write(tDocs.read.limit(0).unionByName(plantedDocs),
       "APPEND", "append")
     tVecs.write(tVecs.read.limit(0).unionByName(plantedVecs),
       "APPEND", "append")
-    require(bm25View.refresh() == 1L && annView.refresh() == 1L,
+    graft.table.StandingViews.refreshAll(spark, Seq(bm25View, annView))
+    require(bm25View.sourceVersion == 1L && annView.sourceVersion == 1L,
       "hybrid_view_search: the planted epoch must fold into both views")
     // epoch 2: a curation delete folds through both DV paths
     tDocs.delete(col("doc_id") === 11L)
     tVecs.delete(col("vec_id") === 11L)
-    require(bm25View.refresh() == 2L && annView.refresh() == 2L,
+    graft.table.StandingViews.refreshAll(spark, Seq(bm25View, annView))
+    require(bm25View.sourceVersion == 2L && annView.sourceVersion == 2L,
       "hybrid_view_search: the delete epoch must fold into both views")
     val qText = Seq(
       (950010L, "zqxveca zqxvecb"),

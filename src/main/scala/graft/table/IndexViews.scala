@@ -1014,7 +1014,12 @@ object StandingViews {
                  views: Seq[StandingView],
                  autoMaintain: Boolean = false): Map[String, Long] = {
     require(views.nonEmpty, "refreshAll needs at least one view")
-    views.groupBy(_.sourceTablePath).map { case (srcPath, group) =>
+    // source groups are mutually independent (disjoint state tables,
+    // disjoint slices) — run them concurrently too, so a pipeline that
+    // maintains views over a corpus AND a dimension table overlaps the
+    // two sources' fold chains (guide §2.6)
+    inParallel(views.groupBy(_.sourceTablePath).toSeq.map {
+      case (srcPath, group) => () =>
       // finish any half-applied DV slice first (its pending range is
       // already tombstoned; the watermark must reflect the completed
       // fold before this pass nets from it)
@@ -1069,7 +1074,7 @@ object StandingViews {
       }
       if (autoMaintain) group.foreach(_.maintainIfNeeded())
       srcPath -> latest
-    }
+    }).toMap
   }
 
   /** Run independent per-view fold tasks concurrently on a bounded
@@ -1080,20 +1085,20 @@ object StandingViews {
     * state tables under their own fences, so cross-view ordering was
     * never observable — a task that fails cannot corrupt a sibling
     * (each landed fold is independently exactly-once). */
-  private[table] def inParallel(tasks: Seq[() => Unit]): Unit = {
-    if (tasks.sizeIs <= 1) { tasks.foreach(_()); return }
+  private[table] def inParallel[A](tasks: Seq[() => A]): Seq[A] = {
+    if (tasks.sizeIs <= 1) return tasks.map(_())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(tasks.size, 6))
     try {
       import scala.jdk.CollectionConverters._
-      val callables: Seq[java.util.concurrent.Callable[Unit]] =
+      val callables: Seq[java.util.concurrent.Callable[A]] =
         tasks.map(t => () => t())
-      pool.invokeAll(callables.asJava).asScala.foreach { f =>
+      pool.invokeAll(callables.asJava).asScala.map { f =>
         try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException => throw e.getCause
         }
-      }
+      }.toSeq
     } finally pool.shutdown()
   }
 
