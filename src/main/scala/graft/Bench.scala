@@ -139,6 +139,10 @@ object Bench {
         // not among the most expensive queries
         val pinnedProbes = Set("ann_ivfpq", "phrase_search",
           "bm25_view_bulk_delete", "view_maintenance",
+          // AS-OF serving: pinned so the probe counters keep showing
+          // the watermark walks cost O(pointer probes), never a log
+          // listing, as history accretes (VERDICT r16 item 6)
+          "view_time_travel",
           // group-cardinality agg-view folds: the write path is
           // O(touched groups) only if the DV+APPEND tiering holds, and
           // the READ path O(touched dirs) only if the tombstone scan

@@ -80,8 +80,30 @@ object Similarity {
     * such a frame should `localCheckpoint()` it first (which also
     * pins the rows the answer is FOR — the right call regardless of
     * this gate). */
+  /** Collect `df` if it holds at most `cap` rows, in ONE job — the
+    * fused form of the `fitsDriver(df, cap)` + `df.collect()` pair the
+    * skipping-read serving paths used to pay two jobs for. None past
+    * the cap (the caller's full-scan regime). */
+  private[graft] def collectUpTo(df: DataFrame, cap: Int)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    if (cap <= 0) return None
+    val rows = df.limit(cap + 1).collect()
+    if (rows.length <= cap) Some(rows) else None
+  }
+
   private[graft] def fitsDriver(df: DataFrame, cap: Int): Boolean =
-    cap > 0 && df.limit(cap + 1).count() <= cap
+    cap > 0 && {
+      // literal query batches (Seq(...).toDF and anything the optimizer
+      // folds to a LocalRelation) answer from the plan alone — the
+      // serving paths call this gate on every search, and a Spark job
+      // per gate is pure driver latency for a frame whose size is
+      // already known on the driver
+      df.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          lr.data.lengthCompare(cap) <= 0
+        case _ => df.limit(cap + 1).count() <= cap
+      }
+    }
 
   /**
    * Exact top-k neighbors per query; output: (query_id, rank,

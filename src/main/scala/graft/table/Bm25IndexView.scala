@@ -149,12 +149,15 @@ final class Bm25IndexView(spark: SparkSession, sourcePath: String,
              maxPrunedToks: Int = 4096): DataFrame = {
     val (n, l) = scalars
     val qtoks = Retrieval.queryToks(queries)
-    val postings =
-      if (graft.llm.Similarity.fitsDriver(qtoks, maxPrunedToks)) {
-        val ts = qtoks.collect().map(_.getString(0)).toIndexedSeq
+    // gate + collect fused into one bounded job (the old fitsDriver +
+    // collect pair ran the distinct twice)
+    val postings = graft.llm.Similarity.collectUpTo(qtoks, maxPrunedToks) match {
+      case Some(rows) =>
+        val ts = rows.map(_.getString(0)).toIndexedSeq
         if (ts.isEmpty) read.limit(0)
         else readWhere(col("tok").isin(ts: _*))
-      } else read
+      case None => read
+    }
     Retrieval.bm25SearchPostings(queries, postings, n, l, k, exact)
   }
 

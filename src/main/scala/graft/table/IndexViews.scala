@@ -1320,12 +1320,15 @@ final class PositionalIndexView(spark: SparkSession, sourcePath: String,
   def search(phrases: DataFrame, k: Int = 10,
              maxPrunedToks: Int = 4096): DataFrame = {
     val qtoks = Retrieval.queryToks(phrases)
-    val index =
-      if (Similarity.fitsDriver(qtoks, maxPrunedToks)) {
-        val ts = qtoks.collect().map(_.getString(0)).toIndexedSeq
+    // gate + collect fused into one bounded job (the old fitsDriver +
+    // collect pair ran the distinct twice)
+    val index = Similarity.collectUpTo(qtoks, maxPrunedToks) match {
+      case Some(rows) =>
+        val ts = rows.map(_.getString(0)).toIndexedSeq
         if (ts.isEmpty) read.limit(0)
         else readWhere(col("tok").isin(ts: _*))
-      } else read
+      case None => read
+    }
     Retrieval.phraseSearchWith(phrases, index, k)
   }
 
